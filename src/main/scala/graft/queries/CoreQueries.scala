@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.GlobalRank
+
+/** Core relational operators from SURVEY.md §2 (joins, aggregations, windows,
+  * set ops), each as a (SparkSession, sfDir) => DataFrame with a DuckDB oracle.
+  *
+  * Oracle-parity rules used throughout:
+  *  - float aggregates go through DECIMAL casts (exact, order-independent),
+  *    final cast back to double;
+  *  - row-level double arithmetic is fine (identical IEEE ops both engines);
+  *  - avoid round() on doubles (engines differ on ties);
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - window orderings are total (explicit key tiebreaks).
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1-style hash aggregation with decimal-exact sums (lineitem pricing summary)
+    "q01_agg_pricing" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,6)")).cast("double").as("revenue"),
+          count(lit(1)).cast("long").as("n_rows"))
+    },
+
+    // J4-style inner equi-join enriching facts with dimension info
+    "q02_join_gt_info" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(o("o_orderkey"), o("o_totalprice"), c("c_name"), c("c_mktsegment"))
+    },
+
+    // J5-style left-outer join preserving no-match rows
+    "q03_left_join_nomatch" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .select(c("c_custkey"), c("c_name"), o("o_orderkey"))
+    },
+
+    // left-semi join (EXISTS)
+    "q04_semi_join" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    // J9-style left-anti join (NOT EXISTS)
+    "q05_anti_join" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 150000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // J8 cross join (naive indexer analog; both sides tiny dims)
+    "q06_cross_join" -> { (s, dir) =>
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select("r_name", "n_name")
+    },
+
+    // U1+A1: unionByName(allowMissing) of two candidate sets + dedup-merge by max
+    "q07_union_merge_max" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val c1 = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("uid"), col("o_orderkey").as("gt_uid"),
+                col("o_totalprice").as("score_0"))
+      val c2 = o.filter(col("o_totalprice") > 50000.0)
+        .select(col("o_custkey").as("uid"), col("o_orderkey").as("gt_uid"),
+                (col("o_totalprice") * 0.5).as("score_1"))
+      c1.unionByName(c2, allowMissingColumns = true)
+        .groupBy("uid", "gt_uid")
+        .agg(max(col("score_0")).as("score_0"), max(col("score_1")).as("score_1"))
+    },
+
+    // W1: best-match ranking window (row_number desc + tiebreak)
+    "q08_best_match_window" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("best_rank", row_number().over(w))
+        .withColumn("best_match", col("best_rank") === 1 && col("o_totalprice") > 0.0)
+        .select("o_custkey", "o_orderkey", "best_rank", "best_match")
+    },
+
+    // W2: top-n per group with deterministic ordering
+    "q09_topn_per_group" -> { (s, dir) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    },
+
+    // W4/W5: rank + distance-to-extremes + lag/lead diff features per group
+    "q10_rank_diff_features" -> { (s, dir) =>
+      val grp  = Window.partitionBy("l_orderkey")
+      val ord  = grp.orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("score_rank", row_number().over(ord))
+        .withColumn("dist_to_max", max(col("l_extendedprice")).over(grp) - col("l_extendedprice"))
+        .withColumn("dist_to_min", col("l_extendedprice") - min(col("l_extendedprice")).over(grp))
+        .withColumn("ptp", max(col("l_extendedprice")).over(grp) - min(col("l_extendedprice")).over(grp))
+        .withColumn("diff_to_next", col("l_extendedprice") - lead("l_extendedprice", 1).over(ord))
+        .withColumn("diff_to_prev", lag("l_extendedprice", 1).over(ord) - col("l_extendedprice"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "score_rank",
+                "dist_to_max", "dist_to_min", "ptp", "diff_to_next", "diff_to_prev")
+    },
+
+    // J3/O1: sorted-neighbourhood indexing — distributed global rank
+    // (sort + zipWithIndex, not a single-partition window) + band self-join
+    // unrolled into 2w equi-joins like the reference
+    "q11_sni_pairs" -> { (s, dir) =>
+      val w = 3
+      val ranked = GlobalRank.withGlobalRank(
+        t(s, dir, "part").select("p_partkey", "p_name"),
+        "r", Seq("p_name", "p_partkey")).select("p_partkey", "p_name", "r")
+      val left  = ranked.select(col("p_partkey").as("uid"), col("r"))
+      val right = ranked.select(col("p_partkey").as("gt_uid"), col("r").as("gt_r"))
+      val shifted = (-w to w).filter(_ != 0).map { off =>
+        left.join(right, left("r") + off === right("gt_r"))
+          .select(col("uid"), col("gt_uid"),
+                  (lit(1.0) - lit(math.abs(off).toDouble) / (w + 1.0)).as("sni_score"))
+      }
+      shifted.reduce(_ union _)
+    },
+
+    // A5: account aggregation (max_frequency_nm_score semantics):
+    // freq-weighted mean score per (account, gt), then argmax row per account
+    "q12_account_agg" -> { (s, dir) =>
+      val scores = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("account"), col("l_suppkey").as("gt_uid"),
+        col("l_quantity").as("freq"), col("l_extendedprice").as("score"))
+      val grouped = scores.groupBy("account", "gt_uid").agg(
+        (sum((col("freq") * col("score")).cast("decimal(38,6)")).cast("double") /
+         sum(col("freq").cast("decimal(38,6)")).cast("double")).as("agg_score"))
+      val w = Window.partitionBy("account").orderBy(col("agg_score").desc, col("gt_uid"))
+      grouped.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("account", "gt_uid", "agg_score")
+    },
+
+    // A9/S5: duplicate-uid check
+    "q13_dup_uid_check" -> { (s, dir) =>
+      t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .filter(col("n") > 1)
+    },
+
+    // streaming-analog batch: event-time hourly tumbling window aggregation
+    "q14_events_hourly" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+                 col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_rows
+         FROM lineitem GROUP BY 1, 2""",
+    "q02_join_gt_info" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "q03_left_join_nomatch" ->
+      """SELECT c_custkey, c_name, o_orderkey
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey""",
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""",
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)""",
+    "q06_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation""",
+    "q07_union_merge_max" ->
+      """SELECT uid, gt_uid, max(score_0) AS score_0, max(score_1) AS score_1 FROM (
+           SELECT o_custkey AS uid, o_orderkey AS gt_uid,
+                  o_totalprice AS score_0, CAST(NULL AS DOUBLE) AS score_1
+           FROM orders WHERE o_orderstatus = 'O'
+           UNION ALL
+           SELECT o_custkey, o_orderkey, CAST(NULL AS DOUBLE), o_totalprice * 0.5
+           FROM orders WHERE o_totalprice > 50000.0
+         ) GROUP BY 1, 2""",
+    "q08_best_match_window" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey DESC) AS INT) AS best_rank,
+         (row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
+          AND o_totalprice > 0.0) AS best_match
+         FROM orders""",
+    "q09_topn_per_group" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                  CAST(row_number() OVER (PARTITION BY l_suppkey
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rn
+           FROM lineitem) WHERE rn <= 3""",
+    "q10_rank_diff_features" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+         CAST(row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY l_extendedprice DESC, l_linenumber) AS INT) AS score_rank,
+         max(l_extendedprice) OVER (PARTITION BY l_orderkey) - l_extendedprice AS dist_to_max,
+         l_extendedprice - min(l_extendedprice) OVER (PARTITION BY l_orderkey) AS dist_to_min,
+         max(l_extendedprice) OVER (PARTITION BY l_orderkey)
+           - min(l_extendedprice) OVER (PARTITION BY l_orderkey) AS ptp,
+         l_extendedprice - lead(l_extendedprice, 1) OVER (PARTITION BY l_orderkey
+              ORDER BY l_extendedprice DESC, l_linenumber) AS diff_to_next,
+         lag(l_extendedprice, 1) OVER (PARTITION BY l_orderkey
+              ORDER BY l_extendedprice DESC, l_linenumber) - l_extendedprice AS diff_to_prev
+         FROM lineitem""",
+    "q11_sni_pairs" ->
+      """WITH ranked AS (
+           SELECT p_partkey,
+                  row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS r
+           FROM part)
+         SELECT a.p_partkey AS uid, b.p_partkey AS gt_uid,
+                1.0 - abs(a.r - b.r) / 4.0 AS sni_score
+         FROM ranked a JOIN ranked b
+           ON abs(a.r - b.r) <= 3 AND a.r <> b.r""",
+    "q12_account_agg" ->
+      """WITH grouped AS (
+           SELECT l_orderkey AS account, l_suppkey AS gt_uid,
+                  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                  / CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS agg_score
+           FROM lineitem GROUP BY 1, 2)
+         SELECT account, gt_uid, agg_score FROM (
+           SELECT account, gt_uid, agg_score,
+                  row_number() OVER (PARTITION BY account
+                       ORDER BY agg_score DESC, gt_uid) AS rn
+           FROM grouped) WHERE rn = 1""",
+    "q13_dup_uid_check" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY user_id HAVING count(*) > 1""",
+    "q14_events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""")
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.FuzzyMatch
+import graft.preprocess.Preprocessor
+
+/** Text-analysis operators (preprocessing, dedup, token stats, language id,
+  * fingerprinting, string distances) with DuckDB oracles.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables(s, dir, name)
+
+  private val jaroUdf = udf((a: String, b: String) => FuzzyMatch.jaro(a, b))
+
+  /** Language-id heuristic: stopword-hit counts per language, argmax with a
+    * fixed priority order on ties. Pure regexp_count expressions (codegen'd,
+    * SQL-mirrorable) — no UDF.
+    */
+  val langStopwords: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|for|with|on|that)\\b",
+    "es" -> "\\b(el|la|de|que|y|en|los|del|las|por)\\b",
+    "de" -> "\\b(der|die|und|das|von|den|mit|ist|im|ein)\\b",
+    "fr" -> "\\b(le|les|des|et|du|un|une|est|dans|pour)\\b")
+
+  def langIdCols(text: Column): Seq[(String, Column)] =
+    langStopwords.map { case (lang, pat) => s"hits_$lang" -> regexp_count(text, lit(pat)) }
+
+  def langIdExpr(hits: Seq[(String, Column)]): Column = {
+    val best = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("unknown")) { case ((name, c), acc) =>
+      when(c === best && best > 0, lit(name.stripPrefix("hits_"))).otherwise(acc)
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F2-F13 composite: the regex-only preprocessing pipeline
+    "q20_preprocess_names" -> { (s, dir) =>
+      Preprocessor(t(s, dir, "customer"), "preprocess_name", "c_name", "preprocessed")
+        .select("c_custkey", "preprocessed")
+    },
+
+    // exact deduplication: group by full text
+    "q21_dedup_exact" -> { (s, dir) =>
+      t(s, dir, "documents").groupBy("text")
+        .agg(min(col("doc_id")).cast("long").as("canonical_id"),
+             count(lit(1)).cast("long").as("n_copies"))
+    },
+
+    // token counting (whitespace tokenizer)
+    "q22_token_count" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("int").as("n_tokens"),
+        length(col("text")).cast("int").as("n_chars_calc"))
+    },
+
+    // quality scoring: char-class ratios + stopword density
+    "q23_text_quality" -> { (s, dir) =>
+      val text = col("text")
+      val nWords = size(split(trim(text), "\\s+")).cast("int")
+      val nAlpha = length(regexp_replace(text, "[^a-z]", "")).cast("int")
+      val nDigit = length(regexp_replace(text, "[^0-9]", "")).cast("int")
+      val nStop  = regexp_count(text, lit("\\b(the|a|of|and)\\b")).cast("int")
+      t(s, dir, "documents").select(
+        col("doc_id"), nWords.as("n_words"), nAlpha.as("n_alpha"),
+        nDigit.as("n_digits"), nStop.as("stop_hits"),
+        (nAlpha.cast("double") / greatest(nWords, lit(1)).cast("double")).as("avg_word_len"),
+        (nStop.cast("double") / greatest(nWords, lit(1)).cast("double")).as("stop_ratio"))
+    },
+
+    // document fingerprint: md5 of the word-sorted normalized text
+    "q24_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(array_join(array_sort(split(trim(col("text")), "\\s+")), " ")).as("fingerprint"))
+    },
+
+    // N5: levenshtein (built-in) + jaro (Scala kernel) over blocked name pairs
+    "q25_lev_jaro" -> { (s, dir) =>
+      val p = t(s, dir, "part").select("p_partkey", "p_name", "p_brand")
+      val a = p.toDF("uid", "name_a", "brand")
+      val b = p.toDF("gt_uid", "name_b", "brand")
+      a.join(b, "brand").filter(col("uid") < col("gt_uid"))
+        .select(col("uid"), col("gt_uid"),
+                levenshtein(col("name_a"), col("name_b")).cast("int").as("lev"),
+                jaroUdf(col("name_a"), col("name_b")).as("jaro"))
+    },
+
+    // language identification via stopword-hit argmax (no UDF)
+    "q26_lang_id" -> { (s, dir) =>
+      val hits = langIdCols(col("text"))
+      t(s, dir, "documents").select(
+        (col("doc_id") +: hits.map { case (n, c) => c.cast("int").as(n) } :+
+          langIdExpr(hits).as("lang_pred")): _*)
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_preprocess_names" ->
+      """SELECT c_custkey,
+         regexp_replace(trim(lower(regexp_replace(regexp_replace(regexp_replace(
+           coalesce(c_name, ''), '[–—―]', '-', 'g'), '\n|\r', ' ', 'g'),
+           '[[:punct:]+|$=“”¨]', ' ', 'g'))), '\s+', ' ', 'g') AS preprocessed
+         FROM customer""",
+    "q21_dedup_exact" ->
+      """SELECT text, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+         CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY text""",
+    "q22_token_count" ->
+      """SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+         CAST(length(text) AS INT) AS n_chars_calc
+         FROM documents""",
+    "q23_text_quality" ->
+      """SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_words,
+         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INT) AS n_alpha,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digits,
+         CAST(len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS INT) AS stop_hits,
+         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+           / CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS DOUBLE) AS avg_word_len,
+         CAST(len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS DOUBLE)
+           / CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS DOUBLE) AS stop_ratio
+         FROM documents""",
+    "q24_fingerprint" ->
+      """SELECT doc_id,
+         md5(array_to_string(list_sort(regexp_split_to_array(trim(text), '\s+')), ' ')) AS fingerprint
+         FROM documents""",
+    "q25_lev_jaro" ->
+      """SELECT a.p_partkey AS uid, b.p_partkey AS gt_uid,
+         CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
+         jaro_similarity(a.p_name, b.p_name) AS jaro
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey""",
+    "q26_lang_id" ->
+      """WITH h AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|is|for|with|on|that)\b')) AS INT) AS hits_en,
+             CAST(len(regexp_extract_all(text, '\b(el|la|de|que|y|en|los|del|las|por)\b')) AS INT) AS hits_es,
+             CAST(len(regexp_extract_all(text, '\b(der|die|und|das|von|den|mit|ist|im|ein)\b')) AS INT) AS hits_de,
+             CAST(len(regexp_extract_all(text, '\b(le|les|des|et|du|un|une|est|dans|pour)\b')) AS INT) AS hits_fr
+           FROM documents)
+         SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+           CASE
+             WHEN hits_en >= greatest(hits_en, hits_es, hits_de, hits_fr)
+                  AND greatest(hits_en, hits_es, hits_de, hits_fr) > 0 THEN 'en'
+             WHEN hits_es >= greatest(hits_en, hits_es, hits_de, hits_fr)
+                  AND greatest(hits_en, hits_es, hits_de, hits_fr) > 0 THEN 'es'
+             WHEN hits_de >= greatest(hits_en, hits_es, hits_de, hits_fr)
+                  AND greatest(hits_en, hits_es, hits_de, hits_fr) > 0 THEN 'de'
+             WHEN hits_fr >= greatest(hits_en, hits_es, hits_de, hits_fr)
+                  AND greatest(hits_en, hits_es, hits_de, hits_fr) > 0 THEN 'fr'
+             ELSE 'unknown'
+           END AS lang_pred
+         FROM h""")
+}
