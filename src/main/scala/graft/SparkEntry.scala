@@ -8,18 +8,20 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    queries("q11_sni_pairs")(spark, dir)
+    queries("q33_candidate_selection")(spark, dir)
   }
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
-    graft.queries.TextQueries.queries
+    graft.queries.TextQueries.queries ++
+    graft.queries.MatchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
-    graft.queries.TextQueries.oracleSql
+    graft.queries.TextQueries.oracleSql ++
+    graft.queries.MatchQueries.oracleSql
 }

@@ -1,0 +1,225 @@
+package graft.idx
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.ml.linalg.{SparseVector, Vector}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Cols
+
+/** Ground truth packed as an inverted index: for each term, the postings list
+  * of (gt row, normalized weight). CSC layout over primitive arrays.
+  */
+final case class PackedGt(
+    indptr: Array[Int],    // size nTerms+1
+    indices: Array[Int],   // gt row positions, size nnz
+    data: Array[Double],   // normalized weights, size nnz
+    gtUids: Array[Long]) { // row position -> gt uid
+  def nTerms: Int = indptr.length - 1
+  def nRows: Int  = gtUids.length
+}
+
+object PackedGt {
+  /** Build from collected (gtUid, features) rows; zero weights dropped so the
+    * kernel's "first touch" bookkeeping stays exact.
+    */
+  def build(rows: Array[(Long, SparseVector)], nTerms: Int): PackedGt = {
+    val sorted = rows.sortBy(_._1)
+    val counts = new Array[Int](nTerms)
+    sorted.foreach { case (_, v) =>
+      var i = 0
+      while (i < v.indices.length) {
+        if (v.values(i) != 0.0) counts(v.indices(i)) += 1
+        i += 1
+      }
+    }
+    val indptr = new Array[Int](nTerms + 1)
+    var t = 0
+    while (t < nTerms) { indptr(t + 1) = indptr(t) + counts(t); t += 1 }
+    val nnz     = indptr(nTerms)
+    val indices = new Array[Int](nnz)
+    val data    = new Array[Double](nnz)
+    val fill    = new Array[Int](nTerms)
+    val gtUids  = new Array[Long](sorted.length)
+    var g = 0
+    while (g < sorted.length) {
+      val (uid, v) = sorted(g)
+      gtUids(g) = uid
+      var i = 0
+      while (i < v.indices.length) {
+        if (v.values(i) != 0.0) {
+          val term = v.indices(i)
+          val pos  = indptr(term) + fill(term)
+          indices(pos) = g
+          data(pos)    = v.values(i)
+          fill(term) += 1
+        }
+        i += 1
+      }
+      g += 1
+    }
+    PackedGt(indptr, indices, data, gtUids)
+  }
+}
+
+/** Cosine-similarity top-k indexer — the core candidate-generation operator.
+  *
+  * Re-expresses the reference's broadcast top-k similarity join
+  * (/root/reference/emm/indexing/spark_cos_sim_matcher.py:601-719 with the
+  * `awesome_cossim_topn` C++ kernel at :295-415): the TF-IDF-vectorized ground
+  * truth is collected once, packed into a primitive-array inverted index,
+  * broadcast to all executors, and every partition of names streams through a
+  * Scala kernel that accumulates per-GT dot products term-by-term and keeps
+  * the top-k above a lower bound. No shuffle of the GT side, no N×M join:
+  * cost is O(sum of postings touched), the same asymptotics as the reference.
+  *
+  * Scale notes (100 TB design): the names side stays fully distributed and
+  * never shuffles — candidate generation is map-only. The GT side must fit on
+  * executors like the reference's design point (10M names ≈ a few GB packed);
+  * beyond that, `blockingFunc` splits the GT into per-key sub-indexes and the
+  * kernel only scores the matching block.
+  *
+  * Scores are rounded to `scorePrecision` decimals (HALF_UP, same as Spark's
+  * `round`) before ranking so that ordering and thresholding are stable across
+  * engines and summation orders.
+  */
+final class CosSimIndexer(
+    val tokenizer: String = "words",
+    val ngram: Int = 1,
+    val binary: Boolean = true,
+    val numCandidates: Int = 10,
+    val lowerBound: Double = 0.5,
+    val vocabSize: Int = 1 << 25,
+    val blockingFunc: Option[String] = None, // e.g. "first", "first2", "first3"
+    val scorePrecision: Int = 9,
+    val uidCol: String = Cols.Uid,
+    val gtUidCol: String = Cols.GtUid,
+    val inputCol: String = Cols.Preprocessed) extends NameIndexer with Serializable {
+
+  private[idx] def blockCol(df: DataFrame): DataFrame = blockingFunc match {
+    case None => df.withColumn("block", lit(""))
+    case Some(f) =>
+      val k = f match {
+        case "first"  => 1
+        case "first2" => 2
+        case "first3" => 3
+        case other    => throw new IllegalArgumentException(s"unknown blocking func: $other")
+      }
+      df.withColumn("block", lower(substring(trim(col(inputCol)), 1, k)))
+  }
+
+  def fit(gt: DataFrame): CosSimIndexerModel = {
+    val vec   = new TfidfVectorizer(tokenizer, ngram, binary, vocabSize, inputCol)
+    val model = vec.fit(gt)
+    val gtVec = blockCol(model.transform(gt))
+      .select(col(uidCol).cast("long"), col("features"), col("block"))
+    // executor -> driver boundary: collect the (small relative to names) GT
+    // matrix once, like the reference (spark_cos_sim_matcher.py:690-714)
+    val nTerms = model.vocabularySize
+    val collected = gtVec.collect().map { r =>
+      (r.getString(2), (r.getLong(0), r.get(1).asInstanceOf[Vector] match {
+        case s: SparseVector => s
+        case d               => d.toSparse
+      }))
+    }
+    val packed: Map[String, PackedGt] =
+      collected.groupBy(_._1).map { case (b, rows) => b -> PackedGt.build(rows.map(_._2), nTerms) }
+    val bc = gt.sparkSession.sparkContext.broadcast(packed)
+    new CosSimIndexerModel(this, model, bc)
+  }
+}
+
+final class CosSimIndexerModel(
+    val indexer: CosSimIndexer,
+    val tfidf: TfidfModel,
+    val gtBc: Broadcast[Map[String, PackedGt]]) extends NameIndexerModel {
+
+  private val outSchema = StructType(Seq(
+    StructField(indexer.uidCol, LongType, nullable = false),
+    StructField(indexer.gtUidCol, LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+    StructField("rank", IntegerType, nullable = false)))
+
+  /** names(uid, preprocessed) -> (uid, gt_uid, score, rank), top-k per uid. */
+  def transform(names: DataFrame): DataFrame = {
+    val vecd = indexer.blockCol _
+    val withFeatures = vecd(tfidf.transform(names))
+      .select(col(indexer.uidCol).cast("long"), col("features"), col("block"))
+
+    val bc    = gtBc
+    val k     = indexer.numCandidates
+    val lb    = indexer.lowerBound
+    val prec  = indexer.scorePrecision
+    val spark = names.sparkSession
+
+    val rdd = withFeatures.rdd.mapPartitions { it =>
+      // per-block scratch accumulator reused across rows
+      val scratch = scala.collection.mutable.Map.empty[String, Array[Double]]
+      var touched = new Array[Int](1024)
+      it.flatMap { r =>
+        val uid   = r.getLong(0)
+        val vec   = r.get(1).asInstanceOf[Vector]
+        val block = r.getString(2)
+        bc.value.get(block) match {
+          case None => Iterator.empty
+          case Some(gt) =>
+            val scores = scratch.getOrElseUpdate(block, new Array[Double](gt.nRows))
+            var nTouched = 0
+            val sv = vec match { case s: SparseVector => s; case d => d.toSparse }
+            var i = 0
+            while (i < sv.indices.length) {
+              val t = sv.indices(i)
+              val q = sv.values(i)
+              if (q != 0.0 && t < gt.nTerms) {
+                var p = gt.indptr(t)
+                val end = gt.indptr(t + 1)
+                while (p < end) {
+                  val g = gt.indices(p)
+                  if (scores(g) == 0.0) {
+                    if (nTouched == touched.length) touched = java.util.Arrays.copyOf(touched, nTouched * 2)
+                    touched(nTouched) = g
+                    nTouched += 1
+                  }
+                  scores(g) += q * gt.data(p)
+                  p += 1
+                }
+              }
+              i += 1
+            }
+            // round + threshold + top-k selection (small k: insertion into sorted buffer)
+            val bestScore = new Array[Double](k)
+            val bestG     = new Array[Int](k)
+            var nBest     = 0
+            var j = 0
+            while (j < nTouched) {
+              val g = touched(j)
+              val s = BigDecimal(scores(g)).setScale(prec, BigDecimal.RoundingMode.HALF_UP).toDouble
+              scores(g) = 0.0 // reset for next row
+              if (s >= lb) {
+                // find insert position among current best (score desc, gtUid asc)
+                var pos = nBest
+                while (pos > 0 && {
+                  val ps = bestScore(pos - 1)
+                  ps < s || (ps == s && gt.gtUids(bestG(pos - 1)) > gt.gtUids(g))
+                }) pos -= 1
+                if (pos < k) {
+                  val last = math.min(nBest, k - 1)
+                  var m = last
+                  while (m > pos) { bestScore(m) = bestScore(m - 1); bestG(m) = bestG(m - 1); m -= 1 }
+                  bestScore(pos) = s
+                  bestG(pos) = g
+                  if (nBest < k) nBest += 1
+                }
+              }
+              j += 1
+            }
+            (0 until nBest).iterator.map { idx =>
+              Row(uid, gt.gtUids(bestG(idx)), bestScore(idx), idx + 1)
+            }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

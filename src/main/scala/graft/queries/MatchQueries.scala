@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Cols
+import graft.idx.{CandidateSelection, CosSimIndexer, SniIndexer}
+
+/** Entity-matching indexer operators (the engine's core), each with a fully
+  * relational DuckDB oracle: TF-IDF cosine top-k re-derived in SQL from
+  * unnested tokens, document frequencies and pair dot products. Scores are
+  * rounded to 9 decimals on both sides before ranking/thresholding so float
+  * summation order can't flip candidate sets.
+  */
+object MatchQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables(s, dir, name)
+
+  private def gtParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey").cast("long").as(Cols.Uid),
+      col("p_name").as(Cols.Name),
+      col("p_name").as(Cols.Preprocessed),
+      col("p_brand").as(Cols.EntityId))
+
+  private def nmParts(s: SparkSession, dir: String): DataFrame =
+    gtParts(s, dir).filter(col(Cols.Uid) < 100)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1: broadcast top-k TF-IDF cosine similarity join (word 1-gram, binary)
+    "q30_cossim_word_topk" -> { (s, dir) =>
+      val idx = new CosSimIndexer(tokenizer = "words", ngram = 1, binary = true,
+        numCandidates = 3, lowerBound = 0.5)
+      idx.fit(gtParts(s, dir)).transform(nmParts(s, dir))
+        .select(col(Cols.Uid), col(Cols.GtUid),
+                col("score").as("cos_score"), col("rank"))
+    },
+
+    // J2: blocked variant — per-first-char GT sub-indexes, global idf/norms
+    "q31_cossim_blocked" -> { (s, dir) =>
+      val idx = new CosSimIndexer(tokenizer = "words", ngram = 1, binary = true,
+        numCandidates = 3, lowerBound = 0.5, blockingFunc = Some("first"))
+      idx.fit(gtParts(s, dir)).transform(nmParts(s, dir))
+        .select(col(Cols.Uid), col(Cols.GtUid),
+                col("score").as("cos_score"), col("rank"))
+    },
+
+    // J3: sorted-neighbourhood indexing over the distinct sorted name list
+    "q32_sni_window" -> { (s, dir) =>
+      val idx = new SniIndexer(window = 2, maxGtPerName = 10)
+      idx.fit(gtParts(s, dir)).transform(nmParts(s, dir))
+        .select(col(Cols.Uid), col(Cols.GtUid),
+                col("score").as("sni_score"), col("rank").as("sni_rank"))
+    },
+
+    // full candidate selection: cossim + SNI, merged, GT info, no-match keep
+    "q33_candidate_selection" -> { (s, dir) =>
+      val cs = new CandidateSelection(Seq(
+        new CosSimIndexer(tokenizer = "words", ngram = 1, binary = true,
+          numCandidates = 3, lowerBound = 0.5),
+        new SniIndexer(window = 2, maxGtPerName = 10)))
+      cs.fit(gtParts(s, dir)).transform(nmParts(s, dir))
+        .select(Cols.Uid, Cols.Name, Cols.GtUid,
+                Cols.score(0), Cols.rank(0), Cols.score(1), Cols.rank(1),
+                Cols.gt(Cols.EntityId), Cols.gt(Cols.Name))
+    })
+
+  /** Shared SQL pieces: word 1-gram binary TF-IDF over GT = part,
+    * names = part with partkey < 100.
+    */
+  private val tfidfCtes =
+    """gt AS (SELECT p_partkey AS gt_uid, p_name, p_brand FROM part),
+       nm AS (SELECT p_partkey AS uid, p_name FROM part WHERE p_partkey < 100),
+       gt_tok AS (SELECT gt_uid, unnest(list_distinct(string_split(p_name, ' '))) AS tok FROM gt),
+       dfreq AS (SELECT tok, count(*) AS df FROM gt_tok GROUP BY tok),
+       total AS (SELECT count(*) AS n FROM gt),
+       idf AS (SELECT tok, ln((n + 1.0) / (df + 1.0)) AS idf FROM dfreq, total),
+       gt_w AS (SELECT gt_uid, tok, idf FROM gt_tok JOIN idf USING (tok)),
+       gt_norm AS (SELECT gt_uid, sqrt(sum(idf * idf)) AS nrm FROM gt_w GROUP BY gt_uid),
+       nm_tok AS (SELECT uid, unnest(list_distinct(string_split(p_name, ' '))) AS tok FROM nm),
+       nm_w AS (SELECT uid, tok, idf FROM nm_tok JOIN idf USING (tok)),
+       nm_norm AS (SELECT uid, sqrt(sum(idf * idf)) AS nrm FROM nm_w GROUP BY uid)"""
+
+  private def cossimSql(blocked: Boolean): String = {
+    val blockPred =
+      if (blocked)
+        """ AND EXISTS (SELECT 1 FROM nm x, gt y
+             WHERE x.uid = d.uid AND y.gt_uid = d.gt_uid
+               AND substr(x.p_name, 1, 1) = substr(y.p_name, 1, 1))"""
+      else ""
+    s"""WITH $tfidfCtes,
+        dots AS (SELECT uid, gt_uid, sum(a.idf * b.idf) AS dot
+                 FROM nm_w a JOIN gt_w b USING (tok) GROUP BY uid, gt_uid),
+        scored AS (
+          SELECT d.uid, d.gt_uid,
+                 round(d.dot / (nn.nrm * gn.nrm), 9) AS cos_score
+          FROM dots d JOIN nm_norm nn ON d.uid = nn.uid
+                      JOIN gt_norm gn ON d.gt_uid = gn.gt_uid
+          WHERE 1 = 1$blockPred),
+        ranked AS (
+          SELECT uid, gt_uid, cos_score,
+                 CAST(row_number() OVER (PARTITION BY uid
+                      ORDER BY cos_score DESC, gt_uid) AS INT) AS rank
+          FROM scored)
+        SELECT uid, gt_uid, cos_score, rank
+        FROM ranked WHERE cos_score >= 0.5 AND rank <= 3"""
+  }
+
+  private val sniSql =
+    """WITH gt0 AS (SELECT p_partkey AS gt_uid, p_name FROM part),
+        gt AS (SELECT gt_uid, p_name FROM (
+                 SELECT gt_uid, p_name,
+                        row_number() OVER (PARTITION BY p_name ORDER BY gt_uid) AS rn
+                 FROM gt0) WHERE rn <= 10),
+        nm AS (SELECT p_partkey AS uid, p_name FROM part WHERE p_partkey < 100),
+        all_names AS (SELECT DISTINCT p_name FROM (
+          SELECT p_name FROM gt UNION ALL SELECT p_name FROM nm)),
+        ranked AS (SELECT p_name, row_number() OVER (ORDER BY p_name) - 1 AS r
+                   FROM all_names),
+        gtr AS (SELECT gt_uid, r AS gt_r FROM gt JOIN ranked USING (p_name)),
+        nmr AS (SELECT uid, r FROM nm JOIN ranked USING (p_name))
+        SELECT uid, gt_uid,
+               1.0 - abs(nmr.r - gtr.gt_r) / 3.0 AS sni_score,
+               CAST(abs(nmr.r - gtr.gt_r) AS INT) AS sni_rank
+        FROM nmr JOIN gtr ON abs(nmr.r - gtr.gt_r) <= 2"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_cossim_word_topk" -> cossimSql(blocked = false),
+    "q31_cossim_blocked"   -> cossimSql(blocked = true),
+    "q32_sni_window"       -> sniSql,
+    "q33_candidate_selection" ->
+      s"""WITH $tfidfCtes,
+          dots AS (SELECT uid, gt_uid, sum(a.idf * b.idf) AS dot
+                   FROM nm_w a JOIN gt_w b USING (tok) GROUP BY uid, gt_uid),
+          cossim AS (
+            SELECT uid, gt_uid, cos_score AS score_0, rank AS rank_0 FROM (
+              SELECT d.uid, d.gt_uid,
+                     round(d.dot / (nn.nrm * gn.nrm), 9) AS cos_score,
+                     CAST(row_number() OVER (PARTITION BY d.uid
+                          ORDER BY round(d.dot / (nn.nrm * gn.nrm), 9) DESC, d.gt_uid) AS INT) AS rank
+              FROM dots d JOIN nm_norm nn ON d.uid = nn.uid
+                          JOIN gt_norm gn ON d.gt_uid = gn.gt_uid)
+            WHERE cos_score >= 0.5 AND rank <= 3),
+          sni_gt AS (SELECT gt_uid, p_name FROM (
+                 SELECT gt_uid, p_name,
+                        row_number() OVER (PARTITION BY p_name ORDER BY gt_uid) AS rn
+                 FROM gt) WHERE rn <= 10),
+          all_names AS (SELECT DISTINCT p_name FROM (
+            SELECT p_name FROM sni_gt UNION ALL SELECT p_name FROM nm)),
+          rankedn AS (SELECT p_name, row_number() OVER (ORDER BY p_name) - 1 AS r
+                      FROM all_names),
+          gtr AS (SELECT gt_uid, r AS gt_r FROM sni_gt JOIN rankedn USING (p_name)),
+          nmr AS (SELECT uid, r FROM nm JOIN rankedn USING (p_name)),
+          sni AS (SELECT uid, gt_uid,
+                         1.0 - abs(nmr.r - gtr.gt_r) / 3.0 AS score_1,
+                         CAST(abs(nmr.r - gtr.gt_r) AS INT) AS rank_1
+                  FROM nmr JOIN gtr ON abs(nmr.r - gtr.gt_r) <= 2),
+          merged AS (
+            SELECT uid, gt_uid, max(score_0) AS score_0, max(rank_0) AS rank_0,
+                   max(score_1) AS score_1, max(rank_1) AS rank_1
+            FROM (
+              SELECT uid, gt_uid, score_0, rank_0,
+                     CAST(NULL AS DOUBLE) AS score_1, CAST(NULL AS INT) AS rank_1 FROM cossim
+              UNION ALL
+              SELECT uid, gt_uid, CAST(NULL AS DOUBLE), CAST(NULL AS INT), score_1, rank_1 FROM sni)
+            GROUP BY uid, gt_uid),
+          cands AS (
+            SELECT m.*, g.p_brand AS gt_entity_id, g.p_name AS gt_name
+            FROM merged m JOIN gt g USING (gt_uid))
+          SELECT nm.uid, nm.p_name AS name, c.gt_uid,
+                 c.score_0, c.rank_0, c.score_1, c.rank_1,
+                 c.gt_entity_id, c.gt_name
+          FROM nm LEFT JOIN cands c ON nm.uid = c.uid""")
+}
