@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.agg.EntityAggregation
+import graft.idx.{CandidateSelection, CandidateSelectionModel, CosSimIndexer, NameIndexer, SniIndexer}
+import graft.ml.{SupervisedLayer, SupervisedModel}
+import graft.preprocess.Preprocessor
+
+/** User-facing entity-matching facade, mirroring the reference pipeline
+  * (/root/reference/emm/pipeline/spark_entity_matching.py:56-560):
+  * preprocess -> candidate selection -> optional supervised scoring ->
+  * optional account aggregation.
+  *
+  * Column mapping: user columns are renamed to the internal vocabulary at the
+  * API edge (emm/helper/util.py:34-60); a uid is generated (and frozen with a
+  * localCheckpoint, like spark_utils.py:115-141) when absent.
+  */
+final case class EmParams(
+    preprocessPipeline: String = "preprocess_merge_abbr",
+    nameCol: String = "name",
+    entityIdCol: String = "entity_id",
+    uidCol: String = "uid",
+    accountCol: String = "account",
+    freqCol: String = "counterparty_account_count_distinct",
+    carryOnCols: Seq[String] = Nil,
+    withNoMatches: Boolean = true,
+    supervisedOn: Boolean = false,
+    aggregationMethod: Option[String] = None)
+
+object EntityMatching {
+
+  /** Default indexer set, mirroring emm/parameters.py:34-47: word 1-gram
+    * cossim top-10; char 2-gram cossim top-10 with first-char blocking;
+    * SNI window 3.
+    */
+  def defaultIndexers: Seq[NameIndexer] = Seq(
+    new CosSimIndexer(tokenizer = "words", ngram = 1, binary = true,
+      numCandidates = 10, lowerBound = 0.2),
+    new CosSimIndexer(tokenizer = "characters", ngram = 2, binary = false,
+      numCandidates = 10, lowerBound = 0.2, blockingFunc = Some("first")),
+    new SniIndexer(window = 3))
+
+  def apply(params: EmParams = EmParams(),
+            indexers: Seq[NameIndexer] = defaultIndexers): EntityMatcher =
+    new EntityMatcher(params, indexers)
+}
+
+final class EntityMatcher(val params: EmParams, val indexers: Seq[NameIndexer]) {
+
+  /** Rename user columns to the internal vocabulary, add uid if missing,
+    * add `preprocessed`.
+    */
+  private[graft] def normalize(raw: DataFrame): DataFrame = {
+    var df = raw
+    if (params.nameCol != Cols.Name) df = df.withColumnRenamed(params.nameCol, Cols.Name)
+    if (df.columns.contains(params.entityIdCol) && params.entityIdCol != Cols.EntityId)
+      df = df.withColumnRenamed(params.entityIdCol, Cols.EntityId)
+    if (df.columns.contains(params.uidCol) && params.uidCol != Cols.Uid)
+      df = df.withColumnRenamed(params.uidCol, Cols.Uid)
+    if (!df.columns.contains(Cols.Uid))
+      // monotonically_increasing_id is plan-dependent; freeze it
+      df = df.withColumn(Cols.Uid, monotonically_increasing_id()).localCheckpoint()
+    Preprocessor(df, params.preprocessPipeline, Cols.Name, Cols.Preprocessed)
+  }
+
+  def fit(groundTruth: DataFrame): EntityMatchingModel = {
+    val gt = normalize(groundTruth)
+    val cs = new CandidateSelection(indexers, params.carryOnCols, params.withNoMatches).fit(gt)
+    new EntityMatchingModel(this, gt, cs)
+  }
+}
+
+final class EntityMatchingModel(
+    val matcher: EntityMatcher,
+    val gt: DataFrame,
+    val candidateModel: CandidateSelectionModel,
+    var supervised: Option[SupervisedModel] = None) {
+
+  private def params = matcher.params
+
+  /** Full match query: names -> candidates [-> nm_score/best_match]
+    * [-> account aggregation].
+    */
+  def transform(namesRaw: DataFrame, topN: Int = -1): DataFrame = {
+    val names = matcher.normalize(namesRaw)
+    val cands = candidateModel.transform(names)
+    val scored = supervised match {
+      case Some(m) => m.transform(cands)
+      case None    => cands
+    }
+    val limited =
+      if (topN > 0 && scored.columns.contains(Cols.BestRank))
+        scored.filter(col(Cols.BestRank) <= topN && col(Cols.GtUid).isNotNull)
+      else scored
+    params.aggregationMethod match {
+      case Some(method) if limited.columns.contains(params.accountCol) =>
+        EntityAggregation.aggregate(limited, method,
+          params.accountCol, params.freqCol,
+          if (limited.columns.contains(Cols.NmScore)) Cols.NmScore else Cols.score(0))
+      case _ => limited
+    }
+  }
+
+  /** Train the supervised layer from positive names-to-match that carry an
+    * entity_id: candidates are labeled correct = (entity_id == gt_entity_id)
+    * (emm/data/prepare_name_pairs.py:96). Stays fully distributed, unlike the
+    * reference's driver-side pandas hop.
+    */
+  def fitClassifier(trainNames: DataFrame): this.type = {
+    val names = matcher.normalize(trainNames)
+    val cands = candidateModel.transform(names)
+      .filter(col(Cols.GtUid).isNotNull)
+      .withColumn("correct", col(Cols.EntityId) === col(Cols.gt(Cols.EntityId)))
+    val scoreCols = candidateModel.models.indices.map(Cols.score)
+    val layer = new SupervisedLayer(scoreCols)
+    supervised = Some(layer.fit(cands))
+    this
+  }
+}

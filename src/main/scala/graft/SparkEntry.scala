@@ -15,7 +15,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
     graft.queries.TextQueries.queries ++
-    graft.queries.MatchQueries.queries
+    graft.queries.MatchQueries.queries ++
+    graft.queries.FeatureQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -23,5 +24,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
     graft.queries.TextQueries.oracleSql ++
-    graft.queries.MatchQueries.oracleSql
+    graft.queries.MatchQueries.oracleSql ++
+    graft.queries.FeatureQueries.oracleSql
 }

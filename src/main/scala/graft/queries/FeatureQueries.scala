@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Cols
+import graft.agg.EntityAggregation
+import graft.features.PairFeatures
+import graft.idx.CosSimIndexer
+
+/** Pair-feature extraction, best-match window, and account aggregation
+  * operators with DuckDB oracles.
+  */
+object FeatureQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables(s, dir, name)
+
+  /** Blocked name-pair set used for the pair-feature oracles: parts of the
+    * same brand, left key < 100 to bound the pair count.
+    */
+  private def pairSet(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select("p_partkey", "p_name", "p_brand")
+    val a = p.toDF(Cols.Uid, Cols.Preprocessed, "brand").filter(col(Cols.Uid) < 100)
+    val b = p.toDF(Cols.GtUid, Cols.GtPreprocessed, "brand")
+    a.join(b, "brand").filter(col(Cols.Uid) =!= col(Cols.GtUid))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // N2/N4/N5/N6: SQL-expressible pair features (the UDF-based fuzzy ratios
+    // are exercised in unit tests; jaro has an exact DuckDB counterpart)
+    "q34_pair_features" -> { (s, dir) =>
+      PairFeatures.withStringFeatures(pairSet(s, dir))
+        .select(Cols.Uid, Cols.GtUid, "abs_len_diff", "len_ratio", "name_cut",
+                "norm_ed", "norm_jaro", "n_overlap_words", "num_word_difference",
+                "ratio_overlap_words")
+    },
+
+    // W1+P3: nm_score best-match ranking + top-n filter over cossim candidates
+    "q35_best_match_topn" -> { (s, dir) =>
+      val gt = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as(Cols.Uid), col("p_name").as(Cols.Preprocessed))
+      val nm  = gt.filter(col(Cols.Uid) < 100)
+      val idx = new CosSimIndexer(tokenizer = "words", ngram = 1, binary = true,
+        numCandidates = 3, lowerBound = 0.5)
+      val cands = idx.fit(gt).transform(nm)
+      val w = Window.partitionBy(Cols.Uid).orderBy(col("score").desc, col(Cols.GtUid).desc)
+      cands.withColumn(Cols.BestRank, row_number().over(w))
+        .withColumn(Cols.BestMatch, col(Cols.BestRank) === 1 && col("score") > 0.0)
+        .filter(col(Cols.BestRank) <= 2)
+        .select(Cols.Uid, Cols.GtUid, "score", Cols.BestRank, Cols.BestMatch)
+    },
+
+    // A5: max_frequency_nm_score account aggregation (module path)
+    "q36_agg_max_frequency" -> { (s, dir) =>
+      val scored = t(s, dir, "lineitem").select(
+        col("l_orderkey").as(Cols.Account),
+        col("l_suppkey").cast("long").as(Cols.GtUid),
+        col("l_quantity").as(Cols.Freq),
+        (lit(1.0) - col("l_discount")).as(Cols.NmScore),
+        lit("name").as(Cols.Preprocessed))
+      EntityAggregation.aggregate(scored, "max_frequency_nm_score")
+        .select(Cols.Account, Cols.GtUid, Cols.AggScore)
+    },
+
+    // A6: mean_score account aggregation (module path)
+    "q37_agg_mean_score" -> { (s, dir) =>
+      val scored = t(s, dir, "lineitem").select(
+        col("l_orderkey").as(Cols.Account),
+        col("l_suppkey").cast("long").as(Cols.GtUid),
+        lit(1L).as(Cols.Freq),
+        (col("l_extendedprice") * 0.00001).as(Cols.NmScore),
+        lit("name").as(Cols.Preprocessed))
+      EntityAggregation.aggregate(scored, "mean_score")
+        .select(Cols.Account, Cols.GtUid, Cols.AggScore)
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q34_pair_features" ->
+      """WITH a AS (SELECT p_partkey AS uid, p_name AS nm, p_brand FROM part WHERE p_partkey < 100),
+         b AS (SELECT p_partkey AS gt_uid, p_name AS gnm, p_brand FROM part)
+         SELECT uid, gt_uid,
+           CAST(abs(length(nm) - length(gnm)) AS INT) AS abs_len_diff,
+           CAST(least(length(nm), length(gnm)) AS DOUBLE)
+             / CAST(greatest(greatest(length(nm), length(gnm)), 1) AS DOUBLE) AS len_ratio,
+           CAST(starts_with(nm, gnm) OR starts_with(gnm, nm) AS INT) AS name_cut,
+           1.0 - CAST(levenshtein(nm, gnm) AS DOUBLE)
+             / CAST(greatest(greatest(length(nm), length(gnm)), 1) AS DOUBLE) AS norm_ed,
+           jaro_similarity(nm, gnm) AS norm_jaro,
+           CAST(len(list_distinct(list_intersect(string_split(nm, ' '), string_split(gnm, ' ')))) AS INT) AS n_overlap_words,
+           CAST(abs(len(string_split(nm, ' ')) - len(string_split(gnm, ' '))) AS INT) AS num_word_difference,
+           CAST(len(list_distinct(list_intersect(string_split(nm, ' '), string_split(gnm, ' ')))) AS DOUBLE)
+             / CAST(greatest(len(list_distinct(list_concat(string_split(nm, ' '), string_split(gnm, ' ')))), 1) AS DOUBLE) AS ratio_overlap_words
+         FROM a JOIN b USING (p_brand) WHERE uid <> gt_uid""",
+    "q35_best_match_topn" -> {
+      val cossim = MatchQueries.oracleSql("q30_cossim_word_topk")
+      s"""WITH cands AS ($cossim)
+          SELECT uid, gt_uid, cos_score AS score, best_rank,
+                 (best_rank = 1 AND cos_score > 0.0) AS best_match
+          FROM (
+            SELECT uid, gt_uid, cos_score,
+                   CAST(row_number() OVER (PARTITION BY uid
+                        ORDER BY cos_score DESC, gt_uid DESC) AS INT) AS best_rank
+            FROM cands)
+          WHERE best_rank <= 2"""
+    },
+    "q36_agg_max_frequency" ->
+      """WITH weighted AS (
+           SELECT l_orderkey AS account, l_suppkey AS gt_uid,
+                  sum(CAST(l_quantity * (1.0 - l_discount) AS DECIMAL(38,12))) AS w_score,
+                  sum(CAST(l_quantity AS DECIMAL(38,12))) AS w_freq
+           FROM lineitem GROUP BY 1, 2),
+         scored AS (
+           SELECT account, gt_uid,
+                  CAST(w_score AS DOUBLE)
+                    / CAST(sum(w_freq) OVER (PARTITION BY account) AS DOUBLE) AS agg_score
+           FROM weighted)
+         SELECT account, gt_uid, agg_score FROM (
+           SELECT account, gt_uid, agg_score,
+                  row_number() OVER (PARTITION BY account
+                       ORDER BY agg_score DESC, gt_uid) AS rn
+           FROM scored) WHERE rn = 1""",
+    "q37_agg_mean_score" ->
+      """WITH scored AS (
+           SELECT l_orderkey AS account, l_suppkey AS gt_uid,
+                  CAST(sum(CAST(l_extendedprice * 0.00001 AS DECIMAL(38,12))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS agg_score
+           FROM lineitem GROUP BY 1, 2)
+         SELECT account, gt_uid, agg_score FROM (
+           SELECT account, gt_uid, agg_score,
+                  row_number() OVER (PARTITION BY account
+                       ORDER BY agg_score DESC, gt_uid) AS rn
+           FROM scored) WHERE rn = 1""")
+}

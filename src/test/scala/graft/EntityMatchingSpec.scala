@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline tests on the sf0.001 part table: fit -> transform ->
+  * fitClassifier -> supervised transform -> aggregation.
+  */
+class EntityMatchingSpec extends SparkSpec {
+
+  private lazy val parts = spark.read.parquet(s"$sf/part.parquet")
+    .select(col("p_partkey").as("id"), col("p_name").as("company"),
+            col("p_brand").as("brand"))
+
+  private lazy val matcher = EntityMatching(
+    EmParams(nameCol = "company", entityIdCol = "brand", uidCol = "id"),
+    indexers = Seq(
+      new graft.idx.CosSimIndexer(numCandidates = 3, lowerBound = 0.2),
+      new graft.idx.SniIndexer(window = 2)))
+
+  private lazy val model = matcher.fit(parts)
+
+  test("candidate generation finds exact self-matches with score 1") {
+    val out = model.transform(parts.limit(20))
+    assert(out.filter(col(Cols.GtUid) === col(Cols.Uid) && col(Cols.score(0)) === 1.0).count() == 20)
+    assert(out.columns.contains(Cols.gt(Cols.EntityId)))
+  }
+
+  test("supervised layer scores candidates and marks one best match per uid") {
+    model.fitClassifier(parts.limit(100))
+    val out = model.transform(parts.limit(30))
+    assert(out.columns.contains(Cols.NmScore))
+    val best = out.filter(col(Cols.BestMatch))
+    assert(best.count() == 30) // every name matches itself -> one best each
+    // best match of a name should be a gt row with the same name
+    val joined = best.filter(col("preprocessed") === col(Cols.gt(Cols.Preprocessed)))
+    assert(joined.count() >= 28) // allow rare ties between identical names
+  }
+
+  test("aggregation picks one gt per account") {
+    val scored = model.transform(parts.limit(50))
+      .filter(col(Cols.GtUid).isNotNull)
+      .withColumn(Cols.Account, (col(Cols.Uid) % 5).cast("string"))
+      .withColumn(Cols.Freq, lit(1L))
+      .withColumn(Cols.NmScore, col(Cols.score(0)))
+    val agg = graft.agg.EntityAggregation.aggregate(scored)
+    assert(agg.count() == 5)
+    assert(agg.columns.contains(Cols.AggScore))
+  }
+}
