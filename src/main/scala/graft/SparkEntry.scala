@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
     graft.queries.TextQueries.queries ++
     graft.queries.MatchQueries.queries ++
-    graft.queries.FeatureQueries.queries
+    graft.queries.FeatureQueries.queries ++
+    graft.queries.DataQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -25,5 +26,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracleSql ++
     graft.queries.TextQueries.oracleSql ++
     graft.queries.MatchQueries.oracleSql ++
-    graft.queries.FeatureQueries.oracleSql
+    graft.queries.FeatureQueries.oracleSql ++
+    graft.queries.DataQueries.oracleSql
 }

@@ -1,0 +1,148 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate/exact nearest-neighbour search over an embedding column
+  * (`array<float>`), for embedding-based dedup and similarity search.
+  *
+  * Brute-force path: the target set is collected and broadcast as one packed
+  * primitive float array (row-major), queries stream through a map-only
+  * partition kernel computing cosine top-k — the same broadcast-join shape as
+  * the cos-sim name indexer, so the query side never shuffles. Fine up to a
+  * few million targets (64-dim × 4B ≈ 256 MB at 1M rows).
+  *
+  * LSH path for the scale beyond broadcast: deterministic random-hyperplane
+  * signatures bucket both sides; only bucket-mates are scored. Map-only +
+  * one shuffle on the bucket key.
+  *
+  * Scores are rounded at 9 decimals (HALF_UP) before ranking, like the
+  * cos-sim indexer, so ordering is stable across summation orders.
+  */
+object Knn {
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private val outSchema = StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("target_id", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false),
+    StructField("rank", IntegerType, nullable = false)))
+
+  /** Exact cosine top-k of each query against all targets.
+    * Inputs: (idCol: long, vecCol: array<float>); queries and targets may be
+    * the same DataFrame (self-join for near-dup); self-pairs are skipped when
+    * `excludeSelf`.
+    */
+  def bruteForceTopK(queries: DataFrame, targets: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     excludeSelf: Boolean = false): DataFrame = {
+    val collected = targets.select(col(idCol).cast("long"), col(vecCol)).collect()
+    val n   = collected.length
+    val dim = if (n == 0) 0 else collected(0).getSeq[Float](1).length
+    val ids  = new Array[Long](n)
+    val data = new Array[Float](n * dim)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = collected(i).getLong(0)
+      val v = collected(i).getSeq[Float](1)
+      var d = 0
+      var nr = 0.0
+      while (d < dim) {
+        val x = v(d)
+        data(i * dim + d) = x
+        nr += x.toDouble * x.toDouble
+        d += 1
+      }
+      norms(i) = math.sqrt(nr)
+      i += 1
+    }
+    val bc = queries.sparkSession.sparkContext.broadcast((ids, data, norms, dim))
+
+    val rdd = queries.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
+      val (tIds, tData, tNorms, d) = bc.value
+      val nT = tIds.length
+      it.flatMap { r =>
+        val qid = r.getLong(0)
+        val q   = r.getSeq[Float](1).toArray
+        var qn  = 0.0
+        var j = 0
+        while (j < d) { qn += q(j).toDouble * q(j).toDouble; j += 1 }
+        val qNorm = math.sqrt(qn)
+        // top-k by insertion (k small)
+        val bestS = new Array[Double](k)
+        val bestT = new Array[Int](k)
+        var nBest = 0
+        var ti = 0
+        while (ti < nT) {
+          if (!(excludeSelf && tIds(ti) == qid)) {
+            var dot = 0.0
+            var dd  = 0
+            val off = ti * d
+            while (dd < d) { dot += q(dd).toDouble * tData(off + dd).toDouble; dd += 1 }
+            val denom = qNorm * tNorms(ti)
+            val s = if (denom == 0.0) 0.0 else round9(dot / denom)
+            var pos = nBest
+            while (pos > 0 && {
+              val ps = bestS(pos - 1)
+              ps < s || (ps == s && tIds(bestT(pos - 1)) > tIds(ti))
+            }) pos -= 1
+            if (pos < k) {
+              var m = math.min(nBest, k - 1)
+              while (m > pos) { bestS(m) = bestS(m - 1); bestT(m) = bestT(m - 1); m -= 1 }
+              bestS(pos) = s; bestT(pos) = ti
+              if (nBest < k) nBest += 1
+            }
+          }
+          ti += 1
+        }
+        (0 until nBest).iterator.map(idx => Row(qid, tIds(bestT(idx)), bestS(idx), idx + 1))
+      }
+    }
+    queries.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Random-hyperplane LSH bucketing: `nBits`-bit signature from deterministic
+    * pseudo-random hyperplanes (seeded, data-independent). Pairs sharing a
+    * signature are scored exactly; candidates only — recall < 1 by design.
+    */
+  def lshCosinePairs(df: DataFrame, nBits: Int = 12, seed: Long = 42L,
+                     minCosine: Double = 0.9,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sigUdf = udf { (v: Seq[Float]) =>
+      val rng = new java.util.Random(seed)
+      var sig = 0L
+      var b = 0
+      while (b < nBits) {
+        var dot = 0.0
+        var d = 0
+        while (d < v.length) { dot += v(d) * rng.nextGaussian(); d += 1 }
+        if (dot > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+    val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var d = 0
+      while (d < a.length) {
+        dot += a(d).toDouble * b(d).toDouble
+        na += a(d).toDouble * a(d).toDouble
+        nb += b(d).toDouble * b(d).toDouble
+        d += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else round9(dot / math.sqrt(na * nb))
+    }
+    val sigs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", sigUdf(col("v")))
+    val l = sigs.toDF("id_a", "v_a", "bucket")
+    val r = sigs.toDF("id_b", "v_b", "bucket")
+    l.join(r, "bucket").filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosUdf(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+}

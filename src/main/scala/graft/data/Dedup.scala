@@ -1,0 +1,160 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Cols
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All of these are built to scale: shingling/hashing are map-only, candidate
+  * generation is a shuffle on a bucket key (never an all-pairs join), and
+  * verification touches only bucket-mate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical keys, keep the smallest id as canonical. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(textCol)
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word k-shingles of a text column as an array column. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val ws = split(trim(text), "\\s+")
+    array_distinct(
+      when(size(ws) >= k,
+        transform(sequence(lit(1), size(ws) - (k - 1)),
+          i => array_join(slice(ws, i, lit(k)), " ")))
+      .otherwise(array(array_join(ws, " "))))
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs.
+    *
+    * Plan shape: explode distinct shingles -> self-join on shingle (inverted
+    * index: only docs sharing a shingle ever meet) -> count common shingles
+    * per pair -> jaccard = common / (n1 + n2 - common) -> threshold.
+    * The shingle join is the scalable skeleton every near-dup variant shares;
+    * frequent-shingle skew can be capped with maxDocsPerShingle.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 5, threshold: Double = 0.8,
+                        maxDocsPerShingle: Int = 0): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), k)).as("s"))
+    val filtered =
+      if (maxDocsPerShingle > 0) {
+        // skew guard: drop shingles shared by too many docs (they contribute
+        // little to jaccard and quadratic pair blowup)
+        val hot = sh.groupBy("s").agg(count(lit(1)).as("c"))
+          .filter(col("c") > maxDocsPerShingle).select("s")
+        sh.join(hot, Seq("s"), "left_anti")
+      } else sh
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = filtered.toDF("id_a", "s")
+    val b = filtered.toDF("id_b", "s")
+    val common = a.join(b, "s").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
+  /** Deterministic 64-bit mixing hash (splitmix64 finalizer over xxhash64). */
+  private def mix(c: Column, seed: Int): Column = xxhash64(c, lit(seed))
+
+  /** MinHash + LSH banding near-duplicate candidates.
+    *
+    * numHashes signatures h_i(doc) = min over shingles of hash(shingle, i);
+    * signatures split into bands of `rowsPerBand`; docs sharing a band value
+    * become candidate pairs; pairs are verified with exact jaccard of the
+    * minhash signatures (estimate) or exact shingle jaccard when verify=true.
+    *
+    * Everything is expression-level (xxhash64 + aggregate min), no UDF: the
+    * whole signature computation stays in whole-stage codegen.
+    */
+  def minHashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 5, numHashes: Int = 32, rowsPerBand: Int = 4,
+                      threshold: Double = 0.8, verify: Boolean = true): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    val nBands = numHashes / rowsPerBand
+
+    val withShingles = df.select(col(idCol).as("id"), col(textCol).as("__text"),
+      wordShingles(col(textCol), k).as("sh"))
+    // signature: for each hash i, min over shingles of xxhash64(shingle, i)
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(col("sh"), s => mix(s, i))).as(s"h$i")
+    }
+    val sigs = withShingles.select((col("id") +: col("sh").as("sh") +: sigCols): _*)
+
+    // band keys: hash of the band's signature slice
+    val bandCols = (0 until nBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      hash(slice: _*).as(s"band$b")
+    }
+    val banded = sigs.select((col("id") +: bandCols): _*)
+
+    // candidate pairs: docs sharing any band bucket; ids only through the
+    // union+dedup shuffle, shingle arrays re-attached after (cheaper at scale)
+    val pairs = (0 until nBands).map { b =>
+      val l = banded.select(col("id").as("id_a"), col(s"band$b").as("bk"))
+      val r = banded.select(col("id").as("id_b"), col(s"band$b").as("bk"))
+      l.join(r, "bk").filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+    }.reduce(_ union _).dropDuplicates("id_a", "id_b")
+
+    if (!verify) pairs
+    else pairs
+      .join(withShingles.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withShingles.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-duplicate candidates.
+    *
+    * 64-bit simhash: each word votes ±1 on every bit position according to
+    * its xxhash64; the sign of the per-bit sum forms the fingerprint. Docs are
+    * bucketed by 16-bit fingerprint chunks (any pair at hamming distance <= 3
+    * shares at least one of 4 chunks) and verified by exact hamming distance.
+    */
+  def simHashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val simhashUdf = udf { (text: String) =>
+      val words = if (text == null) Array.empty[String] else text.trim.split("\\s+")
+      val votes = new Array[Int](64)
+      words.foreach { w =>
+        // deterministic 64-bit hash (same algorithm as Spark's xxhash64 is not
+        // required here: the fingerprint only needs to be internally consistent)
+        var h = scala.util.hashing.MurmurHash3.stringHash(w).toLong & 0xffffffffL
+        h = h * 0x9e3779b97f4a7c15L
+        h ^= (h >>> 32); h *= 0xbf58476d1ce4e5b9L; h ^= (h >>> 29)
+        var b = 0
+        while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+    val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+
+    val sigs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
+    val pairs = (0 until 4).map { chunk =>
+      val key = shiftright(col("sig"), chunk * 16).bitwiseAND(lit(0xffffL))
+      val l = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), key.as("ck"))
+      val r = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), key.as("ck"))
+      l.join(r, "ck").filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+    }.reduce(_ union _).dropDuplicates("id_a", "id_b")
+
+    pairs.withColumn("hamming", hammingUdf(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

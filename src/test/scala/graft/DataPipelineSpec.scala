@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Knn
+import graft.data.Dedup
+import graft.multimodal.BinaryMedia
+
+class DataPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog today"),
+    (1L, "the quick brown fox jumps over the lazy dog today"),   // exact dup
+    (2L, "the quick brown fox jumps over the lazy cat today"),   // near dup
+    (3L, "completely different content about spark engines here"),
+    (4L, "another unrelated document speaking of query planners")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    assert(out.count() == 4)
+    assert(out.filter(col("n_copies") === 2 && col("canonical_id") === 0).count() == 1)
+  }
+
+  test("ngram jaccard finds exact and near dups") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup, jaccard 1
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._2 == 3L || p._2 == 4L))
+  }
+
+  test("minhash lsh recovers exact dups and verifies with true jaccard") {
+    val pairs = Dedup.minHashLshPairs(docs, "text", "doc_id",
+      k = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(1.0)) // identical docs always collide
+    assert(!pairs.keySet.exists(p => p._2 >= 3L))
+  }
+
+  test("simhash puts identical docs at hamming 0") {
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(0))
+  }
+
+  test("brute force knn ranks identical vector first") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Knn.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+    val top = out.filter(col("rank") === 1).collect()
+    assert(top.length == 5)
+    top.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1)) // self is nearest
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+
+  test("lsh cosine pairs only reports bucket-mates above threshold") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Knn.lshCosinePairs(emb, nBits = 8, minCosine = 0.3)
+    assert(out.filter(col("cosine") < 0.3).count() == 0)
+  }
+
+  test("media plumbing: attach, features, resize, frames") {
+    val media = BinaryMedia.attach(docs, "doc_id", "text", "text/plain")
+    assert(media.schema("media").dataType.typeName == "binary")
+    val feats = BinaryMedia.extractFeatures(media).collect()
+    assert(feats.forall(_.getSeq[Float](1).length == 16))
+    assert(feats.forall(r => math.abs(r.getSeq[Float](1).sum - 1.0f) < 1e-3))
+    val resized = BinaryMedia.resize(media, 10)
+    assert(resized.select(max(length(col("media")))).head.getInt(0) <= 10)
+    val frames = BinaryMedia.sampleFrames(media, chunk = 8, every = 2)
+    assert(frames.select(min(col("n_frames"))).head.getInt(0) >= 1)
+  }
+}
