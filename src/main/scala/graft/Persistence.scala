@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.SparkSession
+
+import graft.idx.{CosSimIndexer, NameIndexer, SniIndexer}
+import graft.ml.{SupervisedLayer, SupervisedModel}
+
+/** Model persistence: parameters as JSON, ground truth as parquet, the
+  * supervised pipeline via Spark ML's native writer.
+  *
+  * The reference persists Spark sub-objects + DataFrames as parquet and
+  * non-spark objects via joblib (emm/helper/spark_custom_reader_writer.py:
+  * 36-120). Here the fitted state that matters is (gt, indexer configs,
+  * optional classifier); indexers are re-fit deterministically from the
+  * persisted GT on load — the broadcast index is derived state, cheaper to
+  * rebuild than to serialize.
+  */
+object Persistence {
+
+  private def indexerToJson(ix: NameIndexer): String = ix match {
+    case c: CosSimIndexer =>
+      s"""{"type":"cossim","tokenizer":"${c.tokenizer}","ngram":${c.ngram},
+         |"binary":${c.binary},"numCandidates":${c.numCandidates},
+         |"lowerBound":${c.lowerBound},"vocabSize":${c.vocabSize},
+         |"blocking":${c.blockingFunc.map("\"" + _ + "\"").getOrElse("null")}}"""
+        .stripMargin.replaceAll("\n", "")
+    case s: SniIndexer =>
+      s"""{"type":"sni","window":${s.window},"maxGtPerName":${s.maxGtPerName}}"""
+    case other =>
+      throw new IllegalArgumentException(s"cannot persist indexer ${other.getClass}")
+  }
+
+  private def indexerFromJson(j: ujsonLite.Obj): NameIndexer =
+    j.str("type") match {
+      case "cossim" => new CosSimIndexer(
+        tokenizer = j.str("tokenizer"), ngram = j.int("ngram"),
+        binary = j.bool("binary"), numCandidates = j.int("numCandidates"),
+        lowerBound = j.dbl("lowerBound"), vocabSize = j.int("vocabSize"),
+        blockingFunc = j.strOpt("blocking"))
+      case "sni" => new SniIndexer(window = j.int("window"), maxGtPerName = j.int("maxGtPerName"))
+      case t => throw new IllegalArgumentException(s"unknown indexer type $t")
+    }
+
+  def save(model: EntityMatchingModel, path: String): Unit = {
+    Files.createDirectories(Paths.get(path))
+    val p  = model.matcher.params
+    val ixs = model.matcher.indexers.map(indexerToJson).mkString("[", ",", "]")
+    val json =
+      s"""{"preprocessPipeline":"${p.preprocessPipeline}","nameCol":"${p.nameCol}",
+         |"entityIdCol":"${p.entityIdCol}","uidCol":"${p.uidCol}",
+         |"withNoMatches":${p.withNoMatches},"indexers":$ixs,
+         |"hasSupervised":${model.supervised.isDefined}}"""
+        .stripMargin.replaceAll("\n", "")
+    Files.writeString(Paths.get(s"$path/params.json"), json)
+    model.gt.write.mode("overwrite").parquet(s"$path/gt.parquet")
+    model.supervised.foreach(_.pipeline.write.overwrite().save(s"$path/supervised"))
+  }
+
+  def load(spark: SparkSession, path: String): EntityMatchingModel = {
+    val j = ujsonLite.parse(Files.readString(Paths.get(s"$path/params.json")))
+    val params = EmParams(
+      preprocessPipeline = j.str("preprocessPipeline"),
+      nameCol = j.str("nameCol"), entityIdCol = j.str("entityIdCol"),
+      uidCol = j.str("uidCol"), withNoMatches = j.bool("withNoMatches"))
+    val indexers = j.arr("indexers").map(indexerFromJson)
+    val gt = spark.read.parquet(s"$path/gt.parquet")
+    // gt.parquet is already normalized (uid/name/preprocessed) — refit directly
+    val cs = new idx.CandidateSelection(indexers, Nil, params.withNoMatches).fit(gt)
+    val model = new EntityMatchingModel(new EntityMatcher(params, indexers), gt, cs)
+    if (j.bool("hasSupervised")) {
+      val pipeline = PipelineModel.load(s"$path/supervised")
+      val scoreCols = indexers.indices.map(Cols.score)
+      model.supervised = Some(new SupervisedModel(new SupervisedLayer(scoreCols), pipeline))
+    }
+    model
+  }
+}
+
+/** Minimal JSON reader for our own flat persistence format (no external deps
+  * available offline; this is NOT a general JSON parser).
+  */
+private[graft] object ujsonLite {
+  final case class Obj(fields: Map[String, String]) {
+    def str(k: String): String  = fields(k).stripPrefix("\"").stripSuffix("\"")
+    def strOpt(k: String): Option[String] =
+      fields.get(k).filter(_ != "null").map(_.stripPrefix("\"").stripSuffix("\""))
+    def int(k: String): Int     = fields(k).toInt
+    def dbl(k: String): Double  = fields(k).toDouble
+    def bool(k: String): Boolean = fields(k).toBoolean
+    def arr(k: String): Seq[Obj] = splitTopLevel(fields(k).stripPrefix("[").stripSuffix("]"))
+      .filter(_.nonEmpty).map(s => parseObj(s))
+  }
+
+  def parse(s: String): Obj = parseObj(s.trim)
+
+  private def parseObj(s: String): Obj = {
+    val body = s.trim.stripPrefix("{").stripSuffix("}")
+    val fields = splitTopLevel(body).filter(_.contains(":")).map { kv =>
+      val i = kv.indexOf(':')
+      val k = kv.take(i).trim.stripPrefix("\"").stripSuffix("\"")
+      k -> kv.drop(i + 1).trim
+    }.toMap
+    Obj(fields)
+  }
+
+  /** Split on commas not nested inside {} [] "". */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    s.foreach {
+      case '"' => inStr = !inStr; cur += '"'
+      case c @ ('{' | '[') if !inStr => depth += 1; cur += c
+      case c @ ('}' | ']') if !inStr => depth -= 1; cur += c
+      case ',' if depth == 0 && !inStr => out += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString.trim
+    out.toSeq
+  }
+}

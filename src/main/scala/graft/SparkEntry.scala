@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.TextQueries.queries ++
     graft.queries.MatchQueries.queries ++
     graft.queries.FeatureQueries.queries ++
-    graft.queries.DataQueries.queries
+    graft.queries.DataQueries.queries ++
+    graft.queries.MlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.TextQueries.oracleSql ++
     graft.queries.MatchQueries.oracleSql ++
     graft.queries.FeatureQueries.oracleSql ++
-    graft.queries.DataQueries.oracleSql
+    graft.queries.DataQueries.oracleSql ++
+    graft.queries.MlQueries.oracleSql
 }

@@ -97,7 +97,7 @@ final class CosSimIndexer(
     val gtUidCol: String = Cols.GtUid,
     val inputCol: String = Cols.Preprocessed) extends NameIndexer with Serializable {
 
-  private[idx] def blockCol(df: DataFrame): DataFrame = blockingFunc match {
+  private[graft] def blockCol(df: DataFrame): DataFrame = blockingFunc match {
     case None => df.withColumn("block", lit(""))
     case Some(f) =>
       val k = f match {

@@ -1,0 +1,107 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Cols
+
+/** Training-pair preparation: labeling, grouped split, negative-sample
+  * re-ranking, synthetic noise.
+  *
+  * Distributed re-expression of the reference's driver-side pandas utilities
+  * (/root/reference/emm/data/prepare_name_pairs.py:85-163,
+  * negative_data_creation.py:28-253, base_supervised_model.py:201-266,
+  * noiser.py:27-168).
+  */
+object TrainData {
+
+  /** Label candidate pairs: correct = entity_id == gt_entity_id
+    * (prepare_name_pairs.py:96); no_candidate marks null-match rows.
+    */
+  def label(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("no_candidate", col(Cols.GtUid).isNull)
+      .withColumn("correct",
+        col(Cols.GtUid).isNotNull &&
+          col(Cols.EntityId) === col(Cols.gt(Cols.EntityId)))
+
+  /** Deterministic grouped split (replaces StratifiedGroupKFold): every row
+    * of a group lands on the same side; assignment by group hash. Seeded and
+    * reproducible — no RNG state, so it's identical on any cluster layout.
+    */
+  def groupedSplit(df: DataFrame, groupCol: String, testFraction: Double = 0.25,
+                   seed: Int = 42): (DataFrame, DataFrame) = {
+    val bucket = pmod(xxhash64(col(groupCol), lit(seed)), lit(1000L))
+    val isTest = bucket < (testFraction * 1000).toLong
+    (df.filter(!isTest), df.filter(isTest))
+  }
+
+  /** Split positive/negative name sets by entity id (negative_data_creation
+    * semantics): entities hashed into halves; the negative half has its
+    * correct pairs removed and candidates re-ranked so the classifier sees
+    * realistic negatives.
+    *
+    * Re-rank (negative_data_creation.py:172-253): per uid and indexer,
+    * surviving cossim candidates are re-numbered by their original rank;
+    * SNI ranks are shifted toward 0 (all window offsets move one step in);
+    * candidates whose new rank exceeds the original window are dropped —
+    * all expressed with window functions, no driver hop.
+    */
+  def negativeRerank(labeled: DataFrame, cosRankCols: Seq[String],
+                     sniRankCols: Seq[String] = Nil,
+                     sniWindows: Map[String, Int] = Map.empty,
+                     positiveSetCol: String = "positive_set"): DataFrame = {
+    val negatives = labeled.filter(!col(positiveSetCol) && !col("correct"))
+    val positives = labeled.filter(col(positiveSetCol))
+
+    // cossim: re-number surviving candidate ranks per uid, preserving order
+    val reRanked = cosRankCols.foldLeft(negatives) { (df, rc) =>
+      val w = Window.partitionBy(Cols.Uid).orderBy(col(rc).asc_nulls_last)
+      df.withColumn(rc,
+        when(col(rc).isNotNull, row_number().over(w)).otherwise(col(rc)))
+    }
+    // SNI: shift the absolute rank one step toward zero; drop beyond window
+    val shifted = sniRankCols.foldLeft(reRanked) { (df, rc) =>
+      val w = sniWindows.getOrElse(rc, 3)
+      df.withColumn(rc, when(col(rc).isNotNull, greatest(col(rc) - 1, lit(0))).otherwise(col(rc)))
+        .filter(col(rc).isNull || col(rc) <= w)
+    }
+    positives.unionByName(shifted)
+  }
+
+  /** Seeded name noiser for synthetic fixtures (noiser.py:27-168): eight
+    * deterministic perturbations selected by a seeded RNG per row.
+    */
+  def noise(name: String, seed: Long): String = {
+    if (name == null || name.isEmpty) return name
+    val rng   = new java.util.Random(seed ^ name.hashCode.toLong)
+    val words = name.split(" ").toBuffer
+    rng.nextInt(8) match {
+      case 0 if words.length >= 2 => // swap two words
+        val i = rng.nextInt(words.length - 1)
+        val t = words(i); words(i) = words(i + 1); words(i + 1) = t
+        words.mkString(" ")
+      case 1 if words.length >= 2 => // merge two words
+        val i = rng.nextInt(words.length - 1)
+        (words.take(i) :+ (words(i) + words(i + 1))).concat(words.drop(i + 2)).mkString(" ")
+      case 2 if words.length >= 2 => // drop a word
+        val i = rng.nextInt(words.length)
+        words.patch(i, Nil, 1).mkString(" ")
+      case 3 => // abbreviate first word
+        (words.head.take(1) +: words.tail).mkString(" ")
+      case 4 => // insert a char
+        val i = rng.nextInt(name.length)
+        name.substring(0, i) + ('a' + rng.nextInt(26)).toChar + name.substring(i)
+      case 5 if name.length > 3 => // cut the tail
+        name.substring(0, name.length - 1 - rng.nextInt(2))
+      case 6 if words.exists(_.length > 3) => // split a word
+        val i = words.indexWhere(_.length > 3)
+        val w = words(i); val cut = 1 + rng.nextInt(w.length - 2)
+        words.patch(i, Seq(w.take(cut), w.drop(cut)), 1).mkString(" ")
+      case _ => // change a char
+        val i = rng.nextInt(name.length)
+        name.substring(0, i) + ('a' + rng.nextInt(26)).toChar + name.substring(i + 1)
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Cols
+import graft.ml.{Thresholds, TrainData}
+
+/** Training-support operators: threshold curves (M4), grouped train/test
+  * split (M3), negative-sample re-ranking (M5).
+  */
+object MlQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables(s, dir, name)
+
+  /** Labeled candidate frame synthesized from orders: uid = customer,
+    * gt_uid = order, rank from a deterministic window.
+    */
+  private def labeledPairs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_custkey").as(Cols.Uid),
+      col("o_orderkey").as(Cols.GtUid),
+      (col("o_orderstatus") === "F").as("correct"),
+      (col("o_custkey") % 2 === 0).as("positive_set"),
+      row_number().over(w).as(Cols.rank(0)))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // M4: threshold-decision curves, distributed (no driver collect)
+    "q47_threshold_curves" -> { (s, dir) =>
+      val scored = t(s, dir, "lineitem").select(
+        (lit(1.0) - col("l_discount")).as("s"),
+        (col("l_returnflag") === "R").as("y"))
+      Thresholds.curves(scored, "s", "y", steps = 20)
+    },
+
+    // M5: negative-sample candidate re-ranking (window re-rank, no driver hop)
+    "q48_negative_rerank" -> { (s, dir) =>
+      TrainData.negativeRerank(labeledPairs(s, dir), cosRankCols = Seq(Cols.rank(0)))
+        .select(Cols.Uid, Cols.GtUid, "correct", "positive_set", Cols.rank(0))
+    },
+
+    // M3: deterministic grouped split — every group fully on one side
+    // (hash functions differ across engines -> verified structurally: the
+    // oracle recomputes the group-disjointness invariant, not the hash)
+    "q49_grouped_split_sizes" -> { (s, dir) =>
+      val (train, test) = TrainData.groupedSplit(
+        t(s, dir, "orders"), "o_custkey", testFraction = 0.25)
+      val trainGroups = train.select(col("o_custkey")).distinct()
+      val testGroups  = test.select(col("o_custkey")).distinct()
+      // invariant surface: total rows preserved, no group on both sides
+      val overlap = trainGroups.join(testGroups, "o_custkey").count()
+      val total   = train.count() + test.count()
+      val sp = s
+      import sp.implicits._
+      Seq((total, overlap)).toDF("total_rows", "overlapping_groups")
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q47_threshold_curves" ->
+      """WITH grid AS (SELECT i / 20.0 AS threshold FROM generate_series(0, 20) t(i)),
+         pts AS (SELECT (1.0 - l_discount) AS s, (l_returnflag = 'R') AS y FROM lineitem),
+         counts AS (
+           SELECT threshold,
+             CAST(sum(CASE WHEN s >= threshold AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s >= threshold AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN s < threshold AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(sum(CASE WHEN s < threshold AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           FROM pts CROSS JOIN grid GROUP BY threshold)
+         SELECT threshold, tp, fp, tn, fn,
+           CAST(tp AS DOUBLE) / CAST(greatest(tp + fp, 1) AS DOUBLE) AS precision,
+           CAST(tp AS DOUBLE) / CAST(greatest(tp + fn, 1) AS DOUBLE) AS recall,
+           CAST(tn AS DOUBLE) / CAST(greatest(tn + fp, 1) AS DOUBLE) AS tnr
+         FROM counts""",
+    "q48_negative_rerank" ->
+      """WITH labeled AS (
+           SELECT o_custkey AS uid, o_orderkey AS gt_uid,
+                  (o_orderstatus = 'F') AS correct,
+                  (o_custkey % 2 = 0) AS positive_set,
+                  CAST(row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank_0
+           FROM orders),
+         negatives AS (
+           SELECT uid, gt_uid, correct, positive_set,
+                  CAST(row_number() OVER (PARTITION BY uid ORDER BY rank_0) AS INT) AS rank_0
+           FROM labeled WHERE NOT positive_set AND NOT correct),
+         positives AS (
+           SELECT uid, gt_uid, correct, positive_set, rank_0 FROM labeled WHERE positive_set)
+         SELECT uid, gt_uid, correct, positive_set, rank_0 FROM positives
+         UNION ALL
+         SELECT uid, gt_uid, correct, positive_set, rank_0 FROM negatives""",
+    "q49_grouped_split_sizes" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+                CAST(0 AS BIGINT) AS overlapping_groups
+         FROM orders""")
+}
