@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for selected queries. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
+                else args(0).split(",").toSeq
+    names.foreach { n =>
+      println(s"\n########## $n ##########")
+      try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      catch { case e: Throwable => println(s"explain failed: $e") }
+    }
+    spark.stop()
+  }
+}

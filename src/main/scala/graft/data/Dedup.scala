@@ -39,7 +39,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 5, threshold: Double = 0.8,
                         maxDocsPerShingle: Int = 0): DataFrame = {
+    // cached: consumed three times (self-join both sides + size counts); an
+    // uncached plan re-explodes the corpus per consumer
     val sh = df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), k)).as("s"))
+      .cache()
     val filtered =
       if (maxDocsPerShingle > 0) {
         // skew guard: drop shingles shared by too many docs (they contribute
@@ -82,28 +85,29 @@ object Dedup {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     val nBands = numHashes / rowsPerBand
 
-    val withShingles = df.select(col(idCol).as("id"), col(textCol).as("__text"),
-      wordShingles(col(textCol), k).as("sh"))
+    val withShingles = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), k).as("sh")).cache()
     // signature: for each hash i, min over shingles of xxhash64(shingle, i)
     val sigCols = (0 until numHashes).map { i =>
       array_min(transform(col("sh"), s => mix(s, i))).as(s"h$i")
     }
-    val sigs = withShingles.select((col("id") +: col("sh").as("sh") +: sigCols): _*)
+    val sigs = withShingles.select((col("id") +: sigCols): _*)
 
-    // band keys: hash of the band's signature slice
+    // band keys: hash of the band's signature slice; melted to long format so
+    // candidate generation is ONE self-join on (band_idx, key) instead of
+    // nBands separate joins each re-deriving the signatures
     val bandCols = (0 until nBands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       hash(slice: _*).as(s"band$b")
     }
-    val banded = sigs.select((col("id") +: bandCols): _*)
+    val melted = sigs.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "bk"))).cache()
 
-    // candidate pairs: docs sharing any band bucket; ids only through the
-    // union+dedup shuffle, shingle arrays re-attached after (cheaper at scale)
-    val pairs = (0 until nBands).map { b =>
-      val l = banded.select(col("id").as("id_a"), col(s"band$b").as("bk"))
-      val r = banded.select(col("id").as("id_b"), col(s"band$b").as("bk"))
-      l.join(r, "bk").filter(col("id_a") < col("id_b")).select("id_a", "id_b")
-    }.reduce(_ union _).dropDuplicates("id_a", "id_b")
+    val pairs = melted.toDF("id_a", "band_idx", "bk")
+      .join(melted.toDF("id_b", "band_idx", "bk"), Seq("band_idx", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
 
     if (!verify) pairs
     else pairs
@@ -145,13 +149,17 @@ object Dedup {
     val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
 
     val sigs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
-    val pairs = (0 until 4).map { chunk =>
-      val key = shiftright(col("sig"), chunk * 16).bitwiseAND(lit(0xffffL))
-      val l = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), key.as("ck"))
-      val r = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), key.as("ck"))
-      l.join(r, "ck").filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-    }.reduce(_ union _).dropDuplicates("id_a", "id_b")
+    val chunkKeys = (0 until 4).map { chunk =>
+      shiftright(col("sig"), chunk * 16).bitwiseAND(lit(0xffffL))
+    }
+    // melt the 4 chunk keys -> one self-join on (chunk_idx, key)
+    val melted = sigs.select(col("id"), col("sig"),
+      posexplode(array(chunkKeys: _*)).as(Seq("chunk_idx", "ck"))).cache()
+    val pairs = melted.toDF("id_a", "sig_a", "chunk_idx", "ck")
+      .join(melted.toDF("id_b", "sig_b", "chunk_idx", "ck"), Seq("chunk_idx", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
 
     pairs.withColumn("hamming", hammingUdf(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
