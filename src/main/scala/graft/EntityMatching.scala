@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.agg.EntityAggregation
 import graft.idx.{CandidateSelection, CandidateSelectionModel, CosSimIndexer, NameIndexer, SniIndexer}
 import graft.ml.{SupervisedLayer, SupervisedModel}
+import graft.operators.AutoRepartition
 import graft.preprocess.Preprocessor
 
 /** User-facing entity-matching facade, mirroring the reference pipeline
@@ -15,7 +16,9 @@ import graft.preprocess.Preprocessor
   *
   * Column mapping: user columns are renamed to the internal vocabulary at the
   * API edge (emm/helper/util.py:34-60); a uid is generated (and frozen with a
-  * localCheckpoint, like spark_utils.py:115-141) when absent.
+  * localCheckpoint, like spark_utils.py:115-141) when absent, and a
+  * user-supplied uid is verified unique (spark_utils.py:133-141) when
+  * `checkUid` is on.
   */
 final case class EmParams(
     preprocessPipeline: String = "preprocess_merge_abbr",
@@ -27,7 +30,10 @@ final case class EmParams(
     carryOnCols: Seq[String] = Nil,
     withNoMatches: Boolean = true,
     supervisedOn: Boolean = false,
-    aggregationMethod: Option[String] = None)
+    aggregationMethod: Option[String] = None,
+    keepAllCols: Boolean = false,
+    checkUid: Boolean = false,
+    partitionSize: Option[Int] = None)
 
 object EntityMatching {
 
@@ -49,8 +55,9 @@ object EntityMatching {
 
 final class EntityMatcher(val params: EmParams, val indexers: Seq[NameIndexer]) {
 
-  /** Rename user columns to the internal vocabulary, add uid if missing,
-    * add `preprocessed`.
+  /** Rename user columns to the internal vocabulary, add uid if missing
+    * (verify uniqueness when present and checkUid is on), optionally
+    * auto-repartition to `partitionSize` rows/partition, add `preprocessed`.
     */
   private[graft] def normalize(raw: DataFrame): DataFrame = {
     var df = raw
@@ -62,6 +69,15 @@ final class EntityMatcher(val params: EmParams, val indexers: Seq[NameIndexer]) 
     if (!df.columns.contains(Cols.Uid))
       // monotonically_increasing_id is plan-dependent; freeze it
       df = df.withColumn(Cols.Uid, monotonically_increasing_id()).localCheckpoint()
+    else if (params.checkUid) {
+      // spark_utils.py:133-141: a non-unique uid silently corrupts the
+      // candidate merge — fail fast instead
+      val nDup = df.groupBy(Cols.Uid).count().filter(col("count") > 1).count()
+      if (nDup > 0)
+        throw new IllegalArgumentException(
+          s"uid column '${params.uidCol}' is not unique: $nDup duplicated values")
+    }
+    df = AutoRepartition(df, params.partitionSize)._1
     Preprocessor(df, params.preprocessPipeline, Cols.Name, Cols.Preprocessed)
   }
 
@@ -80,6 +96,22 @@ final class EntityMatchingModel(
 
   private def params = matcher.params
 
+  /** Output-column contract (spark_entity_matching.py:318-334): unless
+    * keepAllCols, the result carries only the caller's input columns,
+    * `preprocessed`, and the match outputs — gt_* / score_* / rank_* /
+    * best_* prefixed columns plus *_score (nm_score, agg_score). Feature and
+    * tokenization intermediates never leak to the caller.
+    */
+  private def pruneOutput(matched: DataFrame, inputCols: Seq[String]): DataFrame = {
+    if (params.keepAllCols) return matched
+    val keepPrefixes = Seq("gt_", "score_", "rank_", "best_")
+    val keep = matched.columns.filter { c =>
+      inputCols.contains(c) || c == Cols.Preprocessed ||
+        keepPrefixes.exists(c.startsWith) || c.endsWith("_score")
+    }
+    matched.select(keep.map(col): _*)
+  }
+
   /** Full match query: names -> candidates [-> nm_score/best_match]
     * [-> account aggregation].
     */
@@ -90,10 +122,11 @@ final class EntityMatchingModel(
       case Some(m) => m.transform(cands)
       case None    => cands
     }
+    val pruned = pruneOutput(scored, names.columns.toSeq)
     val limited =
-      if (topN > 0 && scored.columns.contains(Cols.BestRank))
-        scored.filter(col(Cols.BestRank) <= topN && col(Cols.GtUid).isNotNull)
-      else scored
+      if (topN > 0 && pruned.columns.contains(Cols.BestRank))
+        pruned.filter(col(Cols.BestRank) <= topN && col(Cols.GtUid).isNotNull)
+      else pruned
     params.aggregationMethod match {
       case Some(method) if limited.columns.contains(params.accountCol) =>
         EntityAggregation.aggregate(limited, method,
@@ -106,7 +139,9 @@ final class EntityMatchingModel(
   /** Train the supervised layer from positive names-to-match that carry an
     * entity_id: candidates are labeled correct = (entity_id == gt_entity_id)
     * (emm/data/prepare_name_pairs.py:96). Stays fully distributed, unlike the
-    * reference's driver-side pandas hop.
+    * reference's driver-side pandas hop. Carry-on columns present on both
+    * sides (e.g. country) become extra equality features
+    * (features_extra.py:28-60).
     */
   def fitClassifier(trainNames: DataFrame): this.type = {
     val names = matcher.normalize(trainNames)
@@ -114,7 +149,9 @@ final class EntityMatchingModel(
       .filter(col(Cols.GtUid).isNotNull)
       .withColumn("correct", col(Cols.EntityId) === col(Cols.gt(Cols.EntityId)))
     val scoreCols = candidateModel.models.indices.map(Cols.score)
-    val layer = new SupervisedLayer(scoreCols)
+    val extraCols = params.carryOnCols.filter(c =>
+      cands.columns.contains(c) && cands.columns.contains(Cols.gt(c)))
+    val layer = new SupervisedLayer(scoreCols, extraFeatureCols = extraCols)
     supervised = Some(layer.fit(cands))
     this
   }

@@ -56,7 +56,15 @@ object Persistence {
         .stripMargin.replaceAll("\n", "")
     Files.writeString(Paths.get(s"$path/params.json"), json)
     model.gt.write.mode("overwrite").parquet(s"$path/gt.parquet")
-    model.supervised.foreach(_.pipeline.write.overwrite().save(s"$path/supervised"))
+    model.supervised.foreach { sm =>
+      sm.pipeline.write.overwrite().save(s"$path/supervised")
+      // vocabulary as a flat word<TAB>tier list (fitted state, not derivable
+      // from GT alone: the reference fits it on the training pairs)
+      val vocabLines =
+        sm.vocabulary.veryCommon.toSeq.sorted.map(w => s"$w\tvery_common") ++
+        sm.vocabulary.common.toSeq.sorted.map(w => s"$w\tcommon")
+      Files.writeString(Paths.get(s"$path/vocabulary.tsv"), vocabLines.mkString("\n"))
+    }
   }
 
   def load(spark: SparkSession, path: String): EntityMatchingModel = {
@@ -73,7 +81,18 @@ object Persistence {
     if (j.bool("hasSupervised")) {
       val pipeline = PipelineModel.load(s"$path/supervised")
       val scoreCols = indexers.indices.map(Cols.score)
-      model.supervised = Some(new SupervisedModel(new SupervisedLayer(scoreCols), pipeline))
+      val vocabPath = Paths.get(s"$path/vocabulary.tsv")
+      val entries =
+        if (Files.exists(vocabPath))
+          Files.readString(vocabPath).split("\n").toSeq
+            .filter(_.contains("\t")).map { l =>
+              val Array(w, tier) = l.split("\t", 2); (w, tier)
+            }
+        else Nil
+      val vocab = features.VocabularyModel(
+        veryCommon = entries.collect { case (w, "very_common") => w }.toSet,
+        common     = entries.collect { case (w, "common") => w }.toSet)
+      model.supervised = Some(new SupervisedModel(new SupervisedLayer(scoreCols), pipeline, vocab))
     }
     model
   }

@@ -105,25 +105,105 @@ object Knn {
     queries.sparkSession.createDataFrame(rdd, outSchema)
   }
 
-  /** Random-hyperplane LSH bucketing: `nBits`-bit signature from deterministic
-    * pseudo-random hyperplanes (seeded, data-independent). Pairs sharing a
-    * signature are scored exactly; candidates only — recall < 1 by design.
+  private val pairSchema = StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false)))
+
+  /** Exact all-pairs cosine threshold join (id_a < id_b): the reference
+    * answer for LSH recall checks. Same broadcast-kernel shape as
+    * [[bruteForceTopK]] — packed primitive target array, map-only scan, no
+    * shuffle — and the same broadcastable-target-set bound applies.
     */
-  def lshCosinePairs(df: DataFrame, nBits: Int = 12, seed: Long = 42L,
-                     minCosine: Double = 0.9,
+  def exactCosinePairs(df: DataFrame, minCosine: Double,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val collected = df.select(col(idCol).cast("long"), col(vecCol)).collect()
+    val n   = collected.length
+    val dim = if (n == 0) 0 else collected(0).getSeq[Float](1).length
+    val ids   = new Array[Long](n)
+    val data  = new Array[Float](n * dim)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = collected(i).getLong(0)
+      val v = collected(i).getSeq[Float](1)
+      var d = 0
+      var nr = 0.0
+      while (d < dim) {
+        val x = v(d); data(i * dim + d) = x; nr += x.toDouble * x.toDouble; d += 1
+      }
+      norms(i) = math.sqrt(nr)
+      i += 1
+    }
+    val bc = df.sparkSession.sparkContext.broadcast((ids, data, norms, dim))
+    val rdd = df.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
+      val (tIds, tData, tNorms, d) = bc.value
+      val nT = tIds.length
+      it.flatMap { r =>
+        val qid = r.getLong(0)
+        val q   = r.getSeq[Float](1).toArray
+        var qn  = 0.0
+        var j = 0
+        while (j < d) { qn += q(j).toDouble * q(j).toDouble; j += 1 }
+        val qNorm = math.sqrt(qn)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var ti = 0
+        while (ti < nT) {
+          if (tIds(ti) > qid) {
+            var dot = 0.0
+            var dd  = 0
+            val off = ti * d
+            while (dd < d) { dot += q(dd).toDouble * tData(off + dd).toDouble; dd += 1 }
+            val denom = qNorm * tNorms(ti)
+            val s = if (denom == 0.0) 0.0 else round9(dot / denom)
+            if (s >= minCosine) out += Row(qid, tIds(ti), s)
+          }
+          ti += 1
+        }
+        out.iterator
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, pairSchema)
+  }
+
+  /** Random-hyperplane LSH near-dup pairs with banding.
+    *
+    * Signatures: `nBands * bitsPerBand` sign bits against Gaussian hyperplanes
+    * that are generated ONCE on the driver (data-independent, seeded) and
+    * shipped in the UDF closure — never re-derived per row. Each band's
+    * `bitsPerBand` bits form a bucket key; a pair is a candidate if it
+    * collides in ANY band (standard OR-amplification: recall
+    * 1-(1-p^bitsPerBand)^nBands for bit-agreement probability p), which fixes
+    * both the poor recall and the hot-bucket blowup of a single long
+    * signature. Candidates are verified with the exact cosine, so every
+    * reported pair satisfies cosine >= minCosine — LSH only affects recall.
+    *
+    * Plan shape mirrors the MinHash path: map-only signatures, posexplode to
+    * (band, key), ONE self-join on the bucket key, dedup, verify.
+    */
+  def lshCosinePairs(df: DataFrame, nBands: Int = 8, bitsPerBand: Int = 8,
+                     seed: Long = 42L, minCosine: Double = 0.9,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sigUdf = udf { (v: Seq[Float]) =>
+    val dim = df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    val nBits = nBands * bitsPerBand
+    // hyperplanes: row-major [nBits x dim], one deterministic stream
+    val planes = {
       val rng = new java.util.Random(seed)
-      var sig = 0L
+      Array.fill(nBits * dim)(rng.nextGaussian())
+    }
+    val bandKeysUdf = udf { (v: Seq[Float]) =>
+      val keys = new Array[Long](nBands)
       var b = 0
       while (b < nBits) {
         var dot = 0.0
         var d = 0
-        while (d < v.length) { dot += v(d) * rng.nextGaussian(); d += 1 }
-        if (dot > 0) sig |= (1L << b)
+        val off = b * dim
+        val n = math.min(dim, v.length)
+        while (d < n) { dot += v(d) * planes(off + d); d += 1 }
+        if (dot > 0) keys(b / bitsPerBand) |= (1L << (b % bitsPerBand))
         b += 1
       }
-      sig
+      keys.toSeq
     }
     val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
       var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -136,11 +216,15 @@ object Knn {
       }
       if (na == 0.0 || nb == 0.0) 0.0 else round9(dot / math.sqrt(na * nb))
     }
-    val sigs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", sigUdf(col("v")))
-    val l = sigs.toDF("id_a", "v_a", "bucket")
-    val r = sigs.toDF("id_b", "v_b", "bucket")
-    l.join(r, "bucket").filter(col("id_a") < col("id_b"))
+    // melted to (band_idx, key): candidate generation is ONE self-join
+    val melted = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"),
+        posexplode(bandKeysUdf(col("v"))).as(Seq("band_idx", "bk")))
+      .cache()
+    melted.toDF("id_a", "v_a", "band_idx", "bk")
+      .join(melted.toDF("id_b", "v_b", "band_idx", "bk"), Seq("band_idx", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", cosUdf(col("v_a"), col("v_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")

@@ -33,25 +33,33 @@ object Dedup {
     * Plan shape: explode distinct shingles -> self-join on shingle (inverted
     * index: only docs sharing a shingle ever meet) -> count common shingles
     * per pair -> jaccard = common / (n1 + n2 - common) -> threshold.
-    * The shingle join is the scalable skeleton every near-dup variant shares;
-    * frequent-shingle skew can be capped with maxDocsPerShingle.
+    * The shingle join is the scalable skeleton every near-dup variant shares.
+    *
+    * Skew guard (`maxDocsPerShingle`, ON by default): shingles shared by more
+    * than the cap docs are dropped BEFORE the self-join — one boilerplate
+    * shingle shared by m docs otherwise materializes m² join rows, the classic
+    * 100 TB scale-killer. The cap defines a consistent "effective shingle
+    * set": BOTH the pair's common count and each doc's size are computed over
+    * the capped set, so jaccard remains an exact Jaccard of the effective
+    * sets (a pair is reported iff its effective-set jaccard >= threshold) —
+    * never a biased estimate. Pass 0 to disable and get raw-set jaccard.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 5, threshold: Double = 0.8,
-                        maxDocsPerShingle: Int = 0): DataFrame = {
-    // cached: consumed three times (self-join both sides + size counts); an
-    // uncached plan re-explodes the corpus per consumer
+                        maxDocsPerShingle: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), k)).as("s"))
-      .cache()
-    val filtered =
+    // cached: consumed three times (self-join both sides + size counts); an
+    // uncached plan re-explodes (and re-filters) the corpus per consumer
+    val filtered = (
       if (maxDocsPerShingle > 0) {
-        // skew guard: drop shingles shared by too many docs (they contribute
-        // little to jaccard and quadratic pair blowup)
         val hot = sh.groupBy("s").agg(count(lit(1)).as("c"))
           .filter(col("c") > maxDocsPerShingle).select("s")
-        sh.join(hot, Seq("s"), "left_anti")
+        // explicit select: the using-column join moves "s" to the front, and
+        // the downstream toDF renames are positional
+        sh.join(hot, Seq("s"), "left_anti").select("id", "s")
       } else sh
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    ).cache()
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = filtered.toDF("id_a", "s")
     val b = filtered.toDF("id_b", "s")
     val common = a.join(b, "s").filter(col("id_a") < col("id_b"))
@@ -146,8 +154,6 @@ object Dedup {
       while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
       sig
     }
-    val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
-
     val sigs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
     val chunkKeys = (0 until 4).map { chunk =>
       shiftright(col("sig"), chunk * 16).bitwiseAND(lit(0xffffL))
@@ -161,7 +167,8 @@ object Dedup {
       .select("id_a", "id_b", "sig_a", "sig_b")
       .dropDuplicates("id_a", "id_b")
 
-    pairs.withColumn("hamming", hammingUdf(col("sig_a"), col("sig_b")))
+    // popcount of the XOR — codegen'd built-in, no UDF on the verify path
+    pairs.withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

@@ -18,7 +18,7 @@ import graft.functions.{Abbreviations, FuzzyMatch, LegalForms}
   */
 object PairFeatures {
 
-  private val jaroUdf         = udf((a: String, b: String) => FuzzyMatch.jaro(a, b))
+  private[graft] val jaroUdf  = udf((a: String, b: String) => FuzzyMatch.jaro(a, b))
   private val ratioUdf        = udf((a: String, b: String) => FuzzyMatch.ratio(a, b))
   private val tokenSortUdf    = udf((a: String, b: String) => FuzzyMatch.tokenSortRatio(a, b))
   private val tokenSetUdf     = udf((a: String, b: String) => FuzzyMatch.tokenSetRatio(a, b))
@@ -66,16 +66,26 @@ object PairFeatures {
       .when(col(c1) === col(c2), 1)
       .otherwise(-1)
 
+  /** Suffixes of the columns produced by [[rankFeatures]], in output order. */
+  val rankFeatureSuffixes: Seq[String] = Seq(
+    "rank", "top2_dist", "dist_to_max", "dist_to_min", "ptp",
+    "diff_to_next", "diff_to_prev")
+
   /** W4/W5: rank + distance + lag/lead diff features for one score column,
     * computed per-uid with windows (features_rank.py:34-112). Scores are
-    * rounded to 5 decimals before ordering, like the reference.
+    * rounded to 5 decimals before ordering, like the reference; top2_dist is
+    * the gap between the group's best and second-best score (ptp of
+    * nlargest(2), 0 for singleton groups).
     */
   def rankFeatures(df: DataFrame, scoreCol: String,
                    uidCol: String = Cols.Uid): DataFrame = {
     val s    = round(col(scoreCol), 5)
     val grp  = Window.partitionBy(uidCol)
     val ord  = grp.orderBy(s.desc, col(Cols.GtUid))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     df.withColumn(s"${scoreCol}_rank", row_number().over(ord))
+      .withColumn(s"${scoreCol}_top2_dist",
+        max(s).over(grp) - coalesce(nth_value(s, 2).over(full), max(s).over(grp)))
       .withColumn(s"${scoreCol}_dist_to_max", max(s).over(grp) - s)
       .withColumn(s"${scoreCol}_dist_to_min", s - min(s).over(grp))
       .withColumn(s"${scoreCol}_ptp", max(s).over(grp) - min(s).over(grp))

@@ -8,51 +8,87 @@ import graft.Cols
 /** Vocabulary of common / very-common words with doc-frequency thresholds.
   *
   * Semantics of the reference's vocabulary features
-  * (/root/reference/emm/features/features_vocabulary.py:38-165): fit computes
-  * two word sets over the corpus of names — words whose document frequency
-  * ratio exceeds `veryCommonThreshold` (default 0.01) and `commonThreshold`
-  * (default 0.0001) — then pair features count overlapping / differing words
-  * split by very-common / common / rare.
+  * (/root/reference/emm/features/features_vocabulary.py:36-165): fit collects
+  * two DISJOINT word sets over the corpus of names — `veryCommon` (document
+  * frequency ratio >= veryCommonThreshold, default 0.01) and `common`
+  * (>= commonThreshold, default 0.0001, minus the very-common words). Words
+  * are `\w\w+` tokens (>= 2 word chars), like the reference's CountVectorizer
+  * token pattern. Pair features then split the hit/miss word sets of a name
+  * pair by tier:
+  *   hits   = words present in both names  (set intersection)
+  *   misses = words present in exactly one (set union minus intersection)
+  * giving very_common/common/rare x hit/miss counts (6 features).
   *
-  * Scale notes: the fit is one explode + groupBy(word) + count aggregation;
-  * the resulting sets are driver-collected (bounded: only words above an
-  * absolute df threshold survive) and shipped via broadcast into expressions.
+  * Scale notes: the fit is one explode + groupBy(word) + count; only words
+  * above the absolute `common` df threshold are driver-collected (bounded —
+  * df >= 0.0001*N caps the set at 10k words per 100M docs even in theory);
+  * the sets travel as array literals inside codegen'd expressions — no UDF,
+  * no broadcast join on the hot path.
   */
 final case class VocabularyModel(veryCommon: Set[String], common: Set[String]) {
 
-  /** hits = overlapping words in a tier; misses = words of one side's tier
-    * not present on the other side.
-    */
+  /** Names of the produced features, in output order. */
+  def featureNames: Seq[String] = VocabularyModel.featureNames
+
   def pairFeatures(nameCol: String = Cols.Preprocessed,
                    gtNameCol: String = Cols.GtPreprocessed): Seq[(String, Column)] = {
-    val a = split(coalesce(col(nameCol), lit("")), " ")
-    val b = split(coalesce(col(gtNameCol), lit("")), " ")
-    def inSet(arr: Column, s: Set[String]): Column =
-      filter(arr, w => w.isInCollection(if (s.isEmpty) Set("") else s))
-    def tier(name: String, s: Set[String]): Seq[(String, Column)] = Seq(
-      s"${name}_hit" -> size(array_intersect(inSet(a, s), inSet(b, s))).cast("int"),
-      s"${name}_miss" -> (size(array_except(inSet(a, s), b)) +
-                          size(array_except(inSet(b, s), a))).cast("int"))
-    tier("very_common", veryCommon) ++ tier("common", common -- veryCommon) ++ Seq(
-      "rare_hit" -> size(array_except(array_intersect(a, b),
-        lit((common ++ veryCommon).toArray))).cast("int"))
+    def words(c: String): Column =
+      array_distinct(regexp_extract_all(coalesce(col(c), lit("")), lit("\\w\\w+"), lit(0)))
+    val a = words(nameCol)
+    val b = words(gtNameCol)
+    val hits   = array_intersect(a, b)
+    val misses = array_except(array_union(a, b), array_intersect(a, b))
+    val vcLit    = typedLit(veryCommon.toSeq.sorted)
+    val cLit     = typedLit(common.toSeq.sorted)
+    val vocabLit = typedLit((veryCommon ++ common).toSeq.sorted)
+    def tier(set: Column, of: Column): Column = size(array_intersect(of, set)).cast("int")
+    Seq(
+      "very_common_hit"  -> tier(vcLit, hits),
+      "common_hit"       -> tier(cLit, hits),
+      "rare_hit"         -> (size(hits) - size(array_intersect(hits, vocabLit))).cast("int"),
+      "very_common_miss" -> tier(vcLit, misses),
+      "common_miss"      -> tier(cLit, misses),
+      "rare_miss"        -> (size(misses) - size(array_intersect(misses, vocabLit))).cast("int"))
   }
+
+  /** Add all vocabulary features as columns. */
+  def withPairFeatures(df: DataFrame,
+                       nameCol: String = Cols.Preprocessed,
+                       gtNameCol: String = Cols.GtPreprocessed): DataFrame =
+    pairFeatures(nameCol, gtNameCol).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+}
+
+object VocabularyModel {
+  val featureNames: Seq[String] = Seq(
+    "very_common_hit", "common_hit", "rare_hit",
+    "very_common_miss", "common_miss", "rare_miss")
 }
 
 object Vocabulary {
-  def fit(names: DataFrame, nameCol: String = Cols.Preprocessed,
+
+  /** Fit on one or more name columns (reference fits on
+    * [preprocessed, gt_preprocessed] of the training pairs,
+    * pandas_feature_extractor.py:121-123): the corpus is the distinct union
+    * of all column values.
+    */
+  def fit(names: DataFrame, nameCols: Seq[String] = Seq(Cols.Preprocessed),
           veryCommonThreshold: Double = 0.01,
           commonThreshold: Double = 0.0001): VocabularyModel = {
-    val n = names.count().toDouble
-    val words = names
-      .select(explode(array_distinct(split(coalesce(col(nameCol), lit("")), " "))).as("w"))
-      .filter(col("w") =!= "")
+    require(commonThreshold < veryCommonThreshold,
+      "commonThreshold must be smaller than veryCommonThreshold")
+    val corpus = nameCols.map(c => names.select(col(c).as("nm")))
+      .reduce(_ union _).na.drop().distinct()
+    val n = corpus.count().toDouble
+    val words = corpus
+      .select(explode(array_distinct(
+        regexp_extract_all(col("nm"), lit("\\w\\w+"), lit(0)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("df"))
       .filter(col("df") >= math.max(commonThreshold * n, 1.0))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
+    val vc = words.filter(_._2 >= veryCommonThreshold * n).map(_._1).toSet
     VocabularyModel(
-      veryCommon = words.filter(_._2 >= veryCommonThreshold * n).map(_._1).toSet,
-      common     = words.filter(_._2 >= commonThreshold * n).map(_._1).toSet)
+      veryCommon = vc,
+      common     = words.map(_._1).toSet -- vc)
   }
 }

@@ -1,11 +1,10 @@
 package graft.idx
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Cols
-import graft.operators.GlobalRank
+import graft.operators.{GlobalRank, TopN}
 
 /** Sorted Neighbourhood Indexing.
   *
@@ -23,29 +22,46 @@ import graft.operators.GlobalRank
   * GT names are capped at `maxGtPerName` rows per identical name with a
   * deterministic ordering (reference uses F.rand() — we order by uid so the
   * result is reproducible; spark_indexing_utils.py:158-196).
+  *
+  * `mappingFunc` mirrors the reference's SNI `mapping_func` hook
+  * (spark_sni.py:100-121): when set, names are sorted by the mapped value
+  * (e.g. reversed strings for suffix-oriented neighbourhoods) instead of the
+  * raw preprocessed name. Output pairs are unchanged in shape.
   */
 final class SniIndexer(
     val window: Int = 3,
     val maxGtPerName: Int = 10,
     val uidCol: String = Cols.Uid,
     val gtUidCol: String = Cols.GtUid,
-    val inputCol: String = Cols.Preprocessed) extends NameIndexer with Serializable {
+    val inputCol: String = Cols.Preprocessed,
+    val mappingFunc: Option[String => String] = None) extends NameIndexer with Serializable {
 
   def fit(gt: DataFrame): SniIndexerModel = {
-    val w = Window.partitionBy(inputCol).orderBy(col(gtUidCol))
-    val deduped = gt
-      .select(col(uidCol).cast("long").as(gtUidCol), col(inputCol))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxGtPerName)
-      .drop("__rn")
+    val deduped = TopN.takeTopNPerGroup(
+        gt.select(col(uidCol).cast("long").as(gtUidCol), col(inputCol)),
+        n = maxGtPerName, groupCols = Seq(inputCol), orderBy = Seq(col(gtUidCol)),
+        keepRankCol = false)
     new SniIndexerModel(this, deduped)
   }
 }
 
 final class SniIndexerModel(val indexer: SniIndexer, val gt: DataFrame) extends NameIndexerModel {
 
+  /** Sort key column: the mapped name when a mappingFunc is set, else the
+    * preprocessed name itself (spark_sni.py:109-114).
+    */
+  private def sniKey(in: Column): Column = indexer.mappingFunc match {
+    case Some(f) => udf(f).apply(in)
+    case None    => in
+  }
+
   /** names(uid, preprocessed) -> (uid, gt_uid, score, rank).
     * rank = |offset| (0 is an exact name hit).
+    *
+    * The rank relation is materialized ONCE (localCheckpoint) before the 2w+1
+    * offset joins — without it every offset join replays the full global sort
+    * (the reference caches here too, spark_sni.py:241). `ranked` is cached only
+    * while gt/nm ranks materialize, then released.
     */
   def transform(names: DataFrame): DataFrame = {
     val in  = indexer.inputCol
@@ -53,10 +69,18 @@ final class SniIndexerModel(val indexer: SniIndexer, val gt: DataFrame) extends 
     val nm  = names.select(col(indexer.uidCol).cast("long"), col(in))
 
     val allNames = gt.select(col(in)).union(nm.select(col(in))).distinct()
-    val ranked   = GlobalRank.withGlobalRank(allNames, "r", Seq(in)).select(in, "r")
+      .select(sniKey(col(in)).as("__sni"))
+      .distinct()
+    val ranked = GlobalRank.withGlobalRank(allNames, "r", Seq("__sni"))
+      .select("__sni", "r").cache()
 
-    val gtRanked = gt.join(ranked, in).select(col(indexer.gtUidCol), col("r").as("gt_r"), col(in).as("gt_nm"))
-    val nmRanked = nm.join(ranked, in).select(col(indexer.uidCol), col("r"))
+    val gtRanked = gt.withColumn("__sni", sniKey(col(in))).join(ranked, "__sni")
+      .select(col(indexer.gtUidCol), col("r").as("gt_r"), col(in).as("gt_nm"))
+      .localCheckpoint()
+    val nmRanked = nm.withColumn("__sni", sniKey(col(in))).join(ranked, "__sni")
+      .select(col(indexer.uidCol), col("r"))
+      .localCheckpoint()
+    ranked.unpersist()
 
     val joined = (-w to w).map { off =>
       nmRanked.join(gtRanked, nmRanked("r") + off === gtRanked("gt_r"))

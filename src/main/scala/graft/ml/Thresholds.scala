@@ -37,6 +37,14 @@ object Thresholds {
         greatest(col("tp") + col("fn"), lit(1L)).cast("double"))
       .withColumn("tnr", col("tn").cast("double") /
         greatest(col("tn") + col("fp"), lit(1L)).cast("double"))
+      // named metrics of the reference's threshold decision
+      // (base_entity_matching.py:241-244): fullrecall = TP over ALL names to
+      // match (not just labeled positives); predicted_matches_rate = fraction
+      // of names predicted as a match at this threshold
+      .withColumn("fullrecall", col("tp").cast("double") /
+        greatest(col("tp") + col("fp") + col("tn") + col("fn"), lit(1L)).cast("double"))
+      .withColumn("predicted_matches_rate", (col("tp") + col("fp")).cast("double") /
+        greatest(col("tp") + col("fp") + col("tn") + col("fn"), lit(1L)).cast("double"))
   }
 
   /** Smallest threshold whose `metric` is >= target (driver-side on the tiny

@@ -26,15 +26,50 @@ object TrainData {
         col(Cols.GtUid).isNotNull &&
           col(Cols.EntityId) === col(Cols.gt(Cols.EntityId)))
 
-  /** Deterministic grouped split (replaces StratifiedGroupKFold): every row
-    * of a group lands on the same side; assignment by group hash. Seeded and
-    * reproducible — no RNG state, so it's identical on any cluster layout.
+  /** Deterministic grouped split: every row of a group lands on the same
+    * side; assignment by group hash. Seeded and reproducible — no RNG state,
+    * so it's identical on any cluster layout.
     */
   def groupedSplit(df: DataFrame, groupCol: String, testFraction: Double = 0.25,
                    seed: Int = 42): (DataFrame, DataFrame) = {
     val bucket = pmod(xxhash64(col(groupCol), lit(seed)), lit(1000L))
     val isTest = bucket < (testFraction * 1000).toLong
     (df.filter(!isTest), df.filter(isTest))
+  }
+
+  /** Deterministic STRATIFIED grouped split, replacing the reference's
+    * StratifiedGroupKFold (base_supervised_model.py:201-266, stratified on
+    * correct + no_candidate + positive_set): groups keep all their rows on
+    * one side, and within each stratum the test fraction is met exactly (not
+    * just in expectation — plain hashing skews label ratios on small
+    * training sets).
+    *
+    * Mechanics: each group gets a stratum label (the lexicographic min of its
+    * rows' concatenated strata values — deterministic even for mixed groups,
+    * where the reference's y is also ambiguous), groups are ordered inside
+    * each stratum by seeded hash, and the first `testFraction` quantile goes
+    * to test. The quantile runs on the GROUPS table (one row per group), so
+    * the per-stratum window sorts |groups|, not |rows|; the row-level side is
+    * one hash join against that table.
+    */
+  def stratifiedGroupedSplit(df: DataFrame, groupCol: String,
+                             strataCols: Seq[String],
+                             testFraction: Double = 0.25,
+                             seed: Int = 42): (DataFrame, DataFrame) = {
+    require(strataCols.nonEmpty, "strataCols must be non-empty")
+    val strata = concat_ws("|", strataCols.map(c => col(c).cast("string")): _*)
+    val groupStrata = df.groupBy(groupCol).agg(min(strata).as("__stratum"))
+    val w = Window.partitionBy("__stratum")
+      .orderBy(xxhash64(col(groupCol), lit(seed)), col(groupCol))
+    val full = Window.partitionBy("__stratum")
+    // exactly floor(fraction * |stratum groups|) test groups per stratum
+    val assigned = groupStrata
+      .withColumn("__is_test",
+        row_number().over(w) <= floor(lit(testFraction) * count(lit(1)).over(full)))
+      .select(col(groupCol), col("__is_test"))
+    val joined = df.join(assigned, Seq(groupCol))
+    (joined.filter(!col("__is_test")).drop("__is_test"),
+     joined.filter(col("__is_test")).drop("__is_test"))
   }
 
   /** Split positive/negative name sets by entity id (negative_data_creation

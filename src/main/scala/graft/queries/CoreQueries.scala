@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.GlobalRank
+import graft.operators.{GlobalRank, TopN}
 
 /** Core relational operators from SURVEY.md §2 (joins, aggregations, windows,
   * set ops), each as a (SparkSession, sfDir) => DataFrame with a DuckDB oracle.
@@ -167,6 +167,24 @@ object CoreQueries {
                  col("event_type"))
         .agg(count(lit(1)).cast("long").as("n"),
              sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+    },
+
+    // W2 complete: the reference's tie-aware top-n methods
+    // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
+    // (at_least_n_different_order_values), running count (at_most); ties on
+    // l_quantity make the three genuinely differ. row_number (exactly) is
+    // covered by q09.
+    "q51_topn_methods" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      Seq("at_least" -> "at_least",
+          "at_least_n_different_order_values" -> "dense",
+          "at_most" -> "at_most").map { case (m, tag) =>
+        TopN.takeTopNPerGroup(li, n = 2, groupCols = Seq("l_orderkey"),
+            orderBy = Seq(col("l_quantity").desc), method = m, rankCol = "grp_rank")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                  col("grp_rank").cast("long").as("grp_rank"), lit(tag).as("method"))
+      }.reduce(_ union _)
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -255,5 +273,21 @@ object CoreQueries {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
-         FROM events GROUP BY 1, 2""")
+         FROM events GROUP BY 1, 2""",
+    "q51_topn_methods" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_quantity,
+                CAST(rank() OVER w1 AS BIGINT) AS grp_rank, 'at_least' AS method
+         FROM li WINDOW w1 AS (PARTITION BY l_orderkey ORDER BY l_quantity DESC)
+         QUALIFY grp_rank <= 2
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, l_quantity,
+                CAST(dense_rank() OVER w2 AS BIGINT) AS grp_rank, 'dense' AS method
+         FROM li WINDOW w2 AS (PARTITION BY l_orderkey ORDER BY l_quantity DESC)
+         QUALIFY grp_rank <= 2
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, l_quantity,
+                CAST(count(*) OVER w3 AS BIGINT) AS grp_rank, 'at_most' AS method
+         FROM li WINDOW w3 AS (PARTITION BY l_orderkey ORDER BY l_quantity DESC)
+         QUALIFY grp_rank <= 2""")
 }

@@ -9,31 +9,74 @@ import graft.multimodal.BinaryMedia
 
 /** Training-data-pipeline operators: near-dup detection (exact jaccard,
   * MinHash LSH, SimHash), embedding similarity search, multimodal columns.
-  * Probabilistic/hash-dependent outputs (MinHash, SimHash, LSH buckets) have
-  * no SQL oracle -> rows-only driver check; the exact operators have full
-  * DuckDB oracles.
+  *
+  * The hash-dependent operators (MinHash, SimHash, embedding LSH) cannot be
+  * replayed in SQL, so their queries output INVARIANT aggregates that DuckDB
+  * recomputes independently: guaranteed-recall pair counts (identical
+  * payloads always collide in every hashing scheme) and subset-violation
+  * counts against an exact reimplementation (always 0). The exact operators
+  * keep full row-level oracles.
   */
 object DataQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables(s, dir, name)
 
+  /** documents ∪ an id-shifted copy of itself: guarantees every doc has at
+    * least one exact duplicate, making the guaranteed-recall invariants
+    * non-trivial regardless of the natural duplicate rate in the table.
+    */
+  private def doubledDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // exact word-5-gram jaccard near-dup pairs (full oracle)
+    // exact word-5-gram jaccard near-dup pairs (full oracle, skew cap ON and
+    // mirrored in the oracle: sizes and common counts both use the capped
+    // effective shingle set, so the result is exact at any scale)
     "q40_ngram_jaccard_pairs" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
-        k = 5, threshold = 0.5)
+        k = 5, threshold = 0.5, maxDocsPerShingle = 1000)
     },
 
-    // MinHash+LSH banding near-dup, verified by exact shingle jaccard
+    // MinHash+LSH banding: invariants — (a) identical shingle sets have
+    // identical signatures, so every exact-duplicate pair (jaccard = 1) MUST
+    // be reported; (b) verify=true re-checks exact jaccard, so the reported
+    // set is a subset of the exact operator's pairs (violations = 0)
     "q41_minhash_lsh_pairs" -> { (s, dir) =>
-      Dedup.minHashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+      val docs = doubledDocs(s, dir)
+      val lsh = Dedup.minHashLshPairs(docs, "text", "doc_id",
         k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        k = 5, threshold = 0.5, maxDocsPerShingle = 0)
+      val sp = s
+      import sp.implicits._
+      val dupsFound = exact.filter(col("jaccard") === 1.0)
+        .join(lsh, Seq("id_a", "id_b"), "left_semi").count()
+      val subsetViolations = lsh
+        .join(exact, Seq("id_a", "id_b"), "left_anti").count()
+      Seq((dupsFound, subsetViolations))
+        .toDF("n_exact_dup_pairs_found", "subset_violations")
     },
 
-    // SimHash near-dup candidates at hamming distance <= 3
+    // SimHash: identical texts hash to identical fingerprints (hamming 0),
+    // share all four chunk keys, and must be reported; reported hamming never
+    // exceeds the bound
     "q42_simhash_pairs" -> { (s, dir) =>
-      Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+      val docs = doubledDocs(s, dir)
+      val sim = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 3)
+      val sp = s
+      import sp.implicits._
+      val a = docs.toDF("id_a", "text")
+      val b = docs.toDF("id_b", "text")
+      val identicalPairs = a.join(b, "text").filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val identicalFound = identicalPairs
+        .join(sim, Seq("id_a", "id_b"), "left_semi").count()
+      val hammingViolations = sim.filter(col("hamming") > 3).count()
+      Seq((identicalFound, hammingViolations))
+        .toDF("n_identical_text_pairs_found", "hamming_violations")
     },
 
     // brute-force cosine top-k over the embeddings table (full oracle)
@@ -42,9 +85,20 @@ object DataQueries {
       Knn.bruteForceTopK(emb.filter(col("vec_id") < 100), emb, k = 5)
     },
 
-    // random-hyperplane LSH bucketed near-dup over embeddings
+    // banded random-hyperplane LSH: reported pairs are exact-cosine-verified,
+    // so they are a subset of the exact threshold join (violations = 0); the
+    // exact pair count itself is DuckDB-checkable
     "q44_ann_lsh_pairs" -> { (s, dir) =>
-      Knn.lshCosinePairs(t(s, dir, "embeddings"), nBits = 6, minCosine = 0.35)
+      val emb = t(s, dir, "embeddings")
+      val lsh = Knn.lshCosinePairs(emb, nBands = 8, bitsPerBand = 4,
+        minCosine = 0.35)
+      val exact = Knn.exactCosinePairs(emb, minCosine = 0.35)
+      val sp = s
+      import sp.implicits._
+      val nExact = exact.count()
+      val subsetViolations = lsh
+        .join(exact, Seq("id_a", "id_b"), "left_anti").count()
+      Seq((nExact, subsetViolations)).toDF("n_exact_pairs", "subset_violations")
     },
 
     // multimodal: binary payload + metadata struct (oracle on byte stats)
@@ -57,34 +111,66 @@ object DataQueries {
         col("meta.width").as("width"))
     },
 
-    // multimodal: stubbed decode -> feature vector (plumbing; rows-only)
+    // multimodal: stubbed decode -> 16-bin byte histogram; the dominant bin
+    // (argmax, first index on ties) is recomputed by DuckDB from the hex
+    // encoding, oracle-checking the whole decode plumbing end to end
     "q46_media_features" -> { (s, dir) =>
       val media = BinaryMedia.attach(t(s, dir, "documents"), "doc_id", "text")
       BinaryMedia.extractFeatures(media)
         .select(col("media_id"), col("n_bytes"),
-                size(col("features")).as("feat_dim"))
+                size(col("features")).as("feat_dim"),
+                (array_position(col("features"), array_max(col("features"))) - 1)
+                  .cast("int").as("top_bin"))
     })
 
-  val oracleSql: Map[String, String] = Map(
-    "q40_ngram_jaccard_pairs" ->
-      """WITH words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
-         sh AS (
-           SELECT doc_id, unnest(list_distinct(
-             CASE WHEN len(ws) >= 5
-                  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
-                  ELSE [array_to_string(ws, ' ')] END)) AS s
-           FROM words),
-         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
+  private val doubledDocsSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 1000000, text FROM documents"""
+
+  /** Shingle CTE chain shared by the jaccard oracles; cap <= 0 disables the
+    * skew filter.
+    */
+  private def jaccardSql(docsRel: String, cap: Int, threshold: Double): String = {
+    val capFilter =
+      if (cap > 0) s"WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > $cap)"
+      else ""
+    s"""WITH docs AS ($docsRel),
+       words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM docs),
+       sh AS (
+         SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(ws) >= 5
+                THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+                ELSE [array_to_string(ws, ' ')] END)) AS s
+         FROM words),
+       eff AS (SELECT doc_id, s FROM sh $capFilter),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM eff GROUP BY doc_id),
+       common AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         FROM eff a JOIN eff b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
          SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
                 CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
          FROM common
          JOIN sizes sa ON sa.doc_id = id_a
          JOIN sizes sb ON sb.doc_id = id_b
-         WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5""",
+         WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= $threshold)"""
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_ngram_jaccard_pairs" ->
+      (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
+       " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
+    "q41_minhash_lsh_pairs" ->
+      (jaccardSql(doubledDocsSql, 0, 0.5) +
+       """ SELECT CAST(count(*) AS BIGINT) AS n_exact_dup_pairs_found,
+             CAST(0 AS BIGINT) AS subset_violations
+           FROM pairs WHERE jaccard = 1.0"""),
+    "q42_simhash_pairs" ->
+      s"""WITH docs AS ($doubledDocsSql)
+          SELECT CAST(count(*) AS BIGINT) AS n_identical_text_pairs_found,
+                 CAST(0 AS BIGINT) AS hamming_violations
+          FROM docs a JOIN docs b ON a.text = b.text AND a.doc_id < b.doc_id""",
     "q43_ann_bruteforce" ->
       """SELECT query_id, target_id, cosine, rank FROM (
            SELECT q.vec_id AS query_id, t.vec_id AS target_id,
@@ -95,10 +181,34 @@ object DataQueries {
            FROM embeddings q CROSS JOIN embeddings t
            WHERE q.vec_id < 100)
          WHERE rank <= 5""",
+    "q44_ann_lsh_pairs" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+                CAST(0 AS BIGINT) AS subset_violations
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) >= 0.35""",
     "q45_media_stats" ->
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) AS INT) AS n_bytes,
          'text/plain' AS format,
          CAST(octet_length(encode(text)) % 640 AS INT) AS width
-         FROM documents""")
+         FROM documents""",
+    "q46_media_features" ->
+      """WITH b AS (
+           SELECT doc_id, upper(hex(encode(text))) AS h,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         nib AS (
+           SELECT doc_id, n,
+                  strpos('0123456789ABCDEF', substr(h, 2 * unnest(range(n)) + 1, 1)) - 1 AS bin
+           FROM b),
+         counts AS (SELECT doc_id, n, bin, count(*) AS c FROM nib GROUP BY 1, 2, 3),
+         top AS (
+           SELECT doc_id, n, bin,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bin) AS rn
+           FROM counts)
+         SELECT b.doc_id AS media_id, CAST(b.n AS INT) AS n_bytes,
+                16 AS feat_dim,
+                CAST(coalesce(t.bin, 0) AS INT) AS top_bin
+         FROM b LEFT JOIN (SELECT doc_id, bin FROM top WHERE rn = 1) t
+           ON b.doc_id = t.doc_id""")
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Cols
 import graft.agg.EntityAggregation
-import graft.features.PairFeatures
+import graft.features.{PairFeatures, Vocabulary}
 import graft.idx.CosSimIndexer
 
 /** Pair-feature extraction, best-match window, and account aggregation
@@ -35,6 +35,21 @@ object FeatureQueries {
         .select(Cols.Uid, Cols.GtUid, "abs_len_diff", "len_ratio", "name_cut",
                 "norm_ed", "norm_jaro", "n_overlap_words", "num_word_difference",
                 "ratio_overlap_words")
+    },
+
+    // A4+N6: vocabulary fit (df-threshold word tiers) + the 6 tier hit/miss
+    // pair features (features_vocabulary.py:36-165), both recomputed exactly
+    // by the DuckDB oracle with list ops
+    "q38_vocabulary_features" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("txt"))
+      val vocab = Vocabulary.fit(docs, Seq("txt"),
+        veryCommonThreshold = 0.1, commonThreshold = 0.01)
+      val pairs = docs.toDF("id_a", "nm")
+        .join(docs.toDF("id_b", "gnm"), col("id_a") + 1 === col("id_b"))
+      vocab.withPairFeatures(pairs, "nm", "gnm")
+        .select(Seq(col("id_a"), col("id_b")) ++
+          vocab.featureNames.map(col): _*)
     },
 
     // W1+P3: nm_score best-match ranking + top-n filter over cossim candidates
@@ -77,6 +92,33 @@ object FeatureQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q38_vocabulary_features" ->
+      """WITH corpus AS (SELECT DISTINCT lower(text) AS txt FROM documents WHERE text IS NOT NULL),
+         nn AS (SELECT count(*) AS n FROM corpus),
+         wd AS (SELECT txt, unnest(list_distinct(regexp_extract_all(txt, '\w\w+'))) AS w FROM corpus),
+         dfc AS (SELECT w, count(*) AS df FROM wd GROUP BY w),
+         vc AS (SELECT coalesce(list(w), CAST([] AS VARCHAR[])) AS ws FROM dfc, nn WHERE df >= 0.1 * nn.n),
+         cm AS (SELECT coalesce(list(w), CAST([] AS VARCHAR[])) AS ws FROM dfc, nn WHERE df >= 0.01 * nn.n AND df < 0.1 * nn.n),
+         vocab AS (SELECT coalesce(list(w), CAST([] AS VARCHAR[])) AS ws FROM dfc, nn WHERE df >= 0.01 * nn.n),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  list_distinct(regexp_extract_all(lower(a.text), '\w\w+')) AS la,
+                  list_distinct(regexp_extract_all(lower(b.text), '\w\w+')) AS lb
+           FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id),
+         hm AS (
+           SELECT id_a, id_b,
+                  list_distinct(list_intersect(la, lb)) AS hits,
+                  list_filter(list_distinct(list_concat(la, lb)),
+                              x -> NOT list_contains(list_intersect(la, lb), x)) AS misses
+           FROM pairs)
+         SELECT id_a, id_b,
+           CAST(len(list_intersect(hits, vc.ws)) AS INT) AS very_common_hit,
+           CAST(len(list_intersect(hits, cm.ws)) AS INT) AS common_hit,
+           CAST(len(hits) - len(list_intersect(hits, vocab.ws)) AS INT) AS rare_hit,
+           CAST(len(list_intersect(misses, vc.ws)) AS INT) AS very_common_miss,
+           CAST(len(list_intersect(misses, cm.ws)) AS INT) AS common_miss,
+           CAST(len(misses) - len(list_intersect(misses, vocab.ws)) AS INT) AS rare_miss
+         FROM hm, vc, cm, vocab""",
     "q34_pair_features" ->
       """WITH a AS (SELECT p_partkey AS uid, p_name AS nm, p_brand FROM part WHERE p_partkey < 100),
          b AS (SELECT p_partkey AS gt_uid, p_name AS gnm, p_brand FROM part)

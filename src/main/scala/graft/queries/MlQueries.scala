@@ -57,6 +57,34 @@ object MlQueries {
       val sp = s
       import sp.implicits._
       Seq((total, overlap)).toDF("total_rows", "overlapping_groups")
+    },
+
+    // M3 stratified: per-stratum test-group counts are EXACTLY
+    // floor(fraction * stratum size) — the oracle recomputes stratum sizes
+    // (min of each group's concatenated strata values) and the expected test
+    // total in SQL; group disjointness and row preservation as in q49
+    "q50_stratified_split" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val (train, test) = TrainData.stratifiedGroupedSplit(
+        orders, "o_custkey", Seq("o_orderpriority"), testFraction = 0.25)
+      val trainGroups = train.select("o_custkey").distinct()
+      val testGroups  = test.select("o_custkey").distinct()
+      val overlap = trainGroups.join(testGroups, "o_custkey").count()
+      val total   = train.count() + test.count()
+      // per-stratum violation count: |test groups| != floor(0.25 * |groups|)
+      val strata = orders.groupBy("o_custkey")
+        .agg(min(col("o_orderpriority").cast("string")).as("stratum"))
+      val expected = strata.groupBy("stratum")
+        .agg(floor(lit(0.25) * count(lit(1))).as("expected_test"))
+      val actual = strata.join(testGroups, Seq("o_custkey"), "left_semi")
+        .groupBy("stratum").agg(count(lit(1)).as("actual_test"))
+      val violations = expected.join(actual, Seq("stratum"), "left_outer")
+        .filter(coalesce(col("actual_test"), lit(0L)) =!= col("expected_test"))
+        .count()
+      val sp = s
+      import sp.implicits._
+      Seq((total, overlap, violations))
+        .toDF("total_rows", "overlapping_groups", "stratum_violations")
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -73,7 +101,9 @@ object MlQueries {
          SELECT threshold, tp, fp, tn, fn,
            CAST(tp AS DOUBLE) / CAST(greatest(tp + fp, 1) AS DOUBLE) AS precision,
            CAST(tp AS DOUBLE) / CAST(greatest(tp + fn, 1) AS DOUBLE) AS recall,
-           CAST(tn AS DOUBLE) / CAST(greatest(tn + fp, 1) AS DOUBLE) AS tnr
+           CAST(tn AS DOUBLE) / CAST(greatest(tn + fp, 1) AS DOUBLE) AS tnr,
+           CAST(tp AS DOUBLE) / CAST(greatest(tp + fp + tn + fn, 1) AS DOUBLE) AS fullrecall,
+           CAST(tp + fp AS DOUBLE) / CAST(greatest(tp + fp + tn + fn, 1) AS DOUBLE) AS predicted_matches_rate
          FROM counts""",
     "q48_negative_rerank" ->
       """WITH labeled AS (
@@ -95,5 +125,10 @@ object MlQueries {
     "q49_grouped_split_sizes" ->
       """SELECT CAST(count(*) AS BIGINT) AS total_rows,
                 CAST(0 AS BIGINT) AS overlapping_groups
+         FROM orders""",
+    "q50_stratified_split" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+                CAST(0 AS BIGINT) AS overlapping_groups,
+                CAST(0 AS BIGINT) AS stratum_violations
          FROM orders""")
 }

@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.FuzzyMatch
 import graft.preprocess.Preprocessor
 
 /** Text-analysis operators (preprocessing, dedup, token stats, language id,
@@ -14,7 +13,7 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables(s, dir, name)
 
-  private val jaroUdf = udf((a: String, b: String) => FuzzyMatch.jaro(a, b))
+  private val jaroUdf = graft.features.PairFeatures.jaroUdf
 
   /** Language-id heuristic: stopword-hit counts per language, argmax with a
     * fixed priority order on ties. Pure regexp_count expressions (codegen'd,

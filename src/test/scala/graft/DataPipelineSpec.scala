@@ -58,8 +58,25 @@ class DataPipelineSpec extends SparkSpec {
 
   test("lsh cosine pairs only reports bucket-mates above threshold") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    val out = Knn.lshCosinePairs(emb, nBits = 8, minCosine = 0.3)
+    val out = Knn.lshCosinePairs(emb, nBands = 4, bitsPerBand = 2, minCosine = 0.3)
     assert(out.filter(col("cosine") < 0.3).count() == 0)
+  }
+
+  test("banded lsh recall covers brute-force top-1 neighbours on a seeded fixture") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 200)
+    // ground truth: mutual high-cosine pairs from the exact kernel
+    val exact = Knn.bruteForceTopK(emb, emb, k = 2, excludeSelf = true)
+      .filter(col("rank") === 1 && col("cosine") >= 0.5)
+      .select(least(col("query_id"), col("target_id")).as("id_a"),
+              greatest(col("query_id"), col("target_id")).as("id_b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Knn.lshCosinePairs(emb, nBands = 16, bitsPerBand = 4, minCosine = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16 bands x 4 bits: collision prob for cosine>=0.5 pairs is high; on the
+    // seeded fixture the banded index must recover at least 80% of the exact
+    // top-1 pairs (the old single-signature variant recovered far fewer)
+    if (exact.nonEmpty)
+      assert(lsh.intersect(exact).size >= (0.8 * exact.size).floor.toInt)
   }
 
   test("media plumbing: attach, features, resize, frames") {
