@@ -229,4 +229,104 @@ object Knn {
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** IVF (inverted-file) coarse quantizer: seeded k-means centroids over the
+    * target set (optionally fit on a sample — at 100 TB the quantizer is
+    * always trained on a sample; assignment stays exact and full-data).
+    * Returns packed row-major centroids [nLists x dim].
+    */
+  def ivfFit(targets: DataFrame, nLists: Int, seed: Long = 42L,
+             maxIter: Int = 10, fitSample: Double = 1.0,
+             vecCol: String = "embedding"): Array[Double] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val fitDf = (if (fitSample < 1.0) targets.sample(fitSample, seed) else targets)
+      .select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
+      .fit(fitDf)
+    val centers = model.clusterCenters
+    val dim = centers.headOption.map(_.size).getOrElse(0)
+    val packed = new Array[Double](centers.length * dim)
+    var i = 0
+    while (i < centers.length) {
+      val c = centers(i).toArray
+      System.arraycopy(c, 0, packed, i * dim, dim)
+      i += 1
+    }
+    packed
+  }
+
+  /** IVF top-k ANN search.
+    *
+    * Targets are assigned (map-only) to their nearest centroid's inverted
+    * list; each query probes its `nProbe` nearest lists and is scored only
+    * against those buckets — ONE shuffle join on `list_id` instead of a full
+    * cross product. At scale the target side is written bucketed by
+    * `list_id`, so the join co-locates without re-shuffling targets and a
+    * query touches nProbe/nLists of the corpus.
+    *
+    * Scoring uses the same round-9 cosine + (cosine DESC, target_id ASC)
+    * ordering as [[bruteForceTopK]], so with nProbe = nLists the result is
+    * bit-identical to brute force (quantization only ever affects recall,
+    * never reported scores) — that exhaustive-probe equality is the oracle
+    * for the plumbing, and partial-probe recall is checked in unit tests.
+    */
+  def ivfTopK(queries: DataFrame, targets: DataFrame, k: Int,
+              nLists: Int = 64, nProbe: Int = 8, seed: Long = 42L,
+              maxIter: Int = 10, fitSample: Double = 1.0,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = ivfFit(targets, nLists, seed, maxIter, fitSample, vecCol)
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val nL = if (centroids.isEmpty) 1 else nLists
+    val nP = math.min(nProbe, nL)
+
+    // squared-L2 distances to all centroids; top-`take` nearest list ids
+    def nearestLists(take: Int) = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      val dim = if (nL == 0) 0 else cs.length / nL
+      val dists = new Array[Double](nL)
+      var c = 0
+      while (c < nL) {
+        var s = 0.0
+        var d = 0
+        val off = c * dim
+        val n = math.min(dim, v.length)
+        while (d < n) { val x = v(d) - cs(off + d); s += x * x; d += 1 }
+        dists(c) = s
+        c += 1
+      }
+      (0 until nL).sortBy(i => (dists(i), i)).take(take)
+    }
+    val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var d = 0
+      val n = math.min(a.length, b.length)
+      while (d < n) {
+        dot += a(d).toDouble * b(d).toDouble
+        na += a(d).toDouble * a(d).toDouble
+        nb += b(d).toDouble * b(d).toDouble
+        d += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else round9(dot / math.sqrt(na * nb))
+    }
+
+    val assigned = targets.select(
+      element_at(nearestLists(1)(col(vecCol)), 1).as("list_id"),
+      col(idCol).cast("long").as("target_id"), col(vecCol).as("tv"))
+    val probed = queries.select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"),
+      explode(nearestLists(nP)(col(vecCol))).as("list_id"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("target_id"))
+    probed.join(assigned, "list_id")
+      .filter(if (excludeSelf) col("query_id") =!= col("target_id") else lit(true))
+      .withColumn("cosine", cosUdf(col("qv"), col("tv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "target_id", "cosine", "rank")
+  }
 }

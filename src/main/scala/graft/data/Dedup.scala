@@ -172,4 +172,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Embedding-cosine near-duplicate grouping (star clustering).
+    *
+    * Candidate pairs at cosine >= minCosine come from either the exact
+    * all-pairs threshold kernel (broadcastable corpora) or the banded
+    * random-hyperplane LSH path ([[graft.ann.Knn.lshCosinePairs]]) beyond
+    * broadcast scale. Each vector is then assigned a canonical representative:
+    * the smallest id among itself and its smaller-id neighbours. One
+    * aggregation + one left join — no iterative closure (full connected
+    * components needs iterative joins; single-pass star clustering is the
+    * standard dedup compromise at scale, and is what makes the result
+    * deterministic and SQL-replayable).
+    *
+    * Output: (idCol, rep_id, is_dup); `is_dup` rows are the ones a dedup
+    * pipeline drops, keeping one representative per star.
+    */
+  def embeddingNearDup(df: DataFrame, minCosine: Double = 0.9,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       exact: Boolean = true): DataFrame = {
+    val pairs =
+      if (exact) graft.ann.Knn.exactCosinePairs(df, minCosine, idCol, vecCol)
+      else graft.ann.Knn.lshCosinePairs(df, minCosine = minCosine,
+        idCol = idCol, vecCol = vecCol)
+    // pairs have id_a < id_b, so a vector's smaller-id neighbours all appear
+    // on the id_a side: one hash agg gives the minimum
+    val minNbr = pairs.groupBy(col("id_b").as(idCol))
+      .agg(min(col("id_a")).as("min_nbr"))
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(minNbr, Seq(idCol), "left")
+      .withColumn("rep_id", least(col(idCol), coalesce(col("min_nbr"), col(idCol))))
+      .withColumn("is_dup", col("rep_id") =!= col(idCol))
+      .select(idCol, "rep_id", "is_dup")
+  }
 }

@@ -101,6 +101,22 @@ object DataQueries {
       Seq((nExact, subsetViolations)).toDF("n_exact_pairs", "subset_violations")
     },
 
+    // embedding-cosine near-dup star clustering (full oracle: DuckDB replays
+    // the exact threshold pairs and the min-neighbour rep assignment)
+    "q52_embedding_neardup" -> { (s, dir) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), minCosine = 0.35)
+    },
+
+    // IVF ANN with exhaustive probing: bit-identical to brute force (the
+    // quantizer only affects recall, never scores), so the full q43-style
+    // oracle checks the assign/probe/bucket-join plumbing end to end; partial
+    // probing is covered by unit-test recall invariants
+    "q53_ann_ivf" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Knn.ivfTopK(emb.filter(col("vec_id") < 100), emb, k = 5,
+        nLists = 16, nProbe = 16, seed = 7L)
+    },
+
     // multimodal: binary payload + metadata struct (oracle on byte stats)
     "q45_media_stats" -> { (s, dir) =>
       val media = BinaryMedia.attach(t(s, dir, "documents"), "doc_id", "text", "text/plain")
@@ -186,6 +202,26 @@ object DataQueries {
                 CAST(0 AS BIGINT) AS subset_violations
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) >= 0.35""",
+    "q52_embedding_neardup" ->
+      """WITH pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) >= 0.35),
+         minnbr AS (SELECT id_b AS vec_id, min(id_a) AS min_nbr FROM pairs GROUP BY 1)
+         SELECT e.vec_id,
+                CAST(least(e.vec_id, coalesce(m.min_nbr, e.vec_id)) AS BIGINT) AS rep_id,
+                least(e.vec_id, coalesce(m.min_nbr, e.vec_id)) <> e.vec_id AS is_dup
+         FROM embeddings e LEFT JOIN minnbr m ON e.vec_id = m.vec_id""",
+    "q53_ann_ivf" ->
+      """SELECT query_id, target_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                  round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) AS cosine,
+                  CAST(row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) DESC,
+                                t.vec_id) AS INT) AS rank
+           FROM embeddings q CROSS JOIN embeddings t
+           WHERE q.vec_id < 100)
+         WHERE rank <= 5""",
     "q45_media_stats" ->
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -79,6 +79,46 @@ class DataPipelineSpec extends SparkSpec {
       assert(lsh.intersect(exact).size >= (0.8 * exact.size).floor.toInt)
   }
 
+  test("embedding near-dup star clustering groups mutual neighbours") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f)),  // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.01f, 0.999f, 0.0f)),  // near-dup of 2
+      (4L, Array(0.0f, 0.0f, 1.0f))      // singleton
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(emb, minCosine = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(0L) == (0L, false) && out(1L) == (0L, true))
+    assert(out(2L) == (2L, false) && out(3L) == (2L, true))
+    assert(out(4L) == (4L, false))
+    // LSH path reports a subset of the exact stars: reps never exceed exact's
+    val lsh = Dedup.embeddingNearDup(emb, minCosine = 0.95, exact = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lsh.foreach { case (id, rep) => assert(rep == id || rep == out(id)._1) }
+  }
+
+  test("ivf with exhaustive probing equals brute force; partial probe is exact-subset") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 30)
+    val bf = Knn.bruteForceTopK(queries, emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val full = Knn.ivfTopK(queries, emb, k = 3, nLists = 8, nProbe = 8, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(full == bf) // exhaustive probing is bit-identical to brute force
+    val partial = Knn.ivfTopK(queries, emb, k = 3, nLists = 8, nProbe = 2, seed = 7L)
+      .collect()
+    // partial probing: every reported cosine is the true cosine (never an
+    // estimate), so a reported rank-r score can never beat brute-force rank-r
+    partial.foreach { r =>
+      val bfEntry = bf((r.getLong(0), r.getInt(3)))
+      assert(r.getDouble(2) <= bfEntry._2 + 1e-12)
+    }
+    // self-match lives in the query's own probed list: recall@1 is perfect
+    val top1 = partial.filter(_.getInt(3) == 1)
+    assert(top1.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("media plumbing: attach, features, resize, frames") {
     val media = BinaryMedia.attach(docs, "doc_id", "text", "text/plain")
     assert(media.schema("media").dataType.typeName == "binary")
