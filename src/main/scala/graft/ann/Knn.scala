@@ -230,30 +230,87 @@ object Knn {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** IVF (inverted-file) coarse quantizer: seeded k-means centroids over the
-    * target set (optionally fit on a sample — at 100 TB the quantizer is
-    * always trained on a sample; assignment stays exact and full-data).
-    * Returns packed row-major centroids [nLists x dim].
+  /** IVF (inverted-file) coarse quantizer: seeded Lloyd's k-means over a
+    * bounded sample of the target set, run ON THE DRIVER over primitive
+    * arrays. Quantizer training is deliberately a small-data problem — at
+    * 100 TB one trains on <=maxFitRows sampled vectors (FAISS practice) and
+    * only the ASSIGNMENT is distributed — so a driver loop beats a
+    * multi-job distributed k-means by orders of magnitude in overhead while
+    * producing the same kind of centroids. Deterministic given (data order,
+    * seed). Returns packed row-major centroids + the vector dimension.
     */
   def ivfFit(targets: DataFrame, nLists: Int, seed: Long = 42L,
-             maxIter: Int = 10, fitSample: Double = 1.0,
-             vecCol: String = "embedding"): Array[Double] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val fitDf = (if (fitSample < 1.0) targets.sample(fitSample, seed) else targets)
-      .select(array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
-      .fit(fitDf)
-    val centers = model.clusterCenters
-    val dim = centers.headOption.map(_.size).getOrElse(0)
-    val packed = new Array[Double](centers.length * dim)
+             maxIter: Int = 10, maxFitRows: Int = 100000,
+             vecCol: String = "embedding"): (Array[Double], Int) = {
+    val rows = targets.select(col(vecCol)).limit(maxFitRows).collect()
+    val n = rows.length
+    if (n == 0) return (Array.empty[Double], 0)
+    val dim = rows(0).getSeq[Float](0).length
+    val data = new Array[Double](n * dim)
     var i = 0
-    while (i < centers.length) {
-      val c = centers(i).toArray
-      System.arraycopy(c, 0, packed, i * dim, dim)
+    while (i < n) {
+      val v = rows(i).getSeq[Float](0)
+      var d = 0
+      while (d < dim) { data(i * dim + d) = v(d); d += 1 }
       i += 1
     }
-    packed
+    val k = math.max(1, math.min(nLists, n))
+    // seeded Fisher-Yates prefix: k distinct sample rows as initial centroids
+    val rng = new java.util.Random(seed)
+    val idx = Array.tabulate(n)(identity)
+    var s = 0
+    while (s < k) {
+      val j = s + rng.nextInt(n - s)
+      val t = idx(s); idx(s) = idx(j); idx(j) = t
+      s += 1
+    }
+    val centroids = new Array[Double](k * dim)
+    var c = 0
+    while (c < k) {
+      System.arraycopy(data, idx(c) * dim, centroids, c * dim, dim)
+      c += 1
+    }
+    val sums = new Array[Double](k * dim)
+    val counts = new Array[Int](k)
+    var iter = 0
+    while (iter < maxIter) {
+      java.util.Arrays.fill(sums, 0.0)
+      java.util.Arrays.fill(counts, 0)
+      var p = 0
+      while (p < n) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var cc = 0
+        while (cc < k) {
+          var dist = 0.0
+          var d = 0
+          while (d < dim) {
+            val x = data(p * dim + d) - centroids(cc * dim + d)
+            dist += x * x
+            d += 1
+          }
+          if (dist < bestD) { bestD = dist; best = cc }
+          cc += 1
+        }
+        var d = 0
+        while (d < dim) { sums(best * dim + d) += data(p * dim + d); d += 1 }
+        counts(best) += 1
+        p += 1
+      }
+      var cc = 0
+      while (cc < k) {
+        if (counts(cc) > 0) {
+          var d = 0
+          while (d < dim) {
+            centroids(cc * dim + d) = sums(cc * dim + d) / counts(cc)
+            d += 1
+          }
+        } // empty cluster: keep the previous centroid
+        cc += 1
+      }
+      iter += 1
+    }
+    (centroids, dim)
   }
 
   /** IVF top-k ANN search.
@@ -273,20 +330,19 @@ object Knn {
     */
   def ivfTopK(queries: DataFrame, targets: DataFrame, k: Int,
               nLists: Int = 64, nProbe: Int = 8, seed: Long = 42L,
-              maxIter: Int = 10, fitSample: Double = 1.0,
+              maxIter: Int = 10, maxFitRows: Int = 100000,
               idCol: String = "vec_id", vecCol: String = "embedding",
               excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = ivfFit(targets, nLists, seed, maxIter, fitSample, vecCol)
+    val (centroids, dim) = ivfFit(targets, nLists, seed, maxIter, maxFitRows, vecCol)
     val spark = queries.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
-    val nL = if (centroids.isEmpty) 1 else nLists
+    val nL = if (dim == 0) 1 else centroids.length / dim
     val nP = math.min(nProbe, nL)
 
     // squared-L2 distances to all centroids; top-`take` nearest list ids
     def nearestLists(take: Int) = udf { (v: Seq[Float]) =>
       val cs = bc.value
-      val dim = if (nL == 0) 0 else cs.length / nL
       val dists = new Array[Double](nL)
       var c = 0
       while (c < nL) {

@@ -52,11 +52,13 @@ object Dedup {
     // uncached plan re-explodes (and re-filters) the corpus per consumer
     val filtered = (
       if (maxDocsPerShingle > 0) {
+        // the hot set is tiny by construction (shingles shared by > cap docs),
+        // so the anti-join must broadcast, never sort-merge
         val hot = sh.groupBy("s").agg(count(lit(1)).as("c"))
           .filter(col("c") > maxDocsPerShingle).select("s")
         // explicit select: the using-column join moves "s" to the front, and
         // the downstream toDF renames are positional
-        sh.join(hot, Seq("s"), "left_anti").select("id", "s")
+        sh.join(broadcast(hot), Seq("s"), "left_anti").select("id", "s")
       } else sh
     ).cache()
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))

@@ -48,14 +48,28 @@ object DataQueries {
       val docs = doubledDocs(s, dir)
       val lsh = Dedup.minHashLshPairs(docs, "text", "doc_id",
         k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
-      val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-        k = 5, threshold = 0.5, maxDocsPerShingle = 0)
       val sp = s
       import sp.implicits._
-      val dupsFound = exact.filter(col("jaccard") === 1.0)
-        .join(lsh, Seq("id_a", "id_b"), "left_semi").count()
+      // jaccard = 1 <=> identical shingle SETS: bucket on a sorted-set
+      // fingerprint and confirm with exact array equality — O(dups), never the
+      // O(n²) all-pairs jaccard the oracle-side DuckDB can afford at sf0.01
+      val sh = docs.select(col("doc_id").as("id"),
+          array_sort(Dedup.wordShingles(col("text"), 5)).as("sh"))
+        .withColumn("fp", xxhash64(col("sh"))).cache()
+      val dupPairs = sh.select(col("id").as("id_a"), col("fp"), col("sh").as("sh_a"))
+        .join(sh.select(col("id").as("id_b"), col("fp"), col("sh").as("sh_b")), "fp")
+        .filter(col("id_a") < col("id_b") && col("sh_a") === col("sh_b"))
+        .select("id_a", "id_b")
+      val dupsFound = dupPairs.join(lsh, Seq("id_a", "id_b"), "left_semi").count()
+      // subset check: re-derive each reported pair's jaccard from the shingle
+      // arrays (independent of the minhash path) — O(|reported|)
+      val nCommon = size(array_intersect(col("sh_a"), col("sh_b")))
       val subsetViolations = lsh
-        .join(exact, Seq("id_a", "id_b"), "left_anti").count()
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(nCommon.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - nCommon).cast("double") < 0.5)
+        .count()
       Seq((dupsFound, subsetViolations))
         .toDF("n_exact_dup_pairs_found", "subset_violations")
     },
@@ -90,7 +104,7 @@ object DataQueries {
     // exact pair count itself is DuckDB-checkable
     "q44_ann_lsh_pairs" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val lsh = Knn.lshCosinePairs(emb, nBands = 8, bitsPerBand = 4,
+      val lsh = Knn.lshCosinePairs(emb, nBands = 8, bitsPerBand = 6,
         minCosine = 0.35)
       val exact = Knn.exactCosinePairs(emb, minCosine = 0.35)
       val sp = s
@@ -114,7 +128,7 @@ object DataQueries {
     "q53_ann_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Knn.ivfTopK(emb.filter(col("vec_id") < 100), emb, k = 5,
-        nLists = 16, nProbe = 16, seed = 7L)
+        nLists = 16, nProbe = 16, seed = 7L, maxIter = 5)
     },
 
     // multimodal: binary payload + metadata struct (oracle on byte stats)
