@@ -179,7 +179,12 @@ object Knn {
     * reported pair satisfies cosine >= minCosine — LSH only affects recall.
     *
     * Plan shape mirrors the MinHash path: map-only signatures, posexplode to
-    * (band, key), ONE self-join on the bucket key, dedup, verify.
+    * (band, key), ONE self-join on the bucket key, dedup, verify. Only
+    * (id, band_idx, bk) travels through the band melt and self-join — the
+    * full embedding is joined back PER CANDIDATE PAIR for the verify step,
+    * never duplicated nBands× through the band shuffle. No caching: the
+    * self-join sides share one exchange via ReuseExchange, as do the two
+    * vector-fetch joins.
     */
   def lshCosinePairs(df: DataFrame, nBands: Int = 8, bitsPerBand: Int = 8,
                      seed: Long = 42L, minCosine: Double = 0.9,
@@ -214,17 +219,24 @@ object Knn {
         nb += b(d).toDouble * b(d).toDouble
         d += 1
       }
-      if (na == 0.0 || nb == 0.0) 0.0 else round9(dot / math.sqrt(na * nb))
+      // sqrt(na)*sqrt(nb), not sqrt(na*nb): bit-identical to exactCosinePairs
+      // so the LSH output is a true subset of the exact threshold join
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else round9(dot / denom)
     }
-    // melted to (band_idx, key): candidate generation is ONE self-join
-    val melted = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .select(col("id"), col("v"),
-        posexplode(bandKeysUdf(col("v"))).as(Seq("band_idx", "bk")))
-      .cache()
-    melted.toDF("id_a", "v_a", "band_idx", "bk")
-      .join(melted.toDF("id_b", "v_b", "band_idx", "bk"), Seq("band_idx", "bk"))
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // melted to (id, band_idx, key) ONLY: candidate generation is ONE
+    // self-join that never shuffles the embedding payload
+    val melted = base.select(col("id"),
+      posexplode(bandKeysUdf(col("v"))).as(Seq("band_idx", "bk")))
+    val candidates = melted.toDF("id_a", "band_idx", "bk")
+      .join(melted.toDF("id_b", "band_idx", "bk"), Seq("band_idx", "bk"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(base.toDF("id_a", "v_a"), "id_a")
+      .join(base.toDF("id_b", "v_b"), "id_b")
       .withColumn("cosine", cosUdf(col("v_a"), col("v_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
@@ -241,8 +253,18 @@ object Knn {
     */
   def ivfFit(targets: DataFrame, nLists: Int, seed: Long = 42L,
              maxIter: Int = 10, maxFitRows: Int = 100000,
+             idCol: String = "vec_id",
              vecCol: String = "embedding"): (Array[Double], Int) = {
-    val rows = targets.select(col(vecCol)).limit(maxFitRows).collect()
+    // deterministic bounded sample: seeded-hash order + limit compiles to
+    // TakeOrderedAndProject (per-partition top-K, no full sort/shuffle), so
+    // the sample — and therefore the centroids — is identical on any
+    // partition layout (a bare limit() is plan-dependent)
+    val rows = targets
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
+      .limit(maxFitRows)
+      .select(col("__v"))
+      .collect()
     val n = rows.length
     if (n == 0) return (Array.empty[Double], 0)
     val dim = rows(0).getSeq[Float](0).length
@@ -313,75 +335,239 @@ object Knn {
     (centroids, dim)
   }
 
-  /** IVF top-k ANN search.
+  /** Nearest-centroid selection into `out` (list ids by (L2 dist ASC, idx
+    * ASC) insertion); returns the probe count actually filled. Shared by both
+    * IVF paths so assignment and probing agree bit-for-bit.
+    */
+  private def nearestCentroids(v: Array[Float], centroids: Array[Double],
+                               dim: Int, nL: Int, nP: Int,
+                               out: Array[Int]): Int = {
+    val dists = new Array[Double](nL)
+    var c = 0
+    while (c < nL) {
+      var s = 0.0
+      var d = 0
+      val off = c * dim
+      val n = math.min(dim, v.length)
+      while (d < n) { val x = v(d) - centroids(off + d); s += x * x; d += 1 }
+      dists(c) = s
+      c += 1
+    }
+    var filled = 0
+    c = 0
+    while (c < nL) {
+      // insertion by (dist asc, idx asc); idx tie-break is implied by scan order
+      var pos = filled
+      while (pos > 0 && dists(out(pos - 1)) > dists(c)) pos -= 1
+      if (pos < nP) {
+        var m = math.min(filled, nP - 1)
+        while (m > pos) { out(m) = out(m - 1); m -= 1 }
+        out(pos) = c
+        if (filled < nP) filled += 1
+      }
+      c += 1
+    }
+    filled
+  }
+
+  /** IVF packed target index: per-list CSR blocks over primitive arrays
+    * (ids/data/norms grouped by list, `listPtr` delimiting blocks), plus the
+    * centroids that defined the assignment.
+    */
+  private final case class PackedIvf(
+      listPtr: Array[Int], ids: Array[Long], data: Array[Float],
+      norms: Array[Double], centroids: Array[Double], dim: Int) {
+    def nLists: Int = listPtr.length - 1
+  }
+
+  private def packIvf(targets: DataFrame, centroids: Array[Double], dim: Int,
+                      idCol: String, vecCol: String): PackedIvf = {
+    val collected = targets.select(col(idCol).cast("long"), col(vecCol)).collect()
+    val n = collected.length
+    val nL = if (dim == 0) 1 else centroids.length / dim
+    val assign = new Array[Int](n)
+    val counts = new Array[Int](nL)
+    val one = new Array[Int](1)
+    var i = 0
+    while (i < n) {
+      val v = collected(i).getSeq[Float](1).toArray
+      nearestCentroids(v, centroids, dim, nL, 1, one)
+      assign(i) = one(0)
+      counts(one(0)) += 1
+      i += 1
+    }
+    val listPtr = new Array[Int](nL + 1)
+    var l = 0
+    while (l < nL) { listPtr(l + 1) = listPtr(l) + counts(l); l += 1 }
+    val fill  = new Array[Int](nL)
+    val ids   = new Array[Long](n)
+    val data  = new Array[Float](n * dim)
+    val norms = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val pos = listPtr(assign(i)) + fill(assign(i))
+      fill(assign(i)) += 1
+      ids(pos) = collected(i).getLong(0)
+      val v = collected(i).getSeq[Float](1)
+      var d = 0
+      var nr = 0.0
+      while (d < dim) {
+        val x = v(d); data(pos * dim + d) = x; nr += x.toDouble * x.toDouble; d += 1
+      }
+      norms(pos) = math.sqrt(nr)
+      i += 1
+    }
+    PackedIvf(listPtr, ids, data, norms, centroids, dim)
+  }
+
+  /** IVF top-k ANN search, broadcast kernel.
     *
-    * Targets are assigned (map-only) to their nearest centroid's inverted
-    * list; each query probes its `nProbe` nearest lists and is scored only
-    * against those buckets — ONE shuffle join on `list_id` instead of a full
-    * cross product. At scale the target side is written bucketed by
-    * `list_id`, so the join co-locates without re-shuffling targets and a
-    * query touches nProbe/nLists of the corpus.
+    * The target set is collected once, assigned to its nearest centroid's
+    * inverted list, and broadcast as per-list packed float blocks (the same
+    * packed-primitive shape as [[bruteForceTopK]], just list-partitioned).
+    * Queries stream through a map-only partition kernel: nearest `nProbe`
+    * centroids, then a top-k insertion scan over ONLY those blocks — no
+    * shuffle anywhere, and each query touches ~nProbe/nLists of the corpus.
+    * Same broadcastable-target bound as brute force; beyond it use
+    * [[ivfTopKBucketed]], which keeps the probed join shape distributed.
     *
-    * Scoring uses the same round-9 cosine + (cosine DESC, target_id ASC)
-    * ordering as [[bruteForceTopK]], so with nProbe = nLists the result is
-    * bit-identical to brute force (quantization only ever affects recall,
-    * never reported scores) — that exhaustive-probe equality is the oracle
-    * for the plumbing, and partial-probe recall is checked in unit tests.
+    * Scoring uses the same round-9 cosine, the same `sqrt(na)*sqrt(nb)`
+    * denominator, and the same (cosine DESC, target_id ASC) insertion as
+    * [[bruteForceTopK]], so with nProbe = nLists the result is bit-identical
+    * to brute force (quantization only ever affects recall, never reported
+    * scores) — that exhaustive-probe equality is the oracle for the
+    * plumbing; partial-probe recall is checked in unit tests.
     */
   def ivfTopK(queries: DataFrame, targets: DataFrame, k: Int,
               nLists: Int = 64, nProbe: Int = 8, seed: Long = 42L,
               maxIter: Int = 10, maxFitRows: Int = 100000,
               idCol: String = "vec_id", vecCol: String = "embedding",
               excludeSelf: Boolean = false): DataFrame = {
+    val (centroids, dim) = ivfFit(targets, nLists, seed, maxIter, maxFitRows, idCol, vecCol)
+    val packed = packIvf(targets, centroids, dim, idCol, vecCol)
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(packed)
+    val nP = math.min(nProbe, packed.nLists)
+
+    val rdd = queries.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
+      val ivf = bc.value
+      val d = ivf.dim
+      val probes = new Array[Int](math.max(nP, 1))
+      it.flatMap { r =>
+        val qid = r.getLong(0)
+        val q   = r.getSeq[Float](1).toArray
+        var qn  = 0.0
+        var j = 0
+        while (j < d && j < q.length) { qn += q(j).toDouble * q(j).toDouble; j += 1 }
+        val qNorm = math.sqrt(qn)
+        val nProbes = nearestCentroids(q, ivf.centroids, d, ivf.nLists, nP, probes)
+        val bestS = new Array[Double](k)
+        val bestT = new Array[Int](k)
+        var nBest = 0
+        var p = 0
+        while (p < nProbes) {
+          val list = probes(p)
+          var ti = ivf.listPtr(list)
+          val end = ivf.listPtr(list + 1)
+          while (ti < end) {
+            if (!(excludeSelf && ivf.ids(ti) == qid)) {
+              var dot = 0.0
+              var dd  = 0
+              val off = ti * d
+              while (dd < d) { dot += q(dd).toDouble * ivf.data(off + dd).toDouble; dd += 1 }
+              val denom = qNorm * ivf.norms(ti)
+              val s = if (denom == 0.0) 0.0 else round9(dot / denom)
+              var pos = nBest
+              while (pos > 0 && {
+                val ps = bestS(pos - 1)
+                ps < s || (ps == s && ivf.ids(bestT(pos - 1)) > ivf.ids(ti))
+              }) pos -= 1
+              if (pos < k) {
+                var m = math.min(nBest, k - 1)
+                while (m > pos) { bestS(m) = bestS(m - 1); bestT(m) = bestT(m - 1); m -= 1 }
+                bestS(pos) = s; bestT(pos) = ti
+                if (nBest < k) nBest += 1
+              }
+            }
+            ti += 1
+          }
+          p += 1
+        }
+        (0 until nBest).iterator.map(idx => Row(qid, ivf.ids(bestT(idx)), bestS(idx), idx + 1))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** IVF top-k beyond broadcast scale: targets are assigned (map-only kernel)
+    * to their nearest list, queries probe their `nProbe` lists, and scoring
+    * happens after ONE shuffle join on `list_id` — at scale the target side
+    * is written bucketed by `list_id` so the join co-locates without
+    * re-shuffling targets. Assignment, probing and the cosine all run in
+    * mapPartitions kernels over primitive arrays (no per-row UDF); only the
+    * final cross-list top-k needs a window. Bit-identical to [[ivfTopK]]
+    * (same centroid selection, same denominator, same ordering).
+    */
+  def ivfTopKBucketed(queries: DataFrame, targets: DataFrame, k: Int,
+                      nLists: Int = 64, nProbe: Int = 8, seed: Long = 42L,
+                      maxIter: Int = 10, maxFitRows: Int = 100000,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (centroids, dim) = ivfFit(targets, nLists, seed, maxIter, maxFitRows, vecCol)
+    val (centroids, dim) = ivfFit(targets, nLists, seed, maxIter, maxFitRows, idCol, vecCol)
     val spark = queries.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
     val nL = if (dim == 0) 1 else centroids.length / dim
     val nP = math.min(nProbe, nL)
 
-    // squared-L2 distances to all centroids; top-`take` nearest list ids
-    def nearestLists(take: Int) = udf { (v: Seq[Float]) =>
-      val cs = bc.value
-      val dists = new Array[Double](nL)
-      var c = 0
-      while (c < nL) {
-        var s = 0.0
-        var d = 0
-        val off = c * dim
-        val n = math.min(dim, v.length)
-        while (d < n) { val x = v(d) - cs(off + d); s += x * x; d += 1 }
-        dists(c) = s
-        c += 1
+    def withLists(df: DataFrame, take: Int, outId: String, outVec: String): DataFrame = {
+      val schema = StructType(Seq(
+        StructField("list_id", IntegerType, nullable = false),
+        StructField(outId, LongType, nullable = false),
+        StructField(outVec, ArrayType(FloatType), nullable = true)))
+      val rdd = df.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
+        val cs = bc.value
+        val probes = new Array[Int](math.max(take, 1))
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val v  = r.getSeq[Float](1)
+          val nFilled = nearestCentroids(v.toArray, cs, dim, nL, take, probes)
+          (0 until nFilled).iterator.map(i => Row(probes(i), id, v))
+        }
       }
-      (0 until nL).sortBy(i => (dists(i), i)).take(take)
-    }
-    val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var d = 0
-      val n = math.min(a.length, b.length)
-      while (d < n) {
-        dot += a(d).toDouble * b(d).toDouble
-        na += a(d).toDouble * a(d).toDouble
-        nb += b(d).toDouble * b(d).toDouble
-        d += 1
-      }
-      if (na == 0.0 || nb == 0.0) 0.0 else round9(dot / math.sqrt(na * nb))
+      spark.createDataFrame(rdd, schema)
     }
 
-    val assigned = targets.select(
-      element_at(nearestLists(1)(col(vecCol)), 1).as("list_id"),
-      col(idCol).cast("long").as("target_id"), col(vecCol).as("tv"))
-    val probed = queries.select(
-      col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"),
-      explode(nearestLists(nP)(col(vecCol))).as("list_id"))
+    val assigned = withLists(targets, 1, "target_id", "tv")
+    val probed   = withLists(queries, nP, "query_id", "qv")
 
+    val joined = probed.join(assigned, "list_id")
+      .filter(if (excludeSelf) col("query_id") =!= col("target_id") else lit(true))
+    val scoreSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("target_id", LongType, nullable = false),
+      StructField("cosine", DoubleType, nullable = false)))
+    val scored = spark.createDataFrame(
+      joined.select("query_id", "qv", "target_id", "tv").rdd.mapPartitions { it =>
+        it.map { r =>
+          val a = r.getSeq[Float](1)
+          val b = r.getSeq[Float](3)
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var d = 0
+          val n = math.min(a.length, b.length)
+          while (d < n) {
+            dot += a(d).toDouble * b(d).toDouble
+            na += a(d).toDouble * a(d).toDouble
+            nb += b(d).toDouble * b(d).toDouble
+            d += 1
+          }
+          val denom = math.sqrt(na) * math.sqrt(nb)
+          Row(r.getLong(0), r.getLong(2), if (denom == 0.0) 0.0 else round9(dot / denom))
+        }
+      }, scoreSchema)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("target_id"))
-    probed.join(assigned, "list_id")
-      .filter(if (excludeSelf) col("query_id") =!= col("target_id") else lit(true))
-      .withColumn("cosine", cosUdf(col("qv"), col("tv")))
-      .withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "target_id", "cosine", "rank")
   }

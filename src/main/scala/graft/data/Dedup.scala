@@ -1,6 +1,7 @@
 package graft.data
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Cols
@@ -10,6 +11,14 @@ import graft.Cols
   * All of these are built to scale: shingling/hashing are map-only, candidate
   * generation is a shuffle on a bucket key (never an all-pairs join), and
   * verification touches only bucket-mate pairs.
+  *
+  * None of the operators cache: every multi-consumer intermediate is shaped so
+  * its consumers canonicalize to the SAME shuffle exchange, which Spark's
+  * ReuseExchange rule executes once (visible as ReusedExchange in the plan).
+  * That keeps executor memory free of pinned exploded-shingle/band relations —
+  * at 100 TB a library-held `.cache()` with no owner to unpersist it is a
+  * cluster-killer, while a reused shuffle lives only as ordinary spill files
+  * owned by the stage.
   */
 object Dedup {
 
@@ -48,9 +57,7 @@ object Dedup {
                         k: Int = 5, threshold: Double = 0.8,
                         maxDocsPerShingle: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), k)).as("s"))
-    // cached: consumed three times (self-join both sides + size counts); an
-    // uncached plan re-explodes (and re-filters) the corpus per consumer
-    val filtered = (
+    val filtered =
       if (maxDocsPerShingle > 0) {
         // the hot set is tiny by construction (shingles shared by > cap docs),
         // so the anti-join must broadcast, never sort-merge
@@ -60,15 +67,17 @@ object Dedup {
         // the downstream toDF renames are positional
         sh.join(broadcast(hot), Seq("s"), "left_anti").select("id", "s")
       } else sh
-    ).cache()
-    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = filtered.toDF("id_a", "s")
-    val b = filtered.toDF("id_b", "s")
-    val common = a.join(b, "s").filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.toDF("id_a", "n_a"), "id_a")
-      .join(sizes.toDF("id_b", "n_b"), "id_b")
+    // the effective-set size rides along on every exploded row (one window on
+    // the id shuffle) instead of being a separate groupBy consumer: the
+    // self-join's two sides are then the ONLY consumers, they canonicalize to
+    // the same exchange, and ReuseExchange runs explode+cap+window once
+    val sized = filtered
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id")))
+    val a = sized.toDF("id_a", "s", "n_a")
+    val b = sized.toDF("id_b", "s", "n_b")
+    a.join(b, "s").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"), max("n_a").as("n_a"), max("n_b").as("n_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
@@ -96,7 +105,7 @@ object Dedup {
     val nBands = numHashes / rowsPerBand
 
     val withShingles = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), k).as("sh")).cache()
+      wordShingles(col(textCol), k).as("sh"))
     // signature: for each hash i, min over shingles of xxhash64(shingle, i)
     val sigCols = (0 until numHashes).map { i =>
       array_min(transform(col("sh"), s => mix(s, i))).as(s"h$i")
@@ -110,8 +119,10 @@ object Dedup {
       val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       hash(slice: _*).as(s"band$b")
     }
+    // the self-join sides reuse one exchange; the verify joins below each
+    // re-derive shingles map-side but canonicalize to one shared id-exchange
     val melted = sigs.select(col("id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "bk"))).cache()
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "bk")))
 
     val pairs = melted.toDF("id_a", "band_idx", "bk")
       .join(melted.toDF("id_b", "band_idx", "bk"), Seq("band_idx", "bk"))
@@ -162,7 +173,7 @@ object Dedup {
     }
     // melt the 4 chunk keys -> one self-join on (chunk_idx, key)
     val melted = sigs.select(col("id"), col("sig"),
-      posexplode(array(chunkKeys: _*)).as(Seq("chunk_idx", "ck"))).cache()
+      posexplode(array(chunkKeys: _*)).as(Seq("chunk_idx", "ck")))
     val pairs = melted.toDF("id_a", "sig_a", "chunk_idx", "ck")
       .join(melted.toDF("id_b", "sig_b", "chunk_idx", "ck"), Seq("chunk_idx", "ck"))
       .filter(col("id_a") < col("id_b"))
@@ -189,6 +200,12 @@ object Dedup {
     *
     * Output: (idCol, rep_id, is_dup); `is_dup` rows are the ones a dedup
     * pipeline drops, keeping one representative per star.
+    *
+    * Note: `rep_id` may itself be a dropped row. For chain pairs (1,2),(2,3)
+    * without (1,3), row 3 gets rep_id=2 while 2 is itself dropped (rep 1) —
+    * the single-pass compromise above. Consumers that need a RETAINED
+    * representative within minCosine must run an extra closure pass
+    * (iteratively re-joining rep_id onto itself until fixed point).
     */
   def embeddingNearDup(df: DataFrame, minCosine: Double = 0.9,
                        idCol: String = "vec_id", vecCol: String = "embedding",

@@ -53,9 +53,12 @@ object DataQueries {
       // jaccard = 1 <=> identical shingle SETS: bucket on a sorted-set
       // fingerprint and confirm with exact array equality — O(dups), never the
       // O(n²) all-pairs jaccard the oracle-side DuckDB can afford at sf0.01
+      // no cache: the fp self-join reuses one exchange, the two subset-check
+      // joins another; the two count() actions each recompute the map-only
+      // shingle scan, which is cheaper than pinning it for the session
       val sh = docs.select(col("doc_id").as("id"),
           array_sort(Dedup.wordShingles(col("text"), 5)).as("sh"))
-        .withColumn("fp", xxhash64(col("sh"))).cache()
+        .withColumn("fp", xxhash64(col("sh")))
       val dupPairs = sh.select(col("id").as("id_a"), col("fp"), col("sh").as("sh_a"))
         .join(sh.select(col("id").as("id_b"), col("fp"), col("sh").as("sh_b")), "fp")
         .filter(col("id_a") < col("id_b") && col("sh_a") === col("sh_b"))

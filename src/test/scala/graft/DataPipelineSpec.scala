@@ -92,10 +92,43 @@ class DataPipelineSpec extends SparkSpec {
     assert(out(0L) == (0L, false) && out(1L) == (0L, true))
     assert(out(2L) == (2L, false) && out(3L) == (2L, true))
     assert(out(4L) == (4L, false))
-    // LSH path reports a subset of the exact stars: reps never exceed exact's
+    // LSH path reports a subset of the exact pairs, so each row's rep is
+    // bounded by the exact rep below and its own id above (with larger
+    // cliques a missed min-id edge can yield an intermediate rep — asserting
+    // exact equality would reject correct behavior)
     val lsh = Dedup.embeddingNearDup(emb, minCosine = 0.95, exact = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    lsh.foreach { case (id, rep) => assert(rep == id || rep == out(id)._1) }
+    lsh.foreach { case (id, rep) => assert(rep >= out(id)._1 && rep <= id) }
+  }
+
+  test("dedup and lsh operators leave no cached RDDs behind") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 100)
+    Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.3).count()
+    Dedup.minHashLshPairs(docs, "text", "doc_id", k = 3, numHashes = 32,
+      rowsPerBand = 4, threshold = 0.9).count()
+    Dedup.simHashPairs(docs, "text", "doc_id").count()
+    Knn.lshCosinePairs(emb, nBands = 4, bitsPerBand = 2, minCosine = 0.3).count()
+    // library operators must not pin executor memory the caller can't release
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("hot-shingle cap keeps candidate pairs linear under pathological skew") {
+    // 40 docs sharing one boilerplate prefix (a hot shingle in every doc) +
+    // unique tails: without the cap the prefix alone creates 40*39/2 join
+    // rows; with cap=5 the shared shingles drop out pre-join
+    val boiler = (0 until 40).map { i =>
+      (i.toLong, s"terms and conditions apply to document number $i uniquely")
+    }
+    val hot = boiler.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(hot, "text", "doc_id",
+      k = 3, threshold = 0.0, maxDocsPerShingle = 5)
+    // every shared 3-shingle of the boilerplate appears in all 40 docs > cap,
+    // so no pair survives on shared shingles alone
+    val nPairs = capped.count()
+    assert(nPairs <= 40L * 5)
+    val uncapped = Dedup.ngramJaccardPairs(hot, "text", "doc_id",
+      k = 3, threshold = 0.0, maxDocsPerShingle = 0)
+    assert(uncapped.count() == 40L * 39 / 2) // the quadratic blowup the cap kills
   }
 
   test("ivf with exhaustive probing equals brute force; partial probe is exact-subset") {
@@ -117,6 +150,16 @@ class DataPipelineSpec extends SparkSpec {
     // self-match lives in the query's own probed list: recall@1 is perfect
     val top1 = partial.filter(_.getInt(3) == 1)
     assert(top1.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("bucketed ivf path is bit-identical to the broadcast kernel") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 150)
+    val queries = emb.filter(col("vec_id") < 20)
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val kernel   = key(Knn.ivfTopK(queries, emb, k = 3, nLists = 8, nProbe = 3, seed = 7L).collect())
+    val bucketed = key(Knn.ivfTopKBucketed(queries, emb, k = 3, nLists = 8, nProbe = 3, seed = 7L).collect())
+    assert(kernel == bucketed)
   }
 
   test("media plumbing: attach, features, resize, frames") {
