@@ -2,14 +2,21 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs every SparkEntry query against SPARK_GRAFT_SF_DIR and
-  * prints one JSON line {"metric":...,"queries":{...}}.
+/** Benchmark main: runs every SparkEntry bench query against
+  * SPARK_GRAFT_SF_DIR and prints one JSON line {"metric":...,"queries":{...}}.
+  *
+  * Decision-grade measurement: each query runs `SPARK_GRAFT_BENCH_RUNS`
+  * (default 3) times and reports the MEDIAN — single-shot timings on a shared
+  * 32-thread JVM have multi-second GC/JIT noise. Between runs all cached
+  * relations and persistent RDDs are dropped, so no query is billed (or
+  * subsidized) by another query's leftover state.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,20 +32,29 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
 
+    def clearState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+
     // optional args: restrict to queries whose name contains any arg (local
     // iteration aid; the driver invokes with no args = all queries)
     val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
+      if (args.isEmpty) SparkEntry.benchQueries
+      else SparkEntry.benchQueries.filter { case (n, _) => args.exists(n.contains) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to nRuns).map { _ =>
+        clearState()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns}""")
     spark.stop()
   }
 }

@@ -20,6 +20,13 @@ object SparkEntry {
     graft.queries.DataQueries.queries ++
     graft.queries.MlQueries.queries
 
+  /** What [[Bench]] measures: the correctness queries, with the entries whose
+    * correctness form embeds in-query oracle verification replaced by their
+    * production configuration (see DataQueries.benchOverrides).
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ graft.queries.DataQueries.benchOverrides
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */

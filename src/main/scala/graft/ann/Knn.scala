@@ -181,10 +181,15 @@ object Knn {
     * Plan shape mirrors the MinHash path: map-only signatures, posexplode to
     * (band, key), ONE self-join on the bucket key, dedup, verify. Only
     * (id, band_idx, bk) travels through the band melt and self-join — the
-    * full embedding is joined back PER CANDIDATE PAIR for the verify step,
-    * never duplicated nBands× through the band shuffle. No caching: the
-    * self-join sides share one exchange via ReuseExchange, as do the two
-    * vector-fetch joins.
+    * embeddings never ride the band shuffle. Verification streams the
+    * deduped (id_a, id_b) pairs through the same packed-primitive broadcast
+    * kernel as [[exactCosinePairs]] (a per-pair `udf` over two array<float>
+    * columns costs ~20µs/row in Seq[Float] deserialization alone — measured
+    * 6 s for 256k pairs — while the kernel reads two longs per row and
+    * scores from the broadcast float block). Same broadcastable-corpus bound
+    * as the rest of the family; beyond it, join the vectors back per
+    * candidate pair instead. No caching anywhere: the self-join sides share
+    * one exchange via ReuseExchange.
     */
   def lshCosinePairs(df: DataFrame, nBands: Int = 8, bitsPerBand: Int = 8,
                      seed: Long = 42L, minCosine: Double = 0.9,
@@ -210,20 +215,6 @@ object Knn {
       }
       keys.toSeq
     }
-    val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var d = 0
-      while (d < a.length) {
-        dot += a(d).toDouble * b(d).toDouble
-        na += a(d).toDouble * a(d).toDouble
-        nb += b(d).toDouble * b(d).toDouble
-        d += 1
-      }
-      // sqrt(na)*sqrt(nb), not sqrt(na*nb): bit-identical to exactCosinePairs
-      // so the LSH output is a true subset of the exact threshold join
-      val denom = math.sqrt(na) * math.sqrt(nb)
-      if (denom == 0.0) 0.0 else round9(dot / denom)
-    }
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     // melted to (id, band_idx, key) ONLY: candidate generation is ONE
     // self-join that never shuffles the embedding payload
@@ -234,12 +225,52 @@ object Knn {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(base.toDF("id_a", "v_a"), "id_a")
-      .join(base.toDF("id_b", "v_b"), "id_b")
-      .withColumn("cosine", cosUdf(col("v_a"), col("v_b")))
-      .filter(col("cosine") >= minCosine)
-      .select("id_a", "id_b", "cosine")
+
+    // broadcast-kernel verification: pack the corpus once, stream long pairs.
+    // sqrt(na)*sqrt(nb) like exactCosinePairs, so the output is a true subset
+    // of the exact threshold join
+    val collected = df.select(col(idCol).cast("long"), col(vecCol)).collect()
+    val n = collected.length
+    val ids   = new Array[Long](n)
+    val data  = new Array[Float](n * dim)
+    val norms = new Array[Double](n)
+    val index = new java.util.HashMap[Long, Integer](2 * n)
+    var i = 0
+    while (i < n) {
+      ids(i) = collected(i).getLong(0)
+      index.put(ids(i), i)
+      val v = collected(i).getSeq[Float](1)
+      var d = 0
+      var nr = 0.0
+      val m = math.min(dim, v.length)
+      while (d < m) {
+        val x = v(d); data(i * dim + d) = x; nr += x.toDouble * x.toDouble; d += 1
+      }
+      norms(i) = math.sqrt(nr)
+      i += 1
+    }
+    val bc = df.sparkSession.sparkContext.broadcast((index, data, norms, dim))
+    val rdd = candidates.rdd.mapPartitions { it =>
+      val (idx, tData, tNorms, d) = bc.value
+      it.flatMap { r =>
+        val ia = r.getLong(0)
+        val ib = r.getLong(1)
+        val pa = idx.get(ia)
+        val pb = idx.get(ib)
+        if (pa == null || pb == null) Iterator.empty
+        else {
+          var dot = 0.0
+          var dd = 0
+          val offA = pa.intValue() * d
+          val offB = pb.intValue() * d
+          while (dd < d) { dot += tData(offA + dd).toDouble * tData(offB + dd).toDouble; dd += 1 }
+          val denom = tNorms(pa.intValue()) * tNorms(pb.intValue())
+          val s = if (denom == 0.0) 0.0 else round9(dot / denom)
+          if (s >= minCosine) Iterator.single(Row(ia, ib, s)) else Iterator.empty
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, pairSchema)
   }
 
   /** IVF (inverted-file) coarse quantizer: seeded Lloyd's k-means over a

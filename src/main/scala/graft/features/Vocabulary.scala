@@ -21,44 +21,75 @@ import graft.Cols
   *
   * Scale notes: the fit is one explode + groupBy(word) + count; only words
   * above the absolute `common` df threshold are driver-collected (bounded —
-  * df >= 0.0001*N caps the set at 10k words per 100M docs even in theory);
-  * the sets travel as array literals inside codegen'd expressions — no UDF,
-  * no broadcast join on the hot path.
+  * df >= 0.0001*N caps the set at 10k words per 100M docs even in theory).
+  * Tokenization stays a codegen'd regexp expression; the six tier counts are
+  * produced by ONE hash-set pass per row (a single struct-returning UDF whose
+  * closure carries the word sets once per task) — the previous form ran six
+  * `array_intersect(_, typedLit(~10k words))` scans per row, a linear probe
+  * of a 10k-element literal array 6× per training pair.
   */
 final case class VocabularyModel(veryCommon: Set[String], common: Set[String]) {
 
   /** Names of the produced features, in output order. */
   def featureNames: Seq[String] = VocabularyModel.featureNames
 
-  def pairFeatures(nameCol: String = Cols.Preprocessed,
-                   gtNameCol: String = Cols.GtPreprocessed): Seq[(String, Column)] = {
+  /** The six tier counts as one struct column; evaluated once per row
+    * (CollapseProject never duplicates a non-trivial expression).
+    */
+  private def featStruct(nameCol: String, gtNameCol: String): Column = {
     def words(c: String): Column =
       array_distinct(regexp_extract_all(coalesce(col(c), lit("")), lit("\\w\\w+"), lit(0)))
-    val a = words(nameCol)
-    val b = words(gtNameCol)
-    val hits   = array_intersect(a, b)
-    val misses = array_except(array_union(a, b), array_intersect(a, b))
-    val vcLit    = typedLit(veryCommon.toSeq.sorted)
-    val cLit     = typedLit(common.toSeq.sorted)
-    val vocabLit = typedLit((veryCommon ++ common).toSeq.sorted)
-    def tier(set: Column, of: Column): Column = size(array_intersect(of, set)).cast("int")
-    Seq(
-      "very_common_hit"  -> tier(vcLit, hits),
-      "common_hit"       -> tier(cLit, hits),
-      "rare_hit"         -> (size(hits) - size(array_intersect(hits, vocabLit))).cast("int"),
-      "very_common_miss" -> tier(vcLit, misses),
-      "common_miss"      -> tier(cLit, misses),
-      "rare_miss"        -> (size(misses) - size(array_intersect(misses, vocabLit))).cast("int"))
+    // immutable sets captured once; serialized to each task with the closure
+    val vc = veryCommon
+    val cm = common
+    val tiers = udf { (a: Seq[String], b: Seq[String]) =>
+      val aSet = a.toSet
+      val bSet = b.toSet
+      var vcHit = 0; var cHit = 0; var rHit = 0
+      var vcMiss = 0; var cMiss = 0; var rMiss = 0
+      aSet.foreach { w =>
+        val hit = bSet.contains(w)
+        if (vc.contains(w)) { if (hit) vcHit += 1 else vcMiss += 1 }
+        else if (cm.contains(w)) { if (hit) cHit += 1 else cMiss += 1 }
+        else { if (hit) rHit += 1 else rMiss += 1 }
+      }
+      bSet.foreach { w =>
+        if (!aSet.contains(w)) {
+          if (vc.contains(w)) vcMiss += 1
+          else if (cm.contains(w)) cMiss += 1
+          else rMiss += 1
+        }
+      }
+      VocabularyModel.TierCounts(vcHit, cHit, rHit, vcMiss, cMiss, rMiss)
+    }
+    tiers(words(nameCol), words(gtNameCol))
   }
 
-  /** Add all vocabulary features as columns. */
+  def pairFeatures(nameCol: String = Cols.Preprocessed,
+                   gtNameCol: String = Cols.GtPreprocessed): Seq[(String, Column)] = {
+    val s = featStruct(nameCol, gtNameCol)
+    featureNames.map(n => n -> s.getField(n))
+  }
+
+  /** Add all vocabulary features as columns: one UDF evaluation expanded into
+    * the six named columns.
+    */
   def withPairFeatures(df: DataFrame,
                        nameCol: String = Cols.Preprocessed,
-                       gtNameCol: String = Cols.GtPreprocessed): DataFrame =
-    pairFeatures(nameCol, gtNameCol).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+                       gtNameCol: String = Cols.GtPreprocessed): DataFrame = {
+    val expanded = df.columns.map(col) ++
+      featureNames.map(n => col("__voc_feats").getField(n).as(n))
+    df.withColumn("__voc_feats", featStruct(nameCol, gtNameCol))
+      .select(expanded: _*)
+  }
 }
 
 object VocabularyModel {
+  /** UDF return type: field names must equal [[featureNames]]. */
+  final case class TierCounts(
+      very_common_hit: Int, common_hit: Int, rare_hit: Int,
+      very_common_miss: Int, common_miss: Int, rare_miss: Int)
+
   val featureNames: Seq[String] = Seq(
     "very_common_hit", "common_hit", "rare_hit",
     "very_common_miss", "common_miss", "rare_miss")

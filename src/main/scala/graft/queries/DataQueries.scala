@@ -156,6 +156,34 @@ object DataQueries {
                   .cast("int").as("top_bin"))
     })
 
+  /** BENCH-path production configurations. The CORRECTNESS queries for the
+    * hash-dependent operators run their invariant verification IN-QUERY
+    * (exact-dup recall probes, subset re-checks against the exact kernel) —
+    * that is oracle code, and billing it to the bench made the r2 numbers
+    * unreadable. The bench overrides below measure the operator exactly as a
+    * production pipeline would run it; verification stays in Verify/DuckDB.
+    * q53b additionally benches the IVF index in its real partial-probe
+    * configuration (the correctness entry keeps the exhaustive-probe oracle
+    * config, which is also benched for kernel-vs-brute-force comparison).
+    */
+  val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_minhash_lsh_pairs" -> { (s, dir) =>
+      Dedup.minHashLshPairs(doubledDocs(s, dir), "text", "doc_id",
+        k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+    },
+    "q42_simhash_pairs" -> { (s, dir) =>
+      Dedup.simHashPairs(doubledDocs(s, dir), "text", "doc_id", maxHamming = 3)
+    },
+    "q44_ann_lsh_pairs" -> { (s, dir) =>
+      Knn.lshCosinePairs(t(s, dir, "embeddings"), nBands = 8, bitsPerBand = 6,
+        minCosine = 0.35)
+    },
+    "q53b_ann_ivf_probe4" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Knn.ivfTopK(emb.filter(col("vec_id") < 100), emb, k = 5,
+        nLists = 16, nProbe = 4, seed = 7L, maxIter = 5)
+    })
+
   private val doubledDocsSql =
     """SELECT doc_id, text FROM documents
        UNION ALL SELECT doc_id + 1000000, text FROM documents"""
