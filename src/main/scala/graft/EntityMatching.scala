@@ -1,11 +1,12 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.agg.EntityAggregation
-import graft.idx.{CandidateSelection, CandidateSelectionModel, CosSimIndexer, NameIndexer, SniIndexer}
-import graft.ml.{SupervisedLayer, SupervisedModel}
+import graft.idx.{CandidateSelection, CandidateSelectionModel, CosSimIndexer, CosSimIndexerModel, NameIndexer, SniIndexer, SniIndexerModel}
+import graft.ml.{SupervisedLayer, SupervisedModel, TrainData}
 import graft.operators.AutoRepartition
 import graft.preprocess.Preprocessor
 
@@ -112,6 +113,23 @@ final class EntityMatchingModel(
     matched.select(keep.map(col): _*)
   }
 
+  /** keep_all_cols intermediate re-join (spark_cos_sim_matcher.py:255-256):
+    * when the caller asked to keep everything, the first cossim indexer's
+    * vectorizer intermediates (tokens, n-grams, tf, normalized features) are
+    * joined back onto the output by uid. They are recomputed map-side from
+    * the names projection rather than carried through candidate
+    * generation — the indexer kernel consumes vectors on the fly and keeping
+    * them alive through the merge shuffles would widen every stage.
+    */
+  private def withIntermediates(scored: DataFrame, names: DataFrame): DataFrame =
+    candidateModel.models.collectFirst { case m: CosSimIndexerModel => m } match {
+      case Some(m) =>
+        val inter = m.tfidf.transform(names).select(
+          col(Cols.Uid), col("tokens"), col("ngram_tokens"), col("tf"), col("features"))
+        scored.join(inter, Seq(Cols.Uid), "left")
+      case None => scored
+    }
+
   /** Full match query: names -> candidates [-> nm_score/best_match]
     * [-> account aggregation].
     */
@@ -122,7 +140,9 @@ final class EntityMatchingModel(
       case Some(m) => m.transform(cands)
       case None    => cands
     }
-    val pruned = pruneOutput(scored, names.columns.toSeq)
+    val pruned =
+      if (params.keepAllCols) withIntermediates(scored, names)
+      else pruneOutput(scored, names.columns.toSeq)
     val limited =
       if (topN > 0 && pruned.columns.contains(Cols.BestRank))
         pruned.filter(col(Cols.BestRank) <= topN && col(Cols.GtUid).isNotNull)
@@ -136,23 +156,97 @@ final class EntityMatchingModel(
     }
   }
 
+  /** Assemble the supervised training-pair set with the reference's full
+    * training flow (spark_entity_matching.py:376-411 +
+    * prepare_name_pairs.py:85-163):
+    *
+    *  1. optional entity-id downsample (never row-level: sampling by id
+    *     avoids signal leakage, spark_entity_matching.py:381-391) — the first
+    *     `nTrainIds` entities in seeded-hash order;
+    *  2. seeded positive/negative entity split: exactly
+    *     floor((1-fraction)*|entities|) entities form the positive set
+    *     (prepare_name_pairs.py:100-108, deterministic hash order replacing
+    *     the reference's rng.choice);
+    *  3. candidate generation through indexers WIDENED one step
+    *     (spark_entity_matching.py:397-404), so the negative re-rank can
+    *     narrow back without starving the window edge;
+    *  4. labeling (correct / no_candidate, prepare_name_pairs.py:96) and
+    *     negative re-rank + both-sides narrowing to the fitted windows
+    *     ([[TrainData.negativeRerank]] with maxRanks);
+    *  5. re-adding names whose candidates were ALL dropped as no_candidate
+    *     rows (prepare_name_pairs.py:149-163).
+    */
+  def createTrainingPairs(trainNames: DataFrame,
+                          createNegativeSampleFraction: Double = 0.0,
+                          nTrainIds: Int = -1,
+                          seed: Int = 42): DataFrame = {
+    var names = matcher.normalize(trainNames)
+    if (nTrainIds > 0) {
+      val keep = names.select(col(Cols.EntityId)).distinct()
+        .orderBy(xxhash64(col(Cols.EntityId), lit(seed)), col(Cols.EntityId))
+        .limit(nTrainIds)
+      names = names.join(broadcast(keep), Seq(Cols.EntityId), "left_semi")
+    }
+    val negativeOn = createNegativeSampleFraction > 0
+    names =
+      if (!negativeOn) names.withColumn("positive_set", lit(true))
+      else {
+        // the windows run on the (small) distinct-entity table, not the rows
+        val wOrd = Window.orderBy(xxhash64(col(Cols.EntityId), lit(seed)), col(Cols.EntityId))
+        val wAll = Window.partitionBy()
+        val flags = names.select(col(Cols.EntityId)).distinct()
+          .withColumn("positive_set",
+            row_number().over(wOrd) <=
+              floor(lit(1.0 - createNegativeSampleFraction) * count(lit(1)).over(wAll)))
+        names.join(broadcast(flags), Seq(Cols.EntityId))
+      }
+    val cs = if (negativeOn) candidateModel.widened else candidateModel
+    val labeled = TrainData.label(cs.transform(names))
+    val assembled =
+      if (!negativeOn) labeled
+      else {
+        val cosRankCols = candidateModel.models.zipWithIndex.collect {
+          case (_: CosSimIndexerModel, i) => Cols.rank(i)
+        }
+        val sniPairs = candidateModel.models.zipWithIndex.collect {
+          case (m: SniIndexerModel, i) => Cols.rank(i) -> m.indexer.window
+        }
+        val maxRanks = candidateModel.models.zipWithIndex.collect {
+          case (m: CosSimIndexerModel, i) => Cols.rank(i) -> m.indexer.numCandidates
+          case (m: SniIndexerModel, i)    => Cols.rank(i) -> m.indexer.window
+        }.toMap
+        TrainData.negativeRerank(labeled, cosRankCols,
+          sniRankCols = sniPairs.map(_._1), sniWindows = sniPairs.toMap,
+          maxRanks = maxRanks)
+      }
+    // no-candidate re-add: names whose pairs were all dropped come back as
+    // explicit no-candidate rows so the training distribution keeps them
+    val missing = names
+      .join(assembled.select(col(Cols.Uid)).distinct(), Seq(Cols.Uid), "left_anti")
+      .withColumn("correct", lit(false))
+      .withColumn("no_candidate", lit(true))
+    assembled.unionByName(missing, allowMissingColumns = true)
+  }
+
   /** Train the supervised layer from positive names-to-match that carry an
-    * entity_id: candidates are labeled correct = (entity_id == gt_entity_id)
-    * (emm/data/prepare_name_pairs.py:96). Stays fully distributed, unlike the
+    * entity_id, via [[createTrainingPairs]] (negative sampling, window
+    * widening and no-candidate re-add included when
+    * `createNegativeSampleFraction` > 0). Stays fully distributed, unlike the
     * reference's driver-side pandas hop. Carry-on columns present on both
     * sides (e.g. country) become extra equality features
     * (features_extra.py:28-60).
     */
-  def fitClassifier(trainNames: DataFrame): this.type = {
-    val names = matcher.normalize(trainNames)
-    val cands = candidateModel.transform(names)
-      .filter(col(Cols.GtUid).isNotNull)
-      .withColumn("correct", col(Cols.EntityId) === col(Cols.gt(Cols.EntityId)))
+  def fitClassifier(trainNames: DataFrame,
+                    createNegativeSampleFraction: Double = 0.0,
+                    nTrainIds: Int = -1,
+                    seed: Int = 42): this.type = {
+    val pairs = createTrainingPairs(trainNames, createNegativeSampleFraction,
+      nTrainIds, seed)
     val scoreCols = candidateModel.models.indices.map(Cols.score)
     val extraCols = params.carryOnCols.filter(c =>
-      cands.columns.contains(c) && cands.columns.contains(Cols.gt(c)))
+      pairs.columns.contains(c) && pairs.columns.contains(Cols.gt(c)))
     val layer = new SupervisedLayer(scoreCols, extraFeatureCols = extraCols)
-    supervised = Some(layer.fit(cands))
+    supervised = Some(layer.fit(pairs))
     this
   }
 }

@@ -11,6 +11,13 @@ import graft.Cols
 trait NameIndexer  { def fit(gt: DataFrame): NameIndexerModel }
 trait NameIndexerModel extends Serializable {
   def transform(names: DataFrame): DataFrame
+
+  /** A copy of this fitted model with its candidate window widened by one
+    * step (ref base_indexer.py:59-96: cossim num_candidates +1, SNI window
+    * +1 offset each side), used for training negative-sample creation and
+    * narrowed back by the re-rank. Identity for windowless indexers.
+    */
+  def widen: NameIndexerModel = this
 }
 
 /** Candidate selection: run all indexers, merge their pair sets, attach GT
@@ -35,7 +42,28 @@ final class CandidateSelectionModel(
     val gtCarryOnCols: Seq[String] = Nil,
     val withNoMatches: Boolean = true) extends Serializable {
 
-  def transform(names: DataFrame): DataFrame = {
+  /** Columns that a previous transform/scoring pass may have left on the
+    * incoming frame and that would silently collide with this pass's outputs
+    * (ref spark_candidate_selection.py:260-263 drops score_i/rank_i/gt_*; we
+    * also drop the supervised/aggregation outputs so a full pipeline output
+    * can be re-matched as-is).
+    */
+  private def conflictingCols(columns: Seq[String]): Seq[String] =
+    columns.filter { c =>
+      c.matches("^(score|rank)_\\d+$") || c.startsWith("gt_") ||
+        c == Cols.NmScore || c == Cols.BestRank || c == Cols.BestMatch ||
+        c == Cols.AggScore
+    }
+
+  /** Model with every indexer's window widened one step (training candidate
+    * generation, ref spark_entity_matching.py:397-404); the fitted per-indexer
+    * state (TF-IDF broadcast, SNI ranks) is shared, not re-fit.
+    */
+  def widened: CandidateSelectionModel =
+    new CandidateSelectionModel(models.map(_.widen), gt, gtCarryOnCols, withNoMatches)
+
+  def transform(namesRaw: DataFrame): DataFrame = {
+    val names = namesRaw.drop(conflictingCols(namesRaw.columns.toSeq): _*)
     val perIndexer = models.zipWithIndex.map { case (m, i) =>
       m.transform(names)
         .withColumnRenamed("score", Cols.score(i))

@@ -97,6 +97,11 @@ final class CosSimIndexer(
     val gtUidCol: String = Cols.GtUid,
     val inputCol: String = Cols.Preprocessed) extends NameIndexer with Serializable {
 
+  /** Copy with a different candidate count (training window widening). */
+  def withNumCandidates(k: Int): CosSimIndexer =
+    new CosSimIndexer(tokenizer, ngram, binary, k, lowerBound, vocabSize,
+      blockingFunc, scorePrecision, uidCol, gtUidCol, inputCol)
+
   private[graft] def blockCol(df: DataFrame): DataFrame = blockingFunc match {
     case None => df.withColumn("block", lit(""))
     case Some(f) =>
@@ -134,6 +139,9 @@ final class CosSimIndexerModel(
     val indexer: CosSimIndexer,
     val tfidf: TfidfModel,
     val gtBc: Broadcast[Map[String, PackedGt]]) extends NameIndexerModel {
+
+  override def widen: CosSimIndexerModel =
+    new CosSimIndexerModel(indexer.withNumCandidates(indexer.numCandidates + 1), tfidf, gtBc)
 
   private val outSchema = StructType(Seq(
     StructField(indexer.uidCol, LongType, nullable = false),

@@ -47,6 +47,12 @@ final class SniIndexer(
 
 final class SniIndexerModel(val indexer: SniIndexer, val gt: DataFrame) extends NameIndexerModel {
 
+  override def widen: SniIndexerModel =
+    new SniIndexerModel(
+      new SniIndexer(indexer.window + 1, indexer.maxGtPerName, indexer.uidCol,
+        indexer.gtUidCol, indexer.inputCol, indexer.mappingFunc),
+      gt)
+
   /** Sort key column: the mapped name when a mappingFunc is set, else the
     * preprocessed name itself (spark_sni.py:109-114).
     */

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,27 +82,57 @@ object TrainData {
     * SNI ranks are shifted toward 0 (all window offsets move one step in);
     * candidates whose new rank exceeds the original window are dropped —
     * all expressed with window functions, no driver hop.
+    *
+    * `maxRanks` (rank col -> the fitted, UN-widened window) enables the full
+    * training-flow narrowing of create_positive_negative_samples
+    * (negative_data_creation.py:226-253): candidates beyond the cap get that
+    * indexer's rank NULLED rather than the row dropped, POSITIVE rows are
+    * capped too (widened +1 candidates removed on both sides), and a matched
+    * row survives only while at least one rank column is non-null — the
+    * merge_indexers union semantics. Empty map = the plain re-rank above.
     */
   def negativeRerank(labeled: DataFrame, cosRankCols: Seq[String],
                      sniRankCols: Seq[String] = Nil,
                      sniWindows: Map[String, Int] = Map.empty,
-                     positiveSetCol: String = "positive_set"): DataFrame = {
+                     positiveSetCol: String = "positive_set",
+                     maxRanks: Map[String, Int] = Map.empty): DataFrame = {
     val negatives = labeled.filter(!col(positiveSetCol) && !col("correct"))
     val positives = labeled.filter(col(positiveSetCol))
 
+    def capped(c: Column, rc: String): Column = maxRanks.get(rc) match {
+      case Some(mx) => when(c > mx, lit(null)).otherwise(c)
+      case None     => c
+    }
     // cossim: re-number surviving candidate ranks per uid, preserving order
     val reRanked = cosRankCols.foldLeft(negatives) { (df, rc) =>
       val w = Window.partitionBy(Cols.Uid).orderBy(col(rc).asc_nulls_last)
       df.withColumn(rc,
-        when(col(rc).isNotNull, row_number().over(w)).otherwise(col(rc)))
+        capped(when(col(rc).isNotNull, row_number().over(w)).otherwise(col(rc)), rc))
     }
-    // SNI: shift the absolute rank one step toward zero; drop beyond window
+    // SNI: shift the absolute rank one step toward zero; beyond-window rows
+    // are dropped (legacy single-indexer form) or rank-nulled (maxRanks form)
     val shifted = sniRankCols.foldLeft(reRanked) { (df, rc) =>
       val w = sniWindows.getOrElse(rc, 3)
-      df.withColumn(rc, when(col(rc).isNotNull, greatest(col(rc) - 1, lit(0))).otherwise(col(rc)))
-        .filter(col(rc).isNull || col(rc) <= w)
+      val sh = when(col(rc).isNotNull, greatest(col(rc) - 1, lit(0))).otherwise(col(rc))
+      if (maxRanks.isEmpty)
+        df.withColumn(rc, sh).filter(col(rc).isNull || col(rc) <= w)
+      else
+        df.withColumn(rc, capped(sh, rc))
     }
-    positives.unionByName(shifted)
+    // positive side: remove the widened window's extra candidates as well
+    val posCapped = maxRanks.foldLeft(positives) { case (df, (rc, _)) =>
+      if (df.columns.contains(rc)) df.withColumn(rc, capped(col(rc), rc)) else df
+    }
+    val merged = posCapped.unionByName(shifted)
+    if (maxRanks.isEmpty) merged
+    else {
+      // merge_indexers: a matched pair survives only if some indexer kept it
+      val rankCols = (cosRankCols ++ sniRankCols).distinct.filter(merged.columns.contains)
+      val anyKept = rankCols.map(col(_).isNotNull).reduceOption(_ || _).getOrElse(lit(true))
+      if (merged.columns.contains(Cols.GtUid))
+        merged.filter(col(Cols.GtUid).isNull || anyKept)
+      else merged.filter(anyKept)
+    }
   }
 
   /** Seeded name noiser for synthetic fixtures (noiser.py:27-168): eight

@@ -4,11 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Cols
+import graft.{Cols, EmParams, EntityMatching}
+import graft.idx.{CosSimIndexer, SniIndexer}
 import graft.ml.{Thresholds, TrainData}
 
 /** Training-support operators: threshold curves (M4), grouped train/test
-  * split (M3), negative-sample re-ranking (M5).
+  * split (M3), negative-sample re-ranking (M5), and the assembled supervised
+  * training-pair flow (widened windows + negative split + no-candidate
+  * re-add, q54).
   */
 object MlQueries {
 
@@ -85,6 +88,43 @@ object MlQueries {
       import sp.implicits._
       Seq((total, overlap, violations))
         .toDF("total_rows", "overlapping_groups", "stratum_violations")
+    },
+
+    // full training-pair assembly (EntityMatchingModel.createTrainingPairs):
+    // entity split + widened candidate gen + negative re-rank narrowing +
+    // no-candidate re-add. Oracle surface: every input name survives, the
+    // positive entity set is exactly floor((1-f)*|entities|), and the four
+    // structural violation counts are zero (negative correct pairs removed,
+    // ranks narrowed back inside the fitted windows, no_candidate rows
+    // carry no gt, matched rows keep at least one indexer rank)
+    "q54_training_pairs" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      val gtRaw = part.select(
+        col("p_partkey").cast("long").as(Cols.Uid),
+        col("p_name").as(Cols.Name),
+        col("p_brand").as(Cols.EntityId))
+      val nmRaw = gtRaw.filter(col(Cols.Uid) < 300)
+      val model = EntityMatching(EmParams(), Seq(
+          new CosSimIndexer(tokenizer = "words", ngram = 1, binary = true,
+            numCandidates = 3, lowerBound = 0.5),
+          new SniIndexer(window = 2, maxGtPerName = 10)))
+        .fit(gtRaw)
+      val pairs = model.createTrainingPairs(nmRaw,
+        createNegativeSampleFraction = 0.5, seed = 42)
+      val sp = s
+      import sp.implicits._
+      val nNames = pairs.select(Cols.Uid).distinct().count()
+      val nPosEntities = pairs.filter(col("positive_set"))
+        .select(Cols.EntityId).distinct().count()
+      val negCorrect = pairs.filter(!col("positive_set") && col("correct")).count()
+      val overWindow = pairs.filter(col(Cols.rank(0)) > 3 || col(Cols.rank(1)) > 2).count()
+      val noCandViol = pairs.filter(col("no_candidate") && col(Cols.GtUid).isNotNull).count()
+      val allNullViol = pairs.filter(col(Cols.GtUid).isNotNull &&
+        col(Cols.rank(0)).isNull && col(Cols.rank(1)).isNull).count()
+      Seq((nNames, nPosEntities, negCorrect, overWindow, noCandViol, allNullViol))
+        .toDF("n_names", "n_pos_entities", "neg_correct_violations",
+          "over_window_violations", "no_candidate_violations",
+          "all_null_rank_violations")
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -130,5 +170,15 @@ object MlQueries {
       """SELECT CAST(count(*) AS BIGINT) AS total_rows,
                 CAST(0 AS BIGINT) AS overlapping_groups,
                 CAST(0 AS BIGINT) AS stratum_violations
-         FROM orders""")
+         FROM orders""",
+    "q54_training_pairs" ->
+      """WITH nm AS (SELECT p_partkey AS uid, p_brand AS entity_id
+                     FROM part WHERE p_partkey < 300)
+         SELECT CAST((SELECT count(*) FROM nm) AS BIGINT) AS n_names,
+                CAST((SELECT floor(0.5 * count(DISTINCT entity_id)) FROM nm) AS BIGINT)
+                  AS n_pos_entities,
+                CAST(0 AS BIGINT) AS neg_correct_violations,
+                CAST(0 AS BIGINT) AS over_window_violations,
+                CAST(0 AS BIGINT) AS no_candidate_violations,
+                CAST(0 AS BIGINT) AS all_null_rank_violations""")
 }

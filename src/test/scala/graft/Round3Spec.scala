@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.idx.{CosSimIndexer, SniIndexer}
+import graft.operators.AutoRepartition
+
+/** Round-3 additions: conflicting-column drop (P6), training-flow assembly
+  * (window widening + negative split + narrowing + no-candidate re-add),
+  * keep_all_cols intermediates (J7), AutoRepartition sizing.
+  */
+class Round3Spec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val parts = spark.read.parquet(s"$sf/part.parquet")
+    .select(col("p_partkey").cast("long").as(Cols.Uid),
+            col("p_name").as(Cols.Name),
+            col("p_brand").as(Cols.EntityId))
+
+  private def matcher = EntityMatching(EmParams(), Seq(
+    new CosSimIndexer(tokenizer = "words", ngram = 1, binary = true,
+      numCandidates = 3, lowerBound = 0.5),
+    new SniIndexer(window = 2, maxGtPerName = 10)))
+
+  // ---- P6: conflicting-column drop -----------------------------------------
+
+  test("re-transform of a previous transform output round-trips (P6)") {
+    val model = matcher.fit(parts)
+    val names = parts.filter(col(Cols.Uid) < 50)
+    val once = model.transform(names)
+    assert(once.columns.count(_ == Cols.GtUid) == 1)
+    // feeding the full output back in must not collide on score/rank/gt_*
+    val twice = model.transform(once)
+    assert(twice.columns.count(_ == Cols.GtUid) == 1)
+    assert(twice.columns.sorted.toSeq == once.columns.sorted.toSeq)
+    val a = once.select(Cols.Uid, Cols.GtUid, Cols.rank(0)).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val b = twice.select(Cols.Uid, Cols.GtUid, Cols.rank(0)).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  // ---- window widening -----------------------------------------------------
+
+  test("widen adds one candidate step to cossim and one offset to SNI") {
+    val gt = parts
+    val nm = parts.filter(col(Cols.Uid) < 40)
+    val prep = graft.preprocess.Preprocessor(gt, "preprocess_merge_abbr",
+      Cols.Name, Cols.Preprocessed)
+    val nmPrep = graft.preprocess.Preprocessor(nm, "preprocess_merge_abbr",
+      Cols.Name, Cols.Preprocessed)
+
+    val cos = new CosSimIndexer(tokenizer = "words", ngram = 1, binary = true,
+      numCandidates = 2, lowerBound = 0.1).fit(prep)
+    val base = cos.transform(nmPrep)
+    val wide = cos.widen.transform(nmPrep)
+    assert(base.agg(max("rank")).head.getInt(0) <= 2)
+    assert(wide.agg(max("rank")).head.getInt(0) == 3)
+    // widened top-2 prefix is the fitted top-2 (same scores, same order)
+    val basePairs = base.select(Cols.Uid, Cols.GtUid).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val widePrefix = wide.filter(col("rank") <= 2).select(Cols.Uid, Cols.GtUid)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(basePairs == widePrefix)
+
+    val sni = new SniIndexer(window = 2).fit(prep)
+    assert(sni.transform(nmPrep).agg(max("rank")).head.getInt(0) <= 2)
+    assert(sni.widen.transform(nmPrep).agg(max("rank")).head.getInt(0) == 3)
+  }
+
+  // ---- training-pair assembly ----------------------------------------------
+
+  test("createTrainingPairs: negative re-rank matches q48 semantics end-to-end") {
+    val model = matcher.fit(parts)
+    val nm = parts.filter(col(Cols.Uid) < 120)
+    val pairs = model.createTrainingPairs(nm,
+      createNegativeSampleFraction = 0.5, seed = 7)
+
+    // independently recompute what the widened candidates were
+    val names = matcher.normalize(nm)
+    val widened = model.candidateModel.widened.transform(
+      names.withColumn("positive_set", lit(true)))  // flag value irrelevant here
+    case class Cand(gtUid: Long, r0: Option[Int], r1: Option[Int], correct: Boolean)
+    val origByUid = widened.filter(col(Cols.GtUid).isNotNull)
+      .select(col(Cols.Uid), col(Cols.GtUid), col(Cols.rank(0)), col(Cols.rank(1)),
+        (col(Cols.EntityId) === col(Cols.gt(Cols.EntityId))).as("correct"))
+      .collect()
+      .map(r => (r.getLong(0), Cand(r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        r.getBoolean(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+    val got = pairs.filter(col(Cols.GtUid).isNotNull)
+      .select(col(Cols.Uid), col(Cols.GtUid), col(Cols.rank(0)), col(Cols.rank(1)),
+        col("positive_set"), col("correct"))
+      .collect()
+    val posUids = got.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+
+    got.groupBy(_.getLong(0)).foreach { case (uid, rows) =>
+      val orig = origByUid(uid)
+      if (posUids.contains(uid)) {
+        // positive side: original (widened) ranks survive only inside the
+        // fitted windows; values are untouched
+        rows.foreach { r =>
+          val o = orig.find(_.gtUid == r.getLong(1)).get
+          val r0 = if (r.isNullAt(2)) None else Some(r.getInt(2))
+          val r1 = if (r.isNullAt(3)) None else Some(r.getInt(3))
+          assert(r0 == o.r0.filter(_ <= 3))
+          assert(r1 == o.r1.filter(_ <= 2))
+        }
+      } else {
+        // negative side: correct pairs removed; cossim ranks renumbered by
+        // original order then capped at 3; SNI ranks shifted toward 0,
+        // capped at 2
+        assert(rows.forall(!_.getBoolean(5)))
+        val survivors = orig.filter(!_.correct)
+        val renumber = survivors.filter(_.r0.isDefined).sortBy(_.r0.get)
+          .zipWithIndex.map { case (c, i) => c.gtUid -> (i + 1) }.toMap
+        rows.foreach { r =>
+          val o = survivors.find(_.gtUid == r.getLong(1)).get
+          val expected0 = renumber.get(o.gtUid).filter(_ <= 3)
+          val expected1 = o.r1.map(x => math.max(x - 1, 0)).filter(_ <= 2)
+          val r0 = if (r.isNullAt(2)) None else Some(r.getInt(2))
+          val r1 = if (r.isNullAt(3)) None else Some(r.getInt(3))
+          assert(r0 == expected0, s"uid=$uid gt=${o.gtUid}")
+          assert(r1 == expected1, s"uid=$uid gt=${o.gtUid}")
+        }
+        // merge semantics: every surviving original with an in-window rank
+        // in ANY indexer is present
+        val keptGts = rows.map(_.getLong(1)).toSet
+        survivors.foreach { o =>
+          val kept0 = renumber.get(o.gtUid).exists(_ <= 3)
+          val kept1 = o.r1.map(x => math.max(x - 1, 0)).exists(_ <= 2)
+          assert(keptGts.contains(o.gtUid) == (kept0 || kept1), s"uid=$uid gt=${o.gtUid}")
+        }
+      }
+    }
+
+    // every input name survives (no-candidate re-add)
+    assert(pairs.select(Cols.Uid).distinct().count() == nm.count())
+    val noCand = pairs.filter(col("no_candidate"))
+    assert(noCand.filter(col(Cols.GtUid).isNotNull).count() == 0)
+  }
+
+  test("fitClassifier trains on the assembled flow with negatives") {
+    val model = matcher.fit(parts)
+    model.fitClassifier(parts.filter(col(Cols.Uid) < 150),
+      createNegativeSampleFraction = 0.4, nTrainIds = 20, seed = 3)
+    val out = model.transform(parts.filter(col(Cols.Uid) < 20))
+    assert(out.columns.contains(Cols.NmScore))
+    assert(out.filter(col(Cols.BestMatch)).count() > 0)
+  }
+
+  test("entity-id downsample keeps whole entities (P7)") {
+    val model = matcher.fit(parts)
+    val pairs = model.createTrainingPairs(parts, nTrainIds = 5)
+    val ents = pairs.select(Cols.EntityId).distinct().count()
+    assert(ents == 5)
+    // all rows of a surviving entity are kept: uid count == input rows of
+    // those entities
+    val kept = pairs.select(Cols.EntityId).distinct()
+    val expectedNames = parts.join(kept, Seq(Cols.EntityId), "left_semi").count()
+    assert(pairs.select(Cols.Uid).distinct().count() == expectedNames)
+  }
+
+  // ---- J7 keep_all_cols intermediates --------------------------------------
+
+  test("keepAllCols output exposes vectorizer intermediates (J7)") {
+    val m = EntityMatching(EmParams(keepAllCols = true), Seq(
+      new CosSimIndexer(numCandidates = 3, lowerBound = 0.2)))
+    val out = m.fit(parts).transform(parts.filter(col(Cols.Uid) < 10))
+    Seq("tokens", "ngram_tokens", "tf", "features").foreach { c =>
+      assert(out.columns.contains(c), s"missing intermediate $c")
+    }
+    assert(out.filter(col("features").isNull).count() == 0)
+  }
+
+  // ---- AutoRepartition -----------------------------------------------------
+
+  test("auto-repartition sizes partitions by approximate count") {
+    val df = spark.range(10000).toDF("id")
+    val (out, est) = AutoRepartition(df, Some(1000))
+    assert(est > 9000 && est < 11000)
+    assert(out.rdd.getNumPartitions == (est / 1000).toInt)
+    val (same, negOne) = AutoRepartition(df, None)
+    assert(negOne == -1L && (same eq df))
+  }
+}
