@@ -18,60 +18,21 @@ object Prof {
       val t0 = System.nanoTime(); val r = f
       println(f"PROF $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    import graft.ann.Knn
     val emb = spark.read.parquet(sf + "/embeddings.parquet")
     time("warm")(emb.count())
-    import graft.ann.Knn
-    // replicate lshCosinePairs internals to time each stage
-    val nBands = 8; val bitsPerBand = 6; val seed = 42L
-    val dim = 64
-    val nBits = nBands * bitsPerBand
-    val planes = { val rng = new java.util.Random(seed); Array.fill(nBits * dim)(rng.nextGaussian()) }
-    val bandKeysUdf = udf { (v: Seq[Float]) =>
-      val keys = new Array[Long](nBands)
-      var b = 0
-      while (b < nBits) {
-        var dot = 0.0; var d = 0; val off = b * dim; val n = math.min(dim, v.length)
-        while (d < n) { dot += v(d) * planes(off + d); d += 1 }
-        if (dot > 0) keys(b / bitsPerBand) |= (1L << (b % bitsPerBand))
-        b += 1
-      }
-      keys.toSeq
-    }
-    val base = emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
-    val melted = base.select(col("id"), posexplode(bandKeysUdf(col("v"))).as(Seq("band_idx", "bk")))
-    time("melted count")(println("melted=" + melted.count()))
-    val joined = melted.toDF("id_a", "band_idx", "bk")
-      .join(melted.toDF("id_b", "band_idx", "bk"), Seq("band_idx", "bk"))
-      .filter(col("id_a") < col("id_b"))
-    time("selfjoin count")(println("joined=" + joined.count()))
-    val candidates = joined.select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    time("dedup count")(println("cand=" + candidates.count()))
-    val fetched = candidates
-      .join(base.toDF("id_a", "v_a"), "id_a")
-      .join(base.toDF("id_b", "v_b"), "id_b")
-    time("fetch count")(fetched.count())
-    val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var d = 0
-      while (d < a.length) {
-        dot += a(d).toDouble * b(d).toDouble
-        na += a(d).toDouble * a(d).toDouble
-        nb += b(d).toDouble * b(d).toDouble
-        d += 1
-      }
-      val denom = math.sqrt(na) * math.sqrt(nb)
-      if (denom == 0.0) 0.0
-      else BigDecimal(dot / denom).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
-    time("verify udf deterministic")(
-      fetched.withColumn("cosine", cosUdf(col("v_a"), col("v_b")))
-        .filter(col("cosine") >= 0.35).select("id_a", "id_b", "cosine").count())
-    val cosNd = cosUdf.asNondeterministic()
-    time("verify udf nondeterministic")(
-      fetched.withColumn("cosine", cosNd(col("v_a"), col("v_b")))
-        .filter(col("cosine") >= 0.35).select("id_a", "id_b", "cosine").count())
-    val fullOp = Knn.lshCosinePairs(emb, nBands = 8, bitsPerBand = 6, minCosine = 0.35)
-    time("full op")(fullOp.count())
+    val queries = emb.filter(col("vec_id") < 100)
+    time("bruteForce")(Knn.bruteForceTopK(queries, emb, 5).count())
+    time("ivfTopK full probe")(Knn.ivfTopK(queries, emb, 5, 16, 16, 7L, 5).count())
+    time("ivfTopK probe 4")(Knn.ivfTopK(queries, emb, 5, 16, 4, 7L, 5).count())
+    time("lshCosinePairs")(
+      Knn.lshCosinePairs(emb, nBands = 8, bitsPerBand = 6, minCosine = 0.35).count())
+    val docs = spark.read.parquet(sf + "/documents.parquet")
+    time("ngramJaccard")(graft.data.Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", k = 5, threshold = 0.5).count())
+    time("minHashLsh")(graft.data.Dedup.minHashLshPairs(
+      docs, "text", "doc_id", k = 5, numHashes = 32, rowsPerBand = 4,
+      threshold = 0.5).count())
     spark.stop()
   }
 }

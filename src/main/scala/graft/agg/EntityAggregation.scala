@@ -22,6 +22,12 @@ import graft.Cols
   *
   * Null-candidate rows and blacklisted/empty names are dropped first
   * (spark_entity_aggregation.py:173-195).
+  *
+  * Account-side grouping follows base_entity_aggregation.py:170-182: the
+  * account column, plus — when present on the frame — the names' `entity_id`
+  * (training evaluation aggregates per known entity) and `positive_set`
+  * (metric collection keeps the split halves apart). One best row is emitted
+  * per such group.
   */
 object EntityAggregation {
 
@@ -38,8 +44,10 @@ object EntityAggregation {
       .filter(coalesce(col(Cols.Preprocessed), lit("")) =!= "" // P5 blacklist filter
         && !lower(col(Cols.Preprocessed)).isin(blacklist.map(_.toLowerCase): _*))
 
-    val groupCols = (Seq(accountCol, Cols.GtUid) ++
-      (if (scored.columns.contains(Cols.GtEntityId)) Seq(Cols.GtEntityId) else Nil)).map(col)
+    val accountGroup = (Seq(accountCol) ++
+      Seq(Cols.EntityId, "positive_set").filter(scored.columns.contains)).map(col)
+    val groupCols = (accountGroup :+ col(Cols.GtUid)) ++
+      (if (scored.columns.contains(Cols.GtEntityId)) Seq(col(Cols.GtEntityId)) else Nil)
 
     // sums go through DECIMAL so results are exact and order-independent
     // (a plain double sum varies with partitioning at the last ulp)
@@ -48,7 +56,7 @@ object EntityAggregation {
         val weighted = cleaned.groupBy(groupCols: _*)
           .agg(sum((col(freqCol) * col(scoreCol)).cast("decimal(38,12)")).as("w_score"),
                sum(col(freqCol).cast("decimal(38,12)")).as("w_freq"))
-        val totals = Window.partitionBy(accountCol)
+        val totals = Window.partitionBy(accountGroup: _*)
         weighted.withColumn(Cols.AggScore,
           col("w_score").cast("double") / sum(col("w_freq")).over(totals).cast("double"))
       case "mean_score" =>
@@ -59,7 +67,7 @@ object EntityAggregation {
         throw new IllegalArgumentException(s"unknown aggregation method: $other")
     }
 
-    val best = Window.partitionBy(accountCol)
+    val best = Window.partitionBy(accountGroup: _*)
       .orderBy(col(Cols.AggScore).desc, col(Cols.GtUid))
     perGt.withColumn("__rn", row_number().over(best))
       .filter(col("__rn") === 1)

@@ -42,6 +42,9 @@ class EntityMatchingSpec extends SparkSpec {
       .withColumn(Cols.Account, (col(Cols.Uid) % 5).cast("string"))
       .withColumn(Cols.Freq, lit(1L))
       .withColumn(Cols.NmScore, col(Cols.score(0)))
+      // plain per-account aggregation: entity_id on the frame would switch on
+      // the reference's per-(account, entity) training-eval grouping
+      .drop(Cols.EntityId)
     val agg = graft.agg.EntityAggregation.aggregate(scored)
     assert(agg.count() == 5)
     assert(agg.columns.contains(Cols.AggScore))

@@ -176,6 +176,24 @@ class Round3Spec extends SparkSpec {
     assert(out.filter(col("features").isNull).count() == 0)
   }
 
+  // ---- aggregation group-cols fidelity -------------------------------------
+
+  test("aggregation groups by entity_id and positive_set when present") {
+    val scored = Seq(
+      // one account, two entities, one positive_set half each: 4 groups of 1
+      ("a1", "e1", true,  10L, 1.0, 0.9, "nm"),
+      ("a1", "e1", false, 11L, 1.0, 0.8, "nm"),
+      ("a1", "e2", true,  12L, 1.0, 0.7, "nm"),
+      ("a1", "e2", false, 13L, 1.0, 0.6, "nm")
+    ).toDF("account", Cols.EntityId, "positive_set", Cols.GtUid,
+      Cols.Freq, Cols.NmScore, Cols.Preprocessed)
+    val out = graft.agg.EntityAggregation.aggregate(scored)
+    assert(out.count() == 4) // one best row per (account, entity, half)
+    val bare = graft.agg.EntityAggregation.aggregate(
+      scored.drop(Cols.EntityId, "positive_set"))
+    assert(bare.count() == 1) // plain per-account argmax otherwise
+  }
+
   // ---- AutoRepartition -----------------------------------------------------
 
   test("auto-repartition sizes partitions by approximate count") {
