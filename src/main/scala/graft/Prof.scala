@@ -30,6 +30,22 @@ object Prof {
     val docs = spark.read.parquet(sf + "/documents.parquet")
     time("ngramJaccard")(graft.data.Dedup.ngramJaccardPairs(
       docs, "text", "doc_id", k = 5, threshold = 0.5).count())
+    // stage dissection of the jaccard skeleton
+    import graft.data.Dedup
+    val sh = docs.select(col("doc_id").as("id"),
+      explode(Dedup.wordShingles(col("text"), 5)).as("s"))
+    time("explode count")(println("sh=" + sh.count()))
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1000).select("s")
+    val filtered = sh.join(broadcast(hot), Seq("s"), "left_anti").select("id", "s")
+    import org.apache.spark.sql.expressions.Window
+    val sized = filtered.withColumn("n_sh",
+      count(lit(1)).over(Window.partitionBy("id")))
+    time("sized count")(sized.count())
+    val joinOut = sized.toDF("id_a", "s", "n_a").hint("merge")
+      .join(sized.toDF("id_b", "s", "n_b"), "s")
+      .filter(col("id_a") < col("id_b"))
+    time("join output rows")(println("joinOut=" + joinOut.count()))
     time("minHashLsh")(graft.data.Dedup.minHashLshPairs(
       docs, "text", "doc_id", k = 5, numHashes = 32, rowsPerBand = 4,
       threshold = 0.5).count())

@@ -25,7 +25,8 @@ object SparkEntry {
     * production configuration (see DataQueries.benchOverrides).
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    queries ++ graft.queries.DataQueries.benchOverrides
+    queries ++ graft.queries.DataQueries.benchOverrides ++
+      graft.queries.MlQueries.benchOverrides
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -220,7 +220,7 @@ object Knn {
     // self-join that never shuffles the embedding payload
     val melted = base.select(col("id"),
       posexplode(bandKeysUdf(col("v"))).as(Seq("band_idx", "bk")))
-    val candidates = melted.toDF("id_a", "band_idx", "bk")
+    val candidates = melted.toDF("id_a", "band_idx", "bk").hint("merge")
       .join(melted.toDF("id_b", "band_idx", "bk"), Seq("band_idx", "bk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")

@@ -73,7 +73,10 @@ object Dedup {
     // the same exchange, and ReuseExchange runs explode+cap+window once
     val sized = filtered
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id")))
-    val a = sized.toDF("id_a", "s", "n_a")
+    // merge-join hint: both sides then require the SAME shuffle on s, which
+    // ReuseExchange executes once. Left to the size estimator, a broadcast
+    // pick would re-run the explode+cap+window chain for the build side
+    val a = sized.toDF("id_a", "s", "n_a").hint("merge")
     val b = sized.toDF("id_b", "s", "n_b")
     a.join(b, "s").filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
@@ -106,11 +109,15 @@ object Dedup {
 
     val withShingles = df.select(col(idCol).as("id"),
       wordShingles(col(textCol), k).as("sh"))
-    // signature: for each hash i, min over shingles of xxhash64(shingle, i)
+    // each shingle STRING is hashed once; the numHashes signature family is
+    // derived from that long with cheap long-hashes (Broder's one-strong-
+    // hash trick) — hashing the strings numHashes times costs ~30x more
+    val hashed = withShingles.select(col("id"),
+      transform(col("sh"), s => xxhash64(s)).as("hsh"))
     val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(col("sh"), s => mix(s, i))).as(s"h$i")
+      array_min(transform(col("hsh"), h => mix(h, i))).as(s"h$i")
     }
-    val sigs = withShingles.select((col("id") +: sigCols): _*)
+    val sigs = hashed.select((col("id") +: sigCols): _*)
 
     // band keys: hash of the band's signature slice; melted to long format so
     // candidate generation is ONE self-join on (band_idx, key) instead of
@@ -124,7 +131,7 @@ object Dedup {
     val melted = sigs.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "bk")))
 
-    val pairs = melted.toDF("id_a", "band_idx", "bk")
+    val pairs = melted.toDF("id_a", "band_idx", "bk").hint("merge")
       .join(melted.toDF("id_b", "band_idx", "bk"), Seq("band_idx", "bk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -174,7 +181,7 @@ object Dedup {
     // melt the 4 chunk keys -> one self-join on (chunk_idx, key)
     val melted = sigs.select(col("id"), col("sig"),
       posexplode(array(chunkKeys: _*)).as(Seq("chunk_idx", "ck")))
-    val pairs = melted.toDF("id_a", "sig_a", "chunk_idx", "ck")
+    val pairs = melted.toDF("id_a", "sig_a", "chunk_idx", "ck").hint("merge")
       .join(melted.toDF("id_b", "sig_b", "chunk_idx", "ck"), Seq("chunk_idx", "ck"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b")

@@ -127,6 +127,26 @@ object MlQueries {
           "all_null_rank_violations")
     })
 
+  /** BENCH-path production configuration: the correctness q54 runs six
+    * invariant count() probes over the assembled set (oracle code); the
+    * bench measures the training-pair assembly itself.
+    */
+  val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_training_pairs" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      val gtRaw = part.select(
+        col("p_partkey").cast("long").as(Cols.Uid),
+        col("p_name").as(Cols.Name),
+        col("p_brand").as(Cols.EntityId))
+      val nmRaw = gtRaw.filter(col(Cols.Uid) < 300)
+      EntityMatching(EmParams(), Seq(
+          new CosSimIndexer(tokenizer = "words", ngram = 1, binary = true,
+            numCandidates = 3, lowerBound = 0.5),
+          new SniIndexer(window = 2, maxGtPerName = 10)))
+        .fit(gtRaw)
+        .createTrainingPairs(nmRaw, createNegativeSampleFraction = 0.5, seed = 42)
+    })
+
   val oracleSql: Map[String, String] = Map(
     "q47_threshold_curves" ->
       """WITH grid AS (SELECT i / 20.0 AS threshold FROM generate_series(0, 20) t(i)),
