@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.MatchQueries.queries ++
     graft.queries.FeatureQueries.queries ++
     graft.queries.DataQueries.queries ++
-    graft.queries.MlQueries.queries
+    graft.queries.MlQueries.queries ++
+    graft.queries.SourceStreamQueries.queries
 
   /** What [[Bench]] measures: the correctness queries, with the entries whose
     * correctness form embeds in-query oracle verification replaced by their
@@ -37,5 +38,6 @@ object SparkEntry {
     graft.queries.MatchQueries.oracleSql ++
     graft.queries.FeatureQueries.oracleSql ++
     graft.queries.DataQueries.oracleSql ++
-    graft.queries.MlQueries.oracleSql
+    graft.queries.MlQueries.oracleSql ++
+    graft.queries.SourceStreamQueries.oracleSql
 }
