@@ -1,11 +1,17 @@
 package graft.queries
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.LongType
 
+import graft.Cols
+import graft.idx.CosSimIndexer
 import graft.sources.Sources
+import graft.streaming.StreamingMatch
 
 /** Source formats and streaming, each with a relational DuckDB oracle.
   *
@@ -50,13 +56,65 @@ object SourceStreamQueries {
              sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
         .select(unix_timestamp(col("w.start")).as("hour_epoch"),
                 col("event_type"), col("n"), col("total_value"))
-      // unique sink name: the bench runs the query repeatedly in one session
-      val sink = s"graft_q56_mem_${System.nanoTime()}"
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(sink)
+      runToMemory(s, agg)
+    },
+
+    // the q30 cossim candidate generation executed through the STREAMING
+    // variant (per-row UDF kernel, stream-safe projections, no actions):
+    // bit-identical to the batch kernel, so it shares q30's relational
+    // oracle — the strongest check the streaming path can get
+    "q57_streaming_cossim" -> { (s, dir) =>
+      val gt = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as(Cols.Uid),
+        col("p_name").as(Cols.Name),
+        col("p_name").as(Cols.Preprocessed),
+        col("p_brand").as(Cols.EntityId))
+      val model = new CosSimIndexer(tokenizer = "words", ngram = 1, binary = true,
+        numCandidates = 3, lowerBound = 0.5).fit(gt)
+      val batchSchema = s.read.parquet(s"$dir/part.parquet").schema
+      val nmStream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "part.parquet").parquet(dir)
+        .filter(col("p_partkey") < 100)
+        .select(col("p_partkey").cast("long").as(Cols.Uid),
+                col("p_name").as(Cols.Preprocessed))
+      val out = StreamingMatch.transformStreaming(model, nmStream)
+      runToMemory(s, out, mode = "append")
+        .select(col(Cols.Uid), col(Cols.GtUid),
+                col("score").as("cos_score"), col("rank"))
+    },
+
+    // binaryFile source (S4): documents written out as one raw file each,
+    // read back through the binary scan; the oracle recomputes byte lengths
+    // from the parquet text (UTF-8 both sides)
+    "q58_binary_source" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select("doc_id", "text").collect()
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q58_bin")
+      if (Files.exists(base))
+        Files.list(base).forEach(p => Files.delete(p))
+      Files.createDirectories(base)
+      docs.foreach { r =>
+        Files.write(base.resolve(s"${r.getLong(0)}.txt"),
+          r.getString(1).getBytes(StandardCharsets.UTF_8))
+      }
+      Sources.readBinaryFiles(s, base.toString + "/*.txt")
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
+          col("length").cast("int").as("n_bytes"))
     })
+
+  /** Run a streaming DataFrame to completion (availableNow) into a uniquely
+    * named memory sink and return the materialized table.
+    */
+  private def runToMemory(s: SparkSession, stream: DataFrame,
+                          mode: String = "complete"): DataFrame = {
+    // unique sink name: the bench runs the query repeatedly in one session
+    val sink = s"graft_mem_${System.nanoTime()}"
+    val q = stream.writeStream.format("memory").queryName(sink)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q55_csv_source" ->
@@ -67,5 +125,10 @@ object SourceStreamQueries {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
-         FROM events GROUP BY 1, 2""")
+         FROM events GROUP BY 1, 2""",
+    // identical semantics to the batch kernel -> shares q30's oracle
+    "q57_streaming_cossim" -> MatchQueries.oracleSql("q30_cossim_word_topk"),
+    "q58_binary_source" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes
+         FROM documents WHERE doc_id < 50""")
 }

@@ -102,6 +102,9 @@ class DataPipelineSpec extends SparkSpec {
   }
 
   test("dedup and lsh operators leave no cached RDDs behind") {
+    // other suites share the session and legitimately hold localCheckpoints;
+    // this test owns the whole persistent-RDD space only after clearing them
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 100)
     Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.3).count()
     Dedup.minHashLshPairs(docs, "text", "doc_id", k = 3, numHashes = 32,
