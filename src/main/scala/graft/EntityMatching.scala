@@ -179,7 +179,9 @@ final class EntityMatchingModel(
   def createTrainingPairs(trainNames: DataFrame,
                           createNegativeSampleFraction: Double = 0.0,
                           nTrainIds: Int = -1,
-                          seed: Int = 42): DataFrame = {
+                          seed: Int = 42,
+                          dropDuplicateCandidates: Boolean = false,
+                          dropSamenameNomatch: Boolean = false): DataFrame = {
     var names = matcher.normalize(trainNames)
     if (nTrainIds > 0) {
       val keep = names.select(col(Cols.EntityId)).distinct()
@@ -201,7 +203,22 @@ final class EntityMatchingModel(
         names.join(broadcast(flags), Seq(Cols.EntityId))
       }
     val cs = if (negativeOn) candidateModel.widened else candidateModel
-    val labeled = TrainData.label(cs.transform(names))
+    var labeled = TrainData.label(cs.transform(names))
+    if (dropDuplicateCandidates) {
+      // one candidate per (uid, gt name), preferring the correct pair
+      // (prepare_name_pairs.py:115-125; string-similarity models otherwise
+      // learn that perfect matches lose to near-perfect ones). Deterministic
+      // tie-break by gt_uid where the reference relies on sort order.
+      val w = Window.partitionBy(col(Cols.Uid), col(Cols.GtPreprocessed))
+        .orderBy(col("correct").desc, col(Cols.GtUid))
+      labeled = labeled.withColumn("__dd", row_number().over(w))
+        .filter(col("__dd") === 1).drop("__dd")
+    }
+    if (dropSamenameNomatch)
+      // drop identical-name pairs that are not matches (franchises etc.,
+      // prepare_name_pairs.py:127-134); no-candidate rows pass through
+      labeled = labeled.filter(col(Cols.GtUid).isNull ||
+        !(col(Cols.Preprocessed) === col(Cols.GtPreprocessed) && !col("correct")))
     val assembled =
       if (!negativeOn) labeled
       else {

@@ -15,9 +15,12 @@ import graft.operators.{GlobalRank, TopN}
   * names at rank offsets -w..w; score = 1 - |offset|/(w+1).
   *
   * Scale notes: the global rank uses distributed sort + RDD zipWithIndex (no
-  * single-partition window); the band join is unrolled into 2w+1 equi-joins on
-  * the rank (shuffle-on-rank, each a 1:1 join) exactly like the reference, so
-  * it scales linearly with w and never materializes a range-join blowup.
+  * single-partition window); the band join EXPLODES the 2w+1 offsets on the
+  * names side and runs ONE equi-join on the target rank — the reference
+  * unrolls 2w+1 separate joins (spark_sni.py:241-265), which shuffles the GT
+  * rank relation 2w+1 times; the exploded form moves the same total row
+  * volume through a single shuffle each side and never materializes a
+  * range-join blowup.
   *
   * GT names are capped at `maxGtPerName` rows per identical name with a
   * deterministic ordering (reference uses F.rand() — we order by uid so the
@@ -88,13 +91,13 @@ final class SniIndexerModel(val indexer: SniIndexer, val gt: DataFrame) extends 
       .localCheckpoint()
     ranked.unpersist()
 
-    val joined = (-w to w).map { off =>
-      nmRanked.join(gtRanked, nmRanked("r") + off === gtRanked("gt_r"))
-        .select(
-          col(indexer.uidCol), col(indexer.gtUidCol),
-          lit(1.0 - math.abs(off).toDouble / (w + 1.0)).as("score"),
-          lit(math.abs(off)).as("rank"))
-    }
-    joined.reduce(_ union _)
+    nmRanked
+      .select(col(indexer.uidCol), col("r"),
+        explode(lit((-w to w).toArray)).as("off"))
+      .join(gtRanked, col("r") + col("off") === col("gt_r"))
+      .select(
+        col(indexer.uidCol), col(indexer.gtUidCol),
+        (lit(1.0) - abs(col("off")).cast("double") / (w + 1.0)).as("score"),
+        abs(col("off")).cast("int").as("rank"))
   }
 }

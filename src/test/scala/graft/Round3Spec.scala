@@ -143,6 +143,28 @@ class Round3Spec extends SparkSpec {
     assert(noCand.filter(col(Cols.GtUid).isNotNull).count() == 0)
   }
 
+  test("dropDuplicateCandidates and dropSamenameNomatch options") {
+    val model = matcher.fit(parts)
+    val nm = parts.filter(col(Cols.Uid) < 120)
+    val dedup = model.createTrainingPairs(nm, dropDuplicateCandidates = true)
+    // at most one candidate per (uid, gt name), and the correct pair wins
+    val perName = dedup.filter(col(Cols.GtUid).isNotNull)
+      .groupBy(Cols.Uid, Cols.GtPreprocessed).count()
+    assert(perName.filter(col("count") > 1).count() == 0)
+    val base = model.createTrainingPairs(nm)
+    val hadCorrect = base.filter(col("correct"))
+      .select(Cols.Uid, Cols.GtPreprocessed).distinct()
+    val keptCorrect = dedup.filter(col("correct"))
+      .select(Cols.Uid, Cols.GtPreprocessed).distinct()
+    assert(hadCorrect.exceptAll(keptCorrect).count() == 0)
+
+    val noSame = model.createTrainingPairs(nm, dropSamenameNomatch = true)
+    assert(noSame.filter(col(Cols.Preprocessed) === col(Cols.GtPreprocessed)
+      && !col("correct")).count() == 0)
+    // every input name still survives (no-candidate re-add backstops drops)
+    assert(noSame.select(Cols.Uid).distinct().count() == nm.count())
+  }
+
   test("fitClassifier trains on the assembled flow with negatives") {
     val model = matcher.fit(parts)
     model.fitClassifier(parts.filter(col(Cols.Uid) < 150),
