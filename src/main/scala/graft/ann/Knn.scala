@@ -530,6 +530,124 @@ object Knn {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Materialize an IVF index on disk: targets are assigned (map-only
+    * kernel) to their nearest list and written PARTITIONED BY `list_id` —
+    * the storage analogue of a bucketed layout, and the real 100 TB shape:
+    * the index is built once, and a probe reads only its `nProbe` partition
+    * directories (static partition pruning, visible as `PartitionFilters`
+    * in the scan). Centroids are stored alongside as a small parquet.
+    */
+  def ivfWriteIndex(targets: DataFrame, path: String,
+                    nLists: Int = 64, seed: Long = 42L,
+                    maxIter: Int = 10, maxFitRows: Int = 100000,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (centroids, dim) = ivfFit(targets, nLists, seed, maxIter, maxFitRows, idCol, vecCol)
+    val spark = targets.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val nL = if (dim == 0) 1 else centroids.length / dim
+    val schema = StructType(Seq(
+      StructField("target_id", LongType, nullable = false),
+      StructField("tv", ArrayType(FloatType), nullable = true),
+      StructField("list_id", IntegerType, nullable = false)))
+    val assigned = spark.createDataFrame(
+      targets.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
+        val cs = bc.value
+        val one = new Array[Int](1)
+        it.map { r =>
+          val v = r.getSeq[Float](1)
+          nearestCentroids(v.toArray, cs, dim, nL, 1, one)
+          Row(r.getLong(0), v, one(0))
+        }
+      }, schema)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    val centroidRows = (0 until nL).map { l =>
+      Row(l, (0 until dim).map(d => centroids(l * dim + d)))
+    }
+    val cSchema = StructType(Seq(
+      StructField("list_id", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType), nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(centroidRows, 1), cSchema)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a disk-materialized IVF index (see [[ivfWriteIndex]]): probe
+    * lists per query via the shared centroid kernel, statically prune the
+    * index scan to the union of probed lists, join on `list_id`, and score
+    * with the primitive kernel. Bit-identical to [[ivfTopK]] on the same
+    * fitted centroids.
+    */
+  def ivfTopKIndexed(queries: DataFrame, indexPath: String, k: Int,
+                     nProbe: Int = 8,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val centroidRows = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("list_id").collect()
+    val nL = centroidRows.length
+    val dim = if (nL == 0) 0 else centroidRows(0).getSeq[Double](1).length
+    val centroids = new Array[Double](nL * dim)
+    centroidRows.foreach { r =>
+      val l = r.getInt(0)
+      val v = r.getSeq[Double](1)
+      var d = 0
+      while (d < dim) { centroids(l * dim + d) = v(d); d += 1 }
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+    val nP = math.min(nProbe, math.max(nL, 1))
+
+    val probedSchema = StructType(Seq(
+      StructField("list_id", IntegerType, nullable = false),
+      StructField("query_id", LongType, nullable = false),
+      StructField("qv", ArrayType(FloatType), nullable = true)))
+    val probed = spark.createDataFrame(
+      queries.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
+        val cs = bc.value
+        val probes = new Array[Int](math.max(nP, 1))
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val v = r.getSeq[Float](1)
+          val n = nearestCentroids(v.toArray, cs, dim, nL, nP, probes)
+          (0 until n).iterator.map(i => Row(probes(i), id, v))
+        }
+      }, probedSchema)
+
+    // static partition pruning: only the probed list directories are read
+    val probedLists = probed.select("list_id").distinct().collect().map(_.getInt(0))
+    val lists = spark.read.parquet(s"$indexPath/lists")
+      .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*))
+
+    val joined = probed.join(lists, "list_id")
+      .filter(if (excludeSelf) col("query_id") =!= col("target_id") else lit(true))
+    val scoreSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("target_id", LongType, nullable = false),
+      StructField("cosine", DoubleType, nullable = false)))
+    val scored = spark.createDataFrame(
+      joined.select("query_id", "qv", "target_id", "tv").rdd.mapPartitions { it =>
+        it.map { r =>
+          val a = r.getSeq[Float](1)
+          val b = r.getSeq[Float](3)
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var d = 0
+          val n = math.min(a.length, b.length)
+          while (d < n) {
+            dot += a(d).toDouble * b(d).toDouble
+            na += a(d).toDouble * a(d).toDouble
+            nb += b(d).toDouble * b(d).toDouble
+            d += 1
+          }
+          val denom = math.sqrt(na) * math.sqrt(nb)
+          Row(r.getLong(0), r.getLong(2), if (denom == 0.0) 0.0 else round9(dot / denom))
+        }
+      }, scoreSchema)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("target_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "target_id", "cosine", "rank")
+  }
+
   /** IVF top-k beyond broadcast scale: targets are assigned (map-only kernel)
     * to their nearest list, queries probe their `nProbe` lists, and scoring
     * happens after ONE shuffle join on `list_id` — at scale the target side

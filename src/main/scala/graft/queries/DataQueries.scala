@@ -134,6 +134,16 @@ object DataQueries {
         nLists = 16, nProbe = 16, seed = 7L, maxIter = 5)
     },
 
+    // disk-materialized IVF index (written partitioned by list_id, probes
+    // statically pruned): exhaustive probing over the index is bit-identical
+    // to brute force, same oracle as q53
+    "q59_ann_ivf_indexed" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q59_ivf"
+      Knn.ivfWriteIndex(emb, path, nLists = 16, seed = 7L, maxIter = 5)
+      Knn.ivfTopKIndexed(emb.filter(col("vec_id") < 100), path, k = 5, nProbe = 16)
+    },
+
     // multimodal: binary payload + metadata struct (oracle on byte stats)
     "q45_media_stats" -> { (s, dir) =>
       val media = BinaryMedia.attach(t(s, dir, "documents"), "doc_id", "text", "text/plain")
@@ -257,6 +267,16 @@ object DataQueries {
                 CAST(least(e.vec_id, coalesce(m.min_nbr, e.vec_id)) AS BIGINT) AS rep_id,
                 least(e.vec_id, coalesce(m.min_nbr, e.vec_id)) <> e.vec_id AS is_dup
          FROM embeddings e LEFT JOIN minnbr m ON e.vec_id = m.vec_id""",
+    "q59_ann_ivf_indexed" ->
+      """SELECT query_id, target_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                  round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) AS cosine,
+                  CAST(row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) DESC,
+                                t.vec_id) AS INT) AS rank
+           FROM embeddings q CROSS JOIN embeddings t
+           WHERE q.vec_id < 100)
+         WHERE rank <= 5""",
     "q53_ann_ivf" ->
       """SELECT query_id, target_id, cosine, rank FROM (
            SELECT q.vec_id AS query_id, t.vec_id AS target_id,
