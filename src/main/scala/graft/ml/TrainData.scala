@@ -89,14 +89,31 @@ object TrainData {
     * indexer's rank NULLED rather than the row dropped, POSITIVE rows are
     * capped too (widened +1 candidates removed on both sides), and a matched
     * row survives only while at least one rank column is non-null — the
-    * merge_indexers union semantics. Empty map = the plain re-rank above.
+    * merge_indexers union semantics. In this mode the SNI shift is the
+    * reference's CONDITIONAL one (negative_data_creation.py:110-145): no
+    * shift when the removed correct pair was an exact match (rank 0), was
+    * absent, or left surviving candidates at its own rank; otherwise ranks
+    * beyond it move one step toward zero. (Our SNI ranks are unsigned
+    * |offset|, so the reference's per-sign shift collapses to one side, and
+    * multiple correct ranks resolve by max where the reference's dict build
+    * keeps the last.) Empty map = the plain re-rank above.
     */
   def negativeRerank(labeled: DataFrame, cosRankCols: Seq[String],
                      sniRankCols: Seq[String] = Nil,
                      sniWindows: Map[String, Int] = Map.empty,
                      positiveSetCol: String = "positive_set",
                      maxRanks: Map[String, Int] = Map.empty): DataFrame = {
-    val negatives = labeled.filter(!col(positiveSetCol) && !col("correct"))
+    val byUid = Window.partitionBy(Cols.Uid)
+    // the SNI conditional shift needs the removed correct pair's rank, so it
+    // is computed on the negative HALF before correct rows are dropped
+    val negHalf = labeled.filter(!col(positiveSetCol))
+    val withPc =
+      if (maxRanks.isEmpty) negHalf
+      else sniRankCols.foldLeft(negHalf) { (df, rc) =>
+        df.withColumn(s"__pc_$rc",
+          max(when(col("correct"), col(rc))).over(byUid))
+      }
+    val negatives = withPc.filter(!col("correct"))
     val positives = labeled.filter(col(positiveSetCol))
 
     def capped(c: Column, rc: String): Column = maxRanks.get(rc) match {
@@ -109,15 +126,21 @@ object TrainData {
       df.withColumn(rc,
         capped(when(col(rc).isNotNull, row_number().over(w)).otherwise(col(rc)), rc))
     }
-    // SNI: shift the absolute rank one step toward zero; beyond-window rows
-    // are dropped (legacy single-indexer form) or rank-nulled (maxRanks form)
+    // SNI: legacy form shifts every rank one step toward zero and drops
+    // beyond-window rows; maxRanks form applies the reference's conditional
+    // shift then nulls ranks beyond the fitted window
     val shifted = sniRankCols.foldLeft(reRanked) { (df, rc) =>
       val w = sniWindows.getOrElse(rc, 3)
-      val sh = when(col(rc).isNotNull, greatest(col(rc) - 1, lit(0))).otherwise(col(rc))
-      if (maxRanks.isEmpty)
+      if (maxRanks.isEmpty) {
+        val sh = when(col(rc).isNotNull, greatest(col(rc) - 1, lit(0))).otherwise(col(rc))
         df.withColumn(rc, sh).filter(col(rc).isNull || col(rc) <= w)
-      else
-        df.withColumn(rc, capped(sh, rc))
+      } else {
+        val pc = col(s"__pc_$rc")
+        val survivorAtPc = max(when(col(rc) === pc, lit(1))).over(byUid)
+        val doShift = pc.isNotNull && pc =!= 0 && survivorAtPc.isNull
+        val sh = when(doShift && col(rc) > pc, col(rc) - 1).otherwise(col(rc))
+        df.withColumn(rc, capped(sh, rc)).drop(s"__pc_$rc")
+      }
     }
     // positive side: remove the widened window's extra candidates as well
     val posCapped = maxRanks.foldLeft(positives) { case (df, (rc, _)) =>

@@ -111,16 +111,23 @@ class Round3Spec extends SparkSpec {
         }
       } else {
         // negative side: correct pairs removed; cossim ranks renumbered by
-        // original order then capped at 3; SNI ranks shifted toward 0,
-        // capped at 2
+        // original order then capped at 3; SNI ranks conditionally shifted
+        // toward 0 (only when the removed correct pair was non-exact, present
+        // and left no same-rank survivor), capped at 2
         assert(rows.forall(!_.getBoolean(5)))
         val survivors = orig.filter(!_.correct)
         val renumber = survivors.filter(_.r0.isDefined).sortBy(_.r0.get)
           .zipWithIndex.map { case (c, i) => c.gtUid -> (i + 1) }.toMap
+        val pcRanks = orig.filter(_.correct).flatMap(_.r1)
+        val pcOpt = if (pcRanks.isEmpty) None else Some(pcRanks.max)
+        val survivorAtPc = pcOpt.exists(p => survivors.exists(_.r1.contains(p)))
+        val doShift = pcOpt.exists(_ != 0) && !survivorAtPc
+        def shiftSni(x: Int): Int =
+          if (doShift && x > pcOpt.get) x - 1 else x
         rows.foreach { r =>
           val o = survivors.find(_.gtUid == r.getLong(1)).get
           val expected0 = renumber.get(o.gtUid).filter(_ <= 3)
-          val expected1 = o.r1.map(x => math.max(x - 1, 0)).filter(_ <= 2)
+          val expected1 = o.r1.map(shiftSni).filter(_ <= 2)
           val r0 = if (r.isNullAt(2)) None else Some(r.getInt(2))
           val r1 = if (r.isNullAt(3)) None else Some(r.getInt(3))
           assert(r0 == expected0, s"uid=$uid gt=${o.gtUid}")
@@ -131,7 +138,7 @@ class Round3Spec extends SparkSpec {
         val keptGts = rows.map(_.getLong(1)).toSet
         survivors.foreach { o =>
           val kept0 = renumber.get(o.gtUid).exists(_ <= 3)
-          val kept1 = o.r1.map(x => math.max(x - 1, 0)).exists(_ <= 2)
+          val kept1 = o.r1.map(shiftSni).exists(_ <= 2)
           assert(keptGts.contains(o.gtUid) == (kept0 || kept1), s"uid=$uid gt=${o.gtUid}")
         }
       }
