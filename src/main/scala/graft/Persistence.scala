@@ -28,6 +28,8 @@ object Persistence {
          |"blocking":${c.blockingFunc.map("\"" + _ + "\"").getOrElse("null")}}"""
         .stripMargin.replaceAll("\n", "")
     case s: SniIndexer =>
+      require(s.mappingFunc.isEmpty,
+        "an SNI mappingFunc is an arbitrary closure and cannot be persisted")
       s"""{"type":"sni","window":${s.window},"maxGtPerName":${s.maxGtPerName}}"""
     case other =>
       throw new IllegalArgumentException(s"cannot persist indexer ${other.getClass}")
@@ -48,10 +50,18 @@ object Persistence {
     Files.createDirectories(Paths.get(path))
     val p  = model.matcher.params
     val ixs = model.matcher.indexers.map(indexerToJson).mkString("[", ",", "]")
+    def strArr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val extraCols = model.supervised.map(_.layer.extraFeatureCols).getOrElse(Nil)
     val json =
       s"""{"preprocessPipeline":"${p.preprocessPipeline}","nameCol":"${p.nameCol}",
          |"entityIdCol":"${p.entityIdCol}","uidCol":"${p.uidCol}",
+         |"accountCol":"${p.accountCol}","freqCol":"${p.freqCol}",
+         |"carryOnCols":${strArr(p.carryOnCols)},
+         |"aggregationMethod":${p.aggregationMethod.map("\"" + _ + "\"").getOrElse("null")},
+         |"keepAllCols":${p.keepAllCols},"checkUid":${p.checkUid},
+         |"partitionSize":${p.partitionSize.getOrElse(-1)},
          |"withNoMatches":${p.withNoMatches},"indexers":$ixs,
+         |"extraFeatureCols":${strArr(extraCols)},
          |"hasSupervised":${model.supervised.isDefined}}"""
         .stripMargin.replaceAll("\n", "")
     Files.writeString(Paths.get(s"$path/params.json"), json)
@@ -72,15 +82,28 @@ object Persistence {
     val params = EmParams(
       preprocessPipeline = j.str("preprocessPipeline"),
       nameCol = j.str("nameCol"), entityIdCol = j.str("entityIdCol"),
-      uidCol = j.str("uidCol"), withNoMatches = j.bool("withNoMatches"))
+      uidCol = j.str("uidCol"),
+      accountCol = j.fields.get("accountCol").map(_ => j.str("accountCol"))
+        .getOrElse(Cols.Account),
+      freqCol = j.fields.get("freqCol").map(_ => j.str("freqCol"))
+        .getOrElse(Cols.Freq),
+      carryOnCols = j.strArr("carryOnCols"),
+      aggregationMethod = j.strOpt("aggregationMethod"),
+      keepAllCols = j.fields.get("keepAllCols").exists(_ => j.bool("keepAllCols")),
+      checkUid = j.fields.get("checkUid").exists(_ => j.bool("checkUid")),
+      partitionSize = j.fields.get("partitionSize").map(_ => j.int("partitionSize"))
+        .filter(_ > 0),
+      withNoMatches = j.bool("withNoMatches"))
     val indexers = j.arr("indexers").map(indexerFromJson)
     val gt = spark.read.parquet(s"$path/gt.parquet")
     // gt.parquet is already normalized (uid/name/preprocessed) — refit directly
-    val cs = new idx.CandidateSelection(indexers, Nil, params.withNoMatches).fit(gt)
+    val cs = new idx.CandidateSelection(indexers, params.carryOnCols,
+      params.withNoMatches).fit(gt)
     val model = new EntityMatchingModel(new EntityMatcher(params, indexers), gt, cs)
     if (j.bool("hasSupervised")) {
       val pipeline = PipelineModel.load(s"$path/supervised")
       val scoreCols = indexers.indices.map(Cols.score)
+      val extraCols = j.strArr("extraFeatureCols")
       val vocabPath = Paths.get(s"$path/vocabulary.tsv")
       val entries =
         if (Files.exists(vocabPath))
@@ -92,7 +115,8 @@ object Persistence {
       val vocab = features.VocabularyModel(
         veryCommon = entries.collect { case (w, "very_common") => w }.toSet,
         common     = entries.collect { case (w, "common") => w }.toSet)
-      model.supervised = Some(new SupervisedModel(new SupervisedLayer(scoreCols), pipeline, vocab))
+      model.supervised = Some(new SupervisedModel(
+        new SupervisedLayer(scoreCols, extraFeatureCols = extraCols), pipeline, vocab))
     }
     model
   }
@@ -111,6 +135,11 @@ private[graft] object ujsonLite {
     def bool(k: String): Boolean = fields(k).toBoolean
     def arr(k: String): Seq[Obj] = splitTopLevel(fields(k).stripPrefix("[").stripSuffix("]"))
       .filter(_.nonEmpty).map(s => parseObj(s))
+    def strArr(k: String): Seq[String] = fields.get(k) match {
+      case None => Nil
+      case Some(v) => splitTopLevel(v.stripPrefix("[").stripSuffix("]"))
+        .filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
   }
 
   def parse(s: String): Obj = parseObj(s.trim)

@@ -97,4 +97,31 @@ class PipelineExtrasSpec extends SparkSpec {
     val b = loaded.transform(parts.limit(10)).select("uid", "gt_uid", Cols.score(0))
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
+
+  test("persistence round-trips carry-on cols, aggregation config and extra features") {
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey").as("id"), col("p_name").as("company"),
+              col("p_brand").as("brand"), col("p_type").as("country"))
+    val matcher = EntityMatching(
+      EmParams(nameCol = "company", entityIdCol = "brand", uidCol = "id",
+        carryOnCols = Seq("country"),
+        aggregationMethod = Some("mean_score"), checkUid = true),
+      indexers = Seq(new CosSimIndexer(numCandidates = 3, lowerBound = 0.3)))
+    val model = matcher.fit(parts)
+    model.fitClassifier(parts.limit(80))
+    val dir = Files.createTempDirectory("graftmodel2").toString + "/model"
+    Persistence.save(model, dir)
+    val loaded = Persistence.load(spark, dir)
+    val lp = loaded.matcher.params
+    assert(lp.carryOnCols == Seq("country") &&
+      lp.aggregationMethod.contains("mean_score") && lp.checkUid)
+    assert(loaded.supervised.get.layer.extraFeatureCols == Seq("country"))
+    // the loaded supervised layer must be able to SCORE (the extra equality
+    // feature has to be regenerated for the persisted VectorAssembler)
+    val a = model.transform(parts.limit(10))
+      .select("uid", "gt_uid", Cols.NmScore)
+    val b = loaded.transform(parts.limit(10))
+      .select("uid", "gt_uid", Cols.NmScore)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
 }
