@@ -32,6 +32,7 @@ final case class EmParams(
     withNoMatches: Boolean = true,
     supervisedOn: Boolean = false,
     aggregationMethod: Option[String] = None,
+    aggregationBlacklist: Seq[String] = Nil,
     keepAllCols: Boolean = false,
     checkUid: Boolean = false,
     partitionSize: Option[Int] = None)
@@ -151,10 +152,27 @@ final class EntityMatchingModel(
       case Some(method) if limited.columns.contains(params.accountCol) =>
         EntityAggregation.aggregate(limited, method,
           params.accountCol, params.freqCol,
-          if (limited.columns.contains(Cols.NmScore)) Cols.NmScore else Cols.score(0))
+          if (limited.columns.contains(Cols.NmScore)) Cols.NmScore else Cols.score(0),
+          blacklist = preprocessedBlacklist)
       case _ => limited
     }
   }
+
+  /** The aggregation blacklist run through the SAME preprocessing pipeline
+    * as the names (base_entity_aggregation.py:166-167), so user-supplied raw
+    * names match the `preprocessed` column they filter. Tiny literal list —
+    * computed once per model, lazily.
+    */
+  private lazy val preprocessedBlacklist: Seq[String] =
+    if (params.aggregationBlacklist.isEmpty) Nil
+    else {
+      val spark = gt.sparkSession
+      import spark.implicits._
+      Preprocessor(
+        params.aggregationBlacklist.toDF(Cols.Name),
+        params.preprocessPipeline, Cols.Name, Cols.Preprocessed)
+        .select(Cols.Preprocessed).collect().map(_.getString(0)).toSeq
+    }
 
   /** Assemble the supervised training-pair set with the reference's full
     * training flow (spark_entity_matching.py:376-411 +

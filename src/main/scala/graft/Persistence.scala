@@ -58,6 +58,7 @@ object Persistence {
          |"accountCol":"${p.accountCol}","freqCol":"${p.freqCol}",
          |"carryOnCols":${strArr(p.carryOnCols)},
          |"aggregationMethod":${p.aggregationMethod.map("\"" + _ + "\"").getOrElse("null")},
+         |"aggregationBlacklist":${strArr(p.aggregationBlacklist)},
          |"keepAllCols":${p.keepAllCols},"checkUid":${p.checkUid},
          |"partitionSize":${p.partitionSize.getOrElse(-1)},
          |"withNoMatches":${p.withNoMatches},"indexers":$ixs,
@@ -89,6 +90,7 @@ object Persistence {
         .getOrElse(Cols.Freq),
       carryOnCols = j.strArr("carryOnCols"),
       aggregationMethod = j.strOpt("aggregationMethod"),
+      aggregationBlacklist = j.strArr("aggregationBlacklist"),
       keepAllCols = j.fields.get("keepAllCols").exists(_ => j.bool("keepAllCols")),
       checkUid = j.fields.get("checkUid").exists(_ => j.bool("checkUid")),
       partitionSize = j.fields.get("partitionSize").map(_ => j.int("partitionSize"))

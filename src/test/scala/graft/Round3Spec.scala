@@ -223,6 +223,22 @@ class Round3Spec extends SparkSpec {
     assert(bare.count() == 1) // plain per-account argmax otherwise
   }
 
+  test("aggregation blacklist is preprocessed like the names") {
+    val m = EntityMatching(
+      EmParams(aggregationMethod = Some("mean_score"),
+        // raw, un-normalized entry; preprocessing lowercases it
+        aggregationBlacklist = Seq(" SHELL  COMPANY ")),
+      Seq(new CosSimIndexer(numCandidates = 3, lowerBound = 0.2)))
+    val gt = Seq((1L, "shell company", "e1"), (2L, "acme metals", "e2"))
+      .toDF(Cols.Uid, Cols.Name, Cols.EntityId)
+    val names = Seq((10L, "shell company", "a1", 1L), (11L, "acme metals", "a1", 1L))
+      .toDF(Cols.Uid, Cols.Name, Cols.Account, Cols.Freq)
+    val out = m.fit(gt).transform(names)
+    // the blacklisted name cannot win its account's aggregation
+    val winners = out.select(Cols.GtUid).collect().map(_.getLong(0)).toSet
+    assert(winners == Set(2L))
+  }
+
   // ---- AutoRepartition -----------------------------------------------------
 
   test("auto-repartition sizes partitions by approximate count") {
