@@ -43,13 +43,19 @@ object Bench {
       if (args.isEmpty) SparkEntry.benchQueries
       else SparkEntry.benchQueries.filter { case (n, _) => args.exists(n.contains) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to nRuns).map { _ =>
         clearState()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      // true median (mean of middle two for even n); a failed query reports
+      // -1 instead of a plausible-looking time-to-failure
+      val median =
+        if (times.length % 2 == 1) times(times.length / 2)
+        else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
+      name -> (if (failed) -1.0 else median)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

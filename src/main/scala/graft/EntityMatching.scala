@@ -218,7 +218,11 @@ final class EntityMatchingModel(
           .withColumn("positive_set",
             row_number().over(wOrd) <=
               floor(lit(1.0 - createNegativeSampleFraction) * count(lit(1)).over(wAll)))
-        names.join(broadcast(flags), Seq(Cols.EntityId))
+        // left join + false default: a null entity_id never equi-joins, and
+        // the reference's `isin(pos_ids)` puts null-entity names in the
+        // negative set rather than dropping them
+        names.join(broadcast(flags), Seq(Cols.EntityId), "left")
+          .withColumn("positive_set", coalesce(col("positive_set"), lit(false)))
       }
     val cs = if (negativeOn) candidateModel.widened else candidateModel
     var labeled = TrainData.label(cs.transform(names))

@@ -20,6 +20,12 @@ import graft.ml.{SupervisedLayer, SupervisedModel}
   */
 object Persistence {
 
+  /** Escape for values embedded in the params JSON (user-supplied column
+    * names / blacklist entries may contain quotes or backslashes).
+    */
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   private def indexerToJson(ix: NameIndexer): String = ix match {
     case c: CosSimIndexer =>
       s"""{"type":"cossim","tokenizer":"${c.tokenizer}","ngram":${c.ngram},
@@ -50,14 +56,14 @@ object Persistence {
     Files.createDirectories(Paths.get(path))
     val p  = model.matcher.params
     val ixs = model.matcher.indexers.map(indexerToJson).mkString("[", ",", "]")
-    def strArr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def strArr(xs: Seq[String]): String = xs.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
     val extraCols = model.supervised.map(_.layer.extraFeatureCols).getOrElse(Nil)
     val json =
-      s"""{"preprocessPipeline":"${p.preprocessPipeline}","nameCol":"${p.nameCol}",
-         |"entityIdCol":"${p.entityIdCol}","uidCol":"${p.uidCol}",
-         |"accountCol":"${p.accountCol}","freqCol":"${p.freqCol}",
+      s"""{"preprocessPipeline":"${esc(p.preprocessPipeline)}","nameCol":"${esc(p.nameCol)}",
+         |"entityIdCol":"${esc(p.entityIdCol)}","uidCol":"${esc(p.uidCol)}",
+         |"accountCol":"${esc(p.accountCol)}","freqCol":"${esc(p.freqCol)}",
          |"carryOnCols":${strArr(p.carryOnCols)},
-         |"aggregationMethod":${p.aggregationMethod.map("\"" + _ + "\"").getOrElse("null")},
+         |"aggregationMethod":${p.aggregationMethod.map("\"" + esc(_) + "\"").getOrElse("null")},
          |"aggregationBlacklist":${strArr(p.aggregationBlacklist)},
          |"keepAllCols":${p.keepAllCols},"checkUid":${p.checkUid},
          |"partitionSize":${p.partitionSize.getOrElse(-1)},
@@ -128,10 +134,15 @@ object Persistence {
   * available offline; this is NOT a general JSON parser).
   */
 private[graft] object ujsonLite {
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
   final case class Obj(fields: Map[String, String]) {
-    def str(k: String): String  = fields(k).stripPrefix("\"").stripSuffix("\"")
+    def str(k: String): String =
+      unescape(fields(k).stripPrefix("\"").stripSuffix("\""))
     def strOpt(k: String): Option[String] =
-      fields.get(k).filter(_ != "null").map(_.stripPrefix("\"").stripSuffix("\""))
+      fields.get(k).filter(_ != "null")
+        .map(v => unescape(v.stripPrefix("\"").stripSuffix("\"")))
     def int(k: String): Int     = fields(k).toInt
     def dbl(k: String): Double  = fields(k).toDouble
     def bool(k: String): Boolean = fields(k).toBoolean
@@ -140,7 +151,7 @@ private[graft] object ujsonLite {
     def strArr(k: String): Seq[String] = fields.get(k) match {
       case None => Nil
       case Some(v) => splitTopLevel(v.stripPrefix("[").stripSuffix("]"))
-        .filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).map(s => unescape(s.trim.stripPrefix("\"").stripSuffix("\"")))
     }
   }
 
@@ -156,18 +167,25 @@ private[graft] object ujsonLite {
     Obj(fields)
   }
 
-  /** Split on commas not nested inside {} [] "". */
+  /** Split on commas not nested inside {} [] "" (escape-aware: a \" inside a
+    * string must not toggle the string state).
+    */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
     var inStr = false
-    s.foreach {
-      case '"' => inStr = !inStr; cur += '"'
-      case c @ ('{' | '[') if !inStr => depth += 1; cur += c
-      case c @ ('}' | ']') if !inStr => depth -= 1; cur += c
-      case ',' if depth == 0 && !inStr => out += cur.toString.trim; cur.clear()
-      case c => cur += c
+    var escaped = false
+    s.foreach { c =>
+      if (escaped) { cur += c; escaped = false }
+      else c match {
+        case '\\' if inStr => cur += c; escaped = true
+        case '"' => inStr = !inStr; cur += '"'
+        case '{' | '[' if !inStr => depth += 1; cur += c
+        case '}' | ']' if !inStr => depth -= 1; cur += c
+        case ',' if depth == 0 && !inStr => out += cur.toString.trim; cur.clear()
+        case _ => cur += c
+      }
     }
     if (cur.nonEmpty) out += cur.toString.trim
     out.toSeq

@@ -31,27 +31,33 @@ object Knn {
     StructField("cosine", DoubleType, nullable = false),
     StructField("rank", IntegerType, nullable = false)))
 
-  /** Exact cosine top-k of each query against all targets.
-    * Inputs: (idCol: long, vecCol: array<float>); queries and targets may be
-    * the same DataFrame (self-join for near-dup); self-pairs are skipped when
-    * `excludeSelf`.
+  /** A corpus collected to the driver and packed as primitive blocks: ids,
+    * row-major float data, per-row L2 norms. Vectors shorter than `dim` are
+    * zero-padded (and longer ones truncated), so EVERY kernel in this file
+    * sees the same ragged-input behavior.
     */
-  def bruteForceTopK(queries: DataFrame, targets: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding",
-                     excludeSelf: Boolean = false): DataFrame = {
-    val collected = targets.select(col(idCol).cast("long"), col(vecCol)).collect()
+  private[graft] final case class PackedVecs(
+      ids: Array[Long], data: Array[Float], norms: Array[Double], dim: Int) {
+    def n: Int = ids.length
+    def row(i: Int): Array[Float] =
+      java.util.Arrays.copyOfRange(data, i * dim, (i + 1) * dim)
+  }
+
+  private def packVecs(df: DataFrame, idCol: String, vecCol: String): PackedVecs = {
+    val collected = df.select(col(idCol).cast("long"), col(vecCol)).collect()
     val n   = collected.length
     val dim = if (n == 0) 0 else collected(0).getSeq[Float](1).length
-    val ids  = new Array[Long](n)
-    val data = new Array[Float](n * dim)
+    val ids   = new Array[Long](n)
+    val data  = new Array[Float](n * dim)
     val norms = new Array[Double](n)
     var i = 0
     while (i < n) {
       ids(i) = collected(i).getLong(0)
       val v = collected(i).getSeq[Float](1)
+      val m = math.min(dim, v.length)
       var d = 0
       var nr = 0.0
-      while (d < dim) {
+      while (d < m) {
         val x = v(d)
         data(i * dim + d) = x
         nr += x.toDouble * x.toDouble
@@ -60,17 +66,31 @@ object Knn {
       norms(i) = math.sqrt(nr)
       i += 1
     }
-    val bc = queries.sparkSession.sparkContext.broadcast((ids, data, norms, dim))
+    PackedVecs(ids, data, norms, dim)
+  }
+
+  /** Exact cosine top-k of each query against all targets.
+    * Inputs: (idCol: long, vecCol: array<float>); queries and targets may be
+    * the same DataFrame (self-join for near-dup); self-pairs are skipped when
+    * `excludeSelf`.
+    */
+  def bruteForceTopK(queries: DataFrame, targets: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     excludeSelf: Boolean = false): DataFrame = {
+    val packed = packVecs(targets, idCol, vecCol)
+    val bc = queries.sparkSession.sparkContext.broadcast(packed)
 
     val rdd = queries.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
-      val (tIds, tData, tNorms, d) = bc.value
+      val p = bc.value
+      val tIds = p.ids; val tData = p.data; val tNorms = p.norms; val d = p.dim
       val nT = tIds.length
       it.flatMap { r =>
         val qid = r.getLong(0)
         val q   = r.getSeq[Float](1).toArray
+        val qLen = math.min(d, q.length) // ragged inputs are zero-padded
         var qn  = 0.0
         var j = 0
-        while (j < d) { qn += q(j).toDouble * q(j).toDouble; j += 1 }
+        while (j < qLen) { qn += q(j).toDouble * q(j).toDouble; j += 1 }
         val qNorm = math.sqrt(qn)
         // top-k by insertion (k small)
         val bestS = new Array[Double](k)
@@ -82,7 +102,7 @@ object Knn {
             var dot = 0.0
             var dd  = 0
             val off = ti * d
-            while (dd < d) { dot += q(dd).toDouble * tData(off + dd).toDouble; dd += 1 }
+            while (dd < qLen) { dot += q(dd).toDouble * tData(off + dd).toDouble; dd += 1 }
             val denom = qNorm * tNorms(ti)
             val s = if (denom == 0.0) 0.0 else round9(dot / denom)
             var pos = nBest
@@ -117,34 +137,19 @@ object Knn {
     */
   def exactCosinePairs(df: DataFrame, minCosine: Double,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val collected = df.select(col(idCol).cast("long"), col(vecCol)).collect()
-    val n   = collected.length
-    val dim = if (n == 0) 0 else collected(0).getSeq[Float](1).length
-    val ids   = new Array[Long](n)
-    val data  = new Array[Float](n * dim)
-    val norms = new Array[Double](n)
-    var i = 0
-    while (i < n) {
-      ids(i) = collected(i).getLong(0)
-      val v = collected(i).getSeq[Float](1)
-      var d = 0
-      var nr = 0.0
-      while (d < dim) {
-        val x = v(d); data(i * dim + d) = x; nr += x.toDouble * x.toDouble; d += 1
-      }
-      norms(i) = math.sqrt(nr)
-      i += 1
-    }
-    val bc = df.sparkSession.sparkContext.broadcast((ids, data, norms, dim))
+    val packed = packVecs(df, idCol, vecCol)
+    val bc = df.sparkSession.sparkContext.broadcast(packed)
     val rdd = df.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
-      val (tIds, tData, tNorms, d) = bc.value
+      val p = bc.value
+      val tIds = p.ids; val tData = p.data; val tNorms = p.norms; val d = p.dim
       val nT = tIds.length
       it.flatMap { r =>
         val qid = r.getLong(0)
         val q   = r.getSeq[Float](1).toArray
+        val qLen = math.min(d, q.length)
         var qn  = 0.0
         var j = 0
-        while (j < d) { qn += q(j).toDouble * q(j).toDouble; j += 1 }
+        while (j < qLen) { qn += q(j).toDouble * q(j).toDouble; j += 1 }
         val qNorm = math.sqrt(qn)
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         var ti = 0
@@ -153,7 +158,7 @@ object Knn {
             var dot = 0.0
             var dd  = 0
             val off = ti * d
-            while (dd < d) { dot += q(dd).toDouble * tData(off + dd).toDouble; dd += 1 }
+            while (dd < qLen) { dot += q(dd).toDouble * tData(off + dd).toDouble; dd += 1 }
             val denom = qNorm * tNorms(ti)
             val s = if (denom == 0.0) 0.0 else round9(dot / denom)
             if (s >= minCosine) out += Row(qid, tIds(ti), s)
@@ -229,29 +234,14 @@ object Knn {
     // broadcast-kernel verification: pack the corpus once, stream long pairs.
     // sqrt(na)*sqrt(nb) like exactCosinePairs, so the output is a true subset
     // of the exact threshold join
-    val collected = df.select(col(idCol).cast("long"), col(vecCol)).collect()
-    val n = collected.length
-    val ids   = new Array[Long](n)
-    val data  = new Array[Float](n * dim)
-    val norms = new Array[Double](n)
-    val index = new java.util.HashMap[Long, Integer](2 * n)
+    val packed = packVecs(df, idCol, vecCol)
+    val index = new java.util.HashMap[Long, Integer](2 * packed.n)
     var i = 0
-    while (i < n) {
-      ids(i) = collected(i).getLong(0)
-      index.put(ids(i), i)
-      val v = collected(i).getSeq[Float](1)
-      var d = 0
-      var nr = 0.0
-      val m = math.min(dim, v.length)
-      while (d < m) {
-        val x = v(d); data(i * dim + d) = x; nr += x.toDouble * x.toDouble; d += 1
-      }
-      norms(i) = math.sqrt(nr)
-      i += 1
-    }
-    val bc = df.sparkSession.sparkContext.broadcast((index, data, norms, dim))
+    while (i < packed.n) { index.put(packed.ids(i), i); i += 1 }
+    val bc = df.sparkSession.sparkContext.broadcast((index, packed))
     val rdd = candidates.rdd.mapPartitions { it =>
-      val (idx, tData, tNorms, d) = bc.value
+      val (idx, p) = bc.value
+      val tData = p.data; val tNorms = p.norms; val d = p.dim
       it.flatMap { r =>
         val ia = r.getLong(0)
         val ib = r.getLong(1)
@@ -413,16 +403,17 @@ object Knn {
 
   private def packIvf(targets: DataFrame, centroids: Array[Double], dim: Int,
                       idCol: String, vecCol: String): PackedIvf = {
-    val collected = targets.select(col(idCol).cast("long"), col(vecCol)).collect()
-    val n = collected.length
+    // one shared collect-and-pack (zero-padded ragged inputs), then a stable
+    // regrouping of the packed rows into per-list blocks
+    val flat = packVecs(targets, idCol, vecCol)
+    val n = flat.n
     val nL = if (dim == 0) 1 else centroids.length / dim
     val assign = new Array[Int](n)
     val counts = new Array[Int](nL)
     val one = new Array[Int](1)
     var i = 0
     while (i < n) {
-      val v = collected(i).getSeq[Float](1).toArray
-      nearestCentroids(v, centroids, dim, nL, 1, one)
+      nearestCentroids(flat.row(i), centroids, dim, nL, 1, one)
       assign(i) = one(0)
       counts(one(0)) += 1
       i += 1
@@ -438,14 +429,9 @@ object Knn {
     while (i < n) {
       val pos = listPtr(assign(i)) + fill(assign(i))
       fill(assign(i)) += 1
-      ids(pos) = collected(i).getLong(0)
-      val v = collected(i).getSeq[Float](1)
-      var d = 0
-      var nr = 0.0
-      while (d < dim) {
-        val x = v(d); data(pos * dim + d) = x; nr += x.toDouble * x.toDouble; d += 1
-      }
-      norms(pos) = math.sqrt(nr)
+      ids(pos) = flat.ids(i)
+      System.arraycopy(flat.data, i * dim, data, pos * dim, dim)
+      norms(pos) = flat.norms(i)
       i += 1
     }
     PackedIvf(listPtr, ids, data, norms, centroids, dim)
@@ -487,9 +473,10 @@ object Knn {
       it.flatMap { r =>
         val qid = r.getLong(0)
         val q   = r.getSeq[Float](1).toArray
+        val qLen = math.min(d, q.length) // ragged inputs are zero-padded
         var qn  = 0.0
         var j = 0
-        while (j < d && j < q.length) { qn += q(j).toDouble * q(j).toDouble; j += 1 }
+        while (j < qLen) { qn += q(j).toDouble * q(j).toDouble; j += 1 }
         val qNorm = math.sqrt(qn)
         val nProbes = nearestCentroids(q, ivf.centroids, d, ivf.nLists, nP, probes)
         val bestS = new Array[Double](k)
@@ -505,7 +492,7 @@ object Knn {
               var dot = 0.0
               var dd  = 0
               val off = ti * d
-              while (dd < d) { dot += q(dd).toDouble * ivf.data(off + dd).toDouble; dd += 1 }
+              while (dd < qLen) { dot += q(dd).toDouble * ivf.data(off + dd).toDouble; dd += 1 }
               val denom = qNorm * ivf.norms(ti)
               val s = if (denom == 0.0) 0.0 else round9(dot / denom)
               var pos = nBest
@@ -580,7 +567,6 @@ object Knn {
                      nProbe: Int = 8,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      excludeSelf: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     val centroidRows = spark.read.parquet(s"$indexPath/centroids")
       .orderBy("list_id").collect()
@@ -612,18 +598,30 @@ object Knn {
         }
       }, probedSchema)
 
-    // static partition pruning: only the probed list directories are read
+    // static partition pruning: only the probed list directories are read.
+    // The distinct-lists action runs the (map-only, query-side) probe kernel
+    // once ahead of the join's own execution — re-running that kernel is far
+    // cheaper than pinning `probed` in memory or scanning unprobed index
+    // partitions, so this stays cache-free by design.
     val probedLists = probed.select("list_id").distinct().collect().map(_.getInt(0))
     val lists = spark.read.parquet(s"$indexPath/lists")
       .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*))
 
     val joined = probed.join(lists, "list_id")
       .filter(if (excludeSelf) col("query_id") =!= col("target_id") else lit(true))
+    topKFromScoredPairs(scorePairs(joined), k)
+  }
+
+  /** (query_id, qv, target_id, tv) pairs -> (query_id, target_id, cosine)
+    * via a primitive mapPartitions kernel; the single scoring implementation
+    * behind both distributed IVF paths (keeps them bit-identical).
+    */
+  private def scorePairs(joined: DataFrame): DataFrame = {
     val scoreSchema = StructType(Seq(
       StructField("query_id", LongType, nullable = false),
       StructField("target_id", LongType, nullable = false),
       StructField("cosine", DoubleType, nullable = false)))
-    val scored = spark.createDataFrame(
+    joined.sparkSession.createDataFrame(
       joined.select("query_id", "qv", "target_id", "tv").rdd.mapPartitions { it =>
         it.map { r =>
           val a = r.getSeq[Float](1)
@@ -641,6 +639,10 @@ object Knn {
           Row(r.getLong(0), r.getLong(2), if (denom == 0.0) 0.0 else round9(dot / denom))
         }
       }, scoreSchema)
+  }
+
+  private def topKFromScoredPairs(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("target_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -662,7 +664,6 @@ object Knn {
                       maxIter: Int = 10, maxFitRows: Int = 100000,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       excludeSelf: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (centroids, dim) = ivfFit(targets, nLists, seed, maxIter, maxFitRows, idCol, vecCol)
     val spark = queries.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
@@ -692,32 +693,6 @@ object Knn {
 
     val joined = probed.join(assigned, "list_id")
       .filter(if (excludeSelf) col("query_id") =!= col("target_id") else lit(true))
-    val scoreSchema = StructType(Seq(
-      StructField("query_id", LongType, nullable = false),
-      StructField("target_id", LongType, nullable = false),
-      StructField("cosine", DoubleType, nullable = false)))
-    val scored = spark.createDataFrame(
-      joined.select("query_id", "qv", "target_id", "tv").rdd.mapPartitions { it =>
-        it.map { r =>
-          val a = r.getSeq[Float](1)
-          val b = r.getSeq[Float](3)
-          var dot = 0.0; var na = 0.0; var nb = 0.0
-          var d = 0
-          val n = math.min(a.length, b.length)
-          while (d < n) {
-            dot += a(d).toDouble * b(d).toDouble
-            na += a(d).toDouble * a(d).toDouble
-            nb += b(d).toDouble * b(d).toDouble
-            d += 1
-          }
-          val denom = math.sqrt(na) * math.sqrt(nb)
-          Row(r.getLong(0), r.getLong(2), if (denom == 0.0) 0.0 else round9(dot / denom))
-        }
-      }, scoreSchema)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("target_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "target_id", "cosine", "rank")
+    topKFromScoredPairs(scorePairs(joined), k)
   }
 }

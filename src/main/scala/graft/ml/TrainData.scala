@@ -22,9 +22,11 @@ object TrainData {
   def label(pairs: DataFrame): DataFrame =
     pairs
       .withColumn("no_candidate", col(Cols.GtUid).isNull)
+      // coalesce: a null entity on either side must label FALSE (pandas NaN
+      // equality semantics), never a null that filters would silently drop
       .withColumn("correct",
         col(Cols.GtUid).isNotNull &&
-          col(Cols.EntityId) === col(Cols.gt(Cols.EntityId)))
+          coalesce(col(Cols.EntityId) === col(Cols.gt(Cols.EntityId)), lit(false)))
 
   /** Deterministic grouped split: every row of a group lands on the same
     * side; assignment by group hash. Seeded and reproducible — no RNG state,

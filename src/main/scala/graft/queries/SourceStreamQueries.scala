@@ -90,8 +90,11 @@ object SourceStreamQueries {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
         .select("doc_id", "text").collect()
       val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q58_bin")
-      if (Files.exists(base))
-        Files.list(base).forEach(p => Files.delete(p))
+      if (Files.exists(base)) {
+        val listing = Files.list(base)
+        try listing.filter(Files.isRegularFile(_)).forEach(p => Files.delete(p))
+        finally listing.close()
+      }
       Files.createDirectories(base)
       docs.foreach { r =>
         Files.write(base.resolve(s"${r.getLong(0)}.txt"),
@@ -113,7 +116,12 @@ object SourceStreamQueries {
     val q = stream.writeStream.format("memory").queryName(sink)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(sink)
+    // detach the result from the catalog so repeated runs don't accumulate
+    // memory-sink tables for the session lifetime; the returned plan holds
+    // its own reference to the sink's rows
+    val out = s.table(sink)
+    s.catalog.dropTempView(sink)
+    out
   }
 
   val oracleSql: Map[String, String] = Map(
