@@ -111,7 +111,7 @@ final class EntityMatchingModel(
       inputCols.contains(c) || c == Cols.Preprocessed ||
         keepPrefixes.exists(c.startsWith) || c.endsWith("_score")
     }
-    matched.select(keep.map(col): _*)
+    matched.select(keep.toIndexedSeq.map(col): _*)
   }
 
   /** keep_all_cols intermediate re-join (spark_cos_sim_matcher.py:255-256):

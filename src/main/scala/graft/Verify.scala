@@ -21,6 +21,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale output from a previous run: a failure must show
+        // up as "no spark output", not silently pass on old results
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) rm(dir)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -605,7 +605,7 @@ object Knn {
     // partitions, so this stays cache-free by design.
     val probedLists = probed.select("list_id").distinct().collect().map(_.getInt(0))
     val lists = spark.read.parquet(s"$indexPath/lists")
-      .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*))
+      .filter(col("list_id").isin(probedLists.toIndexedSeq.map(Integer.valueOf): _*))
 
     val joined = probed.join(lists, "list_id")
       .filter(if (excludeSelf) col("query_id") =!= col("target_id") else lit(true))

@@ -77,7 +77,7 @@ final case class VocabularyModel(veryCommon: Set[String], common: Set[String]) {
   def withPairFeatures(df: DataFrame,
                        nameCol: String = Cols.Preprocessed,
                        gtNameCol: String = Cols.GtPreprocessed): DataFrame = {
-    val expanded = df.columns.map(col) ++
+    val expanded = df.columns.toIndexedSeq.map(col) ++
       featureNames.map(n => col("__voc_feats").getField(n).as(n))
     df.withColumn("__voc_feats", featStruct(nameCol, gtNameCol))
       .select(expanded: _*)
