@@ -43,10 +43,14 @@ object Knn {
       java.util.Arrays.copyOfRange(data, i * dim, (i + 1) * dim)
   }
 
-  private def packVecs(df: DataFrame, idCol: String, vecCol: String): PackedVecs = {
+  private def packVecs(df: DataFrame, idCol: String, vecCol: String,
+                       dimHint: Int = -1): PackedVecs = {
     val collected = df.select(col(idCol).cast("long"), col(vecCol)).collect()
     val n   = collected.length
-    val dim = if (n == 0) 0 else collected(0).getSeq[Float](1).length
+    val dim =
+      if (dimHint >= 0) dimHint
+      else if (n == 0) 0
+      else collected(0).getSeq[Float](1).length
     val ids   = new Array[Long](n)
     val data  = new Array[Float](n * dim)
     val norms = new Array[Double](n)
@@ -293,8 +297,9 @@ object Knn {
     var i = 0
     while (i < n) {
       val v = rows(i).getSeq[Float](0)
+      val m = math.min(dim, v.length) // ragged inputs are zero-padded
       var d = 0
-      while (d < dim) { data(i * dim + d) = v(d); d += 1 }
+      while (d < m) { data(i * dim + d) = v(d); d += 1 }
       i += 1
     }
     val k = math.max(1, math.min(nLists, n))
@@ -403,9 +408,10 @@ object Knn {
 
   private def packIvf(targets: DataFrame, centroids: Array[Double], dim: Int,
                       idCol: String, vecCol: String): PackedIvf = {
-    // one shared collect-and-pack (zero-padded ragged inputs), then a stable
-    // regrouping of the packed rows into per-list blocks
-    val flat = packVecs(targets, idCol, vecCol)
+    // one shared collect-and-pack (zero-padded ragged inputs, at the FITTED
+    // dim — the collect order's first row may differ from the fit sample's),
+    // then a stable regrouping of the packed rows into per-list blocks
+    val flat = packVecs(targets, idCol, vecCol, dimHint = dim)
     val n = flat.n
     val nL = if (dim == 0) 1 else centroids.length / dim
     val assign = new Array[Int](n)
