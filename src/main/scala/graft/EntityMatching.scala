@@ -98,6 +98,24 @@ final class EntityMatchingModel(
 
   private def params = matcher.params
 
+  private var aggregationOverride: Option[String] = None
+
+  /** Attach a pre-trained supervised model post-fit
+    * (add_supervised_model, spark_entity_matching.py:595-626) — e.g. one
+    * loaded from another pipeline's persistence dir.
+    */
+  def addSupervisedModel(sm: SupervisedModel): this.type = {
+    supervised = Some(sm); this
+  }
+
+  /** Enable (or switch) account aggregation post-fit
+    * (add_aggregation_layer, spark_entity_matching.py:655-680) without
+    * rebuilding the matcher.
+    */
+  def addAggregationLayer(method: String = "max_frequency_nm_score"): this.type = {
+    aggregationOverride = Some(method); this
+  }
+
   /** Output-column contract (spark_entity_matching.py:318-334): unless
     * keepAllCols, the result carries only the caller's input columns,
     * `preprocessed`, and the match outputs — gt_* / score_* / rank_* /
@@ -148,7 +166,7 @@ final class EntityMatchingModel(
       if (topN > 0 && pruned.columns.contains(Cols.BestRank))
         pruned.filter(col(Cols.BestRank) <= topN && col(Cols.GtUid).isNotNull)
       else pruned
-    params.aggregationMethod match {
+    aggregationOverride.orElse(params.aggregationMethod) match {
       case Some(method) if limited.columns.contains(params.accountCol) =>
         EntityAggregation.aggregate(limited, method,
           params.accountCol, params.freqCol,

@@ -223,6 +223,22 @@ class Round3Spec extends SparkSpec {
     assert(bare.count() == 1) // plain per-account argmax otherwise
   }
 
+  test("addSupervisedModel / addAggregationLayer post-fit hooks") {
+    val gt = parts
+    val m1 = matcher.fit(gt)
+    m1.fitClassifier(parts.filter(col(Cols.Uid) < 100))
+    // attach m1's trained model to a freshly fitted matcher
+    val m2 = matcher.fit(gt).addSupervisedModel(m1.supervised.get)
+    val out = m2.transform(parts.filter(col(Cols.Uid) < 10))
+    assert(out.columns.contains(Cols.NmScore))
+    // aggregation enabled post-fit
+    val names = parts.filter(col(Cols.Uid) < 10)
+      .withColumn(Cols.Account, lit("a1")).withColumn(Cols.Freq, lit(1L))
+      .drop(Cols.EntityId)
+    val agg = m2.addAggregationLayer("mean_score").transform(names)
+    assert(agg.columns.contains(Cols.AggScore) && agg.count() == 1)
+  }
+
   test("aggregation blacklist is preprocessed like the names") {
     val m = EntityMatching(
       EmParams(aggregationMethod = Some("mean_score"),
