@@ -116,6 +116,12 @@ final class EntityMatchingModel(
     aggregationOverride = Some(method); this
   }
 
+  /** The aggregation actually in effect (post-fit override wins); this is
+    * what persistence must record.
+    */
+  def effectiveAggregationMethod: Option[String] =
+    aggregationOverride.orElse(params.aggregationMethod)
+
   /** Output-column contract (spark_entity_matching.py:318-334): unless
     * keepAllCols, the result carries only the caller's input columns,
     * `preprocessed`, and the match outputs — gt_* / score_* / rank_* /

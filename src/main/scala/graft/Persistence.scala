@@ -63,7 +63,7 @@ object Persistence {
          |"entityIdCol":"${esc(p.entityIdCol)}","uidCol":"${esc(p.uidCol)}",
          |"accountCol":"${esc(p.accountCol)}","freqCol":"${esc(p.freqCol)}",
          |"carryOnCols":${strArr(p.carryOnCols)},
-         |"aggregationMethod":${p.aggregationMethod.map("\"" + esc(_) + "\"").getOrElse("null")},
+         |"aggregationMethod":${model.effectiveAggregationMethod.map("\"" + esc(_) + "\"").getOrElse("null")},
          |"aggregationBlacklist":${strArr(p.aggregationBlacklist)},
          |"keepAllCols":${p.keepAllCols},"checkUid":${p.checkUid},
          |"partitionSize":${p.partitionSize.getOrElse(-1)},

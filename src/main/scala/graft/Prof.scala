@@ -20,10 +20,15 @@ object Prof {
     }
     import graft.data.Dedup
     // scaling smoke test: same operators at 1x and 8x corpus size; the
-    // bucketed/capped plans should scale near-linearly, never quadratically
+    // bucketed/capped plans should scale near-linearly, never quadratically.
+    // Each copy is SALTED (distinct suffix per copy) so the 8x corpus keeps
+    // roughly the 1x near-dup density — verbatim clones would make the pair
+    // output itself grow quadratically and mask any plan regression
     val docs1 = spark.read.parquet(sf + "/documents.parquet")
     val docs8 = (0 until 8).map { i =>
       docs1.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text", concat(col("text"),
+          lit(s" copy salt token alpha$i beta$i gamma$i delta$i epsilon$i")))
     }.reduce(_ unionByName _)
     time("warm")(docs8.count())
     time("jaccard 1x")(Dedup.ngramJaccardPairs(docs1, "text", "doc_id", k = 5, threshold = 0.5).count())
@@ -35,8 +40,12 @@ object Prof {
     time("simhash 1x")(Dedup.simHashPairs(docs1, "text", "doc_id").count())
     time("simhash 8x")(Dedup.simHashPairs(docs8, "text", "doc_id").count())
     val emb1 = spark.read.parquet(sf + "/embeddings.parquet")
+    // salt: one appended per-copy coordinate keeps copies near but not
+    // identical, so the pair output stays ~linear in corpus size
     val emb8 = (0 until 8).map { i =>
       emb1.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+        .withColumn("embedding",
+          concat(col("embedding"), array(lit(0.3f * i))))
     }.reduce(_ unionByName _)
     import graft.ann.Knn
     time("lsh pairs 1x")(Knn.lshCosinePairs(emb1, nBands = 8, bitsPerBand = 6, minCosine = 0.35).count())

@@ -24,11 +24,15 @@ object Verify {
         // remove any stale output from a previous run: a failure must show
         // up as "no spark output", not silently pass on old results
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete(); ()
         }
         val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists()) rm(dir)
+        // best-effort: a cleanup failure must not abort the remaining queries
+        try if (dir.exists()) rm(dir)
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name stale-output cleanup failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

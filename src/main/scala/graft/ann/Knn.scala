@@ -58,7 +58,7 @@ object Knn {
     while (i < n) {
       ids(i) = collected(i).getLong(0)
       val v = collected(i).getSeq[Float](1)
-      val m = math.min(dim, v.length)
+      val m = if (v == null) 0 else math.min(dim, v.length)
       var d = 0
       var nr = 0.0
       while (d < m) {
@@ -90,7 +90,7 @@ object Knn {
       val nT = tIds.length
       it.flatMap { r =>
         val qid = r.getLong(0)
-        val q   = r.getSeq[Float](1).toArray
+        val q   = if (r.isNullAt(1)) Array.empty[Float] else r.getSeq[Float](1).toArray
         val qLen = math.min(d, q.length) // ragged inputs are zero-padded
         var qn  = 0.0
         var j = 0
@@ -149,7 +149,7 @@ object Knn {
       val nT = tIds.length
       it.flatMap { r =>
         val qid = r.getLong(0)
-        val q   = r.getSeq[Float](1).toArray
+        val q   = if (r.isNullAt(1)) Array.empty[Float] else r.getSeq[Float](1).toArray
         val qLen = math.min(d, q.length)
         var qn  = 0.0
         var j = 0
@@ -210,7 +210,8 @@ object Knn {
       val rng = new java.util.Random(seed)
       Array.fill(nBits * dim)(rng.nextGaussian())
     }
-    val bandKeysUdf = udf { (v: Seq[Float]) =>
+    val bandKeysUdf = udf { (vRaw: Seq[Float]) =>
+      val v = if (vRaw == null) Seq.empty[Float] else vRaw
       val keys = new Array[Long](nBands)
       var b = 0
       while (b < nBits) {
@@ -292,12 +293,15 @@ object Knn {
       .collect()
     val n = rows.length
     if (n == 0) return (Array.empty[Double], 0)
-    val dim = rows(0).getSeq[Float](0).length
+    val dim = {
+      val v0 = rows(0).getSeq[Float](0)
+      if (v0 == null) 0 else v0.length
+    }
     val data = new Array[Double](n * dim)
     var i = 0
     while (i < n) {
       val v = rows(i).getSeq[Float](0)
-      val m = math.min(dim, v.length) // ragged inputs are zero-padded
+      val m = if (v == null) 0 else math.min(dim, v.length) // ragged: zero-padded
       var d = 0
       while (d < m) { data(i * dim + d) = v(d); d += 1 }
       i += 1
@@ -376,6 +380,10 @@ object Knn {
       val off = c * dim
       val n = math.min(dim, v.length)
       while (d < n) { val x = v(d) - centroids(off + d); s += x * x; d += 1 }
+      // a ragged-short vector is zero-padded to the fitted dim: the missing
+      // dims contribute the centroid's own squared coordinate, keeping raw
+      // and pre-packed callers bit-identical
+      while (d < dim) { val x = centroids(off + d); s += x * x; d += 1 }
       dists(c) = s
       c += 1
     }
@@ -478,7 +486,7 @@ object Knn {
       val probes = new Array[Int](math.max(nP, 1))
       it.flatMap { r =>
         val qid = r.getLong(0)
-        val q   = r.getSeq[Float](1).toArray
+        val q   = if (r.isNullAt(1)) Array.empty[Float] else r.getSeq[Float](1).toArray
         val qLen = math.min(d, q.length) // ragged inputs are zero-padded
         var qn  = 0.0
         var j = 0
@@ -547,7 +555,7 @@ object Knn {
         val cs = bc.value
         val one = new Array[Int](1)
         it.map { r =>
-          val v = r.getSeq[Float](1)
+          val v = if (r.isNullAt(1)) Seq.empty[Float] else r.getSeq[Float](1)
           nearestCentroids(v.toArray, cs, dim, nL, 1, one)
           Row(r.getLong(0), v, one(0))
         }
@@ -598,7 +606,7 @@ object Knn {
         val probes = new Array[Int](math.max(nP, 1))
         it.flatMap { r =>
           val id = r.getLong(0)
-          val v = r.getSeq[Float](1)
+          val v = if (r.isNullAt(1)) Seq.empty[Float] else r.getSeq[Float](1)
           val n = nearestCentroids(v.toArray, cs, dim, nL, nP, probes)
           (0 until n).iterator.map(i => Row(probes(i), id, v))
         }
@@ -615,14 +623,17 @@ object Knn {
 
     val joined = probed.join(lists, "list_id")
       .filter(if (excludeSelf) col("query_id") =!= col("target_id") else lit(true))
-    topKFromScoredPairs(scorePairs(joined), k)
+    topKFromScoredPairs(scorePairs(joined, dim), k)
   }
 
   /** (query_id, qv, target_id, tv) pairs -> (query_id, target_id, cosine)
     * via a primitive mapPartitions kernel; the single scoring implementation
-    * behind both distributed IVF paths (keeps them bit-identical).
+    * behind both distributed IVF paths. Vectors are treated as zero-padded
+    * to the FITTED `dim` — norms run over each side's own min(dim, length),
+    * the dot over the common prefix — exactly like the packed broadcast
+    * kernel, so all three paths stay bit-identical on ragged inputs too.
     */
-  private def scorePairs(joined: DataFrame): DataFrame = {
+  private def scorePairs(joined: DataFrame, dim: Int): DataFrame = {
     val scoreSchema = StructType(Seq(
       StructField("query_id", LongType, nullable = false),
       StructField("target_id", LongType, nullable = false),
@@ -630,17 +641,21 @@ object Knn {
     joined.sparkSession.createDataFrame(
       joined.select("query_id", "qv", "target_id", "tv").rdd.mapPartitions { it =>
         it.map { r =>
-          val a = r.getSeq[Float](1)
-          val b = r.getSeq[Float](3)
+          val a = if (r.isNullAt(1)) Seq.empty[Float] else r.getSeq[Float](1)
+          val b = if (r.isNullAt(3)) Seq.empty[Float] else r.getSeq[Float](3)
+          val aLen = math.min(dim, a.length)
+          val bLen = math.min(dim, b.length)
           var dot = 0.0; var na = 0.0; var nb = 0.0
           var d = 0
-          val n = math.min(a.length, b.length)
+          val n = math.min(aLen, bLen)
           while (d < n) {
             dot += a(d).toDouble * b(d).toDouble
-            na += a(d).toDouble * a(d).toDouble
-            nb += b(d).toDouble * b(d).toDouble
             d += 1
           }
+          d = 0
+          while (d < aLen) { na += a(d).toDouble * a(d).toDouble; d += 1 }
+          d = 0
+          while (d < bLen) { nb += b(d).toDouble * b(d).toDouble; d += 1 }
           val denom = math.sqrt(na) * math.sqrt(nb)
           Row(r.getLong(0), r.getLong(2), if (denom == 0.0) 0.0 else round9(dot / denom))
         }
@@ -686,7 +701,7 @@ object Knn {
         val probes = new Array[Int](math.max(take, 1))
         it.flatMap { r =>
           val id = r.getLong(0)
-          val v  = r.getSeq[Float](1)
+          val v  = if (r.isNullAt(1)) Seq.empty[Float] else r.getSeq[Float](1)
           val nFilled = nearestCentroids(v.toArray, cs, dim, nL, take, probes)
           (0 until nFilled).iterator.map(i => Row(probes(i), id, v))
         }
@@ -699,6 +714,6 @@ object Knn {
 
     val joined = probed.join(assigned, "list_id")
       .filter(if (excludeSelf) col("query_id") =!= col("target_id") else lit(true))
-    topKFromScoredPairs(scorePairs(joined), k)
+    topKFromScoredPairs(scorePairs(joined, dim), k)
   }
 }

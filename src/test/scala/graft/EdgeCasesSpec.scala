@@ -73,6 +73,51 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Knn.lshCosinePairs(emb, nBands = 2, bitsPerBand = 2, minCosine = 0.99).count() <= 3)
   }
 
+  test("null embedding rows flow through every ANN path") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, Seq(1.0f, 0.0f)),
+      org.apache.spark.sql.Row(2L, null),
+      org.apache.spark.sql.Row(3L, Seq(0.9f, 0.1f)))
+    val emb = spark.createDataFrame(rows, schema)
+    assert(Knn.bruteForceTopK(emb, emb, k = 2).count() > 0)
+    assert(Knn.exactCosinePairs(emb, 0.5).count() >= 1)
+    assert(Knn.ivfTopK(emb, emb, k = 2, nLists = 2, nProbe = 2).count() > 0)
+    assert(Knn.lshCosinePairs(emb, nBands = 2, bitsPerBand = 2, minCosine = 0.5).count() >= 0)
+  }
+
+  test("ragged vectors: all three IVF paths agree (zero-pad semantics)") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      org.apache.spark.sql.Row(2L, Seq(1.0f)),                  // short
+      org.apache.spark.sql.Row(3L, Seq(1.0f, 0.0f, 0.0f, 9.9f)),
+      org.apache.spark.sql.Row(4L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      org.apache.spark.sql.Row(5L, Seq(0.1f, 0.9f)))            // short
+    val emb = spark.createDataFrame(rows, schema)
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val kernel = key(Knn.ivfTopK(emb, emb, k = 3, nLists = 2, nProbe = 1, seed = 5L).collect())
+    val bucketed = key(Knn.ivfTopKBucketed(emb, emb, k = 3, nLists = 2, nProbe = 1, seed = 5L).collect())
+    assert(kernel == bucketed, s"kernel=$kernel bucketed=$bucketed")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ragged_ivf"
+    Knn.ivfWriteIndex(emb, path, nLists = 2, seed = 5L)
+    val indexed = key(Knn.ivfTopKIndexed(emb, path, k = 3, nProbe = 1).collect())
+    assert(kernel == indexed, s"kernel=$kernel indexed=$indexed")
+  }
+
+  test("gt whose names produce no ngram tokens fits an inert vectorizer") {
+    // word 2-grams over single-word names: every row tokenizes, no 2-gram
+    val gt = Seq((1L, "acme"), (2L, "globex")).toDF(Cols.Uid, Cols.Preprocessed)
+    val m = new CosSimIndexer(tokenizer = "words", ngram = 2,
+      numCandidates = 3, lowerBound = 0.1).fit(gt)
+    assert(m.transform(oneName).count() == 0)
+  }
+
   test("training-pair assembly with null entity ids keeps every name") {
     val parts = spark.read.parquet(s"$sf/part.parquet")
       .select(col("p_partkey").cast("long").as(Cols.Uid),

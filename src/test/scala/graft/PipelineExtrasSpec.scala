@@ -124,4 +124,18 @@ class PipelineExtrasSpec extends SparkSpec {
       .select("uid", "gt_uid", Cols.NmScore)
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
+
+  test("addAggregationLayer survives persistence") {
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey").as("id"), col("p_name").as("company"))
+    val model = EntityMatching(
+      EmParams(nameCol = "company", uidCol = "id"),
+      indexers = Seq(new CosSimIndexer(numCandidates = 2, lowerBound = 0.3)))
+      .fit(parts)
+      .addAggregationLayer("mean_score")
+    val dir = Files.createTempDirectory("graftmodel3").toString + "/model"
+    Persistence.save(model, dir)
+    val loaded = Persistence.load(spark, dir)
+    assert(loaded.effectiveAggregationMethod.contains("mean_score"))
+  }
 }
