@@ -40,12 +40,14 @@ object Prof {
     time("simhash 1x")(Dedup.simHashPairs(docs1, "text", "doc_id").count())
     time("simhash 8x")(Dedup.simHashPairs(docs8, "text", "doc_id").count())
     val emb1 = spark.read.parquet(sf + "/embeddings.parquet")
-    // salt: one appended per-copy coordinate keeps copies near but not
-    // identical, so the pair output stays ~linear in corpus size
+    // salt: circular-shift each copy's coordinates by i — within-copy
+    // cosine structure is identical to 1x (rotation-invariant), cross-copy
+    // vectors decorrelate, so the pair output stays ~linear in corpus size
     val emb8 = (0 until 8).map { i =>
       emb1.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
         .withColumn("embedding",
-          concat(col("embedding"), array(lit(0.3f * i))))
+          if (i == 0) col("embedding")
+          else expr(s"concat(slice(embedding, ${8 * i + 1}, 64 - ${8 * i}), slice(embedding, 1, ${8 * i}))"))
     }.reduce(_ unionByName _)
     import graft.ann.Knn
     time("lsh pairs 1x")(Knn.lshCosinePairs(emb1, nBands = 8, bitsPerBand = 6, minCosine = 0.35).count())

