@@ -1,7 +1,6 @@
 package graft.data
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Cols
@@ -39,10 +38,14 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-duplicate pairs.
     *
-    * Plan shape: explode distinct shingles -> self-join on shingle (inverted
-    * index: only docs sharing a shingle ever meet) -> count common shingles
-    * per pair -> jaccard = common / (n1 + n2 - common) -> threshold.
-    * The shingle join is the scalable skeleton every near-dup variant shares.
+    * Plan shape: one codegen'd kernel ([[graft.functions.ShingleHashes]])
+    * turns each doc into its distinct shingle-HASH set — longs, so the join
+    * key is 8 bytes instead of a ~50-byte shingle string and equality is
+    * exact modulo 2^-64 collisions — then explode -> self-join on the hash
+    * (inverted index: only docs sharing a shingle ever meet) -> count common
+    * shingles per pair -> jaccard = common / (n1 + n2 - common) -> threshold.
+    * The per-doc effective size is computed MAP-SIDE (`size(hs)`) before the
+    * explode, so no window/groupBy-by-id shuffle exists anywhere.
     *
     * Skew guard (`maxDocsPerShingle`, ON by default): shingles shared by more
     * than the cap docs are dropped BEFORE the self-join — one boilerplate
@@ -52,33 +55,36 @@ object Dedup {
     * the capped set, so jaccard remains an exact Jaccard of the effective
     * sets (a pair is reported iff its effective-set jaccard >= threshold) —
     * never a biased estimate. Pass 0 to disable and get raw-set jaccard.
+    * The hot set is bounded by total-occurrences/cap and collected (one
+    * map-side-combined pass); per-doc subtraction is `array_except` against
+    * the literal — for a pathological corpus whose hot set itself is huge,
+    * swap the literal for a broadcast-set filter, the rest of the plan holds.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 5, threshold: Double = 0.8,
                         maxDocsPerShingle: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), k)).as("s"))
-    val filtered =
+    import graft.functions.ShingleExprs.wordShingleHashes
+    val hs = df.select(col(idCol).as("id"),
+      wordShingleHashes(col(textCol), k).as("hs"))
+    val eff =
       if (maxDocsPerShingle > 0) {
-        // the hot set is tiny by construction (shingles shared by > cap docs),
-        // so the anti-join must broadcast, never sort-merge
-        val hot = sh.groupBy("s").agg(count(lit(1)).as("c"))
-          .filter(col("c") > maxDocsPerShingle).select("s")
-        // explicit select: the using-column join moves "s" to the front, and
-        // the downstream toDF renames are positional
-        sh.join(broadcast(hot), Seq("s"), "left_anti").select("id", "s")
-      } else sh
-    // the effective-set size rides along on every exploded row (one window on
-    // the id shuffle) instead of being a separate groupBy consumer: the
-    // self-join's two sides are then the ONLY consumers, they canonicalize to
-    // the same exchange, and ReuseExchange runs explode+cap+window once
-    val sized = filtered
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id")))
-    // merge-join hint: both sides then require the SAME shuffle on s, which
+        val hot = hs.select(explode(col("hs")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("c"))
+          .filter(col("c") > maxDocsPerShingle)
+          .collect().map(_.getLong(0))
+        if (hot.isEmpty) hs
+        else hs.select(col("id"), array_except(col("hs"), lit(hot)).as("hs"))
+      } else hs
+    // map-side size: docs whose effective set is empty vanish at the explode,
+    // exactly like rows that lost every shingle did under the old window form
+    val sized = eff.select(col("id"), size(col("hs")).as("n_sh"),
+      explode(col("hs")).as("h"))
+    // merge-join hint: both sides then require the SAME shuffle on h, which
     // ReuseExchange executes once. Left to the size estimator, a broadcast
-    // pick would re-run the explode+cap+window chain for the build side
-    val a = sized.toDF("id_a", "s", "n_a").hint("merge")
-    val b = sized.toDF("id_b", "s", "n_b")
-    a.join(b, "s").filter(col("id_a") < col("id_b"))
+    // pick would re-run the shingle scan for the build side
+    val a = sized.toDF("id_a", "n_a", "h").hint("merge")
+    val b = sized.toDF("id_b", "n_b", "h")
+    a.join(b, "h").filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_common"), max("n_a").as("n_a"), max("n_b").as("n_b"))
       .withColumn("jaccard",
@@ -88,9 +94,6 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
-  /** Deterministic 64-bit mixing hash (splitmix64 finalizer over xxhash64). */
-  private def mix(c: Column, seed: Int): Column = xxhash64(c, lit(seed))
-
   /** MinHash + LSH banding near-duplicate candidates.
     *
     * numHashes signatures h_i(doc) = min over shingles of hash(shingle, i);
@@ -98,36 +101,38 @@ object Dedup {
     * become candidate pairs; pairs are verified with exact jaccard of the
     * minhash signatures (estimate) or exact shingle jaccard when verify=true.
     *
-    * Everything is expression-level (xxhash64 + aggregate min), no UDF: the
-    * whole signature computation stays in whole-stage codegen.
+    * Everything is expression-level, no Scala UDF: shingling+hashing and the
+    * full signature run as ONE codegen'd kernel each
+    * ([[graft.functions.ShingleHashes]] / [[graft.functions.MinHashSignature]]
+    * — the declarative 32x `array_min(transform(...))` form re-traversed and
+    * re-allocated the hash array once per plane, interpreted), and the band
+    * keys are murmur3 over signature slices.
     */
   def minHashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       k: Int = 5, numHashes: Int = 32, rowsPerBand: Int = 4,
                       threshold: Double = 0.8, verify: Boolean = true): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    import graft.functions.ShingleExprs.{minhashSignature, wordShingleHashes}
     val nBands = numHashes / rowsPerBand
 
-    val withShingles = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), k).as("sh"))
-    // each shingle STRING is hashed once; the numHashes signature family is
-    // derived from that long with cheap long-hashes (Broder's one-strong-
-    // hash trick) — hashing the strings numHashes times costs ~30x more
-    val hashed = withShingles.select(col("id"),
-      transform(col("sh"), s => xxhash64(s)).as("hsh"))
-    val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(col("hsh"), h => mix(h, i))).as(s"h$i")
-    }
-    val sigs = hashed.select((col("id") +: sigCols): _*)
+    // each shingle string is hashed once inside the kernel; the numHashes
+    // signature family derives from that long with cheap long-hashes
+    // (Broder's one-strong-hash trick) in a single traversal
+    val hashed = df.select(col(idCol).as("id"),
+      wordShingleHashes(col(textCol), k).as("hsh"))
+    val sigs = hashed.select(col("id"),
+      minhashSignature(col("hsh"), numHashes).as("sig"))
 
     // band keys: hash of the band's signature slice; melted to long format so
     // candidate generation is ONE self-join on (band_idx, key) instead of
     // nBands separate joins each re-deriving the signatures
     val bandCols = (0 until nBands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      val slice = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       hash(slice: _*).as(s"band$b")
     }
     // the self-join sides reuse one exchange; the verify joins below each
-    // re-derive shingles map-side but canonicalize to one shared id-exchange
+    // re-derive shingle hashes map-side but canonicalize to one shared
+    // id-exchange
     val melted = sigs.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "bk")))
 
@@ -139,11 +144,11 @@ object Dedup {
 
     if (!verify) pairs
     else pairs
-      .join(withShingles.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(withShingles.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(hashed.select(col("id").as("id_a"), col("hsh").as("hsh_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("hsh").as("hsh_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("hsh_a"), col("hsh_b"))))
       .withColumn("jaccard", col("n_common").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
+        (size(col("hsh_a")) + size(col("hsh_b")) - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
