@@ -283,12 +283,18 @@ final class EntityMatchingModel(
           maxRanks = maxRanks)
       }
     // no-candidate re-add: names whose pairs were all dropped come back as
-    // explicit no-candidate rows so the training distribution keeps them
+    // explicit no-candidate rows so the training distribution keeps them.
+    // `assembled` feeds BOTH the union and the anti-join's uid set; without a
+    // materialization the full widened candidate-generation pipeline (cossim
+    // kernel + SNI joins + merge) executes twice per action. The training-pair
+    // set is sample-bounded, so one localCheckpoint (the same freeze the uid
+    // generator and SNI rank relation use) is cheaper than the second run.
+    val frozen = assembled.localCheckpoint()
     val missing = names
-      .join(assembled.select(col(Cols.Uid)).distinct(), Seq(Cols.Uid), "left_anti")
+      .join(frozen.select(col(Cols.Uid)).distinct(), Seq(Cols.Uid), "left_anti")
       .withColumn("correct", lit(false))
       .withColumn("no_candidate", lit(true))
-    assembled.unionByName(missing, allowMissingColumns = true)
+    frozen.unionByName(missing, allowMissingColumns = true)
   }
 
   /** Train the supervised layer from positive names-to-match that carry an

@@ -18,36 +18,26 @@ object Prof {
       val t0 = System.nanoTime(); val r = f
       println(f"PROF $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    import graft.data.Dedup
-    import graft.functions.ShingleExprs._
-    val docs = spark.read.parquet(sf + "/documents.parquet")
-    time("warm")(docs.count())
-
-    // kernel vs HOF shingle computation
-    time("kernel shingle hashes")(
-      docs.select(explode(wordShingleHashes(col("text"), 5))).count())
-    time("kernel shingle hashes again")(
-      docs.select(explode(wordShingleHashes(col("text"), 5))).count())
-    time("kernel minhash sigs")(
-      docs.select(minhashSignature(wordShingleHashes(col("text"), 5), 32)).count())
-
-    // hash equivalence spot-check: kernel == transform(wordShingles, xxhash64)
-    val eq = docs.select(
-      wordShingleHashes(col("text"), 5).as("a"),
-      transform(Dedup.wordShingles(col("text"), 5), x => xxhash64(x)).as("b"))
-      .filter(not(col("a") === col("b"))).count()
-    println(s"PROF kernel-vs-declarative mismatches: $eq")
-
-    time("full q40")(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-      k = 5, threshold = 0.5, maxDocsPerShingle = 1000).count())
-    time("full q40 again")(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-      k = 5, threshold = 0.5, maxDocsPerShingle = 1000).count())
-    val doubled = docs.select(col("doc_id"), col("text")).unionByName(
-      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-    time("full q41 minhash")(Dedup.minHashLshPairs(doubled, "text", "doc_id",
-      k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5).count())
-    time("full q41 again")(Dedup.minHashLshPairs(doubled, "text", "doc_id",
-      k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5).count())
+    import graft.idx.{CosSimIndexer, SniIndexer}
+    val part = spark.read.parquet(sf + "/part.parquet")
+    time("warm")(part.count())
+    val gtRaw = part.select(
+      col("p_partkey").cast("long").as(Cols.Uid),
+      col("p_name").as(Cols.Name),
+      col("p_brand").as(Cols.EntityId))
+    val nmRaw = gtRaw.filter(col(Cols.Uid) < 300)
+    def mkMatcher() = EntityMatching(EmParams(), Seq(
+      new CosSimIndexer(tokenizer = "words", ngram = 1, binary = true,
+        numCandidates = 3, lowerBound = 0.5),
+      new SniIndexer(window = 2, maxGtPerName = 10)))
+    val m1 = time("fit")(mkMatcher().fit(gtRaw))
+    time("fit again")(mkMatcher().fit(gtRaw))
+    val pairs = time("createTrainingPairs build")(
+      m1.createTrainingPairs(nmRaw, createNegativeSampleFraction = 0.5, seed = 42))
+    time("pairs count")(pairs.count())
+    val m2 = mkMatcher().fit(gtRaw)
+    time("pairs count cold")(
+      m2.createTrainingPairs(nmRaw, createNegativeSampleFraction = 0.5, seed = 42).count())
     spark.stop()
   }
 }

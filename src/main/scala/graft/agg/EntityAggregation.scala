@@ -1,7 +1,6 @@
 package graft.agg
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Cols
@@ -12,9 +11,13 @@ import graft.Cols
   * Semantics of the reference's aggregation stage
   * (/root/reference/emm/aggregation/base_entity_aggregation.py:32-126,
   * spark_entity_aggregation.py:127-195), which runs per-account pandas via
-  * applyInPandas. Here it's a pure DataFrame plan — two hash aggregations and
-  * one window argmax, with map-side partial aggregation and no Python/Arrow
-  * boundary:
+  * applyInPandas. Here it's a pure DataFrame plan — two hash aggregations
+  * with map-side partial aggregation and no Python/Arrow boundary. The
+  * per-account argmax is a `max_by` aggregation rather than a window
+  * row_number: a window must shuffle AND sort every (account, gt) row inside
+  * its partition, while max_by partial-aggregates each map task down to one
+  * candidate row per account before the exchange — at 100 TB the sort and
+  * the shuffle volume are the difference:
   *
   *  - `max_frequency_nm_score`: per (account, gt): sum(freq * score), divided
   *    by the account's total freq; argmax per account.
@@ -49,28 +52,42 @@ object EntityAggregation {
     val groupCols = (accountGroup :+ col(Cols.GtUid)) ++
       (if (scored.columns.contains(Cols.GtEntityId)) Seq(col(Cols.GtEntityId)) else Nil)
 
+    // the gt-side columns the winning row carries into the output
+    val gtCols = Cols.GtUid +:
+      (if (scored.columns.contains(Cols.GtEntityId)) Seq(Cols.GtEntityId) else Nil)
+    // argmax ordering: maximize (score, -gt_uid) == the window form's
+    // (agg_score DESC, gt_uid ASC). gt_uid negation is order-reversing for
+    // any realistic id (Long.MinValue alone would overflow).
+    def pickBest(perGt: DataFrame, scoreExpr: String): DataFrame =
+      perGt.groupBy(accountGroup: _*)
+        .agg(
+          max_by(struct((gtCols :+ scoreExpr).map(col): _*),
+                 struct(col(scoreExpr), (-col(Cols.GtUid)).as("__nb"))).as("__best"),
+          sum(col("__w_freq")).as("__total"))
+
     // sums go through DECIMAL so results are exact and order-independent
     // (a plain double sum varies with partitioning at the last ulp)
-    val perGt = method match {
+    method match {
       case "max_frequency_nm_score" =>
         val weighted = cleaned.groupBy(groupCols: _*)
-          .agg(sum((col(freqCol) * col(scoreCol)).cast("decimal(38,12)")).as("w_score"),
-               sum(col(freqCol).cast("decimal(38,12)")).as("w_freq"))
-        val totals = Window.partitionBy(accountGroup: _*)
-        weighted.withColumn(Cols.AggScore,
-          col("w_score").cast("double") / sum(col("w_freq")).over(totals).cast("double"))
+          .agg(sum((col(freqCol) * col(scoreCol)).cast("decimal(38,12)")).as("__w_score"),
+               sum(col(freqCol).cast("decimal(38,12)")).as("__w_freq"))
+        // within one account every candidate divides by the SAME freq total,
+        // so argmax by the weighted-score numerator == argmax by agg_score
+        pickBest(weighted, "__w_score")
+          .select(accountGroup ++ gtCols.map(c => col(s"__best.$c").as(c)) :+
+            (col("__best.__w_score").cast("double") / col("__total").cast("double"))
+              .as(Cols.AggScore): _*)
       case "mean_score" =>
-        cleaned.groupBy(groupCols: _*)
+        val perGt = cleaned.groupBy(groupCols: _*)
           .agg((sum(col(scoreCol).cast("decimal(38,12)")).cast("double") /
-                count(lit(1)).cast("double")).as(Cols.AggScore))
+                count(lit(1)).cast("double")).as(Cols.AggScore),
+               lit(BigDecimal(0)).cast("decimal(38,12)").as("__w_freq"))
+        pickBest(perGt, Cols.AggScore)
+          .select(accountGroup ++ gtCols.map(c => col(s"__best.$c").as(c)) :+
+            col(s"__best.${Cols.AggScore}").as(Cols.AggScore): _*)
       case other =>
         throw new IllegalArgumentException(s"unknown aggregation method: $other")
     }
-
-    val best = Window.partitionBy(accountGroup: _*)
-      .orderBy(col(Cols.AggScore).desc, col(Cols.GtUid))
-    perGt.withColumn("__rn", row_number().over(best))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "w_score", "w_freq")
   }
 }

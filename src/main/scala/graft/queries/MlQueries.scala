@@ -127,11 +127,17 @@ object MlQueries {
           "all_null_rank_violations")
     })
 
-  /** BENCH-path production configuration: the correctness q54 runs six
-    * invariant count() probes over the assembled set (oracle code); the
-    * bench measures the training-pair assembly itself.
+  /** BENCH-path production configurations: the correctness q50/q54 entries
+    * run invariant count() probes (overlap joins, per-stratum recounts) over
+    * the result — oracle code; the bench measures the operators themselves.
     */
   val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_stratified_split" -> { (s, dir) =>
+      val (train, test) = TrainData.stratifiedGroupedSplit(
+        t(s, dir, "orders"), "o_custkey", Seq("o_orderpriority"), testFraction = 0.25)
+      train.withColumn("is_test", lit(false))
+        .unionByName(test.withColumn("is_test", lit(true)))
+    },
     "q54_training_pairs" -> { (s, dir) =>
       val part = t(s, dir, "part")
       val gtRaw = part.select(
