@@ -198,6 +198,53 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Benchmark / test-set decontamination: per training doc, the maximum
+    * k-shingle CONTAINMENT of any eval doc —
+    * |shingles(train) ∩ shingles(eval)| / |shingles(eval)| — the standard
+    * "does this training document substantially contain an eval document"
+    * check an LLM data pipeline runs before training.
+    *
+    * Plan shape: the eval corpus (benchmarks — thousands of docs, vs billions
+    * of training docs) explodes to (eval_id, n_eval, shingle_hash) and is
+    * BROADCAST, so candidate generation is a map-only join over the training
+    * scan — the only shuffle is the (train_id, eval_id) pair aggregation,
+    * whose cardinality is bounded by pairs actually sharing a shingle. The
+    * per-train argmax is the same max_by partial-aggregating shape as
+    * [[graft.agg.EntityAggregation]]. Every training row survives (left
+    * join): no-overlap docs report containment 0.
+    *
+    * Output: (train_id, max_containment, top_eval_id, is_contaminated) —
+    * top_eval_id is the argmax eval doc (ties: smallest id), null when no
+    * shingle is shared.
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame,
+                    textCol: String, idCol: String,
+                    k: Int = 5, threshold: Double = 0.8): DataFrame = {
+    import graft.functions.ShingleExprs.wordShingleHashes
+    val trainSh = train.select(col(idCol).cast("long").as("train_id"),
+      explode(wordShingleHashes(col(textCol), k)).as("h"))
+    val evalSh = evalDocs.select(col(idCol).cast("long").as("eval_id"),
+        wordShingleHashes(col(textCol), k).as("hs"))
+      .select(col("eval_id"), size(col("hs")).as("n_eval"), explode(col("hs")).as("h"))
+    val scored = trainSh.join(broadcast(evalSh), "h")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_common"), max("n_eval").as("n_eval"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_eval").cast("double"))
+    val best = scored.groupBy("train_id")
+      .agg(max_by(struct(col("eval_id"), col("containment")),
+                  struct(col("containment"), (-col("eval_id")).as("__nb"))).as("__best"))
+      .select(col("train_id"),
+        col("__best.containment").as("max_containment"),
+        col("__best.eval_id").as("top_eval_id"))
+    train.select(col(idCol).cast("long").as("train_id"))
+      .join(best, Seq("train_id"), "left")
+      .select(col("train_id"),
+        coalesce(col("max_containment"), lit(0.0)).as("max_containment"),
+        col("top_eval_id"),
+        (coalesce(col("max_containment"), lit(0.0)) >= threshold).as("is_contaminated"))
+  }
+
   /** Embedding-cosine near-duplicate grouping (star clustering).
     *
     * Candidate pairs at cosine >= minCosine come from either the exact

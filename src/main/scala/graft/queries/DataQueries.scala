@@ -144,6 +144,15 @@ object DataQueries {
       Knn.ivfTopKIndexed(emb.filter(col("vec_id") < 100), path, k = 5, nProbe = 16)
     },
 
+    // test-set decontamination: eval = every 17th doc, train = all docs;
+    // exact-dup rows surface containment 1.0, near-dups fractional (full
+    // row-level oracle: DuckDB replays shingling, containment and argmax)
+    "q60_decontamination" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", k = 5, threshold = 0.5)
+    },
+
     // multimodal: binary payload + metadata struct (oracle on byte stats)
     "q45_media_stats" -> { (s, dir) =>
       val media = BinaryMedia.attach(t(s, dir, "documents"), "doc_id", "text", "text/plain")
@@ -232,6 +241,41 @@ object DataQueries {
     "q40_ngram_jaccard_pairs" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
        " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
+    "q60_decontamination" ->
+      """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+         tw AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+         tsh AS (
+           SELECT doc_id AS train_id, unnest(list_distinct(
+             CASE WHEN len(ws) >= 5
+                  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+                  ELSE [array_to_string(ws, ' ')] END)) AS s
+           FROM tw),
+         ew AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM ev),
+         esh AS (
+           SELECT doc_id AS eval_id, unnest(list_distinct(
+             CASE WHEN len(ws) >= 5
+                  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+                  ELSE [array_to_string(ws, ' ')] END)) AS s
+           FROM ew),
+         esz AS (SELECT eval_id, count(*) AS n_eval FROM esh GROUP BY 1),
+         common AS (
+           SELECT train_id, eval_id, count(*) AS n_common
+           FROM tsh JOIN esh USING (s) GROUP BY 1, 2),
+         scored AS (
+           SELECT train_id, eval_id,
+                  CAST(n_common AS DOUBLE) / CAST(n_eval AS DOUBLE) AS containment
+           FROM common JOIN esz USING (eval_id)),
+         best AS (
+           SELECT train_id, eval_id, containment,
+                  row_number() OVER (PARTITION BY train_id
+                       ORDER BY containment DESC, eval_id) AS rn
+           FROM scored)
+         SELECT t.doc_id AS train_id,
+                coalesce(b.containment, 0.0) AS max_containment,
+                b.eval_id AS top_eval_id,
+                coalesce(b.containment, 0.0) >= 0.5 AS is_contaminated
+         FROM documents t
+         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON t.doc_id = b.train_id""",
     "q41_minhash_lsh_pairs" ->
       (jaccardSql(doubledDocsSql, 0, 0.5) +
        """ SELECT CAST(count(*) AS BIGINT) AS n_exact_dup_pairs_found,

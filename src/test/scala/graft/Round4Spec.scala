@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.data.Dedup
+import graft.functions.ShingleExprs._
+
+/** Round-4 additions: codegen shingle/minhash kernels and test-set
+  * decontamination.
+  */
+class Round4Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingle kernel is bit-identical to the declarative HOF form") {
+    // edge cases the kernel's tokenizer must mirror exactly:
+    // multi-space runs, leading/trailing spaces, fewer-than-k words,
+    // exactly-k words, repeated shingles (dedup), empty-ish text
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  leading and trailing  ",
+      "one two",
+      "a b c",
+      "dup dup dup dup dup dup",
+      "x",
+      " ",
+      "wide   gaps   between   words   here   now").toDF("text")
+    val mismatches = texts.select(
+        wordShingleHashes(col("text"), 3).as("kernel"),
+        transform(Dedup.wordShingles(col("text"), 3), s => xxhash64(s)).as("declarative"))
+      .filter(not(col("kernel") === col("declarative")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("minhash kernel equals 32x array_min(transform(xxhash64 mix))") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "another document with different words entirely",
+      "short").toDF("text")
+    val hs = texts.select(wordShingleHashes(col("text"), 3).as("hsh"))
+    val declarative = (0 until 32).map { i =>
+      array_min(transform(col("hsh"), h => xxhash64(h, lit(i))))
+    }
+    val mismatches = hs.select(
+        minhashSignature(col("hsh"), 32).as("kernel"),
+        array(declarative: _*).as("declarative"))
+      .filter(not(col("kernel") === col("declarative")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("decontamination: containment, argmax tie-break, no-overlap rows") {
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),   // superset of eval 100
+      (1L, "alpha beta gamma delta unrelated tail"), // partial overlap
+      (2L, "totally disjoint content right here now"),
+      (3L, "alpha beta gamma delta epsilon zeta")    // also superset (= doc 0)
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon zeta")  // identical: tie on containment
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, evalDocs, "text", "doc_id",
+        k = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toMap
+    // k=3 shingles of eval: 4 shingles; train 0 contains all 4
+    assert(out(0L) == (1.0, 100L, true))  // tie -> smallest eval_id
+    assert(out(3L) == (1.0, 100L, true))
+    // train 1 shares shingles "alpha beta gamma", "beta gamma delta" = 2/4
+    assert(out(1L) == (0.5, 100L, true))
+    assert(out(2L) == (0.0, -1L, false))  // no overlap: null eval, kept
+    assert(out.size == 4)
+  }
+
+  test("decontamination scales down to empty eval corpus") {
+    val train = Seq((0L, "some words here")).toDF("doc_id", "text")
+    val evalDocs = train.filter(col("doc_id") < 0)
+    val out = Dedup.decontaminate(train, evalDocs, "text", "doc_id", k = 3)
+      .collect()
+    assert(out.length == 1 && out(0).getDouble(1) == 0.0 && !out(0).getBoolean(3))
+  }
+}
