@@ -55,15 +55,17 @@ object EntityAggregation {
     // the gt-side columns the winning row carries into the output
     val gtCols = Cols.GtUid +:
       (if (scored.columns.contains(Cols.GtEntityId)) Seq(Cols.GtEntityId) else Nil)
-    // argmax ordering: maximize (score, -gt_uid) == the window form's
-    // (agg_score DESC, gt_uid ASC). gt_uid negation is order-reversing for
-    // any realistic id (Long.MinValue alone would overflow).
-    def pickBest(perGt: DataFrame, scoreExpr: String): DataFrame =
-      perGt.groupBy(accountGroup: _*)
-        .agg(
-          max_by(struct((gtCols :+ scoreExpr).map(col): _*),
-                 struct(col(scoreExpr), (-col(Cols.GtUid)).as("__nb"))).as("__best"),
-          sum(col("__w_freq")).as("__total"))
+    // argmax ordering: maximize (score, -gt_uid) == (score DESC, gt_uid ASC).
+    // gt_uid negation is order-reversing for any realistic id (Long.MinValue
+    // alone would overflow). For max_frequency the ordering key is the EXACT
+    // decimal numerator: within one account every candidate divides by the
+    // same freq total, so this is argmax by agg_score in exact arithmetic —
+    // ties are decided on the decimal value, not on the double-rounded
+    // quotient (two decimal scores that collide only after double rounding
+    // order by their true values; the oracle replays the same contract).
+    def bestOf(scoreCol: String) =
+      max_by(struct((gtCols :+ scoreCol).map(col): _*),
+             struct(col(scoreCol), (-col(Cols.GtUid)).as("__nb"))).as("__best")
 
     // sums go through DECIMAL so results are exact and order-independent
     // (a plain double sum varies with partitioning at the last ulp)
@@ -72,18 +74,17 @@ object EntityAggregation {
         val weighted = cleaned.groupBy(groupCols: _*)
           .agg(sum((col(freqCol) * col(scoreCol)).cast("decimal(38,12)")).as("__w_score"),
                sum(col(freqCol).cast("decimal(38,12)")).as("__w_freq"))
-        // within one account every candidate divides by the SAME freq total,
-        // so argmax by the weighted-score numerator == argmax by agg_score
-        pickBest(weighted, "__w_score")
+        weighted.groupBy(accountGroup: _*)
+          .agg(bestOf("__w_score"), sum(col("__w_freq")).as("__total"))
           .select(accountGroup ++ gtCols.map(c => col(s"__best.$c").as(c)) :+
             (col("__best.__w_score").cast("double") / col("__total").cast("double"))
               .as(Cols.AggScore): _*)
       case "mean_score" =>
         val perGt = cleaned.groupBy(groupCols: _*)
           .agg((sum(col(scoreCol).cast("decimal(38,12)")).cast("double") /
-                count(lit(1)).cast("double")).as(Cols.AggScore),
-               lit(BigDecimal(0)).cast("decimal(38,12)").as("__w_freq"))
-        pickBest(perGt, Cols.AggScore)
+                count(lit(1)).cast("double")).as(Cols.AggScore))
+        perGt.groupBy(accountGroup: _*)
+          .agg(bestOf(Cols.AggScore))
           .select(accountGroup ++ gtCols.map(c => col(s"__best.$c").as(c)) :+
             col(s"__best.${Cols.AggScore}").as(Cols.AggScore): _*)
       case other =>

@@ -56,14 +56,17 @@ object Dedup {
     * sets (a pair is reported iff its effective-set jaccard >= threshold) —
     * never a biased estimate. Pass 0 to disable and get raw-set jaccard.
     * The hot set is bounded by total-occurrences/cap and collected (one
-    * map-side-combined pass); per-doc subtraction is `array_except` against
-    * the literal — for a pathological corpus whose hot set itself is huge,
-    * swap the literal for a broadcast-set filter, the rest of the plan holds.
+    * map-side-combined pass — note this makes construction EAGER when the
+    * cap is on: the hot values must exist before the subtraction expression
+    * can be built); per-doc subtraction is [[graft.functions.LongSetExcept]],
+    * a binary-search probe against one shared sorted array — O(log |hot|)
+    * per shingle, built once, unlike `array_except(col, lit(hot))` which
+    * rebuilds a hash set from the literal on every row.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 5, threshold: Double = 0.8,
                         maxDocsPerShingle: Int = 1000): DataFrame = {
-    import graft.functions.ShingleExprs.wordShingleHashes
+    import graft.functions.ShingleExprs.{longSetExcept, wordShingleHashes}
     val hs = df.select(col(idCol).as("id"),
       wordShingleHashes(col(textCol), k).as("hs"))
     val eff =
@@ -73,7 +76,7 @@ object Dedup {
           .filter(col("c") > maxDocsPerShingle)
           .collect().map(_.getLong(0))
         if (hot.isEmpty) hs
-        else hs.select(col("id"), array_except(col("hs"), lit(hot)).as("hs"))
+        else hs.select(col("id"), longSetExcept(col("hs"), hot).as("hs"))
       } else hs
     // map-side size: docs whose effective set is empty vanish at the explode,
     // exactly like rows that lost every shingle did under the old window form
@@ -221,9 +224,13 @@ object Dedup {
                     textCol: String, idCol: String,
                     k: Int = 5, threshold: Double = 0.8): DataFrame = {
     import graft.functions.ShingleExprs.wordShingleHashes
-    val trainSh = train.select(col(idCol).cast("long").as("train_id"),
+    // ids keep their native type (hash-string ids are common in data
+    // pipelines; a silent cast-to-long would null them out and report
+    // containment 0 for everything) — the argmax is a min_by over
+    // (-containment, eval_id), which orders any orderable id type
+    val trainSh = train.select(col(idCol).as("train_id"),
       explode(wordShingleHashes(col(textCol), k)).as("h"))
-    val evalSh = evalDocs.select(col(idCol).cast("long").as("eval_id"),
+    val evalSh = evalDocs.select(col(idCol).as("eval_id"),
         wordShingleHashes(col(textCol), k).as("hs"))
       .select(col("eval_id"), size(col("hs")).as("n_eval"), explode(col("hs")).as("h"))
     val scored = trainSh.join(broadcast(evalSh), "h")
@@ -232,12 +239,12 @@ object Dedup {
       .withColumn("containment",
         col("n_common").cast("double") / col("n_eval").cast("double"))
     val best = scored.groupBy("train_id")
-      .agg(max_by(struct(col("eval_id"), col("containment")),
-                  struct(col("containment"), (-col("eval_id")).as("__nb"))).as("__best"))
+      .agg(min_by(struct(col("eval_id"), col("containment")),
+                  struct((-col("containment")).as("__negc"), col("eval_id"))).as("__best"))
       .select(col("train_id"),
         col("__best.containment").as("max_containment"),
         col("__best.eval_id").as("top_eval_id"))
-    train.select(col(idCol).cast("long").as("train_id"))
+    train.select(col(idCol).as("train_id"))
       .join(best, Seq("train_id"), "left")
       .select(col("train_id"),
         coalesce(col("max_containment"), lit(0.0)).as("max_containment"),

@@ -89,7 +89,8 @@ object ShingleHash {
 
   /** One-pass MinHash signature over pre-hashed shingles: for each plane i,
     * min over the array of `xxhash64(h, i)` replayed bit-exactly
-    * (hashInt(i, hashLong(h, 42))).
+    * (hashInt(i, hashLong(h, 42))). Null elements are skipped, like the
+    * declarative `array_min(transform(...))` form skips them.
     */
   def minhash(hashes: ArrayData, numHashes: Int): ArrayData = {
     val mins = new Array[Long](numHashes)
@@ -97,16 +98,43 @@ object ShingleHash {
     val n = hashes.numElements()
     var j = 0
     while (j < n) {
-      val h42 = XXH64.hashLong(hashes.getLong(j), 42L)
-      var i = 0
-      while (i < numHashes) {
-        val v = XXH64.hashInt(i, h42)
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      if (!hashes.isNullAt(j)) {
+        val h42 = XXH64.hashLong(hashes.getLong(j), 42L)
+        var i = 0
+        while (i < numHashes) {
+          val v = XXH64.hashInt(i, h42)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
       }
       j += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** `values` minus the members of a sorted long set, via binary search: the
+    * set is built ONCE (a sorted primitive array in the expression, shared by
+    * reference across the task's rows) and probed in O(log n) — unlike
+    * `array_except(col, lit(set))`, which rebuilds a hash set from the
+    * literal on EVERY row. Null elements pass through untouched.
+    */
+  def exceptSorted(values: ArrayData, sorted: Array[Long]): ArrayData = {
+    val n = values.numElements()
+    val out = new Array[java.lang.Long](n)
+    var nOut = 0
+    var j = 0
+    while (j < n) {
+      if (values.isNullAt(j)) { out(nOut) = null; nOut += 1 }
+      else {
+        val v = values.getLong(j)
+        if (java.util.Arrays.binarySearch(sorted, v) < 0) {
+          out(nOut) = java.lang.Long.valueOf(v); nOut += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(
+      if (nOut == n) out else java.util.Arrays.copyOf(out, nOut))
   }
 }
 
@@ -152,6 +180,29 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Array-minus-sorted-set — see [[ShingleHash.exceptSorted]]. The set rides
+  * the expression as a sorted primitive array (one copy per task via the
+  * codegen references array, never rebuilt per row).
+  */
+case class LongSetExcept(child: Expression, sorted: Array[Long])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"long_set_except requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = child.dataType // preserves containsNull
+  override def prettyName: String = "long_set_except"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHash.exceptSorted(input.asInstanceOf[ArrayData], sorted)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedSet", sorted, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash.exceptSorted($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LongSetExcept =
+    copy(child = newChild)
+}
+
 object ShingleExprs {
   /** Column API for [[ShingleHashes]]. */
   def wordShingleHashes(text: Column, k: Int): Column =
@@ -160,4 +211,10 @@ object ShingleExprs {
   /** Column API for [[MinHashSignature]]. */
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), numHashes))
+
+  /** Column API for [[LongSetExcept]]; `set` is defensively sorted here. */
+  def longSetExcept(values: Column, set: Array[Long]): Column = {
+    val s = set.clone(); java.util.Arrays.sort(s)
+    ColumnBridge.column(LongSetExcept(ColumnBridge.expression(values), s))
+  }
 }

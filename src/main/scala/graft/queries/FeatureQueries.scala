@@ -159,10 +159,11 @@ object FeatureQueries {
                     / CAST(sum(w_freq) OVER (PARTITION BY account) AS DOUBLE) AS agg_score
            FROM weighted)
          SELECT account, gt_uid, agg_score FROM (
-           SELECT account, gt_uid, agg_score,
-                  row_number() OVER (PARTITION BY account
-                       ORDER BY agg_score DESC, gt_uid) AS rn
-           FROM scored) WHERE rn = 1""",
+           SELECT s.account, s.gt_uid, s.agg_score,
+                  row_number() OVER (PARTITION BY s.account
+                       ORDER BY w.w_score DESC, s.gt_uid) AS rn
+           FROM scored s JOIN weighted w
+             ON s.account = w.account AND s.gt_uid = w.gt_uid) WHERE rn = 1""",
     "q37_agg_mean_score" ->
       """WITH scored AS (
            SELECT l_orderkey AS account, l_suppkey AS gt_uid,

@@ -73,6 +73,48 @@ class Round4Spec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("decontamination works with non-numeric (hash-string) doc ids") {
+    val train = Seq(
+      ("sha:aa", "alpha beta gamma delta epsilon zeta"),
+      ("sha:bb", "totally disjoint content right here now")
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      ("ev:zz", "alpha beta gamma delta epsilon zeta"),
+      ("ev:aa", "alpha beta gamma delta epsilon zeta")  // tie -> smallest id
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, evalDocs, "text", "doc_id",
+        k = 3, threshold = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), Option(r.getString(2)), r.getBoolean(3))).toMap
+    assert(out("sha:aa") == (1.0, Some("ev:aa"), true))
+    assert(out("sha:bb") == (0.0, None, false))
+  }
+
+  test("longSetExcept matches array_except against the same literal set") {
+    val hot = Array(3L, 1L, 99L) // unsorted on purpose: API sorts defensively
+    val rows = Seq(
+      Seq(1L, 2L, 3L, 4L),
+      Seq(99L, 99L, 5L),
+      Seq.empty[Long]).toDF("xs")
+    val mismatches = rows.select(
+        longSetExcept(col("xs"), hot).as("kernel"),
+        array_except(col("xs"), lit(Array(1L, 3L, 99L))).as("builtin"))
+      .filter(not(col("kernel") === col("builtin"))).count()
+    // note: array_except also dedups its left side; our rows keep distinct
+    // inputs so the comparison is exact
+    assert(mismatches == 0)
+  }
+
+  test("minhash kernel skips null elements like the declarative form") {
+    val hs = Seq(Tuple1(Seq[java.lang.Long](5L, null, 7L))).toDF("hsh")
+    val withNulls = hs.select(minhashSignature(col("hsh"), 4).as("kernel"))
+      .head().getSeq[Long](0)
+    val without = Seq(Tuple1(Seq(5L, 7L))).toDF("hsh")
+      .select(minhashSignature(col("hsh"), 4).as("kernel"))
+      .head().getSeq[Long](0)
+    assert(withNulls == without)
+  }
+
   test("decontamination scales down to empty eval corpus") {
     val train = Seq((0L, "some words here")).toDF("doc_id", "text")
     val evalDocs = train.filter(col("doc_id") < 0)
