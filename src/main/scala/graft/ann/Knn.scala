@@ -206,8 +206,9 @@ object Knn {
     * 6 s for 256k pairs — while the kernel reads two longs per row and
     * scores from the broadcast float block). Same broadcastable-corpus bound
     * as the rest of the family; beyond it, join the vectors back per
-    * candidate pair instead. No caching anywhere: the self-join sides share
-    * one exchange via ReuseExchange.
+    * candidate pair instead. No caching anywhere: the self-join sides
+    * re-derive the cheap band keys map-side under AQE (which does not reuse
+    * these stages); with AQE off ReuseExchange shares one exchange.
     */
   def lshCosinePairs(df: DataFrame, nBands: Int = 8, bitsPerBand: Int = 8,
                      seed: Long = 42L, minCosine: Double = 0.9,

@@ -11,13 +11,14 @@ import graft.Cols
   * generation is a shuffle on a bucket key (never an all-pairs join), and
   * verification touches only bucket-mate pairs.
   *
-  * None of the operators cache: every multi-consumer intermediate is shaped so
-  * its consumers canonicalize to the SAME shuffle exchange, which Spark's
-  * ReuseExchange rule executes once (visible as ReusedExchange in the plan).
-  * That keeps executor memory free of pinned exploded-shingle/band relations —
-  * at 100 TB a library-held `.cache()` with no owner to unpersist it is a
-  * cluster-killer, while a reused shuffle lives only as ordinary spill files
-  * owned by the stage.
+  * None of the operators cache — at 100 TB a library-held `.cache()` with no
+  * owner to unpersist it is a cluster-killer. The jaccard path groups into
+  * posting lists so its one expensive map side runs exactly once; the
+  * banding paths (minhash/simhash) use a melted self-join whose two sides
+  * re-derive their keys map-side — deliberately: the keys are cheap codegen
+  * kernels, static planning's ReuseExchange dedups the two exchanges when
+  * AQE is off, and under AQE (which does not reuse these stages — measured)
+  * the duplicated work is one extra kernel pass, not a pinned relation.
   */
 object Dedup {
 
@@ -39,13 +40,25 @@ object Dedup {
   /** Exact n-gram Jaccard near-duplicate pairs.
     *
     * Plan shape: one codegen'd kernel ([[graft.functions.ShingleHashes]])
-    * turns each doc into its distinct shingle-HASH set — longs, so the join
-    * key is 8 bytes instead of a ~50-byte shingle string and equality is
-    * exact modulo 2^-64 collisions — then explode -> self-join on the hash
-    * (inverted index: only docs sharing a shingle ever meet) -> count common
-    * shingles per pair -> jaccard = common / (n1 + n2 - common) -> threshold.
-    * The per-doc effective size is computed MAP-SIDE (`size(hs)`) before the
-    * explode, so no window/groupBy-by-id shuffle exists anywhere.
+    * turns each doc into its distinct shingle-HASH set — longs, so the
+    * grouping key is 8 bytes instead of a ~50-byte shingle string and
+    * equality is exact modulo 2^-64 collisions — then ONE shuffle groups the
+    * exploded (doc, hash) rows into a per-shingle POSTING LIST (inverted
+    * index), ordered pairs are emitted inside each posting, and a second
+    * shuffle counts common shingles per pair -> jaccard = common /
+    * (n1 + n2 - common) -> threshold. The per-doc effective size rides
+    * map-side (`size(hs)` before the explode).
+    *
+    * Postings instead of a self-join on the shingle: a self-join needs the
+    * SAME exploded relation shuffled on both sides, and AQE (on by default)
+    * does not reuse those two canonically-identical exchanges — measured:
+    * the whole map side executes twice, and only static planning's
+    * ReuseExchange dedups it. The posting-list form computes the map side
+    * once, shuffles it once, and emits exactly the pairs the join would
+    * have. Its one structural requirement — a bounded posting row — is
+    * precisely what the skew cap below already guarantees (<= cap entries;
+    * with cap=0 a pathological hot shingle can blow the row, the same
+    * corpus that would have made the join quadratic).
     *
     * Skew guard (`maxDocsPerShingle`, ON by default): shingles shared by more
     * than the cap docs are dropped BEFORE the self-join — one boilerplate
@@ -82,14 +95,20 @@ object Dedup {
     // exactly like rows that lost every shingle did under the old window form
     val sized = eff.select(col("id"), size(col("hs")).as("n_sh"),
       explode(col("hs")).as("h"))
-    // merge-join hint: both sides then require the SAME shuffle on h, which
-    // ReuseExchange executes once. Left to the size estimator, a broadcast
-    // pick would re-run the shingle scan for the build side
-    val a = sized.toDF("id_a", "n_a", "h").hint("merge")
-    val b = sized.toDF("id_b", "n_b", "h")
-    a.join(b, "h").filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_common"), max("n_a").as("n_a"), max("n_b").as("n_b"))
+    // inverted index: one shuffle on the hash; array_sort gives a
+    // deterministic id-ordered posting so the i<j tail slice emits each
+    // unordered pair exactly once with id_a < id_b
+    val postings = sized.groupBy("h")
+      .agg(array_sort(collect_list(struct(col("id"), col("n_sh")))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    val pairRows = postings
+      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+      .select(col("a"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("b"))
+    pairRows
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+           max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
@@ -133,9 +152,9 @@ object Dedup {
       val slice = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       hash(slice: _*).as(s"band$b")
     }
-    // the self-join sides reuse one exchange; the verify joins below each
-    // re-derive shingle hashes map-side but canonicalize to one shared
-    // id-exchange
+    // the self-join sides re-derive the (kernel-cheap) band keys map-side
+    // under AQE; with AQE off ReuseExchange shares one exchange. The verify
+    // joins below likewise re-derive shingle hashes rather than pin them
     val melted = sigs.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "bk")))
 
