@@ -184,24 +184,10 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val simhashUdf = udf { (text: String) =>
-      val words = if (text == null) Array.empty[String] else text.trim.split("\\s+")
-      val votes = new Array[Int](64)
-      words.foreach { w =>
-        // deterministic 64-bit hash (same algorithm as Spark's xxhash64 is not
-        // required here: the fingerprint only needs to be internally consistent)
-        var h = scala.util.hashing.MurmurHash3.stringHash(w).toLong & 0xffffffffL
-        h = h * 0x9e3779b97f4a7c15L
-        h ^= (h >>> 32); h *= 0xbf58476d1ce4e5b9L; h ^= (h >>> 29)
-        var b = 0
-        while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
-      }
-      var sig = 0L
-      var b = 0
-      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-      sig
-    }
-    val sigs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
+    // fingerprint: codegen'd kernel expression (null text -> null sig ->
+    // the row never enters the bucket join)
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.ShingleExprs.simhash64(col(textCol)).as("sig"))
     val chunkKeys = (0 until 4).map { chunk =>
       shiftright(col("sig"), chunk * 16).bitwiseAND(lit(0xffffL))
     }

@@ -112,6 +112,30 @@ object ShingleHash {
     new GenericArrayData(mins)
   }
 
+  /** 64-bit SimHash of whitespace-tokenized text: every word votes ±1 on
+    * each bit position according to its (murmur3 + splitmix64-finalized)
+    * hash; the sign of the per-bit sum forms the fingerprint. Exactly the
+    * algorithm the former Scala UDF used — the fingerprint only needs to be
+    * internally consistent — now one codegen'd static call.
+    */
+  def simhash64(text: UTF8String): Long = {
+    val words = text.toString.trim.split("\\s+")
+    val votes = new Array[Int](64)
+    var w = 0
+    while (w < words.length) {
+      var h = scala.util.hashing.MurmurHash3.stringHash(words(w)).toLong & 0xffffffffL
+      h = h * 0x9e3779b97f4a7c15L
+      h ^= (h >>> 32); h *= 0xbf58476d1ce4e5b9L; h ^= (h >>> 29)
+      var b = 0
+      while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+      w += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   /** `values` minus the members of a sorted long set, via binary search: the
     * set is built ONCE (a sorted primitive array in the expression, shared by
     * reference across the task's rows) and probed in O(log n) — unlike
@@ -203,7 +227,32 @@ case class LongSetExcept(child: Expression, sorted: Array[Long])
     copy(child = newChild)
 }
 
+/** 64-bit SimHash fingerprint of a text column — see
+  * [[ShingleHash.simhash64]]. Null text yields null (the former UDF mapped
+  * null to the empty-document fingerprint 0; null-out is the Spark-idiomatic
+  * contract and keeps null rows out of the bucket join).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires a string input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHash.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object ShingleExprs {
+  /** Column API for [[SimHash64]]. */
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+
   /** Column API for [[ShingleHashes]]. */
   def wordShingleHashes(text: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), k))

@@ -83,6 +83,19 @@ object SourceStreamQueries {
                 col("score").as("cos_score"), col("rank"))
     },
 
+    // streaming exact dedup: the deduplication STATE STORE operator
+    // (dropDuplicates on a stream keeps one state entry per key across
+    // micro-batches), as a training-data pipeline would run it on a
+    // continuously arriving corpus. Output = the distinct texts, which the
+    // relational oracle replays as SELECT DISTINCT
+    "q61_streaming_dedup" -> { (s, dir) =>
+      val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val uniq = docs.select(col("text")).dropDuplicates("text")
+      runToMemory(s, uniq, mode = "append")
+    },
+
     // binaryFile source (S4): documents written out as one raw file each,
     // read back through the binary scan; the oracle recomputes byte lengths
     // from the parquet text (UTF-8 both sides)
@@ -136,6 +149,7 @@ object SourceStreamQueries {
          FROM events GROUP BY 1, 2""",
     // identical semantics to the batch kernel -> shares q30's oracle
     "q57_streaming_cossim" -> MatchQueries.oracleSql("q30_cossim_word_topk"),
+    "q61_streaming_dedup" -> "SELECT DISTINCT text FROM documents",
     "q58_binary_source" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes
          FROM documents WHERE doc_id < 50""")
