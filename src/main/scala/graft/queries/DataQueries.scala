@@ -153,6 +153,19 @@ object DataQueries {
         "text", "doc_id", k = 5, threshold = 0.5)
     },
 
+    // full corpus-preparation pipeline: quality window -> exact dedup ->
+    // near dedup (jaccard 0.5, capped) -> decontamination vs every-17th doc.
+    // Output = per-doc first-rejecting stage; DuckDB replays all four stages
+    // row-level
+    "q62_corpus_pipeline" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.data.CorpusPipeline.run(docs, graft.data.CorpusConfig(
+        minTokens = 25, maxTokens = 90,
+        nearDedupThreshold = Some(0.5), shingleK = 5, maxDocsPerShingle = 1000,
+        evalDocs = Some(docs.filter(col("doc_id") % 17 === 0)),
+        decontaminationThreshold = 0.5)).labels
+    },
+
     // multimodal: binary payload + metadata struct (oracle on byte stats)
     "q45_media_stats" -> { (s, dir) =>
       val media = BinaryMedia.attach(t(s, dir, "documents"), "doc_id", "text", "text/plain")
@@ -241,6 +254,65 @@ object DataQueries {
     "q40_ngram_jaccard_pairs" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
        " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
+    "q62_corpus_pipeline" ->
+      """WITH flagged AS (
+           SELECT doc_id, text,
+                  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+           FROM documents),
+         qok AS (SELECT doc_id, text FROM flagged WHERE n_tokens BETWEEN 25 AND 90),
+         canon AS (SELECT text, min(doc_id) AS canonical FROM qok GROUP BY text),
+         eok AS (
+           SELECT q.doc_id, q.text FROM qok q
+           JOIN canon c ON q.text = c.text AND q.doc_id = c.canonical),
+         words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM eok),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(ws) >= 5
+                  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+                  ELSE [array_to_string(ws, ' ')] END)) AS s
+           FROM words),
+         eff AS (SELECT doc_id, s FROM sh
+                 WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM eff GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM eff a JOIN eff b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         neardrop AS (
+           SELECT DISTINCT id_b AS doc_id FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         tsh AS (SELECT doc_id, s FROM sh
+                 WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)),
+         evw AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+                 FROM documents WHERE doc_id % 17 = 0),
+         esh2 AS (
+           SELECT doc_id AS eval_id, unnest(list_distinct(
+             CASE WHEN len(ws) >= 5
+                  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+                  ELSE [array_to_string(ws, ' ')] END)) AS s
+           FROM evw),
+         esz2 AS (SELECT eval_id, count(*) AS n_eval FROM esh2 GROUP BY 1),
+         cmn AS (
+           SELECT t.doc_id AS train_id, e.eval_id, count(*) AS n_common
+           FROM tsh t JOIN esh2 e ON t.s = e.s GROUP BY 1, 2),
+         contam AS (
+           SELECT train_id AS doc_id FROM cmn JOIN esz2 USING (eval_id)
+           GROUP BY train_id
+           HAVING max(CAST(n_common AS DOUBLE) / CAST(n_eval AS DOUBLE)) >= 0.5)
+         SELECT d.doc_id,
+                coalesce(qd.stage, ed.stage, nd.stage, cd.stage, 'kept') AS drop_stage
+         FROM documents d
+         LEFT JOIN (SELECT doc_id, 'quality' AS stage FROM flagged
+                    WHERE n_tokens IS NULL OR n_tokens < 25 OR n_tokens > 90) qd
+           USING (doc_id)
+         LEFT JOIN (SELECT q.doc_id, 'exact_dup' AS stage FROM qok q
+                    JOIN canon c ON q.text = c.text
+                    WHERE q.doc_id <> c.canonical) ed USING (doc_id)
+         LEFT JOIN (SELECT doc_id, 'near_dup' AS stage FROM neardrop) nd USING (doc_id)
+         LEFT JOIN (SELECT doc_id, 'contaminated' AS stage FROM contam) cd USING (doc_id)""",
     "q60_decontamination" ->
       """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
          tw AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),

@@ -115,6 +115,45 @@ class Round4Spec extends SparkSpec {
     assert(withNulls == without)
   }
 
+  test("corpus pipeline: disjoint stage labels, stage order, survivors") {
+    import graft.data.{CorpusConfig, CorpusPipeline}
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),  // kept
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),  // exact dup of 0
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // near dup of 0
+      (3L, "too short"),                                      // quality (min)
+      (4L, "eval match one two three four five six seven"),   // contaminated
+      (5L, "completely different content that stays in place")
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq((100L, "eval match one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val res = CorpusPipeline.run(docs, CorpusConfig(
+      minTokens = 3, maxTokens = 50,
+      nearDedupThreshold = Some(0.5), shingleK = 3,
+      evalDocs = Some(evalDocs), decontaminationThreshold = 0.9))
+    val labels = res.labels.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(labels == Map(
+      0L -> "kept", 1L -> "exact_dup", 2L -> "near_dup",
+      3L -> "quality", 4L -> "contaminated", 5L -> "kept"))
+    assert(res.kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L, 5L))
+    val report = res.report.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report == Map("kept" -> 2L, "exact_dup" -> 1L, "near_dup" -> 1L,
+      "quality" -> 1L, "contaminated" -> 1L))
+  }
+
+  test("corpus pipeline: optional stages off leave only quality labels") {
+    import graft.data.{CorpusConfig, CorpusPipeline}
+    val docs = Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c d e f"),  // duplicate, but exactDedup off
+      (2L, "x")             // quality
+    ).toDF("doc_id", "text")
+    val res = CorpusPipeline.run(docs, CorpusConfig(
+      minTokens = 2, exactDedup = false, nearDedupThreshold = None))
+    val labels = res.labels.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(labels == Map(0L -> "kept", 1L -> "kept", 2L -> "quality"))
+  }
+
   test("decontamination scales down to empty eval corpus") {
     val train = Seq((0L, "some words here")).toDF("doc_id", "text")
     val evalDocs = train.filter(col("doc_id") < 0)
