@@ -84,7 +84,8 @@ object Dedup {
       wordShingleHashes(col(textCol), k).as("hs"))
     val eff =
       if (maxDocsPerShingle > 0) {
-        val hot = hs.select(explode(col("hs")).as("h"))
+        val hot = hs.select(explode_outer(col("hs")).as("h"))
+          .filter(col("h").isNotNull)
           .groupBy("h").agg(count(lit(1)).as("c"))
           .filter(col("c") > maxDocsPerShingle)
           .collect().map(_.getLong(0))
@@ -92,9 +93,15 @@ object Dedup {
         else hs.select(col("id"), longSetExcept(col("hs"), hot).as("hs"))
       } else hs
     // map-side size: docs whose effective set is empty vanish at the explode,
-    // exactly like rows that lost every shingle did under the old window form
+    // exactly like rows that lost every shingle did under the old window form.
+    // explode_outer + attribute filter, NOT explode: InferFiltersFromGenerate
+    // turns a plain explode into a `size(shingle_hashes(text)) > 0` scan
+    // filter that re-evaluates the kernel once more per row; the outer form
+    // infers nothing and the null rows it adds are dropped on the (cheap)
+    // exploded attribute instead
     val sized = eff.select(col("id"), size(col("hs")).as("n_sh"),
-      explode(col("hs")).as("h"))
+        explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
     // inverted index: one shuffle on the hash; array_sort gives a
     // deterministic id-ordered posting so the i<j tail slice emits each
     // unordered pair exactly once with id_a < id_b
@@ -233,11 +240,17 @@ object Dedup {
     // pipelines; a silent cast-to-long would null them out and report
     // containment 0 for everything) — the argmax is a min_by over
     // (-containment, eval_id), which orders any orderable id type
+    // explode_outer + attribute filter: see ngramJaccardPairs — a plain
+    // explode makes InferFiltersFromGenerate re-evaluate the kernel in a
+    // pushed-down non-empty filter
     val trainSh = train.select(col(idCol).as("train_id"),
-      explode(wordShingleHashes(col(textCol), k)).as("h"))
+        explode_outer(wordShingleHashes(col(textCol), k)).as("h"))
+      .filter(col("h").isNotNull)
     val evalSh = evalDocs.select(col(idCol).as("eval_id"),
         wordShingleHashes(col(textCol), k).as("hs"))
-      .select(col("eval_id"), size(col("hs")).as("n_eval"), explode(col("hs")).as("h"))
+      .select(col("eval_id"), size(col("hs")).as("n_eval"),
+        explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
     val scored = trainSh.join(broadcast(evalSh), "h")
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_common"), max("n_eval").as("n_eval"))

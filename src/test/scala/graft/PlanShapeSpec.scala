@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+import graft.ann.Knn
+import graft.data.Dedup
+
+/** Plan-shape regression tests: the properties that make the operators scale
+  * (shuffle counts, exchange reuse, no window sorts in aggregation paths)
+  * asserted on the STATIC physical plan (AQE off for the assertion only —
+  * the adaptive plan hides its exchanges until execution, and static
+  * planning is also where ReuseExchange is decidable at plan time).
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def staticPlan(f: => DataFrame): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+  private def count(p: SparkPlan)(pf: PartialFunction[SparkPlan, Unit]): Int =
+    p.collect { case n if pf.isDefinedAt(n) => 1 }.sum
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),
+    (2L, "completely different content about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("jaccard dedup: two shuffles, no window, map side evaluated once") {
+    // parquet source: a local Seq would let ConvertToLocalRelation fold the
+    // shingle kernel into the scan and hide the Generate under test
+    val pdocs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = staticPlan(
+      Dedup.ngramJaccardPairs(pdocs, "text", "doc_id", k = 3, threshold = 0.3))
+    assert(count(plan) { case _: ShuffleExchangeExec => } == 2,
+      s"expected posting + pair-agg shuffles only:\n$plan")
+    assert(count(plan) { case _: WindowExec => } == 0)
+    // exactly ONE Generate explodes the array<long> shingle set — the single
+    // posting-side map pass (the old self-join form had one per join side);
+    // the later pair Generates explode array<struct> postings. (The kernel
+    // also appears in the Generate's inferred non-empty filter — an extra
+    // per-row evaluation, acceptable because the kernel is cheap — so
+    // counting textual occurrences would overcount.)
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val shingleExplodes = count(plan) {
+      case g: GenerateExec
+        if g.generator.children.exists(_.dataType == ArrayType(LongType, false)) => }
+    assert(shingleExplodes == 1, s"shingle explode must appear once:\n$plan")
+    // and no filter re-evaluates the kernel (explode_outer prevents the
+    // inferred size(shingle_hashes(text)) > 0 predicate)
+    assert(count(plan) {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("shingle_hashes") => } == 0,
+      s"no filter may re-run the shingle kernel:\n$plan")
+  }
+
+  test("minhash banding: self-join shares one exchange under static planning") {
+    val plan = staticPlan(
+      Dedup.minHashLshPairs(docs, "text", "doc_id", k = 3,
+        numHashes = 8, rowsPerBand = 2, verify = false))
+    assert(count(plan) { case _: ReusedExchangeExec => } >= 1,
+      s"band self-join must reuse its exchange with AQE off:\n$plan")
+  }
+
+  test("account aggregation: two hash aggs, no window sort") {
+    val scored = Seq((1L, 10L, 2.0, 0.9, "n"))
+      .toDF("account", "gt_uid", Cols.Freq, Cols.NmScore, Cols.Preprocessed)
+    val plan = staticPlan(
+      graft.agg.EntityAggregation.aggregate(scored, "max_frequency_nm_score",
+        accountCol = "account"))
+    assert(count(plan) { case _: WindowExec => } == 0,
+      s"argmax must be a max_by aggregation, not a window:\n$plan")
+    assert(count(plan) { case _: ShuffleExchangeExec => } == 2)
+  }
+
+  test("brute-force knn: map-only (no shuffle), one broadcast-free scan side") {
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val plan = staticPlan(Knn.bruteForceTopK(emb, emb, k = 1))
+    assert(count(plan) { case _: ShuffleExchangeExec => } == 0,
+      s"packed-broadcast kernel must not shuffle the query side:\n$plan")
+  }
+
+  test("decontamination: eval side broadcast, train side never shuffled pre-join") {
+    val plan = staticPlan(
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") === 0L),
+        "text", "doc_id", k = 3))
+    assert(count(plan) { case _: BroadcastExchangeExec => } >= 1,
+      s"eval shingles must broadcast:\n$plan")
+  }
+}
