@@ -62,7 +62,12 @@ object CorpusPipeline {
       }
 
     // stage 3: near dedup — star drop: any surviving smaller-id neighbour
-    // above the jaccard threshold rejects the doc (pairs have id_a < id_b)
+    // above the jaccard threshold rejects the doc (pairs have id_a < id_b).
+    // The drop-id set is FROZEN (localCheckpoint): it feeds both the survivor
+    // anti-join and the labels union, and without the freeze each consumer
+    // re-runs the whole pairwise pipeline. Freezing only the NARROW id set
+    // (dropped ids, a small fraction of the corpus) keeps the memory cost
+    // bounded while the cheap row-local stages are simply recomputed.
     val (nearOk, nearDrops) = cfg.nearDedupThreshold match {
       case None => (exactOk, None)
       case Some(thr) =>
@@ -70,12 +75,13 @@ object CorpusPipeline {
             k = cfg.shingleK, threshold = thr,
             maxDocsPerShingle = cfg.maxDocsPerShingle)
           .select(col("id_b").as(cfg.idCol)).distinct()
+          .localCheckpoint()
         (exactOk.join(dupIds, Seq(cfg.idCol), "left_anti"),
-         Some(exactOk.join(dupIds, Seq(cfg.idCol), "left_semi")
-           .select(id, lit("near_dup").as("drop_stage"))))
+         Some(dupIds.select(id, lit("near_dup").as("drop_stage"))))
     }
 
-    // stage 4: decontamination against the eval corpus
+    // stage 4: decontamination against the eval corpus (drop-id set frozen
+    // for the same reason)
     val (kept, contamDrops) = cfg.evalDocs match {
       case None => (nearOk, None)
       case Some(ev) =>
@@ -83,9 +89,9 @@ object CorpusPipeline {
             k = cfg.shingleK, threshold = cfg.decontaminationThreshold)
           .filter(col("is_contaminated"))
           .select(col("train_id").as(cfg.idCol))
+          .localCheckpoint()
         (nearOk.join(contaminated, Seq(cfg.idCol), "left_anti"),
-         Some(nearOk.join(contaminated, Seq(cfg.idCol), "left_semi")
-           .select(id, lit("contaminated").as("drop_stage"))))
+         Some(contaminated.select(id, lit("contaminated").as("drop_stage"))))
     }
 
     val dropLabels = (Seq(qualityDrops) ++ exactDrops ++ nearDrops ++ contamDrops)
