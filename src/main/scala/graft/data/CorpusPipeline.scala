@@ -8,11 +8,27 @@ import org.apache.spark.sql.functions._
   * LLM data pipeline (cheap row-local filters first, the pairwise stages
   * over the shrinking survivor set after).
   *
-  * Every stage only examines the SURVIVORS of the previous stages — a
-  * near-duplicate of a quality-rejected doc is judged against the retained
-  * corpus only, and decontamination runs over what would actually be
-  * trained on. Each dropped doc carries the FIRST stage that rejected it,
-  * so the labels frame is a complete, disjoint audit of the input.
+  * Every stage only examines the SURVIVORS of the previous stages, and each
+  * dropped doc carries the FIRST stage that rejected it, so the labels frame
+  * is a complete, disjoint audit of the input. The near-dup stage uses
+  * single-pass star semantics (drop any doc with a smaller-id above-threshold
+  * neighbour, whether or not that neighbour itself survives — the same
+  * documented compromise as [[Dedup.embeddingNearDup]]; chains a~b, b~c drop
+  * both b and c).
+  *
+  * Doc ids must be non-null (a null id cannot be deduplicated or audited —
+  * such rows are rejected at the quality stage rather than silently lost).
+  *
+  * Each pairwise stage's DROP-ID SET — a narrow frame, a small fraction of
+  * the corpus — is materialized with `localCheckpoint` when
+  * `materializeDropSets` is on (default): the set feeds both the survivor
+  * anti-join and the labels union, and the stages chain on each other, so
+  * without a freeze every downstream action re-runs the full pairwise
+  * pipeline per consumer. The tradeoff: `run` becomes eager (one job per
+  * frozen set), and local checkpoints live on executors without reliable
+  * storage — an executor loss invalidates the result frames. On a
+  * fault-prone cluster turn it off and persist intermediates externally
+  * (write stage outputs to storage), or accept the recomputation.
   */
 final case class CorpusConfig(
     textCol: String = "text",
@@ -24,7 +40,8 @@ final case class CorpusConfig(
     shingleK: Int = 5,
     maxDocsPerShingle: Int = 1000,
     evalDocs: Option[DataFrame] = None,
-    decontaminationThreshold: Double = 0.8)
+    decontaminationThreshold: Double = 0.8,
+    materializeDropSets: Boolean = true)
 
 final case class CorpusResult(
     /** Input rows that survived every stage, original schema. */
@@ -40,56 +57,57 @@ object CorpusPipeline {
     val id = col(cfg.idCol)
     val text = col(cfg.textCol)
     val nTokens = size(split(trim(text), "\\s+"))
+    def freeze(df: DataFrame): DataFrame =
+      if (cfg.materializeDropSets) df.localCheckpoint() else df
 
-    // stage 1: row-local quality bounds (token count window); null text is
-    // a quality reject, not a silent label gap
-    val qualityDrop =
-      nTokens.isNull || nTokens < cfg.minTokens || nTokens > cfg.maxTokens
+    // stage 1: row-local quality bounds (token count window); null text and
+    // null ids are quality rejects, not silent label gaps
+    val qualityDrop = id.isNull || nTokens.isNull ||
+      nTokens < cfg.minTokens || nTokens > cfg.maxTokens
     val qualityOk = docs.filter(!qualityDrop)
     val qualityDrops = docs.filter(qualityDrop)
       .select(id, lit("quality").as("drop_stage"))
 
-    // stage 2: exact dedup — smallest id per identical text is canonical
+    // stage 2: exact dedup — [[Dedup.exact]]'s smallest-id-per-text rule;
+    // the groupBy(text) shuffle runs once inside the frozen drop-id set,
+    // survivors derive from a cheap anti-join against it
     val (exactOk, exactDrops) =
       if (!cfg.exactDedup) (qualityOk, None)
       else {
-        val canon = qualityOk.groupBy(text)
-          .agg(min(id).as("__canonical"))
-        val joined = qualityOk.join(canon, Seq(cfg.textCol))
-        (joined.filter(id === col("__canonical")).drop("__canonical"),
-         Some(joined.filter(id =!= col("__canonical"))
-           .select(id, lit("exact_dup").as("drop_stage"))))
+        val canon = Dedup.exact(qualityOk, cfg.textCol, cfg.idCol)
+          .select(col(cfg.textCol), col("canonical_id"))
+        val dropIds = freeze(
+          qualityOk.join(canon, Seq(cfg.textCol))
+            .filter(id =!= col("canonical_id"))
+            .select(id))
+        (qualityOk.join(dropIds, Seq(cfg.idCol), "left_anti"),
+         Some(dropIds.select(id, lit("exact_dup").as("drop_stage"))))
       }
 
-    // stage 3: near dedup — star drop: any surviving smaller-id neighbour
-    // above the jaccard threshold rejects the doc (pairs have id_a < id_b).
-    // The drop-id set is FROZEN (localCheckpoint): it feeds both the survivor
-    // anti-join and the labels union, and without the freeze each consumer
-    // re-runs the whole pairwise pipeline. Freezing only the NARROW id set
-    // (dropped ids, a small fraction of the corpus) keeps the memory cost
-    // bounded while the cheap row-local stages are simply recomputed.
+    // stage 3: near dedup — star drop (see class doc); pairs have
+    // id_a < id_b, so dropping every id_b removes all non-minimal star
+    // members
     val (nearOk, nearDrops) = cfg.nearDedupThreshold match {
       case None => (exactOk, None)
       case Some(thr) =>
-        val dupIds = Dedup.ngramJaccardPairs(exactOk, cfg.textCol, cfg.idCol,
-            k = cfg.shingleK, threshold = thr,
-            maxDocsPerShingle = cfg.maxDocsPerShingle)
-          .select(col("id_b").as(cfg.idCol)).distinct()
-          .localCheckpoint()
+        val dupIds = freeze(
+          Dedup.ngramJaccardPairs(exactOk, cfg.textCol, cfg.idCol,
+              k = cfg.shingleK, threshold = thr,
+              maxDocsPerShingle = cfg.maxDocsPerShingle)
+            .select(col("id_b").as(cfg.idCol)).distinct())
         (exactOk.join(dupIds, Seq(cfg.idCol), "left_anti"),
          Some(dupIds.select(id, lit("near_dup").as("drop_stage"))))
     }
 
-    // stage 4: decontamination against the eval corpus (drop-id set frozen
-    // for the same reason)
+    // stage 4: decontamination against the eval corpus
     val (kept, contamDrops) = cfg.evalDocs match {
       case None => (nearOk, None)
       case Some(ev) =>
-        val contaminated = Dedup.decontaminate(nearOk, ev, cfg.textCol, cfg.idCol,
-            k = cfg.shingleK, threshold = cfg.decontaminationThreshold)
-          .filter(col("is_contaminated"))
-          .select(col("train_id").as(cfg.idCol))
-          .localCheckpoint()
+        val contaminated = freeze(
+          Dedup.decontaminate(nearOk, ev, cfg.textCol, cfg.idCol,
+              k = cfg.shingleK, threshold = cfg.decontaminationThreshold)
+            .filter(col("is_contaminated"))
+            .select(col("train_id").as(cfg.idCol)))
         (nearOk.join(contaminated, Seq(cfg.idCol), "left_anti"),
          Some(contaminated.select(id, lit("contaminated").as("drop_stage"))))
     }
@@ -100,6 +118,9 @@ object CorpusPipeline {
       .join(dropLabels, Seq(cfg.idCol), "left")
       .withColumn("drop_stage", coalesce(col("drop_stage"), lit("kept")))
     val report = labels.groupBy("drop_stage").agg(count(lit(1)).as("n"))
-    CorpusResult(kept, labels, report)
+    // using-column joins moved textCol/idCol to the front; restore the
+    // caller's column order so `kept` really is "original schema"
+    val keptOrdered = kept.select(docs.columns.toIndexedSeq.map(col): _*)
+    CorpusResult(keptOrdered, labels, report)
   }
 }

@@ -112,6 +112,11 @@ object Dedup {
       .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
       .select(col("a"),
         explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("b"))
+      // strict inequality, not just tail position: duplicate ids (two input
+      // rows sharing one id) sort adjacently and would otherwise emit a
+      // self-pair the old `id_a < id_b` join filter suppressed; null ids
+      // null-propagate to dropped, also like the join form
+      .filter(col("a.id") < col("b.id"))
     pairRows
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"),

@@ -306,7 +306,8 @@ object DataQueries {
                 coalesce(qd.stage, ed.stage, nd.stage, cd.stage, 'kept') AS drop_stage
          FROM documents d
          LEFT JOIN (SELECT doc_id, 'quality' AS stage FROM flagged
-                    WHERE n_tokens IS NULL OR n_tokens < 25 OR n_tokens > 90) qd
+                    WHERE doc_id IS NULL OR n_tokens IS NULL
+                       OR n_tokens < 25 OR n_tokens > 90) qd
            USING (doc_id)
          LEFT JOIN (SELECT q.doc_id, 'exact_dup' AS stage FROM qok q
                     JOIN canon c ON q.text = c.text

@@ -44,10 +44,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan) { case _: WindowExec => } == 0)
     // exactly ONE Generate explodes the array<long> shingle set — the single
     // posting-side map pass (the old self-join form had one per join side);
-    // the later pair Generates explode array<struct> postings. (The kernel
-    // also appears in the Generate's inferred non-empty filter — an extra
-    // per-row evaluation, acceptable because the kernel is cheap — so
-    // counting textual occurrences would overcount.)
+    // the later pair Generates explode array<struct> postings
     import org.apache.spark.sql.execution.GenerateExec
     import org.apache.spark.sql.types.{ArrayType, LongType}
     val shingleExplodes = count(plan) {

@@ -154,6 +154,26 @@ class Round4Spec extends SparkSpec {
     assert(labels == Map(0L -> "kept", 1L -> "kept", 2L -> "quality"))
   }
 
+  test("jaccard postings suppress self-pairs from duplicate ids") {
+    // two rows share id 7 with identical text: the old self-join's strict
+    // id_a < id_b filter emitted nothing for them — the postings form must too
+    val docs = Seq(
+      (7L, "alpha beta gamma delta epsilon"),
+      (7L, "alpha beta gamma delta epsilon"),
+      (9L, "totally different words here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      k = 3, threshold = 0.1).collect()
+    assert(pairs.isEmpty)
+  }
+
+  test("corpus pipeline keeps the caller's column order in kept") {
+    import graft.data.{CorpusConfig, CorpusPipeline}
+    val docs = Seq((0L, "a b c d e", "x")).toDF("doc_id", "text", "extra")
+    val res = CorpusPipeline.run(docs, CorpusConfig(minTokens = 1))
+    assert(res.kept.columns.toSeq == Seq("doc_id", "text", "extra"))
+  }
+
   test("decontamination scales down to empty eval corpus") {
     val train = Seq((0L, "some words here")).toDF("doc_id", "text")
     val evalDocs = train.filter(col("doc_id") < 0)
