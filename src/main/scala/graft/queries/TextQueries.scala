@@ -49,11 +49,18 @@ object TextQueries {
              count(lit(1)).cast("long").as("n_copies"))
     },
 
-    // token counting (whitespace tokenizer)
+    // token counting: whitespace tokenizer + a BPE-ish pre-tokenizer count
+    // (GPT-2-style category split — letter runs, digit runs, punctuation
+    // runs, each optionally absorbing one leading space; the alternatives
+    // are disjoint by first character class so Java and RE2 regex engines
+    // count identically)
     "q22_token_count" -> { (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("int").as("n_tokens"),
+        regexp_count(col("text"),
+          lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+")).cast("int")
+          .as("n_bpe_tokens"),
         length(col("text")).cast("int").as("n_chars_calc"))
     },
 
@@ -111,6 +118,8 @@ object TextQueries {
     "q22_token_count" ->
       """SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INT)
+           AS n_bpe_tokens,
          CAST(length(text) AS INT) AS n_chars_calc
          FROM documents""",
     "q23_text_quality" ->
