@@ -292,13 +292,16 @@ object Dedup {
     *
     * Note: `rep_id` may itself be a dropped row. For chain pairs (1,2),(2,3)
     * without (1,3), row 3 gets rep_id=2 while 2 is itself dropped (rep 1) —
-    * the single-pass compromise above. Consumers that need a RETAINED
-    * representative within minCosine must run an extra closure pass
-    * (iteratively re-joining rep_id onto itself until fixed point).
+    * the single-pass compromise above. Pass `closure = true` for a
+    * pointer-jumping fixed point (rep := rep's rep until stable, O(log chain)
+    * rounds): every rep_id then names a RETAINED row — the chain's root —
+    * though the root may sit beyond minCosine of its leaves (transitive
+    * closure, the standard connected-components semantics).
     */
   def embeddingNearDup(df: DataFrame, minCosine: Double = 0.9,
                        idCol: String = "vec_id", vecCol: String = "embedding",
-                       exact: Boolean = true): DataFrame = {
+                       exact: Boolean = true, closure: Boolean = false,
+                       maxClosureRounds: Int = 20): DataFrame = {
     val pairs =
       if (exact) graft.ann.Knn.exactCosinePairs(df, minCosine, idCol, vecCol)
       else graft.ann.Knn.lshCosinePairs(df, minCosine = minCosine,
@@ -307,9 +310,31 @@ object Dedup {
     // on the id_a side: one hash agg gives the minimum
     val minNbr = pairs.groupBy(col("id_b").as(idCol))
       .agg(min(col("id_a")).as("min_nbr"))
-    df.select(col(idCol).cast("long").as(idCol))
+    var labels = df.select(col(idCol).cast("long").as(idCol))
       .join(minNbr, Seq(idCol), "left")
       .withColumn("rep_id", least(col(idCol), coalesce(col("min_nbr"), col(idCol))))
+      .select(idCol, "rep_id")
+    if (closure) {
+      // pointer jumping: rep := rep(rep). Chains halve every round, so
+      // log2(longest chain) rounds reach the fixed point; each round is one
+      // self-join on the NARROW (id, rep) relation, frozen so round k+1
+      // doesn't replay rounds 1..k
+      var round = 0
+      var changed = 1L
+      while (changed > 0 && round < maxClosureRounds) {
+        val frozen = labels.localCheckpoint()
+        val jumped = frozen
+          .join(frozen.select(col(idCol).as("rep_id"), col("rep_id").as("rep2")),
+                Seq("rep_id"))
+          .select(col(idCol), col("rep2").as("rep_id"))
+        val next = jumped.localCheckpoint()
+        changed = next.join(frozen.withColumnRenamed("rep_id", "prev"), Seq(idCol))
+          .filter(col("rep_id") =!= col("prev")).count()
+        labels = next
+        round += 1
+      }
+    }
+    labels
       .withColumn("is_dup", col("rep_id") =!= col(idCol))
       .select(idCol, "rep_id", "is_dup")
   }

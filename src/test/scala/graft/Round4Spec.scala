@@ -174,6 +174,20 @@ class Round4Spec extends SparkSpec {
     assert(res.kept.columns.toSeq == Seq("doc_id", "text", "extra"))
   }
 
+  test("embeddingNearDup closure resolves chains to a retained root") {
+    // unit vectors at 0deg / 40deg / 80deg with threshold cos(45deg):
+    // (1,2) and (2,3) are pairs, (1,3) is not — a chain
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+                               math.sin(math.toRadians(deg)).toFloat)
+    val emb = Seq((1L, v(0)), (2L, v(40)), (3L, v(80))).toDF("vec_id", "embedding")
+    val single = Dedup.embeddingNearDup(emb, minCosine = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single == Map(1L -> 1L, 2L -> 1L, 3L -> 2L)) // 3's rep is dropped
+    val closed = Dedup.embeddingNearDup(emb, minCosine = 0.7, closure = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(closed == Map(1L -> (1L, false), 2L -> (1L, true), 3L -> (1L, true)))
+  }
+
   test("decontamination scales down to empty eval corpus") {
     val train = Seq((0L, "some words here")).toDF("doc_id", "text")
     val evalDocs = train.filter(col("doc_id") < 0)
