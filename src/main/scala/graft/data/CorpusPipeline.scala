@@ -35,6 +35,11 @@ final case class CorpusConfig(
     idCol: String = "doc_id",
     minTokens: Int = 0,
     maxTokens: Int = Int.MaxValue,
+    /** Optional Gopher-style repetition bound: quality-reject docs whose
+      * duplicate-`repetitionNgram`-gram fraction exceeds this.
+      */
+    maxDupNgramFrac: Option[Double] = None,
+    repetitionNgram: Int = 3,
     exactDedup: Boolean = true,
     nearDedupThreshold: Option[Double] = Some(0.8),
     shingleK: Int = 5,
@@ -60,10 +65,19 @@ object CorpusPipeline {
     def freeze(df: DataFrame): DataFrame =
       if (cfg.materializeDropSets) df.localCheckpoint() else df
 
-    // stage 1: row-local quality bounds (token count window); null text and
-    // null ids are quality rejects, not silent label gaps
+    // stage 1: row-local quality bounds (token count window + optional
+    // repetition bound); null text and null ids are quality rejects, not
+    // silent label gaps
+    val repetitionDrop = cfg.maxDupNgramFrac match {
+      case None => lit(false)
+      case Some(maxFrac) =>
+        import graft.functions.ShingleExprs.wordShingleHashes
+        val total = greatest(nTokens - lit(cfg.repetitionNgram - 1), lit(1))
+        val distinctN = size(wordShingleHashes(text, cfg.repetitionNgram))
+        (lit(1.0) - distinctN.cast("double") / total.cast("double")) > maxFrac
+    }
     val qualityDrop = id.isNull || nTokens.isNull ||
-      nTokens < cfg.minTokens || nTokens > cfg.maxTokens
+      nTokens < cfg.minTokens || nTokens > cfg.maxTokens || repetitionDrop
     val qualityOk = docs.filter(!qualityDrop)
     val qualityDrops = docs.filter(qualityDrop)
       .select(id, lit("quality").as("drop_stage"))

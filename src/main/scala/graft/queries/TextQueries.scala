@@ -102,6 +102,23 @@ object TextQueries {
       t(s, dir, "documents").select(
         (col("doc_id") +: hits.map { case (n, c) => c.cast("int").as(n) } :+
           langIdExpr(hits).as("lang_pred")): _*)
+    },
+
+    // within-document n-gram repetition (Gopher-style quality signal):
+    // fraction of word 3-grams that are duplicates of an earlier 3-gram in
+    // the same doc. Total 3-grams from the token count, distinct from the
+    // shingle-hash kernel (its output is the DISTINCT set)
+    "q63_repetition" -> { (s, dir) =>
+      import graft.functions.ShingleExprs.wordShingleHashes
+      val nTokens = size(split(trim(col("text")), "\\s+"))
+      val total = greatest(nTokens - lit(2), lit(1))
+      val distinctN = size(wordShingleHashes(col("text"), 3))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        total.cast("int").as("n_3grams"),
+        distinctN.cast("int").as("n_distinct_3grams"),
+        (lit(1.0) - distinctN.cast("double") / total.cast("double"))
+          .as("dup_3gram_frac"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -163,5 +180,23 @@ object TextQueries {
                   AND greatest(hits_en, hits_es, hits_de, hits_fr) > 0 THEN 'fr'
              ELSE 'unknown'
            END AS lang_pred
-         FROM h""")
+         FROM h""",
+    "q63_repetition" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS ws,
+                  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  greatest(n_tokens - 2, 1) AS n_3grams,
+                  len(list_distinct(
+                    CASE WHEN len(ws) >= 3
+                         THEN [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+                         ELSE [array_to_string(ws, ' ')] END)) AS n_distinct
+           FROM w)
+         SELECT doc_id, CAST(n_3grams AS INT) AS n_3grams,
+                CAST(n_distinct AS INT) AS n_distinct_3grams,
+                1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_3grams AS DOUBLE)
+                  AS dup_3gram_frac
+         FROM g""")
 }

@@ -174,6 +174,18 @@ class Round4Spec extends SparkSpec {
     assert(res.kept.columns.toSeq == Seq("doc_id", "text", "extra"))
   }
 
+  test("corpus pipeline repetition bound rejects highly repetitive docs") {
+    import graft.data.{CorpusConfig, CorpusPipeline}
+    val docs = Seq(
+      (0L, "spam spam spam spam spam spam spam spam spam spam"), // dup frac 7/8
+      (1L, "eight different words with no repeats at all here")
+    ).toDF("doc_id", "text")
+    val res = CorpusPipeline.run(docs, CorpusConfig(
+      maxDupNgramFrac = Some(0.5), nearDedupThreshold = None, exactDedup = false))
+    val labels = res.labels.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(labels == Map(0L -> "quality", 1L -> "kept"))
+  }
+
   test("embeddingNearDup closure resolves chains to a retained root") {
     // unit vectors at 0deg / 40deg / 80deg with threshold cos(45deg):
     // (1,2) and (2,3) are pairs, (1,3) is not — a chain
