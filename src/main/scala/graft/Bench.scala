@@ -24,7 +24,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: the driver parses this process's output tail for the JSON line;
+    // WARN-level noise (WindowExec on deliberately-tiny global windows,
+    // checkpoint-unpersist notices) would swamp it
+    spark.sparkContext.setLogLevel("ERROR")
 
     // warm up the session (codegen, parquet reader, shuffle machinery) so the
     // first measured query doesn't absorb JVM startup

@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.FeatureQueries.queries ++
     graft.queries.DataQueries.queries ++
     graft.queries.MlQueries.queries ++
-    graft.queries.SourceStreamQueries.queries
+    graft.queries.SourceStreamQueries.queries ++
+    graft.queries.CorpusQueries.queries
 
   /** What [[Bench]] measures: the correctness queries, with the entries whose
     * correctness form embeds in-query oracle verification replaced by their
@@ -39,5 +40,6 @@ object SparkEntry {
     graft.queries.FeatureQueries.oracleSql ++
     graft.queries.DataQueries.oracleSql ++
     graft.queries.MlQueries.oracleSql ++
-    graft.queries.SourceStreamQueries.oracleSql
+    graft.queries.SourceStreamQueries.oracleSql ++
+    graft.queries.CorpusQueries.oracleSql
 }

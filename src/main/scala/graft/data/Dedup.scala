@@ -338,4 +338,47 @@ object Dedup {
       .withColumn("is_dup", col("rep_id") =!= col(idCol))
       .select(idCol, "rep_id", "is_dup")
   }
+
+  /** Chunk-level (sub-document) exact dedup, C4/RefinedWeb-style: cut each
+    * document into fixed-width word chunks, drop every chunk whose text
+    * already appeared earlier in the corpus (earlier = smaller (doc, chunk)
+    * position — deterministic first-occurrence-wins), and report per document
+    * how much survived. Catches boilerplate shared across documents that
+    * whole-document dedup misses.
+    *
+    * Plan shape: chunking is map-only (one projection per doc), the
+    * first-occurrence table is ONE hash aggregation on the 8-byte chunk hash
+    * (min position per hash — partial-aggregated map-side), and the verdict
+    * re-joins chunks to that table on the hash. No window, no self-join; both
+    * shuffles key on the chunk hash, so skew is bounded by chunk popularity
+    * and the aggregation side collapses each hot chunk to one row.
+    *
+    * Chunk identity is xxhash64(chunk text) — exact modulo 2^-64 collisions,
+    * the same contract as [[ngramJaccardPairs]].
+    */
+  def chunkDedup(df: DataFrame, textCol: String, idCol: String,
+                 chunkWords: Int = 50): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive, got $chunkWords")
+    val ws = split(trim(col(textCol)), "\\s+")
+    val nChunks = ceil(size(ws).cast("double") / chunkWords).cast("int")
+    val chunks = df
+      .select(col(idCol).cast("long").as("__id"), ws.as("__ws"),
+              posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_idx", "__i")))
+      .select(col("__id"), col("chunk_idx"),
+              xxhash64(array_join(slice(col("__ws"),
+                col("__i") * chunkWords + 1, lit(chunkWords)), " ")).as("__h"))
+    // first occurrence of each distinct chunk text: min (doc, idx) position,
+    // packed into one orderable struct so a single min() carries both
+    val firstSeen = chunks.groupBy("__h")
+      .agg(min(struct(col("__id"), col("chunk_idx"))).as("__first"))
+    chunks.join(firstSeen, Seq("__h"))
+      .withColumn("__kept",
+        (col("__first.__id") === col("__id")) &&
+        (col("__first.chunk_idx") === col("chunk_idx")))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+           sum(when(col("__kept"), 1).otherwise(0)).cast("int").as("n_kept"))
+      .withColumn("kept_ratio",
+        col("n_kept").cast("double") / col("n_chunks").cast("double"))
+  }
 }

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.data.{Dedup, Packing, Sampling}
+import graft.functions.Redact
+import graft.sources.Sources
+
+/** Corpus-preparation operators a large-scale LLM training pipeline needs
+  * beyond dedup/ANN: interchange formats, deterministic sampling, sequence
+  * packing, sub-document dedup, PII redaction, partitioned corpus layout.
+  * Every operator here is map-only or one hash-shuffle — nothing global.
+  *
+  *  - q64: JSONL round-trip ([[Sources.writeJsonl]]/[[Sources.readJsonl]]) —
+  *    the corpus interchange format; oracle reads the original parquet.
+  *  - q65: [[Packing.packSequences]] — concat-and-chunk token packing per
+  *    language; oracle replays the same windowed prefix sum.
+  *  - q66: [[Sampling.hashSample]] — md5-threshold Bernoulli sampling;
+  *    oracle replays the identical md5 prefix compare.
+  *  - q67: [[Dedup.chunkDedup]] — 20-word chunk first-occurrence dedup over
+  *    the doubled corpus (so every chunk has a cross-doc duplicate).
+  *  - q68: [[Redact]] rules over the customer table's phone/address.
+  *  - q69: partitioned parquet sink + partition-pruned read-back.
+  */
+object CorpusQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables(s, dir, name)
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_$name"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_jsonl_source" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val path = tmp("q64_jsonl")
+      Sources.writeJsonl(docs, path)
+      Sources.readJsonl(s, path, docs.schema)
+        .select(col("doc_id"), col("lang"),
+                length(col("text")).cast("int").as("n_chars_rt"))
+    },
+
+    "q65_pack_sequences" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      Packing.packSequences(docs, "n_tokens", "doc_id", Seq("lang"), budget = 2048)
+    },
+
+    "q66_hash_sample" -> { (s, dir) =>
+      Sampling.hashSample(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", rate = 0.1, salt = "s42|")
+    },
+
+    "q67_chunk_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.chunkDedup(doubled, "text", "doc_id", chunkWords = 20)
+    },
+
+    // the synthetic customer table carries no PII columns, so the query
+    // derives a deterministic contact note (email + phone + account ref,
+    // all key-derived — the oracle builds the identical string) and redacts
+    // it; the operator under test is the Redact rule fold, which is exactly
+    // what it would do to a real contact field
+    "q68_redact" -> { (s, dir) =>
+      val key = col("c_custkey").cast("long")
+      val email = concat(
+        lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+        lit("@example.com"))
+      val phone = concat_ws("-",
+        (key % 90 + 10).cast("string"),
+        lpad((key % 1000).cast("string"), 3, "0"),
+        lpad((key * 7 % 1000).cast("string"), 3, "0"),
+        lpad((key * 13 % 10000).cast("string"), 4, "0"))
+      val note = concat(lit("contact "), col("c_name"), lit(" at "), email,
+        lit(" or "), phone, lit(" ref #"), (key * 1000003L).cast("string"))
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        Redact(note).as("note_redacted"),
+        Redact.hitCount(note).as("n_hits"))
+    },
+
+    "q69_partitioned_sink" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "source", "n_chars", "lang")
+      val path = tmp("q69_part")
+      Sources.writePartitionedParquet(docs, path, Seq("lang"))
+      // planning-time pruning: only the lang=en directory is ever listed
+      s.read.parquet(path).filter(col("lang") === "en")
+        .select("doc_id", "source", "n_chars", "lang")
+    })
+
+  private val redactSql: String => String = c =>
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($c,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        'https?://[^\\s]+', '<URL>', 'g'),
+        '[0-9]{2,3}(-[0-9]{3,4}){2,3}', '<PHONE>', 'g'),
+        '[0-9]{6,}', '<NUM>', 'g')"""
+
+  private val hitsSql: String => String = c =>
+    s"""CAST(len(regexp_extract_all($c, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all($c, 'https?://[^\\s]+'))
+        + len(regexp_extract_all($c, '[0-9]{2,3}(-[0-9]{3,4}){2,3}'))
+        + len(regexp_extract_all($c, '[0-9]{6,}')) AS INT)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q64_jsonl_source" ->
+      """SELECT doc_id, lang, CAST(length(text) AS INT) AS n_chars_rt
+         FROM documents""",
+    "q65_pack_sequences" ->
+      """SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(floor(coalesce(sum(len(regexp_split_to_array(trim(text), '\s+')))
+           OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 2048) AS BIGINT) AS pack_id,
+         CAST(coalesce(sum(len(regexp_split_to_array(trim(text), '\s+')))
+           OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           % 2048 AS BIGINT) AS pack_offset
+         FROM documents""",
+    "q66_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999'""",
+    "q67_chunk_dedup" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents),
+         w AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+           FROM docs),
+         c AS (
+           SELECT doc_id,
+             unnest(range(CAST(ceil(len(words)/20.0) AS BIGINT))) AS chunk_idx,
+             unnest(list_transform(range(CAST(ceil(len(words)/20.0) AS BIGINT)),
+               i -> array_to_string(list_slice(words, i*20+1, i*20+20), ' '))) AS chunk
+           FROM w),
+         k AS (
+           SELECT doc_id, chunk_idx,
+             (row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx)) = 1 AS kept
+           FROM c)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                CAST(count(*) AS INT) AS n_chunks,
+                CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
+                CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS kept_ratio
+         FROM k GROUP BY doc_id""",
+    "q68_redact" ->
+      s"""WITH n AS (
+          SELECT c_custkey,
+            'contact ' || c_name || ' at ' ||
+            lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) ||
+            '@example.com' || ' or ' ||
+            CAST(c_custkey % 90 + 10 AS VARCHAR) || '-' ||
+            lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+            lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-' ||
+            lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0') ||
+            ' ref #' || CAST(c_custkey * 1000003 AS VARCHAR) AS note
+          FROM customer)
+          SELECT c_custkey,
+          ${redactSql("note")} AS note_redacted,
+          ${hitsSql("note")} AS n_hits
+          FROM n""",
+    "q69_partitioned_sink" ->
+      "SELECT doc_id, source, n_chars, lang FROM documents WHERE lang = 'en'")
+}

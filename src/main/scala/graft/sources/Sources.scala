@@ -27,4 +27,27 @@ object Sources {
 
   def writeCsv(df: DataFrame, path: String, sep: String = ";"): Unit =
     df.write.mode("overwrite").option("sep", sep).option("header", "true").csv(path)
+
+  /** JSON-Lines — the de-facto interchange format for LLM training corpora.
+    * Spark's json source IS jsonl (one object per line, splittable, so a
+    * 100 TB corpus still parallelizes by line blocks). Reading takes an
+    * explicit schema: schema inference is a full extra pass over the data
+    * and silently widens types, neither acceptable at scale.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Hive-style partitioned parquet sink: one directory per `partCols` value.
+    * Reading back with a filter on a partition column prunes at PLANNING
+    * time (PartitionFilters in the scan, untouched directories never listed)
+    * — the layout a corpus store needs so per-language / per-source jobs
+    * read only their slice.
+    */
+  def writePartitionedParquet(df: DataFrame, path: String,
+                              partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 }
