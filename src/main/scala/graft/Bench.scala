@@ -38,6 +38,10 @@ object Bench {
     def clearState(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // drop the packed GT / ANN broadcast blocks the previous run created
+      // (reference unpersist_broadcast parity) — without this, repeated fits
+      // accumulate executor memory until GC-driven cleanup catches up
+      BroadcastLifecycle.releaseAll()
     }
 
     // optional args: restrict to queries whose name contains any arg (local
@@ -58,12 +62,19 @@ object Bench {
       val median =
         if (times.length % 2 == 1) times(times.length / 2)
         else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
-      name -> (if (failed) -1.0 else median)
+      if (failed) name -> (-1.0, -1.0, -1.0)
+      else name -> (median, times.head, times.last)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns}""")
+    // per-query spread: a median that sits far from min with a huge max is
+    // machine noise (GC/co-tenancy), not a regression — r4's q57 "5x slowdown"
+    // was exactly that and was invisible from the median alone
+    val spread = results.map { case (k, (_, mn, mx)) =>
+      "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","runs":$nRuns}""")
     spark.stop()
   }
 }

@@ -100,6 +100,16 @@ final class EntityMatchingModel(
 
   private var aggregationOverride: Option[String] = None
 
+  /** Release the broadcast state this model pinned on the executors — the
+    * reference's `unpersist_broadcast` / per-stage `_unpersist`
+    * (spark_entity_matching.py:197,682-690). A long-lived session that fits
+    * repeatedly (services, bench drivers) calls this between generations;
+    * without it the packed GT blocks of every old model linger until
+    * GC-driven ContextCleaner passes get them. The model must not be used
+    * after release.
+    */
+  def release(): Unit = candidateModel.release()
+
   /** Attach a pre-trained supervised model post-fit
     * (add_supervised_model, spark_entity_matching.py:595-626) — e.g. one
     * loaded from another pipeline's persistence dir.

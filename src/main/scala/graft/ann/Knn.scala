@@ -82,7 +82,7 @@ object Knn {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      excludeSelf: Boolean = false): DataFrame = {
     val packed = packVecs(targets, idCol, vecCol)
-    val bc = queries.sparkSession.sparkContext.broadcast(packed)
+    val bc = graft.BroadcastLifecycle.track(queries.sparkSession.sparkContext.broadcast(packed))
 
     val rdd = queries.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
       val p = bc.value
@@ -142,7 +142,7 @@ object Knn {
   def exactCosinePairs(df: DataFrame, minCosine: Double,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val packed = packVecs(df, idCol, vecCol)
-    val bc = df.sparkSession.sparkContext.broadcast(packed)
+    val bc = graft.BroadcastLifecycle.track(df.sparkSession.sparkContext.broadcast(packed))
     val rdd = df.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
       val p = bc.value
       val tIds = p.ids; val tData = p.data; val tNorms = p.norms; val d = p.dim
@@ -253,7 +253,7 @@ object Knn {
     val index = new java.util.HashMap[Long, Integer](2 * packed.n)
     var i = 0
     while (i < packed.n) { index.put(packed.ids(i), i); i += 1 }
-    val bc = df.sparkSession.sparkContext.broadcast((index, packed))
+    val bc = graft.BroadcastLifecycle.track(df.sparkSession.sparkContext.broadcast((index, packed)))
     val rdd = candidates.rdd.mapPartitions { it =>
       val (idx, p) = bc.value
       val tData = p.data; val tNorms = p.norms; val d = p.dim
@@ -487,7 +487,7 @@ object Knn {
     val (centroids, dim) = ivfFit(targets, nLists, seed, maxIter, maxFitRows, idCol, vecCol)
     val packed = packIvf(targets, centroids, dim, idCol, vecCol)
     val spark = queries.sparkSession
-    val bc = spark.sparkContext.broadcast(packed)
+    val bc = graft.BroadcastLifecycle.track(spark.sparkContext.broadcast(packed))
     val nP = math.min(nProbe, packed.nLists)
 
     val rdd = queries.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
@@ -554,7 +554,7 @@ object Knn {
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val (centroids, dim) = ivfFit(targets, nLists, seed, maxIter, maxFitRows, idCol, vecCol)
     val spark = targets.sparkSession
-    val bc = spark.sparkContext.broadcast(centroids)
+    val bc = graft.BroadcastLifecycle.track(spark.sparkContext.broadcast(centroids))
     val nL = if (dim == 0) 1 else centroids.length / dim
     val schema = StructType(Seq(
       StructField("target_id", LongType, nullable = false),
@@ -603,7 +603,7 @@ object Knn {
       var d = 0
       while (d < dim) { centroids(l * dim + d) = v(d); d += 1 }
     }
-    val bc = spark.sparkContext.broadcast(centroids)
+    val bc = graft.BroadcastLifecycle.track(spark.sparkContext.broadcast(centroids))
     val nP = math.min(nProbe, math.max(nL, 1))
 
     val probedSchema = StructType(Seq(
@@ -697,7 +697,7 @@ object Knn {
                       excludeSelf: Boolean = false): DataFrame = {
     val (centroids, dim) = ivfFit(targets, nLists, seed, maxIter, maxFitRows, idCol, vecCol)
     val spark = queries.sparkSession
-    val bc = spark.sparkContext.broadcast(centroids)
+    val bc = graft.BroadcastLifecycle.track(spark.sparkContext.broadcast(centroids))
     val nL = if (dim == 0) 1 else centroids.length / dim
     val nP = math.min(nProbe, nL)
 

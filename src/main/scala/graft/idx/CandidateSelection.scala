@@ -18,6 +18,13 @@ trait NameIndexerModel extends Serializable {
     * narrowed back by the re-rank. Identity for windowless indexers.
     */
   def widen: NameIndexerModel = this
+
+  /** Release executor-side state held by this model (broadcast GT blocks) —
+    * the reference's per-stage `_unpersist`
+    * (spark_entity_matching.py:682-690). After release the model must not be
+    * transformed again. No-op for models without broadcast state.
+    */
+  def release(): Unit = ()
 }
 
 /** Candidate selection: run all indexers, merge their pair sets, attach GT
@@ -61,6 +68,11 @@ final class CandidateSelectionModel(
     */
   def widened: CandidateSelectionModel =
     new CandidateSelectionModel(models.map(_.widen), gt, gtCarryOnCols, withNoMatches)
+
+  /** Release every indexer's broadcast state (reference `_unpersist` parity).
+    * Widened copies share the fitted state, so they die with the original.
+    */
+  def release(): Unit = models.foreach(_.release())
 
   def transform(namesRaw: DataFrame): DataFrame = {
     val names = namesRaw.drop(conflictingCols(namesRaw.columns.toSeq): _*)

@@ -130,7 +130,7 @@ final class CosSimIndexer(
     }
     val packed: Map[String, PackedGt] =
       collected.groupBy(_._1).map { case (b, rows) => b -> PackedGt.build(rows.map(_._2), nTerms) }
-    val bc = gt.sparkSession.sparkContext.broadcast(packed)
+    val bc = graft.BroadcastLifecycle.track(gt.sparkSession.sparkContext.broadcast(packed))
     new CosSimIndexerModel(this, model, bc)
   }
 }
@@ -142,6 +142,13 @@ final class CosSimIndexerModel(
 
   override def widen: CosSimIndexerModel =
     new CosSimIndexerModel(indexer.withNumCandidates(indexer.numCandidates + 1), tfidf, gtBc)
+
+  /** Destroy the broadcast GT index (reference `_unpersist`,
+    * spark_cos_sim_matcher.py via spark_entity_matching.py:682-690). Widened
+    * copies share `gtBc`, so releasing either kills both; transform after
+    * release throws.
+    */
+  override def release(): Unit = graft.BroadcastLifecycle.release(gtBc)
 
   private val outSchema = StructType(Seq(
     StructField(indexer.uidCol, LongType, nullable = false),
