@@ -318,21 +318,27 @@ object Dedup {
       // pointer jumping: rep := rep(rep). Chains halve every round, so
       // log2(longest chain) rounds reach the fixed point; each round is one
       // self-join on the NARROW (id, rep) relation, frozen so round k+1
-      // doesn't replay rounds 1..k
+      // doesn't replay rounds 1..k. The changed-flag is computed INSIDE the
+      // jump join and rides into the checkpoint, so convergence costs one
+      // max() scan over the already-materialized blocks — not a second
+      // join+count job re-deriving the round (each round = one materialization
+      // job + one cached-scan job, down from two materializations + a join)
       var round = 0
-      var changed = 1L
-      while (changed > 0 && round < maxClosureRounds) {
-        val frozen = labels.localCheckpoint()
+      var changed = true
+      var frozen = labels.localCheckpoint()
+      while (changed && round < maxClosureRounds) {
         val jumped = frozen
           .join(frozen.select(col(idCol).as("rep_id"), col("rep_id").as("rep2")),
                 Seq("rep_id"))
-          .select(col(idCol), col("rep2").as("rep_id"))
+          .select(col(idCol), col("rep2").as("rep_id"),
+                  (col("rep2") =!= col("rep_id")).as("__changed"))
         val next = jumped.localCheckpoint()
-        changed = next.join(frozen.withColumnRenamed("rep_id", "prev"), Seq(idCol))
-          .filter(col("rep_id") =!= col("prev")).count()
-        labels = next
+        changed = next.agg(coalesce(max(col("__changed")), lit(false)))
+          .head.getBoolean(0)
+        frozen = next.drop("__changed")
         round += 1
       }
+      labels = frozen
     }
     labels
       .withColumn("is_dup", col("rep_id") =!= col(idCol))

@@ -63,6 +63,92 @@ object PackedGt {
   }
 }
 
+/** The per-row scoring kernel shared by the batch (mapPartitions) and
+  * streaming (per-row UDF) cos-sim paths: accumulate term-by-term dot
+  * products into a primitive scores array (touched-index bookkeeping instead
+  * of hash maps — no boxing), then round/threshold/top-k by insertion.
+  * One implementation means the streaming variant is bit-identical to the
+  * batch one by construction, not by parallel maintenance.
+  */
+private[graft] object CosSimKernel {
+
+  /** Reusable per-task scratch: per-block primitive score accumulators plus
+    * a growable touched-index buffer. NOT thread-safe — one instance per
+    * task/partition (both call sites deserialize their own copy).
+    */
+  final class Scratch {
+    val blockScores = new java.util.HashMap[String, Array[Double]]()
+    var touched = new Array[Int](1024)
+    def scoresFor(block: String, nRows: Int): Array[Double] = {
+      var s = blockScores.get(block)
+      if (s == null) { s = new Array[Double](nRows); blockScores.put(block, s) }
+      s
+    }
+  }
+
+  /** Score `sv` against the `block` sub-index of `gt`, filling bestS/bestG
+    * (caller-allocated, size >= k) in (score DESC, gtUid ASC) order; returns
+    * how many were filled. The per-block scratch scores array is left
+    * re-zeroed for the next row.
+    */
+  def topK(gt: PackedGt, block: String, sv: SparseVector,
+           k: Int, lb: Double, prec: Int, scratch: Scratch,
+           bestS: Array[Double], bestG: Array[Int]): Int = {
+    val scores = scratch.scoresFor(block, gt.nRows)
+    var touched = scratch.touched
+    var nTouched = 0
+    var i = 0
+    while (i < sv.indices.length) {
+      val t = sv.indices(i)
+      val q = sv.values(i)
+      if (q != 0.0 && t < gt.nTerms) {
+        var p = gt.indptr(t)
+        val end = gt.indptr(t + 1)
+        while (p < end) {
+          val g = gt.indices(p)
+          if (scores(g) == 0.0) {
+            if (nTouched == touched.length) {
+              touched = java.util.Arrays.copyOf(touched, nTouched * 2)
+              scratch.touched = touched
+            }
+            touched(nTouched) = g
+            nTouched += 1
+          }
+          scores(g) += q * gt.data(p)
+          p += 1
+        }
+      }
+      i += 1
+    }
+    // round + threshold + top-k selection (small k: insertion into sorted buffer)
+    var nBest = 0
+    var j = 0
+    while (j < nTouched) {
+      val g = touched(j)
+      val s = BigDecimal(scores(g)).setScale(prec, BigDecimal.RoundingMode.HALF_UP).toDouble
+      scores(g) = 0.0 // reset for next row
+      if (s >= lb) {
+        // find insert position among current best (score desc, gtUid asc)
+        var pos = nBest
+        while (pos > 0 && {
+          val ps = bestS(pos - 1)
+          ps < s || (ps == s && gt.gtUids(bestG(pos - 1)) > gt.gtUids(g))
+        }) pos -= 1
+        if (pos < k) {
+          val last = math.min(nBest, k - 1)
+          var m = last
+          while (m > pos) { bestS(m) = bestS(m - 1); bestG(m) = bestG(m - 1); m -= 1 }
+          bestS(pos) = s
+          bestG(pos) = g
+          if (nBest < k) nBest += 1
+        }
+      }
+      j += 1
+    }
+    nBest
+  }
+}
+
 /** Cosine-similarity top-k indexer — the core candidate-generation operator.
   *
   * Re-expresses the reference's broadcast top-k similarity join
@@ -169,9 +255,10 @@ final class CosSimIndexerModel(
     val spark = names.sparkSession
 
     val rdd = withFeatures.rdd.mapPartitions { it =>
-      // per-block scratch accumulator reused across rows
-      val scratch = scala.collection.mutable.Map.empty[String, Array[Double]]
-      var touched = new Array[Int](1024)
+      // per-task scratch accumulator reused across rows (see CosSimKernel)
+      val scratch = new CosSimKernel.Scratch
+      val bestS = new Array[Double](k)
+      val bestG = new Array[Int](k)
       it.flatMap { r =>
         val uid   = r.getLong(0)
         val vec   = r.get(1).asInstanceOf[Vector]
@@ -179,58 +266,10 @@ final class CosSimIndexerModel(
         bc.value.get(block) match {
           case None => Iterator.empty
           case Some(gt) =>
-            val scores = scratch.getOrElseUpdate(block, new Array[Double](gt.nRows))
-            var nTouched = 0
             val sv = vec match { case s: SparseVector => s; case d => d.toSparse }
-            var i = 0
-            while (i < sv.indices.length) {
-              val t = sv.indices(i)
-              val q = sv.values(i)
-              if (q != 0.0 && t < gt.nTerms) {
-                var p = gt.indptr(t)
-                val end = gt.indptr(t + 1)
-                while (p < end) {
-                  val g = gt.indices(p)
-                  if (scores(g) == 0.0) {
-                    if (nTouched == touched.length) touched = java.util.Arrays.copyOf(touched, nTouched * 2)
-                    touched(nTouched) = g
-                    nTouched += 1
-                  }
-                  scores(g) += q * gt.data(p)
-                  p += 1
-                }
-              }
-              i += 1
-            }
-            // round + threshold + top-k selection (small k: insertion into sorted buffer)
-            val bestScore = new Array[Double](k)
-            val bestG     = new Array[Int](k)
-            var nBest     = 0
-            var j = 0
-            while (j < nTouched) {
-              val g = touched(j)
-              val s = BigDecimal(scores(g)).setScale(prec, BigDecimal.RoundingMode.HALF_UP).toDouble
-              scores(g) = 0.0 // reset for next row
-              if (s >= lb) {
-                // find insert position among current best (score desc, gtUid asc)
-                var pos = nBest
-                while (pos > 0 && {
-                  val ps = bestScore(pos - 1)
-                  ps < s || (ps == s && gt.gtUids(bestG(pos - 1)) > gt.gtUids(g))
-                }) pos -= 1
-                if (pos < k) {
-                  val last = math.min(nBest, k - 1)
-                  var m = last
-                  while (m > pos) { bestScore(m) = bestScore(m - 1); bestG(m) = bestG(m - 1); m -= 1 }
-                  bestScore(pos) = s
-                  bestG(pos) = g
-                  if (nBest < k) nBest += 1
-                }
-              }
-              j += 1
-            }
+            val nBest = CosSimKernel.topK(gt, block, sv, k, lb, prec, scratch, bestS, bestG)
             (0 until nBest).iterator.map { idx =>
-              Row(uid, gt.gtUids(bestG(idx)), bestScore(idx), idx + 1)
+              Row(uid, gt.gtUids(bestG(idx)), bestS(idx), idx + 1)
             }
         }
       }

@@ -134,6 +134,15 @@ object DataQueries {
         nLists = 16, nProbe = 16, seed = 7L, maxIter = 5)
     },
 
+    // beyond-broadcast IVF: map-side assignment, ONE shuffle join on list_id,
+    // kernel scoring. Exhaustive probing makes it bit-identical to brute
+    // force, so the q53-style oracle checks the distributed join path too
+    "q70_ann_ivf_bucketed" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Knn.ivfTopKBucketed(emb.filter(col("vec_id") < 100), emb, k = 5,
+        nLists = 16, nProbe = 16, seed = 7L, maxIter = 5)
+    },
+
     // disk-materialized IVF index (written partitioned by list_id, probes
     // statically pruned): exhaustive probing over the index is bit-identical
     // to brute force, same oracle as q53
@@ -166,26 +175,23 @@ object DataQueries {
         decontaminationThreshold = 0.5)).labels
     },
 
-    // multimodal: binary payload + metadata struct (oracle on byte stats)
+    // multimodal image: REAL BMP encode -> decode; dimensions come from the
+    // parsed header, byte_sum/first_px from the decoded pixels, and
+    // last_row_px probes the first pixel of the last logical row — the value
+    // a bottom-up/top-down mix-up would corrupt while leaving byte_sum
+    // intact. DuckDB replays all of it from the raw UTF-8 bytes
     "q45_media_stats" -> { (s, dir) =>
-      val media = BinaryMedia.attach(t(s, dir, "documents"), "doc_id", "text", "text/plain")
-      media.select(
-        col("media_id"),
-        length(col("media")).cast("int").as("n_bytes"),
-        col("meta.format").as("format"),
-        col("meta.width").as("width"))
+      BinaryMedia.imageStats(
+        BinaryMedia.imageFromText(t(s, dir, "documents"), "doc_id", "text", width = 16))
     },
 
-    // multimodal: stubbed decode -> 16-bin byte histogram; the dominant bin
-    // (argmax, first index on ties) is recomputed by DuckDB from the hex
-    // encoding, oracle-checking the whole decode plumbing end to end
+    // multimodal audio: REAL RIFF/PCM-16 WAV encode -> chunk-walking decode;
+    // sample_rate is read back from the fmt chunk (varies by id so header
+    // parsing is exercised per row), peak/sum of absolute amplitude from the
+    // PCM samples. DuckDB replays sample widening (b-128)*256 from the bytes
     "q46_media_features" -> { (s, dir) =>
-      val media = BinaryMedia.attach(t(s, dir, "documents"), "doc_id", "text")
-      BinaryMedia.extractFeatures(media)
-        .select(col("media_id"), col("n_bytes"),
-                size(col("features")).as("feat_dim"),
-                (array_position(col("features"), array_max(col("features"))) - 1)
-                  .cast("int").as("top_bin"))
+      BinaryMedia.audioStats(
+        BinaryMedia.audioFromText(t(s, dir, "documents"), "doc_id", "text"))
     })
 
   /** BENCH-path production configurations. The CORRECTNESS queries for the
@@ -394,6 +400,16 @@ object DataQueries {
            FROM embeddings q CROSS JOIN embeddings t
            WHERE q.vec_id < 100)
          WHERE rank <= 5""",
+    "q70_ann_ivf_bucketed" ->
+      """SELECT query_id, target_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                  round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) AS cosine,
+                  CAST(row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) DESC,
+                                t.vec_id) AS INT) AS rank
+           FROM embeddings q CROSS JOIN embeddings t
+           WHERE q.vec_id < 100)
+         WHERE rank <= 5""",
     "q53_ann_ivf" ->
       """SELECT query_id, target_id, cosine, rank FROM (
            SELECT q.vec_id AS query_id, t.vec_id AS target_id,
@@ -405,28 +421,54 @@ object DataQueries {
            WHERE q.vec_id < 100)
          WHERE rank <= 5""",
     "q45_media_stats" ->
-      """SELECT doc_id AS media_id,
-         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-         'text/plain' AS format,
-         CAST(octet_length(encode(text)) % 640 AS INT) AS width
-         FROM documents""",
+      """WITH b AS (
+           SELECT doc_id, upper(hex(encode(text))) AS h,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         nib AS (SELECT doc_id, n, h, unnest(range(n)) AS i FROM b),
+         byts AS (
+           SELECT doc_id, n, i,
+                  16 * (strpos('0123456789ABCDEF', substr(h, 2 * i + 1, 1)) - 1)
+                     + (strpos('0123456789ABCDEF', substr(h, 2 * i + 2, 1)) - 1) AS bv
+           FROM nib),
+         dims AS (
+           SELECT doc_id, n,
+                  greatest(1, CAST(ceil(n / 48.0) AS INT)) AS img_h
+           FROM b),
+         sums AS (
+           SELECT doc_id,
+                  CAST(sum(bv) AS BIGINT) AS byte_sum,
+                  CAST(max(CASE WHEN i = 0 THEN bv END) AS INT) AS first_px
+           FROM byts GROUP BY doc_id),
+         lastrow AS (
+           SELECT y.doc_id, CAST(y.bv AS INT) AS last_row_px
+           FROM byts y JOIN dims d
+             ON y.doc_id = d.doc_id AND y.i = (d.img_h - 1) * 48)
+         SELECT d.doc_id AS media_id,
+                16 AS img_w,
+                d.img_h,
+                CAST(coalesce(s.byte_sum, 0) AS BIGINT) AS byte_sum,
+                CAST(coalesce(s.first_px, 0) AS INT) AS first_px,
+                CAST(coalesce(l.last_row_px, 0) AS INT) AS last_row_px
+         FROM dims d
+         LEFT JOIN sums s ON d.doc_id = s.doc_id
+         LEFT JOIN lastrow l ON d.doc_id = l.doc_id""",
     "q46_media_features" ->
       """WITH b AS (
            SELECT doc_id, upper(hex(encode(text))) AS h,
                   octet_length(encode(text)) AS n
            FROM documents),
-         nib AS (
-           SELECT doc_id, n,
-                  strpos('0123456789ABCDEF', substr(h, 2 * unnest(range(n)) + 1, 1)) - 1 AS bin
-           FROM b),
-         counts AS (SELECT doc_id, n, bin, count(*) AS c FROM nib GROUP BY 1, 2, 3),
-         top AS (
-           SELECT doc_id, n, bin,
-                  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bin) AS rn
-           FROM counts)
-         SELECT b.doc_id AS media_id, CAST(b.n AS INT) AS n_bytes,
-                16 AS feat_dim,
-                CAST(coalesce(t.bin, 0) AS INT) AS top_bin
-         FROM b LEFT JOIN (SELECT doc_id, bin FROM top WHERE rn = 1) t
-           ON b.doc_id = t.doc_id""")
+         nib AS (SELECT doc_id, h, unnest(range(n)) AS i FROM b),
+         byts AS (
+           SELECT doc_id,
+                  16 * (strpos('0123456789ABCDEF', substr(h, 2 * i + 1, 1)) - 1)
+                     + (strpos('0123456789ABCDEF', substr(h, 2 * i + 2, 1)) - 1) AS bv
+           FROM nib)
+         SELECT b.doc_id AS media_id,
+                CAST(8000 + (b.doc_id % 3) * 4000 AS INT) AS sample_rate,
+                CAST(b.n AS INT) AS n_samples,
+                CAST(coalesce(max(abs((y.bv - 128) * 256)), 0) AS INT) AS peak_abs,
+                CAST(coalesce(sum(abs((y.bv - 128) * 256)), 0) AS BIGINT) AS sum_abs
+         FROM b LEFT JOIN byts y ON b.doc_id = y.doc_id
+         GROUP BY b.doc_id, b.n""")
 }

@@ -85,7 +85,11 @@ object TextQueries {
         md5(array_join(array_sort(split(trim(col("text")), "\\s+")), " ")).as("fingerprint"))
     },
 
-    // N5: levenshtein (built-in) + jaro (Scala kernel) over blocked name pairs
+    // N5: levenshtein (built-in) + jaro (Scala kernel) over blocked name
+    // pairs. SCOPE: this is a feature-function demo on candidate pairs — the
+    // blocked self-join is quadratic within each block (fixed 25 brands), so
+    // it inherits the candidate-pair bound, not a corpus bound. Corpus-scale
+    // pairing belongs to the dedup/LSH family (q40-q42, q44).
     "q25_lev_jaro" -> { (s, dir) =>
       val p = t(s, dir, "part").select("p_partkey", "p_name", "p_brand")
       val a = p.toDF("uid", "name_a", "brand")

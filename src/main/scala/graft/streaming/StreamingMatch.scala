@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Cols
-import graft.idx.{CosSimIndexerModel, PackedGt}
+import graft.idx.{CosSimIndexerModel, CosSimKernel}
 
 /** Streaming-compatible variants of the matching operators.
   *
@@ -15,12 +15,31 @@ import graft.idx.{CosSimIndexerModel, PackedGt}
   * /root/reference/emm/indexing/spark_cos_sim_matcher.py:295-297,634-643.
   * Same here: the broadcast GT index is the stream-static side; the per-row
   * UDF emits the candidate array, then posexplode (stream-safe) flattens it.
+  * Scoring runs the SAME primitive-array kernel as the batch path
+  * ([[CosSimKernel]]) — only the row-at-a-time call shape differs, so results
+  * are bit-identical and the per-row cost stays free of boxed hash maps.
   */
 object StreamingMatch {
 
   private val candType = ArrayType(StructType(Seq(
     StructField("gt_uid", LongType, nullable = false),
     StructField("score", DoubleType, nullable = false))), containsNull = false)
+
+  /** Serializable kernel holder: each deserialized task copy lazily builds
+    * its own scratch, so the UDF stays allocation-free across rows without
+    * sharing mutable state across tasks.
+    */
+  private final class PerRowKernel(k: Int) extends Serializable {
+    @transient private lazy val scratch = new CosSimKernel.Scratch
+    @transient private lazy val bestS   = new Array[Double](k)
+    @transient private lazy val bestG   = new Array[Int](k)
+    def apply(gt: graft.idx.PackedGt, block: String,
+              sv: org.apache.spark.ml.linalg.SparseVector,
+              lb: Double, prec: Int): Seq[(Long, Double)] = {
+      val nBest = CosSimKernel.topK(gt, block, sv, k, lb, prec, scratch, bestS, bestG)
+      (0 until nBest).map(idx => (gt.gtUids(bestG(idx)), bestS(idx)))
+    }
+  }
 
   /** Per-row top-k match usable on streaming DataFrames.
     * Input must already carry the vectorized `features` and `block` columns
@@ -31,34 +50,17 @@ object StreamingMatch {
     val k    = model.indexer.numCandidates
     val lb   = model.indexer.lowerBound
     val prec = model.indexer.scorePrecision
+    val kernel = new PerRowKernel(k)
 
     val matchOne = udf { (vec: org.apache.spark.ml.linalg.Vector, block: String) =>
       bc.value.get(block) match {
         case None => Seq.empty[(Long, Double)]
-        case Some(gt: PackedGt) =>
+        case Some(gt) =>
           val sv = vec match {
             case s: org.apache.spark.ml.linalg.SparseVector => s
             case d => d.toSparse
           }
-          val scores  = new scala.collection.mutable.HashMap[Int, Double]()
-          var i = 0
-          while (i < sv.indices.length) {
-            val t = sv.indices(i); val q = sv.values(i)
-            if (q != 0.0 && t < gt.nTerms) {
-              var p = gt.indptr(t)
-              while (p < gt.indptr(t + 1)) {
-                val g = gt.indices(p)
-                scores.update(g, scores.getOrElse(g, 0.0) + q * gt.data(p))
-                p += 1
-              }
-            }
-            i += 1
-          }
-          scores.iterator.map { case (g, s) =>
-            (gt.gtUids(g), BigDecimal(s).setScale(prec, BigDecimal.RoundingMode.HALF_UP).toDouble)
-          }.filter(_._2 >= lb).toSeq
-            .sortBy { case (u, s) => (-s, u) }
-            .take(k)
+          kernel(gt, block, sv, lb, prec)
       }
     }
 
