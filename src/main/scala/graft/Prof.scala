@@ -1,9 +1,15 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scratch profiling main (not part of the library surface). */
+/** Scaling-probe main (not part of the library surface): runs the
+  * dedup/corpus family at 1x and 10x the bench corpus (sf0.1 x10 ~ sf1) and
+  * appends rows-vs-time records to PROGRESS.jsonl, validating the
+  * near-linearity the plan-shape tests imply. A capped/bucketed plan should
+  * scale ~linearly in corpus size here; quadratic growth means a plan
+  * regression that sf0.1 alone cannot surface.
+  */
 object Prof {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -12,51 +18,92 @@ object Prof {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.1"
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"PROF $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+
+    val log = new java.io.PrintWriter(
+      new java.io.FileWriter("/root/repo/PROGRESS.jsonl", true))
+    def probe(op: String, scale: Int, inRows: Long)(f: => Long): Unit = {
+      BroadcastLifecycle.releaseAll()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val t0 = System.nanoTime()
+      val outRows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      val line = f"""{"kind":"scale_probe","op":"$op%s","scale":$scale%d,"rows":$inRows%d,"out_rows":$outRows%d,"sec":$sec%.2f}"""
+      println("PROF " + line)
+      log.println(line); log.flush()
     }
-    import graft.data.Dedup
-    // scaling smoke test: same operators at 1x and 8x corpus size; the
-    // bucketed/capped plans should scale near-linearly, never quadratically.
-    // Each copy is SALTED (distinct suffix per copy) so the 8x corpus keeps
-    // roughly the 1x near-dup density — verbatim clones would make the pair
-    // output itself grow quadratically and mask any plan regression
-    val docs1 = spark.read.parquet(sf + "/documents.parquet")
-    val docs8 = (0 until 8).map { i =>
-      docs1.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
-        .withColumn("text", concat(col("text"),
-          lit(s" copy salt token alpha$i beta$i gamma$i delta$i epsilon$i")))
-    }.reduce(_ unionByName _)
-    time("warm")(docs8.count())
-    time("jaccard 1x")(Dedup.ngramJaccardPairs(docs1, "text", "doc_id", k = 5, threshold = 0.5).count())
-    time("jaccard 8x")(Dedup.ngramJaccardPairs(docs8, "text", "doc_id", k = 5, threshold = 0.5).count())
-    time("minhash 1x")(Dedup.minHashLshPairs(docs1, "text", "doc_id", k = 5,
-      numHashes = 32, rowsPerBand = 4, threshold = 0.5).count())
-    time("minhash 8x")(Dedup.minHashLshPairs(docs8, "text", "doc_id", k = 5,
-      numHashes = 32, rowsPerBand = 4, threshold = 0.5).count())
-    time("simhash 1x")(Dedup.simHashPairs(docs1, "text", "doc_id").count())
-    time("simhash 8x")(Dedup.simHashPairs(docs8, "text", "doc_id").count())
-    // decontamination: train side scales 8x, eval side fixed — runtime should
-    // track the train scan, not the pair space
+
+    import graft.data.{CorpusConfig, CorpusPipeline, Dedup}
+
+    // SALTED copies (distinct suffix tokens per copy) keep the scaled corpus
+    // at roughly the 1x near-dup density — verbatim clones would make the
+    // pair output itself grow quadratically and mask any plan regression
+    def saltedDocs(base: DataFrame, copies: Int): DataFrame =
+      (0 until copies).map { i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+          .withColumn("text", concat(col("text"),
+            lit(s" copy salt token alpha$i beta$i gamma$i delta$i epsilon$i")))
+      }.reduce(_ unionByName _)
+
+    val docs1  = spark.read.parquet(sf + "/documents.parquet")
+    val docs10 = saltedDocs(docs1, 10)
+    val n1  = docs1.count()
+    val n10 = docs10.count() // also warms the session
+
+    probe("jaccard", 1, n1)(
+      Dedup.ngramJaccardPairs(docs1, "text", "doc_id", k = 5, threshold = 0.5,
+        maxDocsPerShingle = 1000).count())
+    probe("jaccard", 10, n10)(
+      Dedup.ngramJaccardPairs(docs10, "text", "doc_id", k = 5, threshold = 0.5,
+        maxDocsPerShingle = 1000).count())
+    probe("minhash", 1, n1)(
+      Dedup.minHashLshPairs(docs1, "text", "doc_id", k = 5,
+        numHashes = 32, rowsPerBand = 4, threshold = 0.5).count())
+    probe("minhash", 10, n10)(
+      Dedup.minHashLshPairs(docs10, "text", "doc_id", k = 5,
+        numHashes = 32, rowsPerBand = 4, threshold = 0.5).count())
+    probe("simhash", 1, n1)(Dedup.simHashPairs(docs1, "text", "doc_id").count())
+    probe("simhash", 10, n10)(Dedup.simHashPairs(docs10, "text", "doc_id").count())
+    probe("chunk_dedup", 1, n1)(Dedup.chunkDedup(docs1, "text", "doc_id").count())
+    probe("chunk_dedup", 10, n10)(Dedup.chunkDedup(docs10, "text", "doc_id").count())
+
+    // decontamination: train side scales 10x, eval side fixed — runtime
+    // should track the train scan, not the pair space
     val evalDocs = docs1.filter(col("doc_id") % 17 === 0)
-    time("decontam 1x")(Dedup.decontaminate(docs1, evalDocs, "text", "doc_id", k = 5).count())
-    time("decontam 8x")(Dedup.decontaminate(docs8, evalDocs, "text", "doc_id", k = 5).count())
+    probe("decontam", 1, n1)(
+      Dedup.decontaminate(docs1, evalDocs, "text", "doc_id", k = 5).count())
+    probe("decontam", 10, n10)(
+      Dedup.decontaminate(docs10, evalDocs, "text", "doc_id", k = 5).count())
+
+    // full corpus pipeline (q62 analog): quality -> exact -> near ->
+    // decontamination, fixed eval side
+    def pipelineCfg = CorpusConfig(
+      minTokens = 25, maxTokens = 90,
+      nearDedupThreshold = Some(0.5), shingleK = 5, maxDocsPerShingle = 1000,
+      evalDocs = Some(evalDocs), decontaminationThreshold = 0.5)
+    probe("corpus_pipeline", 1, n1)(CorpusPipeline.run(docs1, pipelineCfg).labels.count())
+    probe("corpus_pipeline", 10, n10)(CorpusPipeline.run(docs10, pipelineCfg).labels.count())
+
+    // embeddings: circular-shift salt — within-copy cosine structure is
+    // identical to 1x (rotation-invariant), cross-copy vectors decorrelate,
+    // so the pair output stays ~linear in corpus size
     val emb1 = spark.read.parquet(sf + "/embeddings.parquet")
-    // salt: circular-shift each copy's coordinates by i — within-copy
-    // cosine structure is identical to 1x (rotation-invariant), cross-copy
-    // vectors decorrelate, so the pair output stays ~linear in corpus size
     val emb8 = (0 until 8).map { i =>
       emb1.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
         .withColumn("embedding",
           if (i == 0) col("embedding")
           else expr(s"concat(slice(embedding, ${8 * i + 1}, 64 - ${8 * i}), slice(embedding, 1, ${8 * i}))"))
     }.reduce(_ unionByName _)
+    val e1 = emb1.count()
+    val e8 = emb8.count()
     import graft.ann.Knn
-    time("lsh pairs 1x")(Knn.lshCosinePairs(emb1, nBands = 8, bitsPerBand = 6, minCosine = 0.35).count())
-    time("lsh pairs 8x")(Knn.lshCosinePairs(emb8, nBands = 8, bitsPerBand = 6, minCosine = 0.35).count())
+    probe("ann_lsh", 1, e1)(
+      Knn.lshCosinePairs(emb1, nBands = 8, bitsPerBand = 6, minCosine = 0.35).count())
+    probe("ann_lsh", 8, e8)(
+      Knn.lshCosinePairs(emb8, nBands = 8, bitsPerBand = 6, minCosine = 0.35).count())
+
+    log.close()
     spark.stop()
   }
 }
