@@ -21,11 +21,21 @@ import org.apache.spark.broadcast.Broadcast
   */
 object BroadcastLifecycle {
 
-  private val tracked = scala.collection.mutable.LinkedHashSet.empty[Broadcast[_]]
+  import java.lang.ref.WeakReference
+
+  // Weak references keyed by broadcast id: explicit release()/releaseAll()
+  // still work while a model is alive, but a model the user simply drops
+  // without releasing stays ContextCleaner-eligible — the registry must not
+  // re-introduce (in slow motion) the pin-forever leak it exists to fix.
+  private val tracked =
+    scala.collection.mutable.LinkedHashMap.empty[Long, WeakReference[Broadcast[_]]]
+
+  private def purge(): Unit = tracked.filterInPlace((_, ref) => ref.get != null)
 
   /** Register a broadcast for lifecycle management; returns it unchanged. */
   private[graft] def track[T](bc: Broadcast[T]): Broadcast[T] = synchronized {
-    tracked += bc
+    purge()
+    tracked(bc.id) = new WeakReference[Broadcast[_]](bc)
     bc
   }
 
@@ -34,19 +44,26 @@ object BroadcastLifecycle {
     */
   def release(bc: Broadcast[_]): Unit = {
     destroyQuietly(bc)
-    synchronized { tracked -= bc }
+    synchronized { tracked -= bc.id }
   }
 
-  /** Destroy every tracked broadcast; returns how many were released. */
+  /** Destroy every live tracked broadcast; returns how many were released.
+    * Entries whose broadcast was already GC-collected are dropped silently —
+    * Spark's ContextCleaner owns their cleanup.
+    */
   def releaseAll(): Int = synchronized {
+    purge()
     val n = tracked.size
-    tracked.foreach(destroyQuietly)
+    tracked.valuesIterator.foreach { ref =>
+      val bc = ref.get
+      if (bc != null) destroyQuietly(bc)
+    }
     tracked.clear()
     n
   }
 
   /** Number of live tracked broadcasts (diagnostics / leak tests). */
-  def trackedCount: Int = synchronized { tracked.size }
+  def trackedCount: Int = synchronized { purge(); tracked.size }
 
   private def destroyQuietly(bc: Broadcast[_]): Unit =
     // double-release and release-after-stop must be safe no-ops

@@ -22,8 +22,8 @@ import org.apache.spark.sql.types._
   */
 object Knn {
 
-  private def round9(x: Double): Double =
-    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  // shared allocation-free HALF_UP (falls back to exact BigDecimal near ties)
+  private def round9(x: Double): Double = graft.idx.CosSimKernel.roundHalfUp(x, 9)
 
   private val outSchema = StructType(Seq(
     StructField("query_id", LongType, nullable = false),

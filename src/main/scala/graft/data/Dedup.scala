@@ -323,15 +323,23 @@ object Dedup {
       // max() scan over the already-materialized blocks — not a second
       // join+count job re-deriving the round (each round = one materialization
       // job + one cached-scan job, down from two materializations + a join)
+      // each round jumps TWICE before materializing (rep := rep(rep(rep)))
+      // — 4x chain compression per driver action instead of 2x, halving the
+      // round count (and its per-round head() action) for deep chains. rep
+      // is monotone non-increasing along chains (min-based), so
+      // "unchanged after two jumps" implies the row was already fixed
       var round = 0
       var changed = true
       var frozen = labels.localCheckpoint()
       while (changed && round < maxClosureRounds) {
-        val jumped = frozen
-          .join(frozen.select(col(idCol).as("rep_id"), col("rep_id").as("rep2")),
-                Seq("rep_id"))
+        val reps = frozen.select(col(idCol).as("rep_id"), col("rep_id").as("rep2"))
+        val once = frozen
+          .join(reps, Seq("rep_id"))
+          .select(col(idCol), col("rep_id").as("rep0"), col("rep2").as("rep_id"))
+        val jumped = once
+          .join(reps, Seq("rep_id"))
           .select(col(idCol), col("rep2").as("rep_id"),
-                  (col("rep2") =!= col("rep_id")).as("__changed"))
+                  (col("rep2") =!= col("rep0")).as("__changed"))
         val next = jumped.localCheckpoint()
         changed = next.agg(coalesce(max(col("__changed")), lit(false)))
           .head.getBoolean(0)

@@ -72,12 +72,63 @@ object PackedGt {
   */
 private[graft] object CosSimKernel {
 
+  private val POW10: Array[Double] = Array.tabulate(16)(i => math.pow(10, i))
+
+  private def roundExact(x: Double, prec: Int): Double =
+    BigDecimal(x).setScale(prec, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** HALF_UP decimal rounding, bit-identical to
+    * `BigDecimal(x).setScale(prec, HALF_UP).toDouble` but allocation-free on
+    * the fast path (the BigDecimal form allocates per candidate — billions of
+    * short-lived objects in the innermost matmul loop at scale). The scaled
+    * double `x * 10^prec` carries at most ~|scaled|*2^-51 absolute error, so
+    * any value landing within 1e-6 of an integer boundary of `scaled + 0.5`
+    * (i.e. near a .5 rounding tie) falls back to the exact decimal expansion;
+    * everywhere else `floor(scaled + 0.5)` picks the same digit the exact
+    * expansion does, and `f / 10^prec` is the correctly-rounded double of the
+    * exact decimal f*10^-prec (10^prec is integer-exact for prec <= 15 and
+    * IEEE division rounds once). Scores here are cosines in [0, ~1], so the
+    * 1e-6 band at scaled <= 10^prec <= 2^50 dwarfs the actual error bound.
+    */
+  def roundHalfUp(x: Double, prec: Int): Double =
+    // HALF_UP is symmetric (ties round away from zero) and BigDecimal
+    // negation/toDouble are sign-exact, so negatives reduce to the positive
+    // case; ±0.0 both yield +0.0, matching BigDecimal.valueOf(-0.0) == "0.0"
+    if (x == 0.0) 0.0
+    else if (x < 0.0) {
+      // a negative rounding to zero must still be +0.0 (BigDecimal "0.00")
+      val r = roundHalfUpPos(-x, prec)
+      if (r == 0.0) 0.0 else -r
+    } else roundHalfUpPos(x, prec)
+
+  private def roundHalfUpPos(x: Double, prec: Int): Double = {
+    if (prec < 0 || prec > 15 || !(x <= 4.0e15)) return roundExact(x, prec)
+    val scaled = x * POW10(prec)
+    if (scaled >= 4.0e15) return roundExact(x, prec) // nearing 2^52: spacing > 0.5
+    val y = scaled + 0.5
+    val f = math.floor(y)
+    if (y - f < 1e-6 || (f + 1.0) - y < 1e-6) roundExact(x, prec)
+    else f / POW10(prec)
+  }
+
   /** Reusable per-task scratch: per-block primitive score accumulators plus
     * a growable touched-index buffer. NOT thread-safe — one instance per
     * task/partition (both call sites deserialize their own copy).
+    *
+    * The per-block score arrays are an LRU cache capped at [[MaxCachedBlocks]]
+    * entries: without a cap, a long-lived task (the streaming per-row UDF
+    * keeps one scratch for the whole task) touching many blocks would pin
+    * sum(nRows)*8 bytes of accumulators. Rows are typically block-clustered,
+    * so evictions are rare; an evicted block's array is simply re-allocated
+    * (and re-zeroed by construction) on its next touch.
     */
   final class Scratch {
-    val blockScores = new java.util.HashMap[String, Array[Double]]()
+    val blockScores: java.util.LinkedHashMap[String, Array[Double]] =
+      new java.util.LinkedHashMap[String, Array[Double]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[Double]]): Boolean =
+          size() > MaxCachedBlocks
+      }
     var touched = new Array[Int](1024)
     def scoresFor(block: String, nRows: Int): Array[Double] = {
       var s = blockScores.get(block)
@@ -85,6 +136,9 @@ private[graft] object CosSimKernel {
       s
     }
   }
+
+  /** Upper bound on per-task cached score arrays (see [[Scratch]]). */
+  final val MaxCachedBlocks = 32
 
   /** Score `sv` against the `block` sub-index of `gt`, filling bestS/bestG
     * (caller-allocated, size >= k) in (score DESC, gtUid ASC) order; returns
@@ -125,7 +179,7 @@ private[graft] object CosSimKernel {
     var j = 0
     while (j < nTouched) {
       val g = touched(j)
-      val s = BigDecimal(scores(g)).setScale(prec, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val s = roundHalfUp(scores(g), prec)
       scores(g) = 0.0 // reset for next row
       if (s >= lb) {
         // find insert position among current best (score desc, gtUid asc)
@@ -229,12 +283,15 @@ final class CosSimIndexerModel(
   override def widen: CosSimIndexerModel =
     new CosSimIndexerModel(indexer.withNumCandidates(indexer.numCandidates + 1), tfidf, gtBc)
 
-  /** Destroy the broadcast GT index (reference `_unpersist`,
-    * spark_cos_sim_matcher.py via spark_entity_matching.py:682-690). Widened
-    * copies share `gtBc`, so releasing either kills both; transform after
-    * release throws.
+  /** Destroy the broadcast GT index AND the fit-time idf broadcast
+    * (reference `_unpersist`, spark_cos_sim_matcher.py via
+    * spark_entity_matching.py:682-690). Widened copies share `gtBc` and
+    * `tfidf`, so releasing either kills both; transform after release throws.
     */
-  override def release(): Unit = graft.BroadcastLifecycle.release(gtBc)
+  override def release(): Unit = {
+    graft.BroadcastLifecycle.release(gtBc)
+    tfidf.release()
+  }
 
   private val outSchema = StructType(Seq(
     StructField(indexer.uidCol, LongType, nullable = false),

@@ -48,8 +48,16 @@ final class TfidfVectorizer(
     // with idf weight 0.0 — even if an input ever produced that token, it
     // would contribute zero weight, so every name vectorizes to zero and
     // matches nothing, the correct degenerate behavior
+    // the idf weight array is per-fit constant: broadcast it ONCE here (not
+    // per transform call — at the 2^25 vocab cap that would re-ship up to
+    // 256 MB on every batch/stream/widened transform) and register it for
+    // lifecycle release alongside the packed GT blocks
+    def mkModel(cvm: CountVectorizerModel, idfArr: Array[Double], maxIdfSq: Double) =
+      new TfidfModel(this, cvm,
+        graft.BroadcastLifecycle.track(gt.sparkSession.sparkContext.broadcast(idfArr)),
+        maxIdfSq)
     if (toks.select(explode(col("ngram_tokens"))).isEmpty)
-      return new TfidfModel(this,
+      return mkModel(
         new CountVectorizerModel(Array("\u0000")).setInputCol("ngram_tokens")
           .setOutputCol("tf"),
         Array(0.0), 0.0)
@@ -61,17 +69,26 @@ final class TfidfVectorizer(
     val idf = new IDF().setInputCol("tf").setOutputCol("idf_features").fit(tf)
     val idfArr = idf.idf.toArray
     val maxIdfSq = if (idfArr.isEmpty) 0.0 else { val m = idfArr.max; m * m }
-    new TfidfModel(this, cv, idfArr, maxIdfSq)
+    mkModel(cv, idfArr, maxIdfSq)
   }
 }
 
 final class TfidfModel(
     vec: TfidfVectorizer,
     val cv: CountVectorizerModel,
-    val idf: Array[Double],
+    val idfBc: Broadcast[Array[Double]],
     val maxIdfSq: Double) extends Serializable {
 
   def vocabularySize: Int = cv.vocabulary.length
+
+  /** The fitted idf weights (driver-side view of the broadcast). */
+  def idf: Array[Double] = idfBc.value
+
+  /** Destroy the fit-time idf broadcast; the model is dead afterwards.
+    * Called from `CosSimIndexerModel.release()` so the lifecycle covers
+    * every broadcast a fitted cos-sim stack owns.
+    */
+  def release(): Unit = graft.BroadcastLifecycle.release(idfBc)
 
   /** Adds `ngram_tokens`, `tf` and the normalized `features` columns. */
   def transform(df: DataFrame): DataFrame = {
@@ -82,14 +99,13 @@ final class TfidfModel(
     val grams  = new NGram().setInputCol("tokens").setOutputCol("ngram_tokens").setN(vec.ngram)
     val withTf = cv.transform(grams.transform(tok.transform(df)))
 
-    val sc       = df.sparkSession.sparkContext
-    val idfBc: Broadcast[Array[Double]] = sc.broadcast(idf)
+    val idfBcRef = idfBc // fit-time broadcast; closure must not capture `this`
     val binaryCv = vec.binary
     val maxIdf2  = maxIdfSq
 
     val normalize = udf { (tf: Vector, tokens: Seq[String]) =>
       val sv  = tf match { case s: SparseVector => s; case d => d.toSparse }
-      val w   = idfBc.value
+      val w   = idfBcRef.value
       val nAll =
         if (binaryCv) { val s = new java.util.HashSet[String](); tokens.foreach(s.add); s.size }
         else tokens.size

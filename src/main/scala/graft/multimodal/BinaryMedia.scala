@@ -88,11 +88,20 @@ object BinaryMedia {
     val rawHeight  = i32(bytes, 22)
     val topDown    = rawHeight < 0
     val height     = math.abs(rawHeight)
+    // header-sanity before any allocation: a hostile/corrupt payload must
+    // fail a clean require, not a NegativeArraySizeException or an OOM from
+    // an absurd declared width*height (public codec entry point)
+    require(width > 0 && rawHeight != Int.MinValue && height > 0,
+      s"bad dimensions ${width}x$rawHeight")
+    require(width.toLong * height * 3L <= Int.MaxValue,
+      s"implausible pixel volume ${width}x$height")
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"bad pixel-data offset $dataOffset")
     require(u16(bytes, 26) == 1, "bad plane count")
     require(u16(bytes, 28) == 24, s"only 24bpp supported, got ${u16(bytes, 28)}")
     require(i32(bytes, 30) == 0, "only uncompressed (BI_RGB) supported")
     val rowSize = ((width * 3 + 3) / 4) * 4
-    require(bytes.length >= dataOffset + rowSize * height, "truncated pixel data")
+    require(bytes.length >= dataOffset + rowSize.toLong * height, "truncated pixel data")
     val bgr = new Array[Byte](width * height * 3)
     var r = 0
     while (r < height) {
@@ -354,7 +363,9 @@ object BinaryMedia {
         var idx = 0
         while (pos + 6 <= bytes.length && bytes(pos) == 'B' && bytes(pos + 1) == 'M') {
           val size = i32(bytes, pos + 2)
-          if (size <= 0 || pos + size > bytes.length) { pos = bytes.length }
+          // a declared size smaller than a BMP header, or past the payload
+          // end, means a corrupt container: stop rather than emit junk frames
+          if (size < 54 || pos + size > bytes.length) { pos = bytes.length }
           else {
             if (idx % every == 0) out += java.util.Arrays.copyOfRange(bytes, pos, pos + size)
             pos += size
@@ -366,5 +377,40 @@ object BinaryMedia {
     }
     media.withColumn("frames", framesUdf(col("media")))
       .withColumn("n_frames", size(col("frames")))
+  }
+
+  private val frameStatsSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("total_frame_bytes", LongType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
+    StructField("last_frame_h", IntegerType, nullable = false)))
+
+  /** Decode every sampled frame (the `frames` column [[sampleFrames]] adds)
+    * and report per-video statistics: kept-frame count, total container bytes
+    * of the kept frames (headers + padded rows — probes the frame splitter's
+    * size walking), the summed channel values of all kept frames' decoded
+    * pixels, and the parsed height of the LAST kept frame (probes that the
+    * tail slice's ceil-division height survived the encode/split round trip).
+    * Column-pruned map-only pass, same shape as [[imageStats]].
+    */
+  def frameStats(sampled: DataFrame): DataFrame = {
+    val rdd = sampled.select("media_id", "frames").rdd.mapPartitions { it =>
+      it.map { r =>
+        val frames = r.getSeq[Array[Byte]](1)
+        var total = 0L
+        var px    = 0L
+        var lastH = 0
+        frames.foreach { fb =>
+          val img = decodeBmp(fb)
+          total += fb.length
+          var i = 0
+          while (i < img.bgr.length) { px += (img.bgr(i) & 0xff); i += 1 }
+          lastH = img.height
+        }
+        Row(r.getLong(0), frames.length, total, px, lastH)
+      }
+    }
+    sampled.sparkSession.createDataFrame(rdd, frameStatsSchema)
   }
 }

@@ -192,6 +192,19 @@ object DataQueries {
     "q46_media_features" -> { (s, dir) =>
       BinaryMedia.audioStats(
         BinaryMedia.audioFromText(t(s, dir, "documents"), "doc_id", "text"))
+    },
+
+    // multimodal video: text -> 4 concatenated BMP frames -> sampleFrames
+    // keeps every 2nd frame by walking each frame's declared file size ->
+    // decode each kept frame. total_frame_bytes probes the size walking
+    // (headers + padded rows), px_sum the kept slices' pixel data, and
+    // last_frame_h the tail slice's ceil-division height. DuckDB replays the
+    // frame slicing, per-frame height and container sizes from the raw bytes
+    "q71_video_frames" -> { (s, dir) =>
+      BinaryMedia.frameStats(BinaryMedia.sampleFrames(
+        BinaryMedia.videoFromText(t(s, dir, "documents"), "doc_id", "text",
+          nFrames = 4, frameWidth = 8),
+        every = 2))
     })
 
   /** BENCH-path production configurations. The CORRECTNESS queries for the
@@ -470,5 +483,47 @@ object DataQueries {
                 CAST(coalesce(max(abs((y.bv - 128) * 256)), 0) AS INT) AS peak_abs,
                 CAST(coalesce(sum(abs((y.bv - 128) * 256)), 0) AS BIGINT) AS sum_abs
          FROM b LEFT JOIN byts y ON b.doc_id = y.doc_id
-         GROUP BY b.doc_id, b.n""")
+         GROUP BY b.doc_id, b.n""",
+    // replay of videoFromText(nFrames=4, frameWidth=8) + sampleFrames(every=2)
+    // + frameStats: per = ceil(n/4) bytes per frame slice (min 1), kept frames
+    // 0 and 2, per-frame height = ceil(len/24) (min 1; rowSize at width 8 =
+    // 24, already 4-aligned), container size = 54-byte header + 24*h
+    "q71_video_frames" ->
+      """WITH b AS (
+           SELECT doc_id, upper(hex(encode(text))) AS h,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         par AS (
+           SELECT doc_id, n, h,
+                  greatest(1, CAST(ceil(n / 4.0) AS INT)) AS per
+           FROM b),
+         dims AS (
+           SELECT doc_id,
+                  least(0 * per, n) AS f0_from,
+                  least(least(0 * per, n) + per, n) AS f0_until,
+                  least(2 * per, n) AS f2_from,
+                  least(least(2 * per, n) + per, n) AS f2_until,
+                  greatest(1, CAST(ceil((least(least(0 * per, n) + per, n)
+                       - least(0 * per, n)) / 24.0) AS INT)) AS h0,
+                  greatest(1, CAST(ceil((least(least(2 * per, n) + per, n)
+                       - least(2 * per, n)) / 24.0) AS INT)) AS h2
+           FROM par),
+         nib AS (SELECT doc_id, h, unnest(range(n)) AS i FROM b),
+         byts AS (
+           SELECT doc_id, i,
+                  16 * (strpos('0123456789ABCDEF', substr(h, 2 * i + 1, 1)) - 1)
+                     + (strpos('0123456789ABCDEF', substr(h, 2 * i + 2, 1)) - 1) AS bv
+           FROM nib),
+         sums AS (
+           SELECT y.doc_id,
+                  sum(CASE WHEN (y.i >= d.f0_from AND y.i < d.f0_until)
+                             OR (y.i >= d.f2_from AND y.i < d.f2_until)
+                           THEN y.bv ELSE 0 END) AS px
+           FROM byts y JOIN dims d USING (doc_id) GROUP BY y.doc_id)
+         SELECT d.doc_id AS media_id,
+                2 AS n_frames,
+                CAST(108 + 24 * (d.h0 + d.h2) AS BIGINT) AS total_frame_bytes,
+                CAST(coalesce(s.px, 0) AS BIGINT) AS px_sum,
+                d.h2 AS last_frame_h
+         FROM dims d LEFT JOIN sums s USING (doc_id)""")
 }
