@@ -103,6 +103,13 @@ object Prof {
     probe("ann_lsh", 8, e8)(
       Knn.lshCosinePairs(emb8, nBands = 8, bitsPerBand = 6, minCosine = 0.35).count())
 
+    // bucketed IVF: out_rows = k per query, so runtime should be ~linear in
+    // corpus size (assignment scan + one list_id shuffle), never quadratic
+    probe("ivf_bucketed", 1, e1)(
+      Knn.ivfTopKBucketed(emb1, emb1, k = 5, nLists = 64, nProbe = 8).count())
+    probe("ivf_bucketed", 8, e8)(
+      Knn.ivfTopKBucketed(emb8, emb8, k = 5, nLists = 64, nProbe = 8).count())
+
     log.close()
     spark.stop()
   }

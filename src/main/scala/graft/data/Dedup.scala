@@ -353,6 +353,86 @@ object Dedup {
       .select(idCol, "rep_id", "is_dup")
   }
 
+  /** Connected components over an undirected near-duplicate pair list:
+    * every vertex is labeled with the smallest id reachable from it (the
+    * standard duplicate-cluster semantics — a dedup pipeline keeps exactly
+    * the rows where `cluster_id == id`).
+    *
+    * Scale shape: the iteration runs ONLY over the dup-graph vertex set
+    * (distinct ids in `pairs`) — at corpus scale near-dup graphs are a tiny
+    * fraction of the corpus, and shuffling every singleton document through
+    * every round would dominate the cost. Singletons join the result once at
+    * the end (cluster = self). Each round is min-label propagation over the
+    * symmetric edge list (one join + one hash agg) followed by a pointer jump
+    * (label := label(label), one join on the narrow (id, label) relation),
+    * localCheckpoint-frozen so round k+1 never replays rounds 1..k; the
+    * propagate step kills long chains in O(diameter / 2^rounds) thanks to the
+    * jump, so convergence is logarithmic in the longest chain. The
+    * changed-flag rides inside the jump join — convergence costs one max()
+    * scan over the frozen blocks, not a second join ([[embeddingNearDup]]'s
+    * round recipe).
+    *
+    * Invariant maintained every round: label(v) <= v and label(v) is some
+    * vertex id in v's component, so at the fixpoint (no change in a round)
+    * labels are constant per component and equal the component minimum.
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+                          maxRounds: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    var labels = vertices.select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = true
+    var round = 0
+    while (changed && round < maxRounds) {
+      // propagate: m(u) = min label over u's neighbours
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("label")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("label")).as("__nl"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("__l0"),
+                least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
+      // jump: label := label(label) — the map row always exists because
+      // labels only ever take existing vertex ids
+      val jumped = prop
+        .join(prop.select(col("id").as("label"), col("label").as("__l2")), "label")
+        .select(col("id"), col("__l2").as("label"),
+                (col("__l2") =!= col("__l0")).as("__changed"))
+      val next = jumped.localCheckpoint()
+      changed = next.agg(coalesce(max(col("__changed")), lit(false)))
+        .head.getBoolean(0)
+      labels = next.drop("__changed")
+      round += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Duplicate clusters of a corpus: exact n-gram-jaccard near-dup pairs
+    * ([[ngramJaccardPairs]], same knobs) -> transitive closure
+    * ([[connectedComponents]]) -> every document labeled with its cluster's
+    * canonical (minimum) doc id. Unlike the single-pass star assignment in
+    * [[embeddingNearDup]], chains (a~b, b~c without a~c) land in ONE cluster
+    * — the semantics MinHash-based corpus dedup (GPT-3/The Pile recipe)
+    * wants, where near-dup similarity is treated as transitive.
+    *
+    * Output: one row per input document — (idCol, cluster_id, is_dup);
+    * `is_dup` rows are the ones a dedup keeps-canonical pipeline drops.
+    */
+  def duplicateClusters(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 5, threshold: Double = 0.8,
+                        maxDocsPerShingle: Int = 1000): DataFrame = {
+    val pairs = ngramJaccardPairs(df, textCol, idCol, k, threshold,
+      maxDocsPerShingle).select("id_a", "id_b")
+    // iterate only over vertices that appear in some pair
+    val verts = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val comps = connectedComponents(verts, pairs)
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("is_dup", col("cluster_id") =!= col(idCol))
+  }
+
   /** Chunk-level (sub-document) exact dedup, C4/RefinedWeb-style: cut each
     * document into fixed-width word chunks, drop every chunk whose text
     * already appeared earlier in the corpus (earlier = smaller (doc, chunk)

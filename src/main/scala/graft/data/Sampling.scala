@@ -24,10 +24,12 @@ object Sampling {
     */
   def thresholdHex(rate: Double): String = {
     require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
-    f"${math.floor(rate * 65536).toLong.min(65536)}%05x".takeRight(5) match {
-      case s if s.length == 5 && s.head == '0' => s.tail // 0xxxx -> xxxx
-      case s => s // '10000' (rate = 1.0) compares above every 4-digit prefix
-    }
+    val n = math.floor(rate * 65536).toLong.min(65536)
+    // rate 1.0 must keep EVERY row. The numeric threshold 65536 renders as
+    // "10000", but the comparison is LEXICOGRAPHIC ("ffff" > "10000" because
+    // 'f' > '1'), so that string would keep only prefixes starting '0'.
+    // 'g' sorts above every hex digit, hence above every 4-hex-char prefix.
+    if (n >= 65536) "g" else f"$n%04x"
   }
 
   /** The keep predicate: md5 of salt + key, first 4 hex chars, string-compared
@@ -41,4 +43,33 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, rate: Double,
                  salt: String = "graft"): DataFrame =
     df.filter(keepExpr(col(keyCol), rate, salt))
+
+  /** Stratified deterministic sampling — the source/language MIXING primitive
+    * of a training-data pipeline: each stratum (language, source, quality
+    * bucket) keeps its own rate, so one map-only pass re-weights the corpus
+    * ("keep 50% of en, 10% of fr, default 5%") with all of [[hashSample]]'s
+    * guarantees: layout-independent, retry-stable, monotone in each rate, and
+    * replayable by any engine. The per-stratum threshold is a CASE chain on
+    * the stratum column — a pure row predicate, so column pruning and filter
+    * pushdown survive, and there is no shuffle, no per-stratum pass, and no
+    * driver-side stratum discovery.
+    *
+    * Strata absent from `rates` fall back to `defaultRate` (0.0 = drop, the
+    * conservative default for unknown sources); a null stratum uses the
+    * default too.
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           rates: Map[String, Double],
+                           defaultRate: Double = 0.0,
+                           salt: String = "graft"): DataFrame = {
+    // deterministic CASE order (sorted keys) so the expression — and any
+    // plan fingerprint built from it — is stable across Map iteration orders
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(thresholdHex(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(thresholdHex(rate))).otherwise(acc)
+    }
+    df.filter(
+      substring(md5(concat(lit(salt), col(keyCol).cast("string")).cast("binary")), 1, 4)
+        < threshold)
+  }
 }

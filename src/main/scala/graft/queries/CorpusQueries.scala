@@ -18,6 +18,8 @@ import graft.sources.Sources
   *    language; oracle replays the same windowed prefix sum.
   *  - q66: [[Sampling.hashSample]] — md5-threshold Bernoulli sampling;
   *    oracle replays the identical md5 prefix compare.
+  *  - q74: [[Sampling.stratifiedHashSample]] — per-language mixing rates
+  *    (the source-weighting primitive); same replay, CASE per stratum.
   *  - q67: [[Dedup.chunkDedup]] — 20-word chunk first-occurrence dedup over
   *    the doubled corpus (so every chunk has a cross-doc duplicate).
   *  - q68: [[Redact]] rules over the customer table's phone/address.
@@ -52,6 +54,16 @@ object CorpusQueries {
       Sampling.hashSample(
         t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
         "doc_id", rate = 0.1, salt = "s42|")
+    },
+
+    // per-language mixing rates + conservative default for the remainder;
+    // the oracle replays the identical md5 prefix compare per stratum
+    "q74_stratified_sample" -> { (s, dir) =>
+      Sampling.stratifiedHashSample(
+        t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+        "doc_id", "lang",
+        rates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1),
+        defaultRate = 0.05, salt = "s42|")
     },
 
     "q67_chunk_dedup" -> { (s, dir) =>
@@ -125,6 +137,14 @@ object CorpusQueries {
     "q66_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999'""",
+    // thresholds: 0.5 -> '8000', 0.25 -> '4000', 0.1 -> '1999', 0.05 -> '0ccc'
+    "q74_stratified_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 4) <
+           CASE WHEN lang = 'en' THEN '8000'
+                WHEN lang = 'de' THEN '4000'
+                WHEN lang = 'fr' THEN '1999'
+                ELSE '0ccc' END""",
     "q67_chunk_dedup" ->
       """WITH docs AS (
            SELECT doc_id, text FROM documents

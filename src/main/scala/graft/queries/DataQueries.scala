@@ -194,6 +194,26 @@ object DataQueries {
         BinaryMedia.audioFromText(t(s, dir, "documents"), "doc_id", "text"))
     },
 
+    // BM25 inverted-index lexical top-k: queries are the first 4 words of
+    // docs 0..4 (replayable), scored against the whole corpus. Full row-level
+    // oracle: DuckDB rebuilds tf/df/dl/avgdl and the BM25 formula
+    "q72_bm25_topk" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(trim(col("text")), " "), 1, 4), " ")
+            .as("query_text"))
+      graft.search.Bm25.topK(docs, qs, k = 10)
+    },
+
+    // transitive duplicate clusters: exact jaccard pairs -> connected
+    // components -> min-id cluster labels. Full oracle: DuckDB replays the
+    // pairs and closes them with a recursive CTE
+    "q73_dup_clusters" -> { (s, dir) =>
+      Dedup.duplicateClusters(t(s, dir, "documents"), "text", "doc_id",
+        k = 5, threshold = 0.5, maxDocsPerShingle = 1000)
+    },
+
     // multimodal video: text -> 4 concatenated BMP frames -> sampleFrames
     // keeps every 2nd frame by walking each frame's declared file size ->
     // decode each kept frame. total_frame_bytes probes the size walking
@@ -273,6 +293,58 @@ object DataQueries {
     "q40_ngram_jaccard_pairs" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
        " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
+    // full BM25 replay: same space tokenization, tf per (doc, term), df per
+    // query term, corpus N/avgdl, ln(1 + (N-df+.5)/(df+.5)) idf, k1=1.2
+    // b=0.75 saturation, round 9, top-10 per query with doc_id tiebreak
+    "q72_bm25_topk" ->
+      """WITH q AS (
+           SELECT doc_id AS query_id,
+                  array_to_string((string_split(trim(text), ' '))[1:4], ' ') AS qtext
+           FROM documents WHERE doc_id < 5),
+         qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+                FROM q),
+         w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+         dt AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM dt WHERE term <> '' GROUP BY 1, 2, 3),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                          avg(len(ws)) AS avgdl FROM w),
+         dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                   FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+         scored AS (
+           SELECT qt.query_id, tf.doc_id,
+                  round(sum(
+                    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                    tf.tf * (1.2 + 1) /
+                    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))), 9) AS score
+           FROM tf JOIN qt USING (term) JOIN dfreq d USING (term)
+           CROSS JOIN stats s
+           GROUP BY 1, 2)
+         SELECT query_id, doc_id, score, rank FROM (
+           SELECT query_id, doc_id, score,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS INT) AS rank
+           FROM scored)
+         WHERE rank <= 10""",
+    // duplicate clusters: the q40 pair CTE closed transitively by a recursive
+    // CTE; cluster = min reachable id, singletons cluster to themselves
+    "q73_dup_clusters" ->
+      (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5)
+        .replaceFirst("WITH ", "WITH RECURSIVE ") +
+       """, edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          comp AS (
+            SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u)
+          SELECT d.doc_id,
+                 CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+                 coalesce(c.cluster_id, d.doc_id) <> d.doc_id AS is_dup
+          FROM documents d LEFT JOIN comp c USING (doc_id)"""),
     "q62_corpus_pipeline" ->
       """WITH flagged AS (
            SELECT doc_id, text,

@@ -1,0 +1,106 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed inverted-index BM25 top-k lexical search — the lexical sibling
+  * of the `graft.ann` embedding family (the two cover the retrieval side of a
+  * training-data pipeline: ANN for dense, BM25 for sparse).
+  *
+  * Plan shape, designed for a huge corpus and a small query set:
+  *  1. ONE wide scan of the corpus builds the per-(doc, term) frequency
+  *     relation with map-side partial aggregation (`groupBy(doc, term)`), the
+  *     classic inverted-index posting build.
+  *  2. The query term set is tiny, so it BROADCASTS: postings are filtered to
+  *     query terms map-side — everything downstream of the one posting-build
+  *     shuffle touches only rows matching some query term, never the corpus.
+  *  3. Document frequencies come from the already-filtered postings (df(t) of
+  *     a retained term is unchanged by dropping other terms), so no second
+  *     corpus-wide aggregation exists.
+  *  4. Corpus size / average doc length ride in as a broadcast single-row
+  *     cross join (Catalyst folds it into the stage); no driver collect.
+  *  5. Per-(query, doc) score is one hash aggregation; top-k is a window over
+  *     the scored pairs, which are |queries| x |docs with a hit| — not the
+  *     corpus.
+  *
+  * Scoring is textbook Robertson/Sparck-Jones BM25
+  * (https://en.wikipedia.org/wiki/Okapi_BM25):
+  * idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)), term saturation k1, length
+  * normalization b. Scores round to 9 decimals for cross-engine comparison,
+  * the same contract as the ANN cosine kernels.
+  *
+  * Tokenization is the corpus convention used across the dedup family
+  * (space-separated, see `Dedup.wordShingles`): swap `tokenize` for a
+  * language-aware analyzer at the call site if the corpus needs one.
+  */
+object Bm25 {
+
+  private def tokenize(c: org.apache.spark.sql.Column) = split(trim(c), " ")
+
+  /** BM25 top-k: for each row of `queries` (queryIdCol, queryTextCol), the
+    * `k` best documents of `docs` (idCol, textCol) by BM25 score.
+    * Output: (query_id, doc_id, score, rank) — rank 1 = best, ties broken by
+    * doc_id for a total order.
+    */
+  def topK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text",
+           queryIdCol: String = "query_id",
+           queryTextCol: String = "query_text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"invalid BM25 params k1=$k1 b=$b")
+
+    val toks = tokenize(col(textCol))
+    // posting build: one scan, one partial-aggregated shuffle on (doc, term).
+    // dl (doc length) is constant per doc so it rides in the grouping key
+    // without widening the aggregation state.
+    val postings = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("__ts"))
+      .select(col("doc_id"), size(col("__ts")).as("dl"),
+              explode(col("__ts")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    // distinct query terms: tiny by construction -> broadcast
+    val queryTerms = broadcast(
+      queries
+        .select(col(queryIdCol).cast("long").as("query_id"),
+                explode(tokenize(col(queryTextCol))).as("term"))
+        .filter(col("term") =!= "")
+        .distinct())
+
+    // map-side filter of the postings to query terms
+    val hits = postings.join(queryTerms, "term")
+
+    // df per retained term (counts docs, so dedup across query_ids first);
+    // the relation is |query terms| rows -> broadcast back
+    val dfPerTerm = broadcast(
+      hits.select("term", "doc_id").distinct()
+        .groupBy("term").agg(count(lit(1)).cast("double").as("df")))
+
+    // corpus stats as a broadcast 1-row relation (no driver action)
+    val stats = broadcast(
+      docs.select(size(tokenize(col(textCol))).as("__dl"))
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+             avg(col("__dl")).as("avgdl")))
+
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val sat = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+
+    val scored = hits
+      .join(dfPerTerm, "term")
+      .crossJoin(stats)
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(idf * sat), 9).as("score"))
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "score", "rank")
+  }
+}

@@ -185,6 +185,100 @@ class Round6Spec extends SparkSpec {
     assert(got(1L) == 2 && got(2L) == 0)
   }
 
+  // ===== BM25 lexical search ==============================================
+
+  test("Bm25.topK matches a hand-computed score and ranks by score desc") {
+    // corpus: 3 docs; query "cat dog" — doc lengths 2, 3, 4; avgdl = 3
+    val docs = Seq(
+      (1L, "cat dog"),
+      (2L, "cat cat mouse"),
+      (3L, "dog mouse mouse bird")).toDF("doc_id", "text")
+    val qs = Seq((100L, "cat dog")).toDF("query_id", "query_text")
+    val got = graft.search.Bm25.topK(docs, qs, k = 3)
+      .orderBy("rank").collect()
+    def idf(df: Double) = math.log(1 + (3.0 - df + 0.5) / (df + 0.5))
+    def sat(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.0))
+    val s1 = BigDecimal(idf(2) * sat(1, 2) + idf(2) * sat(1, 2))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s2 = BigDecimal(idf(2) * sat(2, 3))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s3 = BigDecimal(idf(2) * sat(1, 4))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(got.map(_.getDouble(2)).toSeq == Seq(s1, s2, s3))
+    assert(got.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("Bm25.topK caps at k and never returns docs without a query term") {
+    val docs = (1L to 20L).map(i => (i, if (i <= 12) s"alpha token$i" else s"beta token$i"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha")).toDF("query_id", "query_text")
+    val got = graft.search.Bm25.topK(docs, qs, k = 5).collect()
+    assert(got.length == 5)
+    assert(got.forall(_.getLong(1) <= 12), "a beta doc scored for an alpha query")
+  }
+
+  // ===== connected-components duplicate clusters ==========================
+
+  test("connectedComponents closes chains where min-neighbour pointing fails") {
+    // edges (2,3), (1,4), (3,4): node 3's min smaller neighbour is 2, but the
+    // component min is 1 — the single-pass star assignment gets this wrong,
+    // the closure must not
+    val pairs = Seq((2L, 3L), (1L, 4L), (3L, 4L)).toDF("id_a", "id_b")
+    val verts = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val got = graft.data.Dedup.connectedComponents(verts, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("duplicateClusters: chains collapse to one cluster, singletons self-label") {
+    // near-identical chain a~b~c (successive one-word edits) + unrelated doc
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, base),
+      (11L, base.replace("w30", "x30")),
+      (12L, base.replace("w30", "x30").replace("w1 ", "x1 ")),
+      (50L, (100 to 140).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val got = graft.data.Dedup.duplicateClusters(docs, "text", "doc_id",
+        k = 5, threshold = 0.5, maxDocsPerShingle = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((10L, 10L, false), (11L, 10L, true), (12L, 10L, true),
+      (50L, 50L, false)))
+  }
+
+  // ===== stratified hash sampling =========================================
+
+  test("thresholdHex is lexicographically correct at the boundaries") {
+    import graft.data.Sampling.thresholdHex
+    assert(thresholdHex(0.0) == "0000") // below every prefix: keeps nothing
+    assert(thresholdHex(0.1) == "1999")
+    assert(thresholdHex(0.5) == "8000")
+    // regression: "10000" would sort BELOW "ffff" and keep only ~1/16
+    assert(thresholdHex(1.0) == "g")
+    assert("ffff" < thresholdHex(1.0) && "0000" < thresholdHex(1.0))
+  }
+
+  test("stratifiedHashSample applies per-stratum rates deterministically") {
+    import graft.data.Sampling
+    val df = (1L to 2000L).map(i =>
+      (i, Seq("en", "de", "fr", "zh")(((i % 4).toInt)))).toDF("id", "lang")
+    val rates = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.0)
+    val kept = Sampling.stratifiedHashSample(df, "id", "lang", rates,
+      defaultRate = 0.1, salt = "t|")
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("en", 0L) == 500L, "rate 1.0 keeps every row")
+    assert(!byLang.contains("fr"), "rate 0.0 keeps nothing")
+    assert(byLang("de") > 150 && byLang("de") < 350, s"de ~50%: $byLang")
+    assert(byLang("zh") > 10 && byLang("zh") < 120, s"zh default ~10%: $byLang")
+    // determinism + consistency with the single-stratum primitive
+    val deOnly = Sampling.hashSample(df.filter($"lang" === "de"), "id", 0.5, "t|")
+    assert(deOnly.count() == byLang("de"))
+    assert(kept.count() == Sampling.stratifiedHashSample(df, "id", "lang",
+      rates, defaultRate = 0.1, salt = "t|").count())
+  }
+
   // ===== kernel scratch memory bound ======================================
 
   test("Scratch caps cached per-block score arrays") {
