@@ -206,6 +206,20 @@ object DataQueries {
       graft.search.Bm25.topK(docs, qs, k = 10)
     },
 
+    // BM25 over a materialized inverted index (postings partitioned by term
+    // hash bucket, probes statically pruned): bit-identical to q72's direct
+    // path, so the same full oracle checks the index build + pruned probe
+    "q75_bm25_indexed" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(trim(col("text")), " "), 1, 4), " ")
+            .as("query_text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q75_bm25"
+      graft.search.Bm25.writeIndex(docs, path, nBuckets = 16)
+      graft.search.Bm25.topKIndexed(qs, path, k = 10)
+    },
+
     // transitive duplicate clusters: exact jaccard pairs -> connected
     // components -> min-id cluster labels. Full oracle: DuckDB replays the
     // pairs and closes them with a recursive CTE
@@ -289,14 +303,12 @@ object DataQueries {
          WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= $threshold)"""
   }
 
-  val oracleSql: Map[String, String] = Map(
-    "q40_ngram_jaccard_pairs" ->
-      (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
-       " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
-    // full BM25 replay: same space tokenization, tf per (doc, term), df per
-    // query term, corpus N/avgdl, ln(1 + (N-df+.5)/(df+.5)) idf, k1=1.2
-    // b=0.75 saturation, round 9, top-10 per query with doc_id tiebreak
-    "q72_bm25_topk" ->
+  // full BM25 replay: same space tokenization, tf per (doc, term), df per
+  // query term, corpus N/avgdl, ln(1 + (N-df+.5)/(df+.5)) idf, k1=1.2
+  // b=0.75 saturation, round 9, top-10 per query with doc_id tiebreak.
+  // Shared by q72 (direct) and q75 (materialized index) — the index path is
+  // bit-identical by construction
+  private val bm25Sql =
       """WITH q AS (
            SELECT doc_id AS query_id,
                   array_to_string((string_split(trim(text), ' '))[1:4], ' ') AS qtext
@@ -325,7 +337,14 @@ object DataQueries {
                   CAST(row_number() OVER (PARTITION BY query_id
                        ORDER BY score DESC, doc_id) AS INT) AS rank
            FROM scored)
-         WHERE rank <= 10""",
+         WHERE rank <= 10"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_ngram_jaccard_pairs" ->
+      (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
+       " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
+    "q72_bm25_topk" -> bm25Sql,
+    "q75_bm25_indexed" -> bm25Sql,
     // duplicate clusters: the q40 pair CTE closed transitively by a recursive
     // CTE; cluster = min reachable id, singletons cluster to themselves
     "q73_dup_clusters" ->

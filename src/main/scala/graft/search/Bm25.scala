@@ -70,20 +70,34 @@ object Bm25 {
         .filter(col("term") =!= "")
         .distinct())
 
-    // map-side filter of the postings to query terms
-    val hits = postings.join(queryTerms, "term")
+    // map-side filter of the postings to query terms. The scoring tail reads
+    // `hits` twice (df derivation + scoring) and AQE does not reuse the
+    // posting-build exchange between the two consumers (the Dedup-family
+    // measurement) — without materialization the CORPUS would be scanned and
+    // shuffled twice. hits is query-bounded (sum of df(t) over query terms,
+    // 4 narrow columns) and localCheckpoint spills to disk, so a stop-word
+    // query degrades to disk I/O, never OOM. The indexed path doesn't need
+    // this: its hits re-read is a pruned slice of the materialized index.
+    val hits = postings.join(queryTerms, "term").localCheckpoint()
 
-    // df per retained term (counts docs, so dedup across query_ids first);
-    // the relation is |query terms| rows -> broadcast back
+    // corpus stats as a 1-row relation (no driver action)
+    val stats = docs.select(size(tokenize(col(textCol))).as("__dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+           avg(col("__dl")).as("avgdl"))
+
+    scoreAndRank(hits, stats, k, k1, b)
+  }
+
+  /** Shared scoring tail: `hits` carries (query_id, doc_id, term, tf, dl),
+    * `stats` is a broadcastable single-row (n_docs, avgdl) relation. The df
+    * table is derived from `hits` — correct because df(t) of a retained term
+    * is unchanged by dropping other terms — and broadcast back.
+    */
+  private def scoreAndRank(hits: DataFrame, stats: DataFrame,
+                           k: Int, k1: Double, b: Double): DataFrame = {
     val dfPerTerm = broadcast(
       hits.select("term", "doc_id").distinct()
         .groupBy("term").agg(count(lit(1)).cast("double").as("df")))
-
-    // corpus stats as a broadcast 1-row relation (no driver action)
-    val stats = broadcast(
-      docs.select(size(tokenize(col(textCol))).as("__dl"))
-        .agg(count(lit(1)).cast("double").as("n_docs"),
-             avg(col("__dl")).as("avgdl")))
 
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -92,7 +106,7 @@ object Bm25 {
 
     val scored = hits
       .join(dfPerTerm, "term")
-      .crossJoin(stats)
+      .crossJoin(broadcast(stats))
       .groupBy("query_id", "doc_id")
       .agg(round(sum(idf * sat), 9).as("score"))
 
@@ -102,5 +116,68 @@ object Bm25 {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "score", "rank")
+  }
+
+  /** Materialize the inverted index: postings written PARTITIONED BY a hash
+    * bucket of the term, plus a one-row stats file. This is the 100 TB shape
+    * — [[topK]] rebuilds postings from the corpus per call (two corpus
+    * scans), which is right for one-shot jobs but wrong for a serving/reuse
+    * pattern; here the corpus is scanned once at build time and every probe
+    * afterwards reads ONLY the partitions its query terms hash into (static
+    * partition pruning, the [[graft.ann.Knn.ivfWriteIndex]] recipe applied
+    * to text). `nBuckets` bounds the listing fan-out: terms-per-query
+    * partitions are touched per probe, each a hash-slice of the vocabulary.
+    */
+  def writeIndex(docs: DataFrame, path: String, nBuckets: Int = 64,
+                 idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val toks = tokenize(col(textCol))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("__ts"))
+      .select(col("doc_id"), size(col("__ts")).as("dl"),
+              explode(col("__ts")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$path/postings")
+    docs.select(size(toks).as("__dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("__dl")).as("avgdl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k over a [[writeIndex]]-materialized index — bit-identical to
+    * [[topK]] on the same corpus (same postings, same stats, same scoring
+    * tail). The query term set is collected driver-side (queries are small by
+    * contract — the same driver-bound fit pattern as the IVF centroids) so
+    * the bucket filter is a LITERAL isin: it compiles to PartitionFilters on
+    * the postings scan and never lists the other buckets' directories.
+    */
+  def topKIndexed(queries: DataFrame, indexPath: String, k: Int = 10,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  queryIdCol: String = "query_id",
+                  queryTextCol: String = "query_text"): DataFrame = {
+    val spark = queries.sparkSession
+    val stats = spark.read.parquet(s"$indexPath/stats")
+    val nBuckets = stats.select("n_buckets").head.getInt(0)
+
+    val queryTerms = queries
+      .select(col(queryIdCol).cast("long").as("query_id"),
+              explode(tokenize(col(queryTextCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    // bucket ids via the same Spark expression the writer used (no JVM-side
+    // xxhash64 reimplementation to drift); the term set is query-sized
+    val buckets = queryTerms
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
+    val hits = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("term_bucket").isin(buckets: _*))
+      .join(broadcast(queryTerms), "term")
+      .select("query_id", "doc_id", "term", "tf", "dl")
+    scoreAndRank(hits, stats.select("n_docs", "avgdl"), k, k1, b)
   }
 }

@@ -219,6 +219,28 @@ class Round6Spec extends SparkSpec {
     assert(got.forall(_.getLong(1) <= 12), "a beta doc scored for an alpha query")
   }
 
+  test("Bm25 indexed path is bit-identical to the direct path, probes pruned") {
+    val docs = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey").as("doc_id"), col("p_name").as("text"))
+    val qs = docs.filter(col("doc_id") <= 3)
+      .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_idx_test"
+    graft.search.Bm25.writeIndex(docs, path, nBuckets = 8)
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct  = key(graft.search.Bm25.topK(docs, qs, k = 5).collect())
+    val indexed = key(graft.search.Bm25.topKIndexed(qs, path, k = 5).collect())
+    assert(indexed == direct)
+    // a literal bucket isin on the partition column must compile to
+    // PartitionFilters (same assertion recipe as the disk IVF index)
+    val prunedScan = spark.read.parquet(s"$path/postings")
+      .filter(col("term_bucket").isin(0, 1))
+    val scanStr = prunedScan.queryExecution.executedPlan.toString
+    assert(scanStr.contains("PartitionFilters: [term_bucket#") ||
+      scanStr.contains("PartitionFilters: [term_bucket "),
+      s"expected partition pruning in:\n$scanStr")
+  }
+
   // ===== connected-components duplicate clusters ==========================
 
   test("connectedComponents closes chains where min-neighbour pointing fails") {
