@@ -129,6 +129,121 @@ object Knn {
     queries.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Targets quantized to symmetric per-vector int8: ids, row-major bytes,
+    * per-row norms OF THE INT VECTORS (cosine is scale-invariant, so the
+    * per-vector scale never needs to ship).
+    */
+  private[graft] final case class PackedInt8(
+      ids: Array[Long], data: Array[Byte], norms: Array[Double], dim: Int)
+
+  /** Quantize one vector into `out` at `off`: q_i = floor(v_i * 127/maxAbs
+    * + 0.5) — deterministic floor-plus-half rounding (replayable as
+    * `floor(x*127.0/ma + 0.5)` in any engine; results never leave [-127,127]
+    * so no clamp exists to diverge on). Returns the L2 norm of the int
+    * vector. maxAbs 0 (or an absent/short vector) quantizes to zeros.
+    */
+  private def quantizeInt8(v: Seq[Float], dim: Int,
+                           out: Array[Byte], off: Int): Double = {
+    val m = if (v == null) 0 else math.min(dim, v.length)
+    var ma = 0.0
+    var i = 0
+    while (i < m) {
+      val a = math.abs(v(i).toDouble); if (a > ma) ma = a; i += 1
+    }
+    java.util.Arrays.fill(out, off, off + dim, 0: Byte)
+    if (ma == 0.0) return 0.0
+    var ss = 0L
+    i = 0
+    while (i < m) {
+      val q = math.floor(v(i).toDouble * 127.0 / ma + 0.5).toInt
+      out(off + i) = q.toByte
+      ss += q.toLong * q
+      i += 1
+    }
+    math.sqrt(ss.toDouble)
+  }
+
+  private def packInt8(df: DataFrame, idCol: String, vecCol: String): PackedInt8 = {
+    val collected = df.select(col(idCol).cast("long"), col(vecCol)).collect()
+    val n   = collected.length
+    val dim = if (n == 0) 0 else {
+      val v = collected(0).getSeq[Float](1)
+      if (v == null) 0 else v.length
+    }
+    val ids   = new Array[Long](n)
+    val data  = new Array[Byte](n * dim)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = collected(i).getLong(0)
+      val v = if (collected(i).isNullAt(1)) null else collected(i).getSeq[Float](1)
+      norms(i) = quantizeInt8(v, dim, data, i * dim)
+      i += 1
+    }
+    PackedInt8(ids, data, norms, dim)
+  }
+
+  /** Exact top-k over int8-QUANTIZED vectors — the broadcast-budget scale
+    * path of [[bruteForceTopK]]: a 64-dim float target row costs 256 B in the
+    * packed block, the quantized row 64 B + one norm, so ~4x more targets fit
+    * under the same broadcast ceiling before the IVF/LSH paths take over.
+    * Because cosine is scale-invariant, symmetric per-vector quantization
+    * drops only direction precision (~0.5/127 per component); the kernel
+    * scores the int vectors directly — no dequantization, and the integer
+    * dot product is EXACT (Long accumulation, values bounded by 127²·dim),
+    * so scores are bit-stable across partitionings and engines by
+    * construction, stronger than the float kernel's rounded-sum contract.
+    * Returned `cosine` is the quantized-vector cosine (ranking metric), not
+    * the float cosine.
+    */
+  def bruteForceTopKInt8(queries: DataFrame, targets: DataFrame, k: Int,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         excludeSelf: Boolean = false): DataFrame = {
+    val packed = packInt8(targets, idCol, vecCol)
+    val bc = graft.BroadcastLifecycle.track(
+      queries.sparkSession.sparkContext.broadcast(packed))
+
+    val rdd = queries.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
+      val p = bc.value
+      val tIds = p.ids; val tData = p.data; val tNorms = p.norms; val d = p.dim
+      val nT = tIds.length
+      val qBuf = new Array[Byte](d)
+      it.flatMap { r =>
+        val qid = r.getLong(0)
+        val qv  = if (r.isNullAt(1)) null else r.getSeq[Float](1)
+        val qNorm = quantizeInt8(qv, d, qBuf, 0)
+        val bestS = new Array[Double](k)
+        val bestT = new Array[Int](k)
+        var nBest = 0
+        var ti = 0
+        while (ti < nT) {
+          if (!(excludeSelf && tIds(ti) == qid)) {
+            var dot = 0L
+            var dd  = 0
+            val off = ti * d
+            while (dd < d) { dot += qBuf(dd).toInt * tData(off + dd).toInt; dd += 1 }
+            val denom = qNorm * tNorms(ti)
+            val s = if (denom == 0.0) 0.0 else round9(dot.toDouble / denom)
+            var pos = nBest
+            while (pos > 0 && {
+              val ps = bestS(pos - 1)
+              ps < s || (ps == s && tIds(bestT(pos - 1)) > tIds(ti))
+            }) pos -= 1
+            if (pos < k) {
+              var m = math.min(nBest, k - 1)
+              while (m > pos) { bestS(m) = bestS(m - 1); bestT(m) = bestT(m - 1); m -= 1 }
+              bestS(pos) = s; bestT(pos) = ti
+              if (nBest < k) nBest += 1
+            }
+          }
+          ti += 1
+        }
+        (0 until nBest).iterator.map(idx => Row(qid, tIds(bestT(idx)), bestS(idx), idx + 1))
+      }
+    }
+    queries.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   private val pairSchema = StructType(Seq(
     StructField("id_a", LongType, nullable = false),
     StructField("id_b", LongType, nullable = false),

@@ -102,6 +102,15 @@ object DataQueries {
       Knn.bruteForceTopK(emb.filter(col("vec_id") < 100), emb, k = 5)
     },
 
+    // int8-quantized brute force: symmetric per-vector quantization, integer
+    // dot kernel. Full row-level oracle: DuckDB replays the quantization
+    // (floor(x*127/maxabs + 0.5)) and the quantized-vector cosine exactly —
+    // the int dot is order-independent, so this is bit-stable by construction
+    "q76_ann_int8" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Knn.bruteForceTopKInt8(emb.filter(col("vec_id") < 100), emb, k = 5)
+    },
+
     // banded random-hyperplane LSH: reported pairs are exact-cosine-verified,
     // so they are a subset of the exact threshold join (violations = 0); the
     // exact pair count itself is DuckDB-checkable
@@ -477,6 +486,28 @@ object DataQueries {
                        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) DESC,
                                 t.vec_id) AS INT) AS rank
            FROM embeddings q CROSS JOIN embeddings t
+           WHERE q.vec_id < 100)
+         WHERE rank <= 5""",
+    "q76_ann_int8" ->
+      """WITH qmax AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(x))) AS ma
+           FROM embeddings),
+         quant AS (
+           SELECT vec_id,
+                  CASE WHEN ma > 0 THEN
+                    list_transform(embedding,
+                      x -> CAST(floor(x * 127.0 / ma + 0.5) AS DOUBLE))
+                  ELSE list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                  END AS qv
+           FROM qmax)
+         SELECT query_id, target_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                  round(list_cosine_similarity(q.qv, t.qv), 9) AS cosine,
+                  CAST(row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.qv, t.qv), 9) DESC,
+                                t.vec_id) AS INT) AS rank
+           FROM quant q CROSS JOIN quant t
            WHERE q.vec_id < 100)
          WHERE rank <= 5""",
     "q44_ann_lsh_pairs" ->

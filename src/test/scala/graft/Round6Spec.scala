@@ -241,6 +241,33 @@ class Round6Spec extends SparkSpec {
       s"expected partition pruning in:\n$scanStr")
   }
 
+  // ===== int8 quantized ANN ===============================================
+
+  test("int8 ANN: self-match is exact, scores track the float kernel") {
+    import graft.ann.Knn
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val queries = emb.filter(col("vec_id") < 30)
+    val q8 = Knn.bruteForceTopKInt8(queries, emb, k = 3).collect()
+    // quantized self-cosine is dot(q,q)/(|q||q|) = exactly 1.0
+    val top1 = q8.filter(_.getInt(3) == 1)
+    assert(top1.length == 30)
+    assert(top1.forall(r => r.getLong(0) == r.getLong(1) && r.getDouble(2) == 1.0))
+    // per-pair quantized cosine stays close to the float cosine (direction
+    // error <= ~0.5/127 per component); compare on the float kernel's pairs
+    val f = Knn.bruteForceTopK(queries, emb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val q8map = q8.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val common = f.keySet.intersect(q8map.keySet)
+    assert(common.size >= 60, s"int8 and float top-3 should mostly agree: ${common.size}")
+    common.foreach { k0 =>
+      assert(math.abs(f(k0) - q8map(k0)) < 0.05, s"$k0: ${f(k0)} vs ${q8map(k0)}")
+    }
+    // deterministic: two runs bit-identical
+    assert(Knn.bruteForceTopKInt8(queries, emb, k = 3).collect().map(_.toSeq).toSeq ==
+      q8.map(_.toSeq).toSeq)
+  }
+
   // ===== connected-components duplicate clusters ==========================
 
   test("connectedComponents closes chains where min-neighbour pointing fails") {
