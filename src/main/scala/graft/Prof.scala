@@ -110,6 +110,23 @@ object Prof {
     probe("ivf_bucketed", 8, e8)(
       Knn.ivfTopKBucketed(emb8, emb8, k = 5, nLists = 64, nProbe = 8).count())
 
+    // transitive dup clusters: pair generation + the CC loop; rounds grow
+    // log(chain), per-round cost tracks the dup-graph (not corpus) size
+    probe("dup_clusters", 1, n1)(
+      graft.data.Dedup.duplicateClusters(docs1, "text", "doc_id",
+        k = 5, threshold = 0.5, maxDocsPerShingle = 1000).count())
+    probe("dup_clusters", 10, n10)(
+      graft.data.Dedup.duplicateClusters(docs10, "text", "doc_id",
+        k = 5, threshold = 0.5, maxDocsPerShingle = 1000).count())
+
+    // BM25 with a FIXED query set over a growing corpus: runtime should
+    // track the posting-build scan, out_rows stay k per query
+    val bmQs = docs1.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), " "), 1, 4), " ").as("query_text"))
+    probe("bm25", 1, n1)(graft.search.Bm25.topK(docs1, bmQs, k = 10).count())
+    probe("bm25", 10, n10)(graft.search.Bm25.topK(docs10, bmQs, k = 10).count())
+
     log.close()
     spark.stop()
   }

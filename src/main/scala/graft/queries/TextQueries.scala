@@ -64,6 +64,37 @@ object TextQueries {
         length(col("text")).cast("int").as("n_chars_calc"))
     },
 
+    // per-language vocabulary heavy-hitters: the corpus-statistics primitive
+    // behind tokenizer/vocab construction and stopword lists. One partial-agg
+    // shuffle on (lang, term), then a top-k window per language (count desc,
+    // term asc — a total order, so ranks are deterministic)
+    "q77_vocab_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val terms = t(s, dir, "documents")
+        .select(col("lang"), explode(split(trim(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("term"))
+      terms.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 20)
+        .select("lang", "term", "n", "rank")
+    },
+
+    // per-source document-length distribution: exact interpolated quantiles
+    // (one hash agg; percentile is a single-pass typed agg, no global sort).
+    // The mean is derived from an exact integer sum, not a float-accumulated
+    // avg, so it is order-independent
+    "q78_length_stats" -> { (s, dir) =>
+      t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+             min(col("n_chars")).cast("long").as("min_chars"),
+             max(col("n_chars")).cast("long").as("max_chars"),
+             (sum(col("n_chars")).cast("double") /
+               count(lit(1)).cast("double")).as("mean_chars"),
+             percentile(col("n_chars"), lit(0.5)).as("p50_chars"),
+             percentile(col("n_chars"), lit(0.9)).as("p90_chars"))
+    },
+
     // quality scoring: char-class ratios + stopword density
     "q23_text_quality" -> { (s, dir) =>
       val text = col("text")
@@ -143,6 +174,30 @@ object TextQueries {
            AS n_bpe_tokens,
          CAST(length(text) AS INT) AS n_chars_calc
          FROM documents""",
+    "q77_vocab_topk" ->
+      """WITH terms AS (
+           SELECT lang, unnest(string_split(trim(text), ' ')) AS term
+           FROM documents),
+         counted AS (
+           SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+           FROM terms WHERE term <> '' GROUP BY lang, term)
+         SELECT lang, term, n, rank FROM (
+           SELECT lang, term, n,
+                  CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY n DESC, term) AS INT) AS rank
+           FROM counted)
+         WHERE rank <= 20""",
+    // quantile_cont = Spark's exact interpolated percentile (type-7); the
+    // mean divides an exact integer sum so no float accumulation order leaks
+    "q78_length_stats" ->
+      """SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(n_chars) AS BIGINT) AS min_chars,
+         CAST(max(n_chars) AS BIGINT) AS max_chars,
+         CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars,
+         quantile_cont(n_chars, 0.5) AS p50_chars,
+         quantile_cont(n_chars, 0.9) AS p90_chars
+         FROM documents GROUP BY source""",
     "q23_text_quality" ->
       """SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_words,
