@@ -378,8 +378,15 @@ object Dedup {
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
                           maxRounds: Int = 25): DataFrame = {
+    // freeze the edge list ONCE: every round's propagate join consumes it,
+    // and without materialization each round would re-execute the entire
+    // upstream pair-generation lineage (the jaccard shuffle, at cluster scale
+    // the dominant cost) — N rounds of it. The symmetric (u, v) relation is
+    // dup-graph-sized, narrow, and spills to disk if a pathological corpus
+    // blows it past memory.
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint()
     var labels = vertices.select(col("id"), col("id").as("label"))
       .localCheckpoint()
     var changed = true
@@ -421,8 +428,10 @@ object Dedup {
   def duplicateClusters(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 5, threshold: Double = 0.8,
                         maxDocsPerShingle: Int = 1000): DataFrame = {
+    // freeze the pair list: both the vertex derivation and the closure's edge
+    // list consume it, and the jaccard shuffle must run exactly once
     val pairs = ngramJaccardPairs(df, textCol, idCol, k, threshold,
-      maxDocsPerShingle).select("id_a", "id_b")
+      maxDocsPerShingle).select("id_a", "id_b").localCheckpoint()
     // iterate only over vertices that appear in some pair
     val verts = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id"))).distinct()
