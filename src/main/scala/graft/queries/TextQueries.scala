@@ -95,6 +95,32 @@ object TextQueries {
              percentile(col("n_chars"), lit(0.9)).as("p90_chars"))
     },
 
+    // unigram LM log-probability per document — the CCNet-style language-
+    // model quality filter reduced to its self-contained core: p(term) from
+    // corpus counts, doc score = sum/mean of log p over its tokens. Plan:
+    // one partial-agg shuffle for the vocab counts, a shuffle join of the
+    // token stream on term (vocab-sized build side), corpus total as a
+    // broadcast 1-row cross join, one final hash agg per doc. Per-token
+    // logs are rounded to 9 and summed as DECIMAL(20,9) — exact fixed-point
+    // arithmetic, so the result is independent of summation order (a plain
+    // double sum over ~60 logs would leak partition order into the hash)
+    "q79_unigram_logprob" -> { (s, dir) =>
+      val terms = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val counts = terms.groupBy("term")
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val total = terms.agg(count(lit(1)).cast("double").as("tot"))
+      val perTok = terms.join(counts, "term").crossJoin(broadcast(total))
+        .withColumn("lp",
+          round(log(col("cnt") / col("tot")), 9).cast("decimal(20,9)"))
+      perTok.groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_terms"),
+             sum(col("lp")).cast("double").as("sum_logprob"))
+        .withColumn("mean_logprob",
+          col("sum_logprob") / col("n_terms").cast("double"))
+    },
+
     // quality scoring: char-class ratios + stopword density
     "q23_text_quality" -> { (s, dir) =>
       val text = col("text")
@@ -187,6 +213,23 @@ object TextQueries {
                        ORDER BY n DESC, term) AS INT) AS rank
            FROM counted)
          WHERE rank <= 20""",
+    // the DECIMAL(20,9) sum of rounded logs replays Spark's exact fixed-point
+    // accumulation; both engines round ln half-away-from-zero at 9
+    "q79_unigram_logprob" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+           FROM documents),
+         t2 AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+         counts AS (SELECT term, CAST(count(*) AS DOUBLE) AS cnt
+                    FROM t2 GROUP BY term),
+         total AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM t2),
+         lp AS (
+           SELECT doc_id, CAST(round(ln(cnt / tot), 9) AS DECIMAL(20,9)) AS l
+           FROM t2 JOIN counts USING (term) CROSS JOIN total)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+                CAST(sum(l) AS DOUBLE) AS sum_logprob,
+                CAST(sum(l) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_logprob
+         FROM lp GROUP BY doc_id""",
     // quantile_cont = Spark's exact interpolated percentile (type-7); the
     // mean divides an exact integer sum so no float accumulation order leaks
     "q78_length_stats" ->
