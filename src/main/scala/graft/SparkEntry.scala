@@ -28,7 +28,8 @@ object SparkEntry {
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ graft.queries.DataQueries.benchOverrides ++
-      graft.queries.MlQueries.benchOverrides
+      graft.queries.MlQueries.benchOverrides ++
+      graft.queries.SourceStreamQueries.benchOverrides
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

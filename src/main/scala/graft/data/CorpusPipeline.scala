@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * Every stage only examines the SURVIVORS of the previous stages, and each
   * dropped doc carries the FIRST stage that rejected it, so the labels frame
-  * is a complete, disjoint audit of the input. The near-dup stage uses
+  * is a complete, disjoint audit of the input. The near-dup stage defaults to
   * single-pass star semantics (drop any doc with a smaller-id above-threshold
   * neighbour, whether or not that neighbour itself survives — the same
   * documented compromise as [[Dedup.embeddingNearDup]]; chains a~b, b~c drop
-  * both b and c).
+  * both b and c); `nearDedupTransitive` switches it to connected-components
+  * cluster semantics (keep exactly one doc per transitive cluster).
   *
   * Doc ids must be non-null (a null id cannot be deduplicated or audited —
   * such rows are rejected at the quality stage rather than silently lost).
@@ -42,6 +43,14 @@ final case class CorpusConfig(
     repetitionNgram: Int = 3,
     exactDedup: Boolean = true,
     nearDedupThreshold: Option[Double] = Some(0.8),
+    /** Star semantics (default, single-pass: drop any doc with a smaller-id
+      * above-threshold neighbour) vs transitive-closure semantics
+      * ([[Dedup.duplicateClusters]]: connected components, keep exactly the
+      * cluster-minimum — the GPT-3/The Pile recipe). They genuinely differ:
+      * in a component {2,3,4} with edges (2,4),(3,4) only, star keeps 2 AND 3
+      * (3 has no smaller neighbour), transitive keeps only 2.
+      */
+    nearDedupTransitive: Boolean = false,
     shingleK: Int = 5,
     maxDocsPerShingle: Int = 1000,
     evalDocs: Option[DataFrame] = None,
@@ -105,10 +114,16 @@ object CorpusPipeline {
       case None => (exactOk, None)
       case Some(thr) =>
         val dupIds = freeze(
-          Dedup.ngramJaccardPairs(exactOk, cfg.textCol, cfg.idCol,
-              k = cfg.shingleK, threshold = thr,
-              maxDocsPerShingle = cfg.maxDocsPerShingle)
-            .select(col("id_b").as(cfg.idCol)).distinct())
+          if (cfg.nearDedupTransitive)
+            Dedup.duplicateClusters(exactOk, cfg.textCol, cfg.idCol,
+                k = cfg.shingleK, threshold = thr,
+                maxDocsPerShingle = cfg.maxDocsPerShingle)
+              .filter(col("is_dup")).select(id)
+          else
+            Dedup.ngramJaccardPairs(exactOk, cfg.textCol, cfg.idCol,
+                k = cfg.shingleK, threshold = thr,
+                maxDocsPerShingle = cfg.maxDocsPerShingle)
+              .select(col("id_b").as(cfg.idCol)).distinct())
         (exactOk.join(dupIds, Seq(cfg.idCol), "left_anti"),
          Some(dupIds.select(id, lit("near_dup").as("drop_stage"))))
     }

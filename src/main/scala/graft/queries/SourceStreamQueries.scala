@@ -96,6 +96,46 @@ object SourceStreamQueries {
       runToMemory(s, uniq, mode = "append")
     },
 
+    // streaming SimHash NEAR-dedup (flatMapGroupsWithState keyed on
+    // fingerprint chunk buckets) over the doubled corpus. Invariants, q42
+    // style: every id-shifted exact copy must be flagged (identical sig
+    // shares every bucket with its original), and — because one availableNow
+    // batch processes each bucket in id order — the flag set must equal the
+    // batch operator's star flags exactly (mismatches = 0, computed in-query
+    // against Dedup.simHashPairs)
+    "q80_streaming_neardup" -> { (s, dir) =>
+      import graft.data.Dedup
+      import graft.streaming.StreamingNearDup
+      val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val doubledStream = stream.select(explode(array(
+          struct(col("doc_id"), col("text")),
+          struct((col("doc_id") + 1000000L).as("doc_id"), col("text")))).as("r"))
+        .select("r.doc_id", "r.text")
+      val verdicts = runToMemory(s,
+        StreamingNearDup.flagNearDups(doubledStream, "text", "doc_id")
+          .toDF("doc_id", "matched"),
+        mode = "append")
+      val isDup = verdicts.groupBy("doc_id")
+        .agg(max(col("matched")).as("is_dup"))
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      val batchFlags = Dedup.simHashPairs(doubled, "text", "doc_id", maxHamming = 3)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("batch_dup", lit(true))
+      val joined = isDup.join(batchFlags, Seq("doc_id"), "left")
+      val sp = s
+      import sp.implicits._
+      val nCopies = joined
+        .filter(col("is_dup") && col("doc_id") >= 1000000L).count()
+      val mismatches = joined
+        .filter(col("is_dup") =!= coalesce(col("batch_dup"), lit(false))).count()
+      Seq((nCopies, mismatches))
+        .toDF("n_shifted_copies_flagged", "mismatches_vs_batch")
+    },
+
     // binaryFile source (S4): documents written out as one raw file each,
     // read back through the binary scan; the oracle recomputes byte lengths
     // from the parquet text (UTF-8 both sides)
@@ -137,7 +177,32 @@ object SourceStreamQueries {
     out
   }
 
+  /** BENCH-path production configuration for q80: the streaming operator and
+    * the per-doc reduce, without the in-query batch-parity verification
+    * (which is oracle code — the q41/q42 precedent).
+    */
+  val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_streaming_neardup" -> { (s, dir) =>
+      import graft.streaming.StreamingNearDup
+      val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val doubledStream = stream.select(explode(array(
+          struct(col("doc_id"), col("text")),
+          struct((col("doc_id") + 1000000L).as("doc_id"), col("text")))).as("r"))
+        .select("r.doc_id", "r.text")
+      runToMemory(s,
+        StreamingNearDup.flagNearDups(doubledStream, "text", "doc_id")
+          .toDF("doc_id", "matched"),
+        mode = "append")
+        .groupBy("doc_id").agg(max(col("matched")).as("is_dup"))
+    })
+
   val oracleSql: Map[String, String] = Map(
+    "q80_streaming_neardup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_shifted_copies_flagged,
+                CAST(0 AS BIGINT) AS mismatches_vs_batch
+         FROM documents""",
     "q55_csv_source" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty

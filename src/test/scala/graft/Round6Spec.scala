@@ -296,6 +296,52 @@ class Round6Spec extends SparkSpec {
       (50L, 50L, false)))
   }
 
+  test("CorpusPipeline transitive near-dedup keeps one doc per cluster") {
+    import graft.data.{CorpusConfig, CorpusPipeline}
+    // component {2,3,4} with edges (2,4) and (3,4) but NOT (2,3) at thr 0.6:
+    // docs 2/3 edit mid-doc words 10 and 20 of base doc 4 — each edit flips 5
+    // shingles, so jaccard to base is 21/31 = 0.68 but 2-vs-3 (10 flipped
+    // shingles) is 16/36 = 0.44
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (2L, base.replace("w10 ", "x10 ")),
+      (3L, base.replace("w20 ", "x20 ")),
+      (4L, base)).toDF("doc_id", "text")
+    def kept(transitive: Boolean): Set[Long] =
+      CorpusPipeline.run(docs, CorpusConfig(
+        minTokens = 0, nearDedupThreshold = Some(0.6), shingleK = 5,
+        maxDocsPerShingle = 0, nearDedupTransitive = transitive))
+        .kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(transitive = false) == Set(2L, 3L), "star: 3 has no smaller neighbour")
+    assert(kept(transitive = true) == Set(2L), "transitive: one keeper per cluster")
+  }
+
+  test("streaming near-dup flags exact copies across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val textA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 40).map(i => s"omega${i * 7}").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val flags = graft.streaming.StreamingNearDup
+      .flagNearDups(in.toDF.toDF("doc_id", "text"), "text", "doc_id")
+      .toDF("doc_id", "matched")
+    val sink = s"graft_snd_${System.nanoTime()}"
+    val q = flags.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      in.addData((1L, textA), (2L, textB))
+      q.processAllAvailable()
+      in.addData((3L, textA)) // exact copy of doc 1, later micro-batch
+      q.processAllAvailable()
+      val got = spark.table(sink).groupBy("doc_id")
+        .agg(max(col("matched")).as("d")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(!got(1L), "first occurrence must not be flagged")
+      assert(!got(2L), "unrelated text must not be flagged")
+      assert(got(3L), "copy arriving in a later batch must hit bucket state")
+    } finally { q.stop(); spark.catalog.dropTempView(sink); () }
+  }
+
   // ===== stratified hash sampling =========================================
 
   test("thresholdHex is lexicographically correct at the boundaries") {
