@@ -656,6 +656,123 @@ object Knn {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** IVF with int8-quantized inverted lists: [[PackedIvf]]'s layout with the
+    * list data quantized per vector ([[quantizeInt8]]'s contract). Centroids
+    * stay float — assignment quality should not pay the quantization tax,
+    * and the centroid table is nLists*dim, negligible next to the lists.
+    */
+  private[graft] final case class PackedIvfInt8(
+      listPtr: Array[Int], ids: Array[Long], data: Array[Byte],
+      norms: Array[Double], centroids: Array[Double], dim: Int) {
+    def nLists: Int = listPtr.length - 1
+  }
+
+  private def packIvfInt8(targets: DataFrame, centroids: Array[Double], dim: Int,
+                          idCol: String, vecCol: String): PackedIvfInt8 = {
+    import scala.collection.immutable.ArraySeq
+    val flat = packVecs(targets, idCol, vecCol, dim)
+    val n  = flat.n
+    val nL = if (dim == 0) 1 else centroids.length / dim
+    val assign = new Array[Int](n)
+    val counts = new Array[Int](nL)
+    val one = new Array[Int](1)
+    var i = 0
+    while (i < n) {
+      nearestCentroids(flat.row(i), centroids, dim, nL, 1, one)
+      assign(i) = one(0)
+      counts(one(0)) += 1
+      i += 1
+    }
+    val listPtr = new Array[Int](nL + 1)
+    var l = 0
+    while (l < nL) { listPtr(l + 1) = listPtr(l) + counts(l); l += 1 }
+    val fill  = new Array[Int](nL)
+    val ids   = new Array[Long](n)
+    val data  = new Array[Byte](n * dim)
+    val norms = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val pos = listPtr(assign(i)) + fill(assign(i))
+      fill(assign(i)) += 1
+      ids(pos) = flat.ids(i)
+      // quantizing the zero-padded row equals quantizing the raw vector:
+      // maxAbs comes from the real components, pad positions stay 0
+      norms(pos) = quantizeInt8(ArraySeq.unsafeWrapArray(flat.row(i)), dim,
+        data, pos * dim)
+      i += 1
+    }
+    PackedIvfInt8(listPtr, ids, data, norms, centroids, dim)
+  }
+
+  /** The production ANN configuration composed: IVF probing (compute ~
+    * nProbe/nLists of the corpus per query) over int8-quantized lists (4x
+    * more targets per broadcast byte, [[bruteForceTopKInt8]]'s argument).
+    * Assignment runs on the float vectors against float centroids; scoring
+    * runs the exact integer-dot kernel over the probed lists. With
+    * nProbe = nLists the result is bit-identical to [[bruteForceTopKInt8]]
+    * (list membership cannot change per-vector quantization or scores),
+    * which is the oracle for the plumbing — the q53/q70/q59 recipe.
+    */
+  def ivfTopKInt8(queries: DataFrame, targets: DataFrame, k: Int,
+                  nLists: Int = 64, nProbe: Int = 8, seed: Long = 42L,
+                  maxIter: Int = 10, maxFitRows: Int = 100000,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  excludeSelf: Boolean = false): DataFrame = {
+    val (centroids, dim) = ivfFit(targets, nLists, seed, maxIter, maxFitRows, idCol, vecCol)
+    val packed = packIvfInt8(targets, centroids, dim, idCol, vecCol)
+    val spark = queries.sparkSession
+    val bc = graft.BroadcastLifecycle.track(spark.sparkContext.broadcast(packed))
+    val nP = math.min(nProbe, packed.nLists)
+
+    val rdd = queries.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
+      val ivf = bc.value
+      val d = ivf.dim
+      val probes = new Array[Int](math.max(nP, 1))
+      val qBuf = new Array[Byte](d)
+      it.flatMap { r =>
+        val qid = r.getLong(0)
+        val qv  = if (r.isNullAt(1)) null else r.getSeq[Float](1)
+        val qArr = if (qv == null) Array.empty[Float] else qv.toArray
+        val qNorm = quantizeInt8(qv, d, qBuf, 0)
+        val nProbes = nearestCentroids(qArr, ivf.centroids, d, ivf.nLists, nP, probes)
+        val bestS = new Array[Double](k)
+        val bestT = new Array[Int](k)
+        var nBest = 0
+        var p = 0
+        while (p < nProbes) {
+          val list = probes(p)
+          var ti = ivf.listPtr(list)
+          val end = ivf.listPtr(list + 1)
+          while (ti < end) {
+            if (!(excludeSelf && ivf.ids(ti) == qid)) {
+              var dot = 0L
+              var dd  = 0
+              val off = ti * d
+              while (dd < d) { dot += qBuf(dd).toInt * ivf.data(off + dd).toInt; dd += 1 }
+              val denom = qNorm * ivf.norms(ti)
+              val s = if (denom == 0.0) 0.0 else round9(dot.toDouble / denom)
+              var pos = nBest
+              while (pos > 0 && {
+                val ps = bestS(pos - 1)
+                ps < s || (ps == s && ivf.ids(bestT(pos - 1)) > ivf.ids(ti))
+              }) pos -= 1
+              if (pos < k) {
+                var m = math.min(nBest, k - 1)
+                while (m > pos) { bestS(m) = bestS(m - 1); bestT(m) = bestT(m - 1); m -= 1 }
+                bestS(pos) = s; bestT(pos) = ti
+                if (nBest < k) nBest += 1
+              }
+            }
+            ti += 1
+          }
+          p += 1
+        }
+        (0 until nBest).iterator.map(idx => Row(qid, ivf.ids(bestT(idx)), bestS(idx), idx + 1))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Materialize an IVF index on disk: targets are assigned (map-only
     * kernel) to their nearest list and written PARTITIONED BY `list_id` —
     * the storage analogue of a bucketed layout, and the real 100 TB shape:

@@ -111,6 +111,16 @@ object DataQueries {
       Knn.bruteForceTopKInt8(emb.filter(col("vec_id") < 100), emb, k = 5)
     },
 
+    // IVF x int8 composed (the production ANN config): exhaustive probing
+    // makes it bit-identical to q76's quantized brute force, so the same
+    // full oracle checks assignment, quantized list packing and the probe
+    // kernel together
+    "q81_ann_ivf_int8" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Knn.ivfTopKInt8(emb.filter(col("vec_id") < 100), emb, k = 5,
+        nLists = 16, nProbe = 16, seed = 7L, maxIter = 5)
+    },
+
     // banded random-hyperplane LSH: reported pairs are exact-cosine-verified,
     // so they are a subset of the exact threshold join (violations = 0); the
     // exact pair count itself is DuckDB-checkable
@@ -348,6 +358,32 @@ object DataQueries {
            FROM scored)
          WHERE rank <= 10"""
 
+  // int8 quantization replay (floor(x*127/maxabs + 0.5)) + quantized-vector
+  // cosine. Shared by q76 (brute force) and q81 (IVF exhaustive-probe, which
+  // is bit-identical by construction)
+  private val int8Sql =
+      """WITH qmax AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(x))) AS ma
+           FROM embeddings),
+         quant AS (
+           SELECT vec_id,
+                  CASE WHEN ma > 0 THEN
+                    list_transform(embedding,
+                      x -> CAST(floor(x * 127.0 / ma + 0.5) AS DOUBLE))
+                  ELSE list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                  END AS qv
+           FROM qmax)
+         SELECT query_id, target_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                  round(list_cosine_similarity(q.qv, t.qv), 9) AS cosine,
+                  CAST(row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.qv, t.qv), 9) DESC,
+                                t.vec_id) AS INT) AS rank
+           FROM quant q CROSS JOIN quant t
+           WHERE q.vec_id < 100)
+         WHERE rank <= 5"""
+
   val oracleSql: Map[String, String] = Map(
     "q40_ngram_jaccard_pairs" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
@@ -488,28 +524,8 @@ object DataQueries {
            FROM embeddings q CROSS JOIN embeddings t
            WHERE q.vec_id < 100)
          WHERE rank <= 5""",
-    "q76_ann_int8" ->
-      """WITH qmax AS (
-           SELECT vec_id, embedding,
-                  list_max(list_transform(embedding, x -> abs(x))) AS ma
-           FROM embeddings),
-         quant AS (
-           SELECT vec_id,
-                  CASE WHEN ma > 0 THEN
-                    list_transform(embedding,
-                      x -> CAST(floor(x * 127.0 / ma + 0.5) AS DOUBLE))
-                  ELSE list_transform(embedding, x -> CAST(0 AS DOUBLE))
-                  END AS qv
-           FROM qmax)
-         SELECT query_id, target_id, cosine, rank FROM (
-           SELECT q.vec_id AS query_id, t.vec_id AS target_id,
-                  round(list_cosine_similarity(q.qv, t.qv), 9) AS cosine,
-                  CAST(row_number() OVER (PARTITION BY q.vec_id
-                       ORDER BY round(list_cosine_similarity(q.qv, t.qv), 9) DESC,
-                                t.vec_id) AS INT) AS rank
-           FROM quant q CROSS JOIN quant t
-           WHERE q.vec_id < 100)
-         WHERE rank <= 5""",
+    "q76_ann_int8" -> int8Sql,
+    "q81_ann_ivf_int8" -> int8Sql,
     "q44_ann_lsh_pairs" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
                 CAST(0 AS BIGINT) AS subset_violations

@@ -108,9 +108,12 @@ object TextQueries {
       val terms = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
         .filter(col("term") =!= "")
+      // vocab-sized: freeze once — the scoring join AND the corpus total both
+      // consume it, and the total derives from the counts (sum of cnt), so
+      // the corpus is scanned twice (token stream + count build), not thrice
       val counts = terms.groupBy("term")
-        .agg(count(lit(1)).cast("double").as("cnt"))
-      val total = terms.agg(count(lit(1)).cast("double").as("tot"))
+        .agg(count(lit(1)).cast("double").as("cnt")).localCheckpoint()
+      val total = counts.agg(sum(col("cnt")).as("tot"))
       val perTok = terms.join(counts, "term").crossJoin(broadcast(total))
         .withColumn("lp",
           round(log(col("cnt") / col("tot")), 9).cast("decimal(20,9)"))

@@ -268,6 +268,30 @@ class Round6Spec extends SparkSpec {
       q8.map(_.toSeq).toSeq)
   }
 
+  test("int8 IVF: exhaustive probe is bit-identical to int8 brute force; partial probe has perfect self-recall") {
+    import graft.ann.Knn
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val queries = emb.filter(col("vec_id") < 30)
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val brute = key(Knn.bruteForceTopKInt8(queries, emb, k = 3).collect())
+    val ivf   = key(Knn.ivfTopKInt8(queries, emb, k = 3,
+      nLists = 8, nProbe = 8, seed = 7L, maxIter = 5).collect())
+    assert(ivf == brute)
+    // partial probing: the query's own list is always probed first, so
+    // rank-1 self-match survives and scores never exceed the exhaustive ones
+    val partial = Knn.ivfTopKInt8(queries, emb, k = 3,
+      nLists = 8, nProbe = 2, seed = 7L, maxIter = 5).collect()
+    val top1 = partial.filter(_.getInt(3) == 1)
+    assert(top1.length == 30)
+    assert(top1.forall(r => r.getLong(0) == r.getLong(1) && r.getDouble(2) == 1.0))
+    partial.foreach { r =>
+      val b = brute.get((r.getLong(0), r.getInt(3)))
+      b.foreach { case (_, s) => assert(r.getDouble(2) <= s + 1e-12) }
+    }
+  }
+
   // ===== connected-components duplicate clusters ==========================
 
   test("connectedComponents closes chains where min-neighbour pointing fails") {
