@@ -427,11 +427,32 @@ object Dedup {
     */
   def duplicateClusters(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 5, threshold: Double = 0.8,
-                        maxDocsPerShingle: Int = 1000): DataFrame = {
+                        maxDocsPerShingle: Int = 1000): DataFrame =
+    clustersFromPairs(df, idCol,
+      ngramJaccardPairs(df, textCol, idCol, k, threshold, maxDocsPerShingle))
+
+  /** Embedding-space transitive duplicate clusters: exact cosine threshold
+    * pairs closed by [[connectedComponents]]. Differs from
+    * [[embeddingNearDup]]`(closure = true)`, which pointer-jumps the
+    * min-NEIGHBOUR forest and may legitimately keep several locally-minimal
+    * roots inside one connected component; here every component keeps exactly
+    * its global minimum — the same semantics as [[duplicateClusters]] on the
+    * lexical side.
+    */
+  def embeddingDupClusters(df: DataFrame, minCosine: Double = 0.9,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame =
+    clustersFromPairs(df, idCol,
+      graft.ann.Knn.exactCosinePairs(df, minCosine, idCol, vecCol))
+
+  /** Shared tail: close an (id_a, id_b) pair list over [[connectedComponents]]
+    * and label EVERY input row (singletons cluster to themselves).
+    */
+  private def clustersFromPairs(df: DataFrame, idCol: String,
+                                rawPairs: DataFrame): DataFrame = {
     // freeze the pair list: both the vertex derivation and the closure's edge
-    // list consume it, and the jaccard shuffle must run exactly once
-    val pairs = ngramJaccardPairs(df, textCol, idCol, k, threshold,
-      maxDocsPerShingle).select("id_a", "id_b").localCheckpoint()
+    // list consume it, and the pair generation must run exactly once
+    val pairs = rawPairs.select("id_a", "id_b").localCheckpoint()
     // iterate only over vertices that appear in some pair
     val verts = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id"))).distinct()

@@ -143,6 +143,13 @@ object DataQueries {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), minCosine = 0.35)
     },
 
+    // embedding-space transitive clusters: exact cosine pairs closed by
+    // connected components (q73's closure over q52's pair space). Full
+    // oracle: DuckDB recursive CTE over the replayed cosine pairs
+    "q82_embedding_clusters" -> { (s, dir) =>
+      Dedup.embeddingDupClusters(t(s, dir, "embeddings"), minCosine = 0.35)
+    },
+
     // IVF ANN with exhaustive probing: bit-identical to brute force (the
     // quantizer only affects recall, never scores), so the full q43-style
     // oracle checks the assign/probe/bucket-join plumbing end to end; partial
@@ -526,6 +533,26 @@ object DataQueries {
          WHERE rank <= 5""",
     "q76_ann_int8" -> int8Sql,
     "q81_ann_ivf_int8" -> int8Sql,
+    // q52's exact cosine pair space closed transitively, q73's CTE recipe
+    "q82_embedding_clusters" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) >= 0.35),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (
+           SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+           FROM reach GROUP BY u)
+         SELECT e.vec_id,
+                CAST(coalesce(c.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+                coalesce(c.cluster_id, e.vec_id) <> e.vec_id AS is_dup
+         FROM embeddings e LEFT JOIN comp c USING (vec_id)""",
     "q44_ann_lsh_pairs" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
                 CAST(0 AS BIGINT) AS subset_violations
