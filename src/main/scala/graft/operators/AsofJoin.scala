@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward (inclusive) as-of join — for every left row, the right row with
+  * the greatest timestamp <= the left row's timestamp within the same key
+  * group; the event-stream primitive ("state at the time of the event")
+  * Spark has no built-in operator for.
+  *
+  * Spark-first shape: no range join and no per-key collect. Both sides union
+  * into one relation tagged with a side marker, ONE window per key ordered by
+  * (ts, side) carries the most recent right payload forward
+  * (`last(_, ignoreNulls)` over an unbounded-preceding frame), and left rows
+  * read it. Cost = one shuffle on the key columns + one in-partition sort —
+  * the same plan a plain windowed aggregation pays, scaling with per-key
+  * volume rather than pair cardinality (a range-predicate join would explode
+  * on hot keys). Right rows sort BEFORE left rows at equal timestamps
+  * (side 0 < 1), which is exactly backward-inclusive semantics.
+  *
+  * Determinism contract: `right` must be unique per (keys, rightTs) — with
+  * two right rows on the same instant "the latest one" is undefined in any
+  * as-of semantics (DuckDB's ASOF JOIN has the same precondition); aggregate
+  * the right side first (see q83).
+  */
+object AsofJoin {
+
+  /** @param payload right columns carried onto matching left rows, each
+    *                renamed with `suffix`; unmatched left rows get nulls
+    *                (left-outer semantics).
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String],
+               suffix: String = "_asof"): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    require(payload.nonEmpty, "as-of join with no payload columns is a no-op")
+    val lPrep = payload.foldLeft(
+      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
+      (df, p) => df.withColumn(s"__p_$p", lit(null).cast(right.schema(p).dataType))
+    }
+    val rKeyed = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts")) ++
+        payload.map(p => col(p).as(s"__p_$p")): _*)
+      .withColumn("__side", lit(0))
+    // null-pad the left-only columns so the two sides union by name
+    val leftOnly = left.columns.filterNot(keys.contains)
+    val rPrep = leftOnly.foldLeft(rKeyed) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unioned = lPrep.unionByName(rPrep.select(lPrep.columns.map(col).toIndexedSeq: _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p + suffix, last(col(s"__p_$p"), ignoreNulls = true).over(w))
+    }
+    matched.filter(col("__side") === 1)
+      .select(left.columns.map(col).toIndexedSeq ++
+        payload.map(p => col(p + suffix)): _*)
+  }
+}

@@ -366,6 +366,22 @@ class Round6Spec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView(sink); () }
   }
 
+  test("asof backward join: inclusive at equal ts, null before first right row") {
+    val left = Seq(
+      ("a", 5L, "l1"), ("a", 10L, "l2"), ("a", 20L, "l3"),
+      ("b", 10L, "l4")).toDF("k", "ts", "tag")
+    val right = Seq(
+      ("a", 10L, 1.0), ("a", 15L, 2.0), ("c", 1L, 9.0)).toDF("k", "rts", "v")
+    val got = graft.operators.AsofJoin
+      .backward(left, right, Seq("k"), "ts", "rts", Seq("rts", "v"))
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4))))).toMap
+    assert(got("l1").isEmpty, "before the first right row -> null")
+    assert(got("l2").contains((10L, 1.0)), "equal ts matches (inclusive)")
+    assert(got("l3").contains((15L, 2.0)), "latest prior right row wins")
+    assert(got("l4").isEmpty, "no right rows for this key")
+  }
+
   // ===== stratified hash sampling =========================================
 
   test("thresholdHex is lexicographically correct at the boundaries") {
