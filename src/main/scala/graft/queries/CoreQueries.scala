@@ -185,6 +185,27 @@ object CoreQueries {
         "ts_us", "ts_us", Seq("big_ts_us", "big_value"))
     },
 
+    // gap-based sessionization (30-min inactivity closes a session): lag ->
+    // new-session flag -> running sum, all inside ONE shuffle+sort on
+    // user_id (both windows share the partitioning/ordering, so Catalyst
+    // plans a single exchange and sort), then a per-session hash agg
+    "q84_sessionize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gap = col("ts_us") - lag(col("ts_us"), 1).over(w)
+      val newSession = when(gap.isNull || gap > 1800L * 1000000L, 1).otherwise(0)
+      ev.withColumn("session_idx",
+          sum(newSession).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+             min(col("ts_us")).as("start_us"),
+             max(col("ts_us")).as("end_us"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -290,6 +311,25 @@ object CoreQueries {
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q84_sessionize" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         g AS (
+           SELECT event_id, user_id, ts_us,
+                  CASE WHEN ts_us - lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS ns
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (
+           SELECT user_id, ts_us,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM g)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(min(ts_us) AS BIGINT) AS start_us,
+                CAST(max(ts_us) AS BIGINT) AS end_us
+         FROM s GROUP BY 1, 2""",
     "q83_asof_join" ->
       """WITH ev AS (
            SELECT event_id, event_type, epoch_us(ts) AS ts_us, value
