@@ -72,4 +72,26 @@ object Sampling {
       substring(md5(concat(lit(salt), col(keyCol).cast("string")).cast("binary")), 1, 4)
         < threshold)
   }
+
+  /** Deterministic QUOTA sampling: exactly `n` rows per stratum (fewer if the
+    * stratum is smaller) — the fixed-budget counterpart of
+    * [[stratifiedHashSample]]'s rates, for "cap every source at N documents".
+    * The kept set is the `n` rows with the smallest content hash, so it is
+    * layout-independent and reproducible like every sampler here, and
+    * RAISING n only ADDS rows (the hash order is a fixed permutation per
+    * stratum — incremental quota growth never churns the previously kept
+    * set). One shuffle on the stratum column + a per-group top-n window; for
+    * heavily skewed strata sizes the window sort is bounded by the stratum's
+    * row count, the same bound any per-group top-n pays.
+    */
+  def quotaSample(df: DataFrame, keyCol: String, strataCol: String, n: Int,
+                  salt: String = "graft"): DataFrame = {
+    require(n >= 0, s"quota must be non-negative, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit(salt), col(keyCol).cast("string")).cast("binary"))
+    val w = Window.partitionBy(strataCol).orderBy(h.asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

@@ -66,6 +66,14 @@ object CorpusQueries {
         defaultRate = 0.05, salt = "s42|")
     },
 
+    // fixed-budget quota: cap every source at 5 docs, hash-ranked so the
+    // kept set is layout-independent; oracle replays the same ranking
+    "q85_quota_sample" -> { (s, dir) =>
+      Sampling.quotaSample(
+        t(s, dir, "documents").select("doc_id", "source", "lang"),
+        "doc_id", "source", n = 5, salt = "s42|")
+    },
+
     "q67_chunk_dedup" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val doubled = docs.unionByName(
@@ -145,6 +153,13 @@ object CorpusQueries {
                 WHEN lang = 'de' THEN '4000'
                 WHEN lang = 'fr' THEN '1999'
                 ELSE '0ccc' END""",
+    "q85_quota_sample" ->
+      """SELECT doc_id, source, lang FROM (
+           SELECT doc_id, source, lang,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5('s42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 5""",
     "q67_chunk_dedup" ->
       """WITH docs AS (
            SELECT doc_id, text FROM documents

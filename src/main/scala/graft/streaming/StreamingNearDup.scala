@@ -31,9 +31,18 @@ object StreamingNearDup {
 
   /** One verdict row per (doc, chunk): (doc id, matched an earlier
     * bucket-mate at hamming <= maxHamming).
+    *
+    * `maxPerBucket` bounds the per-bucket state for unbounded streams: after
+    * each batch only the most recent `maxPerBucket` fingerprints survive
+    * (FIFO eviction), turning the operator into a SLIDING near-dup window —
+    * total state is then <= 4 * maxPerBucket * 8 bytes per occupied bucket,
+    * a hard bound independent of stream length. The default keeps
+    * everything (exact against the whole history, the batch-parity mode
+    * q80 verifies).
     */
   def flagNearDups(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): Dataset[(Long, Boolean)] = {
+                   maxHamming: Int = 3,
+                   maxPerBucket: Int = Int.MaxValue): Dataset[(Long, Boolean)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sigs = docs.select(col(idCol).cast("long").as("id"),
@@ -75,7 +84,9 @@ object StreamingNearDup {
             n += 1
             i += 1
           }
-          state.update(buf)
+          state.update(
+            if (n <= maxPerBucket) buf
+            else java.util.Arrays.copyOfRange(buf, n - maxPerBucket, n))
           out.iterator
       }
   }

@@ -382,6 +382,46 @@ class Round6Spec extends SparkSpec {
     assert(got("l4").isEmpty, "no right rows for this key")
   }
 
+  test("streaming near-dup maxPerBucket=0 evicts all cross-batch state, keeps in-batch matching") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val textA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val flags = graft.streaming.StreamingNearDup
+      .flagNearDups(in.toDF.toDF("doc_id", "text"), "text", "doc_id",
+        maxPerBucket = 0)
+      .toDF("doc_id", "matched")
+    val sink = s"graft_sndc_${System.nanoTime()}"
+    val q = flags.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      in.addData((1L, textA), (2L, textA)); q.processAllAvailable()
+      in.addData((3L, textA)); q.processAllAvailable()
+      val got = spark.table(sink).groupBy("doc_id")
+        .agg(max(col("matched")).as("d")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(!got(1L), "first in batch")
+      assert(got(2L), "in-batch duplicate still matches with cap 0")
+      assert(!got(3L), "cross-batch fingerprint evicted by the cap")
+    } finally { q.stop(); spark.catalog.dropTempView(sink); () }
+  }
+
+  test("quotaSample keeps exactly n per stratum and is monotone in n") {
+    import graft.data.Sampling
+    val df = (1L to 300L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val k5 = Sampling.quotaSample(df, "id", "src", n = 5)
+    assert(k5.groupBy("src").count().collect().forall(_.getLong(1) == 5))
+    // small stratum: returns all of it
+    val tiny = df.filter($"id" <= 4)
+    assert(Sampling.quotaSample(tiny, "id", "src", n = 5).count() == 4)
+    // monotone: the n=5 set is a subset of the n=10 set
+    val k10 = Sampling.quotaSample(df, "id", "src", n = 10)
+    assert(k5.join(k10, Seq("id"), "left_anti").count() == 0)
+    // deterministic across runs
+    assert(Sampling.quotaSample(df, "id", "src", n = 5).collect().map(_.getLong(0)).sorted
+      .sameElements(k5.collect().map(_.getLong(0)).sorted))
+  }
+
   // ===== stratified hash sampling =========================================
 
   test("thresholdHex is lexicographically correct at the boundaries") {
