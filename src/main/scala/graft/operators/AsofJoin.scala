@@ -32,9 +32,29 @@ object AsofJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
-               suffix: String = "_asof"): DataFrame = {
+               suffix: String = "_asof"): DataFrame =
+    join(left, right, keys, leftTs, rightTs, payload, suffix, forward = false)
+
+  /** Forward (inclusive) as-of join: for every left row, the right row with
+    * the SMALLEST timestamp >= the left row's timestamp — "the next state
+    * change after the event". Same plan as [[backward]], scanning descending.
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String, payload: Seq[String],
+              suffix: String = "_asof"): DataFrame =
+    join(left, right, keys, leftTs, rightTs, payload, suffix, forward = true)
+
+  private def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, payload: Seq[String],
+                   suffix: String, forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     require(payload.nonEmpty, "as-of join with no payload columns is a no-op")
+    payload.foreach { p =>
+      require(!left.columns.contains(p + suffix),
+        s"left already has a column named '${p + suffix}' — pick another suffix")
+    }
+    require(!left.columns.exists(c => c == "__ts" || c == "__side" || c.startsWith("__p_")),
+      "left must not use the operator's reserved __ts/__side/__p_ column names")
     val lPrep = payload.foldLeft(
       left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
       (df, p) => df.withColumn(s"__p_$p", lit(null).cast(right.schema(p).dataType))
@@ -49,8 +69,13 @@ object AsofJoin {
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val unioned = lPrep.unionByName(rPrep.select(lPrep.columns.map(col).toIndexedSeq: _*))
+    // scanning ascending, "last right seen" = greatest ts <= current
+    // (backward); scanning descending it = smallest ts >= current (forward).
+    // Right rows (side 0) sort before left rows at equal ts either way ->
+    // both directions are inclusive.
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = payload.foldLeft(unioned) { (df, p) =>
       df.withColumn(p + suffix, last(col(s"__p_$p"), ignoreNulls = true).over(w))

@@ -206,6 +206,20 @@ object CoreQueries {
              max(col("ts_us")).as("end_us"))
     },
 
+    // the forward variant: every event carries the NEXT big event of its
+    // type at-or-after its timestamp; DuckDB ASOF with <= is the oracle
+    "q86_asof_forward" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val big = ev.groupBy("event_type", "ts_us")
+        .agg(max(col("value")).as("big_value"))
+        .filter(col("big_value") >= 200.0)
+        .withColumn("big_ts_us", col("ts_us"))
+      graft.operators.AsofJoin.forward(ev, big, Seq("event_type"),
+        "ts_us", "ts_us", Seq("big_ts_us", "big_value"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -311,6 +325,18 @@ object CoreQueries {
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q86_asof_forward" ->
+      """WITH ev AS (
+           SELECT event_id, event_type, epoch_us(ts) AS ts_us, value
+           FROM events),
+         big AS (
+           SELECT event_type, ts_us, ts_us AS big_ts_us,
+                  max(value) AS big_value
+           FROM ev GROUP BY event_type, ts_us HAVING max(value) >= 200.0)
+         SELECT e.event_id, e.event_type, e.ts_us, e.value,
+                b.big_ts_us AS big_ts_us_asof, b.big_value AS big_value_asof
+         FROM ev e ASOF LEFT JOIN big b
+           ON e.event_type = b.event_type AND e.ts_us <= b.ts_us""",
     "q84_sessionize" ->
       """WITH ev AS (
            SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),

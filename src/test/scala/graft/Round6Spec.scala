@@ -380,6 +380,14 @@ class Round6Spec extends SparkSpec {
     assert(got("l2").contains((10L, 1.0)), "equal ts matches (inclusive)")
     assert(got("l3").contains((15L, 2.0)), "latest prior right row wins")
     assert(got("l4").isEmpty, "no right rows for this key")
+    val fwd = graft.operators.AsofJoin
+      .forward(left, right, Seq("k"), "ts", "rts", Seq("rts", "v"))
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4))))).toMap
+    assert(fwd("l1").contains((10L, 1.0)), "earliest at-or-after wins")
+    assert(fwd("l2").contains((10L, 1.0)), "equal ts matches (inclusive, forward)")
+    assert(fwd("l3").isEmpty, "after the last right row -> null")
+    assert(fwd("l4").isEmpty, "no right rows for this key (forward)")
   }
 
   test("streaming near-dup maxPerBucket=0 evicts all cross-batch state, keeps in-batch matching") {
