@@ -293,6 +293,29 @@ object DataQueries {
       val emb = t(s, dir, "embeddings")
       Knn.ivfTopK(emb.filter(col("vec_id") < 100), emb, k = 5,
         nLists = 16, nProbe = 4, seed = 7L, maxIter = 5)
+    },
+
+    // steady-state probe cost for the two disk indexes: q59/q75 correctness
+    // entries rebuild their index every run (the documented bench caveat) —
+    // these build once per (sf, format-version) and time ONLY the probe,
+    // the number a serving deployment actually pays
+    "q59b_ann_ivf_probe_only" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q59b_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      if (!new java.io.File(s"$path/centroids").exists)
+        Knn.ivfWriteIndex(emb, path, nLists = 16, seed = 7L, maxIter = 5)
+      Knn.ivfTopKIndexed(emb.filter(col("vec_id") < 100), path, k = 5, nProbe = 4)
+    },
+    "q75b_bm25_probe_only" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(trim(col("text")), " "), 1, 4), " ")
+            .as("query_text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q75b_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      if (!new java.io.File(s"$path/stats").exists)
+        graft.search.Bm25.writeIndex(docs, path, nBuckets = 16)
+      graft.search.Bm25.topKIndexed(qs, path, k = 10)
     })
 
   private val doubledDocsSql =
