@@ -43,6 +43,21 @@ object Knn {
       java.util.Arrays.copyOfRange(data, i * dim, (i + 1) * dim)
   }
 
+  /** Hard ceiling for a packed broadcast block (4 GiB): past this the
+    * broadcast kernels are the wrong tool regardless of executor memory —
+    * fail BEFORE shipping to executors with a pointer at the scale paths.
+    */
+  private[graft] val MaxPackedBroadcastBytes: Long = 4L << 30
+
+  private[graft] def checkPackable(n: Long, bytesPerRow: Long): Unit = {
+    val est = n * bytesPerRow
+    require(est <= MaxPackedBroadcastBytes,
+      s"packed target set is ~$est bytes ($n rows x $bytesPerRow B), over the " +
+      s"$MaxPackedBroadcastBytes-byte broadcast-kernel ceiling — use the " +
+      "distributed paths instead: ivfTopKBucketed (shuffle join on list_id), " +
+      "ivfTopKIndexed (disk index, pruned probes) or lshCosinePairs")
+  }
+
   private def packVecs(df: DataFrame, idCol: String, vecCol: String,
                        dimHint: Int = -1): PackedVecs = {
     val collected = df.select(col(idCol).cast("long"), col(vecCol)).collect()
@@ -51,6 +66,7 @@ object Knn {
       if (dimHint >= 0) dimHint
       else if (n == 0) 0
       else collected(0).getSeq[Float](1).length
+    checkPackable(n, dim.toLong * 4 + 16)
     val ids   = new Array[Long](n)
     val data  = new Array[Float](n * dim)
     val norms = new Array[Double](n)
@@ -170,6 +186,7 @@ object Knn {
       val v = collected(0).getSeq[Float](1)
       if (v == null) 0 else v.length
     }
+    checkPackable(n, dim.toLong + 16)
     val ids   = new Array[Long](n)
     val data  = new Array[Byte](n * dim)
     val norms = new Array[Double](n)

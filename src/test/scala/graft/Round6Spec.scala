@@ -292,6 +292,18 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("broadcast-kernel ceiling rejects unpackable target sets with guidance") {
+    import graft.ann.Knn
+    // 64-dim float: 272 B/row -> ~15M rows fit, 100M rows do not
+    Knn.checkPackable(15L * 1000 * 1000, 64L * 4 + 16)
+    val e = intercept[IllegalArgumentException] {
+      Knn.checkPackable(100L * 1000 * 1000, 64L * 4 + 16)
+    }
+    assert(e.getMessage.contains("ivfTopKBucketed"), "must point at the scale paths")
+    // int8 rows are ~3.4x smaller: 100M rows of 64-dim int8 still fit
+    Knn.checkPackable(50L * 1000 * 1000, 64L + 16)
+  }
+
   // ===== connected-components duplicate clusters ==========================
 
   test("connectedComponents closes chains where min-neighbour pointing fails") {
