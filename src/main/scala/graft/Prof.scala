@@ -110,6 +110,14 @@ object Prof {
     probe("ivf_bucketed", 8, e8)(
       Knn.ivfTopKBucketed(emb8, emb8, k = 5, nLists = 64, nProbe = 8).count())
 
+    // int8 vs float brute force at the same scale: the quantized kernel's
+    // broadcast is 4x smaller and the integer dot avoids double multiplies —
+    // record both so the claim is measured, not asserted
+    probe("ann_brute_f32", 8, e8)(
+      Knn.bruteForceTopK(emb8.filter(col("vec_id") % 8 === 0), emb8, k = 5).count())
+    probe("ann_brute_int8", 8, e8)(
+      Knn.bruteForceTopKInt8(emb8.filter(col("vec_id") % 8 === 0), emb8, k = 5).count())
+
     // transitive dup clusters: pair generation + the CC loop; rounds grow
     // log(chain), per-round cost tracks the dup-graph (not corpus) size
     probe("dup_clusters", 1, n1)(
