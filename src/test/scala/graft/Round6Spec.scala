@@ -474,6 +474,34 @@ class Round6Spec extends SparkSpec {
       rates, defaultRate = 0.1, salt = "t|").count())
   }
 
+  // ===== empty-input edges for the round's new operators ==================
+
+  test("new operators survive empty inputs") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    // BM25: empty query set and empty corpus both yield empty results
+    val qs = Seq((1L, "a b")).toDF("query_id", "query_text")
+    val noQs = Seq.empty[(Long, String)].toDF("query_id", "query_text")
+    assert(graft.search.Bm25.topK(someDocs, noQs, k = 3).count() == 0)
+    assert(graft.search.Bm25.topK(noDocs, qs, k = 3).count() == 0)
+    // clusters: a corpus with no near-dup pairs labels everything kept
+    val got = graft.data.Dedup.duplicateClusters(someDocs, "text", "doc_id",
+      k = 5, threshold = 0.9, maxDocsPerShingle = 0).collect()
+    assert(got.length == 1 && !got.head.getBoolean(2))
+    assert(graft.data.Dedup.duplicateClusters(noDocs, "text", "doc_id").count() == 0)
+    // quota 0 keeps nothing; sampler on empty frame is empty
+    val df = Seq((1L, "en")).toDF("id", "lang")
+    assert(graft.data.Sampling.quotaSample(df, "id", "lang", n = 0).count() == 0)
+    assert(graft.data.Sampling.stratifiedHashSample(
+      df.limit(0), "id", "lang", Map("en" -> 1.0)).count() == 0)
+    // as-of with an empty right side: all-null payload, left preserved
+    val left = Seq(("a", 1L, "x")).toDF("k", "ts", "tag")
+    val emptyRight = Seq.empty[(String, Long, Double)].toDF("k", "rts", "v")
+    val asof = graft.operators.AsofJoin
+      .backward(left, emptyRight, Seq("k"), "ts", "rts", Seq("v")).collect()
+    assert(asof.length == 1 && asof.head.isNullAt(3))
+  }
+
   // ===== kernel scratch memory bound ======================================
 
   test("Scratch caps cached per-block score arrays") {
