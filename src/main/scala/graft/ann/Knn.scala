@@ -43,19 +43,33 @@ object Knn {
       java.util.Arrays.copyOfRange(data, i * dim, (i + 1) * dim)
   }
 
-  /** Hard ceiling for a packed broadcast block (4 GiB): past this the
-    * broadcast kernels are the wrong tool regardless of executor memory —
-    * fail BEFORE shipping to executors with a pointer at the scale paths.
+  /** Hard ceiling for a packed broadcast block (2 GiB — a single JVM array
+    * and a broadcast value both top out around Int.MaxValue elements/bytes):
+    * past this the broadcast kernels are the wrong tool regardless of
+    * executor memory — fail BEFORE shipping to executors with a pointer at
+    * the scale paths.
     */
-  private[graft] val MaxPackedBroadcastBytes: Long = 4L << 30
+  private[graft] val MaxPackedBroadcastBytes: Long = 2L << 30
 
-  private[graft] def checkPackable(n: Long, bytesPerRow: Long): Unit = {
+  /** `elemsPerRow` = entries the row contributes to the packed data array
+    * (dim for both float and int8): n*dim must itself fit in one JVM array,
+    * or `new Array(n * dim)` Int-overflows into NegativeArraySizeException
+    * before the byte ceiling ever triggers (e.g. dim=112, n=2^25 is only
+    * ~3.8 GB of floats but 3.76e9 elements).
+    */
+  private[graft] def checkPackable(n: Long, bytesPerRow: Long,
+                                   elemsPerRow: Long): Unit = {
     val est = n * bytesPerRow
+    def guidance =
+      "use the distributed paths instead: ivfTopKBucketed (shuffle join on " +
+      "list_id), ivfTopKIndexed (disk index, pruned probes) or lshCosinePairs"
     require(est <= MaxPackedBroadcastBytes,
       s"packed target set is ~$est bytes ($n rows x $bytesPerRow B), over the " +
-      s"$MaxPackedBroadcastBytes-byte broadcast-kernel ceiling — use the " +
-      "distributed paths instead: ivfTopKBucketed (shuffle join on list_id), " +
-      "ivfTopKIndexed (disk index, pruned probes) or lshCosinePairs")
+      s"$MaxPackedBroadcastBytes-byte broadcast-kernel ceiling — $guidance")
+    require(n * elemsPerRow <= Int.MaxValue,
+      s"packed target set needs ${n * elemsPerRow} data-array entries " +
+      s"($n rows x $elemsPerRow), over the ${Int.MaxValue} JVM array bound — " +
+      guidance)
   }
 
   private def packVecs(df: DataFrame, idCol: String, vecCol: String,
@@ -66,7 +80,7 @@ object Knn {
       if (dimHint >= 0) dimHint
       else if (n == 0) 0
       else collected(0).getSeq[Float](1).length
-    checkPackable(n, dim.toLong * 4 + 16)
+    checkPackable(n, dim.toLong * 4 + 16, dim.toLong)
     val ids   = new Array[Long](n)
     val data  = new Array[Float](n * dim)
     val norms = new Array[Double](n)
@@ -186,7 +200,7 @@ object Knn {
       val v = collected(0).getSeq[Float](1)
       if (v == null) 0 else v.length
     }
-    checkPackable(n, dim.toLong + 16)
+    checkPackable(n, dim.toLong + 16, dim.toLong)
     val ids   = new Array[Long](n)
     val data  = new Array[Byte](n * dim)
     val norms = new Array[Double](n)

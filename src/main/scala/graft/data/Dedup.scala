@@ -411,6 +411,14 @@ object Dedup {
       labels = next.drop("__changed")
       round += 1
     }
+    // the contract is "labels ARE the component minima" — if the round cap
+    // was exhausted before a no-change round verified the fixpoint, failing
+    // loudly beats silently returning split components (the caller's dedup
+    // would then keep extra "canonical" rows)
+    require(!changed,
+      s"connectedComponents did not converge within $maxRounds rounds — " +
+      "labels may not be component minima; raise maxRounds (pointer jumping " +
+      "covers diameter ~2^(2*rounds), so the default 25 handles any real graph)")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Backward (inclusive) as-of join — for every left row, the right row with
   * the greatest timestamp <= the left row's timestamp within the same key
@@ -18,6 +19,20 @@ import org.apache.spark.sql.functions._
   * volume rather than pair cardinality (a range-predicate join would explode
   * on hot keys). Right rows sort BEFORE left rows at equal timestamps
   * (side 0 < 1), which is exactly backward-inclusive semantics.
+  *
+  * The payload travels as ONE struct column, not per-column carries: the
+  * window's ignoreNulls must distinguish "no right row yet" (null struct —
+  * skip) from "matched right row whose payload VALUE is null" (non-null
+  * struct with null field — carry faithfully). Per-column last() would skip
+  * genuinely-null payload values and resurrect a stale older row's value —
+  * and with several payload columns could even mix values from different
+  * right rows; the struct makes the whole payload atomic per matched row.
+  *
+  * NULL join keys and NULL timestamps never match (standard join semantics
+  * — a NULL comparison is never true, and DuckDB's native ASOF JOIN agrees):
+  * null-key/null-ts right rows are filtered out of the match relation, and a
+  * null-ts left row's payload is forced null (in the descending forward scan
+  * nulls sort last and would otherwise pick up a stale carry).
   *
   * Determinism contract: `right` must be unique per (keys, rightTs) — with
   * two right rows on the same instant "the latest one" is undefined in any
@@ -53,15 +68,20 @@ object AsofJoin {
       require(!left.columns.contains(p + suffix),
         s"left already has a column named '${p + suffix}' — pick another suffix")
     }
-    require(!left.columns.exists(c => c == "__ts" || c == "__side" || c.startsWith("__p_")),
-      "left must not use the operator's reserved __ts/__side/__p_ column names")
-    val lPrep = payload.foldLeft(
-      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
-      (df, p) => df.withColumn(s"__p_$p", lit(null).cast(right.schema(p).dataType))
-    }
-    val rKeyed = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts")) ++
-        payload.map(p => col(p).as(s"__p_$p")): _*)
+    require(!left.columns.exists(c => c == "__ts" || c == "__side" || c == "__p"),
+      "left must not use the operator's reserved __ts/__side/__p column names")
+    // the payload struct type, nullable so left rows can carry a null struct
+    val pType = StructType(payload.map(p => right.schema(p).copy(name = p)))
+    val lPrep = left
+      .withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(pType))
+    val rKeyed = right
+      // null keys/timestamps never match: drop them before they can share a
+      // window partition with (and leak payload into) null-key left rows
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
+      .select(
+        (keys.map(col) :+ col(rightTs).as("__ts")) :+
+          struct(payload.map(col): _*).as("__p"): _*)
       .withColumn("__side", lit(0))
     // null-pad the left-only columns so the two sides union by name
     val leftOnly = left.columns.filterNot(keys.contains)
@@ -77,11 +97,11 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p + suffix, last(col(s"__p_$p"), ignoreNulls = true).over(w))
-    }
+    val matched = unioned
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
     matched.filter(col("__side") === 1)
       .select(left.columns.map(col).toIndexedSeq ++
-        payload.map(p => col(p + suffix)): _*)
+        payload.map(p => when(col("__ts").isNotNull, col("__m").getField(p))
+          .as(p + suffix)): _*)
   }
 }

@@ -294,14 +294,22 @@ class Round6Spec extends SparkSpec {
 
   test("broadcast-kernel ceiling rejects unpackable target sets with guidance") {
     import graft.ann.Knn
-    // 64-dim float: 272 B/row -> ~15M rows fit, 100M rows do not
-    Knn.checkPackable(15L * 1000 * 1000, 64L * 4 + 16)
+    // 64-dim float: 272 B/row -> ~7M rows fit under the 2 GiB ceiling,
+    // 100M rows do not
+    Knn.checkPackable(7L * 1000 * 1000, 64L * 4 + 16, 64L)
     val e = intercept[IllegalArgumentException] {
-      Knn.checkPackable(100L * 1000 * 1000, 64L * 4 + 16)
+      Knn.checkPackable(100L * 1000 * 1000, 64L * 4 + 16, 64L)
     }
     assert(e.getMessage.contains("ivfTopKBucketed"), "must point at the scale paths")
-    // int8 rows are ~3.4x smaller: 100M rows of 64-dim int8 still fit
-    Knn.checkPackable(50L * 1000 * 1000, 64L + 16)
+    // int8 rows are ~3.4x smaller: 25M rows of 64-dim int8 still fit
+    Knn.checkPackable(25L * 1000 * 1000, 64L + 16, 64L)
+    // the data-array entry bound fires with the same guidance even when the
+    // byte estimate is under the ceiling (the n*dim Int-overflow class)
+    val e2 = intercept[IllegalArgumentException] {
+      Knn.checkPackable(1L << 25, 1L, 112L)
+    }
+    assert(e2.getMessage.contains("JVM array bound"))
+    assert(e2.getMessage.contains("ivfTopKBucketed"))
   }
 
   // ===== connected-components duplicate clusters ==========================
