@@ -20,6 +20,34 @@ import org.apache.spark.sql.types._
   * Scores are rounded at 9 decimals (HALF_UP) before ranking, like the
   * cos-sim indexer, so ordering is stable across summation orders.
   */
+/** Bounded (cosine DESC, target_id ASC) insertion buffer shared by the four
+  * broadcast top-k kernels (float/int8 brute force, float/int8 IVF) — ONE
+  * implementation of the ordering contract, so the bit-identity oracles
+  * (q43 vs q53, q76 vs q81) cannot drift. `bestS`/`bestT` hold the current
+  * top `nBest` (scores descending, `bestT` indexing into the packed block
+  * whose ids break score ties ascending); k is small, so insertion beats a
+  * heap. Static-dispatch object: closures reference the module method
+  * without capturing per-row state.
+  */
+private[ann] object TopKBuffer extends Serializable {
+  /** Offer (s, ti); returns the new filled count. */
+  def insert(bestS: Array[Double], bestT: Array[Int], nBest: Int, k: Int,
+             ids: Array[Long], s: Double, ti: Int): Int = {
+    var pos = nBest
+    while (pos > 0 && {
+      val ps = bestS(pos - 1)
+      ps < s || (ps == s && ids(bestT(pos - 1)) > ids(ti))
+    }) pos -= 1
+    if (pos < k) {
+      var m = math.min(nBest, k - 1)
+      while (m > pos) { bestS(m) = bestS(m - 1); bestT(m) = bestT(m - 1); m -= 1 }
+      bestS(pos) = s
+      bestT(pos) = ti
+      if (nBest < k) nBest + 1 else nBest
+    } else nBest
+  }
+}
+
 object Knn {
 
   // shared allocation-free HALF_UP (falls back to exact BigDecimal near ties)
@@ -139,17 +167,7 @@ object Knn {
             while (dd < qLen) { dot += q(dd).toDouble * tData(off + dd).toDouble; dd += 1 }
             val denom = qNorm * tNorms(ti)
             val s = if (denom == 0.0) 0.0 else round9(dot / denom)
-            var pos = nBest
-            while (pos > 0 && {
-              val ps = bestS(pos - 1)
-              ps < s || (ps == s && tIds(bestT(pos - 1)) > tIds(ti))
-            }) pos -= 1
-            if (pos < k) {
-              var m = math.min(nBest, k - 1)
-              while (m > pos) { bestS(m) = bestS(m - 1); bestT(m) = bestT(m - 1); m -= 1 }
-              bestS(pos) = s; bestT(pos) = ti
-              if (nBest < k) nBest += 1
-            }
+            nBest = TopKBuffer.insert(bestS, bestT, nBest, k, tIds, s, ti)
           }
           ti += 1
         }
@@ -255,17 +273,7 @@ object Knn {
             while (dd < d) { dot += qBuf(dd).toInt * tData(off + dd).toInt; dd += 1 }
             val denom = qNorm * tNorms(ti)
             val s = if (denom == 0.0) 0.0 else round9(dot.toDouble / denom)
-            var pos = nBest
-            while (pos > 0 && {
-              val ps = bestS(pos - 1)
-              ps < s || (ps == s && tIds(bestT(pos - 1)) > tIds(ti))
-            }) pos -= 1
-            if (pos < k) {
-              var m = math.min(nBest, k - 1)
-              while (m > pos) { bestS(m) = bestS(m - 1); bestT(m) = bestT(m - 1); m -= 1 }
-              bestS(pos) = s; bestT(pos) = ti
-              if (nBest < k) nBest += 1
-            }
+            nBest = TopKBuffer.insert(bestS, bestT, nBest, k, tIds, s, ti)
           }
           ti += 1
         }
@@ -665,17 +673,7 @@ object Knn {
               while (dd < qLen) { dot += q(dd).toDouble * ivf.data(off + dd).toDouble; dd += 1 }
               val denom = qNorm * ivf.norms(ti)
               val s = if (denom == 0.0) 0.0 else round9(dot / denom)
-              var pos = nBest
-              while (pos > 0 && {
-                val ps = bestS(pos - 1)
-                ps < s || (ps == s && ivf.ids(bestT(pos - 1)) > ivf.ids(ti))
-              }) pos -= 1
-              if (pos < k) {
-                var m = math.min(nBest, k - 1)
-                while (m > pos) { bestS(m) = bestS(m - 1); bestT(m) = bestT(m - 1); m -= 1 }
-                bestS(pos) = s; bestT(pos) = ti
-                if (nBest < k) nBest += 1
-              }
+              nBest = TopKBuffer.insert(bestS, bestT, nBest, k, ivf.ids, s, ti)
             }
             ti += 1
           }
@@ -782,17 +780,7 @@ object Knn {
               while (dd < d) { dot += qBuf(dd).toInt * ivf.data(off + dd).toInt; dd += 1 }
               val denom = qNorm * ivf.norms(ti)
               val s = if (denom == 0.0) 0.0 else round9(dot.toDouble / denom)
-              var pos = nBest
-              while (pos > 0 && {
-                val ps = bestS(pos - 1)
-                ps < s || (ps == s && ivf.ids(bestT(pos - 1)) > ivf.ids(ti))
-              }) pos -= 1
-              if (pos < k) {
-                var m = math.min(nBest, k - 1)
-                while (m > pos) { bestS(m) = bestS(m - 1); bestT(m) = bestT(m - 1); m -= 1 }
-                bestS(pos) = s; bestT(pos) = ti
-                if (nBest < k) nBest += 1
-              }
+              nBest = TopKBuffer.insert(bestS, bestT, nBest, k, ivf.ids, s, ti)
             }
             ti += 1
           }
