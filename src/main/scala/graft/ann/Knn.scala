@@ -805,13 +805,55 @@ object Knn {
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val (centroids, dim) = ivfFit(targets, nLists, seed, maxIter, maxFitRows, idCol, vecCol)
     val spark = targets.sparkSession
+    val nL = if (dim == 0) 1 else centroids.length / dim
+    assignToLists(targets, centroids, dim, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    val centroidRows = (0 until nL).map { l =>
+      Row(l, (0 until dim).map(d => centroids(l * dim + d)))
+    }
+    val cSchema = StructType(Seq(
+      StructField("list_id", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType), nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(centroidRows, 1), cSchema)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Incrementally add `newTargets` to a [[ivfWriteIndex]]-materialized
+    * index — a corpus delta costs one map-only scan of the DELTA, never a
+    * re-scan (or re-fit) of the indexed 100 TB. New targets are assigned
+    * with the STORED centroids (the quantizer is frozen at build time, the
+    * standard IVF serving practice) and appended into the same `list_id`
+    * partition layout, so [[ivfTopKIndexed]]'s static partition pruning is
+    * unchanged and every appended vector is probed exactly where its own
+    * nearest-centroid probe looks for it. Scores never depend on list
+    * membership, so an exhaustive probe over build+append is BIT-IDENTICAL
+    * to a full rebuild (q88's oracle); partial probes differ from a rebuild
+    * only through the re-fit centroids a rebuild would choose.
+    *
+    * Contract: `newTargets` ids must be disjoint from the indexed set
+    * (re-appending duplicates rows). Not atomic; re-run on failure.
+    */
+  def ivfAppendToIndex(newTargets: DataFrame, path: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (centroids, dim) = readCentroids(newTargets.sparkSession, path)
+    assignToLists(newTargets, centroids, dim, idCol, vecCol)
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  /** Map-only nearest-list assignment via the shared centroid kernel — the
+    * single implementation behind both the index build and the append, so
+    * the two cannot disagree on where a vector lives.
+    */
+  private def assignToLists(targets: DataFrame, centroids: Array[Double],
+                            dim: Int, idCol: String, vecCol: String): DataFrame = {
+    val spark = targets.sparkSession
     val bc = graft.BroadcastLifecycle.track(spark.sparkContext.broadcast(centroids))
     val nL = if (dim == 0) 1 else centroids.length / dim
     val schema = StructType(Seq(
       StructField("target_id", LongType, nullable = false),
       StructField("tv", ArrayType(FloatType), nullable = true),
       StructField("list_id", IntegerType, nullable = false)))
-    val assigned = spark.createDataFrame(
+    spark.createDataFrame(
       targets.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
         val cs = bc.value
         val one = new Array[Int](1)
@@ -821,15 +863,22 @@ object Knn {
           Row(r.getLong(0), v, one(0))
         }
       }, schema)
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
-    val centroidRows = (0 until nL).map { l =>
-      Row(l, (0 until dim).map(d => centroids(l * dim + d)))
+  }
+
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String): (Array[Double], Int) = {
+    val centroidRows = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("list_id").collect()
+    val nL = centroidRows.length
+    val dim = if (nL == 0) 0 else centroidRows(0).getSeq[Double](1).length
+    val centroids = new Array[Double](nL * dim)
+    centroidRows.foreach { r =>
+      val l = r.getInt(0)
+      val v = r.getSeq[Double](1)
+      var d = 0
+      while (d < dim) { centroids(l * dim + d) = v(d); d += 1 }
     }
-    val cSchema = StructType(Seq(
-      StructField("list_id", IntegerType, nullable = false),
-      StructField("centroid", ArrayType(DoubleType), nullable = false)))
-    spark.createDataFrame(spark.sparkContext.parallelize(centroidRows, 1), cSchema)
-      .write.mode("overwrite").parquet(s"$path/centroids")
+    (centroids, dim)
   }
 
   /** Query a disk-materialized IVF index (see [[ivfWriteIndex]]): probe
@@ -843,17 +892,8 @@ object Knn {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      excludeSelf: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
-    val centroidRows = spark.read.parquet(s"$indexPath/centroids")
-      .orderBy("list_id").collect()
-    val nL = centroidRows.length
-    val dim = if (nL == 0) 0 else centroidRows(0).getSeq[Double](1).length
-    val centroids = new Array[Double](nL * dim)
-    centroidRows.foreach { r =>
-      val l = r.getInt(0)
-      val v = r.getSeq[Double](1)
-      var d = 0
-      while (d < dim) { centroids(l * dim + d) = v(d); d += 1 }
-    }
+    val (centroids, dim) = readCentroids(spark, indexPath)
+    val nL = if (dim == 0) 0 else centroids.length / dim
     val bc = graft.BroadcastLifecycle.track(spark.sparkContext.broadcast(centroids))
     val nP = math.min(nProbe, math.max(nL, 1))
 

@@ -246,6 +246,38 @@ object DataQueries {
       graft.search.Bm25.topKIndexed(qs, path, k = 10)
     },
 
+    // incremental BM25 index append: build on the even half, append the odd
+    // half, probe. The merged stats recombine exactly (long token totals)
+    // and appended postings land in the same term_bucket layout, so the
+    // result is bit-identical to q72/q75's full-corpus build — the SAME full
+    // row-level oracle checks the whole append path
+    "q87_bm25_append" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(trim(col("text")), " "), 1, 4), " ")
+            .as("query_text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q87_bm25_append"
+      graft.search.Bm25.writeIndex(docs.filter(col("doc_id") % 2 === 0), path,
+        nBuckets = 16)
+      graft.search.Bm25.appendToIndex(docs.filter(col("doc_id") % 2 =!= 0), path)
+      graft.search.Bm25.topKIndexed(qs, path, k = 10)
+    },
+
+    // incremental IVF index append: build (and FIT) on the even half, assign
+    // the odd half with the stored centroids, append to the same list_id
+    // layout. Exhaustive probing makes the probe independent of list
+    // membership, so the q59 brute-force oracle checks the append plumbing
+    // bit-identically
+    "q88_ann_ivf_append" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q88_ivf_append"
+      Knn.ivfWriteIndex(emb.filter(col("vec_id") % 2 === 0), path,
+        nLists = 16, seed = 7L, maxIter = 5)
+      Knn.ivfAppendToIndex(emb.filter(col("vec_id") % 2 =!= 0), path)
+      Knn.ivfTopKIndexed(emb.filter(col("vec_id") < 100), path, k = 5, nProbe = 16)
+    },
+
     // transitive duplicate clusters: exact jaccard pairs -> connected
     // components -> min-id cluster labels. Full oracle: DuckDB replays the
     // pairs and closes them with a recursive CTE
@@ -449,6 +481,7 @@ object DataQueries {
        " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
     "q72_bm25_topk" -> bm25Sql,
     "q75_bm25_indexed" -> bm25Sql,
+    "q87_bm25_append" -> bm25Sql,
     // duplicate clusters: the q40 pair CTE closed transitively by a recursive
     // CTE; cluster = min reachable id, singletons cluster to themselves
     "q73_dup_clusters" ->
@@ -620,6 +653,16 @@ object DataQueries {
                 CAST(least(e.vec_id, coalesce(m.min_nbr, e.vec_id)) AS BIGINT) AS rep_id,
                 least(e.vec_id, coalesce(m.min_nbr, e.vec_id)) <> e.vec_id AS is_dup
          FROM embeddings e LEFT JOIN minnbr m ON e.vec_id = m.vec_id""",
+    "q88_ann_ivf_append" ->
+      """SELECT query_id, target_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                  round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) AS cosine,
+                  CAST(row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) DESC,
+                                t.vec_id) AS INT) AS rank
+           FROM embeddings q CROSS JOIN embeddings t
+           WHERE q.vec_id < 100)
+         WHERE rank <= 5""",
     "q59_ann_ivf_indexed" ->
       """SELECT query_id, target_id, cosine, rank FROM (
            SELECT q.vec_id AS query_id, t.vec_id AS target_id,

@@ -131,6 +131,23 @@ object Bm25 {
   def writeIndex(docs: DataFrame, path: String, nBuckets: Int = 64,
                  idCol: String = "doc_id", textCol: String = "text"): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    writePostings(docs, path, nBuckets, idCol, textCol, overwrite = true)
+    // stats carry the exact LONG token total alongside the derived avgdl so
+    // [[appendToIndex]] can recombine them EXACTLY: doc lengths are small
+    // ints, so both the long sum and the double division (sum/n) are the
+    // bit-identical operations a full rebuild performs — no running-mean
+    // drift across appends
+    val toks = tokenize(col(textCol))
+    docs.select(size(toks).cast("long").as("__dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), sum(col("__dl")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  private def writePostings(docs: DataFrame, path: String, nBuckets: Int,
+                            idCol: String, textCol: String,
+                            overwrite: Boolean): Unit = {
     val toks = tokenize(col(textCol))
     docs
       .select(col(idCol).cast("long").as("doc_id"), toks.as("__ts"))
@@ -140,11 +157,42 @@ object Bm25 {
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
-      .write.mode("overwrite").partitionBy("term_bucket")
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("term_bucket")
       .parquet(s"$path/postings")
-    docs.select(size(toks).as("__dl"))
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("__dl")).as("avgdl"))
+  }
+
+  /** Incrementally add `newDocs` to a [[writeIndex]]-materialized index — a
+    * corpus delta costs one scan of the DELTA, never a 100 TB re-scan. New
+    * postings land in the SAME `term_bucket` partition layout (parquet
+    * append adds files inside existing partition directories, so
+    * [[topKIndexed]]'s static bucket pruning is unchanged), and the one-row
+    * stats are recombined exactly: n_docs adds, the long token totals add,
+    * avgdl re-derives as sum/n — the same arithmetic a full rebuild runs, so
+    * probes over build+append are BIT-IDENTICAL to a rebuild (q87's oracle).
+    *
+    * Contract: `newDocs` ids must be disjoint from the indexed corpus
+    * (re-appending a doc would double its postings — dedup upstream). The
+    * append is not atomic (postings then stats); on failure re-run the
+    * append or rebuild — same as any bulk-load into a partitioned layout.
+    */
+  def appendToIndex(newDocs: DataFrame, path: String,
+                    idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val old = spark.read.parquet(s"$path/stats")
+      .select("n_docs", "sum_dl", "n_buckets").head
+    val (oldN, oldSum, nBuckets) = (old.getDouble(0), old.getLong(1), old.getInt(2))
+    writePostings(newDocs, path, nBuckets, idCol, textCol, overwrite = false)
+    val toks = tokenize(col(textCol))
+    newDocs.select(size(toks).cast("long").as("__dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), sum(col("__dl")).as("sum_dl"))
+      .select(
+        (col("n_docs") + lit(oldN)).as("n_docs"),
+        (coalesce(col("sum_dl"), lit(0L)) + lit(oldSum)).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
       .withColumn("n_buckets", lit(nBuckets))
+      // the old stats row is already on the driver (collected above), so
+      // this overwrite never reads what it replaces
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 

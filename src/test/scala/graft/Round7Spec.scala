@@ -72,6 +72,67 @@ class Round7Spec extends SparkSpec {
     assert(out.isNullAt(3))
   }
 
+  // ===== disk-index incremental append =====================================
+
+  private def freshTmp(name: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_test_$name"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(p))
+    p
+  }
+
+  test("bm25 append: merged stats and probe results equal a full rebuild exactly") {
+    import graft.search.Bm25
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), " "), 1, 4), " ").as("query_text"))
+    val full = freshTmp("bm25_full")
+    val inc  = freshTmp("bm25_inc")
+    Bm25.writeIndex(docs, full, nBuckets = 8)
+    Bm25.writeIndex(docs.filter(col("doc_id") % 2 === 0), inc, nBuckets = 8)
+    Bm25.appendToIndex(docs.filter(col("doc_id") % 2 =!= 0), inc)
+    // stats recombine exactly: long token totals + the same double division
+    val sFull = spark.read.parquet(s"$full/stats").head
+    val sInc  = spark.read.parquet(s"$inc/stats").head
+    assert(sFull.getDouble(sFull.fieldIndex("n_docs")) ==
+           sInc.getDouble(sInc.fieldIndex("n_docs")))
+    assert(sFull.getLong(sFull.fieldIndex("sum_dl")) ==
+           sInc.getLong(sInc.fieldIndex("sum_dl")))
+    assert(sFull.getDouble(sFull.fieldIndex("avgdl")) ==
+           sInc.getDouble(sInc.fieldIndex("avgdl")))
+    // probes bit-identical
+    val a = Bm25.topKIndexed(qs, full, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val b = Bm25.topKIndexed(qs, inc, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("ivf append: appended vectors live in their own nearest-centroid list") {
+    import graft.ann.Knn
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base     = emb.filter(col("vec_id") % 2 === 0)
+    val appended = emb.filter(col("vec_id") % 2 =!= 0)
+    val path = freshTmp("ivf_inc")
+    Knn.ivfWriteIndex(base, path, nLists = 8, seed = 7L, maxIter = 5)
+    Knn.ivfAppendToIndex(appended, path)
+    // nProbe=1 probes exactly the query's own nearest list; every appended
+    // vector must find ITSELF there (cosine 1 at rank 1), proving the append
+    // assigned it with the same stored centroids the probe uses
+    val self = Knn.ivfTopKIndexed(appended, path, k = 1, nProbe = 1).collect()
+    assert(self.length == appended.count())
+    self.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getDouble(2) == 1.0, s"$r")
+    }
+    // and the lists partition layout still holds every row exactly once
+    val n = spark.read.parquet(s"$path/lists").count()
+    assert(n == emb.count())
+  }
+
   // ===== connected-components convergence contract =========================
 
   test("connectedComponents fails loudly when maxRounds is exhausted") {
