@@ -93,4 +93,58 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan) { case _: BroadcastExchangeExec => } >= 1,
       s"eval shingles must broadcast:\n$plan")
   }
+
+  test("sessionize: both windows AND the session agg share ONE exchange + sort") {
+    // the q84 shape: lag -> flag -> running sum -> per-session agg. Both
+    // windows order identically, and partitioning on user_id already
+    // clusters (user_id, session_idx), so the whole query pays exactly one
+    // shuffle and one sort
+    import org.apache.spark.sql.execution.SortExec
+    val plan = staticPlan(
+      graft.queries.CoreQueries.queries("q84_sessionize")(spark, sf))
+    assert(count(plan) { case _: ShuffleExchangeExec => } == 1,
+      s"sessionize must shuffle once (windows + agg co-partitioned):\n$plan")
+    assert(count(plan) { case _: SortExec => } == 1,
+      s"sessionize must sort once (shared window ordering):\n$plan")
+  }
+
+  test("as-of join: one shuffle, no join operator, one sort") {
+    // union + keyed window, never a range join: cost scales with per-key
+    // volume, not pair cardinality
+    import org.apache.spark.sql.execution.SortExec
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), col("ts").as("ts_us"),
+              col("value"))
+    val right = ev.select(col("event_type"), col("ts_us"),
+      col("value").as("big_value"))
+    val plan = staticPlan(
+      graft.operators.AsofJoin.backward(ev, right, Seq("event_type"),
+        "ts_us", "ts_us", Seq("big_value")))
+    assert(count(plan) { case _: ShuffleExchangeExec => } == 1,
+      s"as-of must be one keyed shuffle:\n$plan")
+    assert(count(plan) { case _: SortExec => } == 1,
+      s"as-of must sort once inside the window:\n$plan")
+    assert(count(plan) { case n if n.nodeName.contains("Join") => } == 0,
+      s"as-of must not plan any join (range joins explode on hot keys):\n$plan")
+  }
+
+  test("bm25 indexed probe: postings scan carries term_bucket PartitionFilters") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_test_planshape_bm25"
+    val pdocs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.search.Bm25.writeIndex(pdocs, path, nBuckets = 16)
+    val qs = pdocs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"),
+        substring(col("text"), 1, 20).as("query_text"))
+    val plan = staticPlan(graft.search.Bm25.topKIndexed(qs, path, k = 5))
+    val postingScans = plan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("postings")) => f
+    }
+    assert(postingScans.nonEmpty, s"no postings scan found:\n$plan")
+    postingScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "term_bucket")),
+        s"postings scan must statically prune term_bucket partitions:\n$f")
+    }
+  }
 }
