@@ -4,9 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus preparation: quality filter -> exact dedup ->
-  * near dedup -> test-set decontamination, the standard stage order of an
-  * LLM data pipeline (cheap row-local filters first, the pairwise stages
-  * over the shrinking survivor set after).
+  * near dedup -> test-set decontamination -> corpus mixing, the standard
+  * stage order of an LLM data pipeline (cheap row-local filters first, the
+  * pairwise stages over the shrinking survivor set, the re-weighting
+  * sampler last so its rates act on the clean corpus).
   *
   * Every stage only examines the SURVIVORS of the previous stages, and each
   * dropped doc carries the FIRST stage that rejected it, so the labels frame
@@ -55,6 +56,17 @@ final case class CorpusConfig(
     maxDocsPerShingle: Int = 1000,
     evalDocs: Option[DataFrame] = None,
     decontaminationThreshold: Double = 0.8,
+    /** Optional final MIXING stage: deterministic stratified downsampling of
+      * the survivors ("keep 50% of en, 10% of fr, default 5%" — the
+      * source/language re-weighting every pretraining corpus ends with),
+      * [[Sampling.stratifiedHashSample]]'s map-only hash predicate applied
+      * after every dedup stage so sampling rates act on the CLEAN corpus.
+      * Docs sampled away carry the disjoint `sampled_out` audit label.
+      */
+    mixStrataCol: Option[String] = None,
+    mixRates: Map[String, Double] = Map.empty,
+    mixDefaultRate: Double = 1.0,
+    mixSalt: String = "graft",
     materializeDropSets: Boolean = true)
 
 final case class CorpusResult(
@@ -141,15 +153,28 @@ object CorpusPipeline {
          Some(contaminated.select(id, lit("contaminated").as("drop_stage"))))
     }
 
-    val dropLabels = (Seq(qualityDrops) ++ exactDrops ++ nearDrops ++ contamDrops)
-      .reduce(_ unionByName _)
+    // stage 5: corpus mixing — stratified hash downsampling of the
+    // survivors. A pure row predicate (no shuffle, no pairwise work), so
+    // unlike the dedup stages neither half needs a freeze
+    val (mixedKept, mixDrops) = cfg.mixStrataCol match {
+      case None => (kept, None)
+      case Some(sc) =>
+        val keep = Sampling.stratifiedKeepExpr(id, col(sc), cfg.mixRates,
+          cfg.mixDefaultRate, cfg.mixSalt)
+        (kept.filter(keep),
+         Some(kept.filter(!keep).select(id, lit("sampled_out").as("drop_stage"))))
+    }
+
+    val dropLabels =
+      (Seq(qualityDrops) ++ exactDrops ++ nearDrops ++ contamDrops ++ mixDrops)
+        .reduce(_ unionByName _)
     val labels = docs.select(id)
       .join(dropLabels, Seq(cfg.idCol), "left")
       .withColumn("drop_stage", coalesce(col("drop_stage"), lit("kept")))
     val report = labels.groupBy("drop_stage").agg(count(lit(1)).as("n"))
     // using-column joins moved textCol/idCol to the front; restore the
     // caller's column order so `kept` really is "original schema"
-    val keptOrdered = kept.select(docs.columns.toIndexedSeq.map(col): _*)
+    val keptOrdered = mixedKept.select(docs.columns.toIndexedSeq.map(col): _*)
     CorpusResult(keptOrdered, labels, report)
   }
 }

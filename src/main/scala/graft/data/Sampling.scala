@@ -61,16 +61,25 @@ object Sampling {
   def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
                            rates: Map[String, Double],
                            defaultRate: Double = 0.0,
-                           salt: String = "graft"): DataFrame = {
+                           salt: String = "graft"): DataFrame =
+    df.filter(stratifiedKeepExpr(col(keyCol), col(strataCol), rates,
+      defaultRate, salt))
+
+  /** The bare stratified keep predicate, for callers that need both halves
+    * of the split (e.g. [[CorpusPipeline]]'s mixing stage labels the
+    * complement as `sampled_out`).
+    */
+  def stratifiedKeepExpr(key: Column, strata: Column,
+                         rates: Map[String, Double], defaultRate: Double,
+                         salt: String = "graft"): Column = {
     // deterministic CASE order (sorted keys) so the expression — and any
     // plan fingerprint built from it — is stable across Map iteration orders
     val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(thresholdHex(defaultRate))) {
       case (acc, (stratum, rate)) =>
-        when(col(strataCol) === stratum, lit(thresholdHex(rate))).otherwise(acc)
+        when(strata === stratum, lit(thresholdHex(rate))).otherwise(acc)
     }
-    df.filter(
-      substring(md5(concat(lit(salt), col(keyCol).cast("string")).cast("binary")), 1, 4)
-        < threshold)
+    substring(md5(concat(lit(salt), key.cast("string")).cast("binary")), 1, 4) <
+      threshold
   }
 
   /** Deterministic QUOTA sampling: exactly `n` rows per stratum (fewer if the

@@ -201,6 +201,22 @@ object DataQueries {
         decontaminationThreshold = 0.5)).labels
     },
 
+    // q62 + the final mixing stage: per-language stratified hash sampling of
+    // the survivors, sampled-away docs labeled 'sampled_out'. DuckDB replays
+    // all five stages row-level (the q74 CASE-chain composed into the q62
+    // replay)
+    "q89_corpus_mix" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.data.CorpusPipeline.run(docs, graft.data.CorpusConfig(
+        minTokens = 25, maxTokens = 90,
+        nearDedupThreshold = Some(0.5), shingleK = 5, maxDocsPerShingle = 1000,
+        evalDocs = Some(docs.filter(col("doc_id") % 17 === 0)),
+        decontaminationThreshold = 0.5,
+        mixStrataCol = Some("lang"),
+        mixRates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1),
+        mixDefaultRate = 0.05, mixSalt = "s42|")).labels
+    },
+
     // multimodal image: REAL BMP encode -> decode; dimensions come from the
     // parsed header, byte_sum/first_px from the decoded pixels, and
     // last_row_px probes the first pixel of the last logical row — the value
@@ -501,66 +517,8 @@ object DataQueries {
                  CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
                  coalesce(c.cluster_id, d.doc_id) <> d.doc_id AS is_dup
           FROM documents d LEFT JOIN comp c USING (doc_id)"""),
-    "q62_corpus_pipeline" ->
-      """WITH flagged AS (
-           SELECT doc_id, text,
-                  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
-           FROM documents),
-         qok AS (SELECT doc_id, text FROM flagged WHERE n_tokens BETWEEN 25 AND 90),
-         canon AS (SELECT text, min(doc_id) AS canonical FROM qok GROUP BY text),
-         eok AS (
-           SELECT q.doc_id, q.text FROM qok q
-           JOIN canon c ON q.text = c.text AND q.doc_id = c.canonical),
-         words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM eok),
-         sh AS (
-           SELECT doc_id, unnest(list_distinct(
-             CASE WHEN len(ws) >= 5
-                  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
-                  ELSE [array_to_string(ws, ' ')] END)) AS s
-           FROM words),
-         eff AS (SELECT doc_id, s FROM sh
-                 WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000)),
-         sizes AS (SELECT doc_id, count(*) AS n_sh FROM eff GROUP BY doc_id),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-           FROM eff a JOIN eff b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         neardrop AS (
-           SELECT DISTINCT id_b AS doc_id FROM common
-           JOIN sizes sa ON sa.doc_id = id_a
-           JOIN sizes sb ON sb.doc_id = id_b
-           WHERE CAST(n_common AS DOUBLE)
-                 / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
-         tsh AS (SELECT doc_id, s FROM sh
-                 WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)),
-         evw AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
-                 FROM documents WHERE doc_id % 17 = 0),
-         esh2 AS (
-           SELECT doc_id AS eval_id, unnest(list_distinct(
-             CASE WHEN len(ws) >= 5
-                  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
-                  ELSE [array_to_string(ws, ' ')] END)) AS s
-           FROM evw),
-         esz2 AS (SELECT eval_id, count(*) AS n_eval FROM esh2 GROUP BY 1),
-         cmn AS (
-           SELECT t.doc_id AS train_id, e.eval_id, count(*) AS n_common
-           FROM tsh t JOIN esh2 e ON t.s = e.s GROUP BY 1, 2),
-         contam AS (
-           SELECT train_id AS doc_id FROM cmn JOIN esz2 USING (eval_id)
-           GROUP BY train_id
-           HAVING max(CAST(n_common AS DOUBLE) / CAST(n_eval AS DOUBLE)) >= 0.5)
-         SELECT d.doc_id,
-                coalesce(qd.stage, ed.stage, nd.stage, cd.stage, 'kept') AS drop_stage
-         FROM documents d
-         LEFT JOIN (SELECT doc_id, 'quality' AS stage FROM flagged
-                    WHERE doc_id IS NULL OR n_tokens IS NULL
-                       OR n_tokens < 25 OR n_tokens > 90) qd
-           USING (doc_id)
-         LEFT JOIN (SELECT q.doc_id, 'exact_dup' AS stage FROM qok q
-                    JOIN canon c ON q.text = c.text
-                    WHERE q.doc_id <> c.canonical) ed USING (doc_id)
-         LEFT JOIN (SELECT doc_id, 'near_dup' AS stage FROM neardrop) nd USING (doc_id)
-         LEFT JOIN (SELECT doc_id, 'contaminated' AS stage FROM contam) cd USING (doc_id)""",
+    "q62_corpus_pipeline" -> corpusPipelineSql(mix = false),
+    "q89_corpus_mix" -> corpusPipelineSql(mix = true),
     "q60_decontamination" ->
       """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
          tw AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
@@ -786,4 +744,81 @@ object DataQueries {
                 CAST(coalesce(s.px, 0) AS BIGINT) AS px_sum,
                 d.h2 AS last_frame_h
          FROM dims d LEFT JOIN sums s USING (doc_id)""")
+
+  /** The corpus-pipeline replay shared by q62 and q89; `mix` appends the
+    * q74-style stratified-sampling CASE chain as a final `sampled_out` stage
+    * (earlier stages win the coalesce, so the label set stays disjoint — the
+    * Spark pipeline likewise only samples stage-4 survivors).
+    */
+  private def corpusPipelineSql(mix: Boolean): String = {
+    val mixJoin =
+      if (!mix) ""
+      else raw"""
+         LEFT JOIN (SELECT doc_id, 'sampled_out' AS stage FROM documents
+                    WHERE substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 4) >=
+                      CASE WHEN lang = 'en' THEN '8000'
+                           WHEN lang = 'de' THEN '4000'
+                           WHEN lang = 'fr' THEN '1999'
+                           ELSE '0ccc' END) md USING (doc_id)"""
+    val mixStage = if (mix) "md.stage, " else ""
+    raw"""WITH flagged AS (
+           SELECT doc_id, text,
+                  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+           FROM documents),
+         qok AS (SELECT doc_id, text FROM flagged WHERE n_tokens BETWEEN 25 AND 90),
+         canon AS (SELECT text, min(doc_id) AS canonical FROM qok GROUP BY text),
+         eok AS (
+           SELECT q.doc_id, q.text FROM qok q
+           JOIN canon c ON q.text = c.text AND q.doc_id = c.canonical),
+         words AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM eok),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(ws) >= 5
+                  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+                  ELSE [array_to_string(ws, ' ')] END)) AS s
+           FROM words),
+         eff AS (SELECT doc_id, s FROM sh
+                 WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM eff GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM eff a JOIN eff b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         neardrop AS (
+           SELECT DISTINCT id_b AS doc_id FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+         tsh AS (SELECT doc_id, s FROM sh
+                 WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)),
+         evw AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+                 FROM documents WHERE doc_id % 17 = 0),
+         esh2 AS (
+           SELECT doc_id AS eval_id, unnest(list_distinct(
+             CASE WHEN len(ws) >= 5
+                  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+                  ELSE [array_to_string(ws, ' ')] END)) AS s
+           FROM evw),
+         esz2 AS (SELECT eval_id, count(*) AS n_eval FROM esh2 GROUP BY 1),
+         cmn AS (
+           SELECT t.doc_id AS train_id, e.eval_id, count(*) AS n_common
+           FROM tsh t JOIN esh2 e ON t.s = e.s GROUP BY 1, 2),
+         contam AS (
+           SELECT train_id AS doc_id FROM cmn JOIN esz2 USING (eval_id)
+           GROUP BY train_id
+           HAVING max(CAST(n_common AS DOUBLE) / CAST(n_eval AS DOUBLE)) >= 0.5)
+         SELECT d.doc_id,
+                coalesce(qd.stage, ed.stage, nd.stage, cd.stage, ${mixStage}'kept') AS drop_stage
+         FROM documents d
+         LEFT JOIN (SELECT doc_id, 'quality' AS stage FROM flagged
+                    WHERE doc_id IS NULL OR n_tokens IS NULL
+                       OR n_tokens < 25 OR n_tokens > 90) qd
+           USING (doc_id)
+         LEFT JOIN (SELECT q.doc_id, 'exact_dup' AS stage FROM qok q
+                    JOIN canon c ON q.text = c.text
+                    WHERE q.doc_id <> c.canonical) ed USING (doc_id)
+         LEFT JOIN (SELECT doc_id, 'near_dup' AS stage FROM neardrop) nd USING (doc_id)
+         LEFT JOIN (SELECT doc_id, 'contaminated' AS stage FROM contam) cd USING (doc_id)$mixJoin"""
+  }
 }

@@ -133,6 +133,35 @@ class Round7Spec extends SparkSpec {
     assert(n == emb.count())
   }
 
+  // ===== corpus mixing stage ===============================================
+
+  test("corpus mixing samples ONLY stage-4 survivors, labels stay disjoint") {
+    import graft.data.{CorpusConfig, CorpusPipeline}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = CorpusConfig(minTokens = 25, maxTokens = 90,
+      nearDedupThreshold = Some(0.5), shingleK = 5)
+    val plain = CorpusPipeline.run(docs, base)
+    val mixed = CorpusPipeline.run(docs, base.copy(
+      mixStrataCol = Some("lang"),
+      mixRates = Map("en" -> 0.5, "de" -> 0.25),
+      mixDefaultRate = 0.1, mixSalt = "s42|"))
+    def stageIds(r: graft.data.CorpusResult, stage: String): Set[Long] =
+      r.labels.filter(col("drop_stage") === stage)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptPlain   = stageIds(plain, "kept")
+    val keptMixed   = stageIds(mixed, "kept")
+    val sampledOut  = stageIds(mixed, "sampled_out")
+    // mixing partitions the unmixed survivors; no earlier label changes
+    assert(keptMixed.union(sampledOut) == keptPlain)
+    assert(keptMixed.intersect(sampledOut).isEmpty)
+    assert(sampledOut.nonEmpty && keptMixed.nonEmpty)
+    Seq("quality", "exact_dup", "near_dup").foreach { s =>
+      assert(stageIds(plain, s) == stageIds(mixed, s), s"stage $s changed")
+    }
+    // kept frame matches the kept label set
+    assert(mixed.kept.select("doc_id").collect().map(_.getLong(0)).toSet == keptMixed)
+  }
+
   // ===== connected-components convergence contract =========================
 
   test("connectedComponents fails loudly when maxRounds is exhausted") {
