@@ -80,6 +80,31 @@ object TextQueries {
         .select("lang", "term", "n", "rank")
     },
 
+    // BPE merge-pair counting — the tokenizer-training primitive (the first
+    // iteration of byte-pair encoding counts adjacent-symbol pair
+    // frequencies; the argmax pair becomes the first merge). Symbols here
+    // are characters within space-delimited words, counted over every word
+    // OCCURRENCE (BPE weights pairs by word frequency). Plan: one map-only
+    // double explode (words, then the in-word pair array), ONE
+    // partial-aggregated shuffle on (lang, pair), and a per-language top-k
+    // window whose input is the aggregated pair vocabulary — bounded by
+    // charset², never the corpus
+    "q90_bpe_pairs" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val words = t(s, dir, "documents")
+        .select(col("lang"), explode(split(trim(col("text")), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+      val pairs = words
+        .select(col("lang"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("lang", "pair").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("pair"))
+      pairs.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 20)
+        .select("lang", "pair", "n", "rank")
+    },
+
     // per-source document-length distribution: exact interpolated quantiles
     // (one hash agg; percentile is a single-pass typed agg, no global sort).
     // The mean is derived from an exact integer sum, not a float-accumulated
@@ -214,6 +239,25 @@ object TextQueries {
            SELECT lang, term, n,
                   CAST(row_number() OVER (PARTITION BY lang
                        ORDER BY n DESC, term) AS INT) AS rank
+           FROM counted)
+         WHERE rank <= 20""",
+    // DuckDB range(1, n) is [1, n) = Spark sequence(1, n-1); substr is
+    // 1-based in both, so the pair arrays replay exactly
+    "q90_bpe_pairs" ->
+      """WITH words AS (
+           SELECT lang, unnest(string_split(trim(text), ' ')) AS w
+           FROM documents),
+         pairs AS (
+           SELECT lang, unnest(list_transform(range(1, length(w)),
+                        i -> substr(w, CAST(i AS INT), 2))) AS pair
+           FROM words WHERE length(w) >= 2),
+         counted AS (
+           SELECT lang, pair, CAST(count(*) AS BIGINT) AS n
+           FROM pairs GROUP BY lang, pair)
+         SELECT lang, pair, n, rank FROM (
+           SELECT lang, pair, n,
+                  CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY n DESC, pair) AS INT) AS rank
            FROM counted)
          WHERE rank <= 20""",
     // the DECIMAL(20,9) sum of rounded logs replays Spark's exact fixed-point
