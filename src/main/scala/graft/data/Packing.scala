@@ -31,4 +31,34 @@ object Packing {
     df.withColumn("pack_id", floor(cumBefore / budget))
       .withColumn("pack_offset", cumBefore % budget)
   }
+
+  /** Deterministic shard assignment — the last mile of the training
+    * pipeline: distribute rows (typically packed sequences) across `nShards`
+    * output shards with exactly-balanced row counts (±1) and ~equal token
+    * totals, as `shard = content-hash global rank mod nShards`. The md5
+    * order is a fixed pseudo-random permutation of the keys, so round-robin
+    * over it balances rows exactly, decorrelates token counts from shard id
+    * (~equal token totals without any bin-packing search), and stays
+    * layout-independent/retry-stable/engine-replayable — the [[Sampling]]
+    * family's contract. The rank is [[graft.operators.GlobalRank]]'s
+    * distributed sort + zipWithIndex, never a single-partition window.
+    */
+  def assignShards(df: DataFrame, keyCol: String, nShards: Int,
+                   salt: String = "graft"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = md5(concat(lit(salt), col(keyCol).cast("string")).cast("binary"))
+    graft.operators.GlobalRank
+      .withGlobalRank(df.withColumn("__h", h), "__rank", Seq("__h", keyCol))
+      .withColumn("shard", pmod(col("__rank"), lit(nShards.toLong)).cast("int"))
+      .drop("__h", "__rank")
+  }
+
+  /** [[assignShards]] + `partitionBy(shard)` parquet sink: each
+    * data-parallel trainer then reads exactly its own shard directory
+    * (static partition pruning, the q69 read-back recipe).
+    */
+  def writeShards(df: DataFrame, keyCol: String, nShards: Int, path: String,
+                  salt: String = "graft"): Unit =
+    assignShards(df, keyCol, nShards, salt)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

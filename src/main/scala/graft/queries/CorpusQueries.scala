@@ -111,6 +111,20 @@ object CorpusQueries {
       // planning-time pruning: only the lang=en directory is ever listed
       s.read.parquet(path).filter(col("lang") === "en")
         .select("doc_id", "source", "n_chars", "lang")
+    },
+
+    // deterministic shard writer: hash-rank round-robin assignment of the
+    // token-counted docs to 8 shards, written partitionBy(shard); the
+    // read-back filters ONE shard directory (planning-time pruning) and the
+    // oracle replays the full assignment with row_number % 8
+    "q91_shard_sink" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val path = tmp("q91_shards")
+      Packing.writeShards(docs, "doc_id", nShards = 8, path, salt = "s42|")
+      s.read.parquet(path).filter(col("shard") === 3)
+        .select("doc_id", "lang", "n_tokens", "shard")
     })
 
   private val redactSql: String => String = c =>
@@ -201,5 +215,16 @@ object CorpusQueries {
           ${hitsSql("note")} AS n_hits
           FROM n""",
     "q69_partitioned_sink" ->
-      "SELECT doc_id, source, n_chars, lang FROM documents WHERE lang = 'en'")
+      "SELECT doc_id, source, n_chars, lang FROM documents WHERE lang = 'en'",
+    "q91_shard_sink" ->
+      """SELECT doc_id, lang,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(shard AS INT) AS shard
+         FROM (
+           SELECT doc_id, lang, text,
+                  (row_number() OVER (
+                     ORDER BY md5('s42|' || CAST(doc_id AS VARCHAR)), doc_id)
+                   - 1) % 8 AS shard
+           FROM documents)
+         WHERE shard = 3""")
 }

@@ -162,6 +162,34 @@ class Round7Spec extends SparkSpec {
     assert(mixed.kept.select("doc_id").collect().map(_.getLong(0)).toSet == keptMixed)
   }
 
+  // ===== shard writer ======================================================
+
+  test("assignShards balances rows exactly and token totals approximately") {
+    import graft.data.Packing
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val n = docs.count()
+    val assigned = Packing.assignShards(docs, "doc_id", nShards = 8)
+    val per = assigned.groupBy("shard")
+      .agg(count(lit(1)).as("rows"), sum("n_tokens").as("toks"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(per.length == 8)
+    assert(per.map(_._2).sum == n, "every row lands in exactly one shard")
+    assert(per.map(_._2).max - per.map(_._2).min <= 1,
+      s"row counts must balance to +-1: ${per.toSeq}")
+    // hash order decorrelates token counts from shard id: loose 20% bound
+    val toks = per.map(_._3.toDouble)
+    assert(toks.max <= toks.min * 1.2,
+      s"token totals should be near-equal: ${per.toSeq}")
+    // deterministic: a second run assigns identically
+    val again = Packing.assignShards(docs, "doc_id", nShards = 8)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val first = assigned.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(first == again)
+  }
+
   // ===== connected-components convergence contract =========================
 
   test("connectedComponents fails loudly when maxRounds is exhausted") {
