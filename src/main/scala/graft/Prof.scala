@@ -135,6 +135,57 @@ object Prof {
     probe("bm25", 1, n1)(graft.search.Bm25.topK(docs1, bmQs, k = 10).count())
     probe("bm25", 10, n10)(graft.search.Bm25.topK(docs10, bmQs, k = 10).count())
 
+    // window-shaped operators over the events stream. Scaling recipe:
+    // 10 copies with remapped event/user ids — the as-of keys (event_type)
+    // stay FIXED, so per-key window volume grows 10x (the honest stress for
+    // the union+window plan); sessionize users are disjoint per copy, so
+    // per-user volume stays constant and cost should track the shuffle
+    val ev1 = graft.sources.Tables(spark, sf, "events")
+    val ev10 = (0 until 10).map { i =>
+      ev1.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+    val v1 = ev1.count()
+    val v10 = ev10.count()
+
+    def asofCount(df: org.apache.spark.sql.DataFrame): Long = {
+      val ev = df.select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val big = ev.groupBy("event_type", "ts_us")
+        .agg(max(col("value")).as("big_value"))
+        .filter(col("big_value") >= 200.0)
+        .withColumn("big_ts_us", col("ts_us"))
+      graft.operators.AsofJoin.backward(ev, big, Seq("event_type"),
+        "ts_us", "ts_us", Seq("big_ts_us", "big_value")).count()
+    }
+    probe("asof", 1, v1)(asofCount(ev1))
+    probe("asof", 10, v10)(asofCount(ev10))
+
+    def sessionCount(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val ev = df.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gap = col("ts_us") - lag(col("ts_us"), 1).over(w)
+      val newSession = when(gap.isNull || gap > 1800L * 1000000L, 1).otherwise(0)
+      ev.withColumn("session_idx",
+          sum(newSession).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events")).count()
+    }
+    probe("sessionize", 1, v1)(sessionCount(ev1))
+    probe("sessionize", 10, v10)(sessionCount(ev10))
+
+    // quota sampling: strata (source) fixed, per-stratum volume grows 10x —
+    // the per-group top-n window's sort is the part under test
+    probe("quota_sample", 1, n1)(
+      graft.data.Sampling.quotaSample(docs1.select("doc_id", "source"),
+        "doc_id", "source", n = 50).count())
+    probe("quota_sample", 10, n10)(
+      graft.data.Sampling.quotaSample(docs10.select("doc_id", "source"),
+        "doc_id", "source", n = 50).count())
+
     log.close()
     spark.stop()
   }
