@@ -220,6 +220,39 @@ object CoreQueries {
         "ts_us", "ts_us", Seq("big_ts_us", "big_value"))
     },
 
+    // rolling event-time window features ("events/value in the preceding
+    // hour, per user") — the feature-engineering primitive for fraud/abuse
+    // signals over a 100 TB event log. RANGE frame keyed on the event time:
+    // one shuffle on user_id + one sort, the same plan budget as q84's
+    // sessionization; the frame is computed incrementally per partition,
+    // never a per-row rescan. DECIMAL sum keeps the rolling total exact and
+    // order-independent
+    "q92_rolling_window" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      ev.withColumn("n_prev_hour", count(lit(1)).over(w).cast("long"))
+        .withColumn("sum_prev_hour",
+          sum(col("value").cast("decimal(38,6)")).over(w).cast("double"))
+    },
+
+    // multi-granularity corpus report in ONE pass: ROLLUP(lang, source)
+    // computes per-(lang, source), per-lang and grand totals in a single
+    // partial-aggregated shuffle (Expand + one hash agg — no N-pass union).
+    // Subtotal markers are coalesced to '<all>' so both engines agree on
+    // the label
+    "q93_rollup_stats" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .rollup("lang", "source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+             sum(col("n_chars").cast("long")).cast("long").as("total_chars"))
+        .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+                coalesce(col("source"), lit("<all>")).as("source"),
+                col("n_docs"), col("total_chars"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -368,6 +401,19 @@ object CoreQueries {
                 b.big_ts_us AS big_ts_us_asof, b.big_value AS big_value_asof
          FROM ev e ASOF LEFT JOIN big b
            ON e.event_type = b.event_type AND e.ts_us >= b.ts_us""",
+    "q92_rolling_window" ->
+      """SELECT event_id, user_id, ts_us, value,
+                CAST(count(*) OVER w AS BIGINT) AS n_prev_hour,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_prev_hour
+         FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "q93_rollup_stats" ->
+      """SELECT coalesce(lang, '<all>') AS lang,
+                coalesce(source, '<all>') AS source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+         FROM documents GROUP BY ROLLUP (lang, source)""",
     "q51_topn_methods" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem)
          SELECT l_orderkey, l_linenumber, l_quantity,

@@ -136,6 +136,24 @@ object SourceStreamQueries {
         .toDF("n_shifted_copies_flagged", "mismatches_vs_batch")
     },
 
+    // stream-static broadcast enrichment: the streaming side (events) joins
+    // a STATIC per-user dimension built in batch — the standard "enrich the
+    // stream with reference data" pattern (no state store involved: the
+    // static side is broadcast into every micro-batch). Batch/stream parity
+    // against a plain relational LEFT JOIN oracle checks the plumbing
+    "q94_streaming_enrich" -> { (s, dir) =>
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select("event_id", "user_id", "value")
+      val dim = t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("user_events"),
+             sum(col("value").cast("decimal(38,6)")).cast("double").as("user_total"))
+      runToMemory(s,
+        stream.join(broadcast(dim), Seq("user_id"), "left"),
+        mode = "append")
+    },
+
     // binaryFile source (S4): documents written out as one raw file each,
     // read back through the binary scan; the oracle recomputes byte lengths
     // from the parquet text (UTF-8 both sides)
@@ -215,6 +233,13 @@ object SourceStreamQueries {
     // identical semantics to the batch kernel -> shares q30's oracle
     "q57_streaming_cossim" -> MatchQueries.oracleSql("q30_cossim_word_topk"),
     "q61_streaming_dedup" -> "SELECT DISTINCT text FROM documents",
+    "q94_streaming_enrich" ->
+      """WITH dim AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS user_events,
+                  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS user_total
+           FROM events GROUP BY user_id)
+         SELECT e.user_id, e.event_id, e.value, d.user_events, d.user_total
+         FROM events e LEFT JOIN dim d USING (user_id)""",
     "q58_binary_source" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes
          FROM documents WHERE doc_id < 50""")

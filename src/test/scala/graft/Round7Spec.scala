@@ -133,6 +133,31 @@ class Round7Spec extends SparkSpec {
     assert(n == emb.count())
   }
 
+  test("index appends tolerate an EMPTY delta (stats/layout unchanged)") {
+    import graft.search.Bm25
+    import graft.ann.Knn
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val emptyDocs = docs.filter(lit(false))
+    val bp = freshTmp("bm25_empty_delta")
+    Bm25.writeIndex(docs, bp, nBuckets = 4)
+    val before = spark.read.parquet(s"$bp/stats").head
+    Bm25.appendToIndex(emptyDocs, bp)
+    val after = spark.read.parquet(s"$bp/stats").head
+    assert(before.getDouble(before.fieldIndex("n_docs")) ==
+           after.getDouble(after.fieldIndex("n_docs")))
+    assert(before.getLong(before.fieldIndex("sum_dl")) ==
+           after.getLong(after.fieldIndex("sum_dl")))
+    assert(before.getDouble(before.fieldIndex("avgdl")) ==
+           after.getDouble(after.fieldIndex("avgdl")))
+
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    val ip = freshTmp("ivf_empty_delta")
+    Knn.ivfWriteIndex(emb, ip, nLists = 4, seed = 7L, maxIter = 3)
+    val nBefore = spark.read.parquet(s"$ip/lists").count()
+    Knn.ivfAppendToIndex(emb.filter(lit(false)), ip)
+    assert(spark.read.parquet(s"$ip/lists").count() == nBefore)
+  }
+
   // ===== corpus mixing stage ===============================================
 
   test("corpus mixing samples ONLY stage-4 survivors, labels stay disjoint") {
