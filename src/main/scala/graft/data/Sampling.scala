@@ -82,6 +82,45 @@ object Sampling {
       threshold
   }
 
+  /** Temperature-based mixing rates — the multilingual-corpus recipe
+    * (mBERT/XLM-R): sample stratum l with probability proportional to
+    * (n_l/N)^alpha, re-weighting toward rare strata for alpha < 1 (alpha = 1
+    * keeps natural proportions, alpha -> 0 approaches uniform). Returns the
+    * per-stratum KEEP RATES whose expected output is `targetFraction` of the
+    * corpus: rate_l = targetFraction * N * q_l / n_l with q_l the normalized
+    * temperature weight, capped at 1.0 (a saturated rare stratum can push
+    * the realized fraction slightly below target — the standard behavior).
+    * Feed the result to [[stratifiedHashSample]].
+    *
+    * Deterministic given the data: one count aggregation, the tiny stratum
+    * table is reduced driver-side in sorted-stratum order. alpha = 0.5 (the
+    * common setting) computes weights with sqrt, which IEEE 754 rounds
+    * exactly — bit-identical across engines, so the derived rates are
+    * oracle-replayable; other alphas go through pow, whose last-ulp
+    * behavior is library-specific.
+    */
+  def temperatureRates(df: DataFrame, strataCol: String, alpha: Double,
+                       targetFraction: Double): Map[String, Double] = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0,1], got $targetFraction")
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    if (counts.isEmpty) return Map.empty
+    val total = counts.map(_._2).sum.toDouble // integer sum: exact
+    val wts = counts.map { case (s, n) =>
+      val p = n.toDouble / total
+      s -> (if (alpha == 0.5) math.sqrt(p) else math.pow(p, alpha))
+    }
+    val sw = wts.map(_._2).sum // summed in sorted-stratum order
+    wts.zip(counts).map { case ((s, wt), (_, n)) =>
+      s -> math.min(1.0, targetFraction * total * (wt / sw) / n.toDouble)
+    }.toMap
+  }
+
   /** Deterministic QUOTA sampling: exactly `n` rows per stratum (fewer if the
     * stratum is smaller) — the fixed-budget counterpart of
     * [[stratifiedHashSample]]'s rates, for "cap every source at N documents".

@@ -113,6 +113,19 @@ object CorpusQueries {
         .select("doc_id", "source", "n_chars", "lang")
     },
 
+    // temperature mixing (alpha=0.5, target 30%): rates derived from the
+    // per-language counts, then the stratified hash sample. The oracle
+    // re-derives the rates with the identical arithmetic (sqrt is
+    // IEEE-exact, the weight sum runs in sorted-stratum order on both
+    // engines, thresholds print as the same 4-hex floor)
+    "q95_temperature_mix" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "source")
+      val rates = Sampling.temperatureRates(docs, "lang",
+        alpha = 0.5, targetFraction = 0.3)
+      Sampling.stratifiedHashSample(docs, "doc_id", "lang", rates,
+        defaultRate = 0.0, salt = "s42|")
+    },
+
     // deterministic shard writer: hash-rank round-robin assignment of the
     // token-counted docs to 8 shards, written partitionBy(shard); the
     // read-back filters ONE shard directory (planning-time pruning) and the
@@ -216,6 +229,26 @@ object CorpusQueries {
           FROM n""",
     "q69_partitioned_sink" ->
       "SELECT doc_id, source, n_chars, lang FROM documents WHERE lang = 'en'",
+    "q95_temperature_mix" ->
+      """WITH counts AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM counts),
+         w AS (SELECT lang, CAST(n AS DOUBLE) AS n,
+                      sqrt(CAST(n AS DOUBLE) / total) AS wt
+               FROM counts CROSS JOIN tot),
+         sw AS (SELECT CAST(sum(wt ORDER BY lang) AS DOUBLE) AS s FROM w),
+         r AS (SELECT lang, least(1.0, 0.3 * total * (wt / s) / n) AS rate
+               FROM w CROSS JOIN sw CROSS JOIN tot),
+         th AS (SELECT lang,
+                       CASE WHEN CAST(floor(rate * 65536) AS BIGINT) >= 65536
+                            THEN 'g'
+                            ELSE printf('%04x', CAST(floor(rate * 65536) AS BIGINT))
+                       END AS thr
+                FROM r)
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN th USING (lang)
+         WHERE substr(md5('s42|' || CAST(d.doc_id AS VARCHAR)), 1, 4) < thr""",
     "q91_shard_sink" ->
       """SELECT doc_id, lang,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

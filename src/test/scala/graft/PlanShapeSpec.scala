@@ -128,6 +128,29 @@ class PlanShapeSpec extends SparkSpec {
       s"as-of must not plan any join (range joins explode on hot keys):\n$plan")
   }
 
+  test("rolling window: one exchange, one sort (q84's plan budget)") {
+    import org.apache.spark.sql.execution.SortExec
+    val plan = staticPlan(
+      graft.queries.CoreQueries.queries("q92_rolling_window")(spark, sf))
+    assert(count(plan) { case _: ShuffleExchangeExec => } == 1,
+      s"rolling RANGE window must shuffle once:\n$plan")
+    assert(count(plan) { case _: SortExec => } == 1,
+      s"rolling RANGE window must sort once:\n$plan")
+  }
+
+  test("rollup report: one Expand + hash aggs, no window, no union") {
+    import org.apache.spark.sql.execution.{ExpandExec, UnionExec}
+    val plan = staticPlan(
+      graft.queries.CoreQueries.queries("q93_rollup_stats")(spark, sf))
+    assert(count(plan) { case _: ExpandExec => } == 1,
+      s"rollup must be a single Expand pass:\n$plan")
+    assert(count(plan) { case _: UnionExec => } == 0,
+      s"rollup must not plan an N-pass union:\n$plan")
+    assert(count(plan) { case _: WindowExec => } == 0)
+    assert(count(plan) { case _: ShuffleExchangeExec => } == 1,
+      s"one partial-aggregated shuffle:\n$plan")
+  }
+
   test("bm25 indexed probe: postings scan carries term_bucket PartitionFilters") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_test_planshape_bm25"

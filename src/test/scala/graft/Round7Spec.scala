@@ -187,6 +187,27 @@ class Round7Spec extends SparkSpec {
     assert(mixed.kept.select("doc_id").collect().map(_.getLong(0)).toSet == keptMixed)
   }
 
+  test("temperatureRates: alpha=1 keeps proportions, alpha<1 upsamples rare strata") {
+    import graft.data.Sampling
+    val docs = Seq.tabulate(900)(i => (i.toLong, "en")) ++
+      Seq.tabulate(100)(i => (1000L + i, "fr"))
+    val df = docs.toDF("doc_id", "lang")
+    // alpha = 1: every stratum keeps exactly targetFraction
+    val r1 = Sampling.temperatureRates(df, "lang", alpha = 1.0, targetFraction = 0.3)
+    assert(math.abs(r1("en") - 0.3) < 1e-12 && math.abs(r1("fr") - 0.3) < 1e-12)
+    // alpha = 0.5: rare stratum rate rises, common falls; expected output
+    // stays at targetFraction (no cap hit here)
+    val r5 = Sampling.temperatureRates(df, "lang", alpha = 0.5, targetFraction = 0.3)
+    assert(r5("fr") > 0.3 && r5("en") < 0.3)
+    val expectedRows = 900 * r5("en") + 100 * r5("fr")
+    assert(math.abs(expectedRows - 300.0) < 1e-9, s"$r5")
+    // saturation: a tiny stratum caps at 1.0
+    val skew = (Seq.tabulate(998)(i => (i.toLong, "en")) ++
+      Seq((2000L, "xx"), (2001L, "xx"))).toDF("doc_id", "lang")
+    val rs = Sampling.temperatureRates(skew, "lang", alpha = 0.1, targetFraction = 0.5)
+    assert(rs("xx") == 1.0)
+  }
+
   // ===== shard writer ======================================================
 
   test("assignShards balances rows exactly and token totals approximately") {
