@@ -253,6 +253,39 @@ object CoreQueries {
                 col("n_docs"), col("total_chars"))
     },
 
+    // funnel analysis ("clicks converting to a purchase within 1 h") —
+    // event-sequence analytics COMPOSED from the forward as-of join: for
+    // each click, the next purchase of the same user at-or-after it, then a
+    // per-user conversion aggregate. Same one-shuffle/one-sort budget as the
+    // as-of operator itself; no range join, no per-user collect. The oracle
+    // is an INDEPENDENT shape (min-over-range LEFT JOIN + group), so it
+    // cross-checks the as-of semantics too
+    "q96_funnel" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_us").agg(count(lit(1)).as("__c"))
+        .withColumn("purchase_ts", col("ts_us")).drop("__c")
+      val joined = graft.operators.AsofJoin.forward(clicks, purchases,
+        Seq("user_id"), "ts_us", "ts_us", Seq("purchase_ts"))
+      joined.groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_clicks"),
+             sum(when(col("purchase_ts_asof").isNotNull &&
+                      col("purchase_ts_asof") - col("ts_us") <= 3600L * 1000000L,
+                 1).otherwise(0)).cast("long").as("n_converted"))
+    },
+
+    // semi-structured JSON extraction from the event props column — the
+    // row-level payload-parsing op every event pipeline needs; stays inside
+    // whole-stage codegen (get_json_object is a native expression, no UDF)
+    "q98_json_extract" -> { (s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -401,6 +434,29 @@ object CoreQueries {
                 b.big_ts_us AS big_ts_us_asof, b.big_value AS big_value_asof
          FROM ev e ASOF LEFT JOIN big b
            ON e.event_type = b.event_type AND e.ts_us >= b.ts_us""",
+    "q96_funnel" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         clicks AS (
+           SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+         p AS (
+           SELECT DISTINCT user_id, ts_us AS pts FROM ev
+           WHERE event_type = 'purchase'),
+         conv AS (
+           SELECT c.user_id, c.event_id, c.ts_us, min(p.pts) AS next_p
+           FROM clicks c LEFT JOIN p
+             ON p.user_id = c.user_id AND p.pts >= c.ts_us
+           GROUP BY 1, 2, 3)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+                CAST(sum(CASE WHEN next_p IS NOT NULL
+                               AND next_p - ts_us <= 3600000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+         FROM conv GROUP BY user_id""",
+    "q98_json_extract" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k
+         FROM events""",
     "q92_rolling_window" ->
       """SELECT event_id, user_id, ts_us, value,
                 CAST(count(*) OVER w AS BIGINT) AS n_prev_hour,

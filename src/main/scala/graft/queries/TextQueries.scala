@@ -149,6 +149,27 @@ object TextQueries {
           col("sum_logprob") / col("n_terms").cast("double"))
     },
 
+    // approximate sketches vs exact ground truth — the 100 TB cardinality/
+    // quantile estimation pattern (HyperLogLog++ via approx_count_distinct,
+    // GK quantile sketch via percentile_approx): exact answers need a
+    // full shuffle of the distinct values, sketches are fixed-size
+    // mergeable state. The oracle is the q41-style invariant form: exact
+    // values row-level + in-query tolerance verdicts that must come back
+    // true (HLL at rsd 2% checked against 5%, the quantile sketch at high
+    // accuracy checked against the exact p50's 5% band)
+    "q97_approx_sketches" -> { (s, dir) =>
+      t(s, dir, "documents").groupBy("lang")
+        .agg(countDistinct(col("text")).cast("long").as("exact_distinct"),
+             approx_count_distinct(col("text"), 0.02).as("__hll"),
+             percentile(col("n_chars"), lit(0.5)).as("exact_p50"),
+             percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("__ap50"))
+        .select(col("lang"), col("exact_distinct"), col("exact_p50"),
+          (abs(col("__hll") - col("exact_distinct")).cast("double") <=
+            col("exact_distinct").cast("double") * 0.05).as("hll_within_5pct"),
+          (abs(col("__ap50") - col("exact_p50")) <=
+            col("exact_p50") * 0.05).as("p50_within_5pct"))
+    },
+
     // quality scoring: char-class ratios + stopword density
     "q23_text_quality" -> { (s, dir) =>
       val text = col("text")
@@ -288,6 +309,13 @@ object TextQueries {
          quantile_cont(n_chars, 0.5) AS p50_chars,
          quantile_cont(n_chars, 0.9) AS p90_chars
          FROM documents GROUP BY source""",
+    "q97_approx_sketches" ->
+      """SELECT lang,
+                CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
+                quantile_cont(n_chars, 0.5) AS exact_p50,
+                true AS hll_within_5pct,
+                true AS p50_within_5pct
+         FROM documents GROUP BY lang""",
     "q23_text_quality" ->
       """SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_words,
