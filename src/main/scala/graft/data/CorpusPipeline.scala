@@ -154,15 +154,18 @@ object CorpusPipeline {
     }
 
     // stage 5: corpus mixing — stratified hash downsampling of the
-    // survivors. A pure row predicate (no shuffle, no pairwise work), so
-    // unlike the dedup stages neither half needs a freeze
+    // survivors. The predicate is a pure row expression, but the drop-id
+    // set still freezes like the other stages': it feeds the labels frame,
+    // and without a freeze every labels/report action would re-execute the
+    // whole survivor lineage (corpus scan + the anti-join chain) once more
     val (mixedKept, mixDrops) = cfg.mixStrataCol match {
       case None => (kept, None)
       case Some(sc) =>
         val keep = Sampling.stratifiedKeepExpr(id, col(sc), cfg.mixRates,
           cfg.mixDefaultRate, cfg.mixSalt)
+        val dropIds = freeze(kept.filter(!keep).select(id))
         (kept.filter(keep),
-         Some(kept.filter(!keep).select(id, lit("sampled_out").as("drop_stage"))))
+         Some(dropIds.select(id, lit("sampled_out").as("drop_stage"))))
     }
 
     val dropLabels =

@@ -42,6 +42,11 @@ object Packing {
     * layout-independent/retry-stable/engine-replayable — the [[Sampling]]
     * family's contract. The rank is [[graft.operators.GlobalRank]]'s
     * distributed sort + zipWithIndex, never a single-partition window.
+    *
+    * Contract: `keyCol` must be UNIQUE per row — it is the row's identity in
+    * the (hash, key) total order; duplicate keys would tie, making their
+    * relative rank (and possibly their shard) depend on partition layout,
+    * exactly the nondeterminism this operator exists to avoid.
     */
   def assignShards(df: DataFrame, keyCol: String, nShards: Int,
                    salt: String = "graft"): DataFrame = {

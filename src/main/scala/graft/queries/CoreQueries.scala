@@ -241,16 +241,22 @@ object CoreQueries {
     // multi-granularity corpus report in ONE pass: ROLLUP(lang, source)
     // computes per-(lang, source), per-lang and grand totals in a single
     // partial-aggregated shuffle (Expand + one hash agg — no N-pass union).
-    // Subtotal markers are coalesced to '<all>' so both engines agree on
-    // the label
+    // Subtotal rows are labeled '<all>' via grouping() — NOT a bare
+    // coalesce, which would conflate a subtotal with a genuine NULL data
+    // stratum (those render '<null>')
     "q93_rollup_stats" -> { (s, dir) =>
       t(s, dir, "documents")
         .rollup("lang", "source")
         .agg(count(lit(1)).cast("long").as("n_docs"),
-             sum(col("n_chars").cast("long")).cast("long").as("total_chars"))
-        .select(coalesce(col("lang"), lit("<all>")).as("lang"),
-                coalesce(col("source"), lit("<all>")).as("source"),
-                col("n_docs"), col("total_chars"))
+             sum(col("n_chars").cast("long")).cast("long").as("total_chars"),
+             grouping(col("lang")).cast("int").as("__gl"),
+             grouping(col("source")).cast("int").as("__gs"))
+        .select(
+          when(col("__gl") === 1, lit("<all>"))
+            .otherwise(coalesce(col("lang"), lit("<null>"))).as("lang"),
+          when(col("__gs") === 1, lit("<all>"))
+            .otherwise(coalesce(col("source"), lit("<null>"))).as("source"),
+          col("n_docs"), col("total_chars"))
     },
 
     // funnel analysis ("clicks converting to a purchase within 1 h") —
@@ -465,8 +471,10 @@ object CoreQueries {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
     "q93_rollup_stats" ->
-      """SELECT coalesce(lang, '<all>') AS lang,
-                coalesce(source, '<all>') AS source,
+      """SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>'
+                     ELSE coalesce(lang, '<null>') END AS lang,
+                CASE WHEN GROUPING(source) = 1 THEN '<all>'
+                     ELSE coalesce(source, '<null>') END AS source,
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
          FROM documents GROUP BY ROLLUP (lang, source)""",

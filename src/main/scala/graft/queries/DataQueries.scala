@@ -375,16 +375,25 @@ object DataQueries {
     })
 
   /** Cache path keyed by a fingerprint of the source table's data files
-    * (sorted relative name + length + mtime): regenerating the table at the
-    * same dir changes the fingerprint, so the next bench run rebuilds
-    * instead of probing a stale index.
+    * (sorted RELATIVE path + length + mtime — relative, so a re-nested
+    * layout with coincidentally matching leaf names still changes the
+    * fingerprint): regenerating the table at the same dir changes the
+    * fingerprint, so the next bench run rebuilds instead of probing a
+    * stale index. A missing/unreadable source fails with a clear message
+    * rather than silently fingerprinting an empty listing.
     */
   private def cachedIndexPath(tag: String, sourcePath: String): String = {
+    val base = new java.io.File(sourcePath)
+    require(base.exists, s"bench index cache: source $sourcePath does not exist")
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(f)
-    val sig = walk(new java.io.File(sourcePath))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val baseUri = base.toURI
+    val sig = walk(base)
+      .map(f => s"${baseUri.relativize(f.toURI)}:${f.length}:${f.lastModified}")
+      .mkString("|")
     val fp = f"${scala.util.hashing.MurmurHash3.stringHash(sig)}%08x"
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_v2_$fp"
   }

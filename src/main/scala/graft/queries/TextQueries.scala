@@ -154,20 +154,26 @@ object TextQueries {
     // GK quantile sketch via percentile_approx): exact answers need a
     // full shuffle of the distinct values, sketches are fixed-size
     // mergeable state. The oracle is the q41-style invariant form: exact
-    // values row-level + in-query tolerance verdicts that must come back
-    // true (HLL at rsd 2% checked against 5%, the quantile sketch at high
-    // accuracy checked against the exact p50's 5% band)
+    // values row-level + in-query verdicts that must come back true. The
+    // bands are chosen to be ROBUST, not tight: HLL rsd 2% checked at 10%
+    // (5 sigma); the sketch median — an actual data element near rank n/2 —
+    // checked inside [exact p25, exact p75], which monotonicity guarantees
+    // for any group of >= 3 rows regardless of the value distribution
+    // (a tight band around the INTERPOLATED exact median is not an
+    // invariant: two middle values with a wide gap legitimately violate it)
     "q97_approx_sketches" -> { (s, dir) =>
       t(s, dir, "documents").groupBy("lang")
         .agg(countDistinct(col("text")).cast("long").as("exact_distinct"),
              approx_count_distinct(col("text"), 0.02).as("__hll"),
              percentile(col("n_chars"), lit(0.5)).as("exact_p50"),
+             percentile(col("n_chars"), lit(0.25)).as("__p25"),
+             percentile(col("n_chars"), lit(0.75)).as("__p75"),
              percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("__ap50"))
         .select(col("lang"), col("exact_distinct"), col("exact_p50"),
           (abs(col("__hll") - col("exact_distinct")).cast("double") <=
-            col("exact_distinct").cast("double") * 0.05).as("hll_within_5pct"),
-          (abs(col("__ap50") - col("exact_p50")) <=
-            col("exact_p50") * 0.05).as("p50_within_5pct"))
+            col("exact_distinct").cast("double") * 0.10).as("hll_within_10pct"),
+          (col("__ap50") >= col("__p25") && col("__ap50") <= col("__p75"))
+            .as("p50_within_iqr"))
     },
 
     // quality scoring: char-class ratios + stopword density
@@ -313,8 +319,8 @@ object TextQueries {
       """SELECT lang,
                 CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
                 quantile_cont(n_chars, 0.5) AS exact_p50,
-                true AS hll_within_5pct,
-                true AS p50_within_5pct
+                true AS hll_within_10pct,
+                true AS p50_within_iqr
          FROM documents GROUP BY lang""",
     "q23_text_quality" ->
       """SELECT doc_id,

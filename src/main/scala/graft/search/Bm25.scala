@@ -173,8 +173,11 @@ object Bm25 {
     *
     * Contract: `newDocs` ids must be disjoint from the indexed corpus
     * (re-appending a doc would double its postings — dedup upstream). The
-    * append is not atomic (postings then stats); on failure re-run the
-    * append or rebuild — same as any bulk-load into a partitioned layout.
+    * append is not atomic (postings commit, then stats): a failure in
+    * between leaves the index inconsistent, and RE-RUNNING the append would
+    * double the delta's postings — recover by rebuilding, or run appends
+    * against a copied index directory and swap it in on success (immutable
+    * index generations, the standard serving practice).
     */
   def appendToIndex(newDocs: DataFrame, path: String,
                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
