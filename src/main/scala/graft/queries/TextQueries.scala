@@ -176,6 +176,20 @@ object TextQueries {
             .as("p50_within_iqr"))
     },
 
+    // vocabulary frequency spectrum (count-of-counts): how many distinct
+    // terms occur exactly k times — the Zipf diagnostic behind vocab-size /
+    // min-frequency cutoffs and Good-Turing smoothing. Two chained hash
+    // aggregations (term counts, then counts-of-counts): the second input
+    // is vocabulary-sized and the output spectrum-sized — both shuffles
+    // shrink, nothing is windowed or sorted
+    "q99_freq_spectrum" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .groupBy("freq").agg(count(lit(1)).cast("long").as("n_terms"))
+    },
+
     // quality scoring: char-class ratios + stopword density
     "q23_text_quality" -> { (s, dir) =>
       val text = col("text")
@@ -315,6 +329,14 @@ object TextQueries {
          quantile_cont(n_chars, 0.5) AS p50_chars,
          quantile_cont(n_chars, 0.9) AS p90_chars
          FROM documents GROUP BY source""",
+    "q99_freq_spectrum" ->
+      """WITH t AS (
+           SELECT unnest(string_split(trim(text), ' ')) AS term
+           FROM documents),
+         f AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+               FROM t WHERE term <> '' GROUP BY term)
+         SELECT freq, CAST(count(*) AS BIGINT) AS n_terms
+         FROM f GROUP BY freq""",
     "q97_approx_sketches" ->
       """SELECT lang,
                 CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
