@@ -154,6 +154,22 @@ object SourceStreamQueries {
         mode = "append")
     },
 
+    // bucketed co-located join: both sides written bucketBy(user_id) — the
+    // write-once shuffle layout for repeatedly-joined fact tables; the join
+    // itself then plans ZERO exchanges (PlanShapeSpec-asserted). The oracle
+    // is the plain relational join, so bucketing is proven
+    // result-transparent
+    "q100_bucketed_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select("event_id", "user_id", "value")
+      val dim = t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("user_events"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q100_buckets"
+      Sources.writeBucketedTable(ev, "graft_q100_events", "user_id", 8, s"$base/events")
+      Sources.writeBucketedTable(dim, "graft_q100_dim", "user_id", 8, s"$base/dim")
+      s.table("graft_q100_events").join(s.table("graft_q100_dim"), "user_id")
+        .select("user_id", "event_id", "value", "user_events")
+    },
+
     // binaryFile source (S4): documents written out as one raw file each,
     // read back through the binary scan; the oracle recomputes byte lengths
     // from the parquet text (UTF-8 both sides)
@@ -233,6 +249,12 @@ object SourceStreamQueries {
     // identical semantics to the batch kernel -> shares q30's oracle
     "q57_streaming_cossim" -> MatchQueries.oracleSql("q30_cossim_word_topk"),
     "q61_streaming_dedup" -> "SELECT DISTINCT text FROM documents",
+    "q100_bucketed_join" ->
+      """WITH dim AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS user_events
+           FROM events GROUP BY user_id)
+         SELECT e.user_id, e.event_id, e.value, d.user_events
+         FROM events e JOIN dim d USING (user_id)""",
     "q94_streaming_enrich" ->
       """WITH dim AS (
            SELECT user_id, CAST(count(*) AS BIGINT) AS user_events,

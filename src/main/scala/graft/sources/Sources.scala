@@ -50,4 +50,26 @@ object Sources {
   def writePartitionedParquet(df: DataFrame, path: String,
                               partCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
+  /** Bucketed parquet table (external, at `path`): rows are hash-assigned to
+    * `nBuckets` files per partition on `bucketCol` and sorted within each
+    * bucket, with the layout recorded in the catalog. Two tables bucketed
+    * the same way JOIN WITHOUT ANY EXCHANGE — the co-located-join layout for
+    * fact tables that are joined on the same key repeatedly (each side's
+    * shuffle is paid ONCE at write time instead of per query); asserted on
+    * the physical plan in PlanShapeSpec. Bucketing needs the catalog, hence
+    * saveAsTable; the table is external so data lives at `path`, and any
+    * previous registration is replaced.
+    */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
+                         nBuckets: Int, path: String): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

@@ -151,6 +151,32 @@ class PlanShapeSpec extends SparkSpec {
       s"one partial-aggregated shuffle:\n$plan")
   }
 
+  test("bucketed tables join with ZERO exchanges") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_test_bucketjoin"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val dim = ev.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    graft.sources.Sources.writeBucketedTable(ev, "graft_test_bj_ev",
+      "user_id", 4, s"$base/ev")
+    graft.sources.Sources.writeBucketedTable(dim, "graft_test_bj_dim",
+      "user_id", 4, s"$base/dim")
+    // disable broadcast: a BroadcastHashJoin would avoid the shuffle for the
+    // wrong reason — the claim under test is the co-located SORT-MERGE join
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = staticPlan(
+        spark.table("graft_test_bj_ev")
+          .join(spark.table("graft_test_bj_dim"), "user_id"))
+      assert(count(plan) {
+        case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => } == 1,
+        s"must plan a sort-merge join with broadcast off:\n$plan")
+      assert(count(plan) { case _: ShuffleExchangeExec => } == 0,
+        s"both sides share the bucket layout — the join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("bm25 indexed probe: postings scan carries term_bucket PartitionFilters") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_test_planshape_bm25"
