@@ -186,6 +186,36 @@ object Prof {
       graft.data.Sampling.quotaSample(docs10.select("doc_id", "source"),
         "doc_id", "source", n = 50).count())
 
+    // disk-index incremental append: the claim under test is "a corpus
+    // delta costs one scan of the DELTA" — appending a 1x delta onto a 10x
+    // index should cost ~the 1x build, nowhere near the 10x rebuild
+    def rmTree(p: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(p))
+    }
+    val delta = docs1.withColumn("doc_id", col("doc_id") + 900000000L)
+    val bmPath = s"${System.getProperty("java.io.tmpdir")}/graft_prof_bm25_append"
+    rmTree(bmPath)
+    probe("bm25_index_build", 10, n10) {
+      graft.search.Bm25.writeIndex(docs10, bmPath, nBuckets = 16); 0L
+    }
+    probe("bm25_index_append", 1, n1) {
+      graft.search.Bm25.appendToIndex(delta, bmPath); 0L
+    }
+    val emb1e = emb1
+    val embDelta = emb1e.withColumn("vec_id", col("vec_id") + 900000000L)
+    val ivfPath = s"${System.getProperty("java.io.tmpdir")}/graft_prof_ivf_append"
+    rmTree(ivfPath)
+    probe("ivf_index_build", 8, e8) {
+      graft.ann.Knn.ivfWriteIndex(emb8, ivfPath, nLists = 64); 0L
+    }
+    probe("ivf_index_append", 1, e1) {
+      graft.ann.Knn.ivfAppendToIndex(embDelta, ivfPath); 0L
+    }
+
     log.close()
     spark.stop()
   }
