@@ -68,8 +68,8 @@ object AsofJoin {
       require(!left.columns.contains(p + suffix),
         s"left already has a column named '${p + suffix}' — pick another suffix")
     }
-    require(!left.columns.exists(c => c == "__ts" || c == "__side" || c == "__p"),
-      "left must not use the operator's reserved __ts/__side/__p column names")
+    require(!left.columns.exists(c => c == "__ts" || c == "__side" || c == "__p" || c == "__m"),
+      "left must not use the operator's reserved __ts/__side/__p/__m column names")
     // the payload struct type, nullable so left rows can carry a null struct
     val pType = StructType(payload.map(p => right.schema(p).copy(name = p)))
     val lPrep = left

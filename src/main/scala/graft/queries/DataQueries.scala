@@ -375,12 +375,17 @@ object DataQueries {
     })
 
   /** Cache path keyed by a fingerprint of the source table's data files
-    * (sorted RELATIVE path + length + mtime — relative, so a re-nested
-    * layout with coincidentally matching leaf names still changes the
-    * fingerprint): regenerating the table at the same dir changes the
-    * fingerprint, so the next bench run rebuilds instead of probing a
-    * stale index. A missing/unreadable source fails with a clear message
-    * rather than silently fingerprinting an empty listing.
+    * (sorted RELATIVE path + length + mtime + a footer byte sample —
+    * relative, so a re-nested layout with coincidentally matching leaf
+    * names still changes the fingerprint; the parquet FOOTER sample
+    * catches a regeneration that lands identical sizes within the same
+    * mtime tick, since the footer carries row-group stats/offsets that
+    * shift with the data): regenerating the table at the same dir changes
+    * the fingerprint, so the next bench run rebuilds instead of probing a
+    * stale index. Older fingerprints of the same tag are deleted when a
+    * new one appears, so stale index dirs don't accumulate in tmpdir.
+    * A missing/unreadable source fails with a clear message rather than
+    * silently fingerprinting an empty listing.
     */
   private def cachedIndexPath(tag: String, sourcePath: String): String = {
     val base = new java.io.File(sourcePath)
@@ -390,12 +395,34 @@ object DataQueries {
         Option(f.listFiles()).getOrElse(Array.empty)
           .sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(f)
+    def footerSample(f: java.io.File): Int = {
+      val n = math.min(f.length, 4096L).toInt
+      if (n == 0) 0
+      else {
+        val buf = new Array[Byte](n)
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try { raf.seek(f.length - n); raf.readFully(buf) } finally raf.close()
+        java.util.Arrays.hashCode(buf)
+      }
+    }
     val baseUri = base.toURI
     val sig = walk(base)
-      .map(f => s"${baseUri.relativize(f.toURI)}:${f.length}:${f.lastModified}")
+      .map(f => s"${baseUri.relativize(f.toURI)}:${f.length}:${f.lastModified}:${footerSample(f)}")
       .mkString("|")
     val fp = f"${scala.util.hashing.MurmurHash3.stringHash(sig)}%08x"
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_v2_$fp"
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val dirName = s"graft_${tag}_v3_$fp"
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(s"graft_${tag}_v") &&
+                   d.getName != dirName)
+      .foreach(deleteRecursively)
+    s"${tmp.getPath}/$dirName"
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   private def buildComplete(path: String): Boolean =

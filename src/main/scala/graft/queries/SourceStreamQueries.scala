@@ -163,10 +163,14 @@ object SourceStreamQueries {
       val ev = t(s, dir, "events").select("event_id", "user_id", "value")
       val dim = t(s, dir, "events").groupBy("user_id")
         .agg(count(lit(1)).cast("long").as("user_events"))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q100_buckets"
-      Sources.writeBucketedTable(ev, "graft_q100_events", "user_id", 8, s"$base/events")
-      Sources.writeBucketedTable(dim, "graft_q100_dim", "user_id", 8, s"$base/dim")
-      s.table("graft_q100_events").join(s.table("graft_q100_dim"), "user_id")
+      // table names + path namespaced by the Spark application id so two
+      // concurrent verify/bench runs on one machine never race on the DROP
+      // TABLE / saveAsTable or corrupt each other's bucket directories
+      val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q100_buckets_$run"
+      Sources.writeBucketedTable(ev, s"graft_q100_events_$run", "user_id", 8, s"$base/events")
+      Sources.writeBucketedTable(dim, s"graft_q100_dim_$run", "user_id", 8, s"$base/dim")
+      s.table(s"graft_q100_events_$run").join(s.table(s"graft_q100_dim_$run"), "user_id")
         .select("user_id", "event_id", "value", "user_events")
     },
 

@@ -168,11 +168,16 @@ object TextQueries {
              percentile(col("n_chars"), lit(0.5)).as("exact_p50"),
              percentile(col("n_chars"), lit(0.25)).as("__p25"),
              percentile(col("n_chars"), lit(0.75)).as("__p75"),
-             percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("__ap50"))
+             percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("__ap50"),
+             count(lit(1)).as("__n"))
         .select(col("lang"), col("exact_distinct"), col("exact_p50"),
           (abs(col("__hll") - col("exact_distinct")).cast("double") <=
             col("exact_distinct").cast("double") * 0.10).as("hll_within_10pct"),
-          (col("__ap50") >= col("__p25") && col("__ap50") <= col("__p75"))
+          // the [p25, p75] containment is only an invariant for strata of
+          // >= 3 rows (a 2-row stratum's sketch median can legitimately sit
+          // below the interpolated p25) — vacuously true for tiny groups
+          (col("__n") < 3 ||
+            (col("__ap50") >= col("__p25") && col("__ap50") <= col("__p75")))
             .as("p50_within_iqr"))
     },
 

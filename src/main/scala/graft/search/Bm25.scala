@@ -139,7 +139,10 @@ object Bm25 {
     // drift across appends
     val toks = tokenize(col(textCol))
     docs.select(size(toks).cast("long").as("__dl"))
-      .agg(count(lit(1)).cast("double").as("n_docs"), sum(col("__dl")).as("sum_dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+           // empty corpus: sum over zero rows is NULL — store 0 so
+           // [[appendToIndex]]'s getLong on an empty-base index never NPEs
+           coalesce(sum(col("__dl")), lit(0L)).as("sum_dl"))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
       .withColumn("n_buckets", lit(nBuckets))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
