@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.agg.EntityAggregation
 import graft.idx.{CandidateSelection, CandidateSelectionModel, CosSimIndexer, CosSimIndexerModel, NameIndexer, SniIndexer, SniIndexerModel}
 import graft.ml.{SupervisedLayer, SupervisedModel, TrainData}
-import graft.operators.AutoRepartition
+import graft.operators.{AutoRepartition, GlobalRank}
 import graft.preprocess.Preprocessor
 
 /** User-facing entity-matching facade, mirroring the reference pipeline
@@ -245,17 +245,27 @@ final class EntityMatchingModel(
     names =
       if (!negativeOn) names.withColumn("positive_set", lit(true))
       else {
-        // the windows run on the (small) distinct-entity table, not the rows
-        val wOrd = Window.orderBy(xxhash64(col(Cols.EntityId), lit(seed)), col(Cols.EntityId))
-        val wAll = Window.partitionBy()
-        val flags = names.select(col(Cols.EntityId)).distinct()
-          .withColumn("positive_set",
-            row_number().over(wOrd) <=
-              floor(lit(1.0 - createNegativeSampleFraction) * count(lit(1)).over(wAll)))
+        // hash-ordered split of the DISTINCT entity table via GlobalRank
+        // (distributed sort + zipWithIndex) — no single-partition global
+        // window and no forced broadcast, so entity cardinality has no
+        // driver/executor-memory ceiling (the reference's `isin(pos_ids)`
+        // bound, prepare_name_pairs.py:100-108, is exactly that ceiling).
+        // The id table is frozen once: `total` and the rank pipeline would
+        // otherwise each re-run normalize+distinct.
+        val ids = names.select(col(Cols.EntityId)).distinct().localCheckpoint()
+        val total = ids.count()
+        // same arithmetic as the former SQL floor(lit(1-frac) * count):
+        // double multiply then floor, so the split point is bit-identical
+        val nPos = math.floor((1.0 - createNegativeSampleFraction) * total).toLong
+        val flags = GlobalRank.withGlobalRank(
+            ids.withColumn("__h", xxhash64(col(Cols.EntityId), lit(seed))),
+            "__r", Seq("__h", Cols.EntityId))
+          .select(col(Cols.EntityId), (col("__r") < nPos).as("positive_set"))
         // left join + false default: a null entity_id never equi-joins, and
         // the reference's `isin(pos_ids)` puts null-entity names in the
-        // negative set rather than dropping them
-        names.join(broadcast(flags), Seq(Cols.EntityId), "left")
+        // negative set rather than dropping them. No broadcast hint — AQE
+        // broadcasts when the id table is small and shuffles when it isn't.
+        names.join(flags, Seq(Cols.EntityId), "left")
           .withColumn("positive_set", coalesce(col("positive_set"), lit(false)))
       }
     val cs = if (negativeOn) candidateModel.widened else candidateModel

@@ -53,6 +53,28 @@ object Knn {
   // shared allocation-free HALF_UP (falls back to exact BigDecimal near ties)
   private def round9(x: Double): Double = graft.idx.CosSimKernel.roundHalfUp(x, 9)
 
+  /** Row column -> primitive Array[Float] for the distributed kernels: an
+    * `ArraySeq.ofFloat` backing array unwraps IN PLACE (no copy, no boxing);
+    * anything else (e.g. the boxed-element wrapper `DataFrame.rdd`'s
+    * converter builds) copies ONCE so the hot loops downstream always run
+    * over a primitive array instead of a per-access-boxing Seq.
+    */
+  private def floatArr(r: Row, i: Int): Array[Float] =
+    if (r.isNullAt(i)) Array.emptyFloatArray
+    else r.get(i) match {
+      case a: scala.collection.mutable.ArraySeq.ofFloat => a.array
+      case s: scala.collection.Seq[_] =>
+        val n = s.length
+        val out = new Array[Float](n)
+        val it = s.iterator
+        var j = 0
+        while (it.hasNext) { out(j) = it.next().asInstanceOf[Float]; j += 1 }
+        out
+      case other =>
+        throw new IllegalArgumentException(
+          s"expected a float vector at column $i, got ${other.getClass}")
+    }
+
   private val outSchema = StructType(Seq(
     StructField("query_id", LongType, nullable = false),
     StructField("target_id", LongType, nullable = false),
@@ -858,8 +880,8 @@ object Knn {
         val cs = bc.value
         val one = new Array[Int](1)
         it.map { r =>
-          val v = if (r.isNullAt(1)) Seq.empty[Float] else r.getSeq[Float](1)
-          nearestCentroids(v.toArray, cs, dim, nL, 1, one)
+          val v = floatArr(r, 1)
+          nearestCentroids(v, cs, dim, nL, 1, one)
           Row(r.getLong(0), v, one(0))
         }
       }, schema)
@@ -907,8 +929,8 @@ object Knn {
         val probes = new Array[Int](math.max(nP, 1))
         it.flatMap { r =>
           val id = r.getLong(0)
-          val v = if (r.isNullAt(1)) Seq.empty[Float] else r.getSeq[Float](1)
-          val n = nearestCentroids(v.toArray, cs, dim, nL, nP, probes)
+          val v = floatArr(r, 1)
+          val n = nearestCentroids(v, cs, dim, nL, nP, probes)
           (0 until n).iterator.map(i => Row(probes(i), id, v))
         }
       }, probedSchema)
@@ -942,8 +964,8 @@ object Knn {
     joined.sparkSession.createDataFrame(
       joined.select("query_id", "qv", "target_id", "tv").rdd.mapPartitions { it =>
         it.map { r =>
-          val a = if (r.isNullAt(1)) Seq.empty[Float] else r.getSeq[Float](1)
-          val b = if (r.isNullAt(3)) Seq.empty[Float] else r.getSeq[Float](3)
+          val a = floatArr(r, 1)
+          val b = floatArr(r, 3)
           val aLen = math.min(dim, a.length)
           val bLen = math.min(dim, b.length)
           var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -1002,8 +1024,8 @@ object Knn {
         val probes = new Array[Int](math.max(take, 1))
         it.flatMap { r =>
           val id = r.getLong(0)
-          val v  = if (r.isNullAt(1)) Seq.empty[Float] else r.getSeq[Float](1)
-          val nFilled = nearestCentroids(v.toArray, cs, dim, nL, take, probes)
+          val v  = floatArr(r, 1)
+          val nFilled = nearestCentroids(v, cs, dim, nL, take, probes)
           (0 until nFilled).iterator.map(i => Row(probes(i), id, v))
         }
       }
