@@ -90,6 +90,65 @@ object MlQueries {
         .toDF("total_rows", "overlapping_groups", "stratum_violations")
     },
 
+    // supervised layer made ORACLE-VISIBLE (the q97 invariant recipe): a
+    // deterministic synthetic labeled pair set — every part name noised by
+    // the seeded noiser as the positive candidate, two other part names as
+    // negatives — trains the GBT IN-QUERY on the even-uid half and scores
+    // the held-out odd-uid half. The emitted row is metric verdicts the
+    // DuckDB oracle replays (the reference gates this exact property with
+    // metric assertions in tests/integration/test_training_classifier.py):
+    // held-out Mann-Whitney AUC >= 0.95, best-match accuracy >= 0.9, scores
+    // inside [0,1], exactly one best_rank=1 row per scored name. Thresholds
+    // are ROBUST bands (the fixture is separable by construction — noised
+    // names share almost all tokens with their source, other part names
+    // don't), not tight score hashes: GBT probabilities are not a
+    // cross-engine-reproducible surface, separability metrics are.
+    "q101_supervised_invariants" -> { (s, dir) =>
+      val noiseUdf = udf((n: String, seed: Long) => TrainData.noise(n, seed))
+      val base = t(s, dir, "part").filter(col("p_partkey") <= 150)
+        .select(col("p_partkey").cast("long").as(Cols.Uid),
+                lower(col("p_name")).as("gt_name"))
+      // candidate triple per uid: its own noised name (correct) + the next
+      // two part names cyclically (incorrect); all joins are key-equi on the
+      // 150-row fixture
+      val noised = base.select(col(Cols.Uid),
+        noiseUdf(col("gt_name"), col(Cols.Uid)).as(Cols.Preprocessed))
+      val gtFor = (k: Int) => base.select(
+        (((col(Cols.Uid) + lit(k) - 1) % 150) + 1).as(Cols.Uid),
+        col(Cols.Uid).as(Cols.GtUid), col("gt_name").as(Cols.GtPreprocessed))
+      val pairs = noised.join(
+          gtFor(0).withColumn("correct", lit(true))
+            .unionByName(gtFor(1).withColumn("correct", lit(false)))
+            .unionByName(gtFor(7).withColumn("correct", lit(false))),
+          Seq(Cols.Uid))
+      val layer = new graft.ml.SupervisedLayer(scoreCols = Nil,
+        withRankFeatures = false, maxIter = 10, maxDepth = 3, seed = 0L)
+      val model  = layer.fit(pairs.filter(col(Cols.Uid) % 2 === 0))
+      val scored = model.transform(pairs.filter(col(Cols.Uid) % 2 === 1))
+        .select(col(Cols.Uid), col("correct"), col(Cols.NmScore),
+                col(Cols.BestRank), col(Cols.BestMatch)).localCheckpoint()
+      // Mann-Whitney AUC without a global window: mean over (pos, neg) score
+      // pairs of [s_pos > s_neg] + 0.5*[==]. The cross join is METRIC code
+      // on the fixture-bounded scored set (75 pos x 150 neg), broadcast one
+      // side — never a data-scale operation.
+      val pos = scored.filter(col("correct")).select(col(Cols.NmScore).as("sp"))
+      val neg = scored.filter(!col("correct")).select(col(Cols.NmScore).as("sn"))
+      val auc = pos.crossJoin(broadcast(neg))
+        .agg(avg(when(col("sp") > col("sn"), 1.0)
+          .when(col("sp") === col("sn"), 0.5).otherwise(0.0)).as("auc"))
+        .head.getDouble(0)
+      val nTest = scored.select(Cols.Uid).distinct().count()
+      val bestCorrect = scored.filter(col(Cols.BestMatch) && col("correct")).count()
+      val outOfRange = scored.filter(col(Cols.NmScore) < 0.0 || col(Cols.NmScore) > 1.0).count()
+      val bestRows = scored.filter(col(Cols.BestRank) === 1).count()
+      val sp = s
+      import sp.implicits._
+      Seq((nTest, auc >= 0.95, bestCorrect.toDouble >= 0.9 * nTest,
+           outOfRange == 0L, bestRows == nTest))
+        .toDF("n_test_names", "auc_ge_095", "best_match_acc_ge_090",
+          "scores_in_unit_interval", "one_best_per_name")
+    },
+
     // full training-pair assembly (EntityMatchingModel.createTrainingPairs):
     // entity split + widened candidate gen + negative re-rank narrowing +
     // no-candidate re-add. Oracle surface: every input name survives, the
@@ -197,6 +256,13 @@ object MlQueries {
                 CAST(0 AS BIGINT) AS overlapping_groups,
                 CAST(0 AS BIGINT) AS stratum_violations
          FROM orders""",
+    "q101_supervised_invariants" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_test_names,
+                true AS auc_ge_095,
+                true AS best_match_acc_ge_090,
+                true AS scores_in_unit_interval,
+                true AS one_best_per_name
+         FROM part WHERE p_partkey <= 150 AND p_partkey % 2 = 1""",
     "q54_training_pairs" ->
       """WITH nm AS (SELECT p_partkey AS uid, p_brand AS entity_id
                      FROM part WHERE p_partkey < 300)
