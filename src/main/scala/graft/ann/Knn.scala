@@ -903,6 +903,23 @@ object Knn {
     (centroids, dim)
   }
 
+  /** Rewrite the accumulated append files so every `list_id` partition of a
+    * disk IVF index holds ONE data file again (N appends otherwise leave
+    * N+1 files per list and probe listing cost grows per append). Centroids
+    * are untouched and rows only move between files, so probes over the
+    * compacted index are BIT-IDENTICAL to probes over the appended one
+    * (q103's oracle). Swap atomicity contract: see
+    * [[graft.operators.PartitionCompaction]].
+    *
+    * @return list data-file count (before, after)
+    */
+  def ivfCompactIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): (Long, Long) = {
+    val nLists = spark.read.parquet(s"$path/centroids").count().toInt
+    graft.operators.PartitionCompaction.compact(
+      spark, s"$path/lists", "list_id", math.max(nLists, 1))
+  }
+
   /** Query a disk-materialized IVF index (see [[ivfWriteIndex]]): probe
     * lists per query via the shared centroid kernel, statically prune the
     * index scan to the union of probed lists, join on `list_id`, and score

@@ -294,6 +294,41 @@ object DataQueries {
       Knn.ivfTopKIndexed(emb.filter(col("vec_id") < 100), path, k = 5, nProbe = 16)
     },
 
+    // disk-index compaction, BM25: build on the even half, append the odd
+    // half (leaving 2 files per bucket), COMPACT to one file per bucket,
+    // probe. Stats untouched, rows only move between files — the q87
+    // full-corpus oracle checks the probe bit-identically, and the file
+    // counts are asserted in-query (before > after, after <= n_buckets)
+    "q102_bm25_compact" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(trim(col("text")), " "), 1, 4), " ")
+            .as("query_text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q102_bm25_compact"
+      graft.search.Bm25.writeIndex(docs.filter(col("doc_id") % 2 === 0), path,
+        nBuckets = 16)
+      graft.search.Bm25.appendToIndex(docs.filter(col("doc_id") % 2 =!= 0), path)
+      val (before, after) = graft.search.Bm25.compactIndex(s, path)
+      require(after < before && after <= 16,
+        s"compaction must shrink the posting file count: $before -> $after")
+      graft.search.Bm25.topKIndexed(qs, path, k = 10)
+    },
+
+    // disk-index compaction, IVF: same recipe over the list_id layout; the
+    // q88 exhaustive-probe brute-force oracle locks the probe bit-identically
+    "q103_ann_ivf_compact" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q103_ivf_compact"
+      Knn.ivfWriteIndex(emb.filter(col("vec_id") % 2 === 0), path,
+        nLists = 16, seed = 7L, maxIter = 5)
+      Knn.ivfAppendToIndex(emb.filter(col("vec_id") % 2 =!= 0), path)
+      val (before, after) = Knn.ivfCompactIndex(s, path)
+      require(after < before && after <= 16,
+        s"compaction must shrink the list file count: $before -> $after")
+      Knn.ivfTopKIndexed(emb.filter(col("vec_id") < 100), path, k = 5, nProbe = 16)
+    },
+
     // transitive duplicate clusters: exact jaccard pairs -> connected
     // components -> min-id cluster labels. Full oracle: DuckDB replays the
     // pairs and closes them with a recursive CTE
@@ -534,6 +569,7 @@ object DataQueries {
     "q72_bm25_topk" -> bm25Sql,
     "q75_bm25_indexed" -> bm25Sql,
     "q87_bm25_append" -> bm25Sql,
+    "q102_bm25_compact" -> bm25Sql,
     // duplicate clusters: the q40 pair CTE closed transitively by a recursive
     // CTE; cluster = min reachable id, singletons cluster to themselves
     "q73_dup_clusters" ->
@@ -647,6 +683,16 @@ object DataQueries {
                 CAST(least(e.vec_id, coalesce(m.min_nbr, e.vec_id)) AS BIGINT) AS rep_id,
                 least(e.vec_id, coalesce(m.min_nbr, e.vec_id)) <> e.vec_id AS is_dup
          FROM embeddings e LEFT JOIN minnbr m ON e.vec_id = m.vec_id""",
+    "q103_ann_ivf_compact" ->
+      """SELECT query_id, target_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                  round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) AS cosine,
+                  CAST(row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) DESC,
+                                t.vec_id) AS INT) AS rank
+           FROM embeddings q CROSS JOIN embeddings t
+           WHERE q.vec_id < 100)
+         WHERE rank <= 5""",
     "q88_ann_ivf_append" ->
       """SELECT query_id, target_id, cosine, rank FROM (
            SELECT q.vec_id AS query_id, t.vec_id AS target_id,

@@ -202,6 +202,22 @@ object Bm25 {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Rewrite the accumulated append files so every `term_bucket` partition
+    * holds ONE posting file again (N appends otherwise leave N+1 files per
+    * bucket and probe listing cost grows per append). Stats are untouched
+    * and rows only move between files, so probes over the compacted index
+    * are BIT-IDENTICAL to probes over the appended one (q102's oracle).
+    * Swap atomicity contract: see [[graft.operators.PartitionCompaction]].
+    *
+    * @return posting data-file count (before, after)
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (Long, Long) = {
+    val nBuckets = spark.read.parquet(s"$path/stats").select("n_buckets").head.getInt(0)
+    graft.operators.PartitionCompaction.compact(
+      spark, s"$path/postings", "term_bucket", nBuckets)
+  }
+
   /** BM25 top-k over a [[writeIndex]]-materialized index — bit-identical to
     * [[topK]] on the same corpus (same postings, same stats, same scoring
     * tail). The query term set is collected driver-side (queries are small by

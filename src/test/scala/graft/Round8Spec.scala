@@ -11,6 +11,37 @@ import graft.idx.CosSimIndexer
 class Round8Spec extends SparkSpec {
   import spark.implicits._
 
+  test("compactIndex: one file per partition afterwards, probes unchanged (both indexes)") {
+    import graft.ann.Knn
+    import graft.search.Bm25
+    val tmp = System.getProperty("java.io.tmpdir")
+
+    // BM25: build on half, append the rest -> 2 files per touched bucket
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "gamma delta epsilon"), (4L, "delta epsilon zeta"),
+      (5L, "epsilon zeta alpha"), (6L, "zeta alpha beta")).toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha delta")).toDF("query_id", "query_text")
+    val bPath = s"$tmp/graft_r8_bm25_compact"
+    Bm25.writeIndex(docs.filter($"doc_id" <= 3), bPath, nBuckets = 4)
+    Bm25.appendToIndex(docs.filter($"doc_id" > 3), bPath)
+    val preB = Bm25.topKIndexed(qs, bPath, k = 10).collect().toSet
+    val (b0, b1) = Bm25.compactIndex(spark, bPath)
+    assert(b1 < b0 && b1 <= 4, s"bm25 files $b0 -> $b1")
+    assert(Bm25.topKIndexed(qs, bPath, k = 10).collect().toSet == preB)
+
+    // IVF: same recipe over the list_id layout
+    val emb = (1L to 12L).map(i =>
+      (i, Seq(math.cos(i.toDouble).toFloat, math.sin(i.toDouble).toFloat)))
+      .toDF("vec_id", "embedding")
+    val iPath = s"$tmp/graft_r8_ivf_compact"
+    Knn.ivfWriteIndex(emb.filter($"vec_id" % 2 === 0), iPath, nLists = 2, seed = 3L)
+    Knn.ivfAppendToIndex(emb.filter($"vec_id" % 2 === 1), iPath)
+    val preI = Knn.ivfTopKIndexed(emb, iPath, k = 3, nProbe = 2).collect().toSet
+    val (i0, i1) = Knn.ivfCompactIndex(spark, iPath)
+    assert(i1 < i0 && i1 <= 2, s"ivf files $i0 -> $i1")
+    assert(Knn.ivfTopKIndexed(emb, iPath, k = 3, nProbe = 2).collect().toSet == preI)
+  }
+
   test("negative split: GlobalRank path is exact and deterministic at 10x entity count") {
     // 3000 entities x 2 names — an order of magnitude over the q48/q50
     // fixtures; the former Window.orderBy(...) plan put all of it in ONE
