@@ -903,6 +903,64 @@ object Knn {
     (centroids, dim)
   }
 
+  /** IVF maintenance signal: per-list occupancy of a disk index, ONE hash
+    * aggregation over the lists layout (partition column only + count — the
+    * scan reads no vector data thanks to column pruning). Appends assign
+    * with the frozen build-time centroids ([[ivfAppendToIndex]]), so under
+    * corpus drift the list-size distribution skews and partial-probe cost
+    * degrades silently; this report is the signal to [[ivfRefitIndex]].
+    * Output: (list_id, n_vectors) per non-empty list.
+    */
+  def ivfListStats(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(s"$path/lists")
+      .groupBy("list_id").agg(count(lit(1)).as("n_vectors"))
+
+  /** One-row occupancy summary: list count, vector total, min/max list
+    * sizes, and the imbalance ratio max/mean — the number a maintenance
+    * job alerts on (perfectly balanced lists have ratio 1; ratio ~= nLists
+    * means one hot list absorbs everything and probes degrade to scans).
+    */
+  def ivfOccupancyReport(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame =
+    ivfListStats(spark, path).agg(
+      count(lit(1)).cast("long").as("n_nonempty_lists"),
+      sum(col("n_vectors")).cast("long").as("n_vectors"),
+      min(col("n_vectors")).cast("long").as("min_list"),
+      max(col("n_vectors")).cast("long").as("max_list"),
+      (max(col("n_vectors")).cast("double") /
+        (sum(col("n_vectors")).cast("double") / count(lit(1)).cast("double")))
+        .as("imbalance"))
+
+  /** Re-fit the quantizer of a disk IVF index and re-map every stored
+    * vector — the recovery path when [[ivfOccupancyReport]] shows heavy
+    * drift skew. Reads the vectors back OUT OF THE INDEX (one scan of the
+    * lists layout — the source corpus is not needed), refits centroids on
+    * the same seeded bounded sample [[ivfWriteIndex]] uses, re-assigns with
+    * the shared kernel, and swaps the finished index in whole (lists AND
+    * centroids move together — a reader never sees new centroids with old
+    * lists). Scores are independent of list membership, so an exhaustive
+    * probe after refit stays bit-identical to brute force (q105's oracle);
+    * partial probes change only through the new, better-balanced lists.
+    * Swap atomicity contract: see [[graft.operators.PartitionCompaction]].
+    */
+  def ivfRefitIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    nLists: Int = 64, seed: Long = 42L, maxIter: Int = 10,
+                    maxFitRows: Int = 100000): Unit = {
+    import org.apache.hadoop.fs.Path
+    val vecs = spark.read.parquet(s"$path/lists")
+      .select(col("target_id").as("vec_id"), col("tv").as("embedding"))
+    val tmp = path + "__refit_tmp"
+    ivfWriteIndex(vecs, tmp, nLists, seed, maxIter, maxFitRows)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val bak = new Path(path + "__pre_refit")
+    fs.delete(bak, true)
+    require(fs.rename(new Path(path), bak), s"refit: could not move $path aside")
+    require(fs.rename(new Path(tmp), new Path(path)),
+      s"refit: could not move refit index into place (original preserved at $bak)")
+    fs.delete(bak, true)
+  }
+
   /** Rewrite the accumulated append files so every `list_id` partition of a
     * disk IVF index holds ONE data file again (N appends otherwise leave
     * N+1 files per list and probe listing cost grows per append). Centroids

@@ -329,6 +329,42 @@ object DataQueries {
       Knn.ivfTopKIndexed(emb.filter(col("vec_id") < 100), path, k = 5, nProbe = 16)
     },
 
+    // IVF occupancy report (the maintenance signal): build + drift-append,
+    // then one count-only aggregation over the lists layout. The q49-style
+    // invariant surface: the vector total is replayed EXACTLY from the
+    // source table by DuckDB; list count, min/max bounds and the imbalance
+    // ratio come back as verdict booleans (assignments depend on the fitted
+    // centroids, which no other engine can replay)
+    "q104_ivf_occupancy" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q104_ivf_occ"
+      Knn.ivfWriteIndex(emb.filter(col("vec_id") % 2 === 0), path,
+        nLists = 16, seed = 7L, maxIter = 5)
+      Knn.ivfAppendToIndex(emb.filter(col("vec_id") % 2 =!= 0), path)
+      Knn.ivfOccupancyReport(s, path).select(
+        col("n_vectors"),
+        (col("n_nonempty_lists") >= 1 && col("n_nonempty_lists") <= 16)
+          .as("lists_within_bound"),
+        (col("min_list") >= 1 && col("max_list") <= col("n_vectors"))
+          .as("sizes_within_bound"),
+        (col("imbalance") >= 1.0).as("imbalance_ge_1"))
+    },
+
+    // IVF refit-remap (the drift recovery): build+append as q104, REFIT the
+    // quantizer from the index's own vectors and remap every list, then
+    // probe exhaustively — scores are independent of list membership, so
+    // the q88 brute-force oracle locks the refit plumbing bit-identically
+    // (no vector lost, duplicated, or altered by the rewrite)
+    "q105_ivf_refit" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q105_ivf_refit"
+      Knn.ivfWriteIndex(emb.filter(col("vec_id") % 2 === 0), path,
+        nLists = 16, seed = 7L, maxIter = 5)
+      Knn.ivfAppendToIndex(emb.filter(col("vec_id") % 2 =!= 0), path)
+      Knn.ivfRefitIndex(s, path, nLists = 16, seed = 11L, maxIter = 5)
+      Knn.ivfTopKIndexed(emb.filter(col("vec_id") < 100), path, k = 5, nProbe = 16)
+    },
+
     // transitive duplicate clusters: exact jaccard pairs -> connected
     // components -> min-id cluster labels. Full oracle: DuckDB replays the
     // pairs and closes them with a recursive CTE
@@ -683,6 +719,22 @@ object DataQueries {
                 CAST(least(e.vec_id, coalesce(m.min_nbr, e.vec_id)) AS BIGINT) AS rep_id,
                 least(e.vec_id, coalesce(m.min_nbr, e.vec_id)) <> e.vec_id AS is_dup
          FROM embeddings e LEFT JOIN minnbr m ON e.vec_id = m.vec_id""",
+    "q104_ivf_occupancy" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                true AS lists_within_bound,
+                true AS sizes_within_bound,
+                true AS imbalance_ge_1
+         FROM embeddings""",
+    "q105_ivf_refit" ->
+      """SELECT query_id, target_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                  round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) AS cosine,
+                  CAST(row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) DESC,
+                                t.vec_id) AS INT) AS rank
+           FROM embeddings q CROSS JOIN embeddings t
+           WHERE q.vec_id < 100)
+         WHERE rank <= 5""",
     "q103_ann_ivf_compact" ->
       """SELECT query_id, target_id, cosine, rank FROM (
            SELECT q.vec_id AS query_id, t.vec_id AS target_id,

@@ -42,6 +42,31 @@ class Round8Spec extends SparkSpec {
     assert(Knn.ivfTopKIndexed(emb, iPath, k = 3, nProbe = 2).collect().toSet == preI)
   }
 
+  test("ivf refit: drift skew rebalances, vector set and exhaustive probe unchanged") {
+    import graft.ann.Knn
+    // two tight clusters; the index is FIT on cluster A only, so after
+    // appending cluster B both clusters share A's lists (drift skew)
+    val a = (1L to 10L).map(i => (i, Seq(1.0f, 0.01f * i)))
+    val b = (11L to 20L).map(i => (i, Seq(-1.0f, 0.01f * i)))
+    val emb = (a ++ b).toDF("vec_id", "embedding")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_r8_ivf_refit"
+    Knn.ivfWriteIndex(emb.filter($"vec_id" <= 10), path, nLists = 2, seed = 3L)
+    Knn.ivfAppendToIndex(emb.filter($"vec_id" > 10), path)
+    val preProbe = Knn.ivfTopKIndexed(emb, path, k = 3, nProbe = 2).collect().toSet
+    val preOcc = Knn.ivfOccupancyReport(spark, path).head
+    assert(preOcc.getLong(1) == 20L)
+    Knn.ivfRefitIndex(spark, path, nLists = 2, seed = 5L)
+    val postOcc = Knn.ivfOccupancyReport(spark, path).head
+    assert(postOcc.getLong(1) == 20L, "refit must preserve every vector")
+    // the refit quantizer separates the two clusters: 10/10 (imbalance 1.0)
+    assert(postOcc.getDouble(4) <= preOcc.getDouble(4),
+      s"refit must not worsen imbalance: ${preOcc.getDouble(4)} -> ${postOcc.getDouble(4)}")
+    assert(postOcc.getLong(0) == 2L && postOcc.getDouble(4) == 1.0,
+      s"two tight clusters refit to two balanced lists, got $postOcc")
+    // exhaustive probe is independent of list membership
+    assert(Knn.ivfTopKIndexed(emb, path, k = 3, nProbe = 2).collect().toSet == preProbe)
+  }
+
   test("negative split: GlobalRank path is exact and deterministic at 10x entity count") {
     // 3000 entities x 2 names — an order of magnitude over the q48/q50
     // fixtures; the former Window.orderBy(...) plan put all of it in ONE
