@@ -154,6 +154,60 @@ object SourceStreamQueries {
         mode = "append")
     },
 
+    // event-time WATERMARK with late data, append mode — the log-ingestion
+    // half of a training-data pipeline. Two fixture files processed by two
+    // AvailableNow RUNS sharing one checkpoint (the watermark persists in
+    // the commit log, and run 1 cannot see file 2 because it is written
+    // after run 1 finishes — deterministic batch boundaries with no
+    // reliance on file-source rate limits or mtime ordering). Hour slots
+    // derive from event ids: run 1 fills hours 0/1/2 and a max row at hour
+    // 5 that drives the watermark (30 min delay) to 4:30 and emits windows
+    // 0/1/2 on its closing batch; run 2's hour-1 rows are LATE (window end
+    // 2:00 <= 4:30 — provably dropped), its hour-4 rows are on time, and a
+    // sentinel at hour 6 lifts the final watermark to 5:30 so window [4,5)
+    // is emitted and [5,6)/[6,7) stay open. The oracle recomputes the
+    // on-time subset and the emission cutoff from the same id arithmetic
+    "q106_watermark_late" -> { (s, dir) =>
+      val epochBase = 1767225600L // 2026-01-01 00:00:00 UTC, hour-aligned
+      val ids = t(s, dir, "events").select(col("event_id").cast("long").as("id"))
+      val f1 = ids.filter(col("id").between(1, 301)).select(col("id"),
+        timestamp_seconds(lit(epochBase) +
+          when(col("id") === 301, 5).otherwise(col("id") % 3) * 3600).as("ts"))
+      val f2 = ids.filter(col("id").between(302, 401)).select(col("id"),
+        timestamp_seconds(lit(epochBase) +
+          when(col("id") === 401, 6)
+            .when(col("id") % 2 === 0, 1).otherwise(4) * 3600).as("ts"))
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q106_stream")
+      deleteRecursively(base)
+      Files.createDirectories(base.resolve("data"))
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("id", LongType).add("ts", org.apache.spark.sql.types.TimestampType)
+      // the sink must be durable to resume from the checkpoint (memory
+      // sinks cannot recover), and a parquet FILE sink in append mode is
+      // exactly the production shape: the final result is one batch read
+      // of everything the two runs emitted
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(schema).parquet(s"$base/data")
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+               sum(col("id")).cast("long").as("sum_id"))
+          .select(unix_timestamp(col("w.start")).as("hour_epoch"),
+                  col("n_events"), col("sum_id"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      writeStreamFile(f1, base.resolve("data"), "f1")
+      runOnce()
+      writeStreamFile(f2, base.resolve("data"), "f2")
+      runOnce()
+      s.read.parquet(s"$base/out")
+    },
+
     // bucketed co-located join: both sides written bucketBy(user_id) — the
     // write-once shuffle layout for repeatedly-joined fact tables; the join
     // itself then plans ZERO exchanges (PlanShapeSpec-asserted). The oracle
@@ -200,6 +254,32 @@ object SourceStreamQueries {
   /** Run a streaming DataFrame to completion (availableNow) into a uniquely
     * named memory sink and return the materialized table.
     */
+  /** Write `df` as a single parquet FILE at `dir/name.parquet` — the q106
+    * fixture delivers one file per streaming run.
+    */
+  private def writeStreamFile(df: DataFrame, dir: java.nio.file.Path,
+                              name: String): Unit = {
+    val stage = dir.resolve(s"__stage_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val listing = Files.list(stage)
+    val part =
+      try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow(() =>
+          new IllegalStateException(s"no parquet part written under $stage"))
+      finally listing.close()
+    Files.move(part, dir.resolve(s"$name.parquet"))
+    deleteRecursively(stage)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+  }
+
   private def runToMemory(s: SparkSession, stream: DataFrame,
                           mode: String = "complete"): DataFrame = {
     // unique sink name: the bench runs the query repeatedly in one session
@@ -237,6 +317,27 @@ object SourceStreamQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    // replays the fixture's id->hour arithmetic: on-time subset = everything
+    // except batch-2 hour-1 rows (late, window already evicted at watermark
+    // 4:30); emitted windows = end <= final watermark 5:30, i.e. h <= 4
+    "q106_watermark_late" ->
+      """WITH f1 AS (
+           SELECT event_id AS id,
+                  CASE WHEN event_id = 301 THEN 5 ELSE event_id % 3 END AS h
+           FROM events WHERE event_id BETWEEN 1 AND 301),
+         f2 AS (
+           SELECT event_id AS id,
+                  CASE WHEN event_id = 401 THEN 6
+                       WHEN event_id % 2 = 0 THEN 1 ELSE 4 END AS h
+           FROM events WHERE event_id BETWEEN 302 AND 401),
+         ontime AS (
+           SELECT id, h FROM f1
+           UNION ALL
+           SELECT id, h FROM f2 WHERE h <> 1)
+         SELECT CAST(1767225600 + h * 3600 AS BIGINT) AS hour_epoch,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(id) AS BIGINT) AS sum_id
+         FROM ontime WHERE h <= 4 GROUP BY h""",
     "q80_streaming_neardup" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_shifted_copies_flagged,
                 CAST(0 AS BIGINT) AS mismatches_vs_batch

@@ -67,6 +67,58 @@ class Round8Spec extends SparkSpec {
     assert(Knn.ivfTopKIndexed(emb, path, k = 3, nProbe = 2).collect().toSet == preProbe)
   }
 
+  test("watermark: a late row is dropped from an already-evicted window") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_r8_wm")
+    if (Files.exists(base)) {
+      val walk = Files.walk(base)
+      try walk.sorted(java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
+      finally walk.close()
+    }
+    Files.createDirectories(base.resolve("data"))
+    val epoch = 1767225600L
+    def writeOne(rows: Seq[(Long, Long)], name: String): Unit = {
+      val stage = base.resolve(s"__stage_$name")
+      rows.toDF("id", "sec").select($"id", timestamp_seconds($"sec").as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val l = Files.list(stage)
+      val part = try l.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+                 finally l.close()
+      Files.move(part, base.resolve("data").resolve(s"$name.parquet"))
+    }
+    val schema = new StructType().add("id", LongType).add("ts", TimestampType)
+    def runOnce(): Map[Long, (Long, Long)] = {
+      val q = spark.readStream.schema(schema).parquet(s"$base/data")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window($"ts", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), sum($"id").as("sum_id"))
+        .select(unix_timestamp($"w.start").as("h"), $"n", $"sum_id")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$base/out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    // run 1: one row in hour 0, watermark driver at hour 5 (wm -> 4:30);
+    // the closing batch emits hour 0
+    writeOne(Seq((1L, epoch), (2L, epoch + 5 * 3600)), "f1")
+    val out1 = runOnce()
+    assert(out1(epoch) == (1L, 1L), s"run 1 must emit hour 0 on time, got $out1")
+    // run 2 (watermark restored from the checkpoint): a LATE row for the
+    // evicted hour 0 + a sentinel at hour 7 closing hour 5. The sink is
+    // cumulative (parquet append), so hour 0 must STILL be (1,1): the late
+    // id=3 was dropped, never re-emitted
+    writeOne(Seq((3L, epoch), (4L, epoch + 7 * 3600)), "f2")
+    val out2 = runOnce()
+    assert(out2(epoch) == (1L, 1L), s"late row must be dropped, got $out2")
+    assert(out2.contains(epoch + 5 * 3600) && !out2.contains(epoch + 7 * 3600),
+      s"hour 5 closes, sentinel hour 7 stays open, got $out2")
+  }
+
   test("negative split: GlobalRank path is exact and deterministic at 10x entity count") {
     // 3000 entities x 2 names — an order of magnitude over the q48/q50
     // fixtures; the former Window.orderBy(...) plan put all of it in ONE
