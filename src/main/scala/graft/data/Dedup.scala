@@ -195,11 +195,19 @@ object Dedup {
     * shares at least one of 4 chunks) and verified by exact hamming distance.
     */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
     // fingerprint: codegen'd kernel expression (null text -> null sig ->
     // the row never enters the bucket join)
-    val sigs = df.select(col(idCol).as("id"),
-      graft.functions.ShingleExprs.simhash64(col(textCol)).as("sig"))
+    sigPairs(df.select(col(idCol).as("id"),
+      graft.functions.ShingleExprs.simhash64(col(textCol)).as("sig")), maxHamming)
+
+  /** Candidate pairs over any 64-bit fingerprint relation (id, sig) via
+    * 16-bit chunk bucketing — the machinery behind [[simHashPairs]], shared
+    * with image dHash pairing. For `maxHamming` <= 3 the 4-chunk pigeonhole
+    * makes this EXACT (3 differing bits touch at most 3 of the 4 chunks, so
+    * some chunk always matches) — not just a recall heuristic.
+    */
+  def sigPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunkKeys = (0 until 4).map { chunk =>
       shiftright(col("sig"), chunk * 16).bitwiseAND(lit(0xffffL))
     }

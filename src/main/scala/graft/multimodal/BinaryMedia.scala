@@ -305,6 +305,54 @@ object BinaryMedia {
     media.sparkSession.createDataFrame(rdd, imageStatsSchema)
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual fingerprint for image-corpus near-dedup
+    * (https://en.wikipedia.org/wiki/Perceptual_hashing, the
+    * 9x8-then-compare-neighbours recipe): resample to 9x8 (nearest
+    * neighbour), integer grayscale (b+g+r)/3, and bit y*8+x is set when
+    * gray(x,y) > gray(x+1,y). Pure integer arithmetic end to end, so the
+    * hash is bit-stable and oracle-replayable from the raw bytes.
+    */
+  def dHash64(img: BmpImage): Long = {
+    val small = resizeNearest(img, 9, 8)
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val pL = (y * 9 + x) * 3
+        val gL = ((small.bgr(pL) & 0xff) + (small.bgr(pL + 1) & 0xff) +
+                  (small.bgr(pL + 2) & 0xff)) / 3
+        val gR = ((small.bgr(pL + 3) & 0xff) + (small.bgr(pL + 4) & 0xff) +
+                  (small.bgr(pL + 5) & 0xff)) / 3
+        if (gL > gR) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Decode every BMP and fingerprint it: (media_id, sig) with the [[dHash64]]
+    * signature — map-only, feeds [[graft.data.Dedup.sigPairs]] for hamming
+    * pairing (image near-dup = the SimHash chunk-bucket machinery over a
+    * perceptual hash instead of a token hash). A null payload yields a null
+    * sig, which the pair join ignores.
+    */
+  def imageDHashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = true)))
+    val rdd = media.select("media_id", "media").rdd.mapPartitions { it =>
+      it.map { r =>
+        val sig = if (r.isNullAt(1)) null
+                  else java.lang.Long.valueOf(dHash64(decodeBmp(r.getAs[Array[Byte]](1))))
+        Row(r.getLong(0), sig)
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, schema)
+  }
+
   private val audioStatsSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),

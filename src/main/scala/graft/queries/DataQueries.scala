@@ -365,6 +365,20 @@ object DataQueries {
       Knn.ivfTopKIndexed(emb.filter(col("vec_id") < 100), path, k = 5, nProbe = 16)
     },
 
+    // IMAGE near-dup: decode every BMP (doubled corpus so exact copies are
+    // guaranteed), 64-bit perceptual dHash over the pixels, hamming pairs
+    // via the shared sigPairs chunk machinery (exact for maxHamming<=3 by
+    // pigeonhole). FULL row-level oracle: DuckDB replays the codec
+    // round-trip, the 9x8 nearest-neighbour resample, integer grayscale,
+    // the 64-bit hash (two's-complement reconstructed from 32-bit halves)
+    // and brute-force hamming pairing from the raw text bytes
+    "q107_image_neardup" -> { (s, dir) =>
+      import graft.multimodal.BinaryMedia
+      val media = BinaryMedia.imageFromText(doubledDocs(s, dir), "doc_id", "text",
+        width = 16)
+      Dedup.sigPairs(BinaryMedia.imageDHashes(media), maxHamming = 3)
+    },
+
     // transitive duplicate clusters: exact jaccard pairs -> connected
     // components -> min-id cluster labels. Full oracle: DuckDB replays the
     // pairs and closes them with a recursive CTE
@@ -719,6 +733,54 @@ object DataQueries {
                 CAST(least(e.vec_id, coalesce(m.min_nbr, e.vec_id)) AS BIGINT) AS rep_id,
                 least(e.vec_id, coalesce(m.min_nbr, e.vec_id)) <> e.vec_id AS is_dup
          FROM embeddings e LEFT JOIN minnbr m ON e.vec_id = m.vec_id""",
+    // dHash replay: byte(i) via hex-nibble extraction (q45's technique),
+    // padded height ceil(n/48), resample indices floor(x*16/9) / floor(y*h/8),
+    // integer grayscale (b+g+r)//3, bit y*8+x when left > right, signed hash
+    // from 32-bit halves, then brute-force hamming pairs (== the chunk-LSH
+    // result for maxHamming 3, by pigeonhole)
+    "q107_image_neardup" ->
+      s"""WITH docs AS ($doubledDocsSql),
+         b AS (SELECT doc_id, upper(hex(encode(text))) AS h,
+                      octet_length(encode(text)) AS n
+               FROM docs),
+         dims AS (SELECT doc_id, h, n, greatest(1, (n + 47) // 48) AS ht FROM b),
+         grid AS (SELECT y, x FROM generate_series(0, 7) t(y), generate_series(0, 8) s(x)),
+         px AS (
+           SELECT d.doc_id, g.y, g.x, d.h, d.n,
+                  ((g.y * d.ht) // 8 * 16 +
+                   [0,1,3,5,7,8,10,12,14][g.x + 1]) * 3 AS p
+           FROM dims d CROSS JOIN grid g),
+         gray AS (
+           SELECT doc_id, y, x,
+             ((CASE WHEN p < n THEN 16 * (strpos('0123456789ABCDEF', substr(h, 2*p + 1, 1)) - 1)
+                                     + (strpos('0123456789ABCDEF', substr(h, 2*p + 2, 1)) - 1)
+                    ELSE 0 END) +
+              (CASE WHEN p + 1 < n THEN 16 * (strpos('0123456789ABCDEF', substr(h, 2*p + 3, 1)) - 1)
+                                        + (strpos('0123456789ABCDEF', substr(h, 2*p + 4, 1)) - 1)
+                    ELSE 0 END) +
+              (CASE WHEN p + 2 < n THEN 16 * (strpos('0123456789ABCDEF', substr(h, 2*p + 5, 1)) - 1)
+                                        + (strpos('0123456789ABCDEF', substr(h, 2*p + 6, 1)) - 1)
+                    ELSE 0 END)) // 3 AS g
+           FROM px),
+         bits AS (
+           SELECT l.doc_id, l.y * 8 + l.x AS k
+           FROM gray l JOIN gray r
+             ON l.doc_id = r.doc_id AND l.y = r.y AND r.x = l.x + 1
+           WHERE l.x < 8 AND l.g > r.g),
+         halves AS (
+           SELECT d.doc_id,
+             CAST(coalesce(sum(CASE WHEN k < 32 THEN 1::BIGINT << k END), 0) AS BIGINT) AS lo,
+             CAST(coalesce(sum(CASE WHEN k >= 32 THEN 1::BIGINT << (k - 32) END), 0) AS BIGINT) AS hi
+           FROM dims d LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id),
+         sig AS (
+           SELECT doc_id,
+             (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+               * 4294967296 + lo AS s
+           FROM halves)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.s, b.s)) <= 3""",
     "q104_ivf_occupancy" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
                 true AS lists_within_bound,
