@@ -216,6 +216,47 @@ object Prof {
       graft.ann.Knn.ivfAppendToIndex(embDelta, ivfPath); 0L
     }
 
+    // corpus pipeline WITH the stratified mixing stage (q89 analog): the
+    // mix itself is a map-only CASE-chain filter over the survivor labels,
+    // so the delta over corpus_pipeline should stay roughly constant
+    def mixCfg = pipelineCfg.copy(
+      mixStrataCol = Some("lang"),
+      mixRates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1),
+      mixDefaultRate = 0.05, mixSalt = "s42|")
+    probe("corpus_mix", 1, n1)(CorpusPipeline.run(docs1, mixCfg).labels.count())
+    probe("corpus_mix", 10, n10)(CorpusPipeline.run(docs10, mixCfg).labels.count())
+
+    // deterministic shard sink (q91 analog): content-hash global rank mod N
+    // — a distributed sort + zipWithIndex + partitioned write; should track
+    // the sort's n log n, never quadratic
+    val shardBase = s"${System.getProperty("java.io.tmpdir")}/graft_prof_shards"
+    rmTree(shardBase)
+    probe("shard_sink", 1, n1) {
+      graft.data.Packing.writeShards(docs1.select("doc_id", "text"),
+        "text", nShards = 16, path = s"$shardBase/x1"); 0L
+    }
+    probe("shard_sink", 10, n10) {
+      graft.data.Packing.writeShards(docs10.select("doc_id", "text"),
+        "text", nShards = 16, path = s"$shardBase/x10"); 0L
+    }
+
+    // rolling event-time window (q92 analog): per-user RANGE frame over the
+    // preceding hour. Copies carry disjoint user ids (the ev10 recipe), so
+    // per-user volume is constant and cost should track the one shuffle+sort
+    def rollingCount(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val ev = df.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      ev.withColumn("n_prev_hour", count(lit(1)).over(w).cast("long"))
+        .withColumn("sum_prev_hour",
+          sum(col("value").cast("decimal(38,6)")).over(w).cast("double"))
+        .count()
+    }
+    probe("rolling_window", 1, v1)(rollingCount(ev1))
+    probe("rolling_window", 10, v10)(rollingCount(ev10))
+
     log.close()
     spark.stop()
   }
