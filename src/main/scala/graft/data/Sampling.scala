@@ -142,4 +142,33 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Per-stratum percentile band filter — the CCNet/Gopher-style quality
+    * cut "keep documents between the p10 and p90 of their language's score
+    * distribution", where absolute thresholds would mis-cut every stratum
+    * whose score distribution differs.
+    *
+    * Shape: one aggregation computes each stratum's [lower, upper] exact
+    * interpolated percentiles (one row per stratum — tiny by construction,
+    * broadcast back), then a map-side filter keeps rows inside their own
+    * stratum's band. No window over the data — the only shuffle is the
+    * bounds aggregation's. At 100 TB swap `percentile` for
+    * `percentile_approx` (a GK sketch, the q97 comparison) to make the
+    * bounds pass mergeable-state; the filter side is unchanged.
+    */
+  def percentileBandFilter(df: DataFrame, valueCol: String, strataCol: String,
+                           lower: Double, upper: Double): DataFrame = {
+    require(lower >= 0 && upper <= 1 && lower <= upper,
+      s"need 0 <= lower <= upper <= 1, got [$lower, $upper]")
+    Seq("__lo", "__hi").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input must not use the operator's reserved $c column name")
+    }
+    val bounds = df.groupBy(strataCol).agg(
+      percentile(col(valueCol), lit(lower)).as("__lo"),
+      percentile(col(valueCol), lit(upper)).as("__hi"))
+    df.join(broadcast(bounds), Seq(strataCol))
+      .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
 }

@@ -283,6 +283,20 @@ object CoreQueries {
                  1).otherwise(0)).cast("long").as("n_converted"))
     },
 
+    // salted skew join: hot users (>= 70 events) scatter over 8 salts, the
+    // per-user dimension replicates per salt, cold keys ride salt 0 — the
+    // manual hot-key remedy for shuffles AQE cannot rewrite. Oracle = the
+    // PLAIN inner join: salting is proven row-identical, only the task
+    // distribution changes
+    "q108_salted_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select("event_id", "user_id", "value")
+      val dim = ev.groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("user_events"))
+      graft.operators.SkewJoin.saltedJoin(ev, dim, "user_id",
+          nSalts = 8, hotThreshold = 70L)
+        .select("user_id", "event_id", "value", "user_events")
+    },
+
     // semi-structured JSON extraction from the event props column — the
     // row-level payload-parsing op every event pipeline needs; stays inside
     // whole-stage codegen (get_json_object is a native expression, no UDF)
@@ -311,6 +325,12 @@ object CoreQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q108_salted_join" ->
+      """WITH dim AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS user_events
+           FROM events GROUP BY user_id)
+         SELECT e.user_id, e.event_id, e.value, d.user_events
+         FROM events e JOIN dim d USING (user_id)""",
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,

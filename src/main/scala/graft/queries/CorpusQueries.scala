@@ -66,6 +66,19 @@ object CorpusQueries {
         defaultRate = 0.05, salt = "s42|")
     },
 
+    // per-stratum percentile band filter (the CCNet/Gopher-style quality
+    // cut): keep docs between their own language's exact p10 and p90 char
+    // lengths — absolute thresholds would mis-cut every stratum whose
+    // distribution differs. One bounds agg broadcast back + a map-side
+    // filter; full row-level oracle (quantile_cont == Spark's interpolated
+    // percentile, the q78 parity)
+    "q109_percentile_filter" -> { (s, dir) =>
+      Sampling.percentileBandFilter(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "n_chars", "lang", lower = 0.1, upper = 0.9)
+        .select("doc_id", "lang", "n_chars")
+    },
+
     // fixed-budget quota: cap every source at 5 docs, hash-ranked so the
     // kept set is layout-independent; oracle replays the same ranking
     "q85_quota_sample" -> { (s, dir) =>
@@ -180,6 +193,14 @@ object CorpusQueries {
                 WHEN lang = 'de' THEN '4000'
                 WHEN lang = 'fr' THEN '1999'
                 ELSE '0ccc' END""",
+    "q109_percentile_filter" ->
+      """WITH bounds AS (
+           SELECT lang, quantile_cont(n_chars, 0.1) AS lo,
+                  quantile_cont(n_chars, 0.9) AS hi
+           FROM documents GROUP BY lang)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d JOIN bounds b USING (lang)
+         WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi""",
     "q85_quota_sample" ->
       """SELECT doc_id, source, lang FROM (
            SELECT doc_id, source, lang,

@@ -208,6 +208,50 @@ object SourceStreamQueries {
       s.read.parquet(s"$base/out")
     },
 
+    // streaming SESSION WINDOWS (merging session state, the other stateful
+    // window shape): session_window(ts, 30 min) under a watermark, append
+    // mode, durable parquet sink. One AvailableNow run ingests every event
+    // in batch 1 (nothing is late) plus a sentinel 10 days ahead, so the
+    // closing batch's watermark finalizes EVERY real session and only the
+    // sentinel's own stays open. The oracle replays gap-based
+    // sessionization relationally — note the boundary: session_window
+    // merges a gap STRICTLY below 30 min (adjacent [t, t+gap) windows do
+    // not overlap), so a new session starts at gap >= 30 min, where q84's
+    // lag-based operator splits at gap > 30 min
+    "q110_streaming_sessions" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      val sentinel = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          -1L, new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000))),
+        new org.apache.spark.sql.types.StructType()
+          .add("user_id", LongType, nullable = false)
+          .add("ts", org.apache.spark.sql.types.TimestampType, nullable = true))
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q110_stream")
+      deleteRecursively(base)
+      Files.createDirectories(base.resolve("data"))
+      writeStreamFile(ev.unionByName(sentinel), base.resolve("data"), "f1")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("user_id", LongType).add("ts", org.apache.spark.sql.types.TimestampType)
+      val q = s.readStream.schema(schema).parquet(s"$base/data")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).cast("long").as("n_events"))
+        .select(col("user_id"),
+                unix_micros(col("w.start")).as("start_us"),
+                // w.end = last event + gap; subtract the gap so the oracle
+                // compares against max(ts) with exact integer arithmetic
+                (unix_micros(col("w.end")) - 1800000000L).as("end_us"),
+                col("n_events"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").filter(col("user_id") >= 0)
+    },
+
     // bucketed co-located join: both sides written bucketBy(user_id) — the
     // write-once shuffle layout for repeatedly-joined fact tables; the join
     // itself then plans ZERO exchanges (PlanShapeSpec-asserted). The oracle
@@ -338,6 +382,26 @@ object SourceStreamQueries {
                 CAST(count(*) AS BIGINT) AS n_events,
                 CAST(sum(id) AS BIGINT) AS sum_id
          FROM ontime WHERE h <= 4 GROUP BY h""",
+    // gap-based sessionization replay; new session at gap >= 30 min (the
+    // session_window boundary — see the query comment)
+    "q110_streaming_sessions" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         g AS (
+           SELECT user_id, ts_us,
+                  CASE WHEN ts_us - lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w >= 1800000000
+                       THEN 1 ELSE 0 END AS ns
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         s AS (
+           SELECT user_id, ts_us,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si
+           FROM g)
+         SELECT user_id, CAST(min(ts_us) AS BIGINT) AS start_us,
+                CAST(max(ts_us) AS BIGINT) AS end_us,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id, si""",
     "q80_streaming_neardup" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_shifted_copies_flagged,
                 CAST(0 AS BIGINT) AS mismatches_vs_batch
