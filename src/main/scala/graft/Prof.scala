@@ -215,6 +215,14 @@ object Prof {
     probe("ivf_index_append", 1, e1) {
       graft.ann.Knn.ivfAppendToIndex(embDelta, ivfPath); 0L
     }
+    // compaction of the appended indexes: one repartition+rewrite of the
+    // index volume — should track the build scan, never exceed it by much
+    probe("bm25_index_compact", 10, n10) {
+      graft.search.Bm25.compactIndex(spark, bmPath); 0L
+    }
+    probe("ivf_index_compact", 8, e8) {
+      graft.ann.Knn.ivfCompactIndex(spark, ivfPath); 0L
+    }
 
     // corpus pipeline WITH the stratified mixing stage (q89 analog): the
     // mix itself is a map-only CASE-chain filter over the survivor labels,

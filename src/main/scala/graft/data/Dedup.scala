@@ -447,6 +447,31 @@ object Dedup {
     clustersFromPairs(df, idCol,
       ngramJaccardPairs(df, textCol, idCol, k, threshold, maxDocsPerShingle))
 
+  /** Canonical-document selection by QUALITY: cluster near-dups
+    * ([[duplicateClusters]], same knobs) and keep each cluster's
+    * highest-`qualityCol` document (ties: smallest id) instead of the
+    * smallest-id one — the production dedup recipe ("of N near-identical
+    * crawls keep the best copy, not an arbitrary one"). One `max_by`
+    * partial-aggregating argmax over the labeled corpus (the q12 shape) +
+    * one join of the cluster-count-sized winner table back.
+    *
+    * Output: one row per document — (idCol, cluster_id, is_kept).
+    */
+  def keepBestPerCluster(df: DataFrame, textCol: String, idCol: String,
+                         qualityCol: String, k: Int = 5,
+                         threshold: Double = 0.8,
+                         maxDocsPerShingle: Int = 1000): DataFrame = {
+    val clusters = duplicateClusters(df, textCol, idCol, k, threshold, maxDocsPerShingle)
+    val quality = df.select(col(idCol).cast("long").as(idCol), col(qualityCol))
+    val labeled = clusters.select(idCol, "cluster_id").join(quality, Seq(idCol))
+    val best = labeled.groupBy("cluster_id")
+      .agg(max_by(col(idCol),
+        struct(col(qualityCol), (-col(idCol)).as("__negid"))).as("__keep"))
+    labeled.join(best, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"),
+              (col(idCol) === col("__keep")).as("is_kept"))
+  }
+
   /** Embedding-space transitive duplicate clusters: exact cosine threshold
     * pairs closed by [[connectedComponents]]. Differs from
     * [[embeddingNearDup]]`(closure = true)`, which pointer-jumps the

@@ -44,11 +44,19 @@ object AsofJoin {
   /** @param payload right columns carried onto matching left rows, each
     *                renamed with `suffix`; unmatched left rows get nulls
     *                (left-outer semantics).
+    * @param tolerance maximum match staleness in timestamp units (pandas
+    *                merge_asof's `tolerance`): a backward match older than
+    *                `leftTs - tolerance` (or a forward match beyond
+    *                `leftTs + tolerance`) reports null payload instead of a
+    *                stale carry. Requires NUMERIC timestamps (unix
+    *                micros/millis) so the bound is exact integer arithmetic.
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
-               suffix: String = "_asof"): DataFrame =
-    join(left, right, keys, leftTs, rightTs, payload, suffix, forward = false)
+               suffix: String = "_asof",
+               tolerance: Option[Long] = None): DataFrame =
+    join(left, right, keys, leftTs, rightTs, payload, suffix, forward = false,
+      tolerance)
 
   /** Forward (inclusive) as-of join: for every left row, the right row with
     * the SMALLEST timestamp >= the left row's timestamp — "the next state
@@ -56,22 +64,36 @@ object AsofJoin {
     */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
               leftTs: String, rightTs: String, payload: Seq[String],
-              suffix: String = "_asof"): DataFrame =
-    join(left, right, keys, leftTs, rightTs, payload, suffix, forward = true)
+              suffix: String = "_asof",
+              tolerance: Option[Long] = None): DataFrame =
+    join(left, right, keys, leftTs, rightTs, payload, suffix, forward = true,
+      tolerance)
 
   private def join(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String, payload: Seq[String],
-                   suffix: String, forward: Boolean): DataFrame = {
+                   suffix: String, forward: Boolean,
+                   tolerance: Option[Long]): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     require(payload.nonEmpty, "as-of join with no payload columns is a no-op")
     payload.foreach { p =>
       require(!left.columns.contains(p + suffix),
         s"left already has a column named '${p + suffix}' — pick another suffix")
+      require(p != "__mts", "payload must not use the reserved __mts name")
     }
     require(!left.columns.exists(c => c == "__ts" || c == "__side" || c == "__p" || c == "__m"),
       "left must not use the operator's reserved __ts/__side/__p/__m column names")
-    // the payload struct type, nullable so left rows can carry a null struct
-    val pType = StructType(payload.map(p => right.schema(p).copy(name = p)))
+    tolerance.foreach { tol =>
+      require(tol >= 0, s"tolerance must be non-negative, got $tol")
+      require(left.schema(leftTs).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+              right.schema(rightTs).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        "tolerance needs numeric timestamp columns (e.g. unix micros)")
+    }
+    // the payload struct type, nullable so left rows can carry a null struct;
+    // the matched row's own timestamp travels as the hidden __mts field so
+    // the tolerance bound reads the SAME atomic struct as the payload
+    val pType = StructType(
+      right.schema(rightTs).copy(name = "__mts") +:
+        payload.map(p => right.schema(p).copy(name = p)))
     val lPrep = left
       .withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
       .withColumn("__p", lit(null).cast(pType))
@@ -81,7 +103,7 @@ object AsofJoin {
       .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
       .select(
         (keys.map(col) :+ col(rightTs).as("__ts")) :+
-          struct(payload.map(col): _*).as("__p"): _*)
+          struct(col(rightTs).as("__mts") +: payload.map(col): _*).as("__p"): _*)
       .withColumn("__side", lit(0))
     // null-pad the left-only columns so the two sides union by name
     val leftOnly = left.columns.filterNot(keys.contains)
@@ -99,9 +121,15 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+    // tolerance bound: null carries (no match) yield a null comparison ->
+    // the when() already reports null payload, exactly like no-match
+    val within = tolerance.fold(lit(true)) { tol =>
+      if (forward) col("__m").getField("__mts") - col("__ts") <= tol
+      else col("__ts") - col("__m").getField("__mts") <= tol
+    }
     matched.filter(col("__side") === 1)
       .select(left.columns.map(col).toIndexedSeq ++
-        payload.map(p => when(col("__ts").isNotNull, col("__m").getField(p))
+        payload.map(p => when(col("__ts").isNotNull && within, col("__m").getField(p))
           .as(p + suffix)): _*)
   }
 }

@@ -283,6 +283,24 @@ object CoreQueries {
                  1).otherwise(0)).cast("long").as("n_converted"))
     },
 
+    // as-of join with MATCH TOLERANCE (pandas merge_asof's `tolerance`):
+    // q83's backward join, but a match staler than 1 hour reports null
+    // instead of a stale carry — the "state must be fresh" variant every
+    // event-enrichment pipeline needs. Oracle: DuckDB native ASOF with the
+    // same bound applied to the matched row
+    "q112_asof_tolerance" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val big = ev.groupBy("event_type", "ts_us")
+        .agg(max(col("value")).as("big_value"))
+        .filter(col("big_value") >= 200.0)
+        .withColumn("big_ts_us", col("ts_us"))
+      graft.operators.AsofJoin.backward(ev, big, Seq("event_type"),
+        "ts_us", "ts_us", Seq("big_ts_us", "big_value"),
+        tolerance = Some(3600L * 1000000L))
+    },
+
     // salted skew join: hot users (>= 70 events) scatter over 8 salts, the
     // per-user dimension replicates per salt, cold keys ride salt 0 — the
     // manual hot-key remedy for shuffles AQE cannot rewrite. Oracle = the
@@ -448,6 +466,21 @@ object CoreQueries {
                 CAST(min(ts_us) AS BIGINT) AS start_us,
                 CAST(max(ts_us) AS BIGINT) AS end_us
          FROM s GROUP BY 1, 2""",
+    "q112_asof_tolerance" ->
+      """WITH ev AS (
+           SELECT event_id, event_type, epoch_us(ts) AS ts_us, value
+           FROM events),
+         big AS (
+           SELECT event_type, ts_us, ts_us AS big_ts_us,
+                  max(value) AS big_value
+           FROM ev GROUP BY event_type, ts_us HAVING max(value) >= 200.0)
+         SELECT e.event_id, e.event_type, e.ts_us, e.value,
+                CASE WHEN e.ts_us - b.ts_us <= 3600000000
+                     THEN b.big_ts_us END AS big_ts_us_asof,
+                CASE WHEN e.ts_us - b.ts_us <= 3600000000
+                     THEN b.big_value END AS big_value_asof
+         FROM ev e ASOF LEFT JOIN big b
+           ON e.event_type = b.event_type AND e.ts_us >= b.ts_us""",
     "q83_asof_join" ->
       """WITH ev AS (
            SELECT event_id, event_type, epoch_us(ts) AS ts_us, value

@@ -387,6 +387,17 @@ object DataQueries {
         k = 5, threshold = 0.5, maxDocsPerShingle = 1000)
     },
 
+    // quality-aware canonical selection: near-dup clusters (q73 knobs) keep
+    // their highest-n_chars member, ties to the smallest id — "of N
+    // near-identical crawls keep the best copy". Full oracle: the q73
+    // recursive closure + a per-cluster argmax window
+    "q111_keep_best" -> { (s, dir) =>
+      Dedup.keepBestPerCluster(
+        t(s, dir, "documents").select("doc_id", "text", "n_chars"),
+        "text", "doc_id", "n_chars",
+        k = 5, threshold = 0.5, maxDocsPerShingle = 1000)
+    },
+
     // multimodal video: text -> 4 concatenated BMP frames -> sampleFrames
     // keeps every 2nd frame by walking each frame's declared file size ->
     // decode each kept frame. total_frame_bytes probes the size walking
@@ -622,6 +633,33 @@ object DataQueries {
     "q102_bm25_compact" -> bm25Sql,
     // duplicate clusters: the q40 pair CTE closed transitively by a recursive
     // CTE; cluster = min reachable id, singletons cluster to themselves
+    "q111_keep_best" ->
+      (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5)
+        .replaceFirst("WITH ", "WITH RECURSIVE ") +
+       """, edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          comp AS (
+            SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u),
+          lab AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+                   d.n_chars
+            FROM documents d LEFT JOIN comp c USING (doc_id)),
+          best AS (
+            SELECT cluster_id, doc_id AS keep_id FROM (
+              SELECT cluster_id, doc_id,
+                     row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id) AS rn
+              FROM lab)
+            WHERE rn = 1)
+          SELECT l.doc_id, l.cluster_id, (l.doc_id = b.keep_id) AS is_kept
+          FROM lab l JOIN best b USING (cluster_id)"""),
     "q73_dup_clusters" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5)
         .replaceFirst("WITH ", "WITH RECURSIVE ") +

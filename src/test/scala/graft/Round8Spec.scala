@@ -119,6 +119,24 @@ class Round8Spec extends SparkSpec {
       s"hour 5 closes, sentinel hour 7 stays open, got $out2")
   }
 
+  test("asof tolerance: stale matches null out, fresh ones carry, no-match unchanged") {
+    import graft.operators.AsofJoin
+    val left = Seq((1L, "a", 100L), (2L, "b", 100L), (3L, "c", 100L))
+      .toDF("id", "key", "ts")
+    // a: match at 10 (stale by 90 > tol 50); b: match at 90 (fresh); c: none
+    val right = Seq((10L, "a", 1), (90L, "b", 2)).toDF("rts", "key", "value")
+    val out = AsofJoin.backward(left, right, Seq("key"), "ts", "rts",
+        Seq("value"), tolerance = Some(50L))
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(3), s"stale match must null out, got ${out(0)}")
+    assert(out(1).getInt(3) == 2)
+    assert(out(2).isNullAt(3))
+    // without tolerance the stale match carries — the bound is the only delta
+    val unbounded = AsofJoin.backward(left, right, Seq("key"), "ts", "rts",
+      Seq("value")).orderBy("id").collect()
+    assert(unbounded(0).getInt(3) == 1)
+  }
+
   test("negative split: GlobalRank path is exact and deterministic at 10x entity count") {
     // 3000 entities x 2 names — an order of magnitude over the q48/q50
     // fixtures; the former Window.orderBy(...) plan put all of it in ONE
