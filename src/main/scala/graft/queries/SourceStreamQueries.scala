@@ -252,6 +252,37 @@ object SourceStreamQueries {
       s.read.parquet(s"$base/out").filter(col("user_id") >= 0)
     },
 
+    // STREAM-STREAM interval join (the last big stateful streaming shape):
+    // the click stream inner-joins the purchase stream on user within a
+    // 1-hour event-time window, both sides watermarked — the state-cleanup
+    // contract a production stream-stream join needs. One AvailableNow
+    // batch delivers both sides completely, so every qualifying pair is
+    // emitted and the relational range join replays the result exactly
+    "q114_stream_stream_join" -> { (s, dir) =>
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def stream() = {
+        val raw = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        if (batchSchema("ts").dataType == LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      }
+      val clicks = stream().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        .withWatermark("ts", "1 hour")
+      val purchases = stream().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+                col("user_id").as("p_user_id"), col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val joined = clicks.join(purchases,
+        expr("user_id = p_user_id AND pts >= ts AND pts <= ts + interval 1 hour"))
+      runToMemory(s,
+        joined.select(col("click_id"), col("purchase_id"),
+          unix_micros(col("ts")).as("click_ts_us"),
+          unix_micros(col("pts")).as("purchase_ts_us")),
+        mode = "append")
+    },
+
     // bucketed co-located join: both sides written bucketBy(user_id) — the
     // write-once shuffle layout for repeatedly-joined fact tables; the join
     // itself then plans ZERO exchanges (PlanShapeSpec-asserted). The oracle
@@ -382,6 +413,17 @@ object SourceStreamQueries {
                 CAST(count(*) AS BIGINT) AS n_events,
                 CAST(sum(id) AS BIGINT) AS sum_id
          FROM ontime WHERE h <= 4 GROUP BY h""",
+    "q114_stream_stream_join" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events)
+         SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                CAST(c.ts_us AS BIGINT) AS click_ts_us,
+                CAST(p.ts_us AS BIGINT) AS purchase_ts_us
+         FROM ev c JOIN ev p
+           ON c.event_type = 'click' AND p.event_type = 'purchase'
+          AND c.user_id = p.user_id
+          AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 3600000000""",
     // gap-based sessionization replay; new session at gap >= 30 min (the
     // session_window boundary — see the query comment)
     "q110_streaming_sessions" ->

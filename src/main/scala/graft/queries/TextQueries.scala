@@ -181,6 +181,33 @@ object TextQueries {
             .as("p50_within_iqr"))
     },
 
+    // frequent-items sketch vs exact (the q97 family's third sketch): one
+    // pass of Karp/Misra-Gries style freqItems at 1% support vs the exact
+    // count. The sketch's GUARANTEE — every term with frequency above
+    // support*n is in the result (false positives allowed, false negatives
+    // not) — is the invariant: missed_exact_frequent must be 0. The exact
+    // frequent-term count is replayed by DuckDB
+    "q113_freq_items" -> { (s, dir) =>
+      val terms = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val n = terms.count()
+      val support = 0.01
+      // sketch result is bounded by ~1/support items — driver-bounded
+      val sketched = terms.stat.freqItems(Seq("term"), support)
+        .head.getSeq[String](0).toSet
+      val exact = terms.groupBy("term")
+        .agg(count(lit(1)).as("freq"))
+        .filter(col("freq") > n * support)
+        .localCheckpoint()
+      val nExact = exact.count()
+      val missed = exact.filter(!col("term").isin(sketched.toSeq: _*)).count()
+      val sp = s
+      import sp.implicits._
+      Seq((n, nExact, missed == 0L))
+        .toDF("n_terms", "n_exact_frequent", "all_frequent_found")
+    },
+
     // vocabulary frequency spectrum (count-of-counts): how many distinct
     // terms occur exactly k times — the Zipf diagnostic behind vocab-size /
     // min-frequency cutoffs and Good-Turing smoothing. Two chained hash
@@ -334,6 +361,18 @@ object TextQueries {
          quantile_cont(n_chars, 0.5) AS p50_chars,
          quantile_cont(n_chars, 0.9) AS p90_chars
          FROM documents GROUP BY source""",
+    "q113_freq_items" ->
+      """WITH t AS (
+           SELECT unnest(string_split(trim(text), ' ')) AS term
+           FROM documents),
+         t2 AS (SELECT term FROM t WHERE term <> ''),
+         n AS (SELECT count(*) AS n FROM t2),
+         f AS (SELECT term, count(*) AS freq FROM t2 GROUP BY term)
+         SELECT CAST(n.n AS BIGINT) AS n_terms,
+                CAST((SELECT count(*) FROM f, n WHERE f.freq > n.n * 0.01) AS BIGINT)
+                  AS n_exact_frequent,
+                true AS all_frequent_found
+         FROM n""",
     "q99_freq_spectrum" ->
       """WITH t AS (
            SELECT unnest(string_split(trim(text), ' ')) AS term
