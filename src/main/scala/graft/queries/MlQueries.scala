@@ -191,6 +191,30 @@ object MlQueries {
     * the result — oracle code; the bench measures the operators themselves.
     */
   val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // production form of q101: train + score (the operator); the AUC cross
+    // join and verdict counts are oracle code and stay in Verify
+    "q101_supervised_invariants" -> { (s, dir) =>
+      val noiseUdf = udf((n: String, seed: Long) => TrainData.noise(n, seed))
+      val base = t(s, dir, "part").filter(col("p_partkey") <= 150)
+        .select(col("p_partkey").cast("long").as(Cols.Uid),
+                lower(col("p_name")).as("gt_name"))
+      val noised = base.select(col(Cols.Uid),
+        noiseUdf(col("gt_name"), col(Cols.Uid)).as(Cols.Preprocessed))
+      val gtFor = (k: Int) => base.select(
+        (((col(Cols.Uid) + lit(k) - 1) % 150) + 1).as(Cols.Uid),
+        col(Cols.Uid).as(Cols.GtUid), col("gt_name").as(Cols.GtPreprocessed))
+      val pairs = noised.join(
+          gtFor(0).withColumn("correct", lit(true))
+            .unionByName(gtFor(1).withColumn("correct", lit(false)))
+            .unionByName(gtFor(7).withColumn("correct", lit(false))),
+          Seq(Cols.Uid))
+      val layer = new graft.ml.SupervisedLayer(scoreCols = Nil,
+        withRankFeatures = false, maxIter = 10, maxDepth = 3, seed = 0L)
+      val model = layer.fit(pairs.filter(col(Cols.Uid) % 2 === 0))
+      model.transform(pairs.filter(col(Cols.Uid) % 2 === 1))
+        .select(col(Cols.Uid), col("correct"), col(Cols.NmScore),
+                col(Cols.BestRank), col(Cols.BestMatch))
+    },
     "q50_stratified_split" -> { (s, dir) =>
       val (train, test) = TrainData.stratifiedGroupedSplit(
         t(s, dir, "orders"), "o_custkey", Seq("o_orderpriority"), testFraction = 0.25)
