@@ -251,7 +251,11 @@ final class EntityMatchingModel(
         // driver/executor-memory ceiling (the reference's `isin(pos_ids)`
         // bound, prepare_name_pairs.py:100-108, is exactly that ceiling).
         // The id table is frozen once: `total` and the rank pipeline would
-        // otherwise each re-run normalize+distinct.
+        // otherwise each re-run normalize+distinct. NOTE this makes the
+        // negative-sampling path eager (the count + zipWithIndex run jobs
+        // at call time) — acceptable because training-pair construction is
+        // always materialized by its caller, and the former lazy global
+        // window was the single-partition bottleneck this replaces.
         val ids = names.select(col(Cols.EntityId)).distinct().localCheckpoint()
         val total = ids.count()
         // same arithmetic as the former SQL floor(lit(1-frac) * count):

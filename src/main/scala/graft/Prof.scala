@@ -189,13 +189,8 @@ object Prof {
     // disk-index incremental append: the claim under test is "a corpus
     // delta costs one scan of the DELTA" — appending a 1x delta onto a 10x
     // index should cost ~the 1x build, nowhere near the 10x rebuild
-    def rmTree(p: String): Unit = {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(p))
-    }
+    def rmTree(p: String): Unit =
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(p))
     val delta = docs1.withColumn("doc_id", col("doc_id") + 900000000L)
     val bmPath = s"${System.getProperty("java.io.tmpdir")}/graft_prof_bm25_append"
     rmTree(bmPath)

@@ -953,12 +953,8 @@ object Knn {
     val tmp = path + "__refit_tmp"
     ivfWriteIndex(vecs, tmp, nLists, seed, maxIter, maxFitRows)
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    val bak = new Path(path + "__pre_refit")
-    fs.delete(bak, true)
-    require(fs.rename(new Path(path), bak), s"refit: could not move $path aside")
-    require(fs.rename(new Path(tmp), new Path(path)),
-      s"refit: could not move refit index into place (original preserved at $bak)")
-    fs.delete(bak, true)
+    graft.operators.PartitionCompaction.swapIntoPlace(
+      fs, new Path(path), new Path(tmp), new Path(path + "__pre_refit"))
   }
 
   /** Rewrite the accumulated append files so every `list_id` partition of a

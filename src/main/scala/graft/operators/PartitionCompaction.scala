@@ -39,16 +39,27 @@ object PartitionCompaction {
     val before = dataFileCount(fs, dest)
 
     val tmp = new Path(dir + "__compact_tmp")
-    val bak = new Path(dir + "__pre_compact")
-    fs.delete(tmp, true); fs.delete(bak, true)
+    fs.delete(tmp, true)
     spark.read.parquet(dir)
       .repartition(nPartitions, col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
-    require(fs.rename(dest, bak), s"compact: could not move $dir aside")
-    require(fs.rename(tmp, dest), s"compact: could not move rewrite into place " +
-      s"(original preserved at $bak)")
-    fs.delete(bak, true)
+    swapIntoPlace(fs, dest, tmp, new Path(dir + "__pre_compact"))
     (before, dataFileCount(fs, dest))
+  }
+
+  /** The shared generation-swap protocol (used by compaction AND the IVF
+    * refit): move `dest` to `bak`, move `newDir` into place, drop `bak`.
+    * NOT atomic — a crash between the renames leaves the original at `bak`;
+    * recover by renaming it back. Production serving should swap a COPY and
+    * flip a generation pointer instead.
+    */
+  def swapIntoPlace(fs: org.apache.hadoop.fs.FileSystem, dest: Path,
+                    newDir: Path, bak: Path): Unit = {
+    fs.delete(bak, true)
+    require(fs.rename(dest, bak), s"swap: could not move $dest aside")
+    require(fs.rename(newDir, dest),
+      s"swap: could not move $newDir into place (original preserved at $bak)")
+    fs.delete(bak, true); ()
   }
 
   private def dataFileCount(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long = {

@@ -34,10 +34,16 @@ object SkewJoin {
       require(!left.columns.contains(c) && !right.columns.contains(c),
         s"inputs must not use the operator's reserved $c column name")
     }
+    // the hot set feeds THREE join branches — freeze it so the left-side
+    // pre-scan runs exactly once (differing projections defeat exchange
+    // reuse) and all branches see the SAME set even over a
+    // non-deterministic source (disagreeing hot sets would silently drop
+    // the hot key's pairs entirely)
     val hot = broadcast(
       left.groupBy(key).agg(count(lit(1)).as("__n"))
         .filter(col("__n") >= hotThreshold)
-        .select(col(key)).withColumn("__hot", lit(true)))
+        .select(col(key)).withColumn("__hot", lit(true))
+        .localCheckpoint())
     // deterministic per-row salt: content hash of the whole row — identical
     // rows share a salt, which only matters for distribution, never results
     val lSalted = left.join(hot, Seq(key), "left")

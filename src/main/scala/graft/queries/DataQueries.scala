@@ -556,17 +556,11 @@ object DataQueries {
     val fp = f"${scala.util.hashing.MurmurHash3.stringHash(sig)}%08x"
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val dirName = s"graft_${tag}_v3_$fp"
-    Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith(s"graft_${tag}_v") &&
-                   d.getName != dirName)
-      .foreach(deleteRecursively)
+    // age-guarded reap: a CONCURRENT run's differently-fingerprinted index
+    // (e.g. verify at sf0.01 while bench runs sf0.1) must never be deleted
+    // out from under its reader — only hours-stale generations are reaped
+    graft.operators.FsUtil.reapStaleSiblings(tmp, s"graft_${tag}_v", dirName)
     s"${tmp.getPath}/$dirName"
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
   }
 
   private def buildComplete(path: String): Boolean =

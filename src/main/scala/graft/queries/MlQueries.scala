@@ -18,6 +18,35 @@ object MlQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables(s, dir, name)
 
+  /** The q101 fixture + operator, shared VERBATIM by the correctness entry
+    * and its bench override (the override must measure exactly what the
+    * oracle verified): deterministic noised positive + two cyclic-neighbour
+    * negatives per part name, GBT trained in-query on the even-uid half,
+    * held-out odd half scored.
+    */
+  private def q101Scored(s: SparkSession, dir: String): DataFrame = {
+    val noiseUdf = udf((n: String, seed: Long) => TrainData.noise(n, seed))
+    val base = t(s, dir, "part").filter(col("p_partkey") <= 150)
+      .select(col("p_partkey").cast("long").as(Cols.Uid),
+              lower(col("p_name")).as("gt_name"))
+    val noised = base.select(col(Cols.Uid),
+      noiseUdf(col("gt_name"), col(Cols.Uid)).as(Cols.Preprocessed))
+    val gtFor = (k: Int) => base.select(
+      (((col(Cols.Uid) + lit(k) - 1) % 150) + 1).as(Cols.Uid),
+      col(Cols.Uid).as(Cols.GtUid), col("gt_name").as(Cols.GtPreprocessed))
+    val pairs = noised.join(
+        gtFor(0).withColumn("correct", lit(true))
+          .unionByName(gtFor(1).withColumn("correct", lit(false)))
+          .unionByName(gtFor(7).withColumn("correct", lit(false))),
+        Seq(Cols.Uid))
+    val layer = new graft.ml.SupervisedLayer(scoreCols = Nil,
+      withRankFeatures = false, maxIter = 10, maxDepth = 3, seed = 0L)
+    val model = layer.fit(pairs.filter(col(Cols.Uid) % 2 === 0))
+    model.transform(pairs.filter(col(Cols.Uid) % 2 === 1))
+      .select(col(Cols.Uid), col("correct"), col(Cols.NmScore),
+              col(Cols.BestRank), col(Cols.BestMatch))
+  }
+
   /** Labeled candidate frame synthesized from orders: uid = customer,
     * gt_uid = order, rank from a deterministic window.
     */
@@ -104,29 +133,7 @@ object MlQueries {
     // don't), not tight score hashes: GBT probabilities are not a
     // cross-engine-reproducible surface, separability metrics are.
     "q101_supervised_invariants" -> { (s, dir) =>
-      val noiseUdf = udf((n: String, seed: Long) => TrainData.noise(n, seed))
-      val base = t(s, dir, "part").filter(col("p_partkey") <= 150)
-        .select(col("p_partkey").cast("long").as(Cols.Uid),
-                lower(col("p_name")).as("gt_name"))
-      // candidate triple per uid: its own noised name (correct) + the next
-      // two part names cyclically (incorrect); all joins are key-equi on the
-      // 150-row fixture
-      val noised = base.select(col(Cols.Uid),
-        noiseUdf(col("gt_name"), col(Cols.Uid)).as(Cols.Preprocessed))
-      val gtFor = (k: Int) => base.select(
-        (((col(Cols.Uid) + lit(k) - 1) % 150) + 1).as(Cols.Uid),
-        col(Cols.Uid).as(Cols.GtUid), col("gt_name").as(Cols.GtPreprocessed))
-      val pairs = noised.join(
-          gtFor(0).withColumn("correct", lit(true))
-            .unionByName(gtFor(1).withColumn("correct", lit(false)))
-            .unionByName(gtFor(7).withColumn("correct", lit(false))),
-          Seq(Cols.Uid))
-      val layer = new graft.ml.SupervisedLayer(scoreCols = Nil,
-        withRankFeatures = false, maxIter = 10, maxDepth = 3, seed = 0L)
-      val model  = layer.fit(pairs.filter(col(Cols.Uid) % 2 === 0))
-      val scored = model.transform(pairs.filter(col(Cols.Uid) % 2 === 1))
-        .select(col(Cols.Uid), col("correct"), col(Cols.NmScore),
-                col(Cols.BestRank), col(Cols.BestMatch)).localCheckpoint()
+      val scored = q101Scored(s, dir).localCheckpoint()
       // Mann-Whitney AUC without a global window: mean over (pos, neg) score
       // pairs of [s_pos > s_neg] + 0.5*[==]. The cross join is METRIC code
       // on the fixture-bounded scored set (75 pos x 150 neg), broadcast one
@@ -191,30 +198,10 @@ object MlQueries {
     * the result — oracle code; the bench measures the operators themselves.
     */
   val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // production form of q101: train + score (the operator); the AUC cross
-    // join and verdict counts are oracle code and stay in Verify
-    "q101_supervised_invariants" -> { (s, dir) =>
-      val noiseUdf = udf((n: String, seed: Long) => TrainData.noise(n, seed))
-      val base = t(s, dir, "part").filter(col("p_partkey") <= 150)
-        .select(col("p_partkey").cast("long").as(Cols.Uid),
-                lower(col("p_name")).as("gt_name"))
-      val noised = base.select(col(Cols.Uid),
-        noiseUdf(col("gt_name"), col(Cols.Uid)).as(Cols.Preprocessed))
-      val gtFor = (k: Int) => base.select(
-        (((col(Cols.Uid) + lit(k) - 1) % 150) + 1).as(Cols.Uid),
-        col(Cols.Uid).as(Cols.GtUid), col("gt_name").as(Cols.GtPreprocessed))
-      val pairs = noised.join(
-          gtFor(0).withColumn("correct", lit(true))
-            .unionByName(gtFor(1).withColumn("correct", lit(false)))
-            .unionByName(gtFor(7).withColumn("correct", lit(false))),
-          Seq(Cols.Uid))
-      val layer = new graft.ml.SupervisedLayer(scoreCols = Nil,
-        withRankFeatures = false, maxIter = 10, maxDepth = 3, seed = 0L)
-      val model = layer.fit(pairs.filter(col(Cols.Uid) % 2 === 0))
-      model.transform(pairs.filter(col(Cols.Uid) % 2 === 1))
-        .select(col(Cols.Uid), col("correct"), col(Cols.NmScore),
-                col(Cols.BestRank), col(Cols.BestMatch))
-    },
+    // production form of q101: train + score (the operator, the SAME
+    // q101Scored the oracle verified); the AUC cross join and verdict
+    // counts are oracle code and stay in Verify
+    "q101_supervised_invariants" -> { (s, dir) => q101Scored(s, dir) },
     "q50_stratified_split" -> { (s, dir) =>
       val (train, test) = TrainData.stratifiedGroupedSplit(
         t(s, dir, "orders"), "o_custkey", Seq("o_orderpriority"), testFraction = 0.25)

@@ -296,6 +296,12 @@ object SourceStreamQueries {
       // concurrent verify/bench runs on one machine never race on the DROP
       // TABLE / saveAsTable or corrupt each other's bucket directories
       val run = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      // reap hours-stale earlier runs' bucket dirs (age-guarded so a live
+      // concurrent run is never deleted) — per-run namespacing must not
+      // accumulate copies of the fact table in tmpdir forever
+      graft.operators.FsUtil.reapStaleSiblings(
+        new java.io.File(System.getProperty("java.io.tmpdir")),
+        "graft_q100_buckets_", s"graft_q100_buckets_$run")
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_q100_buckets_$run"
       Sources.writeBucketedTable(ev, s"graft_q100_events_$run", "user_id", 8, s"$base/events")
       Sources.writeBucketedTable(dim, s"graft_q100_dim_$run", "user_id", 8, s"$base/dim")
@@ -346,14 +352,8 @@ object SourceStreamQueries {
     deleteRecursively(stage)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally walk.close()
-    }
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.operators.FsUtil.deleteRecursively(p)
 
   private def runToMemory(s: SparkSession, stream: DataFrame,
                           mode: String = "complete"): DataFrame = {

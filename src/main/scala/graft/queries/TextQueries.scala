@@ -188,9 +188,12 @@ object TextQueries {
     // not) — is the invariant: missed_exact_frequent must be 0. The exact
     // frequent-term count is replayed by DuckDB
     "q113_freq_items" -> { (s, dir) =>
+      // three consumers (count, the sketch pass, the exact recount) — one
+      // tokenization pass, frozen
       val terms = t(s, dir, "documents")
         .select(explode(split(trim(col("text")), " ")).as("term"))
         .filter(col("term") =!= "")
+        .localCheckpoint()
       val n = terms.count()
       val support = 0.01
       // sketch result is bounded by ~1/support items — driver-bounded
@@ -199,7 +202,6 @@ object TextQueries {
       val exact = terms.groupBy("term")
         .agg(count(lit(1)).as("freq"))
         .filter(col("freq") > n * support)
-        .localCheckpoint()
       val nExact = exact.count()
       val missed = exact.filter(!col("term").isin(sketched.toSeq: _*)).count()
       val sp = s

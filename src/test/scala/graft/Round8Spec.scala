@@ -72,11 +72,7 @@ class Round8Spec extends SparkSpec {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
     val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_r8_wm")
-    if (Files.exists(base)) {
-      val walk = Files.walk(base)
-      try walk.sorted(java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
-      finally walk.close()
-    }
+    graft.operators.FsUtil.deleteRecursively(base)
     Files.createDirectories(base.resolve("data"))
     val epoch = 1767225600L
     def writeOne(rows: Seq[(Long, Long)], name: String): Unit = {
