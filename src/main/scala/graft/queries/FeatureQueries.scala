@@ -28,6 +28,79 @@ object FeatureQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the five fuzzy ratios made ORACLE-VISIBLE (previously unit-only — no
+    // SQL analog exists for the algorithms themselves, so this is the q97
+    // invariant recipe over their mathematical properties, all on the
+    // library's rapidfuzz/100 scale): identity pairs score exactly 1 on
+    // every ratio; a word-permuted name scores 1 on the order-insensitive
+    // token_sort/token_set ratios and >= 0.95 on w_ratio (the WRatio
+    // formula's 0.95 * max(token ratios) floor at equal lengths); a PREFIX
+    // substring scores partial_ratio 1 (an exact window exists); every
+    // ratio of a cross pair lies in [0,1]. The pair count is replayed
+    // exactly by DuckDB from the same cyclic-neighbour arithmetic
+    "q115_fuzzy_invariants" -> { (s, dir) =>
+      val names = t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long").as(Cols.Uid),
+                lower(col("p_name")).as(Cols.Preprocessed))
+      // permuted twin: words reversed; contained twin: first two words
+      val withTwins = names
+        .withColumn("__perm",
+          array_join(reverse(split(col(Cols.Preprocessed), " ")), " "))
+        .withColumn("__sub",
+          array_join(slice(split(col(Cols.Preprocessed), " "), 1, 2), " "))
+      def feats(df: DataFrame) = PairFeatures.withStringFeatures(df)
+      val self = feats(withTwins.withColumn(Cols.GtPreprocessed, col(Cols.Preprocessed)))
+      val perm = feats(withTwins.withColumn(Cols.GtPreprocessed, col("__perm")))
+      val sub  = feats(withTwins.withColumn(Cols.GtPreprocessed, col("__sub")))
+      // cross pairs: each name against the next one cyclically
+      val nextName = names.select(
+        (((col(Cols.Uid) % 200) + 1)).as(Cols.Uid),
+        col(Cols.Preprocessed).as(Cols.GtPreprocessed))
+      val cross = feats(withTwins.join(nextName, Seq(Cols.Uid)))
+      val ratios = Seq("ratio", "token_sort_ratio", "token_set_ratio",
+        "partial_ratio", "w_ratio")
+      val selfViol = self.filter(ratios.map(col(_) =!= 1.0).reduce(_ || _)).count()
+      val permViol = perm.filter(
+        col("token_sort_ratio") =!= 1.0 || col("token_set_ratio") =!= 1.0 ||
+        col("w_ratio") < 0.95 - 1e-9).count()
+      val subViol = sub.filter(col("partial_ratio") =!= 1.0).count()
+      val rangeViol = cross.filter(
+        ratios.map(r => col(r) < 0.0 || col(r) > 1.0).reduce(_ || _)).count()
+      val nPairs = cross.count()
+      val sp = s
+      import sp.implicits._
+      Seq((nPairs, selfViol == 0L, permViol == 0L, subViol == 0L, rangeViol == 0L))
+        .toDF("n_cross_pairs", "self_is_1", "permutation_invariant",
+          "substring_partial_1", "ratios_in_range")
+    },
+
+    // model persistence (S3) made ORACLE-VISIBLE: fit -> save -> load ->
+    // transform on BOTH models; the loaded model must reproduce the fitted
+    // model's candidates EXACTLY (set equality both ways), the property the
+    // reference's persistence tests gate. The scored-name count replays
+    "q116_persistence_roundtrip" -> { (s, dir) =>
+      import graft.{EmParams, EntityMatching, Persistence}
+      val gtRaw = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as(Cols.Uid),
+        col("p_name").as(Cols.Name),
+        col("p_brand").as(Cols.EntityId))
+      val nm = gtRaw.filter(col(Cols.Uid) < 100)
+      val model = EntityMatching(EmParams(), Seq(
+        new CosSimIndexer(numCandidates = 3, lowerBound = 0.5))).fit(gtRaw)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q116_model"
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      Persistence.save(model, path)
+      val loaded = Persistence.load(s, path)
+      val cols = Seq(Cols.Uid, Cols.GtUid, Cols.score(0), Cols.rank(0))
+      val a = model.transform(nm).select(cols.map(col): _*)
+      val b = loaded.transform(nm).select(cols.map(col): _*)
+      val mismatches = a.exceptAll(b).count() + b.exceptAll(a).count()
+      val nNames = nm.count()
+      val sp = s
+      import sp.implicits._
+      Seq((nNames, mismatches == 0L))
+        .toDF("n_scored_names", "roundtrip_identical")
+    },
     // N2/N4/N5/N6: SQL-expressible pair features (the UDF-based fuzzy ratios
     // are exercised in unit tests; jaro has an exact DuckDB counterpart)
     "q34_pair_features" -> { (s, dir) =>
@@ -92,6 +165,19 @@ object FeatureQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q115_fuzzy_invariants" ->
+      """WITH names AS (SELECT p_partkey AS uid FROM part WHERE p_partkey <= 200),
+         nxt AS (SELECT (uid % 200) + 1 AS uid FROM names)
+         SELECT CAST(count(*) AS BIGINT) AS n_cross_pairs,
+                true AS self_is_1,
+                true AS permutation_invariant,
+                true AS substring_partial_1,
+                true AS ratios_in_range
+         FROM names JOIN nxt USING (uid)""",
+    "q116_persistence_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_scored_names,
+                true AS roundtrip_identical
+         FROM part WHERE p_partkey < 100""",
     "q38_vocabulary_features" ->
       """WITH corpus AS (SELECT DISTINCT lower(text) AS txt FROM documents WHERE text IS NOT NULL),
          nn AS (SELECT count(*) AS n FROM corpus),
