@@ -177,6 +177,41 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("percentile band filter: bounds broadcast back, no window over the data") {
+    val pdocs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val plan = staticPlan(
+      graft.data.Sampling.percentileBandFilter(pdocs, "n_chars", "lang", 0.1, 0.9))
+    assert(count(plan) { case _: WindowExec => } == 0,
+      s"the cut must not window the data:\n$plan")
+    assert(count(plan) { case _: BroadcastExchangeExec => } == 1,
+      s"the stratum bounds must broadcast back:\n$plan")
+    // the only shuffle is the bounds aggregation's — the filter side is
+    // map-only
+    assert(count(plan) { case _: ShuffleExchangeExec => } == 1,
+      s"only the bounds agg may shuffle:\n$plan")
+  }
+
+  test("salted join: no cartesian, hot set frozen (no aggregate in the final plan)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "user_id", "value")
+    val dim = ev.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).cast("long")
+        .as("user_events")).localCheckpoint()
+    val plan = staticPlan(
+      graft.operators.SkewJoin.saltedJoin(ev, dim, "user_id",
+        nSalts = 4, hotThreshold = 50L))
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    assert(count(plan) { case _: CartesianProductExec => } == 0,
+      s"salting must stay an equi-join:\n$plan")
+    // the hot-key pre-scan ran ONCE at operator-construction time
+    // (localCheckpoint) — the executed join plan re-aggregates nothing
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    assert(count(plan) {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => } == 0,
+      s"the frozen hot set must not be recomputed per branch:\n$plan")
+  }
+
   test("bm25 indexed probe: postings scan carries term_bucket PartitionFilters") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_test_planshape_bm25"
