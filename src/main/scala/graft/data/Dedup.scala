@@ -27,6 +27,69 @@ object Dedup {
     df.groupBy(textCol)
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** INCREMENTAL exact dedup against a persisted seen-text ledger — the
+    * daily-crawl shape: a delta is deduped against everything ever ingested
+    * WITHOUT re-scanning the historical corpus (only the ledger, a
+    * (hash, text) relation of the distinct texts, is read). Within the
+    * delta, the smallest id per text is the keeper (the [[exact]]
+    * convention); a delta text already in the ledger is never new. New
+    * distinct texts are appended to the ledger so the next delta sees them.
+    *
+    * EXACT semantics: candidate matches are found by a 64-bit text-hash
+    * equi-join (what shuffles is the hash + the text, never the corpus) and
+    * confirmed on the full text, so a hash collision can never mark a
+    * genuinely-new document as seen. At scale, write the ledger as a
+    * bucketed table on `hash` ([[graft.sources.Sources.writeBucketedTable]])
+    * so the per-delta join co-locates without re-shuffling the ledger; the
+    * plain-parquet form here pays one ledger shuffle per delta.
+    *
+    * Not atomic (output is computed, then the ledger append commits):
+    * re-running a failed call can re-append ledger rows, which is SAFE for
+    * correctness (the seen-join is distinct-insensitive) but grows the
+    * ledger; compact with [[graft.operators.PartitionCompaction]]-style
+    * rewrites if it matters.
+    *
+    * @return one row per DELTA document: (idCol, textCol, is_new) —
+    *         `is_new` marks the rows a pipeline forwards downstream.
+    */
+  def exactIncremental(delta: DataFrame, ledgerPath: String,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val spark = delta.sparkSession
+    val hashed = delta.select(col(idCol), col(textCol),
+      xxhash64(col(textCol)).as("__h"))
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val seen =
+      if (fs.exists(new org.apache.hadoop.fs.Path(ledgerPath)))
+        spark.read.parquet(ledgerPath)
+          .select(col("hash").as("__h"), col("text").as("__seen_text"))
+      else {
+        import spark.implicits._
+        Seq.empty[(Long, String)].toDF("__h", "__seen_text")
+      }
+    // hash-equi candidates confirmed on the text; left join + flag so every
+    // delta row survives with its verdict
+    val flagged = hashed
+      .join(seen.filter(col("__seen_text").isNotNull),
+        hashed("__h") === seen("__h") &&
+          col(textCol) === col("__seen_text"), "left")
+      .select(hashed(idCol), hashed(textCol), hashed("__h"),
+        col("__seen_text").isNotNull.as("__in_ledger"))
+    // delta-internal keeper: smallest id per text among not-in-ledger rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(textCol)).orderBy(col(idCol))
+    val out = flagged
+      .withColumn("is_new",
+        !col("__in_ledger") && row_number().over(w) === 1)
+      .select(col(idCol), col(textCol), col("is_new"))
+      .localCheckpoint() // frozen BEFORE the ledger append mutates state
+    out.filter(col("is_new"))
+      .select(xxhash64(col(textCol)).as("hash"), col(textCol).as("text"))
+      .write.mode("append").parquet(ledgerPath)
+    out
+  }
+
   /** Distinct word k-shingles of a text column as an array column. */
   def wordShingles(text: Column, k: Int): Column = {
     val ws = split(trim(text), "\\s+")

@@ -387,6 +387,20 @@ object DataQueries {
         k = 5, threshold = 0.5, maxDocsPerShingle = 1000)
     },
 
+    // incremental exact dedup against a persisted seen-text ledger (the
+    // daily-crawl shape): the even half is ingested first (building the
+    // ledger), then the odd DELTA is deduped against ledger + itself
+    // without re-reading the base corpus. Full row-level oracle: is_new
+    // iff the text is absent from the even half AND the row is the delta's
+    // smallest id for that text
+    "q117_incremental_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q117_ledger"
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      Dedup.exactIncremental(docs.filter(col("doc_id") % 2 === 0), path)
+      Dedup.exactIncremental(docs.filter(col("doc_id") % 2 =!= 0), path)
+    },
+
     // quality-aware canonical selection: near-dup clusters (q73 knobs) keep
     // their highest-n_chars member, ties to the smallest id — "of N
     // near-identical crawls keep the best copy". Full oracle: the q73
@@ -675,6 +689,15 @@ object DataQueries {
     "q102_bm25_compact" -> bm25Sql,
     // duplicate clusters: the q40 pair CTE closed transitively by a recursive
     // CTE; cluster = min reachable id, singletons cluster to themselves
+    "q117_incremental_dedup" ->
+      """WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+         base AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+         firsts AS (SELECT text, min(doc_id) AS keeper FROM delta GROUP BY text)
+         SELECT d.doc_id, d.text,
+                (b.text IS NULL AND d.doc_id = f.keeper) AS is_new
+         FROM delta d
+         JOIN firsts f ON f.text = d.text
+         LEFT JOIN base b ON b.text = d.text""",
     "q111_keep_best" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5)
         .replaceFirst("WITH ", "WITH RECURSIVE ") +
