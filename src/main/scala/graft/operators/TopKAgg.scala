@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Per-group top-k as a PARTIAL-AGGREGATING typed `Aggregator` — the scale
+  * alternative to `row_number() OVER (PARTITION BY g ORDER BY v DESC) <= k`:
+  * the window form SORTS every group's full row set after the shuffle,
+  * while this aggregator keeps a k-bounded sorted buffer per group on the
+  * MAP side, so only k rows per (partition, group) ever reach the exchange
+  * — on a hot group with millions of rows that is the difference between
+  * shuffling k rows and sorting millions.
+  *
+  * Total order: value DESC, id ASC — identical to the q09 window's
+  * (`desc`, key...) ordering, so results are deterministic under any merge
+  * order (merging two sorted buffers re-applies the same total order).
+  *
+  * Usage: `df.groupBy(g).agg(TopKAgg.topK(3)(col(v), col(id)))` yields an
+  * ordered `array<struct<value, id>>`; posexplode turns position into the
+  * 1-based rank.
+  */
+object TopKAgg {
+
+  /** k-bounded buffer, ordered by (value desc, id asc). */
+  final case class Buf(values: Seq[Double], ids: Seq[Long])
+
+  final case class Entry(value: Double, id: Long)
+
+  private final class TopK(k: Int)
+      extends Aggregator[(Double, Long), Buf, Seq[Entry]] {
+    require(k > 0, s"k must be positive, got $k")
+
+    override def zero: Buf = Buf(Vector.empty, Vector.empty)
+
+    // insertion keeps the buffer sorted; the scan is over <= k elements
+    override def reduce(b: Buf, in: (Double, Long)): Buf = {
+      val (v, id) = in
+      val n = b.values.length
+      if (n == k && lessThanLast(b, v, id)) return b
+      var i = 0
+      while (i < n && !before(v, id, b.values(i), b.ids(i))) i = i + 1
+      Buf((b.values.take(i) :+ v) ++ b.values.drop(i).take(k - i - 1),
+          (b.ids.take(i) :+ id) ++ b.ids.drop(i).take(k - i - 1))
+    }
+
+    override def merge(a: Buf, b: Buf): Buf = {
+      // classic sorted-merge bounded at k
+      val vs = Vector.newBuilder[Double]; val ids = Vector.newBuilder[Long]
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < a.values.length || j < b.values.length)) {
+        val takeA =
+          j >= b.values.length || (i < a.values.length &&
+            before(a.values(i), a.ids(i), b.values(j), b.ids(j)))
+        if (takeA) { vs += a.values(i); ids += a.ids(i); i += 1 }
+        else       { vs += b.values(j); ids += b.ids(j); j += 1 }
+        n += 1
+      }
+      Buf(vs.result(), ids.result())
+    }
+
+    override def finish(b: Buf): Seq[Entry] =
+      b.values.indices.map(i => Entry(b.values(i), b.ids(i)))
+
+    private def before(v1: Double, id1: Long, v2: Double, id2: Long): Boolean =
+      v1 > v2 || (v1 == v2 && id1 < id2)
+
+    private def lessThanLast(b: Buf, v: Double, id: Long): Boolean = {
+      val last = b.values.length - 1
+      !before(v, id, b.values(last), b.ids(last))
+    }
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Seq[Entry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
+  }
+
+  /** A two-column UDAF: `topK(k)(valueCol, idCol)`. */
+  def topK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new TopK(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+}

@@ -283,6 +283,27 @@ object CoreQueries {
                  1).otherwise(0)).cast("long").as("n_converted"))
     },
 
+    // per-group top-k via the PARTIAL-AGGREGATING typed Aggregator (the
+    // scale alternative to q09's window: only k rows per (map partition,
+    // group) reach the shuffle instead of sorting whole groups after it).
+    // Same fixture and total order as q09, so the window oracle locks the
+    // aggregator's insert/merge/tie-break logic row-for-row. The composite
+    // id orderkey*8+linenumber is order-isomorphic to (orderkey,
+    // linenumber) — linenumber is 1..7 — and decodes back exactly
+    "q118_topk_agg" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_suppkey"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("__id"),
+        col("l_extendedprice").as("__v"))
+      li.groupBy("l_suppkey")
+        .agg(graft.operators.TopKAgg.topK(3)(col("__v"), col("__id")).as("top"))
+        .select(col("l_suppkey"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("l_suppkey"),
+          expr("e.id div 8").as("l_orderkey"),
+          (col("e.id") % 8).cast("int").as("l_linenumber"),
+          col("e.value").as("l_extendedprice"),
+          (col("pos") + 1).cast("int").as("rn"))
+    },
+
     // as-of join with MATCH TOLERANCE (pandas merge_asof's `tolerance`):
     // q83's backward join, but a match staler than 1 hour reports null
     // instead of a stale carry — the "state must be fresh" variant every
@@ -466,6 +487,12 @@ object CoreQueries {
                 CAST(min(ts_us) AS BIGINT) AS start_us,
                 CAST(max(ts_us) AS BIGINT) AS end_us
          FROM s GROUP BY 1, 2""",
+    "q118_topk_agg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                  CAST(row_number() OVER (PARTITION BY l_suppkey
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rn
+           FROM lineitem) WHERE rn <= 3""",
     "q112_asof_tolerance" ->
       """WITH ev AS (
            SELECT event_id, event_type, epoch_us(ts) AS ts_us, value

@@ -133,6 +133,26 @@ class Round8Spec extends SparkSpec {
     assert(unbounded(0).getInt(3) == 1)
   }
 
+  test("TopKAgg: partition-layout independent, ties by id, short groups intact") {
+    import graft.operators.TopKAgg
+    // group 1: 5 rows incl. a value tie (ids 11 vs 12 -> smaller id first);
+    // group 2: fewer rows than k
+    val rows = Seq((1L, 5.0, 10L), (1L, 7.0, 11L), (1L, 7.0, 12L),
+                   (1L, 1.0, 13L), (1L, 6.0, 14L), (2L, 3.0, 20L), (2L, 2.0, 21L))
+    def run(parts: Int) =
+      rows.toDF("g", "v", "id").repartition(parts)
+        .groupBy("g").agg(TopKAgg.topK(3)(col("v"), col("id")).as("top"))
+        .select(col("g"), col("top"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getLong(1))))
+        .toMap
+    val expected = Map(
+      1L -> Seq((7.0, 11L), (7.0, 12L), (6.0, 14L)),
+      2L -> Seq((3.0, 20L), (2.0, 21L)))
+    assert(run(1) == expected, s"single partition: ${run(1)}")
+    assert(run(7) == expected, "the sorted merge must be layout-independent")
+  }
+
   test("negative split: GlobalRank path is exact and deterministic at 10x entity count") {
     // 3000 entities x 2 names — an order of magnitude over the q48/q50
     // fixtures; the former Window.orderBy(...) plan put all of it in ONE
