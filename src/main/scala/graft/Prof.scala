@@ -260,6 +260,29 @@ object Prof {
     probe("rolling_window", 1, v1)(rollingCount(ev1))
     probe("rolling_window", 10, v10)(rollingCount(ev10))
 
+    // per-group top-k: the partial-aggregating Aggregator vs the window
+    // form at the same 10x volume — the map-side-combine claim, measured.
+    // Copies REUSE user ids (same groups, 10x per-group volume): the
+    // honest stress, where the window must sort 10x rows per group but the
+    // aggregator still shuffles k per (partition, group)
+    val evHot = (0 until 10).map { i =>
+      ev1.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+    }.reduce(_ unionByName _)
+    val vh = evHot.count()
+    def topkAgg(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy("user_id")
+        .agg(graft.operators.TopKAgg.topK(5)(col("value"), col("event_id")).as("top"))
+        .select(col("user_id"), explode(col("top")))
+        .count()
+    def topkWindow(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).count()
+    }
+    probe("topk_aggregator", 10, vh)(topkAgg(evHot))
+    probe("topk_window", 10, vh)(topkWindow(evHot))
+
     log.close()
     spark.stop()
   }

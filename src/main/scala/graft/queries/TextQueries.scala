@@ -181,6 +181,19 @@ object TextQueries {
             .as("p50_within_iqr"))
     },
 
+    // PIVOT report: per-source document counts spread across language
+    // columns in ONE groupBy.pivot pass (one Expand-free hash agg — with
+    // the value list supplied EXPLICITLY, so no extra distinct-scan job
+    // runs to discover it, the form a 100 TB report must use). Missing
+    // combinations coalesce to 0; the oracle is the classic CASE pivot
+    "q119_pivot_report" -> { (s, dir) =>
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val p = t(s, dir, "documents").groupBy("source")
+        .pivot("lang", langs).agg(count(lit(1)))
+      p.select(col("source") +:
+        langs.map(l => coalesce(col(l), lit(0L)).cast("long").as(s"n_$l")): _*)
+    },
+
     // frequent-items sketch vs exact (the q97 family's third sketch): one
     // pass of Karp/Misra-Gries style freqItems at 1% support vs the exact
     // count. The sketch's GUARANTEE — every term with frequency above
@@ -362,6 +375,14 @@ object TextQueries {
          CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars,
          quantile_cont(n_chars, 0.5) AS p50_chars,
          quantile_cont(n_chars, 0.9) AS p90_chars
+         FROM documents GROUP BY source""",
+    "q119_pivot_report" ->
+      """SELECT source,
+                CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+                CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+                CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
          FROM documents GROUP BY source""",
     "q113_freq_items" ->
       """WITH t AS (
