@@ -102,6 +102,34 @@ object DataQueries {
       Knn.bruteForceTopK(emb.filter(col("vec_id") < 100), emb, k = 5)
     },
 
+    // the DECLARATIVE cosine baseline: zip_with + aggregate higher-order
+    // functions compose the dot product and norms entirely from built-ins
+    // (whole-stage codegen, no kernel, no UDF) over a broadcast query
+    // side — the 'compose existing ops' tier beside the packed kernel the
+    // bench uses. HOF aggregate folds left-to-right in element order,
+    // exactly the kernel's loop, so q43's brute-force oracle locks it
+    // bit-identically
+    "q120_hof_cosine" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val t2 = emb.select(col("vec_id").as("target_id"), col("embedding").as("tv"))
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+      val scored = broadcast(q).join(t2)
+        .withColumn("__denom", sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("tv"), col("tv"))))
+        .withColumn("cosine",
+          when(col("__denom") === 0.0, 0.0)
+            .otherwise(round(dot(col("qv"), col("tv")) / col("__denom"), 9)))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("target_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "target_id", "cosine", "rank")
+    },
+
     // int8-quantized brute force: symmetric per-vector quantization, integer
     // dot kernel. Full row-level oracle: DuckDB replays the quantization
     // (floor(x*127/maxabs + 0.5)) and the quantized-vector cosine exactly —
@@ -689,6 +717,16 @@ object DataQueries {
     "q102_bm25_compact" -> bm25Sql,
     // duplicate clusters: the q40 pair CTE closed transitively by a recursive
     // CTE; cluster = min reachable id, singletons cluster to themselves
+    "q120_hof_cosine" ->
+      """SELECT query_id, target_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                  round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) AS cosine,
+                  CAST(row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) DESC,
+                                t.vec_id) AS INT) AS rank
+           FROM embeddings q CROSS JOIN embeddings t
+           WHERE q.vec_id < 20)
+         WHERE rank <= 5""",
     "q117_incremental_dedup" ->
       """WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
          base AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
