@@ -64,6 +64,10 @@ object Dedup {
       if (fs.exists(new org.apache.hadoop.fs.Path(ledgerPath)))
         spark.read.parquet(ledgerPath)
           .select(col("hash").as("__h"), col("text").as("__seen_text"))
+          // a crashed-and-retried append can leave duplicate ledger rows;
+          // dedupe on read so the seen-join never fans a delta row out
+          // (the one-row-per-delta-document contract)
+          .dropDuplicates("__h", "__seen_text")
       else {
         import spark.implicits._
         Seq.empty[(Long, String)].toDF("__h", "__seen_text")
@@ -84,7 +88,11 @@ object Dedup {
         !col("__in_ledger") && row_number().over(w) === 1)
       .select(col(idCol), col(textCol), col("is_new"))
       .localCheckpoint() // frozen BEFORE the ledger append mutates state
-    out.filter(col("is_new"))
+    // null texts never match the ledger nor each other (standard null
+    // semantics) and are never appended — a null-text delta row reports
+    // is_new on its own merits but cannot poison the ledger; filter nulls
+    // upstream if the corpus can contain them
+    out.filter(col("is_new") && col(textCol).isNotNull)
       .select(xxhash64(col(textCol)).as("hash"), col(textCol).as("text"))
       .write.mode("append").parquet(ledgerPath)
     out

@@ -68,8 +68,16 @@ object TopKAgg {
     override def finish(b: Buf): Seq[Entry] =
       b.values.indices.map(i => Entry(b.values(i), b.ids(i)))
 
-    private def before(v1: Double, id1: Long, v2: Double, id2: Long): Boolean =
-      v1 > v2 || (v1 == v2 && id1 < id2)
+    // java.lang.Double.compare, NOT primitive >: Spark's descending sort
+    // ranks NaN above +Infinity and distinguishes -0.0 < 0.0, and a raw
+    // `>` comparison is not even a total order under NaN (merge-order
+    // nondeterminism). Null VALUES are outside the primitive-encoder
+    // contract — coalesce or filter them upstream (the window form's
+    // nulls-last has no equivalent here).
+    private def before(v1: Double, id1: Long, v2: Double, id2: Long): Boolean = {
+      val c = java.lang.Double.compare(v1, v2)
+      c > 0 || (c == 0 && id1 < id2)
+    }
 
     private def lessThanLast(b: Buf, v: Double, id: Long): Boolean = {
       val last = b.values.length - 1

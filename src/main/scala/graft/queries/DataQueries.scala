@@ -422,7 +422,11 @@ object DataQueries {
     // iff the text is absent from the even half AND the row is the delta's
     // smallest id for that text
     "q117_incremental_dedup" -> { (s, dir) =>
+      // text is nullable in the schema: filter nulls on BOTH engines (the
+      // operator treats null texts as never-matching, which no equi-join
+      // oracle can replay)
       val docs = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("text").isNotNull)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_q117_ledger"
       graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
       Dedup.exactIncremental(docs.filter(col("doc_id") % 2 === 0), path)
@@ -728,8 +732,10 @@ object DataQueries {
            WHERE q.vec_id < 20)
          WHERE rank <= 5""",
     "q117_incremental_dedup" ->
-      """WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
-         base AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+      """WITH delta AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+         base AS (SELECT DISTINCT text FROM documents
+                  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
          firsts AS (SELECT text, min(doc_id) AS keeper FROM delta GROUP BY text)
          SELECT d.doc_id, d.text,
                 (b.text IS NULL AND d.doc_id = f.keeper) AS is_new

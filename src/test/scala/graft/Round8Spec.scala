@@ -153,6 +153,33 @@ class Round8Spec extends SparkSpec {
     assert(run(7) == expected, "the sorted merge must be layout-independent")
   }
 
+  test("TopKAgg: NaN ranks first like Spark's descending sort") {
+    import graft.operators.TopKAgg
+    val rows = Seq((1L, 5.0, 10L), (1L, Double.NaN, 11L), (1L, 7.0, 12L))
+    val got = rows.toDF("g", "v", "id")
+      .groupBy("g").agg(TopKAgg.topK(2)(col("v"), col("id")).as("top"))
+      .select(explode(col("top")).as("e")).select("e.id")
+      .collect().map(_.getLong(0)).toSeq
+    // window form: orderBy(desc) puts NaN above +Inf -> NaN first
+    assert(got == Seq(11L, 12L), s"NaN must rank first (Spark ordering), got $got")
+  }
+
+  test("incremental dedup: duplicate ledger rows from a retried append never fan out") {
+    import graft.data.Dedup
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_r8_ledger"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+    val base = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    Dedup.exactIncremental(base, path)
+    // simulate the documented failure mode: the append half of a call
+    // re-runs, duplicating every ledger row
+    spark.read.parquet(path).write.mode("append").parquet(path)
+    val delta = Seq((3L, "aa"), (4L, "cc")).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(delta, path)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(3L -> false, 4L -> true),
+      s"one row per delta doc with correct verdicts, got $out")
+  }
+
   test("negative split: GlobalRank path is exact and deterministic at 10x entity count") {
     // 3000 entities x 2 names — an order of magnitude over the q48/q50
     // fixtures; the former Window.orderBy(...) plan put all of it in ONE
