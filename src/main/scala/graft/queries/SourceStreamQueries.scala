@@ -283,6 +283,40 @@ object SourceStreamQueries {
         mode = "append")
     },
 
+    // foreachBatch IDEMPOTENT sink — the exactly-once recipe for sinks the
+    // built-in writers don't cover: each micro-batch lands in its own
+    // batch_id partition with DYNAMIC overwrite, so a replayed batch
+    // (crash between sink write and checkpoint commit) overwrites ITS OWN
+    // partition instead of duplicating rows. The query runs the stream
+    // TWICE against one checkpoint — the second run finds no new data and
+    // provably adds nothing — and the oracle is the plain projection of
+    // the source table (exactly-once made row-comparable)
+    "q121_foreach_batch_sink" -> { (s, dir) =>
+      val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q121_fb")
+      deleteRecursively(base)
+      Files.createDirectories(base)
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select("event_id", "user_id", "value")
+          .writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            df.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(s"$base/out")
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      runOnce() // replay: no new files -> no batch -> nothing duplicated
+      s.read.parquet(s"$base/out").select("event_id", "user_id", "value")
+    },
+
     // bucketed co-located join: both sides written bucketBy(user_id) — the
     // write-once shuffle layout for repeatedly-joined fact tables; the join
     // itself then plans ZERO exchanges (PlanShapeSpec-asserted). The oracle
@@ -413,6 +447,8 @@ object SourceStreamQueries {
                 CAST(count(*) AS BIGINT) AS n_events,
                 CAST(sum(id) AS BIGINT) AS sum_id
          FROM ontime WHERE h <= 4 GROUP BY h""",
+    "q121_foreach_batch_sink" ->
+      "SELECT event_id, user_id, value FROM events",
     "q114_stream_stream_join" ->
       """WITH ev AS (
            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
