@@ -39,6 +39,30 @@ object TrainData {
     (df.filter(!isTest), df.filter(isTest))
   }
 
+  /** Deterministic THREE-WAY grouped split (train/validation/test) — the
+    * standard ML protocol the two-way [[groupedSplit]] composes into: the
+    * same seeded 1000-bucket hash of the group key carves [0, val), [val,
+    * val+test) and the remainder, so every group lands WHOLLY in exactly
+    * one part, the parts are disjoint by construction, and — because the
+    * bucket is a pure function of (group, seed) — the TEST set is
+    * IDENTICAL to a two-way [[groupedSplit]] at the same fractions/seed
+    * offsets, and growing valFraction never moves a group between val and
+    * test (stable protocol under re-tuning).
+    */
+  def groupedSplit3(df: DataFrame, groupCol: String,
+                    valFraction: Double = 0.15, testFraction: Double = 0.15,
+                    seed: Int = 42): (DataFrame, DataFrame, DataFrame) = {
+    require(valFraction >= 0 && testFraction >= 0 &&
+      valFraction + testFraction < 1,
+      s"need valFraction + testFraction < 1, got $valFraction + $testFraction")
+    val bucket = pmod(xxhash64(col(groupCol), lit(seed)), lit(1000L))
+    val vCut = (valFraction * 1000).toLong
+    val tCut = vCut + (testFraction * 1000).toLong
+    (df.filter(bucket >= tCut),
+     df.filter(bucket < vCut),
+     df.filter(bucket >= vCut && bucket < tCut))
+  }
+
   /** Deterministic STRATIFIED grouped split, replacing the reference's
     * StratifiedGroupKFold (base_supervised_model.py:201-266, stratified on
     * correct + no_candidate + positive_set): groups keep all their rows on

@@ -91,6 +91,26 @@ object MlQueries {
       Seq((total, overlap)).toDF("total_rows", "overlapping_groups")
     },
 
+    // M3 three-way: train/val/test with whole-group assignment. The q49
+    // invariant surface — total rows preserved, all three pairwise group
+    // overlaps zero, and every group in exactly one part
+    "q122_grouped_split3" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val (train, valid, test) = TrainData.groupedSplit3(
+        orders, "o_custkey", valFraction = 0.15, testFraction = 0.15)
+      def groups(df: DataFrame) = df.select("o_custkey").distinct()
+      val overlap =
+        groups(train).join(groups(valid), "o_custkey").count() +
+        groups(train).join(groups(test), "o_custkey").count() +
+        groups(valid).join(groups(test), "o_custkey").count()
+      val total = train.count() + valid.count() + test.count()
+      val nGroups = groups(train).count() + groups(valid).count() + groups(test).count()
+      val sp = s
+      import sp.implicits._
+      Seq((total, nGroups, overlap))
+        .toDF("total_rows", "total_groups", "overlapping_groups")
+    },
+
     // M3 stratified: per-stratum test-group counts are EXACTLY
     // floor(fraction * stratum size) — the oracle recomputes stratum sizes
     // (min of each group's concatenated strata values) and the expected test
@@ -260,6 +280,11 @@ object MlQueries {
          SELECT uid, gt_uid, correct, positive_set, rank_0 FROM negatives""",
     "q49_grouped_split_sizes" ->
       """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+                CAST(0 AS BIGINT) AS overlapping_groups
+         FROM orders""",
+    "q122_grouped_split3" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS total_groups,
                 CAST(0 AS BIGINT) AS overlapping_groups
          FROM orders""",
     "q50_stratified_split" ->
