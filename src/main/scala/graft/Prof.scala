@@ -283,6 +283,42 @@ object Prof {
     probe("topk_aggregator", 10, vh)(topkAgg(evHot))
     probe("topk_window", 10, vh)(topkWindow(evHot))
 
+    // round-8 widening operators at 1x/10x
+    probe("percentile_filter", 1, n1)(
+      graft.data.Sampling.percentileBandFilter(
+        docs1.select("doc_id", "lang", "n_chars"), "n_chars", "lang", 0.1, 0.9).count())
+    probe("percentile_filter", 10, n10)(
+      graft.data.Sampling.percentileBandFilter(
+        docs10.select("doc_id", "lang", "n_chars"), "n_chars", "lang", 0.1, 0.9).count())
+
+    probe("keep_best_cluster", 1, n1)(
+      Dedup.keepBestPerCluster(docs1, "text", "doc_id", "n_chars",
+        k = 5, threshold = 0.5, maxDocsPerShingle = 1000).count())
+    probe("keep_best_cluster", 10, n10)(
+      Dedup.keepBestPerCluster(docs10, "text", "doc_id", "n_chars",
+        k = 5, threshold = 0.5, maxDocsPerShingle = 1000).count())
+
+    def saltedCount(df: org.apache.spark.sql.DataFrame): Long = {
+      val dim = df.groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("user_events"))
+      graft.operators.SkewJoin.saltedJoin(
+        df.select("event_id", "user_id", "value"), dim, "user_id",
+        nSalts = 8, hotThreshold = 500L).count()
+    }
+    probe("salted_join", 1, v1)(saltedCount(ev1))
+    probe("salted_join", 10, v10)(saltedCount(ev10))
+
+    // incremental dedup: append a 1x delta onto a 10x ledger — the claim is
+    // "a delta costs the delta scan + one ledger join", never a re-dedup of
+    // the historical corpus
+    val ledgerPath = s"${System.getProperty("java.io.tmpdir")}/graft_prof_ledger"
+    rmTree(ledgerPath)
+    probe("incr_dedup_base", 10, n10)(
+      Dedup.exactIncremental(docs10, ledgerPath).count())
+    probe("incr_dedup_delta", 1, n1)(
+      Dedup.exactIncremental(
+        docs1.withColumn("doc_id", col("doc_id") + 800000000L), ledgerPath).count())
+
     log.close()
     spark.stop()
   }
