@@ -336,6 +336,21 @@ object CoreQueries {
         .select("user_id", "event_id", "value", "user_events")
     },
 
+    // Bloom-filter pre-filtered semi join: a ~2 KB key sketch of the
+    // filtered dim drops ~90% of the fact rows MAP-SIDE, before the join's
+    // exchange; the exact semi join that follows removes the false
+    // positives, so the oracle is the PLAIN semi join — bloom filtering is
+    // proven row-identical, only the shuffled volume changes. The manual
+    // form of AQE's runtime bloom-filter rewrite, for plans it cannot touch
+    "q123_bloom_join" -> { (s, dir) =>
+      val fact = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      val dim = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey").as("l_orderkey"))
+      graft.operators.BloomJoin.bloomSemiJoin(fact, dim, "l_orderkey",
+        expectedItems = 20000L, fpp = 0.01)
+    },
+
     // semi-structured JSON extraction from the event props column — the
     // row-level payload-parsing op every event pipeline needs; stays inside
     // whole-stage codegen (get_json_object is a native expression, no UDF)
@@ -364,6 +379,11 @@ object CoreQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q123_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_orderkey = l_orderkey
+                         AND o_totalprice > 450000.0)""",
     "q108_salted_join" ->
       """WITH dim AS (
            SELECT user_id, CAST(count(*) AS BIGINT) AS user_events

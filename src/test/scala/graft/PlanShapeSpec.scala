@@ -231,4 +231,42 @@ class PlanShapeSpec extends SparkSpec {
         s"postings scan must statically prune term_bucket partitions:\n$f")
     }
   }
+
+  test("bloom semi join: probe filters the fact side BELOW the join's exchange") {
+    val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    val dim = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey").as("l_orderkey"))
+    // broadcast off: against a broadcastable dim the bloom probe is
+    // redundant — the claim under test is the shuffle-volume cut on the
+    // shuffled (sort-merge) join every too-big-to-broadcast dim forces
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = staticPlan(graft.operators.BloomJoin.bloomSemiJoin(
+        fact, dim, "l_orderkey", expectedItems = 20000L))
+      // InferFiltersFromConstraints also copies the probe onto the dim side
+      // through the join-key equality — harmless (still map-side); the lock
+      // is that every probe runs below the exchanges and one guards the fact
+      // scan
+      val bloomFilters = plan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.exists(_.isInstanceOf[graft.operators.BloomMightContain]) => f
+      }
+      assert(bloomFilters.nonEmpty, s"no bloom probe filter planned:\n$plan")
+      bloomFilters.foreach { f =>
+        assert(count(f) { case _: ShuffleExchangeExec => } == 0,
+          s"the bloom probe must run map-side, below every exchange:\n$plan")
+      }
+      assert(bloomFilters.exists(_.exists {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+          case _ => false
+        }), s"one probe must guard the fact scan:\n$plan")
+      assert(count(plan) {
+        case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => } == 1,
+        s"the exact semi join must remain:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
 }

@@ -208,4 +208,26 @@ class Round8Spec extends SparkSpec {
     val b = again.filter(col("positive_set")).select(Cols.EntityId).distinct()
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
+
+  test("bloom semi join: string keys, null keys, fpp independence") {
+    import graft.operators.BloomJoin
+    val fact = Seq(Some("alpha"), Some("beta"), Some("gamma"), None,
+      Some("delta"), Some("alpha")).toDF("k")
+    val dim = Seq("alpha", "delta", "omega").toDF("k")
+    val plain = fact.join(dim.distinct(), Seq("k"), "left_semi")
+    // tiny filter → fpp near its bound; exactness must come from the final
+    // semi join, not from the bloom filter being lucky
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = BloomJoin.bloomSemiJoin(fact, dim, "k",
+        expectedItems = 4L, fpp = fpp)
+      assert(got.exceptAll(plain).count() == 0 &&
+        plain.exceptAll(got).count() == 0, s"fpp=$fpp mismatch")
+    }
+    // integral widths share the long encoding
+    val factI = Seq(1, 2, 3, 4).toDF("k")
+    val dimL = Seq(2L, 4L, 9L).toDF("k")
+    val gotI = BloomJoin.bloomSemiJoin(
+      factI.select(col("k").cast("long").as("k")), dimL, "k", 8L)
+    assert(gotI.as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+  }
 }
