@@ -276,6 +276,27 @@ object DataQueries {
       graft.search.Bm25.topK(docs, qs, k = 10)
     },
 
+    // hybrid lexical + dense retrieval: BM25 top-20 and cosine top-20 for
+    // the same five queries, fused by reciprocal-rank fusion (k=60). Fusion
+    // operates on RANKS, so the incomparable score scales never mix; the
+    // fused list is the standard production first-stage for RAG retrieval.
+    // Full row-level oracle: DuckDB replays both retrievers (q72's and
+    // q43's recipes) and the fusion arithmetic exactly
+    "q124_hybrid_rrf" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(trim(col("text")), " "), 1, 4), " ")
+            .as("query_text"))
+      val lex = graft.search.Bm25.topK(docs, qs, k = 20)
+        .select("query_id", "doc_id", "rank")
+      val dense = Knn.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 20)
+        .select(col("query_id"), col("target_id").as("doc_id"), col("rank"))
+      graft.search.Hybrid.rrfFuse(lex, dense, "query_id", "doc_id", "rank",
+        k = 60, topK = 10)
+    },
+
     // BM25 over a materialized inverted index (postings partitioned by term
     // hash bucket, probes statically pruned): bit-identical to q72's direct
     // path, so the same full oracle checks the index build + pruned probe
@@ -718,6 +739,55 @@ object DataQueries {
     "q72_bm25_topk" -> bm25Sql,
     "q75_bm25_indexed" -> bm25Sql,
     "q87_bm25_append" -> bm25Sql,
+    "q124_hybrid_rrf" ->
+      """WITH q AS (
+           SELECT doc_id AS query_id,
+                  array_to_string((string_split(trim(text), ' '))[1:4], ' ') AS qtext
+           FROM documents WHERE doc_id < 5),
+         qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+                FROM q),
+         w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+         dt AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+         tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM dt WHERE term <> '' GROUP BY 1, 2, 3),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                          avg(len(ws)) AS avgdl FROM w),
+         dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                   FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+         scored AS (
+           SELECT qt.query_id, tf.doc_id,
+                  round(sum(
+                    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                    tf.tf * (1.2 + 1) /
+                    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))), 9) AS score
+           FROM tf JOIN qt USING (term) JOIN dfreq d USING (term)
+           CROSS JOIN stats s
+           GROUP BY 1, 2),
+         bm AS (
+           SELECT query_id, doc_id, rank FROM (
+             SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, doc_id) AS rank
+             FROM scored) WHERE rank <= 20),
+         ann AS (
+           SELECT query_id, doc_id, rank FROM (
+             SELECT q.vec_id AS query_id, t.vec_id AS doc_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) DESC,
+                                  t.vec_id) AS rank
+             FROM embeddings q CROSS JOIN embeddings t
+             WHERE q.vec_id < 5) WHERE rank <= 20),
+         f AS (
+           SELECT coalesce(bm.query_id, ann.query_id) AS query_id,
+                  coalesce(bm.doc_id, ann.doc_id) AS doc_id,
+                  coalesce(1.0 / (60 + CAST(bm.rank AS DOUBLE)), 0.0)
+                    + coalesce(1.0 / (60 + CAST(ann.rank AS DOUBLE)), 0.0) AS rrf_score
+           FROM bm FULL OUTER JOIN ann
+             ON bm.query_id = ann.query_id AND bm.doc_id = ann.doc_id)
+         SELECT query_id, doc_id, rrf_score,
+                CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY rrf_score DESC, doc_id) AS INT) AS rrf_rank
+         FROM f QUALIFY rrf_rank <= 10""",
     "q102_bm25_compact" -> bm25Sql,
     // duplicate clusters: the q40 pair CTE closed transitively by a recursive
     // CTE; cluster = min reachable id, singletons cluster to themselves
