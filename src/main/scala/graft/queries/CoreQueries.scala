@@ -351,6 +351,23 @@ object CoreQueries {
         expectedItems = 20000L, fpp = 0.01)
     },
 
+    // PageRank over the part co-purchase graph (parts sharing an order,
+    // both directions), 5 synchronous steps in exact ppm integer fixed
+    // point: integer sums are order-independent and integer division exact,
+    // so the distributed result is bit-identical on any partitioning and
+    // DuckDB replays all five iterations as unrolled CTEs — the graph
+    // operator made hash-oracle-visible, which the float form cannot be
+    "q125_pagerank" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val a = li.toDF("o", "src")
+      val b = li.toDF("o", "dst")
+      val edges = a.join(b, "o").filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.PageRank.fixedPointRanks(edges, "src", "dst",
+          iterations = 5)
+        .select(col("node").as("part_key"), col("rank_fp"))
+    },
+
     // semi-structured JSON extraction from the event props column — the
     // row-level payload-parsing op every event pipeline needs; stays inside
     // whole-stage codegen (get_json_object is a native expression, no UDF)
@@ -378,7 +395,37 @@ object CoreQueries {
       }.reduce(_ union _)
     })
 
+  /** q125's oracle: the five fixed-point steps unrolled as chained CTEs —
+    * generated so the Spark operator and the SQL stay iteration-for-
+    * iteration identical (same ppm constants, same integer division).
+    */
+  private val pagerankSql: String = {
+    val iters = (1 to 5).map { i =>
+      s"""inc$i AS (
+            SELECT e.dst AS node, sum(r.rank_fp // e.outdeg) AS inc
+            FROM e JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst),
+          r$i AS (
+            SELECT n.node,
+                   CAST(150000 + (850000 * coalesce(i.inc, 0)) // 1000000
+                        AS BIGINT) AS rank_fp
+            FROM nodes n LEFT JOIN inc$i i ON n.node = i.node)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                FROM pairs GROUP BY src),
+        e AS (SELECT p.src, p.dst, d.outdeg FROM pairs p JOIN deg d USING (src)),
+        nodes AS (SELECT DISTINCT src AS node FROM pairs
+                  UNION SELECT DISTINCT dst FROM pairs),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM nodes),
+        $iters
+        SELECT node AS part_key, rank_fp FROM r5"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q125_pagerank" -> pagerankSql,
     "q123_bloom_join" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          WHERE EXISTS (SELECT 1 FROM orders

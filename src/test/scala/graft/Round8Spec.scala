@@ -230,4 +230,18 @@ class Round8Spec extends SparkSpec {
       factI.select(col("k").cast("long").as("k")), dimL, "k", 8L)
     assert(gotI.as[Long].collect().sorted.toSeq == Seq(2L, 4L))
   }
+
+  test("pagerank: hand-computed fixed point, dangling leak, duplicate edges") {
+    import graft.operators.PageRank
+    // 1 -> {2,3}, 2 -> 1; 3 dangling (its mass leaks, classic convention);
+    // duplicate edge rows must not double outdeg or contributions
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (1L, 2L)).toDF("s", "d")
+    def ranks(iters: Int): Map[Long, Long] =
+      PageRank.fixedPointRanks(edges, "s", "d", iterations = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter1: contrib(1)=500000 to each of 2,3; contrib(2)=1000000 to 1
+    assert(ranks(1) == Map(1L -> 1000000L, 2L -> 575000L, 3L -> 575000L))
+    // iter2: 1 receives 575000, 2/3 receive 500000 each
+    assert(ranks(2) == Map(1L -> 638750L, 2L -> 575000L, 3L -> 575000L))
+  }
 }
