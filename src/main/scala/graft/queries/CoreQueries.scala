@@ -377,6 +377,15 @@ object CoreQueries {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
     },
 
+    // one-pass column profiling over orders: null counts, exact
+    // cardinality, numeric/string bounds for four columns from ONE scan
+    // (multi-distinct via a single Expand) — the table-drop data-quality
+    // report, fully SQL-replayable
+    "q126_profile" -> { (s, dir) =>
+      graft.data.Profile.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -426,6 +435,35 @@ object CoreQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q125_pagerank" -> pagerankSql,
+    "q126_profile" ->
+      """SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+                CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+                CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         FROM orders
+         UNION ALL
+         SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+                CAST(count(*) - count(o_custkey) AS BIGINT),
+                CAST(count(DISTINCT o_custkey) AS BIGINT),
+                CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+                CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+                CAST(count(*) - count(o_totalprice) AS BIGINT),
+                CAST(count(DISTINCT o_totalprice) AS BIGINT),
+                min(o_totalprice), max(o_totalprice),
+                CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+                CAST(count(*) - count(o_orderstatus) AS BIGINT),
+                CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                min(o_orderstatus), max(o_orderstatus)
+         FROM orders""",
     "q123_bloom_join" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          WHERE EXISTS (SELECT 1 FROM orders
