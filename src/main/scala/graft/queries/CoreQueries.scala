@@ -377,6 +377,27 @@ object CoreQueries {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
     },
 
+    // point-in-interval join via bin replication: events inside the 30-min
+    // windows opened by big events of their type. binWidth = window length
+    // → each interval replicates to ≤ 2 bins and the join is equi on
+    // (event_type, bin) — never the per-key quadratic a plain range join
+    // degrades to. Oracle = the plain range join (row-identical by
+    // construction; only the join shape differs)
+    "q127_interval_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val iv = ev.groupBy("event_type", "ts_us")
+        .agg(max(col("value")).as("big_value"))
+        .filter(col("big_value") >= 200.0)
+        .select(col("event_type"), col("ts_us").as("win_start_us"),
+          (col("ts_us") + 1800L * 1000000L).as("win_end_us"))
+      graft.operators.IntervalJoin.binned(
+          ev.select("event_id", "event_type", "ts_us"), iv,
+          Seq("event_type"), "ts_us", "win_start_us", "win_end_us",
+          binWidth = 1800L * 1000000L)
+        .select("event_id", "event_type", "ts_us", "win_start_us", "win_end_us")
+    },
+
     // one-pass column profiling over orders: null counts, exact
     // cardinality, numeric/string bounds for four columns from ONE scan
     // (multi-distinct via a single Expand) — the table-drop data-quality
@@ -435,6 +456,17 @@ object CoreQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q125_pagerank" -> pagerankSql,
+    "q127_interval_join" ->
+      """WITH ev AS (
+           SELECT event_id, event_type, epoch_us(ts) AS ts_us, value
+           FROM events),
+         iv AS (
+           SELECT event_type, ts_us AS win_start_us,
+                  ts_us + 1800000000 AS win_end_us
+           FROM ev GROUP BY event_type, ts_us HAVING max(value) >= 200.0)
+         SELECT e.event_id, e.event_type, e.ts_us, i.win_start_us, i.win_end_us
+         FROM ev e JOIN iv i USING (event_type)
+         WHERE e.ts_us >= i.win_start_us AND e.ts_us <= i.win_end_us""",
     "q126_profile" ->
       """SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,

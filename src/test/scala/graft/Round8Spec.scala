@@ -244,4 +244,46 @@ class Round8Spec extends SparkSpec {
     // iter2: 1 receives 575000, 2/3 receive 500000 each
     assert(ranks(2) == Map(1L -> 638750L, 2L -> 575000L, 3L -> 575000L))
   }
+
+  test("interval join: inclusive bounds, bin spanning, no duplicate pairs, loud blowup") {
+    import graft.operators.IntervalJoin
+    val pts = Seq((1L, "a", 0L), (2L, "a", 10L), (3L, "a", 15L), (4L, "a", 19L),
+      (5L, "a", 25L), (6L, "b", 12L)).toDF("id", "k", "t")
+    // [10, 19] spans bins 1..1 at width 10? no: start bin 1, end bin 1 —
+    // use [5, 14]: bins 0..1, so a point in either bin can match it once
+    val iv = Seq(("a", 5L, 14L), ("a", 14L, 20L), ("b", 0L, 30L))
+      .toDF("k", "s", "e")
+    val got = IntervalJoin.binned(pts, iv, Seq("k"), "t", "s", "e",
+        binWidth = 10L)
+      .select("id", "s", "e").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set((2L, 5L, 14L), (3L, 14L, 20L), (4L, 14L, 20L),
+      (6L, 0L, 30L))
+    assert(got == want, s"got $got")
+    // ends inclusive both sides: t=14 would match both; t=20 matches [14,20]
+    val edge = IntervalJoin.binned(Seq((9L, "a", 14L)).toDF("id", "k", "t"),
+      iv, Seq("k"), "t", "s", "e", 10L).count()
+    assert(edge == 2)
+    // an interval spanning more bins than the cap fails loudly
+    val bad = Seq(("a", 0L, 1000000L)).toDF("k", "s", "e")
+    val err = intercept[Exception] {
+      IntervalJoin.binned(pts, bad, Seq("k"), "t", "s", "e", 10L,
+        maxBinsPerInterval = 16).count()
+    }
+    assert(err.getMessage != null)
+    // the join is equi on (key, bin) — never key-only (per-key quadratic);
+    // static plan: AQE wraps the tree and hides the join from collect
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try IntervalJoin.binned(pts, iv, Seq("k"), "t", "s", "e", 10L)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val keyCounts = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.size
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys.size
+    }
+    assert(keyCounts.nonEmpty && keyCounts.forall(_ == 2),
+      s"join must key on (k, bin):\n$plan")
+  }
 }
