@@ -1,0 +1,44 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch store — distinct counting as incremental state.
+  *
+  * The 100 TB problem: "distinct users, all time" is a full shuffle of every
+  * key ever seen, re-paid on every report. The mergeable-state pattern
+  * pre-aggregates each partition (day) into an HLL sketch ONCE — kilobytes
+  * per day regardless of row count — and every later report is a merge of
+  * sketches: no rescan of history, no key shuffle, and a new day is just one
+  * more sketch row appended. Same recipe as the BM25/IVF index appends
+  * (`Bm25.appendToIndex`, `Knn.ivfAppendToIndex`): state lives in parquet,
+  * deltas append, reads merge.
+  *
+  * Sketches are Datasketches HLL via Spark's native `hll_sketch_agg` /
+  * `hll_union_agg` (codegen'd aggregates, binary-stable layout). Union of
+  * per-day sketches covers the same register state as one pass over the
+  * union of days — estimates stay within HLL's rsd bound either way (the
+  * union path drops the HIP estimator, so the two estimates may differ
+  * inside the bound; neither is privileged).
+  */
+object SketchStore {
+
+  /** Aggregate one HLL sketch (and an exact row count) per `dateCol` day of
+    * `keyCol`, appended to the parquet store at `path` — call once per
+    * ingested day; `overwrite = true` rebuilds the whole store.
+    */
+  def writeDailySketches(df: DataFrame, dateCol: String, keyCol: String,
+      path: String, lgK: Int = 12, overwrite: Boolean = false): Unit =
+    df.groupBy(to_date(col(dateCol)).as("day"))
+      .agg(hll_sketch_agg(col(keyCol), lgK).as("sketch"),
+        count(col(keyCol)).cast("long").as("n_rows"))
+      .write.mode(if (overwrite) "overwrite" else "append").parquet(path)
+
+  /** Merge every stored daily sketch into one distinct estimate — reads
+    * kilobytes per day, shuffles nothing but sketches.
+    */
+  def mergedEstimate(spark: SparkSession, path: String): Long =
+    spark.read.parquet(path)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+      .head().getLong(0)
+}

@@ -276,6 +276,38 @@ object DataQueries {
       graft.search.Bm25.topK(docs, qs, k = 10)
     },
 
+    // mergeable-sketch store: per-day HLL sketches of user_id written once
+    // (even days) + appended (odd days), then ALL reporting merges sketch
+    // rows — kilobytes per day, no rescan of history, the incremental
+    // distinct-count twin of the BM25/IVF index appends. Invariant oracle
+    // (q97 recipe): exact replayable counts + verdicts that both the
+    // merged-store estimate and the one-pass estimate sit inside a 5%
+    // band (lgK=12 → rsd 1.6%; the band is a multi-sigma guarantee, and
+    // the deterministic input makes the estimates replay-stable)
+    "q128_sketch_store" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val ev = t(s, dir, "events").select(col("ts"), col("user_id"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q128_" +
+        s.sparkContext.applicationId
+      graft.data.SketchStore.writeDailySketches(
+        ev.filter(dayofmonth(col("ts")) % 2 === 0), "ts", "user_id", path,
+        overwrite = true)
+      graft.data.SketchStore.writeDailySketches(
+        ev.filter(dayofmonth(col("ts")) % 2 === 1), "ts", "user_id", path)
+      val merged = graft.data.SketchStore.mergedEstimate(s, path)
+      val direct = ev
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("e"))
+        .head().getLong(0)
+      val exact = ev.agg(
+        countDistinct(col("user_id")).cast("long").as("n_exact"),
+        countDistinct(to_date(col("ts"))).cast("long").as("n_days")).head()
+      val (nExact, nDays) = (exact.getLong(0), exact.getLong(1))
+      def ok(est: Long) = math.abs(est - nExact).toDouble / nExact <= 0.05
+      Seq((nDays, nExact, ok(merged), ok(direct)))
+        .toDF("n_days", "n_exact", "merged_ok", "direct_ok")
+    },
+
     // hybrid lexical + dense retrieval: BM25 top-20 and cosine top-20 for
     // the same five queries, fused by reciprocal-rank fusion (k=60). Fusion
     // operates on RANKS, so the incomparable score scales never mix; the
@@ -739,6 +771,11 @@ object DataQueries {
     "q72_bm25_topk" -> bm25Sql,
     "q75_bm25_indexed" -> bm25Sql,
     "q87_bm25_append" -> bm25Sql,
+    "q128_sketch_store" ->
+      """SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                TRUE AS merged_ok, TRUE AS direct_ok
+         FROM events""",
     "q124_hybrid_rrf" ->
       """WITH q AS (
            SELECT doc_id AS query_id,
