@@ -79,6 +79,19 @@ object CorpusQueries {
         .select("doc_id", "lang", "n_chars")
     },
 
+    // robust per-language outlier screen: modified z-scores from
+    // median/MAD (50% breakdown — the screen survives the outliers it
+    // hunts), flagged map-side after two grouped percentile aggs broadcast
+    // back; q109's plan budget. Exact percentiles keep the full row-level
+    // oracle (quantile_cont parity, the q109 recipe)
+    "q129_robust_outliers" -> { (s, dir) =>
+      graft.data.Outliers.robustFlags(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "n_chars", "lang", threshold = 2.0)
+        .select("doc_id", "lang", "n_chars", "med", "mad", "robust_z",
+          "is_outlier")
+    },
+
     // fixed-budget quota: cap every source at 5 docs, hash-ranked so the
     // kept set is layout-independent; oracle replays the same ranking
     "q85_quota_sample" -> { (s, dir) =>
@@ -193,6 +206,23 @@ object CorpusQueries {
                 WHEN lang = 'de' THEN '4000'
                 WHEN lang = 'fr' THEN '1999'
                 ELSE '0ccc' END""",
+    "q129_robust_outliers" ->
+      """WITH med AS (
+           SELECT lang AS s, quantile_cont(n_chars, 0.5) AS med
+           FROM documents GROUP BY lang),
+         mad AS (
+           SELECT d.lang AS s, quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad
+           FROM documents d JOIN med m ON d.lang IS NOT DISTINCT FROM m.s
+           GROUP BY d.lang)
+         SELECT d.doc_id, d.lang, d.n_chars, m.med, a.mad,
+                CASE WHEN a.mad = 0 THEN NULL
+                     ELSE 0.6745 * (d.n_chars - m.med) / a.mad END AS robust_z,
+                coalesce(CASE WHEN a.mad = 0 THEN NULL
+                     ELSE abs(0.6745 * (d.n_chars - m.med) / a.mad) > 2.0 END,
+                  false) AS is_outlier
+         FROM documents d
+         JOIN med m ON d.lang IS NOT DISTINCT FROM m.s
+         JOIN mad a ON d.lang IS NOT DISTINCT FROM a.s""",
     "q109_percentile_filter" ->
       """WITH bounds AS (
            SELECT lang, quantile_cont(n_chars, 0.1) AS lo,
