@@ -96,6 +96,30 @@ object SourceStreamQueries {
       runToMemory(s, uniq, mode = "append")
     },
 
+    // streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    // keeps a key's state only until the watermark passes its event time +
+    // delay — the production form of q61, whose dropDuplicates state grows
+    // forever. The stream doubles every event in-batch (same event time →
+    // provably within the watermark), so the duplicates MUST be dropped and
+    // the output is exactly the distinct events; state eviction is proven
+    // separately by the two-run re-emission unit
+    "q130_streaming_dedup_wm" -> { (s, dir) =>
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val events =
+        if (batchSchema("ts").dataType == LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val doubled = events.select(explode(array(lit(1), lit(2))).as("__c"),
+          col("event_id"), col("user_id"), col("value"), col("ts"))
+        .drop("__c")
+      val dedup = doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select("event_id", "user_id", "value")
+      runToMemory(s, dedup, mode = "append")
+    },
+
     // streaming SimHash NEAR-dedup (flatMapGroupsWithState keyed on
     // fingerprint chunk buckets) over the doubled corpus. Invariants, q42
     // style: every id-shifted exact copy must be flagged (identical sig
@@ -496,6 +520,8 @@ object SourceStreamQueries {
     // identical semantics to the batch kernel -> shares q30's oracle
     "q57_streaming_cossim" -> MatchQueries.oracleSql("q30_cossim_word_topk"),
     "q61_streaming_dedup" -> "SELECT DISTINCT text FROM documents",
+    "q130_streaming_dedup_wm" ->
+      "SELECT event_id, user_id, value FROM events",
     "q100_bucketed_join" ->
       """WITH dim AS (
            SELECT user_id, CAST(count(*) AS BIGINT) AS user_events

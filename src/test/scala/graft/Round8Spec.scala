@@ -115,6 +115,47 @@ class Round8Spec extends SparkSpec {
       s"hour 5 closes, sentinel hour 7 stays open, got $out2")
   }
 
+  test("dedup-within-watermark: in-delay duplicates drop, evicted keys re-emit") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_r8_ddwm")
+    graft.operators.FsUtil.deleteRecursively(base)
+    Files.createDirectories(base.resolve("data"))
+    val epoch = 1767225600L
+    def writeOne(rows: Seq[(Long, Long)], name: String): Unit = {
+      val stage = base.resolve(s"__stage_$name")
+      rows.toDF("id", "sec").select($"id", timestamp_seconds($"sec").as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val l = Files.list(stage)
+      val part = try l.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+                 finally l.close()
+      Files.move(part, base.resolve("data").resolve(s"$name.parquet"))
+    }
+    val schema = new StructType().add("id", LongType).add("ts", TimestampType)
+    def runOnce(): Map[Long, Long] = {
+      val q = spark.readStream.schema(schema).parquet(s"$base/data")
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark("id")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$base/out").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    }
+    // run 1: id=1 at hour 0 (in-batch duplicate dropped), id=2 at hour 5
+    // drives the watermark to 4:30 — id=1's state (expiry 0:30) evicts
+    writeOne(Seq((1L, epoch), (1L, epoch), (2L, epoch + 5 * 3600)), "f1")
+    assert(runOnce() == Map(1L -> 1L, 2L -> 1L))
+    // run 2: id=1 returns after eviction -> RE-EMITTED (bounded state, the
+    // contract's flip side); id=2 returns within its delay -> still dropped
+    writeOne(Seq((1L, epoch + 6 * 3600), (2L, epoch + 5 * 3600 + 600)), "f2")
+    assert(runOnce() == Map(1L -> 2L, 2L -> 1L),
+      "evicted key must re-emit; in-delay duplicate must drop")
+  }
+
   test("asof tolerance: stale matches null out, fresh ones carry, no-match unchanged") {
     import graft.operators.AsofJoin
     val left = Seq((1L, "a", 100L), (2L, "b", 100L), (3L, "c", 100L))
