@@ -319,6 +319,80 @@ object Prof {
       Dedup.exactIncremental(
         docs1.withColumn("doc_id", col("doc_id") + 800000000L), ledgerPath).count())
 
+    // bloom semi join: fact AND dim scale together (disjoint key ranges per
+    // copy), selectivity constant — cost should track the fact scan + the
+    // shrunken shuffle, never the pre-filter corpus
+    val ord1 = spark.read.parquet(sf + "/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val li1 = spark.read.parquet(sf + "/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val li10 = (0 until 10).map { i =>
+      li1.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+    }.reduce(_ unionByName _)
+    val ord10 = (0 until 10).map { i =>
+      ord1.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+    }.reduce(_ unionByName _)
+    def bloomCount(fact: DataFrame, dim: DataFrame): Long =
+      graft.operators.BloomJoin.bloomSemiJoin(fact,
+        dim.filter(col("o_totalprice") > 450000.0)
+          .select(col("o_orderkey").as("l_orderkey")),
+        "l_orderkey", expectedItems = 200000L).count()
+    val l1 = li1.count(); val l10 = li10.count()
+    probe("bloom_join", 1, l1)(bloomCount(li1, ord1))
+    probe("bloom_join", 10, l10)(bloomCount(li10, ord10))
+
+    // pagerank: 10 disjoint copies of the co-purchase graph (keys offset per
+    // copy) — nodes and edges scale 10x, per-iteration shuffles should too
+    def prCount(li: DataFrame): Long = {
+      // node keys derive from (orderkey, linenumber) so the offset order
+      // keys keep the 10 graph copies disjoint
+      val pairs = li.select(col("l_orderkey").as("o"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("src"))
+        .join(li.select(col("l_orderkey").as("o"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("dst")), "o")
+        .filter(col("src") =!= col("dst"))
+      graft.operators.PageRank.fixedPointRanks(pairs, "src", "dst",
+        iterations = 3).count()
+    }
+    probe("pagerank", 1, l1)(prCount(li1))
+    probe("pagerank", 10, l10)(prCount(li10))
+
+    // interval join: disjoint event TYPES per copy keeps per-type interval
+    // density constant, so output scales ~10x, never ~100x
+    val evt10 = (0 until 10).map { i =>
+      ev1.withColumn("event_type", concat(col("event_type"), lit(s"_$i")))
+        .withColumn("event_id", col("event_id") + lit(i * 100000000L))
+    }.reduce(_ unionByName _)
+    def intervalCount(df: DataFrame): Long = {
+      val ev = df.select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val iv = ev.groupBy("event_type", "ts_us")
+        .agg(max(col("value")).as("big_value"))
+        .filter(col("big_value") >= 200.0)
+        .select(col("event_type"), col("ts_us").as("s"),
+          (col("ts_us") + 1800L * 1000000L).as("e"))
+      graft.operators.IntervalJoin.binned(
+        ev.select("event_id", "event_type", "ts_us"), iv,
+        Seq("event_type"), "ts_us", "s", "e",
+        binWidth = 1800L * 1000000L).count()
+    }
+    probe("interval_join", 1, v1)(intervalCount(ev1))
+    probe("interval_join", 10, v10 /* evt10 has the same count */)(
+      intervalCount(evt10))
+
+    // one-pass profile: 4 columns incl. two exact distincts
+    val o1 = ord1.count(); val o10 = ord10.count()
+    probe("profile", 1, o1)(
+      graft.data.Profile.profile(spark.read.parquet(sf + "/orders.parquet"),
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")).count())
+    probe("profile", 10, o10)(
+      graft.data.Profile.profile(
+        (0 until 10).map { i =>
+          spark.read.parquet(sf + "/orders.parquet")
+            .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+        }.reduce(_ unionByName _),
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")).count())
+
     log.close()
     spark.stop()
   }
