@@ -407,6 +407,55 @@ object CoreQueries {
         Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
     },
 
+    // CDC snapshot apply (MERGE INTO): a derived delta — price upserts for
+    // keys %7, deletes for %13 (higher version, so it beats a same-key
+    // upsert), brand-new keys for %97 — merges into the orders snapshot in
+    // ONE union + ONE partial-aggregating max_by hash agg; no join, no
+    // second pass for unmatched base rows. Latest version wins; the oracle
+    // replays the union + row_number form
+    "q131_merge_upsert" -> { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val o = t(s, dir, "orders")
+      val upserts = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"),
+          lit("U").as("o_orderstatus"), lit(1L).as("version"),
+          lit("upsert").as("op"))
+      val deletes = o.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), lit(2L).as("version"), lit("delete").as("op"))
+      val inserts = o.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), lit(1000.0).as("o_totalprice"),
+          lit("N").as("o_orderstatus"), lit(1L).as("version"),
+          lit("upsert").as("op"))
+      graft.operators.Merge.applyChanges(base,
+        upserts.unionByName(deletes).unionByName(inserts),
+        keys = Seq("o_orderkey"), versionCol = "version", opCol = "op")
+    },
+
+    // snapshot diff: the same derived "next day" snapshot (modified %7,
+    // dropped %13, inserted %97) diffed against the base — one null-safe
+    // full-outer join emitting only the added/removed/changed rows with old
+    // and new payload side by side; the audit/reconciliation op for any
+    // incrementally-maintained table
+    "q132_snapshot_diff" -> { (s, dir) =>
+      val oldSnap = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val o = t(s, dir, "orders")
+      val newSnap = o.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          when(col("o_orderkey") % 7 === 0, lit("U"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+        .unionByName(o.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit(1000.0).as("o_totalprice"), lit("N").as("o_orderstatus")))
+      graft.operators.Merge.diff(oldSnap, newSnap, keys = Seq("o_orderkey"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -695,6 +744,57 @@ object CoreQueries {
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
          FROM documents GROUP BY ROLLUP (lang, source)""",
+    "q131_merge_upsert" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+                  CAST(-1 AS BIGINT) AS version, 'upsert' AS op FROM orders),
+         changes AS (
+           SELECT o_orderkey, o_custkey,
+                  o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+                  'U' AS o_orderstatus, CAST(1 AS BIGINT) AS version,
+                  'upsert' AS op
+           FROM orders WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+                  CAST(2 AS BIGINT), 'delete'
+           FROM orders WHERE o_orderkey % 13 = 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, CAST(1000.0 AS DOUBLE),
+                  'N', CAST(1 AS BIGINT), 'upsert'
+           FROM orders WHERE o_orderkey % 97 = 0),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+         w AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                         ORDER BY version DESC) AS rn FROM u)
+         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+         FROM w WHERE rn = 1 AND op <> 'delete'""",
+    "q132_snapshot_diff" ->
+      """WITH oldsnap AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+         newsnap AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 7 = 0
+                       THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                       ELSE o_totalprice END AS o_totalprice,
+                  CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+                       ELSE o_orderstatus END AS o_orderstatus
+           FROM orders WHERE o_orderkey % 13 <> 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, CAST(1000.0 AS DOUBLE), 'N'
+           FROM orders WHERE o_orderkey % 97 = 0)
+         SELECT * FROM (
+           SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                       WHEN n.o_orderkey IS NULL THEN 'removed'
+                       WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                                 AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+                       THEN 'changed' ELSE 'unchanged' END AS change_type,
+                  o.o_totalprice AS old_o_totalprice,
+                  n.o_totalprice AS new_o_totalprice,
+                  o.o_orderstatus AS old_o_orderstatus,
+                  n.o_orderstatus AS new_o_orderstatus
+           FROM oldsnap o FULL OUTER JOIN newsnap n
+             ON o.o_orderkey IS NOT DISTINCT FROM n.o_orderkey)
+         WHERE change_type <> 'unchanged'""",
     "q51_topn_methods" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem)
          SELECT l_orderkey, l_linenumber, l_quantity,
