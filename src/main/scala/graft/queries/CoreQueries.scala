@@ -456,6 +456,47 @@ object CoreQueries {
       graft.operators.Merge.diff(oldSnap, newSnap, keys = Seq("o_orderkey"))
     },
 
+    // OHLC bar downsampling: events → one 15-min bar per event_type with
+    // open/high/low/close/volume. ONE hash agg, no window: open/close are
+    // min_by/max_by over the total (ts, event_id) order — the time-series
+    // resampling op, partial-aggregating and shuffle-minimal at any scale
+    // (the window form would sort whole buckets just to read two endpoints)
+    "q133_ohlc_bars" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      ev.withColumn("bucket", expr("ts_us div 900000000"))
+        .groupBy("event_type", "bucket")
+        .agg(
+          min_by(col("value"), struct(col("ts_us"), col("event_id"))).as("open"),
+          max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("close"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          count(lit(1)).cast("long").as("n_events"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("volume"))
+    },
+
+    // time-grid gap fill (resample + forward fill): a daily grid per user
+    // over the user's own active span, each grid point carrying the most
+    // recent observation at-or-before it — COMPOSED from sequence/explode
+    // (grid synthesis) + the backward as-of join, so the fill inherits the
+    // operator's 1-shuffle/1-sort plan instead of a per-key range join.
+    // Oracle: DuckDB generate_series + native ASOF LEFT JOIN
+    "q134_gapfill" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val obs = ev.groupBy("user_id", "ts_us")
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+        .withColumn("obs_ts", col("ts_us"))
+      val grid = ev.groupBy("user_id")
+        .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(expr("t0 div 86400000000"),
+                           expr("t1 div 86400000000"))).as("d"))
+        .select(col("user_id"), (col("d") * 86400000000L).as("grid_ts"))
+      graft.operators.AsofJoin.backward(grid, obs, Seq("user_id"),
+        "grid_ts", "ts_us", Seq("value", "obs_ts"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -795,6 +836,44 @@ object CoreQueries {
            FROM oldsnap o FULL OUTER JOIN newsnap n
              ON o.o_orderkey IS NOT DISTINCT FROM n.o_orderkey)
          WHERE change_type <> 'unchanged'""",
+    "q133_ohlc_bars" ->
+      """WITH ev AS (
+           SELECT event_id, event_type, epoch_us(ts) AS ts_us, value
+           FROM events),
+         b AS (SELECT *, ts_us // 900000000 AS bucket FROM ev),
+         r AS (SELECT event_type, bucket, value,
+                 row_number() OVER (PARTITION BY event_type, bucket
+                      ORDER BY ts_us, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, bucket
+                      ORDER BY ts_us DESC, event_id DESC) AS rn_d
+               FROM b)
+         SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+                max(CASE WHEN rn_a = 1 THEN value END) AS open,
+                max(CASE WHEN rn_d = 1 THEN value END) AS close,
+                max(value) AS high, min(value) AS low,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+         FROM r GROUP BY 1, 2""",
+    "q134_gapfill" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events),
+         obs AS (
+           SELECT user_id, ts_us, ts_us AS obs_ts,
+                  arg_max(value, event_id) AS value
+           FROM ev GROUP BY user_id, ts_us),
+         span AS (
+           SELECT user_id, min(ts_us) // 86400000000 AS d0,
+                  max(ts_us) // 86400000000 AS d1
+           FROM ev GROUP BY user_id),
+         grid AS (
+           SELECT user_id,
+                  unnest(generate_series(d0, d1)) * 86400000000 AS grid_ts
+           FROM span)
+         SELECT g.user_id, g.grid_ts,
+                o.value AS value_asof, o.obs_ts AS obs_ts_asof
+         FROM grid g ASOF LEFT JOIN obs o
+           ON g.user_id = o.user_id AND g.grid_ts >= o.ts_us""",
     "q51_topn_methods" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem)
          SELECT l_orderkey, l_linenumber, l_quantity,
