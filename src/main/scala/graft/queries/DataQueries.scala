@@ -40,6 +40,17 @@ object DataQueries {
         k = 5, threshold = 0.5, maxDocsPerShingle = 1000)
     },
 
+    // all-pairs sparse cosine over counted word-3-shingle vectors via the
+    // distributed inverted-index self-join (neither side broadcast — the
+    // beyond-J1 regime). Integer dot/norms make every score replayable;
+    // round(9) guards the one double division
+    "q135_sparse_cosine_pairs" -> { (s, dir) =>
+      graft.search.SparseSim.shingleCosinePairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          k = 3, maxDf = 100, minCos = 0.4)
+        .withColumn("cos", round(col("cos"), 9))
+    },
+
     // MinHash+LSH banding: invariants — (a) identical shingle sets have
     // identical signatures, so every exact-duplicate pair (jaccard = 1) MUST
     // be reported; (b) verify=true re-checks exact jaccard, so the reported
@@ -768,6 +779,37 @@ object DataQueries {
     "q40_ngram_jaccard_pairs" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
        " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
+    // counted (not distinct) 3-shingles; df cap BEFORE the join; integer
+    // dot/norm2 with one double division at the end — mirrors SparseSim
+    "q135_sparse_cosine_pairs" ->
+      """WITH words AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(ws) >= 3
+                  THEN [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+                  ELSE CAST([] AS VARCHAR[]) END) AS term
+           FROM words),
+         posts AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+                   FROM sh GROUP BY 1, 2),
+         kept AS (SELECT * FROM posts WHERE term NOT IN (
+                    SELECT term FROM posts GROUP BY term HAVING count(*) > 100)),
+         norms AS (SELECT doc_id, sum(cnt * cnt) AS norm2 FROM kept GROUP BY 1),
+         dots AS (
+           SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                  sum(a.cnt * b.cnt) AS dot
+           FROM kept a JOIN kept b
+             ON a.term = b.term AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT doc_id_a, doc_id_b, CAST(dot AS BIGINT) AS dot,
+                  CAST(dot AS DOUBLE) /
+                    sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) AS c
+           FROM dots
+           JOIN norms na ON na.doc_id = doc_id_a
+           JOIN norms nb ON nb.doc_id = doc_id_b)
+         SELECT doc_id_a, doc_id_b, dot, round(c, 9) AS cos
+         FROM scored WHERE c >= 0.4""",
     "q72_bm25_topk" -> bm25Sql,
     "q75_bm25_indexed" -> bm25Sql,
     "q87_bm25_append" -> bm25Sql,

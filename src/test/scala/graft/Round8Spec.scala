@@ -286,6 +286,26 @@ class Round8Spec extends SparkSpec {
     assert(ranks(2) == Map(1L -> 638750L, 2L -> 575000L, 3L -> 575000L))
   }
 
+  test("sparse cosine: hand-computed pairs, counted shingles, df cap re-norms") {
+    import graft.search.SparseSim
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c e"),
+      (4L, "x y"), (5L, "a b a b a b")).toDF("doc_id", "text")
+    def pairs(maxDf: Int, minCos: Double) =
+      SparseSim.shingleCosinePairs(docs, "doc_id", "text",
+          k = 3, maxDf = maxDf, minCos = minCos)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    // shingle vectors: d1=d2={abc:1,bcd:1}, d3={abc:1,bce:1}, d4 empty
+    // (len<k), d5={aba:2,bab:2} (counted, norm2=8, overlaps nobody)
+    assert(pairs(1000, 0.4) ==
+      Set((1L, 2L, 2L, 1.0), (1L, 3L, 1L, 0.5), (2L, 3L, 1L, 0.5)))
+    assert(pairs(1000, 0.6) == Set((1L, 2L, 2L, 1.0)))
+    // maxDf=2 drops 'a b c' (df=3); norms shrink to the capped space, so
+    // (1,2) still hits cos=1 on {bcd} alone and (1,3)/(2,3) vanish
+    assert(pairs(2, 0.4) == Set((1L, 2L, 1L, 1.0)))
+  }
+
   test("interval join: inclusive bounds, bin spanning, no duplicate pairs, loud blowup") {
     import graft.operators.IntervalJoin
     val pts = Seq((1L, "a", 0L), (2L, "a", 10L), (3L, "a", 15L), (4L, "a", 19L),
