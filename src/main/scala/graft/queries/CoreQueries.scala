@@ -497,6 +497,51 @@ object CoreQueries {
         "grid_ts", "ts_us", Seq("value", "obs_ts"))
     },
 
+    // retention cohort matrix: users bucketed by first-active day, distinct
+    // actives per (cohort, day offset). distinct (user, day) then a per-user
+    // window min then one small agg — the window reuses the user_id exchange
+    // instead of a groupBy+join round trip carrying the whole activity table
+    "q136_retention_cohorts" -> { (s, dir) =>
+      val active = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      active
+        .withColumn("cohort_day",
+          min(col("day")).over(Window.partitionBy("user_id")))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).cast("long").as("n_users"))
+    },
+
+    // SCD Type-2 interval build: collapse consecutive same-state events per
+    // user, then each surviving row's validity is [its ts, next change ts)
+    // (open current interval = NULL). lag-collapse and lead-validity are two
+    // windows over the SAME (user_id; ts, event_id) exchange+sort — filter
+    // preserves partitioning AND order, so the second window adds neither
+    "q137_scd2_intervals" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type").as("state"))
+        .withColumn("__prev", lag(col("state"), 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col("state"))
+        .select(col("user_id"), col("state"), col("ts_us").as("valid_from"),
+          lead(col("ts_us"), 1).over(
+            Window.partitionBy("user_id")
+              .orderBy(col("ts_us"), col("event_id"))).as("valid_to"))
+    },
+
+    // exact triangle count over the part co-purchase graph (the q125 edge
+    // set) — degree-oriented wedge join, each triangle counted once
+    "q138_triangle_count" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val a = li.toDF("o", "src")
+      val b = li.toDF("o", "dst")
+      val edges = a.join(b, "o").filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.Triangles.count(edges, "src", "dst")
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -546,6 +591,55 @@ object CoreQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q125_pagerank" -> pagerankSql,
+    "q136_retention_cohorts" ->
+      """WITH active AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         c AS (SELECT user_id, day,
+                 min(day) OVER (PARTITION BY user_id) AS cohort_day
+               FROM active)
+         SELECT cohort_day,
+                CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM c GROUP BY 1, 2""",
+    "q137_scd2_intervals" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  event_type AS state
+           FROM events),
+         l AS (SELECT *, lag(state) OVER (
+                 PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+               FROM ev),
+         c AS (SELECT user_id, event_id, ts_us, state FROM l
+               WHERE prev IS NULL OR prev <> state)
+         SELECT user_id, state, CAST(ts_us AS BIGINT) AS valid_from,
+                CAST(lead(ts_us) OVER (
+                  PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT)
+                  AS valid_to
+         FROM c""",
+    // orientation replayed for n_wedges (sum of C(outdeg,2) over the
+    // (degree,id)-oriented graph); triangles counted orientation-free on
+    // u<v canonical edges (x<y<z triple join) — same count by symmetry
+    "q138_triangle_count" ->
+      """WITH pairs AS (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM pairs),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                   SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+                 GROUP BY n),
+         o AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s
+               FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+         od AS (SELECT s, count(*) AS c FROM o GROUP BY s),
+         tri AS (SELECT count(*) AS c
+                 FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                 JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+         SELECT CAST(tri.c AS BIGINT) AS n_triangles,
+                CAST((SELECT sum(c * (c - 1) // 2) FROM od) AS BIGINT) AS n_wedges,
+                CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes
+         FROM tri""",
     "q127_interval_join" ->
       """WITH ev AS (
            SELECT event_id, event_type, epoch_us(ts) AS ts_us, value

@@ -306,6 +306,19 @@ class Round8Spec extends SparkSpec {
     assert(pairs(2, 0.4) == Set((1L, 2L, 1L, 1.0)))
   }
 
+  test("triangles: K4 + pendant, duplicate/reverse/self edges collapse") {
+    import graft.operators.Triangles
+    // K4 on {1,2,3,4} (4 triangles) + pendant 5-1; noise: reverse dup (2,1),
+    // self-loop (3,3), exact dup (3,4)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L), (2L, 1L), (3L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Triangles.count(edges, "src", "dst").collect().head
+    // orientation: deg(1)=4 pulls 2/3/4/5 -> 1; ids order 2->3->4; oriented
+    // outdegs 2:3, 3:2 -> C(3,2)+C(2,2)=4 wedges, all closed
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (4L, 4L, 7L, 5L))
+  }
+
   test("interval join: inclusive bounds, bin spanning, no duplicate pairs, loud blowup") {
     import graft.operators.IntervalJoin
     val pts = Seq((1L, "a", 0L), (2L, "a", 10L), (3L, "a", 15L), (4L, "a", 19L),
