@@ -80,6 +80,47 @@ object TextQueries {
         .select("lang", "term", "n", "rank")
     },
 
+    // TF-IDF keyword extraction: top-5 terms per document by smoothed
+    // tf-idf (sklearn's ln((1+N)/(1+df))+1). Plan: one (doc, term) partial
+    // agg, a term-keyed df agg joined back on term, the 1-row corpus stat
+    // broadcast, and a per-doc top-k window — no corpus-sized sort
+    "q139_tfidf_keywords" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val posts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val stats = t(s, dir, "documents")
+        .agg(count(lit(1)).cast("double").as("n_docs"))
+      val df = posts.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val scored = posts.join(df, "term").crossJoin(broadcast(stats))
+        .withColumn("tfidf", round(col("tf").cast("double") *
+          (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 9))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    },
+
+    // overlapping token-window chunking (RAG/pretraining chunker: 50-token
+    // chunks, stride 40) — map-only sequence+explode+slice, zero shuffles;
+    // every token is covered, tail chunks run short, starts never pass the
+    // end (last start = floor((n-1)/stride)*stride < n)
+    "q140_chunk_overlap" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 1)
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0), expr("(n - 1) div 40"))).as("chunk_id"))
+        .withColumn("start_token", (col("chunk_id") * 40).cast("long"))
+        .withColumn("chunk",
+          slice(col("toks"), col("chunk_id") * 40 + 1, lit(50)))
+        .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+          col("start_token"), size(col("chunk")).cast("int").as("n_tokens"),
+          concat_ws(" ", col("chunk")).as("chunk_text"))
+    },
+
     // BPE merge-pair counting — the tokenizer-training primitive (the first
     // iteration of byte-pair encoding counts adjacent-symbol pair
     // frequencies; the argmax pair becomes the first merge). Symbols here
@@ -329,6 +370,42 @@ object TextQueries {
                        ORDER BY n DESC, term) AS INT) AS rank
            FROM counted)
          WHERE rank <= 20""",
+    "q139_tfidf_keywords" ->
+      """WITH posts AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+             SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+             FROM documents)
+           WHERE term <> '' GROUP BY doc_id, term),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                   FROM posts GROUP BY term),
+         scored AS (
+           SELECT p.doc_id, p.term, p.tf,
+                  round(CAST(p.tf AS DOUBLE) *
+                    (ln((s.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 9) AS tfidf
+           FROM posts p JOIN dfreq d USING (term) CROSS JOIN stats s)
+         SELECT doc_id, term, tf, tfidf, rank FROM (
+           SELECT doc_id, term, tf, tfidf,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term) AS INT) AS rank
+           FROM scored)
+         WHERE rank <= 5""",
+    // DuckDB list slice ws[a:b] is 1-based inclusive; range(0, m) is [0, m)
+    "q140_chunk_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+                    FROM documents),
+         sized AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) >= 1),
+         k AS (SELECT doc_id, ws, n,
+                      unnest(range(0, (n - 1) // 40 + 1)) AS k
+               FROM sized),
+         c AS (SELECT doc_id, CAST(k AS INT) AS chunk_id,
+                      CAST(k * 40 AS BIGINT) AS start_token,
+                      ws[k * 40 + 1 : least(k * 40 + 50, n)] AS chunk
+               FROM k)
+         SELECT doc_id, chunk_id, start_token,
+                CAST(len(chunk) AS INT) AS n_tokens,
+                array_to_string(chunk, ' ') AS chunk_text
+         FROM c""",
     // DuckDB range(1, n) is [1, n) = Spark sequence(1, n-1); substr is
     // 1-based in both, so the pair arrays replay exactly
     "q90_bpe_pairs" ->
