@@ -143,6 +143,35 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic weighted sampling without replacement — Efraimidis &
+    * Spirakis (IPL 2006): each row draws a reproducible uniform u from a
+    * salted content hash and ranks by u^(1/w); the top n ranks ARE a
+    * weight-proportional sample without replacement. Ranking uses the
+    * monotone-equivalent ln(u)/w (descending) so the score stays in a
+    * friendly magnitude range, rounded to 9 decimals with an id tiebreak so
+    * the selection is stable against last-ulp libm drift (the BM25 oracle
+    * convention).
+    *
+    * Shape: map-side score, then a distributed top-n (sort+limit lowers to
+    * TakeOrdered — k rows per partition reach the driver merge, never a
+    * global sort). u comes from 48 md5 bits (exactly representable in a
+    * double), so every engine replays the same sample bit-for-bit.
+    * Non-positive or null weights are excluded (they'd get -inf/NaN keys).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, n: Int,
+                     salt: String = "graft"): DataFrame = {
+    require(n >= 0, s"sample size must be non-negative, got $n")
+    require(!df.columns.contains("__wkey"),
+      "input must not use the operator's reserved __wkey column name")
+    val u = conv(substring(
+        md5(concat(lit(salt), col(keyCol).cast("string")).cast("binary")), 1, 12),
+      16, 10).cast("long").cast("double") / 281474976710656.0 // 2^48
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wkey", round(log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(col("__wkey").desc, col(keyCol))
+      .limit(n)
+  }
+
   /** Per-stratum percentile band filter — the CCNet/Gopher-style quality
     * cut "keep documents between the p10 and p90 of their language's score
     * distribution", where absolute thresholds would mis-cut every stratum

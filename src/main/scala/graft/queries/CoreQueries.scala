@@ -542,6 +542,50 @@ object CoreQueries {
       graft.operators.Triangles.count(edges, "src", "dst")
     },
 
+    // bounded event-sequence builder (next-event-prediction training rows):
+    // per-user first-20 event-type sequence in (ts, id) order plus the full
+    // count. The row_number cap runs BEFORE collect_list, so per-group state
+    // is bounded at 20 regardless of user fan-out; rn/cnt windows and the
+    // final groupBy all share the one user_id exchange
+    "q141_event_sequences" -> { (s, dir) =>
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("__rn", row_number().over(wOrd))
+        .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+        .filter(col("__rn") <= 20)
+        .groupBy("user_id")
+        .agg(
+          max(col("__cnt")).cast("long").as("n_events"),
+          count(lit(1)).cast("int").as("seq_len"),
+          array_join(transform(
+            array_sort(collect_list(
+              struct(col("ts_us"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("seq"))
+    },
+
+    // trailing 7-day distinct actives (WAU per day): each distinct
+    // (user, day) replicates to the <= 7 days it contributes to, then ONE
+    // distinct-count per day — replication factor is the window length, a
+    // constant, vs the per-day range self-join that rescans the activity
+    // table once per day. The q128 sketch store is the approximate sibling;
+    // this is the exact one
+    "q142_trailing_actives" -> { (s, dir) =>
+      val active = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val span = active.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      active
+        .select(col("user_id"), col("day"),
+          explode(sequence(lit(0), lit(6))).as("off"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+        .crossJoin(broadcast(span))
+        .filter(col("day") >= col("d0") && col("day") <= col("d1"))
+        .groupBy("day")
+        .agg(count_distinct(col("user_id")).cast("long").as("wau_7d"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -591,6 +635,27 @@ object CoreQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q125_pagerank" -> pagerankSql,
+    "q141_event_sequences" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+           FROM events),
+         r AS (SELECT *, row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts_us, event_id) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS cnt
+               FROM ev)
+         SELECT user_id, CAST(max(cnt) AS BIGINT) AS n_events,
+                CAST(count(*) AS INT) AS seq_len,
+                array_to_string(list(event_type ORDER BY ts_us, event_id), '>')
+                  AS seq
+         FROM r WHERE rn <= 20 GROUP BY user_id""",
+    "q142_trailing_actives" ->
+      """WITH active AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM active),
+         rep AS (SELECT user_id, day + CAST(o.o AS INT) AS day
+                 FROM active, (SELECT unnest(range(0, 7)) AS o) o)
+         SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau_7d
+         FROM rep, span WHERE day BETWEEN d0 AND d1 GROUP BY 1""",
     "q136_retention_cohorts" ->
       """WITH active AS (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

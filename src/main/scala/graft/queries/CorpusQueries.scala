@@ -92,6 +92,15 @@ object CorpusQueries {
           "is_outlier")
     },
 
+    // weighted sampling without replacement (Efraimidis-Spirakis): 100 docs
+    // drawn proportionally to n_chars from a salted-hash uniform — fully
+    // deterministic, so the oracle replays draw keys AND the selected set
+    "q143_weighted_sample" -> { (s, dir) =>
+      Sampling.weightedSample(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", n = 100, salt = "w|")
+    },
+
     // fixed-budget quota: cap every source at 5 docs, hash-ranked so the
     // kept set is layout-independent; oracle replays the same ranking
     "q85_quota_sample" -> { (s, dir) =>
@@ -231,6 +240,20 @@ object CorpusQueries {
          SELECT d.doc_id, d.lang, d.n_chars
          FROM documents d JOIN bounds b USING (lang)
          WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi""",
+    // u = first 48 md5 bits / 2^48 (exactly representable in a double both
+    // engines); key = round(ln(u)/w, 9) with doc_id tiebreak — the BM25
+    // rounding convention keeps the ORDER immune to last-ulp libm drift
+    "q143_weighted_sample" ->
+      """WITH s AS (
+           SELECT doc_id, n_chars,
+                  round(ln(CAST(CAST(concat('0x',
+                      substr(md5(concat('w|', CAST(doc_id AS VARCHAR))), 1, 12))
+                      AS UBIGINT) AS DOUBLE) / 281474976710656.0)
+                    / CAST(n_chars AS DOUBLE), 9) AS __wkey
+           FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars > 0)
+         SELECT doc_id, n_chars, __wkey FROM s
+         ORDER BY __wkey DESC, doc_id LIMIT 100""",
     "q85_quota_sample" ->
       """SELECT doc_id, source, lang FROM (
            SELECT doc_id, source, lang,

@@ -306,6 +306,20 @@ class Round8Spec extends SparkSpec {
     assert(pairs(2, 0.4) == Set((1L, 2L, 1L, 1.0)))
   }
 
+  test("weighted sample: bad weights excluded, n monotone, overshoot returns all") {
+    import graft.data.Sampling
+    val rows = Seq((1L, 10), (2L, 20), (3L, 0), (4L, -5), (5L, 30), (6L, 1))
+      .toDF("id", "w")
+      .unionByName(Seq((7L, Option.empty[Int])).toDF("id", "w"))
+    def ids(n: Int) = Sampling.weightedSample(rows, "id", "w", n, "t|")
+      .select("id").as[Long].collect().toSet
+    // zero/negative/null weights can never be drawn
+    assert(ids(100) == Set(1L, 2L, 5L, 6L))
+    // raising n only adds (fixed key permutation)
+    val two = ids(2); val three = ids(3)
+    assert(two.size == 2 && three.size == 3 && two.subsetOf(three))
+  }
+
   test("triangles: K4 + pendant, duplicate/reverse/self edges collapse") {
     import graft.operators.Triangles
     // K4 on {1,2,3,4} (4 triangles) + pendant 5-1; noise: reverse dup (2,1),
