@@ -586,6 +586,18 @@ object CoreQueries {
         .agg(count_distinct(col("user_id")).cast("long").as("wau_7d"))
     },
 
+    // PSI drift report: first-half-of-month event values as the baseline,
+    // second half as current — decile bins from baseline exact percentiles,
+    // per-bin counts/proportions/PSI contribution (the week-over-week data
+    // drift gate). quantile_cont parity + the BM25 ln/round convention
+    "q144_psi_drift" -> { (s, dir) =>
+      graft.data.Drift.psiReport(
+        t(s, dir, "events").select(col("value"), col("ts")),
+        "value", isBaseline = to_date(col("ts")) <= lit("2024-01-15").cast("date"),
+        nBins = 10)
+        .select("bin", "n_base", "n_curr", "p_base", "p_curr", "psi_contrib")
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -635,6 +647,33 @@ object CoreQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q125_pagerank" -> pagerankSql,
+    "q144_psi_drift" ->
+      """WITH src AS (
+           SELECT value, (CAST(ts AS DATE) <= DATE '2024-01-15') AS is_base
+           FROM events WHERE value IS NOT NULL),
+         e AS (SELECT quantile_cont(value,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+               FROM src WHERE is_base),
+         b AS (SELECT CAST(len(list_filter(e.edges, x -> s.value > x)) AS INT)
+                 AS bin, s.is_base
+               FROM src s, e),
+         c AS (SELECT bin,
+                 CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                 CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_curr
+               FROM b GROUP BY bin),
+         t AS (SELECT CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS DOUBLE) AS tb,
+                      CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS DOUBLE) AS tc
+               FROM src)
+         SELECT bin, n_base, n_curr,
+                CAST(n_base AS DOUBLE) / tb AS p_base,
+                CAST(n_curr AS DOUBLE) / tc AS p_curr,
+                CASE WHEN n_base > 0 AND n_curr > 0
+                     THEN round((CAST(n_base AS DOUBLE) / tb
+                               - CAST(n_curr AS DOUBLE) / tc)
+                          * ln((CAST(n_base AS DOUBLE) / tb)
+                             / (CAST(n_curr AS DOUBLE) / tc)), 9)
+                END AS psi_contrib
+         FROM c, t""",
     "q141_event_sequences" ->
       """WITH ev AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
