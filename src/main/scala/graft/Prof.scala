@@ -393,6 +393,135 @@ object Prof {
         }.reduce(_ unionByName _),
         Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")).count())
 
+    // all-pairs sparse cosine: the df cap is the quadratic-fan-out guard —
+    // at 10x corpus the capped posting join must stay near-linear
+    probe("sparse_cosine", 1, n1)(
+      graft.search.SparseSim.shingleCosinePairs(docs1, "doc_id", "text",
+        k = 3, maxDf = 100, minCos = 0.4).count())
+    probe("sparse_cosine", 10, n10)(
+      graft.search.SparseSim.shingleCosinePairs(docs10, "doc_id", "text",
+        k = 3, maxDf = 100, minCos = 0.4).count())
+
+    // triangles: 10 disjoint co-purchase graph copies — wedges/edges scale
+    // 10x, the degree orientation keeps per-vertex fan-out bounded
+    def triCount(li: DataFrame): Long = {
+      val a = li.select(col("l_orderkey").as("o"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("src"))
+      val b = li.select(col("l_orderkey").as("o"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("dst"))
+      val edges = a.join(b, "o").filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.Triangles.count(edges, "src", "dst")
+        .collect().head.getLong(0)
+    }
+    probe("triangles", 1, l1)(triCount(li1))
+    probe("triangles", 10, l10)(triCount(li10))
+
+    // OHLC bars key on event_type (FIXED keys, 10x per-bucket volume — the
+    // honest stress for the min_by/max_by hash agg, same recipe as asof)
+    def ohlcCount(df: DataFrame): Long =
+      df.select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("bucket", expr("ts_us div 900000000"))
+        .groupBy("event_type", "bucket")
+        .agg(min_by(col("value"), struct(col("ts_us"), col("event_id"))).as("open"),
+          max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("close"),
+          max(col("value")).as("high"), min(col("value")).as("low"))
+        .count()
+    probe("ohlc_bars", 1, v1)(ohlcCount(ev1))
+    probe("ohlc_bars", 10, v10)(ohlcCount(evHot))
+
+    // gap fill: disjoint users per copy — grid synthesis + as-of join
+    def gapfillCount(df: DataFrame): Long = {
+      val ev = df.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val obs = ev.groupBy("user_id", "ts_us")
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+        .withColumn("obs_ts", col("ts_us"))
+      val grid = ev.groupBy("user_id")
+        .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(expr("t0 div 86400000000"),
+                           expr("t1 div 86400000000"))).as("d"))
+        .select(col("user_id"), (col("d") * 86400000000L).as("grid_ts"))
+      graft.operators.AsofJoin.backward(grid, obs, Seq("user_id"),
+        "grid_ts", "ts_us", Seq("value", "obs_ts")).count()
+    }
+    probe("gapfill", 1, v1)(gapfillCount(ev1))
+    probe("gapfill", 10, v10)(gapfillCount(ev10))
+
+    // SCD2 + sequence builder: disjoint users, two windows on one exchange
+    def scd2Count(df: DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      df.select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type").as("state"))
+        .withColumn("__prev", lag(col("state"), 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col("state"))
+        .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+        .count()
+    }
+    probe("scd2", 1, v1)(scd2Count(ev1))
+    probe("scd2", 10, v10)(scd2Count(ev10))
+
+    // trailing 7-day actives: constant x7 replication then one distinct agg
+    def wauCount(df: DataFrame): Long = {
+      val active = df.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val span = active.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      active.select(col("user_id"), col("day"),
+          explode(sequence(lit(0), lit(6))).as("off"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+        .crossJoin(broadcast(span))
+        .filter(col("day") >= col("d0") && col("day") <= col("d1"))
+        .groupBy("day").agg(count_distinct(col("user_id"))).count()
+    }
+    probe("trailing_actives", 1, v1)(wauCount(ev1))
+    probe("trailing_actives", 10, v10)(wauCount(ev10))
+
+    // tf-idf keywords + chunker + weighted sample + psi over the doc corpus
+    def tfidfCount(docs: DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val posts = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val dfreq = posts.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      posts.join(dfreq, "term").crossJoin(broadcast(stats))
+        .withColumn("tfidf", col("tf").cast("double") *
+          (org.apache.spark.sql.functions.log(
+            (col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5).count()
+    }
+    probe("tfidf_keywords", 1, n1)(tfidfCount(docs1))
+    probe("tfidf_keywords", 10, n10)(tfidfCount(docs10))
+    def chunkCount(docs: DataFrame): Long =
+      docs.select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 1)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), expr("(n - 1) div 40"))).as("k"))
+        .count()
+    probe("chunk_overlap", 1, n1)(chunkCount(docs1))
+    probe("chunk_overlap", 10, n10)(chunkCount(docs10))
+    probe("weighted_sample", 1, n1)(
+      graft.data.Sampling.weightedSample(docs1.select("doc_id", "n_chars"),
+        "doc_id", "n_chars", n = 100, salt = "w|").count())
+    probe("weighted_sample", 10, n10)(
+      graft.data.Sampling.weightedSample(docs10.select("doc_id", "n_chars"),
+        "doc_id", "n_chars", n = 100, salt = "w|").count())
+    probe("psi_drift", 1, v1)(
+      graft.data.Drift.psiReport(
+        graft.sources.Tables(spark, sf, "events").select(col("value"), col("ts")),
+        "value", to_date(col("ts")) <= lit("2024-01-15").cast("date")).count())
+    probe("psi_drift", 10, v10)(
+      graft.data.Drift.psiReport(
+        ev10.select(col("value"), col("ts")),
+        "value", to_date(col("ts")) <= lit("2024-01-15").cast("date")).count())
+
     log.close()
     spark.stop()
   }

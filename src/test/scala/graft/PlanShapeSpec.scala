@@ -151,6 +151,27 @@ class PlanShapeSpec extends SparkSpec {
       s"one partial-aggregated shuffle:\n$plan")
   }
 
+  test("scd2 intervals: lag-collapse + lead share ONE exchange and ONE sort") {
+    // the q137 shape: filter preserves partitioning AND ordering, so the
+    // post-collapse lead window re-plans onto the lag window's exchange+sort
+    import org.apache.spark.sql.execution.SortExec
+    val plan = staticPlan(
+      graft.queries.CoreQueries.queries("q137_scd2_intervals")(spark, sf))
+    assert(count(plan) { case _: ShuffleExchangeExec => } == 1,
+      s"scd2 must shuffle once:\n$plan")
+    assert(count(plan) { case _: SortExec => } == 1,
+      s"scd2 must sort once (shared window ordering):\n$plan")
+  }
+
+  test("event sequences: rn/cnt windows and the collect agg share one exchange") {
+    // the q141 shape: row_number cap, per-user count, and the groupBy all
+    // cluster on user_id — one shuffle for the whole query
+    val plan = staticPlan(
+      graft.queries.CoreQueries.queries("q141_event_sequences")(spark, sf))
+    assert(count(plan) { case _: ShuffleExchangeExec => } == 1,
+      s"sequence builder must shuffle once:\n$plan")
+  }
+
   test("bucketed tables join with ZERO exchanges") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_test_bucketjoin"
     val ev = spark.read.parquet(s"$sf/events.parquet")
