@@ -40,17 +40,19 @@ object Drift {
     val src = df.filter(col(valueCol).isNotNull)
       .withColumn("__base", isBaseline)
     val edges = src.filter(col("__base"))
-      .agg(expr(s"percentile($valueCol, array(${qs.mkString(", ")}))")
-        .as("__edges"))
+      .agg(percentile(col(valueCol), array(qs.map(lit): _*)).as("__edges"))
     val binned = src.crossJoin(broadcast(edges))
       .withColumn("__bin", aggregate(col("__edges"), lit(0),
         (acc, e) => acc + when(col(valueCol) > e, 1).otherwise(0)))
     val counts = binned.groupBy("__bin").agg(
       sum(when(col("__base"), 1L).otherwise(0L)).as("n_base"),
       sum(when(col("__base"), 0L).otherwise(1L)).as("n_curr"))
-    val totals = src.agg(
-      sum(when(col("__base"), 1L).otherwise(0L)).cast("double").as("__tb"),
-      sum(when(col("__base"), 0L).otherwise(1L)).cast("double").as("__tc"))
+    // totals fold the (<= nBins)-row counts relation — every src row lands
+    // in exactly one bin, so this equals a third scan of src without paying
+    // for one
+    val totals = counts.agg(
+      sum(col("n_base")).cast("double").as("__tb"),
+      sum(col("n_curr")).cast("double").as("__tc"))
     val pBase = col("n_base").cast("double") / col("__tb")
     val pCurr = col("n_curr").cast("double") / col("__tc")
     counts.crossJoin(broadcast(totals))

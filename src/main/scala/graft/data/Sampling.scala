@@ -157,6 +157,11 @@ object Sampling {
     * global sort). u comes from 48 md5 bits (exactly representable in a
     * double), so every engine replays the same sample bit-for-bit.
     * Non-positive or null weights are excluded (they'd get -inf/NaN keys).
+    *
+    * Precondition (like [[graft.operators.AsofJoin]]'s right-side key):
+    * `keyCol` values must be UNIQUE — duplicate keys draw the same u (so
+    * their inclusion is fully correlated) and tie on the (key, score) sort,
+    * making the cut at position n partitioning-dependent.
     */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String, n: Int,
                      salt: String = "graft"): DataFrame = {

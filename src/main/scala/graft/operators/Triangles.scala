@@ -50,22 +50,37 @@ object Triangles {
         .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
 
-    // wedges from the common (degree, id)-smallest vertex; closure = the
-    // third oriented edge exists. Only one of (b,c)/(c,b) can be oriented,
-    // so the inner join counts each triangle exactly once.
-    val wedges = oriented.select(col("s"), col("t").as("b"))
-      .join(oriented.select(col("s"), col("t").as("c")), "s")
-      .filter(col("b") =!= col("c"))
-    val nWedges = wedges.count() / 2 // (b,c) and (c,b) both enumerate
-    val nTriangles = wedges
-      .join(oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
-      .count()
-    val nEdges = canon.count()
-    val nNodes = deg.count()
+    // Four driver actions follow; persist the shared lineage so the
+    // canonicalization and orientation joins run once, not once per action
+    canon.persist()
+    oriented.persist()
+    try {
+      // n_wedges needs no wedge materialization: it is Σ C(outdeg, 2) over
+      // the oriented graph — a node-sized aggregate (the same arithmetic
+      // the oracle uses)
+      val nWedges = oriented.groupBy("s")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("(c * (c - 1)) div 2")), lit(0L)).as("w"))
+        .collect().head.getLong(0)
+      // wedges from the common (degree, id)-smallest vertex; closure = the
+      // third oriented edge exists. Only one of (b,c)/(c,b) can be
+      // oriented, so the inner join counts each triangle exactly once —
+      // the single materialization of the quadratic relation.
+      val nTriangles = oriented.select(col("s"), col("t").as("b"))
+        .join(oriented.select(col("s"), col("t").as("c")), "s")
+        .filter(col("b") =!= col("c"))
+        .join(oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+        .count()
+      val nEdges = canon.count()
+      val nNodes = deg.count()
 
-    val spark = edges.sparkSession
-    import spark.implicits._
-    Seq((nTriangles, nWedges, nEdges, nNodes))
-      .toDF("n_triangles", "n_wedges", "n_edges", "n_nodes")
+      val spark = edges.sparkSession
+      import spark.implicits._
+      Seq((nTriangles, nWedges, nEdges, nNodes))
+        .toDF("n_triangles", "n_wedges", "n_edges", "n_nodes")
+    } finally {
+      oriented.unpersist()
+      canon.unpersist()
+    }
   }
 }

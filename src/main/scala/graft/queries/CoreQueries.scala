@@ -740,7 +740,8 @@ object CoreQueries {
                  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
                  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
          SELECT CAST(tri.c AS BIGINT) AS n_triangles,
-                CAST((SELECT sum(c * (c - 1) // 2) FROM od) AS BIGINT) AS n_wedges,
+                CAST(coalesce((SELECT sum(c * (c - 1) // 2) FROM od), 0)
+                  AS BIGINT) AS n_wedges,
                 CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
                 CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes
          FROM tri""",
