@@ -598,6 +598,21 @@ object CoreQueries {
         .select("bin", "n_base", "n_curr", "p_base", "p_curr", "psi_contrib")
     },
 
+    // item-item similarity from co-purchase baskets (recommender candidate
+    // generation): each part is a sparse integer vector over orders
+    // (weight = quantity), similarity via the SparseSim inverted-index
+    // kernel — same one-shuffle-per-stage shape as q135, maxDf capping
+    // oversized baskets instead of hot shingles
+    "q146_item_similarity" -> { (s, dir) =>
+      val posts = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("item"), col("l_orderkey").as("basket"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      graft.search.SparseSim.cosinePairsFromPostings(
+          posts, "item", "basket", "qty", maxDf = 100, minCos = 0.15,
+          outIdA = "item_a", outIdB = "item_b")
+        .withColumn("cos", round(col("cos"), 9))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -647,6 +662,27 @@ object CoreQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q125_pagerank" -> pagerankSql,
+    "q146_item_similarity" ->
+      """WITH posts AS (
+           SELECT l_partkey AS id, l_orderkey AS term,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+         kept AS (SELECT * FROM posts WHERE term NOT IN (
+                    SELECT term FROM posts GROUP BY term HAVING count(*) > 100)),
+         norms AS (SELECT id, sum(cnt * cnt) AS norm2 FROM kept GROUP BY id),
+         dots AS (
+           SELECT a.id AS item_a, b.id AS item_b, sum(a.cnt * b.cnt) AS dot
+           FROM kept a JOIN kept b ON a.term = b.term AND a.id < b.id
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT item_a, item_b, CAST(dot AS BIGINT) AS dot,
+                  CAST(dot AS DOUBLE) /
+                    sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) AS c
+           FROM dots
+           JOIN norms na ON na.id = item_a
+           JOIN norms nb ON nb.id = item_b)
+         SELECT item_a, item_b, dot, round(c, 9) AS cos
+         FROM scored WHERE c >= 0.15""",
     "q144_psi_drift" ->
       """WITH src AS (
            SELECT value, (CAST(ts AS DATE) <= DATE '2024-01-15') AS is_base

@@ -307,6 +307,40 @@ object SourceStreamQueries {
         mode = "append")
     },
 
+    // LEFT OUTER stream-stream join: q114's click->purchase attribution
+    // plus the rows q114 cannot produce — clicks that never converted,
+    // emitted with NULL purchase columns once the watermark proves no
+    // match can still arrive (state eviction, not a batch anti-join).
+    // Determinism bound replayed by the oracle: a null row emits iff
+    // click_ts + window < min(max click ts, max purchase ts) - delay —
+    // the final watermark of the AvailableNow run (each side's watermark
+    // tracks only its own filtered rows; the global one is their min)
+    "q145_stream_outer_join" -> { (s, dir) =>
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def stream() = {
+        val raw = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        if (batchSchema("ts").dataType == LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      }
+      val clicks = stream().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        .withWatermark("ts", "1 hour")
+      val purchases = stream().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+                col("user_id").as("p_user_id"), col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val joined = clicks.join(purchases,
+        expr("user_id = p_user_id AND pts >= ts AND pts <= ts + interval 1 hour"),
+        "leftOuter")
+      runToMemory(s,
+        joined.select(col("click_id"), col("purchase_id"),
+          unix_micros(col("ts")).as("click_ts_us"),
+          unix_micros(col("pts")).as("purchase_ts_us")),
+        mode = "append")
+    },
+
     // foreachBatch IDEMPOTENT sink — the exactly-once recipe for sinks the
     // built-in writers don't cover: each micro-batch lands in its own
     // batch_id partition with DYNAMIC overwrite, so a replayed batch
@@ -473,6 +507,35 @@ object SourceStreamQueries {
          FROM ontime WHERE h <= 4 GROUP BY h""",
     "q121_foreach_batch_sink" ->
       "SELECT event_id, user_id, value FROM events",
+    "q145_stream_outer_join" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         wm AS (
+           SELECT least(
+             (SELECT max(ts_us) FROM ev WHERE event_type = 'click'),
+             (SELECT max(ts_us) FROM ev WHERE event_type = 'purchase'))
+             - 3600000000 AS w),
+         matched AS (
+           SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                  CAST(c.ts_us AS BIGINT) AS click_ts_us,
+                  CAST(p.ts_us AS BIGINT) AS purchase_ts_us
+           FROM ev c JOIN ev p
+             ON c.event_type = 'click' AND p.event_type = 'purchase'
+            AND c.user_id = p.user_id
+            AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 3600000000),
+         evicted_unmatched AS (
+           SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id,
+                  CAST(c.ts_us AS BIGINT) AS click_ts_us,
+                  CAST(NULL AS BIGINT) AS purchase_ts_us
+           FROM ev c, wm
+           WHERE c.event_type = 'click'
+             AND c.ts_us + 3600000000 < wm.w
+             AND NOT EXISTS (
+               SELECT 1 FROM ev p
+               WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                 AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 3600000000))
+         SELECT * FROM matched UNION ALL SELECT * FROM evicted_unmatched""",
     "q114_stream_stream_join" ->
       """WITH ev AS (
            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us

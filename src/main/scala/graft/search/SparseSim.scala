@@ -56,25 +56,43 @@ object SparseSim {
       .select(col("__id"), explode(expr(shingles)).as("term"))
       .groupBy("__id", "term").agg(count(lit(1)).cast("long").as("cnt"))
 
+    cosinePairsFromPostings(posts, "__id", "term", "cnt", maxDf, minCos,
+      outIdA = idA, outIdB = idB)
+  }
+
+  /** The sparse-cosine kernel over an arbitrary integer-weighted posting
+    * relation (one row per (vector id, dimension, weight)) — the same
+    * inverted-index self-join used for shingle vectors, reusable for any
+    * co-occurrence space: item-item similarity from (item, basket, qty),
+    * user-user from (user, item, count), etc. Weights must be exact
+    * integers so dot/norm2 replay bit-for-bit on any partitioning.
+    */
+  def cosinePairsFromPostings(posts: DataFrame, idCol: String, termCol: String,
+                              cntCol: String, maxDf: Int, minCos: Double,
+                              outIdA: String = "id_a",
+                              outIdB: String = "id_b"): DataFrame = {
+    require(maxDf >= 2, s"maxDf < 2 can emit no pairs, got $maxDf")
     val kept = posts
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("term")))
+      .select(col(idCol).as("__id"), col(termCol).as("__t"),
+        col(cntCol).cast("long").as("__cnt"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("__t")))
       .filter(col("__df") <= maxDf).drop("__df")
 
     val norms = kept.groupBy("__id")
-      .agg(sum(col("cnt") * col("cnt")).as("norm2"))
+      .agg(sum(col("__cnt") * col("__cnt")).as("norm2"))
 
-    val a = kept.select(col("__id").as(idA), col("term"), col("cnt").as("__ca"))
-    val b = kept.select(col("__id").as(idB), col("term"), col("cnt").as("__cb"))
-    val dots = a.join(b, "term").filter(col(idA) < col(idB))
-      .groupBy(idA, idB)
+    val a = kept.select(col("__id").as(outIdA), col("__t"), col("__cnt").as("__ca"))
+    val b = kept.select(col("__id").as(outIdB), col("__t"), col("__cnt").as("__cb"))
+    val dots = a.join(b, "__t").filter(col(outIdA) < col(outIdB))
+      .groupBy(outIdA, outIdB)
       .agg(sum(col("__ca") * col("__cb")).as("dot"))
 
     dots
-      .join(norms.select(col("__id").as(idA), col("norm2").as("__na")), idA)
-      .join(norms.select(col("__id").as(idB), col("norm2").as("__nb")), idB)
+      .join(norms.select(col("__id").as(outIdA), col("norm2").as("__na")), outIdA)
+      .join(norms.select(col("__id").as(outIdB), col("norm2").as("__nb")), outIdB)
       .withColumn("cos", col("dot").cast("double") /
         sqrt(col("__na").cast("double") * col("__nb").cast("double")))
       .filter(col("cos") >= minCos)
-      .select(col(idA), col(idB), col("dot"), col("cos"))
+      .select(col(outIdA), col(outIdB), col("dot"), col("cos"))
   }
 }
