@@ -515,7 +515,7 @@ object Prof {
         "doc_id", "n_chars", n = 100, salt = "w|").count())
     probe("psi_drift", 1, v1)(
       graft.data.Drift.psiReport(
-        graft.sources.Tables(spark, sf, "events").select(col("value"), col("ts")),
+        ev1.select(col("value"), col("ts")),
         "value", to_date(col("ts")) <= lit("2024-01-15").cast("date")).count())
     probe("psi_drift", 10, v10)(
       graft.data.Drift.psiReport(

@@ -606,7 +606,7 @@ object CoreQueries {
     "q146_item_similarity" -> { (s, dir) =>
       val posts = t(s, dir, "lineitem")
         .groupBy(col("l_partkey").as("item"), col("l_orderkey").as("basket"))
-        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("qty"))
       graft.search.SparseSim.cosinePairsFromPostings(
           posts, "item", "basket", "qty", maxDf = 100, minCos = 0.15,
           outIdA = "item_a", outIdB = "item_b")
@@ -662,10 +662,13 @@ object CoreQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q125_pagerank" -> pagerankSql,
+    // floor() on both sides: Spark cast-to-long truncates while DuckDB's
+    // CAST rounds; explicit floor removes the dependence on quantities
+    // happening to be integral
     "q146_item_similarity" ->
       """WITH posts AS (
            SELECT l_partkey AS id, l_orderkey AS term,
-                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS cnt
+                  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS cnt
            FROM lineitem GROUP BY 1, 2),
          kept AS (SELECT * FROM posts WHERE term NOT IN (
                     SELECT term FROM posts GROUP BY term HAVING count(*) > 100)),

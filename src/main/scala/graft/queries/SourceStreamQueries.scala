@@ -511,11 +511,15 @@ object SourceStreamQueries {
       """WITH ev AS (
            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
            FROM events),
+         -- Spark truncates event-time watermarks to MILLISECONDS
+         -- (EventTimeWatermarkExec), so the replayed bound must floor the
+         -- max to ms before subtracting the delay — exact-us arithmetic
+         -- over-evicts clicks in the sub-ms truncation window
          wm AS (
-           SELECT least(
+           SELECT (least(
              (SELECT max(ts_us) FROM ev WHERE event_type = 'click'),
              (SELECT max(ts_us) FROM ev WHERE event_type = 'purchase'))
-             - 3600000000 AS w),
+             // 1000) * 1000 - 3600000000 AS w),
          matched AS (
            SELECT c.event_id AS click_id, p.event_id AS purchase_id,
                   CAST(c.ts_us AS BIGINT) AS click_ts_us,

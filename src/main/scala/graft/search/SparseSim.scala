@@ -41,7 +41,6 @@ object SparseSim {
                          k: Int = 3, maxDf: Int = 1000,
                          minCos: Double = 0.5): DataFrame = {
     require(k >= 1, s"shingle width must be >= 1, got $k")
-    require(maxDf >= 2, s"maxDf < 2 can emit no pairs, got $maxDf")
     val idA = s"${idCol}_a"
     val idB = s"${idCol}_b"
 
