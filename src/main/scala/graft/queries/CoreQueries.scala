@@ -613,6 +613,23 @@ object CoreQueries {
         .withColumn("cos", round(col("cos"), 9))
     },
 
+    // seeded label propagation over the co-purchase graph: 20% of parts
+    // carry their brand as ground truth, three synchronous vote rounds
+    // spread it — integer votes + (count desc, label asc) tie order make
+    // every round bit-replayable, so the oracle unrolls all three
+    "q148_label_propagation" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val a = li.toDF("o", "src")
+      val b = li.toDF("o", "dst")
+      val edges = a.join(b, "o").filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      val seeds = t(s, dir, "part")
+        .filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey").as("node"), col("p_brand").as("lbl"))
+      graft.operators.LabelProp.propagate(edges, "src", "dst",
+        seeds, "node", "lbl", iterations = 3)
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -635,6 +652,43 @@ object CoreQueries {
     * generated so the Spark operator and the SQL stay iteration-for-
     * iteration identical (same ppm constants, same integer division).
     */
+  // seeded LPA replay: synchronous rounds unrolled as generated CTEs (the
+  // pagerank recipe); winner = row_number over (votes desc, label asc)
+  private val labelPropSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""v$i AS (
+            SELECT e.d AS node, lb.label AS vote, count(*) AS n
+            FROM e JOIN l${i - 1} lb ON lb.node = e.s
+            WHERE lb.label IS NOT NULL GROUP BY e.d, lb.label),
+          w$i AS (
+            SELECT node, vote AS winner FROM (
+              SELECT node, vote,
+                     row_number() OVER (PARTITION BY node
+                          ORDER BY n DESC, vote) AS rn
+              FROM v$i) WHERE rn = 1),
+          l$i AS (
+            SELECT l.node,
+                   CASE WHEN l.is_seed THEN l.label
+                        ELSE coalesce(w.winner, l.label) END AS label,
+                   l.is_seed
+            FROM l${i - 1} l LEFT JOIN w$i w ON w.node = l.node)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        e AS (SELECT src AS s, dst AS d FROM pairs),
+        nodes AS (SELECT DISTINCT s AS node FROM e),
+        seeds AS (SELECT p_partkey AS node, p_brand AS seed_label
+                  FROM part WHERE p_partkey % 5 = 0),
+        l0 AS (
+          SELECT n.node, s.seed_label AS label,
+                 s.seed_label IS NOT NULL AS is_seed
+          FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+        $rounds
+        SELECT node, label, is_seed FROM l3"""
+  }
+
   private val pagerankSql: String = {
     val iters = (1 to 5).map { i =>
       s"""inc$i AS (
@@ -662,6 +716,7 @@ object CoreQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q125_pagerank" -> pagerankSql,
+    "q148_label_propagation" -> labelPropSql,
     // floor() on both sides: Spark cast-to-long truncates while DuckDB's
     // CAST rounds; explicit floor removes the dependence on quantities
     // happening to be integral

@@ -295,6 +295,26 @@ object DataQueries {
     // merged-store estimate and the one-pass estimate sit inside a 5%
     // band (lgK=12 → rsd 1.6%; the band is a multi-sigma guarantee, and
     // the deterministic input makes the estimates replay-stable)
+    // exact incremental aggregation store (the deterministic twin of q128):
+    // per-day exact (count, DECIMAL sum) partials written for the first 20
+    // days then APPENDED for the rest — a report over a date range folds
+    // only the pruned partial partitions, and DECIMAL associativity makes
+    // it bit-identical to recomputing from raw rows (the oracle does the
+    // recompute)
+    "q147_agg_store" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
+        col("value"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q147_" +
+        s.sparkContext.applicationId
+      val cut = lit("2024-01-20").cast("date")
+      graft.data.AggStore.writeDaily(
+        ev.filter(to_date(col("ts")) <= cut), "ts", "event_type", "value", path)
+      graft.data.AggStore.appendDaily(
+        ev.filter(to_date(col("ts")) > cut), "ts", "event_type", "value", path)
+      graft.data.AggStore.report(s, path, "event_type",
+        from = "2024-01-05", to = "2024-01-25")
+    },
+
     "q128_sketch_store" -> { (s, dir) =>
       val sp = s
       import sp.implicits._
@@ -813,6 +833,15 @@ object DataQueries {
     "q72_bm25_topk" -> bm25Sql,
     "q75_bm25_indexed" -> bm25Sql,
     "q87_bm25_append" -> bm25Sql,
+    "q147_agg_store" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS mean
+         FROM events
+         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'
+         GROUP BY event_type""",
     "q128_sketch_store" ->
       """SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,

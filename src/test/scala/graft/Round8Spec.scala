@@ -320,6 +320,22 @@ class Round8Spec extends SparkSpec {
     assert(two.size == 2 && three.size == 3 && two.subsetOf(three))
   }
 
+  test("label propagation: path graph, lexicographic ties, frozen seeds") {
+    import graft.operators.LabelProp
+    // path 1-2-3-4-5, seeds A at 1 and B at 5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq((1L, "A"), (5L, "B")).toDF("node", "lbl")
+    def labels(iters: Int): Map[Long, String] =
+      LabelProp.propagate(edges, "src", "dst", seeds, "node", "lbl", iters)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // r1: neighbours of seeds pick up A/B, centre has no labeled neighbour
+    assert(labels(1) == Map(1L -> "A", 2L -> "A", 3L -> null, 4L -> "B", 5L -> "B"))
+    // r2: centre ties A-vs-B -> lexicographically smallest (A)
+    assert(labels(2)(3L) == "A")
+    // r3: node 4 now ties A(from 3) vs B(from 5) -> flips to A; seed 5 stays B
+    assert(labels(3) == Map(1L -> "A", 2L -> "A", 3L -> "A", 4L -> "A", 5L -> "B"))
+  }
+
   test("triangles: K4 + pendant, duplicate/reverse/self edges collapse") {
     import graft.operators.Triangles
     // K4 on {1,2,3,4} (4 triangles) + pendant 5-1; noise: reverse dup (2,1),
