@@ -22,6 +22,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata parquet stamps ts as isAdjustedToUTC=false; read it as
+      // TIMESTAMP (session UTC) so epoch extraction matches the DuckDB oracle
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR: the driver parses this process's output tail for the JSON line;

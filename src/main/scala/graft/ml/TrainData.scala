@@ -63,6 +63,25 @@ object TrainData {
      df.filter(bucket >= vCut && bucket < tCut))
   }
 
+  /** Deterministic grouped K-FOLD assignment (cross-validation protocol):
+    * `fold` is a pure function of the group key — the first 48 md5 bits of
+    * (salt | key) mod k — so every row of a group lands in the same fold,
+    * folds are disjoint and exhaustive BY CONSTRUCTION (no set subtraction,
+    * no second pass), the assignment is layout/retry-stable, and — unlike
+    * the xxhash64 splits above — any engine can replay the exact fold of
+    * every row (DuckDB oracle included: same md5, same mod). Map-only: a
+    * withColumn, no shuffle; iterating CV folds is k pushed-down filters
+    * over one cached frame, never k scans of a shuffled copy.
+    */
+  def kFold(df: DataFrame, groupCol: String, k: Int,
+            salt: String = "kf"): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    df.withColumn("fold",
+      pmod(conv(substring(md5(concat(lit(salt + "|"),
+          col(groupCol).cast("string")).cast("binary")), 1, 12), 16, 10)
+        .cast("long"), lit(k.toLong)).cast("int"))
+  }
+
   /** Deterministic STRATIFIED grouped split, replacing the reference's
     * StratifiedGroupKFold (base_supervised_model.py:201-266, stratified on
     * correct + no_candidate + positive_set): groups keep all their rows on

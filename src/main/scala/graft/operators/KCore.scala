@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition (Seidman 1983): the maximal subgraph in which every
+  * node has degree >= k — the standard density screen for graph-shaped
+  * training data (drop barely-connected entities before embedding / LPA).
+  *
+  * Synchronous peel: each round drops every node whose degree AMONG
+  * SURVIVORS is < k; the fixpoint is the k-core. Peeling is monotone (the
+  * alive set only shrinks) and the update is a pure integer-degree
+  * threshold, so every round is bit-replayable on any partitioning and the
+  * converged result is SQL-oracle-checkable by unrolling AT LEAST as many
+  * rounds as the operator needed — extra unrolled rounds are no-ops at the
+  * fixpoint, which is what makes a fixed-depth SQL replay of a data-
+  * dependent iteration count sound.
+  *
+  * Plan per round: the alive set (vertex-sized, orders of magnitude
+  * smaller than the edge set) is BROADCAST against both edge endpoints —
+  * two map-only semi-joins — and the degree aggregation lands on the
+  * partitioning the edge set was given ONCE up front (`repartition(s)`
+  * before the freeze), so a round never shuffles the edges at all. The
+  * edge set is frozen once with localCheckpoint (the connectedComponents
+  * lesson, Dedup.scala); the alive set is frozen per round. The per-round
+  * driver `count()` is one long — the same bounded convergence probe
+  * connectedComponents uses. For graphs whose VERTEX set itself exceeds
+  * executor memory (≳10⁹ nodes), pass `broadcastAlive = false` to fall
+  * back to shuffle semi-joins.
+  */
+object KCore {
+
+  /** Returns every original node with `in_core` (survived the peel to the
+    * k-core) and `core_deg` (its degree inside the final core; NULL when
+    * peeled). `edges` is read as undirected; self-loops and duplicate edges
+    * collapse. Fails loudly if the peel has not converged in `maxRounds`
+    * (result would not be the k-core) — at that point rerun with a larger
+    * bound, mirroring connectedComponents' contract.
+    */
+  def decompose(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"need at least one round, got $maxRounds")
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("s"), col(dstCol).as("d"))
+    val e = und.unionByName(und.select(col("d").as("s"), col("s").as("d")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("s").as("node")).distinct().localCheckpoint()
+
+    var alive = nodes
+    var prev = alive.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      alive = e
+        .join(alive.select(col("node").as("s")), "s")
+        .join(alive.select(col("node").as("d")), "d")
+        .groupBy(col("s").as("node"))
+        .agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select("node")
+        .localCheckpoint()
+      val cur = alive.count()
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    require(converged,
+      s"k-core peel did not converge within $maxRounds rounds " +
+        s"($prev nodes still alive) — rerun with a larger maxRounds")
+
+    val coreDeg = e
+      .join(alive.select(col("node").as("s")), "s")
+      .join(alive.select(col("node").as("d")), "d")
+      .groupBy(col("s").as("node"))
+      .agg(count(lit(1)).cast("long").as("core_deg"))
+    nodes.join(coreDeg, Seq("node"), "left")
+      .select(col("node"), col("core_deg").isNotNull.as("in_core"),
+        col("core_deg"))
+  }
+}

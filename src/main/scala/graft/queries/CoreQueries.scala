@@ -630,6 +630,103 @@ object CoreQueries {
         seeds, "node", "lbl", iterations = 3)
     },
 
+    // first-order Markov transition model over per-user event streams
+    // (user-journey analytics / next-event prior): ONE user-keyed window
+    // pairs each event with its successor (lead), one (src,dst) partial agg
+    // counts transitions, per-src totals re-aggregated from the transition
+    // table itself (edge-type-bounded, never a second event scan), and the
+    // probability lands in exact ppm integer fixed point — the q125
+    // convention — so the oracle replays bit-for-bit with no float division
+    "q149_markov_transitions" -> { (s, dir) =>
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val trans = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("dst", lead(col("event_type"), 1).over(wOrd))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+      val tot = trans.groupBy("src").agg(sum(col("n")).as("tot"))
+      trans.join(broadcast(tot), "src")
+        .select(col("src"), col("dst"), col("n").cast("long").as("n"),
+          expr("(n * CAST(1000000 AS BIGINT)) div tot").as("p_ppm"))
+    },
+
+    // k-core of the co-purchase graph (k=80 peels a real cascade on this
+    // data: ~7% of parts fall out over ~6 synchronous rounds at both sf0.01
+    // and sf0.1). The operator peels to the FIXPOINT and requires
+    // convergence; the oracle unrolls 12 rounds — extra rounds are no-ops
+    // at the fixpoint, which is what makes a fixed-depth SQL replay of a
+    // data-dependent iteration count sound (see KCore's scaladoc)
+    "q150_kcore" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val a = li.toDF("o", "src")
+      val b = li.toDF("o", "dst")
+      val edges = a.join(b, "o").filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.KCore.decompose(edges, "src", "dst", k = 80,
+        maxRounds = 12)
+    },
+
+    // per-group linear trend (closed-form OLS slope of value over day index):
+    // value scaled to exact micro-units, every moment summed in DECIMAL(38,0)
+    // — associative, so ONE map-side-combining hash agg per event_type is the
+    // whole plan — and the slope emitted in ppm fixed point with the sign
+    // split out (integer division of positives only: Spark's `div` truncates
+    // toward zero while DuckDB's `//` floors, so negatives never reach it;
+    // the denominator n·Σx²−(Σx)² is a variance, nonnegative by construction)
+    "q152_group_trend" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("x"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("y_u"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x")).cast(d38).as("sx"),
+          sum(col("y_u").cast(d38)).as("sy"),
+          sum((col("x") * col("y_u")).cast(d38)).as("sxy"),
+          sum((col("x") * col("x")).cast(d38)).as("sxx"))
+        .select(col("event_type"), col("n"),
+          expr(s"CAST(n AS $d38) * sxy - sx * sy").as("num"),
+          expr(s"CAST(n AS $d38) * sxx - sx * sx").as("den"))
+        .select(col("event_type"), col("n"),
+          when(col("den") === 0, lit(null).cast("long")).otherwise(
+            expr(s"CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END AS BIGINT) * " +
+                 s"CAST((abs(num) * CAST(1000000 AS $d38)) div den AS BIGINT)"))
+            .as("slope_ppm"))
+    },
+
+    // seasonal baseline anomaly screen: per (event_type, hour-of-day) the
+    // first half of the month defines the baseline mean, current rows are
+    // flagged when value exceeds 2x that mean — compared by integer
+    // cross-multiplication (value_u·n_base > 2·sum_base_u), so no division
+    // ever happens and the report is bit-exact. The baseline table is
+    // bounded by |event_type|·24, hence broadcast back onto the current
+    // scan: one hash agg + one broadcast join + one hash agg, no skew path
+    "q153_seasonal_baseline" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), hour(col("ts")).as("hr"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("value_u"),
+          (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_base"))
+      val base = ev.filter(col("is_base"))
+        .groupBy("event_type", "hr")
+        .agg(count(lit(1)).cast("long").as("n_base"),
+          sum(col("value_u")).cast("long").as("sum_base_u"))
+      ev.filter(!col("is_base"))
+        .join(broadcast(base), Seq("event_type", "hr"), "left")
+        .groupBy("event_type", "hr")
+        .agg(max(coalesce(col("n_base"), lit(0L))).as("n_base"),
+          max(coalesce(col("sum_base_u"), lit(0L))).as("sum_base_u"),
+          count(lit(1)).cast("long").as("n_curr"),
+          sum(when(col("n_base").isNotNull &&
+                   col("value_u") * col("n_base") > lit(2L) * col("sum_base_u"),
+                   1L).otherwise(0L)).cast("long").as("n_anom"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -689,6 +786,36 @@ object CoreQueries {
         SELECT node, label, is_seed FROM l3"""
   }
 
+  /** q150's oracle: the synchronous peel unrolled as generated CTEs (the
+    * q125/q148 recipe). 12 rounds >= the observed 6-round convergence; at
+    * the fixpoint each further round reproduces the same alive set, so the
+    * unroll depth only needs to be an upper bound.
+    */
+  private val kcoreSql: String = {
+    val rounds = (1 to 12).map { i =>
+      s"""a$i AS MATERIALIZED (
+            SELECT e.s AS node FROM e
+            JOIN a${i - 1} x ON x.node = e.s
+            JOIN a${i - 1} y ON y.node = e.d
+            GROUP BY e.s HAVING count(*) >= 80)"""
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM e),
+        a0 AS (SELECT node FROM nodes),
+        $rounds,
+        deg AS (
+          SELECT e.s AS node, CAST(count(*) AS BIGINT) AS core_deg
+          FROM e
+          JOIN a12 x ON x.node = e.s
+          JOIN a12 y ON y.node = e.d
+          GROUP BY e.s)
+        SELECT n.node, d.node IS NOT NULL AS in_core, d.core_deg
+        FROM nodes n LEFT JOIN deg d ON d.node = n.node"""
+  }
+
   private val pagerankSql: String = {
     val iters = (1 to 5).map { i =>
       s"""inc$i AS (
@@ -715,6 +842,62 @@ object CoreQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q149_markov_transitions" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+           FROM events),
+         p AS (SELECT event_type AS src,
+                      lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id) AS dst
+               FROM ev),
+         tr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+                FROM p WHERE dst IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT src, sum(n) AS tot FROM tr GROUP BY 1)
+         SELECT t.src, t.dst, t.n,
+                CAST((t.n * 1000000) // o.tot AS BIGINT) AS p_ppm
+         FROM tr t JOIN tot o ON o.src = t.src""",
+    "q152_group_trend" ->
+      """WITH ev AS (
+           SELECT event_type,
+                  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                       AS BIGINT) AS x,
+                  CAST(floor(value * 1000000) AS BIGINT) AS y_u
+           FROM events WHERE value IS NOT NULL),
+         a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS HUGEINT) AS sx,
+                      CAST(sum(y_u) AS HUGEINT) AS sy,
+                      CAST(sum(x * y_u) AS HUGEINT) AS sxy,
+                      CAST(sum(x * x) AS HUGEINT) AS sxx
+               FROM ev GROUP BY 1),
+         d AS (SELECT event_type, n, n * sxy - sx * sy AS num,
+                      n * sxx - sx * sx AS den
+               FROM a)
+         SELECT event_type, n,
+                CASE WHEN den = 0 THEN NULL
+                     ELSE CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+                               ((abs(num) * 1000000) // den) AS BIGINT)
+                END AS slope_ppm
+         FROM d""",
+    "q153_seasonal_baseline" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hr,
+                  CAST(floor(value * 1000000) AS BIGINT) AS value_u,
+                  (CAST(ts AS DATE) <= DATE '2024-01-15') AS is_base
+           FROM events WHERE value IS NOT NULL),
+         b AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n_base,
+                      CAST(sum(value_u) AS BIGINT) AS sum_base_u
+               FROM ev WHERE is_base GROUP BY 1, 2)
+         SELECT e.event_type, e.hr,
+                CAST(max(coalesce(b.n_base, 0)) AS BIGINT) AS n_base,
+                CAST(max(coalesce(b.sum_base_u, 0)) AS BIGINT) AS sum_base_u,
+                CAST(count(*) AS BIGINT) AS n_curr,
+                CAST(sum(CASE WHEN b.n_base IS NOT NULL
+                               AND e.value_u * b.n_base > 2 * b.sum_base_u
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+         FROM ev e LEFT JOIN b ON b.event_type = e.event_type AND b.hr = e.hr
+         WHERE NOT e.is_base
+         GROUP BY 1, 2""",
+    "q150_kcore" -> kcoreSql,
     "q125_pagerank" -> pagerankSql,
     "q148_label_propagation" -> labelPropSql,
     // floor() on both sides: Spark cast-to-long truncates while DuckDB's

@@ -161,6 +161,23 @@ object CorpusQueries {
         defaultRate = 0.0, salt = "s42|")
     },
 
+    // shard manifest: per-shard row count + additive 32-bit content
+    // checksum — the integrity audit a sharded training sink ships with
+    // (did every trainer read exactly what was written?). The checksum is a
+    // SUM of per-row md5 slices: commutative/associative, so it is ONE
+    // map-side-combining hash agg, layout-independent, and any engine can
+    // recompute it from the raw table — the oracle replays both the q91
+    // shard assignment and the checksums
+    "q154_shard_manifest" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      Packing.assignShards(docs, "doc_id", nShards = 8, salt = "s42|")
+        .groupBy("shard")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(conv(substring(md5(coalesce(col("text"), lit(""))
+              .cast("binary")), 1, 8), 16, 10).cast("long"))
+            .cast("long").as("content_sum"))
+    },
+
     // deterministic shard writer: hash-rank round-robin assignment of the
     // token-counted docs to 8 shards, written partitionBy(shard); the
     // read-back filters ONE shard directory (planning-time pruning) and the
@@ -323,6 +340,18 @@ object CorpusQueries {
          SELECT d.doc_id, d.lang, d.source
          FROM documents d JOIN th USING (lang)
          WHERE substr(md5('s42|' || CAST(d.doc_id AS VARCHAR)), 1, 4) < thr""",
+    "q154_shard_manifest" ->
+      """WITH a AS (
+           SELECT text,
+                  (row_number() OVER (
+                     ORDER BY md5('s42|' || CAST(doc_id AS VARCHAR)), doc_id)
+                   - 1) % 8 AS shard
+           FROM documents)
+         SELECT CAST(shard AS INT) AS shard,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(concat('0x', substr(md5(coalesce(text, '')),
+                    1, 8)) AS UBIGINT)) AS BIGINT) AS content_sum
+         FROM a GROUP BY 1""",
     "q91_shard_sink" ->
       """SELECT doc_id, lang,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -94,6 +94,17 @@ object MlQueries {
     // M3 three-way: train/val/test with whole-group assignment. The q49
     // invariant surface — total rows preserved, all three pairwise group
     // overlaps zero, and every group in exactly one part
+    // grouped k-fold CV assignment: fold = 48 md5 bits of the group key mod
+    // 5 — map-only, disjoint/exhaustive by construction, and (unlike the
+    // xxhash64 splits) the oracle replays the EXACT per-fold membership,
+    // not just invariants: a stronger gate than q122's
+    "q151_kfold" -> { (s, dir) =>
+      TrainData.kFold(t(s, dir, "orders"), "o_custkey", k = 5, salt = "kf")
+        .groupBy("fold")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          count_distinct(col("o_custkey")).cast("long").as("n_groups"))
+    },
+
     "q122_grouped_split3" -> { (s, dir) =>
       val orders = t(s, dir, "orders")
       val (train, valid, test) = TrainData.groupedSplit3(
@@ -282,6 +293,13 @@ object MlQueries {
       """SELECT CAST(count(*) AS BIGINT) AS total_rows,
                 CAST(0 AS BIGINT) AS overlapping_groups
          FROM orders""",
+    "q151_kfold" ->
+      """SELECT CAST(CAST(concat('0x', substr(md5('kf|' ||
+                  CAST(o_custkey AS VARCHAR)), 1, 12)) AS UBIGINT) % 5 AS INT)
+                AS fold,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_groups
+         FROM orders GROUP BY 1""",
     "q122_grouped_split3" ->
       """SELECT CAST(count(*) AS BIGINT) AS total_rows,
                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS total_groups,

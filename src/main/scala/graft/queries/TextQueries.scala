@@ -80,6 +80,42 @@ object TextQueries {
         .select("lang", "term", "n", "rank")
     },
 
+    // PMI co-occurrence over document tokens (collocation mining /
+    // distributional association): joint df from one doc-keyed self-join of
+    // the distinct (doc, term) postings, marginals from one term agg, and
+    // the PMI ratio in exact ppm fixed point (joint·N / marg_a·marg_b —
+    // DECIMAL(38,0) products, integer quotient; positives only, so Spark
+    // div and DuckDB // agree). A RELATIVE df band [2%, 80%] gates terms
+    // into the self-join: scale-invariant, bounds the per-doc fan-out to
+    // mid-frequency vocabulary, and drops the degenerate near-universal
+    // terms whose PMI is noise anyway
+    "q155_pmi_cooccur" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .distinct()
+      val n = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+      val banded = toks.groupBy("term").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(n))
+        .filter(col("c") * 100 >= col("n_docs") * 2 &&
+                col("c") * 100 <= col("n_docs") * 80)
+        .select("term", "c")
+      val kept = toks.join(broadcast(banded), "term")
+      kept.select(col("doc_id"), col("term").as("term_a"), col("c").as("c_a"))
+        .join(kept.select(col("doc_id"), col("term").as("term_b"),
+          col("c").as("c_b")), "doc_id")
+        .filter(col("term_a") < col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(count(lit(1)).as("c_ab"), max("c_a").as("c_a"),
+          max("c_b").as("c_b"))
+        .filter(col("c_ab") >= 5)
+        .crossJoin(broadcast(n))
+        .select(col("term_a"), col("term_b"), col("c_ab").cast("long").as("c_ab"),
+          expr("CAST((CAST(c_ab AS DECIMAL(38,0)) * n_docs * 1000000) div " +
+               "(CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)").as("pmi_ppm"))
+    },
+
     // TF-IDF keyword extraction: top-5 terms per document by smoothed
     // tf-idf (sklearn's ln((1+N)/(1+df))+1). Plan: one (doc, term) partial
     // agg, a term-keyed df agg joined back on term, the 1-row corpus stat
@@ -357,6 +393,32 @@ object TextQueries {
            AS n_bpe_tokens,
          CAST(length(text) AS INT) AS n_chars_calc
          FROM documents""",
+    "q155_pmi_cooccur" ->
+      """WITH toks AS (
+           SELECT DISTINCT doc_id,
+                  unnest(string_split(trim(text), ' ')) AS term
+           FROM documents),
+         tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         banded AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS c
+           FROM tk GROUP BY term
+           HAVING count(*) * 100 >= (SELECT n_docs FROM n) * 2
+              AND count(*) * 100 <= (SELECT n_docs FROM n) * 80),
+         kept AS (SELECT t.doc_id, t.term, b.c
+                  FROM tk t JOIN banded b ON b.term = t.term),
+         pairs AS (
+           SELECT a.term AS term_a, b.term AS term_b,
+                  CAST(count(*) AS BIGINT) AS c_ab,
+                  max(a.c) AS c_a, max(b.c) AS c_b
+           FROM kept a JOIN kept b ON a.doc_id = b.doc_id
+                AND a.term < b.term
+           GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT term_a, term_b, c_ab,
+                CAST((CAST(c_ab AS HUGEINT) * (SELECT n_docs FROM n)
+                      * 1000000) //
+                     (CAST(c_a AS HUGEINT) * c_b) AS BIGINT) AS pmi_ppm
+         FROM pairs""",
     "q77_vocab_topk" ->
       """WITH terms AS (
            SELECT lang, unnest(string_split(trim(text), ' ')) AS term
