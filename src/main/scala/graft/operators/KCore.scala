@@ -16,19 +16,40 @@ import org.apache.spark.sql.functions._
   * fixpoint, which is what makes a fixed-depth SQL replay of a data-
   * dependent iteration count sound.
   *
-  * Plan per round: the alive set (vertex-sized, orders of magnitude
-  * smaller than the edge set) is BROADCAST against both edge endpoints —
-  * two map-only semi-joins — and the degree aggregation lands on the
-  * partitioning the edge set was given ONCE up front (`repartition(s)`
-  * before the freeze), so a round never shuffles the edges at all. The
-  * edge set is frozen once with localCheckpoint (the connectedComponents
-  * lesson, Dedup.scala); the alive set is frozen per round. The per-round
-  * driver `count()` is one long — the same bounded convergence probe
-  * connectedComponents uses. For graphs whose VERTEX set itself exceeds
-  * executor memory (≳10⁹ nodes), pass `broadcastAlive = false` to fall
-  * back to shuffle semi-joins.
+  * Plan per round (`broadcastAlive = true`, the default): the alive set
+  * (vertex-sized, orders of magnitude smaller than the edge set) is
+  * explicitly BROADCAST against both edge endpoints — two map-only
+  * semi-joins — and the degree aggregation lands on the hash partitioning
+  * the edge set was given ONCE up front (`repartition(col("s"))` before
+  * the freeze), so a round never shuffles the edges at all; `PlanShapeSpec`
+  * locks this (zero ShuffleExchange in a peel round). The edge set is
+  * frozen once by CACHING the repartitioned relation — InMemoryRelation
+  * preserves the cached plan's hash partitioning across rounds, which a
+  * localCheckpoint's LogicalRDD does not — while the per-round alive set
+  * is still localCheckpoint-frozen (the connectedComponents lesson,
+  * Dedup.scala). The per-round driver `count()` is one
+  * long — the same bounded convergence probe connectedComponents uses.
+  * For graphs whose VERTEX set itself exceeds executor memory (≳10⁹
+  * nodes), pass `broadcastAlive = false`: the rounds become plain shuffle
+  * semi-joins on s then d — the edges do re-shuffle per round, the price
+  * of an alive set too big to ship.
   */
 object KCore {
+
+  /** One peel round: survivors' degrees restricted to `alive`, thresholded
+    * at k. Exposed for the plan-shape lock; `decompose` iterates it.
+    */
+  private[graft] def peelRound(e: DataFrame, alive: DataFrame, k: Int,
+                               broadcastAlive: Boolean): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (broadcastAlive) broadcast else identity
+    e.join(hint(alive.select(col("node").as("s"))), "s")
+      .join(hint(alive.select(col("node").as("d"))), "d")
+      .groupBy(col("s").as("node"))
+      .agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= k)
+      .select("node")
+  }
 
   /** Returns every original node with `in_core` (survived the peel to the
     * k-core) and `core_deg` (its degree inside the final core; NULL when
@@ -38,16 +59,22 @@ object KCore {
     * bound, mirroring connectedComponents' contract.
     */
   def decompose(edges: DataFrame, srcCol: String, dstCol: String,
-                k: Int, maxRounds: Int = 8): DataFrame = {
+                k: Int, maxRounds: Int = 8,
+                broadcastAlive: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"need at least one round, got $maxRounds")
     val und = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(col(srcCol).as("s"), col(dstCol).as("d"))
+    // one-time edge layout: hash-partitioned on s so every round's degree
+    // aggregation (groupBy s) is exchange-free under the broadcast joins;
+    // cached (not localCheckpointed) because InMemoryRelation is what
+    // carries the partitioning to every later round's plan
     val e = und.unionByName(und.select(col("d").as("s"), col("s").as("d")))
       .distinct()
-      .localCheckpoint()
+      .repartition(col("s"))
+      .persist()
     val nodes = e.select(col("s").as("node")).distinct().localCheckpoint()
 
     var alive = nodes
@@ -55,14 +82,7 @@ object KCore {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      alive = e
-        .join(alive.select(col("node").as("s")), "s")
-        .join(alive.select(col("node").as("d")), "d")
-        .groupBy(col("s").as("node"))
-        .agg(count(lit(1)).as("__deg"))
-        .filter(col("__deg") >= k)
-        .select("node")
-        .localCheckpoint()
+      alive = peelRound(e, alive, k, broadcastAlive).localCheckpoint()
       val cur = alive.count()
       converged = cur == prev
       prev = cur
@@ -72,9 +92,11 @@ object KCore {
       s"k-core peel did not converge within $maxRounds rounds " +
         s"($prev nodes still alive) — rerun with a larger maxRounds")
 
+    val hint: DataFrame => DataFrame =
+      if (broadcastAlive) broadcast else identity
     val coreDeg = e
-      .join(alive.select(col("node").as("s")), "s")
-      .join(alive.select(col("node").as("d")), "d")
+      .join(hint(alive.select(col("node").as("s"))), "s")
+      .join(hint(alive.select(col("node").as("d"))), "d")
       .groupBy(col("s").as("node"))
       .agg(count(lit(1)).cast("long").as("core_deg"))
     nodes.join(coreDeg, Seq("node"), "left")

@@ -702,7 +702,8 @@ object CoreQueries {
     // seasonal baseline anomaly screen: per (event_type, hour-of-day) the
     // first half of the month defines the baseline mean, current rows are
     // flagged when value exceeds 2x that mean — compared by integer
-    // cross-multiplication (value_u·n_base > 2·sum_base_u), so no division
+    // cross-multiplication (value_u·n_base > 2·sum_base_u, operands widened
+    // to DECIMAL(38,0) so the product cannot wrap), so no division
     // ever happens and the report is bit-exact. The baseline table is
     // bounded by |event_type|·24, hence broadcast back onto the current
     // scan: one hash agg + one broadcast join + one hash agg, no skew path
@@ -723,7 +724,8 @@ object CoreQueries {
           max(coalesce(col("sum_base_u"), lit(0L))).as("sum_base_u"),
           count(lit(1)).cast("long").as("n_curr"),
           sum(when(col("n_base").isNotNull &&
-                   col("value_u") * col("n_base") > lit(2L) * col("sum_base_u"),
+                   col("value_u").cast("decimal(38,0)") * col("n_base") >
+                     lit(2L).cast("decimal(38,0)") * col("sum_base_u"),
                    1L).otherwise(0L)).cast("long").as("n_anom"))
     },
 
@@ -892,7 +894,8 @@ object CoreQueries {
                 CAST(max(coalesce(b.sum_base_u, 0)) AS BIGINT) AS sum_base_u,
                 CAST(count(*) AS BIGINT) AS n_curr,
                 CAST(sum(CASE WHEN b.n_base IS NOT NULL
-                               AND e.value_u * b.n_base > 2 * b.sum_base_u
+                               AND CAST(e.value_u AS HUGEINT) * b.n_base >
+                                   2 * CAST(b.sum_base_u AS HUGEINT)
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
          FROM ev e LEFT JOIN b ON b.event_type = e.event_type AND b.hr = e.hr
          WHERE NOT e.is_base

@@ -167,14 +167,17 @@ object CorpusQueries {
     // SUM of per-row md5 slices: commutative/associative, so it is ONE
     // map-side-combining hash agg, layout-independent, and any engine can
     // recompute it from the raw table — the oracle replays both the q91
-    // shard assignment and the checksums
+    // shard assignment and the checksums. The sum runs in DECIMAL(38,0)
+    // (overflow impossible at any corpus size, vs a silently-wrapping LONG)
+    // and is reduced mod 2^32 into the published 32-bit checksum
     "q154_shard_manifest" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select("doc_id", "text")
       Packing.assignShards(docs, "doc_id", nShards = 8, salt = "s42|")
         .groupBy("shard")
         .agg(count(lit(1)).cast("long").as("n_rows"),
-          sum(conv(substring(md5(coalesce(col("text"), lit(""))
-              .cast("binary")), 1, 8), 16, 10).cast("long"))
+          (sum(conv(substring(md5(coalesce(col("text"), lit(""))
+              .cast("binary")), 1, 8), 16, 10).cast("decimal(38,0)"))
+            % lit(4294967296L))
             .cast("long").as("content_sum"))
     },
 
@@ -350,7 +353,7 @@ object CorpusQueries {
          SELECT CAST(shard AS INT) AS shard,
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(concat('0x', substr(md5(coalesce(text, '')),
-                    1, 8)) AS UBIGINT)) AS BIGINT) AS content_sum
+                    1, 8)) AS UBIGINT)) % 4294967296 AS BIGINT) AS content_sum
          FROM a GROUP BY 1""",
     "q91_shard_sink" ->
       """SELECT doc_id, lang,

@@ -86,22 +86,34 @@ object TextQueries {
     // the PMI ratio in exact ppm fixed point (joint·N / marg_a·marg_b —
     // DECIMAL(38,0) products, integer quotient; positives only, so Spark
     // div and DuckDB // agree). A RELATIVE df band [2%, 80%] gates terms
-    // into the self-join: scale-invariant, bounds the per-doc fan-out to
-    // mid-frequency vocabulary, and drops the degenerate near-universal
-    // terms whose PMI is noise anyway
+    // into the self-join: scale-invariant, bounds the vocabulary to
+    // mid-frequency terms and drops the degenerate near-universal terms
+    // whose PMI is noise anyway. The band bounds the VOCABULARY but not a
+    // single long document, so a per-doc top-64 cap by (tf desc, term) —
+    // the SparseSim.maxDf discipline applied doc-wise — bounds the
+    // self-join fan-out at 64²/doc instead of d²; `kept` is frozen with
+    // localCheckpoint so the tokenize+band lineage runs once, not once per
+    // join side (the Triangles shared-lineage pattern)
     "q155_pmi_cooccur" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
-      val toks = docs
+      val tf = docs
         .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
         .filter(col("term") =!= "")
-        .distinct()
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val n = docs.agg(count(lit(1)).cast("long").as("n_docs"))
-      val banded = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      val banded = tf.groupBy("term").agg(count(lit(1)).as("c"))
         .crossJoin(broadcast(n))
         .filter(col("c") * 100 >= col("n_docs") * 2 &&
                 col("c") * 100 <= col("n_docs") * 80)
         .select("term", "c")
-      val kept = toks.join(broadcast(banded), "term")
+      val wDoc = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("term"))
+      val kept = tf.join(broadcast(banded), "term")
+        .withColumn("__rn", row_number().over(wDoc))
+        .filter(col("__rn") <= 64)
+        .select("doc_id", "term", "c")
+        .localCheckpoint()
       kept.select(col("doc_id"), col("term").as("term_a"), col("c").as("c_a"))
         .join(kept.select(col("doc_id"), col("term").as("term_b"),
           col("c").as("c_b")), "doc_id")
@@ -394,19 +406,25 @@ object TextQueries {
          CAST(length(text) AS INT) AS n_chars_calc
          FROM documents""",
     "q155_pmi_cooccur" ->
-      """WITH toks AS (
-           SELECT DISTINCT doc_id,
-                  unnest(string_split(trim(text), ' ')) AS term
-           FROM documents),
-         tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      """WITH tk AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id,
+                        unnest(string_split(trim(text), ' ')) AS term
+                 FROM documents)
+           WHERE term <> '' GROUP BY doc_id, term),
          n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
          banded AS (
            SELECT term, CAST(count(*) AS BIGINT) AS c
            FROM tk GROUP BY term
            HAVING count(*) * 100 >= (SELECT n_docs FROM n) * 2
               AND count(*) * 100 <= (SELECT n_docs FROM n) * 80),
-         kept AS (SELECT t.doc_id, t.term, b.c
-                  FROM tk t JOIN banded b ON b.term = t.term),
+         kept AS (
+           SELECT doc_id, term, c FROM (
+             SELECT t.doc_id, t.term, b.c,
+                    row_number() OVER (PARTITION BY t.doc_id
+                                       ORDER BY t.tf DESC, t.term) AS rn
+             FROM tk t JOIN banded b ON b.term = t.term)
+           WHERE rn <= 64),
          pairs AS (
            SELECT a.term AS term_a, b.term AS term_b,
                   CAST(count(*) AS BIGINT) AS c_ab,

@@ -290,4 +290,22 @@ class PlanShapeSpec extends SparkSpec {
         s"the exact semi join must remain:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
+
+  test("k-core peel round: edges never reshuffle (zero exchanges, two broadcasts)") {
+    // the decompose() layout: edges hash-partitioned on s ONCE and frozen —
+    // the cache's InMemoryRelation carries the partitioning, so a peel
+    // round's two alive-side broadcast joins + degree agg need no
+    // ShuffleExchange at all
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
+    val e = raw.unionByName(raw.select(col("d").as("s"), col("s").as("d")))
+      .distinct().repartition(col("s")).persist()
+    val alive = e.select(col("s").as("node")).distinct().localCheckpoint()
+    val plan = staticPlan(
+      graft.operators.KCore.peelRound(e, alive, k = 2, broadcastAlive = true))
+    assert(count(plan) { case _: ShuffleExchangeExec => } == 0,
+      s"a peel round must not reshuffle the frozen edge layout:\n$plan")
+    assert(count(plan) { case _: BroadcastExchangeExec => } +
+      count(plan) { case _: ReusedExchangeExec => } >= 2,
+      s"both alive sides must ship by broadcast:\n$plan")
+  }
 }
