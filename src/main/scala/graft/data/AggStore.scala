@@ -41,6 +41,17 @@ object AggStore {
     partials(df, dateCol, groupCol, valueCol)
       .write.partitionBy("day").mode("append").parquet(path)
 
+  /** Rewrite the append-accumulated store so every day partition holds ONE
+    * data file (each append adds a file per touched day forever; listing
+    * cost grows per append even though reports stay correct). Pure file
+    * movement via [[graft.operators.PartitionCompaction]] — rows, schema,
+    * and the partitionBy(day) pruning layout are unchanged, so reports are
+    * bit-identical before and after. `nDays` = expected distinct days (one
+    * rewrite task per partition). Returns (files before, files after).
+    */
+  def compactStore(spark: SparkSession, path: String, nDays: Int): (Long, Long) =
+    graft.operators.PartitionCompaction.compact(spark, path, "day", nDays)
+
   /** Exact per-group report over [from, to] (inclusive date strings):
     * n_events, total, mean — identical to recomputing from raw rows, but
     * reading only the pruned partial partitions.

@@ -41,4 +41,32 @@ object SketchStore {
     spark.read.parquet(path)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
       .head().getLong(0)
+
+  /** Compact the append-accumulated store: pre-union each day's sketch rows
+    * into ONE row (HLL union is register-wise max — associative, so the
+    * merged register state, hence every later estimate, is identical to
+    * merging the uncompacted rows) and rewrite the whole store as one file
+    * via the shared rename-swap. A store that ingests for years stays
+    * one-row-per-day / one-file however many appends it took. Returns
+    * (files before, files after).
+    */
+  def compactStore(spark: SparkSession, path: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.PartitionCompaction
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dest), s"compactStore: $path does not exist")
+    val before = PartitionCompaction.dataFileCount(fs, dest)
+    val tmp = new Path(path + "__compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(path)
+      .groupBy("day")
+      .agg(hll_union_agg(col("sketch")).as("sketch"),
+        sum(col("n_rows")).cast("long").as("n_rows"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    PartitionCompaction.swapIntoPlace(fs, dest, tmp,
+      new Path(path + "__pre_compact"))
+    (before, PartitionCompaction.dataFileCount(fs, dest))
+  }
 }

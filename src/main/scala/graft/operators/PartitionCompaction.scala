@@ -62,7 +62,7 @@ object PartitionCompaction {
     fs.delete(bak, true); ()
   }
 
-  private def dataFileCount(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long = {
+  private[graft] def dataFileCount(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long = {
     val it = fs.listFiles(p, true)
     var n = 0L
     while (it.hasNext) {

@@ -339,6 +339,63 @@ object DataQueries {
         .toDF("n_days", "n_exact", "merged_ok", "direct_ok")
     },
 
+    // AggStore compaction: same build+append as q147 but the two writes
+    // OVERLAP on every day (split by minute-of-hour), so each day partition
+    // accumulates files from both — the small-file pattern q102/q103 fixed
+    // for the disk indexes, now closed for aggregation state. After
+    // PartitionCompaction rewrites each day to ONE file, the report must be
+    // bit-identical to the raw recompute (the oracle), and the verdict
+    // columns pin the file-count contract: one file per day, fewer than
+    // before
+    "q158_agg_store_compact" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
+        col("value"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q158_" +
+        s.sparkContext.applicationId
+      graft.data.AggStore.writeDaily(
+        ev.filter(minute(col("ts")) < 30), "ts", "event_type", "value", path)
+      graft.data.AggStore.appendDaily(
+        ev.filter(minute(col("ts")) >= 30), "ts", "event_type", "value", path)
+      val nDays = ev.select(to_date(col("ts"))).distinct().count().toInt
+      val (before, after) =
+        graft.data.AggStore.compactStore(s, path, nDays)
+      graft.data.AggStore.report(s, path, "event_type",
+          from = "2024-01-05", to = "2024-01-25")
+        .withColumn("one_file_per_day", lit(after == nDays))
+        .withColumn("files_reduced", lit(after < before))
+    },
+
+    // SketchStore compaction: day rows pre-unioned (HLL union is
+    // register-wise max — associative, so the compacted store's merged
+    // estimate is BIT-IDENTICAL to the uncompacted one, asserted as
+    // merged_stable) and the whole store rewritten as one file via the
+    // shared rename-swap
+    "q159_sketch_store_compact" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val ev = t(s, dir, "events").select(col("ts"), col("user_id"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q159_" +
+        s.sparkContext.applicationId
+      graft.data.SketchStore.writeDailySketches(
+        ev.filter(dayofmonth(col("ts")) % 2 === 0), "ts", "user_id", path,
+        overwrite = true)
+      graft.data.SketchStore.writeDailySketches(
+        ev.filter(dayofmonth(col("ts")) % 2 === 1), "ts", "user_id", path)
+      val mergedBefore = graft.data.SketchStore.mergedEstimate(s, path)
+      val (before, after) = graft.data.SketchStore.compactStore(s, path)
+      val mergedAfter = graft.data.SketchStore.mergedEstimate(s, path)
+      val nDayRows = s.read.parquet(path).count()
+      val exact = ev.agg(
+        countDistinct(col("user_id")).cast("long").as("n_exact"),
+        countDistinct(to_date(col("ts"))).cast("long").as("n_days")).head()
+      val (nExact, nDays) = (exact.getLong(0), exact.getLong(1))
+      Seq((nDays, nExact, mergedAfter == mergedBefore,
+          math.abs(mergedAfter - nExact).toDouble / nExact <= 0.05,
+          nDayRows == nDays, after == 1L && after < before))
+        .toDF("n_days", "n_exact", "merged_stable", "merged_ok",
+          "one_row_per_day", "one_file")
+    },
+
     // hybrid lexical + dense retrieval: BM25 top-20 and cosine top-20 for
     // the same five queries, fused by reciprocal-rank fusion (k=60). Fusion
     // operates on RANKS, so the incomparable score scales never mix; the
@@ -846,6 +903,22 @@ object DataQueries {
       """SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
                 TRUE AS merged_ok, TRUE AS direct_ok
+         FROM events""",
+    "q158_agg_store_compact" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS mean,
+                TRUE AS one_file_per_day, TRUE AS files_reduced
+         FROM events
+         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'
+         GROUP BY event_type""",
+    "q159_sketch_store_compact" ->
+      """SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                TRUE AS merged_stable, TRUE AS merged_ok,
+                TRUE AS one_row_per_day, TRUE AS one_file
          FROM events""",
     "q124_hybrid_rrf" ->
       """WITH q AS (
