@@ -42,7 +42,7 @@ object LegalForms {
     "ab", "a b", "oy", "oyj", "as", "a s", "asa", "aps", "hb", "kb",
     "aktiebolag", "osakeyhtiö", "osakeyhtio", "aktieselskab", "ansvarlig selskap",
     // Poland / Czechia / Hungary / Russia
-    "sp z o o", "spzoo", "sp z oo", "sp k", "ska", "zrt", "kft", "bt", "sro",
+    "sp z o o", "spzoo", "sp z oo", "sp zoo", "sp k", "ska", "zrt", "kft", "bt", "sro",
     "s r o", "ooo", "oao", "zao", "pao",
     // Japan / China / Korea (romanized)
     "kk", "k k", "kabushiki kaisha", "godo kaisha", "yugen kaisha",

@@ -74,6 +74,144 @@ object FeatureQueries {
           "substring_partial_1", "ratios_in_range")
     },
 
+    // the regex/transliteration UDF tier (F1 strip-accents, F7/F8
+    // abbreviation merges, F12 remove-legal-form, N1 abbr_match, N9 LEF
+    // features, plus the named pipelines composing them) made
+    // ORACLE-VISIBLE: the reference pins these with golden literal cases
+    // (tests/unit/test_abbreviations.py, test_name_preprocessing.py,
+    // test_features_lef.py); this query embeds those (input, expected)
+    // literals, runs the REAL column surfaces over them, and emits one
+    // (kind, n_cases, all_pass) row per surface — the oracle replays the
+    // literal case counts and expects every verdict TRUE, so any regression
+    // in the imperative string kernels turns a correctness row red
+    "q156_regex_golden" -> { (s, dir) =>
+      import graft.functions.{Abbreviations, LegalForms}
+      import graft.preprocess.Preprocessor
+      val sp = s
+      import sp.implicits._
+      val cases: Seq[(String, String, String, String)] = Seq(
+        // F1 strip_accents_unicode
+        ("strip_accents", "Tzu-Sun_BV.a;b,c_ä", "", "Tzu-Sun_BV.a;b,c_a"),
+        ("strip_accents", "ąćęłńóśźżĄĆĘŁŃÓŚŹŻ", "", "acelnoszzACELNOSZZ"),
+        ("strip_accents", "Café", "", "Cafe"),
+        ("strip_accents", "Ångström ØRSTED", "", "Angstrom ORSTED"),
+        ("strip_accents", "Москва", "", "Moskva"),
+        // F7 merge_abbreviations (abbreviation_util.abbreviations_to_words)
+        ("merge_abbr", "Fenerbahce S. K.", "", "Fenerbahce SK"),
+        ("merge_abbr", "a.b.c. b.v.", "", "abc bv"),
+        ("merge_abbr", "a b cde", "", "ab cde"),
+        ("merge_abbr", "a. b. van den xyz b.v.", "", "ab van den xyz bv"),
+        ("merge_abbr", "a.b.c.def", "", "abc def"),
+        ("merge_abbr", "a.b.c. def", "", "abc def"),
+        ("merge_abbr", "a b c.d.", "", "ab cd"),
+        ("merge_abbr", "abc b.v", "", "abc bv"),
+        ("merge_abbr", "abc b.b.v", "", "abc bbv"),
+        ("merge_abbr", "abc b.b v.x", "", "abc bb vx"),
+        ("merge_abbr", "abc b. b. v", "", "abc bbv"),
+        ("merge_abbr", "abc b.v x", "", "abc bv x"),
+        ("merge_abbr", "ING BANK B.V.", "", "ING BANK BV"),
+        // F8 merge_legal_form_abbreviations
+        ("merge_legal", "tzu sun b.v.", "", "tzu sun bv"),
+        ("merge_legal", "bank x.y.", "", "bank x.y."),
+        // full preprocess_name pipeline
+        ("pipeline_name", "Tzu-Sun_BV.a;b,c_ä", "", "tzu sun bv a b c a"),
+        ("pipeline_name", "Tzu-Sun_BV  morethan1space", "", "tzu sun bv morethan1space"),
+        // full preprocess_merge_abbr pipeline
+        ("pipeline_merge_abbr", "Tzu-Sun_B.V.a;b,c_ä", "", "tzu sun b v a b c a"),
+        ("pipeline_merge_abbr", "Z. S. B. V.", "", "zsbv"),
+        ("pipeline_merge_abbr", "Z Sun B V", "", "z sun bv"),
+        ("pipeline_merge_abbr", "Z. Sun B.V.", "", "z sun bv"),
+        ("pipeline_merge_abbr", "Z Sun B.V", "", "z sun bv"),
+        // full preprocess_merge_legal_abbr pipeline
+        ("pipeline_merge_legal", "Tzu-Sun B. V.", "", "tzu sun bv"),
+        ("pipeline_merge_legal", "Tzu-Sun B.V", "", "tzu sun bv"),
+        ("pipeline_merge_legal", "Tzu-Sun B V", "", "tzu sun bv"),
+        ("pipeline_merge_legal", "Tzu-Sun BV.", "", "tzu sun bv"),
+        ("pipeline_merge_legal", "J. Arnheim. N.V.", "", "j arnheim nv"),
+        ("pipeline_merge_legal", "J.A. N. V.", "", "j a n v"),
+        ("pipeline_merge_legal", "J.A. vof", "", "j a vof"),
+        ("pipeline_merge_legal", "cris adamsky s.p.z.o.o.", "", "cris adamsky spzoo"),
+        // F12 remove_legal_form
+        ("remove_lef", "Tzu-Sun Ltd", "", "Tzu-Sun"),
+        ("remove_lef", "Tzu-Sun GMBH", "", "Tzu-Sun"),
+        ("remove_lef", "Ltd Tzu-Sun", "", "Tzu-Sun"),
+        ("remove_lef", "Tzu Ltd Sun", "", "Tzu Sun"),
+        ("remove_lef", "Tzu-Sun sp. z o.o.", "", "Tzu-Sun"),
+        ("remove_lef", "Tzu-Sun sp. z.o.o.", "", "Tzu-Sun"),
+        ("remove_lef", "Acme Widgets", "", "Acme Widgets"),
+        // merge_& step
+        ("merge_amp", "xyz & abc C&D", "", "xyz & abc CD"),
+        ("merge_amp", "foobar S/A", "", "foobar SA"),
+        // hyphen / punctuation steps
+        ("strip_hyphens", "Tzu-Sun_BV.a;b,c_ä", "", "Tzu Sun BV.a;b,c ä"),
+        ("strip_punct", "Tzu-Sun_BV:Chinese'Dutch.a;b,c_ä", "",
+          "Tzu Sun BV Chinese Dutch a b c ä"),
+        ("space_punct", "Tzu-Sun_BV:Chinese'Dutch.a;b,c_ä", "",
+          "Tzu - Sun _ BV : Chinese ' Dutch . a ; b , c _ ä"),
+        // abbreviation finders (abbreviation_util.find_abbr_*)
+        ("abbr_initials", "38th International Conference on Very Large Databases, Turkey 2012", "", ""),
+        ("abbr_initials", "VLDB 2012 Conf TR", "", "VLDB TR"),
+        ("abbr_initials", "International V.L.D.B. Conference, 2013", "", "VLDB"),
+        ("abbr_initials", "WarnerBros Entertainment", "", ""),
+        ("abbr_initials", "PetroBras B.V.", "", "BV"),
+        ("abbr_initials", "Petroleo Brasileiro B.V.", "", "BV"),
+        ("abbr_pieces", "38th International Conference on Very Large Databases, Turkey 2012", "", ""),
+        ("abbr_pieces", "VLDB 2012 Conf TR", "", ""),
+        ("abbr_pieces", "International V.L.D.B. Conference, 2013", "", ""),
+        ("abbr_pieces", "WarnerBros Entertainment", "", "WarnerBros"),
+        ("abbr_pieces", "PetroBras B.V.", "", "PetroBras"),
+        ("abbr_pieces", "Petroleo Brasileiro B.V.", "", ""),
+        // N1 abbr_match over pairs
+        ("abbr_match", "SK Industries", "Fenerbahce Spor Klubu", "true"),
+        ("abbr_match", "PetroBras", "Petroleo Brasileiro B.V.", "true"),
+        ("abbr_match", "XYZ", "completely different", "false"),
+        // N9 LEF extraction + pair classification
+        ("lef_extract", "Some Big Pharma B.V.", "", "bv"),
+        ("lef_extract", "Some Big Pharma flobble.", "", ""),
+        ("lef_extract", "Some Big Pharma NV", "", "nv"),
+        ("lef_match", "Acme B.V.", "Acme B.V.", "identical"),
+        ("lef_match", "Acme B.V.", "Acme", "lef2_missing"),
+        ("lef_match", "Acme", "Acme B.V.", "lef1_missing"),
+        ("lef_match", "Acme B.V.", "Acme N.V.", "no_match"),
+        ("lef_match", "Acme B.V. N.V.", "Acme N.V.", "partial"),
+        ("lef_match", "Acme", "Beta", "both_missing"))
+      val df = cases.toDF("kind", "a", "b", "expected")
+      val abbrInitialsUdf =
+        udf((x: String) => Abbreviations.findAbbrMergedInitials(x).mkString(" "))
+      val abbrPiecesUdf =
+        udf((x: String) => Abbreviations.findAbbrMergedWordPieces(x).mkString(" "))
+      val abbrMatchUdf =
+        udf((x: String, y: String) => Abbreviations.abbrMatch(x, y).toString)
+      val lefExtractUdf =
+        udf((x: String) => LegalForms.extract(x).mkString(" "))
+      val lefMatchUdf =
+        udf((x: String, y: String) => LegalForms.matchClass(x, y))
+      def step(name: String) = Preprocessor.functions(name)(col("a"))
+      def pipe(name: String) =
+        Preprocessor.expr(col("a"), Preprocessor.pipelines(name))
+      val actual = when(col("kind") === "strip_accents", step("strip_accents_unicode"))
+        .when(col("kind") === "merge_abbr", step("merge_abbreviations"))
+        .when(col("kind") === "merge_legal", step("merge_legal_form_abbreviations"))
+        .when(col("kind") === "pipeline_name", pipe("preprocess_name"))
+        .when(col("kind") === "pipeline_merge_abbr", pipe("preprocess_merge_abbr"))
+        .when(col("kind") === "pipeline_merge_legal", pipe("preprocess_merge_legal_abbr"))
+        .when(col("kind") === "remove_lef", step("remove_legal_form"))
+        .when(col("kind") === "merge_amp", step("merge_&"))
+        .when(col("kind") === "strip_hyphens", step("strip_hyphens"))
+        .when(col("kind") === "strip_punct", step("strip_punctuation"))
+        .when(col("kind") === "space_punct", step("insert_space_around_punctuation"))
+        .when(col("kind") === "abbr_initials", abbrInitialsUdf(col("a")))
+        .when(col("kind") === "abbr_pieces", abbrPiecesUdf(col("a")))
+        .when(col("kind") === "abbr_match", abbrMatchUdf(col("a"), col("b")))
+        .when(col("kind") === "lef_extract", lefExtractUdf(col("a")))
+        .when(col("kind") === "lef_match", lefMatchUdf(col("a"), col("b")))
+      df.withColumn("actual", actual)
+        .groupBy("kind")
+        .agg(count(lit(1)).cast("long").as("n_cases"),
+          (sum(when(col("actual") === col("expected"), 1L).otherwise(0L)) ===
+            count(lit(1))).as("all_pass"))
+    },
+
     // model persistence (S3) made ORACLE-VISIBLE: fit -> save -> load ->
     // transform on BOTH models; the loaded model must reproduce the fitted
     // model's candidates EXACTLY (set equality both ways), the property the
@@ -165,6 +303,15 @@ object FeatureQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q156_regex_golden" ->
+      """SELECT kind, CAST(n_cases AS BIGINT) AS n_cases, TRUE AS all_pass
+         FROM (VALUES
+           ('strip_accents', 5), ('merge_abbr', 13), ('merge_legal', 2),
+           ('pipeline_name', 2), ('pipeline_merge_abbr', 5),
+           ('pipeline_merge_legal', 8), ('remove_lef', 7), ('merge_amp', 2),
+           ('strip_hyphens', 1), ('strip_punct', 1), ('space_punct', 1),
+           ('abbr_initials', 6), ('abbr_pieces', 6), ('abbr_match', 3),
+           ('lef_extract', 3), ('lef_match', 6)) AS t(kind, n_cases)""",
     "q115_fuzzy_invariants" ->
       """WITH names AS (SELECT p_partkey AS uid FROM part WHERE p_partkey <= 200),
          nxt AS (SELECT (uid % 200) + 1 AS uid FROM names)

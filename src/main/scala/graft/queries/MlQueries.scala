@@ -24,7 +24,10 @@ object MlQueries {
     * negatives per part name, GBT trained in-query on the even-uid half,
     * held-out odd half scored.
     */
-  private def q101Scored(s: SparkSession, dir: String): DataFrame = {
+  /** The shared supervised fixture (q101 + q157): deterministic noised
+    * positive + two cyclic-neighbour negatives per part name.
+    */
+  private def supervisedPairs(s: SparkSession, dir: String): DataFrame = {
     val noiseUdf = udf((n: String, seed: Long) => TrainData.noise(n, seed))
     val base = t(s, dir, "part").filter(col("p_partkey") <= 150)
       .select(col("p_partkey").cast("long").as(Cols.Uid),
@@ -34,14 +37,31 @@ object MlQueries {
     val gtFor = (k: Int) => base.select(
       (((col(Cols.Uid) + lit(k) - 1) % 150) + 1).as(Cols.Uid),
       col(Cols.Uid).as(Cols.GtUid), col("gt_name").as(Cols.GtPreprocessed))
-    val pairs = noised.join(
-        gtFor(0).withColumn("correct", lit(true))
-          .unionByName(gtFor(1).withColumn("correct", lit(false)))
-          .unionByName(gtFor(7).withColumn("correct", lit(false))),
-        Seq(Cols.Uid))
-    val layer = new graft.ml.SupervisedLayer(scoreCols = Nil,
-      withRankFeatures = false, maxIter = 10, maxDepth = 3, seed = 0L)
-    val model = layer.fit(pairs.filter(col(Cols.Uid) % 2 === 0))
+    noised.join(
+      gtFor(0).withColumn("correct", lit(true))
+        .unionByName(gtFor(1).withColumn("correct", lit(false)))
+        .unionByName(gtFor(7).withColumn("correct", lit(false))),
+      Seq(Cols.Uid))
+  }
+
+  private def newLayer() = new graft.ml.SupervisedLayer(scoreCols = Nil,
+    withRankFeatures = false, maxIter = 10, maxDepth = 3, seed = 0L)
+
+  /** Mann-Whitney AUC over a scored fixture set — metric code on a
+    * fixture-bounded frame (<= 225 rows), broadcast one side.
+    */
+  private def mannWhitneyAuc(scored: DataFrame): Double = {
+    val pos = scored.filter(col("correct")).select(col(Cols.NmScore).as("sp"))
+    val neg = scored.filter(!col("correct")).select(col(Cols.NmScore).as("sn"))
+    pos.crossJoin(broadcast(neg))
+      .agg(avg(when(col("sp") > col("sn"), 1.0)
+        .when(col("sp") === col("sn"), 0.5).otherwise(0.0)).as("auc"))
+      .head.getDouble(0)
+  }
+
+  private def q101Scored(s: SparkSession, dir: String): DataFrame = {
+    val pairs = supervisedPairs(s, dir)
+    val model = newLayer().fit(pairs.filter(col(Cols.Uid) % 2 === 0))
     model.transform(pairs.filter(col(Cols.Uid) % 2 === 1))
       .select(col(Cols.Uid), col("correct"), col(Cols.NmScore),
               col(Cols.BestRank), col(Cols.BestMatch))
@@ -169,12 +189,7 @@ object MlQueries {
       // pairs of [s_pos > s_neg] + 0.5*[==]. The cross join is METRIC code
       // on the fixture-bounded scored set (75 pos x 150 neg), broadcast one
       // side — never a data-scale operation.
-      val pos = scored.filter(col("correct")).select(col(Cols.NmScore).as("sp"))
-      val neg = scored.filter(!col("correct")).select(col(Cols.NmScore).as("sn"))
-      val auc = pos.crossJoin(broadcast(neg))
-        .agg(avg(when(col("sp") > col("sn"), 1.0)
-          .when(col("sp") === col("sn"), 0.5).otherwise(0.0)).as("auc"))
-        .head.getDouble(0)
+      val auc = mannWhitneyAuc(scored)
       val nTest = scored.select(Cols.Uid).distinct().count()
       val bestCorrect = scored.filter(col(Cols.BestMatch) && col("correct")).count()
       val outOfRange = scored.filter(col(Cols.NmScore) < 0.0 || col(Cols.NmScore) > 1.0).count()
@@ -185,6 +200,35 @@ object MlQueries {
            outOfRange == 0L, bestRows == nTest))
         .toDF("n_test_names", "auc_ge_095", "best_match_acc_ge_090",
           "scores_in_unit_interval", "one_best_per_name")
+    },
+
+    // the CROSS-VALIDATION protocol itself made oracle-visible (the
+    // reference trains fold-wise via StratifiedGroupKFold,
+    // base_supervised_model.py:201-266): q151's md5-mod fold assignment
+    // over the q101 fixture, then for EACH fold the GBT is trained
+    // in-query on the other k-1 folds and scored on the held-out fold —
+    // one verdict row per fold. The oracle replays the exact per-fold
+    // test-name membership (same md5 arithmetic, the q151 property) and
+    // expects every fold's AUC/accuracy band to hold; bands are the q101
+    // ROBUST-band rationale (separable-by-construction fixture, GBT
+    // probabilities are not a cross-engine surface, separability is)
+    "q157_cv_supervised" -> { (s, dir) =>
+      val folded = TrainData.kFold(supervisedPairs(s, dir), Cols.Uid, k = 3,
+        salt = "cv").localCheckpoint()
+      val sp = s
+      import sp.implicits._
+      (0 until 3).map { f =>
+        val model = newLayer().fit(folded.filter(col("fold") =!= f))
+        val scored = model.transform(folded.filter(col("fold") === f))
+          .select(col(Cols.Uid), col("correct"), col(Cols.NmScore),
+            col(Cols.BestRank), col(Cols.BestMatch))
+          .localCheckpoint()
+        val auc = mannWhitneyAuc(scored)
+        val nTest = scored.select(Cols.Uid).distinct().count()
+        val bestCorrect =
+          scored.filter(col(Cols.BestMatch) && col("correct")).count()
+        (f, nTest, auc >= 0.95, bestCorrect.toDouble >= 0.9 * nTest)
+      }.toDF("fold", "n_test_names", "auc_ge_095", "best_match_acc_ge_090")
     },
 
     // full training-pair assembly (EntityMatchingModel.createTrainingPairs):
@@ -317,6 +361,14 @@ object MlQueries {
                 true AS scores_in_unit_interval,
                 true AS one_best_per_name
          FROM part WHERE p_partkey <= 150 AND p_partkey % 2 = 1""",
+    "q157_cv_supervised" ->
+      """SELECT CAST(CAST(concat('0x', substr(md5('cv|' ||
+                  CAST(p_partkey AS VARCHAR)), 1, 12)) AS UBIGINT) % 3 AS INT)
+                AS fold,
+              CAST(count(*) AS BIGINT) AS n_test_names,
+              true AS auc_ge_095,
+              true AS best_match_acc_ge_090
+         FROM part WHERE p_partkey <= 150 GROUP BY 1""",
     "q54_training_pairs" ->
       """WITH nm AS (SELECT p_partkey AS uid, p_brand AS entity_id
                      FROM part WHERE p_partkey < 300)
