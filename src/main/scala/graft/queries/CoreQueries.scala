@@ -358,11 +358,7 @@ object CoreQueries {
     // DuckDB replays all five iterations as unrolled CTEs — the graph
     // operator made hash-oracle-visible, which the float form cannot be
     "q125_pagerank" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val a = li.toDF("o", "src")
-      val b = li.toDF("o", "dst")
-      val edges = a.join(b, "o").filter(col("src") =!= col("dst"))
-        .select("src", "dst")
+      val edges = graft.operators.Graphs.coPurchaseEdges(t(s, dir, "lineitem"))
       graft.operators.PageRank.fixedPointRanks(edges, "src", "dst",
           iterations = 5)
         .select(col("node").as("part_key"), col("rank_fp"))
@@ -534,11 +530,7 @@ object CoreQueries {
     // exact triangle count over the part co-purchase graph (the q125 edge
     // set) — degree-oriented wedge join, each triangle counted once
     "q138_triangle_count" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val a = li.toDF("o", "src")
-      val b = li.toDF("o", "dst")
-      val edges = a.join(b, "o").filter(col("src") =!= col("dst"))
-        .select("src", "dst")
+      val edges = graft.operators.Graphs.coPurchaseEdges(t(s, dir, "lineitem"))
       graft.operators.Triangles.count(edges, "src", "dst")
     },
 
@@ -618,11 +610,7 @@ object CoreQueries {
     // spread it — integer votes + (count desc, label asc) tie order make
     // every round bit-replayable, so the oracle unrolls all three
     "q148_label_propagation" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val a = li.toDF("o", "src")
-      val b = li.toDF("o", "dst")
-      val edges = a.join(b, "o").filter(col("src") =!= col("dst"))
-        .select("src", "dst")
+      val edges = graft.operators.Graphs.coPurchaseEdges(t(s, dir, "lineitem"))
       val seeds = t(s, dir, "part")
         .filter(col("p_partkey") % 5 === 0)
         .select(col("p_partkey").as("node"), col("p_brand").as("lbl"))
@@ -659,11 +647,7 @@ object CoreQueries {
     // at the fixpoint, which is what makes a fixed-depth SQL replay of a
     // data-dependent iteration count sound (see KCore's scaladoc)
     "q150_kcore" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val a = li.toDF("o", "src")
-      val b = li.toDF("o", "dst")
-      val edges = a.join(b, "o").filter(col("src") =!= col("dst"))
-        .select("src", "dst")
+      val edges = graft.operators.Graphs.coPurchaseEdges(t(s, dir, "lineitem"))
       graft.operators.KCore.decompose(edges, "src", "dst", k = 80,
         maxRounds = 12)
     },
