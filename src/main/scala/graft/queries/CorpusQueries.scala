@@ -181,6 +181,55 @@ object CorpusQueries {
             .cast("long").as("content_sum"))
     },
 
+    // cross-snapshot duplicate overlap matrix (corpus governance: how much
+    // does each pair of ingestion sources/snapshots share verbatim?). The
+    // fixture unions the corpus with a simulated recrawl (every 4th doc)
+    // and mirror (every 10th) — the q117 delta recipe. One distinct
+    // (content-hash, source) posting set, one hash-keyed self-join whose
+    // per-hash fan-out is bounded by |sources|^2 (never corpus-quadratic),
+    // one pair agg: the report any dedup/licensing audit starts from
+    "q162_source_overlap" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val snaps = docs
+        .unionByName(docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("source", lit("recrawl")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("source", lit("mirror")))
+      val posts = snaps
+        .select(md5(coalesce(col("text"), lit("")).cast("binary")).as("h"),
+          col("source"))
+        .distinct()
+      posts.toDF("h", "src_a").join(posts.toDF("h", "src_b"), "h")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+    },
+
+    // provenance-priority dedup (canonicalization policy: among verbatim
+    // copies keep the most-trusted source's doc, not an arbitrary or
+    // minimum id — the rule real corpora apply when wiki/original beats
+    // recrawl/mirror). Same snapshot fixture as q162; ONE hash agg with a
+    // struct-ordered min_by (priority, source, doc_id — a total order), no
+    // window over the data
+    "q163_provenance_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val snaps = docs
+        .unionByName(docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("source", lit("recrawl")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("source", lit("mirror")))
+      snaps
+        .withColumn("h", md5(coalesce(col("text"), lit("")).cast("binary")))
+        .withColumn("prio", when(col("source") === "recrawl", 1)
+          .when(col("source") === "mirror", 2).otherwise(0))
+        .groupBy("h")
+        .agg(min_by(struct(col("doc_id"), col("source")),
+            struct(col("prio"), col("source"), col("doc_id"))).as("keep"),
+          count(lit(1)).cast("long").as("n_copies"))
+        .select(col("keep.doc_id").as("doc_id"),
+          col("keep.source").as("source"), col("n_copies"))
+    },
+
     // deterministic shard writer: hash-rank round-robin assignment of the
     // token-counted docs to 8 shards, written partitionBy(shard); the
     // read-back filters ONE shard directory (planning-time pruning) and the
@@ -343,6 +392,36 @@ object CorpusQueries {
          SELECT d.doc_id, d.lang, d.source
          FROM documents d JOIN th USING (lang)
          WHERE substr(md5('s42|' || CAST(d.doc_id AS VARCHAR)), 1, 4) < thr""",
+    "q162_source_overlap" ->
+      """WITH snaps AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id, text, 'recrawl' FROM documents WHERE doc_id % 4 = 0
+           UNION ALL
+           SELECT doc_id, text, 'mirror' FROM documents WHERE doc_id % 10 = 0),
+         p AS (SELECT DISTINCT md5(coalesce(text, '')) AS h, source
+               FROM snaps)
+         SELECT a.source AS src_a, b.source AS src_b,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM p a JOIN p b ON a.h = b.h AND a.source < b.source
+         GROUP BY 1, 2""",
+    "q163_provenance_dedup" ->
+      """WITH snaps AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id, text, 'recrawl' FROM documents WHERE doc_id % 4 = 0
+           UNION ALL
+           SELECT doc_id, text, 'mirror' FROM documents WHERE doc_id % 10 = 0),
+         r AS (SELECT doc_id, source, md5(coalesce(text, '')) AS h,
+                      CASE WHEN source = 'recrawl' THEN 1
+                           WHEN source = 'mirror' THEN 2 ELSE 0 END AS prio
+               FROM snaps)
+         SELECT doc_id, source, n_copies FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY h
+                                     ORDER BY prio, source, doc_id) AS rn,
+                  CAST(count(*) OVER (PARTITION BY h) AS BIGINT) AS n_copies
+           FROM r) WHERE rn = 1""",
     "q154_shard_manifest" ->
       """WITH a AS (
            SELECT text,

@@ -365,6 +365,28 @@ object DataQueries {
         .withColumn("files_reduced", lit(after < before))
     },
 
+    // mergeable histogram store (the quantile member of the store family:
+    // AggStore exact sums, SketchStore approx distinct, HistStore
+    // exact-to-bin-width percentiles): fixed-bin per-day counts written for
+    // the early days then APPENDED for the rest; a range report folds only
+    // the pruned |days|x|bins| partial rows and picks each percentile's bin
+    // by pure integer order-statistic arithmetic — bit-replayable, unlike
+    // an opaque percentile_approx sketch, with the resolution (bin width)
+    // declared up front
+    "q161_hist_store" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("ts"), col("value"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q161_" +
+        s.sparkContext.applicationId
+      val cut = lit("2024-01-20").cast("date")
+      graft.data.HistStore.writeDaily(ev.filter(to_date(col("ts")) <= cut),
+        "ts", "value", path, lo = 0.0, width = 25.0, nBins = 20)
+      graft.data.HistStore.appendDaily(ev.filter(to_date(col("ts")) > cut),
+        "ts", "value", path, lo = 0.0, width = 25.0, nBins = 20)
+      graft.data.HistStore.reportPercentiles(s, path,
+        from = "2024-01-05", to = "2024-01-25",
+        pctPpm = Seq(500000, 900000, 990000), lo = 0.0, width = 25.0)
+    },
+
     // SketchStore compaction: day rows pre-unioned (HLL union is
     // register-wise max — associative, so the compacted store's merged
     // estimate is BIT-IDENTICAL to the uncompacted one, asserted as
@@ -904,6 +926,29 @@ object DataQueries {
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
                 TRUE AS merged_ok, TRUE AS direct_ok
          FROM events""",
+    "q161_hist_store" ->
+      """WITH ev AS (
+           SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT)
+                  AS bin
+           FROM events
+           WHERE value IS NOT NULL
+             AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05'
+                                      AND DATE '2024-01-25'),
+         b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY bin),
+         c AS (SELECT bin, n,
+                      CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n,
+                      CAST(sum(n) OVER () AS BIGINT) AS total_n
+               FROM b),
+         p AS (SELECT unnest([500000, 900000, 990000]) AS pct_ppm)
+         SELECT p.pct_ppm, c.bin,
+                CAST(c.bin * 25.0 AS DOUBLE) AS bin_lo,
+                CAST((c.bin + 1) * 25.0 AS DOUBLE) AS bin_hi,
+                c.cum_n, c.total_n
+         FROM c, p
+         WHERE c.cum_n >= (CAST(p.pct_ppm AS HUGEINT) * c.total_n + 999999)
+                          // 1000000
+           AND c.cum_n - c.n < (CAST(p.pct_ppm AS HUGEINT) * c.total_n
+                                + 999999) // 1000000""",
     "q158_agg_store_compact" ->
       """SELECT event_type,
                 CAST(count(*) AS BIGINT) AS n_events,

@@ -128,6 +128,37 @@ object TextQueries {
                "(CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)").as("pmi_ppm"))
     },
 
+    // n-gram novelty scoring (curation metric: how much of a document is
+    // first-seen vs already covered by earlier docs — low-novelty shards
+    // are cut or down-weighted in corpus mixing). Attribution is by global
+    // FIRST occurrence: a word-3-gram is novel in the doc with the minimum
+    // doc_id containing it. Plan: one explode to distinct (doc, shingle)
+    // postings, one shingle-keyed min agg (the first-occurrence index),
+    // one join back, one per-doc agg — all partial-agg shuffles on
+    // bounded-vocabulary keys, nothing quadratic; novelty share in exact
+    // ppm integer fixed point. Docs under 3 words have no 3-grams and drop
+    // out (the oracle replays that)
+    "q160_ngram_novelty" -> { (s, dir) =>
+      val w = t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+      val sh = w.select(col("doc_id"),
+          explode(when(size(col("ws")) >= 3,
+            transform(sequence(lit(0), size(col("ws")) - 3),
+              i => concat_ws(" ", element_at(col("ws"), i + 1),
+                element_at(col("ws"), i + 2), element_at(col("ws"), i + 3))))
+            .otherwise(array().cast("array<string>"))).as("sh"))
+        .distinct()
+      val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+      sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .cast("long").as("n_novel"))
+        .withColumn("novelty_ppm", expr(
+          "CAST((CAST(n_novel AS DECIMAL(38,0)) * 1000000) div n_shingles " +
+            "AS BIGINT)"))
+    },
+
     // TF-IDF keyword extraction: top-5 terms per document by smoothed
     // tf-idf (sklearn's ln((1+N)/(1+df))+1). Plan: one (doc, term) partial
     // agg, a term-keyed df agg joined back on term, the 1-row corpus stat
@@ -405,6 +436,22 @@ object TextQueries {
            AS n_bpe_tokens,
          CAST(length(text) AS INT) AS n_chars_calc
          FROM documents""",
+    "q160_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+                    FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               FOR i IN generate_series(1, len(ws) - 2)]) AS sh
+                FROM w WHERE len(ws) >= 3),
+         f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+         SELECT s.doc_id,
+                CAST(count(*) AS BIGINT) AS n_shingles,
+                CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel,
+                CAST((CAST(sum(CASE WHEN f.first_doc = s.doc_id
+                                    THEN 1 ELSE 0 END) AS HUGEINT)
+                      * 1000000) // count(*) AS BIGINT) AS novelty_ppm
+         FROM sh s JOIN f USING (sh) GROUP BY s.doc_id""",
     "q155_pmi_cooccur" ->
       """WITH tk AS (
            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

@@ -34,6 +34,38 @@ class Round9Spec extends SparkSpec {
     assert(post == pre, "report changed across compaction")
   }
 
+  test("HistStore: append folds, percentile bin is the exact order statistic") {
+    import graft.data.HistStore
+    val tmp = System.getProperty("java.io.tmpdir")
+    val path = s"$tmp/graft_r9_histstore"
+    // 100 values 0..99 on one day, split across write + append
+    val rows = (0 until 100).map(i => ("2024-03-01 00:00:00", i.toDouble))
+      .toDF("ts", "value")
+      .select(col("ts").cast("timestamp").as("ts"), col("value"))
+    HistStore.writeDaily(rows.filter(col("value") < 40), "ts", "value", path,
+      lo = 0.0, width = 10.0, nBins = 10)
+    HistStore.appendDaily(rows.filter(col("value") >= 40), "ts", "value", path,
+      lo = 0.0, width = 10.0, nBins = 10)
+    val rep = HistStore.reportPercentiles(spark, path, "2024-03-01",
+        "2024-03-01", pctPpm = Seq(500000, 990000, 1000000), lo = 0.0,
+        width = 10.0)
+      .collect().map(r => r.getInt(0) -> (r.getInt(1), r.getLong(4), r.getLong(5)))
+      .toMap
+    // p50: rank ceil(0.5*100)=50 -> value 49 -> bin 4; p99: rank 99 ->
+    // value 98 -> bin 9; p100: rank 100 -> bin 9
+    assert(rep(500000) == ((4, 50L, 100L)), s"p50 got ${rep(500000)}")
+    assert(rep(990000)._1 == 9 && rep(1000000)._1 == 9)
+    // out-of-range values clamp into edge bins, totals preserved
+    val extreme = Seq(("2024-03-02 00:00:00", -5.0), ("2024-03-02 00:00:00", 1e9))
+      .toDF("ts", "value")
+      .select(col("ts").cast("timestamp").as("ts"), col("value"))
+    HistStore.appendDaily(extreme, "ts", "value", path, 0.0, 10.0, 10)
+    val bins = spark.read.parquet(path)
+      .filter(col("day") === lit("2024-03-02").cast("date"))
+      .collect().map(r => r.getAs[Int]("bin") -> r.getAs[Long]("n")).toMap
+    assert(bins == Map(0 -> 1L, 9 -> 1L), s"clamped bins got $bins")
+  }
+
   test("SketchStore.compactStore: one row per day, one file, estimate bit-stable") {
     val tmp = System.getProperty("java.io.tmpdir")
     val path = s"$tmp/graft_r9_sketchstore_compact"
