@@ -1110,4 +1110,46 @@ object Knn {
       .filter(if (excludeSelf) col("query_id") =!= col("target_id") else lit(true))
     topKFromScoredPairs(scorePairs(joined, dim), k)
   }
+
+  /** SemDeDup-style semantic near-dup pairs: cluster the corpus with the IVF
+    * quantizer, then generate candidate pairs ONLY within a cluster and
+    * verify them with the exact cosine — the pruning that turns the O(n²)
+    * all-pairs join into per-cluster work (Abbas et al., "SemDeDup", 2023:
+    * prune duplicate pair search to k-means cluster membership).
+    *
+    * Every emitted pair satisfies `cosine >= minCosine` with the SAME
+    * round-to-9 score as [[exactCosinePairs]] (shared kernel arithmetic), so
+    * the reported set is a provable subset of the exact threshold join —
+    * clustering only affects recall, never precision, exactly like the LSH
+    * path. Plan shape: driver k-means fit on a bounded seeded sample (the
+    * q53 fit), map-side single-nearest-list assignment, ONE self-join on
+    * `list_id` with `id_a < id_b`, kernel scoring — the corpus is NEVER
+    * broadcast (unlike [[exactCosinePairs]], whose packed-target bound this
+    * path exists to escape). At 100 TB the assigned side is written bucketed
+    * by `list_id` (the [[ivfTopKBucketed]] co-location recipe) so the
+    * self-join needs no exchange, and per-cluster pair volume is governed by
+    * the occupancy report ([[ivfOccupancyReport]]) + refit
+    * ([[ivfRefitIndex]]) maintenance loop — a runaway hot cluster is a
+    * visible, repairable condition, not a silent quadratic.
+    */
+  def clusteredCosinePairs(df: DataFrame, nLists: Int, minCosine: Double,
+                           seed: Long = 42L, maxIter: Int = 10,
+                           maxFitRows: Int = 100000,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val (centroids, dim) = ivfFit(df, nLists, seed, maxIter, maxFitRows, idCol, vecCol)
+    // both self-join sides consume the assignment: freeze it once (the
+    // q155/Triangles shared-lineage discipline) instead of running the
+    // centroid kernel twice; at 100 TB this is the bucketed-by-list_id write
+    val assigned = assignToLists(df, centroids, dim, idCol, vecCol)
+      .localCheckpoint()
+    val a = assigned.select(col("list_id"), col("target_id").as("query_id"),
+      col("tv").as("qv"))
+    val b = assigned.select(col("list_id"), col("target_id"), col("tv"))
+    val joined = a.join(b, "list_id").filter(col("query_id") < col("target_id"))
+    scorePairs(joined, dim)
+      .filter(col("cosine") >= minCosine)
+      .select(col("query_id").as("id_a"), col("target_id").as("id_b"),
+        col("cosine"))
+  }
 }

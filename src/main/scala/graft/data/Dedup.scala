@@ -98,6 +98,68 @@ object Dedup {
     out
   }
 
+  /** Incremental n-gram novelty against a persisted shingle ledger — the
+    * q160 curation metric made DELTA-incremental with the
+    * [[exactIncremental]] ledger discipline: score each new-crawl document
+    * by the fraction of its distinct word-k-gram shingles never seen in ANY
+    * prior ingest, WITHOUT re-scanning the historical corpus, then append
+    * the genuinely-new shingles for the next delta. Within the delta,
+    * attribution is by min doc id (a shingle shared by two delta docs is
+    * novel exactly once — the same global-first-occurrence semantics as the
+    * batch metric). Shingle definition matches the batch query: documents
+    * with fewer than k words have no k-grams and drop out.
+    *
+    * The ledger stores one row per distinct shingle string (at 100 TB swap
+    * in the 64-bit shingle hash — the join stays equi-keyed either way, and
+    * at that scale the ledger is written bucketed by shingle hash so the
+    * anti-join co-locates without reshuffling history). Appends are
+    * idempotent under retry: dedupe on read, and re-scoring an
+    * already-appended delta reports zero novelty instead of double-counting.
+    *
+    * Plan: map-only shingle explode -> distinct postings (one partial-agg
+    * shuffle) -> left-anti against the ledger scan -> min-doc attribution
+    * agg -> per-doc agg joined back. Cost scales with the DELTA plus the
+    * ledger probe, never with accumulated history.
+    */
+  def shingleLedgerNovelty(delta: DataFrame, ledgerPath: String, k: Int = 3,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val spark = delta.sparkSession
+    val ws = split(trim(col(textCol)), " ")
+    val sh = delta.select(col(idCol).cast("long").as("__id"),
+        explode(when(size(ws) >= k,
+          transform(sequence(lit(0), size(ws) - k),
+            i => concat_ws(" ",
+              (0 until k).map(j => element_at(ws, i + j + 1)): _*)))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+      .distinct()
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val seen =
+      if (fs.exists(new org.apache.hadoop.fs.Path(ledgerPath)))
+        spark.read.parquet(ledgerPath).select(col("sh")).dropDuplicates("sh")
+      else {
+        import spark.implicits._
+        Seq.empty[String].toDF("sh")
+      }
+    val fresh = sh.join(seen, Seq("sh"), "left_anti").localCheckpoint()
+    val keeper = fresh.groupBy("sh").agg(min("__id").as("__first"))
+    val perDoc = sh.groupBy("__id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"))
+    val newPerDoc = fresh.join(keeper, "sh")
+      .groupBy("__id")
+      .agg(sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
+        .cast("long").as("n_new"))
+    val out = perDoc.join(newPerDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_shingles"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("novelty_ppm", expr(
+        "CAST((CAST(n_new AS DECIMAL(38,0)) * 1000000) div n_shingles AS BIGINT)"))
+      .localCheckpoint() // frozen BEFORE the ledger append mutates state
+    fresh.select("sh").distinct().write.mode("append").parquet(ledgerPath)
+    out
+  }
+
   /** Distinct word k-shingles of a text column as an array column. */
   def wordShingles(text: Column, k: Int): Column = {
     val ws = split(trim(text), "\\s+")

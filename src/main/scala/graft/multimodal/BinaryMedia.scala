@@ -382,6 +382,59 @@ object BinaryMedia {
     media.sparkSession.createDataFrame(rdd, audioStatsSchema)
   }
 
+  /** 63-bit energy-envelope fingerprint of decoded PCM audio — the audio
+    * sibling of [[dHash64]]: samples bucket into 64 near-equal windows
+    * (window of sample i = i*64/n, integer arithmetic), each window's mean
+    * absolute amplitude is an integer (sum/count, floor division), and bit
+    * w (0 <= w < 63) is set when energy(w) > energy(w+1). Like dHash, the
+    * envelope SHAPE is captured, not absolute loudness — so a re-encoded or
+    * slightly-edited clip lands within a few bits of the original. Pure
+    * integer arithmetic end to end: bit-stable and oracle-replayable from
+    * the raw bytes. Only bits 0..62 are used, so the value is always
+    * non-negative — a SQL engine can rebuild it by summing powers of two
+    * without signed-overflow tricks. Empty windows (n < 64) read as 0.
+    */
+  def audioEnergySig64(wav: WavAudio): Long = {
+    val n = wav.samples.length
+    val sums   = new Array[Long](64)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val w = ((i.toLong * 64L) / n).toInt
+      sums(w) += math.abs(wav.samples(i).toInt)
+      counts(w) += 1
+      i += 1
+    }
+    var sig = 0L
+    var w = 0
+    while (w < 63) {
+      val eL = if (counts(w) == 0) 0L else sums(w) / counts(w)
+      val eR = if (counts(w + 1) == 0) 0L else sums(w + 1) / counts(w + 1)
+      if (eL > eR) sig |= 1L << w
+      w += 1
+    }
+    sig
+  }
+
+  /** Decode every WAV and fingerprint it: (id, sig) with the
+    * [[audioEnergySig64]] signature — map-only, feeds
+    * [[graft.data.Dedup.sigPairs]] for hamming pairing exactly like
+    * [[imageDHashes]] does for images. A null payload yields a null sig.
+    */
+  def audioSigs(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = true)))
+    val rdd = media.select("media_id", "media").rdd.mapPartitions { it =>
+      it.map { r =>
+        val sig = if (r.isNullAt(1)) null
+                  else java.lang.Long.valueOf(audioEnergySig64(decodeWav(r.getAs[Array[Byte]](1))))
+        Row(r.getLong(0), sig)
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Real resize: decode -> nearest-neighbour resample -> re-encode, with
     * the metadata struct updated to the new dimensions.
     */

@@ -713,6 +713,117 @@ object CoreQueries {
                    1L).otherwise(0L)).cast("long").as("n_anom"))
     },
 
+    // Per-stratum winsorization report — the value-CLIPPING complement of
+    // q109's row-dropping band filter and q129's outlier flags: clip each
+    // stratum's values into [floor(p01), ceil(p99)] and report how much
+    // mass moved. Integer bounds (floor/ceil of the exact interpolated
+    // percentiles) keep the winsorized sum in exact integer arithmetic —
+    // no double accumulation, no rounding fudge. Plan: one grouped exact-
+    // percentile agg broadcast back (q109's budget), clipping map-side,
+    // one final hash agg; percentile_approx swaps in at 100 TB
+    "q170_winsorize" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("lang", "n_chars")
+      val bounds = docs.groupBy("lang")
+        .agg(floor(percentile(col("n_chars"), lit(0.01))).cast("long").as("lo"),
+             ceil(percentile(col("n_chars"), lit(0.99))).cast("long").as("hi"))
+      docs.join(broadcast(bounds), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n"),
+          max("lo").as("lo"), max("hi").as("hi"),
+          sum(when(col("n_chars") < col("lo"), 1L).otherwise(0L))
+            .cast("long").as("n_clip_lo"),
+          sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L))
+            .cast("long").as("n_clip_hi"),
+          sum(col("n_chars")).cast("long").as("sum_orig"),
+          sum(greatest(col("lo"), least(col("hi"), col("n_chars"))))
+            .cast("long").as("sum_winsorized"))
+    },
+
+    // Temporal train/feature split with a LEAKAGE AUDIT — the ML-ops gate
+    // for time-split training data: label rows (events after the cutoff)
+    // take their per-user feature (latest pre-cutoff value) via the
+    // backward as-of join against ONLY the pre-cutoff slice, and the query
+    // emits machine-checked verdicts that no feature observation leaks from
+    // the future (feature_ts < cutoff AND feature_ts <= label_ts, vacuously
+    // true for never-seen users). Composes q83's as-of operator — inherits
+    // its 1-shuffle/1-sort plan — and the oracle replays it with DuckDB's
+    // native ASOF JOIN plus the same literal verdicts
+    "q172_temporal_split_audit" -> { (s, dir) =>
+      val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      // collapse the feature side to one row per (user, ts) — equal-ts right
+      // rows would otherwise make the as-of pick nondeterministic (the q86
+      // oracle's pre-aggregation discipline)
+      val pre = ev.filter(col("ts") < cutoff)
+        .groupBy("user_id", "ts").agg(max("value").as("value"))
+      val post = ev.filter(col("ts") >= cutoff)
+      val feat = graft.operators.AsofJoin.backward(post, pre,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("value", "ts"), suffix = "_feat")
+      feat.select(col("event_id"), col("user_id"),
+          col("value_feat"), unix_micros(col("ts_feat")).as("feat_ts_us"),
+          (col("ts_feat").isNull || col("ts_feat") < cutoff).as("no_future_feature"),
+          (col("ts_feat").isNull || col("ts_feat") <= col("ts")).as("feature_precedes_label"))
+    },
+
+    // Fan-out-capped join — q166's enforcement twin: attach at most 3
+    // lineitems per order, selected by the deterministic (shipdate,
+    // linenumber) order, so the join's output is bounded by |left| * cap no
+    // matter how hot a key gets; the kept row's rank rides along. The
+    // truncation audit (CappedJoin.overflowReport) is exercised in the unit
+    // suite; here the full row-level oracle replays the rank window + join
+    "q171_capped_join" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      // (l_orderkey, l_linenumber) is NOT unique in this synthetic table:
+      // the order lists every output column, so any remaining tie is between
+      // rows identical in every emitted value — deterministic output either way
+      graft.operators.CappedJoin.cappedJoin(orders, li,
+          keys = Seq("l_orderkey"),
+          orderBy = Seq(col("l_shipdate").asc, col("l_linenumber").asc,
+            col("l_quantity").asc),
+          maxPerKey = 3)
+        .select(col("l_orderkey"), col("o_custkey"), col("join_rank"),
+          col("l_linenumber"), col("l_quantity"))
+    },
+
+    // Join pre-flight cardinality + skew diagnostics — the governance report
+    // a 100 TB pipeline runs BEFORE an unfamiliar self-join: per-key counts
+    // in one hash agg, estimated output rows = Σ c(k)² (exact for the
+    // lineitem co-purchase self-join every graph query here builds on), the
+    // top-10 hot keys by fan-out, and a skew ratio — so a quadratic key is a
+    // report row, not a dead executor. All products in DECIMAL(38,0) (q152's
+    // overflow-impossible discipline), top-10 via orderBy+limit (TakeOrdered:
+    // k rows per partition reach the driver merge, never a 1-partition
+    // window), totals attached as a broadcast 1-row join
+    "q166_join_preflight" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val perKey = t(s, dir, "lineitem").groupBy("l_partkey")
+        .agg(count(lit(1)).cast("long").as("key_rows"))
+        .withColumn("est_pairs",
+          expr(s"CAST(key_rows AS $d38) * CAST(key_rows AS $d38)").cast(d38))
+      val summary = perKey.agg(
+        count(lit(1)).cast("long").as("n_keys"),
+        sum("key_rows").cast("long").as("n_rows"),
+        sum("est_pairs").cast(d38).as("est_join_rows"),
+        max("key_rows").cast("long").as("max_key_rows"))
+      val top = perKey.orderBy(col("est_pairs").desc, col("l_partkey")).limit(10)
+      val w = Window.orderBy(col("est_pairs").desc, col("l_partkey"))
+      top.withColumn("rank", row_number().over(w).cast("int"))
+        .crossJoin(broadcast(summary))
+        .select(col("rank"), col("l_partkey"), col("key_rows"),
+          col("est_pairs").cast("long").as("est_pairs"),
+          col("n_keys"), col("n_rows"),
+          col("est_join_rows").cast("long").as("est_join_rows"),
+          expr(s"CAST((CAST(max_key_rows AS $d38) * 1000 * n_keys) div n_rows AS BIGINT)")
+            .as("skew_x1000"),
+          (col("est_join_rows") >
+            lit(10L).cast(d38) * col("n_rows").cast(d38)).as("quadratic_flag"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -884,6 +995,75 @@ object CoreQueries {
          FROM ev e LEFT JOIN b ON b.event_type = e.event_type AND b.hr = e.hr
          WHERE NOT e.is_base
          GROUP BY 1, 2""",
+    "q171_capped_join" ->
+      """SELECT l.l_orderkey, o.o_custkey,
+                CAST(l.rk AS INT) AS join_rank,
+                l.l_linenumber, l.l_quantity
+         FROM (
+           SELECT l_orderkey, l_linenumber, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_shipdate, l_linenumber, l_quantity) AS rk
+           FROM lineitem QUALIFY rk <= 3) l
+         JOIN orders o ON o.o_orderkey = l.l_orderkey""",
+    "q170_winsorize" ->
+      """WITH b AS (
+           SELECT lang,
+                  CAST(floor(quantile_cont(n_chars, 0.01)) AS BIGINT) AS lo,
+                  CAST(ceil(quantile_cont(n_chars, 0.99)) AS BIGINT) AS hi
+           FROM documents GROUP BY lang)
+         SELECT d.lang,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(max(b.lo) AS BIGINT) AS lo,
+                CAST(max(b.hi) AS BIGINT) AS hi,
+                CAST(sum(CASE WHEN d.n_chars < b.lo THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_clip_lo,
+                CAST(sum(CASE WHEN d.n_chars > b.hi THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_clip_hi,
+                CAST(sum(d.n_chars) AS BIGINT) AS sum_orig,
+                CAST(sum(greatest(b.lo, least(b.hi, d.n_chars)))
+                     AS BIGINT) AS sum_winsorized
+         FROM documents d JOIN b USING (lang)
+         GROUP BY d.lang""",
+    "q172_temporal_split_audit" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, ts, value FROM events),
+         pre AS (
+           SELECT user_id, ts, max(value) AS value
+           FROM ev WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+           GROUP BY 1, 2),
+         post AS (
+           SELECT * FROM ev WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')
+         SELECT p.event_id, p.user_id,
+                r.value AS value_feat,
+                epoch_us(r.ts) AS feat_ts_us,
+                (r.ts IS NULL OR r.ts < TIMESTAMP '2024-01-20 00:00:00')
+                  AS no_future_feature,
+                (r.ts IS NULL OR r.ts <= p.ts) AS feature_precedes_label
+         FROM post p ASOF LEFT JOIN pre r
+           ON p.user_id = r.user_id AND p.ts >= r.ts""",
+    "q166_join_preflight" ->
+      """WITH perkey AS (
+           SELECT l_partkey, CAST(count(*) AS BIGINT) AS key_rows,
+                  CAST(count(*) AS HUGEINT) * count(*) AS est_pairs
+           FROM lineitem GROUP BY 1),
+         summary AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                  CAST(sum(key_rows) AS BIGINT) AS n_rows,
+                  CAST(sum(est_pairs) AS HUGEINT) AS est_join_rows,
+                  CAST(max(key_rows) AS BIGINT) AS max_key_rows
+           FROM perkey),
+         top AS (
+           SELECT *, CAST(row_number() OVER (
+                    ORDER BY est_pairs DESC, l_partkey) AS INT) AS rank
+           FROM perkey QUALIFY rank <= 10)
+         SELECT rank, l_partkey, key_rows,
+                CAST(est_pairs AS BIGINT) AS est_pairs,
+                n_keys, n_rows,
+                CAST(est_join_rows AS BIGINT) AS est_join_rows,
+                CAST((CAST(max_key_rows AS HUGEINT) * 1000 * n_keys) // n_rows
+                     AS BIGINT) AS skew_x1000,
+                est_join_rows > 10 * CAST(n_rows AS HUGEINT) AS quadratic_flag
+         FROM top CROSS JOIN summary""",
     "q150_kcore" -> kcoreSql,
     "q125_pagerank" -> pagerankSql,
     "q148_label_propagation" -> labelPropSql,

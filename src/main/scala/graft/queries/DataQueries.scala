@@ -189,6 +189,33 @@ object DataQueries {
       Dedup.embeddingDupClusters(t(s, dir, "embeddings"), minCosine = 0.35)
     },
 
+    // SemDeDup-style semantic near-dup: IVF k-means clusters prune the pair
+    // search to within-cluster candidates only — the beyond-broadcast dedup
+    // regime (the corpus is never packed or broadcast, unlike q52/q82) —
+    // and every candidate is exact-cosine verified with the shared kernel,
+    // so the result is a provable SUBSET of the exact threshold join
+    // (clustering costs recall, never precision). Correctness form = q44's
+    // invariant recipe: the exact pair count is DuckDB-replayable and the
+    // subset/score-equality verdicts must come back zero; the production
+    // configuration (no exact-side harness) runs via benchOverrides
+    "q164_semantic_neardup" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val emb = t(s, dir, "embeddings")
+      val clustered = Knn.clusteredCosinePairs(emb, nLists = 16,
+        minCosine = 0.35, seed = 7L, maxIter = 5).localCheckpoint()
+      val exact = Knn.exactCosinePairs(emb, minCosine = 0.35).localCheckpoint()
+      val nExact = exact.count()
+      val subsetViolations = clustered
+        .join(exact, Seq("id_a", "id_b"), "left_anti").count()
+      val scoreMismatches = clustered.select(col("id_a"), col("id_b"),
+          col("cosine").as("c_cos"))
+        .join(exact, Seq("id_a", "id_b"))
+        .filter(col("c_cos") =!= col("cosine")).count()
+      Seq((nExact, subsetViolations, scoreMismatches))
+        .toDF("n_exact_pairs", "subset_violations", "score_mismatches")
+    },
+
     // IVF ANN with exhaustive probing: bit-identical to brute force (the
     // quantizer only affects recall, never scores), so the full q43-style
     // oracle checks the assign/probe/bucket-join plumbing end to end; partial
@@ -570,6 +597,27 @@ object DataQueries {
       Dedup.sigPairs(BinaryMedia.imageDHashes(media), maxHamming = 3)
     },
 
+    // audio near-dup via the PCM energy-envelope fingerprint — q107's
+    // perceptual-hash recipe on the audio modality: decode WAV -> 63-bit
+    // integer envelope signature -> hamming pairs through the shared
+    // sigPairs chunk machinery (exact for hamming <= 3 by pigeonhole). The
+    // fixture plants exact copies (hamming 0) and first-character edits
+    // (envelope shifts in at most the first window) among the originals;
+    // the oracle replays codec, windowing, integer energy means, signature
+    // bits and the pairing from the raw text bytes
+    "q167_audio_neardup" -> { (s, dir) =>
+      import graft.multimodal.BinaryMedia
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val noisy = docs.filter(col("doc_id") < 60)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("x"), expr("substring(text, 2)")).as("text"))
+      val copies = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val fixture = docs.unionByName(noisy).unionByName(copies)
+      val media = BinaryMedia.audioFromText(fixture, "doc_id", "text")
+      Dedup.sigPairs(BinaryMedia.audioSigs(media), maxHamming = 3)
+    },
+
     // transitive duplicate clusters: exact jaccard pairs -> connected
     // components -> min-id cluster labels. Full oracle: DuckDB replays the
     // pairs and closes them with a recursive CTE
@@ -641,6 +689,10 @@ object DataQueries {
     "q44_ann_lsh_pairs" -> { (s, dir) =>
       Knn.lshCosinePairs(t(s, dir, "embeddings"), nBands = 8, bitsPerBand = 6,
         minCosine = 0.35)
+    },
+    "q164_semantic_neardup" -> { (s, dir) =>
+      Knn.clusteredCosinePairs(t(s, dir, "embeddings"), nLists = 16,
+        minCosine = 0.35, seed = 7L, maxIter = 5)
     },
     "q53b_ann_ivf_probe4" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -1166,6 +1218,12 @@ object DataQueries {
                 CAST(0 AS BIGINT) AS subset_violations
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) >= 0.35""",
+    "q164_semantic_neardup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+                CAST(0 AS BIGINT) AS subset_violations,
+                CAST(0 AS BIGINT) AS score_mismatches
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) >= 0.35""",
     "q52_embedding_neardup" ->
       """WITH pairs AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1224,6 +1282,52 @@ object DataQueries {
                 CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.s, b.s)) <= 3""",
+    // audio energy-envelope replay: byte -> 16-bit amplitude abs((bv-128)*256),
+    // window of sample i = (i*64)//n, per-window integer mean energy
+    // (sum // count), bit w set when e(w) > e(w+1) for w < 63 — bits 0..62
+    // only, so the signature rebuilds from positive powers of two with no
+    // two's-complement reconstruction — then brute-force hamming pairing
+    // (== the chunk-LSH result for maxHamming 3, by pigeonhole)
+    "q167_audio_neardup" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, 'x' || substr(text, 2)
+           FROM documents WHERE doc_id < 60
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 40),
+         b AS (SELECT doc_id, upper(hex(encode(text))) AS h,
+                      octet_length(encode(text)) AS n
+               FROM docs),
+         byts AS (
+           SELECT doc_id, n, i,
+                  16 * (strpos('0123456789ABCDEF', substr(h, 2*i + 1, 1)) - 1)
+                     + (strpos('0123456789ABCDEF', substr(h, 2*i + 2, 1)) - 1) AS bv
+           FROM (SELECT doc_id, n, h, unnest(range(n)) AS i FROM b)),
+         wins AS (
+           SELECT doc_id, CAST((i * 64) // n AS INT) AS w,
+                  abs((bv - 128) * 256) AS amp
+           FROM byts),
+         e AS (SELECT doc_id, w, sum(amp) // count(*) AS e
+               FROM wins GROUP BY 1, 2),
+         grid AS (SELECT d.doc_id, g.w
+                  FROM b d, generate_series(0, 63) g(w)),
+         ef AS (SELECT gr.doc_id, gr.w, coalesce(e.e, 0) AS e
+                FROM grid gr LEFT JOIN e
+                  ON e.doc_id = gr.doc_id AND e.w = gr.w),
+         seq AS (
+           SELECT doc_id, w, e,
+                  lead(e) OVER (PARTITION BY doc_id ORDER BY w) AS e_next
+           FROM ef),
+         sigs AS (
+           SELECT doc_id,
+                  CAST(coalesce(sum(CASE WHEN w < 63 AND e > e_next
+                       THEN (1::BIGINT << w) END), 0) AS BIGINT) AS sig
+           FROM seq GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                CAST(bit_count(xor(a.sig, b2.sig)) AS INT) AS hamming
+         FROM sigs a JOIN sigs b2 ON a.doc_id < b2.doc_id
+         WHERE bit_count(xor(a.sig, b2.sig)) <= 3""",
     "q104_ivf_occupancy" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
                 true AS lists_within_bound,

@@ -54,6 +54,45 @@ object MatchQueries {
                 col("score").as("sni_score"), col("rank").as("sni_rank"))
     },
 
+    // Blocking-quality report — the record-linkage evaluation pair every
+    // blocking survey grades on (reduction ratio + pairs completeness,
+    // Christen 2012): how many candidate pairs does a first-2-chars
+    // blocking key generate vs the full cross product, and what fraction of
+    // TRUE matches survives the blocking. The names side is a
+    // deterministically-noised copy of GT (first word dropped — the
+    // missing-token noise the reference's noiser applies), so completeness
+    // is a real measurement, not a tautology. One hash agg per side on the
+    // key, a key-count product sum (DECIMAL(38,0), overflow-impossible),
+    // and a uid-equi join for the true-match survival check — every piece
+    // map/agg bounded, nothing materializes the pair space itself
+    "q169_blocking_quality" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      def key(c: org.apache.spark.sql.Column) = lower(substring(trim(c), 1, 2))
+      val gtK = t(s, dir, "part")
+        .select(col("p_partkey").as("gt_uid"), key(col("p_name")).as("bk"))
+      val nmK = t(s, dir, "part").filter(col("p_partkey") < 500)
+        .select(col("p_partkey").as("uid"),
+          key(regexp_replace(col("p_name"), "^[^ ]* ", "")).as("bk"))
+      val cand = nmK.groupBy("bk").agg(count(lit(1)).as("n_nm"))
+        .join(gtK.groupBy("bk").agg(count(lit(1)).as("n_gt_k")), "bk")
+        .agg(coalesce(sum(expr(s"CAST(n_nm AS $d38) * n_gt_k")), lit(0))
+          .cast(d38).as("cand_pairs"))
+      val found = nmK.join(gtK, nmK("uid") === gtK("gt_uid"))
+        .filter(nmK("bk") === gtK("bk"))
+        .agg(count(lit(1)).cast("long").as("found_true"))
+      val sizes = nmK.agg(count(lit(1)).cast("long").as("n_names"))
+        .crossJoin(gtK.agg(count(lit(1)).cast("long").as("n_gt")))
+      sizes.crossJoin(broadcast(cand)).crossJoin(broadcast(found))
+        .select(col("n_names"), col("n_gt"),
+          col("cand_pairs").cast("long").as("cand_pairs"),
+          expr(s"CAST(((CAST(n_names AS $d38) * n_gt - cand_pairs) * 1000000) " +
+               s"div (CAST(n_names AS $d38) * n_gt) AS BIGINT)")
+            .as("reduction_ppm"),
+          col("found_true"),
+          expr(s"CAST((CAST(found_true AS $d38) * 1000000) div n_names AS BIGINT)")
+            .as("completeness_ppm"))
+    },
+
     // full candidate selection: cossim + SNI, merged, GT info, no-match keep
     "q33_candidate_selection" -> { (s, dir) =>
       val cs = new CandidateSelection(Seq(
@@ -129,6 +168,37 @@ object MatchQueries {
     "q30_cossim_word_topk" -> cossimSql(blocked = false),
     "q31_cossim_blocked"   -> cossimSql(blocked = true),
     "q32_sni_window"       -> sniSql,
+    "q169_blocking_quality" ->
+      """WITH gt AS (
+           SELECT p_partkey AS gt_uid,
+                  lower(substr(trim(p_name), 1, 2)) AS bk
+           FROM part),
+         nm AS (
+           SELECT p_partkey AS uid,
+                  lower(substr(trim(regexp_replace(p_name, '^[^ ]* ', '')),
+                               1, 2)) AS bk
+           FROM part WHERE p_partkey < 500),
+         cand AS (
+           SELECT CAST(coalesce(sum(CAST(a.n_nm AS HUGEINT) * b.n_gt_k), 0)
+                       AS HUGEINT) AS cand_pairs
+           FROM (SELECT bk, count(*) AS n_nm FROM nm GROUP BY bk) a
+           JOIN (SELECT bk, count(*) AS n_gt_k FROM gt GROUP BY bk) b
+             USING (bk)),
+         found AS (
+           SELECT CAST(count(*) AS BIGINT) AS found_true
+           FROM nm JOIN gt ON nm.uid = gt.gt_uid AND nm.bk = gt.bk),
+         sizes AS (
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM nm) AS n_names,
+                  (SELECT CAST(count(*) AS BIGINT) FROM gt) AS n_gt)
+         SELECT n_names, n_gt,
+                CAST(cand_pairs AS BIGINT) AS cand_pairs,
+                CAST(((CAST(n_names AS HUGEINT) * n_gt - cand_pairs) * 1000000)
+                     // (CAST(n_names AS HUGEINT) * n_gt) AS BIGINT)
+                  AS reduction_ppm,
+                found_true,
+                CAST((CAST(found_true AS HUGEINT) * 1000000) // n_names
+                     AS BIGINT) AS completeness_ppm
+         FROM sizes CROSS JOIN cand CROSS JOIN found""",
     "q33_candidate_selection" ->
       s"""WITH $tfidfCtes,
           dots AS (SELECT uid, gt_uid, sum(a.idf * b.idf) AS dot

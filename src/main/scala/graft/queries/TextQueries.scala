@@ -159,6 +159,30 @@ object TextQueries {
             "AS BIGINT)"))
     },
 
+    // q160's novelty metric made delta-incremental: the first 400 docs
+    // ingest into a persisted shingle ledger, the remaining delta is scored
+    // against the ledger (+ min-doc attribution within the delta) without
+    // re-scanning the base corpus, and the delta's new shingles append.
+    // The same delta is then scored a SECOND time: every shingle is now in
+    // the ledger, so n_new_after must be zero for every doc — the
+    // idempotent-retry contract (q117's recipe), oracle-replayed as a
+    // literal. The base pass replays relationally (base shingles = the
+    // ledger content)
+    "q168_ledger_novelty" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q168_ledger"
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      graft.data.Dedup.shingleLedgerNovelty(docs.filter(col("doc_id") < 400), path)
+      val first = graft.data.Dedup.shingleLedgerNovelty(
+        docs.filter(col("doc_id") >= 400), path)
+      val second = graft.data.Dedup.shingleLedgerNovelty(
+          docs.filter(col("doc_id") >= 400), path)
+        .select(col("doc_id"), col("n_new").as("n_new_after"))
+      first.join(second, "doc_id")
+        .select(col("doc_id"), col("n_shingles"), col("n_new"),
+          col("novelty_ppm"), col("n_new_after"))
+    },
+
     // TF-IDF keyword extraction: top-5 terms per document by smoothed
     // tf-idf (sklearn's ln((1+N)/(1+df))+1). Plan: one (doc, term) partial
     // agg, a term-keyed df agg joined back on term, the 1-row corpus stat
@@ -267,6 +291,60 @@ object TextQueries {
              sum(col("lp")).cast("double").as("sum_logprob"))
         .withColumn("mean_logprob",
           col("sum_logprob") / col("n_terms").cast("double"))
+    },
+
+    // DSIR-style importance weighting (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling", NeurIPS 2023): rank raw-
+    // corpus documents by how target-like their hashed unigram distribution
+    // is, then keep the most target-like fraction. Feature space = 1024 md5
+    // hash buckets (q151's replayable hash recipe); target = the English
+    // stratum, raw = the whole corpus; per-bucket add-one-smoothed log
+    // importance ratio ln(p_tgt/p_raw) rounded to 9 and summed as
+    // DECIMAL(20,9) per doc (q79's fixed-point discipline — the per-doc
+    // weight is summation-order independent). Selection threshold = the
+    // exact interpolated p80 of the per-doc mean weight, computed in ONE
+    // 1-row agg and broadcast back (q109's recipe — no global sort, no
+    // window over the corpus). Plan: token stream -> two 1024-row bucket
+    // aggs -> broadcast weight table joined map-side -> one doc-level hash
+    // agg -> broadcast threshold. Everything but the doc agg is
+    // vocabulary-bounded; at 100 TB the bucket table is still 1024 rows
+    "q165_dsir_weights" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(trim(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("term").cast("binary")), 1, 12), 16, 10)
+            .cast("long"), lit(1024L)).cast("int"))
+      val rawCnt = toks.groupBy("bucket").agg(count(lit(1)).as("raw_cnt"))
+      val tgtCnt = toks.filter(col("lang") === "en")
+        .groupBy("bucket").agg(count(lit(1)).as("tgt_cnt"))
+      // bucket table: <= 1024 rows; totals fold from it (corpus scanned once
+      // for counts, once for scoring — never a third time for totals)
+      val table = rawCnt.join(tgtCnt, Seq("bucket"), "left_outer")
+        .select(col("bucket"), col("raw_cnt"),
+          coalesce(col("tgt_cnt"), lit(0L)).as("tgt_cnt"))
+        .localCheckpoint()
+      val totals = table.agg(sum("raw_cnt").as("raw_tot"),
+        sum("tgt_cnt").as("tgt_tot"))
+      val weights = table.crossJoin(broadcast(totals))
+        .withColumn("lr", round(log(
+            ((col("tgt_cnt") + lit(1L)).cast("double") /
+              (col("tgt_tot") + lit(1024L)).cast("double")) /
+            ((col("raw_cnt") + lit(1L)).cast("double") /
+              (col("raw_tot") + lit(1024L)).cast("double"))), 9)
+          .cast("decimal(20,9)"))
+        .select("bucket", "lr")
+      val perDoc = toks.join(broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_terms"), sum(col("lr")).as("__w"))
+        .withColumn("logw_mean",
+          col("__w").cast("double") / col("n_terms").cast("double"))
+        .localCheckpoint()
+      val thr = perDoc.agg(percentile(col("logw_mean"), lit(0.8)).as("__thr"))
+      perDoc.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_terms"), col("logw_mean"),
+          (col("logw_mean") >= col("__thr")).as("selected"))
     },
 
     // approximate sketches vs exact ground truth — the 100 TB cardinality/
@@ -452,6 +530,34 @@ object TextQueries {
                                     THEN 1 ELSE 0 END) AS HUGEINT)
                       * 1000000) // count(*) AS BIGINT) AS novelty_ppm
          FROM sh s JOIN f USING (sh) GROUP BY s.doc_id""",
+    // q168: base shingles (doc_id < 400) ARE the ledger after the first
+    // ingest; the delta anti-joins them, min-doc attribution within the
+    // delta, and the second pass is a literal zero (idempotency contract)
+    "q168_ledger_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+                    FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               FOR i IN generate_series(1, len(ws) - 2)]) AS sh
+                FROM w WHERE len(ws) >= 3),
+         base AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 400),
+         d AS (SELECT * FROM sh WHERE doc_id >= 400),
+         fresh AS (SELECT doc_id, sh FROM d
+                   WHERE sh NOT IN (SELECT sh FROM base)),
+         keep AS (SELECT sh, min(doc_id) AS first_doc FROM fresh GROUP BY sh),
+         perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+                    FROM d GROUP BY doc_id),
+         newper AS (
+           SELECT f.doc_id,
+                  CAST(sum(CASE WHEN k.first_doc = f.doc_id THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_new
+           FROM fresh f JOIN keep k USING (sh) GROUP BY f.doc_id)
+         SELECT p.doc_id, p.n_shingles,
+                CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+                CAST((CAST(coalesce(n.n_new, 0) AS HUGEINT) * 1000000)
+                     // p.n_shingles AS BIGINT) AS novelty_ppm,
+                CAST(0 AS BIGINT) AS n_new_after
+         FROM perdoc p LEFT JOIN newper n USING (doc_id)""",
     "q155_pmi_cooccur" ->
       """WITH tk AS (
            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -569,6 +675,44 @@ object TextQueries {
                 CAST(sum(l) AS DOUBLE) AS sum_logprob,
                 CAST(sum(l) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_logprob
          FROM lp GROUP BY doc_id""",
+    // q165: replay of the hashed-bucket importance weights — md5 bucket =
+    // q151's UBIGINT recipe, the smoothed ratio mirrors Spark's expression
+    // tree division-for-division (every op IEEE double), ln rounded to 9 as
+    // DECIMAL(20,9), threshold = quantile_cont (Spark's exact interpolated
+    // percentile)
+    "q165_dsir_weights" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, term FROM (
+             SELECT doc_id, lang,
+                    unnest(string_split(trim(text), ' ')) AS term
+             FROM documents)
+           WHERE term <> ''),
+         tb AS (
+           SELECT doc_id, lang,
+                  CAST(CAST(concat('0x', substr(md5(term), 1, 12)) AS UBIGINT)
+                       % 1024 AS INT) AS bucket
+           FROM toks),
+         raw AS (SELECT bucket, count(*) AS raw_cnt FROM tb GROUP BY 1),
+         tgt AS (SELECT bucket, count(*) AS tgt_cnt FROM tb
+                 WHERE lang = 'en' GROUP BY 1),
+         tbl AS (
+           SELECT r.bucket, r.raw_cnt, coalesce(g.tgt_cnt, 0) AS tgt_cnt
+           FROM raw r LEFT JOIN tgt g USING (bucket)),
+         tot AS (SELECT sum(raw_cnt) AS raw_tot, sum(tgt_cnt) AS tgt_tot FROM tbl),
+         wts AS (
+           SELECT bucket,
+                  CAST(round(ln(
+                    (CAST(tgt_cnt + 1 AS DOUBLE) / CAST(tgt_tot + 1024 AS DOUBLE)) /
+                    (CAST(raw_cnt + 1 AS DOUBLE) / CAST(raw_tot + 1024 AS DOUBLE))), 9)
+                    AS DECIMAL(20,9)) AS lr
+           FROM tbl CROSS JOIN tot),
+         perdoc AS (
+           SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+                  CAST(sum(lr) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS logw_mean
+           FROM tb JOIN wts USING (bucket) GROUP BY doc_id),
+         thr AS (SELECT quantile_cont(logw_mean, 0.8) AS thr FROM perdoc)
+         SELECT doc_id, n_terms, logw_mean, logw_mean >= thr AS selected
+         FROM perdoc CROSS JOIN thr""",
     // quantile_cont = Spark's exact interpolated percentile (type-7); the
     // mean divides an exact integer sum so no float accumulation order leaks
     "q78_length_stats" ->

@@ -88,4 +88,108 @@ class Round9Spec extends SparkSpec {
     assert(SketchStore.mergedEstimate(spark, path) == pre,
       "HLL union is associative — the merged estimate must be bit-stable")
   }
+
+  test("clusteredCosinePairs: subset of exact with identical scores, nonzero recall") {
+    import graft.ann.Knn
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val clustered = Knn.clusteredCosinePairs(emb, nLists = 8, minCosine = 0.3,
+      seed = 7L, maxIter = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Knn.exactCosinePairs(emb, minCosine = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(clustered.nonEmpty, "the clustered path must find pairs on the fixture")
+    clustered.foreach { case (k, s) =>
+      assert(exact.get(k).contains(s),
+        s"pair $k score $s must appear in the exact join with the same score")
+    }
+    // near-identical vectors land in the same cluster: high-threshold recall
+    val hiExact = exact.filter(_._2 >= 0.9).keySet
+    val hiFound = clustered.filter(_._2 >= 0.9).keySet
+    assert(hiExact.isEmpty || hiFound.size * 2 >= hiExact.size,
+      s"cosine>=0.9 recall collapsed: ${hiFound.size}/${hiExact.size}")
+  }
+
+  test("audioEnergySig64: hand-computed envelope bits, edit locality") {
+    import graft.multimodal.BinaryMedia
+    // 128 samples: first half loud(ish) descending, second half quiet —
+    // exactly 2 samples per window; hand-compute the expected bits
+    val samples = Array.tabulate(128)(i =>
+      if (i < 64) (1000 - i * 10).toShort else 5.toShort)
+    val wav = BinaryMedia.WavAudio(8000, 1, 16, samples)
+    val sig = BinaryMedia.audioEnergySig64(wav)
+    val e = Array.tabulate(64) { w =>
+      val a = math.abs(samples(2 * w).toInt); val b = math.abs(samples(2 * w + 1).toInt)
+      (a + b) / 2
+    }
+    var expected = 0L
+    for (w <- 0 until 63) if (e(w) > e(w + 1)) expected |= 1L << w
+    assert(sig == expected, s"sig $sig != hand-computed $expected")
+    assert(sig >= 0L, "bits 0..62 only: signature is always non-negative")
+    // editing the head only moves bits near window 0: hamming stays small
+    val edited = samples.clone(); edited(0) = 2000.toShort
+    val sig2 = BinaryMedia.audioEnergySig64(BinaryMedia.WavAudio(8000, 1, 16, edited))
+    assert(java.lang.Long.bitCount(sig ^ sig2) <= 2,
+      "a first-sample edit must stay within hamming 2")
+    assert(BinaryMedia.audioEnergySig64(BinaryMedia.WavAudio(8000, 1, 16,
+      Array.empty[Short])) == 0L, "empty audio fingerprints to 0")
+  }
+
+  test("shingleLedgerNovelty: delta never rescans history, retry reports zero") {
+    import graft.data.Dedup
+    val tmp = System.getProperty("java.io.tmpdir")
+    val path = s"$tmp/graft_r9_shingle_ledger"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+    val base = Seq((1L, "a b c d e"), (2L, "x y z w")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "a b c d"),       // shingles {a b c, b c d} — both in ledger
+      (11L, "p q r s"),       // {p q r, q r s} — both new, attributed to 11
+      (12L, "p q r")          // {p q r} — new but first seen in doc 11
+    ).toDF("doc_id", "text")
+    Dedup.shingleLedgerNovelty(base, path)
+    val out = Dedup.shingleLedgerNovelty(delta, path)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(10L) == ((2L, 0L)), s"doc 10: ${out(10L)}")
+    assert(out(11L) == ((2L, 2L)), s"doc 11: ${out(11L)}")
+    assert(out(12L) == ((1L, 0L)), s"doc 12 loses the shared shingle to doc 11: ${out(12L)}")
+    // retry: the delta's shingles are all in the ledger now
+    val again = Dedup.shingleLedgerNovelty(delta, path)
+      .agg(sum("n_new")).head().getLong(0)
+    assert(again == 0L, "re-scoring an appended delta must report zero novelty")
+  }
+
+  test("CappedJoin: fan-out bounded, ranks deterministic, overflow audited") {
+    import graft.operators.CappedJoin
+    val left = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "lv")
+    val right = (1 to 7).map(i => (1L, i, s"r$i")).toDF("k", "ord", "rv")
+      .union(Seq((2L, 1, "s1")).toDF("k", "ord", "rv"))
+    val joined = CappedJoin.cappedJoin(left, right, Seq("k"),
+      Seq(col("ord").asc), maxPerKey = 3)
+    assert(joined.count() == 4, "7 rows capped to 3 for k=1, 1 row for k=2, none for k=3")
+    val k1 = joined.filter(col("k") === 1L)
+      .select("join_rank", "rv").collect().map(r => (r.getInt(0), r.getString(1))).sorted
+    assert(k1.toSeq == Seq((1, "r1"), (2, "r2"), (3, "r3")),
+      s"deterministic lowest-ord selection, got ${k1.toSeq}")
+    val report = CappedJoin.overflowReport(right, Seq("k"), maxPerKey = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(report.toSeq == Seq((1L, 7L, 3L, 4L)),
+      s"only k=1 overflows: 7 right rows, 3 kept, 4 dropped; got ${report.toSeq}")
+  }
+
+  test("temporal split audit: leakage verdicts all true on the events table") {
+    val out = graft.SparkEntry.queries("q172_temporal_split_audit")(spark, sf)
+    val bad = out.filter(!col("no_future_feature") || !col("feature_precedes_label"))
+      .count()
+    assert(bad == 0L, s"$bad rows leaked a post-cutoff feature")
+    assert(out.filter(col("value_feat").isNotNull).count() > 0,
+      "some label rows must actually receive a feature on the fixture")
+  }
+
+  test("join preflight: estimated self-join cardinality is exact") {
+    val df = Seq(1, 1, 1, 2, 2, 3).map(k => (k, s"v$k")).toDF("k", "v")
+    val perKey = df.groupBy("k").agg(count(lit(1)).as("n"))
+    val est = perKey.agg(sum(col("n") * col("n"))).head().getLong(0)
+    val actual = df.select("k").join(df.select(col("k").as("k2")),
+      col("k") === col("k2")).count()
+    assert(est == actual, s"sum of squares $est must equal the self-join count $actual")
+  }
 }
