@@ -20,7 +20,9 @@ object KTime {
     spark.sparkContext.setLogLevel("ERROR")
     for (dir <- dirs) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(query)(spark, dir).count()
+      // benchQueries = the production configurations (correctness-only
+      // oracle harnesses swapped out), the forms whose scaling matters
+      val n = SparkEntry.benchQueries(query)(spark, dir).count()
       println(s"KTIME $query $dir rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
     }
     spark.stop()

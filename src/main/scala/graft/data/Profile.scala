@@ -61,4 +61,51 @@ object Profile {
     }
     row.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
+
+  /** Snapshot drift report — [[profile]] of two table drops joined per
+    * column, with integer-exact deltas and a machine-checked drift flag:
+    * the "did today's crawl change shape" gate run before a new snapshot
+    * replaces yesterday's in a 100 TB pipeline. Two one-pass profiles
+    * (each a single scan) + a column-count-sized join; nothing touches the
+    * row data twice.
+    *
+    * Flags fire when the null rate moves more than 1% (10000 ppm), the
+    * cardinality ratio leaves [0.5x, 2x], or any min/max bound changes —
+    * all integer/boolean arithmetic, oracle-replayable.
+    */
+  def driftReport(before: DataFrame, after: DataFrame,
+                  cols: Seq[String], exactDistinct: Boolean = true): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      profile(df, cols, exactDistinct).select(
+        col("col_name"),
+        col("n_rows").as(s"rows_$tag"), col("n_null").as(s"null_$tag"),
+        col("n_distinct").as(s"nd_$tag"),
+        col("min_num").as(s"min_num_$tag"), col("max_num").as(s"max_num_$tag"),
+        col("min_str").as(s"min_str_$tag"), col("max_str").as(s"max_str_$tag"))
+    val j = side(before, "a").join(side(after, "b"), "col_name")
+    // `div` (integer division) everywhere: a decimal-scale cast would ROUND
+    // where the oracle's // floors
+    def ppm(n: String, d: String) =
+      when(col(d) === 0L, lit(0L)).otherwise(
+        expr(s"CAST((CAST($n AS DECIMAL(38,0)) * 1000000) div $d AS BIGINT)"))
+    val nullPpmA = ppm("null_a", "rows_a")
+    val nullPpmB = ppm("null_b", "rows_b")
+    val ratio = when(col("nd_a") === 0L, lit(null).cast("long"))
+      .otherwise(expr("CAST((CAST(nd_b AS DECIMAL(38,0)) * 1000) div nd_a AS BIGINT)"))
+    val boundsChanged =
+      !(col("min_num_a") <=> col("min_num_b")) ||
+      !(col("max_num_a") <=> col("max_num_b")) ||
+      !(col("min_str_a") <=> col("min_str_b")) ||
+      !(col("max_str_a") <=> col("max_str_b"))
+    j.select(col("col_name"), col("rows_a"), col("rows_b"),
+        nullPpmA.as("null_ppm_a"), nullPpmB.as("null_ppm_b"),
+        col("nd_a"), col("nd_b"), ratio.as("distinct_ratio_x1000"),
+        boundsChanged.as("bounds_changed"))
+      .withColumn("drift_flag",
+        abs(col("null_ppm_a") - col("null_ppm_b")) > 10000L ||
+        coalesce(col("distinct_ratio_x1000") < 500L ||
+                 col("distinct_ratio_x1000") > 2000L, lit(true)) ||
+        col("bounds_changed"))
+  }
+
 }

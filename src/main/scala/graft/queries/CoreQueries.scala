@@ -403,6 +403,23 @@ object CoreQueries {
         Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
     },
 
+    // Snapshot profile drift — q126's profiler run on two table drops and
+    // diffed per column with integer-exact deltas and a machine-checked
+    // drift flag: the "did today's crawl change shape" promotion gate. The
+    // 'after' snapshot deliberately drifts (lang nulled for web-sourced
+    // docs) so the null-rate flag actually fires on the fixture. Two
+    // one-pass profiles + a column-count-sized join
+    "q175_profile_drift" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val before = docs.filter(col("doc_id") % 2 === 0)
+      val after = docs.filter(col("doc_id") % 2 =!= 0)
+        .withColumn("lang",
+          when(col("source") === "web", lit(null).cast("string"))
+            .otherwise(col("lang")))
+      graft.data.Profile.driftReport(before, after,
+        Seq("lang", "source", "n_chars"))
+    },
+
     // CDC snapshot apply (MERGE INTO): a derived delta — price upserts for
     // keys %7, deletes for %13 (higher version, so it beats a same-key
     // upsert), brand-new keys for %97 — merges into the orders snapshot in
@@ -767,6 +784,26 @@ object CoreQueries {
           (col("ts_feat").isNull || col("ts_feat") <= col("ts")).as("feature_precedes_label"))
     },
 
+    // Right-to-be-forgotten erasure with an independent audit — the
+    // GDPR/CCPA batch cycle: a deterministic ~2% deletion list (md5-mod,
+    // q151's replayable hash) scrubbed from two stores (the raw event log
+    // and the derived per-user profile), each scrub proven by RE-SCANNING
+    // the scrubbed output for surviving keys — n_remaining_matching is a
+    // machine-checked zero, not an assumption. Broadcast key list: scrub
+    // and audit are both map-side against each store's scan
+    "q174_erasure_audit" -> { (s, dir) =>
+      import graft.data.Erasure
+      val ev = t(s, dir, "events")
+      val del = ev.select("user_id").distinct()
+        .filter(pmod(conv(substring(md5(concat(lit("del|"),
+            col("user_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+          .cast("long"), lit(50L)) === 0L)
+      val profile = ev.groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_events"))
+      Erasure.auditRow("events", ev, "user_id", del)
+        .unionByName(Erasure.auditRow("user_profile", profile, "user_id", del))
+    },
+
     // Fan-out-capped join — q166's enforcement twin: attach at most 3
     // lineitems per order, selected by the deterministic (shipdate,
     // linenumber) order, so the join's output is bounded by |left| * cap no
@@ -995,6 +1032,28 @@ object CoreQueries {
          FROM ev e LEFT JOIN b ON b.event_type = e.event_type AND b.hr = e.hr
          WHERE NOT e.is_base
          GROUP BY 1, 2""",
+    "q174_erasure_audit" ->
+      """WITH del AS (
+           SELECT DISTINCT user_id FROM events
+           WHERE CAST(concat('0x', substr(md5('del|' ||
+                 CAST(user_id AS VARCHAR)), 1, 12)) AS UBIGINT) % 50 = 0),
+         ev AS (SELECT user_id FROM events),
+         prof AS (SELECT user_id FROM events GROUP BY user_id)
+         SELECT 'events' AS store,
+                (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_before,
+                (SELECT CAST(count(*) AS BIGINT) FROM ev
+                 WHERE user_id IN (SELECT user_id FROM del)) AS n_deleted,
+                (SELECT CAST(count(*) AS BIGINT) FROM ev
+                 WHERE user_id NOT IN (SELECT user_id FROM del)) AS n_after,
+                CAST(0 AS BIGINT) AS n_remaining_matching
+         UNION ALL
+         SELECT 'user_profile',
+                (SELECT CAST(count(*) AS BIGINT) FROM prof),
+                (SELECT CAST(count(*) AS BIGINT) FROM prof
+                 WHERE user_id IN (SELECT user_id FROM del)),
+                (SELECT CAST(count(*) AS BIGINT) FROM prof
+                 WHERE user_id NOT IN (SELECT user_id FROM del)),
+                CAST(0 AS BIGINT)""",
     "q171_capped_join" ->
       """SELECT l.l_orderkey, o.o_custkey,
                 CAST(l.rk AS INT) AS join_rank,
@@ -1229,6 +1288,72 @@ object CoreQueries {
                 CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                 min(o_orderstatus), max(o_orderstatus)
          FROM orders""",
+    "q175_profile_drift" ->
+      """WITH bef AS (
+           SELECT lang, source, n_chars FROM documents WHERE doc_id % 2 = 0),
+         aft AS (
+           SELECT CASE WHEN source = 'web' THEN NULL ELSE lang END AS lang,
+                  source, n_chars
+           FROM documents WHERE doc_id % 2 <> 0),
+         pa AS (
+           SELECT 'lang' AS col_name, count(*) AS rows_a,
+                  count(*) - count(lang) AS null_a,
+                  count(DISTINCT lang) AS nd_a,
+                  CAST(NULL AS DOUBLE) AS min_num_a,
+                  CAST(NULL AS DOUBLE) AS max_num_a,
+                  min(lang) AS min_str_a, max(lang) AS max_str_a FROM bef
+           UNION ALL
+           SELECT 'source', count(*), count(*) - count(source),
+                  count(DISTINCT source), NULL, NULL,
+                  min(source), max(source) FROM bef
+           UNION ALL
+           SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                  count(DISTINCT n_chars),
+                  CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+                  NULL, NULL FROM bef),
+         pb AS (
+           SELECT 'lang' AS col_name, count(*) AS rows_b,
+                  count(*) - count(lang) AS null_b,
+                  count(DISTINCT lang) AS nd_b,
+                  CAST(NULL AS DOUBLE) AS min_num_b,
+                  CAST(NULL AS DOUBLE) AS max_num_b,
+                  min(lang) AS min_str_b, max(lang) AS max_str_b FROM aft
+           UNION ALL
+           SELECT 'source', count(*), count(*) - count(source),
+                  count(DISTINCT source), NULL, NULL,
+                  min(source), max(source) FROM aft
+           UNION ALL
+           SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                  count(DISTINCT n_chars),
+                  CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+                  NULL, NULL FROM aft),
+         d AS (
+           SELECT col_name,
+                  CAST(rows_a AS BIGINT) AS rows_a,
+                  CAST(rows_b AS BIGINT) AS rows_b,
+                  CAST(CASE WHEN rows_a = 0 THEN 0
+                       ELSE (CAST(null_a AS HUGEINT) * 1000000) // rows_a
+                       END AS BIGINT) AS null_ppm_a,
+                  CAST(CASE WHEN rows_b = 0 THEN 0
+                       ELSE (CAST(null_b AS HUGEINT) * 1000000) // rows_b
+                       END AS BIGINT) AS null_ppm_b,
+                  CAST(nd_a AS BIGINT) AS nd_a,
+                  CAST(nd_b AS BIGINT) AS nd_b,
+                  CASE WHEN nd_a = 0 THEN NULL
+                       ELSE CAST((CAST(nd_b AS HUGEINT) * 1000) // nd_a AS BIGINT)
+                       END AS distinct_ratio_x1000,
+                  (min_num_a IS DISTINCT FROM min_num_b OR
+                   max_num_a IS DISTINCT FROM max_num_b OR
+                   min_str_a IS DISTINCT FROM min_str_b OR
+                   max_str_a IS DISTINCT FROM max_str_b) AS bounds_changed
+           FROM pa JOIN pb USING (col_name))
+         SELECT *,
+                (abs(null_ppm_a - null_ppm_b) > 10000 OR
+                 CASE WHEN distinct_ratio_x1000 IS NULL THEN true
+                      ELSE distinct_ratio_x1000 < 500 OR
+                           distinct_ratio_x1000 > 2000 END OR
+                 bounds_changed) AS drift_flag
+         FROM d""",
     "q123_bloom_join" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          WHERE EXISTS (SELECT 1 FROM orders

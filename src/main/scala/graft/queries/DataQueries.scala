@@ -618,6 +618,25 @@ object DataQueries {
       Dedup.sigPairs(BinaryMedia.audioSigs(media), maxHamming = 3)
     },
 
+    // cross-source NEAR-dup rate matrix — q162's exact-hash overlap report
+    // upgraded to near-duplicate semantics: the q40 jaccard pair space
+    // joined to each side's source label, one unordered-source-pair hash
+    // agg. The corpus-governance view of "which mirrors/crawls re-serve
+    // each other's content slightly edited" — the pair space is the q40
+    // inverted-index join (skew-capped), NEVER a per-source cross product
+    "q173_source_neardup_matrix" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        k = 5, threshold = 0.5, maxDocsPerShingle = 1000)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("id_a", "src_a"), "id_a")
+        .join(src.toDF("id_b", "src_b"), "id_b")
+        .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+                 greatest(col("src_a"), col("src_b")).as("source_b"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+    },
+
     // transitive duplicate clusters: exact jaccard pairs -> connected
     // components -> min-id cluster labels. Full oracle: DuckDB replays the
     // pairs and closes them with a recursive CTE
@@ -930,6 +949,15 @@ object DataQueries {
     "q40_ngram_jaccard_pairs" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
        " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
+    "q173_source_neardup_matrix" ->
+      (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
+       """ SELECT least(da.source, db.source) AS source_a,
+                  greatest(da.source, db.source) AS source_b,
+                  CAST(count(*) AS BIGINT) AS n_pairs
+           FROM pairs p
+           JOIN documents da ON da.doc_id = p.id_a
+           JOIN documents db ON db.doc_id = p.id_b
+           GROUP BY 1, 2"""),
     // counted (not distinct) 3-shingles; df cap BEFORE the join; integer
     // dot/norm2 with one double division at the end — mirrors SparseSim
     "q135_sparse_cosine_pairs" ->

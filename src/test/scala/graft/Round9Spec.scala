@@ -184,6 +184,32 @@ class Round9Spec extends SparkSpec {
       "some label rows must actually receive a feature on the fixture")
   }
 
+  test("Erasure: scrub removes exactly the listed keys, audit re-proves zero") {
+    import graft.data.Erasure
+    val store = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "v")
+    val del = Seq(1L, 9L).toDF("k") // 9 not present: deletes are idempotent
+    val scrubbed = Erasure.scrub(store, "k", del)
+    assert(scrubbed.count() == 2 &&
+      scrubbed.filter(col("k") === 1L).count() == 0)
+    val audit = Erasure.auditRow("s", store, "k", del).head()
+    assert((audit.getLong(1), audit.getLong(2), audit.getLong(3), audit.getLong(4))
+      == ((4L, 2L, 2L, 0L)), s"audit row: $audit")
+  }
+
+  test("Profile.driftReport: integer deltas, flags fire on injected drift") {
+    import graft.data.Profile
+    val a = Seq((1, "x"), (2, "y"), (3, "z")).toDF("n", "s")
+    // same bounds on n; s loses a value (ratio 666) and gains nulls
+    val b = Seq((1, "x"), (3, null.asInstanceOf[String]), (2, "x"))
+      .toDF("n", "s")
+    val out = Profile.driftReport(a, b, Seq("n", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out("n").getBoolean(9), "numeric column unchanged -> no flag")
+    val s = out("s")
+    assert(s.getLong(4) == 333333L, s"null ppm floor(1e6/3): ${s.getLong(4)}")
+    assert(s.getBoolean(9), "null-rate jump + bound change must flag")
+  }
+
   test("join preflight: estimated self-join cardinality is exact") {
     val df = Seq(1, 1, 1, 2, 2, 3).map(k => (k, s"v$k")).toDF("k", "v")
     val perKey = df.groupBy("k").agg(count(lit(1)).as("n"))
