@@ -580,6 +580,33 @@ object Dedup {
     clustersFromPairs(df, idCol,
       ngramJaccardPairs(df, textCol, idCol, k, threshold, maxDocsPerShingle))
 
+  /** Incremental transitive-closure merge: fold a delta batch's near-dup
+    * pairs into an EXISTING cluster assignment without re-closing history.
+    * The prior assignment's non-trivial (id -> cluster_id) rows are a
+    * spanning structure of the historical dup graph (every member connects
+    * to its component minimum), so closing {prior star edges} ∪ {delta
+    * pairs} reproduces the closure of the FULL pair set exactly — the
+    * invariant q181's oracle replays bit-for-bit against a from-scratch
+    * recompute. Per batch the iteration touches only vertices adjacent to
+    * some edge (prior dup members + delta pair members) — never the
+    * singleton bulk of the corpus, and never a round over historical pairs.
+    * In production the delta pair list comes from probing the delta's
+    * shingles against the persisted shingle ledger (the q168 path); here the
+    * caller supplies it.
+    *
+    * `prior` must carry (idCol, cluster_id); output matches
+    * [[duplicateClusters]]: (idCol, cluster_id, is_dup) for every row of
+    * `df` (history + delta).
+    */
+  def mergeClusters(df: DataFrame, idCol: String, prior: DataFrame,
+                    deltaPairs: DataFrame): DataFrame = {
+    val priorEdges = prior.filter(col("cluster_id") =!= col(idCol))
+      .select(col(idCol).cast("long").as("id_a"),
+              col("cluster_id").cast("long").as("id_b"))
+    clustersFromPairs(df, idCol,
+      priorEdges.unionByName(deltaPairs.select("id_a", "id_b")))
+  }
+
   /** Canonical-document selection by QUALITY: cluster near-dups
     * ([[duplicateClusters]], same knobs) and keep each cluster's
     * highest-`qualityCol` document (ties: smallest id) instead of the
@@ -622,8 +649,13 @@ object Dedup {
   /** Shared tail: close an (id_a, id_b) pair list over [[connectedComponents]]
     * and label EVERY input row (singletons cluster to themselves).
     */
-  private def clustersFromPairs(df: DataFrame, idCol: String,
-                                rawPairs: DataFrame): DataFrame = {
+  /** Transitive closure of an arbitrary (id_a, id_b) pair relation into
+    * per-document cluster labels — the shared tail of [[duplicateClusters]]
+    * and [[mergeClusters]]. Output: (idCol, cluster_id, is_dup) for every
+    * row of `df`; documents in no pair are their own singleton cluster.
+    */
+  def clustersFromPairs(df: DataFrame, idCol: String,
+                        rawPairs: DataFrame): DataFrame = {
     // freeze the pair list: both the vertex derivation and the closure's edge
     // list consume it, and the pair generation must run exactly once
     val pairs = rawPairs.select("id_a", "id_b").localCheckpoint()

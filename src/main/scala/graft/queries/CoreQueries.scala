@@ -861,6 +861,59 @@ object CoreQueries {
             lit(10L).cast(d38) * col("n_rows").cast(d38)).as("quadratic_flag"))
     },
 
+    // Time-decayed engagement score — the recency-weighted activity signal a
+    // ranking/retention pipeline keeps per user. Exact power-of-two decay:
+    // half-life = 1 day, weight = 2^(20 - age_days), ages beyond the 20-day
+    // window contribute nothing (the cutoff is explicit, not an epsilon
+    // tail), so every weight is an integer and the DECIMAL(38,0) sum is
+    // exact and order/partitioning-independent — no double pow(), no float
+    // drift. One project + one hash agg; map-side partials do all the work
+    "q176_decay_score" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"),
+          datediff(lit("2024-01-31").cast("date"), to_date(col("ts")))
+            .cast("int").as("age"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("value_u"))
+        .filter(col("age").between(0, 20))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(col("value_u")).cast("long").as("sum_u"),
+          sum(col("value_u").cast(d38) *
+              expr(s"CAST(shiftleft(CAST(1 AS BIGINT), 20 - age) AS $d38)"))
+            .cast("long").as("decayed_x2p20"))
+    },
+
+    // CUSUM level-shift detection over the per-type daily event series — the
+    // changepoint screen a pipeline runs on ingest volumes before trusting a
+    // week of data. Deviations are scaled by n_days (cnt*n_days - total) so
+    // the running sum needs NO division and stays in exact integer
+    // arithmetic; the changepoint is the argmax of |cusum| with an
+    // earliest-day tiebreak (row_number over a total order). Day counts per
+    // type are calendar-bounded, so every window sorts ~31 rows per type
+    // after one data-sized hash agg — never a data-sized sort
+    "q178_cusum_changepoint" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val tot = Window.partitionBy("event_type")
+      val run = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = daily
+        .withColumn("n_days", count(lit(1)).over(tot).cast("long"))
+        .withColumn("total", sum(col("cnt")).over(tot).cast("long"))
+        .withColumn("cusum",
+          sum(col("cnt") * col("n_days") - col("total")).over(run).cast("long"))
+      val pick = Window.partitionBy("event_type")
+        .orderBy(abs(col("cusum")).desc, col("day").asc)
+      scored.withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n_days"), col("total"),
+          col("day").as("cp_day"), col("cusum").as("cusum_at_cp"),
+          abs(col("cusum")).cast("long").as("max_abs_cusum"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -976,6 +1029,40 @@ object CoreQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q176_decay_score" ->
+      """SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(value_u) AS BIGINT) AS sum_u,
+                CAST(sum(CAST(value_u AS HUGEINT) *
+                         (CAST(1 AS BIGINT) << (20 - age))) AS BIGINT)
+                  AS decayed_x2p20
+         FROM (SELECT user_id,
+                      date_diff('day', CAST(ts AS DATE), DATE '2024-01-31')
+                        AS age,
+                      CAST(floor(value * 1000000) AS BIGINT) AS value_u
+               FROM events WHERE value IS NOT NULL)
+         WHERE age BETWEEN 0 AND 20
+         GROUP BY user_id""",
+    "q178_cusum_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(cnt) AS BIGINT) AS total
+           FROM daily GROUP BY 1),
+         scored AS (
+           SELECT d.event_type, d.day, t.n_days, t.total,
+                  CAST(sum(d.cnt * t.n_days - t.total) OVER (
+                       PARTITION BY d.event_type ORDER BY d.day
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum
+           FROM daily d JOIN tot t USING (event_type))
+         SELECT event_type, n_days, total, day AS cp_day,
+                cusum AS cusum_at_cp, CAST(abs(cusum) AS BIGINT) AS max_abs_cusum
+         FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(cusum) DESC, day) AS rn FROM scored)
+         WHERE rn = 1""",
     "q149_markov_transitions" ->
       """WITH ev AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type

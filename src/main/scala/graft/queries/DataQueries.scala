@@ -637,6 +637,52 @@ object DataQueries {
         .agg(count(lit(1)).cast("long").as("n_pairs"))
     },
 
+    // corpus-mix diversity report — the "is one mirror swallowing the mix"
+    // gate a curation run checks per language: source count, the top
+    // source's share, and the Gini–Simpson index 1 - Σ p_i², all in exact
+    // integer arithmetic (ppm/ppb scaling, DECIMAL(38,0) products that
+    // cannot wrap) so the report is bit-stable under any partitioning. Two
+    // shrinking hash aggs — (lang, source) then lang — nothing windowed,
+    // nothing collected
+    "q177_source_diversity" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      t(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).cast("long").as("c"))
+        .groupBy("lang")
+        .agg(sum("c").cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_sources"),
+          max("c").cast("long").as("__top"),
+          sum(col("c").cast(d38) * col("c").cast(d38)).cast(d38).as("__ss"))
+        .select(col("lang"), col("n_docs"), col("n_sources"),
+          expr(s"CAST((CAST(__top AS $d38) * 1000000) div n_docs AS BIGINT)")
+            .as("top_share_ppm"),
+          expr(s"""CAST(((CAST(n_docs AS $d38) * n_docs - __ss) * 1000000000)
+                   div (CAST(n_docs AS $d38) * n_docs) AS BIGINT)""")
+            .as("gini_simpson_ppb"))
+    },
+
+    // incremental connected-components ledger — the cross-batch clustering
+    // step of a daily dedup cycle: yesterday's cluster assignment (a
+    // spanning star per component) + only the DELTA's near-dup pairs,
+    // re-closed, must reproduce the from-scratch closure of the full pair
+    // space exactly. The pair space is generated ONCE (frozen) and split
+    // old-old vs touching-delta, so the invariant under test is the merge
+    // semantics, not pair-generation drift; the oracle is q73's recursive
+    // closure over the full corpus — bit-for-bit
+    "q181_incremental_cc" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val isDelta = (c: org.apache.spark.sql.Column) => c % 5 === 0
+      val allPairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        k = 5, threshold = 0.5, maxDocsPerShingle = 1000)
+        .select("id_a", "id_b").localCheckpoint()
+      val oldPairs = allPairs.filter(!isDelta(col("id_a")) && !isDelta(col("id_b")))
+      val deltaPairs = allPairs.filter(isDelta(col("id_a")) || isDelta(col("id_b")))
+      val prior = Dedup.clustersFromPairs(
+        docs.filter(!isDelta(col("doc_id"))), "doc_id", oldPairs)
+      Dedup.mergeClusters(docs, "doc_id", prior, deltaPairs)
+    },
+
     // transitive duplicate clusters: exact jaccard pairs -> connected
     // components -> min-id cluster labels. Full oracle: DuckDB replays the
     // pairs and closes them with a recursive CTE
@@ -945,6 +991,28 @@ object DataQueries {
            WHERE q.vec_id < 100)
          WHERE rank <= 5"""
 
+  /** q73's recursive transitive closure over the full corpus — also the
+    * oracle of q181's incremental merge, whose contract is exact agreement
+    * with the from-scratch recompute.
+    */
+  private lazy val dupClustersSql: String =
+    jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5)
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+    """, edges AS (
+         SELECT id_a AS u, id_b AS v FROM pairs
+         UNION ALL SELECT id_b, id_a FROM pairs),
+       reach(u, v) AS (
+         SELECT u, v FROM edges
+         UNION
+         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       comp AS (
+         SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         FROM reach GROUP BY u)
+       SELECT d.doc_id,
+              CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+              coalesce(c.cluster_id, d.doc_id) <> d.doc_id AS is_dup
+       FROM documents d LEFT JOIN comp c USING (doc_id)"""
+
   val oracleSql: Map[String, String] = Map(
     "q40_ngram_jaccard_pairs" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
@@ -1145,23 +1213,25 @@ object DataQueries {
             WHERE rn = 1)
           SELECT l.doc_id, l.cluster_id, (l.doc_id = b.keep_id) AS is_kept
           FROM lab l JOIN best b USING (cluster_id)"""),
-    "q73_dup_clusters" ->
-      (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5)
-        .replaceFirst("WITH ", "WITH RECURSIVE ") +
-       """, edges AS (
-            SELECT id_a AS u, id_b AS v FROM pairs
-            UNION ALL SELECT id_b, id_a FROM pairs),
-          reach(u, v) AS (
-            SELECT u, v FROM edges
-            UNION
-            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-          comp AS (
-            SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-            FROM reach GROUP BY u)
-          SELECT d.doc_id,
-                 CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
-                 coalesce(c.cluster_id, d.doc_id) <> d.doc_id AS is_dup
-          FROM documents d LEFT JOIN comp c USING (doc_id)"""),
+    "q73_dup_clusters" -> dupClustersSql,
+    // the incremental merge's contract IS "reproduce the full closure":
+    // the oracle recomputes the from-scratch clusters and the row hashes
+    // must match bit-for-bit
+    "q181_incremental_cc" -> dupClustersSql,
+    "q177_source_diversity" ->
+      """WITH cs AS (
+           SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2)
+         SELECT lang,
+                CAST(sum(c) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_sources,
+                CAST((CAST(max(c) AS HUGEINT) * 1000000) // sum(c) AS BIGINT)
+                  AS top_share_ppm,
+                CAST(((CAST(sum(c) AS HUGEINT) * sum(c) -
+                       sum(CAST(c AS HUGEINT) * c)) * 1000000000)
+                     // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT)
+                  AS gini_simpson_ppb
+         FROM cs GROUP BY lang""",
     "q62_corpus_pipeline" -> corpusPipelineSql(mix = false),
     "q89_corpus_mix" -> corpusPipelineSql(mix = true),
     "q60_decontamination" ->

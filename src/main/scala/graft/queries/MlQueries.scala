@@ -266,6 +266,41 @@ object MlQueries {
         .toDF("n_names", "n_pos_entities", "neg_correct_violations",
           "over_window_violations", "no_candidate_violations",
           "all_null_rank_violations")
+    },
+
+    // Inter-annotator agreement (Cohen's kappa) per language — the label-
+    // quality gate a supervised-data pipeline runs before trusting a
+    // labeling pass. The two "annotators" here are deterministic quality
+    // rules (char-length vs token-count thresholds) so the oracle replays
+    // them exactly; the kappa arithmetic is the operator under test: all
+    // ppm-scaled integer math, products in DECIMAL(38,0), division via
+    // sign-split abs-div so Spark's truncation and DuckDB's agree on
+    // negative kappas, NULL when pe = 1 (degenerate: both raters constant).
+    // One map-side project + one hash agg per language
+    "q179_annotator_kappa" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("lang"),
+          (col("n_chars") >= 300).as("ra"),
+          (size(split(trim(col("text")), " ")) >= 40).as("rb"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("ra"), 1L).otherwise(0L)).cast("long").as("a_yes"),
+          sum(when(col("rb"), 1L).otherwise(0L)).cast("long").as("b_yes"),
+          sum(when(col("ra") === col("rb"), 1L).otherwise(0L))
+            .cast("long").as("n_agree"))
+        .withColumn("po_ppm",
+          expr(s"CAST((CAST(n_agree AS $d38) * 1000000) div n AS BIGINT)"))
+        .withColumn("pe_ppm",
+          expr(s"""CAST(((CAST(a_yes AS $d38) * b_yes +
+                          CAST(n - a_yes AS $d38) * (n - b_yes)) * 1000000)
+                   div (CAST(n AS $d38) * n) AS BIGINT)"""))
+        .withColumn("kappa_x1e6",
+          when(col("pe_ppm") === 1000000L, lit(null).cast("long"))
+            .otherwise(
+              when(col("po_ppm") >= col("pe_ppm"), 1L).otherwise(-1L) *
+              expr(s"""CAST((abs(CAST(po_ppm AS $d38) - pe_ppm) * 1000000)
+                       div (1000000 - pe_ppm) AS BIGINT)""")))
     })
 
   /** BENCH-path production configurations: the correctness q50/q54 entries
@@ -299,6 +334,33 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q179_annotator_kappa" ->
+      """WITH d AS (
+           SELECT lang, n_chars >= 300 AS ra,
+                  len(string_split(trim(text), ' ')) >= 40 AS rb
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN ra THEN 1 ELSE 0 END) AS BIGINT) AS a_yes,
+                  CAST(sum(CASE WHEN rb THEN 1 ELSE 0 END) AS BIGINT) AS b_yes,
+                  CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_agree
+           FROM d GROUP BY lang),
+         p AS (
+           SELECT *,
+                  CAST((CAST(n_agree AS HUGEINT) * 1000000) // n AS BIGINT)
+                    AS po_ppm,
+                  CAST(((CAST(a_yes AS HUGEINT) * b_yes +
+                         CAST(n - a_yes AS HUGEINT) * (n - b_yes)) * 1000000)
+                       // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+           FROM g)
+         SELECT lang, n, a_yes, b_yes, n_agree, po_ppm, pe_ppm,
+                CASE WHEN pe_ppm = 1000000 THEN NULL
+                     ELSE (CASE WHEN po_ppm >= pe_ppm THEN 1 ELSE -1 END) *
+                          CAST((abs(CAST(po_ppm AS HUGEINT) - pe_ppm) * 1000000)
+                               // (1000000 - pe_ppm) AS BIGINT)
+                END AS kappa_x1e6
+         FROM p""",
     "q47_threshold_curves" ->
       """WITH grid AS (SELECT i / 20.0 AS threshold FROM generate_series(0, 20) t(i)),
          pts AS (SELECT (1.0 - l_discount) AS s, (l_returnflag = 'R') AS y FROM lineitem),

@@ -218,4 +218,26 @@ class Round9Spec extends SparkSpec {
       col("k") === col("k2")).count()
     assert(est == actual, s"sum of squares $est must equal the self-join count $actual")
   }
+
+  test("mergeClusters: prior stars + delta pairs == from-scratch closure") {
+    import graft.data.Dedup
+    // history: components {1,2,3} (chain) and {4,5}; 6..8 singletons
+    val ids = (1L to 8L).toDF("doc_id")
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val prior = Dedup.clustersFromPairs(ids, "doc_id", oldPairs)
+    assert(prior.filter(col("doc_id") === 3L).head().getLong(1) == 1L)
+    // delta: 9 bridges the two old components (2-9, 9-4) and 10 pairs with
+    // singleton 6 — the bridge is the case a naive "relabel only new ids"
+    // incremental gets wrong
+    val all = (1L to 10L).toDF("doc_id")
+    val deltaPairs = Seq((2L, 9L), (9L, 4L), (6L, 10L)).toDF("id_a", "id_b")
+    val merged = Dedup.mergeClusters(all, "doc_id", prior, deltaPairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val full = Dedup.clustersFromPairs(all, "doc_id",
+        oldPairs.unionByName(deltaPairs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(merged == full, s"merged $merged != full $full")
+    assert(merged(4L) == ((1L, true)), "bridge must land 4 in component 1")
+    assert(merged(7L) == ((7L, false)), "untouched singleton stays itself")
+  }
 }
