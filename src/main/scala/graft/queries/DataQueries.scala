@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ann.Knn
-import graft.data.Dedup
+import graft.data.{Dedup, RangeShard}
 import graft.multimodal.BinaryMedia
 
 /** Training-data-pipeline operators: near-dup detection (exact jaccard,
@@ -662,6 +662,29 @@ object DataQueries {
             .as("gini_simpson_ppb"))
     },
 
+    // range-shard manifest + non-overlap verdict — the boundary/assignment
+    // math of RangeShard.writeSharded (the sorted range-partitioned export),
+    // checked end to end: deterministic integer-floored quantile cut points,
+    // map-side shard assignment (literal boundary fold, no join), per-shard
+    // manifest, and a machine-checked no_overlap verdict via lag over the
+    // 8-row manifest. Unlike repartitionByRange's sampled boundaries this
+    // layout is replayable — DuckDB re-derives the cut points and every
+    // shard's population must match exactly. The write path itself (sorted
+    // files under shard= partitions) is exercised in the unit suite
+    "q180_range_shard" -> { (s, dir) =>
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val assigned = RangeShard.assign(orders, "o_totalprice",
+        RangeShard.boundaries(orders, "o_totalprice", 8))
+      val man = RangeShard.manifest(assigned, "o_totalprice")
+      // 8 manifest rows: the empty-partitionBy window is bounded, not a
+      // data-sized single-task sort
+      val w = org.apache.spark.sql.expressions.Window.orderBy("shard")
+      man.withColumn("prev_max", lag(col("max_v"), 1).over(w))
+        .select(col("shard"), col("n"), col("min_v"), col("max_v"),
+          (col("prev_max").isNull || col("prev_max") <= col("min_v"))
+            .as("no_overlap"))
+    },
+
     // incremental connected-components ledger — the cross-batch clustering
     // step of a daily dedup cycle: yesterday's cluster assignment (a
     // spanning star per component) + only the DELTA's near-dup pairs,
@@ -1218,6 +1241,24 @@ object DataQueries {
     // the oracle recomputes the from-scratch clusters and the row hashes
     // must match bit-for-bit
     "q181_incremental_cc" -> dupClustersSql,
+    "q180_range_shard" ->
+      """WITH b AS (
+           SELECT quantile_cont(o_totalprice,
+                  [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+           FROM orders),
+         a AS (
+           SELECT o_totalprice,
+                  CAST(len(list_filter(b.qs,
+                       q -> o_totalprice > floor(q))) AS INT) AS shard
+           FROM orders, b),
+         m AS (
+           SELECT shard, CAST(count(*) AS BIGINT) AS n,
+                  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
+           FROM a GROUP BY shard)
+         SELECT shard, n, min_v, max_v,
+                (lag(max_v) OVER (ORDER BY shard) IS NULL OR
+                 lag(max_v) OVER (ORDER BY shard) <= min_v) AS no_overlap
+         FROM m""",
     "q177_source_diversity" ->
       """WITH cs AS (
            SELECT lang, source, CAST(count(*) AS BIGINT) AS c

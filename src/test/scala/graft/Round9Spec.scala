@@ -219,6 +219,32 @@ class Round9Spec extends SparkSpec {
     assert(est == actual, s"sum of squares $est must equal the self-join count $actual")
   }
 
+  test("RangeShard.writeSharded: pruned layout, sorted shards, manifest consistent") {
+    import graft.data.RangeShard
+    val tmp = System.getProperty("java.io.tmpdir")
+    val path = s"$tmp/graft_r9_rangeshard"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+    val df = (1 to 400).map(i => (i.toLong, ((i * 37) % 400).toDouble + 0.25))
+      .toDF("id", "v")
+    val man = RangeShard.writeSharded(df, "v", 4, path).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(man.keySet == Set(0, 1, 2, 3), s"shards: ${man.keySet}")
+    assert(man.values.map(_._1).sum == 400L, "every row lands in some shard")
+    val bySh = man.toSeq.sortBy(_._1)
+    for (i <- 1 until bySh.length)
+      assert(bySh(i - 1)._2._3 <= bySh(i)._2._2,
+        s"shards ${i - 1}/$i overlap: ${bySh(i - 1)} vs ${bySh(i)}")
+    for (sh <- 0 to 3) {
+      // partition-pruned read of one shard; small single-file shards read as
+      // one split, so encounter order == file order
+      val vals = spark.read.parquet(s"$path/shard=$sh")
+        .select("v").collect().map(_.getDouble(0))
+      assert(vals.length.toLong == man(sh)._1, s"shard $sh count")
+      assert(vals.sameElements(vals.sorted), s"shard $sh not sorted on disk")
+    }
+  }
+
   test("mergeClusters: prior stars + delta pairs == from-scratch closure") {
     import graft.data.Dedup
     // history: components {1,2,3} (chain) and {4,5}; 6..8 singletons
