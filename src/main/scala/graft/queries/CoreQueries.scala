@@ -914,6 +914,70 @@ object CoreQueries {
           abs(col("cusum")).cast("long").as("max_abs_cusum"))
     },
 
+    // Degree assortativity of the co-purchase graph — "do popular items
+    // co-occur with popular items": the Pearson correlation of endpoint
+    // degrees over the distinct edge set. The moments (Σx, Σxy, Σx², m) are
+    // EXACT integers (DECIMAL(38,0) products), and the final r is one
+    // deterministic double expression over them — both engines compute the
+    // identical nearest-double of identical integers, then identical IEEE
+    // ops. Plan: one distinct self-join edge list (frozen once), a
+    // node-sized degree agg joined to both endpoints, one scalar agg
+    "q182_degree_assortativity" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val edges = graft.operators.Graphs.coPurchaseEdges(t(s, dir, "lineitem"))
+        .distinct().localCheckpoint()
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).cast("long").as("deg"))
+      val e = edges
+        .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
+        .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+      e.agg(
+          count(lit(1)).cast("long").as("n_edges"),
+          sum(col("dx")).cast("long").as("sum_x"),
+          sum(col("dy")).cast("long").as("sum_y"),
+          sum(col("dx").cast(d38) * col("dy")).cast("long").as("sum_xy"),
+          sum(col("dx").cast(d38) * col("dx")).cast("long").as("sum_x2"),
+          sum(col("dy").cast(d38) * col("dy")).cast("long").as("sum_y2"))
+        .select(col("n_edges"), col("sum_x"), col("sum_y"), col("sum_xy"),
+          col("sum_x2"), col("sum_y2"),
+          ((col("n_edges").cast(d38) * col("sum_xy") -
+            col("sum_x").cast(d38) * col("sum_y")).cast("double") /
+           sqrt((col("n_edges").cast(d38) * col("sum_x2") -
+                 col("sum_x").cast(d38) * col("sum_x")).cast("double") *
+                (col("n_edges").cast(d38) * col("sum_y2") -
+                 col("sum_y").cast(d38) * col("sum_y")).cast("double")))
+            .as("assortativity"))
+    },
+
+    // Exact weighted median per group — the robust center a metrics pipeline
+    // wants when rows carry multiplicity (quantity-weighted price): the
+    // smallest value whose running weight doubles past the total
+    // (2·cum >= total — cross-multiplied, no division). Integer-exact:
+    // cents + floored quantities. One row-sized hash agg collapses to the
+    // (group, value) domain FIRST, so the window sorts the value domain,
+    // not the data; at 100 TB the HistStore bins answer the same question
+    // in one scan
+    "q184_weighted_median" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("w"))
+      val grouped = li.groupBy("l_returnflag", "price_c")
+        .agg(sum(col("w")).cast("long").as("w"))
+      val tot = Window.partitionBy("l_returnflag")
+      val run = Window.partitionBy("l_returnflag").orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grouped
+        .withColumn("total_w", sum(col("w")).over(tot).cast("long"))
+        .withColumn("cum_w", sum(col("w")).over(run).cast("long"))
+        .filter(col("cum_w") * 2 >= col("total_w"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("price_c")))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("total_w"),
+          col("price_c").as("weighted_median_cents"),
+          col("cum_w").as("cum_w_at_median"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -1029,6 +1093,55 @@ object CoreQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q182_degree_assortativity" ->
+      """WITH pairs AS (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         deg AS (
+           SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+           FROM pairs GROUP BY 1),
+         e AS (
+           SELECT dx.deg AS dx, dy.deg AS dy
+           FROM pairs p
+           JOIN deg dx ON dx.node = p.src
+           JOIN deg dy ON dy.node = p.dst),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                  CAST(sum(dx) AS BIGINT) AS sum_x,
+                  CAST(sum(dy) AS BIGINT) AS sum_y,
+                  CAST(sum(CAST(dx AS HUGEINT) * dy) AS BIGINT) AS sum_xy,
+                  CAST(sum(CAST(dx AS HUGEINT) * dx) AS BIGINT) AS sum_x2,
+                  CAST(sum(CAST(dy AS HUGEINT) * dy) AS BIGINT) AS sum_y2
+           FROM e)
+         SELECT n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+                CAST(CAST(n_edges AS HUGEINT) * sum_xy -
+                     CAST(sum_x AS HUGEINT) * sum_y AS DOUBLE) /
+                sqrt(CAST(CAST(n_edges AS HUGEINT) * sum_x2 -
+                          CAST(sum_x AS HUGEINT) * sum_x AS DOUBLE) *
+                     CAST(CAST(n_edges AS HUGEINT) * sum_y2 -
+                          CAST(sum_y AS HUGEINT) * sum_y AS DOUBLE))
+                  AS assortativity
+         FROM m""",
+    "q184_weighted_median" ->
+      """WITH g AS (
+           SELECT l_returnflag,
+                  CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+                  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+         sc AS (
+           SELECT l_returnflag, price_c,
+                  CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                    AS total_w,
+                  CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w
+           FROM g)
+         SELECT l_returnflag, total_w,
+                price_c AS weighted_median_cents, cum_w AS cum_w_at_median
+         FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY price_c) AS rn
+               FROM sc WHERE cum_w * 2 >= total_w)
+         WHERE rn = 1""",
     "q176_decay_score" ->
       """SELECT user_id,
                 CAST(count(*) AS BIGINT) AS n_events,

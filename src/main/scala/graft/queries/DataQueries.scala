@@ -662,6 +662,40 @@ object DataQueries {
             .as("gini_simpson_ppb"))
     },
 
+    // count-min sketch store gate — the point-frequency member of the
+    // mergeable-store family (HLL = distinct, Hist = quantiles, CMS = "how
+    // often is key k"). The store is built in two appends (odd/even days)
+    // whose counters MERGE exactly (count-min is linear), then every user's
+    // estimate is probed against its exact count: the sketch's deterministic
+    // guarantee — never underestimate, never exceed total mass — is the
+    // machine-checked verdict, q113's recipe. Ingest is d hash projections +
+    // one kilobyte-sized hash agg; probing joins a broadcast counter table
+    "q183_cms_store" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      import graft.data.CmsStore
+      val ev = t(s, dir, "events").select(col("ts"), col("user_id"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q183_" +
+        s.sparkContext.applicationId
+      CmsStore.appendDaily(ev.filter(dayofmonth(col("ts")) % 2 === 0), "ts",
+        "user_id", path, overwrite = true)
+      CmsStore.appendDaily(ev.filter(dayofmonth(col("ts")) % 2 === 1), "ts",
+        "user_id", path)
+      val counters = CmsStore.mergedCounters(s, path)
+      val truth = ev.groupBy(col("user_id").as("key"))
+        .agg(count(lit(1)).cast("long").as("true_cnt"))
+      val est = CmsStore.estimate(truth.select("key"), counters)
+      val total = ev.count()
+      val agg = truth.join(est, "key").agg(
+        count(lit(1)).cast("long").as("n_keys"),
+        sum(when(col("est") < col("true_cnt"), 1L).otherwise(0L))
+          .cast("long").as("n_underestimates"),
+        sum(when(col("est") > lit(total), 1L).otherwise(0L))
+          .cast("long").as("n_over_total")).head()
+      Seq((total, agg.getLong(0), agg.getLong(1), agg.getLong(2)))
+        .toDF("n_events", "n_keys", "n_underestimates", "n_over_total")
+    },
+
     // range-shard manifest + non-overlap verdict — the boundary/assignment
     // math of RangeShard.writeSharded (the sorted range-partitioned export),
     // checked end to end: deterministic integer-floored quantile cut points,
@@ -1241,6 +1275,12 @@ object DataQueries {
     // the oracle recomputes the from-scratch clusters and the row hashes
     // must match bit-for-bit
     "q181_incremental_cc" -> dupClustersSql,
+    "q183_cms_store" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+                CAST(0 AS BIGINT) AS n_underestimates,
+                CAST(0 AS BIGINT) AS n_over_total
+         FROM events""",
     "q180_range_shard" ->
       """WITH b AS (
            SELECT quantile_cont(o_totalprice,

@@ -245,6 +245,38 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("CmsStore: split-append counters == single-pass (linearity), compaction stable") {
+    import graft.data.CmsStore
+    val tmp = System.getProperty("java.io.tmpdir")
+    val rows = (1 to 300).map { i =>
+      (s"2024-04-${"%02d".format(i % 4 + 1)} 00:00:00", (i % 37).toLong)
+    }.toDF("ts", "k").select(col("ts").cast("timestamp").as("ts"), col("k"))
+    val split = s"$tmp/graft_r9_cms_split"
+    val whole = s"$tmp/graft_r9_cms_whole"
+    CmsStore.appendDaily(rows.filter(col("k") % 2 === 0), "ts", "k", split,
+      overwrite = true)
+    CmsStore.appendDaily(rows.filter(col("k") % 2 =!= 0), "ts", "k", split)
+    CmsStore.appendDaily(rows, "ts", "k", whole, overwrite = true)
+    val a = CmsStore.mergedCounters(spark, split).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val b = CmsStore.mergedCounters(spark, whole).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(a == b, "linearity: appends must merge to the single-pass counters")
+    // estimates: never under the exact count
+    val keys = rows.select(col("k").as("key")).distinct()
+    val truth = rows.groupBy(col("k").as("key"))
+      .agg(count(lit(1)).as("true_cnt"))
+    val bad = CmsStore.estimate(keys, CmsStore.mergedCounters(spark, split))
+      .join(truth, "key").filter(col("est") < col("true_cnt")).count()
+    assert(bad == 0L, "count-min must never underestimate")
+    // compaction: files per day -> 1, counters bit-identical
+    val (before, after) = CmsStore.compactStore(spark, split)
+    assert(before > after && after == 4L, s"files $before -> $after")
+    val post = CmsStore.mergedCounters(spark, split).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(post == a, "counters changed across compaction")
+  }
+
   test("mergeClusters: prior stars + delta pairs == from-scratch closure") {
     import graft.data.Dedup
     // history: components {1,2,3} (chain) and {4,5}; 6..8 singletons
