@@ -525,6 +525,44 @@ object Prof {
         ev10.select(col("value"), col("ts")),
         "value", to_date(col("ts")) <= lit("2024-01-15").cast("date")).count())
 
+    // round-9 tier: incremental CC merge, CMS store, range-shard assignment.
+    // incremental_cc's cost should track the PAIR space + dup-graph vertex
+    // set, not the corpus; cms_store the input scan (cells are d map-side
+    // projections + a kilobyte-sized agg); range_shard one percentile agg +
+    // a map-side fold
+    def incrCcCount(docs: DataFrame): Long = {
+      val isDelta = (c: org.apache.spark.sql.Column) => c % 5 === 0
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 5,
+        threshold = 0.5, maxDocsPerShingle = 1000)
+        .select("id_a", "id_b").localCheckpoint()
+      val prior = Dedup.clustersFromPairs(docs.filter(!isDelta(col("doc_id"))),
+        "doc_id", pairs.filter(!isDelta(col("id_a")) && !isDelta(col("id_b"))))
+      Dedup.mergeClusters(docs, "doc_id", prior,
+        pairs.filter(isDelta(col("id_a")) || isDelta(col("id_b")))).count()
+    }
+    probe("incremental_cc", 1, n1)(incrCcCount(docs1))
+    probe("incremental_cc", 10, n10)(incrCcCount(docs10))
+
+    def cmsCount(ev: DataFrame, tag: String): Long = {
+      import graft.data.CmsStore
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_prof_cms_$tag"
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      CmsStore.appendDaily(ev, "ts", "user_id", path, overwrite = true)
+      CmsStore.estimate(ev.select(col("user_id").as("key")).distinct(),
+        CmsStore.mergedCounters(spark, path)).count()
+    }
+    probe("cms_store", 1, v1)(cmsCount(ev1, "1"))
+    probe("cms_store", 10, v10)(cmsCount(ev10, "10"))
+
+    def shardCount(ord: DataFrame): Long = {
+      import graft.data.RangeShard
+      val a = RangeShard.assign(ord, "o_totalprice",
+        RangeShard.boundaries(ord, "o_totalprice", 8))
+      RangeShard.manifest(a, "o_totalprice").count()
+    }
+    probe("range_shard", 1, o1)(shardCount(ord1))
+    probe("range_shard", 10, o10)(shardCount(ord10))
+
     log.close()
     spark.stop()
   }

@@ -1,0 +1,73 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Second-moment (Gram) matrix of an embedding column — the PCA / whitening
+  * prep step of an embedding pipeline: G = Σ v·vᵀ over the corpus, d×d from
+  * one pass.
+  *
+  * Exactness: components are floored to 1e-6 integers first (float→double
+  * widening and floor are identical in every engine), so every accumulated
+  * product is an integer and the result is bit-stable under any partitioning
+  * or row order — the DuckDB oracle replays it with HUGEINT sums.
+  *
+  * Scale shape: the declarative form (posexplode + self-join on the row id)
+  * shuffles rows×d postings twice; this operator instead accumulates the
+  * d(d+1)/2 upper triangle in a primitive Long array PER PARTITION
+  * (mapPartitions — the one place imperative code beats the optimizer, same
+  * rationale as the cossim kernel) and emits only d²-sized partials into a
+  * DECIMAL(38,0) hash agg. Per-partition sums stay far inside Long range for
+  * any realistic partition (|component_u| ≤ ~2²⁰ ⇒ product ≤ ~2⁴⁰, leaving
+  * 2²³ rows of headroom per partition); the cross-partition merge is
+  * DECIMAL, where overflow is impossible.
+  */
+object Gram {
+
+  /** Upper-triangle Gram cells: (i, j ≥ i, n, gram_u) where
+    * gram_u = Σ floor(v_i·1e6)·floor(v_j·1e6) and n = vector count.
+    */
+  def gramUpper(df: DataFrame, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val partials = df.select(col(vecCol)).rdd.mapPartitions { it =>
+      var acc: Array[Long] = null
+      var d = 0
+      var n = 0L
+      it.foreach { row =>
+        if (!row.isNullAt(0)) {
+          val v = row.getSeq[Float](0)
+          if (acc == null) { d = v.length; acc = new Array[Long](d * (d + 1) / 2) }
+          require(v.length == d, s"ragged embedding: ${v.length} != $d")
+          val u = new Array[Long](d)
+          var i = 0
+          while (i < d) { u(i) = math.floor(v(i).toDouble * 1e6).toLong; i += 1 }
+          var k = 0
+          i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) { acc(k) += u(i) * u(j); j += 1; k += 1 }
+            i += 1
+          }
+          n += 1L
+        }
+      }
+      if (acc == null) Iterator.empty
+      else {
+        val out = new Array[(Int, Int, Long, Long)](acc.length)
+        var k = 0
+        var i = 0
+        while (i < d) {
+          var j = i
+          while (j < d) { out(k) = (i, j, n, acc(k)); j += 1; k += 1 }
+          i += 1
+        }
+        out.iterator
+      }
+    }
+    partials.toDF("i", "j", "n_part", "gram_part")
+      .groupBy("i", "j")
+      .agg(sum(col("n_part")).cast("long").as("n"),
+        sum(col("gram_part").cast("decimal(38,0)")).cast("long").as("gram_u"))
+  }
+}

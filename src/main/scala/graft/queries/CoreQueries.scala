@@ -978,6 +978,49 @@ object CoreQueries {
           col("cum_w").as("cum_w_at_median"))
     },
 
+    // Percentile-rank normalization per stratum — the scale-free feature
+    // transform (cume_dist as an exact integer): each document's length
+    // mapped to its tie-inclusive rank fraction within its language, in ppm.
+    // The RANGE frame makes ties share a value (peers count together), so
+    // the output is a total function of the data, not of sort order. One
+    // window per stratum; at 100 TB the same ppm ranks come from the
+    // HistStore bins without a sort
+    "q185_rank_normalize" -> { (s, dir) =>
+      val w = Window.partitionBy("lang").orderBy("n_chars")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("lang")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("cnt_le", count(lit(1)).over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(tot).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("CAST((cnt_le * 1000000) div n AS BIGINT)").as("pct_ppm"))
+    },
+
+    // Out-of-orderness audit for WATERMARK SIZING — the report that turns
+    // "withWatermark(how much?)" from a guess into a measurement: per user
+    // (the stream's key), arrival order is the event_id sequence, and a
+    // row's lateness is how far the running event-time high-water mark has
+    // already passed it. Aggregated per event type: how many rows arrive
+    // out of order, how many would be dropped by a 60 s watermark, and the
+    // max lateness a lossless watermark would need. Exact epoch-µs integers;
+    // one per-user window + one hash agg
+    "q186_lateness_audit" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("late_us", max(col("ts_us")).over(w) - col("ts_us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(when(col("late_us") > 0L, 1L).otherwise(0L))
+            .cast("long").as("n_out_of_order"),
+          sum(when(col("late_us") > 60L * 1000000L, 1L).otherwise(0L))
+            .cast("long").as("n_late_60s"),
+          max("late_us").cast("long").as("max_late_us"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -1093,6 +1136,29 @@ object CoreQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q185_rank_normalize" ->
+      """SELECT doc_id, lang, n_chars,
+                CAST((CAST(count(*) OVER (PARTITION BY lang ORDER BY n_chars
+                      RANGE UNBOUNDED PRECEDING) AS BIGINT) * 1000000) //
+                     (count(*) OVER (PARTITION BY lang)) AS BIGINT) AS pct_ppm
+         FROM documents""",
+    "q186_lateness_audit" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         l AS (
+           SELECT event_type,
+                  max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS UNBOUNDED PRECEDING) - ts_us AS late_us
+           FROM ev)
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_out_of_order,
+                CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_late_60s,
+                CAST(max(late_us) AS BIGINT) AS max_late_us
+         FROM l GROUP BY event_type""",
     "q182_degree_assortativity" ->
       """WITH pairs AS (
            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -662,6 +662,18 @@ object DataQueries {
             .as("gini_simpson_ppb"))
     },
 
+    // PCA-prep Gram matrix over the embedding column — G = Σ v·vᵀ, the d×d
+    // second moment an embedding pipeline whitens/projects with. Components
+    // floored to 1e-6 integers, so every cell is an exact integer sum the
+    // oracle replays with HUGEINT. The operator is the one justified
+    // mapPartitions kernel: a primitive Long upper-triangle accumulator per
+    // partition, d²-sized partials into a DECIMAL hash agg — versus the
+    // declarative posexplode self-join that would shuffle rows×d postings
+    // twice (the oracle replays exactly that join; the kernel must match it)
+    "q187_gram_matrix" -> { (s, dir) =>
+      graft.ann.Gram.gramUpper(t(s, dir, "embeddings"), "embedding")
+    },
+
     // count-min sketch store gate — the point-frequency member of the
     // mergeable-store family (HLL = distinct, Hist = quantiles, CMS = "how
     // often is key k"). The store is built in two appends (odd/even days)
@@ -1275,6 +1287,16 @@ object DataQueries {
     // the oracle recomputes the from-scratch clusters and the row hashes
     // must match bit-for-bit
     "q181_incremental_cc" -> dupClustersSql,
+    "q187_gram_matrix" ->
+      """WITH c AS (
+           SELECT vec_id, CAST(t.i AS INT) AS i,
+                  CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000000)
+                       AS BIGINT) AS a_u
+           FROM embeddings, range(64) t(i))
+         SELECT a.i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(a.a_u AS HUGEINT) * b.a_u) AS BIGINT) AS gram_u
+         FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i
+         GROUP BY 1, 2""",
     "q183_cms_store" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_events,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,

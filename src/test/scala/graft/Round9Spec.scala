@@ -277,6 +277,25 @@ class Round9Spec extends SparkSpec {
     assert(post == a, "counters changed across compaction")
   }
 
+  test("Gram.gramUpper: hand-computed cells, partitioning-invariant") {
+    import graft.ann.Gram
+    // v1 = (1, 2), v2 = (3, -1) in 1e-6 units after flooring
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    def cells(d: org.apache.spark.sql.DataFrame) =
+      Gram.gramUpper(d, "embedding").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+    val g = cells(df)
+    val M = 1000000L
+    assert(g((0, 0)) == ((2L, 1L * M * M + 9L * M * M)), s"g00: ${g((0, 0))}")
+    assert(g((0, 1)) == ((2L, 2L * M * M - 3L * M * M)), s"g01: ${g((0, 1))}")
+    assert(g((1, 1)) == ((2L, 4L * M * M + 1L * M * M)), s"g11: ${g((1, 1))}")
+    // exact integers => identical on any partitioning
+    assert(cells(df.repartition(7)) == g, "partitioning changed the result")
+  }
+
   test("mergeClusters: prior stars + delta pairs == from-scratch closure") {
     import graft.data.Dedup
     // history: components {1,2,3} (chain) and {4,5}; 6..8 singletons
