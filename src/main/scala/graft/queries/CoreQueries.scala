@@ -1021,6 +1021,61 @@ object CoreQueries {
           max("late_us").cast("long").as("max_late_us"))
     },
 
+    // Score-decile lift/gains report — the model-triage table an ML-ops
+    // pipeline prints before trusting a ranker: decile the score with
+    // q180's deterministic integer-floored quantile boundaries (NOT a
+    // global-sort ntile — boundaries broadcast, assignment map-side), then
+    // per-decile positive rate and lift vs the base rate, every ratio an
+    // exact integer division over DECIMAL(38,0) products
+    "q189_lift_report" -> { (s, dir) =>
+      import graft.data.RangeShard
+      val d38 = "decimal(38,0)"
+      val li = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("score"),
+          (col("l_returnflag") === "R").as("y"))
+      val assigned = RangeShard.assign(li, "score",
+          RangeShard.boundaries(li, "score", 10))
+        .withColumnRenamed("shard", "decile")
+      val per = assigned.groupBy("decile")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("y"), 1L).otherwise(0L)).cast("long").as("n_pos"))
+      val tot = per.agg(sum("n").cast("long").as("tot_n"),
+        sum("n_pos").cast("long").as("tot_pos"))
+      per.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n"), col("n_pos"),
+          expr(s"CAST((CAST(n_pos AS $d38) * 1000000) div n AS BIGINT)")
+            .as("pos_rate_ppm"),
+          expr(s"""CAST((CAST(n_pos AS $d38) * tot_n * 1000)
+                   div (CAST(n AS $d38) * tot_pos) AS BIGINT)""")
+            .as("lift_x1000"))
+    },
+
+    // Benford first-digit audit — the data-forensics screen for fabricated
+    // or truncated numeric feeds: observed first-digit distribution of the
+    // order totals vs the Benford expectation (log10(1+1/d), ppm literals),
+    // deviation flagged past 2%. First digit via integer-string slicing
+    // (identical in both engines), never log10 on a boundary double. One
+    // digit-sized hash agg + a broadcast 1-row total
+    "q190_benford_audit" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val per = t(s, dir, "orders")
+        .select(expr("""CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                        AS STRING), 1, 1) AS INT)""").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).cast("long").as("n"))
+      val tot = per.agg(sum("n").cast("long").as("tot"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("ppm",
+          expr(s"CAST((CAST(n AS $d38) * 1000000) div tot AS BIGINT)"))
+        .withColumn("benford_ppm", expr(
+          """CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+             WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+             WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+             ELSE 45757 END""").cast("long"))
+        .select(col("digit"), col("n"), col("ppm"), col("benford_ppm"),
+          abs(col("ppm") - col("benford_ppm")).cast("long").as("dev_ppm"),
+          (abs(col("ppm") - col("benford_ppm")) > 20000L).as("flag"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -1136,6 +1191,49 @@ object CoreQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q189_lift_report" ->
+      """WITH b AS (
+           SELECT quantile_cont(l_extendedprice,
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+           FROM lineitem),
+         a AS (
+           SELECT (l_returnflag = 'R') AS y,
+                  CAST(len(list_filter(b.qs,
+                       q -> l_extendedprice > floor(q))) AS INT) AS decile
+           FROM lineitem, b),
+         per AS (
+           SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+           FROM a GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+                  CAST(sum(n_pos) AS BIGINT) AS tot_pos
+           FROM per)
+         SELECT decile, n, n_pos,
+                CAST((CAST(n_pos AS HUGEINT) * 1000000) // n AS BIGINT)
+                  AS pos_rate_ppm,
+                CAST((CAST(n_pos AS HUGEINT) * tot_n * 1000) //
+                     (CAST(n AS HUGEINT) * tot_pos) AS BIGINT) AS lift_x1000
+         FROM per CROSS JOIN tot""",
+    "q190_benford_audit" ->
+      """WITH per AS (
+           SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                      AS VARCHAR), 1, 1) AS INT) AS digit,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM per),
+         j AS (
+           SELECT digit, n,
+                  CAST((CAST(n AS HUGEINT) * 1000000) // tot AS BIGINT) AS ppm,
+                  CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+                       WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+                       WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+                       ELSE 45757 END AS BIGINT) AS benford_ppm
+           FROM per CROSS JOIN tot)
+         SELECT digit, n, ppm, benford_ppm,
+                CAST(abs(ppm - benford_ppm) AS BIGINT) AS dev_ppm,
+                abs(ppm - benford_ppm) > 20000 AS flag
+         FROM j""",
     "q185_rank_normalize" ->
       """SELECT doc_id, lang, n_chars,
                 CAST((CAST(count(*) OVER (PARTITION BY lang ORDER BY n_chars

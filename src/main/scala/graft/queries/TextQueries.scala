@@ -36,6 +36,25 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The hashing trick — fixed-dimension text featurization with no
+    // vocabulary fit at all: token -> md5 bucket (mod 8) with a ±1 sign bit
+    // (the signed construction keeps collision noise zero-mean, Weinberger
+    // 2009), summed per (doc, bucket). The map-side-only featurizer a 100 TB
+    // pipeline uses when even a broadcast vocab is too much state: explode +
+    // one shrinking hash agg, nothing fit, nothing collected — and fully
+    // engine-replayable because the hash is md5
+    "q188_feature_hashing" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 12), 16, 10) AS BIGINT)"))
+        .groupBy(col("doc_id"), pmod(col("h"), lit(8L)).cast("int").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum(when(expr("(h div 8) % 2") === 0L, 1L).otherwise(-1L))
+            .cast("long").as("val"))
+    },
+
     // F2-F13 composite: the regex-only preprocessing pipeline
     "q20_preprocess_names" -> { (s, dir) =>
       Preprocessor(t(s, dir, "customer"), "preprocess_name", "c_name", "preprocessed")
@@ -497,6 +516,19 @@ object TextQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q188_feature_hashing" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+                  CAST(concat('0x', substr(md5(tok), 1, 12)) AS UBIGINT) AS h
+           FROM toks WHERE tok <> '')
+         SELECT doc_id, CAST(h % 8 AS INT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN (h // 8) % 2 = 0 THEN 1 ELSE -1 END)
+                     AS BIGINT) AS val
+         FROM h GROUP BY 1, 2""",
     "q20_preprocess_names" ->
       """SELECT c_custkey,
          regexp_replace(trim(lower(regexp_replace(regexp_replace(regexp_replace(
