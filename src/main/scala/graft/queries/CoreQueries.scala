@@ -1076,6 +1076,75 @@ object CoreQueries {
           (abs(col("ppm") - col("benford_ppm")) > 20000L).as("flag"))
     },
 
+    // Deterministic online bootstrap (Owen/Oza-style, hash-seeded) — CI
+    // bands for a mean WITHOUT resampling passes: every row gets a
+    // Poisson(1)-approximating integer weight per replicate from
+    // md5(event_id|r) thresholds, so the 32 replicate means are one
+    // 32×-fanout project + two hash aggs, exactly replayable by any engine.
+    // No rand(), no collect, no per-replicate job; at 100 TB the fan-out is
+    // the technique's documented cost (vs 32 full resample scans)
+    "q191_hash_bootstrap" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("value_u"))
+      val base = ev.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          expr(s"CAST(CAST(sum(value_u) AS $d38) div count(1) AS BIGINT)")
+            .as("mean_u"))
+      val reps = ev.crossJoin(
+          broadcast(s.range(32).select(col("id").cast("int").as("r"))))
+        .withColumn("m", expr(
+          """CAST(conv(substring(md5(CAST(concat(CAST(event_id AS STRING),
+             '|', CAST(r AS STRING)) AS BINARY)), 1, 12), 16, 10)
+             AS BIGINT) % 10000"""))
+        .withColumn("w", when(col("m") < 3679, 0L).when(col("m") < 7358, 1L)
+          .when(col("m") < 9197, 2L).otherwise(3L))
+      reps.groupBy("event_type", "r")
+        .agg(expr(
+          s"CAST(CAST(sum(w * value_u) AS $d38) div nullif(sum(w), 0) AS BIGINT)")
+          .as("mean_r_u"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_replicates"),
+          min("mean_r_u").cast("long").as("boot_lo_u"),
+          max("mean_r_u").cast("long").as("boot_hi_u"))
+        .join(broadcast(base), "event_type")
+        .select("event_type", "n", "mean_u", "n_replicates",
+          "boot_lo_u", "boot_hi_u")
+    },
+
+    // Theil–Sen robust trend — q152's OLS twin with a 50% breakdown point:
+    // the exact median of all pairwise daily slopes, each slope an integer
+    // (Δcnt·1e6 div Δdays; both engines truncate toward zero, verified).
+    // The pair space is per-type CALENDAR-bounded (≤ 31 days → ≤ 465
+    // slopes), so the self-join is a bounded fan-out, never data-sized;
+    // median selection is q184's division-free cross-multiplied pick
+    "q192_theilsen_trend" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .localCheckpoint()
+      val a = daily.toDF("event_type", "day_a", "cnt_a")
+      val b = daily.toDF("event_type", "day_b", "cnt_b")
+      val g = a.join(b, "event_type").filter(col("day_a") < col("day_b"))
+        .select(col("event_type"), expr(
+          "CAST(((cnt_b - cnt_a) * 1000000) div datediff(day_b, day_a) AS BIGINT)")
+          .as("slope_u"))
+        .groupBy("event_type", "slope_u")
+        .agg(count(lit(1)).cast("long").as("w"))
+      val tot = Window.partitionBy("event_type")
+      val run = Window.partitionBy("event_type").orderBy("slope_u")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("total_w", sum("w").over(tot).cast("long"))
+        .withColumn("cum_w", sum("w").over(run).cast("long"))
+        .filter(col("cum_w") * 2 >= col("total_w"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("slope_u")))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("total_w").as("n_pairs"),
+          col("slope_u").as("theilsen_slope_u"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -1191,6 +1260,66 @@ object CoreQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q191_hash_bootstrap" ->
+      """WITH ev AS (
+           SELECT event_id, event_type,
+                  CAST(floor(value * 1000000) AS BIGINT) AS value_u
+           FROM events WHERE value IS NOT NULL),
+         base AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(CAST(sum(value_u) AS HUGEINT) // count(*) AS BIGINT)
+                    AS mean_u
+           FROM ev GROUP BY 1),
+         reps AS (
+           SELECT event_type, t.r,
+                  CAST(concat('0x', substr(md5(concat(
+                       CAST(event_id AS VARCHAR), '|', CAST(t.r AS VARCHAR))),
+                       1, 12)) AS UBIGINT) % 10000 AS m,
+                  value_u
+           FROM ev, range(32) t(r)),
+         wts AS (
+           SELECT event_type, r, value_u,
+                  CASE WHEN m < 3679 THEN 0 WHEN m < 7358 THEN 1
+                       WHEN m < 9197 THEN 2 ELSE 3 END AS w
+           FROM reps),
+         means AS (
+           SELECT event_type, r,
+                  CAST(CAST(sum(w * value_u) AS HUGEINT) //
+                       nullif(sum(w), 0) AS BIGINT) AS mean_r_u
+           FROM wts GROUP BY 1, 2),
+         boot AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_replicates,
+                  CAST(min(mean_r_u) AS BIGINT) AS boot_lo_u,
+                  CAST(max(mean_r_u) AS BIGINT) AS boot_hi_u
+           FROM means GROUP BY 1)
+         SELECT b.event_type, base.n, base.mean_u, b.n_replicates,
+                b.boot_lo_u, b.boot_hi_u
+         FROM boot b JOIN base USING (event_type)""",
+    "q192_theilsen_trend" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT a.event_type,
+                  CAST(((b.cnt - a.cnt) * 1000000) //
+                       date_diff('day', a.day, b.day) AS BIGINT) AS slope_u,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day < b.day
+           GROUP BY 1, 2),
+         sc AS (
+           SELECT event_type, slope_u,
+                  CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT)
+                    AS total_w,
+                  CAST(sum(w) OVER (PARTITION BY event_type ORDER BY slope_u
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w
+           FROM g)
+         SELECT event_type, total_w AS n_pairs, slope_u AS theilsen_slope_u
+         FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY slope_u) AS rn
+               FROM sc WHERE cum_w * 2 >= total_w)
+         WHERE rn = 1""",
     "q189_lift_report" ->
       """WITH b AS (
            SELECT quantile_cont(l_extendedprice,

@@ -662,6 +662,32 @@ object DataQueries {
             .as("gini_simpson_ppb"))
     },
 
+    // Reciprocal-best-hit matching — the record-linkage (and bioinformatics
+    // RBH) rule for promoting a near-dup pair to a MERGE: each doc's best
+    // partner by jaccard (tie: smallest id), kept as mutual only when each
+    // is the other's best. One max_by hash agg over the symmetric pair
+    // space (no window, no sort) + a self-join of the node-sized best
+    // table; the pair space is the q40 skew-capped inverted-index join
+    "q193_mutual_best" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text",
+          "doc_id", k = 5, threshold = 0.5, maxDocsPerShingle = 1000)
+        .select("id_a", "id_b", "jaccard").localCheckpoint()
+      val sym = pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"), col("jaccard"))
+        .unionByName(pairs
+          .select(col("id_b").as("src"), col("id_a").as("dst"), col("jaccard")))
+      val best = sym.groupBy("src")
+        .agg(max_by(struct(col("dst"), col("jaccard")),
+          struct(col("jaccard"), -col("dst"))).as("b"))
+        .select(col("src"), col("b.dst").as("best_id"),
+          col("b.jaccard").as("jaccard"))
+      best.join(
+          best.select(col("src").as("best_id"), col("best_id").as("bb")),
+          "best_id")
+        .select(col("src").as("doc_id"), col("best_id"), col("jaccard"),
+          (col("bb") === col("src")).as("is_mutual"))
+    },
+
     // PCA-prep Gram matrix over the embedding column — G = Σ v·vᵀ, the d×d
     // second moment an embedding pipeline whitens/projects with. Components
     // floored to 1e-6 integers, so every cell is an exact integer sum the
@@ -1287,6 +1313,21 @@ object DataQueries {
     // the oracle recomputes the from-scratch clusters and the row hashes
     // must match bit-for-bit
     "q181_incremental_cc" -> dupClustersSql,
+    "q193_mutual_best" ->
+      (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
+       """, sym AS (
+            SELECT id_a AS src, id_b AS dst, jaccard FROM pairs
+            UNION ALL SELECT id_b, id_a, jaccard FROM pairs),
+          best AS (
+            SELECT src, dst AS best_id, jaccard FROM (
+              SELECT *, row_number() OVER (PARTITION BY src
+                   ORDER BY jaccard DESC, dst) AS rn
+              FROM sym) WHERE rn = 1)
+          SELECT a.src AS doc_id, a.best_id, a.jaccard,
+                 (b.bb = a.src) AS is_mutual
+          FROM best a
+          JOIN (SELECT src AS best_id, best_id AS bb FROM best) b
+            USING (best_id)"""),
     "q187_gram_matrix" ->
       """WITH c AS (
            SELECT vec_id, CAST(t.i AS INT) AS i,
