@@ -42,6 +42,32 @@ object SketchStore {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
       .head().getLong(0)
 
+  /** Rolling-window distinct estimates from the STORED daily sketches: for
+    * every day present in the store, the HLL union of the trailing
+    * `windowDays` days' sketches — rolling distinct counts with NO rescan of
+    * raw history, the question ("7-day active users, every day") that is
+    * unanswerable by prefix sums because distinct is not subtractable.
+    * Fan-out is windowDays × kilobyte sketch rows; union is register-wise
+    * max, so estimates are deterministic for a given store regardless of
+    * append history or partitioning.
+    */
+  def rollingEstimate(spark: SparkSession, path: String,
+                      windowDays: Int): DataFrame = {
+    val daily = spark.read.parquet(path)
+    val covers = daily.select(col("day"), col("sketch"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("k"))
+      .select(col("day"), date_add(col("day"), col("k")).as("cover_day"),
+        col("sketch"))
+    // only report days the store actually has (a ragged future tail would
+    // otherwise surface as partial windows beyond the data)
+    covers
+      .join(daily.select(col("day").as("cover_day")).distinct(), "cover_day")
+      .groupBy("cover_day")
+      .agg(countDistinct(col("day")).cast("long").as("n_days_in_window"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+      .withColumnRenamed("cover_day", "day")
+  }
+
   /** Compact the append-accumulated store: pre-union each day's sketch rows
     * into ONE row (HLL union is register-wise max — associative, so the
     * merged register state, hence every later estimate, is identical to

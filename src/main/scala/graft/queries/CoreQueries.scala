@@ -1145,6 +1145,46 @@ object CoreQueries {
           col("slope_u").as("theilsen_slope_u"))
     },
 
+    // Three-step STRICT-SEQUENCE funnel (view → click → purchase, each step
+    // within 1 h of the previous) — q96's two-step conversion generalized by
+    // CHAINING the forward as-of: step 3 runs from the matched CLICK time,
+    // not the view time, so the sequence order is enforced, not just
+    // co-occurrence. Two 1-shuffle/1-sort as-of joins over pre-collapsed
+    // step tables + one hash agg; no per-user collect_list, no sort of the
+    // raw stream
+    "q196_funnel3" -> { (s, dir) =>
+      val hour = 3600L * 1000000L
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts_us")
+      def stepTable(kind: String, outTs: String) =
+        ev.filter(col("event_type") === kind)
+          .groupBy("user_id", "ts_us").agg(count(lit(1)).as("__c"))
+          .withColumn(outTs, col("ts_us")).drop("__c")
+      val s1 = graft.operators.AsofJoin.forward(views,
+          stepTable("click", "click_ts"),
+          Seq("user_id"), "ts_us", "ts_us", Seq("click_ts"))
+        .withColumn("step2", col("click_ts_asof").isNotNull &&
+          col("click_ts_asof") - col("ts_us") <= hour)
+      val s2in = s1.filter(col("step2"))
+        .select(col("event_id"), col("user_id"),
+          col("click_ts_asof").as("cts"))
+      val s3 = graft.operators.AsofJoin.forward(s2in,
+        stepTable("purchase", "purchase_ts"),
+        Seq("user_id"), "cts", "ts_us", Seq("purchase_ts"))
+      val agg1 = s1.groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_views"),
+          sum(when(col("step2"), 1L).otherwise(0L)).cast("long").as("n_step2"))
+      val agg2 = s3.groupBy("user_id")
+        .agg(sum(when(col("purchase_ts_asof").isNotNull &&
+            col("purchase_ts_asof") - col("cts") <= hour, 1L).otherwise(0L))
+          .cast("long").as("n_step3"))
+      agg1.join(agg2, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_views"), col("n_step2"),
+          coalesce(col("n_step3"), lit(0L)).as("n_step3"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -1260,6 +1300,45 @@ object CoreQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q196_funnel3" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         v AS (SELECT event_id, user_id, ts_us FROM ev
+               WHERE event_type = 'view'),
+         c AS (SELECT DISTINCT user_id, ts_us AS cts FROM ev
+               WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id, ts_us AS pts FROM ev
+               WHERE event_type = 'purchase'),
+         s1 AS (
+           SELECT v.user_id, v.event_id, v.ts_us, min(c.cts) AS next_c
+           FROM v LEFT JOIN c
+             ON c.user_id = v.user_id AND c.cts >= v.ts_us
+           GROUP BY 1, 2, 3),
+         s1f AS (
+           SELECT *, (next_c IS NOT NULL AND next_c - ts_us <= 3600000000)
+                  AS step2
+           FROM s1),
+         s2 AS (
+           SELECT f.user_id, f.event_id, f.next_c AS cts, min(p.pts) AS next_p
+           FROM s1f f LEFT JOIN p
+             ON p.user_id = f.user_id AND p.pts >= f.next_c
+           WHERE f.step2
+           GROUP BY 1, 2, 3),
+         a1 AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_views,
+                  CAST(sum(CASE WHEN step2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_step2
+           FROM s1f GROUP BY 1),
+         a2 AS (
+           SELECT user_id,
+                  CAST(sum(CASE WHEN next_p IS NOT NULL
+                                 AND next_p - cts <= 3600000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_step3
+           FROM s2 GROUP BY 1)
+         SELECT a1.user_id, a1.n_views, a1.n_step2,
+                CAST(coalesce(a2.n_step3, 0) AS BIGINT) AS n_step3
+         FROM a1 LEFT JOIN a2 USING (user_id)""",
     "q191_hash_bootstrap" ->
       """WITH ev AS (
            SELECT event_id, event_type,

@@ -662,6 +662,36 @@ object DataQueries {
             .as("gini_simpson_ppb"))
     },
 
+    // Rolling-window distinct from STORED sketches — "7-day active users,
+    // every day" without rescanning history: distinct is not subtractable,
+    // so no prefix trick works; the HLL union of the trailing 7 daily
+    // sketch rows (kilobytes each) answers it incrementally. Store built in
+    // two appends (q128's recipe — union is register max, append-order
+    // irrelevant), then every day's estimate is gated against the EXACT
+    // trailing distinct recomputed in-query; the oracle replays the exact
+    // side and the all-within-5% verdicts
+    "q195_rolling_distinct" -> { (s, dir) =>
+      import graft.data.SketchStore
+      val ev = t(s, dir, "events").select(col("ts"), col("user_id"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q195_" +
+        s.sparkContext.applicationId
+      SketchStore.writeDailySketches(
+        ev.filter(dayofmonth(col("ts")) % 2 === 0), "ts", "user_id", path,
+        overwrite = true)
+      SketchStore.writeDailySketches(
+        ev.filter(dayofmonth(col("ts")) % 2 === 1), "ts", "user_id", path)
+      val rolled = SketchStore.rollingEstimate(s, path, windowDays = 7)
+      val days = ev.select(to_date(col("ts")).as("day")).distinct()
+      val exact = days.join(ev,
+          to_date(col("ts")).between(date_sub(col("day"), 6), col("day")))
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).cast("long").as("n_exact"))
+      rolled.join(exact, "day")
+        .select(col("day"), col("n_days_in_window"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) * 20L <= col("n_exact"))
+            .as("est_ok"))
+    },
+
     // Reciprocal-best-hit matching — the record-linkage (and bioinformatics
     // RBH) rule for promoting a near-dup pair to a MERGE: each doc's best
     // partner by jaccard (tie: smallest id), kept as mutual only when each
@@ -1313,6 +1343,22 @@ object DataQueries {
     // the oracle recomputes the from-scratch clusters and the row hashes
     // must match bit-for-bit
     "q181_incremental_cc" -> dupClustersSql,
+    "q195_rolling_distinct" ->
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+         ex AS (
+           SELECT d.day,
+                  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact
+           FROM days d JOIN events e
+             ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+           GROUP BY d.day),
+         w AS (
+           SELECT d.day,
+                  CAST((SELECT count(*) FROM days d2
+                        WHERE d2.day BETWEEN d.day - 6 AND d.day) AS BIGINT)
+                    AS n_days_in_window
+           FROM days d)
+         SELECT day, w.n_days_in_window, ex.n_exact, TRUE AS est_ok
+         FROM ex JOIN w USING (day)""",
     "q193_mutual_best" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
        """, sym AS (

@@ -28,6 +28,21 @@ object FeatureQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic categorical encoder with an OOV bucket — the
+    // StringIndexer replacement a training pipeline can REPLAY: ids by
+    // (freq desc, value asc) with no hash-order ties, vocabulary capped at
+    // 10 (the rest fall to the OOV id), min support 2. Fit = one hash agg +
+    // GlobalRank over ≤ 10 rows; encode = broadcast left join, map-side
+    // fallback. DuckDB replays the whole id assignment with a window
+    "q194_category_encode" -> { (s, dir) =>
+      import graft.features.CategoryEncoder
+      val docs = t(s, dir, "documents").select("doc_id", "source")
+      val mapping = CategoryEncoder.fit(docs, "source", maxSize = 10,
+        minFreq = 2L)
+      CategoryEncoder.encode(docs, "source", mapping, "source_id")
+        .select("doc_id", "source", "source_id", "source_id_is_oov")
+    },
+
     // the five fuzzy ratios made ORACLE-VISIBLE (previously unit-only — no
     // SQL analog exists for the algorithms themselves, so this is the q97
     // invariant recipe over their mathematical properties, all on the
@@ -303,6 +318,23 @@ object FeatureQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q194_category_encode" ->
+      """WITH counts AS (
+           SELECT source AS value, CAST(count(*) AS BIGINT) AS freq
+           FROM documents WHERE source IS NOT NULL
+           GROUP BY 1 HAVING count(*) >= 2),
+         ranked AS (
+           SELECT value,
+                  CAST(row_number() OVER (ORDER BY freq DESC, value) - 1
+                       AS INT) AS id
+           FROM counts QUALIFY id < 10),
+         k AS (SELECT CAST(count(*) AS INT) AS oov FROM ranked)
+         SELECT d.doc_id, d.source,
+                CAST(coalesce(r.id, k.oov) AS INT) AS source_id,
+                coalesce(r.id, k.oov) = k.oov AS source_id_is_oov
+         FROM documents d
+         LEFT JOIN ranked r ON r.value = d.source
+         CROSS JOIN k""",
     "q156_regex_golden" ->
       """SELECT kind, CAST(n_cases AS BIGINT) AS n_cases, TRUE AS all_pass
          FROM (VALUES

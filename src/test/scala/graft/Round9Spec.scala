@@ -296,6 +296,23 @@ class Round9Spec extends SparkSpec {
     assert(cells(df.repartition(7)) == g, "partitioning changed the result")
   }
 
+  test("CategoryEncoder: deterministic ids, min-freq to OOV, null to OOV") {
+    import graft.features.CategoryEncoder
+    val df = Seq("b", "b", "b", "a", "a", "a", "c", "c", "d", null)
+      .toDF("cat")
+    // freq ties (a=3, b=3) break by value: a -> 0, b -> 1; c -> 2;
+    // d (freq 1 < minFreq 2) and null -> OOV id 3
+    val mapping = CategoryEncoder.fit(df, "cat", maxSize = 10, minFreq = 2L)
+    assert(mapping.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      == Map("a" -> 0, "b" -> 1, "c" -> 2))
+    val enc = CategoryEncoder.encode(df, "cat", mapping, "cid")
+      .select("cat", "cid", "cid_is_oov").distinct().collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") ->
+        ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(enc == Map("a" -> ((0, false)), "b" -> ((1, false)),
+      "c" -> ((2, false)), "d" -> ((3, true)), "NULL" -> ((3, true))))
+  }
+
   test("mergeClusters: prior stars + delta pairs == from-scratch closure") {
     import graft.data.Dedup
     // history: components {1,2,3} (chain) and {4,5}; 6..8 singletons
