@@ -1185,6 +1185,28 @@ object CoreQueries {
           coalesce(col("n_step3"), lit(0L)).as("n_step3"))
     },
 
+    // 2-D Pareto front (skyline) — "cheapest part for its size class":
+    // non-dominated points under (minimize price, maximize size), WITHOUT
+    // the naive O(n²) dominance join: collapse to the price domain (max
+    // size per price, one hash agg), prefix-max over strictly lower prices,
+    // then a point is on the front iff it is its price's best AND beats
+    // every cheaper price's best. The only ordered pass runs on the
+    // COLLAPSED value domain (q184's discipline) — a global skyline
+    // genuinely needs one global order, but over distinct prices, not rows
+    "q197_pareto_front" -> { (s, dir) =>
+      val parts = t(s, dir, "part").select(col("p_partkey"), col("p_size"),
+        expr("CAST(floor(p_retailprice * 100) AS BIGINT)").as("price_c"))
+      val perPrice = parts.groupBy("price_c").agg(max("p_size").as("m"))
+      val w = Window.orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = perPrice.withColumn("cummax_prev", max("m").over(w))
+      parts.join(broadcast(cum), "price_c")
+        .select(col("p_partkey"), col("price_c"), col("p_size"),
+          (col("p_size") === col("m") &&
+           (col("cummax_prev").isNull || col("cummax_prev") < col("p_size")))
+            .as("on_front"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -1300,6 +1322,23 @@ object CoreQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q197_pareto_front" ->
+      """WITH parts AS (
+           SELECT p_partkey, p_size,
+                  CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c
+           FROM part),
+         pp AS (SELECT price_c, max(p_size) AS m FROM parts GROUP BY 1),
+         cm AS (
+           SELECT price_c, m,
+                  max(m) OVER (ORDER BY price_c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS cummax_prev
+           FROM pp)
+         SELECT p.p_partkey, p.price_c, p.p_size,
+                (p.p_size = c.m AND
+                 (c.cummax_prev IS NULL OR c.cummax_prev < p.p_size))
+                  AS on_front
+         FROM parts p JOIN cm c USING (price_c)""",
     "q196_funnel3" ->
       """WITH ev AS (
            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us

@@ -34,6 +34,63 @@ object CorpusQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_$name"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Corpus PROMOTION GATE — the composite go/no-go a curation pipeline
+    // runs before swapping "today's crawl" into the training mix, every
+    // sub-check a machine verdict in exact integer arithmetic:
+    //  - length drift: today's mean chars within ±10% of yesterday's,
+    //    compared by cross-multiplication (10·|sum_t·n_y − sum_y·n_t| ≤
+    //    sum_y·n_t), no division;
+    //  - mix concentration: today's top source ≤ 30% (ppm);
+    //  - novelty: ≤ 50% of today's docs have a text already in yesterday's
+    //    ledger (md5 equi-join, the q117 exact-dup shape);
+    //  - language-profile drift: every lang's share moves < 10 ppts
+    //    (|share_t − share_y| in ppm, full outer over the lang domain).
+    // Halves of the corpus stand in for the two crawls. One scan per side
+    // per sub-check, each collapsing to a scalar; verdicts AND into promote
+    "q199_promotion_gate" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val yest = docs.filter(col("doc_id") % 2 === 0).localCheckpoint()
+      val today = docs.filter(col("doc_id") % 2 =!= 0).localCheckpoint()
+      val ly = yest.agg(count(lit(1)).cast("long").as("n_y"),
+        sum("n_chars").cast("long").as("sum_y")).head()
+      val lt = today.agg(count(lit(1)).cast("long").as("n_t"),
+        sum("n_chars").cast("long").as("sum_t")).head()
+      val (nY, sumY, nT, sumT) =
+        (ly.getLong(0), ly.getLong(1), lt.getLong(0), lt.getLong(1))
+      val okLength = {
+        val a = BigInt(sumT) * BigInt(nY); val b = BigInt(sumY) * BigInt(nT)
+        (a - b).abs * 10 <= b
+      }
+      val topShare = today.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("c"))
+        .agg(expr(s"CAST((CAST(max(c) AS $d38) * 1000000) div sum(c) AS BIGINT)"))
+        .head().getLong(0)
+      val nSeen = today.join(
+        yest.select(col("text")).distinct(), Seq("text"), "left_semi").count()
+      val shares = (df: DataFrame, n: Long, cn: String) =>
+        df.groupBy("lang").agg(
+          expr(s"CAST((CAST(count(1) AS $d38) * 1000000) div $n AS BIGINT)")
+            .as(cn))
+      val maxLangDelta = shares(yest, nY, "sh_y")
+        .join(shares(today, nT, "sh_t"), Seq("lang"), "full_outer")
+        .agg(max(abs(coalesce(col("sh_t"), lit(0L)) -
+                     coalesce(col("sh_y"), lit(0L)))).cast("long"))
+        .head().getLong(0)
+      val okMix = topShare <= 300000L
+      val okNovel = nSeen * 2 <= nT
+      val okLangs = maxLangDelta < 100000L
+      val sp = s
+      import sp.implicits._
+      Seq((nY, nT, okLength, topShare, okMix, nSeen, okNovel, maxLangDelta,
+          okLangs, okLength && okMix && okNovel && okLangs))
+        .toDF("n_yesterday", "n_today", "ok_length", "top_share_ppm",
+          "ok_mix", "n_seen_before", "ok_novel", "max_lang_delta_ppm",
+          "ok_langs", "promote")
+    },
+
     "q64_jsonl_source" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
       val path = tmp("q64_jsonl")
@@ -258,6 +315,50 @@ object CorpusQueries {
         + len(regexp_extract_all($c, '[0-9]{6,}')) AS INT)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q199_promotion_gate" ->
+      """WITH yd AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         td AS (SELECT * FROM documents WHERE doc_id % 2 <> 0),
+         lm AS (
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM yd) AS n_y,
+                  (SELECT CAST(sum(n_chars) AS BIGINT) FROM yd) AS sum_y,
+                  (SELECT CAST(count(*) AS BIGINT) FROM td) AS n_t,
+                  (SELECT CAST(sum(n_chars) AS BIGINT) FROM td) AS sum_t),
+         tp AS (
+           SELECT CAST((CAST(max(c) AS HUGEINT) * 1000000) // sum(c)
+                       AS BIGINT) AS top_share_ppm
+           FROM (SELECT count(*) AS c FROM td GROUP BY source)),
+         seen AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_seen
+           FROM td WHERE text IN (SELECT text FROM yd)),
+         shy AS (
+           SELECT lang, CAST((CAST(count(*) AS HUGEINT) * 1000000) //
+                  (SELECT count(*) FROM yd) AS BIGINT) AS sh_y
+           FROM yd GROUP BY lang),
+         sht AS (
+           SELECT lang, CAST((CAST(count(*) AS HUGEINT) * 1000000) //
+                  (SELECT count(*) FROM td) AS BIGINT) AS sh_t
+           FROM td GROUP BY lang),
+         ld AS (
+           SELECT CAST(max(abs(coalesce(sh_t, 0) - coalesce(sh_y, 0)))
+                       AS BIGINT) AS max_lang_delta_ppm
+           FROM shy FULL OUTER JOIN sht USING (lang))
+         SELECT lm.n_y AS n_yesterday, lm.n_t AS n_today,
+                abs(CAST(lm.sum_t AS HUGEINT) * lm.n_y -
+                    CAST(lm.sum_y AS HUGEINT) * lm.n_t) * 10 <=
+                  CAST(lm.sum_y AS HUGEINT) * lm.n_t AS ok_length,
+                tp.top_share_ppm,
+                tp.top_share_ppm <= 300000 AS ok_mix,
+                seen.n_seen AS n_seen_before,
+                seen.n_seen * 2 <= lm.n_t AS ok_novel,
+                ld.max_lang_delta_ppm,
+                ld.max_lang_delta_ppm < 100000 AS ok_langs,
+                (abs(CAST(lm.sum_t AS HUGEINT) * lm.n_y -
+                     CAST(lm.sum_y AS HUGEINT) * lm.n_t) * 10 <=
+                   CAST(lm.sum_y AS HUGEINT) * lm.n_t)
+                  AND tp.top_share_ppm <= 300000
+                  AND seen.n_seen * 2 <= lm.n_t
+                  AND ld.max_lang_delta_ppm < 100000 AS promote
+         FROM lm, tp, seen, ld""",
     "q64_jsonl_source" ->
       """SELECT doc_id, lang, CAST(length(text) AS INT) AS n_chars_rt
          FROM documents""",

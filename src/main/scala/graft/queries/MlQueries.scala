@@ -268,6 +268,40 @@ object MlQueries {
           "all_null_rank_violations")
     },
 
+    // A/B experiment integrity + readout — hash assignment (md5, the
+    // replayable randomizer), a sample-ratio-mismatch gate in exact integers
+    // ((n0-n1)² ≤ z²·n with z = 4 — the cross-multiplied binomial bound, no
+    // sqrt, no chi-square doubles), and per-arm metric means. Assignment is
+    // USER-level (all of a user's events share the arm — the unit of
+    // randomization), means are event-level. Two hash aggs + a 1-row cross
+    "q198_ab_srm_gate" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("value_u"))
+        .withColumn("arm", expr(
+          """CAST(conv(substring(md5(CAST(concat('arm|',
+             CAST(user_id AS STRING)) AS BINARY)), 1, 12), 16, 10)
+             AS BIGINT) % 2"""))
+      val u = ev.select("user_id", "arm").distinct().agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("n_arm0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("n_arm1"))
+      val m = ev.agg(
+        expr(s"""CAST(CAST(sum(CASE WHEN arm = 0 THEN value_u ELSE 0 END)
+                 AS $d38) div nullif(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END),
+                 0) AS BIGINT)""").as("mean0_u"),
+        expr(s"""CAST(CAST(sum(CASE WHEN arm = 1 THEN value_u ELSE 0 END)
+                 AS $d38) div nullif(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END),
+                 0) AS BIGINT)""").as("mean1_u"))
+      u.crossJoin(m).select(
+        (col("n_arm0") + col("n_arm1")).as("n_users"),
+        col("n_arm0"), col("n_arm1"),
+        ((col("n_arm0") - col("n_arm1")) * (col("n_arm0") - col("n_arm1")) <=
+          lit(16L) * (col("n_arm0") + col("n_arm1"))).as("srm_ok"),
+        col("mean0_u"), col("mean1_u"),
+        (col("mean1_u") - col("mean0_u")).as("diff_u"))
+    },
+
     // Inter-annotator agreement (Cohen's kappa) per language — the label-
     // quality gate a supervised-data pipeline runs before trusting a
     // labeling pass. The two "annotators" here are deterministic quality
@@ -334,6 +368,36 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q198_ab_srm_gate" ->
+      """WITH ev AS (
+           SELECT user_id,
+                  CAST(floor(value * 1000000) AS BIGINT) AS value_u,
+                  CAST(concat('0x', substr(md5(concat('arm|',
+                       CAST(user_id AS VARCHAR))), 1, 12)) AS UBIGINT) % 2
+                    AS arm
+           FROM events WHERE value IS NOT NULL),
+         u AS (
+           SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_arm0,
+                  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_arm1
+           FROM (SELECT DISTINCT user_id, arm FROM ev)),
+         m AS (
+           SELECT CAST(CAST(sum(CASE WHEN arm = 0 THEN value_u ELSE 0 END)
+                       AS HUGEINT) //
+                       nullif(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS mean0_u,
+                  CAST(CAST(sum(CASE WHEN arm = 1 THEN value_u ELSE 0 END)
+                       AS HUGEINT) //
+                       nullif(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS mean1_u
+           FROM ev)
+         SELECT CAST(n_arm0 + n_arm1 AS BIGINT) AS n_users, n_arm0, n_arm1,
+                (n_arm0 - n_arm1) * (n_arm0 - n_arm1) <= 16 * (n_arm0 + n_arm1)
+                  AS srm_ok,
+                mean0_u, mean1_u,
+                CAST(mean1_u - mean0_u AS BIGINT) AS diff_u
+         FROM u CROSS JOIN m""",
     "q179_annotator_kappa" ->
       """WITH d AS (
            SELECT lang, n_chars >= 300 AS ra,
