@@ -158,9 +158,15 @@ object Knn {
     * the same DataFrame (self-join for near-dup); self-pairs are skipped when
     * `excludeSelf`.
     */
+  /** `maxScore` bounds admitted cosines from ABOVE (exclusive): the
+    * hard-negative mining band — "most similar targets that are NOT
+    * near-duplicates" — as a kernel-side filter, so excluded candidates
+    * never occupy top-k slots. Default admits everything.
+    */
   def bruteForceTopK(queries: DataFrame, targets: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     excludeSelf: Boolean = false): DataFrame = {
+                     excludeSelf: Boolean = false,
+                     maxScore: Double = Double.MaxValue): DataFrame = {
     val packed = packVecs(targets, idCol, vecCol)
     val bc = graft.BroadcastLifecycle.track(queries.sparkSession.sparkContext.broadcast(packed))
 
@@ -189,7 +195,8 @@ object Knn {
             while (dd < qLen) { dot += q(dd).toDouble * tData(off + dd).toDouble; dd += 1 }
             val denom = qNorm * tNorms(ti)
             val s = if (denom == 0.0) 0.0 else round9(dot / denom)
-            nBest = TopKBuffer.insert(bestS, bestT, nBest, k, tIds, s, ti)
+            if (s < maxScore)
+              nBest = TopKBuffer.insert(bestS, bestT, nBest, k, tIds, s, ti)
           }
           ti += 1
         }

@@ -112,6 +112,26 @@ object BinaryMedia {
     BmpImage(width, height, bgr)
   }
 
+  /** Decode-or-quarantine triage — the ingest-time contract a production
+    * media pipeline needs: a corrupt payload becomes an (is_valid, reason)
+    * verdict ROW, never an exception that kills the 100 TB job's task. The
+    * strict decoder's `require`s are the validity oracle; the catch turns
+    * them into data. Map-side over the pruned (id, media) projection.
+    */
+  def validateBmp(media: DataFrame, idCol: String = "media_id",
+                  binCol: String = "media"): DataFrame = {
+    val check = udf { (bytes: Array[Byte]) =>
+      try { val img = decodeBmp(bytes); (true, s"${img.width}x${img.height}") }
+      catch { case e: IllegalArgumentException =>
+        (false, Option(e.getMessage).getOrElse("decode failed").take(80))
+      }
+    }
+    media.select(col(idCol), col(binCol))
+      .withColumn("__v", check(col(binCol)))
+      .select(col(idCol), col("__v._1").as("is_valid"),
+        col("__v._2").as("reason"))
+  }
+
   /** Nearest-neighbour resample (the classic integer mapping
     * src = floor(dst * srcDim / dstDim)).
     */

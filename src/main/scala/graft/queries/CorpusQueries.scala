@@ -91,6 +91,33 @@ object CorpusQueries {
           "ok_langs", "promote")
     },
 
+    // Largest-remainder (Hamilton) sample allocation — the integer
+    // apportionment a stratified sampler needs: 1000 slots split across
+    // languages exactly proportionally, floor quotas first, the leftover
+    // seats to the largest remainders (ties by lang) — Σ alloc == budget by
+    // construction, no float rounding drift ever. Lang-domain-sized frames
+    // throughout; the one ordered pass ranks ≤ |langs| rows
+    "q202_largest_remainder" -> { (s, dir) =>
+      val total = 1000L
+      val cnt = t(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      val tot = cnt.agg(sum("n_docs").cast("long").as("n_total"))
+      val base = cnt.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($total * n_docs) div n_total"))
+        .withColumn("remainder", expr(s"($total * n_docs) % n_total"))
+      val leftover = base.agg((lit(total) - sum("base")).cast("long")
+        .as("leftover"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("remainder").desc, col("lang"))
+      base.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(w))
+        .select(col("lang"), col("n_docs"),
+          col("base").cast("long").as("base"),
+          col("remainder").cast("long").as("remainder"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .cast("long").as("alloc"))
+    },
+
     "q64_jsonl_source" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
       val path = tmp("q64_jsonl")
@@ -315,6 +342,24 @@ object CorpusQueries {
         + len(regexp_extract_all($c, '[0-9]{6,}')) AS INT)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q202_largest_remainder" ->
+      """WITH cnt AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM cnt),
+         b AS (
+           SELECT lang, n_docs,
+                  CAST((1000 * n_docs) // n_total AS BIGINT) AS base,
+                  CAST((1000 * n_docs) % n_total AS BIGINT) AS remainder
+           FROM cnt CROSS JOIN tot),
+         l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM b),
+         r AS (SELECT *, row_number() OVER (ORDER BY remainder DESC, lang)
+                      AS rk
+               FROM b)
+         SELECT lang, n_docs, base, remainder,
+                CAST(base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
+                     AS BIGINT) AS alloc
+         FROM r CROSS JOIN l""",
     "q199_promotion_gate" ->
       """WITH yd AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
          td AS (SELECT * FROM documents WHERE doc_id % 2 <> 0),

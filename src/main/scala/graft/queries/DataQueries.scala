@@ -718,6 +718,40 @@ object DataQueries {
           (col("bb") === col("src")).as("is_mutual"))
     },
 
+    // Decode-failure QUARANTINE — the media-ingest triage: a deterministic
+    // ~1/13 of the synthesized BMPs are truncated to 40 bytes (below the
+    // 54-byte header floor, so the strict decoder MUST reject them), and
+    // the validate pass turns every corrupt payload into a verdict row
+    // instead of a dead task. Per-language report; the corrupt rule is
+    // id-derived, so DuckDB replays the exact quarantine counts — the
+    // decoder's accept/reject boundary is the thing under test
+    "q200_media_quarantine" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val media = BinaryMedia.imageFromText(docs, "doc_id", "text", width = 16)
+        .withColumn("media", when(col("media_id") % 13 === 0,
+          expr("substring(media, 1, 40)")).otherwise(col("media")))
+      BinaryMedia.validateBmp(media)
+        .join(docs.select(col("doc_id").as("media_id"), col("lang")),
+          "media_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("is_valid"), 1L).otherwise(0L)).cast("long")
+            .as("n_valid"),
+          sum(when(!col("is_valid"), 1L).otherwise(0L)).cast("long")
+            .as("n_quarantined"))
+    },
+
+    // Hard-negative mining for contrastive embedding training — "the most
+    // similar targets that are NOT near-duplicates": the q43 exact kernel
+    // with the near-dup band (cosine >= 0.35, q52's positive threshold)
+    // excluded INSIDE the kernel, so dup-band candidates never occupy top-k
+    // slots. Same broadcast/packed-array plan as q43; full SQL replay
+    "q201_hard_negatives" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Knn.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, k = 3,
+        excludeSelf = true, maxScore = 0.35)
+    },
+
     // PCA-prep Gram matrix over the embedding column — G = Σ v·vᵀ, the d×d
     // second moment an embedding pipeline whitens/projects with. Components
     // floored to 1e-6 integers, so every cell is an exact integer sum the
@@ -1374,6 +1408,24 @@ object DataQueries {
           FROM best a
           JOIN (SELECT src AS best_id, best_id AS bb FROM best) b
             USING (best_id)"""),
+    "q200_media_quarantine" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END)
+                     AS BIGINT) AS n_valid,
+                CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_quarantined
+         FROM documents GROUP BY lang""",
+    "q201_hard_negatives" ->
+      """SELECT query_id, target_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                  round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) AS cosine,
+                  CAST(row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) DESC,
+                                t.vec_id) AS INT) AS rank
+           FROM embeddings q CROSS JOIN embeddings t
+           WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id
+             AND round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) < 0.35)
+         WHERE rank <= 3""",
     "q187_gram_matrix" ->
       """WITH c AS (
            SELECT vec_id, CAST(t.i AS INT) AS i,

@@ -308,4 +308,48 @@ class PlanShapeSpec extends SparkSpec {
       count(plan) { case _: ReusedExchangeExec => } >= 2,
       s"both alive sides must ship by broadcast:\n$plan")
   }
+
+  test("range-shard assignment is map-only (boundaries are literals, no exchange)") {
+    import graft.data.RangeShard
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    // boundaries() runs its own agg eagerly; the ASSIGNMENT plan — what runs
+    // over the 100 TB scan — must then be a pure projection
+    val bounds = RangeShard.boundaries(df, "o_totalprice", 8)
+    val plan = staticPlan(RangeShard.assign(df, "o_totalprice", bounds))
+    assert(count(plan) { case _: ShuffleExchangeExec => } == 0,
+      s"shard assignment must not shuffle:\n$plan")
+    assert(count(plan) { case _: BroadcastExchangeExec => } == 0,
+      s"literal boundary fold needs no broadcast either:\n$plan")
+  }
+
+  test("cms estimate: counters broadcast, one shuffle (the key min-agg)") {
+    import graft.data.CmsStore
+    val tmp = System.getProperty("java.io.tmpdir")
+    val path = s"$tmp/graft_plan_cms"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+    val rows = Seq(("2024-05-01 00:00:00", 1L), ("2024-05-01 01:00:00", 2L))
+      .toDF("ts", "k").select(col("ts").cast("timestamp").as("ts"), col("k"))
+    CmsStore.appendDaily(rows, "ts", "k", path, overwrite = true)
+    val keys = Seq(1L, 2L, 3L).toDF("key")
+    val plan = staticPlan(
+      CmsStore.estimate(keys, CmsStore.mergedCounters(spark, path)))
+    assert(count(plan) { case _: BroadcastExchangeExec => } == 1,
+      s"the counter table must ship by broadcast:\n$plan")
+    // shuffles: the counter-table merge agg + the final per-key min-agg.
+    // the PROBE side (the 100 TB-side scan) must reach the join unshuffled,
+    // which the join being a broadcast join already enforces
+    assert(count(plan) { case _: ShuffleExchangeExec => } <= 2,
+      s"probe path must not add shuffles beyond the two aggs:\n$plan")
+  }
+
+  test("gram matrix: one shuffle total (the d2-sized partial merge)") {
+    import graft.ann.Gram
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val plan = staticPlan(Gram.gramUpper(df, "embedding"))
+    assert(count(plan) { case _: ShuffleExchangeExec => } == 1,
+      s"only the d²-sized partial merge may shuffle:\n$plan")
+    assert(count(plan) { case _: WindowExec => } == 0)
+  }
 }
