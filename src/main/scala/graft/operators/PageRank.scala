@@ -38,9 +38,17 @@ object PageRank {
 
   /** Ranks after `iterations` synchronous steps over the distinct edge set.
     * Output: (node LONG, rank_fp LONG) — rank in millionths.
+    *
+    * `initRanks` resumes from a PREVIOUS run's output (node, rank_fp) — the
+    * preemption-recovery contract an iterative job needs on spot capacity:
+    * because every step is integer arithmetic, k iterations then m more
+    * from the saved state are BIT-IDENTICAL to k+m straight (no accumulated
+    * float drift to re-converge), which q203 proves against the same
+    * unrolled-CTE oracle as the straight run.
     */
   def fixedPointRanks(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5, dampingPpm: Long = 850000L): DataFrame = {
+      iterations: Int = 5, dampingPpm: Long = 850000L,
+      initRanks: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100], got $iterations")
     require(dampingPpm > 0 && dampingPpm < Scale,
@@ -62,7 +70,11 @@ object PageRank {
         "shard the graph or use a float formulation")
 
     val base = Scale - dampingPpm
-    var ranks = nodes.withColumn("rank_fp", lit(Scale))
+    var ranks = initRanks match {
+      case Some(r) => r.select(col("node").cast("long").as("node"),
+        col("rank_fp").cast("long").as("rank_fp"))
+      case None => nodes.withColumn("rank_fp", lit(Scale))
+    }
     for (_ <- 1 to iterations) {
       val inc = withDeg.join(ranks, col("src") === col("node"))
         .select(col("dst").as("node"),

@@ -364,6 +364,56 @@ object CoreQueries {
         .select(col("node").as("part_key"), col("rank_fp"))
     },
 
+    // CHECKPOINT/RESUME contract for the iterative tier — the
+    // preemption-recovery guarantee a 100 TB graph job needs on spot
+    // capacity: 3 iterations, state frozen (the stand-in for a parquet
+    // checkpoint), then 2 more resumed from it — and because every step is
+    // integer arithmetic there is NO float drift to re-converge, so the
+    // oracle is q125's straight 5-iteration unroll, bit-for-bit
+    "q203_pagerank_resume" -> { (s, dir) =>
+      val edges = graft.operators.Graphs.coPurchaseEdges(t(s, dir, "lineitem"))
+      val mid = graft.operators.PageRank.fixedPointRanks(edges, "src", "dst",
+        iterations = 3).localCheckpoint()
+      graft.operators.PageRank.fixedPointRanks(edges, "src", "dst",
+          iterations = 2, initRanks = Some(mid))
+        .select(col("node").as("part_key"), col("rank_fp"))
+    },
+
+    // Linear-interpolation imputation (lerp gap fill) — q134's step fill
+    // upgraded: a missing day's value is interpolated between its nearest
+    // observed neighbours, exactly — value = prev + (Δv · days_since) div
+    // gap_days, all integers (both engines truncate toward zero). Gaps are
+    // simulated by dropping day%3==0 observations; the grid is per-type
+    // min..max of the OBSERVED days, so interior nulls always have both
+    // neighbours. Two ignoreNulls windows over the calendar-bounded grid
+    "q204_lerp_impute" -> { (s, dir) =>
+      val observed = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)")
+          .as("sum_u"))
+        .filter(dayofmonth(col("day")) % 3 =!= 0)
+      val grid = observed.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val joined = grid.join(observed, Seq("event_type", "day"), "left")
+        .withColumn("vday", when(col("sum_u").isNotNull, col("day")))
+      val prevW = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nextW = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      joined
+        .withColumn("prev_u", last(col("sum_u"), ignoreNulls = true).over(prevW))
+        .withColumn("prev_d", last(col("vday"), ignoreNulls = true).over(prevW))
+        .withColumn("next_u", first(col("sum_u"), ignoreNulls = true).over(nextW))
+        .withColumn("next_d", first(col("vday"), ignoreNulls = true).over(nextW))
+        .select(col("event_type"), col("day"),
+          col("sum_u").isNull.as("is_imputed"),
+          when(col("sum_u").isNotNull, col("sum_u")).otherwise(expr(
+            """prev_u + ((next_u - prev_u) * datediff(day, prev_d))
+               div datediff(next_d, prev_d)""")).cast("long").as("value_u"))
+    },
+
     // semi-structured JSON extraction from the event props column — the
     // row-level payload-parsing op every event pipeline needs; stays inside
     // whole-stage codegen (get_json_object is a native expression, no UDF)
@@ -1736,6 +1786,47 @@ object CoreQueries {
          FROM top CROSS JOIN summary""",
     "q150_kcore" -> kcoreSql,
     "q125_pagerank" -> pagerankSql,
+    // resume-from-checkpoint must reproduce the straight run bit-for-bit
+    "q203_pagerank_resume" -> pagerankSql,
+    "q204_lerp_impute" ->
+      """WITH obs0 AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                    AS sum_u
+           FROM events GROUP BY 1, 2),
+         obs AS (SELECT * FROM obs0 WHERE extract(day FROM day) % 3 <> 0),
+         grid AS (
+           SELECT event_type, unnest(generate_series(min(day), max(day),
+                  INTERVAL 1 DAY))::DATE AS day
+           FROM obs GROUP BY event_type),
+         j AS (
+           SELECT g.event_type, g.day, o.sum_u,
+                  CASE WHEN o.sum_u IS NOT NULL THEN g.day END AS vday
+           FROM grid g LEFT JOIN obs o USING (event_type, day)),
+         w AS (
+           SELECT event_type, day, sum_u,
+                  last_value(sum_u IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS prev_u,
+                  last_value(vday IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS prev_d,
+                  first_value(sum_u IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS next_u,
+                  first_value(vday IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS next_d
+           FROM j)
+         SELECT event_type, day, sum_u IS NULL AS is_imputed,
+                CAST(CASE WHEN sum_u IS NOT NULL THEN sum_u
+                     ELSE prev_u + ((next_u - prev_u) *
+                          date_diff('day', prev_d, day)) //
+                          date_diff('day', prev_d, next_d)
+                     END AS BIGINT) AS value_u
+         FROM w""",
     "q148_label_propagation" -> labelPropSql,
     // floor() on both sides: Spark cast-to-long truncates while DuckDB's
     // CAST rounds; explicit floor removes the dependence on quantities
