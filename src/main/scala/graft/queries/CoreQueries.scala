@@ -1257,6 +1257,56 @@ object CoreQueries {
             .as("on_front"))
     },
 
+    // Bot/abuse screen — the trust-and-safety triage over behavioral
+    // cadence: per user, inter-event gaps (one lag window over a total
+    // order), the exact floored median gap, total span, and an events-per-
+    // hour rate in integer thousandths (cross-multiplied, NULL for
+    // single-event users) — then a replayable is_suspect verdict on
+    // (median gap, volume). One window + one hash agg; every number an
+    // integer the oracle recomputes
+    "q205_bot_screen" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          floor(percentile(col("gap_us"), lit(0.5))).cast("long")
+            .as("median_gap_us"),
+          (max("ts_us") - min("ts_us")).cast("long").as("span_us"))
+        .withColumn("rate_per_hour_x1000", expr(
+          s"""CAST((CAST(n_events AS $d38) * 3600000000 * 1000)
+              div nullif(span_us, 0) AS BIGINT)"""))
+        .withColumn("is_suspect",
+          col("median_gap_us") < 6L * 3600L * 1000000L && col("n_events") >= 50L)
+    },
+
+    // Transition-latency report (view → next click per user, the UX
+    // funnel-latency distribution): forward as-of attaches the next click,
+    // latencies grouped by day with exact floored p50/p90 — the
+    // percentile discipline of q170 over the as-of plan of q96. One as-of
+    // + one hash agg over day-bounded groups
+    "q206_transition_latency" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          to_date(col("ts")).as("day"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_us").agg(count(lit(1)).as("__c"))
+        .withColumn("click_ts", col("ts_us")).drop("__c")
+      graft.operators.AsofJoin.forward(views, clicks,
+          Seq("user_id"), "ts_us", "ts_us", Seq("click_ts"))
+        .filter(col("click_ts_asof").isNotNull)
+        .withColumn("lat_us", col("click_ts_asof") - col("ts_us"))
+        .groupBy("day")
+        .agg(count(lit(1)).cast("long").as("n_transitions"),
+          floor(percentile(col("lat_us"), lit(0.5))).cast("long").as("p50_us"),
+          floor(percentile(col("lat_us"), lit(0.9))).cast("long").as("p90_us"),
+          max("lat_us").cast("long").as("max_us"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -1372,6 +1422,44 @@ object CoreQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q205_bot_screen" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         g AS (
+           SELECT user_id,
+                  ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS gap_us,
+                  ts_us
+           FROM ev),
+         a AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(floor(quantile_cont(gap_us, 0.5)) AS BIGINT)
+                    AS median_gap_us,
+                  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us
+           FROM g GROUP BY 1)
+         SELECT user_id, n_events, median_gap_us, span_us,
+                CAST((CAST(n_events AS HUGEINT) * 3600000000 * 1000) //
+                     nullif(span_us, 0) AS BIGINT) AS rate_per_hour_x1000,
+                (median_gap_us < 21600000000 AND n_events >= 50)
+                  AS is_suspect
+         FROM a""",
+    "q206_transition_latency" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS ts_us
+           FROM events),
+         v AS (SELECT event_id, user_id, ts_us, CAST(ts AS DATE) AS day
+               FROM ev WHERE event_type = 'view'),
+         c AS (SELECT DISTINCT user_id, ts_us AS cts FROM ev
+               WHERE event_type = 'click'),
+         j AS (
+           SELECT v.day, min(c.cts) - v.ts_us AS lat_us
+           FROM v JOIN c ON c.user_id = v.user_id AND c.cts >= v.ts_us
+           GROUP BY v.day, v.event_id, v.ts_us)
+         SELECT day, CAST(count(*) AS BIGINT) AS n_transitions,
+                CAST(floor(quantile_cont(lat_us, 0.5)) AS BIGINT) AS p50_us,
+                CAST(floor(quantile_cont(lat_us, 0.9)) AS BIGINT) AS p90_us,
+                CAST(max(lat_us) AS BIGINT) AS max_us
+         FROM j GROUP BY day""",
     "q197_pareto_front" ->
       """WITH parts AS (
            SELECT p_partkey, p_size,
