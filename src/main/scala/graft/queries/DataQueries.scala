@@ -637,6 +637,60 @@ object DataQueries {
         .agg(count(lit(1)).cast("long").as("n_pairs"))
     },
 
+    // Cross-tab association lift — the corpus-bias detector: for every
+    // (lang, source) cell, observed count vs the independence expectation,
+    // as an integer lift obs·N·1000 div (rowsum·colsum). Lift far from
+    // 1000 means a source is feeding one language disproportionately —
+    // the mix-design signal a curation pipeline acts on. Three shrinking
+    // hash aggs + two broadcast margin joins; every number exact
+    "q207_crosstab_lift" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val docs = t(s, dir, "documents")
+      val cell = docs.groupBy("lang", "source")
+        .agg(count(lit(1)).cast("long").as("obs"))
+      val rowm = docs.groupBy("lang").agg(count(lit(1)).cast("long").as("n_lang"))
+      val colm = docs.groupBy("source").agg(count(lit(1)).cast("long").as("n_source"))
+      val tot = docs.agg(count(lit(1)).cast("long").as("n_total"))
+      cell.join(broadcast(rowm), "lang").join(broadcast(colm), "source")
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("obs"),
+          col("n_lang"), col("n_source"),
+          expr(s"""CAST((CAST(obs AS $d38) * n_total * 1000)
+                   div (CAST(n_lang AS $d38) * n_source) AS BIGINT)""")
+            .as("lift_x1000"))
+    },
+
+    // Referential-integrity audit over the star schema — the FK health
+    // report a warehouse runs before trusting joins: per relationship, row
+    // count, NULL-key count, and ORPHAN count (left-anti against the
+    // dimension). Orphan checks are anti-joins that broadcast the smaller
+    // key side; each audit row is one scan + one join, unioned into a
+    // relationship-sized report
+    "q208_fk_integrity" -> { (s, dir) =>
+      def audit(name: String, fact: DataFrame, key: String,
+                dim: DataFrame, dimKey: String): DataFrame = {
+        val keys = dim.select(col(dimKey).as(key)).distinct()
+        val nulls = fact.filter(col(key).isNull).count()
+        val orphans = fact.filter(col(key).isNotNull)
+          .join(keys, Seq(key), "left_anti").count()
+        val n = fact.count()
+        val sp = fact.sparkSession
+        import sp.implicits._
+        Seq((name, n, nulls, orphans, nulls == 0L && orphans == 0L))
+          .toDF("relationship", "n_rows", "n_null_fk", "n_orphans", "ok")
+      }
+      audit("orders->customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey")
+        .unionByName(audit("lineitem->orders", t(s, dir, "lineitem"),
+          "l_orderkey", t(s, dir, "orders"), "o_orderkey"))
+        .unionByName(audit("lineitem->part", t(s, dir, "lineitem"),
+          "l_partkey", t(s, dir, "part"), "p_partkey"))
+        .unionByName(audit("lineitem->supplier", t(s, dir, "lineitem"),
+          "l_suppkey", t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(audit("customer->nation", t(s, dir, "customer"),
+          "c_nationkey", t(s, dir, "nation"), "n_nationkey"))
+    },
+
     // corpus-mix diversity report — the "is one mirror swallowing the mix"
     // gate a curation run checks per language: source count, the top
     // source's share, and the Gini–Simpson index 1 - Σ p_i², all in exact
@@ -903,6 +957,26 @@ object DataQueries {
     * config, which is also benched for kernel-vs-brute-force comparison).
     */
   val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q183/q195 correctness forms recompute the exact side in-query (oracle
+    // code); production is build-store + probe/roll only
+    "q183_cms_store" -> { (s, dir) =>
+      import graft.data.CmsStore
+      val ev = t(s, dir, "events").select(col("ts"), col("user_id"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q183b_" +
+        s.sparkContext.applicationId
+      CmsStore.appendDaily(ev, "ts", "user_id", path, overwrite = true)
+      CmsStore.estimate(ev.select(col("user_id").as("key")).distinct(),
+        CmsStore.mergedCounters(s, path))
+    },
+    "q195_rolling_distinct" -> { (s, dir) =>
+      import graft.data.SketchStore
+      val ev = t(s, dir, "events").select(col("ts"), col("user_id"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q195b_" +
+        s.sparkContext.applicationId
+      SketchStore.writeDailySketches(ev, "ts", "user_id", path,
+        overwrite = true)
+      SketchStore.rollingEstimate(s, path, windowDays = 7)
+    },
     "q41_minhash_lsh_pairs" -> { (s, dir) =>
       Dedup.minHashLshPairs(doubledDocs(s, dir), "text", "doc_id",
         k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
@@ -1460,6 +1534,85 @@ object DataQueries {
                 (lag(max_v) OVER (ORDER BY shard) IS NULL OR
                  lag(max_v) OVER (ORDER BY shard) <= min_v) AS no_overlap
          FROM m""",
+    "q207_crosstab_lift" ->
+      """WITH cell AS (
+           SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+           FROM documents GROUP BY 1, 2),
+         rowm AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+                  FROM documents GROUP BY 1),
+         colm AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
+                  FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+         SELECT c.lang, c.source, c.obs, r.n_lang, m.n_source,
+                CAST((CAST(c.obs AS HUGEINT) * t.n_total * 1000) //
+                     (CAST(r.n_lang AS HUGEINT) * m.n_source) AS BIGINT)
+                  AS lift_x1000
+         FROM cell c
+         JOIN rowm r USING (lang)
+         JOIN colm m USING (source)
+         CROSS JOIN tot t""",
+    "q208_fk_integrity" ->
+      """SELECT 'orders->customer' AS relationship,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders
+                 WHERE o_custkey IS NULL) AS n_null_fk,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders
+                 WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+                   (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+                  AS n_orphans,
+                (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0 AND
+                (SELECT count(*) FROM orders
+                 WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+                   (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+                  = 0 AS ok
+         UNION ALL
+         SELECT 'lineitem->orders',
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                 WHERE l_orderkey IS NULL),
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                 WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+                   (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)),
+                (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) = 0 AND
+                (SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+                   (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)) = 0
+         UNION ALL
+         SELECT 'lineitem->part',
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                 WHERE l_partkey IS NULL),
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                 WHERE l_partkey IS NOT NULL AND l_partkey NOT IN
+                   (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)),
+                (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL) = 0 AND
+                (SELECT count(*) FROM lineitem
+                 WHERE l_partkey IS NOT NULL AND l_partkey NOT IN
+                   (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)) = 0
+         UNION ALL
+         SELECT 'lineitem->supplier',
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                 WHERE l_suppkey IS NULL),
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                 WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN
+                   (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL)),
+                (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL) = 0 AND
+                (SELECT count(*) FROM lineitem
+                 WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN
+                   (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL)) = 0
+         UNION ALL
+         SELECT 'customer->nation',
+                (SELECT CAST(count(*) AS BIGINT) FROM customer),
+                (SELECT CAST(count(*) AS BIGINT) FROM customer
+                 WHERE c_nationkey IS NULL),
+                (SELECT CAST(count(*) AS BIGINT) FROM customer
+                 WHERE c_nationkey IS NOT NULL AND c_nationkey NOT IN
+                   (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)),
+                (SELECT count(*) FROM customer WHERE c_nationkey IS NULL) = 0 AND
+                (SELECT count(*) FROM customer
+                 WHERE c_nationkey IS NOT NULL AND c_nationkey NOT IN
+                   (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)) = 0""",
     "q177_source_diversity" ->
       """WITH cs AS (
            SELECT lang, source, CAST(count(*) AS BIGINT) AS c
