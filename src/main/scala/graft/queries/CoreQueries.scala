@@ -1307,6 +1307,33 @@ object CoreQueries {
           max("lat_us").cast("long").as("max_us"))
     },
 
+    // Linear (equal-credit) attribution — the marketing-science complement
+    // of q96/q196's first-touch funnels: every click in the 24 h window
+    // before a purchase shares the conversion credit equally, credit_ppm =
+    // 1e6 div n_clicks (integer, sums to ≤ 1e6 per conversion with the
+    // truncation remainder explicit, never float-split). Per-user
+    // equi-join + window containment — per-key fan-out bounded by a user's
+    // own activity; the q127 binned interval join is the swap-in when a
+    // single key's history is unbounded
+    "q209_linear_attribution" -> { (s, dir) =>
+      val window = 24L * 3600L * 1000000L
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("pts"))
+      val w = Window.partitionBy("purchase_id")
+      purchases.join(clicks, Seq("user_id"))
+        .filter(col("cts") < col("pts") && col("cts") >= col("pts") - window)
+        .withColumn("n_clicks", count(lit(1)).over(w).cast("long"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("n_clicks"),
+          expr("CAST(1000000 div n_clicks AS BIGINT)").as("credit_ppm"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -1422,6 +1449,24 @@ object CoreQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q209_linear_attribution" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         c AS (SELECT user_id, event_id AS click_id, ts_us AS cts FROM ev
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts_us AS pts FROM ev
+               WHERE event_type = 'purchase'),
+         j AS (
+           SELECT p.user_id, p.purchase_id, c.click_id
+           FROM p JOIN c ON c.user_id = p.user_id
+             AND c.cts < p.pts AND c.cts >= p.pts - 86400000000)
+         SELECT user_id, purchase_id, click_id,
+                CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+                  AS n_clicks,
+                CAST(1000000 // (count(*) OVER (PARTITION BY purchase_id))
+                     AS BIGINT) AS credit_ppm
+         FROM j""",
     "q205_bot_screen" ->
       """WITH ev AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

@@ -268,6 +268,33 @@ object MlQueries {
           "all_null_rank_violations")
     },
 
+    // Coverage-guaranteed eval split — the stratified test-set builder
+    // that promises "every (lang, source) cell is represented": each
+    // cell's md5-min document is guaranteed in, then the budget (100) is
+    // topped up by global hash rank over the rest via orderBy+limit
+    // (TakeOrdered — k rows to the driver merge, never a 1-partition
+    // window over the corpus). Fully deterministic, so the whole
+    // membership is replayable row-for-row
+    "q210_coverage_split" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("h", md5(concat(lit("cov|"), col("doc_id").cast("string"))))
+      val wc = Window.partitionBy("lang", "source").orderBy("h", "doc_id")
+      val marked = docs.withColumn("cell_rn", row_number().over(wc))
+        .withColumn("is_cell_guarantee", col("cell_rn") === 1)
+        .localCheckpoint()
+      val fill = math.max(0L,
+        100L - marked.filter(col("is_cell_guarantee")).count()).toInt
+      val fills = marked.filter(!col("is_cell_guarantee"))
+        .orderBy("h", "doc_id").limit(fill)
+        .select(col("doc_id"), lit(true).as("is_fill"))
+      marked.join(fills, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("is_cell_guarantee"),
+          (col("is_cell_guarantee") || coalesce(col("is_fill"), lit(false)))
+            .as("in_eval"))
+    },
+
     // A/B experiment integrity + readout — hash assignment (md5, the
     // replayable randomizer), a sample-ratio-mismatch gate in exact integers
     // ((n0-n1)² ≤ z²·n with z = 4 — the cross-multiplied binomial bound, no
@@ -368,6 +395,27 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q210_coverage_split" ->
+      """WITH d AS (
+           SELECT doc_id, lang, source,
+                  md5('cov|' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         m AS (
+           SELECT *, row_number() OVER (PARTITION BY lang, source
+                  ORDER BY h, doc_id) = 1 AS is_cell_guarantee
+           FROM d),
+         c AS (
+           SELECT CAST(sum(CASE WHEN is_cell_guarantee THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n
+           FROM m),
+         f AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) AS grn
+             FROM m WHERE NOT is_cell_guarantee) sub
+           CROSS JOIN c WHERE grn <= greatest(100 - c.n, 0))
+         SELECT m.doc_id, m.lang, m.source, m.is_cell_guarantee,
+                (m.is_cell_guarantee OR f.doc_id IS NOT NULL) AS in_eval
+         FROM m LEFT JOIN f USING (doc_id)""",
     "q198_ab_srm_gate" ->
       """WITH ev AS (
            SELECT user_id,

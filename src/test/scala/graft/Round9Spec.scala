@@ -313,6 +313,46 @@ class Round9Spec extends SparkSpec {
       "c" -> ((2, false)), "d" -> ((3, true)), "NULL" -> ((3, true))))
   }
 
+  test("PageRank resume: k + m iterations from saved state == k+m straight") {
+    import graft.operators.PageRank
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val straight = PageRank.fixedPointRanks(edges, "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mid = PageRank.fixedPointRanks(edges, "src", "dst", iterations = 3)
+      .localCheckpoint()
+    val resumed = PageRank.fixedPointRanks(edges, "src", "dst",
+        iterations = 2, initRanks = Some(mid))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == straight, s"resumed $resumed != straight $straight")
+  }
+
+  test("lerp imputation: hand-computed interior fill, truncation toward zero") {
+    // observed: day 1 -> 100, day 4 -> 10; missing days 2, 3 interpolate
+    // 100 + (-90 * k) div 3 for k = 1, 2 -> 70, 40
+    val obs = Seq(("2024-06-01", 100L), ("2024-06-04", 10L))
+      .toDF("day", "sum_u").select(col("day").cast("date").as("day"),
+        col("sum_u"))
+    val grid = spark.sql(
+      "SELECT explode(sequence(DATE'2024-06-01', DATE'2024-06-04')) AS day")
+    val j = grid.join(obs, Seq("day"), "left")
+      .withColumn("vday", when(col("sum_u").isNotNull, col("day")))
+    val prevW = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(Long.MinValue, 0)
+    val nextW = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(0, Long.MaxValue)
+    val out = j
+      .withColumn("prev_u", last(col("sum_u"), ignoreNulls = true).over(prevW))
+      .withColumn("prev_d", last(col("vday"), ignoreNulls = true).over(prevW))
+      .withColumn("next_u", first(col("sum_u"), ignoreNulls = true).over(nextW))
+      .withColumn("next_d", first(col("vday"), ignoreNulls = true).over(nextW))
+      .withColumn("v", when(col("sum_u").isNotNull, col("sum_u")).otherwise(
+        expr("""prev_u + ((next_u - prev_u) * datediff(day, prev_d))
+                div datediff(next_d, prev_d)""")))
+      .orderBy("day").collect().map(_.getAs[Long]("v"))
+    assert(out.toSeq == Seq(100L, 70L, 40L, 10L), out.toSeq.toString)
+  }
+
   test("mergeClusters: prior stars + delta pairs == from-scratch closure") {
     import graft.data.Dedup
     // history: components {1,2,3} (chain) and {4,5}; 6..8 singletons
