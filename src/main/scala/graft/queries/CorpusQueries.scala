@@ -118,6 +118,28 @@ object CorpusQueries {
             .cast("long").as("alloc"))
     },
 
+    // CURRICULUM packing — the "order by difficulty, pack into contexts"
+    // last mile: q180's deterministic quartile boundaries stratify the
+    // corpus by length (the difficulty proxy), q65's concat-and-chunk
+    // packing runs per (quartile, lang), and the manifest reports packs
+    // per stratum — proving the layout + packing operators COMPOSE into
+    // the curriculum-training data layout. One percentile agg + map-side
+    // assignment + the per-stratum prefix-sum window + one hash agg
+    "q212_curriculum_pack" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("n_tokens", expr("CAST(n_chars div 4 AS BIGINT)"))
+      val assigned = graft.data.RangeShard.assign(docs, "n_chars",
+          graft.data.RangeShard.boundaries(docs, "n_chars", 4))
+        .withColumnRenamed("shard", "quartile")
+      Packing.packSequences(assigned, "n_tokens", "doc_id",
+          Seq("quartile", "lang"), budget = 2048)
+        .groupBy("quartile", "lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tokens").cast("long").as("total_tokens"),
+          (max("pack_id") + 1).cast("long").as("n_packs"))
+    },
+
     "q64_jsonl_source" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
       val path = tmp("q64_jsonl")
@@ -342,6 +364,26 @@ object CorpusQueries {
         + len(regexp_extract_all($c, '[0-9]{6,}')) AS INT)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q212_curriculum_pack" ->
+      """WITH b AS (
+           SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs
+           FROM documents),
+         a AS (
+           SELECT doc_id, lang, CAST(n_chars // 4 AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(b.qs,
+                       q -> n_chars > floor(q))) AS INT) AS quartile
+           FROM documents, b),
+         p AS (
+           SELECT quartile, lang, n_tokens,
+                  CAST(floor(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY quartile, lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 2048) AS BIGINT) AS pack_id
+           FROM a)
+         SELECT quartile, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(max(pack_id) + 1 AS BIGINT) AS n_packs
+         FROM p GROUP BY 1, 2""",
     "q202_largest_remainder" ->
       """WITH cnt AS (
            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs

@@ -55,6 +55,30 @@ object TextQueries {
             .cast("long").as("val"))
     },
 
+    // Skip-gram pair generation — the word2vec/GloVe TRAINING-DATA op:
+    // (center, context) pairs within ±2 positions, counted over the corpus.
+    // Positionality distinguishes it from q155's doc-level PMI co-occurrence
+    // (a window of 2, not "same document"). No self-join: the token array
+    // rides the posexplode and contexts are direct array lookups — pair
+    // fan-out is a hard 4× per token by construction; two shrinking unions
+    // + one hash agg
+    "q211_skipgram_pairs" -> { (s, dir) =>
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+        .select(col("ws"), posexplode(col("ws")).as(Seq("i", "center")))
+      // get() (not ws[i+k]) so the tail positions yield NULL instead of an
+      // ANSI out-of-bounds error
+      val fwd = (1 to 2).map { k =>
+        base.select(col("center"), expr(s"get(ws, i + $k)").as("context"))
+      }.reduce(_ unionByName _)
+      val sym = fwd.unionByName(fwd.select(col("context").as("center"),
+        col("center").as("context")))
+      sym.filter(col("center").isNotNull && col("context").isNotNull &&
+          col("center") =!= "" && col("context") =!= "")
+        .groupBy("center", "context")
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+    },
+
     // F2-F13 composite: the regex-only preprocessing pipeline
     "q20_preprocess_names" -> { (s, dir) =>
       Preprocessor(t(s, dir, "customer"), "preprocess_name", "c_name", "preprocessed")
@@ -516,6 +540,28 @@ object TextQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q211_skipgram_pairs" ->
+      """WITH t1 AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+         p1 AS (
+           SELECT unnest([{'c': ws[i], 'x': ws[i+1]}
+                          for i in range(1, len(ws))]) AS p
+           FROM t1),
+         p2 AS (
+           SELECT unnest([{'c': ws[i], 'x': ws[i+2]}
+                          for i in range(1, len(ws)-1)]) AS p
+           FROM t1),
+         fwd AS (
+           SELECT p.c AS center, p.x AS context FROM p1
+           UNION ALL SELECT p.c, p.x FROM p2),
+         sym AS (
+           SELECT center, context FROM fwd
+           UNION ALL SELECT context, center FROM fwd)
+         SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM sym
+         WHERE center IS NOT NULL AND context IS NOT NULL
+           AND center <> '' AND context <> ''
+         GROUP BY 1, 2""",
     "q188_feature_hashing" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
