@@ -212,9 +212,44 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 5, threshold: Double = 0.8,
                         maxDocsPerShingle: Int = 1000): DataFrame = {
-    import graft.functions.ShingleExprs.{longSetExcept, wordShingleHashes}
-    val hs = df.select(col(idCol).as("id"),
-      wordShingleHashes(col(textCol), k).as("hs"))
+    import graft.functions.ShingleExprs.wordShingleHashes
+    pairsFromShingleSets(
+      df.select(col(idCol).as("id"),
+        wordShingleHashes(col(textCol), k).as("hs")),
+      threshold, maxDocsPerShingle)
+  }
+
+  /** Within-scope near-dup pairs: [[ngramJaccardPairs]] restricted to pairs
+    * sharing `scopeCol` — the "dedup within provider, keep cross-provider
+    * copies" policy. The restriction costs NOTHING at the join: every
+    * shingle hash is XOR-salted with the scope's xxhash64 before the
+    * inverted index, so cross-scope postings can never collide (equal keys
+    * ⟹ equal scope AND equal shingle, up to 64-bit hash collision) and the
+    * pair kernel runs unchanged — no extra join key, no per-scope jobs.
+    * XOR is a bijection per scope, so set sizes and every jaccard value
+    * are identical to running the kernel on each scope separately; the
+    * hot-shingle cap likewise scopes to (scope, shingle) — a shingle hot
+    * across providers but rare within each survives, which is the scoped
+    * semantics a per-provider run would give.
+    */
+  def ngramJaccardPairsScoped(df: DataFrame, textCol: String, idCol: String,
+                              scopeCol: String, k: Int = 5,
+                              threshold: Double = 0.8,
+                              maxDocsPerShingle: Int = 1000): DataFrame = {
+    import graft.functions.ShingleExprs.wordShingleHashes
+    pairsFromShingleSets(
+      df.select(col(idCol).as("id"),
+        transform(wordShingleHashes(col(textCol), k),
+          x => x.bitwiseXOR(xxhash64(col(scopeCol)))).as("hs")),
+      threshold, maxDocsPerShingle)
+  }
+
+  /** Shared tail of the jaccard pair kernels: (id, shingle-hash set) →
+    * thresholded pairs via the capped inverted-index self-join.
+    */
+  private def pairsFromShingleSets(hs: DataFrame, threshold: Double,
+                                   maxDocsPerShingle: Int): DataFrame = {
+    import graft.functions.ShingleExprs.longSetExcept
     val eff =
       if (maxDocsPerShingle > 0) {
         val hot = hs.select(explode_outer(col("hs")).as("h"))

@@ -896,6 +896,22 @@ object DataQueries {
       Dedup.mergeClusters(docs, "doc_id", prior, deltaPairs)
     },
 
+    // WITHIN-SCOPE near-dup pairs — the "dedup within a language, never
+    // pair across languages" policy (same recipe scopes by provider):
+    // q40's kernel with every shingle hash XOR-salted by the scope's
+    // xxhash64, so cross-scope postings never collide and the restriction
+    // costs nothing at the join (no extra key, no per-scope jobs); jaccard
+    // values are bijection-invariant. The oracle replays the per-(lang,
+    // shingle) cap + a lang-equality pair join
+    "q213_scoped_neardup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairsScoped(docs, "text", "doc_id",
+        "lang", k = 5, threshold = 0.5, maxDocsPerShingle = 1000)
+      val src = docs.select(col("doc_id"), col("lang"))
+      pairs.join(src.toDF("id_a", "lang"), "id_a")
+        .select("id_a", "id_b", "n_common", "jaccard", "lang")
+    },
+
     // transitive duplicate clusters: exact jaccard pairs -> connected
     // components -> min-id cluster labels. Full oracle: DuckDB replays the
     // pairs and closes them with a recursive CTE
@@ -1534,6 +1550,38 @@ object DataQueries {
                 (lag(max_v) OVER (ORDER BY shard) IS NULL OR
                  lag(max_v) OVER (ORDER BY shard) <= min_v) AS no_overlap
          FROM m""",
+    "q213_scoped_neardup" ->
+      """WITH words AS (
+           SELECT doc_id, lang, string_split(trim(text), ' ') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id, lang, unnest(list_distinct(
+             CASE WHEN len(ws) >= 5
+                  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+                  ELSE [array_to_string(ws, ' ')] END)) AS s
+           FROM words),
+         hot AS (
+           SELECT lang, s FROM sh GROUP BY lang, s
+           HAVING count(*) > 1000),
+         eff AS (
+           SELECT sh.doc_id, sh.lang, sh.s
+           FROM sh ANTI JOIN hot USING (lang, s)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM eff GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang,
+                  count(*) AS n_common
+           FROM eff a JOIN eff b
+             ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3)
+         SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+                CAST(n_common AS DOUBLE) /
+                  CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard,
+                lang
+         FROM common
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(n_common AS DOUBLE) /
+               CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5""",
     "q207_crosstab_lift" ->
       """WITH cell AS (
            SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
