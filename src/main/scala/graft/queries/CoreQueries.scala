@@ -1334,6 +1334,35 @@ object CoreQueries {
           expr("CAST(1000000 div n_clicks AS BIGINT)").as("credit_ppm"))
     },
 
+    // SLO error-budget BURN RATE — the SRE-analytics report: daily error
+    // rate vs a 25% SLO, instantaneous and 7-day-rolling burn in integer
+    // thousandths (burn > 1000 ⟹ budget burning faster than allotted —
+    // the multiwindow alert rule), everything cross-multiplied, no float
+    // division. The rolling window runs over the day-collapsed frame
+    // (calendar-bounded — ≤ days rows, never data-sized)
+    "q214_slo_burn" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .cast("long").as("n_errors"))
+      val w7 = Window.orderBy("day").rowsBetween(-6, 0)
+      daily
+        .withColumn("n7_events", sum("n_events").over(w7).cast("long"))
+        .withColumn("n7_errors", sum("n_errors").over(w7).cast("long"))
+        .select(col("day"), col("n_events"), col("n_errors"),
+          expr(s"CAST((CAST(n_errors AS $d38) * 1000000) div n_events AS BIGINT)")
+            .as("err_ppm"),
+          expr(s"""CAST((CAST(n_errors AS $d38) * 1000000 * 1000)
+                   div (CAST(n_events AS $d38) * 250000) AS BIGINT)""")
+            .as("burn_x1000"),
+          expr(s"""CAST((CAST(n7_errors AS $d38) * 1000000 * 1000)
+                   div (CAST(n7_events AS $d38) * 250000) AS BIGINT)""")
+            .as("burn_7d_x1000"))
+        .withColumn("alert", col("burn_7d_x1000") > 1000L)
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -1449,6 +1478,34 @@ object CoreQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q214_slo_burn" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_errors
+           FROM events GROUP BY 1),
+         r AS (
+           SELECT day, n_events, n_errors,
+                  CAST(sum(n_events) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS n7_events,
+                  CAST(sum(n_errors) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS n7_errors
+           FROM daily)
+         SELECT day, n_events, n_errors,
+                CAST((CAST(n_errors AS HUGEINT) * 1000000) // n_events
+                     AS BIGINT) AS err_ppm,
+                CAST((CAST(n_errors AS HUGEINT) * 1000000 * 1000) //
+                     (CAST(n_events AS HUGEINT) * 250000) AS BIGINT)
+                  AS burn_x1000,
+                CAST((CAST(n7_errors AS HUGEINT) * 1000000 * 1000) //
+                     (CAST(n7_events AS HUGEINT) * 250000) AS BIGINT)
+                  AS burn_7d_x1000,
+                (CAST(n7_errors AS HUGEINT) * 1000000 * 1000) //
+                  (CAST(n7_events AS HUGEINT) * 250000) > 1000 AS alert
+         FROM r""",
     "q209_linear_attribution" ->
       """WITH ev AS (
            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
