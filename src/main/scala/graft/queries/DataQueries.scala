@@ -896,6 +896,35 @@ object DataQueries {
       Dedup.mergeClusters(docs, "doc_id", prior, deltaPairs)
     },
 
+    // The SQL SURFACE of the dedup kernel — q40's inverted-index jaccard
+    // expressed entirely in spark.sql() text over the registered
+    // `shingle_hashes` function (GraftFunctions / the GraftExtensions
+    // spark.sql.extensions class): SQL-only users run the same codegen
+    // Catalyst expression, and Catalyst plans the same two-shuffle shape
+    // from the SQL text. Uncapped pair space (the SQL form carries no hot
+    // cap); the oracle replays with cap 0
+    "q215_sql_jaccard" -> { (s, dir) =>
+      graft.GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_q215_docs")
+      s.sql(
+        """WITH sh AS (
+             SELECT doc_id AS id, explode(shingle_hashes(text, 5)) AS h
+             FROM graft_q215_docs),
+           sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+           common AS (
+             SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+             FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id
+             GROUP BY 1, 2)
+           SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+                  CAST(n_common AS DOUBLE) /
+                    CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+           FROM common
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(n_common AS DOUBLE) /
+                 CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5""")
+    },
+
     // WITHIN-SCOPE near-dup pairs — the "dedup within a language, never
     // pair across languages" policy (same recipe scopes by provider):
     // q40's kernel with every shingle hash XOR-salted by the scope's
@@ -1550,6 +1579,9 @@ object DataQueries {
                 (lag(max_v) OVER (ORDER BY shard) IS NULL OR
                  lag(max_v) OVER (ORDER BY shard) <= min_v) AS no_overlap
          FROM m""",
+    "q215_sql_jaccard" ->
+      (jaccardSql("SELECT doc_id, text FROM documents", 0, 0.5) +
+       " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
     "q213_scoped_neardup" ->
       """WITH words AS (
            SELECT doc_id, lang, string_split(trim(text), ' ') AS ws

@@ -353,6 +353,32 @@ class Round9Spec extends SparkSpec {
     assert(out.toSeq == Seq(100L, 70L, 40L, 10L), out.toSeq.toString)
   }
 
+  test("SQL surface: registered functions == Column API, extensions injectable") {
+    import graft.functions.ShingleExprs
+    graft.GraftFunctions.register(spark)
+    val df = Seq((1L, "a b c d e f g"), (2L, "x y z")).toDF("id", "text")
+    df.createOrReplaceTempView("graft_fn_test")
+    val viaSql = spark.sql(
+      "SELECT id, shingle_hashes(text, 5) AS hs, simhash64(text) AS sh " +
+      "FROM graft_fn_test").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toSet, r.getLong(2)))).toMap
+    val viaApi = df.select(col("id"),
+        ShingleExprs.wordShingleHashes(col("text"), 5).as("hs"),
+        ShingleExprs.simhash64(col("text")).as("sh")).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toSet, r.getLong(2)))).toMap
+    assert(viaSql == viaApi, "SQL function must equal the Column API")
+    // non-literal k must fail loudly, not silently misparse
+    intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(text, id) FROM graft_fn_test").collect()
+    }
+    // the extensions class applies the same builder triples without error;
+    // actual injection is only observable on a freshly built session (racy
+    // on the shared context), so pin the published surface instead
+    new graft.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+    assert(graft.GraftFunctions.all.map(_._1.funcName).sorted ==
+      Seq("minhash_signature", "shingle_hashes", "simhash64"))
+  }
+
   test("mergeClusters: prior stars + delta pairs == from-scratch closure") {
     import graft.data.Dedup
     // history: components {1,2,3} (chain) and {4,5}; 6..8 singletons
