@@ -1363,6 +1363,30 @@ object CoreQueries {
         .withColumn("alert", col("burn_7d_x1000") > 1000L)
     },
 
+    // Top user journeys — q149's first-order transitions extended to
+    // PATHS: the 20 most common within-user event-type trigrams, the
+    // product-analytics "sankey" feed. Two lead windows over the per-user
+    // total order (one shared sort), a shrinking trigram hash agg, and
+    // TakeOrdered for the top slice — k rows to the driver merge, never a
+    // global sort of the path space
+    "q217_top_paths" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val tri = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+          col("e3").as("step3"))
+        .agg(count(lit(1)).cast("long").as("n_paths"))
+      tri.orderBy(col("n_paths").desc, col("step1"), col("step2"),
+          col("step3")).limit(20)
+        .withColumn("path_rank", row_number().over(
+          Window.orderBy(col("n_paths").desc, col("step1"), col("step2"),
+            col("step3"))).cast("int"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -1478,6 +1502,25 @@ object CoreQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q217_top_paths" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         tri AS (
+           SELECT event_type AS step1,
+                  lead(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS step2,
+                  lead(event_type, 2) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS step3
+           FROM ev),
+         agg AS (
+           SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths
+           FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+           GROUP BY 1, 2, 3)
+         SELECT step1, step2, step3, n_paths,
+                CAST(row_number() OVER (ORDER BY n_paths DESC, step1, step2,
+                     step3) AS INT) AS path_rank
+         FROM agg QUALIFY path_rank <= 20""",
     "q214_slo_burn" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS day,

@@ -896,6 +896,44 @@ object DataQueries {
       Dedup.mergeClusters(docs, "doc_id", prior, deltaPairs)
     },
 
+    // IR RANKING METRICS over the retrieval path — the evaluation harness
+    // any search/RAG pipeline needs: q43's exact top-5 per query scored
+    // against label-match relevance (the embeddings table's class labels)
+    // into precision@5, MRR and nDCG@5 — ALL integer-exact: reciprocal
+    // ranks and the log2 position discounts are ppm literals (1/log2(i+1)
+    // for i=1..5), so the metrics are bit-stable and SQL-replayable, no
+    // float accumulation. One kernel pass + a label join + one hash agg
+    "q216_ir_metrics" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val topk = Knn.bruteForceTopK(emb.filter(col("vec_id") < 100), emb,
+        k = 5, excludeSelf = true)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val judged = topk
+        .join(labels.toDF("query_id", "q_label"), "query_id")
+        .join(labels.toDF("target_id", "t_label"), "target_id")
+        .withColumn("rel", (col("q_label") === col("t_label")).cast("int"))
+        // 1/log2(rank+1) in ppm for ranks 1..5
+        .withColumn("disc_ppm", expr(
+          """CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630929
+             WHEN 3 THEN 500000 WHEN 4 THEN 430676 ELSE 386852 END"""))
+      judged.groupBy("query_id")
+        .agg(sum("rel").cast("long").as("n_rel_at_5"),
+          expr("CAST(sum(rel) * 1000000 div 5 AS BIGINT)").as("p_at_5_ppm"),
+          expr("""CAST(coalesce(CAST(1000000 AS BIGINT) div
+                  min(CASE WHEN rel = 1 THEN rank END), 0) AS BIGINT)""")
+            .as("rr_ppm"),
+          sum(col("rel") * col("disc_ppm")).cast("long").as("dcg_ppm"),
+          // ideal DCG for the count of relevant found: prefix sums of the
+          // discount literals
+          expr("""CAST(CASE CAST(sum(rel) AS INT) WHEN 0 THEN 0
+                  WHEN 1 THEN 1000000 WHEN 2 THEN 1630929
+                  WHEN 3 THEN 2130929 WHEN 4 THEN 2561605
+                  ELSE 2948457 END AS BIGINT)""").as("idcg_ppm"))
+        .withColumn("ndcg_ppm", expr(
+          """CAST(coalesce((CAST(dcg_ppm AS DECIMAL(38,0)) * 1000000)
+             div nullif(idcg_ppm, 0), 0) AS BIGINT)"""))
+    },
+
     // The SQL SURFACE of the dedup kernel — q40's inverted-index jaccard
     // expressed entirely in spark.sql() text over the registered
     // `shingle_hashes` function (GraftFunctions / the GraftExtensions
@@ -1582,6 +1620,43 @@ object DataQueries {
     "q215_sql_jaccard" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 0, 0.5) +
        " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
+    "q216_ir_metrics" ->
+      """WITH topk AS (
+           SELECT query_id, target_id, rank FROM (
+             SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                    CAST(row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                           q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9)
+                           DESC, t.vec_id) AS INT) AS rank
+             FROM embeddings q CROSS JOIN embeddings t
+             WHERE q.vec_id < 100 AND t.vec_id <> q.vec_id)
+           WHERE rank <= 5),
+         judged AS (
+           SELECT k.query_id, k.rank,
+                  CAST(ql.label = tl.label AS INT) AS rel,
+                  CASE k.rank WHEN 1 THEN 1000000 WHEN 2 THEN 630929
+                       WHEN 3 THEN 500000 WHEN 4 THEN 430676
+                       ELSE 386852 END AS disc_ppm
+           FROM topk k
+           JOIN embeddings ql ON ql.vec_id = k.query_id
+           JOIN embeddings tl ON tl.vec_id = k.target_id)
+         SELECT query_id,
+                CAST(sum(rel) AS BIGINT) AS n_rel_at_5,
+                CAST(sum(rel) * 1000000 // 5 AS BIGINT) AS p_at_5_ppm,
+                CAST(coalesce(1000000 //
+                     min(CASE WHEN rel = 1 THEN rank END), 0) AS BIGINT)
+                  AS rr_ppm,
+                CAST(sum(rel * disc_ppm) AS BIGINT) AS dcg_ppm,
+                CAST(CASE CAST(sum(rel) AS INT) WHEN 0 THEN 0
+                     WHEN 1 THEN 1000000 WHEN 2 THEN 1630929
+                     WHEN 3 THEN 2130929 WHEN 4 THEN 2561605
+                     ELSE 2948457 END AS BIGINT) AS idcg_ppm,
+                CAST(coalesce((CAST(sum(rel * disc_ppm) AS HUGEINT) * 1000000)
+                     // nullif(CASE CAST(sum(rel) AS INT) WHEN 0 THEN 0
+                        WHEN 1 THEN 1000000 WHEN 2 THEN 1630929
+                        WHEN 3 THEN 2130929 WHEN 4 THEN 2561605
+                        ELSE 2948457 END, 0), 0) AS BIGINT) AS ndcg_ppm
+         FROM judged GROUP BY query_id""",
     "q213_scoped_neardup" ->
       """WITH words AS (
            SELECT doc_id, lang, string_split(trim(text), ' ') AS ws
