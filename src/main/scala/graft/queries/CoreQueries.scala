@@ -1363,6 +1363,20 @@ object CoreQueries {
         .withColumn("alert", col("burn_7d_x1000") > 1000L)
     },
 
+    // Bounded-hop shortest paths over the co-purchase graph — BFS layers
+    // from the "promoted parts" seed set (partkey % 100 = 0): proximity /
+    // blast-radius analysis, the graph tier's reachability member. Fixed
+    // 4-round budget (the contract — NULL beyond the radius), integer min
+    // relaxation ⟹ bit-identical on any partitioning; the oracle unrolls
+    // the exact 4 rounds as chained CTEs (the q125 recipe)
+    "q218_sssp_hops" -> { (s, dir) =>
+      val edges = graft.operators.Graphs.coPurchaseEdges(t(s, dir, "lineitem"))
+      val seeds = t(s, dir, "part")
+        .filter(col("p_partkey") % 100 === 0)
+        .select(col("p_partkey").as("node"))
+      graft.operators.Sssp.hopDistances(edges, seeds, rounds = 4)
+    },
+
     // Top user journeys — q149's first-order transitions extended to
     // PATHS: the 20 most common within-user event-type trigrams, the
     // product-analytics "sankey" feed. Two lead windows over the per-user
@@ -1474,6 +1488,36 @@ object CoreQueries {
           GROUP BY e.s)
         SELECT n.node, d.node IS NOT NULL AS in_core, d.core_deg
         FROM nodes n LEFT JOIN deg d ON d.node = n.node"""
+  }
+
+  /** q218's oracle: the four synchronous relaxation rounds unrolled as
+    * chained CTEs — iteration-for-iteration identical to
+    * [[graft.operators.Sssp.hopDistances]] (the q125 recipe).
+    */
+  private val ssspSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""r$i AS (
+            SELECT e.dst AS node, min(d.dist + 1) AS cand
+            FROM e JOIN d${i - 1} d ON d.node = e.src
+            WHERE d.dist IS NOT NULL GROUP BY 1),
+          d$i AS (
+            SELECT d.node,
+                   least(coalesce(d.dist, r.cand), coalesce(r.cand, d.dist))
+                     AS dist
+            FROM d${i - 1} d LEFT JOIN r$i r ON r.node = d.node)"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        d0 AS (
+          SELECT node, CASE WHEN node % 100 = 0 THEN CAST(0 AS BIGINT) END
+                 AS dist
+          FROM nodes),
+        $rounds
+        SELECT node, CAST(dist AS BIGINT) AS dist FROM d4"""
   }
 
   private val pagerankSql: String = {
@@ -2019,6 +2063,7 @@ object CoreQueries {
          FROM top CROSS JOIN summary""",
     "q150_kcore" -> kcoreSql,
     "q125_pagerank" -> pagerankSql,
+    "q218_sssp_hops" -> ssspSql,
     // resume-from-checkpoint must reproduce the straight run bit-for-bit
     "q203_pagerank_resume" -> pagerankSql,
     "q204_lerp_impute" ->
