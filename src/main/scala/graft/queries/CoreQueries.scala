@@ -1377,6 +1377,33 @@ object CoreQueries {
       graft.operators.Sssp.hopDistances(edges, seeds, rounds = 4)
     },
 
+    // Item-to-item RECOMMENDATIONS — the end-product composition of the
+    // graph tier: each customer's top-3 unseen parts scored by summed
+    // co-purchase multiplicity over their purchase history ("customers who
+    // bought X also bought"). Seen set frozen once (it feeds the scoring
+    // join AND the unseen anti-join), candidate fan-out bounded by
+    // history × co-degree (q146's maxDf cap is the production guard for
+    // hot items), top-3 via a per-customer window over the already-
+    // aggregated candidate table
+    "q219_recommendations" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val ords = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      val seen = li.join(ords, "l_orderkey")
+        .select(col("o_custkey"), col("l_partkey")).distinct().localCheckpoint()
+      val w = graft.operators.Graphs.coPurchaseEdges(li)
+        .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("co_n"))
+      val scored = seen.join(w, seen("l_partkey") === w("src"))
+        .groupBy(col("o_custkey"), col("dst").as("rec_part"))
+        .agg(sum("co_n").cast("long").as("score"))
+      val unseen = scored.join(seen.toDF("o_custkey", "rec_part"),
+        Seq("o_custkey", "rec_part"), "left_anti")
+      val rw = Window.partitionBy("o_custkey")
+        .orderBy(col("score").desc, col("rec_part"))
+      unseen.withColumn("rec_rank", row_number().over(rw).cast("int"))
+        .filter(col("rec_rank") <= 3)
+    },
+
     // Top user journeys — q149's first-order transitions extended to
     // PATHS: the 20 most common within-user event-type trigrams, the
     // product-analytics "sankey" feed. Two lead windows over the per-user
@@ -2064,6 +2091,30 @@ object CoreQueries {
     "q150_kcore" -> kcoreSql,
     "q125_pagerank" -> pagerankSql,
     "q218_sssp_hops" -> ssspSql,
+    "q219_recommendations" ->
+      """WITH seen AS (
+           SELECT DISTINCT o.o_custkey, l.l_partkey
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+         w AS (
+           SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                  CAST(count(*) AS BIGINT) AS co_n
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT s.o_custkey, w.dst AS rec_part,
+                  CAST(sum(w.co_n) AS BIGINT) AS score
+           FROM seen s JOIN w ON w.src = s.l_partkey
+           GROUP BY 1, 2),
+         unseen AS (
+           SELECT sc.* FROM scored sc
+           ANTI JOIN seen s
+             ON s.o_custkey = sc.o_custkey AND s.l_partkey = sc.rec_part)
+         SELECT o_custkey, rec_part, score, CAST(rn AS INT) AS rec_rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY score DESC, rec_part) AS rn
+               FROM unseen)
+         WHERE rn <= 3""",
     // resume-from-checkpoint must reproduce the straight run bit-for-bit
     "q203_pagerank_resume" -> pagerankSql,
     "q204_lerp_impute" ->
