@@ -896,6 +896,29 @@ object DataQueries {
       Dedup.mergeClusters(docs, "doc_id", prior, deltaPairs)
     },
 
+    // K-ANONYMITY audit — the privacy-engineering report a release gate
+    // runs before publishing "anonymized" data: equivalence classes over
+    // the quasi-identifier (lang, source, 100-char length bucket), the
+    // dataset's k (min class size), how many rows live in classes below
+    // k=5 (the re-identifiable tail a suppression pass must drop), and the
+    // class-size distribution. Two shrinking hash aggs; every number an
+    // exact integer
+    "q220_k_anonymity" -> { (s, dir) =>
+      val classes = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"),
+          expr("CAST(n_chars div 100 AS BIGINT)").as("len_bucket"))
+        .agg(count(lit(1)).cast("long").as("class_size"))
+      classes.agg(
+        count(lit(1)).cast("long").as("n_classes"),
+        sum("class_size").cast("long").as("n_rows"),
+        min("class_size").cast("long").as("k_anonymity"),
+        sum(when(col("class_size") < 5L, col("class_size")).otherwise(0L))
+          .cast("long").as("n_rows_below_k5"),
+        sum(when(col("class_size") === 1L, 1L).otherwise(0L))
+          .cast("long").as("n_singleton_classes"))
+        .withColumn("k5_ok", col("n_rows_below_k5") === 0L)
+    },
+
     // IR RANKING METRICS over the retrieval path — the evaluation harness
     // any search/RAG pipeline needs: q43's exact top-5 per query scored
     // against label-match relevance (the embeddings table's class labels)
@@ -1620,6 +1643,21 @@ object DataQueries {
     "q215_sql_jaccard" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 0, 0.5) +
        " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
+    "q220_k_anonymity" ->
+      """WITH classes AS (
+           SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+                  CAST(count(*) AS BIGINT) AS class_size
+           FROM documents GROUP BY 1, 2, 3)
+         SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                CAST(sum(class_size) AS BIGINT) AS n_rows,
+                CAST(min(class_size) AS BIGINT) AS k_anonymity,
+                CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                     AS BIGINT) AS n_rows_below_k5,
+                CAST(sum(CASE WHEN class_size = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_singleton_classes,
+                sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) = 0
+                  AS k5_ok
+         FROM classes""",
     "q216_ir_metrics" ->
       """WITH topk AS (
            SELECT query_id, target_id, rank FROM (
