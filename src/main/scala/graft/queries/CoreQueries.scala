@@ -1363,6 +1363,26 @@ object CoreQueries {
         .withColumn("alert", col("burn_7d_x1000") > 1000L)
     },
 
+    // Rate-limit WHAT-IF audit — "how many events would a 10-per-minute
+    // per-user throttle have dropped": per event, the count of the user's
+    // events in the trailing 60 s via a RANGE frame over event-time
+    // microseconds (tie rows are peers — deterministic), throttled when
+    // the window exceeds the quota. The abuse-ops sizing companion to
+    // q205's cadence screen; one range-frame window + one hash agg
+    "q222_rate_limit_audit" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-60L * 1000000L, 0L)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("n_in_window", count(lit(1)).over(w).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(when(col("n_in_window") > 10L, 1L).otherwise(0L))
+            .cast("long").as("n_throttled"),
+          max("n_in_window").cast("long").as("max_burst"))
+    },
+
     // Bounded-hop shortest paths over the co-purchase graph — BFS layers
     // from the "promoted parts" seed set (partkey % 100 = 0): proximity /
     // blast-radius analysis, the graph tier's reachability member. Fixed
@@ -2100,6 +2120,20 @@ object CoreQueries {
     "q150_kcore" -> kcoreSql,
     "q125_pagerank" -> pagerankSql,
     "q218_sssp_hops" -> ssspSql,
+    "q222_rate_limit_audit" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         win AS (
+           SELECT event_type,
+                  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+                       RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n_in_window
+           FROM ev)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CASE WHEN n_in_window > 10 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_throttled,
+                CAST(max(n_in_window) AS BIGINT) AS max_burst
+         FROM win GROUP BY event_type""",
     "q219_recommendations" ->
       """WITH seen AS (
            SELECT DISTINCT o.o_custkey, l.l_partkey

@@ -919,6 +919,28 @@ object DataQueries {
         .withColumn("k5_ok", col("n_rows_below_k5") === 0L)
     },
 
+    // L-DIVERSITY — q220's companion: within each quasi-identifier class
+    // (lang, length bucket), how many DISTINCT values of the sensitive
+    // attribute (source) appear — a class can be k-anonymous yet leak the
+    // sensitive value if every member shares it. Reports the dataset's l
+    // (min distinct sensitive per class) and the classes below l=2 (the
+    // homogeneous ones an attacker resolves exactly). Two shrinking aggs
+    "q221_l_diversity" -> { (s, dir) =>
+      val classes = t(s, dir, "documents")
+        .groupBy(col("lang"),
+          expr("CAST(n_chars div 100 AS BIGINT)").as("len_bucket"))
+        .agg(count(lit(1)).cast("long").as("class_size"),
+          countDistinct(col("source")).cast("long").as("n_sensitive"))
+      classes.agg(
+        count(lit(1)).cast("long").as("n_classes"),
+        min("n_sensitive").cast("long").as("l_diversity"),
+        sum(when(col("n_sensitive") < 2L, 1L).otherwise(0L))
+          .cast("long").as("n_homogeneous_classes"),
+        sum(when(col("n_sensitive") < 2L, col("class_size")).otherwise(0L))
+          .cast("long").as("n_rows_homogeneous"))
+        .withColumn("l2_ok", col("n_homogeneous_classes") === 0L)
+    },
+
     // IR RANKING METRICS over the retrieval path — the evaluation harness
     // any search/RAG pipeline needs: q43's exact top-5 per query scored
     // against label-match relevance (the embeddings table's class labels)
@@ -1643,6 +1665,20 @@ object DataQueries {
     "q215_sql_jaccard" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 0, 0.5) +
        " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
+    "q221_l_diversity" ->
+      """WITH classes AS (
+           SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+                  CAST(count(*) AS BIGINT) AS class_size,
+                  CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive
+           FROM documents GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                CAST(min(n_sensitive) AS BIGINT) AS l_diversity,
+                CAST(sum(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_homogeneous_classes,
+                CAST(sum(CASE WHEN n_sensitive < 2 THEN class_size ELSE 0 END)
+                     AS BIGINT) AS n_rows_homogeneous,
+                sum(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END) = 0 AS l2_ok
+         FROM classes""",
     "q220_k_anonymity" ->
       """WITH classes AS (
            SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
