@@ -1363,6 +1363,45 @@ object CoreQueries {
         .withColumn("alert", col("burn_7d_x1000") > 1000L)
     },
 
+    // QUANTILE NORMALIZATION across sources — the cross-distribution
+    // feature transform (bioinformatics/ranking-feature standard): each
+    // row's value maps to the GLOBAL value at its source-relative rank, so
+    // every source's distribution lands on the global one exactly. All
+    // heavy lifting happens on COLLAPSED value domains: per-(source,
+    // value) tie-inclusive rank ppm, global-domain rank ppm, then the
+    // first-crossing lookup (min global value with g_pct ≥ s_pct) as a
+    // domain×domain broadcast join — rows only ever see one broadcast
+    // dictionary join. Integer ppm throughout
+    "q223_quantile_normalize" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val srcDom = docs.groupBy("source", "n_chars")
+        .agg(count(lit(1)).cast("long").as("c"))
+      val wsrc = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val srcPct = srcDom
+        .withColumn("cum", sum("c").over(wsrc).cast("long"))
+        .withColumn("n", sum("c").over(Window.partitionBy("source")).cast("long"))
+        .select(col("source"), col("n_chars"),
+          expr(s"CAST((CAST(cum AS $d38) * 1000000) div n AS BIGINT)")
+            .as("s_pct"))
+      val gDom = docs.groupBy("n_chars").agg(count(lit(1)).cast("long").as("c"))
+      val wg = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gPct = gDom.withColumn("cum", sum("c").over(wg).cast("long"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).cast("long").as("gn"))))
+        .select(col("n_chars").as("g_value"),
+          expr(s"CAST((CAST(cum AS $d38) * 1000000) div gn AS BIGINT)")
+            .as("g_pct"))
+      val mapped = srcPct
+        .join(broadcast(gPct), col("g_pct") >= col("s_pct"))
+        .groupBy("source", "n_chars", "s_pct")
+        .agg(min("g_value").cast("long").as("normalized"))
+      docs.join(broadcast(mapped), Seq("source", "n_chars"))
+        .select("doc_id", "source", "n_chars", "s_pct", "normalized")
+    },
+
     // Rate-limit WHAT-IF audit — "how many events would a 10-per-minute
     // per-user throttle have dropped": per event, the count of the user's
     // events in the trailing 60 s via a RANGE frame over event-time
@@ -2120,6 +2159,33 @@ object CoreQueries {
     "q150_kcore" -> kcoreSql,
     "q125_pagerank" -> pagerankSql,
     "q218_sssp_hops" -> ssspSql,
+    "q223_quantile_normalize" ->
+      """WITH srcdom AS (
+           SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         srcpct AS (
+           SELECT source, n_chars,
+                  CAST((CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                       ROWS UNBOUNDED PRECEDING) AS HUGEINT) * 1000000) //
+                       (sum(c) OVER (PARTITION BY source)) AS BIGINT) AS s_pct
+           FROM srcdom),
+         gdom AS (
+           SELECT n_chars, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1),
+         gn AS (SELECT CAST(count(*) AS BIGINT) AS gn FROM documents),
+         gpct AS (
+           SELECT n_chars AS g_value,
+                  CAST((CAST(sum(c) OVER (ORDER BY n_chars
+                       ROWS UNBOUNDED PRECEDING) AS HUGEINT) * 1000000) //
+                       gn.gn AS BIGINT) AS g_pct
+           FROM gdom CROSS JOIN gn),
+         mapped AS (
+           SELECT s.source, s.n_chars, s.s_pct,
+                  CAST(min(g.g_value) AS BIGINT) AS normalized
+           FROM srcpct s JOIN gpct g ON g.g_pct >= s.s_pct
+           GROUP BY 1, 2, 3)
+         SELECT d.doc_id, d.source, d.n_chars, m.s_pct, m.normalized
+         FROM documents d JOIN mapped m USING (source, n_chars)""",
     "q222_rate_limit_audit" ->
       """WITH ev AS (
            SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
