@@ -1363,6 +1363,35 @@ object CoreQueries {
         .withColumn("alert", col("burn_7d_x1000") > 1000L)
     },
 
+    // TIME-DECAY attribution — q209's equal split replaced by recency
+    // weighting: a click's weight halves per hour of distance from the
+    // purchase (2^(23−age_hours), q176's exact power-of-two discipline),
+    // credit_ppm = w·1e6 div Σw per conversion. Completes the attribution
+    // family (first/last touch = as-of, linear = q209, decay = this);
+    // same bounded per-user join, integer arithmetic end to end
+    "q224_decay_attribution" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val window = 24L * 3600L * 1000000L
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("pts"))
+      val w = Window.partitionBy("purchase_id")
+      purchases.join(clicks, Seq("user_id"))
+        .filter(col("cts") < col("pts") && col("cts") >= col("pts") - window)
+        .withColumn("age_h", expr("(pts - cts) div 3600000000"))
+        .withColumn("wgt", expr("shiftleft(CAST(1 AS BIGINT), 23 - age_h)"))
+        .withColumn("sum_w", sum("wgt").over(w).cast("long"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("age_h").cast("long").as("age_h"),
+          expr(s"CAST((CAST(wgt AS $d38) * 1000000) div sum_w AS BIGINT)")
+            .as("credit_ppm"))
+    },
+
     // QUANTILE NORMALIZATION across sources — the cross-distribution
     // feature transform (bioinformatics/ranking-feature standard): each
     // row's value maps to the GLOBAL value at its source-relative rank, so
@@ -2159,6 +2188,28 @@ object CoreQueries {
     "q150_kcore" -> kcoreSql,
     "q125_pagerank" -> pagerankSql,
     "q218_sssp_hops" -> ssspSql,
+    "q224_decay_attribution" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         c AS (SELECT user_id, event_id AS click_id, ts_us AS cts FROM ev
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts_us AS pts FROM ev
+               WHERE event_type = 'purchase'),
+         j AS (
+           SELECT p.user_id, p.purchase_id, c.click_id,
+                  (p.pts - c.cts) // 3600000000 AS age_h
+           FROM p JOIN c ON c.user_id = p.user_id
+             AND c.cts < p.pts AND c.cts >= p.pts - 86400000000),
+         wgt AS (
+           SELECT *, (CAST(1 AS BIGINT) << (23 - CAST(age_h AS INT))) AS w
+           FROM j)
+         SELECT user_id, purchase_id, click_id,
+                CAST(age_h AS BIGINT) AS age_h,
+                CAST((CAST(w AS HUGEINT) * 1000000) //
+                     (sum(w) OVER (PARTITION BY purchase_id)) AS BIGINT)
+                  AS credit_ppm
+         FROM wgt""",
     "q223_quantile_normalize" ->
       """WITH srcdom AS (
            SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
