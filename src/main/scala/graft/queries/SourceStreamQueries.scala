@@ -30,6 +30,65 @@ object SourceStreamQueries {
     graft.sources.Tables(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // transformWithState — Spark 4's arbitrary-state API (RocksDB-backed),
+    // exercised across a CHECKPOINT RESUME: slice 1 (days 1-15) lands,
+    // the stream runs availableNow and emits each user's running totals;
+    // slice 2 lands, the resumed stream folds it into the SAME ValueState
+    // and emits the cumulative totals. The parquet sink therefore holds
+    // the state's audit trail — slice-1 totals for users with slice-1
+    // input plus full totals for users with slice-2 input — which the
+    // oracle replays relationally from the same day split. Integer sums:
+    // cross-batch state accumulation is exact
+    "q225_tws_running_totals" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("user_id").cast("long").as("user_id"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("value_u"),
+          dayofmonth(col("ts")).as("dom"))
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q225_" + s.sparkContext.applicationId)
+      graft.operators.FsUtil.deleteRecursively(base.toFile)
+      Files.createDirectories(base.resolve("data"))
+      def drop(pred: org.apache.spark.sql.Column): Unit =
+        ev.filter(pred).select("user_id", "value_u")
+          .coalesce(1).write.mode("append").parquet(s"$base/data")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("user_id", LongType).add("value_u", LongType)
+      val prevProvider = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        def runOnce(): Unit = {
+          val out = s.readStream.schema(schema).parquet(s"$base/data")
+            .as[(Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new graft.streaming.RunningTotals,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+            .toDF("user_id", "n_events", "sum_u")
+          val q = out.writeStream.format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drop(col("dom") <= 15); runOnce()
+        drop(col("dom") > 15); runOnce()
+      } finally {
+        prevProvider match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      s.read.parquet(s"$base/out").select("user_id", "n_events", "sum_u")
+    },
+
     "q55_csv_source" -> { (s, dir) =>
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_q55_csv"
@@ -484,6 +543,24 @@ object SourceStreamQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    // the TWS emission contract: one row per (key, batch-with-input) —
+    // slice-1 totals for keys seen in slice 1, cumulative totals for keys
+    // seen in slice 2
+    "q225_tws_running_totals" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(floor(value * 1000000) AS BIGINT) AS value_u,
+                  extract(day FROM ts) AS dom
+           FROM events WHERE value IS NOT NULL),
+         s1 AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(value_u) AS BIGINT) AS sum_u
+           FROM ev WHERE dom <= 15 GROUP BY 1),
+         cum AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(value_u) AS BIGINT) AS sum_u
+           FROM ev GROUP BY 1
+           HAVING sum(CASE WHEN dom > 15 THEN 1 ELSE 0 END) > 0)
+         SELECT * FROM s1 UNION ALL SELECT * FROM cum""",
     // replays the fixture's id->hour arithmetic: on-time subset = everything
     // except batch-2 hour-1 rows (late, window already evicted at watermark
     // 4:30); emitted windows = end <= final watermark 5:30, i.e. h <= 4

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Per-key running totals via `transformWithState` — Spark 4's
+  * arbitrary-state API (the successor to flatMapGroupsWithState, backed by
+  * the RocksDB state store): one ValueState row per user carries (n, Σ),
+  * each micro-batch folds its input in and emits the CUMULATIVE totals.
+  *
+  * The emission history is therefore the state's audit trail: a key emits
+  * once per batch it has input, with totals over everything seen so far —
+  * which a batch engine replays exactly from the same batch split (q225's
+  * oracle: slice-1 totals for keys with slice-1 input, full totals for keys
+  * with slice-2 input). Sums are pre-scaled integers, so cross-batch
+  * accumulation is exact — no float drift across checkpointed state.
+  */
+class RunningTotals
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+
+  @transient private var state: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long)]("totals",
+      Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val prev = if (state.exists()) state.get() else (0L, 0L)
+    var n = prev._1
+    var sum = prev._2
+    rows.foreach { r => n += 1L; sum += r._2 }
+    state.update((n, sum))
+    Iterator.single((key, n, sum))
+  }
+}
