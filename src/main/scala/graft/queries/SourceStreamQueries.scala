@@ -30,6 +30,63 @@ object SourceStreamQueries {
     graft.sources.Tables(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ListState flavor of q225: each user's LAST-3 events by (ts, id) —
+    // the "recently viewed" recency buffer — maintained in RocksDB
+    // ListState across the same two-batch checkpoint resume. The buffer is
+    // a deterministic function of the DATA (the processor sorts each
+    // batch), so both emissions replay as relational top-3 string aggs
+    "q226_tws_recent_events" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_id").cast("long").as("event_id"),
+          dayofmonth(col("ts")).as("dom"))
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q226_" + s.sparkContext.applicationId)
+      graft.operators.FsUtil.deleteRecursively(base.toFile)
+      Files.createDirectories(base.resolve("data"))
+      def drop(pred: org.apache.spark.sql.Column): Unit =
+        ev.filter(pred).select("user_id", "ts_us", "event_id")
+          .coalesce(1).write.mode("append").parquet(s"$base/data")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("user_id", LongType).add("ts_us", LongType)
+        .add("event_id", LongType)
+      val prevProvider = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        def runOnce(): Unit = {
+          val out = s.readStream.schema(schema).parquet(s"$base/data")
+            .as[(Long, Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new graft.streaming.RecentEvents,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+            .toDF("user_id", "last3")
+          val q = out.writeStream.format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drop(col("dom") <= 15); runOnce()
+        drop(col("dom") > 15); runOnce()
+      } finally {
+        prevProvider match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      s.read.parquet(s"$base/out").select("user_id", "last3")
+    },
+
     // transformWithState — Spark 4's arbitrary-state API (RocksDB-backed),
     // exercised across a CHECKPOINT RESUME: slice 1 (days 1-15) lands,
     // the stream runs availableNow and emits each user's running totals;
@@ -561,6 +618,34 @@ object SourceStreamQueries {
            FROM ev GROUP BY 1
            HAVING sum(CASE WHEN dom > 15 THEN 1 ELSE 0 END) > 0)
          SELECT * FROM s1 UNION ALL SELECT * FROM cum""",
+    // q226: the last-3 buffer is a deterministic function of (ts, id), so
+    // both emissions replay as top-3-by-recency string aggs per slice
+    "q226_tws_recent_events" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                  extract(day FROM ts) AS dom
+           FROM events),
+         p1 AS (
+           SELECT user_id, ts_us, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts_us DESC, event_id DESC) AS rn
+           FROM ev WHERE dom <= 15),
+         l1 AS (
+           SELECT user_id, string_agg(CAST(event_id AS VARCHAR), ','
+                  ORDER BY ts_us, event_id) AS last3
+           FROM p1 WHERE rn <= 3 GROUP BY 1),
+         p2 AS (
+           SELECT user_id, ts_us, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts_us DESC, event_id DESC) AS rn
+           FROM ev),
+         l2 AS (
+           SELECT user_id, string_agg(CAST(event_id AS VARCHAR), ','
+                  ORDER BY ts_us, event_id) AS last3
+           FROM p2 WHERE rn <= 3
+             AND user_id IN (SELECT user_id FROM ev WHERE dom > 15)
+           GROUP BY 1)
+         SELECT * FROM l1 UNION ALL SELECT * FROM l2""",
     // replays the fixture's id->hour arithmetic: on-time subset = everything
     // except batch-2 hour-1 rows (late, window already evicted at watermark
     // 4:30); emitted windows = end <= final watermark 5:30, i.e. h <= 4

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-key running totals via `transformWithState` — Spark 4's
   * arbitrary-state API (the successor to flatMapGroupsWithState, backed by
@@ -32,5 +32,31 @@ class RunningTotals
     rows.foreach { r => n += 1L; sum += r._2 }
     state.update((n, sum))
     Iterator.single((key, n, sum))
+  }
+}
+
+/** ListState companion to [[RunningTotals]]: each user's LAST-3 events by
+  * (event time, id) — the bounded recency buffer behind "recently viewed"
+  * features. Micro-batch input order is arbitrary, so the processor sorts
+  * the batch and merges it with the (already-sorted) stored tail before
+  * trimming — the state is a deterministic function of the data, never of
+  * shuffle order. Emits the tail as a comma string after every batch with
+  * input.
+  */
+class RecentEvents
+    extends StatefulProcessor[Long, (Long, Long, Long), (Long, String)] {
+
+  @transient private var recent: ListState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState[(Long, Long)]("recent",
+      Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, String)] = {
+    val merged = (recent.get().toArray ++ rows.map(r => (r._2, r._3)))
+      .sortBy(identity).takeRight(3)
+    recent.put(merged)
+    Iterator.single((key, merged.map(_._2).mkString(",")))
   }
 }
