@@ -30,6 +30,74 @@ object SourceStreamQueries {
     graft.sources.Tables(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EVENT-TIME TIMERS, the third transformWithState facet: sessions
+    // close when the WATERMARK passes an armed last_event+30min timer, not
+    // when new input arrives. Deterministic two-batch fixture (the q106
+    // recipe): batch 1 gives users 1..50 two events each (minutes 0, 10)
+    // plus a sentinel clock row at minute 120 — post-batch watermark 110;
+    // batch 2 is only a clock row at 240, so DURING it every user timer
+    // (minute 40) fires and emits (user, 2), while the sentinel's own
+    // timer (150 > 110) stays armed and, with no third batch, never emits.
+    // The oracle is exactly those 50 rows
+    "q227_tws_session_timers" -> { (s, dir) =>
+      val epochBase = 1767225600L // 2026-01-01 00:00:00 UTC
+      val ids = t(s, dir, "events")
+        .select(col("event_id").cast("long").as("user_id"))
+        .filter(col("user_id").between(1, 50))
+      val batch1 = ids.select(col("user_id"),
+          timestamp_seconds(lit(epochBase)).as("ts"))
+        .unionByName(ids.select(col("user_id"),
+          timestamp_seconds(lit(epochBase + 600)).as("ts")))
+        .unionByName(ids.limit(1).select(lit(999L).as("user_id"),
+          timestamp_seconds(lit(epochBase + 7200)).as("ts")))
+      val batch2 = ids.limit(1).select(lit(999L).as("user_id"),
+        timestamp_seconds(lit(epochBase + 14400)).as("ts"))
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q227_" + s.sparkContext.applicationId)
+      graft.operators.FsUtil.deleteRecursively(base.toFile)
+      Files.createDirectories(base.resolve("data"))
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("user_id", LongType)
+        .add("ts", org.apache.spark.sql.types.TimestampType)
+      val sp = s
+      import sp.implicits._
+      val prevProvider = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        def runOnce(): Unit = {
+          val out = s.readStream.schema(schema).parquet(s"$base/data")
+            .withWatermark("ts", "10 minutes")
+            .as[(Long, java.sql.Timestamp)]
+            .groupByKey(_._1)
+            .transformWithState(new graft.streaming.SessionTimeout,
+              org.apache.spark.sql.streaming.TimeMode.EventTime(),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+            .toDF("user_id", "n_events")
+          val q = out.writeStream.format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        batch1.coalesce(1).write.mode("append").parquet(s"$base/data")
+        runOnce()
+        batch2.coalesce(1).write.mode("append").parquet(s"$base/data")
+        runOnce()
+      } finally {
+        prevProvider match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      s.read.parquet(s"$base/out").select("user_id", "n_events")
+    },
+
     // ListState flavor of q225: each user's LAST-3 events by (ts, id) —
     // the "recently viewed" recency buffer — maintained in RocksDB
     // ListState across the same two-batch checkpoint resume. The buffer is
@@ -618,6 +686,13 @@ object SourceStreamQueries {
            FROM ev GROUP BY 1
            HAVING sum(CASE WHEN dom > 15 THEN 1 ELSE 0 END) > 0)
          SELECT * FROM s1 UNION ALL SELECT * FROM cum""",
+    // q227: the only emissions are the 50 user sessions closed by the
+    // batch-2 watermark (110 min > the minute-40 timers); the sentinel's
+    // timer stays armed forever
+    "q227_tws_session_timers" ->
+      """SELECT CAST(event_id AS BIGINT) AS user_id,
+                CAST(2 AS BIGINT) AS n_events
+         FROM events WHERE event_id BETWEEN 1 AND 50""",
     // q226: the last-3 buffer is a deterministic function of (ts, id), so
     // both emissions replay as top-3-by-recency string aggs per slice
     "q226_tws_recent_events" ->

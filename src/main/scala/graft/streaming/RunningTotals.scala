@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-key running totals via `transformWithState` — Spark 4's
   * arbitrary-state API (the successor to flatMapGroupsWithState, backed by
@@ -58,5 +58,51 @@ class RecentEvents
       .sortBy(identity).takeRight(3)
     recent.put(merged)
     Iterator.single((key, merged.map(_._2).mkString(",")))
+  }
+}
+
+/** Timer-driven session close — the third transformWithState facet (q225:
+  * ValueState, q226: ListState, here: EVENT-TIME TIMERS): a user's session
+  * stays open in state while events arrive; an event-time timer at
+  * last_event + 30 min is re-armed on every event (the previous timer
+  * deleted — two live timers would double-emit), and when the WATERMARK
+  * passes it, [[handleExpiredTimer]] emits the closed session and clears
+  * state. Emission is therefore driven by watermark progression across
+  * micro-batches — the contract q227's fixture pins batch by batch.
+  */
+class SessionTimeout extends StatefulProcessor[Long,
+    (Long, java.sql.Timestamp), (Long, Long)] {
+
+  private val TimeoutMs = 30L * 60L * 1000L
+  // (n_events, last_event_ms, armed_timer_ms)
+  @transient private var session: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    session = getHandle.getValueState[(Long, Long, Long)]("session",
+      Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val ts = rows.map(_._2.getTime).toArray
+    java.util.Arrays.sort(ts)
+    val prev = if (session.exists()) Some(session.get()) else None
+    val n0 = prev.map(_._1).getOrElse(0L)
+    prev.filter(_._3 > 0L).foreach(p => getHandle.deleteTimer(p._3))
+    val last = ts.last
+    val timer = last + TimeoutMs
+    getHandle.registerTimer(timer)
+    session.update((n0 + ts.length, last, timer))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+    val out = if (session.exists()) {
+      val s = session.get()
+      session.clear()
+      Iterator.single((key, s._1))
+    } else Iterator.empty
+    out
   }
 }
