@@ -30,6 +30,62 @@ object SourceStreamQueries {
     graft.sources.Tables(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MapState facet of the TWS family: per-user event_type → count map,
+    // sub-keys updated in place per batch (never a wholesale map rewrite),
+    // emitted as a canonical sorted "type:n" string after each batch with
+    // input — slice-1 snapshot then cumulative snapshot, both replayed as
+    // relational string aggs from the same day split
+    "q228_tws_type_counts" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_type"), dayofmonth(col("ts")).as("dom"))
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q228_" + s.sparkContext.applicationId)
+      graft.operators.FsUtil.deleteRecursively(base.toFile)
+      Files.createDirectories(base.resolve("data"))
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("user_id", LongType)
+        .add("event_type", org.apache.spark.sql.types.StringType)
+      val prevProvider = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        def runOnce(): Unit = {
+          val out = s.readStream.schema(schema).parquet(s"$base/data")
+            .as[(Long, String)]
+            .groupByKey(_._1)
+            .transformWithState(new graft.streaming.TypeCounts,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+            .toDF("user_id", "type_counts")
+          val q = out.writeStream.format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        ev.filter(col("dom") <= 15).select("user_id", "event_type")
+          .coalesce(1).write.mode("append").parquet(s"$base/data")
+        runOnce()
+        ev.filter(col("dom") > 15).select("user_id", "event_type")
+          .coalesce(1).write.mode("append").parquet(s"$base/data")
+        runOnce()
+      } finally {
+        prevProvider match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      s.read.parquet(s"$base/out").select("user_id", "type_counts")
+    },
+
     // EVENT-TIME TIMERS, the third transformWithState facet: sessions
     // close when the WATERMARK passes an armed last_event+30min timer, not
     // when new input arrives. Deterministic two-batch fixture (the q106
@@ -686,6 +742,28 @@ object SourceStreamQueries {
            FROM ev GROUP BY 1
            HAVING sum(CASE WHEN dom > 15 THEN 1 ELSE 0 END) > 0)
          SELECT * FROM s1 UNION ALL SELECT * FROM cum""",
+    // q228: both snapshots replay as sorted type:count string aggs
+    "q228_tws_type_counts" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, extract(day FROM ts) AS dom
+           FROM events),
+         c1 AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM ev WHERE dom <= 15 GROUP BY 1, 2),
+         l1 AS (
+           SELECT user_id, string_agg(event_type || ':' ||
+                  CAST(n AS VARCHAR), ',' ORDER BY event_type) AS type_counts
+           FROM c1 GROUP BY 1),
+         c2 AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM ev GROUP BY 1, 2),
+         l2 AS (
+           SELECT user_id, string_agg(event_type || ':' ||
+                  CAST(n AS VARCHAR), ',' ORDER BY event_type) AS type_counts
+           FROM c2
+           WHERE user_id IN (SELECT user_id FROM ev WHERE dom > 15)
+           GROUP BY 1)
+         SELECT * FROM l1 UNION ALL SELECT * FROM l2""",
     // q227: the only emissions are the 50 user sessions closed by the
     // batch-2 watermark (110 min > the minute-40 timers); the sentinel's
     // timer stays armed forever

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-key running totals via `transformWithState` — Spark 4's
   * arbitrary-state API (the successor to flatMapGroupsWithState, backed by
@@ -104,5 +104,34 @@ class SessionTimeout extends StatefulProcessor[Long,
       Iterator.single((key, s._1))
     } else Iterator.empty
     out
+  }
+}
+
+/** MapState facet (q225: ValueState, q226: ListState, q227: timers): a
+  * per-user map of event_type → running count, updated key-wise per batch
+  * and emitted as a canonical "type:count" string sorted by type — the
+  * per-key sub-keyed state shape (feature counters per entity) that a
+  * ValueState-of-map would rewrite wholesale on every update, while
+  * MapState touches only the sub-keys the batch contains.
+  */
+class TypeCounts
+    extends StatefulProcessor[Long, (Long, String), (Long, String)] {
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[(Long, String)] = {
+    rows.foreach { r =>
+      val t = r._2
+      val prev = if (counts.containsKey(t)) counts.getValue(t) else 0L
+      counts.updateValue(t, prev + 1L)
+    }
+    val snapshot = counts.iterator().map(kv => (kv._1, kv._2)).toArray
+      .sortBy(_._1).map { case (t, n) => s"$t:$n" }.mkString(",")
+    Iterator.single((key, snapshot))
   }
 }
