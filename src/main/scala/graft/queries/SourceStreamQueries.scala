@@ -30,6 +30,85 @@ object SourceStreamQueries {
     graft.sources.Tables(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PERMISSIVE-mode corrupt-record triage — the ingest contract for dirty
+    // CSV feeds: malformed rows (a deterministic 1-in-10 with a non-numeric
+    // value) land in the _corrupt_record column instead of killing the
+    // read, and the report counts them next to the good rows' checksum.
+    // localCheckpoint materializes the scan — Spark forbids queries that
+    // reference the corrupt column directly on the lazy CSV relation
+    "q229_corrupt_records" -> { (s, dir) =>
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q229_" +
+        s.sparkContext.applicationId
+      val ids = t(s, dir, "events")
+        .select(col("event_id").cast("long").as("id"))
+        .filter(col("id").between(1, 100))
+      ids.select(when(col("id") % 10 === 0,
+            concat(col("id").cast("string"), lit(",abc")))
+          .otherwise(concat(col("id").cast("string"), lit(","),
+            (col("id") * 2).cast("string"))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(base)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("id", LongType).add("val", LongType)
+        .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+      val parsed = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(base)
+        .localCheckpoint()
+      parsed.agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_corrupt"),
+        sum(col("val")).cast("long").as("sum_val"))
+    },
+
+    // parquet SCHEMA EVOLUTION — the lake reality that columns arrive over
+    // time: drop 1 writes (id, a), drop 2 writes (id, b) into the same
+    // dataset; mergeSchema reads the union schema with NULL fill, and the
+    // report proves both halves kept their data. The deterministic id
+    // split replays relationally
+    "q230_schema_evolution" -> { (s, dir) =>
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q230_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(base))
+      val ids = t(s, dir, "events")
+        .select(col("event_id").cast("long").as("id"))
+        .filter(col("id").between(1, 200))
+      ids.filter(col("id") % 2 === 0)
+        .withColumn("a", col("id") * 10L)
+        .write.mode("append").parquet(base)
+      ids.filter(col("id") % 2 =!= 0)
+        .withColumn("b", col("id") * 100L)
+        .write.mode("append").parquet(base)
+      s.read.option("mergeSchema", "true").parquet(base)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(when(col("a").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_with_a"),
+          sum(when(col("b").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_with_b"),
+          sum(col("a")).cast("long").as("sum_a"),
+          sum(col("b")).cast("long").as("sum_b"))
+    },
+
+    // ORC round-trip — the third columnar interchange format (S-tier with
+    // q55's CSV and q64's JSONL): events written as ORC, read back, and
+    // aggregated hourly; the oracle aggregates the original parquet, so
+    // any round-trip loss (timestamp precision, nulls) would hash-fail
+    "q231_orc_source" -> { (s, dir) =>
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q231_" +
+        s.sparkContext.applicationId
+      t(s, dir, "events").select("event_id", "ts", "event_type", "value")
+        .write.mode("overwrite").orc(base)
+      s.read.orc(base)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(expr("CAST(floor(value * 1000000) AS BIGINT)"))
+            .cast("long").as("sum_u"))
+        .select(col("event_type"), unix_timestamp(col("hr")).as("hour_epoch"),
+          col("n_events"), col("sum_u"))
+    },
+
     // MapState facet of the TWS family: per-user event_type → count map,
     // sub-keys updated in place per batch (never a wholesale map rewrite),
     // emitted as a canonical sorted "type:n" string after each batch with
@@ -742,6 +821,33 @@ object SourceStreamQueries {
            FROM ev GROUP BY 1
            HAVING sum(CASE WHEN dom > 15 THEN 1 ELSE 0 END) > 0)
          SELECT * FROM s1 UNION ALL SELECT * FROM cum""",
+    "q229_corrupt_records" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN event_id % 10 <> 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_good,
+                CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_corrupt,
+                CAST(sum(CASE WHEN event_id % 10 <> 0 THEN event_id * 2 END)
+                     AS BIGINT) AS sum_val
+         FROM events WHERE event_id BETWEEN 1 AND 100""",
+    "q230_schema_evolution" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_with_a,
+                CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_with_b,
+                CAST(sum(CASE WHEN event_id % 2 = 0 THEN event_id * 10 END)
+                     AS BIGINT) AS sum_a,
+                CAST(sum(CASE WHEN event_id % 2 <> 0 THEN event_id * 100 END)
+                     AS BIGINT) AS sum_b
+         FROM events WHERE event_id BETWEEN 1 AND 200""",
+    "q231_orc_source" ->
+      """SELECT event_type,
+                epoch(date_trunc('hour', ts)) AS hour_epoch,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                  AS sum_u
+         FROM events GROUP BY 1, 2""",
     // q228: both snapshots replay as sorted type:count string aggs
     "q228_tws_type_counts" ->
       """WITH ev AS (
