@@ -379,6 +379,23 @@ class Round9Spec extends SparkSpec {
       Seq("minhash_signature", "shingle_hashes", "simhash64"))
   }
 
+  test("Sssp.hopDistances: hand-computed layers, radius cutoff, seed dedup") {
+    import graft.operators.Sssp
+    // path 1 -> 2 -> 3 -> 4 -> 5 (directed), seed {1, 1 dup}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L, 1L).toDF("node")
+    val d2 = Sssp.hopDistances(edges, seeds, rounds = 2).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(d2 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> -1L, 5L -> -1L),
+      s"2-round radius: $d2")
+    val d4 = Sssp.hopDistances(edges, seeds, rounds = 4).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(d4 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L),
+      s"full reach: $d4")
+  }
+
   test("mergeClusters: prior stars + delta pairs == from-scratch closure") {
     import graft.data.Dedup
     // history: components {1,2,3} (chain) and {4,5}; 6..8 singletons
