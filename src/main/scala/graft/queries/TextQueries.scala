@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.preprocess.Preprocessor
@@ -77,6 +78,49 @@ object TextQueries {
           col("center") =!= "" && col("context") =!= "")
         .groupBy("center", "context")
         .agg(count(lit(1)).cast("long").as("n_pairs"))
+    },
+
+    // CONTENT-DEFINED chunking — the dedup-friendly splitter (FastCDC's
+    // idea at token granularity): a chunk boundary falls where the hash of
+    // the local 3-token window ≡ 0 (mod 8), so an insertion early in a
+    // document RESHIFTS nothing downstream — unlike q67's fixed windows,
+    // edits stay local and chunk hashes keep matching across near-dup
+    // docs. Per-doc prefix sum assigns chunk ids; the cross-corpus report
+    // counts how many chunks are shared verbatim. Map-side boundaries,
+    // one per-doc window, two shrinking aggs
+    "q232_cdc_chunking" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+        .select(col("doc_id"), col("ws"),
+          posexplode(col("ws")).as(Seq("i", "tok")))
+        .filter(col("tok") =!= "")
+        .withColumn("boundary", expr(
+          """CAST(conv(substring(md5(CAST(concat(tok, '|',
+             coalesce(get(ws, i + 1), ''), '|',
+             coalesce(get(ws, i + 2), '')) AS BINARY)), 1, 12), 16, 10)
+             AS BIGINT) % 8 = 0"""))
+      val w = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // collect_list is UNORDERED under a hash agg — the chunk hash is
+      // rebuilt from the position-sorted struct list so it is a function
+      // of the text, not of shuffle order
+      val ordered = toks
+        .withColumn("chunk_id",
+          coalesce(sum(when(col("boundary"), 1L).otherwise(0L)).over(w),
+            lit(0L)))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          md5(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+              x => x.getField("tok")))).as("chunk_hash"))
+      val dupes = ordered.groupBy("chunk_hash")
+        .agg(count(lit(1)).cast("long").as("n_copies"))
+      ordered.join(dupes, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_chunks"),
+          sum("n_tokens").cast("long").as("n_tokens"),
+          sum(when(col("n_copies") > 1L, 1L).otherwise(0L))
+            .cast("long").as("n_shared_chunks"))
     },
 
     // F2-F13 composite: the regex-only preprocessing pipeline
@@ -540,6 +584,38 @@ object TextQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q232_cdc_chunking" ->
+      """WITH t1 AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+         tok AS (
+           SELECT doc_id, unnest([{'i': i, 'tok': ws[i],
+                  'b': CAST(concat('0x', substr(md5(ws[i] || '|' ||
+                       coalesce(ws[i+1], '') || '|' ||
+                       coalesce(ws[i+2], '')), 1, 12)) AS UBIGINT) % 8 = 0}
+                  for i in range(1, len(ws) + 1) if ws[i] <> '']) AS t
+           FROM t1),
+         flat AS (
+           SELECT doc_id, t.i AS i, t.tok AS tok, t.b AS boundary FROM tok),
+         ch AS (
+           SELECT doc_id, i, tok,
+                  coalesce(sum(CASE WHEN boundary THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS chunk_id
+           FROM flat),
+         chunks AS (
+           SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_hash
+           FROM ch GROUP BY 1, 2),
+         d AS (
+           SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies
+           FROM chunks GROUP BY 1)
+         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(sum(c.n_tokens) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN d.n_copies > 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_shared_chunks
+         FROM chunks c JOIN d USING (chunk_hash)
+         GROUP BY c.doc_id""",
     "q211_skipgram_pairs" ->
       """WITH t1 AS (
            SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
