@@ -1431,6 +1431,39 @@ object CoreQueries {
         .select("doc_id", "source", "n_chars", "s_pct", "normalized")
     },
 
+    // GROWTH metrics — the DAU/WAU dashboard row: per day, distinct active
+    // users, trailing-7-day actives (exact — the bounded day-range join,
+    // q195's exact-side recipe), RETURNING users (active today ∧ active in
+    // the prior 7 days, the retention numerator), and the DAU/WAU
+    // stickiness ratio in integer thousandths. Day-range joins are
+    // calendar-bounded (≤ 7 days replicated), every number exact
+    "q233_growth_metrics" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val ud = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct().localCheckpoint()
+      val days = ud.select("day").distinct()
+      val dau = ud.groupBy("day")
+        .agg(countDistinct("user_id").cast("long").as("dau"))
+      val wau = days.join(ud.toDF("d2", "user_id"),
+          col("d2").between(date_sub(col("day"), 6), col("day")))
+        .groupBy("day")
+        .agg(countDistinct("user_id").cast("long").as("wau"))
+      val ret = ud.join(ud.toDF("d2", "u2"),
+          col("u2") === col("user_id") &&
+          col("d2").between(date_sub(col("day"), 7), date_sub(col("day"), 1)),
+          "left_semi")
+        .groupBy("day")
+        .agg(countDistinct("user_id").cast("long").as("returning"))
+      dau.join(wau, "day").join(ret, Seq("day"), "left")
+        .select(col("day"), col("dau"), col("wau"),
+          coalesce(col("returning"), lit(0L)).as("returning"),
+          expr(s"""CAST((CAST(coalesce(returning, 0) AS $d38) * 1000000)
+                   div dau AS BIGINT)""").as("returning_ppm"),
+          expr(s"CAST((CAST(dau AS $d38) * 1000) div wau AS BIGINT)")
+            .as("stickiness_x1000"))
+    },
+
     // Rate-limit WHAT-IF audit — "how many events would a 10-per-minute
     // per-user throttle have dropped": per event, the count of the user's
     // events in the trailing 60 s via a RANGE frame over event-time
@@ -2210,6 +2243,31 @@ object CoreQueries {
                      (sum(w) OVER (PARTITION BY purchase_id)) AS BIGINT)
                   AS credit_ppm
          FROM wgt""",
+    "q233_growth_metrics" ->
+      """WITH ud AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         days AS (SELECT DISTINCT day FROM ud),
+         dau AS (
+           SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+           FROM ud GROUP BY 1),
+         wau AS (
+           SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+           FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+           GROUP BY 1),
+         ret AS (
+           SELECT a.day, CAST(count(DISTINCT a.user_id) AS BIGINT)
+                  AS returning
+           FROM ud a
+           WHERE EXISTS (SELECT 1 FROM ud b WHERE b.user_id = a.user_id
+                         AND b.day BETWEEN a.day - 7 AND a.day - 1)
+           GROUP BY 1)
+         SELECT d.day, d.dau, w.wau,
+                CAST(coalesce(r.returning, 0) AS BIGINT) AS returning,
+                CAST((CAST(coalesce(r.returning, 0) AS HUGEINT) * 1000000)
+                     // d.dau AS BIGINT) AS returning_ppm,
+                CAST((CAST(d.dau AS HUGEINT) * 1000) // w.wau AS BIGINT)
+                  AS stickiness_x1000
+         FROM dau d JOIN wau w USING (day) LEFT JOIN ret r USING (day)""",
     "q223_quantile_normalize" ->
       """WITH srcdom AS (
            SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
