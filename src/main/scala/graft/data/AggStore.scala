@@ -56,6 +56,20 @@ object AggStore {
     * n_events, total, mean — identical to recomputing from raw rows, but
     * reading only the pruned partial partitions.
     */
+  /** Multi-granularity derivation: a WEEKLY report folded from the stored
+    * DAILY partials — sum-of-daily-partials per week is bit-identical to a
+    * direct weekly recompute (DECIMAL associativity again), so coarser
+    * rollups (week/month/quarter) never re-read raw history; they fold the
+    * same kilobyte partial rows the daily reports do.
+    */
+  def weeklyReport(spark: SparkSession, path: String,
+                   groupCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"),
+        col(groupCol))
+      .agg(sum(col("n_rows")).cast("long").as("n_events"),
+        sum(col("sum_v")).cast("double").as("total"))
+
   def report(spark: SparkSession, path: String, groupCol: String,
              from: String, to: String): DataFrame =
     spark.read.parquet(path)

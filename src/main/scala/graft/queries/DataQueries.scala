@@ -342,6 +342,23 @@ object DataQueries {
         from = "2024-01-05", to = "2024-01-25")
     },
 
+    // multi-granularity rollup gate: the WEEKLY view derived purely from
+    // the store's daily partials must equal the direct weekly recompute
+    // from raw events — DECIMAL partial associativity means materialized
+    // coarser views never re-read history. Same two-append store as q147
+    "q234_weekly_rollup" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
+        col("value"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q234_" +
+        s.sparkContext.applicationId
+      val cut = lit("2024-01-20").cast("date")
+      graft.data.AggStore.writeDaily(
+        ev.filter(to_date(col("ts")) <= cut), "ts", "event_type", "value", path)
+      graft.data.AggStore.appendDaily(
+        ev.filter(to_date(col("ts")) > cut), "ts", "event_type", "value", path)
+      graft.data.AggStore.weeklyReport(s, path, "event_type")
+    },
+
     "q128_sketch_store" -> { (s, dir) =>
       val sp = s
       import sp.implicits._
@@ -1421,6 +1438,12 @@ object DataQueries {
     "q72_bm25_topk" -> bm25Sql,
     "q75_bm25_indexed" -> bm25Sql,
     "q87_bm25_append" -> bm25Sql,
+    "q234_weekly_rollup" ->
+      """SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+                event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2""",
     "q147_agg_store" ->
       """SELECT event_type,
                 CAST(count(*) AS BIGINT) AS n_events,
