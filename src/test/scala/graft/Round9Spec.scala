@@ -396,6 +396,26 @@ class Round9Spec extends SparkSpec {
       s"full reach: $d4")
   }
 
+  test("RangeShard: collided boundaries on skewed data leave shards empty, never wrong") {
+    import graft.data.RangeShard
+    // 90% of mass at one value: most quantile cut points collide
+    val df = (Seq.fill(90)(5.0) ++ Seq(1.0, 2.0, 3.0, 9.0, 9.5, 11.0, 12.0,
+      13.0, 14.0, 15.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val bounds = RangeShard.boundaries(df, "v", 8)
+    assert(bounds.length == 7)
+    val assigned = RangeShard.assign(df, "v", bounds)
+    assert(assigned.count() == 100, "every row keeps exactly one shard")
+    val man = RangeShard.manifest(assigned, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .sortBy(_._1)
+    // non-overlap must hold even with empty/skipped shard ids
+    for (i <- 1 until man.length)
+      assert(man(i - 1)._2._3 <= man(i)._2._2,
+        s"overlap between ${man(i - 1)} and ${man(i)}")
+    assert(man.map(_._2._1).sum == 100L)
+  }
+
   test("mergeClusters: prior stars + delta pairs == from-scratch closure") {
     import graft.data.Dedup
     // history: components {1,2,3} (chain) and {4,5}; 6..8 singletons
