@@ -1431,6 +1431,47 @@ object CoreQueries {
         .select("doc_id", "source", "n_chars", "s_pct", "normalized")
     },
 
+    // GRID-BUCKETED SPATIAL JOIN — the scalable proximity-join recipe
+    // (geohash/S2 cells reduced to their essence): points land in unit
+    // grid cells, each point replicates into its 3×3 neighborhood (a hard
+    // 9× fan-out), candidates meet in a cell-keyed equi-join, and the
+    // exact distance predicate filters — never an all-pairs cross join.
+    // Points are synthesized from order keys (integer coordinates so the
+    // squared distance is exact); the oracle replays the whole cell
+    // pipeline. The q127 binned-interval discipline in two dimensions
+    "q235_spatial_grid_join" -> { (s, dir) =>
+      val pts = t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 3000)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") * 37 % 500).as("x"),
+          (col("o_custkey") * 73 % 500).as("y"))
+        .localCheckpoint()
+      val cellSize = 10L
+      val withCell = pts
+        .withColumn("cx", expr(s"x div $cellSize"))
+        .withColumn("cy", expr(s"y div $cellSize"))
+      val probes = withCell.select(col("id").as("id_b"),
+          col("x").as("xb"), col("y").as("yb"),
+          explode(expr("array(-1, 0, 1)")).as("dx"),
+          col("cx"), col("cy"))
+        .select(col("id_b"), col("xb"), col("yb"),
+          (col("cx") + col("dx")).as("cx"),
+          explode(expr("array(-1, 0, 1)")).as("dy"), col("cy"))
+        .select(col("id_b"), col("xb"), col("yb"), col("cx"),
+          (col("cy") + col("dy")).as("cy"))
+      // each qualifying pair meets EXACTLY once: the left point's single
+      // cell matches exactly one of the right point's 9 distinct probe
+      // cells, and id < id_b keeps one orientation — no dedup needed
+      withCell.join(probes, Seq("cx", "cy"))
+        .filter(col("id") < col("id_b"))
+        .withColumn("d2",
+          (col("x") - col("xb")) * (col("x") - col("xb")) +
+          (col("y") - col("yb")) * (col("y") - col("yb")))
+        .filter(col("d2") <= 100L)
+        .select(col("id").as("id_a"), col("id_b"),
+          col("d2").cast("long").as("d2"))
+    },
+
     // GROWTH metrics — the DAU/WAU dashboard row: per day, distinct active
     // users, trailing-7-day actives (exact — the bounded day-range join,
     // q195's exact-side recipe), RETURNING users (active today ∧ active in
@@ -2243,6 +2284,20 @@ object CoreQueries {
                      (sum(w) OVER (PARTITION BY purchase_id)) AS BIGINT)
                   AS credit_ppm
          FROM wgt""",
+    // proves the grid pipeline == brute force: the oracle IS the cross
+    // join with the exact distance predicate
+    "q235_spatial_grid_join" ->
+      """WITH pts AS (
+           SELECT o_orderkey AS id,
+                  (o_orderkey * 37) % 500 AS x,
+                  (o_custkey * 73) % 500 AS y
+           FROM orders WHERE o_orderkey <= 3000)
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST((a.x - b.x) * (a.x - b.x) +
+                     (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+         FROM pts a JOIN pts b ON a.id < b.id
+         WHERE (a.x - b.x) * (a.x - b.x) +
+               (a.y - b.y) * (a.y - b.y) <= 100""",
     "q233_growth_metrics" ->
       """WITH ud AS (
            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
