@@ -342,6 +342,29 @@ object DataQueries {
         from = "2024-01-05", to = "2024-01-25")
     },
 
+    // BACKFILL planner — the scheduler-ops gate for any day-partitioned
+    // store: compare the partitions that EXIST against the calendar the
+    // range implies and emit the repair list (missing days, with a
+    // complete verdict). Simulated holes: the store is built skipping
+    // day % 3 == 0; the report must name exactly those days. One store
+    // listing-scale scan + a calendar-bounded grid anti-join
+    "q236_backfill_plan" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
+        col("value"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q236_" +
+        s.sparkContext.applicationId
+      graft.data.AggStore.writeDaily(
+        ev.filter(dayofmonth(col("ts")) % 3 =!= 0), "ts", "event_type",
+        "value", path)
+      val have = s.read.parquet(path).select("day").distinct()
+      val bounds = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      val grid = bounds.select(
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      grid.join(have, Seq("day"), "left_anti")
+        .select(col("day").as("missing_day"))
+    },
+
     // multi-granularity rollup gate: the WEEKLY view derived purely from
     // the store's daily partials must equal the direct weekly recompute
     // from raw events — DECIMAL partial associativity means materialized
@@ -1438,6 +1461,9 @@ object DataQueries {
     "q72_bm25_topk" -> bm25Sql,
     "q75_bm25_indexed" -> bm25Sql,
     "q87_bm25_append" -> bm25Sql,
+    "q236_backfill_plan" ->
+      """SELECT DISTINCT CAST(ts AS DATE) AS missing_day
+         FROM events WHERE extract(day FROM ts) % 3 = 0""",
     "q234_weekly_rollup" ->
       """SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
                 event_type,
