@@ -1431,6 +1431,25 @@ object CoreQueries {
         .select("doc_id", "source", "n_chars", "s_pct", "normalized")
     },
 
+    // Week-over-week change — the dashboard deltas: weekly volumes per
+    // type, each week's change vs the previous week in signed ppm
+    // (cross-multiplied integer division — both engines truncate toward
+    // zero, q192's verified contract — NULL for the first week). One hash
+    // agg + a lag over the week-collapsed frame
+    "q237_wow_change" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val weekly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("week", to_date(col("ts"))).cast("date").as("week"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val w = Window.partitionBy("event_type").orderBy("week")
+      weekly.withColumn("prev_n", lag(col("n"), 1).over(w))
+        .select(col("event_type"), col("week"), col("n"),
+          col("prev_n").cast("long").as("prev_n"),
+          expr(s"""CAST((CAST(n - prev_n AS $d38) * 1000000)
+                   div nullif(prev_n, 0) AS BIGINT)""").as("wow_change_ppm"))
+    },
+
     // GRID-BUCKETED SPATIAL JOIN — the scalable proximity-join recipe
     // (geohash/S2 cells reduced to their essence): points land in unit
     // grid cells, each point replicates into its 3×3 neighborhood (a hard
@@ -2284,6 +2303,20 @@ object CoreQueries {
                      (sum(w) OVER (PARTITION BY purchase_id)) AS BIGINT)
                   AS credit_ppm
          FROM wgt""",
+    "q237_wow_change" ->
+      """WITH weekly AS (
+           SELECT event_type,
+                  CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, week, n,
+                CAST(lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                     AS BIGINT) AS prev_n,
+                CAST((CAST(n - lag(n) OVER (PARTITION BY event_type
+                      ORDER BY week) AS HUGEINT) * 1000000) //
+                     nullif(lag(n) OVER (PARTITION BY event_type
+                      ORDER BY week), 0) AS BIGINT) AS wow_change_ppm
+         FROM weekly""",
     // proves the grid pipeline == brute force: the oracle IS the cross
     // join with the exact distance predicate
     "q235_spatial_grid_join" ->
