@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * integer-floored quantiles instead, so the shard layout is deterministic,
   * the manifest is replayable by any SQL engine, and two exports of the same
   * data are byte-comparable. At 100 TB the one non-map-side step — the
-  * grouped percentile — swaps for `percentile_approx` (boundaries only need
-  * to balance shards, not be exact order statistics); everything downstream
-  * of the boundary array is map-side.
+  * grouped percentile — runs as `percentile_approx` instead
+  * (`boundaries(exact = false)`): boundaries only need to balance shards,
+  * not be exact order statistics, and everything downstream of the boundary
+  * array is map-side either way.
   *
   * Flooring the boundaries to BIGINT does two jobs: shard assignment never
   * depends on the last ulp of an interpolated double (the engines'
@@ -26,13 +27,20 @@ object RangeShard {
 
   /** The `nShards - 1` interior cut points: floor(quantile(i/n)) for
     * i in 1..n-1. One aggregate; the result is (nShards-1)-sized —
-    * driver-bounded by construction.
+    * driver-bounded by construction. `exact = false` computes the cut
+    * points with `percentile_approx` (accuracy 10000) — the 100 TB path:
+    * one sketchable pass instead of a sort-based exact percentile, at the
+    * cost of slightly unbalanced (never overlapping) shards.
     */
-  def boundaries(df: DataFrame, valueCol: String, nShards: Int): Array[Long] = {
+  def boundaries(df: DataFrame, valueCol: String, nShards: Int,
+                 exact: Boolean = true): Array[Long] = {
     require(nShards >= 2, s"need at least 2 shards, got $nShards")
-    val ps = (1 until nShards).map(i => lit(i.toDouble / nShards))
-    df.agg(percentile(col(valueCol), array(ps: _*)).as("qs"))
-      .select(transform(col("qs"), q => floor(q).cast("long")).as("bs"))
+    val ps = array((1 until nShards).map(i => lit(i.toDouble / nShards)): _*)
+    val q =
+      if (exact) percentile(col(valueCol), ps)
+      else percentile_approx(col(valueCol), ps, lit(10000))
+    df.agg(q.as("qs"))
+      .select(transform(col("qs"), x => floor(x).cast("long")).as("bs"))
       .head.getSeq[Long](0).toArray
   }
 

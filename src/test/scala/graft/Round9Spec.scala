@@ -416,6 +416,21 @@ class Round9Spec extends SparkSpec {
     assert(man.map(_._2._1).sum == 100L)
   }
 
+  test("RangeShard approx boundaries: valid non-overlapping layout, full coverage") {
+    import graft.data.RangeShard
+    val df = (1 to 1000).map(i => (i.toLong, ((i * 131) % 997).toDouble))
+      .toDF("id", "v")
+    val bounds = RangeShard.boundaries(df, "v", 8, exact = false)
+    assert(bounds.length == 7 && bounds.sorted.sameElements(bounds),
+      s"approx cut points must be sorted: ${bounds.toSeq}")
+    val man = RangeShard.manifest(RangeShard.assign(df, "v", bounds), "v")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).sortBy(_._1)
+    assert(man.map(_._2._1).sum == 1000L, "approx layout must cover every row")
+    for (i <- 1 until man.length)
+      assert(man(i - 1)._2._3 <= man(i)._2._2, "approx shards must not overlap")
+  }
+
   test("mergeClusters: prior stars + delta pairs == from-scratch closure") {
     import graft.data.Dedup
     // history: components {1,2,3} (chain) and {4,5}; 6..8 singletons
