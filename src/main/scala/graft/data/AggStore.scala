@@ -56,6 +56,30 @@ object AggStore {
     * n_events, total, mean — identical to recomputing from raw rows, but
     * reading only the pruned partial partitions.
     */
+  /** Retention enforcement: DROP day partitions strictly before `cutoff`
+    * (inclusive keep) — pure partition-directory deletion, no rewrite of
+    * surviving data, so reports over the kept range are bit-identical
+    * before and after. The lifecycle triplet: append (grow), compact
+    * (defragment), vacuum (forget). Returns (partitions before, after).
+    */
+  def vacuumBefore(spark: SparkSession, path: String,
+                   cutoff: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dest), s"vacuumBefore: $path does not exist")
+    val dayDirs = fs.listStatus(dest).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("day="))
+    val cut = java.time.LocalDate.parse(cutoff)
+    var dropped = 0L
+    dayDirs.foreach { d =>
+      val day = java.time.LocalDate.parse(
+        d.getPath.getName.stripPrefix("day="))
+      if (day.isBefore(cut)) { fs.delete(d.getPath, true); dropped += 1L }
+    }
+    (dayDirs.length.toLong, dayDirs.length.toLong - dropped)
+  }
+
   /** Multi-granularity derivation: a WEEKLY report folded from the stored
     * DAILY partials — sum-of-daily-partials per week is bit-identical to a
     * direct weekly recompute (DECIMAL associativity again), so coarser

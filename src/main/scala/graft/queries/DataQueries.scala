@@ -342,6 +342,22 @@ object DataQueries {
         from = "2024-01-05", to = "2024-01-25")
     },
 
+    // RETENTION VACUUM — the forget leg of the store lifecycle (append /
+    // compact / vacuum): day partitions before the cutoff are DELETED at
+    // the directory level (no rewrite of survivors), and the post-vacuum
+    // report must equal the raw recompute restricted to the kept range —
+    // proving the drop was surgical. Partition-listing-scale work only
+    "q238_retention_vacuum" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
+        col("value"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q238_" +
+        s.sparkContext.applicationId
+      graft.data.AggStore.writeDaily(ev, "ts", "event_type", "value", path)
+      graft.data.AggStore.vacuumBefore(s, path, "2024-01-15")
+      graft.data.AggStore.report(s, path, "event_type",
+        from = "2024-01-01", to = "2024-01-31")
+    },
+
     // BACKFILL planner — the scheduler-ops gate for any day-partitioned
     // store: compare the partitions that EXIST against the calendar the
     // range implies and emit the repair list (missing days, with a
@@ -1464,6 +1480,15 @@ object DataQueries {
     "q236_backfill_plan" ->
       """SELECT DISTINCT CAST(ts AS DATE) AS missing_day
          FROM events WHERE extract(day FROM ts) % 3 = 0""",
+    "q238_retention_vacuum" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS mean
+         FROM events
+         WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+         GROUP BY event_type""",
     "q234_weekly_rollup" ->
       """SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
                 event_type,
