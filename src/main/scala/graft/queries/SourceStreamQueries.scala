@@ -30,6 +30,50 @@ object SourceStreamQueries {
     graft.sources.Tables(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CROSS-FORMAT PARITY GATE — the source-tier capstone: the same hourly
+    // aggregate computed from the parquet original and from CSV, JSONL and
+    // ORC round-trips of it must agree cell-for-cell (CSV/JSON serialize
+    // timestamps at millis — invisible to an hourly truncation — and Spark
+    // round-trips doubles losslessly). One full-outer join per format
+    // against the parquet baseline, mismatches counted; the oracle pins
+    // group counts and the all-zero mismatch columns
+    "q239_format_parity" -> { (s, dir) =>
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q239_" +
+        s.sparkContext.applicationId
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      def hourly(df: DataFrame): DataFrame =
+        df.groupBy(col("event_type"),
+            unix_timestamp(date_trunc("hour", col("ts"))).as("hr"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(expr("CAST(floor(value * 1000000) AS BIGINT)"))
+              .cast("long").as("s"))
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("event_id", LongType)
+        .add("ts", org.apache.spark.sql.types.TimestampType)
+        .add("event_type", org.apache.spark.sql.types.StringType)
+        .add("value", org.apache.spark.sql.types.DoubleType)
+      ev.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      ev.write.mode("overwrite").json(s"$base/jsonl")
+      ev.write.mode("overwrite").orc(s"$base/orc")
+      val p = hourly(ev).localCheckpoint()
+      def audit(fmt: String, df: DataFrame): DataFrame = {
+        val h = hourly(df)
+        p.toDF("event_type", "hr", "n_p", "s_p")
+          .join(h.toDF("event_type", "hr", "n_f", "s_f"),
+            Seq("event_type", "hr"), "full_outer")
+          .agg(count(lit(1)).cast("long").as("n_groups"),
+            sum(when(col("n_p").isNull || col("n_f").isNull ||
+                col("n_p") =!= col("n_f") || col("s_p") =!= col("s_f"),
+                1L).otherwise(0L)).cast("long").as("n_mismatch"))
+          .select(lit(fmt).as("format"), col("n_groups"), col("n_mismatch"))
+      }
+      audit("csv", s.read.schema(schema).option("header", "true")
+          .csv(s"$base/csv"))
+        .unionByName(audit("jsonl", s.read.schema(schema).json(s"$base/jsonl")))
+        .unionByName(audit("orc", s.read.orc(s"$base/orc")))
+    },
+
     // PERMISSIVE-mode corrupt-record triage — the ingest contract for dirty
     // CSV feeds: malformed rows (a deterministic 1-in-10 with a non-numeric
     // value) land in the _corrupt_record column instead of killing the
@@ -821,6 +865,14 @@ object SourceStreamQueries {
            FROM ev GROUP BY 1
            HAVING sum(CASE WHEN dom > 15 THEN 1 ELSE 0 END) > 0)
          SELECT * FROM s1 UNION ALL SELECT * FROM cum""",
+    "q239_format_parity" ->
+      """WITH g AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_groups FROM (
+             SELECT DISTINCT event_type, date_trunc('hour', ts) FROM events))
+         SELECT 'csv' AS format, g.n_groups, CAST(0 AS BIGINT) AS n_mismatch
+         FROM g
+         UNION ALL SELECT 'jsonl', g.n_groups, CAST(0 AS BIGINT) FROM g
+         UNION ALL SELECT 'orc', g.n_groups, CAST(0 AS BIGINT) FROM g""",
     "q229_corrupt_records" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CASE WHEN event_id % 10 <> 0 THEN 1 ELSE 0 END)
