@@ -1431,6 +1431,35 @@ object CoreQueries {
         .select("doc_id", "source", "n_chars", "s_pct", "normalized")
     },
 
+    // Z-ORDER (Morton) clustering layout — the lakehouse locality
+    // technique: interleave the bits of two columns into one sort key, so
+    // range-sharding on IT keeps BOTH columns' ranges tight per shard and
+    // a predicate on EITHER column prunes. The manifest carries per-shard
+    // min/max of x AND y, and the verdicts check a fixed rectangle
+    // predicate (x<100 ∧ y<100) can skip shards on either bound — which a
+    // single-column sort could never promise for the second column. The
+    // 10-bit interleave is an unrolled integer expression both engines
+    // evaluate identically; sharding reuses q180's deterministic
+    // boundaries
+    "q240_zorder_layout" -> { (s, dir) =>
+      val morton = (0 until 10).map { k =>
+        s"(((x >> $k) & 1) << ${2 * k}) + (((y >> $k) & 1) << ${2 * k + 1})"
+      }.mkString(" + ")
+      val pts = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") * 37 % 500).as("x"),
+          (col("o_custkey") * 73 % 500).as("y"))
+        .withColumn("z", expr(s"CAST($morton AS BIGINT)"))
+      val assigned = graft.data.RangeShard.assign(pts, "z",
+        graft.data.RangeShard.boundaries(pts, "z", 16))
+      assigned.groupBy("shard")
+        .agg(count(lit(1)).cast("long").as("n"),
+          min("x").cast("long").as("min_x"), max("x").cast("long").as("max_x"),
+          min("y").cast("long").as("min_y"), max("y").cast("long").as("max_y"))
+        .withColumn("skip_for_x_lt_100", col("min_x") >= 100L)
+        .withColumn("skip_for_y_lt_100", col("min_y") >= 100L)
+    },
+
     // Week-over-week change — the dashboard deltas: weekly volumes per
     // type, each week's change vs the previous week in signed ppm
     // (cross-multiplied integer division — both engines truncate toward
@@ -1735,6 +1764,36 @@ object CoreQueries {
           FROM nodes),
         $rounds
         SELECT node, CAST(dist AS BIGINT) AS dist FROM d4"""
+  }
+
+  /** q240's oracle — the SAME unrolled 10-bit interleave and the q180
+    * quantile-cut recipe, generated so Spark and SQL cannot drift.
+    */
+  private val zorderSql: String = {
+    val morton = (0 until 10).map { k =>
+      s"(((x >> $k) & 1) << ${2 * k}) + (((y >> $k) & 1) << ${2 * k + 1})"
+    }.mkString(" + ")
+    val qs = (1 until 16).map(i => s"${i.toDouble / 16}").mkString(", ")
+    s"""WITH pts AS (
+          SELECT o_orderkey AS id,
+                 (o_orderkey * 37) % 500 AS x,
+                 (o_custkey * 73) % 500 AS y
+          FROM orders),
+        pz AS (SELECT *, CAST($morton AS BIGINT) AS z FROM pts),
+        b AS (SELECT quantile_cont(z, [$qs]) AS qs FROM pz),
+        a AS (
+          SELECT pz.x, pz.y,
+                 CAST(len(list_filter(b.qs, q -> z > floor(q))) AS INT)
+                   AS shard
+          FROM pz, b)
+        SELECT shard, CAST(count(*) AS BIGINT) AS n,
+               CAST(min(x) AS BIGINT) AS min_x,
+               CAST(max(x) AS BIGINT) AS max_x,
+               CAST(min(y) AS BIGINT) AS min_y,
+               CAST(max(y) AS BIGINT) AS max_y,
+               min(x) >= 100 AS skip_for_x_lt_100,
+               min(y) >= 100 AS skip_for_y_lt_100
+        FROM a GROUP BY shard"""
   }
 
   private val pagerankSql: String = {
@@ -2281,6 +2340,7 @@ object CoreQueries {
     "q150_kcore" -> kcoreSql,
     "q125_pagerank" -> pagerankSql,
     "q218_sssp_hops" -> ssspSql,
+    "q240_zorder_layout" -> zorderSql,
     "q224_decay_attribution" ->
       """WITH ev AS (
            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
