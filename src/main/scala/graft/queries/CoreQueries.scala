@@ -1431,6 +1431,33 @@ object CoreQueries {
         .select("doc_id", "source", "n_chars", "s_pct", "normalized")
     },
 
+    // INCREMENTAL VIEW MAINTENANCE for a join — the delta algebra that
+    // keeps a materialized join view current WITHOUT re-joining history:
+    // for insert batches ΔA, ΔB the view grows by exactly
+    // ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, and the union with the old view must
+    // reproduce the full recompute bit-for-bit — the invariant this query
+    // emits and the oracle replays as the plain join. Per batch only
+    // delta-sized join inputs touch the shuffle; history joins history
+    // exactly once, ever
+    "q241_ivm_join" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val aOld = orders.filter(col("o_orderkey") % 4 =!= 0)
+      val dA = orders.filter(col("o_orderkey") % 4 === 0)
+      val bOld = cust.filter(col("c_custkey") % 5 =!= 0)
+      val dB = cust.filter(col("c_custkey") % 5 === 0)
+      def j(a: DataFrame, b: DataFrame): DataFrame =
+        a.join(b, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("c_mktsegment"))
+      j(aOld, bOld)
+        .unionByName(j(dA, bOld))
+        .unionByName(j(aOld, dB))
+        .unionByName(j(dA, dB))
+    },
+
     // Z-ORDER (Morton) clustering layout — the lakehouse locality
     // technique: interleave the bits of two columns into one sort key, so
     // range-sharding on IT keeps BOTH columns' ranges tight per shard and
@@ -2341,6 +2368,10 @@ object CoreQueries {
     "q125_pagerank" -> pagerankSql,
     "q218_sssp_hops" -> ssspSql,
     "q240_zorder_layout" -> zorderSql,
+    // the IVM contract: incremental union == the plain full join
+    "q241_ivm_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_mktsegment
+         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey""",
     "q224_decay_attribution" ->
       """WITH ev AS (
            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
