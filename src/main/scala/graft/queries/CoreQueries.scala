@@ -1431,6 +1431,30 @@ object CoreQueries {
         .select("doc_id", "source", "n_chars", "s_pct", "normalized")
     },
 
+    // IVM with RETRACTIONS — the piece q241 (insert-only joins) and q147
+    // (append-only partials) both leave open: a deletion batch retracts
+    // from a subtractable aggregate view (count, integer sum) as NEGATIVE
+    // partials, and base + inserts − deletes must equal the direct
+    // recompute over the surviving rows exactly — integer partials make
+    // the subtraction lossless, which double sums could never promise.
+    // Three group-sized partial aggs, one fold; no history rescan
+    "q242_ivm_retract" -> { (s, dir) =>
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+      val base = ev.filter(col("event_id") % 5 =!= 0)
+      val ins = ev.filter(col("event_id") % 5 === 0)
+      val del = base.filter(col("event_id") % 7 === 0)
+      def part(df: DataFrame, sign: Long): DataFrame =
+        df.groupBy("event_type")
+          .agg((count(lit(1)) * sign).cast("long").as("dn"),
+            (sum("v") * sign).cast("long").as("dv"))
+      part(base, 1L).unionByName(part(ins, 1L)).unionByName(part(del, -1L))
+        .groupBy("event_type")
+        .agg(sum("dn").cast("long").as("n"),
+          sum("dv").cast("long").as("sum_v"))
+    },
+
     // INCREMENTAL VIEW MAINTENANCE for a join — the delta algebra that
     // keeps a materialized join view current WITHOUT re-joining history:
     // for insert batches ΔA, ΔB the view grows by exactly
@@ -2368,6 +2392,17 @@ object CoreQueries {
     "q125_pagerank" -> pagerankSql,
     "q218_sssp_hops" -> ssspSql,
     "q240_zorder_layout" -> zorderSql,
+    // the retraction contract: base + inserts - deletes == direct agg
+    // over the survivors
+    "q242_ivm_retract" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                  AS sum_v
+         FROM events
+         WHERE value IS NOT NULL
+           AND (event_id % 5 = 0 OR event_id % 7 <> 0)
+         GROUP BY event_type""",
     // the IVM contract: incremental union == the plain full join
     "q241_ivm_join" ->
       """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_mktsegment
