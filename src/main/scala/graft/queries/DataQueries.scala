@@ -342,6 +342,38 @@ object DataQueries {
         from = "2024-01-05", to = "2024-01-25")
     },
 
+    // Declarative DATA-QUALITY RULE SUITE (the Deequ idea as one plan):
+    // named constraints — completeness, uniqueness, domain membership,
+    // range, and a cross-column consistency rule — each evaluated over one
+    // shared scan into (rule, n_checked, n_violations, ok) rows. Rules are
+    // data, not code paths: adding one adds a select, never a job. The
+    // complement of q126's profiler (stats) and q175's drift (deltas):
+    // CONTRACTS
+    "q243_dq_rules" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").localCheckpoint()
+      val sp = s
+      import sp.implicits._
+      val n = docs.count()
+      val nNullText = docs.filter(col("text").isNull).count()
+      val nDupIds = docs.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).agg(coalesce(sum("c"), lit(0L)))
+        .head.getLong(0)
+      val nBadLang = docs.filter(col("lang").isNull ||
+        !col("lang").isin("en", "de", "fr", "es", "it")).count()
+      val nBadRange = docs.filter(col("n_chars") < 1 || col("n_chars") > 100000)
+        .count()
+      val nInconsistent = docs.filter(col("text").isNotNull &&
+        col("n_chars") =!= length(col("text"))).count()
+      Seq(
+        ("completeness_text", n, nNullText),
+        ("uniqueness_doc_id", n, nDupIds),
+        ("domain_lang", n, nBadLang),
+        ("range_n_chars", n, nBadRange),
+        ("consistency_n_chars_eq_len", n, nInconsistent))
+        .toDF("rule", "n_checked", "n_violations")
+        .withColumn("ok", col("n_violations") === 0L)
+    },
+
     // RETENTION VACUUM — the forget leg of the store lifecycle (append /
     // compact / vacuum): day partitions before the cutoff are DELETED at
     // the directory level (no rewrite of survivors), and the post-vacuum
@@ -1480,6 +1512,30 @@ object DataQueries {
     "q236_backfill_plan" ->
       """SELECT DISTINCT CAST(ts AS DATE) AS missing_day
          FROM events WHERE extract(day FROM ts) % 3 = 0""",
+    "q243_dq_rules" ->
+      """WITH d AS (SELECT * FROM documents),
+         m AS (
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n,
+                  (SELECT CAST(count(*) AS BIGINT) FROM d
+                   WHERE text IS NULL) AS null_text,
+                  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM (
+                     SELECT count(*) AS c FROM d GROUP BY doc_id
+                     HAVING count(*) > 1)) AS dup_ids,
+                  (SELECT CAST(count(*) AS BIGINT) FROM d
+                   WHERE lang NOT IN ('en','de','fr','es','it')
+                      OR lang IS NULL) AS bad_lang,
+                  (SELECT CAST(count(*) AS BIGINT) FROM d
+                   WHERE n_chars < 1 OR n_chars > 100000) AS bad_range,
+                  (SELECT CAST(count(*) AS BIGINT) FROM d
+                   WHERE text IS NOT NULL AND n_chars <> length(text))
+                    AS inconsistent)
+         SELECT 'completeness_text' AS rule, n AS n_checked,
+                null_text AS n_violations, null_text = 0 AS ok FROM m
+         UNION ALL SELECT 'uniqueness_doc_id', n, dup_ids, dup_ids = 0 FROM m
+         UNION ALL SELECT 'domain_lang', n, bad_lang, bad_lang = 0 FROM m
+         UNION ALL SELECT 'range_n_chars', n, bad_range, bad_range = 0 FROM m
+         UNION ALL SELECT 'consistency_n_chars_eq_len', n, inconsistent,
+                          inconsistent = 0 FROM m""",
     "q238_retention_vacuum" ->
       """SELECT event_type,
                 CAST(count(*) AS BIGINT) AS n_events,
