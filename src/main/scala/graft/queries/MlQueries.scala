@@ -295,6 +295,46 @@ object MlQueries {
             .as("in_eval"))
     },
 
+    // A/B readout with BOOTSTRAP CIs — q198's point estimates upgraded to
+    // the practical significance call without t-test distributional
+    // assumptions: per arm, 32 hash-seeded Poisson-weight replicate means
+    // (q191's deterministic online bootstrap), the arm's [min, max]
+    // replicate band, and the ci_overlap verdict — bands that do NOT
+    // overlap are the "ship it" signal. Everything integer, everything
+    // replayable
+    "q244_ab_bootstrap_ci" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("value_u"))
+        .withColumn("arm", expr(
+          """CAST(conv(substring(md5(CAST(concat('arm|',
+             CAST(user_id AS STRING)) AS BINARY)), 1, 12), 16, 10)
+             AS BIGINT) % 2"""))
+      val reps = ev.crossJoin(
+          broadcast(s.range(32).select(col("id").cast("int").as("r"))))
+        .withColumn("m", expr(
+          """CAST(conv(substring(md5(CAST(concat(CAST(event_id AS STRING),
+             '|', CAST(r AS STRING)) AS BINARY)), 1, 12), 16, 10)
+             AS BIGINT) % 10000"""))
+        .withColumn("w", when(col("m") < 3679, 0L).when(col("m") < 7358, 1L)
+          .when(col("m") < 9197, 2L).otherwise(3L))
+      val bands = reps.groupBy("arm", "r")
+        .agg(expr(
+          s"CAST(CAST(sum(w * value_u) AS $d38) div nullif(sum(w), 0) AS BIGINT)")
+          .as("mean_r_u"))
+        .groupBy("arm")
+        .agg(min("mean_r_u").cast("long").as("lo_u"),
+          max("mean_r_u").cast("long").as("hi_u"))
+      val a0 = bands.filter(col("arm") === 0)
+        .select(col("lo_u").as("lo0"), col("hi_u").as("hi0"))
+      val a1 = bands.filter(col("arm") === 1)
+        .select(col("lo_u").as("lo1"), col("hi_u").as("hi1"))
+      a0.crossJoin(a1).select(col("lo0"), col("hi0"), col("lo1"), col("hi1"),
+        (col("lo0") <= col("hi1") && col("lo1") <= col("hi0"))
+          .as("ci_overlap"))
+    },
+
     // A/B experiment integrity + readout — hash assignment (md5, the
     // replayable randomizer), a sample-ratio-mismatch gate in exact integers
     // ((n0-n1)² ≤ z²·n with z = 4 — the cross-multiplied binomial bound, no
@@ -416,6 +456,39 @@ object MlQueries {
          SELECT m.doc_id, m.lang, m.source, m.is_cell_guarantee,
                 (m.is_cell_guarantee OR f.doc_id IS NOT NULL) AS in_eval
          FROM m LEFT JOIN f USING (doc_id)""",
+    "q244_ab_bootstrap_ci" ->
+      """WITH ev AS (
+           SELECT event_id,
+                  CAST(floor(value * 1000000) AS BIGINT) AS value_u,
+                  CAST(concat('0x', substr(md5(concat('arm|',
+                       CAST(user_id AS VARCHAR))), 1, 12)) AS UBIGINT) % 2
+                    AS arm
+           FROM events WHERE value IS NOT NULL),
+         reps AS (
+           SELECT arm, t.r, value_u,
+                  CAST(concat('0x', substr(md5(concat(
+                       CAST(event_id AS VARCHAR), '|', CAST(t.r AS VARCHAR))),
+                       1, 12)) AS UBIGINT) % 10000 AS m
+           FROM ev, range(32) t(r)),
+         wts AS (
+           SELECT arm, r, value_u,
+                  CASE WHEN m < 3679 THEN 0 WHEN m < 7358 THEN 1
+                       WHEN m < 9197 THEN 2 ELSE 3 END AS w
+           FROM reps),
+         means AS (
+           SELECT arm, r,
+                  CAST(CAST(sum(w * value_u) AS HUGEINT) //
+                       nullif(sum(w), 0) AS BIGINT) AS mean_r_u
+           FROM wts GROUP BY 1, 2),
+         bands AS (
+           SELECT arm, CAST(min(mean_r_u) AS BIGINT) AS lo_u,
+                  CAST(max(mean_r_u) AS BIGINT) AS hi_u
+           FROM means GROUP BY 1)
+         SELECT a0.lo_u AS lo0, a0.hi_u AS hi0,
+                a1.lo_u AS lo1, a1.hi_u AS hi1,
+                (a0.lo_u <= a1.hi_u AND a1.lo_u <= a0.hi_u) AS ci_overlap
+         FROM (SELECT * FROM bands WHERE arm = 0) a0
+         CROSS JOIN (SELECT * FROM bands WHERE arm = 1) a1""",
     "q198_ab_srm_gate" ->
       """WITH ev AS (
            SELECT user_id,
