@@ -1431,6 +1431,40 @@ object CoreQueries {
         .select("doc_id", "source", "n_chars", "s_pct", "normalized")
     },
 
+    // EXACT two-sample Kolmogorov–Smirnov statistic — the distribution-
+    // comparison test PSI's fixed bins can only approximate: D =
+    // max |F_a − F_b| over the MERGED value domain, computed entirely in
+    // integers by cross-multiplication (|cumA·nB − cumB·nA|, denominator
+    // nA·nB attached at the end) — no empirical-CDF doubles, no binning
+    // loss. The one ordered pass runs over the collapsed value domain
+    // (q184's discipline); compares click vs error value distributions
+    "q245_ks_test" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val ev = t(s, dir, "events").filter(col("value").isNotNull &&
+          col("event_type").isin("click", "error"))
+        .select(col("event_type"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+      val dom = ev.groupBy("v")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("ca"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .cast("long").as("cb"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      dom
+        .withColumn("cuma", sum("ca").over(w).cast("long"))
+        .withColumn("cumb", sum("cb").over(w).cast("long"))
+        .withColumn("na", sum("ca").over(tot).cast("long"))
+        .withColumn("nb", sum("cb").over(tot).cast("long"))
+        .agg(max("na").as("n_a"), max("nb").as("n_b"),
+          max(abs(col("cuma").cast(d38) * col("nb") -
+                  col("cumb").cast(d38) * col("na"))).cast(d38).as("__d"))
+        .select(col("n_a"), col("n_b"), col("__d").cast("long").as("d_num"),
+          expr(s"""CAST((CAST(__d AS $d38) * 1000000)
+                   div (CAST(n_a AS $d38) * n_b) AS BIGINT)""").as("d_ppm"))
+    },
+
     // IVM with RETRACTIONS — the piece q241 (insert-only joins) and q147
     // (append-only partials) both leave open: a deletion batch retracts
     // from a subtractable aggregate view (count, integer sum) as NEGATIVE
@@ -2392,6 +2426,33 @@ object CoreQueries {
     "q125_pagerank" -> pagerankSql,
     "q218_sssp_hops" -> ssspSql,
     "q240_zorder_layout" -> zorderSql,
+    "q245_ks_test" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v
+           FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'error')),
+         dom AS (
+           SELECT v,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cb
+           FROM ev GROUP BY v),
+         c AS (
+           SELECT CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cuma,
+                  CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cumb,
+                  CAST(sum(ca) OVER () AS BIGINT) AS na,
+                  CAST(sum(cb) OVER () AS BIGINT) AS nb
+           FROM dom)
+         SELECT max(na) AS n_a, max(nb) AS n_b,
+                CAST(max(abs(CAST(cuma AS HUGEINT) * nb -
+                             CAST(cumb AS HUGEINT) * na)) AS BIGINT) AS d_num,
+                CAST((max(abs(CAST(cuma AS HUGEINT) * nb -
+                              CAST(cumb AS HUGEINT) * na)) * 1000000) //
+                     (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS d_ppm
+         FROM c""",
     // the retraction contract: base + inserts - deletes == direct agg
     // over the survivors
     "q242_ivm_retract" ->
