@@ -1465,6 +1465,44 @@ object CoreQueries {
                    div (CAST(n_a AS $d38) * n_b) AS BIGINT)""").as("d_ppm"))
     },
 
+    // EXACT Mann–Whitney U (rank-sum) — q245's nonparametric companion for
+    // "is one group's distribution shifted": tie-averaged ranks stay
+    // integers by working in DOUBLED ranks (2·avg_rank = 2·cum_before +
+    // tie_count + 1), so U is exact with full tie correction. Emits both
+    // arms' 2U plus the identity verdict 2U_a + 2U_b = 2·n_a·n_b — a
+    // self-check both engines replay. Same collapsed-domain single
+    // ordered pass as q245
+    "q246_mannwhitney_u" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val ev = t(s, dir, "events").filter(col("value").isNotNull &&
+          col("event_type").isin("click", "error"))
+        .select(col("event_type"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+      val dom = ev.groupBy("v")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("ca"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .cast("long").as("cb"))
+        .withColumn("cnt", col("ca") + col("cb"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      dom
+        .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
+        .withColumn("r2", lit(2L) * col("cum_before") + col("cnt") + 1L)
+        .agg(sum("ca").cast("long").as("n_a"),
+          sum("cb").cast("long").as("n_b"),
+          sum(col("ca").cast(d38) * col("r2")).cast(d38).as("__r2a"),
+          sum(col("cb").cast(d38) * col("r2")).cast(d38).as("__r2b"))
+        .select(col("n_a"), col("n_b"),
+          expr(s"CAST(__r2a - CAST(n_a AS $d38) * (n_a + 1) AS BIGINT)")
+            .as("u2_a"),
+          expr(s"CAST(__r2b - CAST(n_b AS $d38) * (n_b + 1) AS BIGINT)")
+            .as("u2_b"))
+        .withColumn("identity_ok",
+          col("u2_a") + col("u2_b") ===
+            lit(2L) * col("n_a") * col("n_b"))
+    },
+
     // IVM with RETRACTIONS — the piece q241 (insert-only joins) and q147
     // (append-only partials) both leave open: a deletion batch retracts
     // from a subtractable aggregate view (count, integer sum) as NEGATIVE
@@ -2426,6 +2464,37 @@ object CoreQueries {
     "q125_pagerank" -> pagerankSql,
     "q218_sssp_hops" -> ssspSql,
     "q240_zorder_layout" -> zorderSql,
+    "q246_mannwhitney_u" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v
+           FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'error')),
+         dom AS (
+           SELECT v,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cb
+           FROM ev GROUP BY v),
+         r AS (
+           SELECT ca, cb,
+                  2 * coalesce(sum(ca + cb) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + (ca + cb) + 1 AS r2
+           FROM dom),
+         m AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cb) AS BIGINT) AS n_b,
+                  CAST(sum(CAST(ca AS HUGEINT) * r2) AS HUGEINT) AS r2a,
+                  CAST(sum(CAST(cb AS HUGEINT) * r2) AS HUGEINT) AS r2b
+           FROM r)
+         SELECT n_a, n_b,
+                CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+                CAST(r2b - CAST(n_b AS HUGEINT) * (n_b + 1) AS BIGINT) AS u2_b,
+                (r2a - CAST(n_a AS HUGEINT) * (n_a + 1)) +
+                (r2b - CAST(n_b AS HUGEINT) * (n_b + 1)) =
+                  2 * CAST(n_a AS HUGEINT) * n_b AS identity_ok
+         FROM m""",
     "q245_ks_test" ->
       """WITH ev AS (
            SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v
