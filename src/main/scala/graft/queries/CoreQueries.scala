@@ -1465,6 +1465,52 @@ object CoreQueries {
                    div (CAST(n_a AS $d38) * n_b) AS BIGINT)""").as("d_ppm"))
     },
 
+    // EXACT tie-corrected SPEARMAN correlation — monotonic association
+    // without Pearson's linearity assumption: each variable is replaced by
+    // its DOUBLED tie-averaged rank (q246's integer trick, one collapsed-
+    // domain pass per variable), then q182's exact integer moments give
+    // Pearson-on-ranks — which IS tie-corrected Spearman — with one
+    // deterministic double at the end. Here: does document length (chars)
+    // track token count (an intentionally near-1 sanity pair with real
+    // tie mass)
+    "q247_spearman" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").as("x"),
+          size(split(trim(col("text")), " ")).cast("long").as("y"))
+        .localCheckpoint()
+      def ranks(valCol: String, outCol: String): DataFrame = {
+        val dom = docs.groupBy(valCol)
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        val w = Window.orderBy(valCol)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        dom.withColumn(outCol,
+          lit(2L) * coalesce(sum("cnt").over(w), lit(0L)) + col("cnt") + 1L)
+          .select(col(valCol), col(outCol))
+      }
+      val ranked = docs
+        .join(broadcast(ranks("x", "rx")), "x")
+        .join(broadcast(ranks("y", "ry")), "y")
+      ranked.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum("rx").cast("long").as("sx"),
+          sum("ry").cast("long").as("sy"),
+          sum(col("rx").cast(d38) * col("ry")).cast(d38).as("sxy"),
+          sum(col("rx").cast(d38) * col("rx")).cast(d38).as("sxx"),
+          sum(col("ry").cast(d38) * col("ry")).cast(d38).as("syy"))
+        .select(col("n"), col("sx"), col("sy"),
+          col("sxy").cast("long").as("sxy"),
+          col("sxx").cast("long").as("sxx"),
+          col("syy").cast("long").as("syy"),
+          ((col("n").cast(d38) * col("sxy") -
+            col("sx").cast(d38) * col("sy")).cast("double") /
+           sqrt((col("n").cast(d38) * col("sxx") -
+                 col("sx").cast(d38) * col("sx")).cast("double") *
+                (col("n").cast(d38) * col("syy") -
+                 col("sy").cast(d38) * col("sy")).cast("double")))
+            .as("spearman_rho"))
+    },
+
     // EXACT Mann–Whitney U (rank-sum) — q245's nonparametric companion for
     // "is one group's distribution shifted": tie-averaged ranks stay
     // integers by working in DOUBLED ranks (2·avg_rank = 2·cum_before +
@@ -2464,6 +2510,42 @@ object CoreQueries {
     "q125_pagerank" -> pagerankSql,
     "q218_sssp_hops" -> ssspSql,
     "q240_zorder_layout" -> zorderSql,
+    "q247_spearman" ->
+      """WITH docs AS (
+           SELECT doc_id, n_chars AS x,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS y
+           FROM documents),
+         rxd AS (
+           SELECT x, 2 * coalesce(sum(cnt) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + cnt + 1 AS rx
+           FROM (SELECT x, CAST(count(*) AS BIGINT) AS cnt
+                 FROM docs GROUP BY x)),
+         ryd AS (
+           SELECT y, 2 * coalesce(sum(cnt) OVER (ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + cnt + 1 AS ry
+           FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt
+                 FROM docs GROUP BY y)),
+         r AS (
+           SELECT rx, ry FROM docs
+           JOIN rxd USING (x) JOIN ryd USING (y)),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(rx) AS BIGINT) AS sx,
+                  CAST(sum(ry) AS BIGINT) AS sy,
+                  CAST(sum(CAST(rx AS HUGEINT) * ry) AS BIGINT) AS sxy,
+                  CAST(sum(CAST(rx AS HUGEINT) * rx) AS BIGINT) AS sxx,
+                  CAST(sum(CAST(ry AS HUGEINT) * ry) AS BIGINT) AS syy
+           FROM r)
+         SELECT n, sx, sy, sxy, sxx, syy,
+                CAST(CAST(n AS HUGEINT) * sxy -
+                     CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+                sqrt(CAST(CAST(n AS HUGEINT) * sxx -
+                          CAST(sx AS HUGEINT) * sx AS DOUBLE) *
+                     CAST(CAST(n AS HUGEINT) * syy -
+                          CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS spearman_rho
+         FROM m""",
     "q246_mannwhitney_u" ->
       """WITH ev AS (
            SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v
