@@ -1465,6 +1465,47 @@ object CoreQueries {
                    div (CAST(n_a AS $d38) * n_b) AS BIGINT)""").as("d_ppm"))
     },
 
+    // EXACT Kendall τ-b — the pair-concordance rank statistic, computed
+    // WITHOUT the O(rows²) pair space: collapse to the JOINT value domain
+    // (x, y, count) first, then concordant/discordant mass is a
+    // domain×domain join weighted by count products — bounded by value
+    // cardinalities, not corpus size. Tie corrections (n1, n2) from the
+    // marginal domains; everything integer until the single closing
+    // double. Completes the rank family: Spearman q247, U q246, KS q245
+    "q248_kendall_tau" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val docs = t(s, dir, "documents")
+        .select(col("n_chars").as("x"),
+          size(split(trim(col("text")), " ")).cast("long").as("y"))
+      val joint = docs.groupBy("x", "y")
+        .agg(count(lit(1)).cast("long").as("c")).localCheckpoint()
+      val a = joint.toDF("x1", "y1", "c1")
+      val b = joint.toDF("x2", "y2", "c2")
+      val cd = a.join(b, col("x1") < col("x2"))
+        .agg(sum(when(col("y1") < col("y2"),
+            col("c1").cast(d38) * col("c2")).otherwise(lit(0).cast(d38)))
+          .cast(d38).as("conc"),
+          sum(when(col("y1") > col("y2"),
+            col("c1").cast(d38) * col("c2")).otherwise(lit(0).cast(d38)))
+          .cast(d38).as("disc"))
+      def tiePairs(c: String): org.apache.spark.sql.Column =
+        expr(s"CAST(sum(CAST($c AS DECIMAL(38,0)) * ($c - 1)) div 2 AS DECIMAL(38,0))")
+      val nx = docs.groupBy("x").agg(count(lit(1)).cast("long").as("cx"))
+        .agg(tiePairs("cx").as("n1"), sum("cx").cast("long").as("n"))
+      val ny = docs.groupBy("y").agg(count(lit(1)).cast("long").as("cy"))
+        .agg(tiePairs("cy").as("n2"))
+      cd.crossJoin(broadcast(nx)).crossJoin(broadcast(ny))
+        .withColumn("n0", expr(s"CAST(CAST(n AS $d38) * (n - 1) div 2 AS $d38)"))
+        .select(col("n"),
+          col("conc").cast("long").as("concordant"),
+          col("disc").cast("long").as("discordant"),
+          col("n1").cast("long").as("tie_pairs_x"),
+          col("n2").cast("long").as("tie_pairs_y"),
+          ((col("conc") - col("disc")).cast("double") /
+           sqrt((col("n0") - col("n1")).cast("double") *
+                (col("n0") - col("n2")).cast("double"))).as("kendall_tau_b"))
+    },
+
     // EXACT tie-corrected SPEARMAN correlation — monotonic association
     // without Pearson's linearity assumption: each variable is replaced by
     // its DOUBLED tie-averaged rank (q246's integer trick, one collapsed-
@@ -2510,6 +2551,42 @@ object CoreQueries {
     "q125_pagerank" -> pagerankSql,
     "q218_sssp_hops" -> ssspSql,
     "q240_zorder_layout" -> zorderSql,
+    "q248_kendall_tau" ->
+      """WITH docs AS (
+           SELECT n_chars AS x,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS y
+           FROM documents),
+         joint AS (
+           SELECT x, y, CAST(count(*) AS BIGINT) AS c
+           FROM docs GROUP BY 1, 2),
+         cd AS (
+           SELECT CAST(sum(CASE WHEN a.y < b.y
+                       THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END)
+                       AS HUGEINT) AS conc,
+                  CAST(sum(CASE WHEN a.y > b.y
+                       THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END)
+                       AS HUGEINT) AS disc
+           FROM joint a JOIN joint b ON a.x < b.x),
+         mx AS (
+           SELECT CAST(sum(CAST(cx AS HUGEINT) * (cx - 1)) // 2 AS HUGEINT)
+                    AS n1,
+                  CAST(sum(cx) AS BIGINT) AS n
+           FROM (SELECT count(*) AS cx FROM docs GROUP BY x)),
+         my AS (
+           SELECT CAST(sum(CAST(cy AS HUGEINT) * (cy - 1)) // 2 AS HUGEINT)
+                    AS n2
+           FROM (SELECT count(*) AS cy FROM docs GROUP BY y))
+         SELECT mx.n,
+                CAST(cd.conc AS BIGINT) AS concordant,
+                CAST(cd.disc AS BIGINT) AS discordant,
+                CAST(mx.n1 AS BIGINT) AS tie_pairs_x,
+                CAST(my.n2 AS BIGINT) AS tie_pairs_y,
+                CAST(cd.conc - cd.disc AS DOUBLE) /
+                sqrt(CAST(CAST(mx.n AS HUGEINT) * (mx.n - 1) // 2 - mx.n1
+                          AS DOUBLE) *
+                     CAST(CAST(mx.n AS HUGEINT) * (mx.n - 1) // 2 - my.n2
+                          AS DOUBLE)) AS kendall_tau_b
+         FROM cd, mx, my""",
     "q247_spearman" ->
       """WITH docs AS (
            SELECT doc_id, n_chars AS x,
