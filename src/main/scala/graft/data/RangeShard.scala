@@ -41,7 +41,7 @@ object RangeShard {
       else percentile_approx(col(valueCol), ps, lit(10000))
     df.agg(q.as("qs"))
       .select(transform(col("qs"), x => floor(x).cast("long")).as("bs"))
-      .head.getSeq[Long](0).toArray
+      .head().getSeq[Long](0).toArray
   }
 
   /** Map-side shard assignment: shard = #{boundaries strictly below the
