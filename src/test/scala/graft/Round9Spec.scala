@@ -431,6 +431,54 @@ class Round9Spec extends SparkSpec {
       assert(man(i - 1)._2._3 <= man(i)._2._2, "approx shards must not overlap")
   }
 
+  test("rank statistics: textbook hand values (KS, Mann-Whitney U, Kendall tau-b)") {
+    // the q245/q246/q248 oracles replay the SAME algebra as the queries, so
+    // cross-engine agreement alone could mask a shared formula error; these
+    // fixtures pin the algebra against externally derived textbook values
+    import org.apache.spark.sql.expressions.Window
+    // KS: A={1,2,3}, B={2,3,4} -> D = 1/3 (d_num 3 over nA*nB = 9)
+    val ks = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("b", 3L),
+      ("b", 4L)).toDF("g", "v")
+      .groupBy("v")
+      .agg(sum(when(col("g") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === "b", 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("v").rowsBetween(Long.MinValue, 0)
+    val tot = Window.partitionBy()
+    val ksRow = ks.withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+      .withColumn("na", sum("ca").over(tot))
+      .withColumn("nb", sum("cb").over(tot))
+      .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))))
+      .head().getLong(0)
+    assert(ksRow == 3L, s"KS d_num: $ksRow")
+
+    // Mann-Whitney on the same data: 2U_a = 4 (U_a = 2), 2U_b = 14 (U_b = 7)
+    val wb = Window.orderBy("v").rowsBetween(Long.MinValue, -1)
+    val mw = ks.withColumn("cnt", col("ca") + col("cb"))
+      .withColumn("cum_before", coalesce(sum("cnt").over(wb), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cum_before") + col("cnt") + 1L)
+      .agg(sum("ca").as("na"), sum("cb").as("nb"),
+        sum(col("ca") * col("r2")).as("r2a"),
+        sum(col("cb") * col("r2")).as("r2b")).head()
+    val u2a = mw.getLong(2) - mw.getLong(0) * (mw.getLong(0) + 1)
+    val u2b = mw.getLong(3) - mw.getLong(1) * (mw.getLong(1) + 1)
+    assert(u2a == 4L && u2b == 14L, s"2U: $u2a, $u2b")
+
+    // Kendall tau-b: points (1,1),(2,2),(3,3),(4,1) -> C=3, D=2, n1=0, n2=1
+    // tau_b = 1/sqrt(30)
+    val pts = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 1L)).toDF("x", "y")
+    val joint = pts.groupBy("x", "y").agg(count(lit(1)).as("c"))
+    val a = joint.toDF("x1", "y1", "c1"); val b = joint.toDF("x2", "y2", "c2")
+    val cd = a.join(b, col("x1") < col("x2")).agg(
+      sum(when(col("y1") < col("y2"), col("c1") * col("c2")).otherwise(0L)),
+      sum(when(col("y1") > col("y2"), col("c1") * col("c2")).otherwise(0L)))
+      .head()
+    assert(cd.getLong(0) == 3L && cd.getLong(1) == 2L, s"C/D: $cd")
+    val tau = (cd.getLong(0) - cd.getLong(1)).toDouble /
+      math.sqrt((6.0 - 0.0) * (6.0 - 1.0))
+    assert(math.abs(tau - 1.0 / math.sqrt(30.0)) < 1e-12, s"tau_b: $tau")
+  }
+
   test("mergeClusters: prior stars + delta pairs == from-scratch closure") {
     import graft.data.Dedup
     // history: components {1,2,3} (chain) and {4,5}; 6..8 singletons
