@@ -1465,6 +1465,45 @@ object CoreQueries {
                    div (CAST(n_a AS $d38) * n_b) AS BIGINT)""").as("d_ppm"))
     },
 
+    // FINANCIAL RECONCILIATION — the books-balancing audit: each order's
+    // header total vs the DECIMAL-exact recomputation from its lines
+    // (Σ extendedprice·(1−discount)·(1+tax)), differences in exact cents,
+    // bucketed into match / within-1% / discrepant counts plus the worst
+    // absolute gap. The synthetic data's headers are independent of lines,
+    // so the discrepancy path is genuinely exercised; every number is an
+    // integer both engines reproduce. One join + two hash aggs
+    "q249_order_reconciliation" -> { (s, dir) =>
+      // prices are exact cents and discount/tax exact hundredths, so the
+      // whole reconciliation runs in INTEGER 1e-4-cent units:
+      // line ×1e4 = cents · (100−d₁₀₀) · (100+t₁₀₀) — no decimal-precision
+      // rules to diverge between engines (round, not floor: the true
+      // values are integral so *100 never lands on a tie)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), expr(
+          """CAST(round(l_extendedprice * 100) AS BIGINT) *
+             (100 - CAST(round(l_discount * 100) AS BIGINT)) *
+             (100 + CAST(round(l_tax * 100) AS BIGINT))""").as("line_x1e4"))
+        .groupBy("o_orderkey")
+        .agg(sum(col("line_x1e4").cast("decimal(38,0)")).cast("long")
+          .as("lines_x1e4"))
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .join(li, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          (expr("CAST(round(o_totalprice * 100) AS BIGINT)") * 10000L)
+            .as("header_x1e4"),
+          coalesce(col("lines_x1e4"), lit(0L)).as("lines_x1e4"))
+        .withColumn("diff_x1e4", abs(col("header_x1e4") - col("lines_x1e4")))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(when(col("diff_x1e4") === 0L, 1L).otherwise(0L))
+            .cast("long").as("n_exact_match"),
+          sum(when(col("diff_x1e4") > 0L &&
+              col("diff_x1e4") * 100L <= col("header_x1e4"), 1L)
+            .otherwise(0L)).cast("long").as("n_within_1pct"),
+          sum(when(col("diff_x1e4") * 100L > col("header_x1e4"), 1L)
+            .otherwise(0L)).cast("long").as("n_discrepant"),
+          max("diff_x1e4").cast("long").as("max_diff_x1e4"))
+    },
+
     // EXACT Kendall τ-b — the pair-concordance rank statistic, computed
     // WITHOUT the O(rows²) pair space: collapse to the JOINT value domain
     // (x, y, count) first, then concordant/discordant mass is a
@@ -2551,6 +2590,32 @@ object CoreQueries {
     "q125_pagerank" -> pagerankSql,
     "q218_sssp_hops" -> ssspSql,
     "q240_zorder_layout" -> zorderSql,
+    "q249_order_reconciliation" ->
+      """WITH li AS (
+           SELECT l_orderkey AS o_orderkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT) *
+                       (100 - CAST(round(l_discount * 100) AS BIGINT)) *
+                       (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                       AS BIGINT) AS lines_x1e4
+           FROM lineitem GROUP BY 1),
+         j AS (
+           SELECT o.o_orderkey,
+                  CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000
+                    AS header_x1e4,
+                  CAST(coalesce(li.lines_x1e4, 0) AS BIGINT) AS lines_x1e4
+           FROM orders o LEFT JOIN li USING (o_orderkey)),
+         d AS (
+           SELECT *, abs(header_x1e4 - lines_x1e4) AS diff_x1e4 FROM j)
+         SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CASE WHEN diff_x1e4 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_exact_match,
+                CAST(sum(CASE WHEN diff_x1e4 > 0 AND
+                     diff_x1e4 * 100 <= header_x1e4 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_within_1pct,
+                CAST(sum(CASE WHEN diff_x1e4 * 100 > header_x1e4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_discrepant,
+                CAST(max(diff_x1e4) AS BIGINT) AS max_diff_x1e4
+         FROM d""",
     "q248_kendall_tau" ->
       """WITH docs AS (
            SELECT n_chars AS x,
