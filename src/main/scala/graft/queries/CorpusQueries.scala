@@ -91,6 +91,34 @@ object CorpusQueries {
           "ok_langs", "promote")
     },
 
+    // RELEASE MANIFEST — the reproducibility record a dataset release
+    // ships with: per table, row count, a layout-independent content
+    // checksum (q154's commutative md5-slice sum — any partitioning, any
+    // row order, same value), and the coverage bounds a consumer checks
+    // before training. One scan per table, unioned into the manifest;
+    // bit-replayable, so the manifest itself is oracle-verified
+    "q250_release_manifest" -> { (s, dir) =>
+      def sliceSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (sum(conv(substring(md5(c.cast("binary")), 1, 8), 16, 10)
+          .cast("decimal(38,0)")) % lit(4294967296L)).cast("long")
+      val docs = t(s, dir, "documents")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sliceSum(coalesce(col("text"), lit(""))).as("content_sum"),
+          min("doc_id").cast("long").as("min_key"),
+          max("doc_id").cast("long").as("max_key"))
+        .select(lit("documents").as("table"), col("n_rows"),
+          col("content_sum"), col("min_key"), col("max_key"))
+      val events = t(s, dir, "events")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sliceSum(concat(col("event_id").cast("string"), lit("|"),
+            col("event_type"))).as("content_sum"),
+          min("event_id").cast("long").as("min_key"),
+          max("event_id").cast("long").as("max_key"))
+        .select(lit("events").as("table"), col("n_rows"),
+          col("content_sum"), col("min_key"), col("max_key"))
+      docs.unionByName(events)
+    },
+
     // Largest-remainder (Hamilton) sample allocation — the integer
     // apportionment a stratified sampler needs: 1000 slots split across
     // languages exactly proportionally, floor quotas first, the leftover
@@ -384,6 +412,24 @@ object CorpusQueries {
                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                 CAST(max(pack_id) + 1 AS BIGINT) AS n_packs
          FROM p GROUP BY 1, 2""",
+    "q250_release_manifest" ->
+      """SELECT 'documents' AS "table",
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(concat('0x', substr(md5(coalesce(text, '')),
+                     1, 8)) AS UBIGINT)) % 4294967296 AS BIGINT)
+                  AS content_sum,
+                CAST(min(doc_id) AS BIGINT) AS min_key,
+                CAST(max(doc_id) AS BIGINT) AS max_key
+         FROM documents
+         UNION ALL
+         SELECT 'events',
+                CAST(count(*) AS BIGINT),
+                CAST(sum(CAST(concat('0x', substr(md5(concat(
+                     CAST(event_id AS VARCHAR), '|', event_type)),
+                     1, 8)) AS UBIGINT)) % 4294967296 AS BIGINT),
+                CAST(min(event_id) AS BIGINT),
+                CAST(max(event_id) AS BIGINT)
+         FROM events""",
     "q202_largest_remainder" ->
       """WITH cnt AS (
            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
