@@ -13,6 +13,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // ORC (and legacy parquet INT96) timestamp paths consult the JVM
+    // default zone, not the session TZ — pin it so results are
+    // host-independent (a DST-transition hour on a non-UTC host would
+    // otherwise shift timestamps on columnar round-trips).
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)

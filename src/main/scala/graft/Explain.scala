@@ -5,6 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: dump formatted physical plans for selected queries. */
 object Explain {
   def main(args: Array[String]): Unit = {
+    // ORC (and legacy parquet INT96) timestamp paths consult the JVM
+    // default zone, not the session TZ — pin it so results are
+    // host-independent (a DST-transition hour on a non-UTC host would
+    // otherwise shift timestamps on columnar round-trips).
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
       .master("local[4]")

@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
   */
 object KTime {
   def main(args: Array[String]): Unit = {
+    // ORC (and legacy parquet INT96) timestamp paths consult the JVM
+    // default zone, not the session TZ — pin it so results are
+    // host-independent (a DST-transition hour on a non-UTC host would
+    // otherwise shift timestamps on columnar round-trips).
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val query = if (args.nonEmpty) args(0) else "q150_kcore"
     val dirs =
       if (args.length > 1) args.drop(1).toSeq

@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object Prof {
   def main(args: Array[String]): Unit = {
+    // ORC (and legacy parquet INT96) timestamp paths consult the JVM
+    // default zone, not the session TZ — pin it so results are
+    // host-independent (a DST-transition hour on a non-UTC host would
+    // otherwise shift timestamps on columnar round-trips).
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

@@ -5,6 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // ORC (and legacy parquet INT96) timestamp paths consult the JVM
+    // default zone, not the session TZ — pin it so results are
+    // host-independent (a DST-transition hour on a non-UTC host would
+    // otherwise shift timestamps on columnar round-trips).
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     // optional 3rd arg: comma-separated substrings — dump only matching
     // queries (local dev loop; the driver always runs the full set)
     val Array(sfDir, outDir) = args.take(2)

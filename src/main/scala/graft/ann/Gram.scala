@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   * DECIMAL(38,0) hash agg. Per-partition sums stay far inside Long range for
   * any realistic partition (|component_u| ≤ ~2²⁰ ⇒ product ≤ ~2⁴⁰, leaving
   * 2²³ rows of headroom per partition); the cross-partition merge is
-  * DECIMAL, where overflow is impossible.
+  * DECIMAL, where overflow is impossible. The final BIGINT downcast is
+  * guarded in-plan — a corpus large enough to push a cell past 2⁶³ raises
+  * instead of wrapping silently.
   *
   * Measured trade (local[32], d = 64): at 50k vectors the two forms tie
   * (1.9 s vs 1.4 s — the shuffle fits in memory); at 500k the kernel is
@@ -75,6 +77,16 @@ object Gram {
     partials.toDF("i", "j", "n_part", "gram_part")
       .groupBy("i", "j")
       .agg(sum(col("n_part")).cast("long").as("n"),
-        sum(col("gram_part").cast("decimal(38,0)")).cast("long").as("gram_u"))
+        sum(col("gram_part").cast("decimal(38,0)")).as("gram_dec"))
+      // The merged DECIMAL can exceed Long (|u| ≤ 2²⁰ ⇒ a cell passes 2⁶³
+      // beyond ~2²³ rows corpus-wide) and a non-ANSI cast would wrap or
+      // null SILENTLY — guard the downcast in-plan so the overflow is a
+      // loud error, not a corrupt Gram matrix. Callers needing the >2⁶³
+      // regime read gram_dec pre-cast (drop the select).
+      .select(col("i"), col("j"), col("n"),
+        when(abs(col("gram_dec")) > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(concat(lit("Gram cell (i="), col("i"), lit(", j="),
+            col("j"), lit(") overflows BIGINT: "), col("gram_dec"))))
+          .otherwise(col("gram_dec").cast("long")).as("gram_u"))
   }
 }

@@ -39,20 +39,29 @@ object RangeShard {
     val q =
       if (exact) percentile(col(valueCol), ps)
       else percentile_approx(col(valueCol), ps, lit(10000))
-    df.agg(q.as("qs"))
+    val row = df.agg(q.as("qs"))
       .select(transform(col("qs"), x => floor(x).cast("long")).as("bs"))
-      .head().getSeq[Long](0).toArray
+      .head()
+    // percentile over zero (non-null) rows yields NULL — surface it as a
+    // layout error instead of an opaque NPE deep in getSeq
+    require(!row.isNullAt(0),
+      s"RangeShard.boundaries: no non-null '$valueCol' values to shard")
+    row.getSeq[Long](0).toArray
   }
 
   /** Map-side shard assignment: shard = #{boundaries strictly below the
     * value}. The boundary array is a literal folded into the projection —
-    * no join, no broadcast variable, codegen-friendly.
+    * no join, no broadcast variable, codegen-friendly. NULL values get the
+    * dedicated shard -1 (a `NULL > b` comparison is never true, so they
+    * would otherwise silently pool with the lowest range shard and corrupt
+    * its manifest min/max).
     */
   def assign(df: DataFrame, valueCol: String, bounds: Array[Long]): DataFrame =
     df.withColumn("shard",
-      bounds.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(col(valueCol) > lit(b), 1).otherwise(0)
-      }.cast("int"))
+      when(col(valueCol).isNull, lit(-1)).otherwise(
+        bounds.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col(valueCol) > lit(b), 1).otherwise(0)
+        }).cast("int"))
 
   /** Export `df` partitioned by range shard, each shard's file(s) sorted by
     * `valueCol`: `repartition($"shard")` co-locates a shard on one task,

@@ -42,10 +42,15 @@ object CategoryEncoder {
   def encode(df: DataFrame, colName: String, mapping: DataFrame,
              outCol: String): DataFrame = {
     val oov = mapping.count().toInt
-    df.join(broadcast(mapping.withColumnRenamed("value", colName)),
+    // The mapping's id column joins under a reserved temp name: if the
+    // caller's frame already has an 'id' column, a bare col("id") would be
+    // ambiguous (analysis error) and drop("id") would eat the caller's
+    // column.
+    df.join(broadcast(mapping.withColumnRenamed("value", colName)
+          .withColumnRenamed("id", "__cat_id")),
         Seq(colName), "left")
-      .withColumn(outCol, coalesce(col("id"), lit(oov)).cast("int"))
+      .withColumn(outCol, coalesce(col("__cat_id"), lit(oov)).cast("int"))
       .withColumn(s"${outCol}_is_oov", col(outCol) === lit(oov))
-      .drop("id")
+      .drop("__cat_id")
   }
 }

@@ -140,16 +140,29 @@ object SourceStreamQueries {
     // aggregated hourly; the oracle aggregates the original parquet, so
     // any round-trip loss (timestamp precision, nulls) would hash-fail
     "q231_orc_source" -> { (s, dir) =>
+      // Per-query UUID nonce on top of appId: two Verify runs sharing a
+      // tmpdir (driver re-runs) can never collide on a half-written dir.
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_q231_" +
-        s.sparkContext.applicationId
-      t(s, dir, "events").select("event_id", "ts", "event_type", "value")
-        .write.mode("overwrite").orc(base)
+        s.sparkContext.applicationId + "_" + java.util.UUID.randomUUID()
+      // ORC's classic TIMESTAMP round-trips through the JVM-DEFAULT
+      // timezone (not the Spark session TZ): an event whose wall-clock
+      // falls in a DST gap/overlap hour of the host's local zone shifts
+      // by an hour on read-back — same row count, different hour groups.
+      // TIMESTAMP_NTZ has no instant semantics, so the ORC write/read is
+      // byte-stable on any host; the NTZ→TZ cast afterwards happens under
+      // the session TZ (UTC), matching DuckDB's naive epoch() exactly.
+      s.conf.set("spark.sql.orc.impl", "native")
+      t(s, dir, "events").select(col("event_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("event_type"), col("value"))
+        .write.mode("overwrite").option("compression", "zstd").orc(base)
       s.read.orc(base)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
         .agg(count(lit(1)).cast("long").as("n_events"),
           sum(expr("CAST(floor(value * 1000000) AS BIGINT)"))
             .cast("long").as("sum_u"))
-        .select(col("event_type"), unix_timestamp(col("hr")).as("hour_epoch"),
+        .select(col("event_type"),
+          unix_timestamp(col("hr").cast("timestamp")).as("hour_epoch"),
           col("n_events"), col("sum_u"))
     },
 

@@ -89,7 +89,10 @@ class SessionTimeout extends StatefulProcessor[Long,
     val prev = if (session.exists()) Some(session.get()) else None
     val n0 = prev.map(_._1).getOrElse(0L)
     prev.filter(_._3 > 0L).foreach(p => getHandle.deleteTimer(p._3))
-    val last = ts.last
+    // A later micro-batch can deliver only LATE events (older than the
+    // stored last_event but still inside the watermark); the session close
+    // stays anchored at the true max event time, never re-armed earlier.
+    val last = math.max(prev.map(_._2).getOrElse(Long.MinValue), ts.last)
     val timer = last + TimeoutMs
     getHandle.registerTimer(timer)
     session.update((n0 + ts.length, last, timer))

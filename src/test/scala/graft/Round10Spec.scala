@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
+import java.nio.file.{Files, Paths}
+
+/** Round-10 regressions: streaming late-batch timer anchoring. */
+class Round10Spec extends SparkSpec {
+
+  test("SessionTimeout: a late-but-in-watermark batch never re-arms the " +
+      "timer earlier than last_event + 30min") {
+    val s = spark
+    import s.implicits._
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_t_session_late_" + s.sparkContext.applicationId)
+    graft.operators.FsUtil.deleteRecursively(base.toFile)
+    Files.createDirectories(base.resolve("data"))
+    val schema = new StructType()
+      .add("user_id", LongType).add("ts", TimestampType)
+    val outSchema = new StructType()
+      .add("user_id", LongType).add("n_events", LongType)
+    val epochBase = 1767225600L // 2026-01-01 00:00:00 UTC
+    def rows(pairs: (Long, Long)*) = pairs.toSeq.toDF("user_id", "m")
+      .select(col("user_id"),
+        timestamp_seconds(lit(epochBase) + col("m") * 60).as("ts"))
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(schema).parquet(s"$base/data")
+          .withWatermark("ts", "100 minutes")
+          .as[(Long, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.SessionTimeout,
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "n_events")
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def emitted(): Seq[(Long, Long)] =
+        s.read.schema(outSchema).parquet(s"$base/out")
+          .as[(Long, Long)].collect().toSeq.sorted
+      // batch 1: user 1 at minutes 0 and 50 (timer -> 80), clock at 140
+      // (post-batch watermark 40)
+      rows(1L -> 0L, 1L -> 50L, 999L -> 140L)
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      // batch 2: LATE event for user 1 at minute 44 (older than the stored
+      // last=50, above watermark 40 so accepted). The regression re-armed
+      // the timer at 44+30=74; the fix keeps max(50,44)+30=80. Clock 175
+      // moves the watermark to 75 — past 74 but not past 80, so the run's
+      // own watermark-advance batch fires the buggy timer immediately.
+      rows(1L -> 44L, 999L -> 175L)
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      assert(emitted().isEmpty,
+        "session closed early: late batch re-armed the timer below last_event")
+      // batch 3 nudges the watermark to 78 — still below the anchored
+      // 80-timer; the session must stay open.
+      rows(999L -> 178L).coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      assert(emitted().isEmpty,
+        "session closed between watermark 75 and 78: timer below 80")
+      // batch 4 moves the watermark to 300 > 80: the session closes now
+      // with all 3 events counted (2 on-time + 1 late).
+      rows(999L -> 400L).coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      assert(emitted() === Seq(1L -> 3L))
+    } finally {
+      prev match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("RangeShard.assign: NULLs land in the dedicated -1 shard, not shard 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some(1L), Some(5L), None, Some(9L), None).toDF("v")
+    val bounds = graft.data.RangeShard.boundaries(df, "v", 2)
+    val out = graft.data.RangeShard.assign(df, "v", bounds)
+      .groupBy("shard").count().as[(Int, Long)].collect().toMap
+    assert(out(-1) === 2L, "both NULLs in the null shard")
+    assert(out.getOrElse(0, 0L) + out.getOrElse(1, 0L) === 3L)
+    // manifest of the null shard: min/max NULL, never polluting shard 0's
+    val man = graft.data.RangeShard
+      .manifest(graft.data.RangeShard.assign(df, "v", bounds), "v")
+      .filter(col("shard") === 0).select("min_v").as[Long].head()
+    assert(man === 1L, "shard 0 min unpolluted by nulls")
+  }
+
+  test("RangeShard.boundaries: empty / all-null input raises a clear error") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[Option[Long]].toDF("v")
+    val allNull = Seq(Option.empty[Long], None).toDF("v")
+    for (df <- Seq(empty, allNull)) {
+      val e = intercept[IllegalArgumentException] {
+        graft.data.RangeShard.boundaries(df, "v", 4)
+      }
+      assert(e.getMessage.contains("no non-null"))
+    }
+  }
+
+  test("Gram.gramUpper: guarded BIGINT downcast raises on an overflowing cell") {
+    val s = spark
+    import s.implicits._
+    // two vectors of [2^20] → cell = 2 * (2^20 * 1e6)^2 ≈ 2.2e24 >> 2^63
+    val big = Seq(Tuple1(Array(1048576.0f)), Tuple1(Array(1048576.0f)))
+      .toDF("embedding")
+    val e = intercept[Exception] {
+      graft.ann.Gram.gramUpper(big, "embedding").collect()
+    }
+    assert(e.getMessage.contains("overflows BIGINT"))
+    // and the normal regime is unchanged: [1.5] → floor(1.5e6)^2 per row
+    val ok = Seq(Tuple1(Array(1.5f)), Tuple1(Array(1.5f))).toDF("embedding")
+    val row = graft.ann.Gram.gramUpper(ok, "embedding")
+      .select("n", "gram_u").as[(Long, Long)].head()
+    assert(row === ((2L, 2L * 1500000L * 1500000L)))
+  }
+
+  test("RankStats: binned KS and U equal the exact ones when no intra-bin mass") {
+    val s = spark
+    import s.implicits._
+    // every value sits exactly on a bin lower edge (width 25 → one distinct
+    // value per bin): binning loses nothing, so binned == exact
+    val rows = Seq(
+      ("a", 0.0), ("a", 0.0), ("a", 25.0), ("a", 50.0), ("a", 75.0),
+      ("b", 25.0), ("b", 50.0), ("b", 50.0), ("b", 100.0), ("b", 125.0))
+      .toDF("g", "v")
+    val aP = col("g") === "a"
+    val bP = col("g") === "b"
+    val exactDom = rows.groupBy(col("v").as("x"))
+      .agg(sum(when(aP, 1L).otherwise(0L)).cast("long").as("ca"),
+        sum(when(bP, 1L).otherwise(0L)).cast("long").as("cb"))
+    import graft.data.RankStats
+    val ksExact = RankStats.ksFromCounts(exactDom, "x")
+      .select("n_a", "n_b", "d_num", "d_ppm").as[(Long, Long, Long, Long)].head()
+    val ksBin = RankStats.ksBinned(rows, "v", aP, bP, 0.0, 25.0, 16)
+      .select("n_a", "n_b", "d_num", "d_ppm").as[(Long, Long, Long, Long)].head()
+    assert(ksBin === ksExact)
+    val uExact = RankStats.mannWhitneyFromCounts(exactDom, "x")
+      .select("n_a", "n_b", "u2_a", "u2_b", "identity_ok")
+      .as[(Long, Long, Long, Long, Boolean)].head()
+    val uBin = RankStats.mannWhitneyBinned(rows, "v", aP, bP, 0.0, 25.0, 16)
+      .select("n_a", "n_b", "u2_a", "u2_b", "identity_ok")
+      .as[(Long, Long, Long, Long, Boolean)].head()
+    assert(uBin === uExact)
+    assert(uBin._5, "2U_a + 2U_b == 2 n_a n_b")
+    // and with INTRA-bin mass the binned form ties values the exact form
+    // separates — the declared resolution contract, not an equality
+    val spread = rows.withColumn("v", col("v") + when(aP, 0.0).otherwise(5.0))
+    val ksSpread = RankStats.ksBinned(spread, "v", aP, bP, 0.0, 25.0, 16)
+      .select("n_a", "n_b").as[(Long, Long)].head()
+    assert(ksSpread === ((5L, 5L)), "totals preserved under intra-bin spread")
+  }
+
+  test("CategoryEncoder.encode: survives a caller frame that already has 'id'") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((10L, "a"), (11L, "b"), (12L, "a"), (13L, "zz"))
+      .toDF("id", "cat")
+    // minFreq 2: only "a" (freq 2) makes the vocabulary → id 0, OOV id 1
+    val mapping = graft.features.CategoryEncoder.fit(df, "cat", maxSize = 8,
+      minFreq = 2L)
+    val out = graft.features.CategoryEncoder.encode(df, "cat", mapping, "cat_id")
+    // the caller's id column is intact and the encoding is correct
+    assert(out.columns.count(_ == "id") === 1)
+    val got = out.select("id", "cat_id", "cat_id_is_oov")
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(10L, 11L, 12L, 13L),
+      "caller id values preserved")
+    assert(got(0)._2 === 0 && got(2)._2 === 0, "'a' rows get fitted id 0")
+    assert(got(1)._3 && got(3)._3, "below-minFreq categories fall to OOV")
+  }
+}
