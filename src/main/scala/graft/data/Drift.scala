@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   * n−1 bin edges as a single array row (broadcast — bins are a constant);
   * bin assignment is a map-side fold over that array (no per-row join, no
   * width_bucket UDF); then one hash agg on bin and a 1-row totals broadcast.
-  * Nothing corpus-sized crosses the cluster twice. At 100 TB swap the exact
-  * percentile for percentile_approx (the q97 trade) — the filter/agg side
-  * is unchanged.
+  * Nothing corpus-sized crosses the cluster twice. `exact = false` is the
+  * 100 TB path: bin edges from percentile_approx (the q97 trade, mergeable
+  * sketch state) — the filter/agg side is unchanged.
   */
 object Drift {
 
@@ -30,17 +30,19 @@ object Drift {
     * everything above the last. NULL values are excluded from both slices.
     */
   def psiReport(df: DataFrame, valueCol: String, isBaseline: Column,
-                nBins: Int = 10): DataFrame = {
+                nBins: Int = 10, exact: Boolean = true): DataFrame = {
     require(nBins >= 2, s"need at least 2 bins, got $nBins")
     Seq("__edges", "__bin", "__base").foreach { c =>
       require(!df.columns.contains(c),
         s"input must not use the operator's reserved $c column name")
     }
-    val qs = (1 until nBins).map(k => k.toDouble / nBins)
+    val qs = array((1 until nBins).map(k => lit(k.toDouble / nBins)): _*)
     val src = df.filter(col(valueCol).isNotNull)
       .withColumn("__base", isBaseline)
-    val edges = src.filter(col("__base"))
-      .agg(percentile(col(valueCol), array(qs.map(lit): _*)).as("__edges"))
+    val edgeAgg =
+      if (exact) percentile(col(valueCol), qs)
+      else percentile_approx(col(valueCol), qs, lit(10000))
+    val edges = src.filter(col("__base")).agg(edgeAgg.as("__edges"))
     val binned = src.crossJoin(broadcast(edges))
       .withColumn("__bin", aggregate(col("__edges"), lit(0),
         (acc, e) => acc + when(col(valueCol) > e, 1).otherwise(0)))

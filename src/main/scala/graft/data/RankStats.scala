@@ -1,0 +1,128 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample rank statistics (Kolmogorov–Smirnov, Mann–Whitney U) over a
+  * COLLAPSED domain — one implementation serving two resolutions:
+  *
+  *  - **exact**: the domain is the distinct value set (q245/q246's form) —
+  *    a window over however many distinct values the corpus has;
+  *  - **binned**: the domain is [[HistStore]]'s fixed bins — exact to the
+  *    declared bin width, and the ordered pass runs over ≤ `nBins` rows
+  *    NO MATTER the corpus size. At 100 TB this is the difference between
+  *    a window over a possibly-corpus-sized value domain and a window over
+  *    a kilobyte: per-day bin counts are mergeable integer partials
+  *    (HistStore's contract), so "KS between last week and this week" folds
+  *    |days|·|bins| tiny rows and never re-sorts raw data.
+  *
+  * Both statistics stay in integer arithmetic (cross-multiplied CDF
+  * numerators for KS, doubled tie-averaged ranks for U) — bit-replayable by
+  * any engine, no empirical-CDF doubles. When every row in a bin carries
+  * the same value (no intra-bin mass spread), the binned statistics EQUAL
+  * the exact ones — the agreement a unit test pins.
+  */
+object RankStats {
+
+  private val D38 = "decimal(38,0)"
+
+  /** Exact two-sample KS from per-domain-value counts `(domainCol, ca, cb)`:
+    * D = max |F_a − F_b| as the integer pair (d_num = max |cumA·nB −
+    * cumB·nA|, d_ppm = d_num·1e6 div nA·nB). One ordered pass over the
+    * (already collapsed) domain.
+    */
+  def ksFromCounts(counts: DataFrame, domainCol: String): DataFrame = {
+    val w = Window.orderBy(domainCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    counts
+      .withColumn("cuma", sum("ca").over(w).cast("long"))
+      .withColumn("cumb", sum("cb").over(w).cast("long"))
+      .withColumn("na", sum("ca").over(tot).cast("long"))
+      .withColumn("nb", sum("cb").over(tot).cast("long"))
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        max(abs(col("cuma").cast(D38) * col("nb") -
+                col("cumb").cast(D38) * col("na"))).cast(D38).as("__d"))
+      .select(col("n_a"), col("n_b"), col("__d").cast("long").as("d_num"),
+        expr(s"""CAST((CAST(__d AS $D38) * 1000000)
+                 div (CAST(n_a AS $D38) * n_b) AS BIGINT)""").as("d_ppm"))
+  }
+
+  /** Exact two-sample Mann–Whitney U from per-domain-value counts
+    * `(domainCol, ca, cb)`: doubled tie-averaged ranks (2·avg_rank =
+    * 2·cum_before + tie_count + 1) keep U integral with full tie
+    * correction; emits both arms' 2U and the identity verdict
+    * 2U_a + 2U_b = 2·n_a·n_b.
+    */
+  def mannWhitneyFromCounts(counts: DataFrame,
+                            domainCol: String): DataFrame = {
+    val w = Window.orderBy(domainCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("cnt", col("ca") + col("cb"))
+      .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cum_before") + col("cnt") + 1L)
+      .agg(sum("ca").cast("long").as("n_a"),
+        sum("cb").cast("long").as("n_b"),
+        sum(col("ca").cast(D38) * col("r2")).cast(D38).as("__r2a"),
+        sum(col("cb").cast(D38) * col("r2")).cast(D38).as("__r2b"))
+      .select(col("n_a"), col("n_b"),
+        expr(s"CAST(__r2a - CAST(n_a AS $D38) * (n_a + 1) AS BIGINT)")
+          .as("u2_a"),
+        expr(s"CAST(__r2b - CAST(n_b AS $D38) * (n_b + 1) AS BIGINT)")
+          .as("u2_b"))
+      .withColumn("identity_ok",
+        col("u2_a") + col("u2_b") === lit(2L) * col("n_a") * col("n_b"))
+  }
+
+  /** HistStore's bin function — kept textually identical so a RankStats
+    * bin and a HistStore bin can never disagree.
+    */
+  def binOf(valueCol: String, lo: Double, width: Double,
+            nBins: Int): Column =
+    least(greatest(floor((col(valueCol) - lo) / width), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("int")
+
+  /** Collapse raw rows to two-sample bin counts `(bin, ca, cb)` — one hash
+    * agg to ≤ `nBins` rows; the map side does all the work.
+    */
+  def binCounts(df: DataFrame, valueCol: String, aPred: Column,
+                bPred: Column, lo: Double, width: Double,
+                nBins: Int): DataFrame =
+    df.filter(col(valueCol).isNotNull && (aPred || bPred))
+      .groupBy(binOf(valueCol, lo, width, nBins).as("bin"))
+      .agg(sum(when(aPred, 1L).otherwise(0L)).cast("long").as("ca"),
+        sum(when(bPred, 1L).otherwise(0L)).cast("long").as("cb"))
+
+  /** Binned KS straight from raw rows (exact to `width`). */
+  def ksBinned(df: DataFrame, valueCol: String, aPred: Column,
+               bPred: Column, lo: Double, width: Double,
+               nBins: Int): DataFrame =
+    ksFromCounts(binCounts(df, valueCol, aPred, bPred, lo, width, nBins),
+      "bin")
+
+  /** Binned Mann–Whitney U straight from raw rows (exact to `width`). */
+  def mannWhitneyBinned(df: DataFrame, valueCol: String, aPred: Column,
+                        bPred: Column, lo: Double, width: Double,
+                        nBins: Int): DataFrame =
+    mannWhitneyFromCounts(
+      binCounts(df, valueCol, aPred, bPred, lo, width, nBins), "bin")
+
+  /** Fold two [[HistStore]] day-partitioned stores over a date range into
+    * two-sample bin counts — the 100 TB path: day-partition pruning on
+    * both reads, then a |days|·|bins|-row fold. Bins absent from one store
+    * count 0 there (full outer on bin).
+    */
+  def countsFromStores(spark: SparkSession, pathA: String, pathB: String,
+                       from: String, to: String): DataFrame = {
+    def fold(path: String, out: String): DataFrame =
+      spark.read.parquet(path)
+        .filter(col("day") >= lit(from).cast("date") &&
+          col("day") <= lit(to).cast("date"))
+        .groupBy("bin").agg(sum("n").cast("long").as(out))
+    fold(pathA, "ca").join(fold(pathB, "cb"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+  }
+}

@@ -186,21 +186,25 @@ object Sampling {
     * interpolated percentiles (one row per stratum — tiny by construction,
     * broadcast back), then a map-side filter keeps rows inside their own
     * stratum's band. No window over the data — the only shuffle is the
-    * bounds aggregation's. At 100 TB swap `percentile` for
-    * `percentile_approx` (a GK sketch, the q97 comparison) to make the
-    * bounds pass mergeable-state; the filter side is unchanged.
+    * bounds aggregation's. `exact = false` is the 100 TB path: the bounds
+    * come from `percentile_approx` (a GK sketch, accuracy 10000 — the q97
+    * trade) whose state is mergeable, at the cost of oracle replayability;
+    * the filter side is unchanged either way.
     */
   def percentileBandFilter(df: DataFrame, valueCol: String, strataCol: String,
-                           lower: Double, upper: Double): DataFrame = {
+                           lower: Double, upper: Double,
+                           exact: Boolean = true): DataFrame = {
     require(lower >= 0 && upper <= 1 && lower <= upper,
       s"need 0 <= lower <= upper <= 1, got [$lower, $upper]")
     Seq("__lo", "__hi").foreach { c =>
       require(!df.columns.contains(c),
         s"input must not use the operator's reserved $c column name")
     }
+    def pct(p: Double) =
+      if (exact) percentile(col(valueCol), lit(p))
+      else percentile_approx(col(valueCol), lit(p), lit(10000))
     val bounds = df.groupBy(strataCol).agg(
-      percentile(col(valueCol), lit(lower)).as("__lo"),
-      percentile(col(valueCol), lit(upper)).as("__hi"))
+      pct(lower).as("__lo"), pct(upper).as("__hi"))
     df.join(broadcast(bounds), Seq(strataCol))
       .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
       .drop("__lo", "__hi")

@@ -787,12 +787,11 @@ object CoreQueries {
     // percentiles) keep the winsorized sum in exact integer arithmetic —
     // no double accumulation, no rounding fudge. Plan: one grouped exact-
     // percentile agg broadcast back (q109's budget), clipping map-side,
-    // one final hash agg; percentile_approx swaps in at 100 TB
+    // one final hash agg; winsorizeBounds(exact = false) swaps in at 100 TB
     "q170_winsorize" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select("lang", "n_chars")
-      val bounds = docs.groupBy("lang")
-        .agg(floor(percentile(col("n_chars"), lit(0.01))).cast("long").as("lo"),
-             ceil(percentile(col("n_chars"), lit(0.99))).cast("long").as("hi"))
+      val bounds = graft.data.Outliers.winsorizeBounds(docs, "n_chars",
+        "lang", pLo = 0.01, pHi = 0.99)
       docs.join(broadcast(bounds), "lang")
         .groupBy("lang")
         .agg(count(lit(1)).cast("long").as("n"),
@@ -1439,7 +1438,6 @@ object CoreQueries {
     // loss. The one ordered pass runs over the collapsed value domain
     // (q184's discipline); compares click vs error value distributions
     "q245_ks_test" -> { (s, dir) =>
-      val d38 = "decimal(38,0)"
       val ev = t(s, dir, "events").filter(col("value").isNotNull &&
           col("event_type").isin("click", "error"))
         .select(col("event_type"),
@@ -1449,20 +1447,7 @@ object CoreQueries {
             .cast("long").as("ca"),
           sum(when(col("event_type") === "error", 1L).otherwise(0L))
             .cast("long").as("cb"))
-      val w = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy()
-      dom
-        .withColumn("cuma", sum("ca").over(w).cast("long"))
-        .withColumn("cumb", sum("cb").over(w).cast("long"))
-        .withColumn("na", sum("ca").over(tot).cast("long"))
-        .withColumn("nb", sum("cb").over(tot).cast("long"))
-        .agg(max("na").as("n_a"), max("nb").as("n_b"),
-          max(abs(col("cuma").cast(d38) * col("nb") -
-                  col("cumb").cast(d38) * col("na"))).cast(d38).as("__d"))
-        .select(col("n_a"), col("n_b"), col("__d").cast("long").as("d_num"),
-          expr(s"""CAST((CAST(__d AS $d38) * 1000000)
-                   div (CAST(n_a AS $d38) * n_b) AS BIGINT)""").as("d_ppm"))
+      graft.data.RankStats.ksFromCounts(dom, "v")
     },
 
     // FINANCIAL RECONCILIATION — the books-balancing audit: each order's
@@ -1505,12 +1490,14 @@ object CoreQueries {
     },
 
     // EXACT Kendall τ-b — the pair-concordance rank statistic, computed
-    // WITHOUT the O(rows²) pair space: collapse to the JOINT value domain
-    // (x, y, count) first, then concordant/discordant mass is a
-    // domain×domain join weighted by count products — bounded by value
-    // cardinalities, not corpus size. Tie corrections (n1, n2) from the
-    // marginal domains; everything integer until the single closing
-    // double. Completes the rank family: Spearman q247, U q246, KS q245
+    // WITHOUT the O(rows²) pair space OR a domain² join: collapse to the
+    // JOINT value domain (x, y, count), then concordant/discordant mass
+    // falls out of two partitioned prefix-sum windows over the Dx×Dy grid
+    // (cumulative y-marginals of everything left of each x) — bounded by
+    // the product of value cardinalities, not corpus size and not |joint|².
+    // Tie corrections (n1, n2) from the marginal domains; everything
+    // integer until the single closing double. Completes the rank family:
+    // Spearman q247, U q246, KS q245
     "q248_kendall_tau" -> { (s, dir) =>
       val d38 = "decimal(38,0)"
       val docs = t(s, dir, "documents")
@@ -1518,15 +1505,31 @@ object CoreQueries {
           size(split(trim(col("text")), " ")).cast("long").as("y"))
       val joint = docs.groupBy("x", "y")
         .agg(count(lit(1)).cast("long").as("c")).localCheckpoint()
-      val a = joint.toDF("x1", "y1", "c1")
-      val b = joint.toDF("x2", "y2", "c2")
-      val cd = a.join(b, col("x1") < col("x2"))
-        .agg(sum(when(col("y1") < col("y2"),
-            col("c1").cast(d38) * col("c2")).otherwise(lit(0).cast(d38)))
-          .cast(d38).as("conc"),
-          sum(when(col("y1") > col("y2"),
-            col("c1").cast(d38) * col("c2")).otherwise(lit(0).cast(d38)))
-          .cast(d38).as("disc"))
+      // Concordant/discordant mass WITHOUT the joint×joint x1<x2 join:
+      // on the Dx×Dy grid, M(x,y) = Σ_{x'<x} c(x',y) (per-y prefix over
+      // x) is the cumulative y-marginal of everything strictly left of x,
+      // and G_lt(x,y) = Σ_{y'<y} M(x,y') (per-x prefix over y) counts the
+      // rows dominated by (x,y) — so conc = Σ c·G_lt and, with the
+      // mirrored suffix, disc = Σ c·G_gt. Two PARTITIONED windows over a
+      // value-domain-sized grid replace a |joint|²/2 pair join; every
+      // intermediate ≤ n rows fits a long, the products sum in DECIMAL.
+      val xDom = joint.select("x").distinct()
+      val yDom = joint.select("y").distinct()
+      val wM = Window.partitionBy("y").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wLt = Window.partitionBy("x").orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wGt = Window.partitionBy("x").orderBy("y")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val cd = xDom.crossJoin(yDom)
+        .join(joint, Seq("x", "y"), "left")
+        .withColumn("c0", coalesce(col("c"), lit(0L)))
+        .withColumn("m", coalesce(sum("c0").over(wM), lit(0L)))
+        .withColumn("g_lt", coalesce(sum("m").over(wLt), lit(0L)))
+        .withColumn("g_gt", coalesce(sum("m").over(wGt), lit(0L)))
+        .filter(col("c0") > 0L)
+        .agg(sum(col("c0").cast(d38) * col("g_lt")).cast(d38).as("conc"),
+          sum(col("c0").cast(d38) * col("g_gt")).cast(d38).as("disc"))
       def tiePairs(c: String): org.apache.spark.sql.Column =
         expr(s"CAST(sum(CAST($c AS DECIMAL(38,0)) * ($c - 1)) div 2 AS DECIMAL(38,0))")
       val nx = docs.groupBy("x").agg(count(lit(1)).cast("long").as("cx"))
@@ -1599,7 +1602,6 @@ object CoreQueries {
     // self-check both engines replay. Same collapsed-domain single
     // ordered pass as q245
     "q246_mannwhitney_u" -> { (s, dir) =>
-      val d38 = "decimal(38,0)"
       val ev = t(s, dir, "events").filter(col("value").isNotNull &&
           col("event_type").isin("click", "error"))
         .select(col("event_type"),
@@ -1609,24 +1611,54 @@ object CoreQueries {
             .cast("long").as("ca"),
           sum(when(col("event_type") === "error", 1L).otherwise(0L))
             .cast("long").as("cb"))
-        .withColumn("cnt", col("ca") + col("cb"))
-      val w = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      dom
-        .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
-        .withColumn("r2", lit(2L) * col("cum_before") + col("cnt") + 1L)
-        .agg(sum("ca").cast("long").as("n_a"),
-          sum("cb").cast("long").as("n_b"),
-          sum(col("ca").cast(d38) * col("r2")).cast(d38).as("__r2a"),
-          sum(col("cb").cast(d38) * col("r2")).cast(d38).as("__r2b"))
-        .select(col("n_a"), col("n_b"),
-          expr(s"CAST(__r2a - CAST(n_a AS $d38) * (n_a + 1) AS BIGINT)")
-            .as("u2_a"),
-          expr(s"CAST(__r2b - CAST(n_b AS $d38) * (n_b + 1) AS BIGINT)")
-            .as("u2_b"))
-        .withColumn("identity_ok",
-          col("u2_a") + col("u2_b") ===
-            lit(2L) * col("n_a") * col("n_b"))
+      graft.data.RankStats.mannWhitneyFromCounts(dom, "v")
+    },
+
+    // HISTSTORE-BACKED KS — q245's 100 TB form: the two samples live as
+    // fixed-bin per-day HistStore partials (built here as write + append,
+    // the store's mergeability contract), a date-pruned |days|·|bins| fold
+    // produces the two-sample bin counts, and the SAME RankStats kernel
+    // computes D over ≤ 20 bins — the global value-domain window is gone;
+    // the statistic is exact to the declared 25.0 bin width
+    "q251_ks_binned_store" -> { (s, dir) =>
+      import graft.data.{HistStore, RankStats}
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
+        col("value"))
+      val nonce = java.util.UUID.randomUUID().toString
+      val cut = lit("2024-01-15").cast("date")
+      def store(typ: String): String = {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q251_" +
+          s"${typ}_${s.sparkContext.applicationId}_$nonce"
+        val g = ev.filter(col("event_type") === typ)
+        HistStore.writeDaily(g.filter(to_date(col("ts")) <= cut),
+          "ts", "value", path, lo = 0.0, width = 25.0, nBins = 20)
+        HistStore.appendDaily(g.filter(to_date(col("ts")) > cut),
+          "ts", "value", path, lo = 0.0, width = 25.0, nBins = 20)
+        path
+      }
+      RankStats.ksFromCounts(RankStats.countsFromStores(s,
+        store("click"), store("error"),
+        from = "2024-01-05", to = "2024-01-25"), "bin")
+    },
+
+    // HISTSTORE-BACKED MANN–WHITNEY U — q246's 100 TB form over the same
+    // two stores: doubled-rank U from date-pruned bin-count folds, ties
+    // collapsing whole bins (exact to bin width), identity verdict intact
+    "q252_mwu_binned_store" -> { (s, dir) =>
+      import graft.data.{HistStore, RankStats}
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
+        col("value"))
+      val nonce = java.util.UUID.randomUUID().toString
+      def store(typ: String): String = {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q252_" +
+          s"${typ}_${s.sparkContext.applicationId}_$nonce"
+        HistStore.writeDaily(ev.filter(col("event_type") === typ),
+          "ts", "value", path, lo = 0.0, width = 25.0, nBins = 20)
+        path
+      }
+      RankStats.mannWhitneyFromCounts(RankStats.countsFromStores(s,
+        store("click"), store("error"),
+        from = "2024-01-05", to = "2024-01-25"), "bin")
     },
 
     // IVM with RETRACTIONS — the piece q241 (insert-only joins) and q147
@@ -2746,6 +2778,75 @@ object CoreQueries {
                               CAST(cumb AS HUGEINT) * na)) * 1000000) //
                      (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS d_ppm
          FROM c""",
+    // q251/q252: the binned stores replay as a relational re-bin of the
+    // date-filtered events — DuckDB recomputes the same ≤20-bin two-sample
+    // counts and the same integer statistics over them
+    "q251_ks_binned_store" ->
+      """WITH ev AS (
+           SELECT event_type,
+                  CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT)
+                    AS bin
+           FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'error')
+             AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05'
+                                      AND DATE '2024-01-25'),
+         dom AS (
+           SELECT bin,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cb
+           FROM ev GROUP BY bin),
+         c AS (
+           SELECT CAST(sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cuma,
+                  CAST(sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cumb,
+                  CAST(sum(ca) OVER () AS BIGINT) AS na,
+                  CAST(sum(cb) OVER () AS BIGINT) AS nb
+           FROM dom)
+         SELECT max(na) AS n_a, max(nb) AS n_b,
+                CAST(max(abs(CAST(cuma AS HUGEINT) * nb -
+                             CAST(cumb AS HUGEINT) * na)) AS BIGINT) AS d_num,
+                CAST((max(abs(CAST(cuma AS HUGEINT) * nb -
+                              CAST(cumb AS HUGEINT) * na)) * 1000000) //
+                     (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS d_ppm
+         FROM c""",
+    "q252_mwu_binned_store" ->
+      """WITH ev AS (
+           SELECT event_type,
+                  CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT)
+                    AS bin
+           FROM events
+           WHERE value IS NOT NULL AND event_type IN ('click', 'error')
+             AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05'
+                                      AND DATE '2024-01-25'),
+         dom AS (
+           SELECT bin,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cb
+           FROM ev GROUP BY bin),
+         r AS (
+           SELECT ca, cb,
+                  2 * coalesce(sum(ca + cb) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + (ca + cb) + 1 AS r2
+           FROM dom),
+         m AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cb) AS BIGINT) AS n_b,
+                  CAST(sum(CAST(ca AS HUGEINT) * r2) AS HUGEINT) AS r2a,
+                  CAST(sum(CAST(cb AS HUGEINT) * r2) AS HUGEINT) AS r2b
+           FROM r)
+         SELECT n_a, n_b,
+                CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+                CAST(r2b - CAST(n_b AS HUGEINT) * (n_b + 1) AS BIGINT) AS u2_b,
+                (r2a - CAST(n_a AS HUGEINT) * (n_a + 1)) +
+                (r2b - CAST(n_b AS HUGEINT) * (n_b + 1)) =
+                  2 * CAST(n_a AS HUGEINT) * n_b AS identity_ok
+         FROM m""",
     // the retraction contract: base + inserts - deletes == direct agg
     // over the survivors
     "q242_ivm_retract" ->

@@ -163,6 +163,37 @@ class Round10Spec extends SparkSpec {
     assert(ksSpread === ((5L, 5L)), "totals preserved under intra-bin spread")
   }
 
+  test("exact=false percentile paths: band filter, PSI, robust flags, winsorize") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 100).map(i => ("a", i.toLong)) ++
+      (1 to 100).map(i => ("b", (i * 10).toLong)) :+ (("b", 100000L)))
+      .toDF("g", "v")
+    // band filter: approx bounds still cut both tails per stratum
+    val band = graft.data.Sampling
+      .percentileBandFilter(df, "v", "g", 0.1, 0.9, exact = false)
+    val nA = band.filter(col("g") === "a").count()
+    assert(nA >= 70 && nA <= 90, s"p10-p90 band kept $nA of 100")
+    assert(band.columns.toSeq === df.columns.toSeq, "reserved cols dropped")
+    // PSI: approx edges still partition everything; totals preserved
+    val psi = graft.data.Drift.psiReport(df, "v", col("g") === "a",
+      nBins = 5, exact = false)
+    assert(psi.agg(sum("n_base")).as[Long].head() === 100L)
+    assert(psi.agg(sum("n_curr")).as[Long].head() === 101L)
+    assert(psi.count() <= 5)
+    // robust flags: the 100000 point is an outlier under approx median/MAD
+    val flags = graft.data.Outliers.robustFlags(df, "v", "g", exact = false)
+    assert(flags.filter(col("v") === 100000L).select("is_outlier")
+      .as[Boolean].head())
+    assert(flags.count() === 201L)
+    // winsorize bounds: sane integer band inside the value range
+    val wbMap = graft.data.Outliers.winsorizeBounds(df, "v", "g",
+      exact = false).collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(wbMap("a")._1 >= 1L && wbMap("a")._2 <= 100L &&
+      wbMap("a")._1 <= wbMap("a")._2)
+    assert(wbMap("b")._2 <= 100000L && wbMap("b")._1 <= wbMap("b")._2)
+  }
+
   test("CategoryEncoder.encode: survives a caller frame that already has 'id'") {
     val s = spark
     import s.implicits._
