@@ -82,7 +82,17 @@ object Bench {
       "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","runs":$nRuns}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","runs":$nRuns}"""
+    println(line)
+    // Committed per-query record (min/median/max), so round-over-round
+    // comparison covers ALL queries instead of whatever tail window a
+    // driver artifact happens to keep. Same JSON as the stdout line.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench/latest.json")
+    val p = java.nio.file.Paths.get(outPath)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, line + "\n")
     spark.stop()
   }
 }

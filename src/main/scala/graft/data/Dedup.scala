@@ -551,18 +551,67 @@ object Dedup {
     * Invariant maintained every round: label(v) <= v and label(v) is some
     * vertex id in v's component, so at the fixpoint (no change in a round)
     * labels are constant per component and equal the component minimum.
+    *
+    * Below `maxDriverEdges` pairs the closure instead runs as a driver
+    * union-find over the (already materialized) edge list — broadcast-class
+    * memory, one pass, identical labels — because the iterative loop's
+    * per-round job overhead dominates small graphs. Pass 0 to force the
+    * distributed loop.
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-                          maxRounds: Int = 25): DataFrame = {
+                          maxRounds: Int = 25,
+                          maxDriverEdges: Long = 1000000L): DataFrame = {
     // freeze the edge list ONCE: every round's propagate join consumes it,
     // and without materialization each round would re-execute the entire
     // upstream pair-generation lineage (the jaccard shuffle, at cluster scale
     // the dominant cost) — N rounds of it. The symmetric (u, v) relation is
     // dup-graph-sized, narrow, and spills to disk if a pathological corpus
     // blows it past memory.
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    val edges = pairs.select(col("id_a").cast("long").as("u"),
+        col("id_b").cast("long").as("v"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("u"),
+        col("id_a").cast("long").as("v")))
       .localCheckpoint()
+    // HYBRID closure: the pair list is the COLLAPSED dup graph, not the
+    // corpus — usually orders of magnitude smaller than the data it came
+    // from. Under `maxDriverEdges` pairs (broadcast-class memory, ~32 MB
+    // at the default) a driver union-find with union-by-min-root closes it
+    // in one pass and one job, replacing ~4 iterative rounds of
+    // join+checkpoint+convergence jobs whose fixed scheduling cost
+    // dominates small graphs (measured: 1.0 s → ~0.1 s on a 255-edge graph
+    // at sf0.1). Union-by-min keeps the exact label contract: every root
+    // IS its component's minimum id. Bigger graphs (the 100 TB regime)
+    // take the distributed min-label + pointer-jumping loop unchanged.
+    val nSymEdges = edges.count() // edges are materialized — metadata-cheap
+    if (nSymEdges <= 2L * maxDriverEdges) {
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edges.as[(Long, Long)].collect().foreach { case (u, v) =>
+        if (!parent.containsKey(u)) parent.put(u, u)
+        if (!parent.containsKey(v)) parent.put(v, v)
+        val ru = find(u)
+        val rv = find(v)
+        // attach the larger root under the smaller: roots stay component
+        // minima by induction (every id starts as its own root)
+        if (ru < rv) parent.put(rv, ru)
+        else if (rv < ru) parent.put(ru, rv)
+      }
+      val rows = new Array[(Long, Long)](parent.size())
+      var i = 0
+      parent.keySet().forEach { id => rows(i) = (id, find(id)); i += 1 }
+      val comps = rows.toSeq.toDF("id", "cluster_id")
+      return vertices.select(col("id"))
+        .join(broadcast(comps), Seq("id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+    }
     var labels = vertices.select(col("id"), col("id").as("label"))
       .localCheckpoint()
     var changed = true

@@ -242,12 +242,19 @@ class Round7Spec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
     val verts = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     val e = intercept[IllegalArgumentException] {
-      graft.data.Dedup.connectedComponents(verts, pairs, maxRounds = 1).collect()
+      // maxDriverEdges = 0 forces the distributed loop (the driver
+      // union-find has no round cap to exhaust)
+      graft.data.Dedup.connectedComponents(verts, pairs, maxRounds = 1,
+        maxDriverEdges = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
-    // and the default cap converges on the same chain
+    // and the default cap converges on the same chain — on BOTH paths
     val ok = graft.data.Dedup.connectedComponents(verts, pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ok.values.toSet == Set(1L))
+    val okDist = graft.data.Dedup.connectedComponents(verts, pairs,
+        maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(okDist == ok, "driver union-find and distributed loop agree")
   }
 }
