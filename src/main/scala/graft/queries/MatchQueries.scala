@@ -93,6 +93,53 @@ object MatchQueries {
             .as("completeness_ppm"))
     },
 
+    // P2 + J7 made oracle-visible (q54's structural-verdict recipe): the
+    // output-column contract of the full match transform. keepAllCols=false
+    // must emit ONLY caller input columns + preprocessed + gt_*/score_*/
+    // rank_*/best_*/*_score match outputs (feature and tokenization
+    // intermediates never leak); keepAllCols=true must re-join the
+    // vectorizer intermediates (tokens, ngram_tokens, tf, features). Each
+    // contract term is a machine-checked violation count the oracle pins
+    // to zero, anchored by the relational names count
+    "q253_output_pruning_contract" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      import graft.{EmParams, EntityMatching}
+      val part = t(s, dir, "part")
+      val gtRaw = part.select(
+        col("p_partkey").cast("long").as(Cols.Uid),
+        col("p_name").as(Cols.Name),
+        col("p_brand").as(Cols.EntityId))
+      val nmRaw = gtRaw.filter(col(Cols.Uid) < 300)
+      def indexers() = Seq(
+        new CosSimIndexer(tokenizer = "words", ngram = 1, binary = true,
+          numCandidates = 3, lowerBound = 0.5),
+        new SniIndexer(window = 2, maxGtPerName = 10))
+      val pruned = EntityMatching(EmParams(), indexers())
+        .fit(gtRaw).transform(nmRaw)
+      val full = EntityMatching(EmParams(keepAllCols = true), indexers())
+        .fit(gtRaw).transform(nmRaw)
+      val inputCols = nmRaw.columns.toSet
+      val allowed = (c: String) => inputCols.contains(c) ||
+        c == Cols.Preprocessed ||
+        Seq("gt_", "score_", "rank_", "best_").exists(c.startsWith) ||
+        c.endsWith("_score")
+      val leaked = pruned.columns.count(!allowed(_)).toLong
+      val inputMissing =
+        inputCols.count(!pruned.columns.contains(_)).toLong
+      val intermediates = Seq("tokens", "ngram_tokens", "tf", "features")
+      val interMissingPruned =
+        intermediates.count(pruned.columns.contains).toLong // must be 0
+      val interMissingFull =
+        intermediates.count(!full.columns.contains(_)).toLong // must be 0
+      val nNames = pruned.select(Cols.Uid).distinct().count()
+      Seq((nNames, inputMissing, leaked, interMissingPruned,
+          interMissingFull))
+        .toDF("n_names", "input_cols_missing", "leaked_cols",
+          "intermediates_leaked_when_pruned",
+          "intermediates_missing_when_kept")
+    },
+
     // full candidate selection: cossim + SNI, merged, GT info, no-match keep
     "q33_candidate_selection" -> { (s, dir) =>
       val cs = new CandidateSelection(Seq(
@@ -165,6 +212,13 @@ object MatchQueries {
         FROM nmr JOIN gtr ON abs(nmr.r - gtr.gt_r) <= 2"""
 
   val oracleSql: Map[String, String] = Map(
+    "q253_output_pruning_contract" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_names,
+                CAST(0 AS BIGINT) AS input_cols_missing,
+                CAST(0 AS BIGINT) AS leaked_cols,
+                CAST(0 AS BIGINT) AS intermediates_leaked_when_pruned,
+                CAST(0 AS BIGINT) AS intermediates_missing_when_kept
+         FROM part WHERE p_partkey < 300""",
     "q30_cossim_word_topk" -> cossimSql(blocked = false),
     "q31_cossim_blocked"   -> cossimSql(blocked = true),
     "q32_sni_window"       -> sniSql,

@@ -268,6 +268,48 @@ object MlQueries {
           "all_null_rank_violations")
     },
 
+    // P7 made oracle-visible (q54's structural-verdict recipe): the
+    // whole-ENTITY training downsample. nTrainIds keeps exactly n entities
+    // chosen by deterministic hash order — and keeps them WHOLE: every
+    // input name of a kept entity survives, no name of a dropped entity
+    // does. The expected set is recomputed in-query from the same
+    // (xxhash64(entity, seed), entity) order and each membership term is a
+    // violation count the oracle pins to zero
+    "q254_training_downsample" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      import graft.{EmParams, EntityMatching}
+      val part = t(s, dir, "part")
+      val gtRaw = part.select(
+        col("p_partkey").cast("long").as(Cols.Uid),
+        col("p_name").as(Cols.Name),
+        col("p_brand").as(Cols.EntityId))
+      val nmRaw = gtRaw.filter(col(Cols.Uid) < 500)
+      val model = EntityMatching(EmParams(), Seq(
+          new CosSimIndexer(tokenizer = "words", ngram = 1, binary = true,
+            numCandidates = 3, lowerBound = 0.5),
+          new SniIndexer(window = 2, maxGtPerName = 10)))
+        .fit(gtRaw)
+      val pairs = model.createTrainingPairs(nmRaw, nTrainIds = 10, seed = 42)
+        .localCheckpoint()
+      val expected = nmRaw.select(col(Cols.EntityId)).distinct()
+        .orderBy(xxhash64(col(Cols.EntityId), lit(42)), col(Cols.EntityId))
+        .limit(10)
+      val kept = pairs.select(col(Cols.EntityId)).distinct()
+      val nKept = kept.count()
+      val unexpected = kept.join(expected, Seq(Cols.EntityId), "left_anti")
+        .count()
+      // whole-entity: every input name of an expected entity is in pairs
+      val missingNames = nmRaw
+        .join(expected, Seq(Cols.EntityId), "left_semi")
+        .join(pairs.select(col(Cols.Uid)).distinct(), Seq(Cols.Uid),
+          "left_anti")
+        .count()
+      Seq((nKept, unexpected, missingNames))
+        .toDF("n_entities_kept", "unexpected_entities",
+          "missing_names_of_kept_entities")
+    },
+
     // Coverage-guaranteed eval split — the stratified test-set builder
     // that promises "every (lang, source) cell is represented": each
     // cell's md5-min document is guaranteed in, then the budget (100) is
@@ -435,6 +477,10 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q254_training_downsample" ->
+      """SELECT CAST(10 AS BIGINT) AS n_entities_kept,
+                CAST(0 AS BIGINT) AS unexpected_entities,
+                CAST(0 AS BIGINT) AS missing_names_of_kept_entities""",
     "q210_coverage_split" ->
       """WITH d AS (
            SELECT doc_id, lang, source,
