@@ -352,4 +352,56 @@ class PlanShapeSpec extends SparkSpec {
       s"only the d²-sized partial merge may shuffle:\n$plan")
     assert(count(plan) { case _: WindowExec => } == 0)
   }
+
+  test("binned KS: one corpus shuffle (the bin agg); window input is bin-sized") {
+    import graft.data.RankStats
+    val pdocs = spark.read.parquet(s"$sf/events.parquet")
+    val plan = staticPlan(RankStats.ksBinned(pdocs, "value",
+      col("event_type") === "click", col("event_type") === "error",
+      0.0, 25.0, 20))
+    // shuffles: the bin hash agg over the corpus, then the ordered pass
+    // over <= nBins rows (a single-partition exchange of a kilobyte, plus
+    // the statistic's final fold). The point of the binned form is that
+    // NOTHING corpus-sized reaches a window: every WindowExec consumes the
+    // post-agg bin relation.
+    val shuffles = count(plan) { case _: ShuffleExchangeExec => }
+    assert(shuffles <= 3, s"bin agg + bin-sized ordered pass only:\n$plan")
+    val windows = count(plan) { case _: WindowExec => }
+    assert(windows >= 1, s"the cumulative pass is a window:\n$plan")
+    // corpus-side work is ONE aggregate pair (partial + final on bin)
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    assert(count(plan) { case _: HashAggregateExec => } >= 2, s"$plan")
+  }
+
+  test("kendall grid: both prefix windows PARTITIONED (no global window)") {
+    // the q248 shape — on the Dx×Dy grid, M partitions by y, G_lt/G_gt by
+    // x; a global (unpartitioned) window over the grid would serialize the
+    // whole domain through one task at 100 TB
+    val joint = Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L), (3L, 3L, 4L))
+      .toDF("x", "y", "c")
+    import org.apache.spark.sql.expressions.Window
+    val wM = Window.partitionBy("y").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLt = Window.partitionBy("x").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wGt = Window.partitionBy("x").orderBy("y")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val xDom = joint.select("x").distinct()
+    val yDom = joint.select("y").distinct()
+    val plan = staticPlan(xDom.crossJoin(yDom)
+      .join(joint, Seq("x", "y"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .withColumn("m", coalesce(sum("c0").over(wM), lit(0L)))
+      .withColumn("g_lt", coalesce(sum("m").over(wLt), lit(0L)))
+      .withColumn("g_gt", coalesce(sum("m").over(wGt), lit(0L)))
+      .filter(col("c0") > 0L)
+      .agg(sum(col("c0") * col("g_lt")).as("conc"),
+        sum(col("c0") * col("g_gt")).as("disc")))
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"every grid window must be partitioned:\n$plan")
+    }
+  }
 }
