@@ -63,4 +63,26 @@ object Drift {
         when(col("n_base") > 0 && col("n_curr") > 0,
           round((pBase - pCurr) * log(pBase / pCurr), 9)).as("psi_contrib"))
   }
+
+  /** Fixed-bin PSI from a pre-binned counts relation `(bin, n_base,
+    * n_curr)` — the [[graft.data.HistStore]]-backed drift monitor: bins are
+    * the store's declared edges (the standard scorecard practice) rather
+    * than baseline quantiles, and the report folds |days|·|bins| integer
+    * partials instead of re-scanning raw rows. Same per-bin output and
+    * NULL-contribution contract as [[psiReport]]; at 100 TB this is the
+    * difference between a weekly drift report that reads kilobytes and one
+    * that re-reads two weeks of corpus.
+    */
+  def psiFromCounts(counts: DataFrame): DataFrame = {
+    val totals = counts.agg(
+      sum(col("n_base")).cast("double").as("__tb"),
+      sum(col("n_curr")).cast("double").as("__tc"))
+    val pBase = col("n_base").cast("double") / col("__tb")
+    val pCurr = col("n_curr").cast("double") / col("__tc")
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_base"), col("n_curr"),
+        pBase.as("p_base"), pCurr.as("p_curr"),
+        when(col("n_base") > 0 && col("n_curr") > 0,
+          round((pBase - pCurr) * log(pBase / pCurr), 9)).as("psi_contrib"))
+  }
 }

@@ -125,4 +125,23 @@ object RankStats {
       .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
   }
+
+  /** Fold ONE [[HistStore]] over two date ranges into two-sample bin
+    * counts — the self-drift form ("last week vs this week" from the same
+    * store). One pruned scan covering both ranges, one |days|·|bins| fold.
+    */
+  def countsFromStoreRanges(spark: SparkSession, path: String,
+                            fromA: String, toA: String,
+                            fromB: String, toB: String): DataFrame = {
+    def in(from: String, to: String) =
+      col("day") >= lit(from).cast("date") && col("day") <= lit(to).cast("date")
+    spark.read.parquet(path)
+      .filter(in(fromA, toA) || in(fromB, toB))
+      .groupBy("bin")
+      .agg(sum(when(in(fromA, toA), col("n")).otherwise(0L))
+          .cast("long").as("ca"),
+        sum(when(in(fromB, toB), col("n")).otherwise(0L))
+          .cast("long").as("cb"))
+      .filter(col("ca") + col("cb") > 0L)
+  }
 }

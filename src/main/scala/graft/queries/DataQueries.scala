@@ -502,6 +502,45 @@ object DataQueries {
         pctPpm = Seq(500000, 900000, 990000), lo = 0.0, width = 25.0)
     },
 
+    // HISTSTORE-BACKED PSI DRIFT — q144's monitor re-pointed at the store:
+    // the weekly "has value drifted" report folds |days|·|bins| integer
+    // partials from ONE HistStore (first half of Jan = baseline, second
+    // half = current) instead of re-scanning two weeks of raw rows. Bins
+    // are the store's declared fixed edges (scorecard practice); same
+    // per-bin PSI output contract as q144
+    "q255_psi_store" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("ts"), col("value"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q255_" +
+        s.sparkContext.applicationId + "_" + java.util.UUID.randomUUID()
+      graft.data.HistStore.writeDaily(ev, "ts", "value", path,
+        lo = 0.0, width = 25.0, nBins = 20)
+      graft.data.Drift.psiFromCounts(
+        graft.data.RankStats.countsFromStoreRanges(s, path,
+            "2024-01-01", "2024-01-15", "2024-01-16", "2024-01-30")
+          .select(col("bin"), col("ca").as("n_base"), col("cb").as("n_curr")))
+    },
+
+    // WEEKLY KS DRIFT SERIES — the rolling two-sample monitor: one
+    // HistStore, one date-pruned fold per consecutive week pair, the q251
+    // kernel per pair. Three kilobyte-sized folds replace three re-scans;
+    // the series is the alerting signal a 100 TB ingest pipeline watches
+    "q256_ks_drift_weekly" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("ts"), col("value"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q256_" +
+        s.sparkContext.applicationId + "_" + java.util.UUID.randomUUID()
+      graft.data.HistStore.writeDaily(ev, "ts", "value", path,
+        lo = 0.0, width = 25.0, nBins = 20)
+      val weeks = Seq(
+        ("2024-01-01", "2024-01-07"), ("2024-01-08", "2024-01-14"),
+        ("2024-01-15", "2024-01-21"), ("2024-01-22", "2024-01-28"))
+      weeks.sliding(2).map { case Seq((fa, ta), (fb, tb)) =>
+        graft.data.RankStats.ksFromCounts(
+          graft.data.RankStats.countsFromStoreRanges(s, path, fa, ta, fb, tb),
+          "bin").withColumn("week_from", lit(fa))
+      }.reduce(_.unionByName(_))
+        .select("week_from", "n_a", "n_b", "d_num", "d_ppm")
+    },
+
     // SketchStore compaction: day rows pre-unioned (HLL union is
     // register-wise max — associative, so the compacted store's merged
     // estimate is BIT-IDENTICAL to the uncompacted one, asserted as
@@ -1462,7 +1501,80 @@ object DataQueries {
               coalesce(c.cluster_id, d.doc_id) <> d.doc_id AS is_dup
        FROM documents d LEFT JOIN comp c USING (doc_id)"""
 
+  /** q256 helper: one week-pair KS CTE chain over the shared re-binned
+    * events relation (the store replays as a relational re-bin, exactly
+    * q251's discipline).
+    */
+  private def ksWeekSql(i: Int, fa: String, ta: String, fb: String,
+                        tb: String): String =
+    s"""p$i AS (
+          SELECT bin,
+                 CAST(sum(CASE WHEN d BETWEEN DATE '$fa' AND DATE '$ta'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN d BETWEEN DATE '$fb' AND DATE '$tb'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM ev GROUP BY bin
+          HAVING sum(CASE WHEN d BETWEEN DATE '$fa' AND DATE '$tb'
+                     THEN 1 ELSE 0 END) > 0),
+        c$i AS (
+          SELECT CAST(sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cuma,
+                 CAST(sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cumb,
+                 CAST(sum(ca) OVER () AS BIGINT) AS na,
+                 CAST(sum(cb) OVER () AS BIGINT) AS nb
+          FROM p$i),
+        k$i AS (
+          SELECT '$fa' AS week_from, max(na) AS n_a, max(nb) AS n_b,
+                 CAST(max(abs(CAST(cuma AS HUGEINT) * nb -
+                              CAST(cumb AS HUGEINT) * na)) AS BIGINT) AS d_num,
+                 CAST((max(abs(CAST(cuma AS HUGEINT) * nb -
+                               CAST(cumb AS HUGEINT) * na)) * 1000000) //
+                      (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS d_ppm
+          FROM c$i)"""
+
   val oracleSql: Map[String, String] = Map(
+    "q255_psi_store" ->
+      """WITH ev AS (
+           SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT)
+                    AS bin,
+                  (CAST(ts AS DATE) BETWEEN DATE '2024-01-01'
+                                        AND DATE '2024-01-15') AS is_base,
+                  (CAST(ts AS DATE) BETWEEN DATE '2024-01-16'
+                                        AND DATE '2024-01-30') AS is_curr
+           FROM events WHERE value IS NOT NULL),
+         c AS (
+           SELECT bin,
+                  CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_base,
+                  CAST(sum(CASE WHEN is_curr THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_curr
+           FROM ev GROUP BY bin
+           HAVING sum(CASE WHEN is_base OR is_curr THEN 1 ELSE 0 END) > 0),
+         t AS (SELECT CAST(sum(n_base) AS DOUBLE) AS tb,
+                      CAST(sum(n_curr) AS DOUBLE) AS tc
+               FROM c)
+         SELECT bin, n_base, n_curr,
+                CAST(n_base AS DOUBLE) / tb AS p_base,
+                CAST(n_curr AS DOUBLE) / tc AS p_curr,
+                CASE WHEN n_base > 0 AND n_curr > 0
+                     THEN round((CAST(n_base AS DOUBLE) / tb
+                               - CAST(n_curr AS DOUBLE) / tc)
+                          * ln((CAST(n_base AS DOUBLE) / tb)
+                             / (CAST(n_curr AS DOUBLE) / tc)), 9)
+                END AS psi_contrib
+         FROM c, t""",
+    "q256_ks_drift_weekly" ->
+      s"""WITH ev AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT)
+                     AS bin
+            FROM events WHERE value IS NOT NULL),
+          ${ksWeekSql(1, "2024-01-01", "2024-01-07", "2024-01-08", "2024-01-14")},
+          ${ksWeekSql(2, "2024-01-08", "2024-01-14", "2024-01-15", "2024-01-21")},
+          ${ksWeekSql(3, "2024-01-15", "2024-01-21", "2024-01-22", "2024-01-28")}
+          SELECT * FROM k1 UNION ALL SELECT * FROM k2
+          UNION ALL SELECT * FROM k3""",
     "q40_ngram_jaccard_pairs" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
        " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
