@@ -1614,6 +1614,38 @@ object CoreQueries {
       graft.data.RankStats.mannWhitneyFromCounts(dom, "v")
     },
 
+    // LINK PREDICTION via the Resource-Allocation index — the graph-ML
+    // training-signal generator (predict absent edges): for every
+    // NON-adjacent pair, RA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w), kept exact
+    // as Σ 1e6 div deg(w) integer ppm (RA beats Adamic-Adar here because
+    // inverse-degree needs no cross-engine ln). Bridges are capped at
+    // deg ≤ 50 (q146's hub discipline — a hub's common-neighbor fanout is
+    // quadratic and its RA contribution negligible); candidate pairs come
+    // from one self-join on the bridge vertex, existing edges anti-joined
+    // away, global top-50 by (score, pair) via TakeOrdered — never a
+    // 1-partition window
+    "q258_link_prediction" -> { (s, dir) =>
+      val edges = graft.operators.Graphs
+        .coPurchaseEdges(t(s, dir, "lineitem"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct().localCheckpoint()
+      val nbrs = edges.select(col("a").as("w"), col("b").as("x"))
+        .unionByName(edges.select(col("b").as("w"), col("a").as("x")))
+      val deg = nbrs.groupBy("w").agg(count(lit(1)).cast("long").as("deg"))
+      val bridge = nbrs.join(deg.filter(col("deg") <= 50L), "w")
+      val cand = bridge.select(col("w"), col("x").as("u"), col("deg"))
+        .join(bridge.select(col("w"), col("x").as("v")), "w")
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v")
+        .agg(count(lit(1)).cast("long").as("n_common"),
+          sum(expr("1000000 div deg")).cast("long").as("ra_ppm"))
+      cand.join(edges.toDF("u", "v"), Seq("u", "v"), "left_anti")
+        .orderBy(col("ra_ppm").desc, col("u"), col("v")).limit(50)
+        .select(col("u").as("src"), col("v").as("dst"), col("n_common"),
+          col("ra_ppm"))
+    },
+
     // HISTSTORE-BACKED KS — q245's 100 TB form: the two samples live as
     // fixed-bin per-day HistStore partials (built here as write + append,
     // the store's mergeability contract), a date-pruned |days|·|bins| fold
@@ -2778,6 +2810,31 @@ object CoreQueries {
                               CAST(cumb AS HUGEINT) * na)) * 1000000) //
                      (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS d_ppm
          FROM c""",
+    "q258_link_prediction" ->
+      """WITH e AS (
+           SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                  greatest(a.l_partkey, b.l_partkey) AS b
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         nbrs AS (
+           SELECT a AS w, b AS x FROM e
+           UNION ALL SELECT b AS w, a AS x FROM e),
+         deg AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS deg
+           FROM nbrs GROUP BY w HAVING count(*) <= 50),
+         br AS (SELECT n.w, n.x, d.deg FROM nbrs n JOIN deg d USING (w)),
+         cand AS (
+           SELECT p.x AS u, q.x AS v,
+                  CAST(count(*) AS BIGINT) AS n_common,
+                  CAST(sum(1000000 // p.deg) AS BIGINT) AS ra_ppm
+           FROM br p JOIN br q ON p.w = q.w AND p.x < q.x
+           GROUP BY 1, 2),
+         nonadj AS (
+           SELECT c.* FROM cand c
+           WHERE NOT EXISTS (SELECT 1 FROM e
+                             WHERE e.a = c.u AND e.b = c.v))
+         SELECT u AS src, v AS dst, n_common, ra_ppm
+         FROM nonadj ORDER BY ra_ppm DESC, u, v LIMIT 50""",
     // q251/q252: the binned stores replay as a relational re-bin of the
     // date-filtered events — DuckDB recomputes the same ≤20-bin two-sample
     // counts and the same integer statistics over them

@@ -1068,6 +1068,44 @@ object DataQueries {
         .withColumn("l2_ok", col("n_homogeneous_classes") === 0L)
     },
 
+    // T-CLOSENESS — the third privacy gate (k-anonymity q220: class SIZE,
+    // l-diversity q221: sensitive VARIETY, t-closeness: sensitive
+    // DISTRIBUTION): a class can be large and varied yet still leak if its
+    // sensitive mix differs sharply from the global one. Per QI class
+    // (lang, length bucket), the total-variation distance between the
+    // class's source distribution and the global distribution, in exact
+    // cross-multiplied integer ppm — tvd = Σ|n_cs·N − n_s·n_c| ·1e6 div
+    // (2·n_c·N). Classes missing a global sensitive value still pay for it
+    // (the grid left-join). All relations are domain-sized after the first
+    // hash agg; the global marginals broadcast
+    "q257_t_closeness" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val docs = t(s, dir, "documents").select(col("lang"),
+        expr("CAST(n_chars div 100 AS BIGINT)").as("len_bucket"),
+        col("source"))
+      val cells = docs.groupBy("lang", "len_bucket", "source")
+        .agg(count(lit(1)).cast("long").as("n_cs"))
+      val classTot = cells.groupBy("lang", "len_bucket")
+        .agg(sum("n_cs").cast("long").as("n_c"))
+      val globSens = cells.groupBy("source")
+        .agg(sum("n_cs").cast("long").as("n_s"))
+      val totRow = cells.agg(sum("n_cs").cast("long").as("n"))
+      classTot.crossJoin(broadcast(globSens))
+        .join(cells, Seq("lang", "len_bucket", "source"), "left")
+        .withColumn("n_cs", coalesce(col("n_cs"), lit(0L)))
+        .crossJoin(broadcast(totRow))
+        .groupBy("lang", "len_bucket")
+        .agg(max("n_c").as("class_size"),
+          sum(abs(col("n_cs").cast(d38) * col("n") -
+                  col("n_s").cast(d38) * col("n_c"))).cast(d38).as("__num"),
+          max("n_c").as("__nc"), max("n").as("__n"))
+        .select(col("lang"), col("len_bucket"), col("class_size"),
+          expr(s"""CAST((CAST(__num AS $d38) * 1000000)
+                   div (2 * CAST(__nc AS $d38) * __n) AS BIGINT)""")
+            .as("tvd_ppm"))
+        .withColumn("t_ok", col("tvd_ppm") <= 300000L)
+    },
+
     // IR RANKING METRICS over the retrieval path — the evaluation harness
     // any search/RAG pipeline needs: q43's exact top-5 per query scored
     // against label-match relevance (the embeddings table's class labels)
@@ -1534,6 +1572,33 @@ object DataQueries {
           FROM c$i)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q257_t_closeness" ->
+      """WITH cells AS (
+           SELECT lang, n_chars // 100 AS len_bucket, source,
+                  CAST(count(*) AS BIGINT) AS n_cs
+           FROM documents GROUP BY 1, 2, 3),
+         ct AS (SELECT lang, len_bucket, CAST(sum(n_cs) AS BIGINT) AS n_c
+                FROM cells GROUP BY 1, 2),
+         gs AS (SELECT source, CAST(sum(n_cs) AS BIGINT) AS n_s
+                FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_cs) AS BIGINT) AS n FROM cells),
+         grid AS (
+           SELECT ct.lang, ct.len_bucket, ct.n_c, gs.source, gs.n_s,
+                  coalesce(c.n_cs, 0) AS n_cs
+           FROM ct CROSS JOIN gs
+           LEFT JOIN cells c ON c.lang = ct.lang
+                 AND c.len_bucket = ct.len_bucket AND c.source = gs.source)
+         SELECT g.lang, g.len_bucket,
+                CAST(max(g.n_c) AS BIGINT) AS class_size,
+                CAST((sum(abs(CAST(g.n_cs AS HUGEINT) * t.n -
+                              CAST(g.n_s AS HUGEINT) * g.n_c)) * 1000000) //
+                     (2 * CAST(max(g.n_c) AS HUGEINT) * t.n) AS BIGINT)
+                  AS tvd_ppm,
+                CAST((sum(abs(CAST(g.n_cs AS HUGEINT) * t.n -
+                              CAST(g.n_s AS HUGEINT) * g.n_c)) * 1000000) //
+                     (2 * CAST(max(g.n_c) AS HUGEINT) * t.n) AS BIGINT)
+                  <= 300000 AS t_ok
+         FROM grid g, tot t GROUP BY g.lang, g.len_bucket, t.n""",
     "q255_psi_store" ->
       """WITH ev AS (
            SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT)

@@ -140,6 +140,56 @@ object MatchQueries {
           "intermediates_missing_when_kept")
     },
 
+    // MODEL CALIBRATION REPORT over a deterministic scorer — the
+    // reliability diagram + per-bin ECE terms an ML-ops gate reads before
+    // trusting scores as probabilities: the cossim candidate score is the
+    // "confidence", entity equality the outcome, and each 0.1-wide score
+    // bin reports confidence vs observed accuracy ENTIRELY in integer ppm
+    // (scores rounded to 9 decimals first, q30's float discipline) — the
+    // oracle replays the scorer AND the calibration arithmetic
+    "q259_calibration_bins" -> { (s, dir) =>
+      val idx = new CosSimIndexer(tokenizer = "words", ngram = 1,
+        binary = true, numCandidates = 3, lowerBound = 0.2)
+      // names = deterministically NOISED gt copies at VARYING noise
+      // levels (uid mod 3: intact / first word dropped / first two words
+      // dropped — q169's noise family), so the score distribution spreads
+      // across bins and the diagram has real shape
+      // part names are two words: keep both / last only / first only —
+      // one-token scores vary with the kept token's idf and the gt norm,
+      // spreading mass across several bins
+      val noise = expr(
+        """CASE CAST(uid % 3 AS INT)
+           WHEN 0 THEN p_name
+           WHEN 1 THEN regexp_replace(p_name, '^[^ ]* ', '')
+           ELSE regexp_replace(p_name, ' [^ ]*$', '') END""")
+      val noised = t(s, dir, "part").filter(col("p_partkey") < 300)
+        .select(col("p_partkey").cast("long").as("uid"), col("p_name"),
+          col("p_brand"))
+        .select(col("uid").as(Cols.Uid), noise.as(Cols.Name),
+          noise.as(Cols.Preprocessed), col("p_brand").as(Cols.EntityId))
+      val cands = idx.fit(gtParts(s, dir)).transform(noised)
+      val gtEnt = gtParts(s, dir)
+        .select(col(Cols.Uid).as(Cols.GtUid), col(Cols.EntityId).as("gt_ent"))
+      val nmEnt = noised
+        .select(col(Cols.Uid), col(Cols.EntityId).as("nm_ent"))
+      cands
+        .join(broadcast(gtEnt), Seq(Cols.GtUid))
+        .join(broadcast(nmEnt), Seq(Cols.Uid))
+        .withColumn("score_ppm",
+          floor(round(col("score"), 9) * 1e6).cast("long"))
+        .withColumn("bin",
+          least(expr("score_ppm div 100000"), lit(9L)).cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("gt_ent") === col("nm_ent"), 1L).otherwise(0L))
+            .cast("long").as("n_pos"),
+          sum("score_ppm").cast("long").as("__s"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          expr("__s div n").cast("long").as("conf_ppm"),
+          expr("(n_pos * 1000000) div n").cast("long").as("acc_ppm"))
+        .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
+    },
+
     // full candidate selection: cossim + SNI, merged, GT info, no-match keep
     "q33_candidate_selection" -> { (s, dir) =>
       val cs = new CandidateSelection(Seq(
@@ -212,6 +262,60 @@ object MatchQueries {
         FROM nmr JOIN gtr ON abs(nmr.r - gtr.gt_r) <= 2"""
 
   val oracleSql: Map[String, String] = Map(
+    "q259_calibration_bins" ->
+      s"""WITH gt AS (SELECT p_partkey AS gt_uid, p_name, p_brand FROM part),
+          nm AS (SELECT p_partkey AS uid,
+                        CASE CAST(p_partkey % 3 AS INT)
+                        WHEN 0 THEN p_name
+                        WHEN 1 THEN regexp_replace(p_name, '^[^ ]* ', '')
+                        ELSE regexp_replace(p_name, ' [^ ]*$$', '')
+                        END AS p_name,
+                        p_brand
+                 FROM part WHERE p_partkey < 300),
+          gt_tok AS (SELECT gt_uid, unnest(list_distinct(string_split(p_name, ' '))) AS tok FROM gt),
+          dfreq AS (SELECT tok, count(*) AS df FROM gt_tok GROUP BY tok),
+          total AS (SELECT count(*) AS n FROM gt),
+          idf AS (SELECT tok, ln((n + 1.0) / (df + 1.0)) AS idf FROM dfreq, total),
+          gt_w AS (SELECT gt_uid, tok, idf FROM gt_tok JOIN idf USING (tok)),
+          gt_norm AS (SELECT gt_uid, sqrt(sum(idf * idf)) AS nrm FROM gt_w GROUP BY gt_uid),
+          nm_tok AS (SELECT uid, unnest(list_distinct(string_split(p_name, ' '))) AS tok FROM nm),
+          nm_w AS (SELECT uid, tok, idf FROM nm_tok JOIN idf USING (tok)),
+          nm_norm AS (SELECT uid, sqrt(sum(idf * idf)) AS nrm FROM nm_w GROUP BY uid),
+          dots AS (SELECT uid, gt_uid, sum(a.idf * b.idf) AS dot
+                   FROM nm_w a JOIN gt_w b USING (tok) GROUP BY uid, gt_uid),
+          scored AS (
+            SELECT d.uid, d.gt_uid,
+                   round(d.dot / (nn.nrm * gn.nrm), 9) AS cos_score
+            FROM dots d JOIN nm_norm nn ON d.uid = nn.uid
+                        JOIN gt_norm gn ON d.gt_uid = gn.gt_uid),
+          ranked AS (
+            SELECT uid, gt_uid, cos_score,
+                   CAST(row_number() OVER (PARTITION BY uid
+                        ORDER BY cos_score DESC, gt_uid) AS INT) AS rank
+            FROM scored),
+          cand AS (
+            SELECT uid, gt_uid, cos_score
+            FROM ranked WHERE cos_score >= 0.2 AND rank <= 3),
+          lab AS (
+            SELECT c.uid, c.gt_uid,
+                   CAST(floor(c.cos_score * 1000000) AS BIGINT) AS score_ppm,
+                   CASE WHEN ne.p_brand = ge.p_brand THEN 1 ELSE 0 END
+                     AS label
+            FROM cand c
+            JOIN nm ne ON ne.uid = c.uid
+            JOIN gt ge ON ge.gt_uid = c.gt_uid),
+          b AS (
+            SELECT CAST(least(score_ppm // 100000, 9) AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(label) AS BIGINT) AS n_pos,
+                   CAST(sum(score_ppm) AS BIGINT) AS s
+            FROM lab GROUP BY 1)
+          SELECT bin, n, n_pos,
+                 CAST(s // n AS BIGINT) AS conf_ppm,
+                 CAST(n_pos * 1000000 // n AS BIGINT) AS acc_ppm,
+                 CAST(abs(s // n - n_pos * 1000000 // n) AS BIGINT)
+                   AS gap_ppm
+          FROM b""",
     "q253_output_pruning_contract" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_names,
                 CAST(0 AS BIGINT) AS input_cols_missing,
