@@ -140,6 +140,20 @@ object MatchQueries {
           "intermediates_missing_when_kept")
     },
 
+    // EDIT-DISTANCE SIMILARITY JOIN — fuzzy matching as a JOIN, not a
+    // pair metric (q25 scores given pairs; this FINDS the pairs): all part
+    // names within levenshtein 2, candidates from rarest-q-gram prefix
+    // filtering (constant k·q+1 grams per string), exact verify on
+    // candidates only. The oracle is the BRUTE-FORCE n² levenshtein join —
+    // so the prefix filter's zero-false-negative guarantee is itself the
+    // thing under test, row for row
+    "q260_fuzzy_join" -> { (s, dir) =>
+      val names = t(s, dir, "part").filter(col("p_partkey") < 2000)
+        .select(col("p_partkey").as("id"), col("p_name"))
+      graft.operators.FuzzyJoin
+        .editDistanceSelfJoin(names, "id", "p_name", maxDist = 2)
+    },
+
     // MODEL CALIBRATION REPORT over a deterministic scorer — the
     // reliability diagram + per-bin ECE terms an ML-ops gate reads before
     // trusting scores as probabilities: the cossim candidate score is the
@@ -262,6 +276,13 @@ object MatchQueries {
         FROM nmr JOIN gtr ON abs(nmr.r - gtr.gt_r) <= 2"""
 
   val oracleSql: Map[String, String] = Map(
+    "q260_fuzzy_join" ->
+      """WITH nm AS (SELECT p_partkey AS id, p_name
+                     FROM part WHERE p_partkey < 2000)
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+         FROM nm a JOIN nm b ON a.id < b.id
+         WHERE levenshtein(a.p_name, b.p_name) <= 2""",
     "q259_calibration_bins" ->
       s"""WITH gt AS (SELECT p_partkey AS gt_uid, p_name, p_brand FROM part),
           nm AS (SELECT p_partkey AS uid,

@@ -194,6 +194,27 @@ class Round10Spec extends SparkSpec {
     assert(wbMap("b")._2 <= 100000L && wbMap("b")._1 <= wbMap("b")._2)
   }
 
+  test("FuzzyJoin: exact pairs on a known fixture; short strings raise") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sittin"),
+      (4L, "banana"), (5L, "kitten")).toDF("id", "name")
+    val got = graft.operators.FuzzyJoin
+      .editDistanceSelfJoin(df, "id", "name", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // kitten~sitten 1, sitten~sittin 1, kitten~sittin 2, dup kitten 0,
+    // sitten/sittin vs the second kitten mirror the first; banana matches
+    // nothing within 2
+    assert(got === Set((1L, 2L, 1), (2L, 3L, 1), (1L, 3L, 2), (1L, 5L, 0),
+      (2L, 5L, 1), (3L, 5L, 2)))
+    val e = intercept[Exception] {
+      graft.operators.FuzzyJoin
+        .editDistanceSelfJoin(Seq((1L, "abc"), (2L, "xyz")).toDF("id", "n"),
+          "id", "n", maxDist = 2).collect()
+    }
+    assert(e.getMessage.contains("q-gram count bound"))
+  }
+
   test("CategoryEncoder.encode: survives a caller frame that already has 'id'") {
     val s = spark
     import s.implicits._
