@@ -278,6 +278,29 @@ object FeatureQueries {
           vocab.featureNames.map(col): _*)
     },
 
+    // N8 made oracle-visible: the extra-feature equality encoding
+    // {match=1, mismatch=-1, null=0} the supervised layer appends for
+    // carry-on columns like country (features_extra.py:28-60). Pairs from
+    // the adjacent-partkey join, nulls injected deterministically on both
+    // sides so all three branches fire; the oracle is the literal CASE
+    "q263_equality_features" -> { (s, dir) =>
+      import graft.features.PairFeatures
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").as("id"),
+          when(col("p_partkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("p_brand")).as("brand"),
+          when(col("p_partkey") % 11 === 0, lit(null).cast("string"))
+            .otherwise(col("p_type")).as("container"))
+      val pairs = p.toDF("id_a", "brand_a", "container_a")
+        .join(p.toDF("id_b", "brand_b", "container_b"),
+          col("id_a") + 1 === col("id_b"))
+      pairs.select(col("id_a"), col("id_b"),
+        PairFeatures.equalityFeature("brand_a", "brand_b")
+          .cast("int").as("brand_match_feat"),
+        PairFeatures.equalityFeature("container_a", "container_b")
+          .cast("int").as("container_match_feat"))
+    },
+
     // W1+P3: nm_score best-match ranking + top-n filter over cossim candidates
     "q35_best_match_topn" -> { (s, dir) =>
       val gt = t(s, dir, "part").select(
@@ -318,6 +341,23 @@ object FeatureQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q263_equality_features" ->
+      """WITH p AS (
+           SELECT p_partkey AS id,
+                  CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END
+                    AS brand,
+                  CASE WHEN p_partkey % 11 = 0 THEN NULL ELSE p_type END
+                    AS container
+           FROM part)
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(CASE WHEN a.brand IS NULL OR b.brand IS NULL THEN 0
+                          WHEN a.brand = b.brand THEN 1 ELSE -1 END AS INT)
+                  AS brand_match_feat,
+                CAST(CASE WHEN a.container IS NULL OR b.container IS NULL
+                          THEN 0
+                          WHEN a.container = b.container THEN 1 ELSE -1 END
+                     AS INT) AS container_match_feat
+         FROM p a JOIN p b ON a.id + 1 = b.id""",
     "q194_category_encode" ->
       """WITH counts AS (
            SELECT source AS value, CAST(count(*) AS BIGINT) AS freq

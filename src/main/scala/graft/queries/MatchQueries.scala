@@ -140,6 +140,53 @@ object MatchQueries {
           "intermediates_missing_when_kept")
     },
 
+    // P6 made oracle-visible: RE-MATCHING a previously-matched frame. A
+    // prior pass's outputs (score_i/rank_i/gt_*) on the incoming names
+    // would silently collide with this pass's columns; the conflicting-col
+    // drop must make transform(transform(nm)) ≡ transform(nm) exactly —
+    // asserted as two-sided exceptAll violation counts the oracle pins to
+    // zero, anchored by the relational names count
+    "q261_rematch_idempotent" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val cs = new CandidateSelection(Seq(
+        new CosSimIndexer(tokenizer = "words", ngram = 1, binary = true,
+          numCandidates = 3, lowerBound = 0.5),
+        new SniIndexer(window = 2, maxGtPerName = 10)))
+      val model = cs.fit(gtParts(s, dir))
+      val proj = (df: DataFrame) => df.select(Cols.Uid, Cols.GtUid,
+        Cols.score(0), Cols.rank(0), Cols.score(1), Cols.rank(1))
+      val clean = model.transform(nmParts(s, dir)).localCheckpoint()
+      // the re-match input is ONE stale row per name (a user re-running a
+      // previously-matched table), carrying the prior pass's score_i/
+      // rank_i/gt_* columns that must be dropped, not collided with
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(Cols.Uid)
+        .orderBy(coalesce(col(Cols.GtUid), lit(Long.MinValue)))
+      val stale = clean.withColumn("__rn",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val again = model.transform(stale).localCheckpoint()
+      val nNames = clean.select(Cols.Uid).distinct().count()
+      val onlyClean = proj(clean).exceptAll(proj(again)).count()
+      val onlyAgain = proj(again).exceptAll(proj(clean)).count()
+      Seq((nNames, onlyClean, onlyAgain))
+        .toDF("n_names", "only_in_clean", "only_in_rematch")
+    },
+
+    // F20 made oracle-visible: the SNI mapping-function hook with the
+    // reference's canonical example — REVERSED names, so the sorted
+    // neighbourhood groups by suffix (legal-form endings) instead of
+    // prefix. Full relational oracle: DuckDB ranks the same distinct name
+    // list by reverse(p_name) and replays the ±2 offset join
+    "q262_sni_reversed" -> { (s, dir) =>
+      val idx = new SniIndexer(window = 2, maxGtPerName = 10,
+        mappingFunc = Some((x: String) => x.reverse))
+      idx.fit(gtParts(s, dir)).transform(nmParts(s, dir))
+        .select(col(Cols.Uid), col(Cols.GtUid),
+          col("score").as("sni_score"), col("rank").as("sni_rank"))
+    },
+
     // EDIT-DISTANCE SIMILARITY JOIN — fuzzy matching as a JOIN, not a
     // pair metric (q25 scores given pairs; this FINDS the pairs): all part
     // names within levenshtein 2, candidates from rarest-q-gram prefix
@@ -276,6 +323,29 @@ object MatchQueries {
         FROM nmr JOIN gtr ON abs(nmr.r - gtr.gt_r) <= 2"""
 
   val oracleSql: Map[String, String] = Map(
+    "q261_rematch_idempotent" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_names,
+                CAST(0 AS BIGINT) AS only_in_clean,
+                CAST(0 AS BIGINT) AS only_in_rematch
+         FROM part WHERE p_partkey < 100""",
+    "q262_sni_reversed" ->
+      """WITH gt0 AS (SELECT p_partkey AS gt_uid, p_name FROM part),
+          gt AS (SELECT gt_uid, p_name FROM (
+                   SELECT gt_uid, p_name,
+                          row_number() OVER (PARTITION BY p_name ORDER BY gt_uid) AS rn
+                   FROM gt0) WHERE rn <= 10),
+          nm AS (SELECT p_partkey AS uid, p_name FROM part WHERE p_partkey < 100),
+          all_names AS (SELECT DISTINCT p_name FROM (
+            SELECT p_name FROM gt UNION ALL SELECT p_name FROM nm)),
+          ranked AS (SELECT p_name,
+                            row_number() OVER (ORDER BY reverse(p_name)) - 1 AS r
+                     FROM all_names),
+          gtr AS (SELECT gt_uid, r AS gt_r FROM gt JOIN ranked USING (p_name)),
+          nmr AS (SELECT uid, r FROM nm JOIN ranked USING (p_name))
+          SELECT uid, gt_uid,
+                 1.0 - abs(nmr.r - gtr.gt_r) / 3.0 AS sni_score,
+                 CAST(abs(nmr.r - gtr.gt_r) AS INT) AS sni_rank
+          FROM nmr JOIN gtr ON abs(nmr.r - gtr.gt_r) <= 2""",
     "q260_fuzzy_join" ->
       """WITH nm AS (SELECT p_partkey AS id, p_name
                      FROM part WHERE p_partkey < 2000)
