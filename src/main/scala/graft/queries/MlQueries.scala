@@ -310,6 +310,22 @@ object MlQueries {
           "missing_names_of_kept_entities")
     },
 
+    // CLUSTERING EVALUATION by pair counting — the metric gate a dedup /
+    // entity-resolution run is graded on: pairwise precision/recall/F1 and
+    // adjusted Rand, all from the (cluster × gold) contingency table in
+    // exact integers (ARI's one closing division is the only double, the
+    // q248 discipline). Predicted = exact-name clusters (min-id canonical,
+    // q21's semantics), gold = brand classes — both fully replayable
+    "q264_cluster_eval" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("id"),
+          col("p_name"), col("p_brand"))
+      val clusters = p.groupBy("p_name")
+        .agg(min("id").cast("long").as("cluster_id"))
+      graft.ml.ClusterEval.pairwiseReport(p.join(clusters, "p_name"),
+        "cluster_id", "p_brand")
+    },
+
     // Coverage-guaranteed eval split — the stratified test-set builder
     // that promises "every (lang, source) cell is represented": each
     // cell's md5-min document is guaranteed in, then the budget (100) is
@@ -477,6 +493,57 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q264_cluster_eval" ->
+      """WITH l AS (
+           SELECT p_partkey AS id, p_brand,
+                  min(p_partkey) OVER (PARTITION BY p_name) AS cluster_id
+           FROM part),
+         cells AS (
+           SELECT cluster_id, p_brand, CAST(count(*) AS BIGINT) AS n_cg
+           FROM l GROUP BY 1, 2),
+         t AS (
+           SELECT CAST(sum(CAST(n_cg AS HUGEINT) * (n_cg - 1)) // 2
+                       AS HUGEINT) AS tp,
+                  CAST(sum(n_cg) AS BIGINT) AS n,
+                  CAST(count(DISTINCT cluster_id) AS BIGINT)
+                    AS n_pred_clusters,
+                  CAST(count(DISTINCT p_brand) AS BIGINT) AS n_gold_classes
+           FROM cells),
+         p AS (
+           SELECT CAST(sum(CAST(n_c AS HUGEINT) * (n_c - 1)) // 2
+                       AS HUGEINT) AS pred_pairs
+           FROM (SELECT CAST(sum(n_cg) AS BIGINT) AS n_c
+                 FROM cells GROUP BY cluster_id)),
+         g AS (
+           SELECT CAST(sum(CAST(n_g AS HUGEINT) * (n_g - 1)) // 2
+                       AS HUGEINT) AS gold_pairs
+           FROM (SELECT CAST(sum(n_cg) AS BIGINT) AS n_g
+                 FROM cells GROUP BY p_brand)),
+         m AS (
+           SELECT t.*, p.pred_pairs, g.gold_pairs,
+                  CAST(CAST(t.n AS HUGEINT) * (t.n - 1) // 2 AS HUGEINT)
+                    AS n2
+           FROM t, p, g)
+         SELECT n, n_pred_clusters, n_gold_classes,
+                CAST(tp AS BIGINT) AS tp_pairs,
+                CAST(pred_pairs AS BIGINT) AS pred_pairs,
+                CAST(gold_pairs AS BIGINT) AS gold_pairs,
+                CAST(CASE WHEN pred_pairs > 0
+                     THEN tp * 1000000 // pred_pairs ELSE 0 END AS BIGINT)
+                  AS precision_ppm,
+                CAST(CASE WHEN gold_pairs > 0
+                     THEN tp * 1000000 // gold_pairs ELSE 0 END AS BIGINT)
+                  AS recall_ppm,
+                CAST(CASE WHEN pred_pairs + gold_pairs > 0
+                     THEN tp * 2000000 // (pred_pairs + gold_pairs)
+                     ELSE 0 END AS BIGINT) AS f1_ppm,
+                (CAST(n2 AS DOUBLE) * CAST(tp AS DOUBLE) -
+                 CAST(pred_pairs AS DOUBLE) * CAST(gold_pairs AS DOUBLE)) /
+                (CAST(n2 AS DOUBLE) *
+                   CAST(pred_pairs + gold_pairs AS DOUBLE) / 2.0 -
+                 CAST(pred_pairs AS DOUBLE) * CAST(gold_pairs AS DOUBLE))
+                  AS ari
+         FROM m""",
     "q254_training_downsample" ->
       """SELECT CAST(10 AS BIGINT) AS n_entities_kept,
                 CAST(0 AS BIGINT) AS unexpected_entities,
