@@ -502,6 +502,37 @@ object DataQueries {
         pctPpm = Seq(500000, 900000, 990000), lo = 0.0, width = 25.0)
     },
 
+    // HistStore compaction — the lifecycle parity the other two stores
+    // already gate (AggStore q158, SketchStore q159): bin-count partials
+    // are associative integers, so rewriting each day's append-accumulated
+    // files into one file CANNOT change any report — asserted by comparing
+    // the percentile report before and after the rename-swap, plus the
+    // one-file-per-day layout verdicts
+    "q265_hist_store_compact" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val ev = t(s, dir, "events").select(col("ts"), col("value"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q265_" +
+        s.sparkContext.applicationId + "_" + java.util.UUID.randomUUID()
+      graft.data.HistStore.writeDaily(ev.filter(minute(col("ts")) < 30),
+        "ts", "value", path, lo = 0.0, width = 25.0, nBins = 20)
+      graft.data.HistStore.appendDaily(ev.filter(minute(col("ts")) >= 30),
+        "ts", "value", path, lo = 0.0, width = 25.0, nBins = 20)
+      def report() = graft.data.HistStore.reportPercentiles(s, path,
+        from = "2024-01-05", to = "2024-01-25",
+        pctPpm = Seq(500000, 900000, 990000), lo = 0.0, width = 25.0)
+      val beforeRows = report().collect().sortBy(_.getInt(0))
+      val nDays = ev.select(to_date(col("ts"))).distinct().count().toInt
+      val (before, after) =
+        graft.data.AggStore.compactStore(s, path, nDays)
+      val afterRows = report().collect().sortBy(_.getInt(0))
+      report()
+        .withColumn("report_stable",
+          lit(beforeRows.sameElements(afterRows)))
+        .withColumn("one_file_per_day", lit(after == nDays))
+        .withColumn("files_reduced", lit(after < before))
+    },
+
     // HISTSTORE-BACKED PSI DRIFT — q144's monitor re-pointed at the store:
     // the weekly "has value drifted" report folds |days|·|bins| integer
     // partials from ONE HistStore (first half of Jan = baseline, second
@@ -1572,6 +1603,32 @@ object DataQueries {
           FROM c$i)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q265_hist_store_compact" ->
+      """WITH ev AS (
+           SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT)
+                  AS bin
+           FROM events
+           WHERE value IS NOT NULL
+             AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05'
+                                      AND DATE '2024-01-25'),
+         b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY bin),
+         c AS (SELECT bin, n,
+                      CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n,
+                      CAST(sum(n) OVER () AS BIGINT) AS total_n
+               FROM b),
+         p AS (SELECT unnest([500000, 900000, 990000]) AS pct_ppm)
+         SELECT p.pct_ppm, c.bin,
+                CAST(c.bin * 25.0 AS DOUBLE) AS bin_lo,
+                CAST((c.bin + 1) * 25.0 AS DOUBLE) AS bin_hi,
+                c.cum_n, c.total_n,
+                TRUE AS report_stable,
+                TRUE AS one_file_per_day,
+                TRUE AS files_reduced
+         FROM c, p
+         WHERE c.cum_n >= (CAST(p.pct_ppm AS HUGEINT) * c.total_n + 999999)
+                          // 1000000
+           AND c.cum_n - c.n < (CAST(p.pct_ppm AS HUGEINT) * c.total_n
+                                + 999999) // 1000000""",
     "q257_t_closeness" ->
       """WITH cells AS (
            SELECT lang, n_chars // 100 AS len_bucket, source,
