@@ -725,6 +725,42 @@ object SourceStreamQueries {
     // TWICE against one checkpoint — the second run finds no new data and
     // provably adds nothing — and the oracle is the plain projection of
     // the source table (exactly-once made row-comparable)
+    // STREAMING INGESTION into the mergeable HistStore — the composition
+    // that makes the store family production-real: a file stream lands in
+    // micro-batches, foreachBatch appends each batch's per-day BIN PARTIALS
+    // (HistStore.appendDaily), and because bin counts are associative
+    // integers the folded report is BIT-IDENTICAL to the batch build no
+    // matter how the stream happened to batch — the q161 oracle replays it
+    // with no knowledge of batching. Restart replays nothing (checkpoint),
+    // so appends are exactly-once
+    "q266_stream_hist_ingest" -> { (s, dir) =>
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q266_" + s.sparkContext.applicationId + "_" +
+          java.util.UUID.randomUUID())
+      deleteRecursively(base)
+      Files.createDirectories(base)
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .select("ts", "value")
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            graft.data.HistStore.appendDaily(df, "ts", "value",
+              s"$base/store", lo = 0.0, width = 25.0, nBins = 20)
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      runOnce() // restart: no new files -> no batch -> no double-append
+      graft.data.HistStore.reportPercentiles(s, s"$base/store",
+        from = "2024-01-05", to = "2024-01-25",
+        pctPpm = Seq(500000, 900000, 990000), lo = 0.0, width = 25.0)
+    },
+
     "q121_foreach_batch_sink" -> { (s, dir) =>
       val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q121_fb")
       deleteRecursively(base)
@@ -860,6 +896,31 @@ object SourceStreamQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    // batching-invariant: the oracle is q161's batch replay, blind to how
+    // the stream micro-batched
+    "q266_stream_hist_ingest" ->
+      """WITH ev AS (
+           SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT)
+                  AS bin
+           FROM events
+           WHERE value IS NOT NULL
+             AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05'
+                                      AND DATE '2024-01-25'),
+         b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY bin),
+         c AS (SELECT bin, n,
+                      CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n,
+                      CAST(sum(n) OVER () AS BIGINT) AS total_n
+               FROM b),
+         p AS (SELECT unnest([500000, 900000, 990000]) AS pct_ppm)
+         SELECT p.pct_ppm, c.bin,
+                CAST(c.bin * 25.0 AS DOUBLE) AS bin_lo,
+                CAST((c.bin + 1) * 25.0 AS DOUBLE) AS bin_hi,
+                c.cum_n, c.total_n
+         FROM c, p
+         WHERE c.cum_n >= (CAST(p.pct_ppm AS HUGEINT) * c.total_n + 999999)
+                          // 1000000
+           AND c.cum_n - c.n < (CAST(p.pct_ppm AS HUGEINT) * c.total_n
+                                + 999999) // 1000000""",
     // the TWS emission contract: one row per (key, batch-with-input) —
     // slice-1 totals for keys seen in slice 1, cumulative totals for keys
     // seen in slice 2
