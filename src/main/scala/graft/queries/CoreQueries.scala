@@ -244,6 +244,41 @@ object CoreQueries {
     // Subtotal rows are labeled '<all>' via grouping() — NOT a bare
     // coalesce, which would conflate a subtotal with a genuine NULL data
     // stratum (those render '<null>')
+    // CUBE completes the multi-granularity family (q93 ROLLUP is the
+    // hierarchy path; CUBE adds the (·, source) cross-slices a drill-down
+    // dashboard needs): all four grouping sets in ONE Expand + hash agg
+    // pass, grouping() flags disambiguating real NULLs from totals exactly
+    // as q93 does. DuckDB replays with native CUBE
+    "q268_cube_stats" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .cube("lang", "source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+             sum(col("n_chars").cast("long")).cast("long").as("total_chars"),
+             grouping(col("lang")).cast("int").as("__gl"),
+             grouping(col("source")).cast("int").as("__gs"))
+        .select(
+          when(col("__gl") === 1, lit("<all>"))
+            .otherwise(coalesce(col("lang"), lit("<null>"))).as("lang"),
+          when(col("__gs") === 1, lit("<all>"))
+            .otherwise(coalesce(col("source"), lit("<null>"))).as("source"),
+          col("n_docs"), col("total_chars"))
+    },
+
+    // The analytic-window trio a feature pipeline leans on for rank-based
+    // normalization: percent_rank, cume_dist and ntile(4) per language over
+    // document length — all three are pure integer-derived ratios
+    // (rank−1)/(n−1), cum/n, bucketed row_number, so the doubles are
+    // bit-identical in any engine. One shuffle + one sort for all three
+    // functions (they share the window)
+    "q269_analytic_trio" -> { (s, dir) =>
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("int"))
+    },
+
     "q93_rollup_stats" -> { (s, dir) =>
       t(s, dir, "documents")
         .rollup("lang", "source")
@@ -2810,6 +2845,21 @@ object CoreQueries {
                               CAST(cumb AS HUGEINT) * na)) * 1000000) //
                      (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS d_ppm
          FROM c""",
+    "q268_cube_stats" ->
+      """SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>'
+                     ELSE coalesce(lang, '<null>') END AS lang,
+                CASE WHEN GROUPING(source) = 1 THEN '<all>'
+                     ELSE coalesce(source, '<null>') END AS source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY CUBE(lang, source)""",
+    "q269_analytic_trio" ->
+      """SELECT doc_id, lang, n_chars,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd,
+                CAST(ntile(4) OVER w AS INT) AS quartile
+         FROM documents
+         WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""",
     "q258_link_prediction" ->
       """WITH e AS (
            SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,

@@ -502,6 +502,39 @@ object DataQueries {
         pctPpm = Seq(500000, 900000, 990000), lo = 0.0, width = 25.0)
     },
 
+    // KMV SET-OPERATION sketch — the distinct-sketch capability HLL lacks:
+    // "how many users clicked AND purchased" from two k-sized synopses
+    // (k smallest hashes of each distinct user set). Deterministic by
+    // construction (no RNG), so the q97 sketch recipe applies: exact
+    // relational Jaccard beside the estimate, tolerance verdict
+    // machine-checked, oracle replays the exact side and pins the verdict
+    "q267_kmv_set_ops" -> { (s, dir) =>
+      import graft.data.KmvSketch
+      val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+        .filter(col("event_type").isin("click", "purchase"))
+      val syn = KmvSketch.kMinHashes(ev, "user_id", "event_type", k = 512)
+        .localCheckpoint()
+      val est = KmvSketch.jaccardEstimatePpm(
+        syn.filter(col("g") === "click"),
+        syn.filter(col("g") === "purchase"), k = 512)
+      val exact = ev.groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("a"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("b"))
+        .agg(sum("a").cast("long").as("n_a"),
+          sum("b").cast("long").as("n_b"),
+          sum(col("a") * col("b")).cast("long").as("n_inter"),
+          count(lit(1)).cast("long").as("n_union"))
+        .withColumn("j_exact_ppm",
+          expr("CAST(n_inter * 1000000 div n_union AS BIGINT)"))
+      exact.crossJoin(broadcast(est))
+        .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+          col("j_exact_ppm"),
+          (abs(col("est_ppm") - col("j_exact_ppm")) <= 100000L)
+            .as("est_within_10pct"))
+    },
+
     // HistStore compaction — the lifecycle parity the other two stores
     // already gate (AggStore q158, SketchStore q159): bin-count partials
     // are associative integers, so rewriting each day's append-accumulated
@@ -1603,6 +1636,22 @@ object DataQueries {
           FROM c$i)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q267_kmv_set_ops" ->
+      """WITH m AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS b
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY user_id)
+         SELECT CAST(sum(a) AS BIGINT) AS n_a,
+                CAST(sum(b) AS BIGINT) AS n_b,
+                CAST(sum(a * b) AS BIGINT) AS n_inter,
+                CAST(count(*) AS BIGINT) AS n_union,
+                CAST(sum(a * b) * 1000000 // count(*) AS BIGINT)
+                  AS j_exact_ppm,
+                TRUE AS est_within_10pct
+         FROM m""",
     "q265_hist_store_compact" ->
       """WITH ev AS (
            SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT)

@@ -215,6 +215,31 @@ class Round10Spec extends SparkSpec {
     assert(e.getMessage.contains("q-gram count bound"))
   }
 
+  test("KmvSketch: half-overlap Jaccard estimated within tolerance; exact under k") {
+    val s = spark
+    import s.implicits._
+    // A = 0..1999, B = 1000..2999 → J = 1000/3000 = 1/3
+    val rows = ((0 until 2000).map(i => ("a", i.toLong)) ++
+      (1000 until 3000).map(i => ("b", i.toLong))).toDF("g", "k")
+    val syn = graft.data.KmvSketch.kMinHashes(rows, "k", "g", k = 512)
+    assert(syn.groupBy("g").count().as[(String, Long)].collect().toMap
+      .values.forall(_ == 512L))
+    val est = graft.data.KmvSketch.jaccardEstimatePpm(
+      syn.filter(col("g") === "a"), syn.filter(col("g") === "b"), 512)
+      .select("est_ppm").as[Long].head()
+    assert(math.abs(est - 333333L) <= 70000L,
+      s"J=1/3 within ~3 std errs, got $est ppm")
+    // k >= |domain| → the synopsis IS the distinct set and the estimate is
+    // exact: two tiny sets with J = 1/3
+    val tiny = (Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L)) ++
+      Seq(("b", 3L), ("b", 4L), ("b", 5L), ("b", 6L))).toDF("g", "k")
+    val tsyn = graft.data.KmvSketch.kMinHashes(tiny, "k", "g", k = 100)
+    val texact = graft.data.KmvSketch.jaccardEstimatePpm(
+      tsyn.filter(col("g") === "a"), tsyn.filter(col("g") === "b"), 100)
+      .select("est_ppm").as[Long].head()
+    assert(texact === 333333L)
+  }
+
   test("CategoryEncoder.encode: survives a caller frame that already has 'id'") {
     val s = spark
     import s.implicits._
