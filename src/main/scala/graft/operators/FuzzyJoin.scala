@@ -69,11 +69,15 @@ object FuzzyJoin {
       .join(prefix.toDF("id_b", "gram"), "gram")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // thresholded levenshtein: Spark's banded O(k·n) kernel returns -1
+    // past the threshold instead of paying the full O(n·m) DP per
+    // candidate — the verify step is the per-candidate cost at scale
     cands
       .join(base.toDF("id_a", "__sa"), "id_a")
       .join(base.toDF("id_b", "__sb"), "id_b")
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 }

@@ -244,6 +244,30 @@ object CoreQueries {
     // Subtotal rows are labeled '<all>' via grouping() — NOT a bare
     // coalesce, which would conflate a subtotal with a genuine NULL data
     // stratum (those render '<null>')
+    // ROLLING-ORIGIN FORECAST BACKTEST — the ML-ops gate for a forecasting
+    // job: score the seasonal-naive forecast (value 7 days earlier, the
+    // baseline every real model must beat) against actuals across every
+    // origin at once. Calendar-correct via a day−7 equi-join (lag(7) over
+    // row order would silently slip on missing days); sMAPE terms in exact
+    // integer ppm (|f−a|·2e6 div (f+a), both ≥ 1 by construction), per-type
+    // mean by integer div. Two hash aggs + one self-join on the tiny daily
+    // relation
+    "q270_forecast_backtest" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val fc = daily.select(col("event_type"),
+        date_add(col("day"), 7).as("day"), col("n").as("f"))
+      daily.join(fc, Seq("event_type", "day"))
+        .withColumn("term_ppm",
+          expr("CAST(abs(n - f) * 2000000 div (n + f) AS BIGINT)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          sum(col("n")).cast("long").as("sum_actual"),
+          sum(abs(col("n") - col("f"))).cast("long").as("sum_abs_err"),
+          expr("CAST(sum(term_ppm) div count(1) AS BIGINT)").as("smape_ppm"))
+    },
+
     // CUBE completes the multi-granularity family (q93 ROLLUP is the
     // hierarchy path; CUBE adds the (·, source) cross-slices a drill-down
     // dashboard needs): all four grouping sets in ONE Expand + hash agg
@@ -2845,6 +2869,24 @@ object CoreQueries {
                               CAST(cumb AS HUGEINT) * na)) * 1000000) //
                      (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS d_ppm
          FROM c""",
+    "q270_forecast_backtest" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         fc AS (
+           SELECT event_type, day + 7 AS day, n AS f FROM daily),
+         j AS (
+           SELECT d.event_type, d.n, fc.f,
+                  CAST(abs(d.n - fc.f) * 2000000 // (d.n + fc.f) AS BIGINT)
+                    AS term_ppm
+           FROM daily d JOIN fc USING (event_type, day))
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(n) AS BIGINT) AS sum_actual,
+                CAST(sum(abs(n - f)) AS BIGINT) AS sum_abs_err,
+                CAST(sum(term_ppm) // count(*) AS BIGINT) AS smape_ppm
+         FROM j GROUP BY event_type""",
     "q268_cube_stats" ->
       """SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>'
                      ELSE coalesce(lang, '<null>') END AS lang,
