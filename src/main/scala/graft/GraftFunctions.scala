@@ -58,8 +58,13 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point — see [[GraftFunctions]]. */
+/** `spark.sql.extensions` entry point — see [[GraftFunctions]]. Besides
+  * the function surface it injects the optimizer rules: banded-levenshtein
+  * comparison rewrite ([[graft.plans.BandedLevenshteinRule]]).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
+  }
 }

@@ -240,6 +240,40 @@ class Round10Spec extends SparkSpec {
     assert(texact === 333333L)
   }
 
+  test("BandedLevenshteinRule: comparisons rewrite to the threshold kernel, " +
+      "same results") {
+    val s = spark
+    import s.implicits._
+    // parquet source: a local Seq would let ConvertToLocalRelation fold
+    // the whole filter at optimize time and hide the rewrite under test
+    val pdocs = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey").as("id"), col("p_name").as("a"),
+        regexp_replace(col("p_name"), "^[^ ]* ", "").as("b"))
+    val before = pdocs.filter(levenshtein(col("a"), col("b")) <= 2)
+      .select("id").as[Long].collect().sorted
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ graft.plans.BandedLevenshteinRule
+    try {
+      val q = pdocs.filter(levenshtein(col("a"), col("b")) <= 2)
+      val optimized = q.queryExecution.optimizedPlan
+      val rewritten = optimized.collect { case p => p }.flatMap(
+        _.expressions.flatMap(_.collect {
+          case l: org.apache.spark.sql.catalyst.expressions.Levenshtein
+            if l.threshold.isDefined => l
+        }))
+      assert(rewritten.nonEmpty, s"expected threshold rewrite:\n$optimized")
+      assert(q.select("id").as[Long].collect().sorted === before)
+      // strict < rewrites with k-1
+      val lt = pdocs.filter(levenshtein(col("a"), col("b")) < 3)
+        .select("id").as[Long].collect().sorted
+      assert(lt === before)
+    } finally {
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.BandedLevenshteinRule)
+    }
+  }
+
   test("CategoryEncoder.encode: survives a caller frame that already has 'id'") {
     val s = spark
     import s.implicits._
