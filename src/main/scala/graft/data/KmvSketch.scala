@@ -37,6 +37,36 @@ object KmvSketch {
       .select("g", "h")
   }
 
+  /** Daily synopsis store (the set-op member of the store family beside
+    * AggStore/SketchStore/HistStore): one (day, h) partition per day, ≤ k
+    * rows each. Synopses are MERGEABLE — the k smallest of a day range is
+    * computable from the per-day synopses alone (k-min of a union is the
+    * k-min of the k-mins), so range questions fold |days|·k tiny rows.
+    */
+  def writeDaily(df: DataFrame, dateCol: String, keyCol: String,
+                 path: String, k: Int, overwrite: Boolean = false): Unit = {
+    val w = Window.partitionBy("day").orderBy("h")
+    df.select(to_date(col(dateCol)).as("day"),
+        xxhash64(col(keyCol)).as("h"))
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("day", "h")
+      .write.partitionBy("day")
+      .mode(if (overwrite) "overwrite" else "append").parquet(path)
+  }
+
+  /** Range synopsis from the store: k smallest distinct hashes over the
+    * pruned [from, to] day partitions — (h) rows, ≤ k.
+    */
+  def rangeSynopsis(spark: org.apache.spark.sql.SparkSession, path: String,
+                    from: String, to: String, k: Int): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("day") >= lit(from).cast("date") &&
+        col("day") <= lit(to).cast("date"))
+      .select("h").distinct()
+      .orderBy("h").limit(k)
+
   /** Jaccard estimate (ppm) of two synopses: k smallest of the union,
     * fraction present in both. One k-sized TakeOrdered; 1-row output
     * (est_ppm, n_union_k).

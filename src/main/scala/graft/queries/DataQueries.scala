@@ -535,6 +535,42 @@ object DataQueries {
             .as("est_within_10pct"))
     },
 
+    // KMV DAILY STORE — q267's synopsis made a mergeable range store (the
+    // set-op member of the store family): per-day (day, h) partitions, ≤ k
+    // rows each; "how much did this half of the month's user set overlap
+    // with that half" folds |days|·k rows under partition pruning, because
+    // the k-min of a union IS the k-min of the per-day k-mins. Exact
+    // relational Jaccard beside the estimate, tolerance verdict pinned
+    "q271_kmv_store" -> { (s, dir) =>
+      import graft.data.KmvSketch
+      val ev = t(s, dir, "events").select(col("ts"), col("user_id"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q271_" +
+        s.sparkContext.applicationId + "_" + java.util.UUID.randomUUID()
+      val cut = lit("2024-01-15").cast("date")
+      KmvSketch.writeDaily(ev.filter(to_date(col("ts")) <= cut),
+        "ts", "user_id", path, k = 512, overwrite = true)
+      KmvSketch.writeDaily(ev.filter(to_date(col("ts")) > cut),
+        "ts", "user_id", path, k = 512)
+      val est = KmvSketch.jaccardEstimatePpm(
+        KmvSketch.rangeSynopsis(s, path, "2024-01-01", "2024-01-15", 512),
+        KmvSketch.rangeSynopsis(s, path, "2024-01-16", "2024-01-30", 512),
+        k = 512)
+      val exact = ev.groupBy("user_id")
+        .agg(max(when(to_date(col("ts")) <= cut, 1L).otherwise(0L)).as("a"),
+          max(when(to_date(col("ts")) > cut, 1L).otherwise(0L)).as("b"))
+        .agg(sum("a").cast("long").as("n_a"),
+          sum("b").cast("long").as("n_b"),
+          sum(col("a") * col("b")).cast("long").as("n_inter"),
+          count(lit(1)).cast("long").as("n_union"))
+        .withColumn("j_exact_ppm",
+          expr("CAST(n_inter * 1000000 div n_union AS BIGINT)"))
+      exact.crossJoin(broadcast(est))
+        .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+          col("j_exact_ppm"),
+          (abs(col("est_ppm") - col("j_exact_ppm")) <= 100000L)
+            .as("est_within_10pct"))
+    },
+
     // HistStore compaction — the lifecycle parity the other two stores
     // already gate (AggStore q158, SketchStore q159): bin-count partials
     // are associative integers, so rewriting each day's append-accumulated
@@ -1636,6 +1672,22 @@ object DataQueries {
           FROM c$i)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q271_kmv_store" ->
+      """WITH m AS (
+           SELECT user_id,
+                  max(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                      THEN 1 ELSE 0 END) AS a,
+                  max(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                      THEN 1 ELSE 0 END) AS b
+           FROM events GROUP BY user_id)
+         SELECT CAST(sum(a) AS BIGINT) AS n_a,
+                CAST(sum(b) AS BIGINT) AS n_b,
+                CAST(sum(a * b) AS BIGINT) AS n_inter,
+                CAST(count(*) AS BIGINT) AS n_union,
+                CAST(sum(a * b) * 1000000 // count(*) AS BIGINT)
+                  AS j_exact_ppm,
+                TRUE AS est_within_10pct
+         FROM m""",
     "q267_kmv_set_ops" ->
       """WITH m AS (
            SELECT user_id,
