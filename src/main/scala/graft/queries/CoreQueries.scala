@@ -244,6 +244,70 @@ object CoreQueries {
     // Subtotal rows are labeled '<all>' via grouping() — NOT a bare
     // coalesce, which would conflate a subtotal with a genuine NULL data
     // stratum (those render '<null>')
+    // ONE-PASS CORRELATION MATRIX — all pairwise Pearson coefficients of k
+    // numeric columns from a SINGLE aggregation (k + k(k+1)/2 sums), never
+    // k² scans: the feature-screening step before any model fit. Values
+    // are integer-scaled first (cents / ppm units) so every moment is an
+    // exact DECIMAL integer both engines reproduce; the k² output rows are
+    // one closing double each. Lineitem quantity/price/discount
+    "q272_corr_matrix" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val li = t(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("x0"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("x1"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("x2"))
+      val cols = Seq("x0", "x1", "x2")
+      val aggs = Seq(count(lit(1)).cast("long").as("n")) ++
+        cols.map(c => sum(col(c).cast(d38)).cast(d38).as(s"s_$c")) ++
+        (for (i <- cols.indices; j <- i until cols.size) yield
+          sum(col(cols(i)).cast(d38) * col(cols(j))).cast(d38)
+            .as(s"p_${cols(i)}_${cols(j)}"))
+      val m = li.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      def corr(a: String, b: String) = {
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        ((col("n").cast(d38) * col(s"p_${lo}_$hi") -
+          col(s"s_$a").cast(d38) * col(s"s_$b")).cast("double") /
+         sqrt((col("n").cast(d38) * col(s"p_${a}_$a") -
+               col(s"s_$a").cast(d38) * col(s"s_$a")).cast("double") *
+              (col("n").cast(d38) * col(s"p_${b}_$b") -
+               col(s"s_$b").cast(d38) * col(s"s_$b")).cast("double")))
+      }
+      val pairs = for (i <- cols.indices; j <- i + 1 until cols.size)
+        yield (cols(i), cols(j))
+      pairs.map { case (a, b) =>
+        m.select(lit(a).as("col_a"), lit(b).as("col_b"),
+          col("n"), corr(a, b).as("pearson"))
+      }.reduce(_.unionByName(_))
+    },
+
+    // GROUP-WISE OLS — per-group slope/intercept in closed form from the
+    // same exact integer moments (the parametric companion of q192's
+    // Theil–Sen): does value trend with hour-of-day per event type. One
+    // hash agg; two closing doubles per group
+    "q273_group_ols" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          hour(col("ts")).cast("long").as("x"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("y"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x").cast(d38)).cast(d38).as("sx"),
+          sum(col("y").cast(d38)).cast(d38).as("sy"),
+          sum(col("x").cast(d38) * col("x")).cast(d38).as("sxx"),
+          sum(col("x").cast(d38) * col("y")).cast(d38).as("sxy"))
+        .select(col("event_type"), col("n"),
+          ((col("n").cast(d38) * col("sxy") -
+            col("sx").cast(d38) * col("sy")).cast("double") /
+           (col("n").cast(d38) * col("sxx") -
+            col("sx").cast(d38) * col("sx")).cast("double")).as("slope_u"),
+          ((col("sy").cast(d38) * col("sxx") -
+            col("sx").cast(d38) * col("sxy")).cast("double") /
+           (col("n").cast(d38) * col("sxx") -
+            col("sx").cast(d38) * col("sx")).cast("double"))
+            .as("intercept_u"))
+    },
+
     // ROLLING-ORIGIN FORECAST BACKTEST — the ML-ops gate for a forecasting
     // job: score the seasonal-naive forecast (value 7 days earlier, the
     // baseline every real model must beat) against actuals across every
@@ -2869,6 +2933,60 @@ object CoreQueries {
                               CAST(cumb AS HUGEINT) * na)) * 1000000) //
                      (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS d_ppm
          FROM c""",
+    "q272_corr_matrix" ->
+      """WITH li AS (
+           SELECT CAST(l_quantity AS BIGINT) AS x0,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS x1,
+                  CAST(round(l_discount * 100) AS BIGINT) AS x2
+           FROM lineitem),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(x0 AS HUGEINT)) AS HUGEINT) AS s_x0,
+                  CAST(sum(CAST(x1 AS HUGEINT)) AS HUGEINT) AS s_x1,
+                  CAST(sum(CAST(x2 AS HUGEINT)) AS HUGEINT) AS s_x2,
+                  CAST(sum(CAST(x0 AS HUGEINT) * x0) AS HUGEINT) AS p00,
+                  CAST(sum(CAST(x0 AS HUGEINT) * x1) AS HUGEINT) AS p01,
+                  CAST(sum(CAST(x0 AS HUGEINT) * x2) AS HUGEINT) AS p02,
+                  CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS p11,
+                  CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS p12,
+                  CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS p22
+           FROM li)
+         SELECT 'x0' AS col_a, 'x1' AS col_b, n,
+                CAST(n * p01 - s_x0 * s_x1 AS DOUBLE) /
+                sqrt(CAST(n * p00 - s_x0 * s_x0 AS DOUBLE) *
+                     CAST(n * p11 - s_x1 * s_x1 AS DOUBLE)) AS pearson
+         FROM m
+         UNION ALL
+         SELECT 'x0', 'x2', n,
+                CAST(n * p02 - s_x0 * s_x2 AS DOUBLE) /
+                sqrt(CAST(n * p00 - s_x0 * s_x0 AS DOUBLE) *
+                     CAST(n * p22 - s_x2 * s_x2 AS DOUBLE))
+         FROM m
+         UNION ALL
+         SELECT 'x1', 'x2', n,
+                CAST(n * p12 - s_x1 * s_x2 AS DOUBLE) /
+                sqrt(CAST(n * p11 - s_x1 * s_x1 AS DOUBLE) *
+                     CAST(n * p22 - s_x2 * s_x2 AS DOUBLE))
+         FROM m""",
+    "q273_group_ols" ->
+      """WITH ev AS (
+           SELECT event_type,
+                  CAST(extract(hour FROM ts) AS BIGINT) AS x,
+                  CAST(floor(value * 1000000) AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL),
+         m AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                  CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                  CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                  CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+           FROM ev GROUP BY event_type)
+         SELECT event_type, n,
+                CAST(n * sxy - sx * sy AS DOUBLE) /
+                CAST(n * sxx - sx * sx AS DOUBLE) AS slope_u,
+                CAST(sy * sxx - sx * sxy AS DOUBLE) /
+                CAST(n * sxx - sx * sx AS DOUBLE) AS intercept_u
+         FROM m""",
     "q270_forecast_backtest" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,
