@@ -25,26 +25,34 @@ import org.apache.spark.sql.functions._
 object HistStore {
 
   private def binned(df: DataFrame, dateCol: String, valueCol: String,
-                     lo: Double, width: Double, nBins: Int): DataFrame =
+                     lo: Double, width: Double, nBins: Int,
+                     groupCols: Seq[String] = Nil): DataFrame =
     df.filter(col(valueCol).isNotNull)
-      .groupBy(to_date(col(dateCol)).as("day"),
+      .groupBy((Seq(to_date(col(dateCol)).as("day")) ++
+        groupCols.map(col) :+
         least(greatest(floor((col(valueCol) - lo) / width), lit(0.0)),
-          lit((nBins - 1).toDouble)).cast("int").as("bin"))
+          lit((nBins - 1).toDouble)).cast("int").as("bin")): _*)
       .agg(count(lit(1)).cast("long").as("n"))
 
-  /** Build the store (overwrite) from an initial corpus. */
+  /** Build the store (overwrite) from an initial corpus. `groupCols` adds
+    * report dimensions ("p99 by endpoint by day"): per-day state grows to
+    * |groups|·|bins| rows — still kilobytes per day for real dimension
+    * cardinalities, and reports fold only their pruned slice.
+    */
   def writeDaily(df: DataFrame, dateCol: String, valueCol: String,
-                 path: String, lo: Double, width: Double, nBins: Int): Unit =
-    binned(df, dateCol, valueCol, lo, width, nBins)
+                 path: String, lo: Double, width: Double, nBins: Int,
+                 groupCols: Seq[String] = Nil): Unit =
+    binned(df, dateCol, valueCol, lo, width, nBins, groupCols)
       .write.partitionBy("day").mode("overwrite").parquet(path)
 
   /** Append a delta's days — one partial-agg scan of the DELTA only;
-    * duplicate (day, bin) rows fold in reports because counts are
+    * duplicate (day[, group], bin) rows fold in reports because counts are
     * associative.
     */
   def appendDaily(df: DataFrame, dateCol: String, valueCol: String,
-                  path: String, lo: Double, width: Double, nBins: Int): Unit =
-    binned(df, dateCol, valueCol, lo, width, nBins)
+                  path: String, lo: Double, width: Double, nBins: Int,
+                  groupCols: Seq[String] = Nil): Unit =
+    binned(df, dateCol, valueCol, lo, width, nBins, groupCols)
       .write.partitionBy("day").mode("append").parquet(path)
 
   /** Percentile report over [from, to]: for each requested percentile (in
@@ -83,5 +91,44 @@ object HistStore {
         (lit(lo) + col("bin") * width).as("bin_lo"),
         (lit(lo) + (col("bin") + 1) * width).as("bin_hi"),
         col("cum_n"), col("total_n"))
+  }
+
+  /** Grouped percentile report over a store written with `groupCols`
+    * ("p99 by endpoint, any date range"): same integer order-statistic
+    * arithmetic as [[reportPercentiles]], with the cumulative pass
+    * PARTITIONED by group — every window input is |groups|·|bins| rows
+    * folded from the pruned day partitions, never corpus-sized. Emits one
+    * row per (group, percentile).
+    */
+  def reportPercentilesGrouped(spark: SparkSession, path: String,
+                               from: String, to: String, pctPpm: Seq[Int],
+                               lo: Double, width: Double,
+                               groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(groupCols.nonEmpty,
+      "use reportPercentiles for the ungrouped store")
+    val g = groupCols.map(col)
+    val merged = spark.read.parquet(path)
+      .filter(col("day") >= lit(from).cast("date") &&
+        col("day") <= lit(to).cast("date"))
+      .groupBy((g :+ col("bin")): _*).agg(sum(col("n")).cast("long").as("n"))
+    val w = Window.partitionBy(g: _*).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(g: _*)
+    val cum = merged
+      .withColumn("cum_n", sum(col("n")).over(w).cast("long"))
+      .withColumn("total_n", sum(col("n")).over(wt).cast("long"))
+    val pcts = pctPpm.toDF("pct_ppm")
+    cum.crossJoin(broadcast(pcts))
+      .withColumn("target", expr(
+        "CAST((CAST(pct_ppm AS DECIMAL(38,0)) * total_n + 999999) div " +
+          "1000000 AS BIGINT)"))
+      .filter(col("cum_n") >= col("target") &&
+        col("cum_n") - col("n") < col("target"))
+      .select((g ++ Seq(col("pct_ppm"), col("bin"),
+        (lit(lo) + col("bin") * width).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * width).as("bin_hi"),
+        col("cum_n"), col("total_n"))): _*)
   }
 }

@@ -244,6 +244,67 @@ object CoreQueries {
     // Subtotal rows are labeled '<all>' via grouping() — NOT a bare
     // coalesce, which would conflate a subtotal with a genuine NULL data
     // stratum (those render '<null>')
+    // INTERVAL UNION COVERAGE — total covered time per key after merging
+    // overlapping intervals (the "how long was the user actually active"
+    // metric a naive sum(duration) double-counts): each event opens a
+    // 5-minute interval; islands form where a start exceeds the running
+    // max of prior ends (one partitioned window), then island extents
+    // aggregate. Exact integer seconds; same plan family as q84/q137 but
+    // the UNION-length semantics neither covers
+    "q275_interval_union" -> { (s, dir) =>
+      val span = 300L
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          unix_micros(col("ts")).as("st"))
+        .withColumn("st", expr("st div 1000000"))
+        .withColumn("en", col("st") + span)
+      // event_id tiebreak: a deterministic total row order keeps every
+      // windowed intermediate identical between engines even on equal
+      // (st, en) rows
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("st"), col("en"), col("event_id"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val islands = ev
+        .withColumn("prev_max_en", max("en").over(wPrev))
+        .withColumn("new_island",
+          when(col("prev_max_en").isNull ||
+            col("st") > col("prev_max_en"), 1L).otherwise(0L))
+        .withColumn("island", sum("new_island").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      islands.groupBy("user_id", "island")
+        .agg(min("st").as("i_st"), max("en").as("i_en"),
+          count(lit(1)).cast("long").as("i_n"))
+        .groupBy("user_id")
+        .agg(sum("i_n").cast("long").as("n_events"),
+          count(lit(1)).cast("long").as("n_islands"),
+          sum(col("i_en") - col("i_st")).cast("long").as("covered_sec"))
+    },
+
+    // TEXT HYGIENE SCREEN — the encoding-damage gate a C4/CCNet-style
+    // cleaning pipeline runs before tokenization: control characters and
+    // U+FFFD replacement chars (the mojibake fingerprint) flagged per
+    // source. The fixture corpus is clean, so damage is injected
+    // deterministically by doc id (q229's corrupt-fixture recipe) — both
+    // engines build and screen the identical corrupted column
+    "q276_text_hygiene" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("text"))
+        .withColumn("t",
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit("\u0007")))
+            .when(col("doc_id") % 19 === 0,
+              concat(col("text"), lit("\uFFFD")))
+            .otherwise(col("text")))
+      docs.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("t").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), 1L)
+            .otherwise(0L)).cast("long").as("n_ctrl"),
+          sum(when(col("t").contains("\uFFFD"), 1L).otherwise(0L))
+            .cast("long").as("n_replacement"))
+        .withColumn("n_clean",
+          col("n_docs") - col("n_ctrl") - col("n_replacement"))
+    },
+
     // ONE-PASS CORRELATION MATRIX — all pairwise Pearson coefficients of k
     // numeric columns from a SINGLE aggregation (k + k(k+1)/2 sums), never
     // k² scans: the feature-screening step before any model fit. Values
@@ -2933,6 +2994,55 @@ object CoreQueries {
                               CAST(cumb AS HUGEINT) * na)) * 1000000) //
                      (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS d_ppm
          FROM c""",
+    "q275_interval_union" ->
+      """WITH ev AS (
+           SELECT user_id, event_id,
+                  epoch_us(ts) // 1000000 AS st,
+                  epoch_us(ts) // 1000000 + 300 AS en
+           FROM events),
+         w AS (
+           SELECT user_id, event_id, st, en,
+                  max(en) OVER (PARTITION BY user_id
+                    ORDER BY st, en, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pme
+           FROM ev),
+         i AS (
+           SELECT user_id, st, en,
+                  CAST(sum(CASE WHEN pme IS NULL OR st > pme
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY st, en, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+           FROM w),
+         g AS (
+           SELECT user_id, island, min(st) AS i_st, max(en) AS i_en,
+                  CAST(count(*) AS BIGINT) AS i_n
+           FROM i GROUP BY 1, 2)
+         SELECT user_id,
+                CAST(sum(i_n) AS BIGINT) AS n_events,
+                CAST(count(*) AS BIGINT) AS n_islands,
+                CAST(sum(i_en - i_st) AS BIGINT) AS covered_sec
+         FROM g GROUP BY user_id""",
+    "q276_text_hygiene" ->
+      """WITH d AS (
+           SELECT source,
+                  CASE WHEN doc_id % 17 = 0 THEN text || chr(7)
+                       WHEN doc_id % 19 = 0 THEN text || chr(65533)
+                       ELSE text END AS t
+           FROM documents)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN regexp_matches(t,
+                     '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_ctrl,
+                CAST(sum(CASE WHEN contains(t, chr(65533))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement,
+                CAST(count(*)
+                     - sum(CASE WHEN regexp_matches(t,
+                         '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END)
+                     - sum(CASE WHEN contains(t, chr(65533))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+         FROM d GROUP BY source""",
     "q272_corr_matrix" ->
       """WITH li AS (
            SELECT CAST(l_quantity AS BIGINT) AS x0,

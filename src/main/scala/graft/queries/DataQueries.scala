@@ -535,6 +535,29 @@ object DataQueries {
             .as("est_within_10pct"))
     },
 
+    // GROUPED HISTSTORE — "p95/p99 by event type, any date range": the
+    // store carries a group dimension, per-day state is |groups|·|bins|
+    // integer rows, and the report's cumulative pass is PARTITIONED by
+    // group (never a global window). Same write+append mergeability and
+    // integer order-statistic arithmetic as q161
+    "q274_hist_store_grouped" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
+        col("value"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q274_" +
+        s.sparkContext.applicationId + "_" + java.util.UUID.randomUUID()
+      val cut = lit("2024-01-20").cast("date")
+      graft.data.HistStore.writeDaily(ev.filter(to_date(col("ts")) <= cut),
+        "ts", "value", path, lo = 0.0, width = 25.0, nBins = 20,
+        groupCols = Seq("event_type"))
+      graft.data.HistStore.appendDaily(ev.filter(to_date(col("ts")) > cut),
+        "ts", "value", path, lo = 0.0, width = 25.0, nBins = 20,
+        groupCols = Seq("event_type"))
+      graft.data.HistStore.reportPercentilesGrouped(s, path,
+        from = "2024-01-05", to = "2024-01-25",
+        pctPpm = Seq(500000, 950000, 990000), lo = 0.0, width = 25.0,
+        groupCols = Seq("event_type"))
+    },
+
     // KMV DAILY STORE — q267's synopsis made a mergeable range store (the
     // set-op member of the store family): per-day (day, h) partitions, ≤ k
     // rows each; "how much did this half of the month's user set overlap
@@ -1672,6 +1695,33 @@ object DataQueries {
           FROM c$i)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q274_hist_store_grouped" ->
+      """WITH ev AS (
+           SELECT event_type,
+                  CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT)
+                  AS bin
+           FROM events
+           WHERE value IS NOT NULL
+             AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05'
+                                      AND DATE '2024-01-25'),
+         b AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+               FROM ev GROUP BY 1, 2),
+         c AS (SELECT event_type, bin, n,
+                      CAST(sum(n) OVER (PARTITION BY event_type
+                           ORDER BY bin) AS BIGINT) AS cum_n,
+                      CAST(sum(n) OVER (PARTITION BY event_type)
+                           AS BIGINT) AS total_n
+               FROM b),
+         p AS (SELECT unnest([500000, 950000, 990000]) AS pct_ppm)
+         SELECT c.event_type, p.pct_ppm, c.bin,
+                CAST(c.bin * 25.0 AS DOUBLE) AS bin_lo,
+                CAST((c.bin + 1) * 25.0 AS DOUBLE) AS bin_hi,
+                c.cum_n, c.total_n
+         FROM c, p
+         WHERE c.cum_n >= (CAST(p.pct_ppm AS HUGEINT) * c.total_n + 999999)
+                          // 1000000
+           AND c.cum_n - c.n < (CAST(p.pct_ppm AS HUGEINT) * c.total_n
+                                + 999999) // 1000000""",
     "q271_kmv_store" ->
       """WITH m AS (
            SELECT user_id,
