@@ -49,6 +49,35 @@ object RankStats {
                  div (CAST(n_a AS $D38) * n_b) AS BIGINT)""").as("d_ppm"))
   }
 
+  /** Grouped KS — one statistic PER GROUP from counts `(groupCols...,
+    * domainCol, ca, cb)`: the cumulative pass is PARTITIONED by group (a
+    * segment-drift report never serializes all segments through one
+    * task). Emits one row per group.
+    */
+  def ksFromCountsGrouped(counts: DataFrame, domainCol: String,
+                          groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "use ksFromCounts for the ungrouped form")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(domainCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(g: _*)
+    counts
+      .withColumn("cuma", sum("ca").over(w).cast("long"))
+      .withColumn("cumb", sum("cb").over(w).cast("long"))
+      .withColumn("na", sum("ca").over(tot).cast("long"))
+      .withColumn("nb", sum("cb").over(tot).cast("long"))
+      .groupBy(g: _*)
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        max(abs(col("cuma").cast(D38) * col("nb") -
+                col("cumb").cast(D38) * col("na"))).cast(D38).as("__d"))
+      .select((g ++ Seq(col("n_a"), col("n_b"),
+        col("__d").cast("long").as("d_num"),
+        expr(s"""CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 (CAST(__d AS $D38) * 1000000)
+                 div (CAST(n_a AS $D38) * n_b) ELSE NULL END AS BIGINT)""")
+          .as("d_ppm"))): _*)
+  }
+
   /** Exact two-sample Mann–Whitney U from per-domain-value counts
     * `(domainCol, ca, cb)`: doubled tie-averaged ranks (2·avg_rank =
     * 2·cum_before + tie_count + 1) keep U integral with full tie

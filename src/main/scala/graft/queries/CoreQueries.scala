@@ -244,6 +244,51 @@ object CoreQueries {
     // Subtotal rows are labeled '<all>' via grouping() — NOT a bare
     // coalesce, which would conflate a subtotal with a genuine NULL data
     // stratum (those render '<null>')
+    // TOP-K CHURN — leaderboard stability week over week ("who entered /
+    // left the top-20"): deterministic weekly top-20 by (count desc, id),
+    // consecutive weeks full-outer-joined on membership, entry/exit/stay
+    // counts per transition. The ranking-DIFF analytics none of the
+    // static top-k queries cover; one shuffle for the weekly counts, then
+    // everything is k-sized
+    "q278_topk_churn" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("wk", expr(
+          "datediff(to_date(ts), DATE '2024-01-01') div 7"))
+        .filter(col("wk").between(0, 3))
+      val cnt = ev.groupBy("wk", "user_id")
+        .agg(count(lit(1)).cast("long").as("n"))
+      val w = Window.partitionBy("wk")
+        .orderBy(col("n").desc, col("user_id"))
+      val top = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("wk"), col("user_id")).localCheckpoint()
+      (0L to 2L).map { k =>
+        val a = top.filter(col("wk") === k).select("user_id")
+        val b = top.filter(col("wk") === k + 1).select("user_id")
+        val entries = b.exceptAll(a).count()
+        val exits = a.exceptAll(b).count()
+        val nB = b.count()
+        val sp = s
+        import sp.implicits._
+        Seq((k, nB, entries, exits, nB - entries))
+          .toDF("week_from", "n_top", "n_entries", "n_exits", "n_stayed")
+      }.reduce(_.unionByName(_))
+    },
+
+    // SEGMENT-WISE KS — drift per SEGMENT in one pass ("has the length
+    // distribution shifted per language"): the grouped rank-stat kernel
+    // runs the cumulative pass partitioned by lang, one statistic per
+    // group, never serializing all segments through one task. Samples:
+    // even- vs odd-numbered sources within each language
+    "q277_ks_by_segment" -> { (s, dir) =>
+      val isEven = expr("CAST(substring(source, 4) AS INT) % 2 = 0")
+      val counts = t(s, dir, "documents")
+        .groupBy(col("lang"), col("n_chars").as("v"))
+        .agg(sum(when(isEven, 1L).otherwise(0L)).cast("long").as("ca"),
+          sum(when(!isEven, 1L).otherwise(0L)).cast("long").as("cb"))
+      graft.data.RankStats.ksFromCountsGrouped(counts, "v", Seq("lang"))
+    },
+
     // INTERVAL UNION COVERAGE — total covered time per key after merging
     // overlapping intervals (the "how long was the user actually active"
     // metric a naive sum(duration) double-counts): each event opens a
@@ -2994,6 +3039,67 @@ object CoreQueries {
                               CAST(cumb AS HUGEINT) * na)) * 1000000) //
                      (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS d_ppm
          FROM c""",
+    "q278_topk_churn" ->
+      """WITH ev AS (
+           SELECT user_id,
+                  (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS wk
+           FROM events
+           WHERE (CAST(ts AS DATE) - DATE '2024-01-01') // 7 BETWEEN 0 AND 3),
+         cnt AS (
+           SELECT wk, user_id, CAST(count(*) AS BIGINT) AS n
+           FROM ev GROUP BY 1, 2),
+         top AS (
+           SELECT wk, user_id FROM (
+             SELECT wk, user_id,
+                    row_number() OVER (PARTITION BY wk
+                      ORDER BY n DESC, user_id) AS rn
+             FROM cnt) WHERE rn <= 20),
+         pairs AS (SELECT unnest([0, 1, 2]) AS week_from)
+         SELECT p.week_from,
+                (SELECT CAST(count(*) AS BIGINT) FROM top b
+                 WHERE b.wk = p.week_from + 1) AS n_top,
+                (SELECT CAST(count(*) AS BIGINT) FROM top b
+                 WHERE b.wk = p.week_from + 1
+                   AND b.user_id NOT IN (SELECT user_id FROM top a
+                                         WHERE a.wk = p.week_from))
+                  AS n_entries,
+                (SELECT CAST(count(*) AS BIGINT) FROM top a
+                 WHERE a.wk = p.week_from
+                   AND a.user_id NOT IN (SELECT user_id FROM top b
+                                         WHERE b.wk = p.week_from + 1))
+                  AS n_exits,
+                (SELECT CAST(count(*) AS BIGINT) FROM top b
+                 WHERE b.wk = p.week_from + 1
+                   AND b.user_id IN (SELECT user_id FROM top a
+                                     WHERE a.wk = p.week_from)) AS n_stayed
+         FROM pairs p""",
+    "q277_ks_by_segment" ->
+      """WITH dom AS (
+           SELECT lang, n_chars AS v,
+                  CAST(sum(CASE WHEN CAST(substring(source, 4) AS INT)
+                       % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN CAST(substring(source, 4) AS INT)
+                       % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           FROM documents GROUP BY 1, 2),
+         c AS (
+           SELECT lang,
+                  CAST(sum(ca) OVER (PARTITION BY lang ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+                  CAST(sum(cb) OVER (PARTITION BY lang ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb,
+                  CAST(sum(ca) OVER (PARTITION BY lang) AS BIGINT) AS na,
+                  CAST(sum(cb) OVER (PARTITION BY lang) AS BIGINT) AS nb
+           FROM dom)
+         SELECT lang, max(na) AS n_a, max(nb) AS n_b,
+                CAST(max(abs(CAST(cuma AS HUGEINT) * nb -
+                             CAST(cumb AS HUGEINT) * na)) AS BIGINT)
+                  AS d_num,
+                CAST(CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+                     (max(abs(CAST(cuma AS HUGEINT) * nb -
+                              CAST(cumb AS HUGEINT) * na)) * 1000000) //
+                     (CAST(max(na) AS HUGEINT) * max(nb)) END AS BIGINT)
+                  AS d_ppm
+         FROM c GROUP BY lang""",
     "q275_interval_union" ->
       """WITH ev AS (
            SELECT user_id, event_id,
