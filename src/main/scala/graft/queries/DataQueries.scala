@@ -40,6 +40,53 @@ object DataQueries {
         k = 5, threshold = 0.5, maxDocsPerShingle = 1000)
     },
 
+    // DEDUP THRESHOLD SWEEP — the operating curve that answers "where do I
+    // set the near-dup threshold": one pair-kernel pass at the LOWEST
+    // threshold of interest, then pair and affected-doc counts at each
+    // candidate threshold from the frozen pair set. Tuning reads this
+    // table instead of re-running the kernel per setting
+    "q279_dedup_threshold_sweep" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text",
+          "doc_id", k = 5, threshold = 0.3, maxDocsPerShingle = 1000)
+        .localCheckpoint()
+      Seq(0.9, 0.8, 0.7, 0.5, 0.3).map { thr =>
+        val p = pairs.filter(col("jaccard") >= thr)
+        val nP = p.count()
+        val nDocs = p.select(col("id_a").as("id"))
+          .unionByName(p.select(col("id_b").as("id"))).distinct().count()
+        Seq((math.round(thr * 1e6), nP, nDocs))
+          .toDF("thr_ppm", "n_pairs", "n_docs_involved")
+      }.reduce(_.unionByName(_))
+    },
+
+    // EMBEDDING HEALTH REPORT — the vector-column QA gate before any ANN
+    // build: per label, vector counts, zero vectors, NaN-poisoned vectors,
+    // and the integer-exact norm² distribution (components floored to 1e-6
+    // units, q187's discipline — every moment an exact integer both
+    // engines reproduce). One map-side pass + one hash agg
+    "q280_embedding_health" -> { (s, dir) =>
+      val norm2 = expr(
+        """aggregate(embedding, CAST(0 AS BIGINT),
+           (acc, x) -> acc +
+             CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) *
+             CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))""")
+      val hasNan = expr("exists(embedding, x -> isnan(CAST(x AS DOUBLE)))")
+      t(s, dir, "embeddings")
+        .select(col("label"), norm2.as("norm2_u"), hasNan.as("has_nan"))
+        .groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          sum(when(col("norm2_u") === 0L, 1L).otherwise(0L))
+            .cast("long").as("n_zero"),
+          sum(when(col("has_nan"), 1L).otherwise(0L))
+            .cast("long").as("n_with_nan"),
+          min("norm2_u").cast("long").as("min_norm2_u"),
+          max("norm2_u").cast("long").as("max_norm2_u"),
+          sum(col("norm2_u").cast("decimal(38,0)")).cast("long")
+            .as("sum_norm2_u"))
+    },
+
     // all-pairs sparse cosine over counted word-3-shingle vectors via the
     // distributed inverted-index self-join (neither side broadcast — the
     // beyond-J1 regime). Integer dot/norms make every score replayable;
@@ -1851,6 +1898,44 @@ object DataQueries {
     "q40_ngram_jaccard_pairs" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
        " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
+    "q279_dedup_threshold_sweep" ->
+      (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.3) +
+       """, thr AS (
+            SELECT unnest([900000, 800000, 700000, 500000, 300000])
+              AS thr_ppm)
+          SELECT t.thr_ppm,
+                 (SELECT CAST(count(*) AS BIGINT) FROM pairs p
+                  WHERE p.jaccard >= t.thr_ppm / 1000000.0) AS n_pairs,
+                 (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM (
+                    SELECT id_a AS id FROM pairs
+                    WHERE jaccard >= t.thr_ppm / 1000000.0
+                    UNION ALL
+                    SELECT id_b FROM pairs
+                    WHERE jaccard >= t.thr_ppm / 1000000.0))
+                   AS n_docs_involved
+          FROM thr t"""),
+    "q280_embedding_health" ->
+      """WITH c AS (
+           SELECT vec_id, label, CAST(t.i AS INT) AS i,
+                  CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000000)
+                       AS BIGINT) AS u,
+                  isnan(CAST(embedding[t.i + 1] AS DOUBLE)) AS bad
+           FROM embeddings, range(64) t(i)),
+         v AS (
+           SELECT vec_id, label,
+                  CAST(sum(u * u) AS BIGINT) AS norm2_u,
+                  max(CASE WHEN bad THEN 1 ELSE 0 END) AS has_nan
+           FROM c GROUP BY 1, 2)
+         SELECT label,
+                CAST(count(*) AS BIGINT) AS n_vecs,
+                CAST(sum(CASE WHEN norm2_u = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_zero,
+                CAST(sum(has_nan) AS BIGINT) AS n_with_nan,
+                CAST(min(norm2_u) AS BIGINT) AS min_norm2_u,
+                CAST(max(norm2_u) AS BIGINT) AS max_norm2_u,
+                CAST(sum(CAST(norm2_u AS HUGEINT)) AS BIGINT)
+                  AS sum_norm2_u
+         FROM v GROUP BY label""",
     "q173_source_neardup_matrix" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
        """ SELECT least(da.source, db.source) AS source_a,
