@@ -247,8 +247,42 @@ object Dedup {
   /** Shared tail of the jaccard pair kernels: (id, shingle-hash set) →
     * thresholded pairs via the capped inverted-index self-join.
     */
+  /** Within-corpus CONTAINMENT pairs — the asymmetric near-dup relation
+    * jaccard misses: a short document quoted wholesale inside a long one
+    * has tiny jaccard but containment ≈ 1. Same inverted-index kernel and
+    * hot-shingle cap as [[ngramJaccardPairs]]; the score is
+    * n_common / min(|A|, |B|) — "how much of the SMALLER side is shared".
+    * Emits (id_a, id_b, n_common, n_small, containment).
+    */
+  def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+                            k: Int = 5, threshold: Double = 0.9,
+                            maxDocsPerShingle: Int = 1000): DataFrame = {
+    import graft.functions.ShingleExprs.wordShingleHashes
+    pairCounts(
+      df.select(col(idCol).as("id"),
+        wordShingleHashes(col(textCol), k).as("hs")), maxDocsPerShingle)
+      .withColumn("n_small", least(col("n_a"), col("n_b")).cast("long"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_small").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_common", "n_small", "containment")
+  }
+
   private def pairsFromShingleSets(hs: DataFrame, threshold: Double,
-                                   maxDocsPerShingle: Int): DataFrame = {
+                                   maxDocsPerShingle: Int): DataFrame =
+    pairCounts(hs, maxDocsPerShingle)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+
+  /** Shared pair kernel: (id, shingle set) → co-occurrence counts
+    * (id_a < id_b, n_common, n_a, n_b) via the capped inverted-index
+    * self-join — jaccard and containment are projections over this.
+    */
+  private def pairCounts(hs: DataFrame,
+                         maxDocsPerShingle: Int): DataFrame = {
     import graft.functions.ShingleExprs.longSetExcept
     val eff =
       if (maxDocsPerShingle > 0) {
@@ -289,11 +323,6 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"),
            max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "n_common", "jaccard")
   }
 
   /** MinHash + LSH banding near-duplicate candidates.

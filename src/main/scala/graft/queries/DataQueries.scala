@@ -40,6 +40,16 @@ object DataQueries {
         k = 5, threshold = 0.5, maxDocsPerShingle = 1000)
     },
 
+    // CONTAINMENT PAIRS — the ASYMMETRIC near-dup relation jaccard misses:
+    // a short document quoted wholesale inside a long one has tiny jaccard
+    // but containment ≈ 1 (n_common / min set size). Same inverted-index
+    // kernel and hot cap as q40; the pile/C4 quote-dedup relation, full
+    // relational oracle
+    "q281_containment_pairs" -> { (s, dir) =>
+      Dedup.ngramContainmentPairs(t(s, dir, "documents"), "text", "doc_id",
+        k = 5, threshold = 0.8, maxDocsPerShingle = 1000)
+    },
+
     // DEDUP THRESHOLD SWEEP — the operating curve that answers "where do I
     // set the near-dup threshold": one pair-kernel pass at the LOWEST
     // threshold of interest, then pair and affected-doc counts at each
@@ -1898,6 +1908,34 @@ object DataQueries {
     "q40_ngram_jaccard_pairs" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
        " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
+    "q281_containment_pairs" ->
+      """WITH words AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(ws) >= 5
+                  THEN [array_to_string(ws[i:i+4], ' ')
+                        for i in range(1, len(ws) - 3)]
+                  ELSE [array_to_string(ws, ' ')] END)) AS s
+           FROM words),
+         eff AS (SELECT doc_id, s FROM sh
+                 WHERE s NOT IN (SELECT s FROM sh GROUP BY s
+                                 HAVING count(*) > 1000)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM eff GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM eff a JOIN eff b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+                CAST(least(sa.n_sh, sb.n_sh) AS BIGINT) AS n_small,
+                CAST(n_common AS DOUBLE) /
+                  CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+         FROM common
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(n_common AS DOUBLE) /
+               CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.8""",
     "q279_dedup_threshold_sweep" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.3) +
        """, thr AS (
