@@ -244,6 +244,83 @@ object CoreQueries {
     // Subtotal rows are labeled '<all>' via grouping() — NOT a bare
     // coalesce, which would conflate a subtotal with a genuine NULL data
     // stratum (those render '<null>')
+    // CUPED VARIANCE REDUCTION — the experimentation upgrade every mature
+    // A/B platform runs (Deng et al., WSDM 2013): adjust each user's
+    // post-period metric by their PRE-period covariate, ŷ = y − θ(x − x̄),
+    // with θ = cov(x,y)/var(x) pooled. Shrinks variance by ρ² without
+    // biasing the treatment contrast. All moments exact DECIMAL integers
+    // (micro-units), θ/ρ²/means are exact-then-cast doubles with an
+    // identical op sequence on both engines; arms by q198's md5 hash
+    "q283_cuped" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val cut = lit("2024-01-15").cast("date")
+      val per = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") <= cut, col("v")).otherwise(0L))
+            .cast("long").as("x"),
+          sum(when(col("day") > cut, col("v")).otherwise(0L))
+            .cast("long").as("y"))
+        .withColumn("arm", expr(
+          """CAST(conv(substring(md5(CAST(concat('arm|',
+             CAST(user_id AS STRING)) AS BINARY)), 1, 12), 16, 10)
+             AS BIGINT) % 2"""))
+      val mom = per.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x").cast(d38)).cast(d38).as("sx"),
+        sum(col("y").cast(d38)).cast(d38).as("sy"),
+        sum(col("x").cast(d38) * col("x")).cast(d38).as("sxx"),
+        sum(col("x").cast(d38) * col("y")).cast(d38).as("sxy"),
+        sum(col("y").cast(d38) * col("y")).cast(d38).as("syy"))
+      val num = (col("n").cast(d38) * col("sxy") -
+        col("sx").cast(d38) * col("sy")).cast("double")
+      val denx = (col("n").cast(d38) * col("sxx") -
+        col("sx").cast(d38) * col("sx")).cast("double")
+      val deny = (col("n").cast(d38) * col("syy") -
+        col("sy").cast(d38) * col("sy")).cast("double")
+      per.groupBy("arm")
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum(col("x").cast(d38)).cast(d38).as("sxa"),
+          sum(col("y").cast(d38)).cast(d38).as("sya"))
+        .crossJoin(broadcast(mom))
+        .select(col("arm"), col("n_users"),
+          (col("sya").cast("double") / col("n_users").cast("double"))
+            .as("mean_y_u"),
+          ((col("sya").cast("double") / col("n_users").cast("double")) -
+            (num / denx) *
+            ((col("sxa").cast("double") / col("n_users").cast("double")) -
+             (col("sx").cast("double") / col("n").cast("double"))))
+            .as("mean_y_cuped_u"),
+          (num / denx).as("theta"),
+          (num * num / (denx * deny)).as("rho2"))
+    },
+
+    // SCD2 DIMENSION LOOKUP — the warehouse join q137 builds intervals
+    // for: each fact row takes the dimension version VALID AT ITS TIME.
+    // The lookup IS a backward as-of join on version start (no range join,
+    // q83's 1-shuffle/1-sort plan) — intervals partition time, so latest
+    // valid_from ≤ fact_ts is exactly the containing version. Same-instant
+    // state flaps collapse to the last writer per (user, ts) first
+    // (arg_max), keeping the version table deterministic. Oracle replays
+    // with an explicit [valid_from, valid_to) range join
+    "q282_scd2_lookup" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val perTs = ev.groupBy("user_id", "ts_us")
+        .agg(max_by(col("event_type"), col("event_id")).as("state"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+      val versions = perTs
+        .withColumn("__prev", lag("state", 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col("state"))
+        .select(col("user_id"), col("ts_us").as("valid_from"), col("state"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      graft.operators.AsofJoin.backward(facts, versions,
+          keys = Seq("user_id"), leftTs = "ts_us", rightTs = "valid_from",
+          payload = Seq("state"), suffix = "_dim")
+        .select("user_id", "event_id", "ts_us", "state_dim")
+    },
+
     // TOP-K CHURN — leaderboard stability week over week ("who entered /
     // left the top-20"): deterministic weekly top-20 by (count desc, id),
     // consecutive weeks full-outer-joined on membership, entry/exit/stay
@@ -3039,6 +3116,71 @@ object CoreQueries {
                               CAST(cumb AS HUGEINT) * na)) * 1000000) //
                      (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS d_ppm
          FROM c""",
+    "q283_cuped" ->
+      """WITH per AS (
+           SELECT user_id,
+                  CAST(sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                       THEN CAST(floor(value * 1000000) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+                  CAST(sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                       THEN CAST(floor(value * 1000000) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y,
+                  CAST(concat('0x', substr(md5(concat('arm|',
+                       CAST(user_id AS VARCHAR))), 1, 12)) AS UBIGINT) % 2
+                    AS arm
+           FROM events WHERE value IS NOT NULL
+           GROUP BY user_id),
+         mom AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                  CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                  CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                  CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                  CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+           FROM per),
+         arms AS (
+           SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                  CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sxa,
+                  CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sya
+           FROM per GROUP BY arm)
+         SELECT CAST(a.arm AS BIGINT) AS arm, a.n_users,
+                CAST(a.sya AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+                  AS mean_y_u,
+                (CAST(a.sya AS DOUBLE) / CAST(a.n_users AS DOUBLE)) -
+                (CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) /
+                 CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)) *
+                ((CAST(a.sxa AS DOUBLE) / CAST(a.n_users AS DOUBLE)) -
+                 (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)))
+                  AS mean_y_cuped_u,
+                CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) /
+                CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) AS theta,
+                CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) *
+                CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) /
+                (CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) *
+                 CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE)) AS rho2
+         FROM arms a, mom m""",
+    "q282_scd2_lookup" ->
+      """WITH pt AS (
+           SELECT user_id, epoch_us(ts) AS ts_us,
+                  arg_max(event_type, event_id) AS state
+           FROM events GROUP BY 1, 2),
+         ch AS (
+           SELECT user_id, ts_us, state,
+                  lag(state) OVER (PARTITION BY user_id ORDER BY ts_us)
+                    AS prev
+           FROM pt),
+         iv AS (
+           SELECT user_id, ts_us AS valid_from, state,
+                  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                    AS valid_to
+           FROM ch WHERE prev IS NULL OR prev <> state),
+         f AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase')
+         SELECT f.user_id, f.event_id, f.ts_us, iv.state AS state_dim
+         FROM f LEFT JOIN iv
+           ON iv.user_id = f.user_id AND iv.valid_from <= f.ts_us
+          AND (iv.valid_to IS NULL OR f.ts_us < iv.valid_to)""",
     "q278_topk_churn" ->
       """WITH ev AS (
            SELECT user_id,
