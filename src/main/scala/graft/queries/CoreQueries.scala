@@ -244,6 +244,29 @@ object CoreQueries {
     // Subtotal rows are labeled '<all>' via grouping() — NOT a bare
     // coalesce, which would conflate a subtotal with a genuine NULL data
     // stratum (those render '<null>')
+    // METRIC PARITY AUDIT — the fairness-style segment report an ML-ops
+    // gate reads before shipping a model or metric change: each segment's
+    // rate vs the global rate as exact integer ppm gaps (never "roughly
+    // equal" doubles). Segments here are deterministic user cohorts; the
+    // shape generalizes to any protected attribute column
+    "q284_metric_parity" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select((col("user_id") % 5).cast("long").as("cohort"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("is_p"))
+      val glob = ev.agg(
+        expr("CAST(sum(is_p) * 1000000 div count(1) AS BIGINT)")
+          .as("global_rate_ppm"))
+      ev.groupBy("cohort")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum("is_p").cast("long").as("n_purchases"))
+        .withColumn("rate_ppm",
+          expr("CAST(n_purchases * 1000000 div n_events AS BIGINT)"))
+        .crossJoin(broadcast(glob))
+        .withColumn("gap_ppm",
+          abs(col("rate_ppm") - col("global_rate_ppm")))
+    },
+
     // CUPED VARIANCE REDUCTION — the experimentation upgrade every mature
     // A/B platform runs (Deng et al., WSDM 2013): adjust each user's
     // post-period metric by their PRE-period covariate, ŷ = y − θ(x − x̄),
@@ -3116,6 +3139,25 @@ object CoreQueries {
                               CAST(cumb AS HUGEINT) * na)) * 1000000) //
                      (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS d_ppm
          FROM c""",
+    "q284_metric_parity" ->
+      """WITH ev AS (
+           SELECT user_id % 5 AS cohort,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS is_p
+           FROM events),
+         g AS (SELECT CAST(sum(is_p) * 1000000 // count(*) AS BIGINT)
+                 AS global_rate_ppm
+               FROM ev),
+         c AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_events,
+                      CAST(sum(is_p) AS BIGINT) AS n_purchases
+               FROM ev GROUP BY cohort)
+         SELECT c.cohort, c.n_events, c.n_purchases,
+                CAST(c.n_purchases * 1000000 // c.n_events AS BIGINT)
+                  AS rate_ppm,
+                g.global_rate_ppm,
+                abs(CAST(c.n_purchases * 1000000 // c.n_events AS BIGINT)
+                    - g.global_rate_ppm) AS gap_ppm
+         FROM c, g""",
     "q283_cuped" ->
       """WITH per AS (
            SELECT user_id,

@@ -373,6 +373,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan) { case _: HashAggregateExec => } >= 2, s"$plan")
   }
 
+  test("fuzzy join: no cartesian anywhere; verify runs the BANDED kernel") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val pdocs = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey").as("id"), col("p_name"))
+    val plan = staticPlan(graft.operators.FuzzyJoin
+      .editDistanceSelfJoin(pdocs, "id", "p_name", maxDist = 2))
+    assert(count(plan) { case _: CartesianProductExec => } == 0,
+      s"candidate generation must stay an equi-join on prefix grams:\n$plan")
+    // the exact verify must be the thresholded (banded O(k·n)) kernel,
+    // not the full-DP levenshtein
+    val banded = plan.toString.contains("levenshtein")
+    assert(banded, s"verify step missing:\n$plan")
+    assert(plan.toString.contains("Some(2)"),
+      s"verify must carry the threshold argument:\n$plan")
+  }
+
+  test("containment pairs: same two-shuffle kernel as jaccard, no window") {
+    val pdocs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = staticPlan(Dedup.ngramContainmentPairs(
+      pdocs, "text", "doc_id", k = 3, threshold = 0.5))
+    assert(count(plan) { case _: ShuffleExchangeExec => } == 2,
+      s"posting + pair-agg shuffles only:\n$plan")
+    assert(count(plan) { case _: WindowExec => } == 0)
+  }
+
   test("kendall grid: both prefix windows PARTITIONED (no global window)") {
     // the q248 shape — on the Dx×Dy grid, M partitions by y, G_lt/G_gt by
     // x; a global (unpartitioned) window over the grid would serialize the
