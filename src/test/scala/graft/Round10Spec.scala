@@ -81,6 +81,34 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("ORC round-trip: TIMESTAMP_NTZ is byte-stable under a non-UTC JVM zone") {
+    val s = spark
+    import s.implicits._
+    val prevTz = java.util.TimeZone.getDefault
+    // a zone with DST transitions — the q231 driver-only hash miss's root
+    // cause: classic ORC TIMESTAMP round-trips through the JVM-default
+    // zone, and wall-clocks in a DST gap shift by an hour on read-back
+    java.util.TimeZone.setDefault(
+      java.util.TimeZone.getTimeZone("America/New_York"))
+    try {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_t_orc_dst_" +
+        s.sparkContext.applicationId
+      // 2024-03-10 02:30 UTC-naive falls inside New York's spring-forward
+      // gap; 2024-11-03 01:30 falls in the fall-back overlap
+      val ts = Seq("2024-03-10 02:30:00", "2024-11-03 01:30:00",
+        "2024-06-01 12:00:00")
+      val df = ts.toDF("t")
+        .select(col("t"), to_timestamp_ntz(col("t")).as("ts"))
+      df.write.mode("overwrite").orc(path)
+      val back = s.read.orc(path)
+        .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("rt"),
+          col("t")).as[(String, String)].collect().toMap
+      ts.foreach { v =>
+        assert(back(v) === v, s"NTZ ORC round-trip shifted $v -> ${back(v)}")
+      }
+    } finally java.util.TimeZone.setDefault(prevTz)
+  }
+
   test("RangeShard.assign: NULLs land in the dedicated -1 shard, not shard 0") {
     val s = spark
     import s.implicits._
