@@ -302,6 +302,44 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("ClusterEval: textbook hand values — P/R/F1 ppm and ARI") {
+    val s = spark
+    import s.implicits._
+    // clusters {1,2,3},{4,5}; gold {1,2},{3,4,5}
+    // TP = C(2,2)-pairs inside both: cells (c1,g1)=2 -> 1 pair,
+    // (c1,g2)=1 -> 0, (c2,g2)=2 -> 1 pair => TP = 2
+    // pred pairs = C(3,2)+C(2,2) = 4; gold pairs = C(2,2)+C(3,2) = 4
+    // precision = recall = 2/4 = 0.5; F1 = 0.5; n2 = C(5,2) = 10
+    // ARI = (10*2 - 4*4) / (10*(4+4)/2 - 4*4) = 4/24 = 1/6
+    val df = Seq((1L, "c1", "g1"), (2L, "c1", "g1"), (3L, "c1", "g2"),
+      (4L, "c2", "g2"), (5L, "c2", "g2")).toDF("id", "pred", "gold")
+    val r = graft.ml.ClusterEval.pairwiseReport(df, "pred", "gold")
+      .collect().head
+    assert(r.getAs[Long]("tp_pairs") === 2L)
+    assert(r.getAs[Long]("pred_pairs") === 4L)
+    assert(r.getAs[Long]("gold_pairs") === 4L)
+    assert(r.getAs[Long]("precision_ppm") === 500000L)
+    assert(r.getAs[Long]("recall_ppm") === 500000L)
+    assert(r.getAs[Long]("f1_ppm") === 500000L)
+    assert(math.abs(r.getAs[Double]("ari") - 1.0 / 6.0) < 1e-12)
+  }
+
+  test("RankStats grouped KS: hand values per group, groups independent") {
+    val s = spark
+    import s.implicits._
+    // group g1: A = {1,2}, B = {3,4} (disjoint) -> D = 1 (1e6 ppm)
+    // group g2: A = {1,2}, B = {1,2} (identical) -> D = 0
+    val counts = Seq(
+      ("g1", 1L, 1L, 0L), ("g1", 2L, 1L, 0L),
+      ("g1", 3L, 0L, 1L), ("g1", 4L, 0L, 1L),
+      ("g2", 1L, 1L, 1L), ("g2", 2L, 1L, 1L))
+      .toDF("g", "v", "ca", "cb")
+    val r = graft.data.RankStats
+      .ksFromCountsGrouped(counts, "v", Seq("g"))
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("d_ppm")).toMap
+    assert(r === Map("g1" -> 1000000L, "g2" -> 0L))
+  }
+
   test("CategoryEncoder.encode: survives a caller frame that already has 'id'") {
     val s = spark
     import s.implicits._
