@@ -198,6 +198,80 @@ object DataQueries {
         .select("query_id", "target_id", "cosine", "rank")
     },
 
+    // WATERFILLING TOKEN-BUDGET ALLOCATION — "spend T tokens across
+    // sources, never past a source's supply, as evenly as possible": the
+    // classic max-min fair allocation in CLOSED FORM (no iteration) —
+    // base level L* = max over sorted prefixes of (T − P_i) div (m − i)
+    // subject to the capped prefix fitting, then the integer remainder
+    // goes +1 to the first r uncapped sources in deterministic order.
+    // Exact integer tokens end to end; windows run over the source domain
+    "q286_waterfill_budget" -> { (s, dir) =>
+      val T = 20000L
+      val w = org.apache.spark.sql.expressions.Window
+      val avail = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(split(trim(col("text")), " "))).cast("long").as("a"))
+      val ord = w.orderBy(col("a"), col("source"))
+      val ranked = avail
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("p_excl",
+          coalesce(sum("a").over(ord.rowsBetween(w.unboundedPreceding, -1)),
+            lit(0L)))
+        .withColumn("m", count(lit(1)).over(w.partitionBy()))
+        .withColumn("prev_a", lag("a", 1).over(ord))
+        .withColumn("c", expr(s"($T - p_excl) div (m - rn + 1)"))
+        .withColumn("valid",
+          col("rn") === 1 || col("prev_a") <= col("c"))
+      val lvl = ranked.agg(
+        max(when(col("valid"), col("c"))).cast("long").as("lvl"))
+      val leveled = ranked.crossJoin(broadcast(lvl))
+        .withColumn("base", least(col("a"), col("lvl")))
+      val rem = leveled.agg(
+        (least(lit(T), sum("a")) - sum("base")).cast("long").as("r"))
+      leveled.crossJoin(broadcast(rem))
+        .withColumn("urn", coalesce(sum(when(col("a") > col("lvl"), 1L)
+            .otherwise(0L))
+          .over(ord.rowsBetween(w.unboundedPreceding, w.currentRow)), lit(0L)))
+        .select(col("source"), col("a").as("available_tokens"),
+          (col("base") + when(col("a") > col("lvl") &&
+            col("urn") <= col("r"), 1L).otherwise(0L))
+            .as("allocated_tokens"),
+          (col("a") <= col("lvl")).as("is_capped"))
+    },
+
+    // TWO-STAGE RETRIEVE-THEN-RERANK — the production ANN serving shape:
+    // a cheap int8 integer-dot stage over the whole corpus keeps 50
+    // candidates per query (4× the broadcast density of floats), the exact
+    // float cosine reranks ONLY those 50 into the final top-5. Both stages
+    // are deterministic and the oracle replays both (q76's quantization
+    // replay feeding q43's float cosine replay) — rerank correctness is
+    // row-level, not a recall estimate
+    "q285_ann_rerank" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cands = Knn
+        .bruteForceTopKInt8(emb.filter(col("vec_id") < 50), emb, k = 50)
+        .select(col("query_id"), col("target_id"))
+      val qv = emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))
+      val tv = emb.select(col("vec_id").as("target_id"),
+        col("embedding").as("tv"))
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("target_id"))
+      cands.join(broadcast(qv), "query_id").join(tv, "target_id")
+        .withColumn("__denom",
+          sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("tv"), col("tv"))))
+        .withColumn("cosine",
+          when(col("__denom") === 0.0, 0.0)
+            .otherwise(round(dot(col("qv"), col("tv")) / col("__denom"), 9)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "target_id", "cosine", "rank")
+    },
+
     // int8-quantized brute force: symmetric per-vector quantization, integer
     // dot kernel. Full row-level oracle: DuckDB replays the quantization
     // (floor(x*127/maxabs + 0.5)) and the quantized-vector cosine exactly —
@@ -2552,6 +2626,70 @@ object DataQueries {
            WHERE q.vec_id < 100)
          WHERE rank <= 5""",
     "q76_ann_int8" -> int8Sql,
+    "q286_waterfill_budget" ->
+      """WITH avail AS (
+           SELECT source,
+                  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+                    AS a
+           FROM documents GROUP BY source),
+         r AS (
+           SELECT source, a,
+                  row_number() OVER (ORDER BY a, source) AS rn,
+                  coalesce(sum(a) OVER (ORDER BY a, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS p_excl,
+                  count(*) OVER () AS m,
+                  lag(a) OVER (ORDER BY a, source) AS prev_a
+           FROM avail),
+         c AS (SELECT *, (20000 - p_excl) // (m - rn + 1) AS c FROM r),
+         v AS (SELECT max(CASE WHEN rn = 1 OR prev_a <= c THEN c END)
+                 AS lvl FROM c),
+         l AS (SELECT c.*, v.lvl, least(a, v.lvl) AS base FROM c, v),
+         rem AS (SELECT least(20000, sum(a)) - sum(base) AS r FROM l),
+         u AS (SELECT l.*, rem.r,
+                 sum(CASE WHEN a > lvl THEN 1 ELSE 0 END)
+                   OVER (ORDER BY a, source ROWS UNBOUNDED PRECEDING)
+                   AS urn
+               FROM l, rem)
+         SELECT source, a AS available_tokens,
+                CAST(base + CASE WHEN a > lvl AND urn <= r THEN 1 ELSE 0 END
+                     AS BIGINT) AS allocated_tokens,
+                a <= lvl AS is_capped
+         FROM u""",
+    "q285_ann_rerank" ->
+      """WITH qmax AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(x))) AS ma
+           FROM embeddings),
+         quant AS (
+           SELECT vec_id,
+                  CASE WHEN ma > 0 THEN
+                    list_transform(embedding,
+                      x -> CAST(floor(x * 127.0 / ma + 0.5) AS DOUBLE))
+                  ELSE list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                  END AS qv
+           FROM qmax),
+         c AS (
+           SELECT query_id, target_id FROM (
+             SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                    CAST(row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY round(list_cosine_similarity(q.qv, t.qv), 9)
+                                  DESC, t.vec_id) AS INT) AS rank
+             FROM quant q CROSS JOIN quant t
+             WHERE q.vec_id < 50)
+           WHERE rank <= 50)
+         SELECT query_id, target_id, cosine, rank FROM (
+           SELECT c.query_id, c.target_id,
+                  round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                        te.embedding::DOUBLE[]), 9) AS cosine,
+                  CAST(row_number() OVER (PARTITION BY c.query_id
+                       ORDER BY round(list_cosine_similarity(
+                                qe.embedding::DOUBLE[], te.embedding::DOUBLE[]),
+                                9) DESC, c.target_id) AS INT) AS rank
+           FROM c
+           JOIN embeddings qe ON qe.vec_id = c.query_id
+           JOIN embeddings te ON te.vec_id = c.target_id)
+         WHERE rank <= 5""",
     "q81_ann_ivf_int8" -> int8Sql,
     // q52's exact cosine pair space closed transitively, q73's CTE recipe
     "q82_embedding_clusters" ->
