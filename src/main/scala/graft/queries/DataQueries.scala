@@ -198,6 +198,30 @@ object DataQueries {
         .select("query_id", "target_id", "cosine", "rank")
     },
 
+    // DEDUP TOKEN-SAVINGS REPORT — the number a curation run is judged by
+    // ("dedup saved X% of the token budget"): exact-duplicate clusters
+    // keep their min-id canonical (q21's semantics) and every other
+    // member's tokens are savings, reported per source with exact integer
+    // token arithmetic. Two hash aggs; the window runs over the text
+    // domain, not the corpus
+    "q287_dedup_savings" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), " ")).cast("long").as("n_tok"),
+          col("text"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
+      docs.withColumn("canonical_id", min("doc_id").over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L))
+            .cast("long").as("n_dupes"),
+          sum("n_tok").cast("long").as("tokens_total"),
+          sum(when(col("doc_id") =!= col("canonical_id"), col("n_tok"))
+            .otherwise(0L)).cast("long").as("tokens_saved"))
+        .withColumn("saved_ppm",
+          expr("CAST(tokens_saved * 1000000 div tokens_total AS BIGINT)"))
+    },
+
     // WATERFILLING TOKEN-BUDGET ALLOCATION — "spend T tokens across
     // sources, never past a source's supply, as evenly as possible": the
     // classic max-min fair allocation in CLOSED FORM (no iteration) —
@@ -2626,6 +2650,24 @@ object DataQueries {
            WHERE q.vec_id < 100)
          WHERE rank <= 5""",
     "q76_ann_int8" -> int8Sql,
+    "q287_dedup_savings" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                    AS n_tok,
+                  min(doc_id) OVER (PARTITION BY text) AS canonical_id
+           FROM documents)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_dupes,
+                CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+                CAST(sum(CASE WHEN doc_id <> canonical_id THEN n_tok
+                         ELSE 0 END) AS BIGINT) AS tokens_saved,
+                CAST(sum(CASE WHEN doc_id <> canonical_id THEN n_tok
+                         ELSE 0 END) * 1000000 // sum(n_tok) AS BIGINT)
+                  AS saved_ppm
+         FROM d GROUP BY source""",
     "q286_waterfill_budget" ->
       """WITH avail AS (
            SELECT source,
