@@ -94,4 +94,41 @@ object CmsStore {
       new Path(path + "__pre_compact"))
     (before, PartitionCompaction.dataFileCount(fs, dest))
   }
+
+  /** In-memory CMS counter table `(row_i, col_j, cnt)` for one relation's
+    * key column — the sketch side of join-size estimation. ONE pass over
+    * the data: each row explodes into its `depth` cells (appendDaily's
+    * union-of-projections shape would re-scan the input `depth` times; an
+    * in-flight estimate cannot afford that), then a depth×width-bounded
+    * hash aggregate. Same [[slot]] hash as the store, so a persisted CMS
+    * and an in-flight one are interchangeable.
+    */
+  def countersFor(df: DataFrame, keyCol: String,
+                  depth: Int = 4, width: Int = 256): DataFrame = {
+    val cells = array((0 until depth).map { i =>
+      struct(lit(i).as("row_i"), slot(i, col(keyCol), width).as("col_j"))
+    }: _*)
+    df.select(explode(cells).as("cell"))
+      .groupBy(col("cell.row_i").as("row_i"), col("cell.col_j").as("col_j"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** Join-cardinality estimate from two CMS counter tables over the SAME
+    * (depth, width, hash) configuration: |A ⋈ B| = Σ_k cA(k)·cB(k) is
+    * estimated by min over hash rows of the bucket-count inner product
+    * (the classic CMS inner-product estimator; Cormode & Muthukrishnan,
+    * J. Algorithms 2005). Never underestimates — every bucket product
+    * carries the true mass plus non-negative collision cross-terms — and
+    * each side is read ONCE to build a depth×width integer table, so the
+    * planner learns the join's output size without shuffling either fact
+    * relation. One row: (est) in DECIMAL(38,0) → BIGINT.
+    */
+  def joinSizeEstimate(countersA: DataFrame, countersB: DataFrame): DataFrame = {
+    countersA.join(countersB.withColumnRenamed("cnt", "cnt_b"),
+        Seq("row_i", "col_j"))
+      .groupBy("row_i")
+      .agg(sum(col("cnt").cast("decimal(38,0)") * col("cnt_b"))
+        .cast("decimal(38,0)").as("dot"))
+      .agg(min(col("dot")).cast("long").as("est_rows"))
+  }
 }

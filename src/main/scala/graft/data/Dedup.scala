@@ -254,6 +254,60 @@ object Dedup {
     * n_common / min(|A|, |B|) — "how much of the SMALLER side is shared".
     * Emits (id_a, id_b, n_common, n_small, containment).
     */
+  /** PPJoin-style PREFIX-FILTERED jaccard pairs — bit-identical output to
+    * [[ngramJaccardPairs]], a fraction of the candidate volume: under any
+    * one global total order of shingles, two sets with J(A,B) ≥ t MUST
+    * share an element among the first |S| − ⌈t·|S|⌉ + 1 elements of each
+    * (the prefix-filtering lemma — Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08), so the inverted index holds only PREFIXES and the exact
+    * jaccard is verified on the surviving candidates from the full sets.
+    *
+    * Why it matters at 100 TB: the q40 kernel's pair volume is
+    * Σ_h c(h)² over FULL postings; prefixes cut every posting to the
+    * ~(1−t) head of each doc — at t = 0.8 that is ~4% of the quadratic
+    * mass for same-size docs. The global order here is plain hash order
+    * (already materialized, zero extra shuffles); ordering by ascending
+    * document frequency prunes harder but costs a df join — the knob to
+    * reach for when the candidate count, not the verify, dominates.
+    * The hot-shingle cap applies to the SAME effective sets as q40, so
+    * output identity holds cap or no cap (q298's oracle IS q40's SQL).
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
+                              k: Int = 5, threshold: Double = 0.8,
+                              maxDocsPerShingle: Int = 1000): DataFrame = {
+    import graft.functions.ShingleExprs.wordShingleHashes
+    val eff = effectiveSets(
+      df.select(col(idCol).as("id"),
+        wordShingleHashes(col(textCol), k).as("hs")), maxDocsPerShingle)
+    val sets = eff
+      .select(col("id"), array_sort(col("hs")).as("hs"),
+        size(col("hs")).as("n_sh"))
+      .filter(col("n_sh") > 0)
+    // prefix length |S| − ⌈t·|S|⌉ + 1 in hash-ascending order
+    val posts = sets.select(col("id"),
+      explode(slice(col("hs"), lit(1),
+        (col("n_sh") - ceil(col("n_sh") * lit(threshold)).cast("int") +
+          lit(1)))).as("h"))
+    val cands = posts.select(col("h"), col("id").as("id_a"))
+      .join(posts.select(col("h"), col("id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b"),
+        col("n_sh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+          .as("n_common"),
+        col("n_a"), col("n_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
   def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
                             k: Int = 5, threshold: Double = 0.9,
                             maxDocsPerShingle: Int = 1000): DataFrame = {
@@ -281,19 +335,28 @@ object Dedup {
     * (id_a < id_b, n_common, n_a, n_b) via the capped inverted-index
     * self-join — jaccard and containment are projections over this.
     */
+  /** Hot-shingle cap shared by the pair kernels: shingles in more than
+    * `maxDocsPerShingle` docs are removed from every set (driver-bounded —
+    * the hot list is tiny by definition). Both the inverted-index and the
+    * prefix-filter kernels must see the SAME effective sets or their
+    * outputs diverge.
+    */
+  private def effectiveSets(hs: DataFrame, maxDocsPerShingle: Int): DataFrame = {
+    import graft.functions.ShingleExprs.longSetExcept
+    if (maxDocsPerShingle > 0) {
+      val hot = hs.select(explode_outer(col("hs")).as("h"))
+        .filter(col("h").isNotNull)
+        .groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") > maxDocsPerShingle)
+        .collect().map(_.getLong(0))
+      if (hot.isEmpty) hs
+      else hs.select(col("id"), longSetExcept(col("hs"), hot).as("hs"))
+    } else hs
+  }
+
   private def pairCounts(hs: DataFrame,
                          maxDocsPerShingle: Int): DataFrame = {
-    import graft.functions.ShingleExprs.longSetExcept
-    val eff =
-      if (maxDocsPerShingle > 0) {
-        val hot = hs.select(explode_outer(col("hs")).as("h"))
-          .filter(col("h").isNotNull)
-          .groupBy("h").agg(count(lit(1)).as("c"))
-          .filter(col("c") > maxDocsPerShingle)
-          .collect().map(_.getLong(0))
-        if (hot.isEmpty) hs
-        else hs.select(col("id"), longSetExcept(col("hs"), hot).as("hs"))
-      } else hs
+    val eff = effectiveSets(hs, maxDocsPerShingle)
     // map-side size: docs whose effective set is empty vanish at the explode,
     // exactly like rows that lost every shingle did under the old window form.
     // explode_outer + attribute filter, NOT explode: InferFiltersFromGenerate
@@ -547,7 +610,7 @@ object Dedup {
                   (col("rep2") =!= col("rep0")).as("__changed"))
         val next = jumped.localCheckpoint()
         changed = next.agg(coalesce(max(col("__changed")), lit(false)))
-          .head.getBoolean(0)
+          .head().getBoolean(0)
         frozen = next.drop("__changed")
         round += 1
       }
@@ -661,7 +724,7 @@ object Dedup {
                 (col("__l2") =!= col("__l0")).as("__changed"))
       val next = jumped.localCheckpoint()
       changed = next.agg(coalesce(max(col("__changed")), lit(false)))
-        .head.getBoolean(0)
+        .head().getBoolean(0)
       labels = next.drop("__changed")
       round += 1
     }
@@ -823,5 +886,56 @@ object Dedup {
            sum(when(col("__kept"), 1).otherwise(0)).cast("int").as("n_kept"))
       .withColumn("kept_ratio",
         col("n_kept").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  /** Verbatim overlap LOCALIZATION — decontaminate() tells you WHETHER two
+    * docs share text; this tells you WHERE and HOW LONG: positional word
+    * k-grams join on gram text, and within each (doc pair, alignment
+    * offset) the island trick (pos − row_number is constant on a
+    * contiguous run) extracts MAXIMAL verbatim spans with start offsets in
+    * both documents. A run of g consecutive k-grams is g+k−1 verbatim
+    * words.
+    *
+    * Scale discipline: grams appearing in more than `maxDf` docs are
+    * dropped BEFORE the pair join (boilerplate suppression — the postings
+    * cap of ngramJaccardPairs, which also bounds the pair fan-out at
+    * maxDf² per gram), and the island window partitions by (pair, offset)
+    * — per-task state is one span chain, never a corpus.
+    *
+    * Output: (doc_a, doc_b, start_a, start_b, n_grams, n_words) for runs of
+    * at least `minGrams` consecutive k-grams, doc_a < doc_b, positions
+    * 0-based word offsets.
+    */
+  def overlapSpans(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 5, maxDf: Int = 20,
+                   minGrams: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("ws")) - lit(k - 1)),
+          i => array_join(slice(col("ws"), i, lit(k)), " "))))
+      .toDF("doc_id", "pos", "g")
+    val rare = grams.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") <= maxDf).select("g")
+    val gr = grams.join(rare, "g")
+    val pairs = gr.select(col("g"), col("doc_id").as("doc_a"),
+        col("pos").as("pa"))
+      .join(gr.select(col("g"), col("doc_id").as("doc_b"),
+        col("pos").as("pb")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("diff", col("pa") - col("pb"))
+    val win = w.partitionBy("doc_a", "doc_b", "diff").orderBy("pa")
+    pairs
+      .withColumn("island", col("pa") - row_number().over(win))
+      .groupBy("doc_a", "doc_b", "diff", "island")
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        min("pa").cast("long").as("start_a"),
+        min("pb").cast("long").as("start_b"))
+      .filter(col("n_grams") >= minGrams)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("n_grams"), (col("n_grams") + lit((k - 1).toLong)).as("n_words"))
   }
 }

@@ -108,4 +108,68 @@ object Profile {
         col("bounds_changed"))
   }
 
+  /** Join-key skew report: Gini concentration of rows-per-key plus the
+    * hottest key's share, all exact integer ppm — the pre-join audit that
+    * decides salting / AQE-skew knobs BEFORE paying the shuffle.
+    *
+    * The sorted-rank sum Σ i·xᵢ is computed on the COLLAPSED
+    * frequency-of-frequency domain: a block of m keys sharing count c,
+    * preceded by prevN keys, contributes c·(m·prevN + m(m+1)/2) — so the
+    * ordered pass runs over |distinct counts| rows (log-ish in practice),
+    * never |keys|, at any scale. Gini = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) with
+    * ascending ranks; the numerator is ≥ 0 by the Chebyshev sum
+    * inequality, so integer div truncation is engine-agnostic.
+    *
+    * One row: (n_keys, n_rows, max_c, gini_ppm, top1_share_ppm).
+    */
+  def keySkewGini(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val fof = df.groupBy(keyCol)
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy("c").agg(count(lit(1)).cast("long").as("m"))
+    val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    fof
+      .withColumn("prev_n", coalesce(sum("m").over(w), lit(0L)))
+      .withColumn("s1_part", expr(
+        s"""CAST(c AS $d38) * (CAST(m AS $d38) * prev_n +
+            (CAST(m AS $d38) * (m + 1)) div 2)"""))
+      .agg(sum(col("m")).cast("long").as("n_keys"),
+        sum(col("c").cast(d38) * col("m")).cast(d38).as("s"),
+        sum(col("s1_part")).cast(d38).as("s1"),
+        max("c").cast("long").as("max_c"))
+      .select(col("n_keys"), col("s").cast("long").as("n_rows"), col("max_c"),
+        expr(s"""CAST((CAST(2 AS $d38) * s1 - (CAST(n_keys AS $d38) + 1) * s)
+                 * 1000000 div (CAST(n_keys AS $d38) * s) AS BIGINT)""")
+          .as("gini_ppm"),
+        expr(s"CAST(CAST(max_c AS $d38) * 1000000 div s AS BIGINT)")
+          .as("top1_share_ppm"))
+  }
+
+  /** Good–Turing smoothing table from a one-column `(term)` relation:
+    * per observed frequency c, the count-of-counts N_c and the adjusted
+    * count c* = (c+1)·N_{c+1}/N_c (Good 1953) — the LM-smoothing /
+    * vocabulary-truncation input. The spectrum is |distinct c|-sized, so
+    * the N_{c+1} lookup is a self-join on c+1 over a kilobyte; corpus
+    * totals ride along as a broadcast 1-row attach.
+    */
+  def goodTuringTable(tokens: DataFrame, termCol: String = "term"): DataFrame = {
+    val spec = tokens
+      .filter(col(termCol) =!= "")
+      .groupBy(termCol).agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).cast("long").as("n_c"))
+    val next = spec.select((col("c") - 1).as("c"), col("n_c").as("n_next"))
+    val tot = spec.agg(
+      sum(col("c").cast("decimal(38,0)") * col("n_c")).cast("long")
+        .as("n_tokens"),
+      sum("n_c").cast("long").as("n_types"))
+    spec.join(next, Seq("c"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("c").cast("long").as("c"), col("n_c"),
+        coalesce(col("n_next"), lit(0L)).as("n_c1"),
+        ((col("c").cast("double") + lit(1.0)) *
+          coalesce(col("n_next"), lit(0L)).cast("double") /
+          col("n_c").cast("double")).as("gt_cstar"),
+        col("n_tokens"), col("n_types"))
+  }
 }

@@ -105,6 +105,36 @@ object RankStats {
         col("u2_a") + col("u2_b") === lit(2L) * col("n_a") * col("n_b"))
   }
 
+  /** [[mannWhitneyFromCounts]] per group: one U statistic per `groupCols`
+    * key from counts `(groupCols…, domainCol, ca, cb)`. The ordered pass is
+    * PARTITIONED by group (the grouped-KS layout) — no segment ever funnels
+    * through a single global sort task, so segment count scales the
+    * parallelism, not the per-task state.
+    */
+  def mannWhitneyFromCountsGrouped(counts: DataFrame, domainCol: String,
+                                   groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "use mannWhitneyFromCounts for the ungrouped form")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(domainCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("cnt", col("ca") + col("cb"))
+      .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cum_before") + col("cnt") + 1L)
+      .groupBy(g: _*)
+      .agg(sum("ca").cast("long").as("n_a"),
+        sum("cb").cast("long").as("n_b"),
+        sum(col("ca").cast(D38) * col("r2")).cast(D38).as("__r2a"),
+        sum(col("cb").cast(D38) * col("r2")).cast(D38).as("__r2b"))
+      .select((g ++ Seq(col("n_a"), col("n_b"),
+        expr(s"CAST(__r2a - CAST(n_a AS $D38) * (n_a + 1) AS BIGINT)")
+          .as("u2_a"),
+        expr(s"CAST(__r2b - CAST(n_b AS $D38) * (n_b + 1) AS BIGINT)")
+          .as("u2_b"))): _*)
+      .withColumn("identity_ok",
+        col("u2_a") + col("u2_b") === lit(2L) * col("n_a") * col("n_b"))
+  }
+
   /** HistStore's bin function — kept textually identical so a RankStats
     * bin and a HistStore bin can never disagree.
     */

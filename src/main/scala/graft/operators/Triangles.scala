@@ -83,4 +83,58 @@ object Triangles {
       canon.unpersist()
     }
   }
+
+  /** Per-vertex local clustering coefficient: for every vertex,
+    * (degree, triangle count, coefficient) over the same canonicalized
+    * simple graph as [[count]]. Coefficient = 2·tri / (d·(d−1)) emitted as
+    * an exact integer ppm (0 for degree < 2) — no float division, so the
+    * row is engine-reproducible bit-for-bit.
+    *
+    * Same orientation bound as [[count]]: each triangle is materialized
+    * once as (s, b, c) with s the (degree, id)-smallest vertex, then each
+    * of its three corners is credited via one explode — per-vertex credit
+    * costs 3 rows per triangle, never a wedge re-enumeration. The output
+    * is node-sized; every join is an equi-join on vertex id.
+    */
+  def perVertex(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .filter(col(srcCol) =!= col(dstCol) &&
+        col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+
+    val deg = canon.select(col("u").as("n"))
+      .unionAll(canon.select(col("v").as("n")))
+      .groupBy("n").agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
+
+    val withDeg = canon
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+
+    // one row per triangle (s, b, c); the b =!= c filter plus the single
+    // surviving orientation of (b, c) make the count exact, as in count()
+    val tris = oriented.select(col("s"), col("t").as("b"))
+      .join(oriented.select(col("s"), col("t").as("c")), "s")
+      .filter(col("b") =!= col("c"))
+      .join(oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+
+    val credit = tris
+      .select(explode(array(col("s"), col("b"), col("c"))).as("n"))
+      .groupBy("n")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).cast("long").as("n_triangles"))
+
+    deg.join(credit, Seq("n"), "left")
+      .select(col("n"), col("d").cast("long").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("coeff_ppm",
+        when(col("degree") >= 2L,
+          expr("CAST(n_triangles * 2000000 div (degree * (degree - 1)) AS BIGINT)"))
+          .otherwise(lit(0L)))
+  }
 }

@@ -244,6 +244,123 @@ object CoreQueries {
     // Subtotal rows are labeled '<all>' via grouping() — NOT a bare
     // coalesce, which would conflate a subtotal with a genuine NULL data
     // stratum (those render '<null>')
+    // LOCAL CLUSTERING COEFFICIENT — q138's oriented triangle kernel made
+    // per-vertex: each triangle (s, b, c) is materialized ONCE (degree-id
+    // orientation, O(√m) fan-out bound) and credits its three corners via
+    // one explode — per-vertex credit costs 3 rows/triangle, never a wedge
+    // re-enumeration. Coefficient = 2·tri/(d·(d−1)) as exact integer ppm.
+    // Node-sized output; the community-structure signal per entity that
+    // q138's single global count cannot localize
+    "q288_local_clustering" -> { (s, dir) =>
+      val edges = graft.operators.Graphs.coPurchaseEdges(t(s, dir, "lineitem"))
+      graft.operators.Triangles.perVertex(edges, "src", "dst")
+    },
+
+    // JOIN-KEY SKEW AUDIT — the pre-join report that decides salting/AQE
+    // knobs BEFORE the shuffle: Gini concentration of rows-per-key plus
+    // the hottest key's share, all exact integer ppm. The sorted-rank sum
+    // Σ i·xᵢ is computed on the COLLAPSED frequency-of-frequency domain
+    // (a block of m keys sharing count c contributes c·(m·prevN +
+    // m(m+1)/2)) — the rank-stat trick again, so the ordered pass runs
+    // over |distinct counts| rows, never |keys|, at any scale
+    "q289_key_skew_gini" -> { (s, dir) =>
+      graft.data.Profile.keySkewGini(t(s, dir, "events"), "user_id")
+    },
+
+    // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator for
+    // rollouts without randomization: (treated post − treated pre) −
+    // (control post − control pre) cancels both the group level and the
+    // common time trend. Arms by q283's md5 user hash, periods by the same
+    // date cut; all sums exact DECIMAL micro-units, the four cell means and
+    // the DID contrast are exact-then-cast doubles with an identical op
+    // sequence on both engines
+    "q290_diff_in_diff" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val cut = lit("2024-01-15").cast("date")
+      val cells = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+        .withColumn("arm", expr(
+          """CAST(conv(substring(md5(CAST(concat('arm|',
+             CAST(user_id AS STRING)) AS BINARY)), 1, 12), 16, 10)
+             AS BIGINT) % 2"""))
+        .withColumn("post", when(col("day") > cut, 1L).otherwise(0L))
+        .groupBy("arm", "post")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(col("v").cast(d38)).cast(d38).as("sv"))
+        .withColumn("mean_u",
+          col("sv").cast("double") / col("n_events").cast("double"))
+      cells.agg(
+        sum("n_events").cast("long").as("n_events"),
+        max(when(col("arm") === 0L && col("post") === 0L, col("mean_u")))
+          .as("ctl_pre_u"),
+        max(when(col("arm") === 0L && col("post") === 1L, col("mean_u")))
+          .as("ctl_post_u"),
+        max(when(col("arm") === 1L && col("post") === 0L, col("mean_u")))
+          .as("trt_pre_u"),
+        max(when(col("arm") === 1L && col("post") === 1L, col("mean_u")))
+          .as("trt_post_u"))
+        .withColumn("did_u",
+          (col("trt_post_u") - col("trt_pre_u")) -
+          (col("ctl_post_u") - col("ctl_pre_u")))
+    },
+
+    // CMS JOIN-SIZE ESTIMATE — q166's join pre-flight without touching the
+    // join: |A ⋈ B| = Σₖ cA(k)·cB(k) estimated by the CMS inner product
+    // (min over hash rows of the bucket-count dot product; Cormode &
+    // Muthukrishnan 2005). Each side is read ONCE into a 4×256 integer
+    // table; the estimate NEVER underestimates (collision cross-terms are
+    // non-negative). The exact join count here is the oracle-visible gate —
+    // at 100 TB you run ONLY the sketch, which is the point
+    "q293_join_size_cms" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+      val est = graft.data.CmsStore.joinSizeEstimate(
+        graft.data.CmsStore.countersFor(o, "k"),
+        graft.data.CmsStore.countersFor(l, "k"))
+      val exact = o.join(l, "k")
+        .agg(count(lit(1)).cast("long").as("exact_rows"))
+      est.crossJoin(exact) // 1×1
+        .select(col("exact_rows"), col("est_rows"),
+          (col("est_rows") >= col("exact_rows")).as("bound_ok"),
+          expr("""CAST((CAST(est_rows AS DECIMAL(38,0)) - exact_rows)
+                  * 1000000 div exact_rows AS BIGINT)""").as("overshoot_ppm"))
+    },
+
+    // ISOTONIC CALIBRATION (pool-adjacent-violators) — the monotone score→
+    // probability map q259's reliability diagram motivates: the PAV fit at
+    // bin i equals max_{j≤i} min_{k≥i} avg(y over bins j..k) (the minimax
+    // characterization — Barlow et al. 1972), which needs NO iterative
+    // pooling loop: prefix sums over the bin domain give every interval
+    // average, a per-j suffix-min window gives the inner min, one grouped
+    // max gives the fit. Everything past the first aggregation runs on the
+    // COLLAPSED bin domain (≤ 50 rows at any corpus size) — the interval
+    // square is bins², never rows². Interval averages are exact-integer
+    // ratios cast to double with an identical op sequence on both engines
+    "q294_isotonic_calibration" -> { (s, dir) =>
+      val bins = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(expr("CAST(floor(value / 10) AS BIGINT)").as("b"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy("b")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("y").cast("long").as("n_pos"))
+      graft.data.Calibration.pavFit(bins)
+    },
+
+    // SEGMENT-WISE MANN–WHITNEY U — q277's grouped layout for the OTHER
+    // rank statistic: one tie-corrected U per language, cumulative pass
+    // partitioned by segment (parallelism scales with segments, per-task
+    // state with the per-segment value domain). Same samples as q277:
+    // even- vs odd-numbered sources
+    "q296_mwu_by_segment" -> { (s, dir) =>
+      val isEven = expr("CAST(substring(source, 4) AS INT) % 2 = 0")
+      val counts = t(s, dir, "documents")
+        .groupBy(col("lang"), col("n_chars").as("v"))
+        .agg(sum(when(isEven, 1L).otherwise(0L)).cast("long").as("ca"),
+          sum(when(!isEven, 1L).otherwise(0L)).cast("long").as("cb"))
+      graft.data.RankStats.mannWhitneyFromCountsGrouped(counts, "v", Seq("lang"))
+    },
+
     // METRIC PARITY AUDIT — the fairness-style segment report an ML-ops
     // gate reads before shipping a model or metric change: each segment's
     // rate vs the global rate as exact integer ppm gaps (never "roughly
@@ -3139,6 +3256,175 @@ object CoreQueries {
                               CAST(cumb AS HUGEINT) * na)) * 1000000) //
                      (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS d_ppm
          FROM c""",
+    "q288_local_clustering" ->
+      """WITH pairs AS (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM pairs),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                   SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+                 GROUP BY n),
+         tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                 FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                 JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         cr AS (SELECT n, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                  SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri)
+                GROUP BY n)
+         SELECT deg.n, deg.d AS degree,
+                coalesce(cr.n_triangles, 0) AS n_triangles,
+                CASE WHEN deg.d >= 2
+                     THEN CAST(coalesce(cr.n_triangles, 0) * 2000000
+                          // (deg.d * (deg.d - 1)) AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS coeff_ppm
+         FROM deg LEFT JOIN cr USING (n)""",
+    "q289_key_skew_gini" ->
+      """WITH pk AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+         fof AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM pk GROUP BY 1),
+         cum AS (
+           SELECT c, m,
+                  coalesce(CAST(sum(m) OVER (ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS prev_n
+           FROM fof),
+         agg AS (
+           SELECT CAST(sum(m) AS BIGINT) AS n_keys,
+                  CAST(sum(CAST(c AS HUGEINT) * m) AS HUGEINT) AS s,
+                  CAST(sum(CAST(c AS HUGEINT) *
+                       (CAST(m AS HUGEINT) * prev_n +
+                        (CAST(m AS HUGEINT) * (m + 1)) // 2)) AS HUGEINT)
+                    AS s1,
+                  CAST(max(c) AS BIGINT) AS max_c
+           FROM cum)
+         SELECT n_keys, CAST(s AS BIGINT) AS n_rows, max_c,
+                CAST((2 * s1 - (CAST(n_keys AS HUGEINT) + 1) * s) * 1000000
+                     // (CAST(n_keys AS HUGEINT) * s) AS BIGINT) AS gini_ppm,
+                CAST(CAST(max_c AS HUGEINT) * 1000000 // s AS BIGINT)
+                  AS top1_share_ppm
+         FROM agg""",
+    "q290_diff_in_diff" ->
+      """WITH ev AS (
+           SELECT CAST(concat('0x', substr(md5(concat('arm|',
+                    CAST(user_id AS VARCHAR))), 1, 12)) AS UBIGINT) % 2
+                    AS arm,
+                  CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                       THEN 1 ELSE 0 END AS post,
+                  CAST(floor(value * 1000000) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+         cells AS (
+           SELECT arm, post, CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS mean_u
+           FROM ev GROUP BY 1, 2)
+         SELECT CAST(sum(n_events) AS BIGINT) AS n_events,
+                max(CASE WHEN arm = 0 AND post = 0 THEN mean_u END)
+                  AS ctl_pre_u,
+                max(CASE WHEN arm = 0 AND post = 1 THEN mean_u END)
+                  AS ctl_post_u,
+                max(CASE WHEN arm = 1 AND post = 0 THEN mean_u END)
+                  AS trt_pre_u,
+                max(CASE WHEN arm = 1 AND post = 1 THEN mean_u END)
+                  AS trt_post_u,
+                (max(CASE WHEN arm = 1 AND post = 1 THEN mean_u END) -
+                 max(CASE WHEN arm = 1 AND post = 0 THEN mean_u END)) -
+                (max(CASE WHEN arm = 0 AND post = 1 THEN mean_u END) -
+                 max(CASE WHEN arm = 0 AND post = 0 THEN mean_u END))
+                  AS did_u
+         FROM cells""",
+    "q293_join_size_cms" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+         l AS (SELECT l_orderkey AS k FROM lineitem),
+         ca AS (
+           SELECT r.i AS row_i,
+                  CAST(CAST(concat('0x', substr(md5(concat(r.i, '|',
+                    CAST(k AS VARCHAR))), 1, 12)) AS UBIGINT) % 256 AS INT)
+                    AS col_j,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM o, range(4) r(i) GROUP BY 1, 2),
+         cb AS (
+           SELECT r.i AS row_i,
+                  CAST(CAST(concat('0x', substr(md5(concat(r.i, '|',
+                    CAST(k AS VARCHAR))), 1, 12)) AS UBIGINT) % 256 AS INT)
+                    AS col_j,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM l, range(4) r(i) GROUP BY 1, 2),
+         dots AS (
+           SELECT ca.row_i,
+                  CAST(sum(CAST(ca.cnt AS HUGEINT) * cb.cnt) AS HUGEINT)
+                    AS dot
+           FROM ca JOIN cb USING (row_i, col_j) GROUP BY 1),
+         est AS (SELECT CAST(min(dot) AS BIGINT) AS est_rows FROM dots),
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_rows
+                FROM o JOIN l USING (k))
+         SELECT ex.exact_rows, est.est_rows,
+                est.est_rows >= ex.exact_rows AS bound_ok,
+                CAST((CAST(est.est_rows AS HUGEINT) - ex.exact_rows)
+                     * 1000000 // ex.exact_rows AS BIGINT) AS overshoot_ppm
+         FROM ex, est""",
+    "q294_isotonic_calibration" ->
+      """WITH ev AS (
+           SELECT CAST(floor(value / 10) AS BIGINT) AS b,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL),
+         bins AS (
+           SELECT b, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS n_pos
+           FROM ev GROUP BY 1),
+         pre AS (
+           SELECT b, n, n_pos,
+                  CAST(sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS pn,
+                  CAST(sum(n_pos) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS pp
+           FROM bins),
+         a AS (
+           SELECT j.b AS jb, k.b AS kb,
+                  CAST(k.pp - j.pp + j.n_pos AS DOUBLE) /
+                  CAST(k.pn - j.pn + j.n AS DOUBLE) AS avg_jk
+           FROM pre j JOIN pre k ON j.b <= k.b),
+         sm AS (
+           SELECT jb, kb,
+                  min(avg_jk) OVER (PARTITION BY jb ORDER BY kb DESC
+                    ROWS UNBOUNDED PRECEDING) AS m
+           FROM a),
+         f AS (SELECT kb AS b, max(m) AS iso_fit FROM sm GROUP BY 1)
+         SELECT bins.b AS bin, bins.n, bins.n_pos,
+                CAST(bins.n_pos * 1000000 // bins.n AS BIGINT) AS rate_ppm,
+                f.iso_fit
+         FROM bins JOIN f USING (b)""",
+    "q296_mwu_by_segment" ->
+      """WITH dom AS (
+           SELECT lang, n_chars AS v,
+                  CAST(sum(CASE WHEN CAST(substring(source, 4) AS INT)
+                       % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN CAST(substring(source, 4) AS INT)
+                       % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           FROM documents GROUP BY 1, 2),
+         r AS (
+           SELECT lang, ca, cb,
+                  2 * coalesce(sum(ca + cb) OVER (PARTITION BY lang
+                      ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + (ca + cb) + 1 AS r2
+           FROM dom),
+         m AS (
+           SELECT lang,
+                  CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cb) AS BIGINT) AS n_b,
+                  CAST(sum(CAST(ca AS HUGEINT) * r2) AS HUGEINT) AS r2a,
+                  CAST(sum(CAST(cb AS HUGEINT) * r2) AS HUGEINT) AS r2b
+           FROM r GROUP BY lang)
+         SELECT lang, n_a, n_b,
+                CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT)
+                  AS u2_a,
+                CAST(r2b - CAST(n_b AS HUGEINT) * (n_b + 1) AS BIGINT)
+                  AS u2_b,
+                (r2a - CAST(n_a AS HUGEINT) * (n_a + 1)) +
+                (r2b - CAST(n_b AS HUGEINT) * (n_b + 1)) =
+                  2 * CAST(n_a AS HUGEINT) * n_b AS identity_ok
+         FROM m""",
     "q284_metric_parity" ->
       """WITH ev AS (
            SELECT user_id % 5 AS cohort,

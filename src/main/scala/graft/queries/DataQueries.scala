@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ann.Knn
@@ -32,11 +33,54 @@ object DataQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EMBEDDING-SPACE SPLIT CONTAMINATION — q60's decontamination question
+    // asked in vector space: for every TEST doc (the md5-free determinstic
+    // 1-in-10 split), the nearest TRAIN doc by cosine and whether it
+    // crosses the near-dup threshold — the leakage audit run before
+    // trusting held-out metrics when paraphrase-level duplication defeats
+    // n-gram matching. Pairs come from q52's exact threshold kernel
+    // (id_a < id_b once, round-9 cosine), re-oriented to (test, train);
+    // per-test argmax is a (cosine desc, train_id) row_number — total
+    // order, never a bare max. SemDeDup's clustered pruning (q164) is the
+    // beyond-broadcast path for the same pair space
+    "q295_split_contamination_emb" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val isTest = col("vec_id") % 10 === 0
+      val pairs = Knn.exactCosinePairs(emb, minCosine = 0.35)
+      val oriented = pairs
+        .select(col("id_a").as("test_id"), col("id_b").as("train_id"),
+          col("cosine"))
+        .unionByName(pairs.select(col("id_b").as("test_id"),
+          col("id_a").as("train_id"), col("cosine")))
+        .filter(col("test_id") % 10 === 0 && col("train_id") % 10 =!= 0)
+      val w = Window.partitionBy("test_id")
+        .orderBy(col("cosine").desc, col("train_id"))
+      val best = oriented.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      emb.filter(isTest).select(col("vec_id").as("test_id"))
+        .join(best, Seq("test_id"), "left")
+        .select(col("test_id"), col("train_id").as("top_train_id"),
+          coalesce(col("cosine"), lit(0.0)).as("max_train_cosine"),
+          (coalesce(col("cosine"), lit(0.0)) >= lit(0.35))
+            .as("is_contaminated"))
+    },
+
     // exact word-5-gram jaccard near-dup pairs (full oracle, skew cap ON and
     // mirrored in the oracle: sizes and common counts both use the capped
     // effective shingle set, so the result is exact at any scale)
     "q40_ngram_jaccard_pairs" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        k = 5, threshold = 0.5, maxDocsPerShingle = 1000)
+    },
+
+    // PREFIX-FILTERED jaccard pairs — q40's result from a FRACTION of the
+    // candidate volume (prefix-filtering lemma: qualifying pairs must
+    // collide within the first |S|−⌈t·|S|⌉+1 elements of each set under
+    // one global order), exact cosine-free verify on the full sets. The
+    // oracle IS q40's SQL: identical output is the contract, the pruning
+    // is pure plan efficiency
+    "q298_jaccard_prefix_filter" -> { (s, dir) =>
+      Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents"), "text", "doc_id",
         k = 5, threshold = 0.5, maxDocsPerShingle = 1000)
     },
 
@@ -512,7 +556,7 @@ object DataQueries {
       val nNullText = docs.filter(col("text").isNull).count()
       val nDupIds = docs.groupBy("doc_id").agg(count(lit(1)).as("c"))
         .filter(col("c") > 1).agg(coalesce(sum("c"), lit(0L)))
-        .head.getLong(0)
+        .head().getLong(0)
       val nBadLang = docs.filter(col("lang").isNull ||
         !col("lang").isin("en", "de", "fr", "es", "it")).count()
       val nBadRange = docs.filter(col("n_chars") < 1 || col("n_chars") > 100000)
@@ -1850,6 +1894,25 @@ object DataQueries {
           FROM c$i)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q295_split_contamination_emb" ->
+      """WITH te AS (SELECT vec_id AS test_id, embedding
+                     FROM embeddings WHERE vec_id % 10 = 0),
+         tr AS (SELECT vec_id AS train_id, embedding
+                FROM embeddings WHERE vec_id % 10 <> 0),
+         p AS (
+           SELECT te.test_id, tr.train_id,
+                  round(list_cosine_similarity(te.embedding::DOUBLE[],
+                        tr.embedding::DOUBLE[]), 9) AS cosine
+           FROM te, tr),
+         f AS (
+           SELECT test_id, train_id, cosine,
+                  row_number() OVER (PARTITION BY test_id
+                       ORDER BY cosine DESC, train_id) AS rn
+           FROM p WHERE cosine >= 0.35)
+         SELECT te.test_id, f.train_id AS top_train_id,
+                coalesce(f.cosine, 0.0) AS max_train_cosine,
+                coalesce(f.cosine, 0.0) >= 0.35 AS is_contaminated
+         FROM te LEFT JOIN f ON f.test_id = te.test_id AND f.rn = 1""",
     "q274_hist_store_grouped" ->
       """WITH ev AS (
            SELECT event_type,
@@ -2004,6 +2067,11 @@ object DataQueries {
           SELECT * FROM k1 UNION ALL SELECT * FROM k2
           UNION ALL SELECT * FROM k3""",
     "q40_ngram_jaccard_pairs" ->
+      (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
+       " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
+    // identical by the prefix-filtering lemma — any divergence of the
+    // pruned kernel from the exhaustive inverted index is a hash miss here
+    "q298_jaccard_prefix_filter" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
        " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
     "q281_containment_pairs" ->

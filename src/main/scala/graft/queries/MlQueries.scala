@@ -56,7 +56,7 @@ object MlQueries {
     pos.crossJoin(broadcast(neg))
       .agg(avg(when(col("sp") > col("sn"), 1.0)
         .when(col("sp") === col("sn"), 0.5).otherwise(0.0)).as("auc"))
-      .head.getDouble(0)
+      .head().getDouble(0)
   }
 
   private def q101Scored(s: SparkSession, dir: String): DataFrame = {
@@ -81,6 +81,62 @@ object MlQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GINI-GAIN FEATURE SCREEN — CART's split criterion as a feature-
+    // importance report (which candidate features carry signal about the
+    // label, BEFORE training anything): gain = Gini(label) − Σ_f (n_f/n)·
+    // Gini(label|f). Gini impurity instead of entropy ON PURPOSE — it is
+    // rational in the counts (q177's diversity trick), so the only doubles
+    // are per-feature-value terms s_f/n_f summed via an ORDERED cumulative
+    // window (deterministic fold order on the ≤10-value collapsed domain;
+    // a bare sum() of doubles has engine-defined order). All four features
+    // stack into ONE pass + one shuffle via explode, never four scans
+    "q297_gini_gain" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+          expr("CAST(hour(ts) div 6 AS BIGINT)").as("f_hour4"),
+          expr("CAST(datediff(to_date(ts), DATE'1970-01-01') % 7 AS BIGINT)")
+            .as("f_dow"),
+          (col("user_id") % 5).cast("long").as("f_cohort"),
+          expr("CAST(least(floor(value / 50), 9) AS BIGINT)").as("f_vbucket"))
+      val feats = Seq("f_hour4", "f_dow", "f_cohort", "f_vbucket")
+      val stacked = ev.select(col("y"), explode(array(feats.map(f =>
+          struct(lit(f).as("feature"), col(f).as("fv"))): _*)).as("x"))
+        .select(col("x.feature").as("feature"), col("x.fv").as("fv"),
+          col("y"))
+      val cells = stacked.groupBy("feature", "fv")
+        .agg(count(lit(1)).cast("long").as("n_f"),
+          sum("y").cast("long").as("n_f1"))
+        .withColumn("n_f0", col("n_f") - col("n_f1"))
+        // Σ_c n_fc² / n_f — the un-normalized per-value purity mass
+        .withColumn("term",
+          (col("n_f1").cast(d38) * col("n_f1") +
+           col("n_f0").cast(d38) * col("n_f0")).cast("double") /
+            col("n_f").cast("double"))
+      val wq = Window.partitionBy("feature").orderBy("fv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val perFeat = cells.withColumn("cum", sum("term").over(wq))
+        .groupBy("feature")
+        .agg(sum("n_f").cast("long").as("n"),
+          count(lit(1)).cast("long").as("n_values"),
+          max("cum").as("__t")) // terms > 0 ⇒ running sum peaks at the end
+      val parent = ev.agg(count(lit(1)).cast("long").as("__n"),
+          sum("y").cast("long").as("__p"))
+        .select(expr(s"""1.0 - CAST(CAST(__p AS $d38) * __p +
+                 CAST(__n - __p AS $d38) * (__n - __p) AS DOUBLE) /
+                 CAST(CAST(__n AS $d38) * __n AS DOUBLE)""")
+          .as("parent_impurity"))
+      perFeat.crossJoin(broadcast(parent))
+        .select(col("feature"), col("n"), col("n_values"),
+          col("parent_impurity"),
+          (lit(1.0) - col("__t") / col("n").cast("double"))
+            .as("child_impurity"),
+          (col("parent_impurity") -
+            (lit(1.0) - col("__t") / col("n").cast("double")))
+            .as("gini_gain"))
+    },
+
     // M4: threshold-decision curves, distributed (no driver collect)
     "q47_threshold_curves" -> { (s, dir) =>
       val scored = t(s, dir, "lineitem").select(
@@ -493,6 +549,51 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q297_gini_gain" ->
+      """WITH ev AS (
+           SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                  CAST(hour(ts) // 6 AS BIGINT) AS f_hour4,
+                  CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT)
+                    AS f_dow,
+                  CAST(user_id % 5 AS BIGINT) AS f_cohort,
+                  CAST(least(floor(value / 50), 9) AS BIGINT) AS f_vbucket
+           FROM events WHERE value IS NOT NULL),
+         stacked AS (
+           SELECT 'f_hour4' AS feature, f_hour4 AS fv, y FROM ev
+           UNION ALL SELECT 'f_dow', f_dow, y FROM ev
+           UNION ALL SELECT 'f_cohort', f_cohort, y FROM ev
+           UNION ALL SELECT 'f_vbucket', f_vbucket, y FROM ev),
+         cells AS (
+           SELECT feature, fv, CAST(count(*) AS BIGINT) AS n_f,
+                  CAST(sum(y) AS BIGINT) AS n_f1
+           FROM stacked GROUP BY 1, 2),
+         terms AS (
+           SELECT feature, fv, n_f,
+                  CAST(CAST(n_f1 AS HUGEINT) * n_f1 +
+                       CAST(n_f - n_f1 AS HUGEINT) * (n_f - n_f1)
+                       AS DOUBLE) / CAST(n_f AS DOUBLE) AS term
+           FROM cells),
+         cum AS (
+           SELECT feature, n_f, term,
+                  sum(term) OVER (PARTITION BY feature ORDER BY fv
+                    ROWS UNBOUNDED PRECEDING) AS c
+           FROM terms),
+         pf AS (
+           SELECT feature, CAST(sum(n_f) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS n_values,
+                  max(c) AS t
+           FROM cum GROUP BY feature),
+         par AS (
+           SELECT 1.0 - CAST(CAST(p AS HUGEINT) * p +
+                    CAST(n - p AS HUGEINT) * (n - p) AS DOUBLE) /
+                  CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS parent_impurity
+           FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(y) AS BIGINT) AS p FROM ev))
+         SELECT pf.feature, pf.n, pf.n_values, par.parent_impurity,
+                1.0 - pf.t / CAST(pf.n AS DOUBLE) AS child_impurity,
+                par.parent_impurity -
+                  (1.0 - pf.t / CAST(pf.n AS DOUBLE)) AS gini_gain
+         FROM pf, par""",
     "q264_cluster_eval" ->
       """WITH l AS (
            SELECT p_partkey AS id, p_brand,

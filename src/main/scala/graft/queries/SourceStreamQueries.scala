@@ -621,7 +621,7 @@ object SourceStreamQueries {
     "q110_streaming_sessions" -> { (s, dir) =>
       val ev = t(s, dir, "events")
         .select(col("user_id").cast("long").as("user_id"), col("ts"))
-      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
       val sentinel = s.createDataFrame(
         java.util.List.of(org.apache.spark.sql.Row(
           -1L, new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000))),

@@ -37,6 +37,34 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // VERBATIM OVERLAP LOCALIZATION — q60 tells you WHETHER an eval doc
+    // leaks into training; this tells you WHERE and HOW LONG: positional
+    // word-5-grams join on gram text, and within each (pair, alignment
+    // offset) run the island trick (pos − row_number is constant on a
+    // contiguous run) extracts MAXIMAL verbatim spans with start offsets in
+    // both docs. A run of g consecutive 5-grams == g+4 verbatim words.
+    // Scale discipline: grams in > 20 docs are dropped BEFORE the pair
+    // join (boilerplate suppression — the postings cap q41/q164 use, here
+    // in query AND oracle), and the island window partitions by
+    // (pair, offset) — per-task state is one span chain, never a corpus
+    "q291_overlap_spans" -> { (s, dir) =>
+      graft.data.Dedup.overlapSpans(t(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text", k = 5, maxDf = 20, minGrams = 3)
+    },
+
+    // GOOD–TURING SMOOTHING TABLE — q99's count-of-counts spectrum carried
+    // to the estimator it exists for: adjusted count c* = (c+1)·N_{c+1}/N_c
+    // per observed frequency c (Good 1953), the classic LM smoothing /
+    // vocabulary-truncation input. The spectrum is tiny (|distinct c|), so
+    // the N_{c+1} lookup is a self-join on c+1 over a kilobyte — totals
+    // ride along as a broadcast 1-row attach. gt_cstar is row-level double
+    // arithmetic with an identical op sequence on both engines
+    "q292_good_turing" -> { (s, dir) =>
+      graft.data.Profile.goodTuringTable(
+        t(s, dir, "documents")
+          .select(explode(split(trim(col("text")), " ")).as("term")))
+    },
+
     // The hashing trick — fixed-dimension text featurization with no
     // vocabulary fit at all: token -> md5 bucket (mod 8) with a ±1 sign bit
     // (the signed construction keeps collision noise zero-mean, Weinberger
@@ -496,7 +524,7 @@ object TextQueries {
       val support = 0.01
       // sketch result is bounded by ~1/support items — driver-bounded
       val sketched = terms.stat.freqItems(Seq("term"), support)
-        .head.getSeq[String](0).toSet
+        .head().getSeq[String](0).toSet
       val exact = terms.groupBy("term")
         .agg(count(lit(1)).as("freq"))
         .filter(col("freq") > n * support)
@@ -584,6 +612,56 @@ object TextQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q291_overlap_spans" ->
+      """WITH tw AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS ws
+           FROM documents),
+         grams AS (
+           SELECT doc_id,
+                  unnest([{'pos': i - 1,
+                           'g': array_to_string(ws[i:i+4], ' ')}
+                          for i in range(1, len(ws) - 3)],
+                         recursive := true)
+           FROM tw WHERE len(ws) >= 5),
+         rare AS (
+           SELECT g FROM grams GROUP BY g
+           HAVING count(DISTINCT doc_id) <= 20),
+         gr AS (SELECT grams.* FROM grams JOIN rare USING (g)),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diff
+           FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id),
+         isl AS (
+           SELECT doc_a, doc_b, diff, pa, pb,
+                  pa - row_number() OVER (PARTITION BY doc_a, doc_b, diff
+                       ORDER BY pa) AS island
+           FROM p)
+         SELECT doc_a, doc_b,
+                CAST(min(pa) AS BIGINT) AS start_a,
+                CAST(min(pb) AS BIGINT) AS start_b,
+                CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(count(*) + 4 AS BIGINT) AS n_words
+         FROM isl GROUP BY doc_a, doc_b, diff, island
+         HAVING count(*) >= 3""",
+    "q292_good_turing" ->
+      """WITH tok AS (
+           SELECT unnest(string_split(trim(text), ' ')) AS term
+           FROM documents),
+         tc AS (SELECT term, count(*) AS c FROM tok
+                WHERE term <> '' GROUP BY 1),
+         spec AS (SELECT c, CAST(count(*) AS BIGINT) AS n_c
+                  FROM tc GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(CAST(c AS HUGEINT) * n_c) AS BIGINT) AS n_tokens,
+                  CAST(sum(n_c) AS BIGINT) AS n_types
+           FROM spec)
+         SELECT CAST(s.c AS BIGINT) AS c, s.n_c,
+                CAST(coalesce(n1.n_c, 0) AS BIGINT) AS n_c1,
+                (CAST(s.c AS DOUBLE) + 1.0) *
+                  CAST(coalesce(n1.n_c, 0) AS DOUBLE) /
+                  CAST(s.n_c AS DOUBLE) AS gt_cstar,
+                t.n_tokens, t.n_types
+         FROM spec s LEFT JOIN spec n1 ON n1.c = s.c + 1, tot t""",
     "q232_cdc_chunking" ->
       """WITH t1 AS (
            SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),

@@ -213,7 +213,7 @@ object Bm25 {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String): (Long, Long) = {
-    val nBuckets = spark.read.parquet(s"$path/stats").select("n_buckets").head.getInt(0)
+    val nBuckets = spark.read.parquet(s"$path/stats").select("n_buckets").head().getInt(0)
     graft.operators.PartitionCompaction.compact(
       spark, s"$path/postings", "term_bucket", nBuckets)
   }
@@ -231,7 +231,7 @@ object Bm25 {
                   queryTextCol: String = "query_text"): DataFrame = {
     val spark = queries.sparkSession
     val stats = spark.read.parquet(s"$indexPath/stats")
-    val nBuckets = stats.select("n_buckets").head.getInt(0)
+    val nBuckets = stats.select("n_buckets").head().getInt(0)
 
     val queryTerms = queries
       .select(col(queryIdCol).cast("long").as("query_id"),

@@ -340,6 +340,150 @@ class Round10Spec extends SparkSpec {
     assert(r === Map("g1" -> 1000000L, "g2" -> 0L))
   }
 
+  test("Triangles.perVertex: hand-checked K4-minus-an-edge, reversed/dup " +
+      "edges collapsed") {
+    val s = spark
+    import s.implicits._
+    // edges of K4 minus {3,4}, with a duplicate and a reversed copy thrown
+    // in: triangles are {1,2,3} and {1,2,4}
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (2L, 4L)).toDF("src", "dst")
+    val got = graft.operators.Triangles.perVertex(edges, "src", "dst")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // v1: d=3 tri=2 → 2·2/(3·2)=2/3; v2 same; v3: d=2 tri=1 → 1; v4 same
+    assert(got.toSeq === Seq(
+      (1L, 3L, 2L, 666666L), (2L, 3L, 2L, 666666L),
+      (3L, 2L, 1L, 1000000L), (4L, 2L, 1L, 1000000L)))
+  }
+
+  test("RankStats.mannWhitneyFromCountsGrouped: per-group results equal " +
+      "the ungrouped kernel run on each group") {
+    val s = spark
+    import s.implicits._
+    val counts = Seq(
+      ("g1", 1L, 2L, 0L), ("g1", 2L, 1L, 1L), ("g1", 3L, 0L, 2L),
+      ("g2", 5L, 1L, 1L), ("g2", 7L, 2L, 2L))
+      .toDF("g", "v", "ca", "cb")
+    val grouped = graft.data.RankStats
+      .mannWhitneyFromCountsGrouped(counts, "v", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("u2_a"), r.getAs[Long]("u2_b"),
+         r.getAs[Boolean]("identity_ok"))).toMap
+    for (g <- Seq("g1", "g2")) {
+      val solo = graft.data.RankStats
+        .mannWhitneyFromCounts(counts.filter($"g" === g).drop("g"), "v")
+        .collect().head
+      assert(grouped(g) === ((solo.getAs[Long]("u2_a"),
+        solo.getAs[Long]("u2_b"), solo.getAs[Boolean]("identity_ok"))),
+        s"group $g")
+      assert(grouped(g)._3, s"tie identity must hold for $g")
+    }
+  }
+
+  test("CmsStore join-size estimate: exact on a collision-free fixture, " +
+      "never an underestimate, counters conserve mass") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(1L, 1L, 2L, 3L, 3L, 3L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 4L).toDF("k")
+    val ca = graft.data.CmsStore.countersFor(a, "k")
+    val cb = graft.data.CmsStore.countersFor(b, "k")
+    // every hash row holds the full mass exactly once
+    val rowMass = ca.groupBy("row_i")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("m"))
+      .as[(Int, Long)].collect().toMap
+    assert(rowMass === Map(0 -> 6L, 1 -> 6L, 2 -> 6L, 3 -> 6L))
+    val est = graft.data.CmsStore.joinSizeEstimate(ca, cb)
+      .collect().head.getLong(0)
+    // exact |A ⋈ B| = 2·1 + 1·2 = 4; 5 distinct keys in 256 buckets are
+    // collision-free for this fixed md5 seed, so the estimate is exact —
+    // and the ≥ bound holds unconditionally
+    assert(est >= 4L, "CMS inner product must never underestimate")
+    assert(est === 4L, "collision-free fixture estimates exactly")
+  }
+
+  test("Calibration.pavFit: textbook pooling — a decreasing pair pools to " +
+      "its weighted mean, the tail stays; fit is monotone") {
+    val s = spark
+    import s.implicits._
+    // rates 0.5, 0.2, 0.8 with n=10 each: PAV pools bins 1-2 → 0.35
+    val bins = Seq((1L, 10L, 5L), (2L, 10L, 2L), (3L, 10L, 8L))
+      .toDF("b", "n", "n_pos")
+    val got = graft.data.Calibration.pavFit(bins)
+      .orderBy("bin")
+      .select("bin", "rate_ppm", "iso_fit")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._2) === Seq(500000L, 200000L, 800000L))
+    assert(got.map(_._3) === Seq(0.35, 0.35, 0.8))
+    assert(got.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      "isotonic fit must be non-decreasing")
+  }
+
+  test("Profile.keySkewGini: hand-checked on counts (1,1,2,4)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq("k1", "k2", "k3", "k3", "k4", "k4", "k4", "k4")
+      .toDF("key")
+    val r = graft.data.Profile.keySkewGini(rows, "key").collect().head
+    // sorted x=(1,1,2,4): Σi·x=25, S=8, n=4 → G=(50−40)/32=0.3125
+    assert(r.getAs[Long]("n_keys") === 4L)
+    assert(r.getAs[Long]("n_rows") === 8L)
+    assert(r.getAs[Long]("max_c") === 4L)
+    assert(r.getAs[Long]("gini_ppm") === 312500L)
+    assert(r.getAs[Long]("top1_share_ppm") === 500000L)
+  }
+
+  test("Dedup.overlapSpans: one shared 7-word run localizes as one maximal " +
+      "span with exact offsets") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "x1 x2 a b c d e f g x3"),
+      (2L, "y1 a b c d e f g y2 y3"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    val got = graft.data.Dedup
+      .overlapSpans(docs, "doc_id", "text", k = 5, maxDf = 20, minGrams = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // 'a b c d e f g' = 3 consecutive 5-grams at word offsets 2 (doc 1)
+    // and 1 (doc 2); doc 3 shares nothing
+    assert(got === Seq((1L, 2L, 2L, 1L, 3L, 7L)))
+  }
+
+  test("Dedup.ngramJaccardPairsPrefix: identical pairs to the exhaustive " +
+      "inverted-index kernel") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "a completely different document about spark engines"),
+      (4L, "a completely different document about spark clusters"),
+      (5L, "short text")).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSet
+    val exhaustive = canon(graft.data.Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", k = 5, threshold = 0.3))
+    val prefix = canon(graft.data.Dedup.ngramJaccardPairsPrefix(
+      docs, "text", "doc_id", k = 5, threshold = 0.3))
+    assert(prefix === exhaustive)
+    assert(exhaustive.nonEmpty, "fixture must actually produce pairs")
+  }
+
+  test("Profile.goodTuringTable: hand-checked on 'a a a b b c'") {
+    val s = spark
+    import s.implicits._
+    val tokens = Seq("a", "a", "a", "b", "b", "c").toDF("term")
+    val got = graft.data.Profile.goodTuringTable(tokens)
+      .orderBy("c")
+      .select("c", "n_c", "n_c1", "gt_cstar", "n_tokens", "n_types")
+      .as[(Long, Long, Long, Double, Long, Long)].collect().toSeq
+    // N1=N2=N3=1: c*=2·1/1=2 at c=1, 3·1/1=3 at c=2, 4·0/1=0 at c=3
+    assert(got === Seq(
+      (1L, 1L, 1L, 2.0, 6L, 3L),
+      (2L, 1L, 1L, 3.0, 6L, 3L),
+      (3L, 1L, 0L, 0.0, 6L, 3L)))
+  }
+
   test("CategoryEncoder.encode: survives a caller frame that already has 'id'") {
     val s = spark
     import s.implicits._
