@@ -244,6 +244,43 @@ object CoreQueries {
     // Subtotal rows are labeled '<all>' via grouping() — NOT a bare
     // coalesce, which would conflate a subtotal with a genuine NULL data
     // stratum (those render '<null>')
+    // APPROX-PERCENTILE ACCURACY GATE — the 100 TB escape hatch
+    // (percentile_approx) made oracle-visible: Spark's GK-style sketch
+    // promises an answer whose RANK is within n/accuracy of the target,
+    // so the gate computes the approx median in-query, measures its exact
+    // rank window [count(<ap), count(≤ap)] relationally, and emits the
+    // integer cross-multiplied verdict r_lt·1000 ≤ 501·n ∧ r_le·1000 ≥
+    // 499·n — the sketch VALUE never appears in the output (it is
+    // engine-specific; its GUARANTEE is not). Beside it, the exact
+    // rank-⌈n/2⌉ order statistic from the collapsed value domain — the
+    // pair a drift dashboard shows. Binned-domain sibling for
+    // row-sized domains: q251's HistStore path
+    "q300_approx_percentile_gate" -> { (s, dir) =>
+      val acc = 1000
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+      val ap = ev.agg(
+        percentile_approx(col("v"), lit(0.5), lit(acc)).as("ap"),
+        count(lit(1)).cast("long").as("n"))
+      val dom = ev.groupBy("v").agg(count(lit(1)).cast("long").as("c"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = dom.withColumn("cum", sum("c").over(w).cast("long"))
+        .crossJoin(broadcast(ap.select(col("n").as("__n"))))
+        .filter(col("cum") * 2 >= col("__n"))
+        .agg(min("v").cast("long").as("p50_exact_micro"))
+      val ranks = ev.crossJoin(broadcast(ap))
+        .agg(sum(when(col("v") < col("ap"), 1L).otherwise(0L)).cast("long")
+            .as("r_lt"),
+          sum(when(col("v") <= col("ap"), 1L).otherwise(0L)).cast("long")
+            .as("r_le"),
+          max("n").cast("long").as("n"))
+      ranks.crossJoin(broadcast(med))
+        .select(col("n"), col("p50_exact_micro"),
+          (col("r_lt") * 1000L <= col("n") * 501L &&
+           col("r_le") * 1000L >= col("n") * 499L).as("rank_ok"))
+    },
+
     // LOCAL CLUSTERING COEFFICIENT — q138's oriented triangle kernel made
     // per-vertex: each triangle (s, b, c) is materialized ONCE (degree-id
     // orientation, O(√m) fan-out bound) and credits its three corners via
@@ -3256,6 +3293,22 @@ object CoreQueries {
                               CAST(cumb AS HUGEINT) * na)) * 1000000) //
                      (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS d_ppm
          FROM c""",
+    "q300_approx_percentile_gate" ->
+      """WITH ev AS (
+           SELECT CAST(floor(value * 1000000) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+         dom AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+                 FROM ev GROUP BY 1),
+         cum AS (
+           SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+           FROM dom),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+         med AS (
+           SELECT CAST(min(v) AS BIGINT) AS p50_exact_micro
+           FROM cum, nn WHERE cum * 2 >= nn.n)
+         SELECT nn.n, med.p50_exact_micro, true AS rank_ok
+         FROM nn, med""",
     "q288_local_clustering" ->
       """WITH pairs AS (
            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -30,6 +30,89 @@ object SourceStreamQueries {
     graft.sources.Tables(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // STREAMING HEAVY HITTERS — Misra–Gries in MapState (the BOUNDED
+    // sub-keyed state q228's TypeCounts lacks: ≤ k counters per user no
+    // matter the type cardinality), two batches across a checkpoint
+    // resume. The sketch's internal tie-breaks are order-dependent, so the
+    // oracle grades the ORDER-INDEPENDENT guarantee surface instead: for
+    // every (user, type) whose exact count exceeds n_u/k, the sketch must
+    // track it (MG tracks everything above n/(k+1)) with est ≤ exact and
+    // est ≥ exact − n_u/(k+1) — integer cross-multiplied comparisons over
+    // relationally-replayed exact counts. The last snapshot per user is
+    // identified by its monotone n_seen, never by arrival order
+    "q299_stream_heavy_hitters" -> { (s, dir) =>
+      // item = value decile (a ~50-value skewed domain, so the k=6 sketch
+      // genuinely evicts — event_type's 5 values would never overflow it)
+      val k = 6
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("user_id").cast("long").as("user_id"),
+          expr("CAST(CAST(least(floor(value / 10), 49) AS BIGINT) AS STRING)")
+            .as("event_type"), dayofmonth(col("ts")).as("dom"))
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q299_" + s.sparkContext.applicationId)
+      graft.operators.FsUtil.deleteRecursively(base.toFile)
+      Files.createDirectories(base.resolve("data"))
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("user_id", LongType)
+        .add("event_type", org.apache.spark.sql.types.StringType)
+      val sp = s
+      import sp.implicits._
+      val prevProvider = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        def runOnce(): Unit = {
+          val out = s.readStream.schema(schema).parquet(s"$base/data")
+            .as[(Long, String)]
+            .groupByKey(_._1)
+            .transformWithState(new graft.streaming.HeavyHitters(k),
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+            .toDF("user_id", "n_seen", "mg")
+          val q = out.writeStream.format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        ev.filter(col("dom") <= 15).select("user_id", "event_type")
+          .coalesce(1).write.mode("append").parquet(s"$base/data")
+        runOnce()
+        ev.filter(col("dom") > 15).select("user_id", "event_type")
+          .coalesce(1).write.mode("append").parquet(s"$base/data")
+        runOnce()
+      } finally {
+        prevProvider match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      val fin = s.read.parquet(s"$base/out")
+        .groupBy("user_id")
+        .agg(max_by(col("mg"), col("n_seen")).as("mg"),
+          max("n_seen").cast("long").as("n_user"))
+      val exact = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).cast("long").as("n_exact"))
+      exact.join(fin, "user_id")
+        .filter(col("n_exact") * k > col("n_user"))
+        .withColumn("est",
+          element_at(str_to_map(col("mg"), lit(","), lit(":")),
+            col("event_type")).cast("long"))
+        .select(col("user_id"), col("event_type"), col("n_exact"),
+          col("n_user"),
+          col("est").isNotNull.as("tracked"),
+          (col("est").isNotNull && col("est") <= col("n_exact"))
+            .as("est_le_exact"),
+          (col("est").isNotNull &&
+            col("est") * (k + 1) >= col("n_exact") * (k + 1) - col("n_user"))
+            .as("est_ge_bound"))
+    },
+
     // CROSS-FORMAT PARITY GATE — the source-tier capstone: the same hourly
     // aggregate computed from the parquet original and from CSV, JSONL and
     // ORC round-trips of it must agree cell-for-cell (CSV/JSON serialize
@@ -896,6 +979,25 @@ object SourceStreamQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    // the guarantee surface is order-independent, so the oracle replays
+    // the exact counts relationally and pins the verdicts as constants —
+    // a false anywhere is a hash miss (the q183 never-underestimate style)
+    "q299_stream_heavy_hitters" ->
+      """WITH i AS (
+           SELECT user_id,
+                  CAST(CAST(least(floor(value / 10), 49) AS BIGINT)
+                       AS VARCHAR) AS event_type
+           FROM events WHERE value IS NOT NULL),
+         c AS (
+           SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_exact
+           FROM i GROUP BY 1, 2),
+         u AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_user
+           FROM i GROUP BY 1)
+         SELECT c.user_id, c.event_type, c.n_exact, u.n_user,
+                true AS tracked, true AS est_le_exact, true AS est_ge_bound
+         FROM c JOIN u USING (user_id)
+         WHERE c.n_exact * 6 > u.n_user""",
     // batching-invariant: the oracle is q161's batch replay, blind to how
     // the stream micro-batched
     "q266_stream_hist_ingest" ->

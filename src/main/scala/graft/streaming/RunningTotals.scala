@@ -110,6 +110,62 @@ class SessionTimeout extends StatefulProcessor[Long,
   }
 }
 
+/** Streaming Misra–Gries heavy hitters per key (q299) — BOUNDED sub-keyed
+  * state where [[TypeCounts]] is unbounded: at most `k` counters per user
+  * no matter how many distinct event types the stream carries, which is the
+  * difference between O(keys·k) and O(keys·types) state at 100 TB.
+  *
+  * Classic summary (Misra & Gries 1982): an arriving item increments its
+  * counter if tracked, claims a free slot at 1 if any, else EVERY counter
+  * decrements by one (zeros evicted). Guarantees hold under ANY processing
+  * order and any batch split — est ≤ true count, est ≥ true − n/(k+1), and
+  * every item with true count > n/(k+1) is tracked — so the oracle-visible
+  * surface (q299's verdict rows over exactly-counted heavy types) is
+  * deterministic even though the sketch's internal tie-breaking is not.
+  * Emits (user, n_seen_total, "type:est,…" sorted) per batch; n_seen makes
+  * the LAST snapshot per user identifiable relationally.
+  */
+class HeavyHitters(k: Int)
+    extends StatefulProcessor[Long, (Long, String), (Long, Long, String)] {
+
+  @transient private var counters: MapState[String, Long] = _
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    counters = getHandle.getMapState[String, Long]("mg",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    seen = getHandle.getValueState[Long]("seen",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[(Long, Long, String)] = {
+    var n = if (seen.exists()) seen.get() else 0L
+    rows.foreach { r =>
+      val t = r._2
+      n += 1L
+      if (counters.containsKey(t)) {
+        counters.updateValue(t, counters.getValue(t) + 1L)
+      } else {
+        val entries = counters.iterator().toArray
+        if (entries.length < k) {
+          counters.updateValue(t, 1L)
+        } else {
+          // full: decrement all, evict zeros, drop the arrival
+          entries.foreach { kv =>
+            if (kv._2 <= 1L) counters.removeKey(kv._1)
+            else counters.updateValue(kv._1, kv._2 - 1L)
+          }
+        }
+      }
+    }
+    seen.update(n)
+    val snapshot = counters.iterator().map(kv => (kv._1, kv._2)).toArray
+      .sortBy(_._1).map { case (t, c) => s"$t:$c" }.mkString(",")
+    Iterator.single((key, n, snapshot))
+  }
+}
+
 /** MapState facet (q225: ValueState, q226: ListState, q227: timers): a
   * per-user map of event_type → running count, updated key-wise per batch
   * and emitted as a canonical "type:count" string sorted by type — the

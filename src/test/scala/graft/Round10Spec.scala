@@ -449,6 +449,65 @@ class Round10Spec extends SparkSpec {
     assert(got === Seq((1L, 2L, 2L, 1L, 3L, 7L)))
   }
 
+  test("HeavyHitters (Misra-Gries): guarantees hold on a skewed stream " +
+      "across two batches — heavy item tracked, est within [true - n/(k+1), true]") {
+    val s = spark
+    import s.implicits._
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_t_mg_" + s.sparkContext.applicationId)
+    graft.operators.FsUtil.deleteRecursively(base.toFile)
+    Files.createDirectories(base.resolve("data"))
+    val schema = new StructType()
+      .add("user_id", LongType)
+      .add("item", org.apache.spark.sql.types.StringType)
+    // user 1: 'a'×7, 'b'×4, then 6 singletons — n=17, k=3:
+    // count('a')=7 > 17/4, so 'a' MUST survive any processing order
+    val batch1 = Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")
+    val batch2 = Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("e", "f", "g", "h")
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(schema).parquet(s"$base/data")
+          .as[(Long, String)]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.HeavyHitters(3),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Append())
+          .toDF("user_id", "n_seen", "mg")
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      batch1.map(i => (1L, i)).toDF("user_id", "item")
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      batch2.map(i => (1L, i)).toDF("user_id", "item")
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+    } finally {
+      prev match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val fin = s.read.parquet(s"$base/out")
+      .orderBy(org.apache.spark.sql.functions.desc("n_seen"))
+      .select("n_seen", "mg").as[(Long, String)].collect().head
+    assert(fin._1 === 17L, "n_seen accumulates across the checkpoint resume")
+    val est = fin._2.split(",").filter(_.nonEmpty)
+      .map(_.split(":")).map(a => a(0) -> a(1).toLong).toMap
+    assert(est.size <= 3, "at most k counters survive")
+    assert(est.contains("a"), "an item above n/(k+1) is always tracked")
+    assert(est("a") <= 7L && est("a") * 4 >= 7L * 4 - 17L,
+      s"MG bounds: got ${est("a")}")
+  }
+
   test("Dedup.ngramJaccardPairsPrefix: identical pairs to the exhaustive " +
       "inverted-index kernel") {
     val s = spark
