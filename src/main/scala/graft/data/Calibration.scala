@@ -53,4 +53,40 @@ object Calibration {
         expr("CAST(n_pos * 1000000 div n AS BIGINT)").as("rate_ppm"),
         col("iso_fit"))
   }
+
+  /** [[pavFit]] per segment: one independent monotone fit per `groupCols`
+    * key from bins `(groupCols…, b, n, n_pos)` — per-cohort / per-language
+    * calibration in ONE plan. Every window and join partitions by the
+    * group, so segments scale the parallelism while each segment's
+    * interval square stays |its bins|²; no segment ever rides a global
+    * sort.
+    */
+  def pavFitGrouped(bins: DataFrame, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "use pavFit for the ungrouped form")
+    val g = groupCols.map(col)
+    val wc = Window.partitionBy(g: _*).orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins
+      .withColumn("pn", sum("n").over(wc).cast("long"))
+      .withColumn("pp", sum("n_pos").over(wc).cast("long"))
+    val j = pre.select((g :+ col("b").as("jb")) ++ Seq(col("n").as("nj"),
+      col("n_pos").as("pj"), col("pn").as("pnj"), col("pp").as("ppj")): _*)
+    val k = pre.select((g :+ col("b").as("kb")) ++ Seq(col("pn").as("pnk"),
+      col("pp").as("ppk")): _*)
+    val a = j.join(k, groupCols).filter(col("jb") <= col("kb"))
+      .select((g ++ Seq(col("jb"), col("kb"),
+        ((col("ppk") - col("ppj") + col("pj")).cast("double") /
+         (col("pnk") - col("pnj") + col("nj")).cast("double"))
+          .as("avg_jk"))): _*)
+    val wSuf = Window.partitionBy((g :+ col("jb")): _*)
+      .orderBy(col("kb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fit = a.withColumn("m", min("avg_jk").over(wSuf))
+      .groupBy((g :+ col("kb").as("b")): _*)
+      .agg(max("m").as("iso_fit"))
+    bins.join(fit, groupCols :+ "b")
+      .select((g ++ Seq(col("b").as("bin"), col("n"), col("n_pos"),
+        expr("CAST(n_pos * 1000000 div n AS BIGINT)").as("rate_ppm"),
+        col("iso_fit"))): _*)
+  }
 }

@@ -384,6 +384,66 @@ object CoreQueries {
       graft.data.Calibration.pavFit(bins)
     },
 
+    // SEGMENT-WISE ISOTONIC CALIBRATION — q294's PAV fit per cohort in ONE
+    // plan (per-language / per-surface calibration is the production
+    // shape: a global monotone map miscalibrates every segment whose base
+    // rate differs): all windows and the interval join partition by the
+    // segment, so segments scale parallelism and each pays only its own
+    // bins² square
+    "q301_isotonic_by_segment" -> { (s, dir) =>
+      val bins = t(s, dir, "events").filter(col("value").isNotNull)
+        .select((col("user_id") % 3).cast("long").as("cohort"),
+          expr("CAST(floor(value / 10) AS BIGINT)").as("b"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy("cohort", "b")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("y").cast("long").as("n_pos"))
+      graft.data.Calibration.pavFitGrouped(bins, Seq("cohort"))
+    },
+
+    // RATIO-METRIC CI BY THE DELTA METHOD — the closed-form the bootstrap
+    // (q244) approximates: for R = Σx/Σy over per-user totals (revenue per
+    // event — the archetypal ratio metric where per-user events are the
+    // denominator), Var(R) ≈ (s_xx − 2R·s_xy + R²·s_yy) / (n·ȳ²) with
+    // centered second moments. ALL moments are exact DECIMAL integers in
+    // micro-units; R, se and the ±1.96 CI are exact-then-cast doubles with
+    // one fixed op sequence — a statistic a 100 TB pipeline computes in ONE
+    // aggregation, no resampling passes
+    "q303_ratio_delta_ci" -> { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val per = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase" &&
+              col("value").isNotNull,
+            expr("CAST(floor(value * 1000000) AS BIGINT)")).otherwise(0L))
+            .cast("long").as("x"),
+          count(lit(1)).cast("long").as("y"))
+      val mom = per.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x").cast(d38)).cast(d38).as("sx"),
+        sum(col("y").cast(d38)).cast(d38).as("sy"),
+        sum(col("x").cast(d38) * col("x")).cast(d38).as("sxx"),
+        sum(col("x").cast(d38) * col("y")).cast(d38).as("sxy"),
+        sum(col("y").cast(d38) * col("y")).cast(d38).as("syy"))
+      // centered moments via n·Σab − Σa·Σb (q283's integer identity)
+      val r = col("sx").cast("double") / col("sy").cast("double")
+      val cxx = (col("n").cast(d38) * col("sxx") -
+        col("sx").cast(d38) * col("sx")).cast("double")
+      val cxy = (col("n").cast(d38) * col("sxy") -
+        col("sx").cast(d38) * col("sy")).cast("double")
+      val cyy = (col("n").cast(d38) * col("syy") -
+        col("sy").cast(d38) * col("sy")).cast("double")
+      val nD = col("n").cast("double")
+      val meanY = col("sy").cast("double") / nD
+      // Var(R) = (cxx − 2R·cxy + R²·cyy) / (n²(n−1)) / ȳ² ; se = √Var
+      val se = sqrt(
+        ((cxx - lit(2.0) * r * cxy + r * r * cyy) /
+          (nD * nD * (nD - lit(1.0)))) / (meanY * meanY))
+      mom.select(col("n").as("n_users"), r.as("ratio_u"),
+        se.as("se_u"),
+        (r - lit(1.96) * se).as("ci_lo_u"),
+        (r + lit(1.96) * se).as("ci_hi_u"))
+    },
+
     // SEGMENT-WISE MANN–WHITNEY U — q277's grouped layout for the OTHER
     // rank statistic: one tie-corrected U per language, cumulative pass
     // partitioned by segment (parallelism scales with segments, per-task
@@ -3447,6 +3507,91 @@ object CoreQueries {
                 CAST(bins.n_pos * 1000000 // bins.n AS BIGINT) AS rate_ppm,
                 f.iso_fit
          FROM bins JOIN f USING (b)""",
+    "q301_isotonic_by_segment" ->
+      """WITH ev AS (
+           SELECT CAST(user_id % 3 AS BIGINT) AS cohort,
+                  CAST(floor(value / 10) AS BIGINT) AS b,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL),
+         bins AS (
+           SELECT cohort, b, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS n_pos
+           FROM ev GROUP BY 1, 2),
+         pre AS (
+           SELECT cohort, b, n, n_pos,
+                  CAST(sum(n) OVER (PARTITION BY cohort ORDER BY b
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pn,
+                  CAST(sum(n_pos) OVER (PARTITION BY cohort ORDER BY b
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp
+           FROM bins),
+         a AS (
+           SELECT j.cohort, j.b AS jb, k.b AS kb,
+                  CAST(k.pp - j.pp + j.n_pos AS DOUBLE) /
+                  CAST(k.pn - j.pn + j.n AS DOUBLE) AS avg_jk
+           FROM pre j JOIN pre k ON j.cohort = k.cohort AND j.b <= k.b),
+         sm AS (
+           SELECT cohort, jb, kb,
+                  min(avg_jk) OVER (PARTITION BY cohort, jb ORDER BY kb DESC
+                    ROWS UNBOUNDED PRECEDING) AS m
+           FROM a),
+         f AS (SELECT cohort, kb AS b, max(m) AS iso_fit
+               FROM sm GROUP BY 1, 2)
+         SELECT bins.cohort, bins.b AS bin, bins.n, bins.n_pos,
+                CAST(bins.n_pos * 1000000 // bins.n AS BIGINT) AS rate_ppm,
+                f.iso_fit
+         FROM bins JOIN f USING (cohort, b)""",
+    "q303_ratio_delta_ci" ->
+      """WITH per AS (
+           SELECT user_id,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                       AND value IS NOT NULL
+                       THEN CAST(floor(value * 1000000) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+                  CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                  CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                  CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                  CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                  CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+           FROM per)
+         SELECT n AS n_users,
+                CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio_u,
+                sqrt(((CAST(n * sxx - sx * sx AS DOUBLE) -
+                       2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+                         CAST(n * sxy - sx * sy AS DOUBLE) +
+                       (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+                         (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+                         CAST(n * syy - sy * sy AS DOUBLE)) /
+                      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+                       (CAST(n AS DOUBLE) - 1.0))) /
+                     ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
+                      (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS se_u,
+                CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) - 1.96 *
+                sqrt(((CAST(n * sxx - sx * sx AS DOUBLE) -
+                       2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+                         CAST(n * sxy - sx * sy AS DOUBLE) +
+                       (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+                         (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+                         CAST(n * syy - sy * sy AS DOUBLE)) /
+                      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+                       (CAST(n AS DOUBLE) - 1.0))) /
+                     ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
+                      (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS ci_lo_u,
+                CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) + 1.96 *
+                sqrt(((CAST(n * sxx - sx * sx AS DOUBLE) -
+                       2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+                         CAST(n * sxy - sx * sy AS DOUBLE) +
+                       (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+                         (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+                         CAST(n * syy - sy * sy AS DOUBLE)) /
+                      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+                       (CAST(n AS DOUBLE) - 1.0))) /
+                     ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
+                      (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS ci_hi_u
+         FROM m""",
     "q296_mwu_by_segment" ->
       """WITH dom AS (
            SELECT lang, n_chars AS v,

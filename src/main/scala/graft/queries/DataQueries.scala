@@ -1267,6 +1267,43 @@ object DataQueries {
       graft.ann.Gram.gramUpper(t(s, dir, "embeddings"), "embedding")
     },
 
+    // JOIN-SIZE ESTIMATE FROM PERSISTED SKETCHES — q293's estimator fed by
+    // the CMS STORE instead of a fresh scan: each side's daily counters
+    // were appended over two batches (linearity merges them exactly), so
+    // "how big is clicks ⋈ purchases on user" is answered from two
+    // kilobyte-sized persisted tables WITHOUT touching the fact relation
+    // at ask time — the planner-hint workflow at 100 TB. Same bound (never
+    // underestimates), same oracle-visible exact count
+    "q302_join_size_from_store" -> { (s, dir) =>
+      import graft.data.CmsStore
+      val ev = t(s, dir, "events")
+        .select(col("ts"), col("user_id"), col("event_type"))
+      val tmp = System.getProperty("java.io.tmpdir")
+      val app = s.sparkContext.applicationId
+      val pathA = s"$tmp/graft_q302a_$app"
+      val pathB = s"$tmp/graft_q302b_$app"
+      val clicks = ev.filter(col("event_type") === "click")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      CmsStore.appendDaily(clicks.filter(dayofmonth(col("ts")) % 2 === 0),
+        "ts", "user_id", pathA, overwrite = true)
+      CmsStore.appendDaily(clicks.filter(dayofmonth(col("ts")) % 2 === 1),
+        "ts", "user_id", pathA)
+      CmsStore.appendDaily(purchases.filter(dayofmonth(col("ts")) % 2 === 0),
+        "ts", "user_id", pathB, overwrite = true)
+      CmsStore.appendDaily(purchases.filter(dayofmonth(col("ts")) % 2 === 1),
+        "ts", "user_id", pathB)
+      val est = CmsStore.joinSizeEstimate(
+        CmsStore.mergedCounters(s, pathA), CmsStore.mergedCounters(s, pathB))
+      val exact = clicks.select(col("user_id"))
+        .join(purchases.select(col("user_id")), "user_id")
+        .agg(count(lit(1)).cast("long").as("exact_rows"))
+      est.crossJoin(exact) // 1×1
+        .select(col("exact_rows"), col("est_rows"),
+          (col("est_rows") >= col("exact_rows")).as("bound_ok"),
+          expr("""CAST((CAST(est_rows AS DECIMAL(38,0)) - exact_rows)
+                  * 1000000 div exact_rows AS BIGINT)""").as("overshoot_ppm"))
+    },
+
     // count-min sketch store gate — the point-frequency member of the
     // mergeable-store family (HLL = distinct, Hist = quantiles, CMS = "how
     // often is key k"). The store is built in two appends (odd/even days)
@@ -1894,6 +1931,40 @@ object DataQueries {
           FROM c$i)"""
 
   val oracleSql: Map[String, String] = Map(
+    // merged store counters ≡ direct counts by CMS linearity, so the
+    // replay needs no day split
+    "q302_join_size_from_store" ->
+      """WITH a AS (SELECT user_id AS k FROM events
+                    WHERE event_type = 'click'),
+         b AS (SELECT user_id AS k FROM events
+               WHERE event_type = 'purchase'),
+         ca AS (
+           SELECT r.i AS row_i,
+                  CAST(CAST(concat('0x', substr(md5(concat(r.i, '|',
+                    CAST(k AS VARCHAR))), 1, 12)) AS UBIGINT) % 256 AS INT)
+                    AS col_j,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM a, range(4) r(i) GROUP BY 1, 2),
+         cb AS (
+           SELECT r.i AS row_i,
+                  CAST(CAST(concat('0x', substr(md5(concat(r.i, '|',
+                    CAST(k AS VARCHAR))), 1, 12)) AS UBIGINT) % 256 AS INT)
+                    AS col_j,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM b, range(4) r(i) GROUP BY 1, 2),
+         dots AS (
+           SELECT ca.row_i,
+                  CAST(sum(CAST(ca.cnt AS HUGEINT) * cb.cnt) AS HUGEINT)
+                    AS dot
+           FROM ca JOIN cb USING (row_i, col_j) GROUP BY 1),
+         est AS (SELECT CAST(min(dot) AS BIGINT) AS est_rows FROM dots),
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_rows
+                FROM a JOIN b USING (k))
+         SELECT ex.exact_rows, est.est_rows,
+                est.est_rows >= ex.exact_rows AS bound_ok,
+                CAST((CAST(est.est_rows AS HUGEINT) - ex.exact_rows)
+                     * 1000000 // ex.exact_rows AS BIGINT) AS overshoot_ppm
+         FROM ex, est""",
     "q295_split_contamination_emb" ->
       """WITH te AS (SELECT vec_id AS test_id, embedding
                      FROM embeddings WHERE vec_id % 10 = 0),

@@ -419,6 +419,27 @@ class Round10Spec extends SparkSpec {
       "isotonic fit must be non-decreasing")
   }
 
+  test("Calibration.pavFitGrouped: per-segment fits equal the ungrouped " +
+      "kernel run on each segment") {
+    val s = spark
+    import s.implicits._
+    val bins = Seq(
+      ("s1", 1L, 10L, 5L), ("s1", 2L, 10L, 2L), ("s1", 3L, 10L, 8L),
+      ("s2", 1L, 4L, 1L), ("s2", 2L, 8L, 6L))
+      .toDF("seg", "b", "n", "n_pos")
+    val grouped = graft.data.Calibration.pavFitGrouped(bins, Seq("seg"))
+      .select("seg", "bin", "iso_fit")
+      .as[(String, Long, Double)].collect().toSet
+    val solo = Seq("s1", "s2").flatMap { seg =>
+      graft.data.Calibration.pavFit(bins.filter($"seg" === seg).drop("seg"))
+        .select("bin", "iso_fit").as[(Long, Double)].collect()
+        .map { case (b, f) => (seg, b, f) }
+    }.toSet
+    assert(grouped === solo)
+    assert(grouped("s1", 1L, 0.35) || grouped.exists(t =>
+      t._1 == "s1" && t._2 == 1L && t._3 == 0.35), "s1 pools bins 1-2")
+  }
+
   test("Profile.keySkewGini: hand-checked on counts (1,1,2,4)") {
     val s = spark
     import s.implicits._
