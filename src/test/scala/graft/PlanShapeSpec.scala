@@ -429,4 +429,47 @@ class PlanShapeSpec extends SparkSpec {
         s"every grid window must be partitioned:\n$plan")
     }
   }
+
+  test("prefix-filtered jaccard: equi-joins only (no cartesian, no nested " +
+      "loop), no window") {
+    // the q298 kernel — candidates come from the prefix-posting equi-join,
+    // verification from two id equi-joins; a nested loop anywhere means the
+    // prefix filter degenerated into all-pairs
+    val pdocs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = staticPlan(Dedup.ngramJaccardPairsPrefix(
+      pdocs, "text", "doc_id", k = 3, threshold = 0.3))
+    assert(count(plan) {
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+    } == 0, s"prefix kernel must stay equi-join:\n$plan")
+    assert(count(plan) { case _: WindowExec => } == 0)
+  }
+
+  test("cms countersFor: ONE scan of the input (explode fan-out, not " +
+      "depth passes) and one aggregation shuffle") {
+    // appendDaily's union-of-projections shape reads the input `depth`
+    // times; the in-flight estimator cannot — the explode keeps it to one
+    val pev = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("k"))
+    val plan = staticPlan(graft.data.CmsStore.countersFor(pev, "k"))
+    assert(count(plan) {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec =>
+    } == 1, s"counters must build from a single scan:\n$plan")
+    assert(count(plan) { case _: ShuffleExchangeExec => } == 1,
+      s"one hash-agg shuffle only:\n$plan")
+  }
+
+  test("grouped PAV: every window partitioned by the segment (no global " +
+      "sort at any stage)") {
+    val bins = Seq(("s1", 1L, 10L, 5L), ("s1", 2L, 10L, 2L),
+      ("s2", 1L, 4L, 1L)).toDF("seg", "b", "n", "n_pos")
+    val plan = staticPlan(
+      graft.data.Calibration.pavFitGrouped(bins, Seq("seg")))
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"grouped PAV window must be segment-partitioned:\n$plan")
+    }
+  }
 }
