@@ -30,6 +30,32 @@ object SourceStreamQueries {
     graft.sources.Tables(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // FIXED-WIDTH SOURCE (DataSource V2) — the source tier grown by a
+    // CONNECTOR, not another option flag: events round-trip through the
+    // mainframe-style fixed-width format via graft's own TableProvider,
+    // read back with a pushed EqualTo filter and a 2-of-3 column
+    // projection (both contracts asserted in PlanShapeSpec: rows that fail
+    // the filter never cross the source boundary, unprojected fields are
+    // never materialized). The oracle aggregates the parquet original —
+    // format round-trip + pushdown correctness in one hash
+    "q304_fixed_width_source" -> { (s, dir) =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q304_" +
+        s.sparkContext.applicationId
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .select(format_string("%12d%-10s%16d",
+          col("user_id").cast("long"), col("event_type"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)")).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.format("graft.sources.FixedWidthDataSource")
+        .option("widths", "user_id:long:12,event_type:string:10,v_micro:long:16")
+        .load(path)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_purchases"),
+          sum(col("v_micro").cast("decimal(38,0)")).cast("long")
+            .as("sum_v_micro"))
+    },
+
     // STREAMING HEAVY HITTERS — Misra–Gries in MapState (the BOUNDED
     // sub-keyed state q228's TypeCounts lacks: ≤ k counters per user no
     // matter the type cardinality), two batches across a checkpoint
@@ -979,6 +1005,13 @@ object SourceStreamQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q304_fixed_width_source" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                  AS sum_v_micro
+         FROM events
+         WHERE value IS NOT NULL AND event_type = 'purchase'
+         GROUP BY 1""",
     // the guarantee surface is order-independent, so the oracle replays
     // the exact counts relationally and pins the verdicts as constants —
     // a false anywhere is a hash miss (the q183 never-underestimate style)

@@ -459,6 +459,31 @@ class PlanShapeSpec extends SparkSpec {
       s"one hash-agg shuffle only:\n$plan")
   }
 
+  test("fixed-width DSv2 scan: EqualTo lands in PushedFilters, ReadSchema " +
+      "pruned to the projection") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_t_fwplan_").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "part-0.txt"))
+    w.println("           1purchase              5000")
+    w.close()
+    val plan = staticPlan(
+      spark.read.format("graft.sources.FixedWidthDataSource")
+        .option("widths",
+          "user_id:long:12,event_type:string:10,v_micro:long:16")
+        .load(dir.getAbsolutePath)
+        .filter(col("event_type") === "purchase")
+        .select("v_micro"))
+    val scans = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size == 1, s"one DSv2 scan expected:\n$plan")
+    val desc = scans.head.scan.description()
+    assert(desc.contains("EqualTo(event_type,purchase)"),
+      s"filter must be pushed into the scan: $desc")
+    assert(desc.contains("ReadSchema=v_micro"),
+      s"projection must prune to the requested slice: $desc")
+    graft.operators.FsUtil.deleteRecursively(dir)
+  }
+
   test("grouped PAV: every window partitioned by the segment (no global " +
       "sort at any stage)") {
     val bins = Seq(("s1", 1L, 10L, 5L), ("s1", 2L, 10L, 2L),

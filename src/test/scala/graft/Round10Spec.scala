@@ -470,6 +470,32 @@ class Round10Spec extends SparkSpec {
     assert(got === Seq((1L, 2L, 2L, 1L, 3L, 7L)))
   }
 
+  test("FixedWidth DSv2 source: round-trip, blank-as-null, pruned filter " +
+      "column, and post-scan fallback for unsupported predicates") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_t_fw_").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "part-0.txt"))
+    w.println("           1purchase              5000")
+    w.println("           2click                  100")
+    w.println("                                      ") // all-blank = nulls
+    w.println("           4purchase               200")
+    w.close()
+    def read() = s.read.format("graft.sources.FixedWidthDataSource")
+      .option("widths", "user_id:long:12,event_type:string:10,v_micro:long:16")
+      .load(dir.getAbsolutePath)
+    // full read including the null row
+    assert(read().count() === 4)
+    assert(read().filter(col("user_id").isNull).count() === 1)
+    // pushed EqualTo with the filter column PRUNED from the projection
+    val vs = read().filter(col("event_type") === "purchase")
+      .select("v_micro").as[Long].collect().sorted
+    assert(vs.toSeq === Seq(200L, 5000L))
+    // GreaterThan is not pushable here — must still evaluate post-scan
+    assert(read().filter(col("v_micro") > 150L).count() === 2)
+    graft.operators.FsUtil.deleteRecursively(dir)
+  }
+
   test("HeavyHitters (Misra-Gries): guarantees hold on a skewed stream " +
       "across two batches — heavy item tracked, est within [true - n/(k+1), true]") {
     val s = spark
