@@ -1,0 +1,111 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Categorical association tests from exact contingency counts: Pearson's
+  * chi-squared test of independence (+ Cramér's V effect size) and one-way
+  * ANOVA from group moments.
+  *
+  * Scale shape: the raw relation collapses to |A|·|B| contingency cells (or
+  * k group-moment rows) in ONE hash aggregation with map-side combine; every
+  * later step runs on that collapsed frame (margins as windows over cells,
+  * never a re-scan or a join back to the raw data). At 100 TB the cell/moment
+  * frame is still category-sized.
+  *
+  * Oracle determinism: cell counts and margins are exact integers; the
+  * per-cell χ² term (O·N − R·C)²/(N·R·C) keeps its numerator difference in
+  * DECIMAL(38,0) and crosses into doubles only for square-and-divide
+  * (IEEE-exact ops), is rounded to a fixed scale, and the final sum runs in
+  * DECIMAL — order-independent across engines. ANOVA's sums of squares come
+  * from exact integer moments (Σx, Σx² in sub-unit integers) the same way.
+  */
+object Contingency {
+
+  private val D38 = "decimal(38,0)"
+
+  /** Chi-squared independence test for `aCol` × `bCol`. One row out:
+    * `n, a_levels, b_levels, dof, chi2, cramers_v`.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val wa = Window.partitionBy("a")
+    val wb = Window.partitionBy("b")
+    val wn = Window.partitionBy()
+    val terms = cells
+      .withColumn("r", sum("o").over(wa).cast("long"))
+      .withColumn("c", sum("o").over(wb).cast("long"))
+      .withColumn("n", sum("o").over(wn).cast("long"))
+      // (O·N − R·C) exact in DECIMAL(38,0); the square would overflow 38
+      // digits at extreme N, so square-and-divide run in doubles (both are
+      // correctly-rounded IEEE ops on identical inputs in either engine)
+      .withColumn("__num",
+        (col("o").cast(D38) * col("n") - col("r").cast(D38) * col("c"))
+          .cast("double"))
+      .withColumn("__den",
+        (col("n").cast(D38) * col("r") * col("c")).cast("double"))
+      .withColumn("__term",
+        round(col("__num") * col("__num") / col("__den"), 9)
+          .cast("decimal(28,9)"))
+    terms.agg(
+      max("n").cast("long").as("n"),
+      countDistinct("a").cast("long").as("a_levels"),
+      countDistinct("b").cast("long").as("b_levels"),
+      sum("__term").cast("decimal(28,9)").as("__chi2"))
+      .select(col("n"), col("a_levels"), col("b_levels"),
+        ((col("a_levels") - 1) * (col("b_levels") - 1)).cast("long")
+          .as("dof"),
+        col("__chi2").as("chi2"),
+        round(sqrt(col("__chi2").cast("double") /
+          (col("n") * least(col("a_levels"), col("b_levels")) - col("n"))
+            .cast("double")), 9).cast("decimal(20,9)").as("cramers_v"))
+  }
+
+  /** One-way ANOVA from exact integer moments. `valueIntCol` must already be
+    * an exact integer measurement (e.g. cents — the q249 sub-unit
+    * discipline). One row out: `n_total, k_groups, ssb, ssw, f_stat, eta_sq`
+    * with the sums of squares in floor-divided (sub-unit)² integers.
+    *
+    * All of SSB/SSW stay in EXACT integer arithmetic: the per-group s₁²/n
+    * quotients are floor divisions done as (s₁² − s₁² mod n)/n in
+    * DECIMAL(38,0) — never a rounded double (DuckDB's float-path round()
+    * disagrees with BigDecimal rounding above 2⁵³, the q307 lesson). The
+    * ≤1-subunit² truncation per group is part of the operator's declared
+    * semantics and reproduced bit-for-bit by any engine.
+    */
+  def anovaOneWay(df: DataFrame, groupCol: String,
+                  valueIntCol: String): DataFrame = {
+    val v = col(valueIntCol).cast(D38)
+    val groups = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).cast("long").as("ng"),
+        sum(v).cast(D38).as("s1"),
+        sum(v * v).cast(D38).as("s2"))
+    // exact floor division: (a − a mod n) / n — the decimal quotient of an
+    // exactly-divisible numerator is exact, no precision-rule divergence
+    def floorDiv(a: Column, n: Column): Column =
+      ((a - a % n.cast(D38)) / n.cast(D38)).cast(D38)
+    val perG = groups.withColumn("__t",
+      floorDiv(col("s1") * col("s1"), col("ng")))
+    perG.agg(
+      sum("ng").cast("long").as("n_total"),
+      count(lit(1)).cast("long").as("k_groups"),
+      sum("s1").cast(D38).as("__s1"),
+      sum("s2").cast(D38).as("__s2"),
+      sum("__t").cast(D38).as("__bg"))
+      .select(col("n_total"), col("k_groups"),
+        (col("__bg") -
+          floorDiv(col("__s1") * col("__s1"), col("n_total")))
+          .cast("long").as("ssb"),
+        (col("__s2") - col("__bg")).cast("long").as("ssw"))
+      .withColumn("f_stat",
+        round((col("ssb").cast("double") / (col("k_groups") - 1)) /
+          (col("ssw").cast("double") / (col("n_total") - col("k_groups"))),
+          6).cast("decimal(28,6)"))
+      .withColumn("eta_sq",
+        round(col("ssb").cast("double") /
+          (col("ssb") + col("ssw")).cast("double"), 9)
+          .cast("decimal(20,9)"))
+  }
+}

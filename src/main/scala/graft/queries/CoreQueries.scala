@@ -444,6 +444,49 @@ object CoreQueries {
         (r + lit(1.96) * se).as("ci_hi_u"))
     },
 
+    // KAPLAN–MEIER SURVIVAL CURVES — grouped product-limit estimation over
+    // per-user observation spans: duration = days between a user's first
+    // and last event, "event" = the user converted (purchased), otherwise
+    // right-censored at last sight. Subjects collapse to the per-cohort
+    // event-time domain in one hash agg; every ordered pass partitions by
+    // cohort (Survival.scala's scale contract). The per-step ln/hazard
+    // factors are fixed-scale decimals BEFORE the cumulative sums, so the
+    // running products/sums are order-independent across engines
+    "q305_kaplan_meier" -> { (s, dir) =>
+      val subj = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(expr("""CAST((unix_micros(max(ts)) - unix_micros(min(ts)))
+                     div 3600000000 AS BIGINT)""").as("dur_hours"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .cast("int").as("converted"))
+        .withColumn("cohort", (col("user_id") % 3).cast("long"))
+      graft.data.Survival.kaplanMeier(subj, Seq("cohort"), "dur_hours",
+        "converted")
+    },
+
+    // CHI-SQUARED INDEPENDENCE TEST — nation × market segment association
+    // from exact contingency counts: the categorical drift/association
+    // audit a feature pipeline runs before trusting a segmentation. Raw
+    // rows collapse to |A|·|B| cells once; margins are windows over cells;
+    // the χ² terms keep integer numerators and cross into doubles only for
+    // IEEE-exact square-and-divide (Contingency.scala's discipline)
+    "q306_chi_square" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val j = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      graft.data.Contingency.chiSquare(j, "n_name", "c_mktsegment")
+    },
+
+    // ONE-WAY ANOVA FROM EXACT MOMENTS — does account balance differ by
+    // market segment: F statistic and η² from per-group (n, Σx, Σx²) in
+    // exact integer cents (the q249 sub-unit discipline), ONE aggregation
+    // over the raw data no matter the scale, group count = parallelism
+    "q307_anova_oneway" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      graft.data.Contingency.anovaOneWay(c, "c_mktsegment", "bal_cents")
+    },
+
     // SEGMENT-WISE MANN–WHITNEY U — q277's grouped layout for the OTHER
     // rank statistic: one tie-corrected U per language, cumulative pass
     // partitioned by segment (parallelism scales with segments, per-task
@@ -3592,6 +3635,113 @@ object CoreQueries {
                      ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
                       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS ci_hi_u
          FROM m""",
+    "q305_kaplan_meier" ->
+      """WITH subj AS (
+           SELECT user_id % 3 AS cohort,
+                  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) //
+                       3600000000 AS BIGINT) AS t0,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS ev
+           FROM events GROUP BY user_id),
+         pert AS (
+           SELECT cohort, t0 AS t, CAST(sum(ev) AS BIGINT) AS d_events,
+                  CAST(sum(1 - ev) AS BIGINT) AS n_censored
+           FROM subj GROUP BY cohort, t0),
+         r AS (
+           SELECT *,
+                  sum(d_events + n_censored) OVER (PARTITION BY cohort) -
+                  COALESCE(sum(d_events + n_censored) OVER (
+                    PARTITION BY cohort ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS n_risk
+           FROM pert),
+         f AS (SELECT * FROM r WHERE d_events > 0),
+         s AS (
+           SELECT *,
+                  CASE WHEN d_events < n_risk THEN
+                    CAST(round(ln(CAST(n_risk - d_events AS DOUBLE) /
+                                  CAST(n_risk AS DOUBLE)), 9)
+                         AS DECIMAL(20,9)) END AS lnterm,
+                  CAST(round(CAST(d_events AS DOUBLE) /
+                             CAST(n_risk AS DOUBLE), 9)
+                       AS DECIMAL(20,9)) AS h
+           FROM f)
+         SELECT cohort, t, CAST(n_risk AS BIGINT) AS n_risk, d_events,
+                n_censored,
+                CASE WHEN d_events = n_risk THEN CAST(0 AS DECIMAL(20,9))
+                     ELSE CAST(round(exp(CAST(sum(lnterm) OVER w AS DOUBLE)),
+                                     9) AS DECIMAL(20,9)) END AS survival,
+                CAST(sum(h) OVER w AS DECIMAL(20,9)) AS cum_hazard
+         FROM s
+         WINDOW w AS (PARTITION BY cohort ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "q306_chi_square" ->
+      """WITH j AS (
+           SELECT n_name AS a, c_mktsegment AS b
+           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         cells AS (
+           SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM j GROUP BY a, b),
+         m AS (
+           SELECT *,
+                  CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+                  CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+                  CAST(sum(o) OVER () AS BIGINT) AS n
+           FROM cells),
+         t2 AS (
+           SELECT *,
+                  CAST(round(
+                    CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c
+                         AS DOUBLE) *
+                    CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c
+                         AS DOUBLE) /
+                    CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE), 9)
+                    AS DECIMAL(28,9)) AS term
+           FROM m),
+         agg AS (
+           SELECT CAST(max(n) AS BIGINT) AS n,
+                  CAST(count(DISTINCT a) AS BIGINT) AS a_levels,
+                  CAST(count(DISTINCT b) AS BIGINT) AS b_levels,
+                  CAST(sum(term) AS DECIMAL(28,9)) AS chi2
+           FROM t2)
+         SELECT n, a_levels, b_levels,
+                CAST((a_levels - 1) * (b_levels - 1) AS BIGINT) AS dof, chi2,
+                CAST(round(sqrt(CAST(chi2 AS DOUBLE) /
+                  CAST(n * least(a_levels, b_levels) - n AS DOUBLE)), 9)
+                  AS DECIMAL(20,9)) AS cramers_v
+         FROM agg""",
+    "q307_anova_oneway" ->
+      """WITH x AS (
+           SELECT c_mktsegment AS g,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS v
+           FROM customer),
+         grp AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS ng,
+                  CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s1,
+                  CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+           FROM x GROUP BY g),
+         pg AS (
+           SELECT *, (s1 * s1) // ng AS t0
+           FROM grp),
+         agg AS (
+           SELECT CAST(sum(ng) AS BIGINT) AS n_total,
+                  CAST(count(*) AS BIGINT) AS k_groups,
+                  CAST(sum(s1) AS HUGEINT) AS gs1,
+                  CAST(sum(s2) AS HUGEINT) AS gs2,
+                  CAST(sum(t0) AS HUGEINT) AS bg
+           FROM pg),
+         ss AS (
+           SELECT n_total, k_groups,
+                  CAST(bg - (gs1 * gs1) // n_total AS BIGINT) AS ssb,
+                  CAST(gs2 - bg AS BIGINT) AS ssw
+           FROM agg)
+         SELECT n_total, k_groups, ssb, ssw,
+                CAST(round((CAST(ssb AS DOUBLE) / (k_groups - 1)) /
+                           (CAST(ssw AS DOUBLE) / (n_total - k_groups)), 6)
+                     AS DECIMAL(28,6)) AS f_stat,
+                CAST(round(CAST(ssb AS DOUBLE) /
+                           CAST(ssb + ssw AS DOUBLE), 9)
+                     AS DECIMAL(20,9)) AS eta_sq
+         FROM ss""",
     "q296_mwu_by_segment" ->
       """WITH dom AS (
            SELECT lang, n_chars AS v,

@@ -608,4 +608,85 @@ class Round10Spec extends SparkSpec {
     assert(got(0)._2 === 0 && got(2)._2 === 0, "'a' rows get fitted id 0")
     assert(got(1)._3 && got(3)._3, "below-minFreq categories fall to OOV")
   }
+
+  test("Survival.kaplanMeier: Freireich 6-MP arm, textbook KM values") {
+    val s = spark
+    import s.implicits._
+    // the classic 21-subject 6-MP remission data (Freireich et al. 1963):
+    // + marks right-censoring
+    val obs = Seq(
+      (6, 1), (6, 1), (6, 1), (6, 0), (7, 1), (9, 0), (10, 1), (10, 0),
+      (11, 0), (13, 1), (16, 1), (17, 0), (19, 0), (20, 0), (22, 1),
+      (23, 1), (25, 0), (32, 0), (32, 0), (34, 0), (35, 0))
+      .map { case (t, e) => (0L, t.toLong, e) }
+      .toDF("cohort", "dur", "ev")
+    val km = graft.data.Survival.kaplanMeier(obs, Seq("cohort"), "dur", "ev")
+      .orderBy("t")
+      .select("t", "n_risk", "d_events", "n_censored", "survival")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDecimal(4).doubleValue()))
+    val expected = Seq(
+      (6L, 21L, 3L, 1L, 0.857142857),
+      (7L, 17L, 1L, 0L, 0.806722689),
+      (10L, 15L, 1L, 1L, 0.752941176),
+      (13L, 12L, 1L, 0L, 0.690196078),
+      (16L, 11L, 1L, 0L, 0.627450980),
+      (22L, 7L, 1L, 0L, 0.537815126),
+      (23L, 6L, 1L, 0L, 0.448179272))
+    assert(km.length === expected.length)
+    km.zip(expected).foreach { case ((t, n, d, c, surv), (et, en, ed, ec, es)) =>
+      assert(t === et && n === en && d === ed && c === ec)
+      // kernel rounds per-step ln factors to 9 dp before the running sum —
+      // agreement with the exact product to 1e-6 is the declared contract
+      assert(math.abs(surv - es) < 1e-6, s"t=$t survival $surv vs $es")
+    }
+  }
+
+  test("Survival.kaplanMeier: risk set empties => survival exactly zero") {
+    val s = spark
+    import s.implicits._
+    val obs = Seq((0L, 1L, 1), (0L, 2L, 1), (0L, 2L, 1))
+      .toDF("cohort", "dur", "ev")
+    val km = graft.data.Survival.kaplanMeier(obs, Seq("cohort"), "dur", "ev")
+      .orderBy("t").select("t", "n_risk", "d_events", "survival").collect()
+    assert(km.length === 2)
+    assert(km(0).getLong(1) === 3 && km(1).getLong(1) === 2)
+    assert(km(1).getDecimal(3) === new java.math.BigDecimal("0.000000000"),
+      "terminal event time with d == n_risk must be exactly zero")
+  }
+
+  test("Contingency.chiSquare: 2x2 hand table") {
+    val s = spark
+    import s.implicits._
+    // O = [[10,20],[30,40]] => chi2 = N(ad-bc)^2/(R1 R2 C1 C2) = 0.793650793
+    val rows = Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(30)(("y", "p")) ++ Seq.fill(40)(("y", "q"))
+    val got = graft.data.Contingency.chiSquare(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(got.getAs[Long]("n") === 100L)
+    assert(got.getAs[Long]("dof") === 1L)
+    val chi2 = got.getAs[java.math.BigDecimal]("chi2").doubleValue()
+    assert(math.abs(chi2 - 0.793650793) < 1e-8)
+    val v = got.getAs[java.math.BigDecimal]("cramers_v").doubleValue()
+    assert(math.abs(v - math.sqrt(0.793650793 / 100.0)) < 1e-8)
+  }
+
+  test("Contingency.anovaOneWay: hand moments incl. the declared floor-div") {
+    val s = spark
+    import s.implicits._
+    // a: [1,2,3], b: [5,7] => bg = 36//3 + 144//2 = 84;
+    // corr = 324//5 = 64 (floor — declared semantics); ssb = 20, ssw = 4;
+    // F = (20/1)/(4/3) = 15; eta^2 = 20/24
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 5L), ("b", 7L))
+      .toDF("g", "v")
+    val got = graft.data.Contingency.anovaOneWay(df, "g", "v").collect().head
+    assert(got.getAs[Long]("n_total") === 5L)
+    assert(got.getAs[Long]("k_groups") === 2L)
+    assert(got.getAs[Long]("ssb") === 20L)
+    assert(got.getAs[Long]("ssw") === 4L)
+    assert(got.getAs[java.math.BigDecimal]("f_stat").doubleValue() === 15.0)
+    assert(math.abs(got.getAs[java.math.BigDecimal]("eta_sq").doubleValue()
+      - 20.0 / 24.0) < 1e-8)
+  }
 }
