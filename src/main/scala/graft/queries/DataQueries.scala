@@ -1304,6 +1304,29 @@ object DataQueries {
                   * 1000000 div exact_rows AS BIGINT)""").as("overshoot_ppm"))
     },
 
+    // GOLDEN-RECORD SURVIVORSHIP — the step AFTER dedup clustering: each
+    // entity's scattered records collapse to one canonical record under
+    // explicit per-field merge policies (mode with smallest-value tie-break,
+    // recency via a total (ts, event_id) order, extremum, first/last sight).
+    // One hash agg for the direct policies + one count-and-rank pass per
+    // mode field, everything partitioned by the entity key
+    "q308_golden_record" -> { (s, dir) =>
+      import graft.data.Survivorship._
+      val e = t(s, dir, "events").select(col("user_id"),
+        col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("value_micros"))
+      goldenRecord(e, Seq("user_id"), Seq(
+        Mode("event_type"),
+        Latest("value_micros", Seq("ts_us", "event_id")),
+        Max("ts_us"), Min("event_id")))
+        .select(col("user_id"), col("n_records"),
+          col("event_type").as("mode_event_type"),
+          col("value_micros").as("last_value_micros"),
+          col("ts_us").as("last_seen_us"),
+          col("event_id").as("first_event_id"))
+    },
+
     // count-min sketch store gate — the point-frequency member of the
     // mergeable-store family (HLL = distinct, Hist = quantiles, CMS = "how
     // often is key k"). The store is built in two appends (odd/even days)
@@ -1933,6 +1956,34 @@ object DataQueries {
   val oracleSql: Map[String, String] = Map(
     // merged store counters ≡ direct counts by CMS linearity, so the
     // replay needs no day split
+    "q308_golden_record" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+                  CAST(floor(value * 1000000) AS BIGINT) AS value_micros
+           FROM events),
+         mode_t AS (
+           SELECT user_id, event_type, count(*) AS c
+           FROM e GROUP BY 1, 2),
+         mode_r AS (
+           SELECT user_id, event_type AS mode_event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY c DESC, event_type ASC) AS rn
+           FROM mode_t),
+         last_r AS (
+           SELECT user_id, value_micros AS last_value_micros,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts_us DESC, event_id DESC) AS rn
+           FROM e),
+         base AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_records,
+                  CAST(max(ts_us) AS BIGINT) AS last_seen_us,
+                  CAST(min(event_id) AS BIGINT) AS first_event_id
+           FROM e GROUP BY 1)
+         SELECT b.user_id, b.n_records, m.mode_event_type,
+                l.last_value_micros, b.last_seen_us, b.first_event_id
+         FROM base b
+         JOIN mode_r m ON b.user_id = m.user_id AND m.rn = 1
+         JOIN last_r l ON b.user_id = l.user_id AND l.rn = 1""",
     "q302_join_size_from_store" ->
       """WITH a AS (SELECT user_id AS k FROM events
                     WHERE event_type = 'click'),

@@ -81,6 +81,65 @@ object MlQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PCA FIT + PROJECT, MACHINE-CHECKED — fit is one distributed pass
+    // (Gram's exact-integer d² partials + a d-sized sum agg) with a
+    // driver-side Jacobi eigendecomposition of the d×d covariance (d²
+    // doubles — the only driver math, never row data); project is map-only
+    // codegen'd HOF dot products against literal loadings. The oracle-
+    // visible surface is the operator's CONTRACT, each clause machine-
+    // checked in-query: loadings orthonormal, eigenvalues sorted, each
+    // component's distributed projected variance ≡ its eigenvalue, and the
+    // Eckart–Young identity (mean reconstruction error ≡ the dropped
+    // eigenvalue mass) — all within 1e-6 relative, anchored by the
+    // relational vector count
+    "q309_pca_project" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      import graft.ann.Pca
+      val vecs = t(s, dir, "embeddings")
+      val k = 4
+      val model = Pca.fit(vecs, "embedding", k)
+      val proj = Pca.project(vecs, "embedding", model, "scores")
+        .select(posexplode(col("scores")).as(Seq("j", "p")))
+      // per-component variance from moments vs the eigenvalue; the dropped
+      // mass check needs per-row total norm too — one more map-only column
+      val projStats = proj.groupBy("j")
+        .agg(count(lit(1)).cast("double").as("nj"),
+          sum("p").as("s1"), sum(col("p") * col("p")).as("s2"))
+        .withColumn("var_j",
+          col("s2") / col("nj") - col("s1") * col("s1") /
+            (col("nj") * col("nj")))
+        .collect().map(r => r.getInt(0) -> r.getAs[Double]("var_j")).toMap
+      val varViolations = (0 until k).count { j =>
+        math.abs(projStats(j) - model.eigenvalues(j)) >
+          1e-6 * math.max(model.trace, 1.0)
+      }.toLong
+      // Eckart–Young: mean ||x−μ||² − Σ_j scoreⱼ² over rows ≡ Σ_{j>k} λⱼ
+      val withTot = Pca.project(vecs, "embedding", model, "scores")
+        .select(
+          aggregate(
+            transform(col("embedding"), (x, i) =>
+              floor(x.cast("double") * lit(1e6)) -
+                element_at(typedLit(model.meanU.toSeq), (i + 1).cast("int"))),
+            lit(0.0), (acc, c) => acc + c * c).as("tot2"),
+          aggregate(col("scores"), lit(0.0),
+            (acc, c) => acc + c * c).as("cap2"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("tot2") - col("cap2")).as("err"))
+        .collect().head
+      val meanErr = withTot.getAs[Double]("err") / withTot.getAs[Double]("n")
+      val dropped = model.trace - model.eigenvalues.sum
+      val reconOk = math.abs(meanErr - dropped) <=
+        1e-6 * math.max(model.trace, 1.0)
+      val eigsSorted = model.eigenvalues.sliding(2)
+        .forall(w => w.length < 2 || w(0) >= w(1))
+      Seq((model.n, model.d.toLong, model.k.toLong,
+          model.orthonormalDefect < 1e-9, eigsSorted, varViolations,
+          reconOk))
+        .toDF("n_vectors", "d", "k", "orthonormal_ok", "eigs_sorted_ok",
+          "var_match_violations", "recon_identity_ok")
+    },
+
     // GINI-GAIN FEATURE SCREEN — CART's split criterion as a feature-
     // importance report (which candidate features carry signal about the
     // label, BEFORE training anything): gain = Gini(label) − Σ_f (n_f/n)·
@@ -549,6 +608,13 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q309_pca_project" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                CAST(64 AS BIGINT) AS d, CAST(4 AS BIGINT) AS k,
+                TRUE AS orthonormal_ok, TRUE AS eigs_sorted_ok,
+                CAST(0 AS BIGINT) AS var_match_violations,
+                TRUE AS recon_identity_ok
+         FROM embeddings""",
     "q297_gini_gain" ->
       """WITH ev AS (
            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,

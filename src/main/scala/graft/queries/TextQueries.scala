@@ -37,6 +37,32 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BPE TOKENIZER, FIT + DISTRIBUTED APPLY — the CountVectorizer-shaped
+    // split: the corpus collapses to (word, freq) in one hash agg, merges
+    // are learned on the driver from that vocabulary-sized table under a
+    // TOTAL order (count desc, pair asc — unique merge list), and the
+    // encode is a map-only pass with broadcast ranks + per-partition memo.
+    // Oracle surface: the lossless contract (every word's tokens
+    // concatenate back — violations pinned 0), the compression bounds
+    // (n_words ≤ tokens ≤ chars, strict compression with 30 merges), and
+    // exact SQL-anchored word/char totals
+    "q310_bpe_encode" -> { (s, dir) =>
+      import graft.functions.Bpe
+      val docs = t(s, dir, "documents")
+      val model = Bpe.fit(Bpe.wordFrequencies(docs, "text"), nMerges = 30)
+      Bpe.encodeStats(docs, "doc_id", "text", model)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_words").cast("long").as("n_words_total"),
+          sum("n_word_chars").cast("long").as("n_chars_total"),
+          sum("roundtrip_violations").cast("long")
+            .as("roundtrip_violations"),
+          (sum("n_bpe_tokens") >= sum("n_words") &&
+            sum("n_bpe_tokens") <= sum("n_word_chars"))
+            .as("token_bounds_ok"),
+          (sum("n_bpe_tokens") < sum("n_word_chars")).as("compressed"))
+        .withColumn("n_merges", lit(model.merges.length).cast("long"))
+    },
+
     // VERBATIM OVERLAP LOCALIZATION — q60 tells you WHETHER an eval doc
     // leaks into training; this tells you WHERE and HOW LONG: positional
     // word-5-grams join on gram text, and within each (pair, alignment
@@ -612,6 +638,22 @@ object TextQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q310_bpe_encode" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(trim(text),
+                    '\s+'), x -> x <> '')) AS word
+           FROM documents),
+         per AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_words_total,
+                  CAST(sum(length(word)) AS BIGINT) AS n_chars_total
+           FROM w)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+                n_words_total, n_chars_total,
+                CAST(0 AS BIGINT) AS roundtrip_violations,
+                TRUE AS token_bounds_ok, TRUE AS compressed,
+                CAST(30 AS BIGINT) AS n_merges
+         FROM per""",
     "q291_overlap_spans" ->
       """WITH tw AS (
            SELECT doc_id, string_split(trim(text), ' ') AS ws

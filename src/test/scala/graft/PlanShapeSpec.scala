@@ -497,4 +497,41 @@ class PlanShapeSpec extends SparkSpec {
         s"grouped PAV window must be segment-partitioned:\n$plan")
     }
   }
+
+  test("kaplan-meier: every ordered pass partitioned by cohort (no global " +
+      "window over the time domain)") {
+    val obs = Seq((0L, 5L, 1), (0L, 6L, 0), (1L, 5L, 1))
+      .toDF("cohort", "dur", "ev")
+    val plan = staticPlan(
+      graft.data.Survival.kaplanMeier(obs, Seq("cohort"), "dur", "ev"))
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"KM window must be cohort-partitioned:\n$plan")
+    }
+  }
+
+  test("pca project: map-only (zero exchanges — loadings are literals)") {
+    val pts = Seq(Array(1.0f, 2.0f), Array(3.0f, 1.0f), Array(2.0f, 2.0f))
+      .toDF("vec")
+    val m = graft.ann.Pca.fit(pts, "vec", 1)
+    val plan = staticPlan(graft.ann.Pca.project(pts, "vec", m, "p"))
+    val exchanges = count(plan) { case _: ShuffleExchangeExec => () }
+    assert(exchanges === 0, s"project must not shuffle:\n$plan")
+  }
+
+  test("survivorship: mode pick is key-partitioned rank, never global") {
+    import graft.data.Survivorship._
+    val recs = Seq((1L, "a", 1L, 2L, 3L), (1L, "b", 2L, 3L, 4L))
+      .toDF("k", "cat", "ts", "id", "v")
+    val plan = staticPlan(goldenRecord(recs, Seq("k"),
+      Seq(Mode("cat"), Latest("v", Seq("ts", "id")), Max("ts"))))
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"mode window must be entity-partitioned:\n$plan")
+    }
+  }
 }

@@ -689,4 +689,80 @@ class Round10Spec extends SparkSpec {
     assert(math.abs(got.getAs[java.math.BigDecimal]("eta_sq").doubleValue()
       - 20.0 / 24.0) < 1e-8)
   }
+
+  test("Survivorship.goldenRecord: every policy + its tie-break, by hand") {
+    val s = spark
+    import s.implicits._
+    import graft.data.Survivorship._
+    // entity 1: mode tie between "a" and "b" (2 each) -> smallest ("a");
+    // latest by (ts, id): (3,31) carries v=7; extremes 2/9
+    val recs = Seq(
+      (1L, "b", 1L, 10L, 9L), (1L, "a", 2L, 20L, 2L),
+      (1L, "a", 3L, 30L, 5L), (1L, "b", 3L, 31L, 7L),
+      (2L, "z", 9L, 90L, 4L))
+      .toDF("k", "cat", "ts", "id", "v")
+    val got = goldenRecord(recs, Seq("k"), Seq(
+      Mode("cat"), Latest("v", Seq("ts", "id")), Max("ts"), Min("id")))
+      .orderBy("k")
+      .select("k", "n_records", "cat", "v", "ts", "id")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 4L, "a", 7L, 3L, 10L),
+      (2L, 1L, "z", 4L, 9L, 90L)))
+  }
+
+  test("Pca: known 2D principal axis, orthonormal loadings, exact projection") {
+    val s = spark
+    import s.implicits._
+    // points on y = x plus symmetric off-axis noise: first PC is (1,1)/sqrt(2)
+    val pts = Seq(
+      Array(1.0f, 1.0f), Array(2.0f, 2.0f), Array(3.0f, 3.0f),
+      Array(4.0f, 4.0f), Array(2.5f, 1.5f), Array(1.5f, 2.5f))
+      .toDF("vec")
+    val m = graft.ann.Pca.fit(pts, "vec", 2)
+    assert(m.d === 2 && m.n === 6L)
+    assert(m.orthonormalDefect < 1e-9)
+    assert(m.eigenvalues(0) >= m.eigenvalues(1))
+    val pc1 = m.components(0)
+    val inv = 1.0 / math.sqrt(2.0)
+    assert(math.abs(math.abs(pc1(0)) - inv) < 1e-9 &&
+      math.abs(math.abs(pc1(1)) - inv) < 1e-9,
+      s"pc1 = ${pc1.toSeq}")
+    assert(pc1(0) > 0, "sign convention: largest-|loading| coord positive")
+    // trace = sum of eigenvalues (rotation preserves it)
+    assert(math.abs(m.trace - m.eigenvalues.sum) < 1e-6 * m.trace)
+    // projection of the mean point is the zero vector
+    val mean = Seq(Array.tabulate(2)(i => (m.meanU(i) / 1e6).toFloat))
+      .toDF("vec")
+    val z = graft.ann.Pca.project(mean, "vec", m, "p")
+      .select("p").as[Seq[Double]].collect().head
+    assert(z.forall(v => math.abs(v) < 2.0),
+      s"mean projects to ~0 (1e-6 quantization slack): $z")
+  }
+
+  test("Pca.jacobi: [[2,1],[1,2]] -> eigenvalues {3,1}") {
+    val (vals, vecs) = graft.ann.Pca.jacobi(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals.max - 3.0) < 1e-12)
+    assert(math.abs(vals.min - 1.0) < 1e-12)
+    // eigenvector columns orthonormal
+    val dot = vecs(0)(0) * vecs(0)(1) + vecs(1)(0) * vecs(1)(1)
+    assert(math.abs(dot) < 1e-12)
+  }
+
+  test("Bpe: merge order and greedy encode on the classic toy corpus") {
+    import graft.functions.Bpe
+    // (a,b) count 5 beats (b,a) count 2 -> merge 0 = (a,b);
+    // then (ab,ab) appears twice -> merge 1
+    val m = Bpe.fit(Seq(("abab", 2L), ("ab", 1L)), nMerges = 5)
+    assert(m.merges.take(2) === Seq(("a", "b"), ("ab", "ab")))
+    assert(m.encodeWord("ababab") === List("abab", "ab"),
+      "lowest-rank pair merges left-to-right")
+    assert(m.encodeWord("ba") === List("b", "a"), "no merge applies")
+    assert(m.encodeWord("x") === List("x"))
+    // lossless roundtrip on arbitrary input
+    Seq("abababab", "aabb", "bbaa", "abba").foreach { w =>
+      assert(m.encodeWord(w).mkString === w)
+    }
+  }
 }
