@@ -63,6 +63,69 @@ object Contingency {
             .cast("double")), 9).cast("decimal(20,9)").as("cramers_v"))
   }
 
+  /** Weight-of-evidence / information-value feature screen (the credit-
+    * scoring standard for "how much does this bucketed feature separate a
+    * binary label"): per bucket WOE = ln((pos_b/POS)/(neg_b/NEG)) and
+    * IV = Σ_b (pos_b/POS − neg_b/NEG)·WOE_b.
+    *
+    * One hash agg collapses rows to buckets; totals are windows over the
+    * bucket frame. Each ratio is ONE IEEE division of exact integer
+    * products ((pos_b/POS)/(neg_b/NEG) = pos_b·NEG / (neg_b·POS)); WOE and
+    * the IV terms are rounded to 9 dp before the DECIMAL IV sum (order-
+    * independent). Buckets with a zero class get NULL woe and contribute
+    * nothing to IV — declared semantics, no smoothing.
+    *
+    * @return one row per bucket: `bucket, n_pos, n_neg, woe, iv_term, iv`
+    *         (`iv` repeated on every row — the bucket frame IS the report)
+    */
+  def woeIv(df: DataFrame, labelCol: String, bucketCol: String): DataFrame = {
+    val buckets = df.groupBy(col(bucketCol).as("bucket"))
+      .agg(sum(col(labelCol)).cast("long").as("n_pos"),
+        sum(lit(1) - col(labelCol)).cast("long").as("n_neg"))
+    val wAll = Window.partitionBy()
+    val ok = col("n_pos") > 0 && col("n_neg") > 0
+    buckets
+      .withColumn("__pos", sum("n_pos").over(wAll).cast("long"))
+      .withColumn("__neg", sum("n_neg").over(wAll).cast("long"))
+      .withColumn("woe",
+        when(ok, round(log(
+          (col("n_pos").cast(D38) * col("__neg")).cast("double") /
+            (col("n_neg").cast(D38) * col("__pos")).cast("double")), 9)
+          .cast("decimal(20,9)")).otherwise(lit(null).cast("decimal(20,9)")))
+      .withColumn("iv_term",
+        when(ok, round(
+          (col("n_pos").cast(D38) * col("__neg") -
+            col("n_neg").cast(D38) * col("__pos")).cast("double") /
+            (col("__pos").cast(D38) * col("__neg")).cast("double") *
+            col("woe").cast("double"), 9).cast("decimal(20,9)"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(20,9)")))
+      .withColumn("iv", sum("iv_term").over(wAll).cast("decimal(20,9)"))
+      .select("bucket", "n_pos", "n_neg", "woe", "iv_term", "iv")
+  }
+
+  /** McNemar's paired test from per-subject (before, after) binary
+    * outcomes: the discordant counts b (1→0) and c (0→1) decide everything,
+    * so the statistic stays EXACT — (b−c)²·10⁶ div (b+c) as integer ppm,
+    * plus the Edwards continuity-corrected variant. One aggregation.
+    */
+  def mcnemar(df: DataFrame, firstCol: String,
+              secondCol: String): DataFrame = {
+    df.agg(
+      count(lit(1)).cast("long").as("n_pairs"),
+      sum(when(col(firstCol) === 1 && col(secondCol) === 0, 1L)
+        .otherwise(0L)).cast("long").as("b"),
+      sum(when(col(firstCol) === 0 && col(secondCol) === 1, 1L)
+        .otherwise(0L)).cast("long").as("c"))
+      .select(col("n_pairs"), col("b"), col("c"),
+        expr("""CAST(CASE WHEN b + c > 0 THEN
+                  CAST((b - c) AS DECIMAL(38,0)) * (b - c) * 1000000
+                  div (b + c) ELSE 0 END AS BIGINT)""").as("mcnemar_ppm"),
+        expr("""CAST(CASE WHEN b + c > 0 THEN
+                  CAST(greatest(abs(b - c) - 1, 0) AS DECIMAL(38,0)) *
+                  greatest(abs(b - c) - 1, 0) * 1000000
+                  div (b + c) ELSE 0 END AS BIGINT)""").as("mcnemar_cc_ppm"))
+  }
+
   /** One-way ANOVA from exact integer moments. `valueIntCol` must already be
     * an exact integer measurement (e.g. cents — the q249 sub-unit
     * discipline). One row out: `n_total, k_groups, ssb, ssw, f_stat, eta_sq`

@@ -464,6 +464,38 @@ object CoreQueries {
         "converted")
     },
 
+    // LOG-RANK TEST — does q305's survival differ between two user groups
+    // (even vs odd ids): O−E and the hypergeometric variance accumulate
+    // over the JOINT collapsed time axis (calendar-bounded hours), exact
+    // integer risk/death counts, 9-dp-rounded E/V terms before the DECIMAL
+    // totals. The survival family's significance test
+    "q312_logrank" -> { (s, dir) =>
+      val subj = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(expr("""CAST((unix_micros(max(ts)) - unix_micros(min(ts)))
+                     div 3600000000 AS BIGINT)""").as("dur_hours"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .cast("int").as("converted"))
+        .withColumn("grp", (col("user_id") % 2).cast("int"))
+      graft.data.Survival.logRank(subj, "grp", "dur_hours", "converted")
+    },
+
+    // MCNEMAR'S PAIRED TEST — did per-user purchase behavior change
+    // between the first and second half of the month: only the discordant
+    // pair counts matter, so the statistic is EXACT integer ppm (b−c)²·10⁶
+    // div (b+c) (+ Edwards continuity correction). One agg over per-user
+    // flags — the paired sibling of the q306 independence test
+    "q313_mcnemar" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "purchase" &&
+            dayofmonth(col("ts")) <= 15, 1).otherwise(0)).as("first_half"),
+          max(when(col("event_type") === "purchase" &&
+            dayofmonth(col("ts")) > 15, 1).otherwise(0)).as("second_half"))
+      graft.data.Contingency.mcnemar(per, "first_half", "second_half")
+    },
+
     // CHI-SQUARED INDEPENDENCE TEST — nation × market segment association
     // from exact contingency counts: the categorical drift/association
     // audit a feature pipeline runs before trusting a segmentation. Raw
@@ -3635,6 +3667,83 @@ object CoreQueries {
                      ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
                       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS ci_hi_u
          FROM m""",
+    "q312_logrank" ->
+      """WITH subj AS (
+           SELECT user_id % 2 AS grp,
+                  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) //
+                       3600000000 AS BIGINT) AS t0,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS ev
+           FROM events GROUP BY user_id),
+         pert AS (
+           SELECT t0 AS t,
+                  CAST(sum(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT)
+                    AS da,
+                  CAST(sum(CASE WHEN grp = 1 THEN 1 - ev ELSE 0 END)
+                    AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN grp <> 1 THEN ev ELSE 0 END) AS BIGINT)
+                    AS db,
+                  CAST(sum(CASE WHEN grp <> 1 THEN 1 - ev ELSE 0 END)
+                    AS BIGINT) AS cb
+           FROM subj GROUP BY t0),
+         r AS (
+           SELECT *,
+                  sum(da + ca) OVER () - COALESCE(sum(da + ca) OVER (
+                    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS na,
+                  sum(db + cb) OVER () - COALESCE(sum(db + cb) OVER (
+                    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS nb
+           FROM pert),
+         f AS (
+           SELECT *, CAST(na + nb AS DOUBLE) AS nt,
+                  CAST(da + db AS DOUBLE) AS dt
+           FROM r WHERE da + db > 0),
+         terms AS (
+           SELECT da,
+                  CAST(round(dt * CAST(na AS DOUBLE) / nt, 9)
+                       AS DECIMAL(20,9)) AS e,
+                  CASE WHEN na + nb > 1 THEN
+                    CAST(round(dt * (CAST(na AS DOUBLE) / nt) *
+                      (1.0 - CAST(na AS DOUBLE) / nt) *
+                      ((nt - dt) / (nt - 1.0)), 9) AS DECIMAL(20,9))
+                  ELSE CAST(0 AS DECIMAL(20,9)) END AS v
+           FROM f),
+         agg AS (
+           SELECT CAST(sum(da) AS BIGINT) AS o_a,
+                  CAST(sum(e) AS DECIMAL(20,9)) AS e_a,
+                  CAST(sum(v) AS DECIMAL(20,9)) AS v_lr
+           FROM terms)
+         SELECT o_a, e_a, v_lr,
+                CAST(round((CAST(o_a AS DOUBLE) - CAST(e_a AS DOUBLE)) *
+                  (CAST(o_a AS DOUBLE) - CAST(e_a AS DOUBLE)) /
+                  CAST(v_lr AS DOUBLE), 6) AS DECIMAL(28,6))
+                  AS logrank_chi2
+         FROM agg""",
+    "q313_mcnemar" ->
+      """WITH per AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase'
+                       AND day(ts) <= 15 THEN 1 ELSE 0 END) AS f1,
+                  max(CASE WHEN event_type = 'purchase'
+                       AND day(ts) > 15 THEN 1 ELSE 0 END) AS f2
+           FROM events GROUP BY user_id),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(CASE WHEN f1 = 1 AND f2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN f1 = 0 AND f2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+           FROM per)
+         SELECT n_pairs, b, c,
+                CAST(CASE WHEN b + c > 0 THEN
+                  CAST(b - c AS HUGEINT) * (b - c) * 1000000 // (b + c)
+                  ELSE 0 END AS BIGINT) AS mcnemar_ppm,
+                CAST(CASE WHEN b + c > 0 THEN
+                  CAST(greatest(abs(b - c) - 1, 0) AS HUGEINT) *
+                  greatest(abs(b - c) - 1, 0) * 1000000 // (b + c)
+                  ELSE 0 END AS BIGINT) AS mcnemar_cc_ppm
+         FROM agg""",
     "q305_kaplan_meier" ->
       """WITH subj AS (
            SELECT user_id % 3 AS cohort,

@@ -140,6 +140,19 @@ object MlQueries {
           "var_match_violations", "recon_identity_ok")
     },
 
+    // WOE / INFORMATION-VALUE FEATURE SCREEN — the credit-scoring sibling
+    // of q297's Gini gain: per-bucket weight of evidence and the IV total
+    // for the q297 value-bucket feature against the purchase label. Exact
+    // integer cross-products inside each ratio, one IEEE division + ln per
+    // bucket (q79's precedent), 9-dp rounding before the DECIMAL IV sum
+    "q311_woe_iv" -> { (s, dir) =>
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+          expr("CAST(least(floor(value / 50), 9) AS BIGINT)").as("vb"))
+      graft.data.Contingency.woeIv(ev, "y", "vb")
+    },
+
     // GINI-GAIN FEATURE SCREEN — CART's split criterion as a feature-
     // importance report (which candidate features carry signal about the
     // label, BEFORE training anything): gain = Gini(label) − Σ_f (n_f/n)·
@@ -608,6 +621,41 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q311_woe_iv" ->
+      """WITH ev AS (
+           SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                  CAST(least(floor(value / 50), 9) AS BIGINT) AS vb
+           FROM events WHERE value IS NOT NULL),
+         b AS (
+           SELECT vb AS bucket, CAST(sum(y) AS BIGINT) AS n_pos,
+                  CAST(sum(1 - y) AS BIGINT) AS n_neg
+           FROM ev GROUP BY 1),
+         m AS (
+           SELECT *, CAST(sum(n_pos) OVER () AS BIGINT) AS p,
+                  CAST(sum(n_neg) OVER () AS BIGINT) AS q
+           FROM b),
+         w AS (
+           SELECT bucket, n_pos, n_neg,
+                  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                    CAST(round(ln(
+                      CAST(CAST(n_pos AS HUGEINT) * q AS DOUBLE) /
+                      CAST(CAST(n_neg AS HUGEINT) * p AS DOUBLE)), 9)
+                      AS DECIMAL(20,9)) END AS woe,
+                  p, q
+           FROM m),
+         w2 AS (
+           SELECT bucket, n_pos, n_neg, woe,
+                  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                    CAST(round(
+                      CAST(CAST(n_pos AS HUGEINT) * q -
+                           CAST(n_neg AS HUGEINT) * p AS DOUBLE) /
+                      CAST(CAST(p AS HUGEINT) * q AS DOUBLE) *
+                      CAST(woe AS DOUBLE), 9) AS DECIMAL(20,9))
+                  ELSE CAST(0 AS DECIMAL(20,9)) END AS iv_term
+           FROM w)
+         SELECT bucket, n_pos, n_neg, woe, iv_term,
+                CAST(sum(iv_term) OVER () AS DECIMAL(20,9)) AS iv
+         FROM w2""",
     "q309_pca_project" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
                 CAST(64 AS BIGINT) AS d, CAST(4 AS BIGINT) AS k,

@@ -765,4 +765,56 @@ class Round10Spec extends SparkSpec {
       assert(m.encodeWord(w).mkString === w)
     }
   }
+
+  test("Survival.logRank: hand-computed two-group example") {
+    val s = spark
+    import s.implicits._
+    // A: [1+e, 2+e]; B: [1 censored, 2+e, 3+e]
+    // t=1: O_A=1, E+=1*2/5=0.4, V+=0.24; t=2: O_A+=1, E+=2/3, V+=2/9
+    // t=3: N=1 -> E+=0 (da+db>0 but na=0), V guard
+    val obs = Seq((1, 1L, 1), (1, 2L, 1), (0, 1L, 0), (0, 2L, 1),
+      (0, 3L, 1)).toDF("grp", "dur", "ev")
+    val r = graft.data.Survival.logRank(obs, "grp", "dur", "ev")
+      .collect().head
+    assert(r.getAs[Long]("o_a") === 2L)
+    assert(math.abs(r.getAs[java.math.BigDecimal]("e_a").doubleValue()
+      - (0.4 + 2.0 / 3.0)) < 1e-8)
+    assert(math.abs(r.getAs[java.math.BigDecimal]("v_lr").doubleValue()
+      - (0.24 + 2.0 / 9.0)) < 1e-8)
+    assert(math.abs(
+      r.getAs[java.math.BigDecimal]("logrank_chi2").doubleValue()
+        - 1.884615385) < 1e-6)
+  }
+
+  test("Contingency.woeIv: hand WOE/IV incl. zero-class bucket exclusion") {
+    val s = spark
+    import s.implicits._
+    // b0: 2 pos / 2 neg; b1: 1 pos / 3 neg; b2: 1 pos / 0 neg (excluded)
+    val rows = Seq((1L, 0L), (1L, 0L), (0L, 0L), (0L, 0L),
+      (1L, 1L), (0L, 1L), (0L, 1L), (0L, 1L), (1L, 2L))
+      .toDF("y", "vb")
+    val got = graft.data.Contingency.woeIv(rows, "y", "vb")
+      .orderBy("bucket").collect()
+    assert(got.length === 3)
+    val woe0 = got(0).getAs[java.math.BigDecimal]("woe").doubleValue()
+    assert(math.abs(woe0 - math.log(1.25)) < 1e-8)
+    assert(got(2).getAs[java.math.BigDecimal]("woe") === null,
+      "zero-neg bucket gets NULL woe")
+    val iv = got(0).getAs[java.math.BigDecimal]("iv").doubleValue()
+    assert(math.abs(iv - 0.328728413) < 1e-6)
+    assert(got.map(_.getAs[java.math.BigDecimal]("iv").doubleValue())
+      .distinct.length === 1, "iv repeated identically on every row")
+  }
+
+  test("Contingency.mcnemar: exact integer ppm + continuity correction") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1, 0), (1, 0), (1, 0), (0, 1), (1, 1), (1, 1), (0, 0))
+      .toDF("f1", "f2")
+    val r = graft.data.Contingency.mcnemar(rows, "f1", "f2").collect().head
+    assert(r.getAs[Long]("n_pairs") === 7L)
+    assert(r.getAs[Long]("b") === 3L && r.getAs[Long]("c") === 1L)
+    assert(r.getAs[Long]("mcnemar_ppm") === 1000000L)     // 4/4
+    assert(r.getAs[Long]("mcnemar_cc_ppm") === 250000L)   // 1/4
+  }
 }
