@@ -31,9 +31,24 @@ object Contingency {
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).cast("long").as("o"))
-    val wa = Window.partitionBy("a")
-    val wb = Window.partitionBy("b")
-    val wn = Window.partitionBy()
+    chiSquareFromCellsGrouped(cells, Nil)
+  }
+
+  /** The same test from PRE-AGGREGATED cells `(groupCols…, a, b, o)` —
+    * one statistic PER GROUP (empty `groupCols` = one global row). Margins
+    * are windows over the cell frame partitioned by group, so a weekly
+    * drift series never serializes all weeks through one task, and a
+    * store-backed caller (mergeable daily counts) never re-scans raw rows.
+    * Cells with o = 0 are legal and contribute their expected-count mass —
+    * pass a complete level grid when absence matters.
+    */
+  def chiSquareFromCellsGrouped(cells: DataFrame,
+                                groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val wa = Window.partitionBy((g :+ col("a")): _*)
+    val wb = Window.partitionBy((g :+ col("b")): _*)
+    val wn = if (groupCols.isEmpty) Window.partitionBy()
+             else Window.partitionBy(g: _*)
     val terms = cells
       .withColumn("r", sum("o").over(wa).cast("long"))
       .withColumn("c", sum("o").over(wb).cast("long"))
@@ -49,18 +64,19 @@ object Contingency {
       .withColumn("__term",
         round(col("__num") * col("__num") / col("__den"), 9)
           .cast("decimal(28,9)"))
-    terms.agg(
+    val agg = if (groupCols.isEmpty) terms.groupBy() else terms.groupBy(g: _*)
+    agg.agg(
       max("n").cast("long").as("n"),
       countDistinct("a").cast("long").as("a_levels"),
       countDistinct("b").cast("long").as("b_levels"),
       sum("__term").cast("decimal(28,9)").as("__chi2"))
-      .select(col("n"), col("a_levels"), col("b_levels"),
+      .select((g ++ Seq(col("n"), col("a_levels"), col("b_levels"),
         ((col("a_levels") - 1) * (col("b_levels") - 1)).cast("long")
           .as("dof"),
         col("__chi2").as("chi2"),
         round(sqrt(col("__chi2").cast("double") /
           (col("n") * least(col("a_levels"), col("b_levels")) - col("n"))
-            .cast("double")), 9).cast("decimal(20,9)").as("cramers_v"))
+            .cast("double")), 9).cast("decimal(20,9)").as("cramers_v"))): _*)
   }
 
   /** Weight-of-evidence / information-value feature screen (the credit-

@@ -1304,6 +1304,41 @@ object DataQueries {
                   * 1000000 div exact_rows AS BIGINT)""").as("overshoot_ppm"))
     },
 
+    // STORE-BACKED WEEKLY CHI-SQUARED DRIFT — the categorical member of
+    // the drift-monitor family (PSI q255 = binned numeric, KS q256 =
+    // distributional, THIS = event-mix): daily (day, event_type) counts
+    // append to an AggStore in two batches (partials merge exactly), the
+    // weekly contingency folds from kilobyte partials — never a raw
+    // re-scan — and each week tests its event mix against ALL OTHER weeks
+    // via the grouped chi² kernel (every margin window partitioned by
+    // week). The full week × type grid is constructed explicitly so an
+    // absent type contributes its expected-count mass
+    "q314_chi2_drift_weekly" -> { (s, dir) =>
+      import graft.data.{AggStore, Contingency}
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
+        col("value"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q314_" +
+        s.sparkContext.applicationId + "_" + java.util.UUID.randomUUID()
+      AggStore.writeDaily(ev.filter(dayofmonth(col("ts")) % 2 === 0),
+        "ts", "event_type", "value", path)
+      AggStore.appendDaily(ev.filter(dayofmonth(col("ts")) % 2 === 1),
+        "ts", "event_type", "value", path)
+      val weekly = AggStore.weeklyReport(s, path, "event_type")
+        .select(col("week"), col("event_type"), col("n_events"))
+      val grid = weekly.select("week").distinct()
+        .crossJoin(weekly.select("event_type").distinct())
+      val filled = grid.join(weekly, Seq("week", "event_type"), "left")
+        .withColumn("o", coalesce(col("n_events"), lit(0L)))
+      val wT = Window.partitionBy("event_type")
+      val withTot = filled.withColumn("__tot", sum("o").over(wT))
+      val cells = withTot
+        .select(col("week"), lit("cur").as("a"),
+          col("event_type").as("b"), col("o"))
+        .unionByName(withTot.select(col("week"), lit("rest").as("a"),
+          col("event_type").as("b"), (col("__tot") - col("o")).as("o")))
+      Contingency.chiSquareFromCellsGrouped(cells, Seq("week"))
+    },
+
     // GOLDEN-RECORD SURVIVORSHIP — the step AFTER dedup clustering: each
     // entity's scattered records collapse to one canonical record under
     // explicit per-field merge policies (mode with smallest-value tie-break,
@@ -1956,6 +1991,59 @@ object DataQueries {
   val oracleSql: Map[String, String] = Map(
     // merged store counters ≡ direct counts by CMS linearity, so the
     // replay needs no day split
+    "q314_chi2_drift_weekly" ->
+      """WITH weekly AS (
+           SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+                    AS week,
+                  event_type, CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2),
+         grid AS (
+           SELECT w.week, t.event_type
+           FROM (SELECT DISTINCT week FROM weekly) w
+           CROSS JOIN (SELECT DISTINCT event_type FROM weekly) t),
+         filled AS (
+           SELECT g.week, g.event_type,
+                  COALESCE(n_events, 0) AS o
+           FROM grid g LEFT JOIN weekly USING (week, event_type)),
+         tot AS (
+           SELECT *, CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT)
+                    AS t FROM filled),
+         cells AS (
+           SELECT week, 'cur' AS a, event_type AS b, CAST(o AS BIGINT) AS o
+           FROM tot
+           UNION ALL
+           SELECT week, 'rest' AS a, event_type AS b,
+                  CAST(t - o AS BIGINT) AS o
+           FROM tot),
+         m AS (
+           SELECT *,
+                  CAST(sum(o) OVER (PARTITION BY week, a) AS BIGINT) AS r,
+                  CAST(sum(o) OVER (PARTITION BY week, b) AS BIGINT) AS c,
+                  CAST(sum(o) OVER (PARTITION BY week) AS BIGINT) AS n
+           FROM cells),
+         t2 AS (
+           SELECT *,
+                  CAST(round(
+                    CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c
+                         AS DOUBLE) *
+                    CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c
+                         AS DOUBLE) /
+                    CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE), 9)
+                    AS DECIMAL(28,9)) AS term
+           FROM m),
+         agg AS (
+           SELECT week, CAST(max(n) AS BIGINT) AS n,
+                  CAST(count(DISTINCT a) AS BIGINT) AS a_levels,
+                  CAST(count(DISTINCT b) AS BIGINT) AS b_levels,
+                  CAST(sum(term) AS DECIMAL(28,9)) AS chi2
+           FROM t2 GROUP BY week)
+         SELECT week, n, a_levels, b_levels,
+                CAST((a_levels - 1) * (b_levels - 1) AS BIGINT) AS dof,
+                chi2,
+                CAST(round(sqrt(CAST(chi2 AS DOUBLE) /
+                  CAST(n * least(a_levels, b_levels) - n AS DOUBLE)), 9)
+                  AS DECIMAL(20,9)) AS cramers_v
+         FROM agg""",
     "q308_golden_record" ->
       """WITH e AS (
            SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,

@@ -534,4 +534,18 @@ class PlanShapeSpec extends SparkSpec {
         s"mode window must be entity-partitioned:\n$plan")
     }
   }
+
+  test("grouped chi-square: every margin window partitioned (no global " +
+      "window over the cell frame)") {
+    val cells = Seq(("w1", "cur", "p", 3L), ("w1", "rest", "p", 5L))
+      .toDF("g", "a", "b", "o")
+    val plan = staticPlan(graft.data.Contingency
+      .chiSquareFromCellsGrouped(cells, Seq("g")))
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"margin windows must partition by the group:\n$plan")
+    }
+  }
 }

@@ -817,4 +817,33 @@ class Round10Spec extends SparkSpec {
     assert(r.getAs[Long]("mcnemar_ppm") === 1000000L)     // 4/4
     assert(r.getAs[Long]("mcnemar_cc_ppm") === 250000L)   // 1/4
   }
+
+  test("Contingency.chiSquareFromCellsGrouped: per-group == ungrouped run " +
+      "group by group; zero cells contribute expected mass") {
+    val s = spark
+    import s.implicits._
+    val cells = Seq(
+      ("g1", "x", "p", 10L), ("g1", "x", "q", 20L),
+      ("g1", "y", "p", 30L), ("g1", "y", "q", 40L),
+      ("g2", "x", "p", 5L), ("g2", "x", "q", 0L),
+      ("g2", "y", "p", 2L), ("g2", "y", "q", 8L))
+      .toDF("g", "a", "b", "o")
+    val grouped = graft.data.Contingency
+      .chiSquareFromCellsGrouped(cells, Seq("g"))
+      .orderBy("g").collect()
+    assert(grouped.length === 2)
+    Seq("g1", "g2").zipWithIndex.foreach { case (g, i) =>
+      val solo = graft.data.Contingency.chiSquareFromCellsGrouped(
+        cells.filter(col("g") === g).drop("g"), Nil).collect().head
+      assert(grouped(i).getAs[java.math.BigDecimal]("chi2") ===
+        solo.getAs[java.math.BigDecimal]("chi2"), s"group $g")
+      assert(grouped(i).getAs[Long]("n") === solo.getAs[Long]("n"))
+    }
+    // g1 is the hand 2x2 from the ungrouped unit
+    assert(math.abs(grouped(0).getAs[java.math.BigDecimal]("chi2")
+      .doubleValue() - 0.793650793) < 1e-8)
+    // g2's zero cell: chi2 = 15*(5*8-0*2)^2/(5*10*7*8) = 24000/2800
+    assert(math.abs(grouped(1).getAs[java.math.BigDecimal]("chi2")
+      .doubleValue() - 15.0 * 1600.0 / 2800.0) < 1e-7)
+  }
 }
