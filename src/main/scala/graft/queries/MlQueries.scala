@@ -140,6 +140,57 @@ object MlQueries {
           "var_match_violations", "recon_identity_ok")
     },
 
+    // SPLIT-CONFORMAL PREDICTION INTERVALS — distribution-free ±q̂ bands
+    // around a point predictor: q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+    // calibration residual (exact order statistic off the COLLAPSED
+    // residual domain), test coverage as exact integer ppm. The predictor
+    // here is the per-segment train-split mean in truncated micros —
+    // conformal wraps ANY predictor; the machinery under test is the
+    // calibration. User-grouped splits (train/calib/test by user_id % 4)
+    "q315_conformal_intervals" -> { (s, dir) =>
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("user_id") % 4).cast("int").as("split"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("y_u"))
+      val m = ev.filter(col("split") <= 1)
+        .groupBy("event_type")
+        .agg(expr("""CAST((sum(CAST(y_u AS DECIMAL(38,0))) -
+               sum(CAST(y_u AS DECIMAL(38,0))) % count(*)) div count(*)
+               AS BIGINT)""").as("pred_u"))
+      val scored = ev.filter(col("split") >= 2)
+        .join(broadcast(m), "event_type")
+      graft.ml.Conformal.calibrate(scored, "split", "y_u", "pred_u",
+        calibVal = 2, testVal = 3, alphaPpm = 100000L)
+    },
+
+    // OUT-OF-FOLD TARGET ENCODING — the leakage-safe categorical encoder:
+    // each fold's encoding comes from all OTHER folds' rows, exact
+    // truncated integer division of exact sums; the cell-frame table IS
+    // the oracle surface (|cats|·|folds| rows at any corpus size)
+    "q316_target_encode_oof" -> { (s, dir) =>
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("user_id") % 3).cast("long").as("fold"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("y_u"))
+      graft.features.TargetEncoder.encodingTable(ev, "event_type", "fold",
+        "y_u")
+    },
+
+    // CROSS-FITTED DOUBLE-ML TREATMENT EFFECT — partialling-out with
+    // out-of-fold per-segment mean nuisances (the TargetEncoder as the
+    // conditional-mean model): θ̂ = Σỹ·d̃ / Σd̃² over exact integer
+    // residual products, one truncating division at the end. Synthetic
+    // design: treatment = user parity, confounder = 6-hour bucket,
+    // cross-fit folds orthogonal to treatment
+    "q317_dml_ate" -> { (s, dir) =>
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(expr("CAST(hour(ts) div 6 AS BIGINT)").as("seg"),
+          expr("CAST(user_id % 2 AS INT)").as("d"),
+          expr("CAST((user_id div 2) % 2 AS INT)").as("fold"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("y_u"))
+      graft.ml.DoubleML.ate(ev, "fold", "seg", "d", "y_u")
+    },
+
     // WOE / INFORMATION-VALUE FEATURE SCREEN — the credit-scoring sibling
     // of q297's Gini gain: per-bucket weight of evidence and the IV total
     // for the q297 value-bucket feature against the purchase label. Exact
@@ -621,6 +672,125 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q315_conformal_intervals" ->
+      """WITH ev AS (
+           SELECT event_type, user_id % 4 AS split,
+                  CAST(floor(value * 1000000) AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL),
+         m AS (
+           SELECT event_type,
+                  CAST(sum(CAST(y AS HUGEINT)) // count(*) AS BIGINT)
+                    AS pred
+           FROM ev WHERE split <= 1 GROUP BY 1),
+         sc AS (
+           SELECT split, abs(y - pred) AS r
+           FROM ev JOIN m USING (event_type) WHERE split >= 2),
+         dom AS (
+           SELECT r, CAST(count(*) AS BIGINT) AS cnt
+           FROM sc WHERE split = 2 GROUP BY 1),
+         rk AS (
+           SELECT r,
+                  sum(cnt) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS cum,
+                  sum(cnt) OVER () AS nc
+           FROM dom),
+         q AS (
+           SELECT CAST(max(nc) AS BIGINT) AS n_calib,
+                  CAST(max(((nc + 1) * 900000 + 999999) // 1000000)
+                    AS BIGINT) AS k_rank,
+                  CAST(min(CASE WHEN cum >=
+                      ((nc + 1) * 900000 + 999999) // 1000000
+                    THEN r END) AS BIGINT) AS q_hat_u
+           FROM rk)
+         SELECT q.n_calib, CAST(count(*) AS BIGINT) AS n_test, q.k_rank,
+                q.q_hat_u,
+                CAST(CAST(sum(CASE WHEN sc.r <= COALESCE(q.q_hat_u,
+                       9223372036854775807) THEN 1 ELSE 0 END) AS HUGEINT)
+                     * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+         FROM sc, q WHERE sc.split = 3
+         GROUP BY q.n_calib, q.k_rank, q.q_hat_u""",
+    "q316_target_encode_oof" ->
+      """WITH ev AS (
+           SELECT event_type, user_id % 3 AS fold,
+                  CAST(floor(value * 1000000) AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL),
+         cells AS (
+           SELECT event_type, fold, CAST(count(*) AS BIGINT) AS n_in_fold,
+                  CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS s
+           FROM ev GROUP BY 1, 2),
+         m AS (
+           SELECT *,
+                  CAST(sum(s) OVER (PARTITION BY event_type) AS HUGEINT)
+                    AS st,
+                  CAST(sum(n_in_fold) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS nt,
+                  CAST(sum(s) OVER () AS HUGEINT) AS sg,
+                  CAST(sum(n_in_fold) OVER () AS BIGINT) AS ng
+           FROM cells)
+         SELECT event_type, fold, n_in_fold,
+                CAST(CASE WHEN nt > n_in_fold
+                       THEN (st - s) // (nt - n_in_fold)
+                     WHEN ng > n_in_fold
+                       THEN (sg - s) // (ng - n_in_fold)
+                     ELSE 0 END AS BIGINT) AS enc_u
+         FROM m""",
+    "q317_dml_ate" ->
+      """WITH ev AS (
+           SELECT CAST(hour(ts) // 6 AS BIGINT) AS seg,
+                  CAST(user_id % 2 AS BIGINT) AS d,
+                  CAST((user_id // 2) % 2 AS BIGINT) AS fold,
+                  CAST(floor(value * 1000000) AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL),
+         base AS (SELECT seg, fold, d * 1000000 AS d_ppm, y FROM ev),
+         ycells AS (
+           SELECT seg, fold, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS s
+           FROM base GROUP BY 1, 2),
+         ym AS (
+           SELECT seg, fold,
+                  CAST(CASE WHEN CAST(sum(n) OVER (PARTITION BY seg)
+                         AS BIGINT) > n
+                       THEN (CAST(sum(s) OVER (PARTITION BY seg)
+                              AS HUGEINT) - s) //
+                            (CAST(sum(n) OVER (PARTITION BY seg)
+                              AS BIGINT) - n)
+                       WHEN CAST(sum(n) OVER () AS BIGINT) > n
+                       THEN (CAST(sum(s) OVER () AS HUGEINT) - s) //
+                            (CAST(sum(n) OVER () AS BIGINT) - n)
+                       ELSE 0 END AS BIGINT) AS my
+           FROM ycells),
+         dcells AS (
+           SELECT seg, fold, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(d_ppm AS HUGEINT)) AS HUGEINT) AS s
+           FROM base GROUP BY 1, 2),
+         dm AS (
+           SELECT seg, fold,
+                  CAST(CASE WHEN CAST(sum(n) OVER (PARTITION BY seg)
+                         AS BIGINT) > n
+                       THEN (CAST(sum(s) OVER (PARTITION BY seg)
+                              AS HUGEINT) - s) //
+                            (CAST(sum(n) OVER (PARTITION BY seg)
+                              AS BIGINT) - n)
+                       WHEN CAST(sum(n) OVER () AS BIGINT) > n
+                       THEN (CAST(sum(s) OVER () AS HUGEINT) - s) //
+                            (CAST(sum(n) OVER () AS BIGINT) - n)
+                       ELSE 0 END AS BIGINT) AS md
+           FROM dcells),
+         resid AS (
+           SELECT b.y - ym.my AS yt, b.d_ppm - dm.md AS dt
+           FROM base b
+           JOIN ym ON b.seg = ym.seg AND b.fold = ym.fold
+           JOIN dm ON b.seg = dm.seg AND b.fold = dm.fold),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(yt AS HUGEINT) * dt) AS HUGEINT) AS num,
+                  CAST(sum(CAST(dt AS HUGEINT) * dt) AS HUGEINT) AS den
+           FROM resid)
+         SELECT n,
+                CASE WHEN den > 0
+                  THEN CAST((num * 1000000) // den AS BIGINT) END
+                  AS theta_u
+         FROM agg""",
     "q311_woe_iv" ->
       """WITH ev AS (
            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,

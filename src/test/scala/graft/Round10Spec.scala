@@ -846,4 +846,54 @@ class Round10Spec extends SparkSpec {
     assert(math.abs(grouped(1).getAs[java.math.BigDecimal]("chi2")
       .doubleValue() - 15.0 * 1600.0 / 2800.0) < 1e-7)
   }
+
+  test("Conformal.calibrate: exact order-statistic rank and coverage") {
+    val s = spark
+    import s.implicits._
+    // calib residuals 1..10 (y=pred+r), test residuals {5, 10, 11}
+    val calib = (1 to 10).map(r => (2, 100L + r, 100L))
+    val test = Seq(5, 10, 11).map(r => (3, 100L + r, 100L))
+    val df = (calib ++ test).toDF("split", "y", "pred")
+    val r = graft.ml.Conformal.calibrate(df, "split", "y", "pred",
+      calibVal = 2, testVal = 3, alphaPpm = 100000L).collect().head
+    assert(r.getAs[Long]("n_calib") === 10L)
+    assert(r.getAs[Long]("k_rank") === 10L) // ceil(11 * 0.9) = 10
+    assert(r.getAs[Long]("q_hat_u") === 10L)
+    assert(r.getAs[Long]("coverage_ppm") === 666666L) // 2 of 3
+    // k beyond n_calib: interval unbounded, coverage trivially 1e6
+    val r2 = graft.ml.Conformal.calibrate(df, "split", "y", "pred",
+      calibVal = 2, testVal = 3, alphaPpm = 1L).collect().head
+    assert(r2.getAs[Long]("k_rank") === 11L)
+    assert(r2.isNullAt(r2.fieldIndex("q_hat_u")))
+    assert(r2.getAs[Long]("coverage_ppm") === 1000000L)
+  }
+
+  test("TargetEncoder.encodingTable: out-of-fold means + prior fallback") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("A", 0L, 10L), ("A", 0L, 20L), ("A", 1L, 30L),
+      ("B", 0L, 100L)).toDF("cat", "fold", "y")
+    val got = graft.features.TargetEncoder
+      .encodingTable(rows, "cat", "fold", "y")
+      .orderBy("cat", "fold")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("A", 0L, 2L, 30L),   // (60-30)/(3-2)
+      ("A", 1L, 1L, 15L),   // (60-30)/(3-1)
+      ("B", 0L, 1L, 20L)))  // only-fold category: OOF prior (160-100)/3
+  }
+
+  test("DoubleML.ate: recovers a constructed exact effect of 100 units") {
+    val s = spark
+    import s.implicits._
+    // y = 100*d + 10*seg, balanced over (seg, fold, d): OOF means are
+    // exact, residuals align perfectly -> theta exactly 100
+    val rows = for {
+      seg <- Seq(0L, 1L); fold <- Seq(0, 1); d <- Seq(0, 1)
+    } yield (seg, fold, d, 100L * d + 10L * seg)
+    val r = graft.ml.DoubleML.ate(rows.toDF("seg", "fold", "d", "y"),
+      "fold", "seg", "d", "y").collect().head
+    assert(r.getAs[Long]("n") === 8L)
+    assert(r.getAs[Long]("theta_u") === 100L)
+  }
 }
