@@ -1304,6 +1304,22 @@ object DataQueries {
                   * 1000000 div exact_rows AS BIGINT)""").as("overshoot_ppm"))
     },
 
+    // SURVEY RAKING (IPF) — reweight a day-skewed sample (odd days only)
+    // so its (event_type × 6-hour bucket) margins match the full
+    // population's: three UNROLLED row/column iterations on the 20-cell
+    // frame, weights 9-dp-quantized after every half-step so the margin
+    // sums stay in exact DECIMAL ("IPF with 9-dp quantization" — declared,
+    // bit-replayable semantics). Post-fit margin gaps in double-floor ppm
+    "q319_ipf_raking" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("CAST(hour(ts) div 6 AS BIGINT)").as("hb"),
+        dayofmonth(col("ts")).as("dom"))
+      val sample = ev.filter(col("dom") % 2 === 1).select("event_type", "hb")
+      val targets = ev.groupBy("event_type", "hb")
+        .agg(count(lit(1)).cast("long").as("target_n"))
+      graft.data.Raking.ipf(sample, targets, "event_type", "hb", iters = 3)
+    },
+
     // STORE-BACKED WEEKLY CHI-SQUARED DRIFT — the categorical member of
     // the drift-monitor family (PSI q255 = binned numeric, KS q256 =
     // distributional, THIS = event-mix): daily (day, event_type) counts
@@ -1991,6 +2007,100 @@ object DataQueries {
   val oracleSql: Map[String, String] = Map(
     // merged store counters ≡ direct counts by CMS linearity, so the
     // replay needs no day split
+    "q319_ipf_raking" ->
+      """WITH ev AS (
+           SELECT event_type AS a, CAST(hour(ts) // 6 AS BIGINT) AS b,
+                  day(ts) AS dom
+           FROM events),
+         smp AS (
+           SELECT a, b, CAST(count(*) AS BIGINT) AS n
+           FROM ev WHERE dom % 2 = 1 GROUP BY 1, 2),
+         tgt AS (
+           SELECT a, b, CAST(count(*) AS BIGINT) AS t_n
+           FROM ev GROUP BY 1, 2),
+         cells AS (
+           SELECT COALESCE(s.a, t.a) AS a, COALESCE(s.b, t.b) AS b,
+                  COALESCE(n, 0) AS n, COALESCE(t_n, 0) AS t_n
+           FROM smp s FULL OUTER JOIN tgt t ON s.a = t.a AND s.b = t.b),
+         c0 AS (
+           SELECT *,
+                  CAST(sum(t_n) OVER (PARTITION BY a) AS BIGINT) AS t_row,
+                  CAST(sum(t_n) OVER (PARTITION BY b) AS BIGINT) AS t_col,
+                  CAST(1 AS DECIMAL(20,9)) AS w
+           FROM cells),
+         r1 AS (
+           SELECT * EXCLUDE (cur) REPLACE (
+             CASE WHEN cur > 0 THEN
+               CAST(round(CAST(w AS DOUBLE) * CAST(t_row AS DOUBLE) /
+                 CAST(cur AS DOUBLE), 9) AS DECIMAL(20,9))
+             ELSE w END AS w)
+           FROM (SELECT *, CAST(sum(w * CAST(n AS DECIMAL(12,0)))
+                   OVER (PARTITION BY a) AS DECIMAL(33,9)) AS cur
+                 FROM c0)),
+         c1 AS (
+           SELECT * EXCLUDE (cur) REPLACE (
+             CASE WHEN cur > 0 THEN
+               CAST(round(CAST(w AS DOUBLE) * CAST(t_col AS DOUBLE) /
+                 CAST(cur AS DOUBLE), 9) AS DECIMAL(20,9))
+             ELSE w END AS w)
+           FROM (SELECT *, CAST(sum(w * CAST(n AS DECIMAL(12,0)))
+                   OVER (PARTITION BY b) AS DECIMAL(33,9)) AS cur
+                 FROM r1)),
+         r2 AS (
+           SELECT * EXCLUDE (cur) REPLACE (
+             CASE WHEN cur > 0 THEN
+               CAST(round(CAST(w AS DOUBLE) * CAST(t_row AS DOUBLE) /
+                 CAST(cur AS DOUBLE), 9) AS DECIMAL(20,9))
+             ELSE w END AS w)
+           FROM (SELECT *, CAST(sum(w * CAST(n AS DECIMAL(12,0)))
+                   OVER (PARTITION BY a) AS DECIMAL(33,9)) AS cur
+                 FROM c1)),
+         c2 AS (
+           SELECT * EXCLUDE (cur) REPLACE (
+             CASE WHEN cur > 0 THEN
+               CAST(round(CAST(w AS DOUBLE) * CAST(t_col AS DOUBLE) /
+                 CAST(cur AS DOUBLE), 9) AS DECIMAL(20,9))
+             ELSE w END AS w)
+           FROM (SELECT *, CAST(sum(w * CAST(n AS DECIMAL(12,0)))
+                   OVER (PARTITION BY b) AS DECIMAL(33,9)) AS cur
+                 FROM r2)),
+         r3 AS (
+           SELECT * EXCLUDE (cur) REPLACE (
+             CASE WHEN cur > 0 THEN
+               CAST(round(CAST(w AS DOUBLE) * CAST(t_row AS DOUBLE) /
+                 CAST(cur AS DOUBLE), 9) AS DECIMAL(20,9))
+             ELSE w END AS w)
+           FROM (SELECT *, CAST(sum(w * CAST(n AS DECIMAL(12,0)))
+                   OVER (PARTITION BY a) AS DECIMAL(33,9)) AS cur
+                 FROM c2)),
+         c3 AS (
+           SELECT * EXCLUDE (cur) REPLACE (
+             CASE WHEN cur > 0 THEN
+               CAST(round(CAST(w AS DOUBLE) * CAST(t_col AS DOUBLE) /
+                 CAST(cur AS DOUBLE), 9) AS DECIMAL(20,9))
+             ELSE w END AS w)
+           FROM (SELECT *, CAST(sum(w * CAST(n AS DECIMAL(12,0)))
+                   OVER (PARTITION BY b) AS DECIMAL(33,9)) AS cur
+                 FROM r3)),
+         fin AS (
+           SELECT *, CAST(w * CAST(n AS DECIMAL(12,0)) AS DECIMAL(33,9))
+                    AS fitted_n
+           FROM c3),
+         mar AS (
+           SELECT *,
+                  CAST(sum(fitted_n) OVER (PARTITION BY a)
+                    AS DECIMAL(27,9)) AS m_row,
+                  CAST(sum(fitted_n) OVER (PARTITION BY b)
+                    AS DECIMAL(27,9)) AS m_col
+           FROM fin)
+         SELECT a, b, n AS n_sample, w AS weight, fitted_n,
+                CASE WHEN t_row > 0 THEN
+                  CAST(floor(CAST(abs(m_row - t_row) AS DOUBLE) * 1000000
+                    / t_row) AS BIGINT) END AS row_absgap_ppm,
+                CASE WHEN t_col > 0 THEN
+                  CAST(floor(CAST(abs(m_col - t_col) AS DOUBLE) * 1000000
+                    / t_col) AS BIGINT) END AS col_absgap_ppm
+         FROM mar""",
     "q314_chi2_drift_weekly" ->
       """WITH weekly AS (
            SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)

@@ -140,6 +140,39 @@ object MlQueries {
           "var_match_violations", "recon_identity_ok")
     },
 
+    // QINI UPLIFT DECILES — the uplift-model evaluation table: rank eval
+    // subjects by a train-half per-segment uplift score (exact integer
+    // ppm), then per decile (explicit rank formula, no ntile engine-lore)
+    // report treated/control counts and the cumulative cross-multiplied
+    // uplift — "target the top k%, gain how much". All counts integer,
+    // the only windows are the rank and a TEN-row cumulative pass
+    "q318_qini_uplift" -> { (s, dir) =>
+      val users = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .cast("int").as("resp"))
+        .withColumn("d", expr("CAST(user_id % 2 AS INT)"))
+        .withColumn("seg", expr("CAST(user_id % 5 AS BIGINT)"))
+        .withColumn("half", expr("CAST((user_id div 2) % 2 AS INT)"))
+      val score = users.filter(col("half") === 0)
+        .groupBy("seg")
+        .agg(sum(when(col("d") === 1, col("resp")).otherwise(0))
+            .cast("long").as("rt"),
+          sum(when(col("d") === 1, 1).otherwise(0)).cast("long").as("nt"),
+          sum(when(col("d") === 0, col("resp")).otherwise(0))
+            .cast("long").as("rc"),
+          sum(when(col("d") === 0, 1).otherwise(0)).cast("long").as("nc"))
+        .filter(col("nt") > 0 && col("nc") > 0)
+        .select(col("seg"),
+          expr("""CAST((CAST(rt AS DECIMAL(38,0)) * nc -
+                        CAST(rc AS DECIMAL(38,0)) * nt) * 1000000
+                  div (CAST(nt AS DECIMAL(38,0)) * nc) AS BIGINT)""")
+            .as("score"))
+      val eval = users.filter(col("half") === 1)
+        .join(broadcast(score), "seg")
+      graft.ml.Uplift.qiniDeciles(eval, "user_id", "score", "d", "resp")
+    },
+
     // SPLIT-CONFORMAL PREDICTION INTERVALS — distribution-free ±q̂ bands
     // around a point predictor: q̂ = the ⌈(n+1)(1−α)⌉-th smallest
     // calibration residual (exact order statistic off the COLLAPSED
@@ -672,6 +705,64 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q318_qini_uplift" ->
+      """WITH users AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS resp,
+                  CAST(user_id % 2 AS INT) AS d,
+                  CAST(user_id % 5 AS BIGINT) AS seg,
+                  CAST((user_id // 2) % 2 AS INT) AS half
+           FROM events GROUP BY user_id),
+         sc AS (
+           SELECT seg,
+                  CAST(sum(CASE WHEN d = 1 THEN resp ELSE 0 END) AS BIGINT)
+                    AS rt,
+                  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS nt,
+                  CAST(sum(CASE WHEN d = 0 THEN resp ELSE 0 END) AS BIGINT)
+                    AS rc,
+                  CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS nc
+           FROM users WHERE half = 0 GROUP BY seg),
+         score AS (
+           SELECT seg,
+                  CAST((CAST(rt AS HUGEINT) * nc - CAST(rc AS HUGEINT) * nt)
+                    * 1000000 // (CAST(nt AS HUGEINT) * nc) AS BIGINT)
+                    AS score
+           FROM sc WHERE nt > 0 AND nc > 0),
+         ev AS (
+           SELECT u.user_id, u.resp, u.d, s.score
+           FROM users u JOIN score s ON u.seg = s.seg WHERE u.half = 1),
+         rk AS (
+           SELECT *,
+                  row_number() OVER (ORDER BY score DESC, user_id ASC)
+                    AS rn,
+                  count(*) OVER () AS n
+           FROM ev),
+         dec AS (
+           SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
+                  CAST(sum(d) AS BIGINT) AS n_treat,
+                  CAST(sum(1 - d) AS BIGINT) AS n_ctrl,
+                  CAST(sum(d * resp) AS BIGINT) AS resp_treat,
+                  CAST(sum((1 - d) * resp) AS BIGINT) AS resp_ctrl
+           FROM rk GROUP BY 1),
+         cum AS (
+           SELECT *,
+                  CAST(sum(n_treat) OVER w AS BIGINT) AS cnt,
+                  CAST(sum(n_ctrl) OVER w AS BIGINT) AS cnc,
+                  CAST(sum(resp_treat) OVER w AS BIGINT) AS crt,
+                  CAST(sum(resp_ctrl) OVER w AS BIGINT) AS crc
+           FROM dec
+           WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW))
+         SELECT decile, n_treat, n_ctrl, resp_treat, resp_ctrl,
+                CASE WHEN cnt > 0 AND cnc > 0 THEN
+                  CAST((CAST(crt AS HUGEINT) * cnc -
+                        CAST(crc AS HUGEINT) * cnt) * 1000000 //
+                       (CAST(cnt AS HUGEINT) * cnc) AS BIGINT) END
+                  AS cum_uplift_ppm
+         FROM cum""",
     "q315_conformal_intervals" ->
       """WITH ev AS (
            SELECT event_type, user_id % 4 AS split,

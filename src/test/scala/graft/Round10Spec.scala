@@ -896,4 +896,56 @@ class Round10Spec extends SparkSpec {
     assert(r.getAs[Long]("n") === 8L)
     assert(r.getAs[Long]("theta_u") === 100L)
   }
+
+  test("Uplift.qiniDeciles: explicit decile formula and exact cum uplift") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, 50L, 1, 1), (2L, 40L, 0, 0), (3L, 30L, 1, 1),
+      (4L, 20L, 0, 1), (5L, 10L, 1, 0))
+      .toDF("id", "score", "d", "resp")
+    val got = graft.ml.Uplift.qiniDeciles(rows, "id", "score", "d", "resp")
+      .orderBy("decile").collect()
+    assert(got.map(_.getAs[Long]("decile")).toSeq === Seq(0L, 2L, 4L, 6L, 8L))
+    // top decile: treated-only -> no control arm yet -> NULL
+    assert(got(0).isNullAt(got(0).fieldIndex("cum_uplift_ppm")))
+    assert(got(1).getAs[Long]("cum_uplift_ppm") === 1000000L)
+    assert(got(2).getAs[Long]("cum_uplift_ppm") === 1000000L)
+    assert(got(3).getAs[Long]("cum_uplift_ppm") === 500000L)
+    assert(got(4).getAs[Long]("cum_uplift_ppm") === 166666L)
+  }
+
+  test("Raking.ipf: exactly-separable margins converge in one iteration " +
+      "with zero gaps") {
+    val s = spark
+    import s.implicits._
+    // uniform sample, row-separable targets: w = [[5,5],[15,15]] exactly
+    val sample = Seq(("r0", "c0"), ("r0", "c1"), ("r1", "c0"), ("r1", "c1"))
+      .toDF("a", "b")
+    val targets = Seq(("r0", "c0", 5L), ("r0", "c1", 5L),
+      ("r1", "c0", 15L), ("r1", "c1", 15L)).toDF("a", "b", "target_n")
+    val got = graft.data.Raking.ipf(sample, targets, "a", "b", iters = 1)
+      .orderBy("a", "b").collect()
+    assert(got.map(_.getAs[java.math.BigDecimal]("weight").doubleValue())
+      .toSeq === Seq(5.0, 5.0, 15.0, 15.0))
+    assert(got.forall(_.getAs[Long]("row_absgap_ppm") === 0L))
+    assert(got.forall(_.getAs[Long]("col_absgap_ppm") === 0L))
+  }
+
+  test("Raking.ipf: skewed sample margins shrink toward targets") {
+    val s = spark
+    import s.implicits._
+    val sample = (Seq.fill(1)(("r0", "c0")) ++ Seq.fill(2)(("r0", "c1")) ++
+      Seq.fill(3)(("r1", "c0")) ++ Seq.fill(4)(("r1", "c1")))
+      .toDF("a", "b")
+    val targets = Seq(("r0", "c0", 10L), ("r0", "c1", 20L),
+      ("r1", "c0", 30L), ("r1", "c1", 40L)).toDF("a", "b", "target_n")
+    val got = graft.data.Raking.ipf(sample, targets, "a", "b", iters = 3)
+      .collect()
+    assert(got.forall(_.getAs[Long]("row_absgap_ppm") < 1000L),
+      "row margins within 0.1% after 3 iterations")
+    assert(got.forall(_.getAs[Long]("col_absgap_ppm") < 1000L))
+    assert(got.forall(r => r.getAs[java.math.BigDecimal]("weight")
+      .doubleValue() > 0.0))
+  }
 }
