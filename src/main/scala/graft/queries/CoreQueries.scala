@@ -464,6 +464,38 @@ object CoreQueries {
         "converted")
     },
 
+    // HILBERT vs Z-ORDER LAYOUT — the locality upgrade to q240: the same
+    // occupied 64×64 grid ranked by both curves, and the layout verdict
+    // is the TOTAL Manhattan step length along each visiting order
+    // (Hilbert's adjacent-rank guarantee ⇒ tighter shard bounding boxes).
+    // The index is `order` unrolled per-round projections (full codegen,
+    // no UDF); the oracle replays the IDENTICAL round arithmetic from the
+    // same generator (Hilbert.sqlSteps). Windows run over the ≤4096-cell
+    // frame, never the raw relation
+    "q321_hilbert_layout" -> { (s, dir) =>
+      val morton = (0 until 6).map { k =>
+        s"(((x >> $k) & 1) << ${2 * k}) + (((y >> $k) & 1) << ${2 * k + 1})"
+      }.mkString(" + ")
+      val pts = t(s, dir, "orders").select(
+        (col("o_orderkey") * 37 % 64).cast("long").as("x"),
+        (col("o_custkey") * 73 % 64).cast("long").as("y"))
+        .distinct()
+        .withColumn("z", expr(s"CAST($morton AS BIGINT)"))
+      val withH = graft.data.Hilbert.withIndex(pts, "x", "y", 6, "h")
+      val wH = Window.orderBy("h")
+      val wZ = Window.orderBy("z")
+      withH
+        .withColumn("dh", abs(col("x") - lag("x", 1).over(wH)) +
+          abs(col("y") - lag("y", 1).over(wH)))
+        .withColumn("dz", abs(col("x") - lag("x", 1).over(wZ)) +
+          abs(col("y") - lag("y", 1).over(wZ)))
+        .agg(count(lit(1)).cast("long").as("n_cells"),
+          sum("dh").cast("long").as("hilbert_step_total"),
+          sum("dz").cast("long").as("zorder_step_total"))
+        .withColumn("hilbert_no_worse",
+          col("hilbert_step_total") <= col("zorder_step_total"))
+    },
+
     // LOG-RANK TEST — does q305's survival differ between two user groups
     // (even vs odd ids): O−E and the hypergeometric variance accumulate
     // over the JOINT collapsed time axis (calendar-bounded hours), exact
@@ -3667,6 +3699,33 @@ object CoreQueries {
                      ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
                       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS ci_hi_u
          FROM m""",
+    "q321_hilbert_layout" -> {
+      val morton = (0 until 6).map { k =>
+        s"(((x >> $k) & 1) << ${2 * k}) + (((y >> $k) & 1) << ${2 * k + 1})"
+      }.mkString(" + ")
+      val (ctes, fin) = graft.data.Hilbert.sqlSteps("pts", Seq("ox", "oy", "z"), 6)
+      s"""WITH pts0 AS (
+           SELECT DISTINCT CAST(o_orderkey * 37 % 64 AS BIGINT) AS x,
+                  CAST(o_custkey * 73 % 64 AS BIGINT) AS y
+           FROM orders),
+         pts AS (
+           SELECT x, y, x AS ox, y AS oy, CAST($morton AS BIGINT) AS z
+           FROM pts0),
+         $ctes
+         f AS (SELECT ox AS x, oy AS y, z, d AS h FROM $fin),
+         st AS (
+           SELECT *,
+                  abs(x - lag(x) OVER (ORDER BY h)) +
+                  abs(y - lag(y) OVER (ORDER BY h)) AS dh,
+                  abs(x - lag(x) OVER (ORDER BY z)) +
+                  abs(y - lag(y) OVER (ORDER BY z)) AS dz
+           FROM f)
+         SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                CAST(sum(dh) AS BIGINT) AS hilbert_step_total,
+                CAST(sum(dz) AS BIGINT) AS zorder_step_total,
+                sum(dh) <= sum(dz) AS hilbert_no_worse
+         FROM st"""
+    },
     "q312_logrank" ->
       """WITH subj AS (
            SELECT user_id % 2 AS grp,

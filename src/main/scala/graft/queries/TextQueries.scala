@@ -37,6 +37,18 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CONFUSION MATRIX + PRECISION/RECALL/F1 — the classifier-eval report
+    // over the q26 language-id heuristic vs the documents table's true
+    // lang label: per-class exact cross-multiplied ppm rates (F1 via the
+    // 2TP/(pred+true) rational identity), micro accuracy + macro-F1
+    // repeated per row. Rows collapse to confusion cells once; everything
+    // else is class-frame-sized
+    "q320_confusion_f1" -> { (s, dir) =>
+      val pred = t(s, dir, "documents").select(col("lang"),
+        langIdExpr(langIdCols(col("text"))).as("lang_pred"))
+      graft.ml.ClassifierEval.confusionReport(pred, "lang", "lang_pred")
+    },
+
     // BPE TOKENIZER, FIT + DISTRIBUTED APPLY — the CountVectorizer-shaped
     // split: the corpus collapses to (word, freq) in one hash agg, merges
     // are learned on the driver from that vocabulary-sized table under a
@@ -638,6 +650,57 @@ object TextQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q320_confusion_f1" ->
+      """WITH h AS (
+           SELECT lang,
+             CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|is|for|with|on|that)\b')) AS INT) AS hits_en,
+             CAST(len(regexp_extract_all(text, '\b(el|la|de|que|y|en|los|del|las|por)\b')) AS INT) AS hits_es,
+             CAST(len(regexp_extract_all(text, '\b(der|die|und|das|von|den|mit|ist|im|ein)\b')) AS INT) AS hits_de,
+             CAST(len(regexp_extract_all(text, '\b(le|les|des|et|du|un|une|est|dans|pour)\b')) AS INT) AS hits_fr
+           FROM documents),
+         pred AS (
+           SELECT lang AS t,
+             CASE
+               WHEN hits_en >= greatest(hits_en, hits_es, hits_de, hits_fr)
+                    AND greatest(hits_en, hits_es, hits_de, hits_fr) > 0 THEN 'en'
+               WHEN hits_es >= greatest(hits_en, hits_es, hits_de, hits_fr)
+                    AND greatest(hits_en, hits_es, hits_de, hits_fr) > 0 THEN 'es'
+               WHEN hits_de >= greatest(hits_en, hits_es, hits_de, hits_fr)
+                    AND greatest(hits_en, hits_es, hits_de, hits_fr) > 0 THEN 'de'
+               WHEN hits_fr >= greatest(hits_en, hits_es, hits_de, hits_fr)
+                    AND greatest(hits_en, hits_es, hits_de, hits_fr) > 0 THEN 'fr'
+               ELSE 'unknown'
+             END AS p
+           FROM h),
+         cells AS (
+           SELECT t, p, CAST(count(*) AS BIGINT) AS o
+           FROM pred GROUP BY 1, 2),
+         tt AS (SELECT t AS label, CAST(sum(o) AS BIGINT) AS support
+                FROM cells GROUP BY 1),
+         pt AS (SELECT p AS label, CAST(sum(o) AS BIGINT) AS pred_n
+                FROM cells GROUP BY 1),
+         tpc AS (SELECT t AS label, o AS tp FROM cells WHERE t = p),
+         j AS (
+           SELECT tt.label, support, COALESCE(pred_n, 0) AS pred_n,
+                  COALESCE(tp, 0) AS tp
+           FROM tt LEFT JOIN pt USING (label) LEFT JOIN tpc USING (label)),
+         x AS (
+           SELECT *,
+                  CASE WHEN pred_n > 0 THEN
+                    CAST(CAST(tp AS HUGEINT) * 1000000 // pred_n AS BIGINT)
+                  END AS precision_ppm,
+                  CAST(CAST(tp AS HUGEINT) * 1000000 // support AS BIGINT)
+                    AS recall_ppm,
+                  CAST(CAST(tp AS HUGEINT) * 2000000 // (pred_n + support)
+                    AS BIGINT) AS f1_ppm
+           FROM j)
+         SELECT label, support, pred_n, tp, precision_ppm, recall_ppm,
+                f1_ppm,
+                CAST(CAST(sum(tp) OVER () AS HUGEINT) * 1000000 //
+                     sum(support) OVER () AS BIGINT) AS accuracy_ppm,
+                CAST(sum(f1_ppm) OVER () // count(*) OVER () AS BIGINT)
+                  AS macro_f1_ppm
+         FROM x""",
     "q310_bpe_encode" ->
       """WITH w AS (
            SELECT doc_id,

@@ -948,4 +948,65 @@ class Round10Spec extends SparkSpec {
     assert(got.forall(r => r.getAs[java.math.BigDecimal]("weight")
       .doubleValue() > 0.0))
   }
+
+  test("Hilbert.withIndex: matches the imperative xy2d reference; " +
+      "bijection + unit-step adjacency") {
+    val s = spark
+    import s.implicits._
+    def ref(order: Int, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var step = 1L << (order - 1)
+      while (step > 0) {
+        val rx = if ((x & step) > 0) 1L else 0L
+        val ry = if ((y & step) > 0) 1L else 0L
+        d += step * step * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = step - 1 - x; y = step - 1 - y }
+          val t = x; x = y; y = t
+        }
+        step >>= 1
+      }
+      d
+    }
+    val order = 5
+    val n = 1 << order
+    val cells = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val got = graft.data.Hilbert.withIndex(cells, "x", "y", order, "h")
+      .select("x", "y", "h").as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, h) =>
+      assert(h === ref(order, x, y), s"($x,$y)")
+    }
+    // bijection onto [0, 4^order)
+    assert(got.map(_._3).sorted.toSeq === (0L until (n.toLong * n)).toSeq)
+    // consecutive ranks are grid-adjacent: the Hilbert guarantee
+    val byH = got.sortBy(_._3)
+    byH.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L)
+    }
+  }
+
+  test("ClassifierEval.confusionReport: hand confusion incl. FP-only class") {
+    val s = spark
+    import s.implicits._
+    // true a: 3 rows (2 pred a, 1 pred b); true b: 2 rows (1 b, 1 c);
+    // c never true but predicted once (affects nothing emitted except
+    // via pred_n of c's absence from rows)
+    val rows = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "c")).toDF("t", "p")
+    val got = graft.ml.ClassifierEval.confusionReport(rows, "t", "p")
+      .orderBy("label").collect()
+    assert(got.map(_.getAs[String]("label")).toSeq === Seq("a", "b"))
+    val a = got(0); val b = got(1)
+    assert(a.getAs[Long]("support") === 3L && a.getAs[Long]("pred_n") === 2L
+      && a.getAs[Long]("tp") === 2L)
+    assert(a.getAs[Long]("precision_ppm") === 1000000L)
+    assert(a.getAs[Long]("recall_ppm") === 666666L)
+    assert(a.getAs[Long]("f1_ppm") === 800000L) // 2*2/(2+3)
+    assert(b.getAs[Long]("support") === 2L && b.getAs[Long]("pred_n") === 2L
+      && b.getAs[Long]("tp") === 1L)
+    assert(b.getAs[Long]("f1_ppm") === 500000L) // 2*1/(2+2)
+    assert(a.getAs[Long]("accuracy_ppm") === 600000L) // 3/5
+    assert(a.getAs[Long]("macro_f1_ppm") === 650000L) // (800000+500000)/2
+  }
 }
