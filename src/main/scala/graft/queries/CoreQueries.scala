@@ -464,6 +464,83 @@ object CoreQueries {
         "converted")
     },
 
+    // EWMA CONTROL CHART — the memory-ful sibling of q178's CUSUM: per
+    // event type, the daily count series smoothed by the FLOOR-QUANTIZED
+    // micro-unit recursion ewma_u' = ⌊0.3·x_u + 0.7·ewma_u⌋ (floor of
+    // integer-valued doubles is IEEE-exact in every engine — round() is
+    // NOT: Spark's BigDecimal HALF_UP vs DuckDB's float path diverge on
+    // halfway values, caught by this query's own sf0.01 gate), alert when
+    // |x_u − ewma_u| > 3σ·10⁶ with σ from exact integer moments. The
+    // series lives on the calendar-bounded daily frame; the fold is an
+    // in-row HOF over a collected per-type array (≤31 elements), never a
+    // driver loop
+    "q322_ewma_control" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("long").as("x"))
+      val sig = daily.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("nd"),
+          sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)").as("s1"),
+          sum((col("x").cast("decimal(38,0)") * col("x")))
+            .cast("decimal(38,0)").as("s2"))
+        .withColumn("sigma",
+          sqrt((col("nd").cast("decimal(38,0)") * col("s2") -
+            col("s1") * col("s1")).cast("double") /
+            (col("nd").cast("double") * (col("nd") - 1).cast("double"))))
+        .select("event_type", "sigma")
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+          .as("__days"))
+        .select(col("event_type"), expr(
+          """explode(transform(sequence(1, size(__days)), t ->
+               named_struct(
+                 'day', element_at(__days, t).day,
+                 'x', element_at(__days, t).x,
+                 'ewma_u', aggregate(slice(__days, 2, t - 1),
+                   element_at(__days, 1).x * 1000000L,
+                   (acc, e) -> CAST(floor(0.3D * (e.x * 1000000L) +
+                     0.7D * acc) AS BIGINT)))))""")
+          .as("s"))
+        .select(col("event_type"), col("s.day").as("day"),
+          col("s.x").as("x"), col("s.ewma_u").as("ewma_u"))
+        .join(broadcast(sig), "event_type")
+        .withColumn("alert",
+          abs(col("x") * lit(1000000L) - col("ewma_u")).cast("double") >
+            lit(3.0) * col("sigma") * lit(1000000.0))
+        .drop("sigma")
+    },
+
+    // SPRT SEQUENTIAL MONITOR — Wald's sequential probability ratio test
+    // as a PURE INTEGER random walk: the ln-likelihood increments for
+    // H0: p=0.10 vs H1: p=0.15 are Scala-precomputed micro-unit literals
+    // embedded in BOTH engines (no transcendentals in-plan at all), the
+    // walk is a cumulative sum partitioned by cohort over a total event
+    // order, and the verdict is the first boundary crossing
+    // (A = ln((1−β)/α), B = ln(β/(1−α)) at α = β = 0.05, micro-units)
+    "q323_sprt_monitor" -> { (s, dir) =>
+      val (p0, p1, alpha, beta) = (0.10, 0.15, 0.05, 0.05)
+      val cPos = math.round(math.log(p1 / p0) * 1e6)            // x = 1
+      val cNeg = math.round(math.log((1 - p1) / (1 - p0)) * 1e6) // x = 0
+      val upper = math.round(math.log((1 - beta) / alpha) * 1e6)
+      val lower = math.round(math.log(beta / (1 - alpha)) * 1e6)
+      val w = Window.partitionBy("cohort").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val walk = t(s, dir, "events")
+        .select((col("user_id") % 4).cast("long").as("cohort"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          when(col("event_type") === "purchase", lit(cPos))
+            .otherwise(lit(cNeg)).as("step"))
+        .withColumn("llr_u", sum("step").over(w).cast("long"))
+        .withColumn("rn", count(lit(1)).over(w).cast("long"))
+      walk.filter(col("llr_u") >= upper || col("llr_u") <= lower)
+        .groupBy("cohort")
+        .agg(min("rn").cast("long").as("n_at_decision"),
+          min_by(col("llr_u"), col("rn")).cast("long").as("llr_u_at"))
+        .withColumn("decision",
+          when(col("llr_u_at") >= upper, lit("accept_h1"))
+            .otherwise(lit("accept_h0")))
+    },
+
     // HILBERT vs Z-ORDER LAYOUT — the locality upgrade to q240: the same
     // occupied 64×64 grid ranked by both curves, and the layout verdict
     // is the TOTAL Manhattan step length along each visiting order
@@ -3699,6 +3776,63 @@ object CoreQueries {
                      ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
                       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS ci_hi_u
          FROM m""",
+    "q322_ewma_control" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         sig AS (
+           SELECT event_type,
+                  sqrt(CAST(CAST(count(*) AS HUGEINT) *
+                         sum(CAST(x AS HUGEINT) * x) -
+                         sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT))
+                       AS DOUBLE) /
+                       (CAST(count(*) AS DOUBLE) * (count(*) - 1)))
+                    AS sigma
+           FROM daily GROUP BY 1),
+         d AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY day) AS rn
+           FROM daily),
+         r AS (
+           SELECT event_type, day, x, rn,
+                  CAST(x * 1000000 AS BIGINT) AS ewma_u
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.event_type, d.day, d.x, d.rn,
+                  CAST(floor(0.3 * CAST(d.x * 1000000 AS DOUBLE) +
+                       0.7 * CAST(r.ewma_u AS DOUBLE)) AS BIGINT)
+           FROM d JOIN r ON d.event_type = r.event_type
+                        AND d.rn = r.rn + 1)
+         SELECT r.event_type, r.day, r.x, r.ewma_u,
+                CAST(abs(r.x * 1000000 - r.ewma_u) AS DOUBLE) >
+                  3.0 * sig.sigma * 1000000.0 AS alert
+         FROM r JOIN sig USING (event_type)""",
+    "q323_sprt_monitor" -> {
+      val (p0, p1, alpha, beta) = (0.10, 0.15, 0.05, 0.05)
+      val cPos = math.round(math.log(p1 / p0) * 1e6)
+      val cNeg = math.round(math.log((1 - p1) / (1 - p0)) * 1e6)
+      val upper = math.round(math.log((1 - beta) / alpha) * 1e6)
+      val lower = math.round(math.log(beta / (1 - alpha)) * 1e6)
+      s"""WITH walk AS (
+           SELECT user_id % 4 AS cohort, epoch_us(ts) AS ts_us, event_id,
+                  CASE WHEN event_type = 'purchase' THEN $cPos
+                       ELSE $cNeg END AS step
+           FROM events),
+         c AS (
+           SELECT cohort,
+                  CAST(sum(step) OVER w AS BIGINT) AS llr_u,
+                  CAST(count(*) OVER w AS BIGINT) AS rn
+           FROM walk
+           WINDOW w AS (PARTITION BY cohort ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         f AS (SELECT * FROM c WHERE llr_u >= $upper OR llr_u <= $lower)
+         SELECT cohort, CAST(min(rn) AS BIGINT) AS n_at_decision,
+                CAST(arg_min(llr_u, rn) AS BIGINT) AS llr_u_at,
+                CASE WHEN arg_min(llr_u, rn) >= $upper THEN 'accept_h1'
+                     ELSE 'accept_h0' END AS decision
+         FROM f GROUP BY cohort"""
+    },
     "q321_hilbert_layout" -> {
       val morton = (0 until 6).map { k =>
         s"(((x >> $k) & 1) << ${2 * k}) + (((y >> $k) & 1) << ${2 * k + 1})"

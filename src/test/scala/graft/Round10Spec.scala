@@ -1009,4 +1009,25 @@ class Round10Spec extends SparkSpec {
     assert(a.getAs[Long]("accuracy_ppm") === 600000L) // 3/5
     assert(a.getAs[Long]("macro_f1_ppm") === 650000L) // (800000+500000)/2
   }
+
+  test("q322's floor-quantized EWMA recursion: hand values") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", java.sql.Date.valueOf("2024-01-01"), 10L),
+      ("a", java.sql.Date.valueOf("2024-01-02"), 20L),
+      ("a", java.sql.Date.valueOf("2024-01-03"), 10L))
+      .toDF("event_type", "day", "x")
+    val got = df.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+        .as("__days"))
+      .select(expr(
+        """explode(transform(sequence(1, size(__days)), t ->
+             aggregate(slice(__days, 2, t - 1),
+               element_at(__days, 1).x * 1000000L,
+               (acc, e) -> CAST(floor(0.3D * (e.x * 1000000L) +
+                 0.7D * acc) AS BIGINT))))""").as("ewma_u"))
+      .as[Long].collect().toSeq
+    // 10e6; floor(.3*20e6+.7*10e6)=13e6; floor(.3*10e6+.7*13e6)=12.1e6
+    assert(got === Seq(10000000L, 13000000L, 12100000L))
+  }
 }
