@@ -94,10 +94,19 @@ object Contingency {
     * @return one row per bucket: `bucket, n_pos, n_neg, woe, iv_term, iv`
     *         (`iv` repeated on every row — the bucket frame IS the report)
     */
-  def woeIv(df: DataFrame, labelCol: String, bucketCol: String): DataFrame = {
-    val buckets = df.groupBy(col(bucketCol).as("bucket"))
-      .agg(sum(col(labelCol)).cast("long").as("n_pos"),
-        sum(lit(1) - col(labelCol)).cast("long").as("n_neg"))
+  def woeIv(df: DataFrame, labelCol: String, bucketCol: String): DataFrame =
+    woeIvFromCounts(
+      df.groupBy(col(bucketCol).as("bucket"))
+        .agg(sum(col(labelCol)).cast("long").as("n_pos"),
+          sum(lit(1) - col(labelCol)).cast("long").as("n_neg")))
+      .select("bucket", "n_pos", "n_neg", "woe", "iv_term", "iv")
+
+  /** [[woeIv]]'s core over PRE-AGGREGATED buckets (`n_pos`, `n_neg`
+    * columns required; every other input column carried through) — the
+    * entry point when buckets come from another operator (e.g. q324's
+    * PAV-merged monotone segments) instead of raw rows.
+    */
+  def woeIvFromCounts(buckets: DataFrame): DataFrame = {
     val wAll = Window.partitionBy()
     val ok = col("n_pos") > 0 && col("n_neg") > 0
     buckets
@@ -116,7 +125,7 @@ object Contingency {
             col("woe").cast("double"), 9).cast("decimal(20,9)"))
           .otherwise(lit(BigDecimal(0)).cast("decimal(20,9)")))
       .withColumn("iv", sum("iv_term").over(wAll).cast("decimal(20,9)"))
-      .select("bucket", "n_pos", "n_neg", "woe", "iv_term", "iv")
+      .drop("__pos", "__neg")
   }
 
   /** McNemar's paired test from per-subject (before, after) binary

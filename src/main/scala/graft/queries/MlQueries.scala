@@ -140,6 +140,36 @@ object MlQueries {
           "var_match_violations", "recon_identity_ok")
     },
 
+    // MONOTONE-WOE BINNING — the credit-scoring composition: PAV (q294's
+    // kernel) merges raw value buckets into maximal monotone-rate
+    // segments, then each segment gets its weight of evidence (q311's
+    // kernel over pre-aggregated counts). By construction the segment
+    // rates are nondecreasing, so the WOE sequence must be too — emitted
+    // as a per-row machine-checked verdict. Two kernels, one plan, cell-
+    // frame-sized throughout
+    "q324_monotone_woe" -> { (s, dir) =>
+      val bins = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(expr("CAST(floor(value / 10) AS BIGINT)").as("b"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy("b")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("y").cast("long").as("n_pos"))
+      val fit = graft.data.Calibration.pavFit(bins)
+      val merged = fit.groupBy(col("iso_fit"))
+        .agg(min("bin").cast("long").as("bin_lo"),
+          max("bin").cast("long").as("bin_hi"),
+          sum("n_pos").cast("long").as("n_pos"),
+          (sum("n") - sum("n_pos")).cast("long").as("n_neg"))
+      val woe = graft.data.Contingency.woeIvFromCounts(merged)
+        .drop("iso_fit")
+      val wOrd = Window.orderBy("bin_lo")
+      woe
+        .withColumn("woe_monotone",
+          coalesce(col("woe") >= lag("woe", 1).over(wOrd), lit(true)))
+        .select("bin_lo", "bin_hi", "n_pos", "n_neg", "woe", "iv_term",
+          "iv", "woe_monotone")
+    },
+
     // QINI UPLIFT DECILES — the uplift-model evaluation table: rank eval
     // subjects by a train-half per-segment uplift score (exact integer
     // ppm), then per decile (explicit rank formula, no ntile engine-lore)
@@ -705,6 +735,69 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q324_monotone_woe" ->
+      """WITH ev AS (
+           SELECT CAST(floor(value / 10) AS BIGINT) AS b,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL),
+         bins AS (
+           SELECT b, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS n_pos
+           FROM ev GROUP BY 1),
+         pre AS (
+           SELECT b, n, n_pos,
+                  CAST(sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS pn,
+                  CAST(sum(n_pos) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS pp
+           FROM bins),
+         a AS (
+           SELECT j.b AS jb, k.b AS kb,
+                  CAST(k.pp - j.pp + j.n_pos AS DOUBLE) /
+                  CAST(k.pn - j.pn + j.n AS DOUBLE) AS avg_jk
+           FROM pre j JOIN pre k ON j.b <= k.b),
+         sm AS (
+           SELECT jb, kb,
+                  min(avg_jk) OVER (PARTITION BY jb ORDER BY kb DESC
+                    ROWS UNBOUNDED PRECEDING) AS m
+           FROM a),
+         f AS (SELECT kb AS b, max(m) AS iso_fit FROM sm GROUP BY 1),
+         pb AS (SELECT bins.b, bins.n, bins.n_pos, f.iso_fit
+                FROM bins JOIN f USING (b)),
+         merged AS (
+           SELECT iso_fit, CAST(min(b) AS BIGINT) AS bin_lo,
+                  CAST(max(b) AS BIGINT) AS bin_hi,
+                  CAST(sum(n_pos) AS BIGINT) AS n_pos,
+                  CAST(sum(n) - sum(n_pos) AS BIGINT) AS n_neg
+           FROM pb GROUP BY iso_fit),
+         m2 AS (
+           SELECT *, CAST(sum(n_pos) OVER () AS BIGINT) AS p,
+                  CAST(sum(n_neg) OVER () AS BIGINT) AS q
+           FROM merged),
+         w AS (
+           SELECT bin_lo, bin_hi, n_pos, n_neg,
+                  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                    CAST(round(ln(
+                      CAST(CAST(n_pos AS HUGEINT) * q AS DOUBLE) /
+                      CAST(CAST(n_neg AS HUGEINT) * p AS DOUBLE)), 9)
+                      AS DECIMAL(20,9)) END AS woe,
+                  p, q
+           FROM m2),
+         w2 AS (
+           SELECT bin_lo, bin_hi, n_pos, n_neg, woe,
+                  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                    CAST(round(
+                      CAST(CAST(n_pos AS HUGEINT) * q -
+                           CAST(n_neg AS HUGEINT) * p AS DOUBLE) /
+                      CAST(CAST(p AS HUGEINT) * q AS DOUBLE) *
+                      CAST(woe AS DOUBLE), 9) AS DECIMAL(20,9))
+                  ELSE CAST(0 AS DECIMAL(20,9)) END AS iv_term
+           FROM w)
+         SELECT bin_lo, bin_hi, n_pos, n_neg, woe, iv_term,
+                CAST(sum(iv_term) OVER () AS DECIMAL(20,9)) AS iv,
+                COALESCE(woe >= lag(woe) OVER (ORDER BY bin_lo), TRUE)
+                  AS woe_monotone
+         FROM w2""",
     "q318_qini_uplift" ->
       """WITH users AS (
            SELECT user_id,

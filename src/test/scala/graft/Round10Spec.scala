@@ -1030,4 +1030,27 @@ class Round10Spec extends SparkSpec {
     // 10e6; floor(.3*20e6+.7*10e6)=13e6; floor(.3*10e6+.7*13e6)=12.1e6
     assert(got === Seq(10000000L, 13000000L, 12100000L))
   }
+
+  test("monotone WOE composition: PAV merges a rate violation, WOE on " +
+      "merged segments") {
+    val s = spark
+    import s.implicits._
+    // rates .5 then .25 violate monotonicity -> PAV pools to one segment
+    val bins = Seq((0L, 4L, 2L), (1L, 4L, 1L)).toDF("b", "n", "n_pos")
+    val fit = graft.data.Calibration.pavFit(bins)
+    val merged = fit.groupBy(col("iso_fit"))
+      .agg(min("bin").cast("long").as("bin_lo"),
+        max("bin").cast("long").as("bin_hi"),
+        sum("n_pos").cast("long").as("n_pos"),
+        (sum("n") - sum("n_pos")).cast("long").as("n_neg"))
+    val woe = graft.data.Contingency.woeIvFromCounts(merged).collect()
+    assert(woe.length === 1)
+    assert(woe(0).getAs[Long]("bin_lo") === 0L)
+    assert(woe(0).getAs[Long]("bin_hi") === 1L)
+    assert(woe(0).getAs[Long]("n_pos") === 3L && woe(0).getAs[Long]("n_neg") === 5L)
+    // one segment: pos/POS == neg/NEG == 1 -> woe exactly 0, iv 0
+    assert(woe(0).getAs[java.math.BigDecimal]("woe").doubleValue() === 0.0)
+    assert(woe(0).getAs[java.math.BigDecimal]("iv").doubleValue() === 0.0)
+    assert(woe(0).getAs[Double]("iso_fit") === 0.375)
+  }
 }
