@@ -55,8 +55,6 @@ object Pca {
       .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
       .toMap
     require(gram.nonEmpty, "PCA fit on empty input")
-    val d = gram.keys.map(_._2).max + 1
-    require(k >= 1 && k <= d, s"k=$k out of range for d=$d")
     val n = gram((0, 0))._1
     // exact per-component sums in the same floored 1e-6 units
     val sums = df.select(posexplode(col(vecCol)).as(Seq("i", "x")))
@@ -64,6 +62,18 @@ object Pca {
       .agg(sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
         .cast("decimal(38,0)").cast("double").as("s"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    fitFromMoments(gram.map { case (ij, (_, g)) => ij -> g }, sums, n, k)
+  }
+
+  /** Fit from exact second/first moments — the entry point when the
+    * moments come MERGED FROM A STORE ([[GramStore]]) instead of a scan:
+    * identical moments ⇒ bit-identical model, whichever path built them.
+    */
+  def fitFromMoments(gram: Map[(Int, Int), Long], sums: Map[Int, Double],
+                     n: Long, k: Int): Model = {
+    require(gram.nonEmpty, "PCA fit on empty moments")
+    val d = gram.keys.map(_._2).max + 1
+    require(k >= 1 && k <= d, s"k=$k out of range for d=$d")
     // covariance C_ij = (n·G_ij − S_i·S_j) / n² — exact integers until the
     // one double division, built in fixed (i, j) order
     val c = Array.ofDim[Double](d, d)
@@ -72,7 +82,7 @@ object Pca {
     while (i < d) {
       var j = i
       while (j < d) {
-        val g = gram((i, j))._2.toDouble
+        val g = gram((i, j)).toDouble
         val v = (nD * g - sums(i) * sums(j)) / (nD * nD)
         c(i)(j) = v; c(j)(i) = v
         j += 1

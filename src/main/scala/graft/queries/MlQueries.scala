@@ -140,6 +140,37 @@ object MlQueries {
           "var_match_violations", "recon_identity_ok")
     },
 
+    // PCA FROM THE MOMENT STORE — the mergeable-store family extended to
+    // MODEL FITTING: Gram/mean/count partials persisted per ingest batch
+    // (two appends here), merged by pure integer addition at read time,
+    // model refit from kilobyte partials with NO corpus rescan. The
+    // moments are linear in the data, so fit-from-store is bit-identical
+    // to fit-from-scan — machine-checked across every loading, eigenvalue
+    // and mean (the strongest store contract in the repo: exact, not
+    // approximate)
+    "q325_pca_from_store" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      import graft.ann.{GramStore, Pca}
+      val vecs = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q325_" +
+        s.sparkContext.applicationId + "_" + java.util.UUID.randomUUID()
+      GramStore.appendBatch(vecs.filter(col("vec_id") % 2 === 0),
+        "embedding", 0L, path, overwrite = true)
+      GramStore.appendBatch(vecs.filter(col("vec_id") % 2 === 1),
+        "embedding", 1L, path)
+      val mStore = GramStore.fitPca(s, path, 4)
+      val mScan = Pca.fit(vecs, "embedding", 4)
+      val identical = mStore.d == mScan.d && mStore.n == mScan.n &&
+        java.util.Arrays.equals(mStore.eigenvalues, mScan.eigenvalues) &&
+        java.util.Arrays.equals(mStore.meanU, mScan.meanU) &&
+        mStore.components.length == mScan.components.length &&
+        mStore.components.zip(mScan.components)
+          .forall { case (a, b) => java.util.Arrays.equals(a, b) }
+      Seq((mScan.n, mScan.d.toLong, 4L, 2L, identical))
+        .toDF("n_vectors", "d", "k", "n_batches", "store_scan_identical")
+    },
+
     // MONOTONE-WOE BINNING — the credit-scoring composition: PAV (q294's
     // kernel) merges raw value buckets into maximal monotone-rate
     // segments, then each segment gets its weight of evidence (q311's
@@ -735,6 +766,12 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q325_pca_from_store" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                CAST(64 AS BIGINT) AS d, CAST(4 AS BIGINT) AS k,
+                CAST(2 AS BIGINT) AS n_batches,
+                TRUE AS store_scan_identical
+         FROM embeddings""",
     "q324_monotone_woe" ->
       """WITH ev AS (
            SELECT CAST(floor(value / 10) AS BIGINT) AS b,

@@ -1053,4 +1053,34 @@ class Round10Spec extends SparkSpec {
     assert(woe(0).getAs[java.math.BigDecimal]("iv").doubleValue() === 0.0)
     assert(woe(0).getAs[Double]("iso_fit") === 0.375)
   }
+
+  test("GramStore: two-batch merged moments == one-shot moments, and " +
+      "fitPca == Pca.fit bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(2.0f, 1.0f, 0.5f)),
+      (2L, Array(0.1f, 0.2f, 0.9f)), (3L, Array(3.0f, 2.5f, 1.5f)))
+      .toDF("vec_id", "vec")
+    val path = java.nio.file.Files
+      .createTempDirectory("gramstore").toString + "/store"
+    graft.ann.GramStore.appendBatch(vecs.filter(col("vec_id") < 2), "vec",
+      0L, path, overwrite = true)
+    graft.ann.GramStore.appendBatch(vecs.filter(col("vec_id") >= 2), "vec",
+      1L, path)
+    val (gram, sums, n) = graft.ann.GramStore.mergedMoments(s, path)
+    assert(n === 4L)
+    // merged gram equals the direct kernel's cells
+    val direct = graft.ann.Gram.gramUpper(vecs, "vec").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(3))).toMap
+    assert(gram === direct)
+    val mStore = graft.ann.GramStore.fitPca(s, path, 2)
+    val mScan = graft.ann.Pca.fit(vecs, "vec", 2)
+    assert(java.util.Arrays.equals(mStore.eigenvalues, mScan.eigenvalues))
+    assert(java.util.Arrays.equals(mStore.meanU, mScan.meanU))
+    mStore.components.zip(mScan.components).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+    assert(sums.keySet === Set(0, 1, 2))
+  }
 }
