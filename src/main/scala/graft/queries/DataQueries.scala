@@ -1304,6 +1304,32 @@ object DataQueries {
                   * 1000000 div exact_rows AS BIGINT)""").as("overshoot_ppm"))
     },
 
+    // BLOOM SIDECAR POINT LOOKUP — file-skipping made an operator: a
+    // day-partitioned store gets a per-partition bloom bitset sidecar
+    // (k md5 hash positions, bit-OR folded — integer-exact, mergeable);
+    // a point lookup reads the kilobyte sidecar, keeps only partitions
+    // whose filter matches every probe key bit, and scans just those.
+    // False negatives impossible by construction, so the lookup result
+    // is EXACTLY the full-scan answer — which is the oracle. Probe keys
+    // are a bounded driver-side list (the point-lookup contract)
+    "q326_bloom_sidecar_lookup" -> { (s, dir) =>
+      import graft.data.BloomIndex
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("value_micros"),
+        to_date(col("ts")).as("day"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q326_" +
+        s.sparkContext.applicationId + "_" + java.util.UUID.randomUUID()
+      ev.write.partitionBy("day").mode("overwrite").parquet(s"$base/store")
+      BloomIndex.build(s.read.parquet(s"$base/store"), "day", "event_id",
+        s"$base/bloom")
+      val keys: Seq[Any] = ev.filter(col("event_id") % 1000 === 7)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      val (res, _) = BloomIndex.lookup(s, s"$base/store", s"$base/bloom",
+        "day", "event_id", keys)
+      res.select(col("event_id"), col("user_id"), col("value_micros"),
+        col("day"))
+    },
+
     // SURVEY RAKING (IPF) — reweight a day-skewed sample (odd days only)
     // so its (event_type × 6-hour bucket) margins match the full
     // population's: three UNROLLED row/column iterations on the 20-cell
@@ -2007,6 +2033,11 @@ object DataQueries {
   val oracleSql: Map[String, String] = Map(
     // merged store counters ≡ direct counts by CMS linearity, so the
     // replay needs no day split
+    "q326_bloom_sidecar_lookup" ->
+      """SELECT event_id, user_id,
+                CAST(floor(value * 1000000) AS BIGINT) AS value_micros,
+                CAST(ts AS DATE) AS day
+         FROM events WHERE event_id % 1000 = 7""",
     "q319_ipf_raking" ->
       """WITH ev AS (
            SELECT event_type AS a, CAST(hour(ts) // 6 AS BIGINT) AS b,

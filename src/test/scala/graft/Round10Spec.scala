@@ -1083,4 +1083,33 @@ class Round10Spec extends SparkSpec {
     }
     assert(sums.keySet === Set(0, 1, 2))
   }
+
+  test("BloomIndex: sound (no false negatives) and effective pruning") {
+    val s = spark
+    import s.implicits._
+    // 10 partitions, each with disjoint keys p*100..p*100+9
+    val rows = (for (p <- 0 until 10; k <- 0 until 10)
+      yield (p.toLong, p * 100L + k)).toDF("part", "key")
+    val base = java.nio.file.Files
+      .createTempDirectory("bloomidx").toString
+    rows.write.partitionBy("part").mode("overwrite")
+      .parquet(s"$base/store")
+    graft.data.BloomIndex.build(s.read.parquet(s"$base/store"), "part",
+      "key", s"$base/bloom")
+    // keys live in partitions 2 and 7 only; 999999 exists nowhere
+    val keys: Seq[Any] = Seq(203L, 207L, 701L, 999999L)
+    val (res, scanned) = graft.data.BloomIndex.lookup(s, s"$base/store",
+      s"$base/bloom", "part", "key", keys)
+    val got = res.select("key").as[Long].collect().sorted.toSeq
+    assert(got === Seq(203L, 207L, 701L), "exactly the existing keys")
+    assert(scanned >= 2 && scanned < 10,
+      s"pruning must keep the 2 true partitions and skip most others " +
+        s"(scanned=$scanned)")
+    // a miss-only probe prunes everything modulo false positives
+    val (res2, scanned2) = graft.data.BloomIndex.lookup(s, s"$base/store",
+      s"$base/bloom", "part", "key", Seq(424242L))
+    assert(res2.count() === 0L)
+    assert(scanned2 <= 2, s"miss probe should scan ~0 partitions " +
+      s"(fp-bounded), got $scanned2")
+  }
 }
