@@ -140,6 +140,33 @@ object MlQueries {
           "var_match_violations", "recon_identity_ok")
     },
 
+    // BRADLEY–TERRY PREFERENCE AGGREGATION — latent strength ratings from
+    // pairwise wins (the RLHF preference-data consistency model): within
+    // each user's event stream, consecutive different-type events form a
+    // comparison won by the higher-value one; Hunter's MM iteration runs
+    // UNROLLED with micro-unit floor quantization before every cross-row
+    // sum (the IPF/EWMA discipline — exact integers between single IEEE
+    // divisions). Pair frame ≤|types|², iterations item-frame-sized
+    "q327_bradley_terry" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+      val pairs = ev
+        .withColumn("pt", lag("event_type", 1).over(w))
+        .withColumn("pv", lag("v", 1).over(w))
+        .filter(col("pt").isNotNull && col("pt") =!= col("event_type") &&
+          col("v") =!= col("pv"))
+        .select(
+          when(col("v") > col("pv"), col("event_type")).otherwise(col("pt"))
+            .as("a"),
+          when(col("v") > col("pv"), col("pt")).otherwise(col("event_type"))
+            .as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).cast("long").as("wins"))
+      graft.ml.BradleyTerry.fit(pairs, iters = 3)
+    },
+
     // PCA FROM THE MOMENT STORE — the mergeable-store family extended to
     // MODEL FITTING: Gram/mean/count partials persisted per ingest batch
     // (two appends here), merged by pure integer addition at read time,
@@ -766,6 +793,71 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q327_bradley_terry" -> {
+      val iter = (i: Int) => {
+        val prev = s"r${i - 1}"
+        s"""d$i AS (
+           SELECT g.a AS item,
+                  CAST(sum(CAST(floor(CAST(g.n_ab AS DOUBLE) * 1000000000
+                    / (CAST(ra.rating_micro AS DOUBLE) +
+                       CAST(rb.rating_micro AS DOUBLE))) AS BIGINT))
+                    AS BIGINT) AS denom
+           FROM games g
+           JOIN $prev ra ON g.a = ra.item
+           JOIN $prev rb ON g.b = rb.item
+           GROUP BY g.a),
+         u$i AS (
+           SELECT r.item, r.wins,
+                  CASE WHEN d.denom > 0 THEN
+                    CAST(floor(CAST(r.wins AS DOUBLE) * 1000000000
+                      * 1000000 / CAST(d.denom AS DOUBLE)) AS BIGINT)
+                  ELSE 1000000 END AS raw
+           FROM $prev r LEFT JOIN d$i d USING (item)),
+         r$i AS (
+           SELECT item, wins,
+                  CAST(floor(CAST(raw AS DOUBLE) * 1000000 /
+                    (sum(raw) OVER () / count(*) OVER ())) AS BIGINT)
+                    AS rating_micro
+           FROM u$i),"""
+      }
+      s"""WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+                  CAST(floor(value * 1000000) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+         lagd AS (
+           SELECT *, lag(event_type) OVER w AS pt, lag(v) OVER w AS pv
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         dir AS (
+           SELECT CASE WHEN v > pv THEN event_type ELSE pt END AS a,
+                  CASE WHEN v > pv THEN pt ELSE event_type END AS b
+           FROM lagd
+           WHERE pt IS NOT NULL AND pt <> event_type AND v <> pv),
+         dpairs AS (
+           SELECT a, b, CAST(count(*) AS BIGINT) AS wins
+           FROM dir GROUP BY 1, 2),
+         games AS (
+           SELECT a, b, CAST(sum(w) AS BIGINT) AS n_ab
+           FROM (SELECT a, b, wins AS w FROM dpairs
+                 UNION ALL SELECT b, a, wins FROM dpairs)
+           GROUP BY 1, 2),
+         wt AS (SELECT a AS item, CAST(sum(wins) AS BIGINT) AS wins
+                FROM dpairs GROUP BY 1),
+         r0 AS (
+           SELECT i.item, COALESCE(wt.wins, 0) AS wins,
+                  CAST(1000000 AS BIGINT) AS rating_micro
+           FROM (SELECT DISTINCT a AS item FROM games) i
+           LEFT JOIN wt USING (item)),
+         ${iter(1)}
+         ${iter(2)}
+         ${iter(3)}
+         gt AS (SELECT a AS item, CAST(sum(n_ab) AS BIGINT) AS games
+                FROM games GROUP BY 1)
+         SELECT r3.item, r3.wins, gt.games, r3.rating_micro,
+                CAST(row_number() OVER (ORDER BY r3.rating_micro DESC,
+                  r3.item ASC) AS BIGINT) AS rank
+         FROM r3 JOIN gt USING (item)"""
+    },
     "q325_pca_from_store" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
                 CAST(64 AS BIGINT) AS d, CAST(4 AS BIGINT) AS k,

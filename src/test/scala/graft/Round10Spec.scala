@@ -1112,4 +1112,27 @@ class Round10Spec extends SparkSpec {
     assert(scanned2 <= 2, s"miss probe should scan ~0 partitions " +
       s"(fp-bounded), got $scanned2")
   }
+
+  test("BradleyTerry.fit: 2-item MLE ratio and transitive ordering") {
+    val s = spark
+    import s.implicits._
+    // two items: MLE has r_A/r_B = 3 (A won 3 of 4)
+    val p2 = Seq(("A", "B", 3L), ("B", "A", 1L)).toDF("a", "b", "wins")
+    val r2 = graft.ml.BradleyTerry.fit(p2, iters = 6)
+      .orderBy("rank").collect()
+    assert(r2.map(_.getAs[String]("item")).toSeq === Seq("A", "B"))
+    val ratio = r2(0).getAs[Long]("rating_micro").toDouble /
+      r2(1).getAs[Long]("rating_micro").toDouble
+    assert(math.abs(ratio - 3.0) < 0.05, s"ratio $ratio should approach 3")
+    assert(r2(0).getAs[Long]("games") === 4L && r2(0).getAs[Long]("wins") === 3L)
+    // consistent A > B > C tournament sorts correctly
+    val p3 = Seq(("A", "B", 8L), ("B", "A", 2L), ("B", "C", 8L),
+      ("C", "B", 2L), ("A", "C", 9L), ("C", "A", 1L)).toDF("a", "b", "wins")
+    val r3 = graft.ml.BradleyTerry.fit(p3, iters = 6).orderBy("rank")
+      .collect()
+    assert(r3.map(_.getAs[String]("item")).toSeq === Seq("A", "B", "C"))
+    // mean rating stays (floor-)normalized at ~1e6
+    val mean = r3.map(_.getAs[Long]("rating_micro")).sum / 3
+    assert(math.abs(mean - 1000000L) <= 2L)
+  }
 }
