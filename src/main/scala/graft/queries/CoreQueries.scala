@@ -464,6 +464,90 @@ object CoreQueries {
         "converted")
     },
 
+    // JACKKNIFE RATIO CI — the third leg of the ratio-metric inference
+    // triangle (q244 bootstrap, q303 delta method, THIS delete-one-group
+    // jackknife): 32 hash buckets of users, leave-one-out ratios from
+    // exact integer sums (each a single IEEE division, 9-dp-quantized
+    // before any cross-bucket sum), SE = √((B−1)/B · Σ(r_i − r̄)²). One
+    // aggregation to the bucket frame; everything after is 32 rows
+    "q328_jackknife_ratio_ci" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .groupBy((col("user_id") % 32).cast("long").as("bucket"))
+        .agg(sum(when(col("event_type") === "purchase" &&
+            col("value").isNotNull,
+          expr("CAST(floor(value * 1000000) AS BIGINT)")).otherwise(0L))
+          .cast("decimal(38,0)").as("sx"),
+          count(lit(1)).cast("decimal(38,0)").as("sy"))
+      val wAll = Window.partitionBy()
+      val loo = per
+        .withColumn("__tx", sum("sx").over(wAll).cast("decimal(38,0)"))
+        .withColumn("__ty", sum("sy").over(wAll).cast("decimal(38,0)"))
+        .withColumn("__b", count(lit(1)).over(wAll).cast("long"))
+        // ratio reported in NATURAL value units (micros / 1e6): keeps every
+        // 9-dp round below 2^53 in DuckDB's float round path (q307 lesson)
+        .withColumn("r_i",
+          round((col("__tx") - col("sx")).cast("double") /
+            (col("__ty") - col("sy")).cast("double") / lit(1000000.0), 9)
+            .cast("decimal(20,9)"))
+      loo
+        .withColumn("__rbar",
+          round((sum("r_i").over(wAll).cast("double")) /
+            col("__b").cast("double"), 9).cast("decimal(20,9)"))
+        .withColumn("__d2",
+          round((col("r_i") - col("__rbar")).cast("double") *
+            (col("r_i") - col("__rbar")).cast("double"), 12)
+            .cast("decimal(24,12)"))
+        .agg(max("__b").cast("long").as("n_buckets"),
+          max(round(col("__tx").cast("double") / col("__ty").cast("double")
+            / lit(1000000.0), 9).cast("decimal(20,9)")).as("ratio"),
+          sum("__d2").cast("decimal(24,12)").as("__ss"),
+          max("__b").as("__bb"))
+        .select(col("n_buckets"), col("ratio"),
+          round(sqrt((col("__bb") - 1).cast("double") /
+            col("__bb").cast("double") * col("__ss").cast("double")), 9)
+            .cast("decimal(20,9)").as("jk_se"))
+        .withColumn("ci_lo",
+          round(col("ratio").cast("double") -
+            lit(1.96) * col("jk_se").cast("double"), 9)
+            .cast("decimal(20,9)"))
+        .withColumn("ci_hi",
+          round(col("ratio").cast("double") +
+            lit(1.96) * col("jk_se").cast("double"), 9)
+            .cast("decimal(20,9)"))
+    },
+
+    // HILL TAIL-INDEX ESTIMATOR — how heavy is the term-frequency tail
+    // (the Zipf exponent a curation pipeline checks before trusting
+    // frequency-based filters): α̂ = k / Σ_{i≤k} ln(f_(i)/f_(k+1)) over
+    // the top-k order statistics of the vocabulary frequency spectrum.
+    // The corpus collapses to the vocabulary once; the rank window runs
+    // on the vocab frame; ln terms are 9-dp-quantized before the DECIMAL
+    // sum (q79's precedent)
+    "q329_hill_tail" -> { (s, dir) =>
+      val k = 20 // the synthetic vocabulary has 31 distinct terms
+      val freqs = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).cast("long").as("f"))
+      val ranked = freqs.withColumn("rk",
+        row_number().over(Window.orderBy(col("f").desc, col("term").asc))
+          .cast("long"))
+      val thresh = ranked.filter(col("rk") === k + 1)
+        .select(col("f").as("f_k1"))
+      ranked.filter(col("rk") <= k)
+        .crossJoin(broadcast(thresh))
+        .withColumn("__t",
+          round(log(col("f").cast("double") / col("f_k1").cast("double")),
+            9).cast("decimal(20,9)"))
+        .agg(count(lit(1)).cast("long").as("k_used"),
+          max("f_k1").cast("long").as("f_threshold"),
+          sum("__t").cast("decimal(20,9)").as("__lnsum"))
+        .select(col("k_used"), col("f_threshold"),
+          round(col("k_used").cast("double") /
+            col("__lnsum").cast("double"), 6).cast("decimal(28,6)")
+            .as("hill_alpha"))
+    },
+
     // EWMA CONTROL CHART — the memory-ful sibling of q178's CUSUM: per
     // event type, the daily count series smoothed by the FLOOR-QUANTIZED
     // micro-unit recursion ewma_u' = ⌊0.3·x_u + 0.7·ewma_u⌋ (floor of
@@ -3776,6 +3860,79 @@ object CoreQueries {
                      ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
                       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS ci_hi_u
          FROM m""",
+    "q328_jackknife_ratio_ci" ->
+      """WITH per AS (
+           SELECT user_id % 32 AS bucket,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                        AND value IS NOT NULL
+                       THEN CAST(floor(value * 1000000) AS BIGINT)
+                       ELSE 0 END) AS HUGEINT) AS sx,
+                  CAST(count(*) AS HUGEINT) AS sy
+           FROM events GROUP BY 1),
+         loo AS (
+           SELECT bucket, sx, sy, tx, ty, b,
+                  CAST(round(CAST(tx - sx AS DOUBLE) /
+                             CAST(ty - sy AS DOUBLE) / 1000000.0, 9)
+                       AS DECIMAL(20,9)) AS r_i
+           FROM (SELECT *, CAST(sum(sx) OVER () AS HUGEINT) AS tx,
+                        CAST(sum(sy) OVER () AS HUGEINT) AS ty,
+                        CAST(count(*) OVER () AS BIGINT) AS b
+                 FROM per)),
+         m AS (
+           SELECT *,
+                  CAST(round(CAST(sum(r_i) OVER () AS DOUBLE) /
+                             CAST(b AS DOUBLE), 9) AS DECIMAL(20,9))
+                    AS rbar
+           FROM loo),
+         d AS (
+           SELECT *,
+                  CAST(round(CAST(r_i - rbar AS DOUBLE) *
+                             CAST(r_i - rbar AS DOUBLE), 12)
+                       AS DECIMAL(24,12)) AS d2
+           FROM m),
+         agg AS (
+           SELECT CAST(max(b) AS BIGINT) AS n_buckets,
+                  CAST(max(CAST(round(CAST(tx AS DOUBLE) /
+                    CAST(ty AS DOUBLE) / 1000000.0, 9) AS DECIMAL(20,9)))
+                    AS DECIMAL(20,9)) AS ratio,
+                  CAST(sum(d2) AS DECIMAL(24,12)) AS ss,
+                  CAST(max(b) AS BIGINT) AS bb
+           FROM d),
+         jk AS (
+           SELECT n_buckets, ratio,
+                  CAST(round(sqrt(CAST(bb - 1 AS DOUBLE) /
+                    CAST(bb AS DOUBLE) * CAST(ss AS DOUBLE)), 9)
+                    AS DECIMAL(20,9)) AS jk_se
+           FROM agg)
+         SELECT n_buckets, ratio, jk_se,
+                CAST(round(CAST(ratio AS DOUBLE) -
+                  1.96 * CAST(jk_se AS DOUBLE), 9) AS DECIMAL(20,9))
+                  AS ci_lo,
+                CAST(round(CAST(ratio AS DOUBLE) +
+                  1.96 * CAST(jk_se AS DOUBLE), 9) AS DECIMAL(20,9))
+                  AS ci_hi
+         FROM jk""",
+    "q329_hill_tail" ->
+      """WITH w AS (
+           SELECT unnest(list_filter(regexp_split_to_array(trim(text),
+             '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         f AS (SELECT term, CAST(count(*) AS BIGINT) AS f
+               FROM w GROUP BY 1),
+         r AS (SELECT *, row_number() OVER (ORDER BY f DESC, term ASC)
+                    AS rk FROM f),
+         th AS (SELECT f AS f_k1 FROM r WHERE rk = 21),
+         t2 AS (
+           SELECT CAST(round(ln(CAST(r.f AS DOUBLE) /
+                    CAST(th.f_k1 AS DOUBLE)), 9) AS DECIMAL(20,9)) AS t,
+                  th.f_k1
+           FROM r, th WHERE rk <= 20)
+         SELECT CAST(count(*) AS BIGINT) AS k_used,
+                CAST(max(f_k1) AS BIGINT) AS f_threshold,
+                CAST(round(CAST(count(*) AS DOUBLE) /
+                  CAST(sum(t) AS DOUBLE), 6) AS DECIMAL(28,6))
+                  AS hill_alpha
+         FROM t2""",
     "q322_ewma_control" ->
       """WITH RECURSIVE daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,

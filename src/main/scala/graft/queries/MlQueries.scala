@@ -140,6 +140,32 @@ object MlQueries {
           "var_match_violations", "recon_identity_ok")
     },
 
+    // FELLEGI–SUNTER LINKAGE WEIGHTS — the classical probabilistic
+    // record-linkage model beside the library's supervised matcher:
+    // m/u probabilities per comparison feature from labeled blocked
+    // pairs (exact integer ppm), log-likelihood agreement/disagreement
+    // weights (one IEEE division of integer cross-products through ln,
+    // 9-dp rounded). Deterministic hash-agreement features make the
+    // estimation surface exact: f1/f2 are discriminative (m = 1,
+    // u ≈ 1/97, 1/13 — f1's disagreement weight exercises the NULL
+    // guard), f3 is designed uninformative (w ≈ 0)
+    "q330_fellegi_sunter" -> { (s, dir) =>
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val pairs = o.join(c, col("o_custkey") % 50 === col("c_custkey") % 50)
+        .select(
+          (col("o_custkey") === col("c_custkey")).cast("int").as("lbl"),
+          (col("o_custkey") % 97 === col("c_custkey") % 97).cast("int")
+            .as("f_mod97"),
+          (col("o_custkey") % 13 === col("c_custkey") % 13).cast("int")
+            .as("f_mod13"),
+          ((col("o_custkey") + col("c_custkey")) % 2 === 0).cast("int")
+            .as("f_parity"))
+      graft.ml.FellegiSunter.weights(pairs, "lbl",
+        Seq("f_mod97", "f_mod13", "f_parity"))
+    },
+
     // BRADLEY–TERRY PREFERENCE AGGREGATION — latent strength ratings from
     // pairwise wins (the RLHF preference-data consistency model): within
     // each user's event stream, consecutive different-type events form a
@@ -793,6 +819,52 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q330_fellegi_sunter" ->
+      """WITH pairs AS (
+           SELECT CASE WHEN o_custkey = c_custkey THEN 1 ELSE 0 END
+                    AS lbl,
+                  CASE WHEN o_custkey % 97 = c_custkey % 97 THEN 1 ELSE 0
+                    END AS f_mod97,
+                  CASE WHEN o_custkey % 13 = c_custkey % 13 THEN 1 ELSE 0
+                    END AS f_mod13,
+                  CASE WHEN (o_custkey + c_custkey) % 2 = 0 THEN 1 ELSE 0
+                    END AS f_parity
+           FROM (SELECT o_orderkey, o_custkey FROM orders
+                 WHERE o_orderkey % 20 = 0) o
+           JOIN customer ON o_custkey % 50 = c_custkey % 50),
+         stacked AS (
+           SELECT 'f_mod97' AS feature, f_mod97 AS agree, lbl FROM pairs
+           UNION ALL
+           SELECT 'f_mod13', f_mod13, lbl FROM pairs
+           UNION ALL
+           SELECT 'f_parity', f_parity, lbl FROM pairs),
+         agg AS (
+           SELECT feature,
+                  CAST(sum(CASE WHEN lbl = 1 AND agree = 1 THEN 1 ELSE 0
+                    END) AS BIGINT) AS am,
+                  CAST(sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS nm,
+                  CAST(sum(CASE WHEN lbl = 0 AND agree = 1 THEN 1 ELSE 0
+                    END) AS BIGINT) AS au,
+                  CAST(sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS nu
+           FROM stacked GROUP BY feature)
+         SELECT feature, nm AS n_match, nu AS n_unmatch,
+                CAST(CAST(am AS HUGEINT) * 1000000 // nm AS BIGINT)
+                  AS m_ppm,
+                CAST(CAST(au AS HUGEINT) * 1000000 // nu AS BIGINT)
+                  AS u_ppm,
+                CASE WHEN am > 0 AND au > 0 THEN
+                  CAST(round(ln(
+                    CAST(CAST(am AS HUGEINT) * nu AS DOUBLE) /
+                    CAST(CAST(nm AS HUGEINT) * au AS DOUBLE)), 9)
+                    AS DECIMAL(20,9)) END AS w_agree,
+                CASE WHEN nm - am > 0 AND nu - au > 0 THEN
+                  CAST(round(ln(
+                    CAST(CAST(nm - am AS HUGEINT) * nu AS DOUBLE) /
+                    CAST(CAST(nm AS HUGEINT) * (nu - au) AS DOUBLE)), 9)
+                    AS DECIMAL(20,9)) END AS w_disagree
+         FROM agg""",
     "q327_bradley_terry" -> {
       val iter = (i: Int) => {
         val prev = s"r${i - 1}"

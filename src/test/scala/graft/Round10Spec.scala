@@ -1135,4 +1135,31 @@ class Round10Spec extends SparkSpec {
     val mean = r3.map(_.getAs[Long]("rating_micro")).sum / 3
     assert(math.abs(mean - 1000000L) <= 2L)
   }
+
+  test("FellegiSunter.weights: hand m/u/weights + degenerate-feature guard") {
+    val s = spark
+    import s.implicits._
+    // f1: 3/4 matches agree, 2/10 non-matches agree;
+    // f2: all 4 matches agree (w_disagree undefined -> NULL)
+    val pairs = (Seq.fill(3)((1, 1, 1)) ++ Seq((1, 0, 1)) ++
+      Seq.fill(2)((0, 1, 0)) ++ Seq.fill(8)((0, 0, 0)))
+      .map { case (l, f1, _) => (l, f1, l) } // f2 agrees iff match
+      .toDF("lbl", "f1", "f2")
+    val got = graft.ml.FellegiSunter.weights(pairs, "lbl", Seq("f1", "f2"))
+      .orderBy("feature").collect()
+    val f1 = got(0); val f2 = got(1)
+    assert(f1.getAs[String]("feature") === "f1")
+    assert(f1.getAs[Long]("n_match") === 4L && f1.getAs[Long]("n_unmatch") === 10L)
+    assert(f1.getAs[Long]("m_ppm") === 750000L)
+    assert(f1.getAs[Long]("u_ppm") === 200000L)
+    assert(math.abs(f1.getAs[java.math.BigDecimal]("w_agree").doubleValue()
+      - math.log(3.75)) < 1e-8)
+    assert(math.abs(f1.getAs[java.math.BigDecimal]("w_disagree")
+      .doubleValue() - math.log(0.3125)) < 1e-8)
+    // degenerate: m = 1 (all matches agree), u = 0 -> w_agree needs au>0
+    assert(f2.getAs[Long]("m_ppm") === 1000000L)
+    assert(f2.getAs[Long]("u_ppm") === 0L)
+    assert(f2.getAs[java.math.BigDecimal]("w_agree") === null)
+    assert(f2.getAs[java.math.BigDecimal]("w_disagree") === null)
+  }
 }
