@@ -14,19 +14,24 @@ import org.apache.spark.sql.functions._
   * never a re-scan or a join back to the raw data). At 100 TB the cell/moment
   * frame is still category-sized.
   *
-  * Oracle determinism: cell counts and margins are exact integers; the
-  * per-cell χ² term (O·N − R·C)²/(N·R·C) keeps its numerator difference in
-  * DECIMAL(38,0) and crosses into doubles only for square-and-divide
-  * (IEEE-exact ops), is rounded to a fixed scale, and the final sum runs in
-  * DECIMAL — order-independent across engines. ANOVA's sums of squares come
-  * from exact integer moments (Σx, Σx² in sub-unit integers) the same way.
+  * Oracle determinism (the round-11 discipline, replacing round-10's
+  * round(double, 9) surfaces that diverged on the driver's libm): every
+  * reportable statistic is an EXACT cross-multiplied integer quotient —
+  * (dividend · 10^k) div divisor in DECIMAL(38,0) with a positive dividend,
+  * so Spark's `div` and DuckDB's HUGEINT `//` truncate identically (the
+  * proven mcnemar_ppm recipe) — or, where a square root is unavoidable
+  * (Cramér's V), a fixed sequence of correctly-rounded IEEE ops (÷, √, ×)
+  * on exact-integer inputs followed by floor: bit-identical in any IEEE-754
+  * engine, never round(), never libm logs. ln-derived values (WOE, IV) stay
+  * plain unquantized doubles so callers keep them OUT of hashed surfaces
+  * and band them with verdict booleans instead.
   */
 object Contingency {
 
   private val D38 = "decimal(38,0)"
 
   /** Chi-squared independence test for `aCol` × `bCol`. One row out:
-    * `n, a_levels, b_levels, dof, chi2, cramers_v`.
+    * `n, a_levels, b_levels, dof, chi2_ppm, cramers_v_q9`.
     */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
@@ -40,7 +45,10 @@ object Contingency {
     * drift series never serializes all weeks through one task, and a
     * store-backed caller (mergeable daily counts) never re-scans raw rows.
     * Cells with o = 0 are legal and contribute their expected-count mass —
-    * pass a complete level grid when absence matters.
+    * pass a complete level grid when absence matters. A level whose ENTIRE
+    * margin is zero (a grid row/column with no mass anywhere) is excluded
+    * from both the terms and the level counts — it carries no information
+    * and would otherwise poison the statistic with 0/0.
     */
   def chiSquareFromCellsGrouped(cells: DataFrame,
                                 groupCols: Seq[String]): DataFrame = {
@@ -53,30 +61,40 @@ object Contingency {
       .withColumn("r", sum("o").over(wa).cast("long"))
       .withColumn("c", sum("o").over(wb).cast("long"))
       .withColumn("n", sum("o").over(wn).cast("long"))
-      // (O·N − R·C) exact in DECIMAL(38,0); the square would overflow 38
-      // digits at extreme N, so square-and-divide run in doubles (both are
-      // correctly-rounded IEEE ops on identical inputs in either engine)
+      // per-cell term (O·N − R·C)²·10⁶ div (N·R·C), all in EXACT
+      // DECIMAL(38,0) integer arithmetic with a positive dividend (the
+      // mcnemar_ppm recipe — Spark `div` ≡ DuckDB HUGEINT `//`).
+      // Bound: |O·N − R·C| ≤ N² so the dividend needs N⁴·10⁶ < 10³⁸,
+      // i.e. N < ~10⁸ total count; past that the caller pre-buckets
+      // (the HistStore discipline) — documented, not silent
       .withColumn("__num",
         (col("o").cast(D38) * col("n") - col("r").cast(D38) * col("c"))
-          .cast("double"))
-      .withColumn("__den",
-        (col("n").cast(D38) * col("r") * col("c")).cast("double"))
-      .withColumn("__term",
-        round(col("__num") * col("__num") / col("__den"), 9)
-          .cast("decimal(28,9)"))
+          .cast(D38))
+      .withColumn("__term_ppm",
+        when(col("r") > 0 && col("c") > 0,
+          expr("""CAST(__num * __num * 1000000
+                  div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"""))
+          .otherwise(lit(0L)))
     val agg = if (groupCols.isEmpty) terms.groupBy() else terms.groupBy(g: _*)
     agg.agg(
       max("n").cast("long").as("n"),
-      countDistinct("a").cast("long").as("a_levels"),
-      countDistinct("b").cast("long").as("b_levels"),
-      sum("__term").cast("decimal(28,9)").as("__chi2"))
+      countDistinct(when(col("r") > 0, col("a"))).cast("long")
+        .as("a_levels"),
+      countDistinct(when(col("c") > 0, col("b"))).cast("long")
+        .as("b_levels"),
+      sum("__term_ppm").cast("long").as("chi2_ppm"))
       .select((g ++ Seq(col("n"), col("a_levels"), col("b_levels"),
         ((col("a_levels") - 1) * (col("b_levels") - 1)).cast("long")
           .as("dof"),
-        col("__chi2").as("chi2"),
-        round(sqrt(col("__chi2").cast("double") /
-          (col("n") * least(col("a_levels"), col("b_levels")) - col("n"))
-            .cast("double")), 9).cast("decimal(20,9)").as("cramers_v"))): _*)
+        col("chi2_ppm"),
+        // Cramér's V = √(χ² / (n·(min_levels−1))) from the quantized χ²:
+        // exact integers through ÷, ÷, √, × (each correctly-rounded IEEE,
+        // bit-identical cross-engine) then floor to q9 — no round()
+        when(col("n") * (least(col("a_levels"), col("b_levels")) - 1) > 0,
+          floor(sqrt(col("chi2_ppm").cast("double") /
+            (col("n") * (least(col("a_levels"), col("b_levels")) - 1))
+              .cast("double") / lit(1000000.0)) * lit(1000000000.0))
+            .cast("long")).as("cramers_v_q9"))): _*)
   }
 
   /** Weight-of-evidence / information-value feature screen (the credit-
@@ -85,21 +103,26 @@ object Contingency {
     * IV = Σ_b (pos_b/POS − neg_b/NEG)·WOE_b.
     *
     * One hash agg collapses rows to buckets; totals are windows over the
-    * bucket frame. Each ratio is ONE IEEE division of exact integer
-    * products ((pos_b/POS)/(neg_b/NEG) = pos_b·NEG / (neg_b·POS)); WOE and
-    * the IV terms are rounded to 9 dp before the DECIMAL IV sum (order-
-    * independent). Buckets with a zero class get NULL woe and contribute
-    * nothing to IV — declared semantics, no smoothing.
+    * bucket frame. The engine-independent surface is `odds_q9` — the odds
+    * ratio pos_b·NEG / (neg_b·POS) as an exact cross-multiplied integer
+    * quotient in parts-per-billion (positive dividend: Spark `div` ≡
+    * DuckDB `//`). WOE = ln(odds) and the IV sum are plain unquantized
+    * DOUBLES: libm's ln is not correctly rounded, so callers must keep
+    * them out of hashed oracle surfaces and band them against `odds_q9`
+    * with verdict booleans (the q97 invariant-oracle pattern). Buckets
+    * with a zero class get NULL woe/odds and contribute nothing to IV —
+    * declared semantics, no smoothing.
     *
-    * @return one row per bucket: `bucket, n_pos, n_neg, woe, iv_term, iv`
-    *         (`iv` repeated on every row — the bucket frame IS the report)
+    * @return one row per bucket: `bucket, n_pos, n_neg, odds_q9, woe,
+    *         iv_term, iv` (`iv` repeated on every row — the bucket frame
+    *         IS the report)
     */
   def woeIv(df: DataFrame, labelCol: String, bucketCol: String): DataFrame =
     woeIvFromCounts(
       df.groupBy(col(bucketCol).as("bucket"))
         .agg(sum(col(labelCol)).cast("long").as("n_pos"),
           sum(lit(1) - col(labelCol)).cast("long").as("n_neg")))
-      .select("bucket", "n_pos", "n_neg", "woe", "iv_term", "iv")
+      .select("bucket", "n_pos", "n_neg", "odds_q9", "woe", "iv_term", "iv")
 
   /** [[woeIv]]'s core over PRE-AGGREGATED buckets (`n_pos`, `n_neg`
     * columns required; every other input column carried through) — the
@@ -112,19 +135,25 @@ object Contingency {
     buckets
       .withColumn("__pos", sum("n_pos").over(wAll).cast("long"))
       .withColumn("__neg", sum("n_neg").over(wAll).cast("long"))
+      // exact hashable surface: odds ratio as integer parts-per-billion
+      .withColumn("odds_q9",
+        when(ok,
+          expr("""CAST(CAST(n_pos AS DECIMAL(38,0)) * __neg * 1000000000
+                  div (CAST(n_neg AS DECIMAL(38,0)) * __pos) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      // ln-derived values: plain doubles, NEVER for hashed surfaces
       .withColumn("woe",
-        when(ok, round(log(
+        when(ok, log(
           (col("n_pos").cast(D38) * col("__neg")).cast("double") /
-            (col("n_neg").cast(D38) * col("__pos")).cast("double")), 9)
-          .cast("decimal(20,9)")).otherwise(lit(null).cast("decimal(20,9)")))
+            (col("n_neg").cast(D38) * col("__pos")).cast("double")))
+          .otherwise(lit(null).cast("double")))
       .withColumn("iv_term",
-        when(ok, round(
+        when(ok,
           (col("n_pos").cast(D38) * col("__neg") -
             col("n_neg").cast(D38) * col("__pos")).cast("double") /
             (col("__pos").cast(D38) * col("__neg")).cast("double") *
-            col("woe").cast("double"), 9).cast("decimal(20,9)"))
-          .otherwise(lit(BigDecimal(0)).cast("decimal(20,9)")))
-      .withColumn("iv", sum("iv_term").over(wAll).cast("decimal(20,9)"))
+            col("woe")).otherwise(lit(0.0)))
+      .withColumn("iv", sum("iv_term").over(wAll))
       .drop("__pos", "__neg")
   }
 
@@ -153,8 +182,10 @@ object Contingency {
 
   /** One-way ANOVA from exact integer moments. `valueIntCol` must already be
     * an exact integer measurement (e.g. cents — the q249 sub-unit
-    * discipline). One row out: `n_total, k_groups, ssb, ssw, f_stat, eta_sq`
-    * with the sums of squares in floor-divided (sub-unit)² integers.
+    * discipline). One row out: `n_total, k_groups, ssb, ssw, f_ppm,
+    * eta_sq_q9` with the sums of squares in floor-divided (sub-unit)²
+    * integers and the F statistic / η² as exact cross-multiplied integer
+    * quotients (ppm / parts-per-billion).
     *
     * All of SSB/SSW stay in EXACT integer arithmetic: the per-group s₁²/n
     * quotients are floor divisions done as (s₁² − s₁² mod n)/n in
@@ -187,13 +218,17 @@ object Contingency {
           floorDiv(col("__s1") * col("__s1"), col("n_total")))
           .cast("long").as("ssb"),
         (col("__s2") - col("__bg")).cast("long").as("ssw"))
-      .withColumn("f_stat",
-        round((col("ssb").cast("double") / (col("k_groups") - 1)) /
-          (col("ssw").cast("double") / (col("n_total") - col("k_groups"))),
-          6).cast("decimal(28,6)"))
-      .withColumn("eta_sq",
-        round(col("ssb").cast("double") /
-          (col("ssb") + col("ssw")).cast("double"), 9)
-          .cast("decimal(20,9)"))
+      // F = (SSB/(k−1))/(SSW/(n−k)) = SSB·(n−k) / (SSW·(k−1)) — exact
+      // integer ppm quotient (positive dividend), no doubles anywhere
+      .withColumn("f_ppm",
+        when(col("k_groups") > 1 && col("ssw") > 0,
+          expr("""CAST(CAST(ssb AS DECIMAL(38,0)) * (n_total - k_groups)
+                  * 1000000 div (CAST(ssw AS DECIMAL(38,0)) * (k_groups - 1))
+                  AS BIGINT)""")).otherwise(lit(null).cast("long")))
+      .withColumn("eta_sq_q9",
+        when(col("ssb") + col("ssw") > 0,
+          expr("""CAST(CAST(ssb AS DECIMAL(38,0)) * 1000000000
+                  div (CAST(ssb AS DECIMAL(38,0)) + ssw) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
   }
 }

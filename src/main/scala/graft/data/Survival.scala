@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   * by group, so no single task ever serializes more than one group's time
   * domain. No subject-level window, no driver collect.
   *
-  * Oracle determinism: at-risk/event/censored counts are exact integers; the
-  * per-step factors ln((n−d)/n) and d/n are single IEEE divisions of those
-  * integers (correctly rounded, engine-independent) rounded to 9 dp BEFORE
-  * the cumulative DECIMAL sum, so the running sums are order-independent
-  * exact decimals; only the final exp re-enters double land (the q79
-  * round-then-fix-scale precedent).
+  * Oracle determinism (round-11 discipline): at-risk/event/censored counts
+  * are exact integers; the per-step hazard d/n is an exact cross-multiplied
+  * integer quotient d·10⁹ div n (positive dividend — Spark `div` ≡ DuckDB
+  * HUGEINT `//`), and the Nelson–Aalen cumulative hazard is an exact BIGINT
+  * running sum of those quotients. The KM survival PRODUCT needs ln/exp
+  * (libm — not correctly rounded, engine-dependent), so it is emitted as a
+  * plain unquantized DOUBLE that callers must keep out of hashed surfaces,
+  * banding it against the exact cumulative hazard with verdict booleans
+  * (Weierstrass: 1 − H ≤ Π(1−hᵢ) ≤ exp(−H)).
   */
 object Survival {
 
@@ -31,9 +34,13 @@ object Survival {
     * @param durCol    integer duration (e.g. days) — the time axis
     * @param eventCol  1 = event observed, 0 = right-censored at `durCol`
     * @return one row per (group, event time): `t, n_risk, d_events,
-    *         n_censored, survival, cum_hazard` (event times only — steps of
-    *         the KM curve; censor-only times shrink the risk set but emit no
-    *         row, the textbook product-limit convention)
+    *         n_censored, haz_q9, cum_haz_q9, survival` (event times only —
+    *         steps of the KM curve; censor-only times shrink the risk set
+    *         but emit no row, the textbook product-limit convention).
+    *         `haz_q9`/`cum_haz_q9` are the exact integer d·10⁹ div n hazard
+    *         increments and their BIGINT running sum (Nelson–Aalen, q9
+    *         units) — the hashable surface; `survival` is the KM product as
+    *         a plain double (exp/ln — oracle callers band it, never hash it)
     */
   def kaplanMeier(obs: DataFrame, groupCols: Seq[String], durCol: String,
                   eventCol: String): DataFrame = {
@@ -52,26 +59,25 @@ object Survival {
           coalesce(sum(col("d_events") + col("n_censored")).over(before),
             lit(0L)))
       .filter(col("d_events") > 0)
-      // per-step factors: exact-integer ratios through ONE IEEE division,
-      // rounded to a fixed scale so the cumulative sums stay in DECIMAL
+      // hazard increment d·10⁹ div n: exact integer quotient, positive
+      // dividend — replayable bit-for-bit by any engine's integer division
+      .withColumn("haz_q9",
+        expr("""CAST(CAST(d_events AS DECIMAL(38,0)) * 1000000000
+                div n_risk AS BIGINT)"""))
+      .withColumn("cum_haz_q9", sum(col("haz_q9")).over(upTo).cast("long"))
       .withColumn("__ln_surv",
         when(col("d_events") < col("n_risk"),
-          round(log((col("n_risk") - col("d_events")).cast("double") /
-            col("n_risk").cast("double")), 9).cast(D209))
-          .otherwise(lit(null).cast(D209)))
-      .withColumn("__h",
-        round(col("d_events").cast("double") / col("n_risk").cast("double"),
-          9).cast(D209))
+          log((col("n_risk") - col("d_events")).cast("double") /
+            col("n_risk").cast("double"))))
       .withColumn("__ln_sum", sum(col("__ln_surv")).over(upTo))
-      .withColumn("cum_hazard", sum(col("__h")).over(upTo).cast(D209))
       // d == n_risk ⇒ the risk set empties here: survival is EXACTLY zero
       // (ln would be −∞; only the terminal event time can hit this)
       .withColumn("survival",
-        when(col("d_events") === col("n_risk"), lit(BigDecimal(0)).cast(D209))
-          .otherwise(
-            round(exp(col("__ln_sum").cast("double")), 9).cast(D209)))
+        when(col("d_events") === col("n_risk"), lit(0.0))
+          .otherwise(exp(col("__ln_sum"))))
       .select((g :+ col("t") :+ col("n_risk") :+ col("d_events") :+
-        col("n_censored") :+ col("survival") :+ col("cum_hazard")): _*)
+        col("n_censored") :+ col("haz_q9") :+ col("cum_haz_q9") :+
+        col("survival")): _*)
   }
 
   /** Two-sample log-rank test: does group A's survival differ from B's?
@@ -83,11 +89,13 @@ object Survival {
     * The time axis is the collapsed duration domain (calendar-bounded for
     * day/hour-granular durations — the q245 boundedness argument), so the
     * single ordered pass is over a kilobyte-scale frame regardless of
-    * subject count. O/d/n are exact integers; E and V terms are fixed
-    * IEEE op sequences rounded to 9 dp before the DECIMAL totals.
+    * subject count. O/d/n are exact integers; the E and V increments are
+    * exact cross-multiplied integer quotients (q9 units, positive
+    * dividends), their totals exact BIGINT sums, and the final χ² an exact
+    * integer ppm quotient of those — zero doubles end to end.
     *
     * @param obs `groupCol ∈ {0, 1}` (1 = group A), `durCol`, `eventCol`
-    * @return one row: `o_a, e_a, v_lr, logrank_chi2`
+    * @return one row: `o_a, e_a_q9, v_q9, chi2_ppm`
     */
   def logRank(obs: DataFrame, groupCol: String, durCol: String,
               eventCol: String): DataFrame = {
@@ -110,24 +118,32 @@ object Survival {
       .withColumn("nb", sum(col("db") + col("cb")).over(wAll) -
         coalesce(sum(col("db") + col("cb")).over(before), lit(0L)))
       .filter(col("da") + col("db") > 0)
-      .withColumn("nt", (col("na") + col("nb")).cast("double"))
-      .withColumn("dt", (col("da") + col("db")).cast("double"))
-      .withColumn("__e",
-        round(col("dt") * col("na").cast("double") / col("nt"), 9)
-          .cast("decimal(20,9)"))
-      .withColumn("__v",
-        when(col("na") + col("nb") > 1,
-          round(col("dt") * (col("na").cast("double") / col("nt")) *
-            (lit(1.0) - col("na").cast("double") / col("nt")) *
-            ((col("nt") - col("dt")) / (col("nt") - lit(1.0))), 9))
-          .otherwise(lit(0.0)).cast("decimal(20,9)"))
+      .withColumn("nt", (col("na") + col("nb")).cast("long"))
+      .withColumn("dt", (col("da") + col("db")).cast("long"))
+      // E increment d·n_A/N and hypergeometric V increment
+      // d·n_A·n_B·(N−d) / (N²·(N−1)) — both as EXACT integer q9 quotients
+      // (dividend ≤ N⁴·10⁹ < 10³⁸ for N < ~10⁷ per-time risk sets; bigger
+      // cohorts bucket durations first — documented bound, not silent)
+      .withColumn("__e_q9",
+        expr("""CAST(CAST(dt AS DECIMAL(38,0)) * na * 1000000000
+                div nt AS BIGINT)"""))
+      .withColumn("__v_q9",
+        when(col("nt") > 1,
+          expr("""CAST(CAST(dt AS DECIMAL(38,0)) * na * nb * (nt - dt) *
+                  1000000000 div (CAST(nt AS DECIMAL(38,0)) * nt * (nt - 1))
+                  AS BIGINT)""")).otherwise(lit(0L)))
     risky.agg(
       sum("da").cast("long").as("o_a"),
-      sum("__e").cast("decimal(20,9)").as("e_a"),
-      sum("__v").cast("decimal(20,9)").as("v_lr"))
-      .withColumn("logrank_chi2",
-        round((col("o_a").cast("double") - col("e_a").cast("double")) *
-          (col("o_a").cast("double") - col("e_a").cast("double")) /
-          col("v_lr").cast("double"), 6).cast("decimal(28,6)"))
+      sum("__e_q9").cast("long").as("e_a_q9"),
+      sum("__v_q9").cast("long").as("v_q9"))
+      // χ² = (O − E)²/V: with O, E, V in q9 integer units this is
+      // (O·10⁹ − E_q9)² div (V_q9·10³) in ppm — the square keeps the
+      // dividend positive, so both engines' integer division agree
+      .withColumn("chi2_ppm",
+        when(col("v_q9") > 0,
+          expr("""CAST((CAST(o_a AS DECIMAL(38,0)) * 1000000000 - e_a_q9) *
+                  (CAST(o_a AS DECIMAL(38,0)) * 1000000000 - e_a_q9)
+                  div (CAST(v_q9 AS DECIMAL(38,0)) * 1000) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
   }
 }
