@@ -66,13 +66,19 @@ object Contingency {
       // mcnemar_ppm recipe — Spark `div` ≡ DuckDB HUGEINT `//`).
       // Bound: |O·N − R·C| ≤ N² so the dividend needs N⁴·10⁶ < 10³⁸,
       // i.e. N < ~10⁸ total count; past that the caller pre-buckets
-      // (the HistStore discipline) — documented, not silent
+      // (the HistStore discipline). The bound FAILS LOUDLY: non-ANSI
+      // Spark wraps DECIMAL(38,0) overflow to NULL and sum() would then
+      // silently drop the term, understating χ²
       .withColumn("__num",
         (col("o").cast(D38) * col("n") - col("r").cast(D38) * col("c"))
           .cast(D38))
       .withColumn("__term_ppm",
-        when(col("r") > 0 && col("c") > 0,
-          expr("""CAST(__num * __num * 1000000
+        when(col("n") >= lit(100000000L),
+          raise_error(concat(lit("chiSquare: total count "), col("n"),
+            lit(" exceeds the exact-arithmetic bound 1e8 - " +
+              "pre-bucket cells (HistStore discipline) first"))))
+          .when(col("r") > 0 && col("c") > 0,
+            expr("""CAST(__num * __num * 1000000
                   div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"""))
           .otherwise(lit(0L)))
     val agg = if (groupCols.isEmpty) terms.groupBy() else terms.groupBy(g: _*)
@@ -214,9 +220,13 @@ object Contingency {
       sum("s2").cast(D38).as("__s2"),
       sum("__t").cast(D38).as("__bg"))
       .select(col("n_total"), col("k_groups"),
-        (col("__bg") -
+        // the per-group floor divisions can push the raw SSB a few
+        // subunits² NEGATIVE when the true SSB ≈ 0 — clamp to keep the
+        // reported sum of squares sane and the f_ppm/eta_sq_q9 dividends
+        // positive (the precondition that makes div ≡ DuckDB //)
+        greatest((col("__bg") -
           floorDiv(col("__s1") * col("__s1"), col("n_total")))
-          .cast("long").as("ssb"),
+          .cast("long"), lit(0L)).as("ssb"),
         (col("__s2") - col("__bg")).cast("long").as("ssw"))
       // F = (SSB/(k−1))/(SSW/(n−k)) = SSB·(n−k) / (SSW·(k−1)) — exact
       // integer ppm quotient (positive dividend), no doubles anywhere

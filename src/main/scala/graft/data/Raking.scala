@@ -12,28 +12,29 @@ import org.apache.spark.sql.functions._
   * The iteration runs UNROLLED on the |A|·|B| cell frame (kilobyte-sized
   * at any corpus scale — raw rows collapse once, margins are windows over
   * cells). Each half-step multiplies cell weights by target/current margin
-  * ratios; weights are rounded to a fixed 9-dp scale after every half-step
-  * so the weighted margin sums run in DECIMAL (order-independent) and the
-  * whole fit is bit-replayable by any engine — the declared semantics are
-  * "IPF with 9-dp weight quantization", exact, not "IPF to convergence".
+  * ratios as EXACT cross-multiplied integer quotients on q9 (parts-per-
+  * billion) weights: w′ = w_q9·t·10⁹ div (Σ w_q9·n), a positive-dividend
+  * DECIMAL(38,0) integer division that Spark's `div` and DuckDB's HUGEINT
+  * `//` truncate identically (the round-11 mcnemar_ppm discipline — no
+  * round(double, 9) half-steps, no engine-specific rounding anywhere).
+  * The declared semantics are "IPF with q9 floor quantization", exact and
+  * bit-replayable, not "IPF to convergence".
   */
 object Raking {
 
-  // weight scale chosen so every product w·n stays inside DECIMAL(38,_)
-  // EXACTLY in both engines (20+12+1 digits) — no engine-specific
-  // precision-overflow rounding rules ever fire
-  private val DW = "decimal(20,9)"
-  private val DN = "decimal(12,0)"
+  private val D38 = "decimal(38,0)"
 
   /** @param sample  rows with categorical `aCol`, `bCol`
     * @param targets target margins: rows with `aCol`, `bCol`, `target_n`
     *                (typically the full population's cell counts — only
     *                its margins are used)
     * @param iters   full row+column iterations to unroll (≥ 1)
-    * @return one row per cell: `a, b, n_sample, weight, fitted_n` plus the
-    *         post-fit ABSOLUTE margin gaps `row_absgap_ppm, col_absgap_ppm`
-    *         (weighted margin vs target, cross-multiplied integer ppm — a
-    *         positive dividend keeps both engines' integer division equal)
+    * @return one row per cell: `a, b, n_sample, weight_q9, fitted_n_q9`
+    *         (weight and fitted weighted count in exact integer q9 units)
+    *         plus the post-fit ABSOLUTE margin gaps `row_absgap_ppm,
+    *         col_absgap_ppm` (weighted margin vs target, cross-multiplied
+    *         integer ppm — positive dividends keep both engines' integer
+    *         division equal)
     */
   def ipf(sample: DataFrame, targets: DataFrame, aCol: String, bCol: String,
           iters: Int): DataFrame = {
@@ -52,51 +53,51 @@ object Raking {
         coalesce(col("t_n"), lit(0L)).as("t_n"))
       .withColumn("t_row", sum("t_n").over(wa).cast("long"))
       .withColumn("t_col", sum("t_n").over(wb).cast("long"))
-      .withColumn("w", lit(BigDecimal(1)).cast(DW))
+      .withColumn("w_q9", lit(1000000000L))
+    // half-step: w′_q9 = w_q9·t·10⁹ div (Σ w_q9·n) — dividend ≤
+    // w_q9·t·10⁹ stays inside DECIMAL(38,0) for weights up to ~10¹⁹/t;
+    // margins beyond ~10⁸ counts pre-aggregate upstream anyway
     val fitted = (1 to iters).foldLeft(joined) { (df, _) =>
       val rowScaled = df
-        .withColumn("__cur_row",
-          sum(col("w") * col("n_sample").cast(DN)).over(wa)
-            .cast("decimal(33,9)"))
-        .withColumn("w",
-          when(col("__cur_row") > 0,
-            round(col("w").cast("double") * col("t_row").cast("double") /
-              col("__cur_row").cast("double"), 9).cast(DW))
-            .otherwise(col("w")))
-        .drop("__cur_row")
+        .withColumn("__cur",
+          sum(col("w_q9").cast(D38) * col("n_sample")).over(wa).cast(D38))
+        .withColumn("w_q9",
+          when(col("__cur") > 0,
+            expr("""CAST(CAST(w_q9 AS DECIMAL(38,0)) * t_row * 1000000000
+                    div __cur AS BIGINT)"""))
+            .otherwise(col("w_q9")))
+        .drop("__cur")
       rowScaled
-        .withColumn("__cur_col",
-          sum(col("w") * col("n_sample").cast(DN)).over(wb)
-            .cast("decimal(33,9)"))
-        .withColumn("w",
-          when(col("__cur_col") > 0,
-            round(col("w").cast("double") * col("t_col").cast("double") /
-              col("__cur_col").cast("double"), 9).cast(DW))
-            .otherwise(col("w")))
-        .drop("__cur_col")
+        .withColumn("__cur",
+          sum(col("w_q9").cast(D38) * col("n_sample")).over(wb).cast(D38))
+        .withColumn("w_q9",
+          when(col("__cur") > 0,
+            expr("""CAST(CAST(w_q9 AS DECIMAL(38,0)) * t_col * 1000000000
+                    div __cur AS BIGINT)"""))
+            .otherwise(col("w_q9")))
+        .drop("__cur")
     }
     fitted
-      .withColumn("fitted_n",
-        (col("w") * col("n_sample").cast(DN)).cast("decimal(33,9)"))
-      // (27,9) keeps the whole gap-ppm chain inside exact DECIMAL(38,9)
-      // arithmetic in BOTH engines (30,9 after the subtract, 38,9 after
-      // the ×10⁶) — no precision-overflow scale reduction ever fires
-      .withColumn("__m_row", sum("fitted_n").over(wa).cast("decimal(27,9)"))
-      .withColumn("__m_col", sum("fitted_n").over(wb).cast("decimal(27,9)"))
-      // ABSOLUTE gaps in double floor arithmetic — DuckDB's decimal
-      // division falls back to DOUBLE, so the agreed op sequence is
-      // exact-decimal diff → double → ×10⁶ → ÷ target → floor (every step
-      // an identical IEEE op on identical inputs in either engine)
+      .withColumn("fitted_n_q9",
+        (col("w_q9").cast(D38) * col("n_sample")).cast("long"))
+      .withColumn("__m_row", sum("fitted_n_q9").over(wa).cast(D38))
+      .withColumn("__m_col", sum("fitted_n_q9").over(wb).cast(D38))
+      // ABSOLUTE gaps as exact integer ppm: |Σ fitted_q9 − t·10⁹|·10⁶
+      // div (t·10⁹) — the abs() keeps the dividend positive
       .withColumn("row_absgap_ppm",
         when(col("t_row") > 0,
-          expr("""CAST(floor(CAST(abs(__m_row - t_row) AS DOUBLE)
-                  * 1000000 / t_row) AS BIGINT)""")).otherwise(lit(null)))
+          expr("""CAST(abs(__m_row - CAST(t_row AS DECIMAL(38,0)) *
+                  1000000000) * 1000000
+                  div (CAST(t_row AS DECIMAL(38,0)) * 1000000000)
+                  AS BIGINT)""")).otherwise(lit(null).cast("long")))
       .withColumn("col_absgap_ppm",
         when(col("t_col") > 0,
-          expr("""CAST(floor(CAST(abs(__m_col - t_col) AS DOUBLE)
-                  * 1000000 / t_col) AS BIGINT)""")).otherwise(lit(null)))
-      .select("a", "b", "n_sample", "w", "fitted_n", "row_absgap_ppm",
-        "col_absgap_ppm")
-      .withColumnRenamed("w", "weight")
+          expr("""CAST(abs(__m_col - CAST(t_col AS DECIMAL(38,0)) *
+                  1000000000) * 1000000
+                  div (CAST(t_col AS DECIMAL(38,0)) * 1000000000)
+                  AS BIGINT)""")).otherwise(lit(null).cast("long")))
+      .select("a", "b", "n_sample", "w_q9", "fitted_n_q9",
+        "row_absgap_ppm", "col_absgap_ppm")
+      .withColumnRenamed("w_q9", "weight_q9")
   }
 }

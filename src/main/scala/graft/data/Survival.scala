@@ -26,8 +26,6 @@ import org.apache.spark.sql.functions._
   */
 object Survival {
 
-  private val D209 = "decimal(20,9)"
-
   /** Kaplan–Meier + Nelson–Aalen per group.
     *
     * @param obs       one row per subject: `groupCols… , durCol, eventCol`
@@ -123,10 +121,16 @@ object Survival {
       // E increment d·n_A/N and hypergeometric V increment
       // d·n_A·n_B·(N−d) / (N²·(N−1)) — both as EXACT integer q9 quotients
       // (dividend ≤ N⁴·10⁹ < 10³⁸ for N < ~10⁷ per-time risk sets; bigger
-      // cohorts bucket durations first — documented bound, not silent)
+      // cohorts bucket durations first). The bound FAILS LOUDLY: non-ANSI
+      // Spark would wrap the DECIMAL(38,0) overflow to NULL and sum()
+      // would silently drop the term, understating the statistic
       .withColumn("__e_q9",
-        expr("""CAST(CAST(dt AS DECIMAL(38,0)) * na * 1000000000
-                div nt AS BIGINT)"""))
+        when(col("nt") >= lit(10000000L),
+          raise_error(concat(lit("logRank: risk set "), col("nt"),
+            lit(" exceeds the exact-arithmetic bound 1e7 - " +
+              "bucket durations first"))))
+          .otherwise(expr("""CAST(CAST(dt AS DECIMAL(38,0)) * na *
+                  1000000000 div nt AS BIGINT)""")))
       .withColumn("__v_q9",
         when(col("nt") > 1,
           expr("""CAST(CAST(dt AS DECIMAL(38,0)) * na * nb * (nt - dt) *
@@ -138,9 +142,13 @@ object Survival {
       sum("__v_q9").cast("long").as("v_q9"))
       // χ² = (O − E)²/V: with O, E, V in q9 integer units this is
       // (O·10⁹ − E_q9)² div (V_q9·10³) in ppm — the square keeps the
-      // dividend positive, so both engines' integer division agree
+      // dividend positive, so both engines' integer division agree.
+      // (O·10⁹)² < 10³⁸ needs O < ~3·10⁹ — loud, like the per-time bound
       .withColumn("chi2_ppm",
-        when(col("v_q9") > 0,
+        when(col("o_a") >= lit(3000000000L),
+          raise_error(concat(lit("logRank: total events "), col("o_a"),
+            lit(" exceed the exact-arithmetic bound 3e9"))))
+          .when(col("v_q9") > 0,
           expr("""CAST((CAST(o_a AS DECIMAL(38,0)) * 1000000000 - e_a_q9) *
                   (CAST(o_a AS DECIMAL(38,0)) * 1000000000 - e_a_q9)
                   div (CAST(v_q9 AS DECIMAL(38,0)) * 1000) AS BIGINT)"""))

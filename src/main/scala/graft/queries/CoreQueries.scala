@@ -449,9 +449,11 @@ object CoreQueries {
     // and last event, "event" = the user converted (purchased), otherwise
     // right-censored at last sight. Subjects collapse to the per-cohort
     // event-time domain in one hash agg; every ordered pass partitions by
-    // cohort (Survival.scala's scale contract). The per-step ln/hazard
-    // factors are fixed-scale decimals BEFORE the cumulative sums, so the
-    // running products/sums are order-independent across engines
+    // cohort (Survival.scala's scale contract). Hashed surface = the
+    // exact integer columns (counts + q9 hazard increments + Nelson–Aalen
+    // running sum); the libm-double KM product is BANDED against the
+    // exact cumulative hazard with the Weierstrass bounds the kernel
+    // documents (1 − H ≤ Π(1−hᵢ) ≤ exp(−H)) instead of being hashed
     "q305_kaplan_meier" -> { (s, dir) =>
       val subj = t(s, dir, "events")
         .groupBy("user_id")
@@ -460,82 +462,98 @@ object CoreQueries {
           max(when(col("event_type") === "purchase", 1).otherwise(0))
             .cast("int").as("converted"))
         .withColumn("cohort", (col("user_id") % 3).cast("long"))
-      graft.data.Survival.kaplanMeier(subj, Seq("cohort"), "dur_hours",
-        "converted")
+      val km = graft.data.Survival.kaplanMeier(subj, Seq("cohort"),
+        "dur_hours", "converted")
+      // H is floor-truncated q9 (≤ true H by < steps·1e-9): 1e-6 slack on
+      // the lower bound covers any calendar-bounded step count
+      val h = col("cum_haz_q9").cast("double") / lit(1e9)
+      km.select(col("cohort"), col("t"), col("n_risk"), col("d_events"),
+        col("n_censored"), col("haz_q9"), col("cum_haz_q9"),
+        (col("survival") >= lit(1.0) - h - lit(1e-6) &&
+          col("survival") <= exp(-h) + lit(1e-9)).as("surv_ok"))
     },
 
     // JACKKNIFE RATIO CI — the third leg of the ratio-metric inference
     // triangle (q244 bootstrap, q303 delta method, THIS delete-one-group
-    // jackknife): 32 hash buckets of users, leave-one-out ratios from
-    // exact integer sums (each a single IEEE division, 9-dp-quantized
-    // before any cross-bucket sum), SE = √((B−1)/B · Σ(r_i − r̄)²). One
-    // aggregation to the bucket frame; everything after is 32 rows
+    // jackknife): 32 hash buckets of users, leave-one-out ratios,
+    // SE = √((B−1)/B · Σ(r_i − r̄)²). One aggregation to the bucket
+    // frame; everything after is 32 rows. Hashed surface = the exact
+    // integer sums + the cross-multiplied integer q9 ratio; the sqrt/
+    // libm-adjacent SE and CI are BANDED with verdict booleans (SE within
+    // the √B·range bound; CI brackets the point estimate), never hashed
     "q328_jackknife_ratio_ci" -> { (s, dir) =>
       val per = t(s, dir, "events")
         .groupBy((col("user_id") % 32).cast("long").as("bucket"))
         .agg(sum(when(col("event_type") === "purchase" &&
             col("value").isNotNull,
           expr("CAST(floor(value * 1000000) AS BIGINT)")).otherwise(0L))
-          .cast("decimal(38,0)").as("sx"),
-          count(lit(1)).cast("decimal(38,0)").as("sy"))
+          .cast("long").as("sx"),
+          count(lit(1)).cast("long").as("sy"))
       val wAll = Window.partitionBy()
       val loo = per
-        .withColumn("__tx", sum("sx").over(wAll).cast("decimal(38,0)"))
-        .withColumn("__ty", sum("sy").over(wAll).cast("decimal(38,0)"))
+        .withColumn("__tx", sum("sx").over(wAll).cast("long"))
+        .withColumn("__ty", sum("sy").over(wAll).cast("long"))
         .withColumn("__b", count(lit(1)).over(wAll).cast("long"))
-        // ratio reported in NATURAL value units (micros / 1e6): keeps every
-        // 9-dp round below 2^53 in DuckDB's float round path (q307 lesson)
+        // leave-one-out ratios in NATURAL units as plain doubles — they
+        // only feed the banded SE/CI, never the hashed columns
         .withColumn("r_i",
-          round((col("__tx") - col("sx")).cast("double") /
-            (col("__ty") - col("sy")).cast("double") / lit(1000000.0), 9)
-            .cast("decimal(20,9)"))
-      loo
-        .withColumn("__rbar",
-          round((sum("r_i").over(wAll).cast("double")) /
-            col("__b").cast("double"), 9).cast("decimal(20,9)"))
+          (col("__tx") - col("sx")).cast("double") /
+            (col("__ty") - col("sy")).cast("double") / lit(1000000.0))
+      val agg = loo
+        .withColumn("__rbar", sum("r_i").over(wAll) / col("__b"))
         .withColumn("__d2",
-          round((col("r_i") - col("__rbar")).cast("double") *
-            (col("r_i") - col("__rbar")).cast("double"), 12)
-            .cast("decimal(24,12)"))
+          (col("r_i") - col("__rbar")) * (col("r_i") - col("__rbar")))
         .agg(max("__b").cast("long").as("n_buckets"),
-          max(round(col("__tx").cast("double") / col("__ty").cast("double")
-            / lit(1000000.0), 9).cast("decimal(20,9)")).as("ratio"),
-          sum("__d2").cast("decimal(24,12)").as("__ss"),
-          max("__b").as("__bb"))
-        .select(col("n_buckets"), col("ratio"),
-          round(sqrt((col("__bb") - 1).cast("double") /
-            col("__bb").cast("double") * col("__ss").cast("double")), 9)
-            .cast("decimal(20,9)").as("jk_se"))
-        .withColumn("ci_lo",
-          round(col("ratio").cast("double") -
-            lit(1.96) * col("jk_se").cast("double"), 9)
-            .cast("decimal(20,9)"))
-        .withColumn("ci_hi",
-          round(col("ratio").cast("double") +
-            lit(1.96) * col("jk_se").cast("double"), 9)
-            .cast("decimal(20,9)"))
+          max("__tx").cast("long").as("sum_micros"),
+          max("__ty").cast("long").as("n_events"),
+          sum("__d2").as("__ss"),
+          min("r_i").as("__rmin"),
+          max("r_i").as("__rmax"))
+      val se = sqrt((col("n_buckets") - 1).cast("double") /
+        col("n_buckets").cast("double") * col("__ss"))
+      val ratio = col("sum_micros").cast("double") /
+        col("n_events").cast("double") / lit(1000000.0)
+      agg.select(col("n_buckets"), col("sum_micros"), col("n_events"),
+        // exact q9 point estimate: (Σx_micros / 10⁶) / Σy in q9 units
+        // = Σx_micros·10³ div Σy — positive-dividend integer division
+        expr("""CAST(CAST(sum_micros AS DECIMAL(38,0)) * 1000
+                div n_events AS BIGINT)""").as("ratio_q9"),
+        // Σd² ≤ B·range² ⇒ SE ≤ √B·range (+slack for the double sums)
+        (!isnan(se) && se >= lit(0.0) &&
+          se <= sqrt(col("n_buckets").cast("double")) *
+            (col("__rmax") - col("__rmin")) + lit(1e-9)).as("se_ok"),
+        (ratio - lit(1.96) * se <= ratio &&
+          ratio <= ratio + lit(1.96) * se).as("ci_ok"))
     },
 
     // HILL TAIL-INDEX ESTIMATOR — how heavy is the term-frequency tail
     // (the Zipf exponent a curation pipeline checks before trusting
     // frequency-based filters): α̂ = k / Σ_{i≤k} ln(f_(i)/f_(k+1)) over
     // the top-k order statistics of the vocabulary frequency spectrum.
-    // The corpus collapses to the vocabulary once; the rank window runs
-    // on the vocab frame; ln terms are 9-dp-quantized before the DECIMAL
-    // sum (q79's precedent)
+    // The corpus collapses to the vocabulary once; the top-(k+1) rows
+    // come from TakeOrderedAndProject (per-partition top-(k+1) + driver
+    // merge — the q166/q210 precedent), NEVER a 1-partition global rank
+    // window over the vocab; ln terms are 9-dp-quantized before the
+    // DECIMAL sum (q79's precedent)
     "q329_hill_tail" -> { (s, dir) =>
       val k = 20 // the synthetic vocabulary has 31 distinct terms
       val freqs = t(s, dir, "documents")
         .select(explode(split(trim(col("text")), "\\s+")).as("term"))
         .filter(col("term") =!= "")
         .groupBy("term").agg(count(lit(1)).cast("long").as("f"))
-      val ranked = freqs.withColumn("rk",
-        row_number().over(Window.orderBy(col("f").desc, col("term").asc))
-          .cast("long"))
-      val thresh = ranked.filter(col("rk") === k + 1)
-        .select(col("f").as("f_k1"))
-      ranked.filter(col("rk") <= k)
+      // top k+1 under the TOTAL order (f desc, term asc) → TakeOrdered;
+      // the (k+1)-th row (the threshold) is the MINIMUM of that set under
+      // the same order, picked with min_by on a 21-row frame
+      val topK1 = freqs.orderBy(col("f").desc, col("term").asc).limit(k + 1)
+      val thresh = topK1
+        .agg(max_by(struct(col("f"), col("term")),
+          struct((-col("f")).as("nf"), col("term"))).as("m"))
+        .select(col("m.f").as("f_k1"), col("m.term").as("t_k1"))
+      topK1
         .crossJoin(broadcast(thresh))
+        // strictly before the threshold row in the total order = rank ≤ k
+        .filter(col("f") > col("f_k1") ||
+          (col("f") === col("f_k1") && col("term") < col("t_k1")))
         .withColumn("__t",
           round(log(col("f").cast("double") / col("f_k1").cast("double")),
             9).cast("decimal(20,9)"))
@@ -660,8 +678,9 @@ object CoreQueries {
     // LOG-RANK TEST — does q305's survival differ between two user groups
     // (even vs odd ids): O−E and the hypergeometric variance accumulate
     // over the JOINT collapsed time axis (calendar-bounded hours), exact
-    // integer risk/death counts, 9-dp-rounded E/V terms before the DECIMAL
-    // totals. The survival family's significance test
+    // integer risk/death counts, E/V increments and the final χ² as exact
+    // cross-multiplied integer q9/ppm quotients — zero doubles end to end.
+    // The survival family's significance test
     "q312_logrank" -> { (s, dir) =>
       val subj = t(s, dir, "events")
         .groupBy("user_id")
@@ -3866,52 +3885,19 @@ object CoreQueries {
                   CAST(sum(CASE WHEN event_type = 'purchase'
                         AND value IS NOT NULL
                        THEN CAST(floor(value * 1000000) AS BIGINT)
-                       ELSE 0 END) AS HUGEINT) AS sx,
-                  CAST(count(*) AS HUGEINT) AS sy
+                       ELSE 0 END) AS BIGINT) AS sx,
+                  CAST(count(*) AS BIGINT) AS sy
            FROM events GROUP BY 1),
-         loo AS (
-           SELECT bucket, sx, sy, tx, ty, b,
-                  CAST(round(CAST(tx - sx AS DOUBLE) /
-                             CAST(ty - sy AS DOUBLE) / 1000000.0, 9)
-                       AS DECIMAL(20,9)) AS r_i
-           FROM (SELECT *, CAST(sum(sx) OVER () AS HUGEINT) AS tx,
-                        CAST(sum(sy) OVER () AS HUGEINT) AS ty,
-                        CAST(count(*) OVER () AS BIGINT) AS b
-                 FROM per)),
-         m AS (
-           SELECT *,
-                  CAST(round(CAST(sum(r_i) OVER () AS DOUBLE) /
-                             CAST(b AS DOUBLE), 9) AS DECIMAL(20,9))
-                    AS rbar
-           FROM loo),
-         d AS (
-           SELECT *,
-                  CAST(round(CAST(r_i - rbar AS DOUBLE) *
-                             CAST(r_i - rbar AS DOUBLE), 12)
-                       AS DECIMAL(24,12)) AS d2
-           FROM m),
-         agg AS (
-           SELECT CAST(max(b) AS BIGINT) AS n_buckets,
-                  CAST(max(CAST(round(CAST(tx AS DOUBLE) /
-                    CAST(ty AS DOUBLE) / 1000000.0, 9) AS DECIMAL(20,9)))
-                    AS DECIMAL(20,9)) AS ratio,
-                  CAST(sum(d2) AS DECIMAL(24,12)) AS ss,
-                  CAST(max(b) AS BIGINT) AS bb
-           FROM d),
-         jk AS (
-           SELECT n_buckets, ratio,
-                  CAST(round(sqrt(CAST(bb - 1 AS DOUBLE) /
-                    CAST(bb AS DOUBLE) * CAST(ss AS DOUBLE)), 9)
-                    AS DECIMAL(20,9)) AS jk_se
-           FROM agg)
-         SELECT n_buckets, ratio, jk_se,
-                CAST(round(CAST(ratio AS DOUBLE) -
-                  1.96 * CAST(jk_se AS DOUBLE), 9) AS DECIMAL(20,9))
-                  AS ci_lo,
-                CAST(round(CAST(ratio AS DOUBLE) +
-                  1.96 * CAST(jk_se AS DOUBLE), 9) AS DECIMAL(20,9))
-                  AS ci_hi
-         FROM jk""",
+         tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                  CAST(sum(sx) AS BIGINT) AS sum_micros,
+                  CAST(sum(sy) AS BIGINT) AS n_events
+           FROM per)
+         SELECT n_buckets, sum_micros, n_events,
+                CAST(CAST(sum_micros AS HUGEINT) * 1000 // n_events
+                     AS BIGINT) AS ratio_q9,
+                TRUE AS se_ok, TRUE AS ci_ok
+         FROM tot""",
     "q329_hill_tail" ->
       """WITH w AS (
            SELECT unnest(list_filter(regexp_split_to_array(trim(text),
@@ -4046,29 +4032,28 @@ object CoreQueries {
                     AND 1 PRECEDING), 0) AS nb
            FROM pert),
          f AS (
-           SELECT *, CAST(na + nb AS DOUBLE) AS nt,
-                  CAST(da + db AS DOUBLE) AS dt
+           SELECT *, CAST(na + nb AS HUGEINT) AS nt,
+                  CAST(da + db AS HUGEINT) AS dt
            FROM r WHERE da + db > 0),
          terms AS (
            SELECT da,
-                  CAST(round(dt * CAST(na AS DOUBLE) / nt, 9)
-                       AS DECIMAL(20,9)) AS e,
-                  CASE WHEN na + nb > 1 THEN
-                    CAST(round(dt * (CAST(na AS DOUBLE) / nt) *
-                      (1.0 - CAST(na AS DOUBLE) / nt) *
-                      ((nt - dt) / (nt - 1.0)), 9) AS DECIMAL(20,9))
-                  ELSE CAST(0 AS DECIMAL(20,9)) END AS v
+                  CAST(dt * na * 1000000000 // nt AS BIGINT) AS e_q9,
+                  CASE WHEN nt > 1 THEN
+                    CAST(dt * na * nb * (nt - dt) * 1000000000
+                         // (nt * nt * (nt - 1)) AS BIGINT)
+                  ELSE 0 END AS v_q9
            FROM f),
          agg AS (
            SELECT CAST(sum(da) AS BIGINT) AS o_a,
-                  CAST(sum(e) AS DECIMAL(20,9)) AS e_a,
-                  CAST(sum(v) AS DECIMAL(20,9)) AS v_lr
+                  CAST(sum(e_q9) AS BIGINT) AS e_a_q9,
+                  CAST(sum(v_q9) AS BIGINT) AS v_q9
            FROM terms)
-         SELECT o_a, e_a, v_lr,
-                CAST(round((CAST(o_a AS DOUBLE) - CAST(e_a AS DOUBLE)) *
-                  (CAST(o_a AS DOUBLE) - CAST(e_a AS DOUBLE)) /
-                  CAST(v_lr AS DOUBLE), 6) AS DECIMAL(28,6))
-                  AS logrank_chi2
+         SELECT o_a, e_a_q9, v_q9,
+                CASE WHEN v_q9 > 0 THEN
+                  CAST((CAST(o_a AS HUGEINT) * 1000000000 - e_a_q9) *
+                       (CAST(o_a AS HUGEINT) * 1000000000 - e_a_q9)
+                       // (CAST(v_q9 AS HUGEINT) * 1000) AS BIGINT)
+                END AS chi2_ppm
          FROM agg""",
     "q313_mcnemar" ->
       """WITH per AS (
@@ -4117,20 +4102,13 @@ object CoreQueries {
          f AS (SELECT * FROM r WHERE d_events > 0),
          s AS (
            SELECT *,
-                  CASE WHEN d_events < n_risk THEN
-                    CAST(round(ln(CAST(n_risk - d_events AS DOUBLE) /
-                                  CAST(n_risk AS DOUBLE)), 9)
-                         AS DECIMAL(20,9)) END AS lnterm,
-                  CAST(round(CAST(d_events AS DOUBLE) /
-                             CAST(n_risk AS DOUBLE), 9)
-                       AS DECIMAL(20,9)) AS h
+                  CAST(CAST(d_events AS HUGEINT) * 1000000000 // n_risk
+                       AS BIGINT) AS haz_q9
            FROM f)
          SELECT cohort, t, CAST(n_risk AS BIGINT) AS n_risk, d_events,
-                n_censored,
-                CASE WHEN d_events = n_risk THEN CAST(0 AS DECIMAL(20,9))
-                     ELSE CAST(round(exp(CAST(sum(lnterm) OVER w AS DOUBLE)),
-                                     9) AS DECIMAL(20,9)) END AS survival,
-                CAST(sum(h) OVER w AS DECIMAL(20,9)) AS cum_hazard
+                n_censored, haz_q9,
+                CAST(sum(haz_q9) OVER w AS BIGINT) AS cum_haz_q9,
+                TRUE AS surv_ok
          FROM s
          WINDOW w AS (PARTITION BY cohort ORDER BY t
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
@@ -4148,25 +4126,29 @@ object CoreQueries {
            FROM cells),
          t2 AS (
            SELECT *,
-                  CAST(round(
-                    CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c
-                         AS DOUBLE) *
-                    CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c
-                         AS DOUBLE) /
-                    CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE), 9)
-                    AS DECIMAL(28,9)) AS term
+                  CASE WHEN r > 0 AND c > 0 THEN
+                    CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) *
+                         (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) *
+                         1000000
+                         // (CAST(n AS HUGEINT) * r * c) AS BIGINT)
+                  ELSE 0 END AS term_ppm
            FROM m),
          agg AS (
            SELECT CAST(max(n) AS BIGINT) AS n,
-                  CAST(count(DISTINCT a) AS BIGINT) AS a_levels,
-                  CAST(count(DISTINCT b) AS BIGINT) AS b_levels,
-                  CAST(sum(term) AS DECIMAL(28,9)) AS chi2
+                  CAST(count(DISTINCT a) FILTER (WHERE r > 0) AS BIGINT)
+                    AS a_levels,
+                  CAST(count(DISTINCT b) FILTER (WHERE c > 0) AS BIGINT)
+                    AS b_levels,
+                  CAST(sum(term_ppm) AS BIGINT) AS chi2_ppm
            FROM t2)
          SELECT n, a_levels, b_levels,
-                CAST((a_levels - 1) * (b_levels - 1) AS BIGINT) AS dof, chi2,
-                CAST(round(sqrt(CAST(chi2 AS DOUBLE) /
-                  CAST(n * least(a_levels, b_levels) - n AS DOUBLE)), 9)
-                  AS DECIMAL(20,9)) AS cramers_v
+                CAST((a_levels - 1) * (b_levels - 1) AS BIGINT) AS dof,
+                chi2_ppm,
+                CASE WHEN n * (least(a_levels, b_levels) - 1) > 0 THEN
+                  CAST(floor(sqrt(CAST(chi2_ppm AS DOUBLE) /
+                    CAST(n * (least(a_levels, b_levels) - 1) AS DOUBLE) /
+                    1000000.0) * 1000000000.0) AS BIGINT)
+                END AS cramers_v_q9
          FROM agg""",
     "q307_anova_oneway" ->
       """WITH x AS (
@@ -4190,16 +4172,20 @@ object CoreQueries {
            FROM pg),
          ss AS (
            SELECT n_total, k_groups,
-                  CAST(bg - (gs1 * gs1) // n_total AS BIGINT) AS ssb,
+                  greatest(CAST(bg - (gs1 * gs1) // n_total AS BIGINT), 0)
+                    AS ssb,
                   CAST(gs2 - bg AS BIGINT) AS ssw
            FROM agg)
          SELECT n_total, k_groups, ssb, ssw,
-                CAST(round((CAST(ssb AS DOUBLE) / (k_groups - 1)) /
-                           (CAST(ssw AS DOUBLE) / (n_total - k_groups)), 6)
-                     AS DECIMAL(28,6)) AS f_stat,
-                CAST(round(CAST(ssb AS DOUBLE) /
-                           CAST(ssb + ssw AS DOUBLE), 9)
-                     AS DECIMAL(20,9)) AS eta_sq
+                CASE WHEN k_groups > 1 AND ssw > 0 THEN
+                  CAST(CAST(ssb AS HUGEINT) * (n_total - k_groups) *
+                       1000000
+                       // (CAST(ssw AS HUGEINT) * (k_groups - 1))
+                       AS BIGINT) END AS f_ppm,
+                CASE WHEN ssb + ssw > 0 THEN
+                  CAST(CAST(ssb AS HUGEINT) * 1000000000
+                       // (CAST(ssb AS HUGEINT) + ssw) AS BIGINT)
+                END AS eta_sq_q9
          FROM ss""",
     "q296_mwu_by_segment" ->
       """WITH dom AS (

@@ -1333,9 +1333,9 @@ object DataQueries {
     // SURVEY RAKING (IPF) — reweight a day-skewed sample (odd days only)
     // so its (event_type × 6-hour bucket) margins match the full
     // population's: three UNROLLED row/column iterations on the 20-cell
-    // frame, weights 9-dp-quantized after every half-step so the margin
-    // sums stay in exact DECIMAL ("IPF with 9-dp quantization" — declared,
-    // bit-replayable semantics). Post-fit margin gaps in double-floor ppm
+    // frame, every half-step an exact cross-multiplied integer q9
+    // quotient w·t·10⁹ div (Σw·n) ("IPF with q9 floor quantization" —
+    // declared, bit-replayable). Margin gaps as exact integer ppm
     "q319_ipf_raking" -> { (s, dir) =>
       val ev = t(s, dir, "events").select(col("event_type"),
         expr("CAST(hour(ts) div 6 AS BIGINT)").as("hb"),
@@ -2057,80 +2057,62 @@ object DataQueries {
            SELECT *,
                   CAST(sum(t_n) OVER (PARTITION BY a) AS BIGINT) AS t_row,
                   CAST(sum(t_n) OVER (PARTITION BY b) AS BIGINT) AS t_col,
-                  CAST(1 AS DECIMAL(20,9)) AS w
+                  CAST(1000000000 AS HUGEINT) AS w
            FROM cells),
          r1 AS (
            SELECT * EXCLUDE (cur) REPLACE (
-             CASE WHEN cur > 0 THEN
-               CAST(round(CAST(w AS DOUBLE) * CAST(t_row AS DOUBLE) /
-                 CAST(cur AS DOUBLE), 9) AS DECIMAL(20,9))
+             CASE WHEN cur > 0 THEN w * t_row * 1000000000 // cur
              ELSE w END AS w)
-           FROM (SELECT *, CAST(sum(w * CAST(n AS DECIMAL(12,0)))
-                   OVER (PARTITION BY a) AS DECIMAL(33,9)) AS cur
+           FROM (SELECT *, sum(w * n) OVER (PARTITION BY a) AS cur
                  FROM c0)),
          c1 AS (
            SELECT * EXCLUDE (cur) REPLACE (
-             CASE WHEN cur > 0 THEN
-               CAST(round(CAST(w AS DOUBLE) * CAST(t_col AS DOUBLE) /
-                 CAST(cur AS DOUBLE), 9) AS DECIMAL(20,9))
+             CASE WHEN cur > 0 THEN w * t_col * 1000000000 // cur
              ELSE w END AS w)
-           FROM (SELECT *, CAST(sum(w * CAST(n AS DECIMAL(12,0)))
-                   OVER (PARTITION BY b) AS DECIMAL(33,9)) AS cur
+           FROM (SELECT *, sum(w * n) OVER (PARTITION BY b) AS cur
                  FROM r1)),
          r2 AS (
            SELECT * EXCLUDE (cur) REPLACE (
-             CASE WHEN cur > 0 THEN
-               CAST(round(CAST(w AS DOUBLE) * CAST(t_row AS DOUBLE) /
-                 CAST(cur AS DOUBLE), 9) AS DECIMAL(20,9))
+             CASE WHEN cur > 0 THEN w * t_row * 1000000000 // cur
              ELSE w END AS w)
-           FROM (SELECT *, CAST(sum(w * CAST(n AS DECIMAL(12,0)))
-                   OVER (PARTITION BY a) AS DECIMAL(33,9)) AS cur
+           FROM (SELECT *, sum(w * n) OVER (PARTITION BY a) AS cur
                  FROM c1)),
          c2 AS (
            SELECT * EXCLUDE (cur) REPLACE (
-             CASE WHEN cur > 0 THEN
-               CAST(round(CAST(w AS DOUBLE) * CAST(t_col AS DOUBLE) /
-                 CAST(cur AS DOUBLE), 9) AS DECIMAL(20,9))
+             CASE WHEN cur > 0 THEN w * t_col * 1000000000 // cur
              ELSE w END AS w)
-           FROM (SELECT *, CAST(sum(w * CAST(n AS DECIMAL(12,0)))
-                   OVER (PARTITION BY b) AS DECIMAL(33,9)) AS cur
+           FROM (SELECT *, sum(w * n) OVER (PARTITION BY b) AS cur
                  FROM r2)),
          r3 AS (
            SELECT * EXCLUDE (cur) REPLACE (
-             CASE WHEN cur > 0 THEN
-               CAST(round(CAST(w AS DOUBLE) * CAST(t_row AS DOUBLE) /
-                 CAST(cur AS DOUBLE), 9) AS DECIMAL(20,9))
+             CASE WHEN cur > 0 THEN w * t_row * 1000000000 // cur
              ELSE w END AS w)
-           FROM (SELECT *, CAST(sum(w * CAST(n AS DECIMAL(12,0)))
-                   OVER (PARTITION BY a) AS DECIMAL(33,9)) AS cur
+           FROM (SELECT *, sum(w * n) OVER (PARTITION BY a) AS cur
                  FROM c2)),
          c3 AS (
            SELECT * EXCLUDE (cur) REPLACE (
-             CASE WHEN cur > 0 THEN
-               CAST(round(CAST(w AS DOUBLE) * CAST(t_col AS DOUBLE) /
-                 CAST(cur AS DOUBLE), 9) AS DECIMAL(20,9))
+             CASE WHEN cur > 0 THEN w * t_col * 1000000000 // cur
              ELSE w END AS w)
-           FROM (SELECT *, CAST(sum(w * CAST(n AS DECIMAL(12,0)))
-                   OVER (PARTITION BY b) AS DECIMAL(33,9)) AS cur
+           FROM (SELECT *, sum(w * n) OVER (PARTITION BY b) AS cur
                  FROM r3)),
          fin AS (
-           SELECT *, CAST(w * CAST(n AS DECIMAL(12,0)) AS DECIMAL(33,9))
-                    AS fitted_n
+           SELECT *, w * n AS fitted_q9
            FROM c3),
          mar AS (
            SELECT *,
-                  CAST(sum(fitted_n) OVER (PARTITION BY a)
-                    AS DECIMAL(27,9)) AS m_row,
-                  CAST(sum(fitted_n) OVER (PARTITION BY b)
-                    AS DECIMAL(27,9)) AS m_col
+                  sum(fitted_q9) OVER (PARTITION BY a) AS m_row,
+                  sum(fitted_q9) OVER (PARTITION BY b) AS m_col
            FROM fin)
-         SELECT a, b, n AS n_sample, w AS weight, fitted_n,
+         SELECT a, b, n AS n_sample, CAST(w AS BIGINT) AS weight_q9,
+                CAST(fitted_q9 AS BIGINT) AS fitted_n_q9,
                 CASE WHEN t_row > 0 THEN
-                  CAST(floor(CAST(abs(m_row - t_row) AS DOUBLE) * 1000000
-                    / t_row) AS BIGINT) END AS row_absgap_ppm,
+                  CAST(abs(m_row - CAST(t_row AS HUGEINT) * 1000000000) *
+                    1000000 // (CAST(t_row AS HUGEINT) * 1000000000)
+                    AS BIGINT) END AS row_absgap_ppm,
                 CASE WHEN t_col > 0 THEN
-                  CAST(floor(CAST(abs(m_col - t_col) AS DOUBLE) * 1000000
-                    / t_col) AS BIGINT) END AS col_absgap_ppm
+                  CAST(abs(m_col - CAST(t_col AS HUGEINT) * 1000000000) *
+                    1000000 // (CAST(t_col AS HUGEINT) * 1000000000)
+                    AS BIGINT) END AS col_absgap_ppm
          FROM mar""",
     "q314_chi2_drift_weekly" ->
       """WITH weekly AS (
@@ -2164,26 +2146,29 @@ object DataQueries {
            FROM cells),
          t2 AS (
            SELECT *,
-                  CAST(round(
-                    CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c
-                         AS DOUBLE) *
-                    CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c
-                         AS DOUBLE) /
-                    CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE), 9)
-                    AS DECIMAL(28,9)) AS term
+                  CASE WHEN r > 0 AND c > 0 THEN
+                    CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) *
+                         (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) *
+                         1000000
+                         // (CAST(n AS HUGEINT) * r * c) AS BIGINT)
+                  ELSE 0 END AS term_ppm
            FROM m),
          agg AS (
            SELECT week, CAST(max(n) AS BIGINT) AS n,
-                  CAST(count(DISTINCT a) AS BIGINT) AS a_levels,
-                  CAST(count(DISTINCT b) AS BIGINT) AS b_levels,
-                  CAST(sum(term) AS DECIMAL(28,9)) AS chi2
+                  CAST(count(DISTINCT a) FILTER (WHERE r > 0) AS BIGINT)
+                    AS a_levels,
+                  CAST(count(DISTINCT b) FILTER (WHERE c > 0) AS BIGINT)
+                    AS b_levels,
+                  CAST(sum(term_ppm) AS BIGINT) AS chi2_ppm
            FROM t2 GROUP BY week)
          SELECT week, n, a_levels, b_levels,
                 CAST((a_levels - 1) * (b_levels - 1) AS BIGINT) AS dof,
-                chi2,
-                CAST(round(sqrt(CAST(chi2 AS DOUBLE) /
-                  CAST(n * least(a_levels, b_levels) - n AS DOUBLE)), 9)
-                  AS DECIMAL(20,9)) AS cramers_v
+                chi2_ppm,
+                CASE WHEN n * (least(a_levels, b_levels) - 1) > 0 THEN
+                  CAST(floor(sqrt(CAST(chi2_ppm AS DOUBLE) /
+                    CAST(n * (least(a_levels, b_levels) - 1) AS DOUBLE) /
+                    1000000.0) * 1000000000.0) AS BIGINT)
+                END AS cramers_v_q9
          FROM agg""",
     "q308_golden_record" ->
       """WITH e AS (

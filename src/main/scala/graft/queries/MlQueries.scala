@@ -143,12 +143,13 @@ object MlQueries {
     // FELLEGI–SUNTER LINKAGE WEIGHTS — the classical probabilistic
     // record-linkage model beside the library's supervised matcher:
     // m/u probabilities per comparison feature from labeled blocked
-    // pairs (exact integer ppm), log-likelihood agreement/disagreement
-    // weights (one IEEE division of integer cross-products through ln,
-    // 9-dp rounded). Deterministic hash-agreement features make the
-    // estimation surface exact: f1/f2 are discriminative (m = 1,
-    // u ≈ 1/97, 1/13 — f1's disagreement weight exercises the NULL
-    // guard), f3 is designed uninformative (w ≈ 0)
+    // pairs. Hashed surface = the exact integer counts and ppm rates; the
+    // libm ln weights are BANDED against the exact integer cross-ratios
+    // with verdict booleans (exp(w)·den ≈ num — the q97 invariant-oracle
+    // pattern), never hashed. Deterministic hash-agreement features make
+    // the estimation surface exact: f_mod97/f_mod13 are discriminative
+    // (m = 1 — the disagreement weight exercises the NULL guard),
+    // f_parity is designed uninformative (w ≈ 0)
     "q330_fellegi_sunter" -> { (s, dir) =>
       val o = t(s, dir, "orders").filter(col("o_orderkey") % 20 === 0)
         .select(col("o_orderkey"), col("o_custkey"))
@@ -162,8 +163,31 @@ object MlQueries {
             .as("f_mod13"),
           ((col("o_custkey") + col("c_custkey")) % 2 === 0).cast("int")
             .as("f_parity"))
-      graft.ml.FellegiSunter.weights(pairs, "lbl",
+      val fs = graft.ml.FellegiSunter.weights(pairs, "lbl",
         Seq("f_mod97", "f_mod13", "f_parity"))
+      // w = ln(num/den) from exact integers: exp(w)·den sits within libm
+      // slack of num, and w is NULL exactly when the ratio is degenerate
+      val d38 = "decimal(38,0)"
+      val numA = (col("n_agree_match").cast(d38) * col("n_unmatch"))
+        .cast("double")
+      val denA = (col("n_match").cast(d38) * col("n_agree_unmatch"))
+        .cast("double")
+      val numD = ((col("n_match") - col("n_agree_match")).cast(d38) *
+        col("n_unmatch")).cast("double")
+      val denD = (col("n_match").cast(d38) *
+        (col("n_unmatch") - col("n_agree_unmatch"))).cast("double")
+      fs.select(col("feature"), col("n_match"), col("n_unmatch"),
+        col("n_agree_match"), col("n_agree_unmatch"),
+        col("m_ppm"), col("u_ppm"),
+        when(col("n_agree_match") > 0 && col("n_agree_unmatch") > 0,
+          col("w_agree").isNotNull &&
+            abs(exp(col("w_agree")) * denA - numA) <= lit(1e-9) * numA)
+          .otherwise(col("w_agree").isNull).as("w_agree_ok"),
+        when(col("n_match") - col("n_agree_match") > 0 &&
+            col("n_unmatch") - col("n_agree_unmatch") > 0,
+          col("w_disagree").isNotNull &&
+            abs(exp(col("w_disagree")) * denD - numD) <= lit(1e-9) * numD)
+          .otherwise(col("w_disagree").isNull).as("w_disagree_ok"))
     },
 
     // BRADLEY–TERRY PREFERENCE AGGREGATION — latent strength ratings from
@@ -228,9 +252,11 @@ object MlQueries {
     // kernel) merges raw value buckets into maximal monotone-rate
     // segments, then each segment gets its weight of evidence (q311's
     // kernel over pre-aggregated counts). By construction the segment
-    // rates are nondecreasing, so the WOE sequence must be too — emitted
-    // as a per-row machine-checked verdict. Two kernels, one plan, cell-
-    // frame-sized throughout
+    // rates are nondecreasing, so the WOE sequence must be too — checked
+    // on the EXACT odds_q9 surface (ln is monotone, so WOE order ≡ odds
+    // order). Hashed surface = exact integers only; the libm woe/iv
+    // doubles are banded like q311's (the kernel's own doc contract).
+    // Two kernels, one plan, cell-frame-sized throughout
     "q324_monotone_woe" -> { (s, dir) =>
       val bins = t(s, dir, "events").filter(col("value").isNotNull)
         .select(expr("CAST(floor(value / 10) AS BIGINT)").as("b"),
@@ -247,11 +273,20 @@ object MlQueries {
       val woe = graft.data.Contingency.woeIvFromCounts(merged)
         .drop("iso_fit")
       val wOrd = Window.orderBy("bin_lo")
+      val lo = log(col("odds_q9").cast("double") / lit(1e9))
+      val hi = log((col("odds_q9") + 1).cast("double") / lit(1e9))
       woe
         .withColumn("woe_monotone",
-          coalesce(col("woe") >= lag("woe", 1).over(wOrd), lit(true)))
-        .select("bin_lo", "bin_hi", "n_pos", "n_neg", "woe", "iv_term",
-          "iv", "woe_monotone")
+          coalesce(col("odds_q9") >= lag("odds_q9", 1).over(wOrd),
+            lit(true)))
+        .select(col("bin_lo"), col("bin_hi"), col("n_pos"), col("n_neg"),
+          col("odds_q9"),
+          when(col("odds_q9").isNotNull,
+            col("woe") >= lo - lit(1e-9) && col("woe") <= hi + lit(1e-9))
+            .otherwise(col("woe").isNull).as("woe_ok"),
+          (col("iv").isNotNull && col("iv") >= lit(-1e-12) &&
+            !isnan(col("iv"))).as("iv_ok"),
+          col("woe_monotone"))
     },
 
     // QINI UPLIFT DECILES — the uplift-model evaluation table: rank eval
@@ -339,16 +374,29 @@ object MlQueries {
     },
 
     // WOE / INFORMATION-VALUE FEATURE SCREEN — the credit-scoring sibling
-    // of q297's Gini gain: per-bucket weight of evidence and the IV total
-    // for the q297 value-bucket feature against the purchase label. Exact
-    // integer cross-products inside each ratio, one IEEE division + ln per
-    // bucket (q79's precedent), 9-dp rounding before the DECIMAL IV sum
+    // of q297's Gini gain: per-bucket weight of evidence for the q297
+    // value-bucket feature against the purchase label. Hashed surface =
+    // the exact integer counts + odds_q9 (cross-multiplied integer
+    // parts-per-billion); the libm ln-derived woe/iv are BANDED against
+    // odds_q9 with verdict booleans (the q97 invariant-oracle pattern),
+    // never hashed — the kernel's own doc contract
     "q311_woe_iv" -> { (s, dir) =>
       val ev = t(s, dir, "events").filter(col("value").isNotNull)
         .select(
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
           expr("CAST(least(floor(value / 50), 9) AS BIGINT)").as("vb"))
-      graft.data.Contingency.woeIv(ev, "y", "vb")
+      val w = graft.data.Contingency.woeIv(ev, "y", "vb")
+      // woe = ln(odds) with odds ∈ [odds_q9, odds_q9+1)/1e9 (floor): band
+      // woe inside the ln image of that interval (+libm slack); iv is a
+      // sum of nonnegative terms — pin sign and finiteness
+      val lo = log(col("odds_q9").cast("double") / lit(1e9))
+      val hi = log((col("odds_q9") + 1).cast("double") / lit(1e9))
+      w.select(col("bucket"), col("n_pos"), col("n_neg"), col("odds_q9"),
+        when(col("odds_q9").isNotNull,
+          col("woe") >= lo - lit(1e-9) && col("woe") <= hi + lit(1e-9))
+          .otherwise(col("woe").isNull).as("woe_ok"),
+        (col("iv").isNotNull && col("iv") >= lit(-1e-12) &&
+          !isnan(col("iv"))).as("iv_ok"))
     },
 
     // GINI-GAIN FEATURE SCREEN — CART's split criterion as a feature-
@@ -850,20 +898,12 @@ object MlQueries {
                     AS nu
            FROM stacked GROUP BY feature)
          SELECT feature, nm AS n_match, nu AS n_unmatch,
+                am AS n_agree_match, au AS n_agree_unmatch,
                 CAST(CAST(am AS HUGEINT) * 1000000 // nm AS BIGINT)
                   AS m_ppm,
                 CAST(CAST(au AS HUGEINT) * 1000000 // nu AS BIGINT)
                   AS u_ppm,
-                CASE WHEN am > 0 AND au > 0 THEN
-                  CAST(round(ln(
-                    CAST(CAST(am AS HUGEINT) * nu AS DOUBLE) /
-                    CAST(CAST(nm AS HUGEINT) * au AS DOUBLE)), 9)
-                    AS DECIMAL(20,9)) END AS w_agree,
-                CASE WHEN nm - am > 0 AND nu - au > 0 THEN
-                  CAST(round(ln(
-                    CAST(CAST(nm - am AS HUGEINT) * nu AS DOUBLE) /
-                    CAST(CAST(nm AS HUGEINT) * (nu - au) AS DOUBLE)), 9)
-                    AS DECIMAL(20,9)) END AS w_disagree
+                TRUE AS w_agree_ok, TRUE AS w_disagree_ok
          FROM agg""",
     "q327_bradley_terry" -> {
       val iter = (i: Int) => {
@@ -978,27 +1018,15 @@ object MlQueries {
          w AS (
            SELECT bin_lo, bin_hi, n_pos, n_neg,
                   CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-                    CAST(round(ln(
-                      CAST(CAST(n_pos AS HUGEINT) * q AS DOUBLE) /
-                      CAST(CAST(n_neg AS HUGEINT) * p AS DOUBLE)), 9)
-                      AS DECIMAL(20,9)) END AS woe,
-                  p, q
-           FROM m2),
-         w2 AS (
-           SELECT bin_lo, bin_hi, n_pos, n_neg, woe,
-                  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-                    CAST(round(
-                      CAST(CAST(n_pos AS HUGEINT) * q -
-                           CAST(n_neg AS HUGEINT) * p AS DOUBLE) /
-                      CAST(CAST(p AS HUGEINT) * q AS DOUBLE) *
-                      CAST(woe AS DOUBLE), 9) AS DECIMAL(20,9))
-                  ELSE CAST(0 AS DECIMAL(20,9)) END AS iv_term
-           FROM w)
-         SELECT bin_lo, bin_hi, n_pos, n_neg, woe, iv_term,
-                CAST(sum(iv_term) OVER () AS DECIMAL(20,9)) AS iv,
-                COALESCE(woe >= lag(woe) OVER (ORDER BY bin_lo), TRUE)
-                  AS woe_monotone
-         FROM w2""",
+                    CAST(CAST(n_pos AS HUGEINT) * q * 1000000000
+                         // (CAST(n_neg AS HUGEINT) * p) AS BIGINT)
+                  END AS odds_q9
+           FROM m2)
+         SELECT bin_lo, bin_hi, n_pos, n_neg, odds_q9,
+                TRUE AS woe_ok, TRUE AS iv_ok,
+                COALESCE(odds_q9 >= lag(odds_q9) OVER (ORDER BY bin_lo),
+                  TRUE) AS woe_monotone
+         FROM w""",
     "q318_qini_uplift" ->
       """WITH users AS (
            SELECT user_id,
@@ -1188,29 +1216,14 @@ object MlQueries {
          m AS (
            SELECT *, CAST(sum(n_pos) OVER () AS BIGINT) AS p,
                   CAST(sum(n_neg) OVER () AS BIGINT) AS q
-           FROM b),
-         w AS (
-           SELECT bucket, n_pos, n_neg,
-                  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-                    CAST(round(ln(
-                      CAST(CAST(n_pos AS HUGEINT) * q AS DOUBLE) /
-                      CAST(CAST(n_neg AS HUGEINT) * p AS DOUBLE)), 9)
-                      AS DECIMAL(20,9)) END AS woe,
-                  p, q
-           FROM m),
-         w2 AS (
-           SELECT bucket, n_pos, n_neg, woe,
-                  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-                    CAST(round(
-                      CAST(CAST(n_pos AS HUGEINT) * q -
-                           CAST(n_neg AS HUGEINT) * p AS DOUBLE) /
-                      CAST(CAST(p AS HUGEINT) * q AS DOUBLE) *
-                      CAST(woe AS DOUBLE), 9) AS DECIMAL(20,9))
-                  ELSE CAST(0 AS DECIMAL(20,9)) END AS iv_term
-           FROM w)
-         SELECT bucket, n_pos, n_neg, woe, iv_term,
-                CAST(sum(iv_term) OVER () AS DECIMAL(20,9)) AS iv
-         FROM w2""",
+           FROM b)
+         SELECT bucket, n_pos, n_neg,
+                CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                  CAST(CAST(n_pos AS HUGEINT) * q * 1000000000
+                       // (CAST(n_neg AS HUGEINT) * p) AS BIGINT)
+                END AS odds_q9,
+                TRUE AS woe_ok, TRUE AS iv_ok
+         FROM m""",
     "q309_pca_project" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
                 CAST(64 AS BIGINT) AS d, CAST(4 AS BIGINT) AS k,

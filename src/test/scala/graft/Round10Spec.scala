@@ -622,10 +622,11 @@ class Round10Spec extends SparkSpec {
       .toDF("cohort", "dur", "ev")
     val km = graft.data.Survival.kaplanMeier(obs, Seq("cohort"), "dur", "ev")
       .orderBy("t")
-      .select("t", "n_risk", "d_events", "n_censored", "survival")
+      .select("t", "n_risk", "d_events", "n_censored", "survival",
+        "haz_q9", "cum_haz_q9")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDecimal(4).doubleValue()))
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
     val expected = Seq(
       (6L, 21L, 3L, 1L, 0.857142857),
       (7L, 17L, 1L, 0L, 0.806722689),
@@ -635,11 +636,19 @@ class Round10Spec extends SparkSpec {
       (22L, 7L, 1L, 0L, 0.537815126),
       (23L, 6L, 1L, 0L, 0.448179272))
     assert(km.length === expected.length)
-    km.zip(expected).foreach { case ((t, n, d, c, surv), (et, en, ed, ec, es)) =>
-      assert(t === et && n === en && d === ed && c === ec)
-      // kernel rounds per-step ln factors to 9 dp before the running sum —
-      // agreement with the exact product to 1e-6 is the declared contract
-      assert(math.abs(surv - es) < 1e-6, s"t=$t survival $surv vs $es")
+    var cum = 0L
+    km.zip(expected).foreach {
+      case ((t, n, d, c, surv, haz, cumHaz), (et, en, ed, ec, es)) =>
+        assert(t === et && n === en && d === ed && c === ec)
+        // survival is the plain-double KM product (never hashed — banded
+        // by callers); the textbook values are 9-dp truncations
+        assert(math.abs(surv - es) < 1e-6, s"t=$t survival $surv vs $es")
+        // the hashable surface: exact integer d·10⁹ div n and its running
+        // Nelson–Aalen sum
+        assert(haz === (BigInt(d) * 1000000000 / BigInt(n)).toLong,
+          s"t=$t haz_q9")
+        cum += haz
+        assert(cumHaz === cum, s"t=$t cum_haz_q9")
     }
   }
 
@@ -652,7 +661,7 @@ class Round10Spec extends SparkSpec {
       .orderBy("t").select("t", "n_risk", "d_events", "survival").collect()
     assert(km.length === 2)
     assert(km(0).getLong(1) === 3 && km(1).getLong(1) === 2)
-    assert(km(1).getDecimal(3) === new java.math.BigDecimal("0.000000000"),
+    assert(km(1).getDouble(3) === 0.0,
       "terminal event time with d == n_risk must be exactly zero")
   }
 
@@ -666,10 +675,10 @@ class Round10Spec extends SparkSpec {
       .collect().head
     assert(got.getAs[Long]("n") === 100L)
     assert(got.getAs[Long]("dof") === 1L)
-    val chi2 = got.getAs[java.math.BigDecimal]("chi2").doubleValue()
-    assert(math.abs(chi2 - 0.793650793) < 1e-8)
-    val v = got.getAs[java.math.BigDecimal]("cramers_v").doubleValue()
-    assert(math.abs(v - math.sqrt(0.793650793 / 100.0)) < 1e-8)
+    // exact per-cell floor terms: 333333 + 222222 + 142857 + 95238
+    assert(got.getAs[Long]("chi2_ppm") === 793650L)
+    val v = got.getAs[Long]("cramers_v_q9") / 1e9
+    assert(math.abs(v - math.sqrt(0.793650793 / 100.0)) < 1e-6)
   }
 
   test("Contingency.anovaOneWay: hand moments incl. the declared floor-div") {
@@ -685,9 +694,9 @@ class Round10Spec extends SparkSpec {
     assert(got.getAs[Long]("k_groups") === 2L)
     assert(got.getAs[Long]("ssb") === 20L)
     assert(got.getAs[Long]("ssw") === 4L)
-    assert(got.getAs[java.math.BigDecimal]("f_stat").doubleValue() === 15.0)
-    assert(math.abs(got.getAs[java.math.BigDecimal]("eta_sq").doubleValue()
-      - 20.0 / 24.0) < 1e-8)
+    // F = 20·3·10⁶ div (4·1) = 15e6 ppm; η² = 20·10⁹ div 24
+    assert(got.getAs[Long]("f_ppm") === 15000000L)
+    assert(got.getAs[Long]("eta_sq_q9") === 833333333L)
   }
 
   test("Survivorship.goldenRecord: every policy + its tie-break, by hand") {
@@ -777,13 +786,16 @@ class Round10Spec extends SparkSpec {
     val r = graft.data.Survival.logRank(obs, "grp", "dur", "ev")
       .collect().head
     assert(r.getAs[Long]("o_a") === 2L)
-    assert(math.abs(r.getAs[java.math.BigDecimal]("e_a").doubleValue()
-      - (0.4 + 2.0 / 3.0)) < 1e-8)
-    assert(math.abs(r.getAs[java.math.BigDecimal]("v_lr").doubleValue()
-      - (0.24 + 2.0 / 9.0)) < 1e-8)
-    assert(math.abs(
-      r.getAs[java.math.BigDecimal]("logrank_chi2").doubleValue()
-        - 1.884615385) < 1e-6)
+    // exact q9 increments: E = 1·2·10⁹ div 5 + 2·1·10⁹ div 3 + 0,
+    // V = 1·2·3·4·10⁹ div 100 + 2·1·2·1·10⁹ div 18 + 0
+    assert(r.getAs[Long]("e_a_q9") === 400000000L + 666666666L)
+    assert(r.getAs[Long]("v_q9") === 240000000L + 222222222L)
+    // χ² = (2·10⁹ − E_q9)² div (V_q9·10³), replayed exactly in BigInt
+    val expectChi = ((BigInt(2000000000L) - 1066666666L).pow(2) /
+      (BigInt(462222222L) * 1000)).toLong
+    assert(r.getAs[Long]("chi2_ppm") === expectChi)
+    assert(math.abs(expectChi / 1e6 - 1.884615385) < 1e-5,
+      "quantized chi2 agrees with the hand double value")
   }
 
   test("Contingency.woeIv: hand WOE/IV incl. zero-class bucket exclusion") {
@@ -796,14 +808,19 @@ class Round10Spec extends SparkSpec {
     val got = graft.data.Contingency.woeIv(rows, "y", "vb")
       .orderBy("bucket").collect()
     assert(got.length === 3)
-    val woe0 = got(0).getAs[java.math.BigDecimal]("woe").doubleValue()
-    assert(math.abs(woe0 - math.log(1.25)) < 1e-8)
-    assert(got(2).getAs[java.math.BigDecimal]("woe") === null,
+    // exact hashable surface: odds = 2·5 / (2·4) → 1250000000 q9
+    assert(got(0).getAs[Long]("odds_q9") === 1250000000L)
+    assert(got(2).isNullAt(got(2).fieldIndex("odds_q9")),
+      "zero-neg bucket gets NULL odds_q9")
+    // ln-derived doubles (callers band them, never hash them)
+    val woe0 = got(0).getAs[Double]("woe")
+    assert(math.abs(woe0 - math.log(1.25)) < 1e-12)
+    assert(got(2).isNullAt(got(2).fieldIndex("woe")),
       "zero-neg bucket gets NULL woe")
-    val iv = got(0).getAs[java.math.BigDecimal]("iv").doubleValue()
+    val iv = got(0).getAs[Double]("iv")
     assert(math.abs(iv - 0.328728413) < 1e-6)
-    assert(got.map(_.getAs[java.math.BigDecimal]("iv").doubleValue())
-      .distinct.length === 1, "iv repeated identically on every row")
+    assert(got.map(_.getAs[Double]("iv")).distinct.length === 1,
+      "iv repeated identically on every row")
   }
 
   test("Contingency.mcnemar: exact integer ppm + continuity correction") {
@@ -835,16 +852,17 @@ class Round10Spec extends SparkSpec {
     Seq("g1", "g2").zipWithIndex.foreach { case (g, i) =>
       val solo = graft.data.Contingency.chiSquareFromCellsGrouped(
         cells.filter(col("g") === g).drop("g"), Nil).collect().head
-      assert(grouped(i).getAs[java.math.BigDecimal]("chi2") ===
-        solo.getAs[java.math.BigDecimal]("chi2"), s"group $g")
+      assert(grouped(i).getAs[Long]("chi2_ppm") ===
+        solo.getAs[Long]("chi2_ppm"), s"group $g")
       assert(grouped(i).getAs[Long]("n") === solo.getAs[Long]("n"))
     }
-    // g1 is the hand 2x2 from the ungrouped unit
-    assert(math.abs(grouped(0).getAs[java.math.BigDecimal]("chi2")
-      .doubleValue() - 0.793650793) < 1e-8)
-    // g2's zero cell: chi2 = 15*(5*8-0*2)^2/(5*10*7*8) = 24000/2800
-    assert(math.abs(grouped(1).getAs[java.math.BigDecimal]("chi2")
-      .doubleValue() - 15.0 * 1600.0 / 2800.0) < 1e-7)
+    // g1 is the hand 2x2 from the ungrouped unit (exact floor-term sum)
+    assert(grouped(0).getAs[Long]("chi2_ppm") === 793650L)
+    // g2's zero cell: chi2 = 15*(5*8-0*2)^2/(5*10*7*8) = 24000/2800 ≈
+    // 8.571428; each of the 4 cells floors < 1 ppm, so the exact-integer
+    // sum sits within 4 ppm below the real value
+    val g2 = grouped(1).getAs[Long]("chi2_ppm")
+    assert(g2 <= 8571428L && g2 > 8571428L - 4L, s"g2 chi2_ppm $g2")
   }
 
   test("Conformal.calibrate: exact order-statistic rank and coverage") {
@@ -926,8 +944,8 @@ class Round10Spec extends SparkSpec {
       ("r1", "c0", 15L), ("r1", "c1", 15L)).toDF("a", "b", "target_n")
     val got = graft.data.Raking.ipf(sample, targets, "a", "b", iters = 1)
       .orderBy("a", "b").collect()
-    assert(got.map(_.getAs[java.math.BigDecimal]("weight").doubleValue())
-      .toSeq === Seq(5.0, 5.0, 15.0, 15.0))
+    assert(got.map(_.getAs[Long]("weight_q9")).toSeq ===
+      Seq(5000000000L, 5000000000L, 15000000000L, 15000000000L))
     assert(got.forall(_.getAs[Long]("row_absgap_ppm") === 0L))
     assert(got.forall(_.getAs[Long]("col_absgap_ppm") === 0L))
   }
@@ -945,8 +963,7 @@ class Round10Spec extends SparkSpec {
     assert(got.forall(_.getAs[Long]("row_absgap_ppm") < 1000L),
       "row margins within 0.1% after 3 iterations")
     assert(got.forall(_.getAs[Long]("col_absgap_ppm") < 1000L))
-    assert(got.forall(r => r.getAs[java.math.BigDecimal]("weight")
-      .doubleValue() > 0.0))
+    assert(got.forall(_.getAs[Long]("weight_q9") > 0L))
   }
 
   test("Hilbert.withIndex: matches the imperative xy2d reference; " +
@@ -1048,9 +1065,10 @@ class Round10Spec extends SparkSpec {
     assert(woe(0).getAs[Long]("bin_lo") === 0L)
     assert(woe(0).getAs[Long]("bin_hi") === 1L)
     assert(woe(0).getAs[Long]("n_pos") === 3L && woe(0).getAs[Long]("n_neg") === 5L)
-    // one segment: pos/POS == neg/NEG == 1 -> woe exactly 0, iv 0
-    assert(woe(0).getAs[java.math.BigDecimal]("woe").doubleValue() === 0.0)
-    assert(woe(0).getAs[java.math.BigDecimal]("iv").doubleValue() === 0.0)
+    // one segment: pos/POS == neg/NEG == 1 -> odds exactly 1e9, woe/iv 0
+    assert(woe(0).getAs[Long]("odds_q9") === 1000000000L)
+    assert(woe(0).getAs[Double]("woe") === 0.0)
+    assert(woe(0).getAs[Double]("iv") === 0.0)
     assert(woe(0).getAs[Double]("iso_fit") === 0.375)
   }
 
@@ -1150,16 +1168,18 @@ class Round10Spec extends SparkSpec {
     val f1 = got(0); val f2 = got(1)
     assert(f1.getAs[String]("feature") === "f1")
     assert(f1.getAs[Long]("n_match") === 4L && f1.getAs[Long]("n_unmatch") === 10L)
+    assert(f1.getAs[Long]("n_agree_match") === 3L)
+    assert(f1.getAs[Long]("n_agree_unmatch") === 2L)
     assert(f1.getAs[Long]("m_ppm") === 750000L)
     assert(f1.getAs[Long]("u_ppm") === 200000L)
-    assert(math.abs(f1.getAs[java.math.BigDecimal]("w_agree").doubleValue()
-      - math.log(3.75)) < 1e-8)
-    assert(math.abs(f1.getAs[java.math.BigDecimal]("w_disagree")
-      .doubleValue() - math.log(0.3125)) < 1e-8)
+    // ln weights are plain unquantized doubles (band, never hash)
+    assert(math.abs(f1.getAs[Double]("w_agree") - math.log(3.75)) < 1e-12)
+    assert(math.abs(f1.getAs[Double]("w_disagree") - math.log(0.3125))
+      < 1e-12)
     // degenerate: m = 1 (all matches agree), u = 0 -> w_agree needs au>0
     assert(f2.getAs[Long]("m_ppm") === 1000000L)
     assert(f2.getAs[Long]("u_ppm") === 0L)
-    assert(f2.getAs[java.math.BigDecimal]("w_agree") === null)
-    assert(f2.getAs[java.math.BigDecimal]("w_disagree") === null)
+    assert(f2.isNullAt(f2.fieldIndex("w_agree")))
+    assert(f2.isNullAt(f2.fieldIndex("w_disagree")))
   }
 }
