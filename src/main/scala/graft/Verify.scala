@@ -1,9 +1,28 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Diff aid for driver-red rows: the driver's compare sorts columns by
+    * name and rows by all values before hashing — this writes the SAME
+    * canonical form as one readable CSV so a mismatch can be diffed cell
+    * by cell against the oracle (three rounds of q231 driver-only
+    * divergence motivated this). Gated off the hot path: set env
+    * `GRAFT_DUMP_CSV=1` (or JVM prop `graft.dump.csv=1` — unit hook).
+    */
+  def dumpWanted: Boolean =
+    sys.env.get("GRAFT_DUMP_CSV").orElse(sys.props.get("graft.dump.csv"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
+  def dumpCanonicalCsv(df: DataFrame, path: String): Unit = {
+    val cols = df.columns.sorted.map(col)
+    df.select(cols: _*).orderBy(cols: _*).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+  }
+
   def main(args: Array[String]): Unit = {
     // ORC (and legacy parquet INT96) timestamp paths consult the JVM
     // default zone, not the session TZ — pin it so results are
@@ -30,8 +49,13 @@ object Verify {
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val result = fn(spark, sfDir)
+        result.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        if (dumpWanted)
+          dumpCanonicalCsv(spark.read.parquet(s"$outDir/$name"),
+            s"$outDir/$name.csv")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any stale output from a previous run: a failure must show

@@ -24,14 +24,19 @@ object GramStore {
     */
   def appendBatch(df: DataFrame, vecCol: String, batchId: Long,
                   path: String, overwrite: Boolean = false): Unit = {
-    val gram = Gram.gramUpper(df, vecCol)
+    // NULL vectors contribute to neither the Gram cells nor the component
+    // sums (posexplode emits nothing for them) — count the same
+    // population, or the stored n would over-count and break the
+    // fit-from-store ≡ fit-from-scan contract on batches with null rows
+    val dfv = df.filter(col(vecCol).isNotNull)
+    val gram = Gram.gramUpper(dfv, vecCol)
       .select(col("i"), col("j"), col("gram_u").as("v"))
-    val sums = df.select(posexplode(col(vecCol)).as(Seq("i", "x")))
+    val sums = dfv.select(posexplode(col(vecCol)).as(Seq("i", "x")))
       .groupBy("i")
       .agg(sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
         .cast("long").as("v"))
       .select(col("i"), lit(-1).as("j"), col("v"))
-    val cnt = df.agg(count(lit(1)).cast("long").as("v"))
+    val cnt = dfv.agg(count(lit(1)).cast("long").as("v"))
       .select(lit(-1).as("i"), lit(-1).as("j"), col("v"))
     gram.unionByName(sums).unionByName(cnt)
       .withColumn("batch", lit(batchId))
@@ -47,7 +52,14 @@ object GramStore {
                     path: String): (Map[(Int, Int), Long], Map[Int, Double], Long) = {
     val m = spark.read.parquet(path)
       .groupBy("i", "j")
-      .agg(sum(col("v").cast("decimal(38,0)")).cast("long").as("v"))
+      .agg(sum(col("v").cast("decimal(38,0)")).as("vd"))
+      // merged DECIMAL can pass 2⁶³; a bare non-ANSI cast would wrap or
+      // null SILENTLY — same loud guard as the Gram kernel's own downcast
+      .select(col("i"), col("j"),
+        when(abs(col("vd")) > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(concat(lit("GramStore cell (i="), col("i"),
+            lit(", j="), col("j"), lit(") overflows BIGINT: "), col("vd"))))
+          .otherwise(col("vd").cast("long")).as("v"))
       .collect()
     val gram = m.filter(r => r.getInt(1) >= 0)
       .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap

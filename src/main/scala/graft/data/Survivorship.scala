@@ -51,8 +51,11 @@ object Survivorship {
     policies.collect { case Mode(f) => f }.foldLeft(base) { (acc, f) =>
       val counts = records.groupBy((key :+ col(f)): _*)
         .agg(count(lit(1)).as("__c"))
+      // asc_nulls_last, NOT the bare asc: Spark's default ASC sorts NULL
+      // first while DuckDB (and SQL's common convention) sorts it last —
+      // a nullable mode field must not let NULL beat a real value on ties
       val w = Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(col("__c").desc, col(f).asc)
+        .orderBy(col("__c").desc, col(f).asc_nulls_last)
       val winner = counts.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select((key :+ col(f)): _*)

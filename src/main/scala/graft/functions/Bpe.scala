@@ -94,12 +94,23 @@ object Bpe {
   }
 
   /** Distributed corpus collapse for [[fit]]: distinct whitespace words +
-    * counts (ONE hash agg — the only thing collected is the vocabulary).
+    * counts (ONE hash agg). The collect is CAPPED — `minCount` drops the
+    * hapax tail in the cluster and `maxVocab` bounds the driver transfer
+    * via TakeOrdered (per-partition top-k + driver merge under the total
+    * (count desc, word asc) order), so a 100 TB corpus with an unbounded
+    * distinct-word spectrum can never flood the driver. Merge learning on
+    * the (deterministically) truncated vocabulary is standard BPE
+    * practice — rare words contribute no competitive pair counts.
     */
-  def wordFrequencies(df: DataFrame, textCol: String): Seq[(String, Long)] =
+  def wordFrequencies(df: DataFrame, textCol: String,
+                      minCount: Long = 1L,
+                      maxVocab: Int = 1 << 20): Seq[(String, Long)] =
     df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("f"))
+      .filter(col("f") >= minCount)
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (w, f) => (-f, w) }
 
@@ -112,7 +123,12 @@ object Bpe {
   def encodeStats(df: DataFrame, idCol: String, textCol: String,
                   model: Model): DataFrame = {
     val spark = df.sparkSession
+    // ship the merge table ONCE per executor as a broadcast, not once per
+    // task in the closure — at 10⁵ merges × 10⁴ tasks that is the
+    // difference between megabytes and gigabytes of task-launch traffic
+    val bcModel = spark.sparkContext.broadcast(model)
     val out = df.select(col(idCol), col(textCol)).rdd.mapPartitions { it =>
+      val m = bcModel.value
       val memo = mutable.Map.empty[String, List[String]]
       it.map { row =>
         val id = row.getLong(0)
@@ -122,7 +138,7 @@ object Bpe {
         var toks = 0L
         var bad = 0L
         words.foreach { w =>
-          val enc = memo.getOrElseUpdate(w, model.encodeWord(w))
+          val enc = memo.getOrElseUpdate(w, m.encodeWord(w))
           chars += w.length
           toks += enc.length
           if (enc.mkString != w) bad += 1

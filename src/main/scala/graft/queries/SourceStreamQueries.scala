@@ -265,13 +265,18 @@ object SourceStreamQueries {
           col("ts").cast("timestamp_ntz").as("ts"),
           col("event_type"), col("value"))
         .write.mode("overwrite").option("compression", "zstd").orc(base)
+      // hour bucket derived by PURE INTEGER arithmetic on the round-
+      // tripped epoch (epoch_us div 3.6e9 · 3600) — no date_trunc/
+      // unix_timestamp timezone-rule surface anywhere in the hashed frame
       s.read.orc(base)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .withColumn("epoch_us", unix_micros(col("ts").cast("timestamp")))
+        .groupBy(col("event_type"),
+          expr("CAST(epoch_us div 3600000000 * 3600 AS BIGINT)")
+            .as("hour_epoch"))
         .agg(count(lit(1)).cast("long").as("n_events"),
           sum(expr("CAST(floor(value * 1000000) AS BIGINT)"))
             .cast("long").as("sum_u"))
-        .select(col("event_type"),
-          unix_timestamp(col("hr").cast("timestamp")).as("hour_epoch"),
+        .select(col("event_type"), col("hour_epoch"),
           col("n_events"), col("sum_u"))
     },
 
@@ -1104,7 +1109,8 @@ object SourceStreamQueries {
          FROM events WHERE event_id BETWEEN 1 AND 200""",
     "q231_orc_source" ->
       """SELECT event_type,
-                epoch(date_trunc('hour', ts)) AS hour_epoch,
+                CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT)
+                  AS hour_epoch,
                 CAST(count(*) AS BIGINT) AS n_events,
                 CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
                   AS sum_u
