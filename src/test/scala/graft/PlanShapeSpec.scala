@@ -548,4 +548,15 @@ class PlanShapeSpec extends SparkSpec {
         s"margin windows must partition by the group:\n$plan")
     }
   }
+
+  test("hill tail (q329): top-(k+1) via TakeOrderedAndProject, zero " +
+      "window operators (no 1-partition global rank over the vocab)") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val plan = staticPlan(
+      graft.queries.CoreQueries.queries("q329_hill_tail")(spark, sf))
+    assert(count(plan) { case _: TakeOrderedAndProjectExec => } >= 1,
+      s"vocab top-k must plan as TakeOrdered:\n$plan")
+    assert(count(plan) { case _: WindowExec => } === 0,
+      s"no window operator anywhere in the hill-tail plan:\n$plan")
+  }
 }
