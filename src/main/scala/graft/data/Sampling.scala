@@ -65,6 +65,46 @@ object Sampling {
     df.filter(stratifiedKeepExpr(col(keyCol), col(strataCol), rates,
       defaultRate, salt))
 
+  /** Fractional-EPOCH mixing — the UPSAMPLING dual of
+    * [[stratifiedHashSample]]: every sampler above only drops rows; a
+    * training-run mixture also REPEATS them ("3 epochs of wiki, 0.5 of
+    * web", the data-mixing recipe for LLM training). Each stratum's epoch
+    * count is given in exact ppm; a row emits `floor(epochs)` copies plus
+    * one more iff its salted md5 prefix falls under the fractional-part
+    * threshold, so expected multiplicity is exact to [[thresholdHex]]'s
+    * 1/65536 granularity, per-row deterministic, layout-independent, and
+    * map-only (a pure filter + a bounded explode — no shuffle, no RNG).
+    * `copy_idx` (1-based) disambiguates the emitted duplicates so a
+    * downstream global shuffle can separate them.
+    */
+  def epochMix(df: DataFrame, keyCol: String, strataCol: String,
+               epochsPpm: Map[String, Long], defaultPpm: Long = 1000000L,
+               salt: String = "graft"): DataFrame = {
+    require((defaultPpm +: epochsPpm.values.toSeq).forall(_ >= 0),
+      "epoch ppm values must be non-negative")
+    def whole(ppm: Long): Long = ppm / 1000000L
+    def fracHex(ppm: Long): String =
+      thresholdHex((ppm % 1000000L).toDouble / 1000000.0)
+    // deterministic CASE order (sorted keys) — the stratifiedKeepExpr rule
+    val sorted = epochsPpm.toSeq.sortBy(_._1)
+    val wholeCopies = sorted.foldLeft(lit(whole(defaultPpm))) {
+      case (acc, (s0, ppm)) =>
+        when(col(strataCol) === s0, lit(whole(ppm))).otherwise(acc)
+    }
+    val fracThreshold = sorted.foldLeft(lit(fracHex(defaultPpm))) {
+      case (acc, (s0, ppm)) =>
+        when(col(strataCol) === s0, lit(fracHex(ppm))).otherwise(acc)
+    }
+    val extra = when(
+      substring(md5(concat(lit(salt), col(keyCol).cast("string"))
+        .cast("binary")), 1, 4) < fracThreshold, 1L).otherwise(0L)
+    df.withColumn("__n_copies", (wholeCopies + extra).cast("long"))
+      .filter(col("__n_copies") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(1L), col("__n_copies"))))
+      .drop("__n_copies")
+  }
+
   /** The bare stratified keep predicate, for callers that need both halves
     * of the split (e.g. [[CorpusPipeline]]'s mixing stage labels the
     * complement as `sampled_out`).

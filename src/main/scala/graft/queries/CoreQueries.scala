@@ -2790,6 +2790,97 @@ object CoreQueries {
             col("step3"))).cast("int"))
     },
 
+    // ORDERED FUNNEL (view → click → purchase): per-user chained earliest
+    // times — t2 is the earliest click STRICTLY AFTER that user's earliest
+    // view, t3 the earliest purchase strictly after t2 (the sequential
+    // semantics a conditional-min groupBy gets wrong). Distinct from q96,
+    // which is per-CLICK as-of conversion inside a 1 h window — this is
+    // the per-USER multi-stage reach count. Each stage is one
+    // user-keyed agg + one user-keyed join, so all three shuffles share the
+    // key and stage frames are user-dimension-sized, never event-sized; the
+    // final surface collapses to ONE row of exact counts + ppm conversions
+    // (cross-multiplied div — no float ratio on the hashed frame).
+    "q331_funnel" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min("ts_us").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts_us") > col("t2"))
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      val n1 = s1.agg(count(lit(1)).cast("long").as("n_view"))
+      val n2 = s2.agg(count(lit(1)).cast("long").as("n_click"))
+      val n3 = s3.agg(count(lit(1)).cast("long").as("n_purchase"))
+      // exact µs lag sums over fully-converted users pin the CHAINED mins
+      // themselves (the counts alone can't distinguish a wrong t2/t3)
+      val lags = s3.join(s2, "user_id").join(s1, "user_id").agg(
+        sum(col("t2") - col("t1")).cast("long").as("sum_lag12_us"),
+        sum(col("t3") - col("t2")).cast("long").as("sum_lag23_us"))
+      n1.crossJoin(n2).crossJoin(n3).crossJoin(lags).select(
+        col("n_view"), col("n_click"), col("n_purchase"),
+        col("sum_lag12_us"), col("sum_lag23_us"),
+        expr("""CAST(CASE WHEN n_view = 0 THEN NULL
+                ELSE (n_click * 1000000) div n_view END AS BIGINT)""")
+          .as("conv12_ppm"),
+        expr("""CAST(CASE WHEN n_click = 0 THEN NULL
+                ELSE (n_purchase * 1000000) div n_click END AS BIGINT)""")
+          .as("conv23_ppm"),
+        expr("""CAST(CASE WHEN n_view = 0 THEN NULL
+                ELSE (n_purchase * 1000000) div n_view END AS BIGINT)""")
+          .as("conv13_ppm"))
+    },
+
+    // WEEKLY COHORT RETENTION MATRIX: cohort = the user's first active
+    // epoch-week (integer div of epoch-micros — no calendar/timezone rules
+    // on the hashed surface), offset = active week − cohort week, cell =
+    // distinct active users. The event stream collapses to distinct
+    // (user, week) FIRST (the only event-sized shuffle); everything after is
+    // user-dimension-sized, and the weeks×weeks matrix joins its cohort
+    // sizes broadcast. retention_ppm is an exact integer quotient.
+    "q332_cohort_retention" -> { (s, dir) =>
+      val act = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").cast("long").as("week"))
+        .distinct()
+      val first = act.groupBy("user_id").agg(min("week").as("cohort_w"))
+      val size = first.groupBy("cohort_w")
+        .agg(count(lit(1)).cast("long").as("n_cohort"))
+      act.join(first, "user_id")
+        .select(col("cohort_w"),
+          (col("week") - col("cohort_w")).cast("long").as("offset_w"))
+        .groupBy("cohort_w", "offset_w")
+        .agg(count(lit(1)).cast("long").as("n_active"))
+        .join(broadcast(size), "cohort_w")
+        .select(col("cohort_w").cast("long").as("cohort_w"), col("offset_w"),
+          col("n_active"), col("n_cohort"),
+          expr("CAST((n_active * 1000000) div n_cohort AS BIGINT)")
+            .as("retention_ppm"))
+    },
+
+    // MARKOV TRANSITION MATRIX over per-user event sequences: one lead
+    // window on the per-user total order (ts, event_id — explicit tiebreak
+    // keeps lead deterministic under timestamp ties), a charset²-bounded
+    // pair hash agg, and row-normalized probabilities as exact integer ppm
+    // against broadcast per-prev totals. One event-sized sort+shuffle total.
+    "q333_markov_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .select(col("event_type").as("prev"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+      val counts = pairs.groupBy("prev", "nxt")
+        .agg(count(lit(1)).cast("long").as("n"))
+      val tot = counts.groupBy("prev").agg(sum("n").cast("long").as("n_prev"))
+      counts.join(broadcast(tot), "prev")
+        .select(col("prev"), col("nxt"), col("n"), col("n_prev"),
+          expr("CAST((n * 1000000) div n_prev AS BIGINT)").as("p_ppm"))
+    },
+
     // W2 complete: the reference's tie-aware top-n methods
     // (spark_indexing_utils.py:158-196) — rank (at_least), dense_rank
     // (at_least_n_different_order_values), running count (at_most); ties on
@@ -3919,6 +4010,68 @@ object CoreQueries {
                   CAST(sum(t) AS DOUBLE), 6) AS DECIMAL(28,6))
                   AS hill_alpha
          FROM t2""",
+    "q331_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts_us) AS t2
+                FROM ev e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts_us > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts_us) AS t3
+                FROM ev e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+                GROUP BY 1),
+         c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                      (SELECT count(*) FROM s2) AS n2,
+                      (SELECT count(*) FROM s3) AS n3),
+         l AS (SELECT sum(s2.t2 - s1.t1) AS lag12,
+                      sum(s3.t3 - s2.t2) AS lag23
+               FROM s3 JOIN s2 ON s3.user_id = s2.user_id
+                       JOIN s1 ON s3.user_id = s1.user_id)
+         SELECT CAST(n1 AS BIGINT) AS n_view,
+                CAST(n2 AS BIGINT) AS n_click,
+                CAST(n3 AS BIGINT) AS n_purchase,
+                CAST(lag12 AS BIGINT) AS sum_lag12_us,
+                CAST(lag23 AS BIGINT) AS sum_lag23_us,
+                CAST(CASE WHEN n1 = 0 THEN NULL
+                     ELSE (n2 * 1000000) // n1 END AS BIGINT) AS conv12_ppm,
+                CAST(CASE WHEN n2 = 0 THEN NULL
+                     ELSE (n3 * 1000000) // n2 END AS BIGINT) AS conv23_ppm,
+                CAST(CASE WHEN n1 = 0 THEN NULL
+                     ELSE (n3 * 1000000) // n1 END AS BIGINT) AS conv13_ppm
+         FROM c, l""",
+    "q332_cohort_retention" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+           FROM events),
+         f AS (SELECT user_id, min(week) AS cohort_w FROM act GROUP BY 1),
+         sz AS (SELECT cohort_w, CAST(count(*) AS BIGINT) AS n_cohort
+                FROM f GROUP BY 1),
+         r AS (SELECT f.cohort_w, act.week - f.cohort_w AS offset_w,
+                      CAST(count(*) AS BIGINT) AS n_active
+               FROM act JOIN f ON act.user_id = f.user_id GROUP BY 1, 2)
+         SELECT CAST(r.cohort_w AS BIGINT) AS cohort_w,
+                CAST(offset_w AS BIGINT) AS offset_w, n_active, n_cohort,
+                CAST((n_active * 1000000) // n_cohort AS BIGINT)
+                  AS retention_ppm
+         FROM r JOIN sz ON r.cohort_w = sz.cohort_w""",
+    "q333_markov_transitions" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         p AS (
+           SELECT event_type AS prev,
+                  lead(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS nxt
+           FROM ev),
+         c AS (SELECT prev, nxt, CAST(count(*) AS BIGINT) AS n
+               FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS n_prev
+               FROM c GROUP BY 1)
+         SELECT c.prev, c.nxt, n, n_prev,
+                CAST((n * 1000000) // n_prev AS BIGINT) AS p_ppm
+         FROM c JOIN t ON c.prev = t.prev""",
     "q322_ewma_control" ->
       """WITH RECURSIVE daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,

@@ -200,6 +200,22 @@ object CorpusQueries {
         defaultRate = 0.05, salt = "s42|")
     },
 
+    // fractional-EPOCH mixing — the UPSAMPLING dual of q74 (q66/q74 only
+    // ever drop rows; a training mixture also REPEATS them): 0.5 epochs of
+    // en, 1.5 of de, 2.25 of es, 3 of zh, default 1.0 (fr). floor(epochs)
+    // copies per doc + one hash-gated extra for the fractional part —
+    // map-only filter + bounded explode, fully replayed by the oracle
+    "q334_epoch_mix" -> { (s, dir) =>
+      Sampling.epochMix(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang",
+          epochsPpm = Map("en" -> 500000L, "de" -> 1500000L,
+            "es" -> 2250000L, "zh" -> 3000000L),
+          defaultPpm = 1000000L, salt = "em|")
+        .select(col("doc_id"), col("lang"),
+          col("copy_idx").cast("long").as("copy_idx"))
+    },
+
     // per-stratum percentile band filter (the CCNet/Gopher-style quality
     // cut): keep docs between their own language's exact p10 and p90 char
     // lengths — absolute thresholds would mis-cut every stratum whose
@@ -518,6 +534,21 @@ object CorpusQueries {
                 WHEN lang = 'de' THEN '4000'
                 WHEN lang = 'fr' THEN '1999'
                 ELSE '0ccc' END""",
+    // epoch thresholds: frac 0.5 -> '8000', 0.25 -> '4000', 0.0 -> '0000'
+    "q334_epoch_mix" ->
+      """WITH c AS (
+           SELECT doc_id, lang,
+                  (CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1
+                             WHEN 'es' THEN 2 WHEN 'zh' THEN 3 ELSE 1 END)
+                  + (CASE WHEN substr(md5('em|' || CAST(doc_id AS VARCHAR)),
+                            1, 4) <
+                       (CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '8000'
+                                  WHEN 'es' THEN '4000' ELSE '0000' END)
+                     THEN 1 ELSE 0 END) AS n_copies
+           FROM documents)
+         SELECT doc_id, lang,
+                CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+         FROM c""",
     "q129_robust_outliers" ->
       """WITH med AS (
            SELECT lang AS s, quantile_cont(n_chars, 0.5) AS med

@@ -84,6 +84,46 @@ object DataQueries {
         k = 5, threshold = 0.5, maxDocsPerShingle = 1000)
     },
 
+    // NEAR-DUP-AWARE CONTRASTIVE NEGATIVES — batch construction for
+    // embedding training with the false-negative hazard handled: each
+    // anchor draws k=4 deterministic pseudo-random candidates (portable
+    // 32-bit integer hash — md5 prefix parsed as an int, identical in both
+    // engines — mod corpus size, mapped to an id through a DISTRIBUTED
+    // dense global rank, the GlobalRank/zipWithIndex path, never a
+    // 1-partition row_number), then drops any candidate that is the anchor
+    // itself or its NEAR-DUPLICATE under q40's exact n-gram-jaccard pair
+    // relation (a near-dup sampled as a "negative" would be a false
+    // negative poisoning the loss). Candidates are dropped, not resampled
+    // — the batch builder downstream tolerates k-or-fewer; the anti-join
+    // side is the (small) near-dup pair set, which AQE broadcasts.
+    "q335_contrastive_negatives" -> { (s, dir) =>
+      import graft.operators.GlobalRank
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val ids = docs.select("doc_id")
+      val idx = GlobalRank.withGlobalRank(ids, "pos", Seq("doc_id"))
+      val n = ids.agg(count(lit(1)).cast("long").as("n_docs"))
+      val cand = ids.crossJoin(broadcast(n))
+        .select(col("doc_id").as("anchor_id"), col("n_docs"))
+        .withColumn("slot", explode(sequence(lit(1), lit(4))))
+        .withColumn("cand_pos",
+          conv(substring(md5(concat(lit("neg"), col("slot").cast("string"),
+            lit(":"), col("anchor_id").cast("string")).cast("binary")),
+            1, 8), 16, 10).cast("long") % col("n_docs"))
+      val byPos = idx.select(col("pos"), col("doc_id").as("neg_id"))
+      val withNeg = cand.join(byPos, col("cand_pos") === col("pos"))
+        .filter(col("neg_id") =!= col("anchor_id"))
+      val pairs = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id",
+          k = 5, threshold = 0.5, maxDocsPerShingle = 1000)
+        .select("id_a", "id_b")
+      val excl = pairs.unionByName(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      withNeg.join(excl,
+          col("anchor_id") === col("id_a") && col("neg_id") === col("id_b"),
+          "left_anti")
+        .select(col("anchor_id"), col("slot").cast("long").as("slot"),
+          col("neg_id"))
+    },
+
     // CONTAINMENT PAIRS — the ASYMMETRIC near-dup relation jaccard misses:
     // a short document quoted wholesale inside a long one has tiny jaccard
     // but containment ≈ 1 (n_common / min set size). Same inverted-index
@@ -2410,6 +2450,30 @@ object DataQueries {
     "q298_jaccard_prefix_filter" ->
       (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
        " SELECT id_a, id_b, n_common, jaccard FROM pairs"),
+    // portable integer hash: '0x' + 8-hex md5 prefix parses identically in
+    // DuckDB (CAST) and Spark (conv(…,16,10)); the pair exclusion replays
+    // q40's exact jaccard relation
+    "q335_contrastive_negatives" ->
+      (jaccardSql("SELECT doc_id, text FROM documents", 1000, 0.5) +
+       """, idx AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY doc_id) - 1 AS pos
+              FROM documents),
+         nn AS (SELECT count(*) AS n FROM documents),
+         cand AS (
+           SELECT d.doc_id AS anchor_id, s.slot,
+                  CAST(('0x' || substr(md5('neg' || CAST(s.slot AS VARCHAR)
+                    || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % nn.n AS cand_pos
+           FROM documents d, nn,
+                (SELECT unnest(range(1, 5)) AS slot) s),
+         w AS (SELECT c.anchor_id, CAST(c.slot AS BIGINT) AS slot,
+                      i.doc_id AS neg_id
+               FROM cand c JOIN idx i ON c.cand_pos = i.pos
+               WHERE i.doc_id <> c.anchor_id)
+         SELECT anchor_id, slot, neg_id FROM w
+         WHERE NOT EXISTS (SELECT 1 FROM pairs p
+           WHERE (p.id_a = w.anchor_id AND p.id_b = w.neg_id)
+              OR (p.id_b = w.anchor_id AND p.id_a = w.neg_id))"""),
     "q281_containment_pairs" ->
       """WITH words AS (
            SELECT doc_id, string_split(trim(text), ' ') AS ws

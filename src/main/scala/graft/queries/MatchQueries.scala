@@ -251,6 +251,105 @@ object MatchQueries {
         .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
     },
 
+    // PHONETIC BLOCKING candidate generation — the third classic blocking
+    // family beside the reference's first-k-chars blocks (q31/q169) and its
+    // sorted neighbourhood (q32): equal simplified-soundex keys of the
+    // name's last token (Phonetic.soundex4; "SMITH"≡"SMYTHE" survives the
+    // spelling noise that defeats prefix blocks). Scale discipline is the
+    // frequent-key STOP LIST (the blocking twin of the jaccard df cap):
+    // per-key GT counts are a key-domain-sized agg (≤ 26·7³ keys, ever),
+    // keys whose block exceeds maxBlockSize are dropped BEFORE the
+    // candidate join — the skew cap that keeps the hottest phonetic key
+    // ("J500" in a real-name corpus) from dominating a 1000-executor
+    // stage — and the kept-key list broadcasts. Candidates themselves are
+    // one shuffle equi-join on the key; nothing is ever name × name.
+    "q336_phonetic_block" -> { (s, dir) =>
+      import graft.functions.Phonetic
+      val maxBlockSize = 256L
+      def lastTok(c: org.apache.spark.sql.Column) =
+        element_at(split(trim(c), " "), -1)
+      val gt = t(s, dir, "part").select(
+          col("p_partkey").cast("long").as("gt_uid"),
+          Phonetic.soundex4(lastTok(col("p_name"))).as("bk"))
+        .filter(col("bk").isNotNull)
+      val nm = t(s, dir, "part").filter(col("p_partkey") < 100)
+        .select(col("p_partkey").cast("long").as("uid"),
+          Phonetic.soundex4(
+            lastTok(regexp_replace(col("p_name"), "^[^ ]* ", ""))).as("bk"))
+        .filter(col("bk").isNotNull)
+      val kept = gt.groupBy("bk").agg(count(lit(1)).as("n_gt"))
+        .filter(col("n_gt") <= maxBlockSize).select("bk")
+      nm.join(broadcast(kept), "bk").join(gt, "bk")
+        .select(col("uid"), col("gt_uid"), col("bk"))
+    },
+
+    // FastSS EDIT-DISTANCE SELF-JOIN (Bocek et al. 2007): every pair of
+    // vocabulary words within levenshtein ≤ 2, found WITHOUT any quadratic
+    // comparison — each word emits its ≤-2-deletion variants (fan-out
+    // 1 + L + L(L−1)/2, map-only), pairs sharing a variant are candidates
+    // (the FastSS guarantee: ed(a,b) ≤ d ⟹ the d-deletion neighbourhoods
+    // intersect), then ONE exact levenshtein per distinct candidate pair
+    // removes false positives. The oracle is the quadratic ground truth
+    // itself, so a green row PROVES the neighbourhood method exhaustive.
+    // Domain = the distinct vocabulary (q329's collapse), so frames are
+    // vocab-sized at any corpus size; short hot variant keys are bounded
+    // by the length ≥ 3 floor (the df-cap discipline of q40 applies if a
+    // real corpus needs a per-variant cap).
+    "q337_fastss_edit_join" -> { (s, dir) =>
+      val words = t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("w"))
+        .filter(length(col("w")) >= 3).distinct()
+      val L = length(col("w"))
+      val d1 = transform(sequence(lit(1), L), i =>
+        concat(col("w").substr(lit(1), i - 1), col("w").substr(i + 1, L)))
+      val d2 = flatten(transform(sequence(lit(1), L - 1), i =>
+        transform(sequence(i + 1, L), j =>
+          concat(col("w").substr(lit(1), i - 1),
+            col("w").substr(i + 1, j - i - 1), col("w").substr(j + 1, L)))))
+      val variants = words.select(col("w"),
+        explode(array_distinct(concat(array(col("w")), d1, d2))).as("v"))
+      val cand = variants.as("a").join(variants.as("b"),
+          col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+        .select(col("a.w").as("w_a"), col("b.w").as("w_b")).distinct()
+      cand.withColumn("dist",
+          levenshtein(col("w_a"), col("w_b")).cast("long"))
+        .filter(col("dist") <= 2)
+    },
+
+    // MUTUAL-BEST 1:1 MATCHING — the exclusive-assignment post-step the
+    // reference's best-match ranking (W1) deliberately omits (its argmax is
+    // per-name, so many names may claim one GT): a pair survives iff each
+    // side is the other's nearest candidate under (levenshtein, id) total
+    // order — the first round of stable matching, parallel by construction
+    // (two per-key argmax aggs over the same candidate frame + one
+    // equi-join; no sequential greedy loop, no driver state). Candidates
+    // come from the q336 phonetic blocks, so the pair space is
+    // block-bounded, never nm × gt.
+    "q338_mutual_best" -> { (s, dir) =>
+      import graft.functions.Phonetic
+      def lastTok(c: org.apache.spark.sql.Column) =
+        element_at(split(trim(c), " "), -1)
+      val gt = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("gt_uid"),
+        col("p_name").as("gt_name"),
+        Phonetic.soundex4(lastTok(col("p_name"))).as("bk"))
+      val nm = t(s, dir, "part").filter(col("p_partkey") < 500)
+        .select(col("p_partkey").cast("long").as("uid"),
+          regexp_replace(col("p_name"), "^[^ ]* ", "").as("name"))
+        .withColumn("bk", Phonetic.soundex4(lastTok(col("name"))))
+      val cand = nm.join(gt, "bk")
+        .select(col("uid"), col("gt_uid"),
+          levenshtein(col("name"), col("gt_name")).cast("long").as("d"))
+      val bestNm = cand.groupBy("uid")
+        .agg(min(struct(col("d"), col("gt_uid"))).as("b"))
+        .select(col("uid"), col("b.gt_uid").as("gt_uid"), col("b.d").as("d"))
+      val bestGt = cand.groupBy("gt_uid")
+        .agg(min(struct(col("d"), col("uid"))).as("b"))
+        .select(col("gt_uid"), col("b.uid").as("uid"))
+      bestNm.join(bestGt, Seq("uid", "gt_uid"))
+        .select(col("uid"), col("gt_uid"), col("d"))
+    },
+
     // full candidate selection: cossim + SNI, merged, GT info, no-match keep
     "q33_candidate_selection" -> { (s, dir) =>
       val cs = new CandidateSelection(Seq(
@@ -322,7 +421,59 @@ object MatchQueries {
                CAST(abs(nmr.r - gtr.gt_r) AS INT) AS sni_rank
         FROM nmr JOIN gtr ON abs(nmr.r - gtr.gt_r) <= 2"""
 
+  /** The DuckDB replay of [[graft.functions.Phonetic.soundex4]] on the
+    * last whitespace token of `e`. */
+  private def lastTokSoundexSql(e: String): String =
+    graft.functions.Phonetic.soundex4Sql(s"string_split(trim($e), ' ')[-1]")
+
   val oracleSql: Map[String, String] = Map(
+    "q336_phonetic_block" -> {
+      val gtk = lastTokSoundexSql("p_name")
+      val nmk = lastTokSoundexSql("regexp_replace(p_name, '^[^ ]* ', '')")
+      s"""WITH gt AS (SELECT p_partkey AS gt_uid, $gtk AS bk FROM part),
+          nm AS (SELECT p_partkey AS uid, $nmk AS bk
+                 FROM part WHERE p_partkey < 100),
+          kept AS (SELECT bk FROM (
+                     SELECT bk, count(*) AS n FROM gt
+                     WHERE bk IS NOT NULL GROUP BY 1) WHERE n <= 256)
+          SELECT CAST(uid AS BIGINT) AS uid, CAST(gt_uid AS BIGINT) AS gt_uid,
+                 bk
+          FROM nm JOIN kept USING (bk) JOIN gt USING (bk)
+          WHERE nm.bk IS NOT NULL"""
+    },
+    // the QUADRATIC ground truth — deliberately simpler than the engine's
+    // FastSS path, so a green row proves the deletion-neighbourhood method
+    // finds every pair (vocab-sized domain keeps the oracle cheap)
+    "q337_fastss_edit_join" ->
+      """WITH w0 AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w
+                     FROM part),
+          w AS (SELECT w FROM w0 WHERE length(w) >= 3)
+          SELECT a.w AS w_a, b.w AS w_b,
+                 CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+          FROM w a JOIN w b ON a.w < b.w
+          WHERE levenshtein(a.w, b.w) <= 2""",
+    "q338_mutual_best" -> {
+      val gtk = lastTokSoundexSql("p_name")
+      val nmk = lastTokSoundexSql("name")
+      s"""WITH gt AS (SELECT p_partkey AS gt_uid, p_name AS gt_name,
+                             $gtk AS bk FROM part),
+          nm0 AS (SELECT p_partkey AS uid,
+                         regexp_replace(p_name, '^[^ ]* ', '') AS name
+                  FROM part WHERE p_partkey < 500),
+          nm AS (SELECT uid, name, $nmk AS bk FROM nm0),
+          cand AS (SELECT uid, gt_uid,
+                          CAST(levenshtein(name, gt_name) AS BIGINT) AS d
+                   FROM nm JOIN gt USING (bk)),
+          bn AS (SELECT uid, gt_uid, d FROM (
+                   SELECT *, row_number() OVER (PARTITION BY uid
+                        ORDER BY d, gt_uid) AS rn FROM cand) WHERE rn = 1),
+          bg AS (SELECT uid, gt_uid FROM (
+                   SELECT *, row_number() OVER (PARTITION BY gt_uid
+                        ORDER BY d, uid) AS rn FROM cand) WHERE rn = 1)
+          SELECT CAST(uid AS BIGINT) AS uid,
+                 CAST(gt_uid AS BIGINT) AS gt_uid, d
+          FROM bn JOIN bg USING (uid, gt_uid)"""
+    },
     "q261_rematch_idempotent" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_names,
                 CAST(0 AS BIGINT) AS only_in_clean,

@@ -549,6 +549,69 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("phonetic block (q336): kept-key stop list joins broadcast, no " +
+      "cartesian, no window") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val plan = staticPlan(
+      graft.queries.MatchQueries.queries("q336_phonetic_block")(spark, sf))
+    assert(count(plan) { case _: BroadcastExchangeExec => } >= 1,
+      s"kept-key list must broadcast:\n$plan")
+    assert(count(plan) { case _: CartesianProductExec => } === 0)
+    assert(count(plan) { case _: WindowExec => } === 0)
+  }
+
+  test("FastSS edit join (q337): candidate generation is an equi-join on " +
+      "the variant key — no cartesian or nested-loop pair space") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = staticPlan(
+      graft.queries.MatchQueries.queries("q337_fastss_edit_join")(spark, sf))
+    assert(count(plan) { case _: CartesianProductExec => } === 0,
+      s"FastSS must never materialize the quadratic pair space:\n$plan")
+    assert(count(plan) { case _: BroadcastNestedLoopJoinExec => } === 0,
+      s"candidates must come from the variant equi-join:\n$plan")
+  }
+
+  test("mutual best (q338): two argmax aggs, zero windows (no per-key " +
+      "row_number pass), no cartesian") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val plan = staticPlan(
+      graft.queries.MatchQueries.queries("q338_mutual_best")(spark, sf))
+    assert(count(plan) { case _: WindowExec => } === 0,
+      s"argmax must be min(struct(..)) aggs, not windows:\n$plan")
+    assert(count(plan) { case _: CartesianProductExec => } === 0)
+  }
+
+  test("epoch mix (q334): map-only — zero exchanges, zero windows; the " +
+      "emitted multiset must survive any repartitioning unchanged") {
+    val plan = staticPlan(
+      graft.queries.CorpusQueries.queries("q334_epoch_mix")(spark, sf))
+    assert(count(plan) { case _: ShuffleExchangeExec => } === 0,
+      s"epoch mix must not shuffle:\n$plan")
+    assert(count(plan) { case _: WindowExec => } === 0)
+  }
+
+  test("markov transitions (q333): one user-partitioned window (never " +
+      "global), per-prev totals joined broadcast") {
+    val plan = staticPlan(
+      graft.queries.CoreQueries.queries("q333_markov_transitions")(spark, sf))
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.length === 1, s"exactly one window pass:\n$plan")
+    assert(wins.head.partitionSpec.nonEmpty,
+      s"window must partition by user_id:\n$plan")
+    assert(count(plan) { case _: BroadcastExchangeExec => } >= 1,
+      s"per-prev totals must broadcast:\n$plan")
+  }
+
+  test("cohort retention (q332): cohort sizes joined broadcast, no window " +
+      "operator anywhere") {
+    val plan = staticPlan(
+      graft.queries.CoreQueries.queries("q332_cohort_retention")(spark, sf))
+    assert(count(plan) { case _: BroadcastExchangeExec => } >= 1,
+      s"cohort sizes must broadcast:\n$plan")
+    assert(count(plan) { case _: WindowExec => } === 0)
+  }
+
   test("hill tail (q329): top-(k+1) via TakeOrderedAndProject, zero " +
       "window operators (no 1-partition global rank over the vocab)") {
     import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
