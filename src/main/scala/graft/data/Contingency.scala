@@ -186,6 +186,133 @@ object Contingency {
                   div (b + c) ELSE 0 END AS BIGINT)""").as("mcnemar_cc_ppm"))
   }
 
+  /** Bowker's test of symmetry (Bowker 1948) — McNemar generalized to
+    * k×k paired categorical labels: did a relabeling pass drift
+    * ASYMMETRICALLY (mass moving i→j without the j→i counterflow)?
+    *   χ² = Σ_{i<j} (n_ij − n_ji)² / (n_ij + n_ji)
+    * over the off-diagonal cell pairs, dof = #pairs with any discordant
+    * mass. Pairs collapse to the ≤k² cell frame in ONE hash agg; the
+    * {i,j} pairing is a key NORMALIZATION ((least, greatest) + one more
+    * k²-bounded agg), never a self-join. Each pair term is an exact
+    * cross-multiplied integer ppm quotient with a squared (positive)
+    * dividend, the statistic their exact BIGINT sum — zero doubles.
+    *
+    * @param df one row per subject: `firstCol`, `secondCol` — comparable
+    *           category labels (the before/after of the relabeling)
+    * @return one row: `n_pairs, n_discordant, dof, bowker_ppm`
+    */
+  def bowker(df: DataFrame, firstCol: String,
+             secondCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(firstCol).as("i"), col(secondCol).as("j"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val off = cells.filter(col("i") =!= col("j"))
+      .select(least(col("i"), col("j")).as("lo"),
+        greatest(col("i"), col("j")).as("hi"),
+        when(col("i") < col("j"), col("o")).otherwise(0L).as("up"),
+        when(col("i") > col("j"), col("o")).otherwise(0L).as("down"))
+      .groupBy("lo", "hi")
+      .agg(sum("up").cast("long").as("a"),
+        sum("down").cast("long").as("b"))
+      .withColumn("__term_ppm",
+        expr("""CAST(CAST(a - b AS DECIMAL(38,0)) * (a - b) * 1000000
+                div (a + b) AS BIGINT)"""))
+    val total = df.agg(count(lit(1)).cast("long").as("n_pairs"))
+    off.agg(
+      sum(col("a") + col("b")).cast("long").as("n_discordant"),
+      count(lit(1)).cast("long").as("dof"),
+      sum("__term_ppm").cast("long").as("bowker_ppm"))
+      .na.fill(0L, Seq("n_discordant", "dof", "bowker_ppm"))
+      .crossJoin(broadcast(total))
+      .select("n_pairs", "n_discordant", "dof", "bowker_ppm")
+  }
+
+  /** Cochran–Mantel–Haenszel stratified 2×2 association (Mantel &
+    * Haenszel 1959): does exposure associate with outcome AFTER
+    * controlling for a confounding stratum — the stratified sibling of
+    * [[chiSquare]] and the arbitrary-stratum generalization of
+    * [[graft.data.Survival.logRank]] (which is CMH over time strata).
+    *
+    * Per stratum k with cells a,b,c,d (a = exposed∩outcome) and
+    * n = a+b+c+d:
+    *   E_k = (a+b)(a+c)/n,   V_k = (a+b)(c+d)(a+c)(b+d) / (n²(n−1))
+    *   χ²  = (Σa − ΣE)² / ΣV
+    * and the pooled Mantel–Haenszel odds ratio Σ(a·d/n) / Σ(b·c/n).
+    *
+    * Raw rows collapse to the |strata| frame in ONE hash aggregation
+    * (map-side combine); everything after runs on that frame. The E/V/R/S
+    * increments are exact cross-multiplied integer q9 quotients (positive
+    * dividends — Spark `div` ≡ DuckDB HUGEINT `//`), their totals exact
+    * BIGINT sums, and χ²/OR exact integer ppm/q9 quotients of those —
+    * zero doubles end to end (the logRank discipline). Per-stratum bound:
+    * the V dividend needs n⁴·10⁹ < 10³⁸, i.e. n < ~10⁷ per stratum —
+    * FAILS LOUDLY past it (non-ANSI Spark would wrap the DECIMAL overflow
+    * to NULL and sum() would silently drop the stratum).
+    *
+    * @param df one row per subject: `stratumCol, exposureCol ∈ {0,1},
+    *           outcomeCol ∈ {0,1}`
+    * @return one row: `k_strata, sum_a, e_sum_q9, v_sum_q9, chi2_ppm,
+    *         r_sum_q9, s_sum_q9, or_mh_q9`
+    */
+  def cmh(df: DataFrame, stratumCol: String, exposureCol: String,
+          outcomeCol: String): DataFrame = {
+    val e = col(exposureCol) === 1
+    val y = col(outcomeCol) === 1
+    val strata = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(
+        sum(when(e && y, 1L).otherwise(0L)).cast("long").as("a"),
+        sum(when(e && !y, 1L).otherwise(0L)).cast("long").as("b"),
+        sum(when(!e && y, 1L).otherwise(0L)).cast("long").as("c"),
+        sum(when(!e && !y, 1L).otherwise(0L)).cast("long").as("d"))
+      .withColumn("n", (col("a") + col("b") + col("c") + col("d"))
+        .cast("long"))
+      .withColumn("__e_q9",
+        when(col("n") >= lit(10000000L),
+          raise_error(concat(lit("cmh: stratum size "), col("n"),
+            lit(" exceeds the exact-arithmetic bound 1e7 - " +
+              "split the stratum first"))))
+          .otherwise(
+            expr("""CAST(CAST(a + b AS DECIMAL(38,0)) * (a + c) *
+                    1000000000 div n AS BIGINT)""")))
+      .withColumn("__v_q9",
+        when(col("n") > 1,
+          expr("""CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) *
+                  (b + d) * 1000000000
+                  div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))
+                  AS BIGINT)""")).otherwise(lit(0L)))
+      .withColumn("__r_q9",
+        expr("""CAST(CAST(a AS DECIMAL(38,0)) * d * 1000000000 div n
+                AS BIGINT)"""))
+      .withColumn("__s_q9",
+        expr("""CAST(CAST(b AS DECIMAL(38,0)) * c * 1000000000 div n
+                AS BIGINT)"""))
+    strata.agg(
+      count(lit(1)).cast("long").as("k_strata"),
+      sum("a").cast("long").as("sum_a"),
+      sum("__e_q9").cast("long").as("e_sum_q9"),
+      sum("__v_q9").cast("long").as("v_sum_q9"),
+      sum("__r_q9").cast("long").as("r_sum_q9"),
+      sum("__s_q9").cast("long").as("s_sum_q9"))
+      // (Σa·10⁹ − ΣE_q9)² div (ΣV_q9·10³) in ppm — the square keeps the
+      // dividend positive; Σa < 3·10⁹ bound fails loudly (logRank recipe)
+      .withColumn("chi2_ppm",
+        when(col("sum_a") >= lit(3000000000L),
+          raise_error(concat(lit("cmh: total exposed outcomes "),
+            col("sum_a"), lit(" exceed the exact-arithmetic bound 3e9"))))
+          .when(col("v_sum_q9") > 0,
+            expr("""CAST((CAST(sum_a AS DECIMAL(38,0)) * 1000000000
+                    - e_sum_q9) *
+                    (CAST(sum_a AS DECIMAL(38,0)) * 1000000000 - e_sum_q9)
+                    div (CAST(v_sum_q9 AS DECIMAL(38,0)) * 1000)
+                    AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("or_mh_q9",
+        when(col("s_sum_q9") > 0,
+          expr("""CAST(CAST(r_sum_q9 AS DECIMAL(38,0)) * 1000000000
+                  div s_sum_q9 AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+  }
+
   /** One-way ANOVA from exact integer moments. `valueIntCol` must already be
     * an exact integer measurement (e.g. cents — the q249 sub-unit
     * discipline). One row out: `n_total, k_groups, ssb, ssw, f_ppm,

@@ -731,6 +731,45 @@ object CoreQueries {
       graft.data.Contingency.anovaOneWay(c, "c_mktsegment", "bal_cents")
     },
 
+    // COCHRAN–MANTEL–HAENSZEL STRATIFIED TEST — does user parity (the
+    // "exposure") associate with purchasing AFTER controlling for the
+    // user cohort stratum: the confounder-adjusted sibling of q306's
+    // marginal chi² and the arbitrary-stratum generalization of q312's
+    // log-rank (CMH over time strata). Subjects collapse to the |strata|
+    // frame in ONE hash agg; E/V/R/S increments and the final χ²/pooled
+    // odds ratio are exact cross-multiplied integer q9/ppm quotients —
+    // zero doubles end to end (Contingency.cmh's logRank discipline)
+    "q340_cmh_stratified" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .cast("int").as("outcome"))
+        .withColumn("exposure", (col("user_id") % 2).cast("int"))
+        .withColumn("stratum", expr("CAST((user_id div 2) % 5 AS BIGINT)"))
+      graft.data.Contingency.cmh(per, "stratum", "exposure", "outcome")
+    },
+
+    // COCHRAN'S Q TEST — did per-user purchase propensity differ across
+    // the three thirds of the month (k = 3 paired binary conditions,
+    // subjects as their own controls — the k-ary generalization of
+    // q313's McNemar): Q is RATIONAL in the counts, so the statistic is
+    // an exact integer ppm quotient with a Cauchy–Schwarz-nonnegative
+    // dividend. One per-user collapse + ONE global aggregation
+    "q343_cochran_q" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "purchase" &&
+            dayofmonth(col("ts")) <= 10, 1).otherwise(0)).as("c1"),
+          max(when(col("event_type") === "purchase" &&
+            dayofmonth(col("ts")) > 10 &&
+            dayofmonth(col("ts")) <= 20, 1).otherwise(0)).as("c2"),
+          max(when(col("event_type") === "purchase" &&
+            dayofmonth(col("ts")) > 20, 1).otherwise(0)).as("c3"))
+      graft.data.Agreement.cochranQ(per,
+        Seq(col("c1"), col("c2"), col("c3")))
+    },
+
     // SEGMENT-WISE MANN–WHITNEY U — q277's grouped layout for the OTHER
     // rank statistic: one tie-corrected U per language, cumulative pass
     // partitioned by segment (parallelism scales with segments, per-task
@@ -4231,6 +4270,85 @@ object CoreQueries {
                   CAST(greatest(abs(b - c) - 1, 0) AS HUGEINT) *
                   greatest(abs(b - c) - 1, 0) * 1000000 // (b + c)
                   ELSE 0 END AS BIGINT) AS mcnemar_cc_ppm
+         FROM agg""",
+    "q340_cmh_stratified" ->
+      """WITH per AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS y
+           FROM events GROUP BY user_id),
+         cells AS (
+           SELECT (user_id // 2) % 5 AS stratum,
+                  CAST(sum(CASE WHEN user_id % 2 = 1 AND y = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN user_id % 2 = 1 AND y = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN user_id % 2 = 0 AND y = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN user_id % 2 = 0 AND y = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM per GROUP BY 1),
+         inc AS (
+           SELECT *, a + b + c + d AS n,
+                  CAST(CAST(a + b AS HUGEINT) * (a + c) * 1000000000 // n
+                       AS BIGINT) AS e_q9,
+                  CASE WHEN n > 1 THEN
+                    CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c) *
+                         (b + d) * 1000000000
+                         // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
+                  ELSE 0 END AS v_q9,
+                  CAST(CAST(a AS HUGEINT) * d * 1000000000 // n AS BIGINT)
+                    AS r_q9,
+                  CAST(CAST(b AS HUGEINT) * c * 1000000000 // n AS BIGINT)
+                    AS s_q9
+           FROM cells),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS k_strata,
+                  CAST(sum(a) AS BIGINT) AS sum_a,
+                  CAST(sum(e_q9) AS BIGINT) AS e_sum_q9,
+                  CAST(sum(v_q9) AS BIGINT) AS v_sum_q9,
+                  CAST(sum(r_q9) AS BIGINT) AS r_sum_q9,
+                  CAST(sum(s_q9) AS BIGINT) AS s_sum_q9
+           FROM inc)
+         SELECT k_strata, sum_a, e_sum_q9, v_sum_q9, r_sum_q9, s_sum_q9,
+                CASE WHEN v_sum_q9 > 0 THEN
+                  CAST((CAST(sum_a AS HUGEINT) * 1000000000 - e_sum_q9) *
+                       (CAST(sum_a AS HUGEINT) * 1000000000 - e_sum_q9)
+                       // (CAST(v_sum_q9 AS HUGEINT) * 1000) AS BIGINT)
+                END AS chi2_ppm,
+                CASE WHEN s_sum_q9 > 0 THEN
+                  CAST(CAST(r_sum_q9 AS HUGEINT) * 1000000000 // s_sum_q9
+                       AS BIGINT)
+                END AS or_mh_q9
+         FROM agg""",
+    "q343_cochran_q" ->
+      """WITH per AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' AND day(ts) <= 10
+                       THEN 1 ELSE 0 END) AS c1,
+                  max(CASE WHEN event_type = 'purchase' AND day(ts) > 10
+                       AND day(ts) <= 20 THEN 1 ELSE 0 END) AS c2,
+                  max(CASE WHEN event_type = 'purchase' AND day(ts) > 20
+                       THEN 1 ELSE 0 END) AS c3
+           FROM events GROUP BY user_id),
+         r AS (SELECT c1 + c2 + c3 AS rr, c1, c2, c3 FROM per),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+                  CAST(sum(rr) AS BIGINT) AS t_total,
+                  CAST(sum(CAST(rr AS HUGEINT) * rr) AS BIGINT) AS sum_r2,
+                  CAST(sum(c1) AS HUGEINT) AS s1,
+                  CAST(sum(c2) AS HUGEINT) AS s2,
+                  CAST(sum(c3) AS HUGEINT) AS s3
+           FROM r)
+         SELECT n_subjects, CAST(3 AS BIGINT) AS k_conditions, t_total,
+                sum_r2,
+                CAST(s1 * s1 + s2 * s2 + s3 * s3 AS BIGINT) AS sum_c2,
+                CASE WHEN 3 * t_total - sum_r2 > 0 THEN
+                  CAST(2 * (3 * (s1 * s1 + s2 * s2 + s3 * s3) -
+                       CAST(t_total AS HUGEINT) * t_total) * 1000000
+                       // (3 * CAST(t_total AS HUGEINT) - sum_r2)
+                       AS BIGINT)
+                END AS q_ppm
          FROM agg""",
     "q305_kaplan_meier" ->
       """WITH subj AS (

@@ -34,6 +34,23 @@ object CorpusQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_$name"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SOURCE-CONCENTRATION AUDIT — the inequality report behind q199's
+    // single top-source check: discrete Gini coefficient (Lorenz order),
+    // Herfindahl–Hirschman index, and top-1 share of per-source token
+    // mass. The corpus collapses to the source domain in ONE hash agg;
+    // the Lorenz rank is a DISTRIBUTED sort + zipWithIndex over that
+    // collapsed frame (GlobalRank — no 1-partition row_number); all three
+    // measures are rational in the integer token counts and reported as
+    // exact cross-multiplied integer ppm (Concentration.giniHhi)
+    "q341_source_concentration" -> { (s, dir) =>
+      val perSource = t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("source").agg(count(lit(1)).cast("long").as("tok"))
+      graft.data.Concentration.giniHhi(perSource, "source", "tok")
+    },
+
     // Corpus PROMOTION GATE — the composite go/no-go a curation pipeline
     // runs before swapping "today's crawl" into the training mix, every
     // sub-check a machine verdict in exact integer arithmetic:
@@ -408,6 +425,37 @@ object CorpusQueries {
         + len(regexp_extract_all($c, '[0-9]{6,}')) AS INT)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q341_source_concentration" ->
+      """WITH w AS (
+           SELECT source,
+                  unnest(list_filter(regexp_split_to_array(trim(text),
+                    '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         per AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS x FROM w GROUP BY 1),
+         r AS (
+           SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM per),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                  CAST(sum(x) AS BIGINT) AS total_weight,
+                  CAST(max(x) AS BIGINT) AS mx,
+                  sum(CAST(x AS HUGEINT) * x) AS sx2,
+                  sum(CAST(i AS HUGEINT) * x) AS six
+           FROM r)
+         SELECT n_keys, total_weight,
+                CASE WHEN total_weight > 0 THEN
+                  CAST((2 * six - (CAST(n_keys AS HUGEINT) + 1) *
+                       total_weight) * 1000000
+                       // (CAST(n_keys AS HUGEINT) * total_weight)
+                       AS BIGINT) END AS gini_ppm,
+                CASE WHEN total_weight > 0 THEN
+                  CAST(sx2 * 1000000
+                       // (CAST(total_weight AS HUGEINT) * total_weight)
+                       AS BIGINT) END AS hhi_ppm,
+                CASE WHEN total_weight > 0 THEN
+                  CAST(CAST(mx AS HUGEINT) * 1000000 // total_weight
+                       AS BIGINT) END AS top1_share_ppm
+         FROM agg""",
     "q212_curriculum_pack" ->
       """WITH b AS (
            SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs

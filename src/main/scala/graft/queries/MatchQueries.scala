@@ -27,6 +27,21 @@ object MatchQueries {
   private def nmParts(s: SparkSession, dir: String): DataFrame =
     gtParts(s, dir).filter(col(Cols.Uid) < 100)
 
+  /** The q336/q338 frequent-key stop list: every phonetic key EXCEPT the
+    * `nStop` hottest under the (count desc, key) total order — the IR
+    * stopword rule, scale-invariant where an absolute block-size cap
+    * silently empties once the corpus outgrows it. `gt` must carry a `bk`
+    * key column; the result is key-domain-sized (≤ 26·7³ rows) and meant
+    * for `broadcast(...)`. The top-nStop pick is a limit over the tiny
+    * key-count frame (TakeOrdered — no global window).
+    */
+  private def phoneticKeptKeys(gt: DataFrame, nStop: Int): DataFrame = {
+    val counts = gt.groupBy("bk").agg(count(lit(1)).as("n_gt"))
+    val stop = counts.orderBy(col("n_gt").desc, col("bk")).limit(nStop)
+      .select("bk")
+    counts.join(broadcast(stop), Seq("bk"), "left_anti").select("bk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1: broadcast top-k TF-IDF cosine similarity join (word 1-gram, binary)
     "q30_cossim_word_topk" -> { (s, dir) =>
@@ -256,30 +271,30 @@ object MatchQueries {
     // sorted neighbourhood (q32): equal simplified-soundex keys of the
     // name's last token (Phonetic.soundex4; "SMITH"≡"SMYTHE" survives the
     // spelling noise that defeats prefix blocks). Scale discipline is the
-    // frequent-key STOP LIST (the blocking twin of the jaccard df cap):
-    // per-key GT counts are a key-domain-sized agg (≤ 26·7³ keys, ever),
-    // keys whose block exceeds maxBlockSize are dropped BEFORE the
-    // candidate join — the skew cap that keeps the hottest phonetic key
-    // ("J500" in a real-name corpus) from dominating a 1000-executor
-    // stage — and the kept-key list broadcasts. Candidates themselves are
-    // one shuffle equi-join on the key; nothing is ever name × name.
+    // frequent-key STOP LIST — the IR stopword rule: the nStop HOTTEST
+    // keys (count desc, key — a total order) are dropped BEFORE the
+    // candidate join, so the hottest phonetic key ("J500" in a real-name
+    // corpus) never dominates a 1000-executor stage. The rule is
+    // deliberately RELATIVE, not an absolute row cap: an absolute cap
+    // silently drops EVERY block once the corpus grows past it (observed
+    // at the 10× KTime probe in round 12 — 0 candidates), where the
+    // top-k rule degrades never. Per-key counts are a key-domain-sized
+    // agg (≤ 26·7³ keys, ever); the kept-key list broadcasts; candidates
+    // are one shuffle equi-join on the key; nothing is ever name × name.
     "q336_phonetic_block" -> { (s, dir) =>
-      import graft.functions.Phonetic
-      val maxBlockSize = 256L
-      def lastTok(c: org.apache.spark.sql.Column) =
-        element_at(split(trim(c), " "), -1)
       val gt = t(s, dir, "part").select(
           col("p_partkey").cast("long").as("gt_uid"),
-          Phonetic.soundex4(lastTok(col("p_name"))).as("bk"))
+          graft.functions.Phonetic.soundex4(
+            element_at(split(trim(col("p_name")), " "), -1)).as("bk"))
         .filter(col("bk").isNotNull)
       val nm = t(s, dir, "part").filter(col("p_partkey") < 100)
         .select(col("p_partkey").cast("long").as("uid"),
-          Phonetic.soundex4(
-            lastTok(regexp_replace(col("p_name"), "^[^ ]* ", ""))).as("bk"))
+          graft.functions.Phonetic.soundex4(element_at(split(trim(
+            regexp_replace(col("p_name"), "^[^ ]* ", "")), " "), -1))
+            .as("bk"))
         .filter(col("bk").isNotNull)
-      val kept = gt.groupBy("bk").agg(count(lit(1)).as("n_gt"))
-        .filter(col("n_gt") <= maxBlockSize).select("bk")
-      nm.join(broadcast(kept), "bk").join(gt, "bk")
+      nm.join(broadcast(phoneticKeptKeys(gt, nStop = 2)), "bk")
+        .join(gt, "bk")
         .select(col("uid"), col("gt_uid"), col("bk"))
     },
 
@@ -337,7 +352,12 @@ object MatchQueries {
         .select(col("p_partkey").cast("long").as("uid"),
           regexp_replace(col("p_name"), "^[^ ]* ", "").as("name"))
         .withColumn("bk", Phonetic.soundex4(lastTok(col("name"))))
-      val cand = nm.join(gt, "bk")
+      // q336's stop list gates the pair space here too — the hottest
+      // keys never reach the levenshtein join (without it this query's
+      // 10× KTime probe went SUPER-linear: 10.8 s → 17.2 s)
+      val kept = phoneticKeptKeys(gt.filter(col("bk").isNotNull),
+        nStop = 2)
+      val cand = nm.join(broadcast(kept), "bk").join(gt, "bk")
         .select(col("uid"), col("gt_uid"),
           levenshtein(col("name"), col("gt_name")).cast("long").as("d"))
       val bestNm = cand.groupBy("uid")
@@ -431,11 +451,13 @@ object MatchQueries {
       val gtk = lastTokSoundexSql("p_name")
       val nmk = lastTokSoundexSql("regexp_replace(p_name, '^[^ ]* ', '')")
       s"""WITH gt AS (SELECT p_partkey AS gt_uid, $gtk AS bk FROM part),
-          nm AS (SELECT p_partkey AS uid, $nmk AS bk
-                 FROM part WHERE p_partkey < 100),
           kept AS (SELECT bk FROM (
-                     SELECT bk, count(*) AS n FROM gt
-                     WHERE bk IS NOT NULL GROUP BY 1) WHERE n <= 256)
+                     SELECT bk, row_number() OVER (
+                              ORDER BY count(*) DESC, bk) AS rk
+                     FROM gt WHERE bk IS NOT NULL GROUP BY bk)
+                   WHERE rk > 2),
+          nm AS (SELECT p_partkey AS uid, $nmk AS bk
+                 FROM part WHERE p_partkey < 100)
           SELECT CAST(uid AS BIGINT) AS uid, CAST(gt_uid AS BIGINT) AS gt_uid,
                  bk
           FROM nm JOIN kept USING (bk) JOIN gt USING (bk)
@@ -457,13 +479,18 @@ object MatchQueries {
       val nmk = lastTokSoundexSql("name")
       s"""WITH gt AS (SELECT p_partkey AS gt_uid, p_name AS gt_name,
                              $gtk AS bk FROM part),
+          kept AS (SELECT bk FROM (
+                     SELECT bk, row_number() OVER (
+                              ORDER BY count(*) DESC, bk) AS rk
+                     FROM gt WHERE bk IS NOT NULL GROUP BY bk)
+                   WHERE rk > 2),
           nm0 AS (SELECT p_partkey AS uid,
                          regexp_replace(p_name, '^[^ ]* ', '') AS name
                   FROM part WHERE p_partkey < 500),
           nm AS (SELECT uid, name, $nmk AS bk FROM nm0),
           cand AS (SELECT uid, gt_uid,
                           CAST(levenshtein(name, gt_name) AS BIGINT) AS d
-                   FROM nm JOIN gt USING (bk)),
+                   FROM nm JOIN kept USING (bk) JOIN gt USING (bk)),
           bn AS (SELECT uid, gt_uid, d FROM (
                    SELECT *, row_number() OVER (PARTITION BY uid
                         ORDER BY d, gt_uid) AS rn FROM cand) WHERE rn = 1),

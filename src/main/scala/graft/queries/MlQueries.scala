@@ -834,6 +834,56 @@ object MlQueries {
               when(col("po_ppm") >= col("pe_ppm"), 1L).otherwise(-1L) *
               expr(s"""CAST((abs(CAST(po_ppm AS $d38) - pe_ppm) * 1000000)
                        div (1000000 - pe_ppm) AS BIGINT)""")))
+    },
+
+    // FLEISS' KAPPA — q179's agreement gate generalized past two raters:
+    // a THREE-rater panel (deterministic length-threshold rules with
+    // rater-specific offsets, so the oracle replays them exactly) labels
+    // every document into 4 length categories; the operator under test is
+    // Agreement.fleissKappa's all-integer P̄o/P̄e/κ arithmetic (exact
+    // cross-multiplied quotients, q179's sign-split division — rational
+    // in the counts, zero doubles). Annotations collapse to per-(doc,
+    // category) cells in one hash agg, then to the doc frame, then one row
+    "q339_fleiss_kappa" -> { (s, dir) =>
+      val ann = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(array(lit(0), lit(1), lit(2))).as("rater"))
+        .select(col("doc_id"),
+          expr("CAST(least((n_chars + 37 * rater) div 150, 3) AS BIGINT)")
+            .as("category"))
+      graft.data.Agreement.fleissKappa(ann, "doc_id", "category")
+    },
+
+    // KRIPPENDORFF'S ALPHA (nominal) — q339's panel with the realism
+    // Fleiss forbids: a RAGGED panel (each rater skips the docs where
+    // (doc_id + rater) % 4 = 0, so items carry 2 or 3 ratings). The
+    // kernel quantizes each item's disagreement quotient once (q9 floor,
+    // the logRank increment discipline), keeps D_e exact, and emits the
+    // sign-split α ×1e6 — the agreement gate that still works when
+    // annotators don't all label everything
+    "q345_krippendorff_alpha" -> { (s, dir) =>
+      val ann = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(array(lit(0), lit(1), lit(2))).as("rater"))
+        .filter((col("doc_id") + col("rater")) % 4 =!= 0)
+        .select(col("doc_id"),
+          expr("CAST(least((n_chars + 37 * rater) div 150, 3) AS BIGINT)")
+            .as("category"))
+      graft.data.Agreement.krippendorffAlpha(ann, "doc_id", "category")
+    },
+
+    // LINEARLY-WEIGHTED COHEN'S KAPPA — q179's two-rater gate for
+    // ORDINAL labels, where "off by one bucket" must cost less than "off
+    // by three": observed/expected weighted disagreement are exact
+    // integer sums over the k² cell/margin grid (w_ij = |i−j|), κ_w the
+    // sign-split exact quotient (Agreement.weightedKappa). Raters = the
+    // char-length vs token-count bucket rules
+    "q346_weighted_kappa" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(
+        expr("CAST(least(n_chars div 150, 3) AS BIGINT)").as("ra"),
+        expr("""CAST(least(size(split(trim(text), ' ')) div 25, 3)
+                AS BIGINT)""").as("rb"))
+      graft.data.Agreement.weightedKappa(d, "ra", "rb")
     })
 
   /** BENCH-path production configurations: the correctness q50/q54 entries
@@ -1442,6 +1492,113 @@ object MlQueries {
                                // (1000000 - pe_ppm) AS BIGINT)
                 END AS kappa_x1e6
          FROM p""",
+    "q339_fleiss_kappa" ->
+      """WITH ann AS (
+           SELECT doc_id,
+                  least((n_chars + 37 * r.j) // 150, 3) AS category
+           FROM documents, (SELECT unnest([0, 1, 2]) AS j) r),
+         cells AS (
+           SELECT doc_id, category, CAST(count(*) AS BIGINT) AS nic
+           FROM ann GROUP BY 1, 2),
+         per_item AS (
+           SELECT doc_id, sum(CAST(nic AS HUGEINT) * (nic - 1)) AS ai,
+                  CAST(sum(nic) AS BIGINT) AS ni
+           FROM cells GROUP BY doc_id),
+         cat AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_categories,
+                  sum(CAST(tc AS HUGEINT) * tc) AS big_c
+           FROM (SELECT category, CAST(sum(nic) AS BIGINT) AS tc
+                 FROM cells GROUP BY 1)),
+         it AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_items,
+                  CAST(max(ni) AS BIGINT) AS n_raters,
+                  sum(ai) AS big_a
+           FROM per_item),
+         j AS (
+           SELECT *,
+                  CAST(n_items AS HUGEINT) * n_raters * (n_raters - 1) AS b,
+                  CAST(n_items AS HUGEINT) * n_raters * n_items * n_raters
+                    AS d
+           FROM it, cat)
+         SELECT n_items, n_raters, n_categories,
+                CAST(big_a * 1000000 // b AS BIGINT) AS po_ppm,
+                CAST(big_c * 1000000 // d AS BIGINT) AS pe_ppm,
+                CASE WHEN d = big_c THEN NULL ELSE
+                  (CASE WHEN big_a * d >= big_c * b THEN 1 ELSE -1 END) *
+                  CAST(abs(big_a * d - big_c * b) * 1000000
+                       // (b * (d - big_c)) AS BIGINT)
+                END AS kappa_x1e6
+         FROM j""",
+    "q345_krippendorff_alpha" ->
+      """WITH ann AS (
+           SELECT doc_id,
+                  least((n_chars + 37 * r.j) // 150, 3) AS cat
+           FROM documents, (SELECT unnest([0, 1, 2]) AS j) r
+           WHERE (doc_id + r.j) % 4 <> 0),
+         cells AS (
+           SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS nic
+           FROM ann GROUP BY 1, 2),
+         item AS (
+           SELECT doc_id, CAST(sum(nic) AS BIGINT) AS ni,
+                  sum(CAST(nic AS HUGEINT) * nic) AS s2
+           FROM cells GROUP BY 1),
+         keep AS (SELECT * FROM item WHERE ni >= 2),
+         pi AS (
+           SELECT doc_id, ni,
+                  CAST((CAST(ni AS HUGEINT) * ni - s2) * 1000000000
+                       // (ni - 1) AS BIGINT) AS do_q9
+           FROM keep),
+         it AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_items_kept,
+                  CAST(sum(ni) AS BIGINT) AS n_ratings,
+                  CAST(sum(do_q9) AS BIGINT) AS do_sum_q9
+           FROM pi),
+         ct AS (
+           SELECT cat, CAST(sum(nic) AS BIGINT) AS tc
+           FROM cells JOIN keep USING (doc_id) GROUP BY 1),
+         cc AS (SELECT CAST(count(*) AS BIGINT) AS n_categories FROM ct),
+         de AS (SELECT CAST(sum(CAST(tc AS HUGEINT) * (n_ratings - tc))
+                       AS BIGINT) AS de_pairs
+                FROM ct, it)
+         SELECT n_items_kept, n_ratings, n_categories, do_sum_q9, de_pairs,
+                CASE WHEN de_pairs <= 0 THEN NULL ELSE
+                  (CASE WHEN CAST(de_pairs AS HUGEINT) * 1000000000 >=
+                        CAST(n_ratings - 1 AS HUGEINT) * do_sum_q9
+                   THEN 1 ELSE -1 END) *
+                  CAST(abs(CAST(de_pairs AS HUGEINT) * 1000000000 -
+                       CAST(n_ratings - 1 AS HUGEINT) * do_sum_q9) * 1000000
+                       // (CAST(de_pairs AS HUGEINT) * 1000000000)
+                       AS BIGINT)
+                END AS alpha_x1e6
+         FROM it, cc, de""",
+    "q346_weighted_kappa" ->
+      """WITH d AS (
+           SELECT least(n_chars // 150, 3) AS i,
+                  least(len(string_split(trim(text), ' ')) // 25, 3) AS j
+           FROM documents),
+         cells AS (
+           SELECT i, j, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY 1, 2),
+         obs AS (
+           SELECT CAST(sum(o) AS BIGINT) AS n_pairs,
+                  CAST(count(DISTINCT i) AS BIGINT) AS k_a,
+                  CAST(count(DISTINCT j) AS BIGINT) AS k_b,
+                  CAST(sum(abs(i - j) * CAST(o AS HUGEINT)) AS BIGINT)
+                    AS w_obs
+           FROM cells),
+         ri AS (SELECT i, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+         cj AS (SELECT j, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+         ex AS (SELECT CAST(sum(abs(i - j) * CAST(r AS HUGEINT) * c)
+                       AS BIGINT) AS w_exp
+                FROM ri, cj)
+         SELECT n_pairs, k_a, k_b, w_obs, w_exp,
+                CASE WHEN w_exp <= 0 THEN NULL ELSE
+                  (CASE WHEN CAST(w_exp AS HUGEINT) >=
+                        CAST(n_pairs AS HUGEINT) * w_obs THEN 1 ELSE -1 END)
+                  * CAST(abs(CAST(w_exp AS HUGEINT) -
+                         CAST(n_pairs AS HUGEINT) * w_obs) * 1000000
+                         // w_exp AS BIGINT)
+                END AS kappa_w_x1e6
+         FROM obs, ex""",
     "q47_threshold_curves" ->
       """WITH grid AS (SELECT i / 20.0 AS threshold FROM generate_series(0, 20) t(i)),
          pts AS (SELECT (1.0 - l_discount) AS s, (l_returnflag = 'R') AS y FROM lineitem),

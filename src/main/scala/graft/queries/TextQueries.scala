@@ -37,6 +37,61 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CHAO1 + GOOD–TURING VOCABULARY COVERAGE — how much vocabulary has
+    // the crawl NOT seen yet (the species-richness question a curation
+    // pipeline asks before declaring a corpus "done"): Chao1's richness
+    // estimate D + f1²/(2f2) (bias-corrected D + f1(f1−1)/(2(f2+1)) when
+    // no doubletons) and the Good–Turing unseen-mass estimate f1/N, both
+    // RATIONAL in the frequency-spectrum counts, so every reported value
+    // is an exact integer ×10⁶ quotient. Two chained hash aggs (corpus →
+    // vocab → count-of-counts, q99's shrinking-shuffle shape) then one
+    // scalar row — no windows, no collect, any corpus size
+    "q342_chao1_coverage" -> { (s, dir) =>
+      val freqs = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).cast("long").as("f"))
+      freqs.agg(
+        count(lit(1)).cast("long").as("d_distinct"),
+        sum("f").cast("long").as("n_tokens"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).cast("long").as("f1"),
+        sum(when(col("f") === 2, 1L).otherwise(0L)).cast("long").as("f2"))
+        .select(col("n_tokens"), col("d_distinct"), col("f1"), col("f2"),
+          // Chao1 ×1e6: the classic form when f2 > 0, else Chao's
+          // bias-corrected form — exact integer quotients either way
+          (col("d_distinct") * lit(1000000L) +
+            when(col("f2") > 0,
+              expr("""CAST(CAST(f1 AS DECIMAL(38,0)) * f1 * 1000000
+                      div (2 * f2) AS BIGINT)"""))
+              .otherwise(
+                expr("""CAST(CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) * 1000000
+                        div (2 * (f2 + 1)) AS BIGINT)"""))).as("chao1_x1e6"),
+          when(col("n_tokens") > 0,
+            expr("""CAST(CAST(f1 AS DECIMAL(38,0)) * 1000000 div n_tokens
+                    AS BIGINT)""")).otherwise(lit(null).cast("long"))
+            .as("unseen_mass_ppm"))
+        .withColumn("coverage_ppm",
+          when(col("unseen_mass_ppm").isNotNull,
+            lit(1000000L) - col("unseen_mass_ppm")))
+    },
+
+    // BOWKER SYMMETRY TEST — did a relabeling pass drift DIRECTIONALLY
+    // (mass moving bucket i→j without the j→i counterflow — the question
+    // q320's confusion matrix counts but never tests): McNemar
+    // generalized to the k×k label grid, per-{i,j} terms as exact integer
+    // ppm quotients with squared dividends (Contingency.bowker). The
+    // before/after labels are two deterministic length rules with a
+    // parity-dependent offset so drift flows BOTH ways; one hash agg to
+    // ≤k² cells, key-normalized pairing, zero doubles
+    "q344_bowker_drift" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(
+        expr("CAST(least(n_chars div 150, 3) AS BIGINT)").as("rule_a"),
+        expr("""CAST(least((n_chars + CASE WHEN doc_id % 2 = 0
+                THEN 25 ELSE -25 END) div 150, 3) AS BIGINT)""")
+          .as("rule_b"))
+      graft.data.Contingency.bowker(d, "rule_a", "rule_b")
+    },
+
     // CONFUSION MATRIX + PRECISION/RECALL/F1 — the classifier-eval report
     // over the q26 language-id heuristic vs the documents table's true
     // lang label: per-class exact cross-multiplied ppm rates (F1 via the
@@ -650,6 +705,62 @@ object TextQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q344_bowker_drift" ->
+      """WITH d AS (
+           SELECT least(n_chars // 150, 3) AS i,
+                  least((n_chars + CASE WHEN doc_id % 2 = 0
+                         THEN 25 ELSE -25 END) // 150, 3) AS j
+           FROM documents),
+         cells AS (
+           SELECT i, j, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY 1, 2),
+         off AS (
+           SELECT least(i, j) AS lo, greatest(i, j) AS hi,
+                  CAST(sum(CASE WHEN i < j THEN o ELSE 0 END) AS BIGINT)
+                    AS a,
+                  CAST(sum(CASE WHEN i > j THEN o ELSE 0 END) AS BIGINT)
+                    AS b
+           FROM cells WHERE i <> j GROUP BY 1, 2),
+         agg AS (
+           SELECT CAST(coalesce(sum(a + b), 0) AS BIGINT) AS n_discordant,
+                  CAST(count(*) AS BIGINT) AS dof,
+                  CAST(coalesce(sum(CAST(a - b AS HUGEINT) * (a - b) *
+                       1000000 // (a + b)), 0) AS BIGINT) AS bowker_ppm
+           FROM off),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs
+                 FROM documents)
+         SELECT n_pairs, n_discordant, dof, bowker_ppm FROM agg, tot""",
+    "q342_chao1_coverage" ->
+      """WITH w AS (
+           SELECT unnest(list_filter(regexp_split_to_array(trim(text),
+             '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         f AS (SELECT term, CAST(count(*) AS BIGINT) AS f
+               FROM w GROUP BY 1),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS d_distinct,
+                  CAST(sum(f) AS BIGINT) AS n_tokens,
+                  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS f1,
+                  CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS f2
+           FROM f)
+         SELECT n_tokens, d_distinct, f1, f2,
+                d_distinct * 1000000 +
+                CASE WHEN f2 > 0 THEN
+                  CAST(CAST(f1 AS HUGEINT) * f1 * 1000000 // (2 * f2)
+                       AS BIGINT)
+                ELSE
+                  CAST(CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000
+                       // (2 * (f2 + 1)) AS BIGINT)
+                END AS chao1_x1e6,
+                CASE WHEN n_tokens > 0 THEN
+                  CAST(CAST(f1 AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+                END AS unseen_mass_ppm,
+                CASE WHEN n_tokens > 0 THEN
+                  1000000 - CAST(CAST(f1 AS HUGEINT) * 1000000 // n_tokens
+                       AS BIGINT)
+                END AS coverage_ppm
+         FROM agg""",
     "q320_confusion_f1" ->
       """WITH h AS (
            SELECT lang,

@@ -622,4 +622,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan) { case _: WindowExec => } === 0,
       s"no window operator anywhere in the hill-tail plan:\n$plan")
   }
+
+  test("fleiss kappa (q339): pure agg cascade — zero window operators") {
+    val plan = staticPlan(
+      graft.queries.MlQueries.queries("q339_fleiss_kappa")(spark, sf))
+    assert(count(plan) { case _: WindowExec => } === 0,
+      s"fleiss kappa must be aggs only, never a window:\n$plan")
+  }
+
+  test("CMH (q340): strata collapse then scalar agg — zero windows, no " +
+      "cartesian") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val plan = staticPlan(
+      graft.queries.CoreQueries.queries("q340_cmh_stratified")(spark, sf))
+    assert(count(plan) { case _: WindowExec => } === 0,
+      s"CMH margins come from the stratum agg, never a window:\n$plan")
+    assert(count(plan) { case _: CartesianProductExec => } === 0)
+  }
+
+  test("cochran q (q343): per-subject collapse + ONE global agg — zero " +
+      "windows") {
+    val plan = staticPlan(
+      graft.queries.CoreQueries.queries("q343_cochran_q")(spark, sf))
+    assert(count(plan) { case _: WindowExec => } === 0,
+      s"cochran Q is a single-agg statistic:\n$plan")
+  }
+
+  test("chao1 coverage (q342): two shrinking hash aggs, zero windows") {
+    val plan = staticPlan(
+      graft.queries.TextQueries.queries("q342_chao1_coverage")(spark, sf))
+    assert(count(plan) { case _: WindowExec => } === 0,
+      s"chao1 rides q99's agg-cascade shape, never a window:\n$plan")
+  }
+
+  test("source concentration (q341): the Lorenz rank is GlobalRank " +
+      "(distributed zipWithIndex) — zero window operators in the plan") {
+    val plan = staticPlan(
+      graft.queries.CorpusQueries
+        .queries("q341_source_concentration")(spark, sf))
+    assert(count(plan) { case _: WindowExec => } === 0,
+      s"no 1-partition row_number in the concentration plan:\n$plan")
+  }
 }

@@ -241,30 +241,31 @@ class Round12Spec extends SparkSpec {
       "spec drift from the documented simplified-soundex examples")
   }
 
-  test("q336 phonetic block: every emitted key's GT block is within the " +
-      "stop-list cap, and at least one over-cap key was dropped") {
+  test("q336 phonetic block: the stop list drops EXACTLY the 2 hottest GT " +
+      "keys (count desc, key order), every kept key joins its full block") {
     val out = graft.queries.MatchQueries
       .queries("q336_phonetic_block")(spark, sf).collect()
     assert(out.nonEmpty)
-    // recompute the GT blocks independently: emitted keys must be EXACTLY
-    // the under-cap keys, and within one key every nm row pairs with the
-    // full gt block (pairs/key = uids/key × block size)
+    // recompute the GT blocks independently: the stop set is the top-2
+    // under (count desc, bk) — a total order — and emitted keys must be
+    // disjoint from it; within one key every nm row pairs with the full
+    // gt block (pairs/key = uids/key × block size)
     val gtBlocks = graft.sources.Tables(spark, sf, "part")
       .select(graft.functions.Phonetic.soundex4(
         element_at(split(trim(col("p_name")), " "), -1)).as("bk"))
       .filter(col("bk").isNotNull)
       .groupBy("bk").count().collect()
       .map(r => r.getAs[String]("bk") -> r.getAs[Long]("count")).toMap
+    val stopped = gtBlocks.toSeq.sortBy { case (bk, n) => (-n, bk) }
+      .take(2).map(_._1).toSet
+    assert(stopped.size === 2)
     out.groupBy(_.getAs[String]("bk")).foreach { case (bk, rs) =>
       val nUids = rs.map(_.getAs[Long]("uid")).distinct.length
-      assert(gtBlocks(bk) <= 256, s"key $bk is over the cap yet emitted")
+      assert(!stopped.contains(bk),
+        s"stop-listed key $bk reached the candidate join")
       assert(rs.length === nUids * gtBlocks(bk),
         s"key $bk pairs are not the full nm × block product")
     }
-    val overCap = gtBlocks.filter(_._2 > 256).keySet
-    assert(out.map(_.getAs[String]("bk")).toSet
-        .intersect(overCap).isEmpty,
-      "stop-listed keys must never reach the candidate join")
   }
 
   test("q337 FastSS: the deletion-neighbourhood join finds EXACTLY the " +
