@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.DataQueries.queries ++
     graft.queries.MlQueries.queries ++
     graft.queries.SourceStreamQueries.queries ++
-    graft.queries.CorpusQueries.queries
+    graft.queries.CorpusQueries.queries ++
+    graft.queries.RankQueries.queries
 
   /** What [[Bench]] measures: the correctness queries, with the entries whose
     * correctness form embeds in-query oracle verification replaced by their
@@ -42,5 +43,6 @@ object SparkEntry {
     graft.queries.DataQueries.oracleSql ++
     graft.queries.MlQueries.oracleSql ++
     graft.queries.SourceStreamQueries.oracleSql ++
-    graft.queries.CorpusQueries.oracleSql
+    graft.queries.CorpusQueries.oracleSql ++
+    graft.queries.RankQueries.oracleSql
 }

@@ -1,0 +1,347 @@
+package graft.data
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** k-sample and paired rank tests over COLLAPSED domains — the
+  * nonparametric siblings of q307's ANOVA (Kruskal–Wallis), q313's paired
+  * McNemar (Friedman), and q246's Mann–Whitney (Cliff's delta effect
+  * size), reference-free quality gates a data pipeline runs when value
+  * distributions are skewed enough that moment tests mislead.
+  *
+  * Scale shape (the RankStats layout): raw rows collapse to per-(group,
+  * value) or per-(block, treatment) cells in ONE hash aggregation with
+  * map-side combine; ranks come from ordered passes over that collapsed
+  * frame — the VALUE DOMAIN for Kruskal–Wallis/Cliff (bounded for
+  * discrete measurements), the per-block k-row partitions for Friedman —
+  * never a corpus-sized sort.
+  *
+  * Oracle determinism (the round-11/12 discipline): doubled tie-averaged
+  * midranks (2·avg_rank = 2·cum_before + tie_count + 1) keep every rank
+  * integral with full tie correction; each statistic is rational in those
+  * integers and emitted as an exact cross-multiplied integer quotient —
+  * (dividend · 10^k) div divisor in DECIMAL(38,0), positive dividends via
+  * squares, sign-split abs-division where the value can be negative
+  * (Cliff's delta) — so Spark's `div` and DuckDB's HUGEINT `//` agree
+  * bit-for-bit. The only per-term quantization is Kruskal–Wallis'
+  * between-group sum (varying n_g denominators → one q9 floor per group,
+  * the logRank increment discipline). No doubles anywhere.
+  */
+object RankTests {
+
+  private val D38 = "decimal(38,0)"
+
+  /** Kruskal–Wallis H (rank one-way ANOVA, tie-corrected) from per-(group,
+    * value) counts `(g, v, c)`.
+    *
+    * With doubled midranks r2 (mean doubled rank = N+1 exactly):
+    *   B = Σ_g (R2_g − n_g(N+1))² / n_g   (between-group, doubled units)
+    *   W = Σ_v t_v (r2_v − (N+1))²        (total, doubled units — integer)
+    *   H = (N−1)·B/W
+    * The per-group quotients have varying denominators, so each is
+    * quantized ONCE as an exact q9 floor (positive dividend — a square),
+    * summed as BIGINT `b2_q9`, and H ×10⁶ = (N−1)·b2_q9 div (W·1000).
+    * NULL when W = 0 (every observation one value). The N ≥ 10⁷ bound
+    * fails loudly: the squared dividend needs (2·n_g·N)²·10⁹ < 10³⁸, and
+    * non-ANSI Spark would wrap the DECIMAL overflow to NULL and sum()
+    * would silently drop the group.
+    *
+    * @param cells one row per (group, value): `g, v, c` with `v` orderable
+    *              and `c` a positive count
+    * @return one row: `n_total, k_groups, w2_den, b2_q9, h_ppm`
+    */
+  def kruskalWallisFromCounts(cells: DataFrame): DataFrame = {
+    val before = Window.orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val ties = Window.orderBy(col("v")).rangeBetween(0, 0)
+    val all = Window.partitionBy()
+    val ranked = cells
+      .withColumn("__cum_before",
+        coalesce(sum("c").over(before), lit(0L)))
+      .withColumn("__tv", sum("c").over(ties).cast("long"))
+      .withColumn("__r2",
+        lit(2L) * col("__cum_before") + col("__tv") + lit(1L))
+      .withColumn("__n", sum("c").over(all).cast("long"))
+    val perG = ranked.groupBy("g")
+      .agg(sum("c").cast("long").as("ng"),
+        sum(col("c").cast(D38) * col("__r2")).cast(D38).as("r2g"),
+        // W contribution: Σ c·(r2 − (N+1))² — exact integer, no division
+        sum(col("c").cast(D38) *
+          (col("__r2").cast(D38) - (col("__n") + 1)) *
+          (col("__r2").cast(D38) - (col("__n") + 1))).cast(D38).as("w2g"),
+        max("__n").cast("long").as("n"))
+    perG
+      // between-group term (R2_g − n_g(N+1))²·10⁹ div n_g: the one
+      // varying-denominator quotient — quantized once per group (q9
+      // floor, positive dividend), then summed exactly
+      .withColumn("__b2_q9",
+        when(col("n") >= lit(10000000L),
+          raise_error(concat(lit("kruskalWallis: N = "), col("n"),
+            lit(" exceeds the exact-arithmetic bound 1e7 - " +
+              "bucket values / sample first"))))
+          .otherwise(expr(s"""CAST(
+              (CAST(r2g AS $D38) - CAST(ng AS $D38) * (n + 1)) *
+              (CAST(r2g AS $D38) - CAST(ng AS $D38) * (n + 1)) *
+              1000000000 div ng AS BIGINT)""")))
+      .agg(
+        max("n").cast("long").as("n_total"),
+        count(lit(1)).cast("long").as("k_groups"),
+        sum("w2g").cast("long").as("w2_den"),
+        sum("__b2_q9").cast("long").as("b2_q9"))
+      // H ×10⁶ = (N−1)·B_q9·10⁶ div (W·10⁹) = (N−1)·B_q9 div (W·1000)
+      .withColumn("h_ppm",
+        when(col("w2_den") > 0,
+          expr(s"""CAST(CAST(n_total - 1 AS $D38) * b2_q9
+                   div (CAST(w2_den AS $D38) * 1000) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+  }
+
+  /** Friedman test (+ Kendall's W concordance) from a COMPLETE-BLOCK
+    * relation: one row per (block, treatment) with an orderable value.
+    * Within-block doubled midranks keep everything integral:
+    *   B2 = Σ_j (R2_j − b(k+1))²            (between-treatment — integer)
+    *   W2 = Σ_{blocks, i} (r2_i − (k+1))²   (total — integer)
+    *   χ²_F = (k−1)·B2/W2,   Kendall's W = B2/(b·W2)
+    * both exact cross-multiplied integer ppm quotients with positive
+    * dividends — zero doubles, no per-term quantization at all (blocks
+    * share the constant k). NULL when W2 = 0 (all values tied within
+    * every block). A RAGGED panel — any block missing a treatment,
+    * duplicating one, or carrying extras — fails loudly (the Fleiss
+    * discipline: silent mis-weighting is worse than an error).
+    *
+    * @param obs one row per (block, treatment): `blockCol, treatCol,
+    *            valueCol` (orderable; ties get midranks)
+    * @return one row: `b_blocks, k_treatments, w2_den, chi2_ppm, w_ppm`
+    */
+  def friedman(obs: DataFrame, blockCol: String, treatCol: String,
+               valueCol: String): DataFrame = {
+    val wB = Window.partitionBy(col(blockCol))
+    val wBV = Window.partitionBy(col(blockCol), col(valueCol))
+    val ranked = obs
+      .withColumn("__rank", rank().over(wB.orderBy(col(valueCol))))
+      .withColumn("__teq", count(lit(1)).over(wBV).cast("long"))
+      .withColumn("__r2",
+        lit(2L) * col("__rank") + col("__teq") - lit(1L))
+      .withColumn("__kb", count(lit(1)).over(wB).cast("long"))
+      .withColumn("__kdist",
+        size(collect_set(col(treatCol)).over(wB)).cast("long"))
+    val perT = ranked.groupBy(col(treatCol).as("treat"))
+      .agg(count(lit(1)).cast("long").as("b"),
+        sum("__r2").cast("long").as("r2j"),
+        min("__kb").cast("long").as("__kb_min"),
+        max("__kb").cast("long").as("__kb_max"),
+        min("__kdist").cast("long").as("__kd_min"),
+        // W contribution with k constant per block: Σ (r2 − (k+1))²
+        sum((col("__r2").cast(D38) - (col("__kb") + 1)) *
+          (col("__r2").cast(D38) - (col("__kb") + 1))).cast(D38).as("w2t"))
+    val all = Window.partitionBy()
+    perT
+      .withColumn("__k", count(lit(1)).over(all).cast("long"))
+      .withColumn("__b2t",
+        (col("r2j").cast(D38) - col("b").cast(D38) * (col("__k") + 1)) *
+          (col("r2j").cast(D38) - col("b").cast(D38) * (col("__k") + 1)))
+      .agg(
+        max("b").cast("long").as("b_blocks"),
+        max("__k").cast("long").as("k_treatments"),
+        min("b").cast("long").as("__b_min"),
+        min("__kb_min").cast("long").as("__kb_min"),
+        max("__kb_max").cast("long").as("__kb_max"),
+        min("__kd_min").cast("long").as("__kd_min"),
+        sum("w2t").cast("long").as("w2_den"),
+        sum("__b2t").cast(D38).as("__b2"))
+      // the completeness check rides the chi2 branch chain so the
+      // optimizer can never prune an unused guard column
+      .withColumn("chi2_ppm",
+        when(col("__b_min") =!= col("b_blocks") ||
+          col("__kb_min") =!= col("k_treatments") ||
+          col("__kb_max") =!= col("k_treatments") ||
+          col("__kd_min") =!= col("k_treatments"),
+          raise_error(concat(
+            lit("friedman: ragged panel - every block must have exactly "),
+            col("k_treatments"),
+            lit(" distinct treatments and every treatment all blocks"))))
+          .when(col("w2_den") > 0,
+            expr(s"""CAST(CAST(k_treatments - 1 AS $D38) * __b2 * 1000000
+                     div w2_den AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("w_ppm",
+        when(col("w2_den") > 0,
+          expr(s"""CAST(__b2 * 1000000
+                   div (CAST(b_blocks AS $D38) * w2_den) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .select("b_blocks", "k_treatments", "w2_den",
+        "chi2_ppm", "w_ppm")
+  }
+
+  /** [[kruskalWallisFromCounts]] per segment — one H statistic PER GROUP
+    * KEY from cells `(segCols…, g, v, c)`: the segment-drift report form
+    * (grouped-KS layout). Every window is PARTITIONED by segment, so a
+    * thousand-segment report parallelizes across segments and no task
+    * serializes more than one segment's value domain.
+    *
+    * @return one row per segment: `segCols…, n_total, k_groups, w2_den,
+    *         b2_q9, h_ppm`
+    */
+  def kruskalWallisFromCountsGrouped(cells: DataFrame,
+                                     segCols: Seq[String]): DataFrame = {
+    require(segCols.nonEmpty,
+      "use kruskalWallisFromCounts for the ungrouped form")
+    val seg = segCols.map(col)
+    val before = Window.partitionBy(seg: _*).orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val ties = Window.partitionBy(seg: _*).orderBy(col("v"))
+      .rangeBetween(0, 0)
+    val all = Window.partitionBy(seg: _*)
+    val ranked = cells
+      .withColumn("__cum_before",
+        coalesce(sum("c").over(before), lit(0L)))
+      .withColumn("__tv", sum("c").over(ties).cast("long"))
+      .withColumn("__r2",
+        lit(2L) * col("__cum_before") + col("__tv") + lit(1L))
+      .withColumn("__n", sum("c").over(all).cast("long"))
+    val perG = ranked.groupBy((seg :+ col("g")): _*)
+      .agg(sum("c").cast("long").as("ng"),
+        sum(col("c").cast(D38) * col("__r2")).cast(D38).as("r2g"),
+        sum(col("c").cast(D38) *
+          (col("__r2").cast(D38) - (col("__n") + 1)) *
+          (col("__r2").cast(D38) - (col("__n") + 1))).cast(D38).as("w2g"),
+        max("__n").cast("long").as("n"))
+    perG
+      .withColumn("__b2_q9",
+        when(col("n") >= lit(10000000L),
+          raise_error(concat(lit("kruskalWallis: N = "), col("n"),
+            lit(" exceeds the exact-arithmetic bound 1e7 - " +
+              "bucket values / sample first"))))
+          .otherwise(expr(s"""CAST(
+              (CAST(r2g AS $D38) - CAST(ng AS $D38) * (n + 1)) *
+              (CAST(r2g AS $D38) - CAST(ng AS $D38) * (n + 1)) *
+              1000000000 div ng AS BIGINT)""")))
+      .groupBy(seg: _*)
+      .agg(
+        max("n").cast("long").as("n_total"),
+        count(lit(1)).cast("long").as("k_groups"),
+        sum("w2g").cast("long").as("w2_den"),
+        sum("__b2_q9").cast("long").as("b2_q9"))
+      .withColumn("h_ppm",
+        when(col("w2_den") > 0,
+          expr(s"""CAST(CAST(n_total - 1 AS $D38) * b2_q9
+                   div (CAST(w2_den AS $D38) * 1000) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+  }
+
+  /** Jonckheere–Terpstra ordered-alternative test — "does the value TREND
+    * with the ordered group" (dose-response: does quantity rise with
+    * priority), strictly more powerful than [[kruskalWallisFromCounts]]
+    * when the alternative is monotone. J = Σ_{g<h} U_gh over ordered
+    * group pairs, kept integral as 2J = Σ 2·#[x_g < x_h] + #[x_g = x_h].
+    *
+    * Never the quadratic pair set OR the k² group-pair sweep: the cells
+    * densify to the |domain|·k grid (both dims bounded — the value domain
+    * collapsed, k the group count), one cumulative pass per dimension
+    * (C_g(<v) partitioned by group, then its prefix over the GROUP order
+    * partitioned by value), and 2J is one weighted sum over the grid.
+    *
+    * The hashed surface is all-integer: `j2` = 2J, its null mean `e_j2` =
+    * 2E[J] = Σ_{g<h} 2n_g n_h (exact), `v72` = 72·V[J] under the NO-TIES
+    * null = n²(2n+3) − Σ n_g²(2n_g+3) (declared semantics — the
+    * tie-corrected variance is deliberately omitted; with heavy ties z²
+    * is conservative), and z² = (J−E)²/V = (j2−e_j2)²·18 div v72 as exact
+    * integer ppm (squared dividend). NULL z² when v72 ≤ 0; N ≥ 10⁷ fails
+    * loudly. `trend_up` = (j2 > e_j2) gives the direction.
+    *
+    * @param cells one row per (group, value): `g` (NUMERIC — the group
+    *              ORDER is the alternative), `v` orderable, `c` count
+    * @return one row: `n_total, k_groups, j2, e_j2, v72, z2_ppm,
+    *         trend_up`
+    */
+  def jonckheereFromCounts(cells: DataFrame): DataFrame = {
+    val grid = cells.select("v").distinct()
+      .crossJoin(cells.select("g").distinct())
+      .join(cells, Seq("g", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val wg = Window.partitionBy("g").orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wv = Window.partitionBy("v").orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = grid
+      .withColumn("__cum_lt", coalesce(sum("c").over(wg), lit(0L)))
+      .withColumn("__t_lt", coalesce(sum("__cum_lt").over(wv), lit(0L)))
+      .withColumn("__t_eq", coalesce(sum("c").over(wv), lit(0L)))
+    terms.groupBy("g")
+      .agg(sum("c").cast("long").as("ng"),
+        sum(col("c").cast(D38) *
+          (lit(2) * col("__t_lt") + col("__t_eq"))).cast(D38).as("j2g"))
+      .agg(
+        sum("ng").cast("long").as("n_total"),
+        count(lit(1)).cast("long").as("k_groups"),
+        sum("j2g").cast("long").as("j2"),
+        sum(col("ng").cast(D38) * col("ng")).cast(D38).as("__sq"),
+        sum(col("ng").cast(D38) * col("ng") *
+          (lit(2) * col("ng") + 3)).cast(D38).as("__sq3"))
+      // n² − Σn_g² = 2·Σ_{g<h} n_g·n_h is even, so div 2 is exact
+      .withColumn("e_j2",
+        expr(s"""CAST((CAST(n_total AS $D38) * n_total - __sq) div 2
+                 AS BIGINT)"""))
+      .withColumn("v72",
+        expr(s"""CAST(CAST(n_total AS $D38) * n_total *
+                 (CAST(2 AS $D38) * n_total + 3) - __sq3 AS BIGINT)"""))
+      .withColumn("z2_ppm",
+        when(col("n_total") >= lit(10000000L),
+          raise_error(concat(lit("jonckheere: N = "), col("n_total"),
+            lit(" exceeds the exact-arithmetic bound 1e7 - " +
+              "bucket values / sample first"))))
+          .when(col("v72") > 0,
+            expr(s"""CAST((CAST(j2 AS $D38) - e_j2) *
+                     (CAST(j2 AS $D38) - e_j2) * 18 * 1000000
+                     div v72 AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("trend_up", col("j2") > col("e_j2"))
+      .select("n_total", "k_groups", "j2", "e_j2", "v72", "z2_ppm",
+        "trend_up")
+  }
+
+  /** Cliff's delta — the ordinal effect size behind q246's U ("HOW
+    * shifted", where U answers "is it shifted"): δ = (#[a>b] − #[a<b]) /
+    * (n_a·n_b) over all cross pairs, computed from per-domain-value counts
+    * `(v, ca, cb)` with cumulative sums — never the quadratic pair set.
+    * The pair counts are exact integers (one ordered pass over the
+    * collapsed domain); δ ×10⁶ comes out via sign-split abs-division.
+    * Emits the partition identity n_gt + n_lt + n_tie = n_a·n_b as a
+    * verdict both engines replay. NULL δ when either sample is empty.
+    *
+    * @return one row: `n_a, n_b, n_gt, n_lt, n_tie, identity_ok,
+    *         delta_x1e6`
+    */
+  def cliffsDeltaFromCounts(counts: DataFrame): DataFrame = {
+    val before = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    counts
+      .withColumn("__cb_before", coalesce(sum("cb").over(before), lit(0L)))
+      .withColumn("__cb_upto", sum("cb").over(upTo).cast("long"))
+      .withColumn("__nb", sum("cb").over(all).cast("long"))
+      .agg(
+        sum("ca").cast("long").as("n_a"),
+        sum("cb").cast("long").as("n_b"),
+        sum(col("ca").cast(D38) * col("__cb_before")).cast(D38).as("__gt"),
+        sum(col("ca").cast(D38) * (col("__nb") - col("__cb_upto")))
+          .cast(D38).as("__lt"),
+        sum(col("ca").cast(D38) * col("cb")).cast(D38).as("__tie"))
+      .select(col("n_a"), col("n_b"),
+        col("__gt").cast("long").as("n_gt"),
+        col("__lt").cast("long").as("n_lt"),
+        col("__tie").cast("long").as("n_tie"))
+      .withColumn("identity_ok",
+        col("n_gt").cast(D38) + col("n_lt") + col("n_tie") ===
+          col("n_a").cast(D38) * col("n_b"))
+      .withColumn("delta_x1e6",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          (when(col("n_gt") >= col("n_lt"), lit(1L)).otherwise(lit(-1L))) *
+            expr(s"""CAST(abs(CAST(n_gt AS $D38) - n_lt) * 1000000
+                     div (CAST(n_a AS $D38) * n_b) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+  }
+}

@@ -1,0 +1,242 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-sequence randomness and serial-dependence checks over keyed event
+  * series — the temporal QA gates a pipeline runs before trusting ordered
+  * data: Wald–Wolfowitz runs test (is a binary sequence random or does it
+  * streak), lag-k autocorrelation (does today predict next week), and the
+  * index of dispersion (is a count Poisson-like or bursty).
+  *
+  * Scale shape: every ordered pass is PARTITIONED by the series key — a
+  * per-user or per-segment window, parallelism scales with key count and
+  * no task ever holds more than one series. Aggregations are single hash
+  * aggs with map-side combine. No global windows, no driver collect.
+  *
+  * Oracle determinism: all three statistics are RATIONAL in exact integer
+  * sums (run counts, Σx, Σx², Σx·x₊ₖ cross-products), emitted as exact
+  * cross-multiplied integer quotients in DECIMAL(38,0) — positive
+  * dividends via squares, sign-split abs-division for the sign-capable
+  * autocorrelation — so Spark's `div` ≡ DuckDB's HUGEINT `//`.
+  */
+object SeriesStats {
+
+  private val D38 = "decimal(38,0)"
+
+  /** Wald–Wolfowitz runs test per key: is each key's binary sequence
+    * (ordered by `orderCols`) random, or does it streak? With n₁ ones, n₀
+    * zeros, N = n₁+n₀ and R observed runs:
+    *   E[R] = 1 + 2n₁n₀/N,   V[R] = 2n₁n₀(2n₁n₀−N) / (N²(N−1))
+    *   z² = (R−E)²/V = (N(R−1) − 2n₁n₀)²·(N−1) / (2n₁n₀·(2n₁n₀−N))
+    * — rational in the counts, emitted as exact integer ppm (the square
+    * keeps the dividend positive). NULL when a key is single-class or
+    * 2n₁n₀ = N (the N ≤ 2-ish degenerate where V = 0). Per-key sequences
+    * past 2·10⁶ rows fail loudly (the z² dividend needs N⁵·10⁶ < 10³⁸ —
+    * session-bound or bucket the sequence first).
+    *
+    * @param binCol boolean/0-1 column — the sequence value
+    * @return one row per key: `keyCols…, n, n1, n0, runs, z2_ppm`
+    */
+  def runsTest(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+               binCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val x = col(binCol).cast("int")
+    val stepped = df
+      .withColumn("__x", x)
+      .withColumn("__new",
+        when(lag("__x", 1).over(w).isNull ||
+          col("__x") =!= lag("__x", 1).over(w), 1L).otherwise(0L))
+    stepped.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("__x").cast("long").as("n1"),
+        sum(lit(1L) - col("__x")).cast("long").as("n0"),
+        sum("__new").cast("long").as("runs"))
+      .withColumn("z2_ppm",
+        when(col("n") >= lit(2000000L),
+          raise_error(concat(lit("runsTest: sequence length "), col("n"),
+            lit(" exceeds the exact-arithmetic bound 2e6 - " +
+              "session-split the key first"))))
+          .when(col("n1") > 0 && col("n0") > 0 &&
+            lit(2L) * col("n1") * col("n0") > col("n"),
+            expr(s"""CAST(
+              (CAST(n AS $D38) * (runs - 1) - CAST(2 AS $D38) * n1 * n0) *
+              (CAST(n AS $D38) * (runs - 1) - CAST(2 AS $D38) * n1 * n0) *
+              (n - 1) * 1000000
+              div (CAST(2 AS $D38) * n1 * n0 *
+                   (CAST(2 AS $D38) * n1 * n0 - n)) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+  }
+
+  /** Lag-k autocorrelation per series (Box–Jenkins sample ACF over the
+    * observation order):
+    *   r_k = Σ_{t≤N−k}(x_t−x̄)(x_{t+k}−x̄) / Σ_{t≤N}(x_t−x̄)²
+    * cleared of the mean division by multiplying through by N²:
+    *   num = N²·P − N·S·(S_head + S_tail) + (N−k)·S²
+    *   den = N·(N·Q − S²)
+    * with P = Σ x_t·x_{t+k}, S = Σx, Q = Σx², S_head/S_tail the paired
+    * prefixes/suffixes — all exact integer sums off ONE lead() pass
+    * partitioned by series. r_k ×10⁶ via sign-split abs-division (den ≥ 0
+    * by Cauchy–Schwarz; NULL when den = 0 — constant series — or when the
+    * series is shorter than k+1). Series past 10⁷ observations fail
+    * loudly; `valueCol` must already be an exact integer measurement (the
+    * q249 sub-unit discipline).
+    *
+    * @return one row per series: `seriesCols…, n, n_pairs, acf_x1e6`
+    */
+  def acf(df: DataFrame, seriesCols: Seq[String], orderCol: String,
+          valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, "acf: lag k must be >= 1")
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(col(orderCol))
+    val led = df
+      .withColumn("__x", col(valueCol).cast("long"))
+      .withColumn("__xk", lead("__x", k).over(w))
+    led.groupBy(seriesCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"),
+        count(col("__xk")).cast("long").as("n_pairs"),
+        sum("__x").cast(D38).as("__s"),
+        sum(col("__x").cast(D38) * col("__x")).cast(D38).as("__q"),
+        sum(when(col("__xk").isNotNull,
+          col("__x").cast(D38) * col("__xk")).otherwise(lit(0)))
+          .cast(D38).as("__p"),
+        sum(when(col("__xk").isNotNull, col("__x")).otherwise(lit(0L)))
+          .cast(D38).as("__sh"),
+        sum(coalesce(col("__xk"), lit(0L))).cast(D38).as("__st"))
+      .withColumn("__num",
+        (col("n").cast(D38) * col("n") * col("__p") -
+          col("n").cast(D38) * col("__s") * (col("__sh") + col("__st")) +
+          col("n_pairs").cast(D38) * col("__s") * col("__s")).cast(D38))
+      .withColumn("__den",
+        (col("n").cast(D38) *
+          (col("n").cast(D38) * col("__q") - col("__s") * col("__s")))
+          .cast(D38))
+      .withColumn("acf_x1e6",
+        when(col("n") >= lit(10000000L),
+          raise_error(concat(lit("acf: series length "), col("n"),
+            lit(" exceeds the exact-arithmetic bound 1e7 - " +
+              "aggregate to a coarser grain first"))))
+          .when(col("n_pairs") > 0 && col("__den") > 0,
+            (when(col("__num") >= 0, lit(1L)).otherwise(lit(-1L))) *
+              expr("CAST(abs(__num) * 1000000 div __den AS BIGINT)"))
+          .otherwise(lit(null).cast("long")))
+      .select((seriesCols.map(col) ++
+        Seq(col("n"), col("n_pairs"), col("acf_x1e6"))): _*)
+  }
+
+  /** Durbin–Watson statistic per series — the classic lag-1 serial-
+    * correlation gate on integer series (DW ≈ 2 independent, → 0 strongly
+    * positive, → 4 strongly negative):
+    *   DW = Σ_{t≥2}(x_t − x_{t−1})² / Σ(x_t − x̄)²
+    * The numerator is mean-free (differences cancel x̄) and the
+    * denominator clears its mean division by n: DW = n·Σd² / (n·Q − S²) —
+    * both exact integer sums off ONE lag() pass partitioned by series,
+    * emitted ×10⁶ as an exact cross-multiplied quotient (dividend ≥ 0, a
+    * sum of squares). NULL when the series is constant (den = 0) or has
+    * fewer than 2 rows. Series past 10⁷ observations fail loudly.
+    *
+    * @return one row per series: `seriesCols…, n, dw_ppm`
+    */
+  def durbinWatson(df: DataFrame, seriesCols: Seq[String], orderCol: String,
+                   valueCol: String): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(col(orderCol))
+    val led = df
+      .withColumn("__x", col(valueCol).cast("long"))
+      .withColumn("__xp", lag("__x", 1).over(w))
+    led.groupBy(seriesCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("__x").cast(D38).as("__s"),
+        sum(col("__x").cast(D38) * col("__x")).cast(D38).as("__q"),
+        sum(when(col("__xp").isNotNull,
+          (col("__x").cast(D38) - col("__xp")) *
+            (col("__x").cast(D38) - col("__xp"))).otherwise(lit(0)))
+          .cast(D38).as("__d2"))
+      .withColumn("dw_ppm",
+        when(col("n") >= lit(10000000L),
+          raise_error(concat(lit("durbinWatson: series length "), col("n"),
+            lit(" exceeds the exact-arithmetic bound 1e7 - " +
+              "aggregate to a coarser grain first"))))
+          .when(col("n") > 1 &&
+            col("n").cast(D38) * col("__q") - col("__s") * col("__s") > 0,
+            expr(s"""CAST(CAST(n AS $D38) * __d2 * 1000000
+                     div (CAST(n AS $D38) * __q - __s * __s)
+                     AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .select((seriesCols.map(col) ++ Seq(col("n"), col("dw_ppm"))): _*)
+  }
+
+  /** Turning-point test per series — the assumption-light randomness check
+    * (counts STRICT local extrema; under i.i.d. data E[R] = 2(n−2)/3,
+    * V[R] = (16n−29)/90):
+    *   z² = (R−E)²/V = (3R − 2(n−2))²·10 / (16n − 29)
+    * — rational in the extrema count, emitted as exact integer ppm (the
+    * square keeps the dividend positive). Plateaus (equal neighbours) are
+    * NOT extrema — strict inequalities both sides, declared semantics.
+    * One lag+lead pass partitioned by series; NULL when n < 3. Series
+    * past 10⁷ observations fail loudly.
+    *
+    * @return one row per series: `seriesCols…, n, turning_points, z2_ppm`
+    */
+  def turningPoints(df: DataFrame, seriesCols: Seq[String],
+                    orderCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(col(orderCol))
+    val led = df
+      .withColumn("__x", col(valueCol).cast("long"))
+      .withColumn("__xp", lag("__x", 1).over(w))
+      .withColumn("__xn", lead("__x", 1).over(w))
+      .withColumn("__tp",
+        when(col("__xp").isNotNull && col("__xn").isNotNull &&
+          ((col("__x") > col("__xp") && col("__x") > col("__xn")) ||
+           (col("__x") < col("__xp") && col("__x") < col("__xn"))), 1L)
+          .otherwise(0L))
+    led.groupBy(seriesCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("__tp").cast("long").as("turning_points"))
+      .withColumn("z2_ppm",
+        when(col("n") >= lit(10000000L),
+          raise_error(concat(lit("turningPoints: series length "), col("n"),
+            lit(" exceeds the exact-arithmetic bound 1e7 - " +
+              "aggregate to a coarser grain first"))))
+          .when(col("n") >= 3,
+            expr(s"""CAST(
+              (CAST(3 AS $D38) * turning_points - CAST(2 AS $D38) * (n - 2)) *
+              (CAST(3 AS $D38) * turning_points - CAST(2 AS $D38) * (n - 2)) *
+              10 * 1000000 div (CAST(16 AS $D38) * n - 29) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+  }
+
+  /** Index of dispersion per group over integer counts: the Poisson QA
+    * gate (variance-to-mean ≈ 1 for Poisson arrivals; ≫1 = bursty, ≪1 =
+    * regularized). χ²_disp = Σ(x−x̄)²/x̄ = (n·Σx² − S²)/S and the VMR
+    * itself = χ²/(n−1) — both rational in the exact sums (dividend ≥ 0 by
+    * Cauchy–Schwarz), emitted as integer ppm. One hash agg per group.
+    * NULL when S = 0 (no mass) or, for VMR, n < 2.
+    *
+    * @return one row per group: `groupCols…, n, sum_c, chi2_ppm, vmr_ppm`
+    */
+  def dispersionIndex(df: DataFrame, groupCols: Seq[String],
+                      countCol: String): DataFrame = {
+    val c = col(countCol).cast(D38)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(c).cast(D38).as("__s"),
+        sum(c * c).cast(D38).as("__q"))
+      .withColumn("sum_c", col("__s").cast("long"))
+      .withColumn("chi2_ppm",
+        when(col("__s") > 0,
+          expr(s"""CAST((CAST(n AS $D38) * __q - __s * __s) * 1000000
+                   div __s AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("vmr_ppm",
+        when(col("__s") > 0 && col("n") > 1,
+          expr(s"""CAST((CAST(n AS $D38) * __q - __s * __s) * 1000000
+                   div (__s * (n - 1)) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .select((groupCols.map(col) ++
+        Seq(col("n"), col("sum_c"), col("chi2_ppm"), col("vmr_ppm"))): _*)
+  }
+}

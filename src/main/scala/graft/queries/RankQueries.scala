@@ -1,0 +1,463 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.data.{RankTests, SeriesStats}
+
+/** Rank-based nonparametric tests and per-series temporal QA — the
+  * distribution-free tier beside q245–q248 (KS / Mann–Whitney / Spearman /
+  * Kendall) and q305–q314 (the parametric fp-stat tier):
+  *
+  *  - q347 Kruskal–Wallis H: k-sample rank ANOVA (q307's nonparametric
+  *    sibling) over the collapsed value domain.
+  *  - q348 Friedman χ² + Kendall's W: complete-block repeated-measures
+  *    test + concordance, blocks = epoch days, treatments = event types.
+  *  - q349 Cliff's delta: the ordinal effect size behind q246's U.
+  *  - q350 Wald–Wolfowitz runs test per user: does the click/non-click
+  *    sequence streak?
+  *  - q351 index of dispersion: Poisson burstiness QA on hourly arrival
+  *    counts per event type.
+  *  - q352 lag-7 autocorrelation: weekly seasonality check on per-priority
+  *    daily order counts.
+  *  - q353 Jonckheere–Terpstra: the ordered-alternative trend test (does
+  *    quantity rise with priority) over the |domain|·k grid.
+  *  - q354 Durbin–Watson: lag-1 serial-correlation gate per daily series.
+  *  - q355 turning-point test: strict-local-extrema randomness check.
+  *
+  * All six follow the exact-integer oracle discipline: doubled midranks,
+  * cross-multiplied integer quotients (`div` ≡ DuckDB `//`), sign-split
+  * abs-division for sign-capable statistics, squares for positive
+  * dividends — zero doubles on any hashed surface.
+  */
+object RankQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // KRUSKAL–WALLIS rank ANOVA — "does quantity's DISTRIBUTION differ by
+    // return flag" without q307's equal-variance/normality assumptions.
+    // Lineitems collapse to the 3×50 (flag, quantity) cell frame in one
+    // hash agg; ranks are one ordered pass over the 50-value domain
+    "q347_kruskal_wallis" -> { (s, dir) =>
+      val cells = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("g"),
+          expr("CAST(l_quantity AS BIGINT)").as("v"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      RankTests.kruskalWallisFromCounts(cells)
+    },
+
+    // FRIEDMAN + KENDALL'S W — "do event types keep the same daily
+    // popularity ORDER" as a complete-block design: blocks = integer epoch
+    // days (unix_micros div — the q231 lesson, no calendar surface),
+    // treatments = event types, value = daily count. Blocks missing a
+    // treatment are excluded BEFORE the kernel (which still fails loudly
+    // on raggedness — belt and braces); the day-dim completeness frame is
+    // broadcast
+    "q348_friedman_kendall_w" -> { (s, dir) =>
+      val cells = t(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"),
+          col("event_type"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val kGlob = cells.agg(
+        countDistinct("event_type").cast("long").as("kk"))
+      val complete = cells.groupBy("dy")
+        .agg(count(lit(1)).cast("long").as("nt"))
+        .crossJoin(broadcast(kGlob))
+        .filter(col("nt") === col("kk")).select("dy")
+      RankTests.friedman(cells.join(broadcast(complete), Seq("dy")),
+        "dy", "event_type", "cnt")
+    },
+
+    // CLIFF'S DELTA — how much LONGER are English documents than German,
+    // as the ordinal probability-of-superiority effect size (q246 tells
+    // you the shift exists; this is its magnitude on [-1, 1]). Cross-pair
+    // counts from cumulative sums over the collapsed n_chars domain —
+    // never the quadratic pair set
+    "q349_cliffs_delta" -> { (s, dir) =>
+      val dom = t(s, dir, "documents")
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("n_chars").as("v"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L))
+            .cast("long").as("ca"),
+          sum(when(col("lang") === "de", 1L).otherwise(0L))
+            .cast("long").as("cb"))
+      RankTests.cliffsDeltaFromCounts(dom)
+    },
+
+    // RUNS TEST per user — is each user's click/non-click sequence random
+    // over (ts, event_id) order, or does it streak (bot signature, the
+    // q205 screen's sequential complement)? One lag() pass partitioned by
+    // user — parallelism scales with the user dimension
+    "q350_runs_test" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_type") === "click").as("is_click"))
+      SeriesStats.runsTest(ev, Seq("user_id"), Seq("ts", "event_id"),
+        "is_click")
+    },
+
+    // INDEX OF DISPERSION — are hourly arrivals Poisson-like or bursty,
+    // per event type (VMR ≈ 1 Poisson, ≫ 1 bursty)? Events collapse to
+    // the (type, hour) cell frame in one hash agg (observed hours only —
+    // declared semantics), then one agg per type
+    "q351_dispersion_index" -> { (s, dir) =>
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      SeriesStats.dispersionIndex(hourly, Seq("event_type"), "c")
+    },
+
+    // LAG-7 AUTOCORRELATION — weekly seasonality in per-priority daily
+    // order counts (observation-order ACF over the day-grain series; the
+    // series key partitions every ordered pass). Sign-split exact ppm
+    "q352_acf_lag7" -> { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          expr("unix_micros(o_orderdate) div 86400000000").as("dy"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      SeriesStats.acf(daily, Seq("prio"), "dy", "c", 7)
+    },
+
+    // JONCKHEERE–TERPSTRA — does line quantity TREND with order priority
+    // (the ordered alternative q347 can't see)? Groups = the priority's
+    // leading digit (1-URGENT < … < 5-LOW — numeric order is the
+    // alternative), values = the 50-point quantity domain; the kernel
+    // works the |domain|·k grid, never pairs
+    "q353_jonckheere" -> { (s, dir) =>
+      val cells = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+            .as("g")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("g"), expr("CAST(l_quantity AS BIGINT)").as("v"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      RankTests.jonckheereFromCounts(cells)
+    },
+
+    // DURBIN–WATSON — lag-1 serial correlation of the per-priority daily
+    // order-count series (q352's classic single-number companion;
+    // DW ≈ 2 means independent days)
+    "q354_durbin_watson" -> { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          expr("unix_micros(o_orderdate) div 86400000000").as("dy"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      SeriesStats.durbinWatson(daily, Seq("prio"), "dy", "c")
+    },
+
+    // TURNING-POINT TEST — strict local extrema count per daily series
+    // (too few = trend/stickiness, too many = alternation; E = 2(n−2)/3
+    // under i.i.d.). One lag+lead pass partitioned by series
+    "q355_turning_points" -> { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          expr("unix_micros(o_orderdate) div 86400000000").as("dy"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      SeriesStats.turningPoints(daily, Seq("prio"), "dy", "c")
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q347_kruskal_wallis" ->
+      """WITH cells AS (
+           SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1, 2),
+         r AS (
+           SELECT g, c,
+                  2 * coalesce(sum(c) OVER (ORDER BY v
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + sum(c) OVER (ORDER BY v
+                      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1 AS r2,
+                  sum(c) OVER () AS n
+           FROM cells),
+         pg AS (
+           SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+                  CAST(sum(CAST(c AS HUGEINT) * r2) AS HUGEINT) AS r2g,
+                  CAST(sum(CAST(c AS HUGEINT) *
+                       (r2 - (n + 1)) * (r2 - (n + 1))) AS HUGEINT) AS w2g,
+                  CAST(max(n) AS BIGINT) AS n
+           FROM r GROUP BY g),
+         f AS (
+           SELECT CAST(max(n) AS BIGINT) AS n_total,
+                  CAST(count(*) AS BIGINT) AS k_groups,
+                  CAST(sum(w2g) AS BIGINT) AS w2_den,
+                  CAST(sum(((CAST(r2g AS HUGEINT) -
+                             CAST(ng AS HUGEINT) * (n + 1)) *
+                            (CAST(r2g AS HUGEINT) -
+                             CAST(ng AS HUGEINT) * (n + 1)) *
+                            1000000000) // ng) AS BIGINT) AS b2_q9
+           FROM pg)
+         SELECT n_total, k_groups, w2_den, b2_q9,
+                CASE WHEN w2_den > 0 THEN
+                  CAST((CAST(n_total - 1 AS HUGEINT) * b2_q9) //
+                       (CAST(w2_den AS HUGEINT) * 1000) AS BIGINT)
+                ELSE NULL END AS h_ppm
+         FROM f""",
+    "q348_friedman_kendall_w" ->
+      """WITH cells AS (
+           SELECT epoch_us(ts) // 86400000000 AS dy, event_type,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         kk AS (SELECT count(DISTINCT event_type) AS k FROM events),
+         keep AS (
+           SELECT dy FROM cells GROUP BY dy
+           HAVING count(*) = (SELECT k FROM kk)),
+         c2 AS (SELECT cells.* FROM cells JOIN keep USING (dy)),
+         r AS (
+           SELECT event_type,
+                  2 * rank() OVER (PARTITION BY dy ORDER BY cnt)
+                    + count(*) OVER (PARTITION BY dy, cnt) - 1 AS r2,
+                  count(*) OVER (PARTITION BY dy) AS kb
+           FROM c2),
+         pt AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS b,
+                  CAST(sum(r2) AS BIGINT) AS r2j,
+                  CAST(sum(CAST(r2 - (kb + 1) AS HUGEINT) *
+                           (r2 - (kb + 1))) AS HUGEINT) AS w2t
+           FROM r GROUP BY 1),
+         pt2 AS (SELECT *, count(*) OVER () AS kt FROM pt),
+         f AS (
+           SELECT CAST(max(b) AS BIGINT) AS b_blocks,
+                  CAST(max(kt) AS BIGINT) AS k_treatments,
+                  CAST(sum(w2t) AS BIGINT) AS w2_den,
+                  sum((CAST(r2j AS HUGEINT) -
+                       CAST(b AS HUGEINT) * (kt + 1)) *
+                      (CAST(r2j AS HUGEINT) -
+                       CAST(b AS HUGEINT) * (kt + 1))) AS b2
+           FROM pt2)
+         SELECT b_blocks, k_treatments, w2_den,
+                CASE WHEN w2_den > 0 THEN
+                  CAST((CAST(k_treatments - 1 AS HUGEINT) * b2 * 1000000)
+                       // w2_den AS BIGINT) ELSE NULL END AS chi2_ppm,
+                CASE WHEN w2_den > 0 THEN
+                  CAST((b2 * 1000000) //
+                       (CAST(b_blocks AS HUGEINT) * w2_den) AS BIGINT)
+                ELSE NULL END AS w_ppm
+         FROM f""",
+    "q349_cliffs_delta" ->
+      """WITH dom AS (
+           SELECT n_chars AS v,
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cb
+           FROM documents WHERE lang IN ('en', 'de') GROUP BY 1),
+         r AS (
+           SELECT ca, cb,
+                  coalesce(sum(cb) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cb_before,
+                  sum(cb) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cb_upto,
+                  sum(cb) OVER () AS nb
+           FROM dom),
+         f AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cb) AS BIGINT) AS n_b,
+                  CAST(sum(CAST(ca AS HUGEINT) * cb_before) AS BIGINT)
+                    AS n_gt,
+                  CAST(sum(CAST(ca AS HUGEINT) * (nb - cb_upto)) AS BIGINT)
+                    AS n_lt,
+                  CAST(sum(CAST(ca AS HUGEINT) * cb) AS BIGINT) AS n_tie
+           FROM r)
+         SELECT n_a, n_b, n_gt, n_lt, n_tie,
+                CAST(n_gt AS HUGEINT) + n_lt + n_tie =
+                  CAST(n_a AS HUGEINT) * n_b AS identity_ok,
+                CASE WHEN n_a > 0 AND n_b > 0 THEN
+                  (CASE WHEN n_gt >= n_lt THEN 1 ELSE -1 END) *
+                  CAST((abs(CAST(n_gt AS HUGEINT) - n_lt) * 1000000) //
+                       (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+                ELSE NULL END AS delta_x1e6
+         FROM f""",
+    "q350_runs_test" ->
+      """WITH ev AS (
+           SELECT user_id,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS x,
+                  CASE WHEN lag(CASE WHEN event_type = 'click' THEN 1
+                                ELSE 0 END) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS DISTINCT FROM
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events),
+         f AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS n1,
+                  CAST(count(*) - sum(x) AS BIGINT) AS n0,
+                  CAST(sum(is_new) AS BIGINT) AS runs
+           FROM ev GROUP BY 1)
+         SELECT user_id, n, n1, n0, runs,
+                CASE WHEN n1 > 0 AND n0 > 0 AND
+                          2 * CAST(n1 AS HUGEINT) * n0 > n THEN
+                  CAST(((CAST(n AS HUGEINT) * (runs - 1) -
+                         2 * CAST(n1 AS HUGEINT) * n0) *
+                        (CAST(n AS HUGEINT) * (runs - 1) -
+                         2 * CAST(n1 AS HUGEINT) * n0) *
+                        (n - 1) * 1000000) //
+                       (2 * CAST(n1 AS HUGEINT) * n0 *
+                        (2 * CAST(n1 AS HUGEINT) * n0 - n)) AS BIGINT)
+                ELSE NULL END AS z2_ppm
+         FROM f""",
+    "q351_dispersion_index" ->
+      """WITH hourly AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         f AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(c) AS HUGEINT) AS s,
+                  CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+           FROM hourly GROUP BY 1)
+         SELECT event_type, n, CAST(s AS BIGINT) AS sum_c,
+                CASE WHEN s > 0 THEN
+                  CAST(((CAST(n AS HUGEINT) * q - s * s) * 1000000) // s
+                       AS BIGINT) ELSE NULL END AS chi2_ppm,
+                CASE WHEN s > 0 AND n > 1 THEN
+                  CAST(((CAST(n AS HUGEINT) * q - s * s) * 1000000) //
+                       (s * (n - 1)) AS BIGINT)
+                ELSE NULL END AS vmr_ppm
+         FROM f""",
+    "q352_acf_lag7" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS prio,
+                  epoch_us(o_orderdate) // 86400000000 AS dy,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1, 2),
+         led AS (
+           SELECT prio, c AS x,
+                  lead(c, 7) OVER (PARTITION BY prio ORDER BY dy) AS xk
+           FROM daily),
+         f AS (
+           SELECT prio, CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(xk) AS BIGINT) AS n_pairs,
+                  CAST(sum(x) AS HUGEINT) AS s,
+                  CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q,
+                  CAST(sum(CASE WHEN xk IS NOT NULL THEN
+                       CAST(x AS HUGEINT) * xk ELSE 0 END) AS HUGEINT) AS p,
+                  CAST(sum(CASE WHEN xk IS NOT NULL THEN x ELSE 0 END)
+                       AS HUGEINT) AS sh,
+                  CAST(sum(coalesce(xk, 0)) AS HUGEINT) AS st
+           FROM led GROUP BY 1),
+         g AS (
+           SELECT prio, n, n_pairs,
+                  CAST(n AS HUGEINT) * n * p -
+                    CAST(n AS HUGEINT) * s * (sh + st) +
+                    CAST(n_pairs AS HUGEINT) * s * s AS num,
+                  CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * q - s * s)
+                    AS den
+           FROM f)
+         SELECT prio, n, n_pairs,
+                CASE WHEN n_pairs > 0 AND den > 0 THEN
+                  (CASE WHEN num >= 0 THEN 1 ELSE -1 END) *
+                  CAST((abs(num) * 1000000) // den AS BIGINT)
+                ELSE NULL END AS acf_x1e6
+         FROM g""",
+    "q353_jonckheere" ->
+      """WITH cells AS (
+           SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+                  CAST(l_quantity AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         grid AS (
+           SELECT g, v, coalesce(c, 0) AS c
+           FROM (SELECT DISTINCT v FROM cells)
+             CROSS JOIN (SELECT DISTINCT g FROM cells)
+             LEFT JOIN cells USING (g, v)),
+         cum AS (
+           SELECT g, v, c,
+                  coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_lt
+           FROM grid),
+         tt AS (
+           SELECT g, c,
+                  coalesce(sum(cum_lt) OVER (PARTITION BY v ORDER BY g
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS t_lt,
+                  coalesce(sum(c) OVER (PARTITION BY v ORDER BY g
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS t_eq
+           FROM cum),
+         pg AS (
+           SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+                  CAST(sum(CAST(c AS HUGEINT) * (2 * t_lt + t_eq))
+                       AS HUGEINT) AS j2g
+           FROM tt GROUP BY g),
+         f AS (
+           SELECT CAST(sum(ng) AS BIGINT) AS n_total,
+                  CAST(count(*) AS BIGINT) AS k_groups,
+                  CAST(sum(j2g) AS BIGINT) AS j2,
+                  CAST(sum(CAST(ng AS HUGEINT) * ng) AS HUGEINT) AS sq,
+                  CAST(sum(CAST(ng AS HUGEINT) * ng * (2 * ng + 3))
+                       AS HUGEINT) AS sq3
+           FROM pg),
+         g2 AS (
+           SELECT n_total, k_groups, j2,
+                  CAST((CAST(n_total AS HUGEINT) * n_total - sq) // 2
+                       AS BIGINT) AS e_j2,
+                  CAST(CAST(n_total AS HUGEINT) * n_total *
+                       (2 * CAST(n_total AS HUGEINT) + 3) - sq3
+                       AS BIGINT) AS v72
+           FROM f)
+         SELECT n_total, k_groups, j2, e_j2, v72,
+                CASE WHEN v72 > 0 THEN
+                  CAST(((CAST(j2 AS HUGEINT) - e_j2) *
+                        (CAST(j2 AS HUGEINT) - e_j2) * 18 * 1000000)
+                       // v72 AS BIGINT) ELSE NULL END AS z2_ppm,
+                j2 > e_j2 AS trend_up
+         FROM g2""",
+    "q354_durbin_watson" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS prio,
+                  epoch_us(o_orderdate) // 86400000000 AS dy,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1, 2),
+         led AS (
+           SELECT prio, c AS x,
+                  lag(c, 1) OVER (PARTITION BY prio ORDER BY dy) AS xp
+           FROM daily),
+         f AS (
+           SELECT prio, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS HUGEINT) AS s,
+                  CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q,
+                  CAST(sum(CASE WHEN xp IS NOT NULL THEN
+                       CAST(x - xp AS HUGEINT) * (x - xp) ELSE 0 END)
+                       AS HUGEINT) AS d2
+           FROM led GROUP BY 1)
+         SELECT prio, n,
+                CASE WHEN n > 1 AND CAST(n AS HUGEINT) * q - s * s > 0 THEN
+                  CAST((CAST(n AS HUGEINT) * d2 * 1000000) //
+                       (CAST(n AS HUGEINT) * q - s * s) AS BIGINT)
+                ELSE NULL END AS dw_ppm
+         FROM f""",
+    "q355_turning_points" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS prio,
+                  epoch_us(o_orderdate) // 86400000000 AS dy,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1, 2),
+         led AS (
+           SELECT prio, c AS x,
+                  lag(c, 1) OVER (PARTITION BY prio ORDER BY dy) AS xp,
+                  lead(c, 1) OVER (PARTITION BY prio ORDER BY dy) AS xn
+           FROM daily),
+         f AS (
+           SELECT prio, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL
+                       AND ((x > xp AND x > xn) OR (x < xp AND x < xn))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS turning_points
+           FROM led GROUP BY 1)
+         SELECT prio, n, turning_points,
+                CASE WHEN n >= 3 THEN
+                  CAST(((3 * CAST(turning_points AS HUGEINT) - 2 * (n - 2)) *
+                        (3 * CAST(turning_points AS HUGEINT) - 2 * (n - 2)) *
+                        10 * 1000000) // (16 * CAST(n AS HUGEINT) - 29)
+                       AS BIGINT)
+                ELSE NULL END AS z2_ppm
+         FROM f""")
+}

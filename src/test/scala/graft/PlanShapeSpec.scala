@@ -663,4 +663,64 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan) { case _: WindowExec => } === 0,
       s"no 1-partition row_number in the concentration plan:\n$plan")
   }
+
+  test("kruskal-wallis (q347): both global windows (rank, total) ride the " +
+      "COLLAPSED cell frame (an aggregate below each), never the raw scan") {
+    val plan = staticPlan(
+      graft.queries.RankQueries.queries("q347_kruskal_wallis")(spark, sf))
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size === 2,
+      s"rank + total passes over the value domain only:\n$plan")
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    assert(windows.forall(
+      _.collect { case a: HashAggregateExec => a }.nonEmpty),
+      s"every window must consume the (g, v, c) cell aggregate, not raw " +
+        s"lineitems:\n$plan")
+  }
+
+  test("friedman (q348): rank windows PARTITIONED by block; the only " +
+      "global window rides the k-treatment aggregate frame") {
+    val plan = staticPlan(graft.queries.RankQueries
+      .queries("q348_friedman_kendall_w")(spark, sf))
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    // the rank/tie/size windows are block-partitioned; the single global
+    // window sits ABOVE the k-treatment aggregate (a ≤|treatments| frame —
+    // the logRank/ksFromCounts collapsed-frame exception)
+    assert(windows.forall(w => w.partitionSpec.nonEmpty ||
+      w.collect { case a: HashAggregateExec => a }.nonEmpty),
+      s"a block-partitioned design must never serialize raw blocks " +
+        s"through one task:\n$plan")
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      s"the rank pass must be partitioned by block:\n$plan")
+  }
+
+  test("runs test (q350): ONE shuffle total — the groupBy reuses the " +
+      "window's user partitioning — and one user-partitioned window") {
+    val plan = staticPlan(
+      graft.queries.RankQueries.queries("q350_runs_test")(spark, sf))
+    assert(count(plan) { case _: ShuffleExchangeExec => } === 1,
+      s"lag window and per-user agg share the user_id exchange:\n$plan")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size === 1 && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("acf lag-7 (q352): two shuffles (day-cell agg, series window) — " +
+      "the per-series agg reuses the window's partitioning") {
+    val plan = staticPlan(
+      graft.queries.RankQueries.queries("q352_acf_lag7")(spark, sf))
+    assert(count(plan) { case _: ShuffleExchangeExec => } === 2,
+      s"cells + series exchange only:\n$plan")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size === 1 && windows.forall(_.partitionSpec.nonEmpty),
+      s"the lead() pass is partitioned by series key:\n$plan")
+  }
+
+  test("dispersion index (q351): pure agg cascade — zero windows") {
+    val plan = staticPlan(graft.queries.RankQueries
+      .queries("q351_dispersion_index")(spark, sf))
+    assert(count(plan) { case _: WindowExec => } === 0,
+      s"dispersion is two hash aggs, never a window:\n$plan")
+  }
 }
