@@ -24,6 +24,10 @@ import graft.data.{RankTests, SeriesStats}
   *    quantity rise with priority) over the |domain|·k grid.
   *  - q354 Durbin–Watson: lag-1 serial-correlation gate per daily series.
   *  - q355 turning-point test: strict-local-extrema randomness check.
+  *  - q356 grouped Kruskal–Wallis: one H per language segment, every
+  *    window partitioned by segment.
+  *  - q357 HITS hubs/authorities: exact L1-normalized integer fixed point
+  *    over the customer→part bipartite graph, 2 unrolled iterations.
   *
   * All six follow the exact-integer oracle discipline: doubled midranks,
   * cross-multiplied integer quotients (`div` ≡ DuckDB `//`), sign-split
@@ -157,6 +161,34 @@ object RankQueries {
           expr("unix_micros(o_orderdate) div 86400000000").as("dy"))
         .agg(count(lit(1)).cast("long").as("c"))
       SeriesStats.turningPoints(daily, Seq("prio"), "dy", "c")
+    },
+
+    // GROUPED KRUSKAL–WALLIS — one "does length differ by source" H per
+    // LANGUAGE (the segment-drift report form): every ranking window is
+    // partitioned by lang, so a thousand-segment report parallelizes
+    // across segments and no task holds more than one segment's domain
+    "q356_kw_by_segment" -> { (s, dir) =>
+      val cells = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source").as("g"),
+          col("n_chars").as("v"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      RankTests.kruskalWallisFromCountsGrouped(cells, Seq("lang"))
+    },
+
+    // HITS hubs/authorities over the customer→part purchase bipartite
+    // graph (broad buyers ↔ broadly-bought parts), 2 synchronous steps in
+    // exact L1-normalized integer fixed point — the q125 PageRank
+    // discipline applied to the mutual recursion; DuckDB replays both
+    // iterations as unrolled CTEs. Part ids offset into their own node
+    // space (bipartite sides must not collide)
+    "q357_hits" -> { (s, dir) =>
+      val edges = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_partkey") + lit(10000000L)).as("dst"))
+      graft.operators.Hits.fixedPoint(edges, "src", "dst", iterations = 2)
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -459,5 +491,89 @@ object RankQueries {
                         10 * 1000000) // (16 * CAST(n AS HUGEINT) - 29)
                        AS BIGINT)
                 ELSE NULL END AS z2_ppm
-         FROM f""")
+         FROM f""",
+    "q356_kw_by_segment" ->
+      """WITH cells AS (
+           SELECT lang, source AS g, n_chars AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2, 3),
+         r AS (
+           SELECT lang, g, c,
+                  2 * coalesce(sum(c) OVER (PARTITION BY lang ORDER BY v
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + sum(c) OVER (PARTITION BY lang ORDER BY v
+                      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1 AS r2,
+                  sum(c) OVER (PARTITION BY lang) AS n
+           FROM cells),
+         pg AS (
+           SELECT lang, g, CAST(sum(c) AS BIGINT) AS ng,
+                  CAST(sum(CAST(c AS HUGEINT) * r2) AS HUGEINT) AS r2g,
+                  CAST(sum(CAST(c AS HUGEINT) *
+                       (r2 - (n + 1)) * (r2 - (n + 1))) AS HUGEINT) AS w2g,
+                  CAST(max(n) AS BIGINT) AS n
+           FROM r GROUP BY 1, 2),
+         f AS (
+           SELECT lang, CAST(max(n) AS BIGINT) AS n_total,
+                  CAST(count(*) AS BIGINT) AS k_groups,
+                  CAST(sum(w2g) AS BIGINT) AS w2_den,
+                  CAST(sum(((CAST(r2g AS HUGEINT) -
+                             CAST(ng AS HUGEINT) * (n + 1)) *
+                            (CAST(r2g AS HUGEINT) -
+                             CAST(ng AS HUGEINT) * (n + 1)) *
+                            1000000000) // ng) AS BIGINT) AS b2_q9
+           FROM pg GROUP BY lang)
+         SELECT lang, n_total, k_groups, w2_den, b2_q9,
+                CASE WHEN w2_den > 0 THEN
+                  CAST((CAST(n_total - 1 AS HUGEINT) * b2_q9) //
+                       (CAST(w2_den AS HUGEINT) * 1000) AS BIGINT)
+                ELSE NULL END AS h_ppm
+         FROM f""",
+    "q357_hits" ->
+      """WITH e AS (
+           SELECT DISTINCT o_custkey AS src, l_partkey + 10000000 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM nodes),
+         a1r AS (
+           SELECT dst AS node, CAST(count(*) AS HUGEINT) * 1000000 AS raw
+           FROM e GROUP BY dst),
+         a1 AS (
+           SELECT nodes.node,
+                  CAST(CASE WHEN (SELECT sum(raw) FROM a1r) > 0 THEN
+                    (coalesce(raw, 0) * (SELECT n FROM nn) * 1000000) //
+                    (SELECT sum(raw) FROM a1r)
+                  ELSE 0 END AS BIGINT) AS a
+           FROM nodes LEFT JOIN a1r USING (node)),
+         h1r AS (
+           SELECT src AS node, CAST(sum(a) AS HUGEINT) AS raw
+           FROM e JOIN a1 ON dst = a1.node GROUP BY src),
+         h1 AS (
+           SELECT nodes.node,
+                  CAST(CASE WHEN (SELECT sum(raw) FROM h1r) > 0 THEN
+                    (coalesce(raw, 0) * (SELECT n FROM nn) * 1000000) //
+                    (SELECT sum(raw) FROM h1r)
+                  ELSE 0 END AS BIGINT) AS h
+           FROM nodes LEFT JOIN h1r USING (node)),
+         a2r AS (
+           SELECT dst AS node, CAST(sum(h) AS HUGEINT) AS raw
+           FROM e JOIN h1 ON src = h1.node GROUP BY dst),
+         a2 AS (
+           SELECT nodes.node,
+                  CAST(CASE WHEN (SELECT sum(raw) FROM a2r) > 0 THEN
+                    (coalesce(raw, 0) * (SELECT n FROM nn) * 1000000) //
+                    (SELECT sum(raw) FROM a2r)
+                  ELSE 0 END AS BIGINT) AS a
+           FROM nodes LEFT JOIN a2r USING (node)),
+         h2r AS (
+           SELECT src AS node, CAST(sum(a) AS HUGEINT) AS raw
+           FROM e JOIN a2 ON dst = a2.node GROUP BY src),
+         h2 AS (
+           SELECT nodes.node,
+                  CAST(CASE WHEN (SELECT sum(raw) FROM h2r) > 0 THEN
+                    (coalesce(raw, 0) * (SELECT n FROM nn) * 1000000) //
+                    (SELECT sum(raw) FROM h2r)
+                  ELSE 0 END AS BIGINT) AS h
+           FROM nodes LEFT JOIN h2r USING (node))
+         SELECT h2.node, h2.h AS hub_fp, a2.a AS auth_fp
+         FROM h2 JOIN a2 USING (node)""")
 }

@@ -232,6 +232,48 @@ class Round12cSpec extends SparkSpec {
     assert(p.getAs[Long]("z2_ppm") === 4571428L)
   }
 
+  test("RankTests.kruskalWallisFromCountsGrouped: each segment's H " +
+      "equals the ungrouped kernel run on that segment alone") {
+    val s = spark
+    import s.implicits._
+    val cells = Seq(
+      ("s1", "A", 1L, 1L), ("s1", "A", 2L, 2L),
+      ("s1", "B", 2L, 1L), ("s1", "B", 3L, 2L),
+      ("s2", "A", 5L, 3L), ("s2", "B", 7L, 3L))
+      .toDF("seg", "g", "v", "c")
+    val grouped = graft.data.RankTests
+      .kruskalWallisFromCountsGrouped(cells, Seq("seg"))
+      .collect().map(r => r.getAs[String]("seg") -> r).toMap
+    val s1 = graft.data.RankTests.kruskalWallisFromCounts(
+      cells.filter(col("seg") === "s1").drop("seg")).collect().head
+    assert(grouped("s1").getAs[Long]("h_ppm") ===
+      s1.getAs[Long]("h_ppm"))
+    assert(grouped("s1").getAs[Long]("h_ppm") === 2722222L)
+    // s2: perfectly separated groups, H = (N−1)·B/W maximal for n=6,k=2
+    assert(grouped("s2").getAs[Long]("w2_den") > 0)
+  }
+
+  test("Hits.fixedPoint hand values: 2-hub/2-authority bipartite graph, " +
+      "two iterations, every normalization replayed by hand") {
+    val s = spark
+    import s.implicits._
+    // edges 1→3, 2→3, 2→4: node 2 the stronger hub, 3 the stronger auth
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = graft.operators.Hits.fixedPoint(e, "src", "dst", 2)
+      .collect().map(r => r.getAs[Long]("node") -> r).toMap
+    // iter1: a(3) = 2e6·4e6 div 3e6 = 2666666, a(4) = 1333333
+    //        h(1) = 2666666·4e6 div 6666665 = 1600000 (exact),
+    //        h(2) = 3999999·4e6 div 6666665 = 2400000 (exact)
+    // iter2: a(3) = 4e6·4e6 div 6.4e6 = 2500000, a(4) = 1500000
+    //        h(1) = 2.5e6·4e6 div 6.5e6 = 1538461, h(2) = 2461538
+    assert(got(1L).getAs[Long]("hub_fp") === 1538461L)
+    assert(got(2L).getAs[Long]("hub_fp") === 2461538L)
+    assert(got(3L).getAs[Long]("auth_fp") === 2500000L)
+    assert(got(4L).getAs[Long]("auth_fp") === 1500000L)
+    assert(got(1L).getAs[Long]("auth_fp") === 0L)
+    assert(got(3L).getAs[Long]("hub_fp") === 0L)
+  }
+
   test("SeriesStats.dispersionIndex hand values: [1,2,3] gives chi2 = 1 " +
       "and VMR = 0.5 exactly; zero mass is NULL") {
     val s = spark
