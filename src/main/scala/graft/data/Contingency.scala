@@ -313,6 +313,60 @@ object Contingency {
           .otherwise(lit(null).cast("long")))
   }
 
+  /** Cochran–Armitage trend test (Cochran 1954, Armitage 1955) — does a
+    * BINARY outcome's rate trend with an ORDERED exposure (label
+    * positivity across quality deciles, defect rate across priority
+    * tiers)? With integer scores s_i, group sizes n_i, positives a_i,
+    * N = Σn, A = Σa:
+    *   T   = (N·Σs_i a_i − A·Σs_i n_i) / N
+    *   z²  = N·T²/Var = N·t_num² / (A(N−A)·(N·Σs²n − (Σsn)²))
+    * computed as two exact integer quotients (the quantize-once
+    * discipline: u = t_num²·10⁶ div (A(N−A)), then z²_ppm = u·N div
+    * den — one documented ppm-granularity floor between them, identical
+    * in both engines; both dividends are squares, so positive). NULL at
+    * the degenerates (A = 0, A = N, constant scores). N ≥ 10⁷ fails
+    * loudly (the t_num² dividend needs s²N⁴·10⁶ < 10³⁸).
+    *
+    * @param df one row per subject: `scoreCol` SMALL integer exposure
+    *           score (its order is the alternative), `outcomeCol` ∈ {0,1}
+    * @return one row: `n_total, n_pos, k_levels, t_num, z2_ppm, trend_up`
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+                      outcomeCol: String): DataFrame = {
+    df.groupBy(col(scoreCol).cast("long").as("s"))
+      .agg(count(lit(1)).cast("long").as("ni"),
+        sum(col(outcomeCol)).cast("long").as("ai"))
+      .agg(
+        sum("ni").cast("long").as("n_total"),
+        sum("ai").cast("long").as("n_pos"),
+        count(lit(1)).cast("long").as("k_levels"),
+        sum(col("s").cast(D38) * col("ni")).cast(D38).as("__ssn"),
+        sum(col("s").cast(D38) * col("ai")).cast(D38).as("__ssa"),
+        sum(col("s").cast(D38) * col("s") * col("ni")).cast(D38)
+          .as("__ss2n"))
+      .withColumn("t_num",
+        expr(s"""CAST(CAST(n_total AS $D38) * __ssa -
+                 CAST(n_pos AS $D38) * __ssn AS BIGINT)"""))
+      .withColumn("__den",
+        expr(s"""CAST(n_total AS $D38) * __ss2n - __ssn * __ssn"""))
+      .withColumn("z2_ppm",
+        when(col("n_total") >= lit(10000000L),
+          raise_error(concat(lit("cochranArmitage: N = "), col("n_total"),
+            lit(" exceeds the exact-arithmetic bound 1e7 - " +
+              "subsample or stratify first"))))
+          .when(col("n_pos") > 0 && col("n_pos") < col("n_total") &&
+            col("__den") > 0,
+            expr(s"""CAST(
+              CAST(CAST(t_num AS $D38) * t_num * 1000000
+                   div (CAST(n_pos AS $D38) * (n_total - n_pos))
+                   AS $D38)
+              * n_total div __den AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("trend_up", col("t_num") > 0)
+      .select("n_total", "n_pos", "k_levels", "t_num", "z2_ppm",
+        "trend_up")
+  }
+
   /** One-way ANOVA from exact integer moments. `valueIntCol` must already be
     * an exact integer measurement (e.g. cents — the q249 sub-unit
     * discipline). One row out: `n_total, k_groups, ssb, ssw, f_ppm,

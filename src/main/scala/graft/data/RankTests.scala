@@ -174,6 +174,83 @@ object RankTests {
         "chi2_ppm", "w_ppm")
   }
 
+  /** Page's L trend test — [[friedman]]'s ORDERED-alternative sibling
+    * (Page 1963): within complete blocks, do the treatments' ranks RISE
+    * with the treatment order (learning curves, dose schedules, epoch
+    * progression)? L = Σ_j j·R_j over the treatment order j = 1..k.
+    *
+    * Same within-block doubled-midrank pass as [[friedman]]; the order
+    * index comes from one row_number over the k-treatment aggregate frame
+    * (the collapsed-frame exception). In doubled units: L2 = Σ j·R2_j,
+    * E[L2] = b·k(k+1)² div 2 (always even — exact), and under the NO-TIES
+    * null V[L] = b·(k³−k)²/(144(k−1)), so
+    *   z² = (L2 − E[L2])²·36·(k−1) div (b·(k³−k)²)
+    * as exact integer ppm (squared dividend; the tie-corrected variance
+    * is deliberately omitted — declared semantics, conservative under
+    * ties). NULL when k < 2. Ragged panels fail loudly.
+    *
+    * @param treatCol NUMERIC — its ascending order IS the alternative
+    * @return one row: `b_blocks, k_treatments, l2, e_l2, z2_ppm,
+    *         trend_up`
+    */
+  def pageTrend(obs: DataFrame, blockCol: String, treatCol: String,
+                valueCol: String): DataFrame = {
+    val wB = Window.partitionBy(col(blockCol))
+    val wBV = Window.partitionBy(col(blockCol), col(valueCol))
+    val ranked = obs
+      .withColumn("__rank", rank().over(wB.orderBy(col(valueCol))))
+      .withColumn("__teq", count(lit(1)).over(wBV).cast("long"))
+      .withColumn("__r2",
+        lit(2L) * col("__rank") + col("__teq") - lit(1L))
+      .withColumn("__kb", count(lit(1)).over(wB).cast("long"))
+      .withColumn("__kdist",
+        size(collect_set(col(treatCol)).over(wB)).cast("long"))
+    val perT = ranked.groupBy(col(treatCol).as("treat"))
+      .agg(count(lit(1)).cast("long").as("b"),
+        sum("__r2").cast("long").as("r2j"),
+        min("__kb").cast("long").as("__kb_min"),
+        max("__kb").cast("long").as("__kb_max"),
+        min("__kdist").cast("long").as("__kd_min"))
+    val wOrd = Window.orderBy(col("treat"))
+    perT
+      .withColumn("__j", row_number().over(wOrd).cast("long"))
+      .agg(
+        max("b").cast("long").as("b_blocks"),
+        count(lit(1)).cast("long").as("k_treatments"),
+        min("b").cast("long").as("__b_min"),
+        min("__kb_min").cast("long").as("__kb_min"),
+        max("__kb_max").cast("long").as("__kb_max"),
+        min("__kd_min").cast("long").as("__kd_min"),
+        sum(col("__j").cast(D38) * col("r2j")).cast("long").as("l2"))
+      .withColumn("e_l2",
+        expr(s"""CAST(CAST(b_blocks AS $D38) * k_treatments *
+                 (k_treatments + 1) * (k_treatments + 1) div 2
+                 AS BIGINT)"""))
+      .withColumn("z2_ppm",
+        when(col("__b_min") =!= col("b_blocks") ||
+          col("__kb_min") =!= col("k_treatments") ||
+          col("__kb_max") =!= col("k_treatments") ||
+          col("__kd_min") =!= col("k_treatments"),
+          raise_error(concat(
+            lit("pageTrend: ragged panel - every block must have exactly "),
+            col("k_treatments"),
+            lit(" distinct treatments and every treatment all blocks"))))
+          .when(col("k_treatments") > 1,
+            expr(s"""CAST((CAST(l2 AS $D38) - e_l2) *
+                     (CAST(l2 AS $D38) - e_l2) * 36 *
+                     (k_treatments - 1) * 1000000
+                     div (CAST(b_blocks AS $D38) *
+                          (CAST(k_treatments AS $D38) * k_treatments *
+                           k_treatments - k_treatments) *
+                          (CAST(k_treatments AS $D38) * k_treatments *
+                           k_treatments - k_treatments))
+                     AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("trend_up", col("l2") > col("e_l2"))
+      .select("b_blocks", "k_treatments", "l2", "e_l2", "z2_ppm",
+        "trend_up")
+  }
+
   /** [[kruskalWallisFromCounts]] per segment — one H statistic PER GROUP
     * KEY from cells `(segCols…, g, v, c)`: the segment-drift report form
     * (grouped-KS layout). Every window is PARTITIONED by segment, so a

@@ -209,6 +209,64 @@ object SeriesStats {
           .otherwise(lit(null).cast("long")))
   }
 
+  /** Mann–Kendall trend test per series — THE standard monotone-trend
+    * detector for environmental/operational series (distribution-free,
+    * tie-aware): S = Σ_{i<j} sgn(x_j − x_i) over time-ordered pairs, with
+    * the tie-corrected null variance
+    *   18·V = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    * over tied-value group sizes t, and z² = S²·18 div (18·V) as exact
+    * integer ppm (squared dividend; no continuity correction — declared
+    * semantics). NULL when 18·V ≤ 0 (n < 2 or all values tied).
+    *
+    * Scale shape: the pair sweep is ONE self-join per series on the
+    * ALREADY-AGGREGATED series frame (day/hour grain → calendar-bounded,
+    * the q192 Theil–Sen discipline) — O(n²) pairs per series by design,
+    * so per-series length is capped LOUDLY at 10⁵ observations
+    * (aggregate to a coarser grain first); the tie spectrum is one hash
+    * agg.
+    *
+    * @return one row per series: `seriesCols…, n, s_stat, v18, z2_ppm,
+    *         trend_up`
+    */
+  def mannKendall(df: DataFrame, seriesCols: Seq[String], orderCol: String,
+                  valueCol: String): DataFrame = {
+    val seg = seriesCols.map(col)
+    val base = df.select((seg :+ col(orderCol).as("__o") :+
+      col(valueCol).cast("long").as("__x")): _*)
+    val lhs = base.toDF(base.columns.map(c => s"${c}__l").toIndexedSeq: _*)
+    val joinCond = seriesCols.map(c => col(s"${c}__l") === col(c))
+      .reduce(_ && _) && col("__o__l") < col("__o")
+    val pairs = lhs.join(base, joinCond)
+      .groupBy(seg: _*)
+      .agg(sum(signum(col("__x") - col("__x__l")).cast("long"))
+        .cast("long").as("s_stat"))
+    val ties = base
+      .groupBy((seg :+ col("__x")): _*)
+      .agg(count(lit(1)).cast("long").as("t"))
+      .groupBy(seg: _*)
+      .agg(count(lit(1)).cast("long").as("__nvals"),
+        sum("t").cast("long").as("n"),
+        sum(col("t").cast(D38) * (col("t") - 1) *
+          (lit(2) * col("t") + 5)).cast(D38).as("__tie18"))
+    ties.join(pairs, seriesCols, "left")
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("v18",
+        when(col("n") >= lit(100000L),
+          raise_error(concat(lit("mannKendall: series length "), col("n"),
+            lit(" exceeds the O(n^2) pair bound 1e5 - " +
+              "aggregate to a coarser grain first"))))
+          .otherwise(expr(s"""CAST(CAST(n AS $D38) * (n - 1) *
+                   (CAST(2 AS $D38) * n + 5) - __tie18 AS BIGINT)""")))
+      .withColumn("z2_ppm",
+        when(col("v18") > 0,
+          expr(s"""CAST(CAST(s_stat AS $D38) * s_stat * 18 * 1000000
+                   div v18 AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("trend_up", col("s_stat") > 0)
+      .select((seg ++ Seq(col("n"), col("s_stat"), col("v18"),
+        col("z2_ppm"), col("trend_up"))): _*)
+  }
+
   /** Index of dispersion per group over integer counts: the Poisson QA
     * gate (variance-to-mean ≈ 1 for Poisson arrivals; ≫1 = bursty, ≪1 =
     * regularized). χ²_disp = Σ(x−x̄)²/x̄ = (n·Σx² − S²)/S and the VMR

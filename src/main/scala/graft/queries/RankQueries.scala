@@ -28,6 +28,12 @@ import graft.data.{RankTests, SeriesStats}
   *    window partitioned by segment.
   *  - q357 HITS hubs/authorities: exact L1-normalized integer fixed point
   *    over the customer→part bipartite graph, 2 unrolled iterations.
+  *  - q358 Page's L: ordered-alternative trend across Friedman blocks.
+  *  - q359 Mood's median test: k-sample location via the exact grand-
+  *    median split + the q306 chi² kernel.
+  *  - q360 Cochran–Armitage: binary-outcome trend across ordered
+  *    exposure scores.
+  *  - q361 Mann–Kendall: tie-aware monotone trend per daily series.
   *
   * All six follow the exact-integer oracle discipline: doubled midranks,
   * cross-multiplied integer quotients (`div` ≡ DuckDB `//`), sign-split
@@ -173,6 +179,77 @@ object RankQueries {
           col("n_chars").as("v"))
         .agg(count(lit(1)).cast("long").as("c"))
       RankTests.kruskalWallisFromCountsGrouped(cells, Seq("lang"))
+    },
+
+    // PAGE'S L — does the event-type popularity RANK rise with the type's
+    // alphabetical order across day blocks (the ordered alternative
+    // q348's Friedman can't see)? Treatments get their order from one
+    // row_number over the k-type frame; same completeness pre-filter
+    "q358_page_trend" -> { (s, dir) =>
+      val cells = t(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"),
+          expr("""CAST(CASE event_type WHEN 'click' THEN 1
+                  WHEN 'error' THEN 2 WHEN 'purchase' THEN 3
+                  WHEN 'signup' THEN 4 ELSE 5 END AS BIGINT)""").as("tr"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val kGlob = cells.agg(countDistinct("tr").cast("long").as("kk"))
+      val complete = cells.groupBy("dy")
+        .agg(count(lit(1)).cast("long").as("nt"))
+        .crossJoin(broadcast(kGlob))
+        .filter(col("nt") === col("kk")).select("dy")
+      RankTests.pageTrend(cells.join(broadcast(complete), Seq("dy")),
+        "dy", "tr", "cnt")
+    },
+
+    // MOOD'S MEDIAN TEST — the coarsest k-sample location gate (robust to
+    // anything): split every lineitem at the grand upper median of
+    // quantity (smallest v with 2·cum ≥ N+1 on the collapsed domain —
+    // exact integer rule), then chi² on the flag × side 2×3 table via
+    // the q306 kernel. Median frame is domain-sized, broadcast back
+    "q359_mood_median" -> { (s, dir) =>
+      val cells = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("g"),
+          expr("CAST(l_quantity AS BIGINT)").as("v"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val wUp = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rangeBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val med = cells
+        .withColumn("__cum", sum("c").over(wUp).cast("long"))
+        .withColumn("__n", sum("c").over(wAll).cast("long"))
+        .filter(lit(2L) * col("__cum") >= col("__n") + 1)
+        .agg(min("v").as("med"))
+      val sides = cells.crossJoin(broadcast(med))
+        .select(col("g").as("a"),
+          when(col("v") <= col("med"), lit("low")).otherwise(lit("high"))
+            .as("b"),
+          col("c"))
+        .groupBy("a", "b").agg(sum("c").cast("long").as("o"))
+      graft.data.Contingency.chiSquareFromCellsGrouped(sides, Nil)
+    },
+
+    // COCHRAN–ARMITAGE — does the FINISHED-order rate trend with priority
+    // tier (binary outcome × ordered exposure, the dose-response gate
+    // q306's unordered chi² dilutes)? Two exact integer quotients with
+    // one documented ppm floor between them
+    "q360_cochran_armitage" -> { (s, dir) =>
+      val d = t(s, dir, "orders").select(
+        expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("s"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      graft.data.Contingency.cochranArmitage(d, "s", "y")
+    },
+
+    // MANN–KENDALL — monotone trend per daily order-count series
+    // (distribution-free, tie-aware; the hypothesis-test companion of
+    // q192's Theil–Sen slope). O(n²) pair sweep on the calendar-bounded
+    // day frame, loudly capped
+    "q361_mann_kendall" -> { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          expr("unix_micros(o_orderdate) div 86400000000").as("dy"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      SeriesStats.mannKendall(daily, Seq("prio"), "dy", "c")
     },
 
     // HITS hubs/authorities over the customer→part purchase bipartite
@@ -491,6 +568,171 @@ object RankQueries {
                         10 * 1000000) // (16 * CAST(n AS HUGEINT) - 29)
                        AS BIGINT)
                 ELSE NULL END AS z2_ppm
+         FROM f""",
+    "q358_page_trend" ->
+      """WITH cells AS (
+           SELECT epoch_us(ts) // 86400000000 AS dy,
+                  CAST(CASE event_type WHEN 'click' THEN 1
+                       WHEN 'error' THEN 2 WHEN 'purchase' THEN 3
+                       WHEN 'signup' THEN 4 ELSE 5 END AS BIGINT) AS tr,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         kk AS (SELECT count(DISTINCT tr) AS k FROM cells),
+         keep AS (
+           SELECT dy FROM cells GROUP BY dy
+           HAVING count(*) = (SELECT k FROM kk)),
+         c2 AS (SELECT cells.* FROM cells JOIN keep USING (dy)),
+         r AS (
+           SELECT tr,
+                  2 * rank() OVER (PARTITION BY dy ORDER BY cnt)
+                    + count(*) OVER (PARTITION BY dy, cnt) - 1 AS r2
+           FROM c2),
+         pt AS (
+           SELECT tr, CAST(count(*) AS BIGINT) AS b,
+                  CAST(sum(r2) AS BIGINT) AS r2j
+           FROM r GROUP BY 1),
+         pt2 AS (
+           SELECT *, row_number() OVER (ORDER BY tr) AS j,
+                  count(*) OVER () AS kt
+           FROM pt),
+         f AS (
+           SELECT CAST(max(b) AS BIGINT) AS b_blocks,
+                  CAST(max(kt) AS BIGINT) AS k_treatments,
+                  CAST(sum(CAST(j AS HUGEINT) * r2j) AS BIGINT) AS l2
+           FROM pt2),
+         g2 AS (
+           SELECT b_blocks, k_treatments, l2,
+                  CAST((CAST(b_blocks AS HUGEINT) * k_treatments *
+                        (k_treatments + 1) * (k_treatments + 1)) // 2
+                       AS BIGINT) AS e_l2
+           FROM f)
+         SELECT b_blocks, k_treatments, l2, e_l2,
+                CASE WHEN k_treatments > 1 THEN
+                  CAST(((CAST(l2 AS HUGEINT) - e_l2) *
+                        (CAST(l2 AS HUGEINT) - e_l2) * 36 *
+                        (k_treatments - 1) * 1000000) //
+                       (CAST(b_blocks AS HUGEINT) *
+                        (CAST(k_treatments AS HUGEINT) * k_treatments *
+                         k_treatments - k_treatments) *
+                        (CAST(k_treatments AS HUGEINT) * k_treatments *
+                         k_treatments - k_treatments)) AS BIGINT)
+                ELSE NULL END AS z2_ppm,
+                l2 > e_l2 AS trend_up
+         FROM g2""",
+    "q359_mood_median" ->
+      """WITH cells AS (
+           SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1, 2),
+         cum AS (
+           SELECT *,
+                  sum(c) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS cm,
+                  sum(c) OVER () AS nn
+           FROM cells),
+         med AS (SELECT min(v) AS med FROM cum WHERE 2 * cm >= nn + 1),
+         sides AS (
+           SELECT g AS a,
+                  CASE WHEN v <= (SELECT med FROM med) THEN 'low'
+                       ELSE 'high' END AS b,
+                  CAST(sum(c) AS BIGINT) AS o
+           FROM cells GROUP BY 1, 2),
+         m AS (
+           SELECT *,
+                  CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+                  CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+                  CAST(sum(o) OVER () AS BIGINT) AS n
+           FROM sides),
+         t2 AS (
+           SELECT *,
+                  CASE WHEN r > 0 AND c > 0 THEN
+                    CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) *
+                         (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) *
+                         1000000
+                         // (CAST(n AS HUGEINT) * r * c) AS BIGINT)
+                  ELSE 0 END AS term_ppm
+           FROM m),
+         agg AS (
+           SELECT CAST(max(n) AS BIGINT) AS n,
+                  CAST(count(DISTINCT a) FILTER (WHERE r > 0) AS BIGINT)
+                    AS a_levels,
+                  CAST(count(DISTINCT b) FILTER (WHERE c > 0) AS BIGINT)
+                    AS b_levels,
+                  CAST(sum(term_ppm) AS BIGINT) AS chi2_ppm
+           FROM t2)
+         SELECT n, a_levels, b_levels,
+                CAST((a_levels - 1) * (b_levels - 1) AS BIGINT) AS dof,
+                chi2_ppm,
+                CASE WHEN n * (least(a_levels, b_levels) - 1) > 0 THEN
+                  CAST(floor(sqrt(CAST(chi2_ppm AS DOUBLE) /
+                    CAST(n * (least(a_levels, b_levels) - 1) AS DOUBLE) /
+                    1000000.0) * 1000000000.0) AS BIGINT)
+                END AS cramers_v_q9
+         FROM agg""",
+    "q360_cochran_armitage" ->
+      """WITH d AS (
+           SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+           FROM orders),
+         g AS (
+           SELECT s, CAST(count(*) AS BIGINT) AS ni,
+                  CAST(sum(y) AS BIGINT) AS ai
+           FROM d GROUP BY 1),
+         f AS (
+           SELECT CAST(sum(ni) AS BIGINT) AS n_total,
+                  CAST(sum(ai) AS BIGINT) AS n_pos,
+                  CAST(count(*) AS BIGINT) AS k_levels,
+                  CAST(sum(CAST(s AS HUGEINT) * ni) AS HUGEINT) AS ssn,
+                  CAST(sum(CAST(s AS HUGEINT) * ai) AS HUGEINT) AS ssa,
+                  CAST(sum(CAST(s AS HUGEINT) * s * ni) AS HUGEINT)
+                    AS ss2n
+           FROM g),
+         g2 AS (
+           SELECT n_total, n_pos, k_levels,
+                  CAST(CAST(n_total AS HUGEINT) * ssa -
+                       CAST(n_pos AS HUGEINT) * ssn AS BIGINT) AS t_num,
+                  CAST(n_total AS HUGEINT) * ss2n - ssn * ssn AS den
+           FROM f)
+         SELECT n_total, n_pos, k_levels, t_num,
+                CASE WHEN n_pos > 0 AND n_pos < n_total AND den > 0 THEN
+                  CAST(((CAST(t_num AS HUGEINT) * t_num * 1000000 //
+                         (CAST(n_pos AS HUGEINT) * (n_total - n_pos))) *
+                        n_total) // den AS BIGINT)
+                ELSE NULL END AS z2_ppm,
+                t_num > 0 AS trend_up
+         FROM g2""",
+    "q361_mann_kendall" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS prio,
+                  epoch_us(o_orderdate) // 86400000000 AS dy,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1, 2),
+         p AS (
+           SELECT a.prio,
+                  CAST(sum(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+                    AS s_stat
+           FROM daily a JOIN daily b
+             ON a.prio = b.prio AND a.dy < b.dy
+           GROUP BY 1),
+         ties AS (
+           SELECT prio, CAST(sum(t) AS BIGINT) AS n,
+                  CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+                       AS HUGEINT) AS tie18
+           FROM (SELECT prio, c, CAST(count(*) AS BIGINT) AS t
+                 FROM daily GROUP BY 1, 2)
+           GROUP BY 1),
+         f AS (
+           SELECT ties.prio, n, coalesce(s_stat, 0) AS s_stat,
+                  CAST(CAST(n AS HUGEINT) * (n - 1) *
+                       (2 * CAST(n AS HUGEINT) + 5) - tie18 AS BIGINT)
+                    AS v18
+           FROM ties LEFT JOIN p ON ties.prio = p.prio)
+         SELECT prio, n, s_stat, v18,
+                CASE WHEN v18 > 0 THEN
+                  CAST((CAST(s_stat AS HUGEINT) * s_stat * 18 * 1000000)
+                       // v18 AS BIGINT) ELSE NULL END AS z2_ppm,
+                s_stat > 0 AS trend_up
          FROM f""",
     "q356_kw_by_segment" ->
       """WITH cells AS (

@@ -232,6 +232,82 @@ class Round12cSpec extends SparkSpec {
     assert(p.getAs[Long]("z2_ppm") === 4571428L)
   }
 
+  test("RankTests.pageTrend hand values: one block ranked 1<2<3 in " +
+      "treatment order gives L2 = 28, z2 = 2.0 exactly") {
+    val s = spark
+    import s.implicits._
+    val obs = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L))
+      .toDF("blk", "tr", "v")
+    val got = graft.data.RankTests.pageTrend(obs, "blk", "tr", "v")
+      .collect().head
+    assert(got.getAs[Long]("l2") === 28L)   // 1·2 + 2·4 + 3·6
+    assert(got.getAs[Long]("e_l2") === 24L) // 1·3·16 div 2
+    // (28−24)²·36·2·1e6 div (1·24·24) = 2000000
+    assert(got.getAs[Long]("z2_ppm") === 2000000L)
+    assert(got.getAs[Boolean]("trend_up"))
+  }
+
+  test("RankTests.pageTrend: ragged panel fails loudly") {
+    val s = spark
+    import s.implicits._
+    val obs = Seq((1L, 1L, 10L), (1L, 2L, 20L), (2L, 1L, 10L))
+      .toDF("blk", "tr", "v")
+    val e = intercept[Exception] {
+      graft.data.RankTests.pageTrend(obs, "blk", "tr", "v").collect()
+    }
+    assert(Round12Spec.msgs(e).exists(_.contains("ragged panel")))
+  }
+
+  test("Contingency.cochranArmitage hand values: rates 0/2, 1/2, 2/2 " +
+      "across scores 1,2,3 give z2 = 4.0 exactly") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, 0L), (1L, 0L), (2L, 0L), (2L, 1L), (3L, 1L),
+      (3L, 1L)).toDF("s", "y")
+    val got = graft.data.Contingency.cochranArmitage(d, "s", "y")
+      .collect().head
+    assert(got.getAs[Long]("n_total") === 6L)
+    assert(got.getAs[Long]("n_pos") === 3L)
+    assert(got.getAs[Long]("t_num") === 12L) // 6·8 − 3·12
+    // u = 144e6 div 9 = 16e6; z² = 16e6·6 div 24 = 4000000
+    assert(got.getAs[Long]("z2_ppm") === 4000000L)
+    assert(got.getAs[Boolean]("trend_up"))
+  }
+
+  test("Contingency.cochranArmitage degenerates: all-positive and " +
+      "constant-score inputs are NULL") {
+    val s = spark
+    import s.implicits._
+    val allPos = Seq((1L, 1L), (2L, 1L)).toDF("s", "y")
+    val g1 = graft.data.Contingency.cochranArmitage(allPos, "s", "y")
+      .collect().head
+    assert(g1.isNullAt(g1.fieldIndex("z2_ppm")))
+    val oneScore = Seq((2L, 0L), (2L, 1L)).toDF("s", "y")
+    val g2 = graft.data.Contingency.cochranArmitage(oneScore, "s", "y")
+      .collect().head
+    assert(g2.isNullAt(g2.fieldIndex("z2_ppm")))
+  }
+
+  test("SeriesStats.mannKendall hand values: [1,3,2] gives S = 1; " +
+      "[2,2,3] tie-corrects the variance (v18 = 48)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 3L), ("a", 3L, 2L),
+      ("t", 1L, 2L), ("t", 2L, 2L), ("t", 3L, 3L)).toDF("sid", "t", "x")
+    val got = graft.data.SeriesStats
+      .mannKendall(df, Seq("sid"), "t", "x")
+      .collect().map(r => r.getAs[String]("sid") -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("s_stat") === 1L)
+    assert(a.getAs[Long]("v18") === 66L)     // 3·2·11, no ties
+    assert(a.getAs[Long]("z2_ppm") === 272727L)
+    val t = got("t")
+    assert(t.getAs[Long]("s_stat") === 2L)
+    assert(t.getAs[Long]("v18") === 48L)     // 66 − 2·1·9
+    assert(t.getAs[Long]("z2_ppm") === 1500000L) // 4·18e6 div 48
+    assert(t.getAs[Boolean]("trend_up"))
+  }
+
   test("RankTests.kruskalWallisFromCountsGrouped: each segment's H " +
       "equals the ungrouped kernel run on that segment alone") {
     val s = spark
