@@ -252,6 +252,35 @@ object RankQueries {
       SeriesStats.mannKendall(daily, Seq("prio"), "dy", "c")
     },
 
+    // HISTSTORE-BACKED KRUSKAL–WALLIS — q347's 100 TB form, completing
+    // the binned-store tier beside q251 (KS) and q252 (MWU): the k
+    // samples live as GROUPED fixed-bin per-day HistStore partials
+    // (write + append proves mergeability), a date-pruned
+    // |days|·|types|·|bins| fold produces the (g, v, c) cells, and the
+    // SAME RankTests kernel ranks ≤ 20 bins — the raw-value-domain window
+    // is gone; H is exact to the declared 25.0 bin width
+    "q362_kw_binned_store" -> { (s, dir) =>
+      import graft.data.HistStore
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
+        col("value"))
+      val nonce = java.util.UUID.randomUUID().toString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q362_" +
+        s"${s.sparkContext.applicationId}_$nonce"
+      val cut = lit("2024-01-15").cast("date")
+      HistStore.writeDaily(ev.filter(to_date(col("ts")) <= cut),
+        "ts", "value", path, lo = 0.0, width = 25.0, nBins = 20,
+        groupCols = Seq("event_type"))
+      HistStore.appendDaily(ev.filter(to_date(col("ts")) > cut),
+        "ts", "value", path, lo = 0.0, width = 25.0, nBins = 20,
+        groupCols = Seq("event_type"))
+      val cells = s.read.parquet(path)
+        .filter(col("day") >= lit("2024-01-05").cast("date") &&
+          col("day") <= lit("2024-01-25").cast("date"))
+        .groupBy(col("event_type").as("g"), col("bin").as("v"))
+        .agg(sum("n").cast("long").as("c"))
+      RankTests.kruskalWallisFromCounts(cells)
+    },
+
     // HITS hubs/authorities over the customer→part purchase bipartite
     // graph (broad buyers ↔ broadly-bought parts), 2 synchronous steps in
     // exact L1-normalized integer fixed point — the q125 PageRank
@@ -701,6 +730,49 @@ object RankQueries {
                 ELSE NULL END AS z2_ppm,
                 t_num > 0 AS trend_up
          FROM g2""",
+    "q362_kw_binned_store" ->
+      """WITH ev AS (
+           SELECT event_type AS g,
+                  CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT)
+                    AS v
+           FROM events
+           WHERE value IS NOT NULL
+             AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05'
+                                      AND DATE '2024-01-25'),
+         cells AS (
+           SELECT g, v, CAST(count(*) AS BIGINT) AS c
+           FROM ev GROUP BY 1, 2),
+         r AS (
+           SELECT g, c,
+                  2 * coalesce(sum(c) OVER (ORDER BY v
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + sum(c) OVER (ORDER BY v
+                      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1 AS r2,
+                  sum(c) OVER () AS n
+           FROM cells),
+         pg AS (
+           SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+                  CAST(sum(CAST(c AS HUGEINT) * r2) AS HUGEINT) AS r2g,
+                  CAST(sum(CAST(c AS HUGEINT) *
+                       (r2 - (n + 1)) * (r2 - (n + 1))) AS HUGEINT) AS w2g,
+                  CAST(max(n) AS BIGINT) AS n
+           FROM r GROUP BY g),
+         f AS (
+           SELECT CAST(max(n) AS BIGINT) AS n_total,
+                  CAST(count(*) AS BIGINT) AS k_groups,
+                  CAST(sum(w2g) AS BIGINT) AS w2_den,
+                  CAST(sum(((CAST(r2g AS HUGEINT) -
+                             CAST(ng AS HUGEINT) * (n + 1)) *
+                            (CAST(r2g AS HUGEINT) -
+                             CAST(ng AS HUGEINT) * (n + 1)) *
+                            1000000000) // ng) AS BIGINT) AS b2_q9
+           FROM pg)
+         SELECT n_total, k_groups, w2_den, b2_q9,
+                CASE WHEN w2_den > 0 THEN
+                  CAST((CAST(n_total - 1 AS HUGEINT) * b2_q9) //
+                       (CAST(w2_den AS HUGEINT) * 1000) AS BIGINT)
+                ELSE NULL END AS h_ppm
+         FROM f""",
     "q361_mann_kendall" ->
       """WITH daily AS (
            SELECT o_orderpriority AS prio,
