@@ -281,6 +281,28 @@ object RankQueries {
       RankTests.kruskalWallisFromCounts(cells)
     },
 
+    // BOUNDED-RADIUS NEIGHBORHOOD FUNCTION + HARMONIC CENTRALITY — per
+    // part, how many parts sit at co-purchase distance 1/2/3 and the
+    // Σ 1/d closeness surrogate (Boldi–Vigna); hop ≥ 2 expansion goes
+    // only through degree-≤-50 bridges (the q258 hub discipline), the
+    // capped semantics replayed verbatim by the oracle's EXCEPT chain
+    "q363_harmonic_hops" -> { (s, dir) =>
+      val edges = graft.operators.Graphs
+        .coPurchaseEdges(t(s, dir, "lineitem"))
+      val nf = graft.operators.Neighborhood.function(edges, "src", "dst",
+        radius = 3, degCap = 50L)
+      nf.groupBy(col("node").as("part_key"))
+        .agg(
+          sum(when(col("dist") === 1, col("cnt")).otherwise(0L))
+            .cast("long").as("n1"),
+          sum(when(col("dist") === 2, col("cnt")).otherwise(0L))
+            .cast("long").as("n2"),
+          sum(when(col("dist") === 3, col("cnt")).otherwise(0L))
+            .cast("long").as("n3"),
+          sum(col("cnt") * expr("CAST(1000000 div dist AS BIGINT)"))
+            .cast("long").as("harmonic_ppm"))
+    },
+
     // HITS hubs/authorities over the customer→part purchase bipartite
     // graph (broad buyers ↔ broadly-bought parts), 2 synchronous steps in
     // exact L1-normalized integer fixed point — the q125 PageRank
@@ -730,6 +752,41 @@ object RankQueries {
                 ELSE NULL END AS z2_ppm,
                 t_num > 0 AS trend_up
          FROM g2""",
+    "q363_harmonic_hops" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg
+                 FROM e GROUP BY 1),
+         capped AS (
+           SELECT e.src AS w, e.dst AS v
+           FROM e JOIN deg ON e.src = deg.src WHERE dg <= 50),
+         d1 AS (SELECT src AS u, dst AS x FROM e),
+         d2 AS (
+           SELECT DISTINCT d1.u, c.v AS x
+           FROM d1 JOIN capped c ON d1.x = c.w WHERE d1.u <> c.v
+           EXCEPT SELECT u, x FROM d1),
+         d3 AS (
+           SELECT DISTINCT d2.u, c.v AS x
+           FROM d2 JOIN capped c ON d2.x = c.w WHERE d2.u <> c.v
+           EXCEPT (SELECT u, x FROM d1 UNION SELECT u, x FROM d2)),
+         all3 AS (
+           SELECT u, 1 AS d FROM d1
+           UNION ALL SELECT u, 2 AS d FROM d2
+           UNION ALL SELECT u, 3 AS d FROM d3),
+         g AS (SELECT u, d, CAST(count(*) AS BIGINT) AS cnt
+               FROM all3 GROUP BY 1, 2)
+         SELECT u AS part_key,
+                CAST(sum(CASE WHEN d = 1 THEN cnt ELSE 0 END) AS BIGINT)
+                  AS n1,
+                CAST(sum(CASE WHEN d = 2 THEN cnt ELSE 0 END) AS BIGINT)
+                  AS n2,
+                CAST(sum(CASE WHEN d = 3 THEN cnt ELSE 0 END) AS BIGINT)
+                  AS n3,
+                CAST(sum(cnt * (1000000 // d)) AS BIGINT) AS harmonic_ppm
+         FROM g GROUP BY 1""",
     "q362_kw_binned_store" ->
       """WITH ev AS (
            SELECT event_type AS g,
