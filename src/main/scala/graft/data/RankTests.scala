@@ -41,15 +41,21 @@ object RankTests {
     *   H = (N−1)·B/W
     * The per-group quotients have varying denominators, so each is
     * quantized ONCE as an exact q9 floor (positive dividend — a square),
-    * summed as BIGINT `b2_q9`, and H ×10⁶ = (N−1)·b2_q9 div (W·1000).
-    * NULL when W = 0 (every observation one value). The N ≥ 10⁷ bound
-    * fails loudly: the squared dividend needs (2·n_g·N)²·10⁹ < 10³⁸, and
-    * non-ANSI Spark would wrap the DECIMAL overflow to NULL and sum()
-    * would silently drop the group.
+    * summed in DECIMAL(38,0), and H ×10⁶ = (N−1)·b2_q9 div (W·1000).
+    * The audit columns `w2_den` (~N³/3) and `b2_q9` (up to ~4N³·10⁹)
+    * exceed BIGINT long before the 10⁷ exactness bound (empirically at
+    * N ≈ 6·10⁵ on skewed groups), so they stay DECIMAL(38,0) end to end —
+    * the per-group floor uses the mod-subtract identity (D − D mod n)/n
+    * because Spark's `div` narrows to BIGINT — and the hashed surface
+    * emits them as digit STRINGS (both engines print identical digits);
+    * only the bounded `h_ppm` ≤ N·10⁶ is BIGINT. NULL when W = 0 (every
+    * observation one value). The N ≥ 10⁷ bound fails loudly: the squared
+    * dividend needs (2·n_g·N)²·10⁹ < 10³⁸.
     *
     * @param cells one row per (group, value): `g, v, c` with `v` orderable
     *              and `c` a positive count
-    * @return one row: `n_total, k_groups, w2_den, b2_q9, h_ppm`
+    * @return one row: `n_total, k_groups, w2_den (string), b2_q9 (string),
+    *         h_ppm`
     */
   def kruskalWallisFromCounts(cells: DataFrame): DataFrame = {
     val before = Window.orderBy(col("v"))
@@ -72,29 +78,41 @@ object RankTests {
           (col("__r2").cast(D38) - (col("__n") + 1))).cast(D38).as("w2g"),
         max("__n").cast("long").as("n"))
     perG
-      // between-group term (R2_g − n_g(N+1))²·10⁹ div n_g: the one
+      // between-group term (R2_g − n_g(N+1))²·10⁹ floor-div n_g: the one
       // varying-denominator quotient — quantized once per group (q9
-      // floor, positive dividend), then summed exactly
+      // floor, positive dividend), then summed exactly. The quotient can
+      // reach ~4·n_g·N²·10⁹ ≫ 2⁶³, so it must stay DECIMAL: `div` would
+      // narrow to BIGINT and non-ANSI Spark would NULL it silently while
+      // DuckDB's cast errors — the mod-subtract identity keeps the floor
+      // exact in DECIMAL(38,6) (integral, ≤ 10³² representable)
       .withColumn("__b2_q9",
         when(col("n") >= lit(10000000L),
           raise_error(concat(lit("kruskalWallis: N = "), col("n"),
             lit(" exceeds the exact-arithmetic bound 1e7 - " +
               "bucket values / sample first"))))
-          .otherwise(expr(s"""CAST(
+          .otherwise(expr(s"""CAST((
               (CAST(r2g AS $D38) - CAST(ng AS $D38) * (n + 1)) *
               (CAST(r2g AS $D38) - CAST(ng AS $D38) * (n + 1)) *
-              1000000000 div ng AS BIGINT)""")))
+              1000000000 -
+              ((CAST(r2g AS $D38) - CAST(ng AS $D38) * (n + 1)) *
+               (CAST(r2g AS $D38) - CAST(ng AS $D38) * (n + 1)) *
+               1000000000) % ng) / ng AS $D38)"""))
+          .cast(D38))
       .agg(
         max("n").cast("long").as("n_total"),
         count(lit(1)).cast("long").as("k_groups"),
-        sum("w2g").cast("long").as("w2_den"),
-        sum("__b2_q9").cast("long").as("b2_q9"))
+        sum("w2g").cast(D38).as("__w2"),
+        sum("__b2_q9").cast(D38).as("__b2"))
       // H ×10⁶ = (N−1)·B_q9·10⁶ div (W·10⁹) = (N−1)·B_q9 div (W·1000)
       .withColumn("h_ppm",
-        when(col("w2_den") > 0,
-          expr(s"""CAST(CAST(n_total - 1 AS $D38) * b2_q9
-                   div (CAST(w2_den AS $D38) * 1000) AS BIGINT)"""))
+        when(col("__w2") > 0,
+          expr(s"""CAST(CAST(n_total - 1 AS $D38) * __b2
+                   div (__w2 * 1000) AS BIGINT)"""))
           .otherwise(lit(null).cast("long")))
+      .select(col("n_total"), col("k_groups"),
+        col("__w2").cast("string").as("w2_den"),
+        col("__b2").cast("string").as("b2_q9"),
+        col("h_ppm"))
   }
 
   /** Friedman test (+ Kendall's W concordance) from a COMPLETE-BLOCK
@@ -257,8 +275,8 @@ object RankTests {
     * thousand-segment report parallelizes across segments and no task
     * serializes more than one segment's value domain.
     *
-    * @return one row per segment: `segCols…, n_total, k_groups, w2_den,
-    *         b2_q9, h_ppm`
+    * @return one row per segment: `segCols…, n_total, k_groups, w2_den
+    *         (string), b2_q9 (string), h_ppm`
     */
   def kruskalWallisFromCountsGrouped(cells: DataFrame,
                                      segCols: Seq[String]): DataFrame = {
@@ -290,21 +308,30 @@ object RankTests {
           raise_error(concat(lit("kruskalWallis: N = "), col("n"),
             lit(" exceeds the exact-arithmetic bound 1e7 - " +
               "bucket values / sample first"))))
-          .otherwise(expr(s"""CAST(
+          .otherwise(expr(s"""CAST((
               (CAST(r2g AS $D38) - CAST(ng AS $D38) * (n + 1)) *
               (CAST(r2g AS $D38) - CAST(ng AS $D38) * (n + 1)) *
-              1000000000 div ng AS BIGINT)""")))
+              1000000000 -
+              ((CAST(r2g AS $D38) - CAST(ng AS $D38) * (n + 1)) *
+               (CAST(r2g AS $D38) - CAST(ng AS $D38) * (n + 1)) *
+               1000000000) % ng) / ng AS $D38)"""))
+          .cast(D38))
       .groupBy(seg: _*)
       .agg(
         max("n").cast("long").as("n_total"),
         count(lit(1)).cast("long").as("k_groups"),
-        sum("w2g").cast("long").as("w2_den"),
-        sum("__b2_q9").cast("long").as("b2_q9"))
+        sum("w2g").cast(D38).as("__w2"),
+        sum("__b2_q9").cast(D38).as("__b2"))
       .withColumn("h_ppm",
-        when(col("w2_den") > 0,
-          expr(s"""CAST(CAST(n_total - 1 AS $D38) * b2_q9
-                   div (CAST(w2_den AS $D38) * 1000) AS BIGINT)"""))
+        when(col("__w2") > 0,
+          expr(s"""CAST(CAST(n_total - 1 AS $D38) * __b2
+                   div (__w2 * 1000) AS BIGINT)"""))
           .otherwise(lit(null).cast("long")))
+      .select((segCols.map(col) :+ col("n_total")) ++ Seq(
+        col("k_groups"),
+        col("__w2").cast("string").as("w2_den"),
+        col("__b2").cast("string").as("b2_q9"),
+        col("h_ppm")): _*)
   }
 
   /** Jonckheere–Terpstra ordered-alternative test — "does the value TREND
@@ -324,12 +351,16 @@ object RankTests {
     * null = n²(2n+3) − Σ n_g²(2n_g+3) (declared semantics — the
     * tie-corrected variance is deliberately omitted; with heavy ties z²
     * is conservative), and z² = (J−E)²/V = (j2−e_j2)²·18 div v72 as exact
-    * integer ppm (squared dividend). NULL z² when v72 ≤ 0; N ≥ 10⁷ fails
-    * loudly. `trend_up` = (j2 > e_j2) gives the direction.
+    * integer ppm (squared dividend). `v72` ≈ 2n³ exceeds BIGINT at
+    * n ≈ 1.66·10⁶ — far below the 10⁷ exactness bound — so it stays
+    * DECIMAL(38,0) (≤ 2·10²¹ under the guard) and the hashed surface
+    * emits it as a digit STRING; `j2`/`e_j2` ≤ n² ≤ 10¹⁴ and
+    * `z2_ppm` ≲ 5n·10⁶ remain BIGINT. NULL z² when v72 ≤ 0; N ≥ 10⁷
+    * fails loudly. `trend_up` = (j2 > e_j2) gives the direction.
     *
     * @param cells one row per (group, value): `g` (NUMERIC — the group
     *              ORDER is the alternative), `v` orderable, `c` count
-    * @return one row: `n_total, k_groups, j2, e_j2, v72, z2_ppm,
+    * @return one row: `n_total, k_groups, j2, e_j2, v72 (string), z2_ppm,
     *         trend_up`
     */
   def jonckheereFromCounts(cells: DataFrame): DataFrame = {
@@ -360,22 +391,25 @@ object RankTests {
       .withColumn("e_j2",
         expr(s"""CAST((CAST(n_total AS $D38) * n_total - __sq) div 2
                  AS BIGINT)"""))
-      .withColumn("v72",
+      // v72 ≈ 2n³ overflows BIGINT at n ≈ 1.66e6, so it stays DECIMAL
+      // through the z² division and reaches the surface as digits
+      .withColumn("__v72",
         expr(s"""CAST(CAST(n_total AS $D38) * n_total *
-                 (CAST(2 AS $D38) * n_total + 3) - __sq3 AS BIGINT)"""))
+                 (CAST(2 AS $D38) * n_total + 3) - __sq3 AS $D38)"""))
       .withColumn("z2_ppm",
         when(col("n_total") >= lit(10000000L),
           raise_error(concat(lit("jonckheere: N = "), col("n_total"),
             lit(" exceeds the exact-arithmetic bound 1e7 - " +
               "bucket values / sample first"))))
-          .when(col("v72") > 0,
+          .when(col("__v72") > 0,
             expr(s"""CAST((CAST(j2 AS $D38) - e_j2) *
                      (CAST(j2 AS $D38) - e_j2) * 18 * 1000000
-                     div v72 AS BIGINT)"""))
+                     div __v72 AS BIGINT)"""))
           .otherwise(lit(null).cast("long")))
       .withColumn("trend_up", col("j2") > col("e_j2"))
-      .select("n_total", "k_groups", "j2", "e_j2", "v72", "z2_ppm",
-        "trend_up")
+      .select(col("n_total"), col("k_groups"), col("j2"), col("e_j2"),
+        col("__v72").cast("string").as("v72"), col("z2_ppm"),
+        col("trend_up"))
   }
 
   /** Cliff's delta — the ordinal effect size behind q246's U ("HOW

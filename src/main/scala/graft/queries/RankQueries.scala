@@ -102,9 +102,13 @@ object RankQueries {
     // q205 screen's sequential complement)? One lag() pass partitioned by
     // user — parallelism scales with the user dimension
     "q350_runs_test" -> { (s, dir) =>
+      // coalesce: a NULL event_type must count as non-click (the oracle's
+      // CASE WHEN maps NULL to 0) — bare === would NULL the flag and
+      // silently shift n1/n0/runs if the column ever carries NULLs
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_type") === "click").as("is_click"))
+          coalesce(col("event_type") === "click", lit(false))
+            .as("is_click"))
       SeriesStats.runsTest(ev, Seq("user_id"), Seq("ts", "event_id"),
         "is_click")
     },
@@ -273,11 +277,17 @@ object RankQueries {
       HistStore.appendDaily(ev.filter(to_date(col("ts")) > cut),
         "ts", "value", path, lo = 0.0, width = 25.0, nBins = 20,
         groupCols = Seq("event_type"))
+      // the folded cell frame is ≤ |types|·nBins rows: materialize it
+      // eagerly, then reclaim the scratch store — every run writes a
+      // fresh nonce path, so leaving it behind would leak one parquet
+      // store per invocation
       val cells = s.read.parquet(path)
         .filter(col("day") >= lit("2024-01-05").cast("date") &&
           col("day") <= lit("2024-01-25").cast("date"))
         .groupBy(col("event_type").as("g"), col("bin").as("v"))
         .agg(sum("n").cast("long").as("c"))
+        .localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
       RankTests.kruskalWallisFromCounts(cells)
     },
 
@@ -343,17 +353,19 @@ object RankQueries {
          f AS (
            SELECT CAST(max(n) AS BIGINT) AS n_total,
                   CAST(count(*) AS BIGINT) AS k_groups,
-                  CAST(sum(w2g) AS BIGINT) AS w2_den,
+                  CAST(sum(w2g) AS HUGEINT) AS w2,
                   CAST(sum(((CAST(r2g AS HUGEINT) -
                              CAST(ng AS HUGEINT) * (n + 1)) *
                             (CAST(r2g AS HUGEINT) -
                              CAST(ng AS HUGEINT) * (n + 1)) *
-                            1000000000) // ng) AS BIGINT) AS b2_q9
+                            1000000000) // ng) AS HUGEINT) AS b2
            FROM pg)
-         SELECT n_total, k_groups, w2_den, b2_q9,
-                CASE WHEN w2_den > 0 THEN
-                  CAST((CAST(n_total - 1 AS HUGEINT) * b2_q9) //
-                       (CAST(w2_den AS HUGEINT) * 1000) AS BIGINT)
+         SELECT n_total, k_groups,
+                CAST(w2 AS VARCHAR) AS w2_den,
+                CAST(b2 AS VARCHAR) AS b2_q9,
+                CASE WHEN w2 > 0 THEN
+                  CAST((CAST(n_total - 1 AS HUGEINT) * b2) //
+                       (w2 * 1000) AS BIGINT)
                 ELSE NULL END AS h_ppm
          FROM f""",
     "q348_friedman_kendall_w" ->
@@ -562,13 +574,14 @@ object RankQueries {
                        AS BIGINT) AS e_j2,
                   CAST(CAST(n_total AS HUGEINT) * n_total *
                        (2 * CAST(n_total AS HUGEINT) + 3) - sq3
-                       AS BIGINT) AS v72
+                       AS HUGEINT) AS v72h
            FROM f)
-         SELECT n_total, k_groups, j2, e_j2, v72,
-                CASE WHEN v72 > 0 THEN
+         SELECT n_total, k_groups, j2, e_j2,
+                CAST(v72h AS VARCHAR) AS v72,
+                CASE WHEN v72h > 0 THEN
                   CAST(((CAST(j2 AS HUGEINT) - e_j2) *
                         (CAST(j2 AS HUGEINT) - e_j2) * 18 * 1000000)
-                       // v72 AS BIGINT) ELSE NULL END AS z2_ppm,
+                       // v72h AS BIGINT) ELSE NULL END AS z2_ppm,
                 j2 > e_j2 AS trend_up
          FROM g2""",
     "q354_durbin_watson" ->
@@ -817,17 +830,19 @@ object RankQueries {
          f AS (
            SELECT CAST(max(n) AS BIGINT) AS n_total,
                   CAST(count(*) AS BIGINT) AS k_groups,
-                  CAST(sum(w2g) AS BIGINT) AS w2_den,
+                  CAST(sum(w2g) AS HUGEINT) AS w2,
                   CAST(sum(((CAST(r2g AS HUGEINT) -
                              CAST(ng AS HUGEINT) * (n + 1)) *
                             (CAST(r2g AS HUGEINT) -
                              CAST(ng AS HUGEINT) * (n + 1)) *
-                            1000000000) // ng) AS BIGINT) AS b2_q9
+                            1000000000) // ng) AS HUGEINT) AS b2
            FROM pg)
-         SELECT n_total, k_groups, w2_den, b2_q9,
-                CASE WHEN w2_den > 0 THEN
-                  CAST((CAST(n_total - 1 AS HUGEINT) * b2_q9) //
-                       (CAST(w2_den AS HUGEINT) * 1000) AS BIGINT)
+         SELECT n_total, k_groups,
+                CAST(w2 AS VARCHAR) AS w2_den,
+                CAST(b2 AS VARCHAR) AS b2_q9,
+                CASE WHEN w2 > 0 THEN
+                  CAST((CAST(n_total - 1 AS HUGEINT) * b2) //
+                       (w2 * 1000) AS BIGINT)
                 ELSE NULL END AS h_ppm
          FROM f""",
     "q361_mann_kendall" ->
@@ -886,17 +901,19 @@ object RankQueries {
          f AS (
            SELECT lang, CAST(max(n) AS BIGINT) AS n_total,
                   CAST(count(*) AS BIGINT) AS k_groups,
-                  CAST(sum(w2g) AS BIGINT) AS w2_den,
+                  CAST(sum(w2g) AS HUGEINT) AS w2,
                   CAST(sum(((CAST(r2g AS HUGEINT) -
                              CAST(ng AS HUGEINT) * (n + 1)) *
                             (CAST(r2g AS HUGEINT) -
                              CAST(ng AS HUGEINT) * (n + 1)) *
-                            1000000000) // ng) AS BIGINT) AS b2_q9
+                            1000000000) // ng) AS HUGEINT) AS b2
            FROM pg GROUP BY lang)
-         SELECT lang, n_total, k_groups, w2_den, b2_q9,
-                CASE WHEN w2_den > 0 THEN
-                  CAST((CAST(n_total - 1 AS HUGEINT) * b2_q9) //
-                       (CAST(w2_den AS HUGEINT) * 1000) AS BIGINT)
+         SELECT lang, n_total, k_groups,
+                CAST(w2 AS VARCHAR) AS w2_den,
+                CAST(b2 AS VARCHAR) AS b2_q9,
+                CASE WHEN w2 > 0 THEN
+                  CAST((CAST(n_total - 1 AS HUGEINT) * b2) //
+                       (w2 * 1000) AS BIGINT)
                 ELSE NULL END AS h_ppm
          FROM f""",
     "q357_hits" ->

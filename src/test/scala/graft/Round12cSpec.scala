@@ -24,8 +24,8 @@ class Round12cSpec extends SparkSpec {
     // W2 = 1·25 + 3·1 + 2·16 = 60; b2_q9 = 2·(49e9 div 3) = 32666666666
     assert(got.getAs[Long]("n_total") === 6L)
     assert(got.getAs[Long]("k_groups") === 2L)
-    assert(got.getAs[Long]("w2_den") === 60L)
-    assert(got.getAs[Long]("b2_q9") === 32666666666L)
+    assert(got.getAs[String]("w2_den") === "60")
+    assert(got.getAs[String]("b2_q9") === "32666666666")
     // H = 5·32666666666 div 60000 = 2722222 ppm (= 2.7222, the
     // textbook tie-corrected value for this design)
     assert(got.getAs[Long]("h_ppm") === 2722222L)
@@ -38,7 +38,7 @@ class Round12cSpec extends SparkSpec {
     val cells = Seq(("A", 5L, 3L), ("B", 5L, 4L)).toDF("g", "v", "c")
     val got = graft.data.RankTests.kruskalWallisFromCounts(cells)
       .collect().head
-    assert(got.getAs[Long]("w2_den") === 0L)
+    assert(got.getAs[String]("w2_den") === "0")
     assert(got.isNullAt(got.fieldIndex("h_ppm")))
   }
 
@@ -178,7 +178,7 @@ class Round12cSpec extends SparkSpec {
     assert(got.getAs[Long]("j2") === 7L)
     assert(got.getAs[Long]("e_j2") === 4L)   // n_A·n_B = 4
     // v72 = 16·11 − 2·(4·7) = 120; z² = (7−4)²·18e6 div 120 = 1350000
-    assert(got.getAs[Long]("v72") === 120L)
+    assert(got.getAs[String]("v72") === "120")
     assert(got.getAs[Long]("z2_ppm") === 1350000L)
     assert(got.getAs[Boolean]("trend_up"))
   }
@@ -193,7 +193,7 @@ class Round12cSpec extends SparkSpec {
       .collect().head
     assert(got.getAs[Long]("j2") === 6L)
     assert(got.getAs[Long]("e_j2") === 3L)   // (9−3) div 2
-    assert(got.getAs[Long]("v72") === 66L)   // 81 − 3·5
+    assert(got.getAs[String]("v72") === "66")   // 81 − 3·5
     assert(got.getAs[Long]("z2_ppm") === 2454545L) // 9·18e6 div 66
   }
 
@@ -326,7 +326,7 @@ class Round12cSpec extends SparkSpec {
       s1.getAs[Long]("h_ppm"))
     assert(grouped("s1").getAs[Long]("h_ppm") === 2722222L)
     // s2: perfectly separated groups, H = (N−1)·B/W maximal for n=6,k=2
-    assert(grouped("s2").getAs[Long]("w2_den") > 0)
+    assert(grouped("s2").getAs[String]("w2_den").toLong > 0)
   }
 
   test("Hits.fixedPoint hand values: 2-hub/2-authority bipartite graph, " +
