@@ -412,6 +412,126 @@ object RankTests {
         col("trend_up"))
   }
 
+  /** Hoeffding's D independence test from JOINT per-(x, y) counts —
+    * the rank-dependence measure that sees what Spearman (q247) and
+    * Kendall (q248) are blind to: NON-monotone association (a V-shaped
+    * or circular relation has ρ ≈ τ ≈ 0 but D > 0). Hoeffding 1948;
+    * tie conventions per the classical bivariate-rank form (ties count
+    * half, coincident points a quarter).
+    *
+    * Never the O(n²) point-pair space: on the Dx×Dy joint-domain grid,
+    * the bivariate rank Q_i of every point in a cell is a CELL quantity —
+    * quadrupled to stay integral under tie-halving,
+    *   q4 = 4·#[x'<x ∧ y'<y] + 2·#[x'=x ∧ y'<y] + 2·#[x'<x ∧ y'=y]
+    *        + (c − 1),
+    * with the dominance count from the q248 two-window cascade (per-y
+    * prefix over x, then per-x prefix over y) and doubled midranks R2/S2
+    * from the marginal domains. The three Hoeffding sums are emitted in
+    * 16ths (exact integers):
+    *   d1_16 = Σ c·q4·(q4−4)                 [16·Σ(Q−1)(Q−2)]
+    *   d2_16 = Σ c·(R2−2)(R2−4)(S2−2)(S2−4)  [16·Σ(R−1)(R−2)(S−1)(S−2)]
+    *   d3_16 = Σ c·(R2−4)(S2−4)·q4           [16·Σ(R−2)(S−2)(Q−1)]
+    * and D = 30·((n−2)(n−3)D1 + D2 − 2(n−2)D3) / (n(n−1)…(n−4)) comes
+    * out as `d_x1e9` — sign-split, with the q9 floor of |num|/den by
+    * exact two-limb long division because |num|·10⁹ passes both 10³⁸
+    * and HUGEINT near the bound (D ∈ [−0.5, 1]; the numerator CAN be
+    * negative). d2_16 ~ n⁵ passes 2⁶³ at n ≈ 6,200, so all three sums
+    * live in DECIMAL(38,0) and reach the hashed surface as digit
+    * STRINGS (the q347 discipline); every intermediate stays under
+    * 10³⁷ for n < 10⁶, and n ≥ 10⁶ fails loudly. NULL when n < 5
+    * (the U-statistic needs 5 distinct indices).
+    *
+    * @param cells one row per joint value: `x, y, c` (both orderable,
+    *              `c` a positive count)
+    * @return one row: `n_total, d1_16 (string), d2_16 (string),
+    *         d3_16 (string), d_x1e9`
+    */
+  def hoeffdingFromCells(cells: DataFrame): DataFrame = {
+    val wM = Window.partitionBy("y").orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLt = Window.partitionBy("x").orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    // marginal doubled midranks, joined back by their own dimension
+    def marg(dim: String, out: String): DataFrame = {
+      val wb = Window.orderBy(col(dim))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells.groupBy(dim).agg(sum("c").cast("long").as("__t"))
+        .withColumn(out,
+          lit(2L) * coalesce(sum("__t").over(wb), lit(0L)) +
+            col("__t") + 1L)
+        .select(col(dim), col(out))
+    }
+    val grid = cells
+      // dominance needs the DENSE grid (absent cells still relay the
+      // running sums) — the two prefix windows mirror q248's m/g_lt
+      .select("x").distinct().crossJoin(cells.select("y").distinct())
+      .join(cells, Seq("x", "y"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .withColumn("__m", coalesce(sum("c0").over(wM), lit(0L)))
+      .withColumn("__ltlt", coalesce(sum("__m").over(wLt), lit(0L)))
+      .withColumn("__eqlt", coalesce(sum("c0").over(wLt), lit(0L)))
+      .filter(col("c0") > 0L)
+      .join(marg("x", "__r2"), Seq("x"))
+      .join(marg("y", "__s2"), Seq("y"))
+      .withColumn("__q4",
+        lit(4L) * col("__ltlt") + lit(2L) * col("__eqlt") +
+          lit(2L) * col("__m") + (col("c0") - 1L))
+    grid.agg(
+      sum("c0").cast("long").as("n_total"),
+      sum(col("c0").cast(D38) * col("__q4") * (col("__q4") - 4))
+        .cast(D38).as("__d1"),
+      sum(col("c0").cast(D38) *
+        (col("__r2").cast(D38) - 2) * (col("__r2").cast(D38) - 4) *
+        (col("__s2").cast(D38) - 2) * (col("__s2").cast(D38) - 4))
+        .cast(D38).as("__d2"),
+      sum(col("c0").cast(D38) *
+        (col("__r2").cast(D38) - 4) * (col("__s2").cast(D38) - 4) *
+        col("__q4")).cast(D38).as("__d3"))
+      .withColumn("__num",
+        when(col("n_total") >= lit(1000000L),
+          raise_error(concat(lit("hoeffdingD: N = "), col("n_total"),
+            lit(" exceeds the exact-arithmetic bound 1e6 - " +
+              "bucket values / sample first"))))
+          .otherwise(
+            expr(s"""(CAST(n_total - 2 AS $D38) * (n_total - 3) * __d1 +
+                     __d2 -
+                     CAST(2 AS $D38) * (n_total - 2) * __d3) * 30"""))
+          .cast(D38))
+      // |num|·10⁹ would pass 10³⁸ (and HUGEINT) near the n bound, so the
+      // q9 quotient comes out by exact LONG DIVISION in two limbs —
+      // floor(|num|·10⁹/den) = q·10⁹ + r1·10⁴ + floor(rem1·10⁴/den)
+      // with q = |num| div den, r = |num| − q·den, r1 = (r·10⁵) div den,
+      // rem1 = r·10⁵ − r1·den — every product < 10³⁷, every quotient
+      // small; DuckDB replays the identical limbs
+      // den = 1 below n = 5 keeps every limb division defined in both
+      // ANSI and non-ANSI modes (the d_x1e9 branch still emits NULL
+      // there); the oracle replays the same CASE
+      .withColumn("__den",
+        expr(s"""CASE WHEN n_total >= 5 THEN
+                   CAST(16 AS $D38) * n_total * (n_total - 1) *
+                   (n_total - 2) * (n_total - 3) * (n_total - 4)
+                 ELSE CAST(1 AS $D38) END"""))
+      .withColumn("__q", expr("CAST(abs(__num) div __den AS BIGINT)"))
+      .withColumn("__r",
+        expr(s"CAST(abs(__num) - __q * __den AS $D38)"))
+      .withColumn("__r1",
+        expr("CAST((__r * 100000) div __den AS BIGINT)"))
+      .withColumn("__rem1",
+        expr(s"CAST(__r * 100000 - __r1 * __den AS $D38)"))
+      .withColumn("d_x1e9",
+        when(col("n_total") >= 5,
+          (when(col("__num") >= 0, lit(1L)).otherwise(lit(-1L))) *
+            (col("__q") * 1000000000L + col("__r1") * 10000L +
+              expr("CAST((__rem1 * 10000) div __den AS BIGINT)")))
+          .otherwise(lit(null).cast("long")))
+      .select(col("n_total"),
+        col("__d1").cast("string").as("d1_16"),
+        col("__d2").cast("string").as("d2_16"),
+        col("__d3").cast("string").as("d3_16"),
+        col("d_x1e9"))
+  }
+
   /** Cliff's delta — the ordinal effect size behind q246's U ("HOW
     * shifted", where U answers "is it shifted"): δ = (#[a>b] − #[a<b]) /
     * (n_a·n_b) over all cross pairs, computed from per-domain-value counts

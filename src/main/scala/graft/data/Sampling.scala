@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  private val D38 = "decimal(38,0)"
+
   /** 4-hex-digit threshold: rows with md5 prefix strictly below it are kept,
     * so the effective rate is floor(rate * 65536) / 65536 — exact, engine-
     * independent, and monotone in `rate` (raising the rate only ADDS rows,
@@ -248,5 +250,47 @@ object Sampling {
     df.join(broadcast(bounds), Seq(strataCol))
       .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
       .drop("__lo", "__hi")
+  }
+
+  /** Deterministic weight-proportional SYSTEMATIC sample — the
+    * exact-integer complement of [[weightedSample]]'s hash draw (classic
+    * PPS systematic selection, Madow 1949): lay the m stride marks
+    * k·W/m (k = 1..m) along the cumulative weight axis in `keyCol`
+    * order and keep every row whose weight interval (cum−w, cum] covers
+    * a mark. The rule is replayed as two exact integer floors —
+    * keep ⟺ (cum·m) div W > ((cum−w)·m) div W — so both engines select
+    * the identical rows with zero randomness and zero doubles; rows
+    * heavier than one stride are kept ONCE (declared semantics — no
+    * multiplicity), so the sample can be smaller than m in a
+    * heavy-tailed corpus, never larger.
+    *
+    * Shape: the running total comes from
+    * [[graft.operators.GlobalCumsum]] (distributed sort + one partial
+    * sum per partition — never a 1-partition window), the total-weight
+    * frame is one row broadcast back, and the keep rule is a map-side
+    * filter. The floors run in DECIMAL(38,0): cum·m stays exact to
+    * W·m < 10³⁸ and the selected `pick_k` ≤ m fits a long.
+    *
+    * Non-positive / null weights are excluded (a zero-width interval
+    * can cover no mark). `keyCol` must be unique (total order).
+    *
+    * @return the kept rows: `keyCol, weightCol, cum_w, pick_k`
+    */
+  def systematicWeighted(df: DataFrame, keyCol: String, weightCol: String,
+                         m: Int): DataFrame = {
+    require(m > 0, s"sample size must be positive, got $m")
+    val pos = df.select(col(keyCol), col(weightCol).cast("long").as("__w"))
+      .filter(col("__w").isNotNull && col("__w") > 0)
+    val cum = graft.operators.GlobalCumsum
+      .withCumsum(pos, "cum_w", "__w", Seq(keyCol))
+    val tot = cum.agg(max("cum_w").cast("long").as("__tot"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("pick_k",
+        expr(s"""CAST(CAST(cum_w AS $D38) * $m div __tot AS BIGINT)"""))
+      .filter(col("pick_k") >
+        expr(s"""CAST((CAST(cum_w AS $D38) - __w) * $m div __tot
+                 AS BIGINT)"""))
+      .select(col(keyCol), col("__w").as(weightCol), col("cum_w"),
+        col("pick_k"))
   }
 }

@@ -409,6 +409,18 @@ object CorpusQueries {
       Packing.writeShards(docs, "doc_id", nShards = 8, path, salt = "s42|")
       s.read.parquet(path).filter(col("shard") === 3)
         .select("doc_id", "lang", "n_tokens", "shard")
+    },
+
+    // WEIGHT-PROPORTIONAL SYSTEMATIC SAMPLE — 200 documents drawn with
+    // probability ∝ length (the exact-integer PPS complement of q74's
+    // uniform hash rates and q85's E&S draw): stride marks along the
+    // GlobalCumsum running total, the keep rule two integer floors both
+    // engines replay verbatim — zero randomness, zero doubles
+    "q365_systematic_sample" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      graft.data.Sampling.systematicWeighted(docs, "doc_id", "n_chars",
+        m = 200)
     })
 
   private val redactSql: String => String = c =>
@@ -425,6 +437,27 @@ object CorpusQueries {
         + len(regexp_extract_all($c, '[0-9]{6,}')) AS INT)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q365_systematic_sample" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         c AS (
+           SELECT doc_id, w,
+                  sum(w) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_w,
+                  sum(w) OVER () AS tot
+           FROM d),
+         p AS (
+           SELECT doc_id, w, cum_w,
+                  CAST((CAST(cum_w AS HUGEINT) * 200) // tot AS BIGINT)
+                    AS pick_k,
+                  CAST(((CAST(cum_w AS HUGEINT) - w) * 200) // tot
+                       AS BIGINT) AS prev_k
+           FROM c)
+         SELECT doc_id, CAST(w AS BIGINT) AS n_chars,
+                CAST(cum_w AS BIGINT) AS cum_w, pick_k
+         FROM p WHERE pick_k > prev_k""",
     "q341_source_concentration" ->
       """WITH w AS (
            SELECT source,

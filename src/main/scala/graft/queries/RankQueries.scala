@@ -34,6 +34,7 @@ import graft.data.{RankTests, SeriesStats}
   *  - q360 Cochran–Armitage: binary-outcome trend across ordered
   *    exposure scores.
   *  - q361 Mann–Kendall: tie-aware monotone trend per daily series.
+  *  - q364 Pettitt: rank-based changepoint locator per daily series.
   *
   * All six follow the exact-integer oracle discipline: doubled midranks,
   * cross-multiplied integer quotients (`div` ≡ DuckDB `//`), sign-split
@@ -256,6 +257,18 @@ object RankQueries {
       SeriesStats.mannKendall(daily, Seq("prio"), "dy", "c")
     },
 
+    // PETTITT CHANGEPOINT — WHEN did each priority's daily order volume
+    // shift (q361 Mann–Kendall asks IF it trends; this locates the break):
+    // V_t from one collapsed-domain pass, U_t = ΣV via one partitioned
+    // cumulative window, argmax with the declared smallest-day tie-break
+    "q364_pettitt" -> { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          expr("unix_micros(o_orderdate) div 86400000000").as("dy"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      SeriesStats.pettitt(daily, Seq("prio"), "dy", "c")
+    },
+
     // HISTSTORE-BACKED KRUSKAL–WALLIS — q347's 100 TB form, completing
     // the binned-store tier beside q251 (KS) and q252 (MWU): the k
     // samples live as GROUPED fixed-bin per-day HistStore partials
@@ -289,6 +302,18 @@ object RankQueries {
         .localCheckpoint()
       graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
       RankTests.kruskalWallisFromCounts(cells)
+    },
+
+    // HOEFFDING'S D — the rank-dependence test that completes the
+    // q245–q248 family with NON-monotone power: document length vs token
+    // count (the q247/q248 pair) over the COLLAPSED joint domain; grid
+    // windows, quadrupled bivariate ranks, two-limb exact q9 division
+    "q366_hoeffding_d" -> { (s, dir) =>
+      val cells = t(s, dir, "documents")
+        .select(col("n_chars").as("x"),
+          size(split(trim(col("text")), " ")).cast("long").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).cast("long").as("c"))
+      RankTests.hoeffdingFromCells(cells)
     },
 
     // BOUNDED-RADIUS NEIGHBORHOOD FUNCTION + HARMONIC CENTRALITY — per
@@ -765,6 +790,87 @@ object RankQueries {
                 ELSE NULL END AS z2_ppm,
                 t_num > 0 AS trend_up
          FROM g2""",
+    "q366_hoeffding_d" ->
+      """WITH docs AS (
+           SELECT n_chars AS x,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS y
+           FROM documents),
+         joint AS (
+           SELECT x, y, CAST(count(*) AS BIGINT) AS c
+           FROM docs GROUP BY 1, 2),
+         grid AS (
+           SELECT x, y, coalesce(c, 0) AS c0
+           FROM (SELECT DISTINCT x FROM joint)
+             CROSS JOIN (SELECT DISTINCT y FROM joint)
+             LEFT JOIN joint USING (x, y)),
+         w1 AS (
+           SELECT x, y, c0,
+                  coalesce(sum(c0) OVER (PARTITION BY y ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS m,
+                  coalesce(sum(c0) OVER (PARTITION BY x ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS eqlt
+           FROM grid),
+         w2 AS (
+           SELECT x, y, c0, m, eqlt,
+                  coalesce(sum(m) OVER (PARTITION BY x ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS ltlt
+           FROM w1),
+         rx AS (
+           SELECT x, 2 * coalesce(sum(t) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + t + 1 AS r2
+           FROM (SELECT x, CAST(sum(c) AS BIGINT) AS t
+                 FROM joint GROUP BY x)),
+         ry AS (
+           SELECT y, 2 * coalesce(sum(t) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + t + 1 AS s2
+           FROM (SELECT y, CAST(sum(c) AS BIGINT) AS t
+                 FROM joint GROUP BY y)),
+         g AS (
+           SELECT c0, r2, s2,
+                  4 * ltlt + 2 * eqlt + 2 * m + (c0 - 1) AS q4
+           FROM w2 JOIN rx USING (x) JOIN ry USING (y)
+           WHERE c0 > 0),
+         agg AS (
+           SELECT CAST(sum(c0) AS BIGINT) AS n_total,
+                  CAST(sum(CAST(c0 AS HUGEINT) * q4 * (q4 - 4))
+                       AS HUGEINT) AS d1,
+                  CAST(sum(CAST(c0 AS HUGEINT) * (r2 - 2) * (r2 - 4) *
+                       (s2 - 2) * (s2 - 4)) AS HUGEINT) AS d2,
+                  CAST(sum(CAST(c0 AS HUGEINT) * (r2 - 4) * (s2 - 4) * q4)
+                       AS HUGEINT) AS d3
+           FROM g),
+         nm AS (
+           SELECT n_total, d1, d2, d3,
+                  (CAST(n_total - 2 AS HUGEINT) * (n_total - 3) * d1 + d2 -
+                   2 * CAST(n_total - 2 AS HUGEINT) * d3) * 30 AS num,
+                  CASE WHEN n_total >= 5 THEN
+                    16 * CAST(n_total AS HUGEINT) * (n_total - 1) *
+                    (n_total - 2) * (n_total - 3) * (n_total - 4)
+                  ELSE 1 END AS den
+           FROM agg),
+         dv AS (
+           SELECT *, abs(num) // den AS q,
+                  abs(num) - (abs(num) // den) * den AS r
+           FROM nm),
+         dv2 AS (
+           SELECT *, (r * 100000) // den AS r1,
+                  r * 100000 - ((r * 100000) // den) * den AS rem1
+           FROM dv)
+         SELECT n_total,
+                CAST(d1 AS VARCHAR) AS d1_16,
+                CAST(d2 AS VARCHAR) AS d2_16,
+                CAST(d3 AS VARCHAR) AS d3_16,
+                CASE WHEN n_total >= 5 THEN
+                  (CASE WHEN num >= 0 THEN 1 ELSE -1 END) *
+                  CAST(q * 1000000000 + r1 * 10000 + (rem1 * 10000) // den
+                       AS BIGINT)
+                ELSE NULL END AS d_x1e9
+         FROM dv2""",
     "q363_harmonic_hops" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
          e AS (
@@ -845,6 +951,44 @@ object RankQueries {
                        (w2 * 1000) AS BIGINT)
                 ELSE NULL END AS h_ppm
          FROM f""",
+    "q364_pettitt" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS prio,
+                  epoch_us(o_orderdate) // 86400000000 AS dy,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1, 2),
+         dom AS (
+           SELECT prio, c AS x, CAST(count(*) AS BIGINT) AS cnt
+           FROM daily GROUP BY 1, 2),
+         vv AS (
+           SELECT prio, x,
+                  coalesce(sum(cnt) OVER (PARTITION BY prio ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) -
+                  (sum(cnt) OVER (PARTITION BY prio) -
+                   sum(cnt) OVER (PARTITION BY prio ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                    AS v,
+                  sum(cnt) OVER (PARTITION BY prio) AS n
+           FROM dom),
+         uu AS (
+           SELECT d.prio, d.dy, v.n,
+                  sum(v.v) OVER (PARTITION BY d.prio ORDER BY d.dy
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u,
+                  row_number() OVER (PARTITION BY d.prio ORDER BY d.dy)
+                    AS rn
+           FROM daily d JOIN vv v ON d.prio = v.prio AND d.c = v.x),
+         rk AS (
+           SELECT prio, n, abs(u) AS k, dy, u,
+                  row_number() OVER (PARTITION BY prio
+                    ORDER BY abs(u) DESC, dy ASC) AS r
+           FROM uu WHERE rn < n)
+         SELECT prio, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_stat,
+                CAST(dy AS BIGINT) AS t_star, CAST(u AS BIGINT) AS u_star,
+                6 * CAST(k AS HUGEINT) * k * 1000000 >=
+                  3688879 * (CAST(n AS HUGEINT) * n * n +
+                             CAST(n AS HUGEINT) * n) AS significant,
+                u > 0 AS shift_down
+         FROM rk WHERE r = 1""",
     "q361_mann_kendall" ->
       """WITH daily AS (
            SELECT o_orderpriority AS prio,

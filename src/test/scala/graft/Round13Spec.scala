@@ -75,6 +75,104 @@ class Round13Spec extends SparkSpec {
     assert(got.getAs[Boolean]("trend_up"))
   }
 
+  test("SeriesStats.pettitt hand values: [1,2,10,11] breaks after t=2 " +
+      "with K=4; [5,1,1,5] ties break to the smallest day; length-1 " +
+      "series are absent") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 10L), ("a", 4L, 11L),
+      ("b", 1L, 5L), ("b", 2L, 1L), ("b", 3L, 1L), ("b", 4L, 5L),
+      ("c", 1L, 7L))
+      .toDF("sid", "t", "x")
+    val got = graft.data.SeriesStats.pettitt(df, Seq("sid"), "t", "x")
+      .collect().map(r => r.getAs[String]("sid") -> r).toMap
+    // a: V = -3,-1,1,3 -> U = -3,-4,-3 -> K=4 at t=2, upward shift
+    val a = got("a")
+    assert(a.getAs[Long]("n") === 4L)
+    assert(a.getAs[Long]("k_stat") === 4L)
+    assert(a.getAs[Long]("t_star") === 2L)
+    assert(a.getAs[Long]("u_star") === -4L)
+    assert(!a.getAs[Boolean]("shift_down"))
+    assert(!a.getAs[Boolean]("significant")) // 9.6e7 < 3688879*80
+    // b: V = 2,-2,-2,2 -> U = 2,0,-2 -> |U| ties at t=1 and t=3,
+    // declared break to the smallest day
+    val b = got("b")
+    assert(b.getAs[Long]("k_stat") === 2L)
+    assert(b.getAs[Long]("t_star") === 1L)
+    assert(b.getAs[Long]("u_star") === 2L)
+    assert(b.getAs[Boolean]("shift_down"))
+    assert(!got.contains("c")) // no interior split point
+  }
+
+  test("SeriesStats.pettitt past Long.Max significance compare: a " +
+      "2000-point step series is significant with 6K^2*1e6 = 6e24") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 1000).map(i => ("s", i.toLong, 1L)) ++
+      (1001 to 2000).map(i => ("s", i.toLong, 2L))).toDF("sid", "t", "x")
+    val got = graft.data.SeriesStats.pettitt(df, Seq("sid"), "t", "x")
+      .collect().head
+    assert(got.getAs[Long]("n") === 2000L)
+    assert(got.getAs[Long]("k_stat") === 1000000L) // 1000*1000 at t=1000
+    assert(got.getAs[Long]("t_star") === 1000L)
+    assert(got.getAs[Boolean]("significant"))
+    assert(!got.getAs[Boolean]("shift_down")) // values step UP
+  }
+
+  test("Sampling.systematicWeighted hand values: W=10 m=5 keeps every " +
+      "interval covering a stride mark, heavy rows once; m=2 keeps the " +
+      "two crossers") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 3L), ("b", 1L), ("c", 4L), ("d", 2L), ("e", 0L))
+      .toDF("k", "w")
+    val m5 = graft.data.Sampling.systematicWeighted(df, "k", "w", 5)
+      .collect().map(r => (r.getAs[String]("k"),
+        r.getAs[Long]("cum_w"), r.getAs[Long]("pick_k"))).toSet
+    // cum = 3,4,8,10; pick = cum*5 div 10; e excluded (w=0)
+    assert(m5 === Set(("a", 3L, 1L), ("b", 4L, 2L), ("c", 8L, 4L),
+      ("d", 10L, 5L)))
+    val m2 = graft.data.Sampling.systematicWeighted(df, "k", "w", 2)
+      .collect().map(r => (r.getAs[String]("k"),
+        r.getAs[Long]("pick_k"))).toSet
+    assert(m2 === Set(("c", 1L), ("d", 2L)))
+  }
+
+  test("RankTests.hoeffdingFromCells hand values: perfect monotone " +
+      "n=5 gives D = 1 exactly; full tie degeneracy replays -2.5") {
+    val s = spark
+    import s.implicits._
+    val mono = (1L to 5L).map(i => (i, i, 1L)).toDF("x", "y", "c")
+    val got = graft.data.RankTests.hoeffdingFromCells(mono)
+      .collect().head
+    assert(got.getAs[Long]("n_total") === 5L)
+    assert(got.getAs[String]("d1_16") === "320")
+    assert(got.getAs[String]("d2_16") === "2944")
+    assert(got.getAs[String]("d3_16") === "800")
+    assert(got.getAs[Long]("d_x1e9") === 1000000000L)
+    // one coincident cell of 5: Q = 2, R = S = 3 -> D = -2.5 (the
+    // documented heavy-tie excursion below -0.5, replayed exactly)
+    val ties = Seq((7L, 7L, 5L)).toDF("x", "y", "c")
+    val t2 = graft.data.RankTests.hoeffdingFromCells(ties)
+      .collect().head
+    assert(t2.getAs[String]("d1_16") === "0")
+    assert(t2.getAs[String]("d2_16") === "320")
+    assert(t2.getAs[String]("d3_16") === "80")
+    assert(t2.getAs[Long]("d_x1e9") === -2500000000L)
+  }
+
+  test("RankTests.hoeffdingFromCells degenerate: n = 4 < 5 has NULL D " +
+      "but exact audit sums") {
+    val s = spark
+    import s.implicits._
+    val cells = (1L to 4L).map(i => (i, i, 1L)).toDF("x", "y", "c")
+    val got = graft.data.RankTests.hoeffdingFromCells(cells)
+      .collect().head
+    assert(got.getAs[Long]("n_total") === 4L)
+    assert(got.isNullAt(got.fieldIndex("d_x1e9")))
+  }
+
   test("runs-test click flag: NULL event_type counts as non-click " +
       "(the oracle's CASE WHEN semantics), not as a NULL flag") {
     val s = spark
