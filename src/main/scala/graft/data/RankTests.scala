@@ -412,6 +412,106 @@ object RankTests {
         col("trend_up"))
   }
 
+  /** Lepage two-sample location–scale test from per-domain-value counts
+    * `(v, ca, cb)` — the joint "did the center OR the spread move" gate
+    * (Lepage 1971): L = z²_W + z²_AB, the standardized Wilcoxon rank-sum
+    * (location, q246's statistic) plus the standardized Ansari–Bradley
+    * (scale: ranks folded from both ends, a = min(r, n+1−r)), both from
+    * ONE ordered pass over the collapsed combined domain.
+    *
+    * Doubled midranks keep everything integral: r2 as usual, the folded
+    * score a2 = min(r2, 2(n+1) − r2), W2 = Σ ca·r2, A2 = Σ ca·a2. With
+    * the declared NO-TIES null variances (the [[jonckheereFromCounts]]
+    * convention — conservative under heavy ties):
+    *   z²_W  = 3·(W2 − n_a(n+1))² / (n_a·n_b·(n+1))
+    *   z²_AB = 3(n−1)·(2A2 − n_a(n+2))² / (n_a·n_b·(n+2)(n−2))   n even
+    *         = 3·(2n·A2 − n_a(n+1)²)² / (n_a·n_b·(n+1)(3+n²))    n odd
+    * all exact integer quotients (squared dividends). The odd-parity
+    * dividend ~12n⁶ needs n < 10⁶ for DECIMAL(38,0) exactness (fails
+    * loudly above), and its ·10⁶ ppm scaling would pass 10³⁸ — so both
+    * z² floors come out by exact TWO-LIMB long division (the
+    * [[hoeffdingFromCells]] recipe): q0 = num div den, then q0·10⁶ +
+    * (rem·10⁶) div den. NULL when either sample is empty or n ≤ 2.
+    *
+    * @return one row: `n_total, n_a, n_b, w2, ab2, zw2_ppm, za2_ppm,
+    *         lepage_ppm`
+    */
+  def lepageFromCounts(counts: DataFrame): DataFrame = {
+    val before = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    val ranked = counts
+      .withColumn("__t", (col("ca") + col("cb")).cast("long"))
+      .withColumn("__cum", coalesce(sum("__t").over(before), lit(0L)))
+      .withColumn("__n", sum("__t").over(all).cast("long"))
+      .withColumn("__r2", lit(2L) * col("__cum") + col("__t") + 1L)
+      .withColumn("__a2",
+        least(col("__r2"), lit(2L) * (col("__n") + 1) - col("__r2")))
+    val agg = ranked.agg(
+      max("__n").cast("long").as("n_total"),
+      sum("ca").cast("long").as("n_a"),
+      sum("cb").cast("long").as("n_b"),
+      sum(col("ca").cast(D38) * col("__r2")).cast("long").as("w2"),
+      sum(col("ca").cast(D38) * col("__a2")).cast("long").as("ab2"))
+    val valid = col("n_a") > 0 && col("n_b") > 0 && col("n_total") > 2
+    agg
+      .withColumn("__numw",
+        when(col("n_total") >= lit(1000000L),
+          raise_error(concat(lit("lepage: N = "), col("n_total"),
+            lit(" exceeds the exact-arithmetic bound 1e6 - " +
+              "bucket values / sample first"))))
+          .otherwise(expr(s"""
+            CAST(3 AS $D38) *
+            (CAST(w2 AS $D38) - CAST(n_a AS $D38) * (n_total + 1)) *
+            (CAST(w2 AS $D38) - CAST(n_a AS $D38) * (n_total + 1))"""))
+          .cast(D38))
+      .withColumn("__denw",
+        when(valid, expr(s"""CAST(n_a AS $D38) * n_b * (n_total + 1)"""))
+          .otherwise(lit(1).cast(D38)))
+      .withColumn("__numa",
+        expr(s"""CASE WHEN n_total % 2 = 0 THEN
+                   CAST(3 AS $D38) * (n_total - 1) *
+                   (CAST(2 AS $D38) * ab2 - CAST(n_a AS $D38) *
+                    (n_total + 2)) *
+                   (CAST(2 AS $D38) * ab2 - CAST(n_a AS $D38) *
+                    (n_total + 2))
+                 ELSE
+                   CAST(3 AS $D38) *
+                   (CAST(2 AS $D38) * n_total * ab2 - CAST(n_a AS $D38) *
+                    (n_total + 1) * (n_total + 1)) *
+                   (CAST(2 AS $D38) * n_total * ab2 - CAST(n_a AS $D38) *
+                    (n_total + 1) * (n_total + 1))
+                 END"""))
+      .withColumn("__dena",
+        when(valid,
+          expr(s"""CASE WHEN n_total % 2 = 0 THEN
+                     CAST(n_a AS $D38) * n_b * (n_total + 2) *
+                     (n_total - 2)
+                   ELSE
+                     CAST(n_a AS $D38) * n_b * (n_total + 1) *
+                     (CAST(n_total AS $D38) * n_total + 3)
+                   END"""))
+          .otherwise(lit(1).cast(D38)))
+      // two-limb exact q6 floors (num·10⁶ would pass 10³⁸ at the bound)
+      .withColumn("__qw", expr("CAST(__numw div __denw AS BIGINT)"))
+      .withColumn("__qa", expr("CAST(__numa div __dena AS BIGINT)"))
+      .withColumn("zw2_ppm",
+        when(valid,
+          col("__qw") * 1000000L +
+            expr(s"""CAST((__numw - __qw * __denw) * 1000000 div __denw
+                     AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("za2_ppm",
+        when(valid,
+          col("__qa") * 1000000L +
+            expr(s"""CAST((__numa - __qa * __dena) * 1000000 div __dena
+                     AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("lepage_ppm", col("zw2_ppm") + col("za2_ppm"))
+      .select("n_total", "n_a", "n_b", "w2", "ab2", "zw2_ppm",
+        "za2_ppm", "lepage_ppm")
+  }
+
   /** Hoeffding's D independence test from JOINT per-(x, y) counts —
     * the rank-dependence measure that sees what Spearman (q247) and
     * Kendall (q248) are blind to: NON-monotone association (a V-shaped

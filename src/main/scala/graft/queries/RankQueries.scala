@@ -304,6 +304,21 @@ object RankQueries {
       RankTests.kruskalWallisFromCounts(cells)
     },
 
+    // LEPAGE LOCATION–SCALE — did English vs German document length move
+    // in CENTER or SPREAD (q349's delta gives the shift size; this tests
+    // both moments jointly): standardized Wilcoxon + Ansari–Bradley off
+    // one collapsed-domain pass, two-limb exact q6 floors
+    "q367_lepage" -> { (s, dir) =>
+      val dom = t(s, dir, "documents")
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("n_chars").as("v"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L))
+            .cast("long").as("ca"),
+          sum(when(col("lang") === "de", 1L).otherwise(0L))
+            .cast("long").as("cb"))
+      RankTests.lepageFromCounts(dom)
+    },
+
     // HOEFFDING'S D — the rank-dependence test that completes the
     // q245–q248 family with NON-monotone power: document length vs token
     // count (the q247/q248 pair) over the COLLAPSED joint domain; grid
@@ -790,6 +805,76 @@ object RankQueries {
                 ELSE NULL END AS z2_ppm,
                 t_num > 0 AS trend_up
          FROM g2""",
+    "q367_lepage" ->
+      """WITH dom AS (
+           SELECT n_chars AS v,
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cb
+           FROM documents WHERE lang IN ('en', 'de') GROUP BY 1),
+         r AS (
+           SELECT ca, cb,
+                  2 * coalesce(sum(ca + cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + (ca + cb) + 1 AS r2,
+                  sum(ca + cb) OVER () AS n
+           FROM dom),
+         rr AS (SELECT *, least(r2, 2 * (n + 1) - r2) AS a2 FROM r),
+         agg AS (
+           SELECT CAST(max(n) AS BIGINT) AS n_total,
+                  CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cb) AS BIGINT) AS n_b,
+                  CAST(sum(CAST(ca AS HUGEINT) * r2) AS BIGINT) AS w2,
+                  CAST(sum(CAST(ca AS HUGEINT) * a2) AS BIGINT) AS ab2
+           FROM rr),
+         nd AS (
+           SELECT *,
+                  3 * (CAST(w2 AS HUGEINT) -
+                       CAST(n_a AS HUGEINT) * (n_total + 1)) *
+                      (CAST(w2 AS HUGEINT) -
+                       CAST(n_a AS HUGEINT) * (n_total + 1)) AS numw,
+                  CASE WHEN n_a > 0 AND n_b > 0 AND n_total > 2 THEN
+                    CAST(n_a AS HUGEINT) * n_b * (n_total + 1)
+                  ELSE 1 END AS denw,
+                  CASE WHEN n_total % 2 = 0 THEN
+                    3 * (n_total - 1) *
+                    (2 * CAST(ab2 AS HUGEINT) -
+                     CAST(n_a AS HUGEINT) * (n_total + 2)) *
+                    (2 * CAST(ab2 AS HUGEINT) -
+                     CAST(n_a AS HUGEINT) * (n_total + 2))
+                  ELSE
+                    3 * (2 * CAST(n_total AS HUGEINT) * ab2 -
+                         CAST(n_a AS HUGEINT) * (n_total + 1) *
+                         (n_total + 1)) *
+                        (2 * CAST(n_total AS HUGEINT) * ab2 -
+                         CAST(n_a AS HUGEINT) * (n_total + 1) *
+                         (n_total + 1))
+                  END AS numa,
+                  CASE WHEN n_a > 0 AND n_b > 0 AND n_total > 2 THEN
+                    CASE WHEN n_total % 2 = 0 THEN
+                      CAST(n_a AS HUGEINT) * n_b * (n_total + 2) *
+                      (n_total - 2)
+                    ELSE
+                      CAST(n_a AS HUGEINT) * n_b * (n_total + 1) *
+                      (CAST(n_total AS HUGEINT) * n_total + 3)
+                    END
+                  ELSE 1 END AS dena
+           FROM agg),
+         lm AS (
+           SELECT *, numw // denw AS qw, numa // dena AS qa FROM nd),
+         z AS (
+           SELECT n_total, n_a, n_b, w2, ab2,
+                  CASE WHEN n_a > 0 AND n_b > 0 AND n_total > 2 THEN
+                    CAST(qw * 1000000 +
+                         ((numw - qw * denw) * 1000000) // denw AS BIGINT)
+                  ELSE NULL END AS zw2_ppm,
+                  CASE WHEN n_a > 0 AND n_b > 0 AND n_total > 2 THEN
+                    CAST(qa * 1000000 +
+                         ((numa - qa * dena) * 1000000) // dena AS BIGINT)
+                  ELSE NULL END AS za2_ppm
+           FROM lm)
+         SELECT *, zw2_ppm + za2_ppm AS lepage_ppm FROM z""",
     "q366_hoeffding_d" ->
       """WITH docs AS (
            SELECT n_chars AS x,

@@ -173,6 +173,81 @@ class Round13Spec extends SparkSpec {
     assert(got.isNullAt(got.fieldIndex("d_x1e9")))
   }
 
+  test("RankTests.lepageFromCounts hand values: pure shift excites the " +
+      "Wilcoxon term, pure spread the Ansari-Bradley term") {
+    val s = spark
+    import s.implicits._
+    // shift: A=[1,2] vs B=[3,4] -> zW^2 = 2.4, zAB^2 = 0
+    val shift = Seq((1L, 1L, 0L), (2L, 1L, 0L), (3L, 0L, 1L),
+      (4L, 0L, 1L)).toDF("v", "ca", "cb")
+    val g1 = graft.data.RankTests.lepageFromCounts(shift).collect().head
+    assert(g1.getAs[Long]("n_total") === 4L)
+    assert(g1.getAs[Long]("w2") === 6L)   // doubled ranks 2+4
+    assert(g1.getAs[Long]("ab2") === 6L)  // folded 2+4
+    assert(g1.getAs[Long]("zw2_ppm") === 2400000L) // 3*16/20
+    assert(g1.getAs[Long]("za2_ppm") === 0L)
+    assert(g1.getAs[Long]("lepage_ppm") === 2400000L)
+    // spread: A=[1,4] vs B=[2,3] -> zW^2 = 0, zAB^2 = 3
+    val spread = Seq((1L, 1L, 0L), (2L, 0L, 1L), (3L, 0L, 1L),
+      (4L, 1L, 0L)).toDF("v", "ca", "cb")
+    val g2 = graft.data.RankTests.lepageFromCounts(spread).collect().head
+    assert(g2.getAs[Long]("zw2_ppm") === 0L)
+    assert(g2.getAs[Long]("za2_ppm") === 3000000L) // 3*3*16/48
+    // odd n: A=[1,2] vs B=[3] -> zW^2 = 1.5, zAB^2 = 0.5
+    val odd = Seq((1L, 1L, 0L), (2L, 1L, 0L), (3L, 0L, 1L))
+      .toDF("v", "ca", "cb")
+    val g3 = graft.data.RankTests.lepageFromCounts(odd).collect().head
+    assert(g3.getAs[Long]("zw2_ppm") === 1500000L) // 3*4/8
+    assert(g3.getAs[Long]("za2_ppm") === 500000L)  // 3*16/96
+    assert(g3.getAs[Long]("lepage_ppm") === 2000000L)
+  }
+
+  test("RankTests.lepageFromCounts degenerate: an empty side is NULL") {
+    val s = spark
+    import s.implicits._
+    val oneSided = Seq((1L, 2L, 0L), (2L, 3L, 0L)).toDF("v", "ca", "cb")
+    val got = graft.data.RankTests.lepageFromCounts(oneSided)
+      .collect().head
+    assert(got.isNullAt(got.fieldIndex("zw2_ppm")))
+    assert(got.isNullAt(got.fieldIndex("lepage_ppm")))
+  }
+
+  test("Cuped.estimate hand values: theta = 2.6 exactly in q9, the " +
+      "adjusted lift replays the quantized theta") {
+    val s = spark
+    import s.implicits._
+    // t: (2,10),(4,14); c: (1,5),(3,9) -> C=52 V=20 theta=2.6
+    // diff = 12-7 = 5; adj = 5 - 2.6*(3-2) = 2.4
+    val pu = Seq((true, 2L, 10L), (true, 4L, 14L),
+      (false, 1L, 5L), (false, 3L, 9L)).toDF("treat", "x", "y")
+    val got = graft.ml.Cuped.estimate(pu, "treat", "x", "y")
+      .collect().head
+    assert(got.getAs[Long]("n_units") === 4L)
+    assert(got.getAs[Long]("n_t") === 2L)
+    assert(got.getAs[Long]("n_c") === 2L)
+    assert(got.getAs[Long]("theta_q9") === 2600000000L)
+    assert(got.getAs[Long]("diff_x1e6") === 5000000L)
+    assert(got.getAs[Long]("adj_x1e6") === 2400000L)
+  }
+
+  test("Cuped.estimate degenerates: constant covariate gives theta 0 " +
+      "and adj = diff; an empty arm gives NULL estimates") {
+    val s = spark
+    import s.implicits._
+    val flat = Seq((true, 7L, 10L), (true, 7L, 14L),
+      (false, 7L, 5L), (false, 7L, 9L)).toDF("treat", "x", "y")
+    val g1 = graft.ml.Cuped.estimate(flat, "treat", "x", "y")
+      .collect().head
+    assert(g1.getAs[Long]("theta_q9") === 0L)
+    assert(g1.getAs[Long]("adj_x1e6") === g1.getAs[Long]("diff_x1e6"))
+    val oneArm = Seq((true, 1L, 2L), (true, 2L, 3L))
+      .toDF("treat", "x", "y")
+    val g2 = graft.ml.Cuped.estimate(oneArm, "treat", "x", "y")
+      .collect().head
+    assert(g2.isNullAt(g2.fieldIndex("diff_x1e6")))
+    assert(g2.isNullAt(g2.fieldIndex("adj_x1e6")))
+  }
+
   test("runs-test click flag: NULL event_type counts as non-click " +
       "(the oracle's CASE WHEN semantics), not as a NULL flag") {
     val s = spark
