@@ -203,4 +203,78 @@ object RankStats {
           .cast("long").as("cb"))
       .filter(col("ca") + col("cb") > 0L)
   }
+
+  /** Exact α-trimmed and winsorized means per group from per-value
+    * counts `(groupCols…, v, c)` — the robust-metric hardening a
+    * pipeline applies before any mean-based gate (one fat-fingered
+    * 10⁹-unit outlier must not move the needle): drop (trimmed) or clamp
+    * (winsorized) the k = ⌊n·α⌋ most extreme observations per side,
+    * α = `trimPermille`/1000.
+    *
+    * All exact integers off ONE ordered pass over the per-group
+    * COLLAPSED value domain: a value's kept multiplicity is the interval
+    * overlap max(0, min(cum, n−k) − max(cum−c, k)) — no per-row rank,
+    * no quadratic anything; the boundary order statistics v_lo =
+    * v₍ₖ₊₁₎ and v_hi = v₍ₙ₋ₖ₎ fall out of the same cumulative frame
+    * (min v with cum ≥ k+1 / ≥ n−k — v rises with cum, so min() finds
+    * the boundary), and the winsorized sum is trimmedSum + k·(v_lo +
+    * v_hi). Means emit as sign-split exact ×10⁶ floors; both lie in
+    * [v_lo, v_hi], so the loud |v_lo|,|v_hi| < 10¹² bound keeps every
+    * quotient in BIGINT (pre-scale coarser units first).
+    *
+    * @param trimPermille per-side trim fraction in permille, 0 ≤ tp < 500
+    * @return one row per group: `groupCols…, n, k_trim, v_lo, v_hi,
+    *         trimmed_mean_x1e6, winsor_mean_x1e6`
+    */
+  def trimmedMeansFromCounts(cells: DataFrame, groupCols: Seq[String],
+                             trimPermille: Int): DataFrame = {
+    require(trimPermille >= 0 && trimPermille < 500,
+      s"per-side trim must be in [0, 500) permille, got $trimPermille")
+    val seg = groupCols.map(col)
+    val wUp = Window.partitionBy(seg: _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(seg: _*)
+    val c1 = cells
+      .withColumn("__upto", sum("c").over(wUp).cast("long"))
+      .withColumn("__before", col("__upto") - col("c"))
+      .withColumn("__n", sum("c").over(wAll).cast("long"))
+      .withColumn("__k",
+        expr(s"CAST(__n * $trimPermille div 1000 AS BIGINT)"))
+      .withColumn("__inc",
+        greatest(lit(0L),
+          least(col("__upto"), col("__n") - col("__k")) -
+            greatest(col("__before"), col("__k"))))
+    val agg = c1.groupBy(seg: _*).agg(
+      max("__n").cast("long").as("n"),
+      max("__k").cast("long").as("k_trim"),
+      sum(col("v").cast(D38) * col("__inc")).cast(D38).as("__ts"),
+      min(when(col("__upto") >= col("__k") + 1, col("v")))
+        .cast("long").as("v_lo"),
+      min(when(col("__upto") >= col("__n") - col("__k"), col("v")))
+        .cast("long").as("v_hi"))
+    agg
+      .withColumn("v_lo",
+        when(greatest(abs(col("v_lo")), abs(col("v_hi"))) >=
+          lit(1000000000000L),
+          raise_error(lit("trimmedMeans: |value| exceeds the " +
+            "exact-arithmetic bound 1e12 - pre-scale to coarser units")))
+          .otherwise(col("v_lo")))
+      .withColumn("__ws",
+        expr(s"""CAST(__ts + CAST(k_trim AS $D38) * v_lo +
+                 CAST(k_trim AS $D38) * v_hi AS $D38)"""))
+      .withColumn("trimmed_mean_x1e6",
+        when(col("n") - lit(2L) * col("k_trim") > 0,
+          (when(col("__ts") >= 0, lit(1L)).otherwise(lit(-1L))) *
+            expr(s"""CAST(abs(__ts) * 1000000
+                     div (n - 2 * k_trim) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("winsor_mean_x1e6",
+        when(col("n") > 0,
+          (when(col("__ws") >= 0, lit(1L)).otherwise(lit(-1L))) *
+            expr("CAST(abs(__ws) * 1000000 div n AS BIGINT)"))
+          .otherwise(lit(null).cast("long")))
+      .select((seg ++ Seq(col("n"), col("k_trim"), col("v_lo"),
+        col("v_hi"), col("trimmed_mean_x1e6"),
+        col("winsor_mean_x1e6"))): _*)
+  }
 }

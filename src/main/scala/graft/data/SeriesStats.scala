@@ -298,6 +298,48 @@ object SeriesStats {
         Seq(col("n"), col("sum_c"), col("chi2_ppm"), col("vmr_ppm"))): _*)
   }
 
+  /** Ljung–Box portmanteau test per series (Ljung & Box 1978) — "is this
+    * series white noise ACROSS the first L lags jointly", the closing
+    * statistic of the [[acf]] family: Q = n(n+2)·Σ_{k≤L} ρ̂_k²/(n−k),
+    * χ²_L under the null.
+    *
+    * Composition discipline (the q359 Mood shape): each ρ̂_k comes from
+    * the [[acf]] kernel's already-quantized sign-split ×10⁶ surface, so
+    * Q replays EXACTLY from L declared-quantized inputs — per-lag term
+    * t_k = ρ_k,x1e6² div (n−k) (the one varying-denominator floor, KW
+    * discipline), lb_x1e6 = n(n+2)·Σt div 10⁶. Constant/short series
+    * contribute no term at the affected lags; `n_lags` reports how many
+    * of the L lags actually entered. NULL Q when none did. L lead()
+    * passes, each PARTITIONED by series.
+    *
+    * @return one row per series: `seriesCols…, n, n_lags, lb_x1e6`
+    */
+  def ljungBox(df: DataFrame, seriesCols: Seq[String], orderCol: String,
+               valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be positive, got $maxLag")
+    val per = (1 to maxLag).map { k =>
+      acf(df, seriesCols, orderCol, valueCol, k)
+        .withColumn("__k", lit(k.toLong))
+    }.reduce(_.unionByName(_))
+    per
+      .withColumn("__t",
+        when(col("acf_x1e6").isNotNull && col("n") > col("__k"),
+          expr(s"""CAST(CAST(acf_x1e6 AS $D38) * acf_x1e6
+                   div (n - __k) AS BIGINT)""")))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(max("n").cast("long").as("n"),
+        sum(when(col("__t").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_lags"),
+        sum("__t").cast(D38).as("__T"))
+      .withColumn("lb_x1e6",
+        when(col("n_lags") > 0,
+          expr(s"""CAST(CAST(n AS $D38) * (n + 2) * __T div 1000000
+                   AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .select((seriesCols.map(col) ++
+        Seq(col("n"), col("n_lags"), col("lb_x1e6"))): _*)
+  }
+
   /** Pettitt changepoint test per series (Pettitt 1979) — the rank-based
     * "WHEN did this series shift" companion of [[mannKendall]]'s "does it
     * trend": U_t = Σ_{i≤t, j>t} sgn(x_i − x_j), K = max_t |U_t|, and the

@@ -41,11 +41,22 @@ object Cuped {
   private val D38 = "decimal(38,0)"
 
   def estimate(perUnit: DataFrame, treatCol: String, xCol: String,
-               yCol: String): DataFrame = {
+               yCol: String): DataFrame =
+    estimateGrouped(perUnit, Nil, treatCol, xCol, yCol)
+
+  /** [[estimate]] per segment — one θ and one adjusted lift PER GROUP
+    * KEY (the heterogeneous-treatment-effect report form): every sum is
+    * one grouped hash aggregation, the limb arithmetic rides each row of
+    * the collapsed per-segment frame. Same bounds and NULL semantics,
+    * enforced per segment.
+    */
+  def estimateGrouped(perUnit: DataFrame, groupCols: Seq[String],
+                      treatCol: String, xCol: String,
+                      yCol: String): DataFrame = {
     val x = col(xCol).cast(D38)
     val y = col(yCol).cast(D38)
     val t = col(treatCol)
-    val agg = perUnit.agg(
+    val agg = perUnit.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).cast("long").as("n_units"),
       sum(when(t, 1L).otherwise(0L)).cast("long").as("n_t"),
       sum(when(t, 0L).otherwise(1L)).cast("long").as("n_c"),
@@ -128,7 +139,8 @@ object Cuped {
               expr(s"""CAST((abs(__a) - __qa * __den9) * 1000000
                        div __den9 AS BIGINT)""")))
           .otherwise(lit(null).cast("long")))
-      .select("n_units", "n_t", "n_c", "theta_q9", "diff_x1e6",
-        "adj_x1e6")
+      .select((groupCols.map(col) ++ Seq(col("n_units"), col("n_t"),
+        col("n_c"), col("theta_q9"), col("diff_x1e6"),
+        col("adj_x1e6"))): _*)
   }
 }

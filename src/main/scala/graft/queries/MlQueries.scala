@@ -906,6 +906,25 @@ object MlQueries {
             .otherwise(0L)).cast("long").as("y"))
         .withColumn("treat", col("user_id") % 2 === 0)
       Cuped.estimate(perUser, "treat", "x", "y")
+    },
+
+    // GROUPED CUPED — one θ and one adjusted lift PER EVENT TYPE (the
+    // heterogeneous-treatment-effect readout: which surface moved?):
+    // units are (type, user) cells, every moment one grouped hash agg
+    "q369_cuped_by_type" -> { (s, dir) =>
+      val cut = lit("2024-01-15").cast("date")
+      val perUnit = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(
+          sum(when(to_date(col("ts")) <= cut,
+            expr("CAST(floor(value * 1000000) AS BIGINT)"))
+            .otherwise(0L)).cast("long").as("x"),
+          sum(when(to_date(col("ts")) > cut,
+            expr("CAST(floor(value * 1000000) AS BIGINT)"))
+            .otherwise(0L)).cast("long").as("y"))
+        .withColumn("treat", col("user_id") % 2 === 0)
+      Cuped.estimateGrouped(perUnit, Seq("event_type"), "treat", "x", "y")
     })
 
   /** BENCH-path production configurations: the correctness q50/q54 entries
@@ -939,6 +958,83 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q369_cuped_by_type" ->
+      """WITH pu AS (
+           SELECT event_type, user_id,
+                  CAST(sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                       THEN CAST(floor(value * 1000000) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+                  CAST(sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                       THEN CAST(floor(value * 1000000) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y,
+                  user_id % 2 = 0 AS treat
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         agg AS (
+           SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n_units,
+                  CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_t,
+                  CAST(sum(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT)
+                    AS n_c,
+                  CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                  CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                  CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                  CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                  CAST(sum(CASE WHEN treat THEN CAST(x AS HUGEINT)
+                       ELSE 0 END) AS HUGEINT) AS sxt,
+                  CAST(sum(CASE WHEN treat THEN CAST(y AS HUGEINT)
+                       ELSE 0 END) AS HUGEINT) AS syt
+           FROM pu GROUP BY 1),
+         cv AS (
+           SELECT *, n_units * sxy - sx * sy AS c,
+                  n_units * sxx - sx * sx AS v
+           FROM agg),
+         th AS (
+           SELECT *,
+                  CASE WHEN v > 0 THEN abs(c) // v ELSE 0 END AS q0,
+                  CASE WHEN v > 0 THEN abs(c) - (abs(c) // v) * v
+                    ELSE 0 END AS r0
+           FROM cv),
+         th2 AS (
+           SELECT *,
+                  CASE WHEN v > 0 THEN (r0 * 100000) // v ELSE 0 END
+                    AS q1,
+                  CASE WHEN v > 0 THEN
+                    ((r0 * 100000 - ((r0 * 100000) // v) * v) * 10000)
+                    // v
+                  ELSE 0 END AS q2
+           FROM th),
+         th3 AS (
+           SELECT *,
+                  (CASE WHEN c >= 0 THEN 1 ELSE -1 END) *
+                  (q0 * 1000000000 + q1 * 10000 + q2) AS theta_q9
+           FROM th2),
+         dd AS (
+           SELECT *,
+                  syt * n_c - (sy - syt) * n_t AS dyn,
+                  sxt * n_c - (sx - sxt) * n_t AS dxn,
+                  CASE WHEN n_t > 0 AND n_c > 0 THEN
+                    CAST(n_t AS HUGEINT) * n_c ELSE 1 END AS den
+           FROM th3),
+         d2 AS (
+           SELECT *, abs(dyn) // den AS qd,
+                  dyn * 1000000000 - theta_q9 * dxn AS a,
+                  den * 1000000000 AS den9
+           FROM dd),
+         d3 AS (SELECT *, abs(a) // den9 AS qa FROM d2)
+         SELECT event_type, n_units, n_t, n_c,
+                CAST(theta_q9 AS BIGINT) AS theta_q9,
+                CASE WHEN n_t > 0 AND n_c > 0 THEN
+                  (CASE WHEN dyn >= 0 THEN 1 ELSE -1 END) *
+                  CAST(qd * 1000000 +
+                       ((abs(dyn) - qd * den) * 1000000) // den AS BIGINT)
+                ELSE NULL END AS diff_x1e6,
+                CASE WHEN n_t > 0 AND n_c > 0 THEN
+                  (CASE WHEN a >= 0 THEN 1 ELSE -1 END) *
+                  CAST(qa * 1000000 +
+                       ((abs(a) - qa * den9) * 1000000) // den9 AS BIGINT)
+                ELSE NULL END AS adj_x1e6
+         FROM d3""",
     "q368_cuped" ->
       """WITH pu AS (
            SELECT user_id,

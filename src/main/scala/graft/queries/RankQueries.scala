@@ -353,6 +353,66 @@ object RankQueries {
             .cast("long").as("harmonic_ppm"))
     },
 
+    // EXACT TRIMMED + WINSORIZED MEANS — robust per-type value means with
+    // the 10% most extreme observations per side dropped / clamped (the
+    // metric-hardening pass before any mean-based gate): interval-overlap
+    // multiplicities over the per-type collapsed micro-unit domain
+    "q370_trimmed_means" -> { (s, dir) =>
+      val cells = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      graft.data.RankStats.trimmedMeansFromCounts(cells,
+        Seq("event_type"), trimPermille = 100)
+    },
+
+    // BENFORD FIRST-DIGIT AUDIT — does the order-total leading digit
+    // follow log10(1+1/d) (fabricated or clipped monetary data does not):
+    // chi-squared against the NINE DECLARED q6 Benford constants (they
+    // sum to exactly 10⁶), the dense digit frame keeps zero-count digits
+    // in the statistic; per-digit exact term + one replayed total
+    "q371_benford" -> { (s, dir) =>
+      import s.implicits._
+      val obs = t(s, dir, "orders")
+        .select(substring(
+          expr("CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING)"),
+          1, 1).as("d"))
+        .filter(col("d") >= "1" && col("d") <= "9")
+        .groupBy("d").agg(count(lit(1)).cast("long").as("obs"))
+      val p = Seq(("1", 301030L), ("2", 176091L), ("3", 124939L),
+        ("4", 96910L), ("5", 79181L), ("6", 66947L), ("7", 57992L),
+        ("8", 51153L), ("9", 45757L)).toDF("d", "p_ppm")
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      p.join(obs, Seq("d"), "left").na.fill(0L, Seq("obs"))
+        .withColumn("n", sum("obs").over(all).cast("long"))
+        .withColumn("n",
+          when(col("n") >= lit(100000000000L),
+            raise_error(lit("benford: N exceeds the exact-arithmetic " +
+              "bound 1e11"))).otherwise(col("n")))
+        .withColumn("term_ppm",
+          expr("""CAST((CAST(obs AS DECIMAL(38,0)) * 1000000 -
+                        CAST(n AS DECIMAL(38,0)) * p_ppm) *
+                       (CAST(obs AS DECIMAL(38,0)) * 1000000 -
+                        CAST(n AS DECIMAL(38,0)) * p_ppm)
+                       div (CAST(n AS DECIMAL(38,0)) * p_ppm)
+                       AS BIGINT)"""))
+        .withColumn("chi2_ppm", sum("term_ppm").over(all).cast("long"))
+        .select("d", "obs", "p_ppm", "n", "term_ppm", "chi2_ppm")
+    },
+
+    // LJUNG–BOX PORTMANTEAU — is each priority's daily order-count
+    // series white noise across lags 1..7 JOINTLY (q352 checks lag 7
+    // alone): Q composed from the acf kernel's declared-quantized ρ̂_k
+    // surfaces, χ²₇ under the null
+    "q372_ljung_box" -> { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          expr("unix_micros(o_orderdate) div 86400000000").as("dy"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      SeriesStats.ljungBox(daily, Seq("prio"), "dy", "c", maxLag = 7)
+    },
+
     // HITS hubs/authorities over the customer→part purchase bipartite
     // graph (broad buyers ↔ broadly-bought parts), 2 synchronous steps in
     // exact L1-normalized integer fixed point — the q125 PageRank
@@ -805,6 +865,138 @@ object RankQueries {
                 ELSE NULL END AS z2_ppm,
                 t_num > 0 AS trend_up
          FROM g2""",
+    "q370_trimmed_means" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+         cells AS (
+           SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+           FROM ev GROUP BY 1, 2),
+         c1 AS (
+           SELECT event_type, v, c,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS upto,
+                  sum(c) OVER (PARTITION BY event_type) AS n
+           FROM cells),
+         c2 AS (
+           SELECT *, upto - c AS bef, (n * 100) // 1000 AS k FROM c1),
+         c3 AS (
+           SELECT *,
+                  greatest(0, least(upto, n - k) - greatest(bef, k))
+                    AS inc
+           FROM c2),
+         agg AS (
+           SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                  CAST(max(k) AS BIGINT) AS k_trim,
+                  CAST(sum(CAST(v AS HUGEINT) * inc) AS HUGEINT) AS ts,
+                  CAST(min(CASE WHEN upto >= k + 1 THEN v END) AS BIGINT)
+                    AS v_lo,
+                  CAST(min(CASE WHEN upto >= n - k THEN v END) AS BIGINT)
+                    AS v_hi
+           FROM c3 GROUP BY 1),
+         f AS (
+           SELECT *, ts + CAST(k_trim AS HUGEINT) * v_lo +
+                     CAST(k_trim AS HUGEINT) * v_hi AS ws
+           FROM agg)
+         SELECT event_type, n, k_trim, v_lo, v_hi,
+                CASE WHEN n - 2 * k_trim > 0 THEN
+                  (CASE WHEN ts >= 0 THEN 1 ELSE -1 END) *
+                  CAST((abs(ts) * 1000000) // (n - 2 * k_trim) AS BIGINT)
+                ELSE NULL END AS trimmed_mean_x1e6,
+                CASE WHEN n > 0 THEN
+                  (CASE WHEN ws >= 0 THEN 1 ELSE -1 END) *
+                  CAST((abs(ws) * 1000000) // n AS BIGINT)
+                ELSE NULL END AS winsor_mean_x1e6
+         FROM f""",
+    "q371_benford" ->
+      """WITH obs AS (
+           SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS d,
+                  CAST(count(*) AS BIGINT) AS obs
+           FROM orders
+           WHERE substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                   AS VARCHAR), 1, 1) BETWEEN '1' AND '9'
+           GROUP BY 1),
+         p(d, p_ppm) AS (VALUES
+           ('1', 301030), ('2', 176091), ('3', 124939), ('4', 96910),
+           ('5', 79181), ('6', 66947), ('7', 57992), ('8', 51153),
+           ('9', 45757)),
+         j AS (
+           SELECT p.d, p.p_ppm, coalesce(obs.obs, 0) AS obs
+           FROM p LEFT JOIN obs ON p.d = obs.d),
+         jn AS (SELECT *, sum(obs) OVER () AS n FROM j),
+         t AS (
+           SELECT d, obs, p_ppm, n,
+                  CAST(((CAST(obs AS HUGEINT) * 1000000 -
+                         CAST(n AS HUGEINT) * p_ppm) *
+                        (CAST(obs AS HUGEINT) * 1000000 -
+                         CAST(n AS HUGEINT) * p_ppm)) //
+                       (CAST(n AS HUGEINT) * p_ppm) AS BIGINT)
+                    AS term_ppm
+           FROM jn)
+         SELECT d, CAST(obs AS BIGINT) AS obs,
+                CAST(p_ppm AS BIGINT) AS p_ppm, CAST(n AS BIGINT) AS n,
+                term_ppm,
+                CAST(sum(term_ppm) OVER () AS BIGINT) AS chi2_ppm
+         FROM t""",
+    "q372_ljung_box" -> {
+      val lagBranches = (1 to 7).map { k =>
+        s"""SELECT prio, n, n_pairs, $k AS k,
+                CASE WHEN n_pairs > 0 AND den > 0 THEN
+                  (CASE WHEN num >= 0 THEN 1 ELSE -1 END) *
+                  CAST((abs(num) * 1000000) // den AS BIGINT)
+                ELSE NULL END AS acf_x1e6
+           FROM (
+             SELECT prio, n, n_pairs,
+                    CAST(n AS HUGEINT) * n * p -
+                      CAST(n AS HUGEINT) * s * (sh + st) +
+                      CAST(n_pairs AS HUGEINT) * s * s AS num,
+                    CAST(n AS HUGEINT) *
+                      (CAST(n AS HUGEINT) * q - s * s) AS den
+             FROM (
+               SELECT prio, CAST(count(*) AS BIGINT) AS n,
+                      CAST(count(xk) AS BIGINT) AS n_pairs,
+                      CAST(sum(x) AS HUGEINT) AS s,
+                      CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q,
+                      CAST(sum(CASE WHEN xk IS NOT NULL THEN
+                           CAST(x AS HUGEINT) * xk ELSE 0 END) AS HUGEINT)
+                        AS p,
+                      CAST(sum(CASE WHEN xk IS NOT NULL THEN x ELSE 0
+                           END) AS HUGEINT) AS sh,
+                      CAST(sum(coalesce(xk, 0)) AS HUGEINT) AS st
+               FROM (SELECT prio, c AS x,
+                            lead(c, $k) OVER (PARTITION BY prio
+                              ORDER BY dy) AS xk
+                     FROM daily)
+               GROUP BY prio))"""
+      }.mkString("\n           UNION ALL\n           ")
+      s"""WITH daily AS (
+           SELECT o_orderpriority AS prio,
+                  epoch_us(o_orderdate) // 86400000000 AS dy,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1, 2),
+         lags AS (
+           $lagBranches),
+         t AS (
+           SELECT prio, n, k,
+                  CASE WHEN acf_x1e6 IS NOT NULL AND n > k THEN
+                    (CAST(acf_x1e6 AS HUGEINT) * acf_x1e6) // (n - k)
+                  END AS term
+           FROM lags),
+         g AS (
+           SELECT prio, CAST(max(n) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN term IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_lags,
+                  CAST(sum(term) AS HUGEINT) AS tt
+           FROM t GROUP BY prio)
+         SELECT prio, n, n_lags,
+                CASE WHEN n_lags > 0 THEN
+                  CAST((CAST(n AS HUGEINT) * (n + 2) * tt) // 1000000
+                       AS BIGINT)
+                ELSE NULL END AS lb_x1e6
+         FROM g"""
+    },
     "q367_lepage" ->
       """WITH dom AS (
            SELECT n_chars AS v,

@@ -248,6 +248,72 @@ class Round13Spec extends SparkSpec {
     assert(g2.isNullAt(g2.fieldIndex("adj_x1e6")))
   }
 
+  test("RankStats.trimmedMeansFromCounts hand values: [1,1,1,9,9] at " +
+      "200 permille trims one per side; 0 permille is the plain mean; " +
+      "negative sums sign-split") {
+    val s = spark
+    import s.implicits._
+    val cells = Seq(("g", 1L, 3L), ("g", 9L, 2L)).toDF("k", "v", "c")
+    val got = graft.data.RankStats
+      .trimmedMeansFromCounts(cells, Seq("k"), 200).collect().head
+    assert(got.getAs[Long]("n") === 5L)
+    assert(got.getAs[Long]("k_trim") === 1L)
+    assert(got.getAs[Long]("v_lo") === 1L)
+    assert(got.getAs[Long]("v_hi") === 9L)
+    // kept multiplicities 2x1 + 1x9 = 11 over 3; winsor 21 over 5
+    assert(got.getAs[Long]("trimmed_mean_x1e6") === 3666666L)
+    assert(got.getAs[Long]("winsor_mean_x1e6") === 4200000L)
+    val plain = Seq(("p", 2L, 1L), ("p", 4L, 1L)).toDF("k", "v", "c")
+    val g0 = graft.data.RankStats
+      .trimmedMeansFromCounts(plain, Seq("k"), 0).collect().head
+    assert(g0.getAs[Long]("k_trim") === 0L)
+    assert(g0.getAs[Long]("trimmed_mean_x1e6") === 3000000L)
+    assert(g0.getAs[Long]("winsor_mean_x1e6") === 3000000L)
+    val neg = Seq(("n", -5L, 1L), ("n", 1L, 1L)).toDF("k", "v", "c")
+    val gn = graft.data.RankStats
+      .trimmedMeansFromCounts(neg, Seq("k"), 0).collect().head
+    assert(gn.getAs[Long]("trimmed_mean_x1e6") === -2000000L)
+  }
+
+  test("SeriesStats.ljungBox composes the quantized acf surfaces: " +
+      "rising [1,2,3,4] replays Q by hand at L=1 and L=2") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("u", 1L, 1L), ("u", 2L, 2L), ("u", 3L, 3L),
+      ("u", 4L, 4L)).toDF("sid", "t", "x")
+    val l1 = graft.data.SeriesStats
+      .ljungBox(df, Seq("sid"), "t", "x", 1).collect().head
+    // acf1 = 250000; term = 250000^2 div 3; Q = 4*6*term div 1e6
+    assert(l1.getAs[Long]("n_lags") === 1L)
+    assert(l1.getAs[Long]("lb_x1e6") === 499999L)
+    val l2 = graft.data.SeriesStats
+      .ljungBox(df, Seq("sid"), "t", "x", 2).collect().head
+    // acf2 = -300000; term2 = 9e10 div 2; Q = 24*(T1+T2) div 1e6
+    assert(l2.getAs[Long]("n_lags") === 2L)
+    assert(l2.getAs[Long]("lb_x1e6") === 1579999L)
+  }
+
+  test("Cuped.estimateGrouped: each segment equals the ungrouped run " +
+      "on that segment alone") {
+    val s = spark
+    import s.implicits._
+    val pu = Seq(
+      ("a", true, 2L, 10L), ("a", true, 4L, 14L),
+      ("a", false, 1L, 5L), ("a", false, 3L, 9L),
+      ("b", true, 7L, 10L), ("b", false, 7L, 5L))
+      .toDF("seg", "treat", "x", "y")
+    val grouped = graft.ml.Cuped
+      .estimateGrouped(pu, Seq("seg"), "treat", "x", "y")
+      .collect().map(r => r.getAs[String]("seg") -> r).toMap
+    assert(grouped("a").getAs[Long]("theta_q9") === 2600000000L)
+    assert(grouped("a").getAs[Long]("adj_x1e6") === 2400000L)
+    val solo = graft.ml.Cuped.estimate(
+      pu.filter(col("seg") === "b").drop("seg"), "treat", "x", "y")
+      .collect().head
+    assert(grouped("b").getAs[Long]("diff_x1e6") ===
+      solo.getAs[Long]("diff_x1e6"))
+  }
+
   test("runs-test click flag: NULL event_type counts as non-click " +
       "(the oracle's CASE WHEN semantics), not as a NULL flag") {
     val s = spark
