@@ -204,6 +204,43 @@ object RankStats {
       .filter(col("ca") + col("cb") > 0L)
   }
 
+  /** Exact equi-depth bucket boundaries per group from per-value counts
+    * `(groupCols…, v, c)` — the bucketizer FIT every quantile-feature
+    * pipeline needs (equi-width is [[graft.data.HistStore]]'s job; this
+    * is its rank-quantile sibling): boundary b (b = 1..B−1) is the
+    * SMALLEST v whose cumulative count reaches b·n/B, replayed as the
+    * cross-multiplied integer rule cum·B ≥ b·n — no division at all.
+    *
+    * Scale shape: one cumulative pass over the per-group COLLAPSED
+    * domain, then each domain row EMITS the boundary indices it owns via
+    * one bounded sequence-explode — b ∈ ((bef·B) div n, (upto·B) div n]
+    * — so the output is ≤ B−1 rows per group and no row is visited
+    * twice (never a B-way scan of the domain).
+    *
+    * @return one row per (group, bucket): `groupCols…, bucket,
+    *         boundary` for bucket = 1..nBuckets−1
+    */
+  def equidepthBoundaries(cells: DataFrame, groupCols: Seq[String],
+                          nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    val seg = groupCols.map(col)
+    val wUp = Window.partitionBy(seg: _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(seg: _*)
+    cells
+      .withColumn("__upto", sum("c").over(wUp).cast("long"))
+      .withColumn("__bef", col("__upto") - col("c"))
+      .withColumn("__n", sum("c").over(wAll).cast("long"))
+      .withColumn("__blo",
+        expr(s"CAST(__bef * $nBuckets div __n AS BIGINT) + 1"))
+      .withColumn("__bhi",
+        least(expr(s"CAST(__upto * $nBuckets div __n AS BIGINT)"),
+          lit(nBuckets.toLong - 1)))
+      .filter(col("__bhi") >= col("__blo"))
+      .withColumn("bucket", explode(expr("sequence(__blo, __bhi)")))
+      .select((seg ++ Seq(col("bucket"), col("v").as("boundary"))): _*)
+  }
+
   /** Exact α-trimmed and winsorized means per group from per-value
     * counts `(groupCols…, v, c)` — the robust-metric hardening a
     * pipeline applies before any mean-based gate (one fat-fingered

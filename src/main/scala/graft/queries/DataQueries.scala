@@ -1736,6 +1736,19 @@ object DataQueries {
         BinaryMedia.videoFromText(t(s, dir, "documents"), "doc_id", "text",
           nFrames = 4, frameWidth = 8),
         every = 2))
+    },
+
+    // EQUI-DEPTH BUCKETIZER FIT — exact per-language decile boundaries
+    // of document length (HistStore's rank-quantile sibling: equi-WIDTH
+    // bins are fixed, these adapt to each segment's distribution): the
+    // cross-multiplied cum·B ≥ b·n rule, each collapsed-domain row emits
+    // the ≤ B−1 boundary indices it owns — no division, no B-way scan
+    "q373_equidepth_fit" -> { (s, dir) =>
+      val cells = t(s, dir, "documents")
+        .groupBy(col("lang"), col("n_chars").cast("long").as("v"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      graft.data.RankStats.equidepthBoundaries(cells, Seq("lang"),
+        nBuckets = 10)
     })
 
   /** BENCH-path production configurations. The CORRECTNESS queries for the
@@ -2071,6 +2084,25 @@ object DataQueries {
           FROM c$i)"""
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle replays the quantile rule directly per bucket index
+    // (min v with cum*B >= b*n) - O(B * domain), oracle-side only
+    "q373_equidepth_fit" ->
+      """WITH cells AS (
+           SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         c1 AS (
+           SELECT lang, v,
+                  sum(c) OVER (PARTITION BY lang ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS upto,
+                  sum(c) OVER (PARTITION BY lang) AS n
+           FROM cells),
+         b AS (SELECT unnest(generate_series(1, 9)) AS bucket)
+         SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+                CAST(min(v) AS BIGINT) AS boundary
+         FROM c1 CROSS JOIN b
+         WHERE upto * 10 >= bucket * n
+         GROUP BY 1, 2""",
     // merged store counters ≡ direct counts by CMS linearity, so the
     // replay needs no day split
     "q326_bloom_sidecar_lookup" ->

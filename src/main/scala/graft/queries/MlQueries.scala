@@ -925,6 +925,40 @@ object MlQueries {
             .otherwise(0L)).cast("long").as("y"))
         .withColumn("treat", col("user_id") % 2 === 0)
       Cuped.estimateGrouped(perUnit, Seq("event_type"), "treat", "x", "y")
+    },
+
+    // EMPIRICAL-BAYES SMOOTHED PER-USER CLICK RATE — the MAP/additive
+    // smoothing every CTR-style feature needs before it can be trusted
+    // for low-traffic users: shrunk = (a + M·p₀)/(n + M) toward the
+    // global rate p₀ = A/N with DECLARED prior strength M = 1000,
+    // replayed as one exact cross-multiplied q6 floor. The shrunk floor
+    // always lies between the raw and global floors (monotone floors of
+    // an exact betweenness) — emitted as a replayed verdict. Totals
+    // frame is one row, broadcast back; no windows over the user grain
+    "q374_smoothed_rates" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_u"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("a_u"))
+      val tot = per.agg(sum("n_u").cast("long").as("nn"),
+        sum("a_u").cast("long").as("aa"))
+      val d38 = "decimal(38,0)"
+      per.crossJoin(broadcast(tot))
+        .withColumn("raw_ppm",
+          expr(s"CAST(CAST(a_u AS $d38) * 1000000 div n_u AS BIGINT)"))
+        .withColumn("global_ppm",
+          expr(s"CAST(CAST(aa AS $d38) * 1000000 div nn AS BIGINT)"))
+        .withColumn("shrunk_ppm",
+          expr(s"""CAST((CAST(a_u AS $d38) * nn + CAST(1000 AS $d38) * aa)
+                   * 1000000 div ((CAST(n_u AS $d38) + 1000) * nn)
+                   AS BIGINT)"""))
+        .withColumn("pulled_toward_global",
+          col("shrunk_ppm") >= least(col("raw_ppm"), col("global_ppm")) &&
+            col("shrunk_ppm") <= greatest(col("raw_ppm"),
+              col("global_ppm")))
+        .select("user_id", "n_u", "a_u", "raw_ppm", "global_ppm",
+          "shrunk_ppm", "pulled_toward_global")
     })
 
   /** BENCH-path production configurations: the correctness q50/q54 entries
@@ -958,6 +992,33 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q374_smoothed_rates" ->
+      """WITH per AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_u,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END) AS BIGINT) AS a_u
+           FROM events GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_u) AS BIGINT) AS nn,
+                  CAST(sum(a_u) AS BIGINT) AS aa
+           FROM per),
+         j AS (SELECT * FROM per CROSS JOIN tot),
+         f AS (
+           SELECT user_id, n_u, a_u,
+                  CAST((CAST(a_u AS HUGEINT) * 1000000) // n_u AS BIGINT)
+                    AS raw_ppm,
+                  CAST((CAST(aa AS HUGEINT) * 1000000) // nn AS BIGINT)
+                    AS global_ppm,
+                  CAST(((CAST(a_u AS HUGEINT) * nn +
+                         CAST(1000 AS HUGEINT) * aa) * 1000000) //
+                       ((CAST(n_u AS HUGEINT) + 1000) * nn) AS BIGINT)
+                    AS shrunk_ppm
+           FROM j)
+         SELECT *,
+                shrunk_ppm >= least(raw_ppm, global_ppm) AND
+                shrunk_ppm <= greatest(raw_ppm, global_ppm)
+                  AS pulled_toward_global
+         FROM f""",
     "q369_cuped_by_type" ->
       """WITH pu AS (
            SELECT event_type, user_id,

@@ -314,6 +314,29 @@ class Round13Spec extends SparkSpec {
       solo.getAs[Long]("diff_x1e6"))
   }
 
+  test("RankStats.equidepthBoundaries hand values: deciles of " +
+      "[1x3, 2x3, 3x4] split 1-3/4-6/7-9; exact-divisibility takes the " +
+      "lower value") {
+    val s = spark
+    import s.implicits._
+    val cells = Seq(("g", 1L, 3L), ("g", 2L, 3L), ("g", 3L, 4L))
+      .toDF("k", "v", "c")
+    val got = graft.data.RankStats
+      .equidepthBoundaries(cells, Seq("k"), 10)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        r.getAs[Long]("boundary")).toMap
+    assert(got.size === 9)
+    assert((1L to 3L).forall(got(_) === 1L))
+    assert((4L to 6L).forall(got(_) === 2L))
+    assert((7L to 9L).forall(got(_) === 3L))
+    // median of an even split: cum*2 >= n exactly at the lower value
+    val even = Seq(("e", 1L, 5L), ("e", 2L, 5L)).toDF("k", "v", "c")
+    val m = graft.data.RankStats.equidepthBoundaries(even, Seq("k"), 2)
+      .collect()
+    assert(m.length === 1)
+    assert(m.head.getAs[Long]("boundary") === 1L)
+  }
+
   test("runs-test click flag: NULL event_type counts as non-click " +
       "(the oracle's CASE WHEN semantics), not as a NULL flag") {
     val s = spark
