@@ -723,4 +723,55 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan) { case _: WindowExec => } === 0,
       s"dispersion is two hash aggs, never a window:\n$plan")
   }
+
+  test("pettitt (q364): every window pass is partitioned by the series " +
+      "key — no 1-partition ordered window anywhere") {
+    val plan = staticPlan(
+      graft.queries.RankQueries.queries("q364_pettitt")(spark, sf))
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"collapsed-domain V pass and cumulative U pass both partition " +
+        s"by series:\n$plan")
+  }
+
+  test("trimmed means (q370) and equidepth fit (q373): all windows " +
+      "partitioned by the group key; the fit's boundary emit is ONE " +
+      "bounded Generate") {
+    val p370 = staticPlan(
+      graft.queries.RankQueries.queries("q370_trimmed_means")(spark, sf))
+    val w370 = p370.collect { case w: WindowExec => w }
+    assert(w370.nonEmpty && w370.forall(_.partitionSpec.nonEmpty),
+      s"q370 windows ride the per-type collapsed domain:\n$p370")
+    val p373 = staticPlan(
+      graft.queries.DataQueries.queries("q373_equidepth_fit")(spark, sf))
+    val w373 = p373.collect { case w: WindowExec => w }
+    assert(w373.nonEmpty && w373.forall(_.partitionSpec.nonEmpty),
+      s"q373 windows ride the per-lang collapsed domain:\n$p373")
+    import org.apache.spark.sql.execution.GenerateExec
+    assert(count(p373) { case _: GenerateExec => } === 1,
+      s"exactly one sequence-explode emits the boundary indices:\n$p373")
+  }
+
+  test("ljung-box (q372): every per-lag lead() pass is partitioned by " +
+      "series; cuped (q368) is windowless with a broadcast total") {
+    val p372 = staticPlan(
+      graft.queries.RankQueries.queries("q372_ljung_box")(spark, sf))
+    val w372 = p372.collect { case w: WindowExec => w }
+    assert(w372.size === 7 && w372.forall(_.partitionSpec.nonEmpty),
+      s"seven series-partitioned lead passes, nothing global:\n$p372")
+    val p368 = staticPlan(
+      graft.queries.MlQueries.queries("q368_cuped")(spark, sf))
+    assert(count(p368) { case _: WindowExec => } === 0,
+      s"cuped is one unit-grain hash agg + one scalar agg:\n$p368")
+  }
+
+  test("smoothed rates (q374): windowless — the global totals come " +
+      "back as a broadcast, never a user-grain window") {
+    val plan = staticPlan(
+      graft.queries.MlQueries.queries("q374_smoothed_rates")(spark, sf))
+    assert(count(plan) { case _: WindowExec => } === 0,
+      s"no window over the user grain:\n$plan")
+    assert(count(plan) { case _: BroadcastExchangeExec => } >= 1,
+      s"the one-row totals frame must broadcast:\n$plan")
+  }
 }
