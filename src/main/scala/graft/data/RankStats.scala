@@ -204,6 +204,69 @@ object RankStats {
       .filter(col("ca") + col("cb") > 0L)
   }
 
+  /** Exact decision-stump fit from per-value class counts `(v, c, a)`
+    * (c = total count at value v, a = positives): the best binary split
+    * "x ≤ t" for a binary label, by Gini impurity — the single-feature
+    * learner behind monotone-feature screens and shallow-tree seeding.
+    *
+    * Minimizing the weighted child Gini is maximizing
+    *   S(t) = (a_l² + b_l²)/n_l + (a_r² + b_r²)/n_r
+    * (b = negatives), all four corner sums exact from ONE cumulative
+    * pass over the COLLAPSED value domain. The two varying-denominator
+    * quotients are each quantized ONCE as exact q9 floors (the KW
+    * per-group discipline) and the argmax takes the largest quantized
+    * score with ties to the SMALLEST threshold (declared; replayed by
+    * both engines). The last domain value (empty right child) is not a
+    * candidate. `gain_q9` = best score − the parent's own q9 floor
+    * (A² + B²)·10⁹ div N — a difference of documented floors.
+    *
+    * Bounds: every quotient ≤ n·10⁹, so n < 10⁹ keeps the surface in
+    * BIGINT (fails loudly above); dividends ≤ n²·10⁹ < 10³⁸ to n < 10¹⁴.
+    *
+    * @return one row: `n, n_pos, split_v, n_left, a_left, score_q9,
+    *         gain_q9`
+    */
+  def giniStumpFromCounts(cells: DataFrame): DataFrame = {
+    val wUp = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    cells
+      .withColumn("__nl", sum("c").over(wUp).cast("long"))
+      .withColumn("__al", sum("a").over(wUp).cast("long"))
+      .withColumn("__n", sum("c").over(all).cast("long"))
+      .withColumn("__a", sum("a").over(all).cast("long"))
+      .filter(col("__nl") < col("__n")) // empty right child excluded
+      .withColumn("__score",
+        when(col("__n") >= lit(1000000000L),
+          raise_error(concat(lit("giniStump: N = "), col("__n"),
+            lit(" exceeds the BIGINT score bound 1e9 - sample first"))))
+          .otherwise(
+            expr(s"""CAST(
+              (CAST(__al AS $D38) * __al +
+               (CAST(__nl AS $D38) - __al) * (CAST(__nl AS $D38) - __al))
+              * 1000000000 div __nl AS BIGINT) +
+              CAST(
+              ((CAST(__a AS $D38) - __al) * (CAST(__a AS $D38) - __al) +
+               (CAST(__n AS $D38) - __nl - (CAST(__a AS $D38) - __al)) *
+               (CAST(__n AS $D38) - __nl - (CAST(__a AS $D38) - __al)))
+              * 1000000000 div (__n - __nl) AS BIGINT)""")))
+      .agg(
+        max("__n").cast("long").as("n"),
+        max("__a").cast("long").as("n_pos"),
+        max(struct(col("__score").as("s"), (-col("v")).as("nv"),
+          col("__nl").as("nl"), col("__al").as("al"))).as("__m"))
+      .select(col("n"), col("n_pos"),
+        (-col("__m.nv")).cast("long").as("split_v"),
+        col("__m.nl").cast("long").as("n_left"),
+        col("__m.al").cast("long").as("a_left"),
+        col("__m.s").cast("long").as("score_q9"))
+      .withColumn("gain_q9",
+        expr(s"""score_q9 - CAST(
+          (CAST(n_pos AS $D38) * n_pos +
+           (CAST(n AS $D38) - n_pos) * (CAST(n AS $D38) - n_pos))
+          * 1000000000 div n AS BIGINT)"""))
+  }
+
   /** Exact equi-depth bucket boundaries per group from per-value counts
     * `(groupCols…, v, c)` — the bucketizer FIT every quantile-feature
     * pipeline needs (equi-width is [[graft.data.HistStore]]'s job; this

@@ -35,6 +35,13 @@ import graft.data.{RankTests, SeriesStats}
   *    exposure scores.
   *  - q361 Mann–Kendall: tie-aware monotone trend per daily series.
   *  - q364 Pettitt: rank-based changepoint locator per daily series.
+  *  - q366 Hoeffding's D: non-monotone rank dependence over the joint
+  *    domain grid (completes the q245–q248 family).
+  *  - q367 Lepage: joint location–scale two-sample gate (Wilcoxon +
+  *    Ansari–Bradley off one collapsed-domain pass).
+  *  - q370 exact trimmed/winsorized means per segment.
+  *  - q371 Benford first-digit audit against the declared q6 constants.
+  *  - q372 Ljung–Box portmanteau composed from the quantized acf tier.
   *
   * All six follow the exact-integer oracle discipline: doubled midranks,
   * cross-multiplied integer quotients (`div` ≡ DuckDB `//`), sign-split
@@ -411,6 +418,125 @@ object RankQueries {
           expr("unix_micros(o_orderdate) div 86400000000").as("dy"))
         .agg(count(lit(1)).cast("long").as("c"))
       SeriesStats.ljungBox(daily, Seq("prio"), "dy", "c", maxLag = 7)
+    },
+
+    // ONE-SAMPLE KS vs the UNIFORM hour-of-day law — arrival-time
+    // uniformity QA (q245's two-sample D against a CLOSED-FORM null: the
+    // uniform CDF is exactly rational, so D needs no quantization at
+    // all): dense 24-hour frame, D = max |cum·24 − (h+1)·N| at the hour
+    // boundaries (declared evaluation points), worst hour reported
+    "q375_ks_uniform" -> { (s, dir) =>
+      val obs = t(s, dir, "events")
+        .groupBy(expr("CAST(hour(ts) AS BIGINT)").as("h"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val dense = s.range(0, 24).select(col("id").as("h"))
+        .join(obs, Seq("h"), "left").na.fill(0L, Seq("c"))
+      val wUp = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      dense
+        .withColumn("__cum", sum("c").over(wUp).cast("long"))
+        .withColumn("__n", sum("c").over(all).cast("long"))
+        .withColumn("__dev",
+          abs(col("__cum") * 24 - (col("h") + 1) * col("__n")))
+        .agg(max("__n").cast("long").as("n"),
+          max(struct(col("__dev").as("d"), (-col("h")).as("nh")))
+            .as("__m"))
+        .select(col("n"), col("__m.d").cast("long").as("d_num"),
+          (-col("__m.nh")).cast("long").as("worst_hour"))
+        .withColumn("d_ppm",
+          expr("""CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000
+                  div (CAST(n AS DECIMAL(38,0)) * 24) AS BIGINT)"""))
+    },
+
+    // GINI DECISION-STUMP FIT — the best "n_chars <= t" split for
+    // predicting lang = 'en' (single-feature learner / monotone screen):
+    // corner sums off one cumulative pass over the collapsed domain, two
+    // documented q9 floors per threshold, argmax with the smallest-
+    // threshold tie-break
+    "q376_gini_stump" -> { (s, dir) =>
+      val cells = t(s, dir, "documents")
+        .groupBy(col("n_chars").cast("long").as("v"))
+        .agg(count(lit(1)).cast("long").as("c"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L))
+            .cast("long").as("a"))
+      graft.data.RankStats.giniStumpFromCounts(cells)
+    },
+
+    // RANKING-STABILITY AUDIT — do "sources ranked by doc count" and
+    // "sources ranked by total chars" agree: Spearman footrule Σ|r₁−r₂|
+    // and Kendall inversion distance over the k-source frame (exact
+    // integers, k is the SOURCE cardinality — the k² pair sweep is
+    // domain-sized, loudly bounded; ranks total-ordered by (metric desc,
+    // source asc), declared)
+    "q377_rank_stability" -> { (s, dir) =>
+      val bySrc = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars").cast("long")).cast("long").as("n_chars"))
+      val wA = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_docs").desc, col("source").asc)
+      val wB = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_chars").desc, col("source").asc)
+      val ranked = bySrc
+        .withColumn("ra", row_number().over(wA).cast("long"))
+        .withColumn("rb", row_number().over(wB).cast("long"))
+        .localCheckpoint()
+      val k = ranked.count()
+      require(k <= 10000L, s"rank_stability: $k sources exceed the " +
+        "k^2 pair bound 1e4 - collapse sources first")
+      val l = ranked.select(col("source").as("sa"), col("ra").as("raa"),
+        col("rb").as("rba"))
+      val inv = l.crossJoin(ranked)
+        .filter(col("sa") < col("source"))
+        .agg(sum(when((col("raa") < col("ra")) =!= (col("rba") < col("rb")),
+          1L).otherwise(0L)).cast("long").as("inversions"))
+      val foot = ranked.agg(
+        count(lit(1)).cast("long").as("k_sources"),
+        sum(abs(col("ra") - col("rb"))).cast("long").as("footrule"))
+      foot.crossJoin(broadcast(inv))
+        .withColumn("footrule_ppm",
+          when(col("k_sources") > 1,
+            expr("""CAST(CAST(footrule AS DECIMAL(38,0)) * 1000000
+                    div (CAST(k_sources AS DECIMAL(38,0)) * k_sources
+                         div 2) AS BIGINT)"""))
+            .otherwise(lit(null).cast("long")))
+        .withColumn("kendall_dist_ppm",
+          when(col("k_sources") > 1,
+            expr("""CAST(CAST(inversions AS DECIMAL(38,0)) * 2000000
+                    div (CAST(k_sources AS DECIMAL(38,0)) *
+                         (k_sources - 1)) AS BIGINT)"""))
+            .otherwise(lit(null).cast("long")))
+    },
+
+    // TOP-K CHURN — how much did the top-50 most-active-user list turn
+    // over across the period split (the monitoring readout for any
+    // leaderboard/feature-store snapshot): deterministic (count desc,
+    // id asc) top-k both sides, overlap + Jaccard exact ppm
+    "q378_topk_churn" -> { (s, dir) =>
+      val cut = lit("2024-01-15").cast("date")
+      // sort+limit lowers to TakeOrdered (k rows per partition to the
+      // driver merge) — never a 1-partition row_number window
+      def topk(pred: org.apache.spark.sql.Column) =
+        t(s, dir, "events").filter(pred)
+          .groupBy("user_id").agg(count(lit(1)).cast("long").as("n"))
+          .orderBy(col("n").desc, col("user_id").asc).limit(50)
+          .select("user_id")
+      val a = topk(to_date(col("ts")) <= cut)
+      val b = topk(to_date(col("ts")) > cut)
+      val na = a.count(); val nb = b.count()
+      val ov = a.join(b, Seq("user_id")).count()
+      val s2 = s
+      import s2.implicits._
+      Seq((na, nb, ov, na + nb - ov)).toDF("k_before", "k_after",
+        "overlap", "union_size")
+        .withColumn("jaccard_ppm",
+          when(col("union_size") > 0,
+            expr("""CAST(CAST(overlap AS DECIMAL(38,0)) * 1000000
+                    div union_size AS BIGINT)"""))
+            .otherwise(lit(null).cast("long")))
     },
 
     // HITS hubs/authorities over the customer→part purchase bipartite
@@ -865,6 +991,121 @@ object RankQueries {
                 ELSE NULL END AS z2_ppm,
                 t_num > 0 AS trend_up
          FROM g2""",
+    "q377_rank_stability" ->
+      """WITH bysrc AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS n_chars
+           FROM documents GROUP BY 1),
+         r AS (
+           SELECT source,
+                  row_number() OVER (ORDER BY n_docs DESC, source ASC)
+                    AS ra,
+                  row_number() OVER (ORDER BY n_chars DESC, source ASC)
+                    AS rb
+           FROM bysrc),
+         foot AS (
+           SELECT CAST(count(*) AS BIGINT) AS k_sources,
+                  CAST(sum(abs(ra - rb)) AS BIGINT) AS footrule
+           FROM r),
+         inv AS (
+           SELECT CAST(sum(CASE WHEN (a.ra < b.ra) <> (a.rb < b.rb)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS inversions
+           FROM r a JOIN r b ON a.source < b.source)
+         SELECT k_sources, footrule, inversions,
+                CASE WHEN k_sources > 1 THEN
+                  CAST((CAST(footrule AS HUGEINT) * 1000000) //
+                       ((CAST(k_sources AS HUGEINT) * k_sources) // 2)
+                       AS BIGINT) END AS footrule_ppm,
+                CASE WHEN k_sources > 1 THEN
+                  CAST((CAST(inversions AS HUGEINT) * 2000000) //
+                       (CAST(k_sources AS HUGEINT) * (k_sources - 1))
+                       AS BIGINT) END AS kendall_dist_ppm
+         FROM foot CROSS JOIN inv""",
+    "q378_topk_churn" ->
+      """WITH a AS (
+           SELECT user_id FROM (
+             SELECT user_id, count(*) AS n FROM events
+             WHERE CAST(ts AS DATE) <= DATE '2024-01-15' GROUP BY 1
+             ORDER BY n DESC, user_id ASC LIMIT 50)),
+         b AS (
+           SELECT user_id FROM (
+             SELECT user_id, count(*) AS n FROM events
+             WHERE CAST(ts AS DATE) > DATE '2024-01-15' GROUP BY 1
+             ORDER BY n DESC, user_id ASC LIMIT 50)),
+         f AS (SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM a) AS k_before,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS k_after,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM a JOIN b USING (user_id)) AS overlap)
+         SELECT k_before, k_after, overlap,
+                CAST(k_before + k_after - overlap AS BIGINT) AS union_size,
+                CASE WHEN k_before + k_after - overlap > 0 THEN
+                  CAST((CAST(overlap AS HUGEINT) * 1000000) //
+                       (k_before + k_after - overlap) AS BIGINT)
+                END AS jaccard_ppm
+         FROM f""",
+    "q375_ks_uniform" ->
+      """WITH obs AS (
+           SELECT CAST(hour(ts) AS BIGINT) AS h,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         dense AS (
+           SELECT g.h, coalesce(obs.c, 0) AS c
+           FROM (SELECT unnest(generate_series(0, 23)) AS h) g
+             LEFT JOIN obs ON g.h = obs.h),
+         c1 AS (
+           SELECT h, c,
+                  sum(c) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS cum,
+                  sum(c) OVER () AS n
+           FROM dense),
+         d AS (
+           SELECT h, n, abs(cum * 24 - (h + 1) * n) AS dev,
+                  row_number() OVER (ORDER BY abs(cum * 24 - (h + 1) * n)
+                    DESC, h ASC) AS r
+           FROM c1)
+         SELECT CAST(n AS BIGINT) AS n, CAST(dev AS BIGINT) AS d_num,
+                CAST(h AS BIGINT) AS worst_hour,
+                CAST((CAST(dev AS HUGEINT) * 1000000) //
+                     (CAST(n AS HUGEINT) * 24) AS BIGINT) AS d_ppm
+         FROM d WHERE r = 1""",
+    "q376_gini_stump" ->
+      """WITH cells AS (
+           SELECT CAST(n_chars AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS a
+           FROM documents GROUP BY 1),
+         c1 AS (
+           SELECT v,
+                  sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS nl,
+                  sum(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS al,
+                  sum(c) OVER () AS n, sum(a) OVER () AS aa
+           FROM cells),
+         sc AS (
+           SELECT v, nl, al, n, aa,
+                  CAST((CAST(al AS HUGEINT) * al +
+                        CAST(nl - al AS HUGEINT) * (nl - al)) *
+                       1000000000 // nl AS BIGINT) +
+                  CAST((CAST(aa - al AS HUGEINT) * (aa - al) +
+                        CAST(n - nl - (aa - al) AS HUGEINT) *
+                        (n - nl - (aa - al))) * 1000000000 // (n - nl)
+                       AS BIGINT) AS score
+           FROM c1 WHERE nl < n),
+         rk AS (
+           SELECT *, row_number() OVER (ORDER BY score DESC, v ASC) AS r
+           FROM sc)
+         SELECT CAST(n AS BIGINT) AS n, CAST(aa AS BIGINT) AS n_pos,
+                CAST(v AS BIGINT) AS split_v,
+                CAST(nl AS BIGINT) AS n_left,
+                CAST(al AS BIGINT) AS a_left,
+                score AS score_q9,
+                score - CAST((CAST(aa AS HUGEINT) * aa +
+                              CAST(n - aa AS HUGEINT) * (n - aa)) *
+                             1000000000 // n AS BIGINT) AS gain_q9
+         FROM rk WHERE r = 1""",
     "q370_trimmed_means" ->
       """WITH ev AS (
            SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v

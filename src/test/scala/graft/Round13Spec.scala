@@ -337,6 +337,34 @@ class Round13Spec extends SparkSpec {
     assert(m.head.getAs[Long]("boundary") === 1L)
   }
 
+  test("RankStats.giniStumpFromCounts hand values: a perfect split " +
+      "scores n*1e9; score ties break to the smallest threshold") {
+    val s = spark
+    import s.implicits._
+    // v=1 all positive, v=2 all negative -> perfect split at 1
+    val pure = Seq((1L, 3L, 3L), (2L, 2L, 0L)).toDF("v", "c", "a")
+    val g1 = graft.data.RankStats.giniStumpFromCounts(pure)
+      .collect().head
+    assert(g1.getAs[Long]("split_v") === 1L)
+    assert(g1.getAs[Long]("score_q9") === 5000000000L)  // 3e9 + 2e9
+    assert(g1.getAs[Long]("gain_q9") === 2400000000L)   // - 13e9/5
+    // graded: best split after the second value
+    val graded = Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 2L))
+      .toDF("v", "c", "a")
+    val g2 = graft.data.RankStats.giniStumpFromCounts(graded)
+      .collect().head
+    assert(g2.getAs[Long]("split_v") === 2L)
+    assert(g2.getAs[Long]("score_q9") === 4000000000L)
+    assert(g2.getAs[Long]("gain_q9") === 666666667L)
+    // symmetric tie: both candidate thresholds score 4.5e9 -> smallest
+    val tie = Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 0L))
+      .toDF("v", "c", "a")
+    val g3 = graft.data.RankStats.giniStumpFromCounts(tie)
+      .collect().head
+    assert(g3.getAs[Long]("score_q9") === 4500000000L)
+    assert(g3.getAs[Long]("split_v") === 1L)
+  }
+
   test("runs-test click flag: NULL event_type counts as non-click " +
       "(the oracle's CASE WHEN semantics), not as a NULL flag") {
     val s = spark
