@@ -32,6 +32,15 @@ object SparkEntry {
       graft.queries.MlQueries.benchOverrides ++
       graft.queries.SourceStreamQueries.benchOverrides
 
+  /** Queries deliberately shipped WITHOUT an oracleSql entry (driver
+    * falls back to the weaker rows>0 check). Every member needs a
+    * written justification here; [[InventorySpec]] fails on any
+    * registry key that is in neither oracleSql nor this set, so a
+    * forgotten oracle can never ship silently. Currently empty: all
+    * 369 registered queries carry a DuckDB oracle.
+    */
+  val rowsOnlyWaived: Set[String] = Set.empty
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
