@@ -294,10 +294,15 @@ object RankStats {
       .withColumn("__upto", sum("c").over(wUp).cast("long"))
       .withColumn("__bef", col("__upto") - col("c"))
       .withColumn("__n", sum("c").over(wAll).cast("long"))
+      // cross-multiplications through DECIMAL(38,0): n·B would wrap
+      // BIGINT silently past 2⁶³ (unreachable at B = 10 with realistic
+      // n, but the sibling kernels' declared discipline is exact-or-loud,
+      // never wrap)
       .withColumn("__blo",
-        expr(s"CAST(__bef * $nBuckets div __n AS BIGINT) + 1"))
+        expr(s"CAST(CAST(__bef AS $D38) * $nBuckets div __n AS BIGINT) + 1"))
       .withColumn("__bhi",
-        least(expr(s"CAST(__upto * $nBuckets div __n AS BIGINT)"),
+        least(
+          expr(s"CAST(CAST(__upto AS $D38) * $nBuckets div __n AS BIGINT)"),
           lit(nBuckets.toLong - 1)))
       .filter(col("__bhi") >= col("__blo"))
       .withColumn("bucket", explode(expr("sequence(__blo, __bhi)")))

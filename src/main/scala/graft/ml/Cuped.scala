@@ -28,9 +28,13 @@ import org.apache.spark.sql.functions._
   * arm is empty.
   *
   * Loud bounds: |θ| ≥ 10⁶ (a pre-period covariate 10⁶× steeper than
-  * the outcome is a pipeline bug) and n·Σx², n·Σ|xy| ≥ 10²⁹ (the
-  * DECIMAL(38,0) exactness envelope for the limb products — pre-scale
-  * the unit sums first) both raise.
+  * the outcome is a pipeline bug); n·Σx², n·Σ|xy| ≥ 10²⁹ (the
+  * DECIMAL(38,0) exactness envelope for the limb products); and on the
+  * derived numerators |Δy_num| ≥ 10²⁸ (multiplied by 10⁹ below) and
+  * |Δx_num| ≥ 10²² (multiplied by θ_q9 < 10¹⁵ below) — every product
+  * that reaches DECIMAL(38,0) is provably under 10³⁷, so the silent
+  * non-ANSI NULL / DuckDB-error divergence past 10³⁸ is unreachable.
+  * All raise with a pre-scale pointer.
   *
   * @param perUnit one row per unit: `treatCol` boolean,
   *                `xCol`/`yCol` integral micro-unit totals
@@ -105,10 +109,29 @@ object Cuped {
       .withColumn("theta_q9",
         (when(col("__c") >= 0, lit(1L)).otherwise(lit(-1L))) *
           (col("__q0") * 1000000000L + col("__q1") * 10000L + col("__q2")))
+      // y-side / cross-term loud bounds (the x-side 1e29 moment guard
+      // does NOT cover these): __dyn is multiplied by 10⁹ below, so
+      // |__dyn| < 10²⁸ keeps that product under 10³⁷; __dxn is
+      // multiplied by theta_q9 (< 10¹⁵ by the |theta| < 10⁶ guard), so
+      // |__dxn| < 10²² keeps that product under 10³⁷. Outside either
+      // envelope non-ANSI Spark would silently NULL while the DuckDB
+      // HUGEINT oracle errors — the exact divergence class the KW/JT
+      // digit-string fixes closed; fail loudly instead.
       .withColumn("__dyn",
         expr(s"CAST(__syt * n_c - (__sy - __syt) * n_t AS $D38)"))
+      .withColumn("__dyn",
+        when(expr(s"abs(__dyn) >= CAST('1" + "0" * 28 + s"' AS $D38)"),
+          raise_error(lit("cuped: |dy_num| exceeds the exact-arithmetic " +
+            "bound 1e28 - pre-scale the outcome sums")).cast(D38))
+          .otherwise(col("__dyn")))
       .withColumn("__dxn",
         expr(s"CAST(__sxt * n_c - (__sx - __sxt) * n_t AS $D38)"))
+      .withColumn("__dxn",
+        when(expr(s"abs(__dxn) >= CAST('1" + "0" * 22 + s"' AS $D38)"),
+          raise_error(lit("cuped: |dx_num| exceeds the theta-product " +
+            "exact-arithmetic bound 1e22 - pre-scale the covariate sums"))
+            .cast(D38))
+          .otherwise(col("__dxn")))
       .withColumn("__den",
         when(col("n_t") > 0 && col("n_c") > 0,
           expr(s"CAST(n_t AS $D38) * n_c")).otherwise(lit(1).cast(D38)))

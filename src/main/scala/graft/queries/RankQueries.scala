@@ -468,9 +468,14 @@ object RankQueries {
     // RANKING-STABILITY AUDIT — do "sources ranked by doc count" and
     // "sources ranked by total chars" agree: Spearman footrule Σ|r₁−r₂|
     // and Kendall inversion distance over the k-source frame (exact
-    // integers, k is the SOURCE cardinality — the k² pair sweep is
-    // domain-sized, loudly bounded; ranks total-ordered by (metric desc,
-    // source asc), declared)
+    // integers, k is the SOURCE cardinality, loudly bounded; ranks
+    // total-ordered by (metric desc, source asc), declared). The
+    // inversion count rides the q248 dominance cascade on a range-built
+    // k×k rank grid — two PARTITIONED prefix windows, never a pair join:
+    // both rank columns are permutations of 1..k, so an inversion is a
+    // grid cell (ra, rb) of mass 1 whose north-west quadrant strict
+    // suffix g_gt = Σ_{ra'<ra, rb'>rb} c counts its discordant partners
+    // exactly once.
     "q377_rank_stability" -> { (s, dir) =>
       val bySrc = t(s, dir, "documents")
         .groupBy(col("source"))
@@ -480,19 +485,39 @@ object RankQueries {
         .orderBy(col("n_docs").desc, col("source").asc)
       val wB = org.apache.spark.sql.expressions.Window
         .orderBy(col("n_chars").desc, col("source").asc)
+      // ONE materialization of the k-row rank frame: both the footrule
+      // agg and the grid join read it, so without the checkpoint each
+      // branch would re-run the source agg + both global rank windows
       val ranked = bySrc
         .withColumn("ra", row_number().over(wA).cast("long"))
         .withColumn("rb", row_number().over(wB).cast("long"))
         .localCheckpoint()
-      val k = ranked.count()
+      val k = ranked.count() // O(k) over the checkpoint: gates the grid
       require(k <= 10000L, s"rank_stability: $k sources exceed the " +
-        "k^2 pair bound 1e4 - collapse sources first")
-      val l = ranked.select(col("source").as("sa"), col("ra").as("raa"),
-        col("rb").as("rba"))
-      val inv = l.crossJoin(ranked)
-        .filter(col("sa") < col("source"))
-        .agg(sum(when((col("raa") < col("ra")) =!= (col("rba") < col("rb")),
-          1L).otherwise(0L)).cast("long").as("inversions"))
+        "k x k grid bound 1e4 - collapse sources first")
+      val wM = org.apache.spark.sql.expressions.Window
+        .partitionBy("rb").orderBy("ra")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val wGt = org.apache.spark.sql.expressions.Window
+        .partitionBy("ra").orderBy("rb")
+        .rowsBetween(1, org.apache.spark.sql.expressions.Window
+          .unboundedFollowing)
+      val inv = s.range(0, k * k)
+        .select(expr(s"id div $k + 1").cast("long").as("ra"),
+          (col("id") % k + 1).cast("long").as("rb"))
+        .join(ranked.select(col("ra"), col("rb"), lit(1L).as("c")),
+          Seq("ra", "rb"), "left")
+        .withColumn("c0", coalesce(col("c"), lit(0L)))
+        // m(ra, rb) = mass strictly left of ra in row rb; g_gt cascades
+        // it strictly above rb in column ra — c0·g_gt counts each
+        // discordant pair exactly once (q248's disc identity with unit
+        // cell mass)
+        .withColumn("m", coalesce(sum("c0").over(wM), lit(0L)))
+        .withColumn("g_gt", coalesce(sum("m").over(wGt), lit(0L)))
+        .filter(col("c0") > 0L)
+        .agg(coalesce(sum(col("c0") * col("g_gt")), lit(0L))
+          .cast("long").as("inversions"))
       val foot = ranked.agg(
         count(lit(1)).cast("long").as("k_sources"),
         sum(abs(col("ra") - col("rb"))).cast("long").as("footrule"))

@@ -774,4 +774,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan) { case _: BroadcastExchangeExec => } >= 1,
       s"the one-row totals frame must broadcast:\n$plan")
   }
+
+  test("rank stability (q377): no CartesianProduct anywhere — the " +
+      "inversion count is the q248 dominance cascade, its grid windows " +
+      "partitioned; only the two k-frame rank windows are global") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val plan = staticPlan(
+      graft.queries.RankQueries.queries("q377_rank_stability")(spark, sf))
+    assert(count(plan) { case _: CartesianProductExec => } === 0,
+      s"the k^2 pair join must not come back:\n$plan")
+    val ws = plan.collect { case w: WindowExec => w }
+    val global = ws.filter(_.partitionSpec.isEmpty)
+    val partitioned = ws.filter(_.partitionSpec.nonEmpty)
+    assert(partitioned.size >= 2,
+      s"the m / g_gt cascade must ride rb- and ra-partitioned windows:\n$plan")
+    assert(global.size <= 2,
+      s"only the loudly-bounded k-source rank windows may be global:\n$plan")
+  }
 }
