@@ -1714,6 +1714,46 @@ object DataQueries {
       Dedup.exactIncremental(docs.filter(col("doc_id") % 2 =!= 0), path)
     },
 
+    // INCREMENTAL NEAR-DUP SIGNATURE LEDGER — q117's delta-vs-ledger
+    // discipline applied to q41's MinHash machinery: ingest yesterday's
+    // corpus (signatures + band keys persisted bucket-partitioned), then
+    // score today's crawl against the ledger WITHOUT re-scanning or
+    // re-signing history. Today's crawl is the +1e6 twin copy of the
+    // corpus, so the raw-bytes-replayable invariants are (a) every twin
+    // pair MUST be reported at exact jaccard 1 (identical shingle sets
+    // give identical signatures, which collide in every band), and
+    // (b) every reported pair re-checks at exact WORD-shingle jaccard >=
+    // the threshold (the subset discipline; also proves the hashed
+    // effective sets didn't collide)
+    "q379_minhash_ledger" -> { (s, dir) =>
+      val docs = doubledDocs(s, dir).filter(col("text").isNotNull)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q379_ledger"
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      Dedup.minHashLedger(docs.filter(col("doc_id") < 1000000L), path,
+        k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      val pairs = Dedup.minHashLedger(docs.filter(col("doc_id") >= 1000000L),
+        path, k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      val sh = docs.select(col("doc_id").as("vid"),
+        Dedup.wordShingles(col("text"), 5).as("vsh"))
+      val out = pairs
+        .join(sh.select(col("vid").as("id_new"), col("vsh").as("sh_new")),
+          "id_new")
+        .join(sh.select(col("vid").as("id_old"), col("vsh").as("sh_old")),
+          "id_old")
+        .withColumn("nc", size(array_intersect(col("sh_new"), col("sh_old"))))
+        .withColumn("exact_j", col("nc").cast("double") /
+          (size(col("sh_new")) + size(col("sh_old")) - col("nc"))
+            .cast("double"))
+        .agg(
+          coalesce(sum(when(col("id_new") === col("id_old") + 1000000L &&
+            col("jaccard") === 1.0, 1L).otherwise(0L)), lit(0L))
+            .cast("long").as("n_twin_pairs_found"),
+          coalesce(sum(when(col("exact_j") < 0.5, 1L).otherwise(0L)),
+            lit(0L)).cast("long").as("subset_violations"))
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
     // quality-aware canonical selection: near-dup clusters (q73 knobs) keep
     // their highest-n_chars member, ties to the smallest id — "of N
     // near-identical crawls keep the best copy". Full oracle: the q73
@@ -1785,6 +1825,20 @@ object DataQueries {
     "q41_minhash_lsh_pairs" -> { (s, dir) =>
       Dedup.minHashLshPairs(doubledDocs(s, dir), "text", "doc_id",
         k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+    },
+    // production form: ingest + probe only — the exact word-shingle
+    // re-verification in the correctness query is oracle code
+    "q379_minhash_ledger" -> { (s, dir) =>
+      val docs = doubledDocs(s, dir).filter(col("text").isNotNull)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q379b_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      Dedup.minHashLedger(docs.filter(col("doc_id") < 1000000L), path,
+        k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      val pairs = Dedup.minHashLedger(docs.filter(col("doc_id") >= 1000000L),
+        path, k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      pairs
     },
     "q42_simhash_pairs" -> { (s, dir) =>
       Dedup.simHashPairs(doubledDocs(s, dir), "text", "doc_id", maxHamming = 3)
@@ -2772,6 +2826,14 @@ object DataQueries {
            FROM embeddings q CROSS JOIN embeddings t
            WHERE q.vec_id < 20)
          WHERE rank <= 5""",
+    // every non-null-text doc contributes exactly its twin pair (i+1e6, i)
+    // at jaccard 1 — identical shingle sets collide in every band — and
+    // the reported set re-verifies at exact word-shingle jaccard, so
+    // violations are structurally zero
+    "q379_minhash_ledger" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs_found,
+                CAST(0 AS BIGINT) AS subset_violations
+         FROM documents WHERE text IS NOT NULL""",
     "q117_incremental_dedup" ->
       """WITH delta AS (SELECT doc_id, text FROM documents
                         WHERE doc_id % 2 = 1 AND text IS NOT NULL),

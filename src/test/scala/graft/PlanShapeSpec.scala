@@ -775,6 +775,37 @@ class PlanShapeSpec extends SparkSpec {
       s"the one-row totals frame must broadcast:\n$plan")
   }
 
+  test("minHashLedger probe: both ledger scans carry partition filters " +
+      "(bands pruned to probed buckets, sigs pruned to candidate id " +
+      "buckets) — history is read signature-only and never re-signed") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val delta = Seq((11L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_r14_planlock"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+    graft.data.Dedup.minHashLedger(base, path, k = 3, numHashes = 32,
+      rowsPerBand = 4, threshold = 0.3)
+    val plan = staticPlan(graft.data.Dedup.minHashLedgerPairs(delta, path,
+      k = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.3))
+    def scansOf(tag: String) = plan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(tag)) => f
+    }
+    val bandScans = scansOf("/bands")
+    val sigScans = scansOf("/sigs")
+    assert(bandScans.nonEmpty && bandScans.forall(_.partitionFilters.nonEmpty),
+      s"bands scan must prune to the delta's buckets:\n$plan")
+    assert(sigScans.nonEmpty && sigScans.forall(_.partitionFilters.nonEmpty),
+      s"sigs scan must prune to candidate id buckets:\n$plan")
+    // the exact-verify side reads stored signatures, never ledger text
+    assert(sigScans.forall(_.schema.fieldNames.forall(_ != "text")),
+      s"history text must never be read back:\n$plan")
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+  }
+
   test("rank stability (q377): no CartesianProduct anywhere — the " +
       "inversion count is the q248 dominance cascade, its grid windows " +
       "partitioned; only the two k-frame rank windows are global") {

@@ -113,6 +113,75 @@ class Round14Spec extends SparkSpec {
     assert(got.getAs[Long]("diff_x1e6") === -10833333L)
   }
 
+  private def ledgerTmp(tag: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_r14_$tag"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(p))
+    p
+  }
+
+  test("minHashLedger hand case: exact twin reported at jaccard 1, " +
+      "near-dup above threshold reported, novel doc silent") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "totally unrelated content about spark physical plans"))
+      .toDF("doc_id", "text")
+    // delta: 11 = exact dup of 1; 12 = near-dup of 2 (one word changed
+    // out of ten -> shingle jaccard well above 0.3); 13 = novel
+    val delta = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "one two three four five six seven eight nine eleven"),
+      (13L, "completely fresh never before seen crawl text"))
+      .toDF("doc_id", "text")
+    val path = ledgerTmp("hand")
+    val first = graft.data.Dedup.minHashLedger(base, path, k = 3,
+      numHashes = 32, rowsPerBand = 4, threshold = 0.3)
+    assert(first.count() === 0L) // empty ledger: nothing to match
+    val got = graft.data.Dedup.minHashLedger(delta, path, k = 3,
+      numHashes = 32, rowsPerBand = 4, threshold = 0.3)
+      .orderBy("id_new").collect()
+    val byNew = got.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(byNew(11L) === ((1L, 1.0)))
+    assert(byNew.contains(12L) && byNew(12L)._1 === 2L &&
+      byNew(12L)._2 > 0.3 && byNew(12L)._2 < 1.0)
+    assert(!byNew.contains(13L))
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+  }
+
+  test("minHashLedger retry idempotence: re-scoring an appended delta " +
+      "reports the same historical pairs, never itself; a double-appended " +
+      "base does not duplicate pairs") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val path = ledgerTmp("retry")
+    // crashed-and-retried base append: same batch lands twice
+    graft.data.Dedup.minHashLedger(base, path, k = 3, numHashes = 32,
+      rowsPerBand = 4, threshold = 0.3)
+    graft.data.Dedup.minHashLedger(base, path, k = 3, numHashes = 32,
+      rowsPerBand = 4, threshold = 0.3)
+    val run1 = graft.data.Dedup.minHashLedger(delta, path, k = 3,
+      numHashes = 32, rowsPerBand = 4, threshold = 0.3)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    // duplicate ledger rows deduped on read: exactly one (11, 1) pair
+    assert(run1 === Set((11L, 1L)))
+    // delta now appended: re-scoring must not match itself
+    val run2 = graft.data.Dedup.minHashLedger(delta, path, k = 3,
+      numHashes = 32, rowsPerBand = 4, threshold = 0.3)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    assert(run2 === run1)
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+  }
+
   test("equidepthBoundaries DECIMAL cross-multiplication leaves the " +
       "small-n boundaries bit-identical") {
     val s = spark
