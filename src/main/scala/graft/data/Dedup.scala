@@ -1086,4 +1086,76 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
         col("n_grams"), (col("n_grams") + lit((k - 1).toLong)).as("n_words"))
   }
+
+  /** Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): REMOVE the verbatim
+    * overlap spans [[overlapSpans]] reports, keeping the first occurrence
+    * by the (doc_id, offset) total order — since every reported pair has
+    * `doc_a < doc_b`, the doc_a copy is always the keeper and the doc_b
+    * word range [start_b, start_b + n_words) is cut. For docs a < b < c
+    * sharing a span all three pairs report independently, so exactly the
+    * minimal doc's copy survives. Within-doc self-repetition is out of
+    * scope (the span machinery is cross-doc), declared.
+    *
+    * Shape: span rows collapse to per-doc removal intervals, overlapping
+    * intervals merge by the classic cummax chain (every window
+    * PARTITIONED by doc — per-task state is one doc's span chain, never
+    * a corpus), and the cut text is rebuilt map-side by ONE
+    * `aggregate()` fold over the merged intervals slicing the kept word
+    * ranges — no per-word explode, no non-equi coverage join. Output has
+    * one row per CUT doc (`n_spans_in > 0`; untouched docs are by
+    * definition unchanged): `doc_id, cut_text, n_words,
+    * n_words_removed, n_chars_removed, n_spans_in`, where cut_text is
+    * the space-rejoined kept words (the trimmed word-form, same
+    * normalization both engines replay) and n_chars_removed compares the
+    * space-joined original against it.
+    */
+  def cutOverlapSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 5, maxDf: Int = 20,
+                      minGrams: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val spans = overlapSpans(docs, idCol, textCol, k, maxDf, minGrams)
+    val ivals = spans.select(col("doc_b").as("doc_id"),
+      col("start_b").as("s"), (col("start_b") + col("n_words")).as("e"))
+    val wOrd = w.partitionBy("doc_id").orderBy(col("s"), col("e"))
+    val merged = ivals
+      .withColumn("__new",
+        when(col("s") > coalesce(
+          max("e").over(wOrd.rowsBetween(w.unboundedPreceding, -1)),
+          lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("__grp", sum("__new")
+        .over(wOrd.rowsBetween(w.unboundedPreceding, w.currentRow)))
+      .groupBy("doc_id", "__grp")
+      .agg(min("s").as("s"), max("e").as("e"))
+    val perDoc = merged.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ints"),
+        sum(col("e") - col("s")).cast("long").as("n_words_removed"))
+    val nSpans = spans.groupBy(col("doc_b").as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_spans_in"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+      .join(perDoc, "doc_id")
+      .join(nSpans, "doc_id")
+      .withColumn("__ws", split(trim(col("__text")), " "))
+      // fold over the sorted disjoint 0-based [s, e) intervals: keep the
+      // 1-based word range [p, s+1) before each interval, then the tail
+      .withColumn("cut_text", expr(
+        """array_join(aggregate(ints,
+             named_struct('p', CAST(1 AS BIGINT),
+                          'acc', CAST(array() AS ARRAY<STRING>)),
+             (st, iv) -> named_struct(
+               'p', iv.e + CAST(1 AS BIGINT),
+               'acc', concat(st.acc,
+                 slice(__ws, CAST(st.p AS INT),
+                   CAST(iv.s + 1 - st.p AS INT)))),
+             st -> concat(st.acc,
+               slice(__ws, CAST(st.p AS INT),
+                 CAST(size(__ws) + 1 - st.p AS INT)))), ' ')"""))
+      .withColumn("n_words", size(col("__ws")).cast("long"))
+      .withColumn("n_chars_removed",
+        (length(array_join(col("__ws"), " ")) - length(col("cut_text")))
+          .cast("long"))
+      .select("doc_id", "cut_text", "n_words", "n_words_removed",
+        "n_chars_removed", "n_spans_in")
+  }
 }

@@ -145,6 +145,19 @@ object TextQueries {
         idCol = "doc_id", textCol = "text", k = 5, maxDf = 20, minGrams = 3)
     },
 
+    // EXACT-SUBSTRING DEDUP CUT (Lee et al. 2022) — q291 made surgical:
+    // the reported verbatim spans are REMOVED, first occurrence kept by
+    // the (doc_id, offset) total order (doc_a < doc_b always, so the
+    // doc_b range is cut), overlapping removal intervals merged by a
+    // doc-partitioned cummax chain, and the cut text rebuilt map-side by
+    // one aggregate() fold slicing the kept word ranges — never a
+    // per-word coverage join. One row per CUT doc with the bytes-removed
+    // audit; DuckDB replays the cut arithmetic word for word
+    "q380_substring_cut" -> { (s, dir) =>
+      graft.data.Dedup.cutOverlapSpans(t(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text", k = 5, maxDf = 20, minGrams = 3)
+    },
+
     // GOOD–TURING SMOOTHING TABLE — q99's count-of-counts spectrum carried
     // to the estimator it exists for: adjusted count c* = (c+1)·N_{c+1}/N_c
     // per observed frequency c (Good 1953), the classic LM smoothing /
@@ -859,6 +872,67 @@ object TextQueries {
                 CAST(count(*) + 4 AS BIGINT) AS n_words
          FROM isl GROUP BY doc_a, doc_b, diff, island
          HAVING count(*) >= 3""",
+    // replays q291's span derivation, then the cut: doc_b-side intervals,
+    // per-word coverage test against the RAW intervals (coverage by raw ==
+    // coverage by merged), kept words re-joined in position order
+    "q380_substring_cut" ->
+      """WITH tw AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS ws
+           FROM documents),
+         grams AS (
+           SELECT doc_id,
+                  unnest([{'pos': i - 1,
+                           'g': array_to_string(ws[i:i+4], ' ')}
+                          for i in range(1, len(ws) - 3)],
+                         recursive := true)
+           FROM tw WHERE len(ws) >= 5),
+         rare AS (
+           SELECT g FROM grams GROUP BY g
+           HAVING count(DISTINCT doc_id) <= 20),
+         gr AS (SELECT grams.* FROM grams JOIN rare USING (g)),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diff
+           FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id),
+         isl AS (
+           SELECT doc_a, doc_b, diff, pa, pb,
+                  pa - row_number() OVER (PARTITION BY doc_a, doc_b, diff
+                       ORDER BY pa) AS island
+           FROM p),
+         spans AS (
+           SELECT doc_b AS doc_id, min(pb) AS s,
+                  min(pb) + count(*) + 4 AS e
+           FROM isl GROUP BY doc_a, doc_b, diff, island
+           HAVING count(*) >= 3),
+         nsp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_in
+                 FROM spans GROUP BY doc_id),
+         pos AS (
+           SELECT doc_id,
+                  unnest([{'p': i - 1, 'word': ws[i]}
+                          for i in range(1, len(ws) + 1)],
+                         recursive := true)
+           FROM tw WHERE doc_id IN (SELECT doc_id FROM nsp)),
+         marked AS (
+           SELECT pos.doc_id, pos.p, pos.word,
+                  EXISTS (SELECT 1 FROM spans
+                          WHERE spans.doc_id = pos.doc_id
+                            AND pos.p >= spans.s AND pos.p < spans.e) AS rm
+           FROM pos),
+         agg AS (
+           SELECT doc_id,
+                  coalesce(string_agg(word, ' ' ORDER BY p)
+                             FILTER (WHERE NOT rm), '') AS cut_text,
+                  CAST(count(*) AS BIGINT) AS n_words,
+                  CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_words_removed
+           FROM marked GROUP BY doc_id)
+         SELECT a.doc_id, a.cut_text, a.n_words, a.n_words_removed,
+                CAST(length(array_to_string(tw.ws, ' ')) -
+                     length(a.cut_text) AS BIGINT) AS n_chars_removed,
+                nsp.n_spans_in
+         FROM agg a
+         JOIN tw USING (doc_id)
+         JOIN nsp USING (doc_id)""",
     "q292_good_turing" ->
       """WITH tok AS (
            SELECT unnest(string_split(trim(text), ' ')) AS term

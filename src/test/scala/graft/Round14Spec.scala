@@ -182,6 +182,30 @@ class Round14Spec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
   }
 
+  test("cutOverlapSpans hand case: later-doc spans removed, overlapping " +
+      "intervals merged, full-dup doc cut to empty, keeper untouched") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f g z"),
+      (3L, "a b c d e f g h i j"),
+      (5L, "a b c d e f g h q r"))
+      .toDF("doc_id", "text")
+    val got = graft.data.Dedup
+      .cutOverlapSpans(docs, "doc_id", "text", k = 5, maxDf = 20,
+        minGrams = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      // (1,2) span covers doc2 words [2,9) -> "x y z" survives
+      (2L, "x y z", 10L, 7L, 14L, 1L),
+      // (1,3) covers [0,10), (2,3) covers [0,7): merged = whole doc
+      (3L, "", 10L, 10L, 19L, 2L),
+      // (1,5)/(3,5) cover [0,8), (2,5) covers [0,7): merged [0,8)
+      (5L, "q r", 10L, 8L, 16L, 3L)))
+  }
+
   test("equidepthBoundaries DECIMAL cross-multiplication leaves the " +
       "small-n boundaries bit-identical") {
     val s = spark
