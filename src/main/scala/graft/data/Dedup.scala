@@ -564,6 +564,85 @@ object Dedup {
     out
   }
 
+  /** [[minHashLedgerPairs]]'s SimHash sibling — read-only probe of a
+    * persisted 64-bit SimHash fingerprint ledger: cross-batch near-dup
+    * pairs at hamming distance ≤ `maxHamming`, EXACT for maxHamming ≤ 3
+    * by [[sigPairs]]'s 4-chunk pigeonhole (3 differing bits touch at most
+    * 3 of the 4 16-bit chunks, so some chunk always matches — recall 1 is
+    * structural, not probabilistic, which the MinHash ledger cannot
+    * claim for sub-identical pairs). Ledger layout (written by
+    * [[simHashLedger]]): `ledgerPath/chunks` rows (chunk_idx, ck, id,
+    * sig) PARTITIONED BY `bucket` = pmod(ck·4 + chunk_idx, nBuckets); the
+    * probe prunes to the delta's buckets statically, verifies with the
+    * STORED sig via bit_count(xor) — history text never read, never
+    * re-fingerprinted. Same retry discipline as the MinHash ledger:
+    * dedupe on read, self-pairs excluded.
+    */
+  def simHashLedgerPairs(delta: DataFrame, ledgerPath: String,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         maxHamming: Int = 3,
+                         nBuckets: Int = 64): DataFrame = {
+    val spark = delta.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$ledgerPath/chunks"))) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Int)].toDF("id_new", "id_old", "hamming")
+    }
+    val melted = simChunkRows(delta, textCol, idCol, nBuckets)
+    val probeBuckets = melted.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    val ledger = spark.read.parquet(s"$ledgerPath/chunks")
+      .filter(col("bucket")
+        .isin(probeBuckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
+      .dropDuplicates("bucket", "chunk_idx", "ck", "id")
+    melted
+      .select(col("id").as("id_new"), col("sig").as("sig_new"),
+        col("chunk_idx"), col("ck"), col("bucket"))
+      .join(ledger.select(col("id").as("id_old"), col("sig").as("sig_old"),
+        col("chunk_idx"), col("ck"), col("bucket")),
+        Seq("bucket", "chunk_idx", "ck"))
+      .filter(col("id_new") =!= col("id_old"))
+      .dropDuplicates("id_new", "id_old")
+      .withColumn("hamming",
+        bit_count(col("sig_new").bitwiseXOR(col("sig_old"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_new", "id_old", "hamming")
+  }
+
+  /** [[simHashLedgerPairs]] + the ledger append (the [[minHashLedger]]
+    * contract: result frozen before the append, appends are pure
+    * bucket-partitioned parquet appends, history never rewritten). */
+  def simHashLedger(delta: DataFrame, ledgerPath: String,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    maxHamming: Int = 3, nBuckets: Int = 64): DataFrame = {
+    val out = simHashLedgerPairs(delta, ledgerPath, textCol, idCol,
+      maxHamming, nBuckets).localCheckpoint()
+    simChunkRows(delta, textCol, idCol, nBuckets)
+      .select("bucket", "chunk_idx", "ck", "id", "sig")
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$ledgerPath/chunks")
+    out
+  }
+
+  /** Melted per-doc SimHash chunk rows (id, sig, chunk_idx, ck, bucket) —
+    * the [[sigPairs]] 16-bit chunk keys over the codegen'd simhash64
+    * kernel; null texts drop (null sig never buckets). */
+  private def simChunkRows(delta: DataFrame, textCol: String,
+                           idCol: String, nBuckets: Int): DataFrame = {
+    val chunkKeys = (0 until 4).map { chunk =>
+      shiftright(col("sig"), chunk * 16).bitwiseAND(lit(0xffffL))
+    }
+    delta.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.ShingleExprs.simhash64(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        posexplode(array(chunkKeys: _*)).as(Seq("chunk_idx", "ck")))
+      .withColumn("bucket",
+        pmod(col("ck") * 4 + col("chunk_idx"), lit(nBuckets.toLong)))
+  }
+
   /** Delta docs as (id, hsh): null texts drop (they can never match), the
     * under-k-words whole-text shingle follows [[wordShingles]]. */
   private def signedDelta(delta: DataFrame, textCol: String, idCol: String,

@@ -382,4 +382,101 @@ object RankStats {
         col("v_hi"), col("trimmed_mean_x1e6"),
         col("winsor_mean_x1e6"))): _*)
   }
+
+  /** Dixon's Q outlier screen per group from per-value counts
+    * `(groupCols…, v, c)` — the cheapest "is the extreme observation
+    * suspicious" gate (Dixon 1950's r10 ratio): Q = gap/range where gap
+    * is the distance from the extreme OBSERVATION to its nearest
+    * neighbour observation and range = v_max − v_min. Observation-level
+    * semantics on the collapsed domain, declared: an extreme value with
+    * multiplicity ≥ 2 is its own nearest neighbour (gap 0 — a repeated
+    * extreme is no outlier), otherwise the neighbour is the adjacent
+    * distinct value. Both tails emitted as exact ppm floors; NULL when
+    * n < 3 or range = 0. One ordered pass per group, windows PARTITIONED
+    * by group.
+    *
+    * @return one row per group: `groupCols…, n, v_min, v_max,
+    *         q_lo_ppm, q_hi_ppm`
+    */
+  def dixonQFromCounts(cells: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val seg = groupCols.map(col)
+    val wAsc = Window.partitionBy(seg: _*).orderBy(col("v").asc)
+    val wDesc = Window.partitionBy(seg: _*).orderBy(col("v").desc)
+    cells
+      .withColumn("__ra", row_number().over(wAsc))
+      .withColumn("__rd", row_number().over(wDesc))
+      .groupBy(seg: _*)
+      .agg(
+        sum("c").cast("long").as("n"),
+        min("v").cast("long").as("v_min"),
+        max("v").cast("long").as("v_max"),
+        max(when(col("__ra") === 1, col("c"))).cast("long").as("__c_min"),
+        max(when(col("__rd") === 1, col("c"))).cast("long").as("__c_max"),
+        min(when(col("__ra") === 2, col("v"))).cast("long").as("__v2lo"),
+        max(when(col("__rd") === 2, col("v"))).cast("long").as("__v2hi"))
+      .withColumn("__gap_lo",
+        when(col("__c_min") >= 2L, lit(0L))
+          .otherwise(col("__v2lo") - col("v_min")))
+      .withColumn("__gap_hi",
+        when(col("__c_max") >= 2L, lit(0L))
+          .otherwise(col("v_max") - col("__v2hi")))
+      .withColumn("q_lo_ppm",
+        when(col("n") >= 3L && col("v_max") > col("v_min"),
+          expr(s"""CAST(CAST(__gap_lo AS $D38) * 1000000
+                   div (CAST(v_max AS $D38) - v_min) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("q_hi_ppm",
+        when(col("n") >= 3L && col("v_max") > col("v_min"),
+          expr(s"""CAST(CAST(__gap_hi AS $D38) * 1000000
+                   div (CAST(v_max AS $D38) - v_min) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .select((seg ++ Seq(col("n"), col("v_min"), col("v_max"),
+        col("q_lo_ppm"), col("q_hi_ppm"))): _*)
+  }
+
+  /** Quartile-based distribution-shape report per group from per-value
+    * counts `(groupCols…, v, c)`: Bowley's quartile skewness
+    * (q1 + q3 − 2·q2)/(q3 − q1) and the quartile coefficient of
+    * dispersion (q3 − q1)/(q3 + q1), both as exact sign-split ppm
+    * floors — the outlier-immune shape QA a metric-hardening pass runs
+    * beside [[trimmedMeansFromCounts]]. Quartiles by the declared exact
+    * integer rule q_k = smallest v with 4·cum ≥ k·n (the q359 grand-
+    * median convention at quarter resolution) — cross-multiplied, no
+    * division. Bowley NULL when q3 = q1 (no quartile spread); QCD is a
+    * positive-scale measure, NULL unless q1 > 0. One ordered pass per
+    * group, windows PARTITIONED by group.
+    *
+    * @return one row per group: `groupCols…, n, q1, q2, q3,
+    *         bowley_skew_ppm, qcd_ppm`
+    */
+  def quartileShapeFromCounts(cells: DataFrame,
+                              groupCols: Seq[String]): DataFrame = {
+    val seg = groupCols.map(col)
+    val wUp = Window.partitionBy(seg: _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(seg: _*)
+    def qk(k: Int) =
+      min(when(lit(4L) * col("__cum") >= lit(k.toLong) * col("__n"),
+        col("v"))).cast("long").as(s"q$k")
+    cells
+      .withColumn("__cum", sum("c").over(wUp).cast("long"))
+      .withColumn("__n", sum("c").over(wAll).cast("long"))
+      .groupBy(seg: _*)
+      .agg(max("__n").cast("long").as("n"), qk(1), qk(2), qk(3))
+      .withColumn("bowley_skew_ppm", {
+        val num = col("q1") + col("q3") - lit(2L) * col("q2")
+        when(col("q3") > col("q1"),
+          (when(num >= 0, lit(1L)).otherwise(lit(-1L))) *
+            expr(s"""CAST(abs(CAST(q1 AS $D38) + q3 - 2 * q2) * 1000000
+                     div (CAST(q3 AS $D38) - q1) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long"))
+      })
+      .withColumn("qcd_ppm",
+        when(col("q1") > 0L,
+          expr(s"""CAST((CAST(q3 AS $D38) - q1) * 1000000
+                   div (CAST(q3 AS $D38) + q1) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .select((seg ++ Seq(col("n"), col("q1"), col("q2"), col("q3"),
+        col("bowley_skew_ppm"), col("qcd_ppm"))): _*)
+  }
 }

@@ -675,4 +675,217 @@ object RankTests {
                      div (CAST(n_a AS $D38) * n_b) AS BIGINT)"""))
           .otherwise(lit(null).cast("long")))
   }
+
+  /** Brunner–Munzel test (Brunner & Munzel 2000) — the modern
+    * Mann–Whitney replacement that stays valid under UNEQUAL variances /
+    * shapes (the Behrens–Fisher situation q246's U silently assumes
+    * away). From per-domain-value counts `(v, ca, cb)`, one ordered pass
+    * over the collapsed domain yields global and within-group doubled
+    * midranks; the doubled PLACEMENT p2 = r2_global − r2_within is
+    * constant per cell, so both placement-variance sums fold from cell
+    * multiplicities:
+    *
+    *   p̂ = (R̄2_b − (n_b+1)) / (2·n_a)           (P(a<b) + ½P(a=b))
+    *   A_i = n_i·Σc·p2² − (Σc·p2)²               (n_i²(n_i−1)·4S_i²… )
+    *   W² = d²·(n_a−1)(n_b−1) div
+    *        (N·(A_a·n_b²(n_b−1) + A_b·n_a²(n_a−1))),  d = n_a·R2Σ_b − n_b·R2Σ_a
+    *
+    * all exact integers, one DECIMAL(38,0) division each for p_q6 and
+    * w2_ppm. The d²(n−1)²·10⁶ dividend is ~N⁸·10⁶, so N ≥ 5000 fails
+    * loudly (pre-collapse to a bounded grain first — the day-grain
+    * discipline); NULL W² when both placement variances are zero
+    * (complete separation / constant data), NULL p̂ when a side is empty.
+    *
+    * @return one row: `n_a, n_b, p_q6, w2_ppm, b_stochastically_larger`
+    */
+  def brunnerMunzelFromCounts(counts: DataFrame): DataFrame = {
+    val before = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    counts
+      .withColumn("__cnt", col("ca") + col("cb"))
+      .withColumn("__cumN", coalesce(sum("__cnt").over(before), lit(0L)))
+      .withColumn("__cumA", coalesce(sum("ca").over(before), lit(0L)))
+      .withColumn("__cumB", coalesce(sum("cb").over(before), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__cumN") + col("__cnt") + 1L)
+      .withColumn("__r2aw", lit(2L) * col("__cumA") + col("ca") + 1L)
+      .withColumn("__r2bw", lit(2L) * col("__cumB") + col("cb") + 1L)
+      .withColumn("__p2a", col("__r2") - col("__r2aw"))
+      .withColumn("__p2b", col("__r2") - col("__r2bw"))
+      .agg(
+        sum("ca").cast("long").as("n_a"),
+        sum("cb").cast("long").as("n_b"),
+        sum(col("ca").cast(D38) * col("__r2")).cast(D38).as("__sa2"),
+        sum(col("cb").cast(D38) * col("__r2")).cast(D38).as("__sb2"),
+        sum(col("ca").cast(D38) * col("__p2a")).cast(D38).as("__spa"),
+        sum(col("cb").cast(D38) * col("__p2b")).cast(D38).as("__spb"),
+        sum(col("ca").cast(D38) * col("__p2a") * col("__p2a"))
+          .cast(D38).as("__sqa"),
+        sum(col("cb").cast(D38) * col("__p2b") * col("__p2b"))
+          .cast(D38).as("__sqb"))
+      .withColumn("__n",
+        when(col("n_a") + col("n_b") >= 5000L,
+          raise_error(lit("brunner_munzel: N exceeds the N^8 exact-" +
+            "arithmetic envelope (5000) - pre-collapse to a bounded " +
+            "grain first"))).otherwise(col("n_a") + col("n_b")))
+      .withColumn("__aa",
+        expr(s"CAST(CAST(n_a AS $D38) * __sqa - __spa * __spa AS $D38)"))
+      .withColumn("__ab",
+        expr(s"CAST(CAST(n_b AS $D38) * __sqb - __spb * __spb AS $D38)"))
+      .withColumn("__d",
+        expr(s"CAST(CAST(n_a AS $D38) * __sb2 - CAST(n_b AS $D38) * __sa2 AS $D38)"))
+      .withColumn("__den",
+        expr(s"""CAST(CAST(__n AS $D38) *
+                 (__aa * n_b * n_b * (n_b - 1) +
+                  __ab * n_a * n_a * (n_a - 1)) AS $D38)"""))
+      .withColumn("p_q6",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr(s"""CAST((__sb2 - CAST(n_b AS $D38) * (n_b + 1)) * 1000000
+                   div (CAST(2 AS $D38) * n_a * n_b) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("w2_ppm",
+        when(col("__den") > 0,
+          expr(s"""CAST(__d * __d * (n_a - 1) * (n_b - 1) * 1000000
+                   div __den AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("b_stochastically_larger",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr(s"__sb2 - CAST(n_b AS $D38) * (n_b + 1) > CAST(n_a AS $D38) * n_b"))
+          .otherwise(lit(null).cast("boolean")))
+      .select("n_a", "n_b", "p_q6", "w2_ppm", "b_stochastically_larger")
+  }
+
+  /** Hodges–Lehmann two-sample shift estimator — the robust "HOW FAR is
+    * b shifted from a" companion to [[cliffsDeltaFromCounts]]'s "how
+    * often": the median of all n_a·n_b cross differences (b − a),
+    * computed on the DIFFERENCE DISTRIBUTION of the two collapsed
+    * domains — the |Da|·|Db| grid collapses by difference value first
+    * (integer domains telescope: |diff domain| ≤ range_a + range_b),
+    * never the quadratic observation pair set. Weighted median by the
+    * exact integer rule d_lo = smallest diff with 2·cum ≥ M and
+    * d_up = smallest diff with 2·cum ≥ M+1 (M = n_a·n_b; equal for odd
+    * M), emitted with `hl2 = d_lo + d_up` (TWICE the estimator — exact,
+    * no halves). The grid mass is loudly bounded; NULL when a side is
+    * empty.
+    *
+    * @return one row: `n_a, n_b, m_pairs, d_lo, d_up, hl2`
+    */
+  def hodgesLehmannFromCounts(counts: DataFrame,
+                              maxCells: Long = 100000000L): DataFrame = {
+    val all = Window.partitionBy()
+    val aDom = counts.filter(col("ca") > 0)
+      .select(col("v").as("va"), col("ca"))
+      .withColumn("__da", count(lit(1)).over(all).cast("long"))
+    val bDom = counts.filter(col("cb") > 0)
+      .select(col("v").as("vb"), col("cb"))
+      .withColumn("__db", count(lit(1)).over(all).cast("long"))
+    val diffs = aDom.crossJoin(bDom)
+      .withColumn("__guard",
+        when(col("__da") * col("__db") > maxCells,
+          raise_error(concat(lit("hodges_lehmann: domain grid "),
+            col("__da") * col("__db"),
+            lit(s" exceeds the declared bound $maxCells - bin first"))))
+          .otherwise(lit(0L)))
+      .groupBy((col("vb") - col("va") + col("__guard")).as("d"))
+      .agg(sum(col("ca").cast(D38) * col("cb")).cast("long").as("w"))
+    val upTo = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = diffs
+      .withColumn("__cum", sum("w").over(upTo).cast("long"))
+      .withColumn("__m", sum("w").over(all).cast("long"))
+      .agg(
+        max("__m").cast("long").as("m_pairs"),
+        min(when(lit(2L) * col("__cum") >= col("__m"), col("d")))
+          .cast("long").as("d_lo"),
+        min(when(lit(2L) * col("__cum") >= col("__m") + 1L, col("d")))
+          .cast("long").as("d_up"))
+    val ns = counts.agg(sum("ca").cast("long").as("n_a"),
+      sum("cb").cast("long").as("n_b"))
+    med.crossJoin(broadcast(ns))
+      .withColumn("identity_ok",
+        col("m_pairs").cast(D38) === col("n_a").cast(D38) * col("n_b"))
+      .select(col("n_a"), col("n_b"), col("m_pairs"), col("d_lo"),
+        col("d_up"), (col("d_lo") + col("d_up")).as("hl2"),
+        col("identity_ok"))
+  }
+
+  /** Quade test (Quade 1979) — [[friedman]]'s RANGE-WEIGHTED sibling:
+    * blocks whose treatment values spread more carry more weight, which
+    * buys power when block scales differ (exactly the daily-volume
+    * panels a pipeline monitors). Within-block doubled midranks r2,
+    * block weights Q2 = doubled midrank of the block's RANGE across
+    * blocks, scores S2 = Q2·(r2 − (k+1)) (the common ×4 doubling cancels
+    * in the ratio), and
+    *
+    *   F = (b−1)·ΣT_j² div (b·ΣS2² − ΣT_j²),   T_j = Σ_b S2
+    *
+    * as one exact DECIMAL(38,0) ppm floor. Complete blocks required —
+    * ragged panels fail loudly (the [[friedman]] guard); NULL when the
+    * denominator is zero (all scores equal, e.g. every block internally
+    * constant).
+    *
+    * @return one row: `b_blocks, k_treatments, f_ppm`
+    */
+  def quadeTest(obs: DataFrame, blockCol: String, treatCol: String,
+                valueCol: String): DataFrame = {
+    val wB = Window.partitionBy(col(blockCol))
+    val wBV = Window.partitionBy(col(blockCol), col(valueCol))
+    val ranked = obs
+      .withColumn("__rank", rank().over(wB.orderBy(col(valueCol))))
+      .withColumn("__teq", count(lit(1)).over(wBV).cast("long"))
+      .withColumn("__r2", lit(2L) * col("__rank") + col("__teq") - 1L)
+      .withColumn("__kb", count(lit(1)).over(wB).cast("long"))
+      .withColumn("__kdist",
+        size(collect_set(col(treatCol)).over(wB)).cast("long"))
+      .withColumn("__range",
+        max(col(valueCol)).over(wB) - min(col(valueCol)).over(wB))
+    // block weights: doubled midrank of __range across the b-block frame
+    // (calendar-bounded — the collapsed-frame exception)
+    val wAllB = Window.orderBy(col("__range"))
+    val wEqR = Window.partitionBy(col("__range"))
+    val blocks = ranked.select(col(blockCol).as("__blk"), col("__range"))
+      .distinct()
+      .withColumn("__brank", rank().over(wAllB))
+      .withColumn("__beq", count(lit(1)).over(wEqR).cast("long"))
+      .withColumn("__q2", lit(2L) * col("__brank") + col("__beq") - 1L)
+      .select(col("__blk"), col("__q2"))
+    val scored = ranked
+      .join(broadcast(blocks), col(blockCol) === col("__blk"))
+      .withColumn("__s2",
+        col("__q2").cast(D38) * (col("__r2").cast(D38) - (col("__kb") + 1)))
+    val perT = scored.groupBy(col(treatCol).as("treat"))
+      .agg(count(lit(1)).cast("long").as("b"),
+        min("__kb").cast("long").as("__kb_min"),
+        max("__kb").cast("long").as("__kb_max"),
+        min("__kdist").cast("long").as("__kd_min"),
+        sum(col("__s2") * col("__s2")).cast(D38).as("__sq"),
+        sum("__s2").cast(D38).as("__tj"))
+    val all = Window.partitionBy()
+    perT
+      .withColumn("__k", count(lit(1)).over(all).cast("long"))
+      .agg(
+        max("b").cast("long").as("b_blocks"),
+        max("__k").cast("long").as("k_treatments"),
+        min("b").cast("long").as("__b_min"),
+        min("__kb_min").cast("long").as("__kb_min"),
+        max("__kb_max").cast("long").as("__kb_max"),
+        min("__kd_min").cast("long").as("__kd_min"),
+        sum("__sq").cast(D38).as("__a2"),
+        sum(col("__tj") * col("__tj")).cast(D38).as("__bnum"))
+      .withColumn("f_ppm",
+        when(col("__b_min") =!= col("b_blocks") ||
+          col("__kb_min") =!= col("k_treatments") ||
+          col("__kb_max") =!= col("k_treatments") ||
+          col("__kd_min") =!= col("k_treatments"),
+          raise_error(concat(
+            lit("quade: ragged panel - every block must have exactly "),
+            col("k_treatments"),
+            lit(" distinct treatments and every treatment all blocks"))))
+          .when(expr(s"CAST(b_blocks AS $D38) * __a2 - __bnum > 0"),
+            expr(s"""CAST(CAST(b_blocks - 1 AS $D38) * __bnum * 1000000
+                     div (CAST(b_blocks AS $D38) * __a2 - __bnum)
+                     AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .select("b_blocks", "k_treatments", "f_ppm")
+  }
 }

@@ -1754,6 +1754,30 @@ object DataQueries {
       out
     },
 
+    // INCREMENTAL SIMHASH LEDGER — q379's fingerprint sibling with
+    // STRUCTURAL recall: for hamming ≤ 3 the 4-chunk pigeonhole makes the
+    // probe exact, not probabilistic. Same twin-corpus protocol: ingest
+    // the original corpus, score the +1e6 copies; every twin MUST report
+    // at hamming 0 (identical text ⇒ identical fingerprint ⇒ every chunk
+    // collides), and no reported pair may exceed the declared radius
+    "q387_simhash_ledger" -> { (s, dir) =>
+      val docs = doubledDocs(s, dir).filter(col("text").isNotNull)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q387_ledger"
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      Dedup.simHashLedger(docs.filter(col("doc_id") < 1000000L), path,
+        maxHamming = 3)
+      val pairs = Dedup.simHashLedger(docs.filter(col("doc_id") >= 1000000L),
+        path, maxHamming = 3)
+      val out = pairs.agg(
+        coalesce(sum(when(col("id_new") === col("id_old") + 1000000L &&
+          col("hamming") === 0, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_twin_pairs_found"),
+        coalesce(sum(when(col("hamming") > 3, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("hamming_violations"))
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
     // quality-aware canonical selection: near-dup clusters (q73 knobs) keep
     // their highest-n_chars member, ties to the smallest id — "of N
     // near-identical crawls keep the best copy". Full oracle: the q73
@@ -1825,6 +1849,18 @@ object DataQueries {
     "q41_minhash_lsh_pairs" -> { (s, dir) =>
       Dedup.minHashLshPairs(doubledDocs(s, dir), "text", "doc_id",
         k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+    },
+    "q387_simhash_ledger" -> { (s, dir) =>
+      val docs = doubledDocs(s, dir).filter(col("text").isNotNull)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q387b_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      Dedup.simHashLedger(docs.filter(col("doc_id") < 1000000L), path,
+        maxHamming = 3)
+      val pairs = Dedup.simHashLedger(docs.filter(col("doc_id") >= 1000000L),
+        path, maxHamming = 3)
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      pairs
     },
     // production form: ingest + probe only — the exact word-shingle
     // re-verification in the correctness query is oracle code
@@ -2833,6 +2869,13 @@ object DataQueries {
     "q379_minhash_ledger" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs_found,
                 CAST(0 AS BIGINT) AS subset_violations
+         FROM documents WHERE text IS NOT NULL""",
+    // identical text => identical 64-bit fingerprint => all 4 chunks
+    // collide => hamming-0 twin pair; the declared radius is a filter, so
+    // violations are structurally zero
+    "q387_simhash_ledger" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs_found,
+                CAST(0 AS BIGINT) AS hamming_violations
          FROM documents WHERE text IS NOT NULL""",
     "q117_incremental_dedup" ->
       """WITH delta AS (SELECT doc_id, text FROM documents

@@ -564,6 +564,101 @@ object RankQueries {
             .otherwise(lit(null).cast("long")))
     },
 
+    // BRUNNER–MUNZEL — "are click days stochastically busier than view
+    // days", valid under UNEQUAL variances (the Behrens–Fisher situation
+    // q246's U assumes away): two 30-obs daily-count samples on the dense
+    // observed-day frame, placements folded from the collapsed count
+    // domain, p̂ and W² as exact integer floors (N ≥ 5000 fails loudly —
+    // the N⁸ envelope; day-grain collapse keeps N calendar-bounded)
+    "q381_brunner_munzel" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val days = ev
+        .select(expr("unix_micros(ts) div 86400000000").as("dy")).distinct()
+      def daily(tp: String) = ev.filter(col("event_type") === tp)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val a = days.join(daily("click"), Seq("dy"), "left")
+        .na.fill(0L, Seq("c"))
+        .groupBy(col("c").as("v")).agg(count(lit(1)).cast("long").as("ca"))
+      val b = days.join(daily("view"), Seq("dy"), "left")
+        .na.fill(0L, Seq("c"))
+        .groupBy(col("c").as("v")).agg(count(lit(1)).cast("long").as("cb"))
+      RankTests.brunnerMunzelFromCounts(
+        a.join(b, Seq("v"), "full").na.fill(0L, Seq("ca", "cb")))
+    },
+
+    // HODGES–LEHMANN SHIFT — "HOW MANY characters longer are English
+    // documents than German" as the median of all cross differences
+    // (q349's delta says how often, this says how far): the |Da|·|Db|
+    // domain grid collapses by difference value first (integer domains
+    // telescope), weighted median by the exact 2·cum ≥ M rule, hl2 =
+    // d_lo + d_up twice the estimator — no halves, no doubles
+    "q382_hodges_lehmann" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val cells = docs.filter(col("lang").isin("en", "de"))
+        .groupBy(col("n_chars").cast("long").as("v"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L))
+          .cast("long").as("ca"),
+          sum(when(col("lang") === "de", 1L).otherwise(0L))
+            .cast("long").as("cb"))
+      RankTests.hodgesLehmannFromCounts(cells)
+    },
+
+    // DIXON'S Q OUTLIER SCREEN — is each event type's extreme value
+    // observation suspicious: gap-to-nearest-neighbour over range, exact
+    // ppm per tail off the per-type collapsed micro-unit domain; a
+    // repeated extreme is its own neighbour (gap 0), declared
+    "q383_dixon_q" -> { (s, dir) =>
+      val cells = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      graft.data.RankStats.dixonQFromCounts(cells, Seq("event_type"))
+    },
+
+    // QUARTILE SHAPE REPORT — Bowley skewness + quartile coefficient of
+    // dispersion per event type (the outlier-immune shape QA beside
+    // q370's trimmed means): quartiles by the exact 4·cum ≥ k·n rule,
+    // both ratios as sign-split exact ppm
+    "q384_quartile_shape" -> { (s, dir) =>
+      val cells = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      graft.data.RankStats.quartileShapeFromCounts(cells, Seq("event_type"))
+    },
+
+    // QUADE TEST — q348 Friedman's range-weighted sibling on the same
+    // day×type daily-count panel, made COMPLETE by construction (dense
+    // day×type grid, zero-filled): blocks with more internal spread count
+    // more, F as one exact DECIMAL ppm floor
+    "q385_quade" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val cells = ev
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"),
+          col("event_type"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val dense = ev
+        .select(expr("unix_micros(ts) div 86400000000").as("dy")).distinct()
+        .crossJoin(ev.select("event_type").distinct())
+        .join(cells, Seq("dy", "event_type"), "left")
+        .na.fill(0L, Seq("cnt"))
+      RankTests.quadeTest(dense, "dy", "event_type", "cnt")
+    },
+
+    // BOUNDED K-TRUSS PEEL — the cohesion filter one notch above q138's
+    // triangle count: keep co-purchase edges in ≥ k−2 triangles,
+    // recomputed over 2 DECLARED peel rounds (the q125 unrolled-iteration
+    // discipline — the oracle replays each round as a CTE); the part-key
+    // stride keeps the graph a fifth of the full co-purchase relation
+    "q386_ktruss" -> { (s, dir) =>
+      val edges = graft.operators.Graphs.coPurchaseEdges(
+        t(s, dir, "lineitem").filter(col("l_partkey") % 5 === 0))
+      graft.operators.Truss.peel(edges, "src", "dst", k = 4, rounds = 2)
+    },
+
     // HITS hubs/authorities over the customer→part purchase bipartite
     // graph (broad buyers ↔ broadly-bought parts), 2 synchronous steps in
     // exact L1-normalized integer fixed point — the q125 PageRank
@@ -619,6 +714,239 @@ object RankQueries {
                        (w2 * 1000) AS BIGINT)
                 ELSE NULL END AS h_ppm
          FROM f""",
+    // replay of the exact doubled-midrank / doubled-placement arithmetic
+    "q381_brunner_munzel" ->
+      """WITH days AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS dy
+                       FROM events),
+         ac AS (SELECT epoch_us(ts) // 86400000000 AS dy, count(*) AS c
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+         bc AS (SELECT epoch_us(ts) // 86400000000 AS dy, count(*) AS c
+                FROM events WHERE event_type = 'view' GROUP BY 1),
+         ag AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM
+                (SELECT coalesce(ac.c, 0) AS v
+                 FROM days LEFT JOIN ac USING (dy)) GROUP BY 1),
+         bg AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM
+                (SELECT coalesce(bc.c, 0) AS v
+                 FROM days LEFT JOIN bc USING (dy)) GROUP BY 1),
+         cells AS (
+           SELECT coalesce(ag.v, bg.v) AS v, coalesce(ca, 0) AS ca,
+                  coalesce(cb, 0) AS cb
+           FROM ag FULL JOIN bg ON ag.v = bg.v),
+         r AS (
+           SELECT v, ca, cb, ca + cb AS cnt,
+                  coalesce(sum(ca + cb) OVER w, 0) AS cumn,
+                  coalesce(sum(ca) OVER w, 0) AS cuma,
+                  coalesce(sum(cb) OVER w, 0) AS cumb
+           FROM cells
+           WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)),
+         p AS (
+           SELECT ca, cb, 2 * cumn + cnt + 1 AS r2,
+                  (2 * cumn + cnt + 1) - (2 * cuma + ca + 1) AS p2a,
+                  (2 * cumn + cnt + 1) - (2 * cumb + cb + 1) AS p2b
+           FROM r),
+         agg AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cb) AS BIGINT) AS n_b,
+                  sum(CAST(ca AS HUGEINT) * r2) AS sa2,
+                  sum(CAST(cb AS HUGEINT) * r2) AS sb2,
+                  sum(CAST(ca AS HUGEINT) * p2a) AS spa,
+                  sum(CAST(cb AS HUGEINT) * p2b) AS spb,
+                  sum(CAST(ca AS HUGEINT) * p2a * p2a) AS sqa,
+                  sum(CAST(cb AS HUGEINT) * p2b * p2b) AS sqb
+           FROM p),
+         fin AS (
+           SELECT *, n_a + n_b AS n,
+                  CAST(n_a AS HUGEINT) * sqa - spa * spa AS aa,
+                  CAST(n_b AS HUGEINT) * sqb - spb * spb AS ab,
+                  CAST(n_a AS HUGEINT) * sb2 -
+                    CAST(n_b AS HUGEINT) * sa2 AS d
+           FROM agg)
+         SELECT n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             CAST(((sb2 - CAST(n_b AS HUGEINT) * (n_b + 1)) * 1000000)
+                  // (CAST(2 AS HUGEINT) * n_a * n_b) AS BIGINT)
+           END AS p_q6,
+           CASE WHEN CAST(n AS HUGEINT) *
+                  (aa * n_b * n_b * (n_b - 1) +
+                   ab * n_a * n_a * (n_a - 1)) > 0 THEN
+             CAST((d * d * (n_a - 1) * (n_b - 1) * 1000000)
+                  // (CAST(n AS HUGEINT) *
+                      (aa * n_b * n_b * (n_b - 1) +
+                       ab * n_a * n_a * (n_a - 1))) AS BIGINT)
+           END AS w2_ppm,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             (sb2 - CAST(n_b AS HUGEINT) * (n_b + 1)) >
+               CAST(n_a AS HUGEINT) * n_b
+           END AS b_stochastically_larger
+         FROM fin""",
+    "q382_hodges_lehmann" ->
+      """WITH cells AS (
+           SELECT CAST(n_chars AS BIGINT) AS v,
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cb
+           FROM documents WHERE lang IN ('en', 'de') GROUP BY 1),
+         a AS (SELECT v AS va, ca FROM cells WHERE ca > 0),
+         b AS (SELECT v AS vb, cb FROM cells WHERE cb > 0),
+         g AS (SELECT vb - va AS d,
+                      CAST(sum(CAST(ca AS HUGEINT) * cb) AS BIGINT) AS w
+               FROM a CROSS JOIN b GROUP BY 1),
+         c AS (SELECT d, sum(w) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS cum,
+                      sum(w) OVER () AS m
+               FROM g),
+         med AS (SELECT CAST(max(m) AS BIGINT) AS m_pairs,
+                        CAST(min(CASE WHEN 2 * cum >= m THEN d END)
+                             AS BIGINT) AS d_lo,
+                        CAST(min(CASE WHEN 2 * cum >= m + 1 THEN d END)
+                             AS BIGINT) AS d_up
+                 FROM c),
+         ns AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                       CAST(sum(cb) AS BIGINT) AS n_b FROM cells)
+         SELECT n_a, n_b, m_pairs, d_lo, d_up,
+                CAST(d_lo + d_up AS BIGINT) AS hl2,
+                CAST(m_pairs AS HUGEINT) =
+                  CAST(n_a AS HUGEINT) * n_b AS identity_ok
+         FROM med, ns""",
+    "q383_dixon_q" ->
+      """WITH cells AS (
+           SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY v ASC) AS ra,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY v DESC) AS rd
+               FROM cells),
+         g AS (SELECT event_type,
+                 CAST(sum(c) AS BIGINT) AS n,
+                 CAST(min(v) AS BIGINT) AS v_min,
+                 CAST(max(v) AS BIGINT) AS v_max,
+                 CAST(max(CASE WHEN ra = 1 THEN c END) AS BIGINT) AS c_min,
+                 CAST(max(CASE WHEN rd = 1 THEN c END) AS BIGINT) AS c_max,
+                 CAST(min(CASE WHEN ra = 2 THEN v END) AS BIGINT) AS v2lo,
+                 CAST(max(CASE WHEN rd = 2 THEN v END) AS BIGINT) AS v2hi
+               FROM r GROUP BY 1)
+         SELECT event_type, n, v_min, v_max,
+           CASE WHEN n >= 3 AND v_max > v_min THEN
+             CAST((CAST(CASE WHEN c_min >= 2 THEN 0
+                        ELSE v2lo - v_min END AS HUGEINT) * 1000000)
+                  // (CAST(v_max AS HUGEINT) - v_min) AS BIGINT)
+           END AS q_lo_ppm,
+           CASE WHEN n >= 3 AND v_max > v_min THEN
+             CAST((CAST(CASE WHEN c_max >= 2 THEN 0
+                        ELSE v_max - v2hi END AS HUGEINT) * 1000000)
+                  // (CAST(v_max AS HUGEINT) - v_min) AS BIGINT)
+           END AS q_hi_ppm
+         FROM g""",
+    "q384_quartile_shape" ->
+      """WITH cells AS (
+           SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         c2 AS (SELECT *,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum,
+                  sum(c) OVER (PARTITION BY event_type) AS n
+                FROM cells),
+         g AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                 CAST(min(CASE WHEN 4 * cum >= 1 * n THEN v END)
+                      AS BIGINT) AS q1,
+                 CAST(min(CASE WHEN 4 * cum >= 2 * n THEN v END)
+                      AS BIGINT) AS q2,
+                 CAST(min(CASE WHEN 4 * cum >= 3 * n THEN v END)
+                      AS BIGINT) AS q3
+               FROM c2 GROUP BY 1)
+         SELECT event_type, n, q1, q2, q3,
+           CASE WHEN q3 > q1 THEN
+             (CASE WHEN q1 + q3 - 2 * q2 >= 0 THEN 1 ELSE -1 END) *
+             CAST((abs(CAST(q1 AS HUGEINT) + q3 - 2 * q2) * 1000000)
+                  // (CAST(q3 AS HUGEINT) - q1) AS BIGINT)
+           END AS bowley_skew_ppm,
+           CASE WHEN q1 > 0 THEN
+             CAST(((CAST(q3 AS HUGEINT) - q1) * 1000000)
+                  // (CAST(q3 AS HUGEINT) + q1) AS BIGINT)
+           END AS qcd_ppm
+         FROM g""",
+    "q385_quade" ->
+      """WITH cells AS (
+           SELECT epoch_us(ts) // 86400000000 AS dy, event_type,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         dense AS (
+           SELECT d.dy, t.event_type, coalesce(c.cnt, 0) AS cnt
+           FROM (SELECT DISTINCT dy FROM cells) d
+           CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+           LEFT JOIN cells c ON c.dy = d.dy
+             AND c.event_type = t.event_type),
+         r AS (
+           SELECT dy, event_type, cnt,
+                  2 * rank() OVER (PARTITION BY dy ORDER BY cnt)
+                    + count(*) OVER (PARTITION BY dy, cnt) - 1 AS r2,
+                  count(*) OVER (PARTITION BY dy) AS kb,
+                  max(cnt) OVER (PARTITION BY dy)
+                    - min(cnt) OVER (PARTITION BY dy) AS rng
+           FROM dense),
+         blk AS (
+           SELECT dy, 2 * rank() OVER (ORDER BY rng)
+                    + count(*) OVER (PARTITION BY rng) - 1 AS q2
+           FROM (SELECT DISTINCT dy, rng FROM r)),
+         sc AS (
+           SELECT r.event_type,
+                  CAST(blk.q2 AS HUGEINT) * (r.r2 - (r.kb + 1)) AS s2
+           FROM r JOIN blk USING (dy)),
+         pt AS (SELECT event_type, count(*) AS b, sum(s2 * s2) AS sq,
+                       sum(s2) AS tj
+                FROM sc GROUP BY 1),
+         f AS (SELECT CAST(max(b) AS BIGINT) AS b_blocks,
+                      CAST(count(*) AS BIGINT) AS k_treatments,
+                      sum(sq) AS a2, sum(tj * tj) AS bnum
+               FROM pt)
+         SELECT b_blocks, k_treatments,
+           CASE WHEN CAST(b_blocks AS HUGEINT) * a2 - bnum > 0 THEN
+             CAST((CAST(b_blocks - 1 AS HUGEINT) * bnum * 1000000)
+                  // (CAST(b_blocks AS HUGEINT) * a2 - bnum) AS BIGINT)
+           END AS f_ppm
+         FROM f""",
+    "q386_ktruss" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_partkey % 5 = 0),
+         e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                       greatest(a.l_partkey, b.l_partkey) AS v
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey <> b.l_partkey),
+         t0 AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                FROM e0 a JOIN e0 b ON b.u = a.v
+                JOIN e0 c ON c.u = a.u AND c.v = b.v),
+         s0 AS (SELECT x AS u, y AS v FROM t0
+                UNION ALL SELECT y, z FROM t0
+                UNION ALL SELECT x, z FROM t0),
+         sup0 AS (SELECT u, v, count(*) AS c FROM s0 GROUP BY 1, 2),
+         e1 AS (SELECT e0.u, e0.v FROM e0 LEFT JOIN sup0 USING (u, v)
+                WHERE coalesce(c, 0) >= 2),
+         t1 AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                FROM e1 a JOIN e1 b ON b.u = a.v
+                JOIN e1 c ON c.u = a.u AND c.v = b.v),
+         s1 AS (SELECT x AS u, y AS v FROM t1
+                UNION ALL SELECT y, z FROM t1
+                UNION ALL SELECT x, z FROM t1),
+         sup1 AS (SELECT u, v, count(*) AS c FROM s1 GROUP BY 1, 2),
+         e2 AS (SELECT e1.u, e1.v FROM e1 LEFT JOIN sup1 USING (u, v)
+                WHERE coalesce(c, 0) >= 2),
+         t2 AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                FROM e2 a JOIN e2 b ON b.u = a.v
+                JOIN e2 c ON c.u = a.u AND c.v = b.v),
+         s2 AS (SELECT x AS u, y AS v FROM t2
+                UNION ALL SELECT y, z FROM t2
+                UNION ALL SELECT x, z FROM t2),
+         sup2 AS (SELECT u, v, count(*) AS c FROM s2 GROUP BY 1, 2)
+         SELECT CAST(e2.u AS BIGINT) AS u, CAST(e2.v AS BIGINT) AS v,
+                CAST(coalesce(c, 0) AS BIGINT) AS support
+         FROM e2 LEFT JOIN sup2 USING (u, v)""",
     "q348_friedman_kendall_w" ->
       """WITH cells AS (
            SELECT epoch_us(ts) // 86400000000 AS dy, event_type,

@@ -206,6 +206,166 @@ class Round14Spec extends SparkSpec {
       (5L, "q r", 10L, 8L, 16L, 3L)))
   }
 
+  test("brunnerMunzelFromCounts hand values: interleaved samples give " +
+      "p=0.75 and W^2=0.5 exactly; complete separation gives NULL W^2 " +
+      "and p=1; past the N^8 envelope raises") {
+    val s = spark
+    import s.implicits._
+    // a = {1,3}, b = {2,4}: hand-derived p_q6 = 750000, w2_ppm = 500000
+    val mixed = Seq((1L, 1L, 0L), (2L, 0L, 1L), (3L, 1L, 0L), (4L, 0L, 1L))
+      .toDF("v", "ca", "cb")
+    val g1 = graft.data.RankTests.brunnerMunzelFromCounts(mixed)
+      .collect().head
+    assert(g1.getAs[Long]("p_q6") === 750000L)
+    assert(g1.getAs[Long]("w2_ppm") === 500000L)
+    assert(g1.getAs[Boolean]("b_stochastically_larger"))
+    // a = {1,2}, b = {3,4}: placements constant -> variance 0 -> NULL
+    val sep = Seq((1L, 1L, 0L), (2L, 1L, 0L), (3L, 0L, 1L), (4L, 0L, 1L))
+      .toDF("v", "ca", "cb")
+    val g2 = graft.data.RankTests.brunnerMunzelFromCounts(sep)
+      .collect().head
+    assert(g2.getAs[Long]("p_q6") === 1000000L)
+    assert(g2.isNullAt(g2.fieldIndex("w2_ppm")))
+    val big = Seq((1L, 3000L, 2500L)).toDF("v", "ca", "cb")
+    val e = intercept[Exception] {
+      graft.data.RankTests.brunnerMunzelFromCounts(big).collect()
+    }
+    assert(msgs(e).exists(_.contains("brunner_munzel")))
+  }
+
+  test("hodgesLehmannFromCounts hand values: odd and even pair counts, " +
+      "identity verdict") {
+    val s = spark
+    import s.implicits._
+    // a = {1,2,3}, b = {5,7,9}: 9 diffs sorted 2,3,4,4,5,6,6,7,8 -> HL 5
+    val odd = Seq((1L, 1L, 0L), (2L, 1L, 0L), (3L, 1L, 0L),
+      (5L, 0L, 1L), (7L, 0L, 1L), (9L, 0L, 1L)).toDF("v", "ca", "cb")
+    val g1 = graft.data.RankTests.hodgesLehmannFromCounts(odd)
+      .collect().head
+    assert(g1.getAs[Long]("m_pairs") === 9L)
+    assert(g1.getAs[Long]("d_lo") === 5L && g1.getAs[Long]("d_up") === 5L)
+    assert(g1.getAs[Long]("hl2") === 10L)
+    assert(g1.getAs[Boolean]("identity_ok"))
+    // a = {0}, b = {2,4}: diffs 2,4 -> lower 2, upper 4, hl2 = 6
+    val even = Seq((0L, 1L, 0L), (2L, 0L, 1L), (4L, 0L, 1L))
+      .toDF("v", "ca", "cb")
+    val g2 = graft.data.RankTests.hodgesLehmannFromCounts(even)
+      .collect().head
+    assert(g2.getAs[Long]("d_lo") === 2L && g2.getAs[Long]("d_up") === 4L)
+    assert(g2.getAs[Long]("hl2") === 6L)
+  }
+
+  test("dixonQFromCounts hand values: clean gaps, repeated extreme, " +
+      "degenerate small group") {
+    val s = spark
+    import s.implicits._
+    val cells = Seq(
+      ("g1", 1L, 1L), ("g1", 2L, 1L), ("g1", 3L, 1L), ("g1", 10L, 1L),
+      ("g2", 1L, 1L), ("g2", 2L, 1L), ("g2", 10L, 2L),
+      ("g3", 1L, 1L), ("g3", 5L, 1L))
+      .toDF("g", "v", "c")
+    val got = graft.data.RankStats.dixonQFromCounts(cells, Seq("g"))
+      .orderBy("g").collect()
+    val g1 = got(0)
+    assert(g1.getAs[Long]("q_hi_ppm") === 777777L) // (10-3)/9
+    assert(g1.getAs[Long]("q_lo_ppm") === 111111L) // (2-1)/9
+    val g2 = got(1)
+    assert(g2.getAs[Long]("q_hi_ppm") === 0L) // repeated max
+    assert(g2.getAs[Long]("q_lo_ppm") === 111111L)
+    val g3 = got(2)
+    assert(g3.isNullAt(g3.fieldIndex("q_hi_ppm"))) // n = 2 < 3
+  }
+
+  test("quartileShapeFromCounts hand values: symmetric 1..100 and a " +
+      "right-skewed group") {
+    val s = spark
+    import s.implicits._
+    val sym = (1 to 100).map(v => ("s", v.toLong, 1L))
+    val skew = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 18L)
+      .map(v => ("k", v, 1L))
+    val got = graft.data.RankStats
+      .quartileShapeFromCounts((sym ++ skew).toDF("g", "v", "c"), Seq("g"))
+      .orderBy("g").collect()
+    val k = got(0)
+    assert((k.getAs[Long]("q1"), k.getAs[Long]("q2"),
+      k.getAs[Long]("q3")) === ((3L, 5L, 8L)))
+    assert(k.getAs[Long]("bowley_skew_ppm") === 200000L) // (3+8-10)/5
+    assert(k.getAs[Long]("qcd_ppm") === 454545L) // 5/11
+    val sy = got(1)
+    assert((sy.getAs[Long]("q1"), sy.getAs[Long]("q2"),
+      sy.getAs[Long]("q3")) === ((25L, 50L, 75L)))
+    assert(sy.getAs[Long]("bowley_skew_ppm") === 0L)
+    assert(sy.getAs[Long]("qcd_ppm") === 500000L)
+  }
+
+  test("quadeTest hand values: 3 blocks x 2 treatments with a tied block " +
+      "matches the classical F = 1/19; ragged panel raises") {
+    val s = spark
+    import s.implicits._
+    val obs = Seq(
+      (1L, "t1", 1L), (1L, "t2", 3L),
+      (2L, "t1", 2L), (2L, "t2", 2L),
+      (3L, "t1", 5L), (3L, "t2", 1L))
+      .toDF("blk", "treat", "y")
+    val got = graft.data.RankTests.quadeTest(obs, "blk", "treat", "y")
+      .collect().head
+    assert(got.getAs[Long]("b_blocks") === 3L)
+    assert(got.getAs[Long]("k_treatments") === 2L)
+    assert(got.getAs[Long]("f_ppm") === 52631L) // 1/19
+    val ragged = obs.filter(!(col("blk") === 2L && col("treat") === "t2"))
+    val e = intercept[Exception] {
+      graft.data.RankTests.quadeTest(ragged, "blk", "treat", "y").collect()
+    }
+    assert(msgs(e).exists(_.contains("ragged")))
+  }
+
+  test("Truss.peel: K4 + pendant keeps the K4 at support 2; a shared-edge " +
+      "triangle pair cascades to empty under k=4") {
+    val s = spark
+    import s.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 9L)).toDF("src", "dst")
+    val got = graft.operators.Truss.peel(k4, "src", "dst", k = 4, rounds = 2)
+      .orderBy("u", "v").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+    // two triangles sharing edge (1,3): round 1 keeps only the shared
+    // edge (support 2), round 2 finds it triangle-less and drops it
+    val twoTri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val got2 = graft.operators.Truss.peel(twoTri, "src", "dst",
+      k = 4, rounds = 2).count()
+    assert(got2 === 0L)
+  }
+
+  test("simHashLedger: twin reported at hamming 0, novel doc silent, " +
+      "retry idempotent") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (13L, "completely fresh never before seen crawl text today"))
+      .toDF("doc_id", "text")
+    val path = ledgerTmp("simhand")
+    assert(graft.data.Dedup.simHashLedger(base, path).count() === 0L)
+    val run1 = graft.data.Dedup.simHashLedger(delta, path)
+      .select("id_new", "id_old", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(run1.contains((11L, 1L, 0)))
+    assert(run1.forall(_._3 <= 3)) // declared radius is a hard filter
+    val run2 = graft.data.Dedup.simHashLedger(delta, path)
+      .select("id_new", "id_old", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    // re-scoring never matches itself and reproduces run1's pairs
+    assert(run2.filter(p => p._1 != p._2) === run2)
+    assert(run1.subsetOf(run2) && run2.forall(p => p._1 != p._2))
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+  }
+
   test("equidepthBoundaries DECIMAL cross-multiplication leaves the " +
       "small-n boundaries bit-identical") {
     val s = spark
