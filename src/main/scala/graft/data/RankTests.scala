@@ -1,6 +1,6 @@
 package graft.data
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -807,6 +807,120 @@ object RankTests {
       .select(col("n_a"), col("n_b"), col("m_pairs"), col("d_lo"),
         col("d_up"), (col("d_lo") + col("d_up")).as("hl2"),
         col("identity_ok"))
+  }
+
+  /** Wilcoxon signed-rank test from per-difference-value counts
+    * `(d, c)` — the PAIRED location test ([[friedman]] at k = 2 is its
+    * coarser sibling; q313's McNemar is its binary one): did the same
+    * units' metric shift between two periods. Zero differences are
+    * excluded (the classic Wilcoxon convention, declared); |d| ranks are
+    * doubled midranks off one ordered pass over the collapsed |d|
+    * domain, W2⁺ = Σ_{d>0} c·r2 is exactly twice the classic W⁺, and
+    * with the tie-corrected variance
+    *
+    *   z² = 12·(W2⁺ − n(n+1)/2)² div (2n(n+1)(2n+1) − Σ_t(t³−t))
+    *
+    * as one exact DECIMAL(38,0) ppm floor (t = tie multiplicities on the
+    * |d| domain). NULL when n = 0 or the variance term is zero (all
+    * differences share one |d| and one sign… degenerate); n ≥ 10⁶ fails
+    * loudly (the n⁴·10⁷ dividend envelope).
+    *
+    * @return one row: `n_nonzero, w2_plus, z2_ppm, positive_shift`
+    */
+  def signedRankFromCounts(diffs: DataFrame): DataFrame = {
+    val byAd = diffs.filter(col("d") =!= 0L)
+      .groupBy(abs(col("d")).as("ad"))
+      .agg(sum("c").cast("long").as("t"),
+        sum(when(col("d") > 0, col("c")).otherwise(0L)).cast("long").as("cp"))
+    val before = Window.orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byAd
+      .withColumn("__r2",
+        lit(2L) * coalesce(sum("t").over(before), lit(0L)) + col("t") + 1L)
+      .agg(
+        sum("t").cast("long").as("n_nonzero"),
+        sum(col("cp").cast(D38) * col("__r2")).cast(D38).as("__w2p"),
+        sum(col("t").cast(D38) * col("t") * col("t") - col("t"))
+          .cast(D38).as("__tie3"))
+      .withColumn("n_nonzero",
+        when(col("n_nonzero") >= 1000000L,
+          raise_error(lit("signed_rank: n exceeds the exact-arithmetic " +
+            "envelope 1e6 - pre-collapse to a bounded grain first")))
+          .otherwise(coalesce(col("n_nonzero"), lit(0L))))
+      .withColumn("__e2",
+        expr(s"CAST(CAST(n_nonzero AS $D38) * (n_nonzero + 1) div 2 AS $D38)"))
+      .withColumn("__den",
+        expr(s"""CAST(CAST(2 AS $D38) * n_nonzero * (n_nonzero + 1) *
+                 (2 * n_nonzero + 1) - __tie3 AS $D38)"""))
+      .withColumn("w2_plus",
+        when(col("n_nonzero") > 0, col("__w2p").cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("z2_ppm",
+        when(col("n_nonzero") > 0 && col("__den") > 0,
+          expr(s"""CAST((__w2p - __e2) * (__w2p - __e2) * 12 * 1000000
+                   div __den AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("positive_shift",
+        when(col("n_nonzero") > 0, col("__w2p") > col("__e2"))
+          .otherwise(lit(null).cast("boolean")))
+      .select("n_nonzero", "w2_plus", "z2_ppm", "positive_shift")
+  }
+
+  /** Two-sample Cramér–von Mises test (Anderson 1962's canonical T) from
+    * per-domain-value counts `(v, ca, cb)` — the whole-CDF companion to
+    * q245's KS: KS sees the single worst deviation, T integrates ALL of
+    * them, buying power against spread-out alternatives. Per cell the
+    * block sum Σ_{i∈cell}(r̄ − i)² has the exact closed form
+    * (3cm² − 6mc(c+1) + 2c(c+1)(2c+1))/3 with m = r2_pooled − 2·own-rank
+    * prefix (doubled midranks — scipy's midrank convention replayed
+    * exactly), so
+    *
+    *   T = [n₁S_a + n₂S_b − 2n₁n₂(4n₁n₂−1)] / (12·n₁n₂N)
+    *
+    * with S the tripled block sums, one exact sign-split DECIMAL(38,0)
+    * ×10⁶ floor. NULL when a side is empty; N ≥ 10⁷ fails loudly (the
+    * N⁴·10⁶ dividend envelope).
+    *
+    * @return one row: `n_a, n_b, t_x1e6`
+    */
+  def cvmFromCounts(counts: DataFrame): DataFrame = {
+    val before = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def blockSum3(cCol: Column, mCol: Column): Column =
+      lit(3L) * cCol.cast(D38) * mCol * mCol -
+        lit(6L) * mCol.cast(D38) * cCol * (cCol + 1L) +
+        lit(2L) * cCol.cast(D38) * (cCol + 1L) * (lit(2L) * cCol + 1L)
+    counts
+      .withColumn("__cnt", col("ca") + col("cb"))
+      .withColumn("__cumN", coalesce(sum("__cnt").over(before), lit(0L)))
+      .withColumn("__cumA", coalesce(sum("ca").over(before), lit(0L)))
+      .withColumn("__cumB", coalesce(sum("cb").over(before), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__cumN") + col("__cnt") + 1L)
+      .withColumn("__ma", col("__r2") - lit(2L) * col("__cumA"))
+      .withColumn("__mb", col("__r2") - lit(2L) * col("__cumB"))
+      .agg(
+        sum("ca").cast("long").as("n_a"),
+        sum("cb").cast("long").as("n_b"),
+        sum(when(col("ca") > 0, blockSum3(col("ca"), col("__ma")))
+          .otherwise(lit(0).cast(D38))).cast(D38).as("__sa"),
+        sum(when(col("cb") > 0, blockSum3(col("cb"), col("__mb")))
+          .otherwise(lit(0).cast(D38))).cast(D38).as("__sb"))
+      .withColumn("__n",
+        when(col("n_a") + col("n_b") >= 10000000L,
+          raise_error(lit("cvm: N exceeds the exact-arithmetic envelope " +
+            "1e7 - pre-collapse or bin first")))
+          .otherwise(col("n_a") + col("n_b")))
+      .withColumn("__num",
+        expr(s"""CAST(CAST(n_a AS $D38) * __sa + CAST(n_b AS $D38) * __sb -
+                 CAST(2 AS $D38) * n_a * n_b *
+                 (CAST(4 AS $D38) * n_a * n_b - 1) AS $D38)"""))
+      .withColumn("t_x1e6",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          (when(col("__num") >= 0, lit(1L)).otherwise(lit(-1L))) *
+            expr(s"""CAST(abs(__num) * 1000000
+                     div (CAST(12 AS $D38) * n_a * n_b * __n) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .select("n_a", "n_b", "t_x1e6")
   }
 
   /** Quade test (Quade 1979) — [[friedman]]'s RANGE-WEIGHTED sibling:

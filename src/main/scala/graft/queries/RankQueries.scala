@@ -659,6 +659,44 @@ object RankQueries {
       graft.operators.Truss.peel(edges, "src", "dst", k = 4, rounds = 2)
     },
 
+    // WILCOXON SIGNED-RANK — did per-user activity shift between the
+    // first and second half of the month, PAIRED at the user grain (the
+    // within-subject question q246's unpaired U cannot ask): d = second
+    // − first per user over the observed-user frame, zeros excluded
+    // (declared), tie-corrected z² off one ordered pass over the
+    // collapsed |d| domain
+    "q388_signed_rank" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val users = ev.select("user_id").distinct()
+      def half(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        ev.filter(p(dayofmonth(col("ts"))))
+          .groupBy("user_id").agg(count(lit(1)).cast("long").as("c"))
+      val a = users.join(half(_ <= 15), Seq("user_id"), "left")
+        .na.fill(0L, Seq("c")).withColumnRenamed("c", "c1")
+      val b = users.join(half(_ >= 16), Seq("user_id"), "left")
+        .na.fill(0L, Seq("c")).withColumnRenamed("c", "c2")
+      val diffs = a.join(b, "user_id")
+        .groupBy((col("c2") - col("c1")).as("d"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      RankTests.signedRankFromCounts(diffs)
+    },
+
+    // CRAMÉR–VON MISES — the whole-CDF two-sample gate beside q245's KS
+    // (KS sees the worst single deviation, T integrates all of them):
+    // Anderson's canonical T over the en/de n_chars collapsed domain,
+    // per-cell closed-form block sums, scipy's midrank convention
+    // replayed exactly in integers
+    "q389_cvm" -> { (s, dir) =>
+      val cells = t(s, dir, "documents")
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("n_chars").cast("long").as("v"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L))
+          .cast("long").as("ca"),
+          sum(when(col("lang") === "de", 1L).otherwise(0L))
+            .cast("long").as("cb"))
+      RankTests.cvmFromCounts(cells)
+    },
+
     // HITS hubs/authorities over the customer→part purchase bipartite
     // graph (broad buyers ↔ broadly-bought parts), 2 synchronous steps in
     // exact L1-normalized integer fixed point — the q125 PageRank
@@ -714,6 +752,89 @@ object RankQueries {
                        (w2 * 1000) AS BIGINT)
                 ELSE NULL END AS h_ppm
          FROM f""",
+    "q388_signed_rank" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+         h1 AS (SELECT user_id, count(*) AS c FROM events
+                WHERE day(ts) <= 15 GROUP BY 1),
+         h2 AS (SELECT user_id, count(*) AS c FROM events
+                WHERE day(ts) >= 16 GROUP BY 1),
+         d AS (SELECT coalesce(h2.c, 0) - coalesce(h1.c, 0) AS d
+               FROM users LEFT JOIN h1 USING (user_id)
+               LEFT JOIN h2 USING (user_id)),
+         cells AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM d
+                   WHERE d <> 0 GROUP BY 1),
+         byad AS (SELECT abs(d) AS ad, sum(c) AS t,
+                         sum(CASE WHEN d > 0 THEN c ELSE 0 END) AS cp
+                  FROM cells GROUP BY 1),
+         r AS (SELECT ad, t, cp,
+                 2 * coalesce(sum(t) OVER (ORDER BY ad ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+               FROM byad),
+         agg AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+                        sum(CAST(cp AS HUGEINT) * r2) AS w2p,
+                        sum(CAST(t AS HUGEINT) * t * t - t) AS tie3
+                 FROM r)
+         SELECT CAST(coalesce(n, 0) AS BIGINT) AS n_nonzero,
+           CASE WHEN n > 0 THEN CAST(w2p AS BIGINT) END AS w2_plus,
+           CASE WHEN n > 0 AND CAST(2 AS HUGEINT) * n * (n + 1) *
+                  (2 * n + 1) - tie3 > 0 THEN
+             CAST(((w2p - CAST(n AS HUGEINT) * (n + 1) // 2) *
+                   (w2p - CAST(n AS HUGEINT) * (n + 1) // 2) *
+                   12 * 1000000)
+                  // (CAST(2 AS HUGEINT) * n * (n + 1) * (2 * n + 1)
+                     - tie3) AS BIGINT)
+           END AS z2_ppm,
+           CASE WHEN n > 0 THEN
+             w2p > CAST(n AS HUGEINT) * (n + 1) // 2
+           END AS positive_shift
+         FROM agg""",
+    "q389_cvm" ->
+      """WITH cells AS (
+           SELECT CAST(n_chars AS BIGINT) AS v,
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cb
+           FROM documents WHERE lang IN ('en', 'de') GROUP BY 1),
+         r AS (
+           SELECT ca, cb,
+                  2 * coalesce(sum(ca + cb) OVER w, 0) + ca + cb + 1 AS r2,
+                  coalesce(sum(ca) OVER w, 0) AS cuma,
+                  coalesce(sum(cb) OVER w, 0) AS cumb
+           FROM cells
+           WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)),
+         m AS (
+           SELECT ca, cb, r2 - 2 * cuma AS ma, r2 - 2 * cumb AS mb
+           FROM r),
+         agg AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cb) AS BIGINT) AS n_b,
+                  sum(CASE WHEN ca > 0 THEN
+                        3 * CAST(ca AS HUGEINT) * ma * ma -
+                        6 * CAST(ma AS HUGEINT) * ca * (ca + 1) +
+                        2 * CAST(ca AS HUGEINT) * (ca + 1) * (2 * ca + 1)
+                      ELSE 0 END) AS sa,
+                  sum(CASE WHEN cb > 0 THEN
+                        3 * CAST(cb AS HUGEINT) * mb * mb -
+                        6 * CAST(mb AS HUGEINT) * cb * (cb + 1) +
+                        2 * CAST(cb AS HUGEINT) * (cb + 1) * (2 * cb + 1)
+                      ELSE 0 END) AS sb
+           FROM m),
+         fin AS (
+           SELECT *,
+                  CAST(n_a AS HUGEINT) * sa + CAST(n_b AS HUGEINT) * sb -
+                  CAST(2 AS HUGEINT) * n_a * n_b *
+                    (CAST(4 AS HUGEINT) * n_a * n_b - 1) AS num
+           FROM agg)
+         SELECT n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             (CASE WHEN num >= 0 THEN 1 ELSE -1 END) *
+             CAST((abs(num) * 1000000)
+                  // (CAST(12 AS HUGEINT) * n_a * n_b * (n_a + n_b))
+                  AS BIGINT)
+           END AS t_x1e6
+         FROM fin""",
     // replay of the exact doubled-midrank / doubled-placement arithmetic
     "q381_brunner_munzel" ->
       """WITH days AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS dy

@@ -158,6 +158,42 @@ object TextQueries {
         idCol = "doc_id", textCol = "text", k = 5, maxDf = 20, minGrams = 3)
     },
 
+    // SLIDING PASSAGE WINDOWS — the RAG/retrieval chunker: overlapping
+    // 32-word windows every 24 words (tail may be short, never empty;
+    // sub-size docs yield themselves), map-only, exact word positions
+    // replayed by the oracle's list comprehension. Value-level compare on
+    // a deterministic 1-in-50 doc slice keeps the diff readable
+    "q390_passage_windows" -> { (s, dir) =>
+      graft.functions.Passages.windows(
+        t(s, dir, "documents").filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", winSize = 32, stride = 24)
+    },
+
+    // PASSAGE-LEVEL DEDUP RATE — chunk-grain duplication per source (the
+    // q21 doc-grain question asked at the grain retrieval actually
+    // serves): windows over the FULL corpus, a window is a duplicate iff
+    // an identical passage exists earlier in the (doc_id, win_idx) total
+    // order — exact string identity, first-occurrence rule one window
+    // per passage, window partitioned by passage. Exact dup_ppm per
+    // source
+    "q391_passage_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val w = graft.functions.Passages
+        .windows(docs, "doc_id", "text", winSize = 32, stride = 24)
+      val first = org.apache.spark.sql.expressions.Window
+        .partitionBy("passage").orderBy(col("doc_id"), col("win_idx"))
+      val flagged = w
+        .withColumn("__dup", row_number().over(first) > 1)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      flagged.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_windows"),
+          sum(when(col("__dup"), 1L).otherwise(0L)).cast("long")
+            .as("n_dup_windows"))
+        .withColumn("dup_ppm",
+          expr("""CAST(CAST(n_dup_windows AS DECIMAL(38,0)) * 1000000
+                  div n_windows AS BIGINT)"""))
+    },
+
     // GOOD–TURING SMOOTHING TABLE — q99's count-of-counts spectrum carried
     // to the estimator it exists for: adjusted count c* = (c+1)·N_{c+1}/N_c
     // per observed frequency c (Good 1953), the classic LM smoothing /
@@ -933,6 +969,43 @@ object TextQueries {
          FROM agg a
          JOIN tw USING (doc_id)
          JOIN nsp USING (doc_id)""",
+    "q390_passage_windows" ->
+      """WITH tw AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+                     FROM documents
+                     WHERE doc_id % 50 = 0 AND text IS NOT NULL),
+         w AS (SELECT doc_id,
+                 unnest([{'win_idx': k,
+                          'seg': ws[k * 24 + 1 : k * 24 + 32]}
+                         for k in range(0, (len(ws) - 1) // 24 + 1)],
+                        recursive := true)
+               FROM tw)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                CAST(win_idx AS BIGINT) AS win_idx,
+                array_to_string(seg, ' ') AS passage,
+                CAST(len(seg) AS BIGINT) AS n_words
+         FROM w""",
+    "q391_passage_dedup" ->
+      """WITH tw AS (SELECT doc_id, source,
+                            string_split(trim(text), ' ') AS ws
+                     FROM documents WHERE text IS NOT NULL),
+         w AS (SELECT doc_id, source,
+                 unnest([{'win_idx': k,
+                          'seg': ws[k * 24 + 1 : k * 24 + 32]}
+                         for k in range(0, (len(ws) - 1) // 24 + 1)],
+                        recursive := true)
+               FROM tw),
+         p AS (SELECT doc_id, source, win_idx,
+                      array_to_string(seg, ' ') AS passage FROM w),
+         f AS (SELECT source,
+                 row_number() OVER (PARTITION BY passage
+                   ORDER BY doc_id, win_idx) > 1 AS dup
+               FROM p)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_windows,
+                CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_windows,
+                CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1000000
+                     // count(*) AS BIGINT) AS dup_ppm
+         FROM f GROUP BY 1""",
     "q292_good_turing" ->
       """WITH tok AS (
            SELECT unnest(string_split(trim(text), ' ')) AS term

@@ -366,6 +366,55 @@ class Round14Spec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
   }
 
+  test("signedRankFromCounts hand values: all-positive shift matches the " +
+      "classical z^2, a +/- tie cancels to zero, zero diffs excluded") {
+    val s = spark
+    import s.implicits._
+    // d = {+1,+2,+3}: W+ = 6, E = 3, Var = 3.5 -> z^2 = 9/3.5
+    val up = Seq((1L, 1L), (2L, 1L), (3L, 1L), (0L, 5L)).toDF("d", "c")
+    val g1 = graft.data.RankTests.signedRankFromCounts(up).collect().head
+    assert(g1.getAs[Long]("n_nonzero") === 3L)
+    assert(g1.getAs[Long]("w2_plus") === 12L)
+    assert(g1.getAs[Long]("z2_ppm") === 2571428L)
+    assert(g1.getAs[Boolean]("positive_shift"))
+    // d = {+1,-1}: tied |d| midranks, W2+ = E2 -> z^2 = 0
+    val bal = Seq((1L, 1L), (-1L, 1L)).toDF("d", "c")
+    val g2 = graft.data.RankTests.signedRankFromCounts(bal).collect().head
+    assert(g2.getAs[Long]("z2_ppm") === 0L)
+    assert(!g2.getAs[Boolean]("positive_shift"))
+  }
+
+  test("cvmFromCounts hand values: {1} vs {2} gives scipy's T = 0.25; " +
+      "identical samples give T = 0") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((1L, 1L, 0L), (2L, 0L, 1L)).toDF("v", "ca", "cb")
+    val g1 = graft.data.RankTests.cvmFromCounts(tiny).collect().head
+    assert(g1.getAs[Long]("t_x1e6") === 250000L)
+    val same = Seq((1L, 1L, 1L), (2L, 1L, 1L)).toDF("v", "ca", "cb")
+    val g2 = graft.data.RankTests.cvmFromCounts(same).collect().head
+    assert(g2.getAs[Long]("t_x1e6") === 0L)
+  }
+
+  test("Passages.windows hand case: overlapping windows with a short " +
+      "tail; a sub-size doc yields itself") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val got = graft.functions.Passages
+      .windows(docs, "doc_id", "text", winSize = 4, stride = 3)
+      .orderBy("doc_id", "win_idx")
+      .select("doc_id", "win_idx", "passage", "n_words")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, "w1 w2 w3 w4", 4L),
+      (1L, 1L, "w4 w5 w6 w7", 4L),
+      (1L, 2L, "w7 w8 w9 w10", 4L),
+      (1L, 3L, "w10", 1L),
+      (2L, 0L, "a b", 2L)))
+  }
+
   test("equidepthBoundaries DECIMAL cross-multiplication leaves the " +
       "small-n boundaries bit-identical") {
     val s = spark
