@@ -927,6 +927,33 @@ object MlQueries {
       Cuped.estimateGrouped(perUnit, Seq("event_type"), "treat", "x", "y")
     },
 
+    // EXACT SHAPLEY CHANNEL ATTRIBUTION — which pre-purchase touch
+    // channels deserve conversion credit, by the one axiomatically fair
+    // split (q224's decay rule is a heuristic; this is the Shapley
+    // value): v(S) = converted users whose prior-touch set ⊆ S over the
+    // 4 declared channels, every φ an exact rational with denominator
+    // 4! = 24 — users collapse to 16 mask counts in ONE hash agg, the
+    // rest is 16-row subset-containment joins, efficiency identity as a
+    // verdict
+    "q392_shapley_attribution" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ts").as("__pts"))
+      val mk = ev.join(fp, "user_id")
+        .filter(col("ts") < col("__pts") &&
+          col("event_type").isin("click", "error", "signup", "view"))
+        .groupBy("user_id")
+        .agg((max(when(col("event_type") === "click", 1).otherwise(0)) +
+          max(when(col("event_type") === "error", 1).otherwise(0)) * 2 +
+          max(when(col("event_type") === "signup", 1).otherwise(0)) * 4 +
+          max(when(col("event_type") === "view", 1).otherwise(0)) * 8)
+          .as("mask"))
+      val masks = fp.join(mk, Seq("user_id"), "left")
+        .na.fill(0, Seq("mask"))
+      graft.ml.Shapley.channelAttribution(masks.select("mask"),
+        Seq("click", "error", "signup", "view"))
+    },
+
     // EMPIRICAL-BAYES SMOOTHED PER-USER CLICK RATE — the MAP/additive
     // smoothing every CTR-style feature needs before it can be trusted
     // for low-traffic users: shrunk = (a + M·p₀)/(n + M) toward the
@@ -992,6 +1019,51 @@ object MlQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q392_shapley_attribution" ->
+      """WITH fp AS (SELECT user_id, min(ts) AS pts FROM events
+                     WHERE event_type = 'purchase' GROUP BY 1),
+         mk AS (SELECT e.user_id,
+                  CAST(max(CASE WHEN e.event_type = 'click' THEN 1
+                           ELSE 0 END) +
+                       2 * max(CASE WHEN e.event_type = 'error' THEN 1
+                               ELSE 0 END) +
+                       4 * max(CASE WHEN e.event_type = 'signup' THEN 1
+                               ELSE 0 END) +
+                       8 * max(CASE WHEN e.event_type = 'view' THEN 1
+                               ELSE 0 END) AS INT) AS mask
+                FROM events e JOIN fp ON fp.user_id = e.user_id
+                WHERE e.ts < fp.pts AND e.event_type IN
+                  ('click', 'error', 'signup', 'view')
+                GROUP BY 1),
+         masks AS (SELECT fp.user_id, coalesce(mk.mask, 0) AS mask
+                   FROM fp LEFT JOIN mk USING (user_id)),
+         conv AS (SELECT mask AS m, CAST(count(*) AS BIGINT) AS cnt
+                  FROM masks GROUP BY 1),
+         subsets AS (SELECT CAST(x AS INT) AS s FROM range(0, 16) t(x)),
+         v AS (SELECT s, CAST(coalesce(sum(cnt), 0) AS BIGINT) AS v
+               FROM subsets LEFT JOIN conv ON (m & s) = m GROUP BY s),
+         chan(channel, bit) AS (VALUES ('click', 1), ('error', 2),
+                                       ('signup', 4), ('view', 8)),
+         terms AS (SELECT c.channel,
+                     (CASE bit_count(vl.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                           WHEN 2 THEN 2 ELSE 6 END) *
+                       (vh.v - vl.v) AS term
+                   FROM chan c
+                   JOIN v vl ON (vl.s & c.bit) = 0
+                   JOIN v vh ON vh.s = (vl.s | c.bit)),
+         pt AS (SELECT channel, CAST(sum(term) AS BIGINT) AS shap_xnfact
+                FROM terms GROUP BY 1),
+         tot AS (SELECT (SELECT v FROM v WHERE s = 15) AS vn,
+                        (SELECT v FROM v WHERE s = 0) AS v0,
+                        CAST(sum(shap_xnfact) AS BIGINT) AS total
+                 FROM pt)
+         SELECT channel, shap_xnfact,
+           CASE WHEN vn - v0 > 0 THEN
+             CAST(CAST(shap_xnfact AS HUGEINT) * 1000000
+                  // (24 * (vn - v0)) AS BIGINT)
+           END AS share_ppm,
+           total = 24 * (vn - v0) AS efficiency_ok
+         FROM pt, tot""",
     "q374_smoothed_rates" ->
       """WITH per AS (
            SELECT user_id, CAST(count(*) AS BIGINT) AS n_u,

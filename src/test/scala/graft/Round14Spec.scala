@@ -415,6 +415,26 @@ class Round14Spec extends SparkSpec {
       (2L, 0L, "a b", 2L)))
   }
 
+  test("Shapley.channelAttribution hand values: 2-channel hand case " +
+      "matches the axioms (efficiency, null error credit beyond synergy)") {
+    val s = spark
+    import s.implicits._
+    // converted users: 1 no-touch (mask 0), 2 click-only (1),
+    // 1 click+error (3). v(0)=1 v(c)=3 v(e)=1 v(ce)=4
+    // 2*phi_click = (3-1) + (4-1) = 5 ; 2*phi_error = 0 + (4-3) = 1
+    val masks = Seq(0, 1, 1, 3).toDF("mask")
+    val got = graft.ml.Shapley
+      .channelAttribution(masks, Seq("click", "error"))
+      .orderBy("channel").collect()
+    val click = got(0); val err = got(1)
+    assert(click.getAs[String]("channel") === "click")
+    assert(click.getAs[Long]("shap_xnfact") === 5L)
+    assert(click.getAs[Long]("share_ppm") === 833333L) // 5/6
+    assert(err.getAs[Long]("shap_xnfact") === 1L)
+    assert(err.getAs[Long]("share_ppm") === 166666L) // 1/6
+    assert(got.forall(_.getAs[Boolean]("efficiency_ok")))
+  }
+
   test("equidepthBoundaries DECIMAL cross-multiplication leaves the " +
       "small-n boundaries bit-identical") {
     val s = spark
