@@ -1159,4 +1159,63 @@ object Knn {
       .select(col("query_id").as("id_a"), col("target_id").as("id_b"),
         col("cosine"))
   }
+
+  /** Density-based clustering over the cosine neighbourhood graph
+    * (DBSCAN, Ester et al. 1996, with ε expressed as a cosine floor) —
+    * the dedup-aware clustering that separates DENSE duplicate regions
+    * from sparse bridges, where plain transitive closure
+    * ([[graft.data.Dedup.embeddingDupClusters]]) chains everything one
+    * weak link connects:
+    *
+    *  - core point: ≥ `minPts` neighbours at cosine ≥ `minCosine`
+    *    (self excluded, declared);
+    *  - clusters: connected components of the CORE-CORE subgraph
+    *    (labels = component-minimum core id — the house CC contract);
+    *  - border point: non-core with ≥ 1 core neighbour — joins the
+    *    cluster of its minimum-label core neighbour (declared
+    *    deterministic tie-break; classic DBSCAN leaves this
+    *    assignment-order-dependent);
+    *  - noise: everything else, cluster −1.
+    *
+    * Plan shape: the pair list is the exact kernel's output (map-only
+    * against the broadcast packed matrix), frozen once; degrees, the
+    * core filter and the border attach are pair-graph-sized joins; the
+    * closure is [[graft.data.Dedup.connectedComponents]] on the
+    * core-core subgraph only.
+    *
+    * @return one row per input vector: `(idCol, cluster_id, is_core)`;
+    *         noise rows carry cluster_id = −1
+    */
+  def dbscanCosine(df: DataFrame, minCosine: Double, minPts: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val pairs = exactCosinePairs(df, minCosine, idCol, vecCol)
+      .select("id_a", "id_b").localCheckpoint()
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val cores = sym.groupBy("id")
+      .agg(count(lit(1)).cast("long").as("__deg"))
+      .filter(col("__deg") >= minPts.toLong)
+      .select("id")
+    val corePairs = pairs
+      .join(cores.select(col("id").as("id_a")), "id_a")
+      .join(cores.select(col("id").as("id_b")), "id_b")
+      .select("id_a", "id_b")
+    val comp = graft.data.Dedup
+      .connectedComponents(cores, corePairs) // (id, cluster_id)
+    val borderLbl = sym
+      .join(comp.select(col("id").as("nb"),
+        col("cluster_id").as("__nlbl")), "nb")
+      .join(cores, Seq("id"), "left_anti")
+      .groupBy("id").agg(min("__nlbl").as("__blbl"))
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(comp.select(col("id").as(idCol),
+        col("cluster_id").as("__clbl")), Seq(idCol), "left")
+      .join(borderLbl.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__clbl"), col("__blbl"), lit(-1L)).cast("long")
+          .as("cluster_id"),
+        col("__clbl").isNotNull.as("is_core"))
+  }
 }

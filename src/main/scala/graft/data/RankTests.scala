@@ -923,6 +923,84 @@ object RankTests {
       .select("n_a", "n_b", "t_x1e6")
   }
 
+  /** Conover squared-ranks scale test (Conover 1999 §5.3) — the
+    * DISPERSION question beside the location tests: is sample a more
+    * variable than sample b, without normality. Deviations are taken
+    * from each group's OWN mean kept exact by cross-multiplication
+    * (u ∝ |v·n_g − S_g|·n_other — comparing a-deviations with
+    * b-deviations under a common integer scale, no rational means),
+    * then squared POOLED midranks (doubled, so A4 = r2² = 4A) with the
+    * tie-general standardization
+    *
+    *   z² = (N·T4 − n_a·SA4)²·(N−1) div (n_a·n_b·(N·SA8 − SA4²))
+    *
+    * (T4 = group-a squared-rank sum, SA4/SA8 = pooled Σc·r2²/Σc·r2⁴ —
+    * the uniform ×16 doubling cancels), one exact DECIMAL(38,0) ppm
+    * floor. The ~N⁹·10⁶ dividend means N ≥ 2000 fails loudly
+    * (day-grain collapse keeps N calendar-bounded, declared); NULL when
+    * the pooled squared ranks are constant.
+    *
+    * @return one row: `n_a, n_b, t4_a, z2_ppm, a_more_variable`
+    */
+  def conoverScaleFromCounts(counts: DataFrame): DataFrame = {
+    val all = Window.partitionBy()
+    val scaled = counts
+      .withColumn("__na", sum("ca").over(all).cast("long"))
+      .withColumn("__nb", sum("cb").over(all).cast("long"))
+      .withColumn("__sa", sum(col("ca").cast(D38) * col("v")).over(all)
+        .cast(D38))
+      .withColumn("__sb", sum(col("cb").cast(D38) * col("v")).over(all)
+        .cast(D38))
+    val aCells = scaled.filter(col("ca") > 0)
+      .select(expr(s"abs(CAST(v AS $D38) * __na - __sa) * __nb").as("w"),
+        col("ca").as("cw"), lit(1).as("__side"))
+    val bCells = scaled.filter(col("cb") > 0)
+      .select(expr(s"abs(CAST(v AS $D38) * __nb - __sb) * __na").as("w"),
+        col("cb").as("cw"), lit(0).as("__side"))
+    val pooled = aCells.unionByName(bCells)
+      .groupBy("w")
+      .agg(sum(when(col("__side") === 1, col("cw")).otherwise(0L))
+        .cast("long").as("ca"),
+        sum(when(col("__side") === 0, col("cw")).otherwise(0L))
+          .cast("long").as("cb"))
+    val before = Window.orderBy(col("w"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pooled
+      .withColumn("__cnt", col("ca") + col("cb"))
+      .withColumn("__r2",
+        lit(2L) * coalesce(sum("__cnt").over(before), lit(0L)) +
+          col("__cnt") + 1L)
+      .agg(
+        sum("ca").cast("long").as("n_a"),
+        sum("cb").cast("long").as("n_b"),
+        sum(col("ca").cast(D38) * col("__r2") * col("__r2")).cast(D38)
+          .as("__t4"),
+        sum(col("__cnt").cast(D38) * col("__r2") * col("__r2")).cast(D38)
+          .as("__sa4"),
+        sum(col("__cnt").cast(D38) * col("__r2") * col("__r2") *
+          col("__r2") * col("__r2")).cast(D38).as("__sa8"))
+      .withColumn("__n",
+        when(col("n_a") + col("n_b") >= 2000L,
+          raise_error(lit("conover: N exceeds the N^9 exact-arithmetic " +
+            "envelope (2000) - pre-collapse to a bounded grain first")))
+          .otherwise(col("n_a") + col("n_b")))
+      .withColumn("__num",
+        expr(s"CAST(CAST(__n AS $D38) * __t4 - CAST(n_a AS $D38) * __sa4 AS $D38)"))
+      .withColumn("__den",
+        expr(s"""CAST(CAST(n_a AS $D38) * n_b *
+                 (CAST(__n AS $D38) * __sa8 - __sa4 * __sa4) AS $D38)"""))
+      .withColumn("t4_a", col("__t4").cast("long"))
+      .withColumn("z2_ppm",
+        when(col("__den") > 0,
+          expr(s"""CAST(__num * __num * (__n - 1) * 1000000
+                   div __den AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("a_more_variable",
+        when(col("n_a") > 0 && col("n_b") > 0, col("__num") > 0)
+          .otherwise(lit(null).cast("boolean")))
+      .select("n_a", "n_b", "t4_a", "z2_ppm", "a_more_variable")
+  }
+
   /** Quade test (Quade 1979) — [[friedman]]'s RANGE-WEIGHTED sibling:
     * blocks whose treatment values spread more carry more weight, which
     * buys power when block scales differ (exactly the daily-volume

@@ -1760,6 +1760,18 @@ object DataQueries {
     // the original corpus, score the +1e6 copies; every twin MUST report
     // at hamming 0 (identical text ⇒ identical fingerprint ⇒ every chunk
     // collides), and no reported pair may exceed the declared radius
+    // DBSCAN OVER THE COSINE NEIGHBOURHOOD GRAPH — density-based
+    // clustering that separates DENSE duplicate regions from sparse
+    // bridges (q82's plain closure chains everything one weak link
+    // connects): cores = >= 3 neighbours at cosine >= 0.35, clusters =
+    // core-core components (min-id labels), borders attach to their
+    // minimum-label core neighbour (declared deterministic tie-break),
+    // noise = -1. Oracle replays the full classification recursively
+    "q395_dbscan" -> { (s, dir) =>
+      Knn.dbscanCosine(t(s, dir, "embeddings"), minCosine = 0.35,
+        minPts = 3)
+    },
+
     "q387_simhash_ledger" -> { (s, dir) =>
       val docs = doubledDocs(s, dir).filter(col("text").isNotNull)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_q387_ledger"
@@ -3339,6 +3351,40 @@ object DataQueries {
          WHERE rank <= 5""",
     "q81_ann_ivf_int8" -> int8Sql,
     // q52's exact cosine pair space closed transitively, q73's CTE recipe
+    "q395_dbscan" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                   b.embedding::DOUBLE[]), 9) >= 0.35),
+         sym AS (SELECT id_a AS id, id_b AS nb FROM pairs
+                 UNION ALL SELECT id_b, id_a FROM pairs),
+         cores AS (SELECT id FROM sym GROUP BY id
+                   HAVING count(*) >= 3),
+         ce AS (SELECT p.id_a AS u, p.id_b AS v FROM pairs p
+                JOIN cores c1 ON c1.id = p.id_a
+                JOIN cores c2 ON c2.id = p.id_b),
+         cedges AS (SELECT u, v FROM ce UNION ALL SELECT v, u FROM ce),
+         reach(u, v) AS (
+           SELECT u, v FROM cedges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN cedges e ON r.v = e.u),
+         comp AS (
+           SELECT c.id, least(c.id, coalesce(min(r.v), c.id)) AS label
+           FROM cores c LEFT JOIN reach r ON r.u = c.id
+           GROUP BY c.id),
+         border AS (
+           SELECT s.id, min(comp.label) AS label
+           FROM sym s JOIN comp ON comp.id = s.nb
+           WHERE s.id NOT IN (SELECT id FROM cores)
+           GROUP BY s.id)
+         SELECT e.vec_id,
+                CAST(coalesce(cc.label, b.label, -1) AS BIGINT)
+                  AS cluster_id,
+                (cc.id IS NOT NULL) AS is_core
+         FROM embeddings e
+         LEFT JOIN comp cc ON cc.id = e.vec_id
+         LEFT JOIN border b ON b.id = e.vec_id""",
     "q82_embedding_clusters" ->
       """WITH RECURSIVE pairs AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b

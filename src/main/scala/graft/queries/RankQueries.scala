@@ -697,6 +697,42 @@ object RankQueries {
       RankTests.cvmFromCounts(cells)
     },
 
+    // CONOVER SQUARED-RANKS SCALE TEST — is click volume more VARIABLE
+    // day-to-day than view volume (the dispersion question beside
+    // q381's location test, normality-free): deviations from each
+    // group's own mean kept exact by cross-multiplication, squared
+    // pooled midranks, tie-general standardization, one exact DECIMAL
+    // ppm floor (N = 60 days, the loud N⁹ envelope at 2000)
+    "q393_conover_scale" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val days = ev
+        .select(expr("unix_micros(ts) div 86400000000").as("dy")).distinct()
+      def daily(tp: String) = ev.filter(col("event_type") === tp)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val a = days.join(daily("click"), Seq("dy"), "left")
+        .na.fill(0L, Seq("c"))
+        .groupBy(col("c").as("v")).agg(count(lit(1)).cast("long").as("ca"))
+      val b = days.join(daily("view"), Seq("dy"), "left")
+        .na.fill(0L, Seq("c"))
+        .groupBy(col("c").as("v")).agg(count(lit(1)).cast("long").as("cb"))
+      RankTests.conoverScaleFromCounts(
+        a.join(b, Seq("v"), "full").na.fill(0L, Seq("ca", "cb")))
+    },
+
+    // NEWMAN MODULARITY OF THE BRAND PARTITION — is "same brand" a real
+    // community structure of the co-purchase graph (the do-related-
+    // products-sell-together question, and the evaluation every
+    // community detector needs): Q = Σ[m_c/m − (D_c/2m)²] as the exact
+    // 4m²-cross-multiplied ×10⁶ floor, zero doubles; partition from the
+    // part table, every node labeled (n_unlabeled = 0 emitted as proof)
+    "q394_modularity" -> { (s, dir) =>
+      val edges = graft.operators.Graphs
+        .coPurchaseEdges(t(s, dir, "lineitem"))
+      graft.operators.Graphs.modularity(edges, "src", "dst",
+        t(s, dir, "part"), "p_partkey", "p_brand")
+    },
+
     // HITS hubs/authorities over the customer→part purchase bipartite
     // graph (broad buyers ↔ broadly-bought parts), 2 synchronous steps in
     // exact L1-normalized integer fixed point — the q125 PageRank
@@ -752,6 +788,99 @@ object RankQueries {
                        (w2 * 1000) AS BIGINT)
                 ELSE NULL END AS h_ppm
          FROM f""",
+    "q393_conover_scale" ->
+      """WITH days AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS dy
+                       FROM events),
+         ac AS (SELECT epoch_us(ts) // 86400000000 AS dy, count(*) AS c
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+         bc AS (SELECT epoch_us(ts) // 86400000000 AS dy, count(*) AS c
+                FROM events WHERE event_type = 'view' GROUP BY 1),
+         ag AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM
+                (SELECT coalesce(ac.c, 0) AS v
+                 FROM days LEFT JOIN ac USING (dy)) GROUP BY 1),
+         bg AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM
+                (SELECT coalesce(bc.c, 0) AS v
+                 FROM days LEFT JOIN bc USING (dy)) GROUP BY 1),
+         cells AS (
+           SELECT coalesce(ag.v, bg.v) AS v, coalesce(ca, 0) AS ca,
+                  coalesce(cb, 0) AS cb
+           FROM ag FULL JOIN bg ON ag.v = bg.v),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                        CAST(sum(cb) AS BIGINT) AS nb,
+                        sum(CAST(ca AS HUGEINT) * v) AS sa,
+                        sum(CAST(cb AS HUGEINT) * v) AS sb
+                 FROM cells),
+         scaled AS (
+           SELECT abs(CAST(v AS HUGEINT) * na - sa) * nb AS w,
+                  ca AS cw, 1 AS side FROM cells, tot WHERE ca > 0
+           UNION ALL
+           SELECT abs(CAST(v AS HUGEINT) * nb - sb) * na AS w,
+                  cb AS cw, 0 AS side FROM cells, tot WHERE cb > 0),
+         pooled AS (
+           SELECT w,
+                  CAST(sum(CASE WHEN side = 1 THEN cw ELSE 0 END)
+                       AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN side = 0 THEN cw ELSE 0 END)
+                       AS BIGINT) AS cb
+           FROM scaled GROUP BY 1),
+         r AS (
+           SELECT ca, cb,
+                  2 * coalesce(sum(ca + cb) OVER (ORDER BY w ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + ca + cb + 1 AS r2
+           FROM pooled),
+         agg AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cb) AS BIGINT) AS n_b,
+                  sum(CAST(ca AS HUGEINT) * r2 * r2) AS t4,
+                  sum(CAST(ca + cb AS HUGEINT) * r2 * r2) AS sa4,
+                  sum(CAST(ca + cb AS HUGEINT) * r2 * r2 * r2 * r2) AS sa8
+           FROM r),
+         fin AS (
+           SELECT *, n_a + n_b AS n,
+                  CAST(n_a + n_b AS HUGEINT) * t4 -
+                    CAST(n_a AS HUGEINT) * sa4 AS num,
+                  CAST(n_a AS HUGEINT) * n_b *
+                    (CAST(n_a + n_b AS HUGEINT) * sa8 - sa4 * sa4) AS den
+           FROM agg)
+         SELECT n_a, n_b, CAST(t4 AS BIGINT) AS t4_a,
+           CASE WHEN den > 0 THEN
+             CAST((num * num * (n - 1) * 1000000) // den AS BIGINT)
+           END AS z2_ppm,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN num > 0
+           END AS a_more_variable
+         FROM fin""",
+    "q394_modularity" ->
+      """WITH e0 AS (
+           SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey),
+         lbl AS (SELECT p_partkey AS n, p_brand AS l FROM part),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                      CAST(sum(CASE WHEN lu.l = lv.l THEN 1 ELSE 0 END)
+                           AS BIGINT) AS intra_edges
+               FROM e0 JOIN lbl lu ON lu.n = e0.u
+                       JOIN lbl lv ON lv.n = e0.v),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+                 (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+                 GROUP BY 1),
+         dc AS (SELECT lbl.l, CAST(sum(d) AS BIGINT) AS dc
+                FROM deg JOIN lbl ON lbl.n = deg.n GROUP BY 1),
+         ls AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                       sum(CAST(dc AS HUGEINT) * dc) AS sum_dc2
+                FROM dc),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+         SELECT n_nodes, n_edges, n_communities, intra_edges,
+                CAST(0 AS BIGINT) AS n_unlabeled,
+                (CASE WHEN CAST(4 AS HUGEINT) * n_edges * intra_edges -
+                        sum_dc2 >= 0 THEN 1 ELSE -1 END) *
+                CAST(abs(CAST(4 AS HUGEINT) * n_edges * intra_edges -
+                         sum_dc2) * 1000000
+                     // (CAST(4 AS HUGEINT) * n_edges * n_edges)
+                     AS BIGINT) AS q_x1e6
+         FROM m, ls, nn""",
     "q388_signed_rank" ->
       """WITH users AS (SELECT DISTINCT user_id FROM events),
          h1 AS (SELECT user_id, count(*) AS c FROM events

@@ -435,6 +435,62 @@ class Round14Spec extends SparkSpec {
     assert(got.forall(_.getAs[Boolean]("efficiency_ok")))
   }
 
+  test("conoverScaleFromCounts hand values: a = {1,5} vs b = {3,3} gives " +
+      "the classical z^2 = 3; identical samples give z^2 = 0") {
+    val s = spark
+    import s.implicits._
+    // u_a = {2,2}, u_b = {0,0}: squared midranks A = {2.25,2.25,
+    // 12.25,12.25}, T = 24.5, E = 14.5, Var = 100/3 -> z^2 = 3
+    val cells = Seq((1L, 1L, 0L), (3L, 0L, 2L), (5L, 1L, 0L))
+      .toDF("v", "ca", "cb")
+    val g1 = graft.data.RankTests.conoverScaleFromCounts(cells)
+      .collect().head
+    assert(g1.getAs[Long]("z2_ppm") === 3000000L)
+    assert(g1.getAs[Boolean]("a_more_variable"))
+    // identical samples: every pooled deviation ties -> the squared
+    // ranks are constant, variance 0 -> declared NULL (degenerate)
+    val same = Seq((1L, 1L, 1L), (5L, 1L, 1L)).toDF("v", "ca", "cb")
+    val g2 = graft.data.RankTests.conoverScaleFromCounts(same)
+      .collect().head
+    assert(g2.isNullAt(g2.fieldIndex("z2_ppm")))
+  }
+
+  test("Graphs.modularity hand values: two triangles + one bridge under " +
+      "the triangle partition give Q = 70/196") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("node", "lbl")
+    val got = graft.operators.Graphs
+      .modularity(edges, "src", "dst", labels, "node", "lbl")
+      .collect().head
+    assert(got.getAs[Long]("n_edges") === 7L)
+    assert(got.getAs[Long]("intra_edges") === 6L)
+    assert(got.getAs[Long]("n_communities") === 2L)
+    assert(got.getAs[Long]("n_unlabeled") === 0L)
+    // 4mQ... num = 4*7*6 - (49 + 49) = 70 ; 4m^2 = 196
+    assert(got.getAs[Long]("q_x1e6") === 357142L)
+  }
+
+  test("Knn.dbscanCosine hand case: one core, two borders attached to " +
+      "it, one noise point") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),        // border: only b within 0.95
+      (2L, Seq(0.998f, 0.06f)),     // core: neighbours {1, 3}
+      (3L, Seq(0.94f, 0.34f)),      // border: only b within 0.95
+      (4L, Seq(0.0f, 1.0f)))        // noise
+      .toDF("vec_id", "embedding")
+    val got = graft.ann.Knn
+      .dbscanCosine(emb, minCosine = 0.95, minPts = 2)
+      .orderBy("vec_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq((1L, 2L, false), (2L, 2L, true),
+      (3L, 2L, false), (4L, -1L, false)))
+  }
+
   test("equidepthBoundaries DECIMAL cross-multiplication leaves the " +
       "small-n boundaries bit-identical") {
     val s = spark
