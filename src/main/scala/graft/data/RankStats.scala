@@ -434,6 +434,103 @@ object RankStats {
         col("q_lo_ppm"), col("q_hi_ppm"))): _*)
   }
 
+  /** Exact 1-D Wasserstein-1 distance (earth mover's distance) between
+    * two samples from per-domain-value counts `(v, ca, cb)` — the
+    * "HOW MUCH mass moved HOW FAR" drift metric beside KS's worst
+    * deviation and CvM's integrated deviation: on the real line
+    * W₁ = ∫|F_a − F_b| dv exactly, so over the collapsed integer domain
+    * it is one ordered pass summing |cumA·n_b − cumB·n_a|·gap between
+    * successive domain values — exact integers, w1 emitted as the
+    * ×10⁶ floor over n_a·n_b. NULL when a side is empty.
+    *
+    * @return one row: `n_a, n_b, w1_x1e6`
+    */
+  def wassersteinFromCounts(counts: DataFrame): DataFrame = {
+    val upTo = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    counts
+      .withColumn("__cumA", sum("ca").over(upTo).cast("long"))
+      .withColumn("__cumB", sum("cb").over(upTo).cast("long"))
+      .withColumn("__na", sum("ca").over(all).cast("long"))
+      .withColumn("__nb", sum("cb").over(all).cast("long"))
+      .withColumn("__gap",
+        coalesce(lead(col("v"), 1).over(Window.orderBy(col("v"))) -
+          col("v"), lit(0L)))
+      .agg(
+        max("__na").cast("long").as("n_a"),
+        max("__nb").cast("long").as("n_b"),
+        sum(abs(col("__cumA").cast(D38) * col("__nb") -
+          col("__cumB").cast(D38) * col("__na")) * col("__gap"))
+          .cast(D38).as("__num"))
+      .withColumn("w1_x1e6",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr(s"""CAST(__num * 1000000
+                   div (CAST(n_a AS $D38) * n_b) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .select("n_a", "n_b", "w1_x1e6")
+  }
+
+  /** Exact energy distance (Székely & Rizzo 2004, V-statistic form)
+    * between two samples from per-domain-value counts `(v, ca, cb)` —
+    * the characteristic-function drift metric that, unlike W₁, weights
+    * big displacements quadratically… and on the line reduces to three
+    * pairwise-|difference| expectations, each computable EXACTLY in one
+    * ordered pass over the collapsed domain (Σᵢⱼ cᵢc'ⱼ|vᵢ−vⱼ| via
+    * value-weighted prefix sums — never the quadratic pair set):
+    *
+    *   D² = 2·S_ab/(n_a n_b) − S_aa/n_a² − S_bb/n_b²   (≥ 0, V-statistic)
+    *
+    * emitted as the exact ×10⁶ floor over the common denominator
+    * n_a²n_b². Loud when the cross term nears the DECIMAL envelope;
+    * NULL when a side is empty.
+    *
+    * @return one row: `n_a, n_b, e2_x1e6`
+    */
+  def energyDistanceFromCounts(counts: DataFrame): DataFrame = {
+    val before = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    // Σ_j c'_j Σ_i c_i |v_i − v_j| with i strictly before j, both orders
+    // folded: for each row j and side pair (x→y), the strictly-before
+    // contribution is y_j·(v_j·cumX_j − cumXV_j); summing it for (a→b)
+    // and (b→a) gives S_ab; same-side sums use their own prefixes ×2.
+    def term(yc: Column, cumX: Column, cumXV: Column): Column =
+      yc.cast(D38) * (col("v").cast(D38) * cumX - cumXV)
+    counts
+      .withColumn("__ca_b", coalesce(sum("ca").over(before), lit(0L)))
+      .withColumn("__cb_b", coalesce(sum("cb").over(before), lit(0L)))
+      .withColumn("__cav_b",
+        coalesce(sum(col("ca").cast(D38) * col("v")).over(before),
+          lit(0).cast(D38)))
+      .withColumn("__cbv_b",
+        coalesce(sum(col("cb").cast(D38) * col("v")).over(before),
+          lit(0).cast(D38)))
+      .agg(
+        sum("ca").cast("long").as("n_a"),
+        sum("cb").cast("long").as("n_b"),
+        sum(term(col("cb"), col("__ca_b"), col("__cav_b")) +
+          term(col("ca"), col("__cb_b"), col("__cbv_b"))).cast(D38)
+          .as("__sab"),
+        sum(term(col("ca"), col("__ca_b"), col("__cav_b")) * 2).cast(D38)
+          .as("__saa"),
+        sum(term(col("cb"), col("__cb_b"), col("__cbv_b")) * 2).cast(D38)
+          .as("__sbb"))
+      .withColumn("__sab",
+        when(expr(s"""abs(__sab) * n_a * n_b * 2 >=
+                      CAST('1' || repeat('0', 31) AS $D38)"""),
+          raise_error(lit("energy_distance: cross term exceeds the " +
+            "exact-arithmetic envelope 1e31 - pre-scale or bin first")))
+          .otherwise(col("__sab")))
+      .withColumn("e2_x1e6",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr(s"""CAST((CAST(2 AS $D38) * __sab * n_a * n_b -
+                   __saa * n_b * n_b - __sbb * n_a * n_a) * 1000000
+                   div (CAST(n_a AS $D38) * n_a * n_b * n_b) AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .select("n_a", "n_b", "e2_x1e6")
+  }
+
   /** Quartile-based distribution-shape report per group from per-value
     * counts `(groupCols…, v, c)`: Bowley's quartile skewness
     * (q1 + q3 − 2·q2)/(q3 − q1) and the quartile coefficient of

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.data.{RankTests, SeriesStats}
+import graft.data.{RankStats, RankTests, SeriesStats}
 
 /** Rank-based nonparametric tests and per-series temporal QA — the
   * distribution-free tier beside q245–q248 (KS / Mann–Whitney / Spearman /
@@ -52,6 +52,17 @@ object RankQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables(s, dir, name)
+
+  /** Shared q396/q397 two-sample frame: click vs purchase value
+    * distributions on the collapsed micro-unit domain. */
+  private def valueCells(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").filter(col("value").isNotNull &&
+        col("event_type").isin("click", "purchase"))
+      .groupBy(expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .cast("long").as("ca"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("long").as("cb"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -733,6 +744,23 @@ object RankQueries {
         t(s, dir, "part"), "p_partkey", "p_brand")
     },
 
+    // EXACT 1-D WASSERSTEIN — how much VALUE MASS moved between the
+    // click and purchase amount distributions (KS: worst deviation,
+    // CvM: integrated deviation, W₁: mass × distance — the drift metric
+    // with units): ∫|F_a − F_b| over the collapsed micro-unit domain,
+    // one ordered pass, exact ×10⁶ floor
+    "q396_wasserstein" -> { (s, dir) =>
+      RankStats.wassersteinFromCounts(valueCells(s, dir))
+    },
+
+    // ENERGY DISTANCE — the characteristic-function drift companion
+    // (Székely–Rizzo, V-statistic form): three pairwise-|difference|
+    // expectations, each folded EXACTLY from value-weighted prefix sums
+    // over the collapsed domain — never the quadratic pair set
+    "q397_energy_distance" -> { (s, dir) =>
+      RankStats.energyDistanceFromCounts(valueCells(s, dir))
+    },
+
     // HITS hubs/authorities over the customer→part purchase bipartite
     // graph (broad buyers ↔ broadly-bought parts), 2 synchronous steps in
     // exact L1-normalized integer fixed point — the q125 PageRank
@@ -788,6 +816,74 @@ object RankQueries {
                        (w2 * 1000) AS BIGINT)
                 ELSE NULL END AS h_ppm
          FROM f""",
+    "q396_wasserstein" ->
+      """WITH cells AS (
+           SELECT CAST(floor(value * 1000000) AS BIGINT) AS v,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                           ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS BIGINT) AS cb
+           FROM events WHERE value IS NOT NULL
+             AND event_type IN ('click', 'purchase')
+           GROUP BY 1),
+         r AS (
+           SELECT v, ca, cb,
+                  sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS cuma,
+                  sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS cumb,
+                  sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+                  coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS gap
+           FROM cells)
+         SELECT CAST(max(na) AS BIGINT) AS n_a,
+                CAST(max(nb) AS BIGINT) AS n_b,
+           CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+             CAST(sum(abs(CAST(cuma AS HUGEINT) * nb -
+                          CAST(cumb AS HUGEINT) * na) * gap) * 1000000
+                  // (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT)
+           END AS w1_x1e6
+         FROM r""",
+    "q397_energy_distance" ->
+      """WITH cells AS (
+           SELECT CAST(floor(value * 1000000) AS BIGINT) AS v,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                           ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS BIGINT) AS cb
+           FROM events WHERE value IS NOT NULL
+             AND event_type IN ('click', 'purchase')
+           GROUP BY 1),
+         r AS (
+           SELECT v, ca, cb,
+                  coalesce(sum(ca) OVER w, 0) AS cab,
+                  coalesce(sum(cb) OVER w, 0) AS cbb,
+                  coalesce(sum(CAST(ca AS HUGEINT) * v) OVER w, 0)
+                    AS cavb,
+                  coalesce(sum(CAST(cb AS HUGEINT) * v) OVER w, 0)
+                    AS cbvb
+           FROM cells
+           WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)),
+         agg AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cb) AS BIGINT) AS n_b,
+                  sum(CAST(cb AS HUGEINT) *
+                        (CAST(v AS HUGEINT) * cab - cavb) +
+                      CAST(ca AS HUGEINT) *
+                        (CAST(v AS HUGEINT) * cbb - cbvb)) AS sab,
+                  sum(2 * CAST(ca AS HUGEINT) *
+                      (CAST(v AS HUGEINT) * cab - cavb)) AS saa,
+                  sum(2 * CAST(cb AS HUGEINT) *
+                      (CAST(v AS HUGEINT) * cbb - cbvb)) AS sbb
+           FROM r)
+         SELECT n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             CAST((2 * sab * n_a * n_b -
+                   saa * CAST(n_b AS HUGEINT) * n_b -
+                   sbb * CAST(n_a AS HUGEINT) * n_a) * 1000000
+                  // (CAST(n_a AS HUGEINT) * n_a * n_b * n_b) AS BIGINT)
+           END AS e2_x1e6
+         FROM agg""",
     "q393_conover_scale" ->
       """WITH days AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS dy
                        FROM events),

@@ -806,6 +806,38 @@ class PlanShapeSpec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
   }
 
+  test("passage windows (q390): map-only — zero shuffles, zero windows, " +
+      "one Generate") {
+    val plan = staticPlan(
+      graft.queries.TextQueries.queries("q390_passage_windows")(spark, sf))
+    assert(count(plan) { case _: ShuffleExchangeExec => } === 0,
+      s"the chunker must stay map-only:\n$plan")
+    assert(count(plan) { case _: WindowExec => } === 0)
+    import org.apache.spark.sql.execution.GenerateExec
+    assert(count(plan) { case _: GenerateExec => } === 1,
+      s"exactly one posexplode emits the windows:\n$plan")
+  }
+
+  test("substring cut (q380): every window partitioned (pair-offset " +
+      "islands, doc-grain merges), no CartesianProduct") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val plan = staticPlan(
+      graft.queries.TextQueries.queries("q380_substring_cut")(spark, sf))
+    assert(count(plan) { case _: CartesianProductExec => } === 0)
+    val ws = plan.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"island/merge windows must be partitioned:\n$plan")
+  }
+
+  test("dbscan (q395): no CartesianProduct — candidate pairs come from " +
+      "the broadcast kernel, the closure from the core subgraph") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val plan = staticPlan(
+      graft.queries.DataQueries.queries("q395_dbscan")(spark, sf))
+    assert(count(plan) { case _: CartesianProductExec => } === 0,
+      s"no all-pairs fallback:\n$plan")
+  }
+
   test("rank stability (q377): no CartesianProduct anywhere — the " +
       "inversion count is the q248 dominance cascade, its grid windows " +
       "partitioned; only the two k-frame rank windows are global") {

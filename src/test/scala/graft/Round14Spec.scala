@@ -491,6 +491,38 @@ class Round14Spec extends SparkSpec {
       (3L, 2L, false), (4L, -1L, false)))
   }
 
+  test("wassersteinFromCounts hand values: point masses, mixed masses, " +
+      "identical distributions") {
+    val s = spark
+    import s.implicits._
+    // a = {0}, b = {10}: W1 = 10
+    val pt = Seq((0L, 1L, 0L), (10L, 0L, 1L)).toDF("v", "ca", "cb")
+    assert(graft.data.RankStats.wassersteinFromCounts(pt)
+      .collect().head.getAs[Long]("w1_x1e6") === 10000000L)
+    // a = {0, 4}, b = {2, 2}: |F diff| is 1/2 on [0,2) and [2,4) -> W1 = 2
+    val mx = Seq((0L, 1L, 0L), (2L, 0L, 2L), (4L, 1L, 0L))
+      .toDF("v", "ca", "cb")
+    assert(graft.data.RankStats.wassersteinFromCounts(mx)
+      .collect().head.getAs[Long]("w1_x1e6") === 2000000L)
+    val same = Seq((1L, 2L, 2L), (5L, 3L, 3L)).toDF("v", "ca", "cb")
+    assert(graft.data.RankStats.wassersteinFromCounts(same)
+      .collect().head.getAs[Long]("w1_x1e6") === 0L)
+  }
+
+  test("energyDistanceFromCounts hand values: D^2 = 4 for unit point " +
+      "masses at distance 2, and the {0,2} vs {1} case gives 1") {
+    val s = spark
+    import s.implicits._
+    val pt = Seq((0L, 1L, 0L), (2L, 0L, 1L)).toDF("v", "ca", "cb")
+    assert(graft.data.RankStats.energyDistanceFromCounts(pt)
+      .collect().head.getAs[Long]("e2_x1e6") === 4000000L)
+    // 2E|XY| = 2 ; E|XX'| = 1 ; E|YY'| = 0 -> D^2 = 1
+    val mx = Seq((0L, 1L, 0L), (1L, 0L, 1L), (2L, 1L, 0L))
+      .toDF("v", "ca", "cb")
+    assert(graft.data.RankStats.energyDistanceFromCounts(mx)
+      .collect().head.getAs[Long]("e2_x1e6") === 1000000L)
+  }
+
   test("equidepthBoundaries DECIMAL cross-multiplication leaves the " +
       "small-n boundaries bit-identical") {
     val s = spark
