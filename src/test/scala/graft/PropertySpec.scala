@@ -220,4 +220,239 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ---- round-14 brute-force mini-oracles --------------------------------
+
+  /** Doubled pooled midranks of `v` within `all`. */
+  private def r2of(all: Seq[Long])(v: Long): Long =
+    2L * all.count(_ < v) + all.count(_ == v) + 1L
+
+  private def toCells(a: Seq[Long], b: Seq[Long]) = {
+    val s = spark
+    import s.implicits._
+    (a.map((_, 1L, 0L)) ++ b.map((_, 0L, 1L)))
+      .groupBy(_._1).toSeq
+      .map { case (v, g) => (v, g.map(_._2).sum, g.map(_._3).sum) }
+      .toDF("v", "ca", "cb")
+  }
+
+  test("property: brunner-munzel p/W^2 equal a brute-force BigInt " +
+      "placement reimplementation on random two-sample data") {
+    val rng = new Random(98765L)
+    for (trial <- 1 to trials) {
+      val na = 3 + rng.nextInt(8); val nb = 3 + rng.nextInt(8)
+      val a = Vector.fill(na)(rng.nextInt(5).toLong)
+      val b = Vector.fill(nb)(rng.nextInt(5).toLong)
+      val got = graft.data.RankTests.brunnerMunzelFromCounts(toCells(a, b))
+        .collect().head
+      val pooled = a ++ b
+      val r2p = r2of(pooled) _
+      val sb2 = BigInt(b.map(r2p).sum)
+      val pq6 = (sb2 - BigInt(nb) * (nb + 1)) * 1000000 /
+        (BigInt(2) * na * nb)
+      assert(BigInt(got.getAs[Long]("p_q6")) === pq6, s"trial $trial")
+      // doubled placements per observation
+      val p2a = a.map(v => r2p(v) - r2of(a)(v))
+      val p2b = b.map(v => r2p(v) - r2of(b)(v))
+      def aTerm(ps: Seq[Long], n: Int) =
+        BigInt(n) * ps.map(p => BigInt(p) * p).sum -
+          BigInt(ps.sum) * ps.sum
+      val aa = aTerm(p2a, na); val ab = aTerm(p2b, nb)
+      val d = BigInt(na) * b.map(r2p).sum - BigInt(nb) * a.map(r2p).sum
+      val den = BigInt(na + nb) *
+        (aa * nb * nb * (nb - 1) + ab * na * na * (na - 1))
+      if (den > 0) {
+        val w2 = d * d * (na - 1) * (nb - 1) * 1000000 / den
+        assert(BigInt(got.getAs[Long]("w2_ppm")) === w2,
+          s"trial $trial a=$a b=$b")
+      } else assert(got.isNullAt(got.fieldIndex("w2_ppm")), s"trial $trial")
+    }
+  }
+
+  test("property: cvm T equals a brute-force per-observation " +
+      "reimplementation of Anderson's statistic on random data") {
+    val rng = new Random(24680L)
+    for (trial <- 1 to trials) {
+      val na = 2 + rng.nextInt(8); val nb = 2 + rng.nextInt(8)
+      val a = Vector.fill(na)(rng.nextInt(5).toLong)
+      val b = Vector.fill(nb)(rng.nextInt(5).toLong)
+      val got = graft.data.RankTests.cvmFromCounts(toCells(a, b))
+        .collect().head
+      val pooled = a ++ b
+      val r2p = r2of(pooled) _
+      // per observation, own-sample positions 1..n over the SORTED sample
+      def s3(xs: Vector[Long]): BigInt = {
+        val sorted = xs.sorted
+        BigInt(3) * sorted.zipWithIndex.map { case (v, i0) =>
+          val m = BigInt(r2p(v)) - 2L * (i0 + 1)
+          m * m
+        }.sum
+      }
+      val num = BigInt(na) * s3(a) + BigInt(nb) * s3(b) -
+        BigInt(2) * na * nb * (BigInt(4) * na * nb - 1)
+      val den = BigInt(12) * na * nb * (na + nb)
+      val want = num.sign * ((num.abs * 1000000) / den)
+      assert(BigInt(got.getAs[Long]("t_x1e6")) === want,
+        s"trial $trial a=$a b=$b")
+    }
+  }
+
+  test("property: hodges-lehmann lower/upper medians equal the sorted " +
+      "brute-force cross-difference list") {
+    val rng = new Random(112358L)
+    for (trial <- 1 to trials) {
+      val na = 1 + rng.nextInt(7); val nb = 1 + rng.nextInt(7)
+      val a = Vector.fill(na)(rng.nextInt(9).toLong)
+      val b = Vector.fill(nb)(rng.nextInt(9).toLong)
+      val got = graft.data.RankTests.hodgesLehmannFromCounts(toCells(a, b))
+        .collect().head
+      val diffs = (for (x <- a; y <- b) yield y - x).sorted
+      val m = diffs.length
+      val lo = diffs((m + 1) / 2 - 1)
+      val up = diffs(m / 2)
+      assert(got.getAs[Long]("m_pairs") === m.toLong, s"trial $trial")
+      assert(got.getAs[Long]("d_lo") === lo, s"trial $trial a=$a b=$b")
+      assert(got.getAs[Long]("d_up") === up, s"trial $trial a=$a b=$b")
+    }
+  }
+
+  test("property: signed-rank W2+/z^2 equal a brute-force midrank " +
+      "reimplementation on random paired differences") {
+    val s = spark
+    import s.implicits._
+    val rng = new Random(777L)
+    for (trial <- 1 to trials) {
+      val n = 4 + rng.nextInt(10)
+      val ds = Vector.fill(n)((rng.nextInt(9) - 4).toLong)
+      val cells = ds.groupBy(identity).toSeq
+        .map { case (d, g) => (d, g.size.toLong) }.toDF("d", "c")
+      val got = graft.data.RankTests.signedRankFromCounts(cells)
+        .collect().head
+      val nz = ds.filter(_ != 0L)
+      val ads = nz.map(math.abs)
+      val r2p = r2of(ads) _
+      val w2p = BigInt(nz.filter(_ > 0).map(d => r2p(math.abs(d))).sum)
+      val nn = nz.length
+      if (nn == 0) assert(got.getAs[Long]("n_nonzero") === 0L)
+      else {
+        assert(got.getAs[Long]("w2_plus") === w2p.toLong, s"trial $trial")
+        val e2 = BigInt(nn) * (nn + 1) / 2
+        val tie3 = ads.distinct.map { v =>
+          val t = BigInt(ads.count(_ == v)); t * t * t - t
+        }.sum
+        val den = BigInt(2) * nn * (nn + 1) * (2 * nn + 1) - tie3
+        if (den > 0) {
+          val z2 = (w2p - e2) * (w2p - e2) * 12 * 1000000 / den
+          assert(BigInt(got.getAs[Long]("z2_ppm")) === z2,
+            s"trial $trial ds=$ds")
+        }
+      }
+    }
+  }
+
+  test("property: wasserstein and energy distance equal brute-force " +
+      "pairwise reimplementations, and W1 >= 0 = iff identical") {
+    val rng = new Random(31415L)
+    for (trial <- 1 to trials) {
+      val na = 2 + rng.nextInt(8); val nb = 2 + rng.nextInt(8)
+      val a = Vector.fill(na)(rng.nextInt(12).toLong)
+      val b = Vector.fill(nb)(rng.nextInt(12).toLong)
+      val cells = toCells(a, b)
+      val w = graft.data.RankStats.wassersteinFromCounts(cells)
+        .collect().head
+      // brute: integrate |F_a - F_b| over the union domain
+      val dom = (a ++ b).distinct.sorted
+      val wNum = dom.zip(dom.drop(1)).map { case (v, nxt) =>
+        val ca = BigInt(a.count(_ <= v)) * nb
+        val cb = BigInt(b.count(_ <= v)) * na
+        (ca - cb).abs * (nxt - v)
+      }.sum
+      val wWant = wNum * 1000000 / (BigInt(na) * nb)
+      assert(BigInt(w.getAs[Long]("w1_x1e6")) === wWant,
+        s"trial $trial a=$a b=$b")
+      val e = graft.data.RankStats.energyDistanceFromCounts(cells)
+        .collect().head
+      def pd(xs: Seq[Long], ys: Seq[Long]) =
+        (for (x <- xs; y <- ys) yield BigInt((x - y).abs)).sum
+      val num = BigInt(2) * pd(a, b) * na * nb -
+        pd(a, a) * nb * nb - pd(b, b) * na * na
+      val eWant = num * 1000000 / (BigInt(na) * na * nb * nb)
+      assert(BigInt(e.getAs[Long]("e2_x1e6")) === eWant,
+        s"trial $trial a=$a b=$b")
+    }
+  }
+
+  test("property: conover z^2 equals a brute-force cross-multiplied " +
+      "deviation-rank reimplementation on random data") {
+    val rng = new Random(2718L)
+    for (trial <- 1 to trials) {
+      val na = 3 + rng.nextInt(7); val nb = 3 + rng.nextInt(7)
+      val a = Vector.fill(na)(rng.nextInt(7).toLong)
+      val b = Vector.fill(nb)(rng.nextInt(7).toLong)
+      val got = graft.data.RankTests.conoverScaleFromCounts(toCells(a, b))
+        .collect().head
+      val sa = a.sum; val sb = b.sum
+      // common-scale deviations |v*n_g - S_g| * n_other as BigInt
+      val wa = a.map(v => BigInt((v * na - sa).abs) * nb)
+      val wb = b.map(v => BigInt((v * nb - sb).abs) * na)
+      val pooledW = wa ++ wb
+      def r2w(w: BigInt): Long =
+        2L * pooledW.count(_ < w) + pooledW.count(_ == w) + 1L
+      val t4 = wa.map(w => BigInt(r2w(w)) * r2w(w)).sum
+      val sa4 = pooledW.map(w => BigInt(r2w(w)) * r2w(w)).sum
+      val sa8 = pooledW.map { w =>
+        val r = BigInt(r2w(w)); r * r * r * r
+      }.sum
+      val n = na + nb
+      val num = BigInt(n) * t4 - BigInt(na) * sa4
+      val den = BigInt(na) * nb * (BigInt(n) * sa8 - sa4 * sa4)
+      if (den > 0) {
+        val z2 = num * num * (n - 1) * 1000000 / den
+        assert(BigInt(got.getAs[Long]("z2_ppm")) === z2,
+          s"trial $trial a=$a b=$b")
+      } else assert(got.isNullAt(got.fieldIndex("z2_ppm")), s"trial $trial")
+    }
+  }
+
+  test("property: dixonQ and quartileShape grouped runs equal per-group " +
+      "solo runs") {
+    val s = spark
+    import s.implicits._
+    val rng = new Random(1618L)
+    for (trial <- 1 to trials) {
+      val segs = Seq("x", "y", "z")
+      val data = segs.flatMap { g =>
+        Vector.fill(3 + rng.nextInt(9))((g, rng.nextInt(20).toLong))
+      }
+      val cells = data.groupBy(identity).toSeq
+        .map { case ((g, v), rows) => (g, v, rows.size.toLong) }
+        .toDF("g", "v", "c")
+      val dAll = graft.data.RankStats.dixonQFromCounts(cells, Seq("g"))
+        .collect().map(r => r.getAs[String]("g") -> r).toMap
+      val qAll = graft.data.RankStats
+        .quartileShapeFromCounts(cells, Seq("g"))
+        .collect().map(r => r.getAs[String]("g") -> r).toMap
+      for (g <- segs) {
+        val solo = cells.filter(col("g") === g)
+        val d1 = graft.data.RankStats.dixonQFromCounts(solo, Seq("g"))
+          .collect().head
+        val q1 = graft.data.RankStats
+          .quartileShapeFromCounts(solo, Seq("g")).collect().head
+        for (c <- Seq("n", "v_min", "v_max", "q_lo_ppm", "q_hi_ppm")) {
+          val x = dAll(g);
+          assert(x.isNullAt(x.fieldIndex(c)) === d1.isNullAt(d1.fieldIndex(c)))
+          if (!d1.isNullAt(d1.fieldIndex(c)))
+            assert(x.getAs[Long](c) === d1.getAs[Long](c),
+              s"trial $trial g=$g dixon $c")
+        }
+        for (c <- Seq("n", "q1", "q2", "q3", "bowley_skew_ppm", "qcd_ppm")) {
+          val x = qAll(g)
+          assert(x.isNullAt(x.fieldIndex(c)) === q1.isNullAt(q1.fieldIndex(c)))
+          if (!q1.isNullAt(q1.fieldIndex(c)))
+            assert(x.getAs[Long](c) === q1.getAs[Long](c),
+              s"trial $trial g=$g quartile $c")
+        }
+      }
+    }
+  }
 }
