@@ -381,6 +381,100 @@ object Contingency {
     * ≤1-subunit² truncation per group is part of the operator's declared
     * semantics and reproduced bit-for-bit by any engine.
     */
+  /** Balanced two-way ANOVA + ICC(2,1) over a COMPLETE panel — one
+    * integer observation per (row, col) cell, e.g. the dense day×type
+    * daily-count grid: partitions N·SS_total = N·Σy² − T² exactly into
+    *
+    *   N·SS_row = b·ΣR_r² − T²,  N·SS_col = k·ΣC_c² − T²,  error = rest
+    *
+    * (all exact DECIMAL(38,0) integers — the common N clears every
+    * mean), then F_row = SS_row·(k−1)/SS_err and F_col = SS_col·(b−1)/
+    * SS_err as exact ppm floors, plus Shrout–Fleiss ICC(2,1) (two-way
+    * random, absolute agreement — "do the k columns agree on which rows
+    * are big", the continuous-rating sibling of the kappa family):
+    *
+    *   ICC = b(k−1)(A−E') … emitted as the exact sign-split ×10⁶ floor
+    *   of [b(k−1)A − bE] / [b(k−1)A + b(k−1)E + k(b−1)C − kE]
+    *
+    * with A/C/E the N·SS quantities (the common multiplier clears all
+    * df denominators — derivation in the round-14 notes). Ragged panels
+    * fail loudly; NULL F/ICC when the error SS is zero.
+    *
+    * @param obs one row per (rowCol, colCol) cell with integer
+    *            `valueIntCol`
+    * @return one row: `b_rows, k_cols, nss_row, nss_col, nss_err,
+    *         f_row_ppm, f_col_ppm, icc2_x1e6`
+    */
+  def anovaTwoWayPanel(obs: DataFrame, rowCol: String, colCol: String,
+                       valueIntCol: String): DataFrame = {
+    val y = col(valueIntCol).cast(D38)
+    val cells = obs.select(col(rowCol).as("__r"), col(colCol).as("__c"), y.as("__y"))
+    val rows = cells.groupBy("__r")
+      .agg(count(lit(1)).cast("long").as("kb"),
+        sum("__y").cast(D38).as("rs"))
+    val cols = cells.groupBy("__c")
+      .agg(count(lit(1)).cast("long").as("bk"),
+        sum("__y").cast(D38).as("cs"))
+    val tot = cells.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum("__y").cast(D38).as("t"),
+      sum(col("__y") * col("__y")).cast(D38).as("q"))
+    val rAgg = rows.agg(count(lit(1)).cast("long").as("b_rows"),
+      min("kb").cast("long").as("__kb_min"),
+      max("kb").cast("long").as("__kb_max"),
+      sum(col("rs") * col("rs")).cast(D38).as("__sr2"))
+    val cAgg = cols.agg(count(lit(1)).cast("long").as("k_cols"),
+      min("bk").cast("long").as("__bk_min"),
+      max("bk").cast("long").as("__bk_max"),
+      sum(col("cs") * col("cs")).cast(D38).as("__sc2"))
+    rAgg.crossJoin(broadcast(cAgg)).crossJoin(broadcast(tot))
+      .withColumn("__ok",
+        when(col("__kb_min") =!= col("k_cols") ||
+          col("__kb_max") =!= col("k_cols") ||
+          col("__bk_min") =!= col("b_rows") ||
+          col("__bk_max") =!= col("b_rows") ||
+          col("n") =!= col("b_rows") * col("k_cols"),
+          raise_error(lit("anova_two_way: ragged panel - one observation " +
+            "per (row, col) cell required; densify with zeros first")))
+          .otherwise(lit(1)))
+      .withColumn("__a",
+        expr(s"CAST(CAST(b_rows AS $D38) * __sr2 - t * t AS $D38)") *
+          col("__ok"))
+      .withColumn("__cc",
+        expr(s"CAST(CAST(k_cols AS $D38) * __sc2 - t * t AS $D38)"))
+      .withColumn("__tot",
+        expr(s"CAST(CAST(n AS $D38) * q - t * t AS $D38)"))
+      .withColumn("__e", col("__tot") - col("__a") - col("__cc"))
+      .withColumn("nss_row", col("__a").cast("long"))
+      .withColumn("nss_col", col("__cc").cast("long"))
+      .withColumn("nss_err", col("__e").cast("long"))
+      .withColumn("f_row_ppm",
+        when(col("__e") > 0,
+          expr(s"""CAST(__a * (k_cols - 1) * 1000000 div __e
+                   AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("f_col_ppm",
+        when(col("__e") > 0,
+          expr(s"""CAST(__cc * (b_rows - 1) * 1000000 div __e
+                   AS BIGINT)"""))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("__inum",
+        expr(s"""CAST(CAST(b_rows AS $D38) * (k_cols - 1) * __a -
+                 CAST(b_rows AS $D38) * __e AS $D38)"""))
+      .withColumn("__iden",
+        expr(s"""CAST(CAST(b_rows AS $D38) * (k_cols - 1) * __a +
+                 CAST(b_rows AS $D38) * (k_cols - 1) * __e +
+                 CAST(k_cols AS $D38) * (b_rows - 1) * __cc -
+                 CAST(k_cols AS $D38) * __e AS $D38)"""))
+      .withColumn("icc2_x1e6",
+        when(col("__iden") > 0,
+          (when(col("__inum") >= 0, lit(1L)).otherwise(lit(-1L))) *
+            expr("CAST(abs(__inum) * 1000000 div __iden AS BIGINT)"))
+          .otherwise(lit(null).cast("long")))
+      .select("b_rows", "k_cols", "nss_row", "nss_col", "nss_err",
+        "f_row_ppm", "f_col_ppm", "icc2_x1e6")
+  }
+
   def anovaOneWay(df: DataFrame, groupCol: String,
                   valueIntCol: String): DataFrame = {
     val v = col(valueIntCol).cast(D38)

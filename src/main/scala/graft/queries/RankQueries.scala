@@ -761,6 +761,27 @@ object RankQueries {
       RankStats.energyDistanceFromCounts(valueCells(s, dir))
     },
 
+    // BALANCED TWO-WAY ANOVA + ICC(2,1) — day effect vs type effect on
+    // the dense daily-count panel (q307's one-way sibling with the
+    // second factor controlled), plus Shrout–Fleiss absolute-agreement
+    // ICC: "do the 5 event types agree on which days are busy" — the
+    // continuous-rating sibling of the kappa family. All N·SS exact
+    // integers, F and ICC one ppm floor each
+    "q398_twoway_anova_icc" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val cells = ev
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("dy"),
+          col("event_type"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val dense = ev
+        .select(expr("unix_micros(ts) div 86400000000").as("dy")).distinct()
+        .crossJoin(ev.select("event_type").distinct())
+        .join(cells, Seq("dy", "event_type"), "left")
+        .na.fill(0L, Seq("cnt"))
+      graft.data.Contingency.anovaTwoWayPanel(dense, "dy", "event_type",
+        "cnt")
+    },
+
     // HITS hubs/authorities over the customer→part purchase bipartite
     // graph (broad buyers ↔ broadly-bought parts), 2 synchronous steps in
     // exact L1-normalized integer fixed point — the q125 PageRank
@@ -816,6 +837,59 @@ object RankQueries {
                        (w2 * 1000) AS BIGINT)
                 ELSE NULL END AS h_ppm
          FROM f""",
+    "q398_twoway_anova_icc" ->
+      """WITH cells AS (
+           SELECT epoch_us(ts) // 86400000000 AS dy, event_type,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         dense AS (
+           SELECT d.dy, t.event_type, coalesce(c.cnt, 0) AS cnt
+           FROM (SELECT DISTINCT dy FROM cells) d
+           CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+           LEFT JOIN cells c ON c.dy = d.dy
+             AND c.event_type = t.event_type),
+         r AS (SELECT dy, sum(CAST(cnt AS HUGEINT)) AS rs
+               FROM dense GROUP BY 1),
+         c AS (SELECT event_type, sum(CAST(cnt AS HUGEINT)) AS cs
+               FROM dense GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        sum(CAST(cnt AS HUGEINT)) AS t,
+                        sum(CAST(cnt AS HUGEINT) * cnt) AS q
+                 FROM dense),
+         ra AS (SELECT CAST(count(*) AS BIGINT) AS b_rows,
+                       sum(rs * rs) AS sr2 FROM r),
+         ca AS (SELECT CAST(count(*) AS BIGINT) AS k_cols,
+                       sum(cs * cs) AS sc2 FROM c),
+         f AS (SELECT b_rows, k_cols,
+                      CAST(b_rows AS HUGEINT) * sr2 - t * t AS a,
+                      CAST(k_cols AS HUGEINT) * sc2 - t * t AS cc,
+                      CAST(n AS HUGEINT) * q - t * t AS tt
+               FROM ra, ca, tot),
+         g AS (SELECT *, tt - a - cc AS e FROM f)
+         SELECT b_rows, k_cols,
+                CAST(a AS BIGINT) AS nss_row, CAST(cc AS BIGINT) AS nss_col,
+                CAST(e AS BIGINT) AS nss_err,
+           CASE WHEN e > 0 THEN
+             CAST(a * (k_cols - 1) * 1000000 // e AS BIGINT)
+           END AS f_row_ppm,
+           CASE WHEN e > 0 THEN
+             CAST(cc * (b_rows - 1) * 1000000 // e AS BIGINT)
+           END AS f_col_ppm,
+           CASE WHEN CAST(b_rows AS HUGEINT) * (k_cols - 1) * a +
+                     CAST(b_rows AS HUGEINT) * (k_cols - 1) * e +
+                     CAST(k_cols AS HUGEINT) * (b_rows - 1) * cc -
+                     CAST(k_cols AS HUGEINT) * e > 0 THEN
+             (CASE WHEN CAST(b_rows AS HUGEINT) * (k_cols - 1) * a -
+                        CAST(b_rows AS HUGEINT) * e >= 0
+                   THEN 1 ELSE -1 END) *
+             CAST(abs(CAST(b_rows AS HUGEINT) * (k_cols - 1) * a -
+                      CAST(b_rows AS HUGEINT) * e) * 1000000
+                  // (CAST(b_rows AS HUGEINT) * (k_cols - 1) * a +
+                      CAST(b_rows AS HUGEINT) * (k_cols - 1) * e +
+                      CAST(k_cols AS HUGEINT) * (b_rows - 1) * cc -
+                      CAST(k_cols AS HUGEINT) * e) AS BIGINT)
+           END AS icc2_x1e6
+         FROM g""",
     "q396_wasserstein" ->
       """WITH cells AS (
            SELECT CAST(floor(value * 1000000) AS BIGINT) AS v,

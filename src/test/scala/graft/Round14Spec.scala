@@ -523,6 +523,27 @@ class Round14Spec extends SparkSpec {
       .collect().head.getAs[Long]("e2_x1e6") === 1000000L)
   }
 
+  test("anovaTwoWayPanel hand values: the 2x2 panel [[1,2],[4,3]] gives " +
+      "F_row = 4 and ICC(2,1) = 0.75; ragged panel raises") {
+    val s = spark
+    import s.implicits._
+    val obs = Seq((1L, "a", 1L), (1L, "b", 2L), (2L, "a", 4L),
+      (2L, "b", 3L)).toDF("r", "c", "y")
+    val got = graft.data.Contingency.anovaTwoWayPanel(obs, "r", "c", "y")
+      .collect().head
+    assert(got.getAs[Long]("nss_row") === 16L)
+    assert(got.getAs[Long]("nss_col") === 0L)
+    assert(got.getAs[Long]("nss_err") === 4L)
+    assert(got.getAs[Long]("f_row_ppm") === 4000000L)
+    assert(got.getAs[Long]("f_col_ppm") === 0L)
+    assert(got.getAs[Long]("icc2_x1e6") === 750000L)
+    val e = intercept[Exception] {
+      graft.data.Contingency
+        .anovaTwoWayPanel(obs.limit(3), "r", "c", "y").collect()
+    }
+    assert(msgs(e).exists(_.contains("ragged")))
+  }
+
   test("equidepthBoundaries DECIMAL cross-multiplication leaves the " +
       "small-n boundaries bit-identical") {
     val s = spark
