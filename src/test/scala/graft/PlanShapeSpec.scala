@@ -838,6 +838,22 @@ class PlanShapeSpec extends SparkSpec {
       s"no all-pairs fallback:\n$plan")
   }
 
+  test("modularity (q394): the canonical edge subtree is SHARED — " +
+      "lineitem is scanned exactly twice (the co-purchase join sides) " +
+      "and everything else rides ReusedExchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = staticPlan(
+      graft.queries.RankQueries.queries("q394_modularity")(spark, sf))
+    val liScans = plan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => f
+    }
+    assert(liScans.size === 2,
+      s"edge canonicalization must not be recomputed per consumer:\n$plan")
+    assert(count(plan) { case _: ReusedExchangeExec => } >= 3,
+      s"the degree/label/global consumers must reuse exchanges:\n$plan")
+  }
+
   test("rank stability (q377): no CartesianProduct anywhere — the " +
       "inversion count is the q248 dominance cascade, its grid windows " +
       "partitioned; only the two k-frame rank windows are global") {
