@@ -194,6 +194,18 @@ object TextQueries {
                   div n_windows AS BIGINT)"""))
     },
 
+    // INTERPOLATED KNESER–NEY BIGRAM TABLE — the n-gram LM estimator
+    // behind perplexity-flavoured quality filtering (q292's Good–Turing
+    // adjusts counts; KN builds the conditional MODEL): declared
+    // discount D = 3/4, every term its own exact q9 floor, the
+    // interpolation replaying the QUANTIZED pieces; emitted for bigrams
+    // within the top-100 unigram vocabulary (TakeOrdered, never a
+    // global window)
+    "q399_kneser_ney" -> { (s, dir) =>
+      graft.functions.LmKneserNey.bigramTable(t(s, dir, "documents"),
+        "text", vocabTopK = 100)
+    },
+
     // GOOD–TURING SMOOTHING TABLE — q99's count-of-counts spectrum carried
     // to the estimator it exists for: adjusted count c* = (c+1)·N_{c+1}/N_c
     // per observed frequency c (Good 1953), the classic LM smoothing /
@@ -1006,6 +1018,46 @@ object TextQueries {
                 CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1000000
                      // count(*) AS BIGINT) AS dup_ppm
          FROM f GROUP BY 1""",
+    "q399_kneser_ney" ->
+      """WITH w AS (SELECT string_split(trim(text), ' ') AS ws
+                    FROM documents WHERE text IS NOT NULL),
+         bg AS (SELECT unnest([{'w1': ws[i], 'w2': ws[i + 1]}
+                               for i in range(1, len(ws))],
+                              recursive := true)
+                FROM w WHERE len(ws) >= 2),
+         bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
+                FROM bg GROUP BY 1, 2),
+         lm AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_left,
+                       CAST(count(*) AS BIGINT) AS n_follow
+                FROM bc GROUP BY 1),
+         rm AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_precede
+                FROM bc GROUP BY 1),
+         bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bc),
+         tok AS (SELECT unnest(ws) AS term FROM w),
+         vocab AS (SELECT term FROM (
+                     SELECT term, count(*) AS tc FROM tok GROUP BY 1
+                     ORDER BY tc DESC, term LIMIT 100)),
+         pieces AS (
+           SELECT bc.w1, bc.w2, bc.c_bigram, lm.c_left, lm.n_follow,
+                  rm.n_precede,
+                  greatest(0, CAST((4 * CAST(bc.c_bigram AS HUGEINT) - 3)
+                    * 1000000000
+                    // (4 * CAST(lm.c_left AS HUGEINT)) AS BIGINT))
+                    AS term1_q9,
+                  CAST(3 * CAST(lm.n_follow AS HUGEINT) * 1000000000
+                       // (4 * CAST(lm.c_left AS HUGEINT)) AS BIGINT)
+                    AS lambda_q9,
+                  CAST(CAST(rm.n_precede AS HUGEINT) * 1000000000 // bt.b
+                       AS BIGINT) AS pcont_q9
+           FROM bc
+           JOIN vocab v1 ON v1.term = bc.w1
+           JOIN vocab v2 ON v2.term = bc.w2
+           JOIN lm USING (w1) JOIN rm USING (w2), bt)
+         SELECT w1, w2, c_bigram, c_left, n_follow, n_precede,
+                term1_q9, lambda_q9, pcont_q9,
+                CAST(term1_q9 + CAST(lambda_q9 AS HUGEINT) * pcont_q9
+                     // 1000000000 AS BIGINT) AS kn_q9
+         FROM pieces""",
     "q292_good_turing" ->
       """WITH tok AS (
            SELECT unnest(string_split(trim(text), ' ')) AS term

@@ -544,6 +544,31 @@ class Round14Spec extends SparkSpec {
     assert(msgs(e).exists(_.contains("ragged")))
   }
 
+  test("LmKneserNey hand values: a tiny corpus reproduces the " +
+      "interpolated D = 3/4 estimates piece by piece") {
+    val s = spark
+    import s.implicits._
+    // corpus: "a b", "a b", "a c" -> bigrams ab x2, ac x1
+    // c_left(a) = 3, n_follow(a) = 2, B = 2 bigram types
+    // n_precede(b) = 1, n_precede(c) = 1
+    val docs = Seq("a b", "a b", "a c").map(Tuple1(_)).toDF("text")
+    val got = graft.functions.LmKneserNey
+      .bigramTable(docs, "text", vocabTopK = 10)
+      .orderBy("w1", "w2").collect()
+    val ab = got(0); val ac = got(1)
+    assert(ab.getAs[String]("w2") === "b")
+    // term1(ab) = (2 - 3/4)/3 = 5/12 -> 416666666
+    assert(ab.getAs[Long]("term1_q9") === 416666666L)
+    // lambda(a) = (3/4)*2/3 = 1/2 ; pcont(b) = 1/2
+    assert(ab.getAs[Long]("lambda_q9") === 500000000L)
+    assert(ab.getAs[Long]("pcont_q9") === 500000000L)
+    // kn = 5/12 + 1/4 = 2/3 (quantized pieces compose exactly here)
+    assert(ab.getAs[Long]("kn_q9") === 666666666L)
+    // term1(ac) = (1 - 3/4)/3 = 1/12 -> 83333333
+    assert(ac.getAs[Long]("term1_q9") === 83333333L)
+    assert(ac.getAs[Long]("kn_q9") === 83333333L + 250000000L)
+  }
+
   test("equidepthBoundaries DECIMAL cross-multiplication leaves the " +
       "small-n boundaries bit-identical") {
     val s = spark
