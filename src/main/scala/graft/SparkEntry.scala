@@ -37,7 +37,7 @@ object SparkEntry {
     * written justification here; [[InventorySpec]] fails on any
     * registry key that is in neither oracleSql nor this set, so a
     * forgotten oracle can never ship silently. Currently empty: all
-    * 369 registered queries carry a DuckDB oracle.
+    * registered queries carry a DuckDB oracle.
     */
   val rowsOnlyWaived: Set[String] = Set.empty
 

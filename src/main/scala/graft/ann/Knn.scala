@@ -1190,8 +1190,42 @@ object Knn {
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
-    val pairs = exactCosinePairs(df, minCosine, idCol, vecCol)
-      .select("id_a", "id_b").localCheckpoint()
+    dbscanFromPairs(df,
+      exactCosinePairs(df, minCosine, idCol, vecCol), minPts, idCol)
+  }
+
+  /** [[dbscanCosine]] for the regime where the corpus exceeds the packed
+    * broadcast ceiling: the neighbourhood pair list comes from
+    * [[clusteredCosinePairs]] (IVF-pruned candidates, every survivor
+    * exact-cosine verified — the SemDeDup q164 generator, one shuffle on
+    * `list_id`, nothing broadcast at corpus scale) instead of the exact
+    * broadcast kernel. Same closure, same tie-breaks — a parameter
+    * change, not a new algorithm.
+    *
+    * DECLARED semantics: the IVF pruning costs RECALL, never precision —
+    * cross-list neighbour pairs are unseen, so degrees can only drop.
+    * Structurally therefore: every core here is a core of the exact
+    * variant, and every cluster here lies entirely inside one exact
+    * cluster (edges only vanish, so components only split) — the two
+    * invariants q403 verifies in-query. With nLists = 1 the pair list is
+    * the exact list and the output is identical to [[dbscanCosine]].
+    */
+  def dbscanCosineClustered(df: DataFrame, minCosine: Double, minPts: Int,
+                            nLists: Int, seed: Long = 42L,
+                            maxIter: Int = 10,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    dbscanFromPairs(df,
+      clusteredCosinePairs(df, nLists, minCosine, seed, maxIter,
+        idCol = idCol, vecCol = vecCol), minPts, idCol)
+  }
+
+  /** The DBSCAN body shared by the broadcast and beyond-broadcast pair
+    * sources: degrees, core filter, core-core closure, border attach. */
+  private def dbscanFromPairs(df: DataFrame, rawPairs: DataFrame,
+                              minPts: Int, idCol: String): DataFrame = {
+    val pairs = rawPairs.select("id_a", "id_b").localCheckpoint()
     val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
       .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
     val cores = sym.groupBy("id")

@@ -768,7 +768,9 @@ object RankTests {
     * no halves). The grid mass is loudly bounded; NULL when a side is
     * empty.
     *
-    * @return one row: `n_a, n_b, m_pairs, d_lo, d_up, hl2`
+    * @return one row: `n_a, n_b, m_pairs, d_lo, d_up, hl2, identity_ok`
+    *         (`identity_ok` checks m_pairs = n_a·n_b — the difference
+    *         distribution accounted for every cross pair)
     */
   def hodgesLehmannFromCounts(counts: DataFrame,
                               maxCells: Long = 100000000L): DataFrame = {

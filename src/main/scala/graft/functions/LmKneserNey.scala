@@ -83,4 +83,84 @@ object LmKneserNey {
       .select("w1", "w2", "c_bigram", "c_left", "n_follow", "n_precede",
         "term1_q9", "lambda_q9", "pcont_q9", "kn_q9")
   }
+
+  /** Per-document bigram log-probability against a fitted
+    * [[bigramTable]] — the consumer the table exists for (the bigram
+    * sibling of q79's CCNet-style unigram quality filter): every
+    * adjacent token pair of a doc is priced by the model and the doc
+    * scored by its exact fixed-point log-prob sum.
+    *
+    * Pair pricing (DECLARED, all on the table's quantized q9 pieces):
+    *  - observed pair (a table row): p_q9 = kn_q9;
+    *  - unseen pair with both words known to the model (w1 has a λ row,
+    *    w2 a P_cont row): the interpolated-KN backoff
+    *    p_q9 = λ_q9·pcont_q9 div 10⁹ — replaying the QUANTIZED pieces,
+    *    so both engines agree bit-for-bit;
+    *  - either word outside the model: the pair is SKIPPED and counted
+    *    in n_oov_pairs (the CCNet convention — OOV mass is reported,
+    *    never priced at −∞).
+    * Priced probabilities are floored at one q9 grain so ln stays
+    * finite. Per-pair ln(p_q9/10⁹) is rounded to 9 and summed as
+    * DECIMAL(20,9) — q79's fixed-point discipline, so the doc score is
+    * independent of summation order. Docs with no priceable pair
+    * (< 2 tokens, all-OOV, null text) are preserved with n_scored = 0
+    * and NULL sum/mean.
+    *
+    * Scale shape: the table and its two marginal projections are
+    * vocab²-/vocab-bounded → broadcast joins against the map-only pair
+    * stream; the only data-sized shuffle is the per-doc hash agg. The
+    * table is frozen once (localCheckpoint) because three consumers
+    * read it (the pair join and both marginals).
+    */
+  def scoreDocs(docs: DataFrame, table: DataFrame, textCol: String,
+                idCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val tbl = table.localCheckpoint()
+    // λ is a function of w1 only and P_cont of w2 only: max = the value
+    val lam = tbl.groupBy("w1").agg(max("lambda_q9").as("lambda_q9"))
+    val pcont = tbl.groupBy("w2").agg(max("pcont_q9").as("pcont_q9"))
+    val withWs = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), " ").as("__ws"))
+    val pairs = withWs
+      .filter(size(col("__ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(__ws) - 1),
+           i -> named_struct('w1', element_at(__ws, i),
+                             'w2', element_at(__ws, i + 1)))""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val priced = pairs
+      .join(broadcast(tbl.select("w1", "w2", "kn_q9")), Seq("w1", "w2"),
+        "left_outer")
+      .join(broadcast(lam), Seq("w1"), "left_outer")
+      .join(broadcast(pcont), Seq("w2"), "left_outer")
+      .withColumn("__p0",
+        when(col("kn_q9").isNotNull, col("kn_q9"))
+          .otherwise(when(
+            col("lambda_q9").isNotNull && col("pcont_q9").isNotNull,
+            expr(s"""CAST(CAST(lambda_q9 AS $d38) * pcont_q9
+                     div 1000000000 AS BIGINT)"""))))
+      .withColumn("p_q9",
+        when(col("__p0").isNotNull, greatest(lit(1L), col("__p0"))))
+      .withColumn("lp", when(col("p_q9").isNotNull,
+        round(log(col("p_q9").cast("double") / 1e9), 9)
+          .cast("decimal(20,9)")))
+    val agg = priced.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(when(col("p_q9").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("n_scored"),
+        sum(when(col("p_q9").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_oov_pairs"),
+        sum(col("lp")).as("__sum"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_oov_pairs"), lit(0L)).as("n_oov_pairs"),
+        col("__sum").cast("double").as("sum_logprob"))
+      .withColumn("mean_logprob",
+        when(col("n_scored") > 0,
+          col("sum_logprob") / col("n_scored").cast("double")))
+  }
 }

@@ -29,23 +29,66 @@ object Truss {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     require(rounds >= 1 && rounds <= 16,
       s"declared bounded peel: 1 <= rounds <= 16, got $rounds")
-    var e = edges
+    var e = canonical(edges, srcCol, dstCol)
+    for (_ <- 1 to rounds) e = peelRound(e, k)
+    withSupport(e)
+  }
+
+  /** [[peel]] iterated to the TRUE k-truss fixpoint: rounds continue
+    * until a peel drops no edge (the exact-truss use case; the bounded
+    * form stays the declared, oracle-replayable one — a peel cascade can
+    * run arbitrarily deep, so the fixpoint round count is data-dependent
+    * by nature). Fails LOUDLY when `maxRounds` is exhausted with edges
+    * still dropping — the [[KCore]] convergence contract, never a silent
+    * under-peel. Each round is the same O(√m)-oriented enumeration +
+    * hash-agg fold, frozen per round, plus one count action for the
+    * convergence test (a row count of the just-frozen frame — no extra
+    * lineage replay).
+    */
+  def peelToFixpoint(edges: DataFrame, srcCol: String, dstCol: String,
+                     k: Int, maxRounds: Int = 32): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(maxRounds >= 1, s"need at least one round, got $maxRounds")
+    var e = canonical(edges, srcCol, dstCol)
+    var prev = e.count()
+    var converged = prev == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      e = peelRound(e, k)
+      val n = e.count()
+      converged = n == prev || n == 0L
+      prev = n
+      round += 1
+    }
+    require(converged,
+      s"k-truss peel did not converge within $maxRounds rounds " +
+        s"($prev edges still alive) — rerun with a larger maxRounds")
+    withSupport(e)
+  }
+
+  /** Simple canonical (u < v) edge set, frozen. */
+  private def canonical(edges: DataFrame, srcCol: String,
+                        dstCol: String): DataFrame =
+    edges
       .filter(col(srcCol) =!= col(dstCol) &&
         col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .distinct()
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
-      e = e.join(support(e), Seq("u", "v"), "left")
-        .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
-        .select("u", "v")
-        .localCheckpoint()
-    }
+
+  /** One peel round: recompute support, drop edges below k−2, freeze. */
+  private def peelRound(e: DataFrame, k: Int): DataFrame =
+    e.join(support(e), Seq("u", "v"), "left")
+      .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
+      .select("u", "v")
+      .localCheckpoint()
+
+  /** Final surviving edges with their support in the final subgraph. */
+  private def withSupport(e: DataFrame): DataFrame =
     e.join(support(e), Seq("u", "v"), "left")
       .select(col("u"), col("v"),
         coalesce(col("support"), lit(0L)).as("support"))
-  }
 
   /** Per-edge triangle support of a canonical (u < v) simple edge set:
     * degree-oriented wedge join (each triangle enumerated exactly once),

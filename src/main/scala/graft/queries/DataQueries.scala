@@ -1727,7 +1727,8 @@ object DataQueries {
     // effective sets didn't collide)
     "q379_minhash_ledger" -> { (s, dir) =>
       val docs = doubledDocs(s, dir).filter(col("text").isNotNull)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q379_ledger"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q379_" +
+        s.sparkContext.applicationId
       graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
       Dedup.minHashLedger(docs.filter(col("doc_id") < 1000000L), path,
         k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
@@ -1760,6 +1761,25 @@ object DataQueries {
     // the original corpus, score the +1e6 copies; every twin MUST report
     // at hamming 0 (identical text ⇒ identical fingerprint ⇒ every chunk
     // collides), and no reported pair may exceed the declared radius
+    "q387_simhash_ledger" -> { (s, dir) =>
+      val docs = doubledDocs(s, dir).filter(col("text").isNotNull)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q387_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      Dedup.simHashLedger(docs.filter(col("doc_id") < 1000000L), path,
+        maxHamming = 3)
+      val pairs = Dedup.simHashLedger(docs.filter(col("doc_id") >= 1000000L),
+        path, maxHamming = 3)
+      val out = pairs.agg(
+        coalesce(sum(when(col("id_new") === col("id_old") + 1000000L &&
+          col("hamming") === 0, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_twin_pairs_found"),
+        coalesce(sum(when(col("hamming") > 3, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("hamming_violations"))
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
     // DBSCAN OVER THE COSINE NEIGHBOURHOOD GRAPH — density-based
     // clustering that separates DENSE duplicate regions from sparse
     // bridges (q82's plain closure chains everything one weak link
@@ -1772,20 +1792,116 @@ object DataQueries {
         minPts = 3)
     },
 
-    "q387_simhash_ledger" -> { (s, dir) =>
+    // BEYOND-BROADCAST DBSCAN — q395 draws its pair list from the exact
+    // broadcast kernel, which caps the corpus at the packed-broadcast
+    // ceiling; this variant draws it from the q164 IVF-pruned generator
+    // (one shuffle on list_id, nothing corpus-sized broadcast; every
+    // surviving pair exact-cosine verified). IVF pruning costs RECALL
+    // only, so two invariants are STRUCTURAL and verified in-query:
+    // every variant core is an exact core (degrees only drop), and no
+    // variant cluster spans two exact clusters (edges only vanish, so
+    // components only split). n_exact_cores is the DuckDB-replayable side
+    "q403_dbscan_clustered" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val emb = t(s, dir, "embeddings")
+      val v = Knn.dbscanCosineClustered(emb, minCosine = 0.35, minPts = 3,
+        nLists = 16, seed = 7L, maxIter = 5).localCheckpoint()
+      val e = Knn.dbscanCosine(emb, minCosine = 0.35, minPts = 3)
+        .localCheckpoint()
+      val vCores = v.filter(col("is_core"))
+        .select(col("vec_id"), col("cluster_id").as("vc"))
+      val eCores = e.filter(col("is_core"))
+        .select(col("vec_id"), col("cluster_id").as("ec"))
+      val nExactCores = eCores.count()
+      val subsetViolations =
+        vCores.join(eCores, Seq("vec_id"), "left_anti").count()
+      val splitViolations = vCores.join(eCores, "vec_id")
+        .groupBy("vc").agg(countDistinct("ec").as("n"))
+        .filter(col("n") > 1).count()
+      Seq((nExactCores, subsetViolations, splitViolations))
+        .toDF("n_exact_cores", "core_subset_violations",
+          "cluster_split_violations")
+    },
+
+    // MINHASH LEDGER COMPACTION — the maintenance half of q379's
+    // append-only contract: each delta appends one parquet file set per
+    // touched bucket partition, so after months of daily crawls the
+    // statically-pruned probe pays a listing+open cost per accumulated
+    // file (the small-file debt q158 settled for AggStore and q102/q103
+    // for the disk indexes, closed here for the dedup ledgers). Protocol:
+    // ingest the corpus in TWO halves (every touched bucket gets two file
+    // sets), probe the +1e6 twins, compact bands AND sigs to one file per
+    // bucket partition, probe again — the probe must be IDENTICAL (rows
+    // only moved between files) with every twin still at jaccard 1, and
+    // the verdict columns pin the file contract
+    "q400_minhash_ledger_compact" -> { (s, dir) =>
       val docs = doubledDocs(s, dir).filter(col("text").isNotNull)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q387_ledger"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q400_" +
+        s.sparkContext.applicationId
       graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
-      Dedup.simHashLedger(docs.filter(col("doc_id") < 1000000L), path,
-        maxHamming = 3)
-      val pairs = Dedup.simHashLedger(docs.filter(col("doc_id") >= 1000000L),
-        path, maxHamming = 3)
-      val out = pairs.agg(
+      val orig = docs.filter(col("doc_id") < 1000000L)
+      // alternating 64-id blocks: BOTH halves cover every pmod-64 bucket
+      // (an even/odd split would give each sigs partition to one half
+      // only, and single-ingest dirs start compacted)
+      val half = pmod(floor(col("doc_id") / 64).cast("long"), lit(2L))
+      Dedup.minHashLedger(orig.filter(half === 0), path,
+        k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      Dedup.minHashLedger(orig.filter(half === 1), path,
+        k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      val twins = docs.filter(col("doc_id") >= 1000000L)
+      val pre = Dedup.minHashLedgerPairs(twins, path, k = 5,
+        numHashes = 32, rowsPerBand = 4, threshold = 0.5).localCheckpoint()
+      val (bb, ba, sb, sa) = Dedup.compactMinHashLedger(s, path)
+      val post = Dedup.minHashLedgerPairs(twins, path, k = 5,
+        numHashes = 32, rowsPerBand = 4, threshold = 0.5).localCheckpoint()
+      val identical =
+        post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty
+      val nBandBuckets = s.read.parquet(s"$path/bands")
+        .select("bucket").distinct().count()
+      val nSigBuckets = s.read.parquet(s"$path/sigs")
+        .select("sbucket").distinct().count()
+      val out = post.agg(
+        coalesce(sum(when(col("id_new") === col("id_old") + 1000000L &&
+          col("jaccard") === 1.0, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_twin_pairs_found"))
+        .withColumn("probe_identical", lit(identical))
+        .withColumn("one_file_per_bucket",
+          lit(ba == nBandBuckets && sa == nSigBuckets))
+        .withColumn("files_reduced", lit(ba < bb && sa < sb))
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
+    // SIMHASH LEDGER COMPACTION — q400's fingerprint sibling over the
+    // q387 chunks layout: two-half ingest, compact to one file per bucket
+    // partition, twin probe bit-identical pre/post
+    "q401_simhash_ledger_compact" -> { (s, dir) =>
+      val docs = doubledDocs(s, dir).filter(col("text").isNotNull)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q401_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      val orig = docs.filter(col("doc_id") < 1000000L)
+      val half = pmod(floor(col("doc_id") / 64).cast("long"), lit(2L))
+      Dedup.simHashLedger(orig.filter(half === 0), path, maxHamming = 3)
+      Dedup.simHashLedger(orig.filter(half === 1), path, maxHamming = 3)
+      val twins = docs.filter(col("doc_id") >= 1000000L)
+      val pre = Dedup.simHashLedgerPairs(twins, path, maxHamming = 3)
+        .localCheckpoint()
+      val (cb, ca) = Dedup.compactSimHashLedger(s, path)
+      val post = Dedup.simHashLedgerPairs(twins, path, maxHamming = 3)
+        .localCheckpoint()
+      val identical =
+        post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty
+      val nb = s.read.parquet(s"$path/chunks")
+        .select("bucket").distinct().count()
+      val out = post.agg(
         coalesce(sum(when(col("id_new") === col("id_old") + 1000000L &&
           col("hamming") === 0, 1L).otherwise(0L)), lit(0L))
-          .cast("long").as("n_twin_pairs_found"),
-        coalesce(sum(when(col("hamming") > 3, 1L).otherwise(0L)), lit(0L))
-          .cast("long").as("hamming_violations"))
+          .cast("long").as("n_twin_pairs_found"))
+        .withColumn("probe_identical", lit(identical))
+        .withColumn("one_file_per_bucket", lit(ca == nb))
+        .withColumn("files_reduced", lit(ca < cb))
       graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
       out
     },
@@ -1873,6 +1989,49 @@ object DataQueries {
         path, maxHamming = 3)
       graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
       pairs
+    },
+    // production forms: two-half ingest + compact + ONE post-compaction
+    // probe — the pre-probe and the exceptAll identity harness in the
+    // correctness entries are oracle code
+    "q400_minhash_ledger_compact" -> { (s, dir) =>
+      val docs = doubledDocs(s, dir).filter(col("text").isNotNull)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q400b_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      val orig = docs.filter(col("doc_id") < 1000000L)
+      val half = pmod(floor(col("doc_id") / 64).cast("long"), lit(2L))
+      Dedup.minHashLedger(orig.filter(half === 0), path,
+        k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      Dedup.minHashLedger(orig.filter(half === 1), path,
+        k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      Dedup.compactMinHashLedger(s, path)
+      val pairs = Dedup.minHashLedgerPairs(
+        docs.filter(col("doc_id") >= 1000000L), path, k = 5,
+        numHashes = 32, rowsPerBand = 4, threshold = 0.5).localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      pairs
+    },
+    "q401_simhash_ledger_compact" -> { (s, dir) =>
+      val docs = doubledDocs(s, dir).filter(col("text").isNotNull)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q401b_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      val orig = docs.filter(col("doc_id") < 1000000L)
+      val half = pmod(floor(col("doc_id") / 64).cast("long"), lit(2L))
+      Dedup.simHashLedger(orig.filter(half === 0), path, maxHamming = 3)
+      Dedup.simHashLedger(orig.filter(half === 1), path, maxHamming = 3)
+      Dedup.compactSimHashLedger(s, path)
+      val pairs = Dedup.simHashLedgerPairs(
+        docs.filter(col("doc_id") >= 1000000L), path, maxHamming = 3)
+        .localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      pairs
+    },
+    // production form: the clustered variant alone — the exact-side
+    // DBSCAN in the correctness entry is the verification harness
+    "q403_dbscan_clustered" -> { (s, dir) =>
+      Knn.dbscanCosineClustered(t(s, dir, "embeddings"), minCosine = 0.35,
+        minPts = 3, nLists = 16, seed = 7L, maxIter = 5)
     },
     // production form: ingest + probe only — the exact word-shingle
     // re-verification in the correctness query is oracle code
@@ -2889,6 +3048,31 @@ object DataQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs_found,
                 CAST(0 AS BIGINT) AS hamming_violations
          FROM documents WHERE text IS NOT NULL""",
+    // compaction moves rows between files, never changes them: the twin
+    // probe replays q379's identity and the file/identity verdicts are
+    // structurally TRUE (asserted in-query pre/post via exceptAll)
+    "q400_minhash_ledger_compact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs_found,
+                TRUE AS probe_identical, TRUE AS one_file_per_bucket,
+                TRUE AS files_reduced
+         FROM documents WHERE text IS NOT NULL""",
+    "q401_simhash_ledger_compact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs_found,
+                TRUE AS probe_identical, TRUE AS one_file_per_bucket,
+                TRUE AS files_reduced
+         FROM documents WHERE text IS NOT NULL""",
+    // exact-core count replayed relationally; the two variant-vs-exact
+    // verdicts are structural zeros (IVF pruning only removes edges:
+    // degrees only drop, components only split) asserted in-query
+    "q403_dbscan_clustered" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact_cores,
+                CAST(0 AS BIGINT) AS core_subset_violations,
+                CAST(0 AS BIGINT) AS cluster_split_violations
+         FROM (SELECT a.vec_id
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+               WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                     b.embedding::DOUBLE[]), 9) >= 0.35
+               GROUP BY a.vec_id HAVING count(*) >= 3)""",
     "q117_incremental_dedup" ->
       """WITH delta AS (SELECT doc_id, text FROM documents
                         WHERE doc_id % 2 = 1 AND text IS NOT NULL),

@@ -206,6 +206,21 @@ object TextQueries {
         "text", vocabTopK = 100)
     },
 
+    // KNESER–NEY DOCUMENT SCORING — the consumer q399's table exists
+    // for (the bigram sibling of q79's unigram CCNet filter): each doc's
+    // adjacent token pairs priced off the fitted table — observed pairs
+    // at kn_q9, unseen-but-in-model pairs through the λ·P_cont backoff
+    // REPLAYING THE QUANTIZED PIECES, OOV pairs skipped and counted —
+    // then summed as round-to-9 DECIMAL fixed point (order-independent).
+    // The table + marginals are vocab²-bounded broadcasts; the only
+    // data-sized shuffle is the per-doc agg
+    "q402_kn_doc_logprob" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val table = graft.functions.LmKneserNey.bigramTable(docs, "text",
+        vocabTopK = 100)
+      graft.functions.LmKneserNey.scoreDocs(docs, table, "text", "doc_id")
+    },
+
     // GOOD–TURING SMOOTHING TABLE — q99's count-of-counts spectrum carried
     // to the estimator it exists for: adjusted count c* = (c+1)·N_{c+1}/N_c
     // per observed frequency c (Good 1953), the classic LM smoothing /
@@ -1058,6 +1073,85 @@ object TextQueries {
                 CAST(term1_q9 + CAST(lambda_q9 AS HUGEINT) * pcont_q9
                      // 1000000000 AS BIGINT) AS kn_q9
          FROM pieces""",
+    // replay of the full fit-then-score path: the q399 table CTE, its two
+    // marginal projections, the doc pair stream priced observed/backoff/
+    // OOV, ln rounded to 9 and summed as DECIMAL(20,9) (both engines
+    // round half-away-from-zero; p_q9/1e9 is exact-then-IEEE on both)
+    "q402_kn_doc_logprob" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+                    FROM documents WHERE text IS NOT NULL),
+         bg AS (SELECT unnest([{'w1': ws[i], 'w2': ws[i + 1]}
+                               for i in range(1, len(ws))],
+                              recursive := true)
+                FROM w WHERE len(ws) >= 2),
+         bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
+                FROM bg GROUP BY 1, 2),
+         lm AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_left,
+                       CAST(count(*) AS BIGINT) AS n_follow
+                FROM bc GROUP BY 1),
+         rm AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_precede
+                FROM bc GROUP BY 1),
+         bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bc),
+         tok AS (SELECT unnest(ws) AS term FROM w),
+         vocab AS (SELECT term FROM (
+                     SELECT term, count(*) AS tc FROM tok GROUP BY 1
+                     ORDER BY tc DESC, term LIMIT 100)),
+         tbl AS (
+           SELECT bc.w1, bc.w2,
+                  CAST(greatest(0, CAST((4 * CAST(bc.c_bigram AS HUGEINT)
+                      - 3) * 1000000000
+                    // (4 * CAST(lm.c_left AS HUGEINT)) AS BIGINT))
+                    + CAST(3 * CAST(lm.n_follow AS HUGEINT) * 1000000000
+                        // (4 * CAST(lm.c_left AS HUGEINT)) AS HUGEINT)
+                      * (CAST(rm.n_precede AS HUGEINT) * 1000000000 // bt.b)
+                      // 1000000000 AS BIGINT) AS kn_q9,
+                  CAST(3 * CAST(lm.n_follow AS HUGEINT) * 1000000000
+                       // (4 * CAST(lm.c_left AS HUGEINT)) AS BIGINT)
+                    AS lambda_q9,
+                  CAST(CAST(rm.n_precede AS HUGEINT) * 1000000000 // bt.b
+                       AS BIGINT) AS pcont_q9
+           FROM bc
+           JOIN vocab v1 ON v1.term = bc.w1
+           JOIN vocab v2 ON v2.term = bc.w2
+           JOIN lm USING (w1) JOIN rm USING (w2), bt),
+         lam AS (SELECT w1, max(lambda_q9) AS lambda_q9 FROM tbl GROUP BY 1),
+         pc AS (SELECT w2, max(pcont_q9) AS pcont_q9 FROM tbl GROUP BY 1),
+         dp AS (SELECT doc_id,
+                       unnest([{'w1': ws[i], 'w2': ws[i + 1]}
+                               for i in range(1, len(ws))],
+                              recursive := true)
+                FROM w WHERE len(ws) >= 2),
+         priced AS (
+           SELECT dp.doc_id,
+                  CASE WHEN t.kn_q9 IS NOT NULL THEN greatest(1, t.kn_q9)
+                       WHEN l.lambda_q9 IS NOT NULL
+                            AND p.pcont_q9 IS NOT NULL
+                       THEN greatest(1, CAST(CAST(l.lambda_q9 AS HUGEINT)
+                              * p.pcont_q9 // 1000000000 AS BIGINT))
+                  END AS p_q9
+           FROM dp
+           LEFT JOIN tbl t ON t.w1 = dp.w1 AND t.w2 = dp.w2
+           LEFT JOIN lam l ON l.w1 = dp.w1
+           LEFT JOIN pc p ON p.w2 = dp.w2),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(CASE WHEN p_q9 IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_scored,
+                  CAST(sum(CASE WHEN p_q9 IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_oov_pairs,
+                  sum(CAST(round(ln(CAST(p_q9 AS DOUBLE) / 1000000000), 9)
+                           AS DECIMAL(20,9))) AS s
+           FROM priced GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+                CAST(coalesce(a.n_scored, 0) AS BIGINT) AS n_scored,
+                CAST(coalesce(a.n_oov_pairs, 0) AS BIGINT) AS n_oov_pairs,
+                CAST(a.s AS DOUBLE) AS sum_logprob,
+                CASE WHEN coalesce(a.n_scored, 0) > 0
+                     THEN CAST(a.s AS DOUBLE) / CAST(a.n_scored AS DOUBLE)
+                END AS mean_logprob
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN agg a USING (doc_id)""",
     "q292_good_turing" ->
       """WITH tok AS (
            SELECT unnest(string_split(trim(text), ' ')) AS term
