@@ -572,14 +572,20 @@ object Dedup {
       import spark.implicits._
       Seq.empty[(Long, Long, Double)].toDF("id_new", "id_old", "jaccard")
     }).localCheckpoint()
+    // route each bucket to ONE task before the partitioned write: a delta
+    // append lands nBuckets files, not tasks x buckets — without this a
+    // 32-task delta writes ~2k near-empty files per append and the probe's
+    // listing cost (the debt q400's compaction settles) accrues 32x faster
     frozen
       .withColumn("n_sh", size(col("hsh")))
       .withColumn("sbucket", pmod(col("id"), lit(nBuckets.toLong)))
       .select("sbucket", "id", "n_sh", "hsh", "sig")
+      .repartition(nBuckets, col("sbucket"))
       .write.mode("append").partitionBy("sbucket")
       .parquet(s"$ledgerPath/sigs")
     bandRowsFromSigs(frozen, numHashes, rowsPerBand, nBuckets)
       .select("bucket", "band_idx", "bk", "id")
+      .repartition(nBuckets, col("bucket"))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$ledgerPath/bands")
     out
@@ -659,6 +665,7 @@ object Dedup {
     }).localCheckpoint()
     melted
       .select("bucket", "chunk_idx", "ck", "id", "sig")
+      .repartition(nBuckets, col("bucket"))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$ledgerPath/chunks")
     out

@@ -870,4 +870,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(global.size <= 2,
       s"only the loudly-bounded k-source rank windows may be global:\n$plan")
   }
+
+  test("kn doc scoring (q402): windowless — the table and both marginals " +
+      "reach the pair stream as broadcasts, never a shuffle join on the " +
+      "doc-pair grain") {
+    val plan = staticPlan(
+      graft.queries.TextQueries.queries("q402_kn_doc_logprob")(spark, sf))
+    assert(count(plan) { case _: WindowExec => } === 0,
+      s"no window anywhere in fit or score:\n$plan")
+    assert(count(plan) { case _: BroadcastExchangeExec => } >= 3,
+      s"table + lambda + pcont must broadcast against the pair stream:\n$plan")
+  }
+
+  test("beyond-broadcast dbscan (q403): no CartesianProduct — the " +
+      "variant's pair list rides the IVF list_id shuffle, the closure " +
+      "stays on the core subgraph") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    // the q403 correctness entry returns a local verdict row (its counts
+    // run in-query), so the lock targets the operator plan itself
+    val plan = staticPlan(
+      graft.ann.Knn.dbscanCosineClustered(
+        spark.read.parquet(s"$sf/embeddings.parquet"), minCosine = 0.35,
+        minPts = 3, nLists = 16, seed = 7L, maxIter = 5))
+    assert(count(plan) { case _: CartesianProductExec => } === 0,
+      s"the IVF-pruned pair source may not plan a cartesian:\n$plan")
+  }
 }
