@@ -34,28 +34,53 @@ object LmKneserNey {
   def bigramTable(docs: DataFrame, textCol: String,
                   vocabTopK: Int = 100, dNum: Int = 3,
                   dDen: Int = 4): DataFrame = {
-    require(vocabTopK >= 1 && dNum >= 0 && dDen >= 1 && dNum < dDen,
-      s"need 0 <= D = $dNum/$dDen < 1 and vocabTopK >= 1")
-    val d38 = "decimal(38,0)"
     val words = docs.filter(col(textCol).isNotNull)
       .select(split(trim(col(textCol)), " ").as("__ws"))
-    val bigrams = words
+    bigramTableFromCounts(bigramCounts(docs, textCol),
+      words.select(explode(col("__ws")).as("term"))
+        .groupBy("term").agg(count(lit(1)).cast("long").as("c_term")),
+      vocabTopK, dNum, dDen)
+  }
+
+  /** The corpus-scan side of [[bigramTable]]: raw adjacent-pair counts
+    * (w1, w2, c_bigram) — one map-only explode + one hash agg. Exposed so
+    * a mergeable count store ([[graft.data.LmStore]]) can persist exactly
+    * these rows per batch and refit without rescanning text. */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(split(trim(col(textCol)), " ").as("__ws"))
       .filter(size(col("__ws")) >= 2)
       .select(explode(expr(
         """transform(sequence(1, size(__ws) - 1),
            i -> named_struct('w1', element_at(__ws, i),
                              'w2', element_at(__ws, i + 1)))""")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bc = bigrams.groupBy("w1", "w2")
+      .groupBy("w1", "w2")
       .agg(count(lit(1)).cast("long").as("c_bigram"))
+
+  /** [[bigramTable]] from PRE-AGGREGATED counts: `bc` = (w1, w2,
+    * c_bigram) bigram counts, `tokCounts` = (term, c_term) unigram
+    * counts. Every KN quantity (marginals, continuation counts, vocab)
+    * is a pure function of these two integer relations, so a table fit
+    * from a mergeable count store is bit-identical to a fit from the
+    * corpus scan — the [[graft.ann.GramStore]] store⇒refit contract at
+    * LM order. */
+  def bigramTableFromCounts(bc0: DataFrame, tokCounts: DataFrame,
+                            vocabTopK: Int = 100, dNum: Int = 3,
+                            dDen: Int = 4): DataFrame = {
+    require(vocabTopK >= 1 && dNum >= 0 && dDen >= 1 && dNum < dDen,
+      s"need 0 <= D = $dNum/$dDen < 1 and vocabTopK >= 1")
+    val d38 = "decimal(38,0)"
+    val bc = bc0.select(col("w1"), col("w2"),
+      col("c_bigram").cast("long").as("c_bigram"))
     val leftM = bc.groupBy("w1")
       .agg(sum("c_bigram").cast("long").as("c_left"),
         count(lit(1)).cast("long").as("n_follow"))
     val rightM = bc.groupBy("w2")
       .agg(count(lit(1)).cast("long").as("n_precede"))
     val types = bc.agg(count(lit(1)).cast("long").as("__btypes"))
-    val vocab = words.select(explode(col("__ws")).as("term"))
-      .groupBy("term").agg(count(lit(1)).cast("long").as("__tc"))
+    val vocab = tokCounts
+      .select(col("term"), col("c_term").cast("long").as("__tc"))
       .orderBy(col("__tc").desc, col("term").asc)
       .limit(vocabTopK)
       .select("term")

@@ -2027,6 +2027,22 @@ object DataQueries {
       graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
       pairs
     },
+    // production form: append batches + refit from the merged store —
+    // the from-scan fit and the exceptAll identity in the correctness
+    // entry are the verification harness
+    "q405_lm_count_store" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q405b_" +
+        s.sparkContext.applicationId
+      graft.data.LmStore.appendBatch(docs.filter(col("doc_id") % 2 === 0),
+        "text", path, overwrite = true)
+      graft.data.LmStore.appendBatch(docs.filter(col("doc_id") % 2 === 1),
+        "text", path)
+      val table = graft.data.LmStore.fitKn(s, path, vocabTopK = 100)
+        .localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      table
+    },
     // production form: the clustered variant alone — the exact-side
     // DBSCAN in the correctness entry is the verification harness
     "q403_dbscan_clustered" -> { (s, dir) =>

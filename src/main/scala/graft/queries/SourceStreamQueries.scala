@@ -875,6 +875,57 @@ object SourceStreamQueries {
         pctPpm = Seq(500000, 900000, 990000), lo = 0.0, width = 25.0)
     },
 
+    // STREAMING LEDGER NEAR-DEDUP — the q379 MinHash signature ledger
+    // driven by a Structured Streaming file source: crawl batches arrive
+    // as files, each micro-batch is scored against ALL prior history
+    // through the bucket-pruned ledger probe and then appended
+    // (foreachBatch), so near-dedup keeps up with ingestion without ever
+    // rescanning accumulated history. Pair results land per batchId with
+    // overwrite (the q121 idempotent-sink recipe: a retried epoch
+    // rewrites its own output; the ledger append itself is covered by
+    // dedupe-on-read). Protocol: batch 1 = the corpus against an empty
+    // ledger (zero pairs), batch 2 = the +1e6 twins — every twin must
+    // surface at exact jaccard 1, and nothing below the threshold can
+    // appear (structural: the probe filters on it)
+    "q404_stream_ledger_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("text").isNotNull)
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q404_" + s.sparkContext.applicationId)
+      deleteRecursively(base)
+      Files.createDirectories(base.resolve("data"))
+      val ledger = s"$base/ledger"
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", LongType)
+        .add("text", org.apache.spark.sql.types.StringType)
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(schema).parquet(s"$base/data")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.data.Dedup.minHashLedger(batch, ledger, k = 5,
+              numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+              .write.mode("overwrite").parquet(s"$base/pairs/b$batchId")
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      docs.coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      docs.withColumn("doc_id", col("doc_id") + 1000000L)
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      val out = s.read.parquet(s"$base/pairs/b*").agg(
+        coalesce(sum(when(col("id_new") === col("id_old") + 1000000L &&
+          col("jaccard") === 1.0, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_twin_pairs_found"),
+        coalesce(sum(when(col("jaccard") < 0.5, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("threshold_violations"))
+        .localCheckpoint()
+      deleteRecursively(base)
+      out
+    },
+
     "q121_foreach_batch_sink" -> { (s, dir) =>
       val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q121_fb")
       deleteRecursively(base)
@@ -1010,6 +1061,14 @@ object SourceStreamQueries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    // the q379 twin identity at streaming grain: batch 2 holds one +1e6
+    // twin per non-null-text doc, each MUST collide with its batch-1
+    // original at jaccard 1; sub-threshold rows are structurally
+    // impossible (the probe filters on the threshold)
+    "q404_stream_ledger_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs_found,
+                CAST(0 AS BIGINT) AS threshold_violations
+         FROM documents WHERE text IS NOT NULL""",
     "q304_fixed_width_source" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
                 CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)

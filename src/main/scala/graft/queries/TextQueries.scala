@@ -206,6 +206,35 @@ object TextQueries {
         "text", vocabTopK = 100)
     },
 
+    // LM COUNT STORE — the mergeable-store member the LM family was
+    // missing (AggStore: exact sums; GramStore: PCA moments; this:
+    // the two integer relations a KN fit is a pure function of). Bigram
+    // and unigram counts appended per batch, merged by integer addition;
+    // the table refit from the merged store must be BIT-IDENTICAL to the
+    // from-scan fit over the same corpus (counts are linear in the data)
+    // — q325's store⇒refit contract at LM order, checked via exceptAll
+    // both ways in-query
+    "q405_lm_count_store" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q405_" +
+        s.sparkContext.applicationId
+      graft.data.LmStore.appendBatch(docs.filter(col("doc_id") % 2 === 0),
+        "text", path, overwrite = true)
+      graft.data.LmStore.appendBatch(docs.filter(col("doc_id") % 2 === 1),
+        "text", path)
+      val fromStore = graft.data.LmStore.fitKn(s, path, vocabTopK = 100)
+      val fromScan = graft.functions.LmKneserNey.bigramTable(docs, "text",
+        vocabTopK = 100)
+      val identical = fromStore.exceptAll(fromScan).isEmpty &&
+        fromScan.exceptAll(fromStore).isEmpty
+      val out = fromScan.agg(
+        count(lit(1)).cast("long").as("n_table_rows"),
+        sum("c_bigram").cast("long").as("c_bigram_total"))
+        .withColumn("store_scan_identical", lit(identical))
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
     // KNESER–NEY DOCUMENT SCORING — the consumer q399's table exists
     // for (the bigram sibling of q79's unigram CCNet filter): each doc's
     // adjacent token pairs priced off the fitted table — observed pairs
@@ -1073,6 +1102,28 @@ object TextQueries {
                 CAST(term1_q9 + CAST(lambda_q9 AS HUGEINT) * pcont_q9
                      // 1000000000 AS BIGINT) AS kn_q9
          FROM pieces""",
+    // the store⇒refit identity is asserted in-query (structural: counts
+    // merge by integer addition); the replayable side is the q399 table
+    // CTE's row count and total bigram mass over the top-100 vocab
+    "q405_lm_count_store" ->
+      """WITH w AS (SELECT string_split(trim(text), ' ') AS ws
+                    FROM documents WHERE text IS NOT NULL),
+         bg AS (SELECT unnest([{'w1': ws[i], 'w2': ws[i + 1]}
+                               for i in range(1, len(ws))],
+                              recursive := true)
+                FROM w WHERE len(ws) >= 2),
+         bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
+                FROM bg GROUP BY 1, 2),
+         tok AS (SELECT unnest(ws) AS term FROM w),
+         vocab AS (SELECT term FROM (
+                     SELECT term, count(*) AS tc FROM tok GROUP BY 1
+                     ORDER BY tc DESC, term LIMIT 100))
+         SELECT CAST(count(*) AS BIGINT) AS n_table_rows,
+                CAST(sum(c_bigram) AS BIGINT) AS c_bigram_total,
+                TRUE AS store_scan_identical
+         FROM bc
+         JOIN vocab v1 ON v1.term = bc.w1
+         JOIN vocab v2 ON v2.term = bc.w2""",
     // replay of the full fit-then-score path: the q399 table CTE, its two
     // marginal projections, the doc pair stream priced observed/backoff/
     // OOV, ln rounded to 9 and summed as DECIMAL(20,9) (both engines

@@ -244,4 +244,34 @@ class Round15Spec extends SparkSpec {
     }
     assert(ex.getMessage.contains("did not converge"))
   }
+
+  test("LmStore: KN table refit from merged batch counts is bit-identical " +
+      "to the from-scan fit; a retried append double-counts (the declared " +
+      "at-least-once contract)") {
+    import graft.data.LmStore
+    import graft.functions.LmKneserNey
+    val docs = Seq((1L, "a b c a b"), (2L, "b a c"), (3L, "c c a b a"))
+      .toDF("doc_id", "text")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_r15_lmstore"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+    LmStore.appendBatch(docs.filter(col("doc_id") <= 1), "text", path,
+      overwrite = true)
+    LmStore.appendBatch(docs.filter(col("doc_id") > 1), "text", path)
+    val fromStore = LmStore.fitKn(spark, path, vocabTopK = 100)
+    val fromScan = LmKneserNey.bigramTable(docs, "text", vocabTopK = 100)
+    assert(fromStore.exceptAll(fromScan).isEmpty &&
+      fromScan.exceptAll(fromStore).isEmpty,
+      "store refit must equal the from-scan table bit-for-bit")
+    // retried append: counts double (at-least-once, documented loudly)
+    val before = LmStore.mergedBigrams(spark, path)
+      .agg(sum("c_bigram")).head().getLong(0)
+    LmStore.appendBatch(docs.filter(col("doc_id") > 1), "text", path)
+    val after = LmStore.mergedBigrams(spark, path)
+      .agg(sum("c_bigram")).head().getLong(0)
+    val batch2Mass = LmKneserNey.bigramCounts(
+      docs.filter(col("doc_id") > 1), "text")
+      .agg(sum("c_bigram")).head().getLong(0)
+    assert(after === before + batch2Mass)
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+  }
 }
