@@ -109,6 +109,122 @@ object LmKneserNey {
         "term1_q9", "lambda_q9", "pcont_q9", "kn_q9")
   }
 
+  /** Raw adjacent-triple counts (w1, w2, w3, c_trigram) — one map-only
+    * explode + one hash agg, the trigram sibling of [[bigramCounts]].
+    * Every quantity of the trigram model is a pure function of this one
+    * integer relation, so it is also the only thing a count store needs
+    * to persist for a trigram refit. */
+  def trigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(split(trim(col(textCol)), " ").as("__ws"))
+      .filter(size(col("__ws")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(__ws) - 2),
+           i -> named_struct('w1', element_at(__ws, i),
+                             'w2', element_at(__ws, i + 1),
+                             'w3', element_at(__ws, i + 2)))""")).as("t"))
+      .select(col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+      .groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).cast("long").as("c_trigram"))
+
+  /** Interpolated Kneser–Ney TRIGRAM table (Chen & Goodman's recursive
+    * interpolated form, one declared rational discount D = dNum/dDen at
+    * every level) — [[bigramTable]] carried one order up, completing the
+    * LM family at the order real quality filters run:
+    *
+    *   P₃(w₃|w₁w₂) = max(c(w₁w₂w₃)−D, 0)/c(w₁w₂·) + λ₃(w₁w₂)·P₂(w₃|w₂)
+    *   λ₃(w₁w₂)    = D·N₁₊(w₁w₂·)/c(w₁w₂·)
+    *   P₂(w₃|w₂)   = max(N₁₊(·w₂w₃)−D, 0)/N₁₊(·w₂·) + λ₂(w₂)·P₁(w₃)
+    *   λ₂(w₂)      = D·|{w₃ : N₁₊(·w₂w₃)>0}|/N₁₊(·w₂·)
+    *   P₁(w₃)      = N₁₊(·w₃)/N₁₊(··)
+    *
+    * DECLARED convention: every lower-order count derives from the
+    * TRIGRAM TYPE RELATION (the canonical modified-count rule — the
+    * middle level sees continuation counts N₁₊(·w₂w₃), the unigram level
+    * distinct-middle counts |{w₂ : (·,w₂,w₃) observed}| over the same
+    * relation), so the whole table is a pure function of one integer
+    * relation ([[trigramCounts]]) and refits from a count store without
+    * any text rescan.
+    *
+    * Exact-integer oracle discipline, quantize-once-per-piece: each of
+    * the five pieces is its own q9 floor; the two interpolations replay
+    * the QUANTIZED pieces (p2_q9 = t2_q9 + λ2_q9·p1_q9 div 10⁹,
+    * kn3_q9 = t1_q9 + λ3_q9·p2_q9 div 10⁹) — both engines bit-identical.
+    * Emitted for observed trigrams with all three words in the
+    * top-`vocabTopK` unigram vocabulary (TakeOrdered, never a global
+    * window). Plan: one explode, one (w₁,w₂,w₃) hash agg, four marginal
+    * re-aggs of the COLLAPSED type relation, broadcast vocab semi-joins —
+    * cost past the first agg scales with trigram types, not corpus size.
+    */
+  def trigramTable(docs: DataFrame, textCol: String,
+                   vocabTopK: Int = 100, dNum: Int = 3,
+                   dDen: Int = 4): DataFrame = {
+    require(vocabTopK >= 1 && dNum >= 0 && dDen >= 1 && dNum < dDen,
+      s"need 0 <= D = $dNum/$dDen < 1 and vocabTopK >= 1")
+    val d38 = "decimal(38,0)"
+    val tc = trigramCounts(docs, textCol)
+    // ctx: raw context mass + follow-type count (the top-level pieces)
+    val ctx = tc.groupBy("w1", "w2")
+      .agg(sum("c_trigram").cast("long").as("c_ctx"),
+        count(lit(1)).cast("long").as("n_follow_ctx"))
+    // cont: N1+(.w2w3) — distinct left contexts per (w2,w3) type
+    val cont = tc.groupBy("w2", "w3")
+      .agg(count(lit(1)).cast("long").as("n1p_cont"))
+    // mid: N1+(.w2.) mass + |{w3 : cont>0}| follow types per w2
+    val mid = cont.groupBy("w2")
+      .agg(sum("n1p_cont").cast("long").as("n1p_mid"),
+        count(lit(1)).cast("long").as("n_follow_mid"))
+    // uni: N1+(.w3) distinct-middle count per w3; total = (w2,w3) types
+    val uni = cont.groupBy("w3").agg(count(lit(1)).cast("long").as("n1p_uni"))
+    val total = cont.agg(count(lit(1)).cast("long").as("__n1p_total"))
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(split(trim(col(textCol)), " ").as("__ws"))
+    val vocab = words.select(explode(col("__ws")).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("__tc"))
+      .orderBy(col("__tc").desc, col("term").asc)
+      .limit(vocabTopK)
+      .select("term")
+    tc
+      .join(broadcast(vocab.withColumnRenamed("term", "w1")), Seq("w1"),
+        "left_semi")
+      .join(broadcast(vocab.withColumnRenamed("term", "w2")), Seq("w2"),
+        "left_semi")
+      .join(broadcast(vocab.withColumnRenamed("term", "w3")), Seq("w3"),
+        "left_semi")
+      .join(ctx, Seq("w1", "w2"))
+      .join(cont, Seq("w2", "w3"))
+      .join(mid, "w2")
+      .join(uni, "w3")
+      .crossJoin(broadcast(total))
+      .withColumn("t1_q9",
+        greatest(lit(0L), expr(
+          s"""CAST((CAST($dDen AS $d38) * c_trigram - $dNum) * 1000000000
+              div (CAST($dDen AS $d38) * c_ctx) AS BIGINT)""")))
+      .withColumn("lam3_q9",
+        expr(s"""CAST(CAST($dNum AS $d38) * n_follow_ctx * 1000000000
+                 div (CAST($dDen AS $d38) * c_ctx) AS BIGINT)"""))
+      .withColumn("t2_q9",
+        greatest(lit(0L), expr(
+          s"""CAST((CAST($dDen AS $d38) * n1p_cont - $dNum) * 1000000000
+              div (CAST($dDen AS $d38) * n1p_mid) AS BIGINT)""")))
+      .withColumn("lam2_q9",
+        expr(s"""CAST(CAST($dNum AS $d38) * n_follow_mid * 1000000000
+                 div (CAST($dDen AS $d38) * n1p_mid) AS BIGINT)"""))
+      .withColumn("p1_q9",
+        expr(s"""CAST(CAST(n1p_uni AS $d38) * 1000000000
+                 div __n1p_total AS BIGINT)"""))
+      .withColumn("p2_q9",
+        expr(s"""CAST(t2_q9 + CAST(lam2_q9 AS $d38) * p1_q9
+                 div 1000000000 AS BIGINT)"""))
+      .withColumn("kn3_q9",
+        expr(s"""CAST(t1_q9 + CAST(lam3_q9 AS $d38) * p2_q9
+                 div 1000000000 AS BIGINT)"""))
+      .select("w1", "w2", "w3", "c_trigram", "c_ctx", "n_follow_ctx",
+        "n1p_cont", "n1p_mid", "n_follow_mid", "n1p_uni",
+        "t1_q9", "lam3_q9", "t2_q9", "lam2_q9", "p1_q9", "p2_q9", "kn3_q9")
+  }
+
   /** Per-document bigram log-probability against a fitted
     * [[bigramTable]] — the consumer the table exists for (the bigram
     * sibling of q79's CCNet-style unigram quality filter): every

@@ -206,6 +206,18 @@ object TextQueries {
         "text", vocabTopK = 100)
     },
 
+    // INTERPOLATED KNESER–NEY TRIGRAM TABLE — q399 carried one order up
+    // (the order real perplexity filters run): recursive Chen–Goodman
+    // interpolation with D = 3/4 at every level, every lower-order count
+    // derived from the TRIGRAM TYPE RELATION (the declared modified-count
+    // convention), five exact q9 pieces with both interpolations
+    // replaying the QUANTIZED pieces — one explode, one hash agg, four
+    // marginal re-aggs of the collapsed type relation
+    "q406_kn_trigram" -> { (s, dir) =>
+      graft.functions.LmKneserNey.trigramTable(t(s, dir, "documents"),
+        "text", vocabTopK = 100)
+    },
+
     // LM COUNT STORE — the mergeable-store member the LM family was
     // missing (AggStore: exact sums; GramStore: PCA moments; this:
     // the two integer relations a KN fit is a pure function of). Bigram
@@ -1102,6 +1114,75 @@ object TextQueries {
                 CAST(term1_q9 + CAST(lambda_q9 AS HUGEINT) * pcont_q9
                      // 1000000000 AS BIGINT) AS kn_q9
          FROM pieces""",
+    // the q399 replay one order up: the trigram type relation feeds every
+    // lower-order count, five HUGEINT q9 floors, interpolations replay the
+    // quantized pieces piece-for-piece
+    "q406_kn_trigram" ->
+      // tc/cont/w are MATERIALIZED: DuckDB inlines CTEs by default, and
+      // six consumers re-expanding the trigram comprehension blow the
+      // planner up combinatorially (measured: minutes inlined, 60 ms
+      // materialized)
+      """WITH w AS MATERIALIZED (SELECT string_split(trim(text), ' ') AS ws
+                    FROM documents WHERE text IS NOT NULL),
+         tg AS (SELECT unnest([{'w1': ws[i], 'w2': ws[i + 1],
+                                'w3': ws[i + 2]}
+                               for i in range(1, len(ws) - 1)],
+                              recursive := true)
+                FROM w WHERE len(ws) >= 3),
+         tc AS MATERIALIZED (SELECT w1, w2, w3,
+                        CAST(count(*) AS BIGINT) AS c_trigram
+                FROM tg GROUP BY 1, 2, 3),
+         ctx AS (SELECT w1, w2, CAST(sum(c_trigram) AS BIGINT) AS c_ctx,
+                        CAST(count(*) AS BIGINT) AS n_follow_ctx
+                 FROM tc GROUP BY 1, 2),
+         cont AS MATERIALIZED (SELECT w2, w3,
+                        CAST(count(*) AS BIGINT) AS n1p_cont
+                  FROM tc GROUP BY 1, 2),
+         mid AS (SELECT w2, CAST(sum(n1p_cont) AS BIGINT) AS n1p_mid,
+                        CAST(count(*) AS BIGINT) AS n_follow_mid
+                 FROM cont GROUP BY 1),
+         uni AS (SELECT w3, CAST(count(*) AS BIGINT) AS n1p_uni
+                 FROM cont GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cont),
+         tok AS (SELECT unnest(ws) AS term FROM w),
+         vocab AS MATERIALIZED (SELECT term FROM (
+                     SELECT term, count(*) AS tcnt FROM tok GROUP BY 1
+                     ORDER BY tcnt DESC, term LIMIT 100)),
+         pieces AS (
+           SELECT tc.w1, tc.w2, tc.w3, tc.c_trigram, ctx.c_ctx,
+                  ctx.n_follow_ctx, cont.n1p_cont, mid.n1p_mid,
+                  mid.n_follow_mid, uni.n1p_uni,
+                  greatest(0, CAST((4 * CAST(tc.c_trigram AS HUGEINT) - 3)
+                    * 1000000000
+                    // (4 * CAST(ctx.c_ctx AS HUGEINT)) AS BIGINT))
+                    AS t1_q9,
+                  CAST(3 * CAST(ctx.n_follow_ctx AS HUGEINT) * 1000000000
+                       // (4 * CAST(ctx.c_ctx AS HUGEINT)) AS BIGINT)
+                    AS lam3_q9,
+                  greatest(0, CAST((4 * CAST(cont.n1p_cont AS HUGEINT) - 3)
+                    * 1000000000
+                    // (4 * CAST(mid.n1p_mid AS HUGEINT)) AS BIGINT))
+                    AS t2_q9,
+                  CAST(3 * CAST(mid.n_follow_mid AS HUGEINT) * 1000000000
+                       // (4 * CAST(mid.n1p_mid AS HUGEINT)) AS BIGINT)
+                    AS lam2_q9,
+                  CAST(CAST(uni.n1p_uni AS HUGEINT) * 1000000000 // tot.t
+                       AS BIGINT) AS p1_q9
+           FROM tc
+           JOIN vocab v1 ON v1.term = tc.w1
+           JOIN vocab v2 ON v2.term = tc.w2
+           JOIN vocab v3 ON v3.term = tc.w3
+           JOIN ctx USING (w1, w2) JOIN cont USING (w2, w3)
+           JOIN mid USING (w2) JOIN uni USING (w3), tot),
+         p2t AS (SELECT *, CAST(t2_q9 + CAST(lam2_q9 AS HUGEINT) * p1_q9
+                                // 1000000000 AS BIGINT) AS p2_q9
+                 FROM pieces)
+         SELECT w1, w2, w3, c_trigram, c_ctx, n_follow_ctx, n1p_cont,
+                n1p_mid, n_follow_mid, n1p_uni, t1_q9, lam3_q9, t2_q9,
+                lam2_q9, p1_q9, p2_q9,
+                CAST(t1_q9 + CAST(lam3_q9 AS HUGEINT) * p2_q9
+                     // 1000000000 AS BIGINT) AS kn3_q9
+         FROM p2t""",
     // the store⇒refit identity is asserted in-query (structural: counts
     // merge by integer addition); the replayable side is the q399 table
     // CTE's row count and total bigram mass over the top-100 vocab

@@ -274,4 +274,33 @@ class Round15Spec extends SparkSpec {
     assert(after === before + batch2Mass)
     graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
   }
+
+  test("trigram KN hand values: 'a b c a b d' reproduces every quantized " +
+      "piece and both interpolation replays") {
+    import graft.functions.LmKneserNey
+    // tc: (a,b,c) (b,c,a) (c,a,b) (a,b,d), each once
+    // ctx(a,b) = (2, 2); cont(b,c)=1; mid(b)=(2,2); uni(c)=1; total=4
+    // t1 = (4-3)e9 div 8 = 125e6; lam3 = 3*2e9 div 8 = 750e6
+    // t2 = (4-3)e9 div 8 = 125e6; lam2 = 750e6; p1 = e9 div 4 = 250e6
+    // p2 = 125e6 + 750e6*250e6 div 1e9 = 312500000
+    // kn3 = 125e6 + 750e6*312.5e6 div 1e9 = 359375000
+    val docs = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val row = LmKneserNey.trigramTable(docs, "text", vocabTopK = 100)
+      .filter(col("w1") === "a" && col("w2") === "b" && col("w3") === "c")
+      .head()
+    assert(row.getAs[Long]("c_trigram") === 1L)
+    assert(row.getAs[Long]("c_ctx") === 2L)
+    assert(row.getAs[Long]("n_follow_ctx") === 2L)
+    assert(row.getAs[Long]("n1p_cont") === 1L)
+    assert(row.getAs[Long]("n1p_mid") === 2L)
+    assert(row.getAs[Long]("n_follow_mid") === 2L)
+    assert(row.getAs[Long]("n1p_uni") === 1L)
+    assert(row.getAs[Long]("t1_q9") === 125000000L)
+    assert(row.getAs[Long]("lam3_q9") === 750000000L)
+    assert(row.getAs[Long]("t2_q9") === 125000000L)
+    assert(row.getAs[Long]("lam2_q9") === 750000000L)
+    assert(row.getAs[Long]("p1_q9") === 250000000L)
+    assert(row.getAs[Long]("p2_q9") === 312500000L)
+    assert(row.getAs[Long]("kn3_q9") === 359375000L)
+  }
 }
