@@ -33,6 +33,8 @@ object LmStore {
     val mode = if (overwrite) "overwrite" else "append"
     graft.functions.LmKneserNey.bigramCounts(docs, textCol)
       .write.mode(mode).parquet(s"$path/bigrams")
+    graft.functions.LmKneserNey.trigramCounts(docs, textCol)
+      .write.mode(mode).parquet(s"$path/trigrams")
     docs.filter(col(textCol).isNotNull)
       .select(explode(split(trim(col(textCol)), " ")).as("term"))
       .groupBy("term").agg(count(lit(1)).cast("long").as("c_term"))
@@ -52,11 +54,25 @@ object LmStore {
     spark.read.parquet(s"$path/unigrams")
       .groupBy("term").agg(sum("c_term").cast("long").as("c_term"))
 
+  /** Merged trigram counts (w1, w2, w3, c_trigram). */
+  def mergedTrigrams(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/trigrams")
+      .groupBy("w1", "w2", "w3")
+      .agg(sum("c_trigram").cast("long").as("c_trigram"))
+
   /** Interpolated Kneser–Ney table from the merged store — bit-identical
     * to a from-scan fit over the union of every appended batch. */
   def fitKn(spark: SparkSession, path: String, vocabTopK: Int = 100,
             dNum: Int = 3, dDen: Int = 4): DataFrame =
     graft.functions.LmKneserNey.bigramTableFromCounts(
       mergedBigrams(spark, path), mergedUnigrams(spark, path),
+      vocabTopK, dNum, dDen)
+
+  /** The trigram sibling of [[fitKn]] — same store⇒refit identity at
+    * trigram order. */
+  def fitKnTrigram(spark: SparkSession, path: String, vocabTopK: Int = 100,
+                   dNum: Int = 3, dDen: Int = 4): DataFrame =
+    graft.functions.LmKneserNey.trigramTableFromCounts(
+      mergedTrigrams(spark, path), mergedUnigrams(spark, path),
       vocabTopK, dNum, dDen)
 }

@@ -160,10 +160,27 @@ object LmKneserNey {
   def trigramTable(docs: DataFrame, textCol: String,
                    vocabTopK: Int = 100, dNum: Int = 3,
                    dDen: Int = 4): DataFrame = {
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(split(trim(col(textCol)), " ").as("__ws"))
+    trigramTableFromCounts(trigramCounts(docs, textCol),
+      words.select(explode(col("__ws")).as("term"))
+        .groupBy("term").agg(count(lit(1)).cast("long").as("c_term")),
+      vocabTopK, dNum, dDen)
+  }
+
+  /** [[trigramTable]] from PRE-AGGREGATED counts — the
+    * [[bigramTableFromCounts]] contract at trigram order: `tc0` =
+    * (w1, w2, w3, c_trigram), `tokCounts` = (term, c_term); a table fit
+    * from a mergeable count store is bit-identical to a fit from the
+    * corpus scan. */
+  def trigramTableFromCounts(tc0: DataFrame, tokCounts: DataFrame,
+                             vocabTopK: Int = 100, dNum: Int = 3,
+                             dDen: Int = 4): DataFrame = {
     require(vocabTopK >= 1 && dNum >= 0 && dDen >= 1 && dNum < dDen,
       s"need 0 <= D = $dNum/$dDen < 1 and vocabTopK >= 1")
     val d38 = "decimal(38,0)"
-    val tc = trigramCounts(docs, textCol)
+    val tc = tc0.select(col("w1"), col("w2"), col("w3"),
+      col("c_trigram").cast("long").as("c_trigram"))
     // ctx: raw context mass + follow-type count (the top-level pieces)
     val ctx = tc.groupBy("w1", "w2")
       .agg(sum("c_trigram").cast("long").as("c_ctx"),
@@ -178,10 +195,8 @@ object LmKneserNey {
     // uni: N1+(.w3) distinct-middle count per w3; total = (w2,w3) types
     val uni = cont.groupBy("w3").agg(count(lit(1)).cast("long").as("n1p_uni"))
     val total = cont.agg(count(lit(1)).cast("long").as("__n1p_total"))
-    val words = docs.filter(col(textCol).isNotNull)
-      .select(split(trim(col(textCol)), " ").as("__ws"))
-    val vocab = words.select(explode(col("__ws")).as("term"))
-      .groupBy("term").agg(count(lit(1)).cast("long").as("__tc"))
+    val vocab = tokCounts
+      .select(col("term"), col("c_term").cast("long").as("__tc"))
       .orderBy(col("__tc").desc, col("term").asc)
       .limit(vocabTopK)
       .select("term")
@@ -223,6 +238,94 @@ object LmKneserNey {
       .select("w1", "w2", "w3", "c_trigram", "c_ctx", "n_follow_ctx",
         "n1p_cont", "n1p_mid", "n_follow_mid", "n1p_uni",
         "t1_q9", "lam3_q9", "t2_q9", "lam2_q9", "p1_q9", "p2_q9", "kn3_q9")
+  }
+
+  /** Per-document TRIGRAM log-probability against a fitted
+    * [[trigramTable]] — [[scoreDocs]] carried one order up, with the full
+    * interpolated-KN backoff CASCADE (DECLARED, every price replaying
+    * the table's quantized q9 pieces):
+    *
+    *  1. observed trigram (a table row):        p = kn3_q9
+    *  2. unseen trigram, observed context w₁w₂ and observed
+    *     continuation w₂w₃:                     p = λ₃(w₁w₂)·p₂(w₂w₃)/10⁹
+    *  3. unobserved context, observed w₂w₃:     p = p₂(w₂w₃)
+    *     (c(w₁w₂·) = 0 ⇒ the trigram level contributes nothing and the
+    *     model IS the bigram-continuation level — the standard KN
+    *     zero-context rule)
+    *  4. unseen w₂w₃ but w₂ has a λ₂ row and w₃ a P₁ row: the bigram
+    *     level itself backs off — p₂ᵇ = λ₂(w₂)·p₁(w₃)/10⁹, then rule 2
+    *     or 3 applies with p₂ᵇ in place of p₂
+    *  5. anything else: the triple is SKIPPED and counted in
+    *     n_oov_triples (the q402 CCNet convention).
+    *
+    * Priced probabilities are floored at one q9 grain; ln rounded to 9,
+    * summed DECIMAL(20,9) (order-independent); docs with no priceable
+    * triple preserved with n_scored = 0. The four marginal projections
+    * (λ₃ by context, p₂ by continuation, λ₂ by w₂, p₁ by w₃ — each a
+    * constant per its key, so max = the value) are vocab-bounded
+    * broadcasts; the only data-sized shuffle is the per-doc agg.
+    */
+  def scoreDocsTrigram(docs: DataFrame, table: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val tbl = table.localCheckpoint()
+    val lam3 = tbl.groupBy("w1", "w2").agg(max("lam3_q9").as("lam3_q9"))
+    val p2 = tbl.groupBy("w2", "w3").agg(max("p2_q9").as("p2_q9"))
+    val lam2 = tbl.groupBy("w2").agg(max("lam2_q9").as("lam2_q9"))
+    val p1 = tbl.groupBy("w3").agg(max("p1_q9").as("p1_q9"))
+    val triples = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), " ").as("__ws"))
+      .filter(size(col("__ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(__ws) - 2),
+           i -> named_struct('w1', element_at(__ws, i),
+                             'w2', element_at(__ws, i + 1),
+                             'w3', element_at(__ws, i + 2)))""")).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    val priced = triples
+      .join(broadcast(tbl.select("w1", "w2", "w3", "kn3_q9")),
+        Seq("w1", "w2", "w3"), "left_outer")
+      .join(broadcast(lam3), Seq("w1", "w2"), "left_outer")
+      .join(broadcast(p2), Seq("w2", "w3"), "left_outer")
+      .join(broadcast(lam2), Seq("w2"), "left_outer")
+      .join(broadcast(p1), Seq("w3"), "left_outer")
+      // effective bigram level: observed p2, else the λ2·p1 backoff
+      .withColumn("__p2e",
+        coalesce(col("p2_q9"),
+          when(col("lam2_q9").isNotNull && col("p1_q9").isNotNull,
+            expr(s"""CAST(CAST(lam2_q9 AS $d38) * p1_q9
+                     div 1000000000 AS BIGINT)"""))))
+      .withColumn("__p0",
+        when(col("kn3_q9").isNotNull, col("kn3_q9"))
+          .otherwise(when(col("__p2e").isNotNull,
+            when(col("lam3_q9").isNotNull,
+              expr(s"""CAST(CAST(lam3_q9 AS $d38) * __p2e
+                       div 1000000000 AS BIGINT)"""))
+              .otherwise(col("__p2e")))))
+      .withColumn("p_q9",
+        when(col("__p0").isNotNull, greatest(lit(1L), col("__p0"))))
+      .withColumn("lp", when(col("p_q9").isNotNull,
+        round(log(col("p_q9").cast("double") / 1e9), 9)
+          .cast("decimal(20,9)")))
+    val agg = priced.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_triples"),
+        sum(when(col("p_q9").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("n_scored"),
+        sum(when(col("p_q9").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_oov_triples"),
+        sum(col("lp")).as("__sum"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_triples"), lit(0L)).as("n_triples"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_oov_triples"), lit(0L)).as("n_oov_triples"),
+        col("__sum").cast("double").as("sum_logprob"))
+      .withColumn("mean_logprob",
+        when(col("n_scored") > 0,
+          col("sum_logprob") / col("n_scored").cast("double")))
   }
 
   /** Per-document bigram log-probability against a fitted

@@ -218,6 +218,22 @@ object TextQueries {
         "text", vocabTopK = 100)
     },
 
+    // TRIGRAM KN DOCUMENT SCORING — q402 at the order real perplexity
+    // filters run: each doc's adjacent triples priced off the fitted
+    // trigram table through the full interpolated-KN backoff CASCADE
+    // (observed → kn3; unseen triple w/ observed context → λ₃·p₂;
+    // unobserved context → p₂ directly, the standard zero-context rule;
+    // unseen continuation → the bigram level itself backs off λ₂·p₁),
+    // every price replaying the QUANTIZED q9 pieces; OOV triples skipped
+    // and counted; round-9 DECIMAL fixed-point sums
+    "q407_kn_trigram_doc_logprob" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val table = graft.functions.LmKneserNey.trigramTable(docs, "text",
+        vocabTopK = 100)
+      graft.functions.LmKneserNey.scoreDocsTrigram(docs, table, "text",
+        "doc_id")
+    },
+
     // LM COUNT STORE — the mergeable-store member the LM family was
     // missing (AggStore: exact sums; GramStore: PCA moments; this:
     // the two integer relations a KN fit is a pure function of). Bigram
@@ -1183,6 +1199,122 @@ object TextQueries {
                 CAST(t1_q9 + CAST(lam3_q9 AS HUGEINT) * p2_q9
                      // 1000000000 AS BIGINT) AS kn3_q9
          FROM p2t""",
+    // the q406 table CTEs (MATERIALIZED for the same planner reason) +
+    // four marginal projections + the doc triple stream priced through
+    // the declared backoff cascade, ln rounded to 9, DECIMAL(20,9) sums
+    "q407_kn_trigram_doc_logprob" ->
+      """WITH w AS MATERIALIZED (SELECT doc_id,
+                        string_split(trim(text), ' ') AS ws
+                    FROM documents WHERE text IS NOT NULL),
+         tg AS (SELECT unnest([{'w1': ws[i], 'w2': ws[i + 1],
+                                'w3': ws[i + 2]}
+                               for i in range(1, len(ws) - 1)],
+                              recursive := true)
+                FROM w WHERE len(ws) >= 3),
+         tc AS MATERIALIZED (SELECT w1, w2, w3,
+                        CAST(count(*) AS BIGINT) AS c_trigram
+                FROM tg GROUP BY 1, 2, 3),
+         ctx AS (SELECT w1, w2, CAST(sum(c_trigram) AS BIGINT) AS c_ctx,
+                        CAST(count(*) AS BIGINT) AS n_follow_ctx
+                 FROM tc GROUP BY 1, 2),
+         cont AS MATERIALIZED (SELECT w2, w3,
+                        CAST(count(*) AS BIGINT) AS n1p_cont
+                  FROM tc GROUP BY 1, 2),
+         mid AS (SELECT w2, CAST(sum(n1p_cont) AS BIGINT) AS n1p_mid,
+                        CAST(count(*) AS BIGINT) AS n_follow_mid
+                 FROM cont GROUP BY 1),
+         uni AS (SELECT w3, CAST(count(*) AS BIGINT) AS n1p_uni
+                 FROM cont GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cont),
+         tok AS (SELECT unnest(ws) AS term FROM w),
+         vocab AS MATERIALIZED (SELECT term FROM (
+                     SELECT term, count(*) AS tcnt FROM tok GROUP BY 1
+                     ORDER BY tcnt DESC, term LIMIT 100)),
+         pieces AS (
+           SELECT tc.w1, tc.w2, tc.w3,
+                  greatest(0, CAST((4 * CAST(tc.c_trigram AS HUGEINT) - 3)
+                    * 1000000000
+                    // (4 * CAST(ctx.c_ctx AS HUGEINT)) AS BIGINT))
+                    AS t1_q9,
+                  CAST(3 * CAST(ctx.n_follow_ctx AS HUGEINT) * 1000000000
+                       // (4 * CAST(ctx.c_ctx AS HUGEINT)) AS BIGINT)
+                    AS lam3_q9,
+                  greatest(0, CAST((4 * CAST(cont.n1p_cont AS HUGEINT) - 3)
+                    * 1000000000
+                    // (4 * CAST(mid.n1p_mid AS HUGEINT)) AS BIGINT))
+                    AS t2_q9,
+                  CAST(3 * CAST(mid.n_follow_mid AS HUGEINT) * 1000000000
+                       // (4 * CAST(mid.n1p_mid AS HUGEINT)) AS BIGINT)
+                    AS lam2_q9,
+                  CAST(CAST(uni.n1p_uni AS HUGEINT) * 1000000000 // tot.t
+                       AS BIGINT) AS p1_q9
+           FROM tc
+           JOIN vocab v1 ON v1.term = tc.w1
+           JOIN vocab v2 ON v2.term = tc.w2
+           JOIN vocab v3 ON v3.term = tc.w3
+           JOIN ctx USING (w1, w2) JOIN cont USING (w2, w3)
+           JOIN mid USING (w2) JOIN uni USING (w3), tot),
+         tbl AS MATERIALIZED (
+           SELECT w1, w2, w3, lam3_q9, lam2_q9, p1_q9, p2_q9,
+                  CAST(t1_q9 + CAST(lam3_q9 AS HUGEINT) * p2_q9
+                       // 1000000000 AS BIGINT) AS kn3_q9
+           FROM (SELECT *, CAST(t2_q9 + CAST(lam2_q9 AS HUGEINT) * p1_q9
+                                // 1000000000 AS BIGINT) AS p2_q9
+                 FROM pieces)),
+         lam3 AS (SELECT w1, w2, max(lam3_q9) AS lam3_q9
+                  FROM tbl GROUP BY 1, 2),
+         p2m AS (SELECT w2, w3, max(p2_q9) AS p2_q9 FROM tbl GROUP BY 1, 2),
+         lam2 AS (SELECT w2, max(lam2_q9) AS lam2_q9 FROM tbl GROUP BY 1),
+         p1m AS (SELECT w3, max(p1_q9) AS p1_q9 FROM tbl GROUP BY 1),
+         dt AS (SELECT doc_id,
+                       unnest([{'w1': ws[i], 'w2': ws[i + 1],
+                                'w3': ws[i + 2]}
+                               for i in range(1, len(ws) - 1)],
+                              recursive := true)
+                FROM w WHERE len(ws) >= 3),
+         pr0 AS (
+           SELECT dt.doc_id, t.kn3_q9, l3.lam3_q9,
+                  coalesce(p2m.p2_q9,
+                    CASE WHEN l2.lam2_q9 IS NOT NULL
+                              AND p1m.p1_q9 IS NOT NULL
+                         THEN CAST(CAST(l2.lam2_q9 AS HUGEINT) * p1m.p1_q9
+                              // 1000000000 AS BIGINT) END) AS p2e
+           FROM dt
+           LEFT JOIN tbl t ON t.w1 = dt.w1 AND t.w2 = dt.w2
+                          AND t.w3 = dt.w3
+           LEFT JOIN lam3 l3 ON l3.w1 = dt.w1 AND l3.w2 = dt.w2
+           LEFT JOIN p2m ON p2m.w2 = dt.w2 AND p2m.w3 = dt.w3
+           LEFT JOIN lam2 l2 ON l2.w2 = dt.w2
+           LEFT JOIN p1m ON p1m.w3 = dt.w3),
+         pr AS (
+           SELECT doc_id,
+                  CASE WHEN kn3_q9 IS NOT NULL THEN greatest(1, kn3_q9)
+                       WHEN p2e IS NULL THEN NULL
+                       WHEN lam3_q9 IS NOT NULL
+                       THEN greatest(1, CAST(CAST(lam3_q9 AS HUGEINT) * p2e
+                            // 1000000000 AS BIGINT))
+                       ELSE greatest(1, p2e) END AS p_q9
+           FROM pr0),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triples,
+                  CAST(sum(CASE WHEN p_q9 IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_scored,
+                  CAST(sum(CASE WHEN p_q9 IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_oov_triples,
+                  sum(CAST(round(ln(CAST(p_q9 AS DOUBLE) / 1000000000), 9)
+                           AS DECIMAL(20,9))) AS s
+           FROM pr GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(a.n_triples, 0) AS BIGINT) AS n_triples,
+                CAST(coalesce(a.n_scored, 0) AS BIGINT) AS n_scored,
+                CAST(coalesce(a.n_oov_triples, 0) AS BIGINT)
+                  AS n_oov_triples,
+                CAST(a.s AS DOUBLE) AS sum_logprob,
+                CASE WHEN coalesce(a.n_scored, 0) > 0
+                     THEN CAST(a.s AS DOUBLE) / CAST(a.n_scored AS DOUBLE)
+                END AS mean_logprob
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN agg a USING (doc_id)""",
     // the store⇒refit identity is asserted in-query (structural: counts
     // merge by integer addition); the replayable side is the q399 table
     // CTE's row count and total bigram mass over the top-100 vocab

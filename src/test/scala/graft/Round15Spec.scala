@@ -275,6 +275,25 @@ class Round15Spec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
   }
 
+  test("LmStore trigram refit: fitKnTrigram from merged batch counts is " +
+      "bit-identical to the from-scan trigramTable") {
+    import graft.data.LmStore
+    import graft.functions.LmKneserNey
+    val docs = Seq((1L, "a b c a b d"), (2L, "b c a b"), (3L, "c a b c a"))
+      .toDF("doc_id", "text")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_r15_lmstore3"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+    LmStore.appendBatch(docs.filter(col("doc_id") <= 1), "text", path,
+      overwrite = true)
+    LmStore.appendBatch(docs.filter(col("doc_id") > 1), "text", path)
+    val fromStore = LmStore.fitKnTrigram(spark, path, vocabTopK = 100)
+    val fromScan = LmKneserNey.trigramTable(docs, "text", vocabTopK = 100)
+    assert(fromStore.exceptAll(fromScan).isEmpty &&
+      fromScan.exceptAll(fromStore).isEmpty)
+    assert(fromScan.count() > 0)
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+  }
+
   test("trigram KN hand values: 'a b c a b d' reproduces every quantized " +
       "piece and both interpolation replays") {
     import graft.functions.LmKneserNey
@@ -302,5 +321,31 @@ class Round15Spec extends SparkSpec {
     assert(row.getAs[Long]("p1_q9") === 250000000L)
     assert(row.getAs[Long]("p2_q9") === 312500000L)
     assert(row.getAs[Long]("kn3_q9") === 359375000L)
+  }
+
+  test("scoreDocsTrigram cascade hand values: observed kn3, context " +
+      "backoff λ3·p2, zero-context rule p2, double backoff λ3·(λ2·p1), " +
+      "OOV skipped") {
+    import graft.functions.LmKneserNey
+    val fit = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val table = LmKneserNey.trigramTable(fit, "text", vocabTopK = 100)
+    val out = LmKneserNey.scoreDocsTrigram(
+      Seq((10L, "a b c"),   // observed: kn3(a,b,c) = 359375000
+          (11L, "c a d"),   // ctx (c,a) observed, (a,d) unseen:
+                            // λ3(c,a)=750e6, λ2(a)=750e6, p1(d)=250e6
+                            // p2e = 187500000 -> p = 140625000
+          (12L, "x b c"),   // ctx (x,b) unobserved, (b,c) observed:
+                            // p = p2(b,c) = 312500000
+          (13L, "x y z"))   // fully OOV triple
+        .toDF("doc_id", "text"),
+      table, "text", "doc_id").orderBy("doc_id").collect()
+    def lp9(p: Long): Double =
+      BigDecimal(math.log(p.toDouble / 1e9))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getDouble(4) === lp9(359375000L))
+    assert(out(1).getDouble(4) === lp9(140625000L))
+    assert(out(2).getDouble(4) === lp9(312500000L))
+    assert(out(3).getLong(2) === 0L && out(3).getLong(3) === 1L &&
+      out(3).isNullAt(4))
   }
 }
