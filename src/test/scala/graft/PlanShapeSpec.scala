@@ -895,4 +895,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan) { case _: CartesianProductExec => } === 0,
       s"the IVF-pruned pair source may not plan a cartesian:\n$plan")
   }
+
+  test("kn trigram family (q406/q407): windowless end to end — vocab via " +
+      "TakeOrdered, scoring marginals broadcast") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val p406 = staticPlan(
+      graft.queries.TextQueries.queries("q406_kn_trigram")(spark, sf))
+    assert(count(p406) { case _: WindowExec => } === 0,
+      s"no window in the trigram fit:\n$p406")
+    assert(count(p406) { case _: TakeOrderedAndProjectExec => } >= 1,
+      s"the vocab limit must lower to TakeOrdered:\n$p406")
+    val p407 = staticPlan(
+      graft.queries.TextQueries.queries("q407_kn_trigram_doc_logprob")(
+        spark, sf))
+    assert(count(p407) { case _: WindowExec => } === 0,
+      s"no window in fit or score:\n$p407")
+    assert(count(p407) { case _: BroadcastExchangeExec => } >= 5,
+      s"table + four marginals must broadcast against the triple stream:\n$p407")
+  }
 }
