@@ -705,6 +705,24 @@ object Dedup {
     (bb, ba, sb, sa)
   }
 
+  /** Occupancy report for the MinHash ledger's `bands` layout — the
+    * maintenance observability the disk indexes already have (q104's IVF
+    * occupancy): one row per bucket partition with its band-row count
+    * and its data-file count (`input_file_name` distinct — the listing
+    * cost the probe actually pays). Reading the slim (bucket, id) columns
+    * only; cost is one scan of the bands layout + a 64-row agg. The
+    * file-count column is what makes the append contract auditable:
+    * with one-file-per-bucket appends, `n_files` per bucket never
+    * exceeds the number of appends, and compaction returns it to 1.
+    */
+  def minHashLedgerOccupancy(spark: SparkSession,
+                             ledgerPath: String): DataFrame =
+    spark.read.parquet(s"$ledgerPath/bands")
+      .select(col("bucket"), input_file_name().as("__f"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col("__f")).cast("long").as("n_files"))
+
   /** [[compactMinHashLedger]]'s SimHash sibling: rewrite the `chunks`
     * layout to one file per bucket partition. Same unchanged-content,
     * unchanged-probe contract.

@@ -1873,6 +1873,32 @@ object DataQueries {
       out
     },
 
+    // MINHASH LEDGER OCCUPANCY — the q104 IVF-occupancy observability for
+    // the dedup ledger: per-bucket row and DATA-FILE counts (the listing
+    // cost the pruned probe actually pays). Two one-file-per-bucket
+    // ingests make two invariants STRUCTURAL: no bucket holds more files
+    // than appends ran, and the bucket partitioning conserves rows —
+    // total band rows = nBands(8) × non-null docs, the replayable side
+    "q409_minhash_ledger_occupancy" -> { (s, dir) =>
+      val docs = doubledDocs(s, dir).filter(col("text").isNotNull)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q409_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      val orig = docs.filter(col("doc_id") < 1000000L)
+      val half = pmod(floor(col("doc_id") / 64).cast("long"), lit(2L))
+      Dedup.minHashLedger(orig.filter(half === 0), path,
+        k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      Dedup.minHashLedger(orig.filter(half === 1), path,
+        k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      val occ = Dedup.minHashLedgerOccupancy(s, path).localCheckpoint()
+      val out = occ.agg(
+        sum("n_rows").cast("long").as("total_band_rows"),
+        (max("n_files") <= 2L).as("files_le_appends"),
+        (count(lit(1)) <= 64L).as("buckets_bounded"))
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
     // SIMHASH LEDGER COMPACTION — q400's fingerprint sibling over the
     // q387 chunks layout: two-half ingest, compact to one file per bucket
     // partition, twin probe bit-identical pre/post
@@ -3076,6 +3102,13 @@ object DataQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs_found,
                 TRUE AS probe_identical, TRUE AS one_file_per_bucket,
                 TRUE AS files_reduced
+         FROM documents WHERE text IS NOT NULL""",
+    // 8 band rows per non-null doc (numHashes 32 / rowsPerBand 4) is
+    // conservation arithmetic; the file/bucket verdicts are structural
+    // under one-file-per-bucket appends and asserted in-query
+    "q409_minhash_ledger_occupancy" ->
+      """SELECT CAST(8 * count(*) AS BIGINT) AS total_band_rows,
+                TRUE AS files_le_appends, TRUE AS buckets_bounded
          FROM documents WHERE text IS NOT NULL""",
     // exact-core count replayed relationally; the two variant-vs-exact
     // verdicts are structural zeros (IVF pruning only removes edges:

@@ -926,6 +926,53 @@ object SourceStreamQueries {
       out
     },
 
+    // STREAMING LM-STORE INGESTION — the q266 HistStore composition for
+    // the LM count store: document batches land as files, foreachBatch
+    // appends each batch's bigram/trigram/unigram COUNT PARTIALS, and
+    // because counts are associative integers the Kneser–Ney table
+    // refit from the streamed store is BIT-IDENTICAL to the batch
+    // from-scan fit. A third restart against the same checkpoint finds
+    // no new files and provably adds nothing (the identity would break)
+    "q408_stream_lm_ingest" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q408_" + s.sparkContext.applicationId)
+      deleteRecursively(base)
+      Files.createDirectories(base.resolve("data"))
+      val store = s"$base/store"
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", LongType)
+        .add("text", org.apache.spark.sql.types.StringType)
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(schema).parquet(s"$base/data")
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            graft.data.LmStore.appendBatch(df, "text", store)
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      runOnce() // restart: no new files -> no batch -> no double-count
+      val fromStore = graft.data.LmStore.fitKn(s, store, vocabTopK = 100)
+      val fromScan = graft.functions.LmKneserNey.bigramTable(docs, "text",
+        vocabTopK = 100)
+      val identical = fromStore.exceptAll(fromScan).isEmpty &&
+        fromScan.exceptAll(fromStore).isEmpty
+      val out = fromScan.agg(
+        count(lit(1)).cast("long").as("n_table_rows"),
+        sum("c_bigram").cast("long").as("c_bigram_total"))
+        .withColumn("stream_scan_identical", lit(identical))
+      deleteRecursively(base)
+      out
+    },
+
     "q121_foreach_batch_sink" -> { (s, dir) =>
       val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft_q121_fb")
       deleteRecursively(base)
@@ -1069,6 +1116,27 @@ object SourceStreamQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs_found,
                 CAST(0 AS BIGINT) AS threshold_violations
          FROM documents WHERE text IS NOT NULL""",
+    // the q405 replay: table row count + bigram mass over the top-100
+    // vocab; the streamed-store identity is asserted in-query
+    "q408_stream_lm_ingest" ->
+      """WITH w AS (SELECT string_split(trim(text), ' ') AS ws
+                    FROM documents WHERE text IS NOT NULL),
+         bg AS (SELECT unnest([{'w1': ws[i], 'w2': ws[i + 1]}
+                               for i in range(1, len(ws))],
+                              recursive := true)
+                FROM w WHERE len(ws) >= 2),
+         bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
+                FROM bg GROUP BY 1, 2),
+         tok AS (SELECT unnest(ws) AS term FROM w),
+         vocab AS (SELECT term FROM (
+                     SELECT term, count(*) AS tc FROM tok GROUP BY 1
+                     ORDER BY tc DESC, term LIMIT 100))
+         SELECT CAST(count(*) AS BIGINT) AS n_table_rows,
+                CAST(sum(c_bigram) AS BIGINT) AS c_bigram_total,
+                TRUE AS stream_scan_identical
+         FROM bc
+         JOIN vocab v1 ON v1.term = bc.w1
+         JOIN vocab v2 ON v2.term = bc.w2""",
     "q304_fixed_width_source" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
                 CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
