@@ -11,6 +11,35 @@ import graft.preprocess.Preprocessor
   */
 object TextQueries {
 
+  /** Per-doc Shannon character entropy in nats — q410's kernel: each
+    * (c/n)·ln(c/n) term its own round-9 DECIMAL(20,9) piece (q79's
+    * order-independent fixed point, both engines replay the identical
+    * IEEE sequence). One map-only char explode, one (doc, char) hash
+    * agg; everything after rides the collapsed char-count relation. */
+  def charEntropy(docs: DataFrame, textCol: String,
+                  idCol: String): DataFrame = {
+    val cc = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "")).as("ch"))
+      .groupBy("doc_id", "ch")
+      .agg(count(lit(1)).cast("long").as("c"))
+    val tot = cc.groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_chars_counted"),
+        count(lit(1)).cast("long").as("n_distinct_chars"))
+    cc.join(tot, "doc_id")
+      .withColumn("__term",
+        round((col("c").cast("double") /
+          col("n_chars_counted").cast("double")) *
+          log(col("c").cast("double") /
+            col("n_chars_counted").cast("double")), 9)
+          .cast("decimal(20,9)"))
+      .groupBy("doc_id")
+      .agg(max("n_chars_counted").cast("long").as("n_chars_counted"),
+        max("n_distinct_chars").cast("long").as("n_distinct_chars"),
+        (-sum(col("__term"))).cast("double").as("entropy_nats"))
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables(s, dir, name)
 
@@ -232,6 +261,19 @@ object TextQueries {
         vocabTopK = 100)
       graft.functions.LmKneserNey.scoreDocsTrigram(docs, table, "text",
         "doc_id")
+    },
+
+    // CHARACTER-ENTROPY QUALITY GATE — the classic "is this text or
+    // noise" screen (low entropy = repeated filler, high = random bytes;
+    // the compression-ratio proxy pipelines use, computed exactly):
+    // per-doc Shannon entropy in nats over the character distribution.
+    // Each (c/n)·ln(c/n) term is rounded to 9 and summed DECIMAL(20,9)
+    // (q79's fixed-point discipline — order-independent, both engines
+    // replay the identical IEEE op sequence). Plan: one map-only char
+    // explode, one (doc, char) hash agg, one doc-grain re-agg + join —
+    // everything past the explode rides the collapsed char-count relation
+    "q410_char_entropy" -> { (s, dir) =>
+      charEntropy(t(s, dir, "documents"), "text", "doc_id")
     },
 
     // LM COUNT STORE — the mergeable-store member the LM family was
@@ -1315,6 +1357,28 @@ object TextQueries {
                 END AS mean_logprob
          FROM (SELECT DISTINCT doc_id FROM documents) d
          LEFT JOIN agg a USING (doc_id)""",
+    // char split via string_split(text, '') = Spark's split(text, "")
+    // on this corpus; the per-term round-9 DECIMAL sum replays exactly
+    "q410_char_entropy" ->
+      """WITH cc AS (
+           SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                 FROM documents WHERE text IS NOT NULL)
+           GROUP BY 1, 2),
+         tot AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_counted,
+                  CAST(count(*) AS BIGINT) AS n_distinct_chars
+           FROM cc GROUP BY 1)
+         SELECT cc.doc_id,
+                CAST(max(t.n_chars_counted) AS BIGINT) AS n_chars_counted,
+                CAST(max(t.n_distinct_chars) AS BIGINT) AS n_distinct_chars,
+                CAST(-sum(CAST(round(
+                  (CAST(cc.c AS DOUBLE) / CAST(t.n_chars_counted AS DOUBLE))
+                  * ln(CAST(cc.c AS DOUBLE)
+                       / CAST(t.n_chars_counted AS DOUBLE)), 9)
+                  AS DECIMAL(20,9))) AS DOUBLE) AS entropy_nats
+         FROM cc JOIN tot t USING (doc_id)
+         GROUP BY 1""",
     // the store⇒refit identity is asserted in-query (structural: counts
     // merge by integer addition); the replayable side is the q399 table
     // CTE's row count and total bigram mass over the top-100 vocab

@@ -294,6 +294,19 @@ class Round15Spec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
   }
 
+  test("charEntropy hand values: 'aabb' gives ln 2 via two quantized " +
+      "-0.346573590 terms; a constant string gives 0; a null text drops") {
+    val out = graft.queries.TextQueries.charEntropy(
+      Seq((1L, "aabb"), (2L, "xxxx"), (3L, null))
+        .toDF("doc_id", "text"), "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 4L && out(0).getLong(2) === 2L)
+    // 0.5*ln(0.5) = -0.34657359027... -> -0.346573590 each, x2
+    assert(out(0).getDouble(3) === 0.693147180)
+    assert(out(1).getLong(2) === 1L && out(1).getDouble(3) === 0.0)
+  }
+
   test("trigram KN hand values: 'a b c a b d' reproduces every quantized " +
       "piece and both interpolation replays") {
     import graft.functions.LmKneserNey
