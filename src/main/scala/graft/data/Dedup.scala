@@ -717,7 +717,18 @@ object Dedup {
     */
   def minHashLedgerOccupancy(spark: SparkSession,
                              ledgerPath: String): DataFrame =
-    spark.read.parquet(s"$ledgerPath/bands")
+    layoutOccupancy(spark, s"$ledgerPath/bands")
+
+  /** [[minHashLedgerOccupancy]]'s SimHash sibling over the `chunks`
+    * layout (4 chunk rows per doc instead of nBands band rows). */
+  def simHashLedgerOccupancy(spark: SparkSession,
+                             ledgerPath: String): DataFrame =
+    layoutOccupancy(spark, s"$ledgerPath/chunks")
+
+  /** Per-bucket (n_rows, n_files) of a bucket-partitioned layout. */
+  private def layoutOccupancy(spark: SparkSession,
+                              dir: String): DataFrame =
+    spark.read.parquet(dir)
       .select(col("bucket"), input_file_name().as("__f"))
       .groupBy("bucket")
       .agg(count(lit(1)).cast("long").as("n_rows"),

@@ -1899,6 +1899,28 @@ object DataQueries {
       out
     },
 
+    // SIMHASH LEDGER OCCUPANCY — q409's fingerprint sibling over the
+    // chunks layout: 4 pigeonhole chunk rows per non-null doc is the
+    // replayable conservation side, the file/bucket verdicts structural
+    // under one-file-per-bucket appends
+    "q411_simhash_ledger_occupancy" -> { (s, dir) =>
+      val docs = doubledDocs(s, dir).filter(col("text").isNotNull)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q411_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      val orig = docs.filter(col("doc_id") < 1000000L)
+      val half = pmod(floor(col("doc_id") / 64).cast("long"), lit(2L))
+      Dedup.simHashLedger(orig.filter(half === 0), path, maxHamming = 3)
+      Dedup.simHashLedger(orig.filter(half === 1), path, maxHamming = 3)
+      val occ = Dedup.simHashLedgerOccupancy(s, path).localCheckpoint()
+      val out = occ.agg(
+        sum("n_rows").cast("long").as("total_chunk_rows"),
+        (max("n_files") <= 2L).as("files_le_appends"),
+        (count(lit(1)) <= 64L).as("buckets_bounded"))
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
     // SIMHASH LEDGER COMPACTION — q400's fingerprint sibling over the
     // q387 chunks layout: two-half ingest, compact to one file per bucket
     // partition, twin probe bit-identical pre/post
@@ -3108,6 +3130,11 @@ object DataQueries {
     // under one-file-per-bucket appends and asserted in-query
     "q409_minhash_ledger_occupancy" ->
       """SELECT CAST(8 * count(*) AS BIGINT) AS total_band_rows,
+                TRUE AS files_le_appends, TRUE AS buckets_bounded
+         FROM documents WHERE text IS NOT NULL""",
+    // 4 pigeonhole chunk rows per non-null doc
+    "q411_simhash_ledger_occupancy" ->
+      """SELECT CAST(4 * count(*) AS BIGINT) AS total_chunk_rows,
                 TRUE AS files_le_appends, TRUE AS buckets_bounded
          FROM documents WHERE text IS NOT NULL""",
     // exact-core count replayed relationally; the two variant-vs-exact
