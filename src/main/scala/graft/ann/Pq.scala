@@ -1,0 +1,256 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the vector-COMPRESSION member of the ANN family
+  * (Jégou–Douze–Schmid 2011, the FAISS `PQ`/`IVFADC` practice): split each
+  * d-dim vector into `m` subspaces of `subDim` dims, k-means each subspace
+  * into `k` centroids, and store every vector as `m` small codes. At 100 TB
+  * a 64-dim float vector is 256 B; its PQ code (m=4, k=16) is 2 B — the
+  * packed broadcast that holds ~8M int8 vectors (`Knn.packInt8`) holds
+  * ~250M PQ codes, and the inverted lists of an IVF index shrink by the
+  * same factor. Search is ADC (asymmetric distance computation): the query
+  * stays UNquantized, a per-query table of query-subvector→centroid
+  * distances is built once (m·k entries), and each target scores as the
+  * sum of m table lookups — never a full d-dim pass per target.
+  *
+  * EXACT-REPLAY DISCIPLINE (what distinguishes this fit from `Knn.ivfFit`,
+  * the driver-side double-precision sampled quantizer): every number here
+  * is an integer. Vectors quantize once via the house int8 idiom
+  * `floor(x·10⁶ + 0.5)` (`Knn.quantizeInt8`'s floor(+0.5), portable across
+  * engines, round-half-up); distances are exact BIGINT sums of squares
+  * (|x−c| ≤ 1.2·10⁶ ⇒ per-sub dist ≤ 2.4·10¹³ — no overflow, no float
+  * order-dependence); the Lloyd centroid update is floor(sum/count) where
+  * sum ≤ 500·6·10⁵ is exactly representable in double and IEEE division is
+  * correctly rounded, so BOTH engines floor the same quotient. Init is the
+  * k smallest-id vectors' subvectors (cid = id rank), assignment ties break
+  * to the smallest cid, an emptied cluster keeps its previous centroid —
+  * every choice deterministic and SQL-expressible, so the DuckDB oracle
+  * replays fit, codes, and ADC top-k BIT-FOR-BIT (the rest of the ANN tier
+  * verifies via recall/subset invariants; this member is the one with a
+  * full row-level oracle).
+  *
+  * SCALE SHAPE: the fit is a driver loop of `iters` rounds, each ONE
+  * map-only assignment pass (the k·m centroids are compiled into the plan
+  * as literals — no join, no shuffle) plus ONE hash aggregation whose
+  * output is bounded by m·k·subDim rows (1,024 here) — partial aggregation
+  * collapses map-side, so per round the cluster moves only centroid
+  * partials. The subvector frame is localCheckpoint-frozen once (house
+  * scan-once idiom, VERDICT r14 #1), so the source is read once per fit,
+  * not once per round. Encoding is map-only. ADC expands each target into
+  * its probed (query, sub) lookups via broadcast joins only — the shuffle
+  * is the per-(query, target) partial-agg'd sum, linear in the candidate
+  * set exactly like the brute-force baseline it approximates.
+  *
+  * Reference: ing-bank/EntityMatchingModel caps its TF-IDF vocabulary at
+  * 2^25 to bound the broadcast CSR (`spark_cos_sim_matcher.py:61`); PQ is
+  * the same broadcast-budget lever applied to dense embeddings.
+  */
+object Pq {
+
+  /** Fitted codebook: `cents(sub)(cid)(pos)` integer centroids. */
+  final case class Codebook(m: Int, subDim: Int, scale: Double,
+                            cents: Array[Array[Array[Long]]]) {
+    def k: Int = cents.head.length
+
+    /** Long-format view (sub, cid, pos 1-based, c_val) — the q412 surface. */
+    def toDf(s: SparkSession): DataFrame = {
+      val rows = for {
+        sub <- cents.indices
+        cid <- cents(sub).indices
+        pos <- cents(sub)(cid).indices
+      } yield (sub, cid, pos + 1, cents(sub)(cid)(pos))
+      import s.implicits._
+      rows.toDF("sub", "cid", "pos", "c_val")
+    }
+
+    /** Row-per-centroid view (sub, cid, cv array) for broadcast joins. */
+    def rowsDf(s: SparkSession): DataFrame = {
+      val rows = for {
+        sub <- cents.indices
+        cid <- cents(sub).indices
+      } yield (sub, cid, cents(sub)(cid).toSeq)
+      import s.implicits._
+      rows.toDF("sub", "cid", "cv")
+    }
+  }
+
+  /** Quantize + slice into the (id, sub, sv) frame both fit and encode run
+    * on. Map-only: one transform + one posexplode over m static slices.
+    * Ragged/null vectors (≠ m·subDim dims) are excluded — the declared
+    * contract, mirrored by the oracle's len() filter.
+    */
+  def subVectors(df: DataFrame, m: Int, subDim: Int, scale: Double,
+                 idCol: String, vecCol: String): DataFrame = {
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(scale) + lit(0.5)).cast("long"))
+    df.select(col(idCol).cast("long").as("vec_id"), qv.as("__qv"))
+      .filter(size(col("__qv")) === m * subDim)
+      .select(col("vec_id"),
+        posexplode(array((0 until m).map(j =>
+          slice(col("__qv"), j * subDim + 1, subDim)): _*))
+          .as(Seq("sub", "sv")))
+  }
+
+  /** Exact integer squared distance between a subvector column and a
+    * literal centroid — BIGINT fold, codegen'd, no UDF.
+    */
+  private def distToLit(sv: Column, cv: Array[Long]): Column =
+    aggregate(zip_with(sv, typedlit(cv.toSeq), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** argmin over the k literal centroids of ONE subspace; ties take the
+    * smallest cid (struct ordering on (dist, cid)).
+    */
+  def argminLit(sv: Column, cents: Array[Array[Long]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (cv, cid) =>
+      struct(distToLit(sv, cv).as("d"), lit(cid).as("c"))
+    }: _*)).getField("c")
+
+  /** Nearest-centroid id for a (sub, sv) row, the whole codebook compiled
+    * into the plan as literals — map-only assignment, no join, no shuffle.
+    */
+  def nearestCid(subCol: Column, svCol: Column,
+                 cents: Array[Array[Array[Long]]]): Column =
+    cents.indices.tail.foldLeft(
+      when(subCol === 0, argminLit(svCol, cents(0)))) { (acc, j) =>
+      acc.when(subCol === j, argminLit(svCol, cents(j)))
+    }
+
+  /** Fit the codebook: `iters` exact-integer Lloyd rounds (see object doc).
+    * Per round: one map-only assignment over the frozen subvector frame +
+    * one hash agg bounded at m·k·subDim rows; the only driver state is the
+    * m·k·subDim centroid array (the Shapley-style declared bound).
+    */
+  def fitCodebook(targets: DataFrame, m: Int, subDim: Int, k: Int,
+                  iters: Int, scale: Double = 1e6,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Codebook = {
+    require(m >= 1 && subDim >= 1 && k >= 1 && iters >= 0,
+      s"pq fit needs positive shape, got m=$m subDim=$subDim k=$k iters=$iters")
+    require(m.toLong * k * subDim <= 1000000L,
+      s"codebook m*k*subDim = ${m.toLong * k * subDim} exceeds the declared " +
+        "10^6 driver bound — shrink k or m")
+    val sub = subVectors(targets, m, subDim, scale, idCol, vecCol)
+      .localCheckpoint() // scan the source once; every round reads the freeze
+    // init: the k smallest ids' subvectors, cid = rank of the id.
+    // TakeOrdered (orderBy+limit), never a full sort.
+    val initIds = sub.select("vec_id").distinct()
+      .orderBy("vec_id").limit(k)
+      .collect().map(_.getLong(0)).sorted
+    require(initIds.length == k,
+      s"pq fit needs >= k=$k complete vectors, found ${initIds.length}")
+    val idRank = initIds.zipWithIndex.toMap
+    val cents = Array.ofDim[Array[Long]](m, k)
+    sub.filter(col("vec_id").isin(initIds: _*)).collect().foreach { r =>
+      cents(r.getInt(1))(idRank(r.getLong(0))) =
+        r.getSeq[Long](2).toArray
+    }
+    var round = 0
+    while (round < iters) {
+      val parts = sub
+        .withColumn("cid", nearestCid(col("sub"), col("sv"), cents))
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cid", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      parts.foreach { r =>
+        // floor(exact-double quotient): identical in any IEEE engine
+        cents(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong
+      } // clusters absent from parts (emptied) keep their previous centroid
+      round += 1
+    }
+    Codebook(m, subDim, scale, cents)
+  }
+
+  /** Encode every vector as m codes: (vec_id, sub, code). Map-only — the
+    * codebook rides in the plan as literals.
+    */
+  def encode(df: DataFrame, cb: Codebook,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    subVectors(df, cb.m, cb.subDim, cb.scale, idCol, vecCol)
+      .select(col("vec_id"), col("sub"),
+        nearestCid(col("sub"), col("sv"), cb.cents).as("code"))
+
+  /** Per-query ADC distance table: (query_id, sub, cid, d) — m·k rows per
+    * query, the small broadcast side of the search.
+    */
+  def adcTable(queries: DataFrame, cb: Codebook,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    subVectors(queries, cb.m, cb.subDim, cb.scale, idCol, vecCol)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cb.rowsDf(queries.sparkSession)), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        aggregate(zip_with(col("sv"), col("cv"), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, x) => acc + x).as("d"))
+
+  /** Exhaustive ADC top-k: every target scored as the sum of its m table
+    * lookups, smallest distance first, ties to the smaller target id. The
+    * per-(query, target) sum partial-aggregates map-side; the top-k window
+    * is partitioned by query — no global sort anywhere.
+    */
+  def adcTopK(targets: DataFrame, queries: DataFrame, cb: Codebook, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codes = encode(targets, cb, idCol, vecCol)
+      .withColumnRenamed("code", "cid")
+    val qd = adcTable(queries, cb, idCol, vecCol)
+    val adc = codes.join(broadcast(qd), Seq("sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id").as("target_id"))
+      .agg(sum("d").as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist"), col("target_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "target_id", "adc_dist", "rank")
+  }
+
+  /** IVF-gated ADC (the IVFADC composition, non-residual variant): targets
+    * live in coarse k-means lists, each query probes its `nProbe` nearest
+    * lists and ADC runs on those candidates only — the search cost drops by
+    * ~nProbe/nLists while fit/encode stay exactly the q412 arithmetic, so
+    * the oracle still replays end-to-end. Both gating joins are broadcasts
+    * (probe pairs are |Q|·nProbe, the ADC table |Q|·m·k).
+    */
+  def ivfAdcTopK(targets: DataFrame, queries: DataFrame, cb: Codebook,
+                 coarse: Codebook, nProbe: Int, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(coarse.m == 1, s"coarse quantizer must be single-subspace, got m=${coarse.m}")
+    require(coarse.subDim == cb.m * cb.subDim,
+      s"coarse quantizer dims ${coarse.subDim} != pq dims ${cb.m * cb.subDim}")
+    val probes = {
+      val w = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
+      adcTable(queries, coarse, idCol, vecCol)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nProbe)
+        .select(col("query_id"), col("cid").as("list_id"))
+    }
+    // the index layout, built in ONE map-only pass: every row carries its
+    // coarse list and its per-subspace code — no codes-vs-lists shuffle join
+    val qvx = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(cb.scale) + lit(0.5)).cast("long"))
+    val indexed = targets
+      .select(col(idCol).cast("long").as("vec_id"), qvx.as("__qv"))
+      .filter(size(col("__qv")) === cb.m * cb.subDim)
+      .withColumn("list_id", argminLit(col("__qv"), coarse.cents(0)))
+      .select(col("vec_id"), col("list_id"),
+        posexplode(array((0 until cb.m).map(j =>
+          slice(col("__qv"), j * cb.subDim + 1, cb.subDim)): _*))
+          .as(Seq("sub", "sv")))
+      .select(col("vec_id"), col("list_id"), col("sub"),
+        nearestCid(col("sub"), col("sv"), cb.cents).as("cid"))
+    val qd = adcTable(queries, cb, idCol, vecCol)
+    val adc = indexed
+      .join(broadcast(probes), Seq("list_id"))
+      .join(broadcast(qd), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id").as("target_id"))
+      .agg(sum("d").as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist"), col("target_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "target_id", "adc_dist", "rank")
+  }
+}

@@ -1921,6 +1921,53 @@ object DataQueries {
       out
     },
 
+    // PRODUCT-QUANTIZATION CODEBOOK (Jégou–Douze–Schmid 2011; FAISS `PQ`) —
+    // the COMPRESSION member of the ANN family: 4 subspaces × 16 dims,
+    // k-means'd to 16 integer centroids each. Everything is exact BIGINT /
+    // floored-IEEE arithmetic (house int8 floor(+0.5) quantize, integer
+    // squared distances, floor(sum/count) centroid updates, ties to the
+    // smallest cid, emptied clusters keep their centroid), so unlike the
+    // rest of the ANN tier — verified by recall/subset invariants — the
+    // DuckDB oracle replays the full 2-round distributed Lloyd BIT-FOR-BIT.
+    // Fit shape: per round one map-only literal-centroid assignment pass +
+    // one hash agg bounded at 1,024 rows, over a localCheckpoint-frozen
+    // subvector frame (scanned once per fit)
+    "q412_pq_codebook" -> { (s, dir) =>
+      graft.ann.Pq.fitCodebook(t(s, dir, "embeddings"),
+        m = 4, subDim = 16, k = 16, iters = 2).toDf(s)
+    },
+
+    // PQ ADC TOP-K — search over the q412 codes by ASYMMETRIC distance:
+    // the query stays unquantized, its m·k=64-entry distance table
+    // broadcasts, and each target scores as the sum of 4 integer lookups —
+    // the scan never touches full vectors (2 B of codes per target vs
+    // 256 B of floats: ~128x more targets per broadcast/list byte). The
+    // per-(query,target) sum partial-aggs map-side; top-k is a
+    // query-partitioned window. Integer end to end ⇒ full row-level oracle
+    "q413_pq_adc" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.ann.Pq.fitCodebook(emb, m = 4, subDim = 16, k = 16,
+        iters = 2)
+      graft.ann.Pq.adcTopK(emb, emb.filter(col("vec_id") < 30), cb, k = 5)
+    },
+
+    // IVF-PQ (FAISS `IVFADC`, non-residual) — the two quantizers composed:
+    // coarse k=8 lists gate which targets pay ADC at all (nProbe=2 ⇒ ~1/4
+    // of the corpus scored), the index rows carry (list_id, sub, code)
+    // from ONE map-only pass, and both gating joins are broadcasts
+    // (|Q|·nProbe probe pairs, |Q|·m·k table entries). Same exact-integer
+    // discipline ⇒ the oracle replays BOTH quantizer fits and the gated
+    // search end-to-end
+    "q414_ivf_pq_adc" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.ann.Pq.fitCodebook(emb, m = 4, subDim = 16, k = 16,
+        iters = 2)
+      val coarse = graft.ann.Pq.fitCodebook(emb, m = 1, subDim = 64, k = 8,
+        iters = 2)
+      graft.ann.Pq.ivfAdcTopK(emb, emb.filter(col("vec_id") < 30), cb,
+        coarse, nProbe = 2, k = 5)
+    },
+
     // SIMHASH LEDGER COMPACTION — q400's fingerprint sibling over the
     // q387 chunks layout: two-half ingest, compact to one file per bucket
     // partition, twin probe bit-identical pre/post
@@ -2407,6 +2454,58 @@ object DataQueries {
                                CAST(cumb AS HUGEINT) * na)) * 1000000) //
                       (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS d_ppm
           FROM c$i)"""
+
+  /** Shared exact-integer PQ Lloyd replay (q412/q413/q414): emits the CTE
+    * chain fitting one quantizer for 2 rounds over the shared `pqqv`
+    * quantized relation — subspace slicing, id-ranked init, (dist, cid)
+    * row_number assignment, floor(sum/count) centroid update, emptied
+    * clusters retained via LEFT JOIN + coalesce. All relations prefixed so
+    * q414 can run the PQ and the coarse quantizer side by side;
+    * MATERIALIZED throughout (the q406/q407 CTE-inlining gotcha).
+    */
+  private def pqFitSql(p: String, m: Int, subDim: Int, k: Int): String = {
+    def assign(name: String, cents: String) =
+      s"""$name AS MATERIALIZED (
+           SELECT vec_id, sub, cid, sv FROM (
+             SELECT s.vec_id, s.sub, c.cid, s.sv,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+                 list_sum(list_transform(list_zip(s.sv, c.cv),
+                   p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+             FROM ${p}sub s JOIN $cents c USING (sub)) WHERE rn = 1)"""
+    def update(prev: String, asn: String, out: String) =
+      s"""${out}m AS MATERIALIZED (
+           SELECT sub, cid, pos,
+                  CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+           FROM (SELECT sub, cid, unnest(sv) AS x,
+                        generate_subscripts(sv, 1) AS pos FROM $asn)
+           GROUP BY sub, cid, pos),
+         $out AS MATERIALIZED (
+           SELECT $prev.sub, $prev.cid, coalesce(mm.cv, $prev.cv) AS cv
+           FROM $prev LEFT JOIN (SELECT sub, cid, list(cx ORDER BY pos) AS cv
+                                 FROM ${out}m GROUP BY sub, cid) mm
+             USING (sub, cid))"""
+    s"""${p}sub AS MATERIALIZED (
+          SELECT vec_id, j AS sub, v[j*$subDim+1 : j*$subDim+$subDim] AS sv
+          FROM pqqv, range(0,$m) t(j)),
+        ${p}c0 AS MATERIALIZED (
+          SELECT sub, CAST(row_number() OVER (PARTITION BY sub
+                           ORDER BY vec_id) - 1 AS INT) AS cid, sv AS cv
+          FROM ${p}sub
+          WHERE vec_id IN (SELECT vec_id FROM pqqv ORDER BY vec_id LIMIT $k)),
+        ${assign(s"${p}a1", s"${p}c0")},
+        ${update(s"${p}c0", s"${p}a1", s"${p}c1")},
+        ${assign(s"${p}a2", s"${p}c1")},
+        ${update(s"${p}c1", s"${p}a2", s"${p}c2")}"""
+  }
+
+  /** The shared quantize CTE (house floor(x·10⁶ + 0.5), complete 64-dim
+    * vectors only) + the PQ codes relation over a fitted `${p}c2`.
+    */
+  private val pqQvSql: String =
+    """pqqv AS MATERIALIZED (
+         SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS v
+         FROM embeddings WHERE len(embedding) = 64)"""
 
   val oracleSql: Map[String, String] = Map(
     // the oracle replays the quantile rule directly per bucket index
@@ -3137,6 +3236,85 @@ object DataQueries {
       """SELECT CAST(4 * count(*) AS BIGINT) AS total_chunk_rows,
                 TRUE AS files_le_appends, TRUE AS buckets_bounded
          FROM documents WHERE text IS NOT NULL""",
+    // full bit-for-bit replay of the 2-round exact-integer Lloyd fit
+    "q412_pq_codebook" ->
+      s"""WITH $pqQvSql,
+          ${pqFitSql("pq", 4, 16, 16)}
+          SELECT CAST(sub AS INT) AS sub, CAST(cid AS INT) AS cid,
+                 CAST(pos AS INT) AS pos, CAST(c_val AS BIGINT) AS c_val
+          FROM (SELECT sub, cid, generate_subscripts(cv, 1) AS pos,
+                       unnest(cv) AS c_val FROM pqc2) z""",
+    // fit replay + code assignment + the ADC sum — integer end to end
+    "q413_pq_adc" ->
+      s"""WITH $pqQvSql,
+          ${pqFitSql("pq", 4, 16, 16)},
+          codes AS MATERIALIZED (
+            SELECT vec_id, sub, cid FROM (
+              SELECT s.vec_id, s.sub, c.cid,
+                row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM pqsub s JOIN pqc2 c USING (sub)) WHERE rn = 1),
+          qdist AS MATERIALIZED (
+            SELECT s.vec_id AS query_id, s.sub, c.cid,
+              CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
+                p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+            FROM pqsub s JOIN pqc2 c USING (sub) WHERE s.vec_id < 30),
+          adc AS (
+            SELECT q.query_id, t.vec_id AS target_id,
+                   CAST(sum(q.d) AS BIGINT) AS adc_dist
+            FROM codes t JOIN qdist q ON t.sub = q.sub AND t.cid = q.cid
+            GROUP BY 1, 2)
+          SELECT query_id, target_id, adc_dist, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_dist, target_id) AS INT) AS rank
+            FROM adc) WHERE rank <= 5""",
+    // both quantizer fits replayed, then the coarse-gated ADC: nProbe=2
+    // lists per query, candidates = targets assigned to a probed list
+    "q414_ivf_pq_adc" ->
+      s"""WITH $pqQvSql,
+          ${pqFitSql("pq", 4, 16, 16)},
+          ${pqFitSql("cr", 1, 64, 8)},
+          tlist AS MATERIALIZED (
+            SELECT vec_id, cid AS list_id FROM (
+              SELECT s.vec_id, c.cid,
+                row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM crsub s JOIN crc2 c USING (sub)) WHERE rn = 1),
+          probes AS MATERIALIZED (
+            SELECT query_id, list_id FROM (
+              SELECT s.vec_id AS query_id, c.cid AS list_id,
+                row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM crsub s JOIN crc2 c USING (sub)
+              WHERE s.vec_id < 30) WHERE rn <= 2),
+          codes AS MATERIALIZED (
+            SELECT vec_id, sub, cid FROM (
+              SELECT s.vec_id, s.sub, c.cid,
+                row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM pqsub s JOIN pqc2 c USING (sub)) WHERE rn = 1),
+          qdist AS MATERIALIZED (
+            SELECT s.vec_id AS query_id, s.sub, c.cid,
+              CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
+                p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+            FROM pqsub s JOIN pqc2 c USING (sub) WHERE s.vec_id < 30),
+          adc AS (
+            SELECT q.query_id, t.vec_id AS target_id,
+                   CAST(sum(q.d) AS BIGINT) AS adc_dist
+            FROM codes t
+            JOIN tlist l ON l.vec_id = t.vec_id
+            JOIN probes pr ON pr.list_id = l.list_id
+            JOIN qdist q ON q.query_id = pr.query_id
+                        AND t.sub = q.sub AND t.cid = q.cid
+            GROUP BY 1, 2)
+          SELECT query_id, target_id, adc_dist, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_dist, target_id) AS INT) AS rank
+            FROM adc) WHERE rank <= 5""",
     // exact-core count replayed relationally; the two variant-vs-exact
     // verdicts are structural zeros (IVF pruning only removes edges:
     // degrees only drop, components only split) asserted in-query

@@ -913,4 +913,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p407) { case _: BroadcastExchangeExec => } >= 5,
       s"table + four marginals must broadcast against the triple stream:\n$p407")
   }
+
+  test("pq adc search (q413): broadcast-only joins — no sort-merge, no " +
+      "cartesian; the top-k window is query-partitioned") {
+    import org.apache.spark.sql.execution.joins.{CartesianProductExec, SortMergeJoinExec}
+    val plan = staticPlan(
+      graft.queries.DataQueries.queries("q413_pq_adc")(spark, sf))
+    assert(count(plan) { case _: SortMergeJoinExec => } === 0,
+      s"the ADC distance table must broadcast against the code stream:\n$plan")
+    assert(count(plan) { case _: CartesianProductExec => } === 0,
+      s"no cartesian anywhere in the ADC search:\n$plan")
+    assert(count(plan) { case w: WindowExec if w.partitionSpec.isEmpty => } === 0,
+      s"top-k must be query-partitioned, never a global window:\n$plan")
+  }
 }

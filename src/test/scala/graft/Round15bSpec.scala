@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Pq
+
+/** Round-15 second wave: product quantization (q412–q414).
+  *
+  * The PQ tier's verification story is unusual for ANN — the fit is exact
+  * integer arithmetic, so the DuckDB oracle replays it bit-for-bit and the
+  * units here lock the SEMANTIC contract instead: hand-replayed Lloyd
+  * rounds, the empty-cluster and tie-break rules, ADC self-distance, and
+  * the IVF-PQ ⊆/≡ exhaustive-ADC relations.
+  */
+class Round15bSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecDf(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("pq fit: two Lloyd rounds replayed by hand (m=1, k=2)") {
+    // scale=1 ⇒ quantized vectors are the inputs themselves
+    val df = vecDf(0L -> Seq(0f, 0f), 1L -> Seq(10f, 0f),
+      2L -> Seq(12f, 0f), 3L -> Seq(2f, 0f))
+    val cb = Pq.fitCodebook(df, m = 1, subDim = 2, k = 2, iters = 2,
+      scale = 1.0)
+    // init c0=(0,0) c1=(10,0); round 1: {0,3}→c0 ⇒ (1,0), {1,2}→c1 ⇒ (11,0)
+    // round 2: memberships unchanged ⇒ fixed point
+    assert(cb.cents(0)(0).toSeq == Seq(1L, 0L))
+    assert(cb.cents(0)(1).toSeq == Seq(11L, 0L))
+  }
+
+  test("pq fit: an emptied cluster keeps its previous centroid") {
+    // ids 0 and 1 are identical, so init c0 = c1 = (0,0); the tie sends
+    // both points to cid 0 and cluster 1 receives nothing — it must keep
+    // its centroid rather than vanish or NPE
+    val df = vecDf(0L -> Seq(0f, 0f), 1L -> Seq(0f, 0f), 2L -> Seq(8f, 0f))
+    val cb = Pq.fitCodebook(df, m = 1, subDim = 2, k = 3, iters = 1,
+      scale = 1.0)
+    assert(cb.cents(0)(0).toSeq == Seq(0L, 0L))
+    assert(cb.cents(0)(1).toSeq == Seq(0L, 0L), "emptied cluster retained")
+    assert(cb.cents(0)(2).toSeq == Seq(8L, 0L))
+  }
+
+  test("pq encode: equidistant vector takes the smaller cid") {
+    val seeds = vecDf(0L -> Seq(1f, 0f), 1L -> Seq(11f, 0f))
+    val cb = Pq.fitCodebook(seeds, m = 1, subDim = 2, k = 2, iters = 0,
+      scale = 1.0) // iters=0 ⇒ codebook == the two seeds
+    val probe = vecDf(5L -> Seq(6f, 0f)) // dist 25 to both centroids
+    val code = Pq.encode(probe, cb).select("code").as[Int].head()
+    assert(code == 0, "tie must break to the smaller cid")
+  }
+
+  test("pq adc: a vector that IS a centroid combination self-scores 0 at rank 1") {
+    val seeds = vecDf(0L -> Seq(0f, 2f, 7f, 1f), 1L -> Seq(9f, 4f, 3f, 8f))
+    // m=2 subspaces of 2 dims; iters=0 keeps the seed subvectors as
+    // centroids, so each seed's ADC distance to itself is exactly 0
+    val cb = Pq.fitCodebook(seeds, m = 2, subDim = 2, k = 2, iters = 0,
+      scale = 1.0)
+    val top = Pq.adcTopK(seeds, seeds, cb, k = 1)
+      .select("query_id", "target_id", "adc_dist", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(top == Set((0L, 0L, 0L, 1), (1L, 1L, 0L, 1)))
+  }
+
+  test("ivf-pq: probing every list reproduces exhaustive ADC exactly; " +
+      "fewer probes stay a subset per query") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val cb = Pq.fitCodebook(emb, m = 4, subDim = 16, k = 8, iters = 1)
+    val coarse = Pq.fitCodebook(emb, m = 1, subDim = 64, k = 4, iters = 1)
+    val exhaustive = Pq.adcTopK(emb, queries, cb, k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val allProbes = Pq.ivfAdcTopK(emb, queries, cb, coarse, nProbe = 4,
+      k = 5).as[(Long, Long, Long, Int)].collect().toSet
+    assert(allProbes == exhaustive,
+      "nProbe = nLists must equal the exhaustive ADC scan")
+    // nProbe=1: every returned (query, target, dist) must appear in the
+    // exhaustive scoring with the SAME distance (gating changes recall,
+    // never arithmetic)
+    val gatedDists = Pq.ivfAdcTopK(emb, queries, cb, coarse, nProbe = 1,
+      k = 5).select("query_id", "target_id", "adc_dist")
+      .as[(Long, Long, Long)].collect().toSet
+    val exhaustiveAll = Pq.adcTopK(emb, queries, cb, k = 1 << 30)
+      .select("query_id", "target_id", "adc_dist")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gatedDists.subsetOf(exhaustiveAll),
+      "gated ADC distances must match the exhaustive arithmetic")
+  }
+}
