@@ -127,13 +127,22 @@ object Pq {
   def fitCodebook(targets: DataFrame, m: Int, subDim: Int, k: Int,
                   iters: Int, scale: Double = 1e6,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): Codebook = {
+                  vecCol: String = "embedding"): Codebook =
+    fitFromSub(subVectors(targets, m, subDim, scale, idCol, vecCol),
+      m, subDim, k, iters, scale)
+
+  /** The Lloyd loop over an already-sliced (vec_id, sub, sv) frame —
+    * shared by the direct fit and the residual fit (q415), which differ
+    * only in what the subvectors are sliced FROM.
+    */
+  private def fitFromSub(subFrame: DataFrame, m: Int, subDim: Int, k: Int,
+                         iters: Int, scale: Double): Codebook = {
     require(m >= 1 && subDim >= 1 && k >= 1 && iters >= 0,
       s"pq fit needs positive shape, got m=$m subDim=$subDim k=$k iters=$iters")
     require(m.toLong * k * subDim <= 1000000L,
       s"codebook m*k*subDim = ${m.toLong * k * subDim} exceeds the declared " +
         "10^6 driver bound — shrink k or m")
-    val sub = subVectors(targets, m, subDim, scale, idCol, vecCol)
+    val sub = subFrame
       .localCheckpoint() // scan the source once; every round reads the freeze
     // init: the k smallest ids' subvectors, cid = rank of the id.
     // TakeOrdered (orderBy+limit), never a full sort.
@@ -198,6 +207,113 @@ object Pq {
       .withColumnRenamed("code", "cid")
     val qd = adcTable(queries, cb, idCol, vecCol)
     val adc = codes.join(broadcast(qd), Seq("sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id").as("target_id"))
+      .agg(sum("d").as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist"), col("target_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "target_id", "adc_dist", "rank")
+  }
+
+  /** Elementwise x − c_list with the coarse centroid chosen by `listCol`,
+    * the whole coarse codebook riding the plan as literals — map-only.
+    */
+  private def subtractListCentroid(vCol: Column, listCol: Column,
+                                   lists: Array[Array[Long]]): Column =
+    lists.indices.tail.foldLeft(
+      when(listCol === 0,
+        zip_with(vCol, typedlit(lists(0).toSeq), (x, c) => x - c))) {
+      (acc, cid) =>
+        acc.when(listCol === cid,
+          zip_with(vCol, typedlit(lists(cid).toSeq), (x, c) => x - c))
+    }
+
+  /** (vec_id, list_id, rv): each vector's coarse list and its INTEGER
+    * residual against that list's centroid, in one map-only pass (both the
+    * assignment and the subtraction are literal-centroid expressions).
+    * Exact: quantized values and centroids are BIGINT, so the residual is
+    * too — no float re-centering drift between engines.
+    */
+  def residualVectors(df: DataFrame, coarse: Codebook,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(coarse.m == 1,
+      s"coarse quantizer must be single-subspace, got m=${coarse.m}")
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(coarse.scale) + lit(0.5)).cast("long"))
+    df.select(col(idCol).cast("long").as("vec_id"), qv.as("__qv"))
+      .filter(size(col("__qv")) === coarse.subDim)
+      .withColumn("list_id", argminLit(col("__qv"), coarse.cents(0)))
+      .select(col("vec_id"), col("list_id"),
+        subtractListCentroid(col("__qv"), col("list_id"), coarse.cents(0))
+          .as("rv"))
+  }
+
+  private def explodeSubs(vCol: Column, m: Int, subDim: Int) =
+    posexplode(array((0 until m).map(j =>
+      slice(vCol, j * subDim + 1, subDim)): _*)).as(Seq("sub", "sv"))
+
+  /** Residual PQ codebook — the true IVFADC practice: quantize x − c_list
+    * rather than x. Residuals are far lower-variance than raw vectors, so
+    * the same k carries more precision; arithmetic stays exact integer, so
+    * the oracle still replays the fit bit-for-bit.
+    */
+  def fitResidualCodebook(targets: DataFrame, coarse: Codebook, m: Int,
+                          subDim: Int, k: Int, iters: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Codebook = {
+    require(coarse.subDim == m * subDim,
+      s"coarse dims ${coarse.subDim} != residual pq dims ${m * subDim}")
+    val sub = residualVectors(targets, coarse, idCol, vecCol)
+      .select(col("vec_id"), explodeSubs(col("rv"), m, subDim))
+    fitFromSub(sub, m, subDim, k, iters, coarse.scale)
+  }
+
+  /** Residual IVFADC top-k (Jégou et al. 2011 §IV; the FAISS `IVFADC`
+    * layout proper): the index rows carry (list_id, sub, residual-code)
+    * from one map-only pass; each query builds a distance table PER PROBED
+    * LIST — its residual w.r.t. that list's centroid against the residual
+    * codebook, |Q|·nProbe·m·k entries, still broadcast-bounded — and
+    * targets in a probed list score as the sum of m lookups from that
+    * list's table. A target in an unprobed list matches no table row and
+    * drops out, which IS the IVF gating.
+    */
+  def residualIvfAdcTopK(targets: DataFrame, queries: DataFrame,
+                         coarse: Codebook, rcb: Codebook, nProbe: Int,
+                         k: Int, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(coarse.m == 1 && coarse.subDim == rcb.m * rcb.subDim,
+      s"coarse (m=${coarse.m}, dims=${coarse.subDim}) incompatible with " +
+        s"residual pq dims ${rcb.m * rcb.subDim}")
+    val indexed = residualVectors(targets, coarse, idCol, vecCol)
+      .select(col("vec_id"), col("list_id"),
+        explodeSubs(col("rv"), rcb.m, rcb.subDim))
+      .select(col("vec_id"), col("list_id"), col("sub"),
+        nearestCid(col("sub"), col("sv"), rcb.cents).as("cid"))
+    val probes = {
+      val w = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
+      adcTable(queries, coarse, idCol, vecCol)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nProbe)
+        .select(col("query_id"), col("cid").as("list_id"))
+    }
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(coarse.scale) + lit(0.5)).cast("long"))
+    val qres = queries
+      .select(col(idCol).cast("long").as("query_id"), qv.as("__qv"))
+      .filter(size(col("__qv")) === coarse.subDim)
+      .join(broadcast(probes), Seq("query_id"))
+      .select(col("query_id"), col("list_id"),
+        subtractListCentroid(col("__qv"), col("list_id"), coarse.cents(0))
+          .as("rv"))
+      .select(col("query_id"), col("list_id"),
+        explodeSubs(col("rv"), rcb.m, rcb.subDim))
+      .join(broadcast(rcb.rowsDf(queries.sparkSession)), Seq("sub"))
+      .select(col("query_id"), col("list_id"), col("sub"), col("cid"),
+        aggregate(zip_with(col("sv"), col("cv"), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, x) => acc + x).as("d"))
+    val adc = indexed.join(broadcast(qres), Seq("list_id", "sub", "cid"))
       .groupBy(col("query_id"), col("vec_id").as("target_id"))
       .agg(sum("d").as("adc_dist"))
     val w = Window.partitionBy("query_id")

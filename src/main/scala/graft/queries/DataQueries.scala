@@ -1968,6 +1968,67 @@ object DataQueries {
         coarse, nProbe = 2, k = 5)
     },
 
+    // RESIDUAL IVFADC (Jégou et al. 2011 §IV — the FAISS `IVFADC` layout
+    // proper, completing q414's non-residual simplification): the PQ
+    // codebook quantizes x − c_list, which is far lower-variance than x,
+    // so the same 2-byte code carries more precision; each query builds a
+    // distance table PER PROBED LIST (its residual vs that list's
+    // centroid, |Q|·nProbe·m·k entries, broadcast-bounded) and a target in
+    // an unprobed list matches no table row — the gating IS the join.
+    // Residuals are BIGINT subtractions of quantized values, so the whole
+    // thing — coarse fit, residual fit, codes, gated ADC — still replays
+    // in the oracle bit-for-bit
+    "q415_residual_ivf_pq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val coarse = graft.ann.Pq.fitCodebook(emb, m = 1, subDim = 64, k = 8,
+        iters = 2)
+      val rcb = graft.ann.Pq.fitResidualCodebook(emb, coarse, m = 4,
+        subDim = 16, k = 16, iters = 2)
+      graft.ann.Pq.residualIvfAdcTopK(emb, emb.filter(col("vec_id") < 30),
+        coarse, rcb, nProbe = 2, k = 5)
+    },
+
+    // INDEX RECALL GATE — the "which index can I ship" readout: recall@5
+    // of each COMPRESSED index (int8, PQ-ADC, IVF-PQ) against the exact
+    // float-cosine top-5, mean and worst-case per query, in exact ppm
+    // integer arithmetic. Every variant in the report is itself
+    // oracle-replayable, so the gate has a full row-level oracle — the
+    // observability sibling of q74's blocking-quality report at ANN grain.
+    // The exact top-5 is computed ONCE (localCheckpoint) and each variant
+    // joins it left-semi; queries a variant misses entirely still count
+    // (left join from the query list, zero-coalesced)
+    "q416_index_recall_gate" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 30)
+      val exact = Knn.bruteForceTopK(q, emb, k = 5)
+        .select("query_id", "target_id").localCheckpoint()
+      val cb = graft.ann.Pq.fitCodebook(emb, m = 4, subDim = 16, k = 16,
+        iters = 2)
+      val coarse = graft.ann.Pq.fitCodebook(emb, m = 1, subDim = 64, k = 8,
+        iters = 2)
+      def recallOf(name: String, res: DataFrame): DataFrame = {
+        val hits = res.select("query_id", "target_id")
+          .join(exact, Seq("query_id", "target_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        exact.select("query_id").distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .agg(count(lit(1)).cast("long").as("n_queries"),
+            sum("n_hit").cast("long").as("n_hits"),
+            min("n_hit").cast("long").as("min_hits"))
+          .select(lit(name).as("variant"), col("n_queries"),
+            expr("CAST(n_hits * 1000000 div (n_queries * 5) AS BIGINT)")
+              .as("recall_ppm"),
+            expr("CAST(min_hits * 1000000 div 5 AS BIGINT)")
+              .as("min_recall_ppm"))
+      }
+      recallOf("int8", Knn.bruteForceTopKInt8(q, emb, k = 5))
+        .unionByName(recallOf("pq_adc",
+          graft.ann.Pq.adcTopK(emb, q, cb, k = 5)))
+        .unionByName(recallOf("ivf_pq",
+          graft.ann.Pq.ivfAdcTopK(emb, q, cb, coarse, nProbe = 2, k = 5)))
+    },
+
     // SIMHASH LEDGER COMPACTION — q400's fingerprint sibling over the
     // q387 chunks layout: two-half ingest, compact to one file per bucket
     // partition, twin probe bit-identical pre/post
@@ -2463,7 +2524,8 @@ object DataQueries {
     * q414 can run the PQ and the coarse quantizer side by side;
     * MATERIALIZED throughout (the q406/q407 CTE-inlining gotcha).
     */
-  private def pqFitSql(p: String, m: Int, subDim: Int, k: Int): String = {
+  private def pqFitSql(p: String, m: Int, subDim: Int, k: Int,
+                       src: String = "pqqv"): String = {
     def assign(name: String, cents: String) =
       s"""$name AS MATERIALIZED (
            SELECT vec_id, sub, cid, sv FROM (
@@ -2486,12 +2548,12 @@ object DataQueries {
              USING (sub, cid))"""
     s"""${p}sub AS MATERIALIZED (
           SELECT vec_id, j AS sub, v[j*$subDim+1 : j*$subDim+$subDim] AS sv
-          FROM pqqv, range(0,$m) t(j)),
+          FROM $src, range(0,$m) t(j)),
         ${p}c0 AS MATERIALIZED (
           SELECT sub, CAST(row_number() OVER (PARTITION BY sub
                            ORDER BY vec_id) - 1 AS INT) AS cid, sv AS cv
           FROM ${p}sub
-          WHERE vec_id IN (SELECT vec_id FROM pqqv ORDER BY vec_id LIMIT $k)),
+          WHERE vec_id IN (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $k)),
         ${assign(s"${p}a1", s"${p}c0")},
         ${update(s"${p}c0", s"${p}a1", s"${p}c1")},
         ${assign(s"${p}a2", s"${p}c1")},
@@ -3315,6 +3377,178 @@ object DataQueries {
             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                       ORDER BY adc_dist, target_id) AS INT) AS rank
             FROM adc) WHERE rank <= 5""",
+    // coarse fit + integer residuals + residual-codebook fit + per-probed-
+    // list distance tables + the gated ADC — the full IVFADC replay
+    "q415_residual_ivf_pq" ->
+      s"""WITH $pqQvSql,
+          ${pqFitSql("cr", 1, 64, 8)},
+          rlist AS MATERIALIZED (
+            SELECT vec_id, cid AS list_id FROM (
+              SELECT s.vec_id, c.cid,
+                row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM crsub s JOIN crc2 c USING (sub)) WHERE rn = 1),
+          rqv AS MATERIALIZED (
+            SELECT q.vec_id,
+                   list_transform(list_zip(q.v, c.cv), p -> p[1]-p[2]) AS v
+            FROM pqqv q JOIN rlist l USING (vec_id)
+            JOIN crc2 c ON c.cid = l.list_id),
+          ${pqFitSql("rs", 4, 16, 16, src = "rqv")},
+          rcodes AS MATERIALIZED (
+            SELECT vec_id, sub, cid FROM (
+              SELECT s.vec_id, s.sub, c.cid,
+                row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM rssub s JOIN rsc2 c USING (sub)) WHERE rn = 1),
+          probes AS MATERIALIZED (
+            SELECT query_id, list_id FROM (
+              SELECT s.vec_id AS query_id, c.cid AS list_id,
+                row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM crsub s JOIN crc2 c USING (sub)
+              WHERE s.vec_id < 30) WHERE rn <= 2),
+          qres AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, pr.list_id,
+                   list_transform(list_zip(q.v, c.cv), p -> p[1]-p[2]) AS v
+            FROM pqqv q JOIN probes pr ON pr.query_id = q.vec_id
+            JOIN crc2 c ON c.cid = pr.list_id),
+          qsub AS MATERIALIZED (
+            SELECT query_id, list_id, j AS sub, v[j*16+1 : j*16+16] AS sv
+            FROM qres, range(0,4) t(j)),
+          dtab AS MATERIALIZED (
+            SELECT s.query_id, s.list_id, s.sub, c.cid,
+              CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
+                p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+            FROM qsub s JOIN rsc2 c USING (sub)),
+          adc AS (
+            SELECT q.query_id, t.vec_id AS target_id,
+                   CAST(sum(q.d) AS BIGINT) AS adc_dist
+            FROM rcodes t
+            JOIN rlist l ON l.vec_id = t.vec_id
+            JOIN dtab q ON q.list_id = l.list_id
+                       AND q.sub = t.sub AND q.cid = t.cid
+            GROUP BY 1, 2)
+          SELECT query_id, target_id, adc_dist, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_dist, target_id) AS INT) AS rank
+            FROM adc) WHERE rank <= 5""",
+    // exact float-cosine top-5, int8 top-5, PQ top-5, IVF-PQ top-5 — each
+    // replayed, then the per-variant recall aggregation in exact ppm
+    "q416_index_recall_gate" ->
+      s"""WITH $pqQvSql,
+          ${pqFitSql("pq", 4, 16, 16)},
+          ${pqFitSql("cr", 1, 64, 8)},
+          ex AS MATERIALIZED (
+            SELECT query_id, target_id FROM (
+              SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                  round(list_cosine_similarity(q.embedding::DOUBLE[],
+                        t.embedding::DOUBLE[]), 9) DESC, t.vec_id) AS rank
+              FROM embeddings q CROSS JOIN embeddings t
+              WHERE q.vec_id < 30) WHERE rank <= 5),
+          qmax AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(x))) AS ma
+            FROM embeddings),
+          quant AS MATERIALIZED (
+            SELECT vec_id,
+                   CASE WHEN ma > 0 THEN
+                     list_transform(embedding,
+                       x -> CAST(floor(x * 127.0 / ma + 0.5) AS DOUBLE))
+                   ELSE list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                   END AS qv
+            FROM qmax),
+          i8 AS MATERIALIZED (
+            SELECT query_id, target_id FROM (
+              SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                  round(list_cosine_similarity(q.qv, t.qv), 9) DESC,
+                  t.vec_id) AS rank
+              FROM quant q CROSS JOIN quant t
+              WHERE q.vec_id < 30) WHERE rank <= 5),
+          codes AS MATERIALIZED (
+            SELECT vec_id, sub, cid FROM (
+              SELECT s.vec_id, s.sub, c.cid,
+                row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM pqsub s JOIN pqc2 c USING (sub)) WHERE rn = 1),
+          qdist AS MATERIALIZED (
+            SELECT s.vec_id AS query_id, s.sub, c.cid,
+              CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
+                p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+            FROM pqsub s JOIN pqc2 c USING (sub) WHERE s.vec_id < 30),
+          pq5 AS MATERIALIZED (
+            SELECT query_id, target_id FROM (
+              SELECT query_id, target_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist, target_id) AS rank
+              FROM (SELECT q.query_id, t.vec_id AS target_id,
+                           CAST(sum(q.d) AS BIGINT) AS adc_dist
+                    FROM codes t JOIN qdist q
+                      ON t.sub = q.sub AND t.cid = q.cid
+                    GROUP BY 1, 2)) WHERE rank <= 5),
+          tlist AS MATERIALIZED (
+            SELECT vec_id, cid AS list_id FROM (
+              SELECT s.vec_id, c.cid,
+                row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM crsub s JOIN crc2 c USING (sub)) WHERE rn = 1),
+          probes AS MATERIALIZED (
+            SELECT query_id, list_id FROM (
+              SELECT s.vec_id AS query_id, c.cid AS list_id,
+                row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM crsub s JOIN crc2 c USING (sub)
+              WHERE s.vec_id < 30) WHERE rn <= 2),
+          ivfpq5 AS MATERIALIZED (
+            SELECT query_id, target_id FROM (
+              SELECT query_id, target_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist, target_id) AS rank
+              FROM (SELECT q.query_id, t.vec_id AS target_id,
+                           CAST(sum(q.d) AS BIGINT) AS adc_dist
+                    FROM codes t
+                    JOIN tlist l ON l.vec_id = t.vec_id
+                    JOIN probes pr ON pr.list_id = l.list_id
+                    JOIN qdist q ON q.query_id = pr.query_id
+                                AND t.sub = q.sub AND t.cid = q.cid
+                    GROUP BY 1, 2)) WHERE rank <= 5),
+          ql AS MATERIALIZED (SELECT DISTINCT query_id FROM ex)
+          SELECT 'int8' AS variant,
+                 CAST(count(*) AS BIGINT) AS n_queries,
+                 CAST(sum(n_hit) * 1000000 // (count(*) * 5) AS BIGINT)
+                   AS recall_ppm,
+                 CAST(min(n_hit) * 1000000 // 5 AS BIGINT) AS min_recall_ppm
+          FROM (SELECT ql.query_id, coalesce(h.n_hit, 0) AS n_hit FROM ql
+                LEFT JOIN (SELECT v.query_id, count(*) AS n_hit
+                           FROM i8 v JOIN ex USING (query_id, target_id)
+                           GROUP BY 1) h USING (query_id))
+          UNION ALL
+          SELECT 'pq_adc' AS variant,
+                 CAST(count(*) AS BIGINT) AS n_queries,
+                 CAST(sum(n_hit) * 1000000 // (count(*) * 5) AS BIGINT)
+                   AS recall_ppm,
+                 CAST(min(n_hit) * 1000000 // 5 AS BIGINT) AS min_recall_ppm
+          FROM (SELECT ql.query_id, coalesce(h.n_hit, 0) AS n_hit FROM ql
+                LEFT JOIN (SELECT v.query_id, count(*) AS n_hit
+                           FROM pq5 v JOIN ex USING (query_id, target_id)
+                           GROUP BY 1) h USING (query_id))
+          UNION ALL
+          SELECT 'ivf_pq' AS variant,
+                 CAST(count(*) AS BIGINT) AS n_queries,
+                 CAST(sum(n_hit) * 1000000 // (count(*) * 5) AS BIGINT)
+                   AS recall_ppm,
+                 CAST(min(n_hit) * 1000000 // 5 AS BIGINT) AS min_recall_ppm
+          FROM (SELECT ql.query_id, coalesce(h.n_hit, 0) AS n_hit FROM ql
+                LEFT JOIN (SELECT v.query_id, count(*) AS n_hit
+                           FROM ivfpq5 v JOIN ex USING (query_id, target_id)
+                           GROUP BY 1) h USING (query_id))""",
     // exact-core count replayed relationally; the two variant-vs-exact
     // verdicts are structural zeros (IVF pruning only removes edges:
     // degrees only drop, components only split) asserted in-query

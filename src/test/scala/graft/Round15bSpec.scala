@@ -63,6 +63,62 @@ class Round15bSpec extends SparkSpec {
     assert(top == Set((0L, 0L, 0L, 1), (1L, 1L, 0L, 1)))
   }
 
+  test("residual ivf-pq: with ONE coarse list it equals plain ADC over " +
+      "pre-centered vectors (residual arithmetic is exact centering)") {
+    // coarse k=1, iters=1 ⇒ the single centroid is the floored mean
+    // (4,4,4,4); the residual index must therefore behave exactly like a
+    // plain PQ index built on the hand-centered data
+    val raw = vecDf(0L -> Seq(0f, 0f, 4f, 4f), 1L -> Seq(2f, 2f, 0f, 0f),
+      2L -> Seq(8f, 8f, 8f, 8f), 3L -> Seq(6f, 6f, 4f, 4f))
+    val centered = vecDf(0L -> Seq(-4f, -4f, 0f, 0f),
+      1L -> Seq(-2f, -2f, -4f, -4f), 2L -> Seq(4f, 4f, 4f, 4f),
+      3L -> Seq(2f, 2f, 0f, 0f))
+    val coarse = Pq.fitCodebook(raw, m = 1, subDim = 4, k = 1, iters = 1,
+      scale = 1.0)
+    assert(coarse.cents(0)(0).toSeq == Seq(4L, 4L, 4L, 4L))
+    val rcb = Pq.fitResidualCodebook(raw, coarse, m = 2, subDim = 2, k = 2,
+      iters = 1)
+    val cb = Pq.fitCodebook(centered, m = 2, subDim = 2, k = 2, iters = 1,
+      scale = 1.0)
+    assert(rcb.cents.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.cents.map(_.map(_.toSeq).toSeq).toSeq,
+      "residual codebook must equal the centered-data codebook")
+    val viaResidual = Pq.residualIvfAdcTopK(raw, raw, coarse, rcb,
+      nProbe = 1, k = 4).as[(Long, Long, Long, Int)].collect().toSet
+    val viaCentered = Pq.adcTopK(centered, centered, cb, k = 4)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(viaResidual == viaCentered)
+  }
+
+  test("residual ivf-pq: gating changes recall, never arithmetic — " +
+      "nProbe=1 distances are a subset of the all-lists scan") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val coarse = Pq.fitCodebook(emb, m = 1, subDim = 64, k = 4, iters = 1)
+    val rcb = Pq.fitResidualCodebook(emb, coarse, m = 4, subDim = 16,
+      k = 8, iters = 1)
+    val all = Pq.residualIvfAdcTopK(emb, queries, coarse, rcb, nProbe = 4,
+      k = 1 << 30).select("query_id", "target_id", "adc_dist")
+      .as[(Long, Long, Long)].collect().toSet
+    val gated = Pq.residualIvfAdcTopK(emb, queries, coarse, rcb,
+      nProbe = 1, k = 1 << 30).select("query_id", "target_id", "adc_dist")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gated.nonEmpty && gated.subsetOf(all))
+  }
+
+  test("index recall gate (q416): every variant scores 30 queries with " +
+      "recall in [0, 10^6] and worst-case <= mean") {
+    val out = graft.queries.DataQueries
+      .queries("q416_index_recall_gate")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet == Set("int8", "pq_adc", "ivf_pq"))
+    out.foreach { case (v, nq, mean, worst) =>
+      assert(nq == 30L, s"$v must score every query")
+      assert(mean >= 0L && mean <= 1000000L, s"$v mean out of range")
+      assert(worst >= 0L && worst <= mean, s"$v worst-case above mean")
+    }
+  }
+
   test("ivf-pq: probing every list reproduces exhaustive ADC exactly; " +
       "fewer probes stay a subset per query") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
