@@ -23,6 +23,87 @@ object Graphs {
     a.join(b, "o").filter(col("src") =!= col("dst")).select("src", "dst")
   }
 
+  /** ONE synchronous Louvain local-move sweep (Blondel et al. 2008 phase-1
+    * step, the move rule distributed-Louvain implementations apply per
+    * round): every node i in community a evaluates, against the CURRENT
+    * partition, the exact modularity gain of moving to each neighbouring
+    * community c —
+    *
+    *   ΔQ(i→c)·2m² = 2m·(k_ic − k_ia) − d_i·(Σtot_c − Σtot_a + d_i)
+    *
+    * (k_ic = i's edges into c, Σtot_c = degree mass of c; the −d_i term is
+    * i's own removal from a) — and adopts the strictly-positive best, ties
+    * to the smallest community label, else stays. All moves apply
+    * SIMULTANEOUSLY off the old partition (the synchronous semantics every
+    * engine-parallel Louvain uses; a full Louvain loops this to a plateau —
+    * callers iterate, this kernel is one bounded round, the k-truss/KCore
+    * round contract). Synchronous sweeps can oscillate on adversarial
+    * graphs, so the q417 surface reports EXACT Q before and after rather
+    * than asserting improvement.
+    *
+    * Exact arithmetic end to end: gains in DECIMAL(38,0) (2m·k products
+    * overflow BIGINT long before the declared N guards elsewhere), the
+    * argmax a (gain desc, label asc) row_number — node-partitioned window,
+    * no global sort. Shape: one edge canonicalization feeding directions,
+    * degrees, and neighbour-community counts (shared subtree), label-sized
+    * Σtot aggregation broadcast back, one node-grain argmax.
+    *
+    * @return one row per graph node: `n, lbl_old, lbl_new`
+    */
+  def louvainMove(edges: DataFrame, srcCol: String, dstCol: String,
+                  labels: DataFrame, nodeCol: String,
+                  lblCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val canon = edges
+      .filter(col(srcCol) =!= col(dstCol) &&
+        col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+      .localCheckpoint() // m, degrees, directions all read this freeze
+    val m = canon.count()
+    val lbl = labels.select(col(nodeCol).as("n"), col(lblCol).as("lbl"))
+    val dir = canon.select(col("u").as("n"), col("v").as("nbr"))
+      .unionAll(canon.select(col("v").as("n"), col("u").as("nbr")))
+    val deg = dir.groupBy("n").agg(count(lit(1)).cast("long").as("d"))
+    // every graph node must be labeled — the q394 caller contract, loud
+    val nodeLbl = deg.join(lbl, Seq("n"), "left")
+      .withColumn("lbl",
+        when(col("lbl").isNull, raise_error(concat(
+          lit("louvainMove: unlabeled graph node "), col("n"))))
+          .otherwise(col("lbl")))
+    val sigmaTot = nodeLbl.groupBy("lbl")
+      .agg(sum("d").cast("long").as("stot"))
+    // k_ic: i's edge count into each neighbouring community
+    val kic = dir
+      .join(lbl.select(col("n").as("nbr"), col("lbl").as("c")), Seq("nbr"))
+      .groupBy("n", "c").agg(count(lit(1)).cast("long").as("k"))
+    val base = nodeLbl // (n, d, lbl=a)
+      .join(kic.select(col("n"), col("c").as("lbl"),
+        col("k").as("k_ia")), Seq("n", "lbl"), "left")
+      .withColumn("k_ia", coalesce(col("k_ia"), lit(0L)))
+      .join(broadcast(sigmaTot.select(col("lbl"),
+        col("stot").as("stot_a"))), Seq("lbl"))
+    val cand = base
+      .join(kic, Seq("n"))
+      .filter(col("c") =!= col("lbl"))
+      .join(broadcast(sigmaTot.select(col("lbl").as("c"),
+        col("stot").as("stot_c"))), Seq("c"))
+      .withColumn("gain2m2", expr(
+        s"""CAST(2 AS $d38) * $m * (k - k_ia) -
+            CAST(d AS $d38) * (stot_c - stot_a + d)"""))
+      .filter(col("gain2m2") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n").orderBy(col("gain2m2").desc, col("c"))
+    val best = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("n"), col("c").as("lbl_best"))
+    nodeLbl.select(col("n"), col("lbl").as("lbl_old"))
+      .join(best, Seq("n"), "left")
+      .select(col("n"), col("lbl_old"),
+        coalesce(col("lbl_best"), col("lbl_old")).as("lbl_new"))
+  }
+
   /** Newman modularity of a GIVEN node partition (Newman & Girvan 2004)
     * — "is this labeling a real community structure": Q = Σ_c [m_c/m −
     * (D_c/2m)²] over the undirected simple graph (self-loops dropped,

@@ -744,6 +744,38 @@ object RankQueries {
         t(s, dir, "part"), "p_partkey", "p_brand")
     },
 
+    // LOUVAIN LOCAL-MOVE SWEEP — q394 asked "how good is this partition";
+    // this asks "and what would one refinement round do": every node
+    // adopts the neighbouring community with the best exact 2m²-scaled
+    // modularity gain (strictly positive, ties to the smallest label),
+    // all moves applied synchronously off the old partition — the phase-1
+    // step distributed Louvain engines run per round. Both Q values
+    // reported exactly via the q394 kernel (synchronous sweeps may
+    // oscillate on adversarial graphs, so the surface MEASURES ΔQ rather
+    // than asserting it). Full relational oracle — gains, argmax, and
+    // both modularities replay in SQL
+    "q417_louvain_move" -> { (s, dir) =>
+      val edges = graft.operators.Graphs
+        .coPurchaseEdges(t(s, dir, "lineitem"))
+      val part = t(s, dir, "part")
+      val moves = graft.operators.Graphs.louvainMove(edges, "src", "dst",
+        part, "p_partkey", "p_brand").localCheckpoint()
+      val before = graft.operators.Graphs.modularity(edges, "src", "dst",
+        part, "p_partkey", "p_brand")
+        .select(col("n_edges"), col("n_communities").as("n_comm_before"),
+          col("q_x1e6").as("q_before_x1e6"))
+      val after = graft.operators.Graphs.modularity(edges, "src", "dst",
+        moves, "n", "lbl_new")
+        .select(col("n_communities").as("n_comm_after"),
+          col("q_x1e6").as("q_after_x1e6"))
+      moves.agg(count(lit(1)).cast("long").as("n_nodes"),
+          sum(when(col("lbl_new") =!= col("lbl_old"), 1L).otherwise(0L))
+            .cast("long").as("n_moved"))
+        .crossJoin(broadcast(before)).crossJoin(broadcast(after))
+        .select("n_nodes", "n_edges", "n_moved", "n_comm_before",
+          "n_comm_after", "q_before_x1e6", "q_after_x1e6")
+    },
+
     // EXACT 1-D WASSERSTEIN — how much VALUE MASS moved between the
     // click and purchase amount distributions (KS: worst deviation,
     // CvM: integrated deviation, W₁: mass × distance — the drift metric
@@ -1051,6 +1083,85 @@ object RankQueries {
                      // (CAST(4 AS HUGEINT) * n_edges * n_edges)
                      AS BIGINT) AS q_x1e6
          FROM m, ls, nn""",
+    // the full sweep replayed: neighbour-community gains, positive-argmax
+    // move rule, then the q394 modularity arithmetic on BOTH partitions
+    "q417_louvain_move" ->
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey),
+         lbl AS MATERIALIZED (SELECT p_partkey AS n, p_brand AS lbl FROM part),
+         mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+         deg AS MATERIALIZED (
+           SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+           (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+         nl AS MATERIALIZED (
+           SELECT deg.n, deg.d, lbl.lbl FROM deg JOIN lbl USING (n)),
+         st AS MATERIALIZED (
+           SELECT lbl, CAST(sum(d) AS BIGINT) AS stot FROM nl GROUP BY 1),
+         dirs AS MATERIALIZED (
+           SELECT u AS n, v AS nbr FROM e0 UNION ALL SELECT v, u FROM e0),
+         kic AS MATERIALIZED (
+           SELECT dirs.n, l2.lbl AS c, CAST(count(*) AS BIGINT) AS k
+           FROM dirs JOIN lbl l2 ON l2.n = dirs.nbr GROUP BY 1, 2),
+         base AS MATERIALIZED (
+           SELECT nl.n, nl.d, nl.lbl, coalesce(kia.k, 0) AS k_ia,
+                  st.stot AS stot_a
+           FROM nl LEFT JOIN kic kia ON kia.n = nl.n AND kia.c = nl.lbl
+           JOIN st ON st.lbl = nl.lbl),
+         cand AS MATERIALIZED (
+           SELECT base.n, kic.c,
+                  CAST(2 AS HUGEINT) * mm.m * (kic.k - base.k_ia)
+                  - CAST(base.d AS HUGEINT) *
+                    (stc.stot - base.stot_a + base.d) AS gain
+           FROM base JOIN kic ON kic.n = base.n AND kic.c <> base.lbl
+           JOIN st stc ON stc.lbl = kic.c CROSS JOIN mm),
+         best AS MATERIALIZED (
+           SELECT n, c FROM (
+             SELECT n, c, row_number() OVER (PARTITION BY n
+                      ORDER BY gain DESC, c) AS rn
+             FROM cand WHERE gain > 0) WHERE rn = 1),
+         mv AS MATERIALIZED (
+           SELECT nl.n, nl.lbl AS lbl_old, coalesce(best.c, nl.lbl) AS lbl_new
+           FROM nl LEFT JOIN best USING (n)),
+         nl2 AS MATERIALIZED (
+           SELECT mv.n, deg.d, mv.lbl_new AS lbl FROM mv JOIN deg USING (n)),
+         st2 AS MATERIALIZED (
+           SELECT lbl, CAST(sum(d) AS BIGINT) AS stot FROM nl2 GROUP BY 1),
+         qb AS MATERIALIZED (
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM st) AS n_comm,
+                  (SELECT sum(CAST(stot AS HUGEINT) * stot) FROM st) AS dc2,
+                  (SELECT CAST(sum(CASE WHEN lu.lbl = lv.lbl THEN 1 ELSE 0
+                                   END) AS BIGINT)
+                   FROM e0 JOIN lbl lu ON lu.n = e0.u
+                           JOIN lbl lv ON lv.n = e0.v) AS intra),
+         qa AS MATERIALIZED (
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM st2) AS n_comm,
+                  (SELECT sum(CAST(stot AS HUGEINT) * stot) FROM st2) AS dc2,
+                  (SELECT CAST(sum(CASE WHEN lu.lbl_new = lv.lbl_new THEN 1
+                                   ELSE 0 END) AS BIGINT)
+                   FROM e0 JOIN mv lu ON lu.n = e0.u
+                           JOIN mv lv ON lv.n = e0.v) AS intra),
+         mvagg AS MATERIALIZED (
+           SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                  CAST(sum(CASE WHEN lbl_new <> lbl_old THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_moved
+           FROM mv)
+         SELECT mvagg.n_nodes, mm.m AS n_edges, mvagg.n_moved,
+                qb.n_comm AS n_comm_before, qa.n_comm AS n_comm_after,
+                (CASE WHEN CAST(4 AS HUGEINT) * mm.m * qb.intra - qb.dc2 >= 0
+                      THEN 1 ELSE -1 END) *
+                CAST(abs(CAST(4 AS HUGEINT) * mm.m * qb.intra - qb.dc2)
+                     * 1000000 // (CAST(4 AS HUGEINT) * mm.m * mm.m)
+                     AS BIGINT) AS q_before_x1e6,
+                (CASE WHEN CAST(4 AS HUGEINT) * mm.m * qa.intra - qa.dc2 >= 0
+                      THEN 1 ELSE -1 END) *
+                CAST(abs(CAST(4 AS HUGEINT) * mm.m * qa.intra - qa.dc2)
+                     * 1000000 // (CAST(4 AS HUGEINT) * mm.m * mm.m)
+                     AS BIGINT) AS q_after_x1e6
+         FROM mvagg, mm, qb, qa""",
     "q388_signed_rank" ->
       """WITH users AS (SELECT DISTINCT user_id FROM events),
          h1 AS (SELECT user_id, count(*) AS c FROM events

@@ -119,6 +119,38 @@ class Round15bSpec extends SparkSpec {
     }
   }
 
+  test("louvain move: the mislabeled triangle member rejoins its " +
+      "triangle — hand-checked 2m^2-scaled gains") {
+    // two triangles {0,1,2} and {3,4,5} plus the bridge 2–3; node 2 is
+    // mislabeled B. gain(2→A)·2m² = 2·7·(2−1) − 3·(4−10+3) = 23 > 0 and
+    // every other node's best alternative is non-positive, so EXACTLY
+    // node 2 moves and the partition becomes the two triangles
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L),
+      (4L, 5L), (2L, 3L)).toDF("src", "dst")
+    val labels = Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B"),
+      (4L, "B"), (5L, "B")).toDF("node", "lbl")
+    val moves = graft.operators.Graphs
+      .louvainMove(edges, "src", "dst", labels, "node", "lbl")
+      .as[(Long, String, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(moves(2L) == ("B", "A"))
+    moves.filterNot(_._1 == 2L).foreach { case (n, (o, nw)) =>
+      assert(o == nw, s"node $n must not move")
+    }
+  }
+
+  test("louvain move: a partition at its local optimum is a fixpoint") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L),
+      (4L, 5L), (2L, 3L)).toDF("src", "dst")
+    val perfect = Seq((0L, "A"), (1L, "A"), (2L, "A"), (3L, "B"),
+      (4L, "B"), (5L, "B")).toDF("node", "lbl")
+    val moves = graft.operators.Graphs
+      .louvainMove(edges, "src", "dst", perfect, "node", "lbl")
+      .as[(Long, String, String)].collect()
+    assert(moves.length == 6 && moves.forall(t => t._2 == t._3),
+      s"no node may move off the optimum: ${moves.mkString(", ")}")
+  }
+
   test("ivf-pq: probing every list reproduces exhaustive ADC exactly; " +
       "fewer probes stay a subset per query") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
