@@ -461,6 +461,130 @@ object Knn {
     df.sparkSession.createDataFrame(rdd, pairSchema)
   }
 
+  /** Multi-probe LSH top-k search (Lv et al. 2007, VLDB): ONE nBits-bit
+    * random-hyperplane signature buckets the corpus; each query probes its
+    * own bucket PLUS the `nProbes − 1` buckets reached by flipping its
+    * least-confident sign bits one at a time — the bits whose |dot| margin
+    * is smallest are the ones a near neighbour most likely disagrees on,
+    * so probing them buys most of the recall of extra hash tables at ZERO
+    * extra index cost (the classic multi-probe trade: memory for probes).
+    * Candidates are exact-cosine verified through the packed broadcast
+    * kernel, so reported scores are exact and probing affects RECALL ONLY;
+    * top-k is a query-partitioned (cosine desc, id) window.
+    *
+    * Scale shape: the corpus carries one long bucket key (map-only
+    * signature UDF, the seeded-plane closure idiom of [[lshCosinePairs]]);
+    * probe pairs are |Q|·nProbes and broadcast against it — the corpus
+    * never shuffles. Size nBits with log2(n) to hold bucket occupancy
+    * constant; recall then comes from nProbes, not from re-hashing the
+    * corpus. Verification rides the same broadcastable-corpus bound as
+    * the rest of the family.
+    *
+    * Determinism: planes seeded; probe order (|margin| asc, bit asc);
+    * single-bit flips give nProbes DISTINCT buckets, so no candidate
+    * dedup is needed. Every query that is itself a member of `targets`
+    * finds itself (identical vector ⇒ identical signature ⇒ probe 0), so
+    * self-recall is structural — the q42-style oracle invariant.
+    */
+  def lshMultiProbeTopK(targets: DataFrame, queries: DataFrame, k: Int,
+                        nBits: Int = 12, nProbes: Int = 4, seed: Long = 42L,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(nBits >= 1 && nBits <= 62, s"nBits must be in [1, 62], got $nBits")
+    require(nProbes >= 1 && nProbes <= nBits + 1,
+      s"nProbes must be in [1, nBits + 1], got $nProbes")
+    val dim = targets.select(size(col(vecCol))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
+    val planes = {
+      val rng = new java.util.Random(seed)
+      Array.fill(nBits * dim)(rng.nextGaussian())
+    }
+    def dots(v: Seq[Float]): Array[Double] = {
+      val out = new Array[Double](nBits)
+      var b = 0
+      while (b < nBits) {
+        var dot = 0.0
+        var d = 0
+        val off = b * dim
+        val n = math.min(dim, v.length)
+        while (d < n) { dot += v(d) * planes(off + d); d += 1 }
+        out(b) = dot
+        b += 1
+      }
+      out
+    }
+    def sigOf(ds: Array[Double]): Long = {
+      var sig = 0L
+      var b = 0
+      while (b < nBits) { if (ds(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+    val sigUdf = udf { (vRaw: Seq[Float]) =>
+      sigOf(dots(if (vRaw == null) Seq.empty[Float] else vRaw))
+    }
+    val probesUdf = udf { (vRaw: Seq[Float]) =>
+      val ds = dots(if (vRaw == null) Seq.empty[Float] else vRaw)
+      val sig = sigOf(ds)
+      // flip order: |margin| asc, bit index asc — deterministic
+      val order = (0 until nBits).sortBy(b => (math.abs(ds(b)), b))
+      (Seq(sig) ++ order.take(nProbes - 1).map(b => sig ^ (1L << b))).toSeq
+    }
+    val tsig = targets.select(col(idCol).cast("long").as("target_id"),
+      sigUdf(col(vecCol)).as("bucket"))
+    val qprobes = queries.select(col(idCol).cast("long").as("query_id"),
+      explode(probesUdf(col(vecCol))).as("bucket"))
+    val cand = tsig.join(broadcast(qprobes), Seq("bucket"))
+      .select("query_id", "target_id")
+    // exact verification through the packed kernel — reported cosines are
+    // the true float cosines, identical to the brute-force baseline's
+    val packed = packVecs(targets, idCol, vecCol)
+    val qpacked = packVecs(queries, idCol, vecCol, dimHint = packed.dim)
+    val index = new java.util.HashMap[Long, Integer](2 * packed.n)
+    var i = 0
+    while (i < packed.n) { index.put(packed.ids(i), i); i += 1 }
+    val qindex = new java.util.HashMap[Long, Integer](2 * qpacked.n)
+    i = 0
+    while (i < qpacked.n) { qindex.put(qpacked.ids(i), i); i += 1 }
+    val bc = graft.BroadcastLifecycle.track(
+      targets.sparkSession.sparkContext.broadcast(
+        (index, packed, qindex, qpacked)))
+    val scoredSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("target_id", LongType, nullable = false),
+      StructField("cosine", DoubleType, nullable = false)))
+    val rdd = cand.rdd.mapPartitions { it =>
+      val (idx, p, qidx, qp) = bc.value
+      val tData = p.data; val tNorms = p.norms; val d = p.dim
+      val qData = qp.data; val qNorms = qp.norms
+      it.flatMap { r =>
+        val qid = r.getLong(0)
+        val tid = r.getLong(1)
+        val pq = qidx.get(qid)
+        val pt = idx.get(tid)
+        if (pq == null || pt == null) Iterator.empty
+        else {
+          var dot = 0.0
+          var dd = 0
+          val offQ = pq.intValue() * d
+          val offT = pt.intValue() * d
+          while (dd < d) {
+            dot += qData(offQ + dd).toDouble * tData(offT + dd).toDouble
+            dd += 1
+          }
+          val denom = qNorms(pq.intValue()) * tNorms(pt.intValue())
+          val s = if (denom == 0.0) 0.0 else round9(dot / denom)
+          Iterator.single(Row(qid, tid, s))
+        }
+      }
+    }
+    val scored = targets.sparkSession.createDataFrame(rdd, scoredSchema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("target_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "target_id", "cosine", "rank")
+  }
+
   /** IVF (inverted-file) coarse quantizer: seeded Lloyd's k-means over a
     * bounded sample of the target set, run ON THE DRIVER over primitive
     * arrays. Quantizer training is deliberately a small-data problem — at

@@ -1921,6 +1921,39 @@ object DataQueries {
       out
     },
 
+    // MULTI-PROBE LSH SEARCH (Lv et al. 2007) — recall from PROBES instead
+    // of extra hash tables: each query probes its own signature bucket plus
+    // the nProbes−1 buckets reached by flipping its least-confident
+    // (smallest |margin|) sign bits; candidates exact-cosine verified, so
+    // probing affects recall only. Hash-dependent ⇒ the q42-style
+    // invariant oracle: every query (a corpus member) finds itself
+    // (identical vector ⇒ identical signature ⇒ probe 0), and multi-probe
+    // recall vs the exact top-5 is ≥ single-probe recall (probe SUPERSET ⇒
+    // candidate superset; an exact-top-5 member in the pool always makes
+    // the reported top-5 because only other exact-top-5 members outrank
+    // it under the shared (cosine desc, id) order)
+    "q418_lsh_multiprobe" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 30)
+      val multi = Knn.lshMultiProbeTopK(emb, q, k = 5, nBits = 12,
+        nProbes = 4).localCheckpoint()
+      val single = Knn.lshMultiProbeTopK(emb, q, k = 5, nBits = 12,
+        nProbes = 1).localCheckpoint()
+      val exact = Knn.bruteForceTopK(q, emb, k = 5)
+        .select("query_id", "target_id").localCheckpoint()
+      val sp = s
+      import sp.implicits._
+      val nQ = q.count()
+      val selfFound = multi
+        .filter(col("query_id") === col("target_id"))
+        .select("query_id").distinct().count()
+      def hits(res: DataFrame): Long = res
+        .select("query_id", "target_id")
+        .join(exact, Seq("query_id", "target_id"), "left_semi").count()
+      Seq((nQ, selfFound, hits(multi) >= hits(single)))
+        .toDF("n_queries", "n_self_found", "recall_monotone")
+    },
+
     // PRODUCT-QUANTIZATION CODEBOOK (Jégou–Douze–Schmid 2011; FAISS `PQ`) —
     // the COMPRESSION member of the ANN family: 4 subspaces × 16 dims,
     // k-means'd to 16 integer centroids each. Everything is exact BIGINT /
@@ -3298,6 +3331,15 @@ object DataQueries {
       """SELECT CAST(4 * count(*) AS BIGINT) AS total_chunk_rows,
                 TRUE AS files_le_appends, TRUE AS buckets_bounded
          FROM documents WHERE text IS NOT NULL""",
+    // hash-dependent ⇒ structural invariants only: self-recall is
+    // guaranteed (identical vector, same signature, probe 0) and
+    // multi-probe recall dominates single-probe by the candidate-superset
+    // argument — both asserted in-query, replayed here as constants
+    "q418_lsh_multiprobe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                CAST(count(*) AS BIGINT) AS n_self_found,
+                TRUE AS recall_monotone
+         FROM embeddings WHERE vec_id < 30""",
     // full bit-for-bit replay of the 2-round exact-integer Lloyd fit
     "q412_pq_codebook" ->
       s"""WITH $pqQvSql,

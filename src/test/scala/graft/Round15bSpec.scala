@@ -119,6 +119,43 @@ class Round15bSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe lsh: an exact twin is found at cosine 1.0 even with " +
+      "a single probe (identical signature is structural)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val twin = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(999999L))
+    val corpus = emb.unionByName(twin)
+    val res = graft.ann.Knn.lshMultiProbeTopK(corpus,
+        corpus.filter(col("vec_id") === 0), k = 5, nBits = 12, nProbes = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    val found = res.filter(t => t._2 == 999999L)
+    assert(found.length == 1 && found.head._3 == 1.0,
+      s"twin must collide and score exactly 1.0: ${res.mkString(", ")}")
+    assert(res.exists(t => t._2 == 0L && t._3 == 1.0), "self found too")
+  }
+
+  test("multi-probe lsh: more probes never lose recall, and reported " +
+      "cosines equal the exact kernel's") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = graft.ann.Knn.bruteForceTopK(q, emb, k = 5)
+      .select("query_id", "target_id", "cosine").localCheckpoint()
+    def run(p: Int) = graft.ann.Knn.lshMultiProbeTopK(emb, q, k = 5,
+      nBits = 12, nProbes = p).localCheckpoint()
+    val r1 = run(1); val r8 = run(8)
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.join(exact.select("query_id", "target_id"),
+        Seq("query_id", "target_id"), "left_semi").count()
+    assert(hits(r8) >= hits(r1), "probe superset must not lose recall")
+    // any (query, target) reported by LSH and present in the exact top-5
+    // must carry the identical round-9 cosine — verification is exact
+    val mismatches = r8.select(col("query_id"), col("target_id"),
+        col("cosine").as("c_lsh"))
+      .join(exact, Seq("query_id", "target_id"))
+      .filter(col("c_lsh") =!= col("cosine")).count()
+    assert(mismatches == 0L)
+  }
+
   test("louvain move: the mislabeled triangle member rejoins its " +
       "triangle — hand-checked 2m^2-scaled gains") {
     // two triangles {0,1,2} and {3,4,5} plus the bridge 2–3; node 2 is
