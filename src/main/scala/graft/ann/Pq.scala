@@ -97,7 +97,7 @@ object Pq {
   /** Exact integer squared distance between a subvector column and a
     * literal centroid — BIGINT fold, codegen'd, no UDF.
     */
-  private def distToLit(sv: Column, cv: Array[Long]): Column =
+  private[ann] def distToLit(sv: Column, cv: Array[Long]): Column =
     aggregate(zip_with(sv, typedlit(cv.toSeq), (x, c) => (x - c) * (x - c)),
       lit(0L), (acc, x) => acc + x)
 

@@ -1921,6 +1921,17 @@ object DataQueries {
       out
     },
 
+    // K-CENTER CORESET (Gonzalez 1985 farthest-point traversal, 2-approx)
+    // — the DIVERSITY sampler beside the mass-based hash samplers: 6
+    // maximally-spread embeddings plus the cover radius certificate (every
+    // point within it of some center). Exact-integer distances against
+    // literal centers, TakeOrdered(1) per round over a frozen quantized
+    // frame — the oracle replays the whole greedy traversal as chained
+    // CTEs, bit for bit
+    "q420_kcenter_coreset" -> { (s, dir) =>
+      graft.ann.Coreset.kCenters(t(s, dir, "embeddings"), k = 6)
+    },
+
     // MULTI-PROBE LSH SEARCH (Lv et al. 2007) — recall from PROBES instead
     // of extra hash tables: each query probes its own signature bucket plus
     // the nProbes−1 buckets reached by flipping its least-confident
@@ -2601,6 +2612,41 @@ object DataQueries {
          SELECT vec_id, list_transform(embedding,
                   x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS v
          FROM embeddings WHERE len(embedding) = 64)"""
+
+  /** q420's greedy farthest-point replay: round r picks the point with
+    * the largest running min-distance (ties to the smallest id), then dr
+    * folds the new center into every point's min-distance — k chained
+    * CTEs, the exact traversal the Scala driver loop runs.
+    */
+  private def kcenterSql(k: Int): String = {
+    def dist(a: String, b: String) =
+      s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+        s"p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= s"""kqv AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS v
+        FROM embeddings),
+      c1 AS MATERIALIZED (SELECT vec_id, v FROM kqv ORDER BY vec_id LIMIT 1),
+      d1 AS MATERIALIZED (
+        SELECT q.vec_id, q.v, ${dist("q.v", "c.v")} AS dmin FROM kqv q, c1 c)"""
+    for (r <- 2 to k) {
+      val prior = (1 until r).map(i => s"SELECT vec_id FROM c$i")
+        .mkString(" UNION ALL ")
+      sb ++= s""",
+      c$r AS MATERIALIZED (
+        SELECT vec_id, v, dmin AS d_sel FROM d${r - 1}
+        WHERE vec_id NOT IN ($prior)
+        ORDER BY dmin DESC, vec_id LIMIT 1),
+      d$r AS MATERIALIZED (
+        SELECT q.vec_id, q.v, least(q.dmin, ${dist("q.v", "c.v")}) AS dmin
+        FROM d${r - 1} q, c$r c)"""
+    }
+    sb ++= s""",
+      rad AS MATERIALIZED (
+        SELECT CAST(max(dmin) AS BIGINT) AS cover_radius FROM d$k)"""
+    sb.toString
+  }
 
   val oracleSql: Map[String, String] = Map(
     // the oracle replays the quantile rule directly per bucket index
@@ -3331,6 +3377,17 @@ object DataQueries {
       """SELECT CAST(4 * count(*) AS BIGINT) AS total_chunk_rows,
                 TRUE AS files_le_appends, TRUE AS buckets_bounded
          FROM documents WHERE text IS NOT NULL""",
+    // the greedy traversal replayed as chained CTEs, anchor first
+    "q420_kcenter_coreset" ->
+      (s"""WITH ${kcenterSql(6)}
+          SELECT * FROM (""" +
+        (1 to 6).map { r =>
+          val dSel = if (r == 1) "CAST(NULL AS BIGINT)"
+            else s"(SELECT CAST(d_sel AS BIGINT) FROM c$r)"
+          s"""SELECT CAST($r AS INT) AS center_rank,
+                 (SELECT vec_id FROM c$r) AS vec_id,
+                 $dSel AS d_sel, rad.cover_radius FROM rad"""
+        }.mkString(" UNION ALL ") + ")"),
     // hash-dependent ⇒ structural invariants only: self-recall is
     // guaranteed (identical vector, same signature, probe 0) and
     // multi-probe recall dominates single-probe by the candidate-superset

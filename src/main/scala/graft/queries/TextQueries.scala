@@ -832,6 +832,19 @@ object TextQueries {
         (nStop.cast("double") / greatest(nWords, lit(1)).cast("double")).as("stop_ratio"))
     },
 
+    // WINNOWING FINGERPRINTS (Schleimer–Wilkerson–Aiken 2003, the MOSS
+    // algorithm) — q24's md5 catches exact duplicates only; winnowing
+    // localizes PARTIAL verbatim overlap with the paper's guarantee that
+    // any shared run of ≥ w+k−1 tokens shares a fingerprint. k=3 word
+    // grams, window w=4, min selected via one encoded-string minimum (the
+    // (hash, pos) tie-break in a single lexicographic min, portable to
+    // any engine); map-only gram emission + one doc-partitioned bounded
+    // ROWS window — full row-level oracle
+    "q419_winnowing" -> { (s, dir) =>
+      graft.functions.Winnowing.fingerprints(t(s, dir, "documents"),
+        "doc_id", "text", k = 3, w = 4)
+    },
+
     // document fingerprint: md5 of the word-sorted normalized text
     "q24_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents").select(
@@ -1839,6 +1852,33 @@ object TextQueries {
          CAST(len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS DOUBLE)
            / CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS DOUBLE) AS stop_ratio
          FROM documents""",
+    // the same relational steps: k-grams, encoded (md5, pos) string,
+    // bounded window min, full-window filter, distinct
+    "q419_winnowing" ->
+      """WITH t0 AS MATERIALIZED (
+           SELECT doc_id, string_split(trim(text), ' ') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         g AS MATERIALIZED (
+           SELECT doc_id, len(ws) - 2 AS nk,
+                  CAST(generate_subscripts(gl, 1) - 1 AS BIGINT) AS pos,
+                  unnest(gl) AS h
+           FROM (SELECT doc_id, ws,
+                        list_transform(range(1, len(ws) - 1),
+                          i -> md5(array_to_string(ws[i : i + 2], ' '))) AS gl
+                 FROM t0 WHERE len(ws) >= 3)),
+         hp AS MATERIALIZED (
+           SELECT doc_id, nk, pos,
+                  h || ':' || lpad(CAST(pos AS VARCHAR), 12, '0') AS hp
+           FROM g),
+         sel AS (
+           SELECT doc_id, pos, nk,
+                  min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+           FROM hp)
+         SELECT DISTINCT doc_id,
+                CAST(substr(s, 34, 12) AS BIGINT) AS fp_pos,
+                substr(s, 1, 32) AS fp
+         FROM sel WHERE pos <= nk - 4""",
     "q24_fingerprint" ->
       """SELECT doc_id,
          md5(array_to_string(list_sort(regexp_split_to_array(trim(text), '\s+')), ' ')) AS fingerprint

@@ -119,6 +119,68 @@ class Round15bSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: a shared 6-word run (w+k-1) guarantees a shared " +
+      "fingerprint; a 6-word doc yields exactly one") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "one two three gamma delta epsilon zeta eta kappa"),
+      (3L, "six little words exactly here now")).toDF("doc_id", "text")
+    val fp = graft.functions.Winnowing
+      .fingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Long, String)].collect()
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // docs 1 and 2 share "gamma delta epsilon zeta eta" plus one more
+    // overlapping token position — a >= w+k-1 run — so the detection
+    // guarantee applies
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "shared 6-word run must share a fingerprint")
+    assert(byDoc(3L).size == 1, "exactly one full window for 6 words")
+  }
+
+  test("winnowing: density guarantee — selected positions never gap by " +
+      "more than w") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 50)
+    val fp = graft.functions.Winnowing
+      .fingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .select("doc_id", "fp_pos").as[(Long, Long)].collect()
+    fp.groupBy(_._1).foreach { case (d, rows) =>
+      val ps = rows.map(_._2).sorted
+      ps.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b - a <= 4L, s"doc $d gaps ${b - a} > w between $a and $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("k-center coreset: hand-replayed 1-D farthest-point traversal") {
+    val df = Seq((0L, Seq(0f)), (1L, Seq(1f)), (2L, Seq(10f)),
+      (3L, Seq(20f))).toDF("vec_id", "embedding")
+    val out = graft.ann.Coreset.kCenters(df, k = 3, scale = 1.0)
+      .as[(Int, Long, Option[Long], Long)].collect().sortBy(_._1)
+    // anchor 0; farthest is 3 (400); then 2 (min(100 to 0, 100 to 20)=100);
+    // remaining point 1 has dmin 1 = the cover radius
+    assert(out.toSeq == Seq((1, 0L, None, 1L), (2, 3L, Some(400L), 1L),
+      (3, 2L, Some(100L), 1L)))
+  }
+
+  test("k-center coreset: selection distances are non-increasing and " +
+      "bound the final cover radius") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = graft.ann.Coreset.kCenters(emb, k = 5)
+      .as[(Int, Long, Option[Long], Long)].collect().sortBy(_._1)
+    val dsels = out.flatMap(_._3)
+    assert(dsels.length == 4)
+    dsels.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, "greedy picks must not increase")
+      case _ =>
+    }
+    assert(out.head._4 <= dsels.last,
+      "cover radius cannot exceed the last selection distance")
+    assert(out.map(_._2).distinct.length == 5, "centers are distinct")
+  }
+
   test("multi-probe lsh: an exact twin is found at cosine 1.0 even with " +
       "a single probe (identical signature is structural)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
