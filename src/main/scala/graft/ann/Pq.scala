@@ -283,14 +283,35 @@ object Pq {
                          coarse: Codebook, rcb: Codebook, nProbe: Int,
                          k: Int, idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
+    residualSearch(indexRows(targets, coarse, rcb, idCol, vecCol),
+      queries, coarse, rcb, nProbe, k, idCol, vecCol)
+  }
+
+  /** The IVFADC index relation: (vec_id, list_id, sub, cid) from one
+    * map-only pass — the single implementation behind the in-memory
+    * search, the disk index build, AND the append, so no two paths can
+    * disagree on where a vector lives or how it encodes.
+    */
+  private def indexRows(targets: DataFrame, coarse: Codebook, rcb: Codebook,
+                        idCol: String, vecCol: String): DataFrame = {
     require(coarse.m == 1 && coarse.subDim == rcb.m * rcb.subDim,
       s"coarse (m=${coarse.m}, dims=${coarse.subDim}) incompatible with " +
         s"residual pq dims ${rcb.m * rcb.subDim}")
-    val indexed = residualVectors(targets, coarse, idCol, vecCol)
+    residualVectors(targets, coarse, idCol, vecCol)
       .select(col("vec_id"), col("list_id"),
         explodeSubs(col("rv"), rcb.m, rcb.subDim))
       .select(col("vec_id"), col("list_id"), col("sub"),
         nearestCid(col("sub"), col("sv"), rcb.cents).as("cid"))
+  }
+
+  /** Probes, per-probed-list distance tables, gated ADC sum, top-k — the
+    * search shared by the in-memory and the disk-index paths (which differ
+    * only in where the `indexed` relation comes from).
+    */
+  private def residualSearch(indexed: DataFrame, queries: DataFrame,
+                             coarse: Codebook, rcb: Codebook, nProbe: Int,
+                             k: Int, idCol: String,
+                             vecCol: String): DataFrame = {
     val probes = {
       val w = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
       adcTable(queries, coarse, idCol, vecCol)
@@ -321,6 +342,89 @@ object Pq {
     adc.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "target_id", "adc_dist", "rank")
+  }
+
+  /** Persist an IVFADC index: `$path/meta` (shape + scale), `$path/coarse`
+    * and `$path/codebook` (long-format centroids), `$path/codes`
+    * partitioned by `list_id` — 2 B of codes per vector instead of 256 B
+    * of floats, and the probe reads ONLY the probed list directories
+    * (static partition pruning, the `ivfWriteIndex` serving layout at PQ
+    * compression). Both quantizers are fitted here and FROZEN — appends
+    * encode with the stored codebooks (standard serving practice), so an
+    * exhaustive probe over build+append is bit-identical to indexing the
+    * union with the build-time codebooks.
+    */
+  def writeIndex(targets: DataFrame, path: String, m: Int, subDim: Int,
+                 k: Int, iters: Int, nLists: Int, scale: Double = 1e6,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): Unit = {
+    val s = targets.sparkSession
+    val coarse = fitCodebook(targets, 1, m * subDim, nLists, iters, scale,
+      idCol, vecCol)
+    val rcb = fitResidualCodebook(targets, coarse, m, subDim, k, iters,
+      idCol, vecCol)
+    import s.implicits._
+    Seq((m, subDim, k, nLists, scale))
+      .toDF("m", "sub_dim", "k", "n_lists", "scale")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    coarse.toDf(s).coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/coarse")
+    rcb.toDf(s).coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/codebook")
+    indexRows(targets, coarse, rcb, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/codes")
+  }
+
+  private def readCodebooks(s: SparkSession,
+                            path: String): (Codebook, Codebook) = {
+    val meta = s.read.parquet(s"$path/meta").collect()(0)
+    val (m, subDim, k, nLists, scale) = (meta.getInt(0), meta.getInt(1),
+      meta.getInt(2), meta.getInt(3), meta.getDouble(4))
+    def load(dir: String, mm: Int, sd: Int, kk: Int): Codebook = {
+      val cents = Array.fill(mm, kk)(new Array[Long](sd))
+      s.read.parquet(s"$path/$dir").collect().foreach { r =>
+        cents(r.getInt(0))(r.getInt(1))(r.getInt(2) - 1) = r.getLong(3)
+      }
+      Codebook(mm, sd, scale, cents)
+    }
+    (load("coarse", 1, m * subDim, nLists), load("codebook", m, subDim, k))
+  }
+
+  /** Append a delta to a [[writeIndex]] layout: one map-only encode of the
+    * DELTA with the stored frozen codebooks, written into the same
+    * `list_id` partitions — the indexed corpus is never rescanned.
+    * Contract: delta ids disjoint from the indexed set; not atomic,
+    * re-run on failure.
+    */
+  def appendToIndex(delta: DataFrame, path: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val (coarse, rcb) = readCodebooks(delta.sparkSession, path)
+    indexRows(delta, coarse, rcb, idCol, vecCol)
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$path/codes")
+  }
+
+  /** Search a disk index: probes computed query-side, the codes scan
+    * statically pruned to the probed list directories, then the shared
+    * gated-ADC search — bit-identical to [[residualIvfAdcTopK]] on the
+    * same codebooks.
+    */
+  def probeIndex(queries: DataFrame, path: String, nProbe: Int,
+                 k: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val s = queries.sparkSession
+    val (coarse, rcb) = readCodebooks(s, path)
+    val probedLists = adcTable(queries, coarse, idCol, vecCol)
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("d"), col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select("cid").distinct().collect().map(_.getInt(0))
+    val indexed = s.read.parquet(s"$path/codes")
+      .filter(col("list_id")
+        .isin(probedLists.toIndexedSeq.map(Integer.valueOf): _*))
+    residualSearch(indexed, queries, coarse, rcb, nProbe, k, idCol, vecCol)
   }
 
   /** IVF-gated ADC (the IVFADC composition, non-residual variant): targets

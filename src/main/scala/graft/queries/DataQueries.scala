@@ -1932,6 +1932,45 @@ object DataQueries {
       graft.ann.Coreset.kCenters(t(s, dir, "embeddings"), k = 6)
     },
 
+    // PQ DISK INDEX — the IVFADC serving layout persisted (codes
+    // partitioned by list_id, 2 B per vector instead of 256 B of floats;
+    // meta + both codebooks beside them) and probed with STATIC PARTITION
+    // PRUNING: only the probed list directories are read. The probe is
+    // bit-identical to the in-memory q415 search by construction (shared
+    // indexRows/residualSearch implementations), so this query shares
+    // q415's full row-level oracle verbatim
+    "q421_pq_disk_index" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q421_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      graft.ann.Pq.writeIndex(emb, path, m = 4, subDim = 16, k = 16,
+        iters = 2, nLists = 8)
+      val out = graft.ann.Pq.probeIndex(emb.filter(col("vec_id") < 30),
+        path, nProbe = 2, k = 5).localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
+    // PQ INDEX APPEND — the corpus delta costs one map-only encode with
+    // the STORED frozen codebooks (never a refit, never a rescan of the
+    // indexed corpus), written into the same list_id partitions. Quantizers
+    // are fitted on the BUILD half only, so the oracle replays exactly
+    // that: fit restricted to the even half, codes over the full corpus
+    "q422_pq_index_append" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q422_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      graft.ann.Pq.writeIndex(emb.filter(col("vec_id") % 2 === 0), path,
+        m = 4, subDim = 16, k = 16, iters = 2, nLists = 8)
+      graft.ann.Pq.appendToIndex(emb.filter(col("vec_id") % 2 === 1), path)
+      val out = graft.ann.Pq.probeIndex(emb.filter(col("vec_id") < 30),
+        path, nProbe = 2, k = 5).localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
     // MULTI-PROBE LSH SEARCH (Lv et al. 2007) — recall from PROBES instead
     // of extra hash tables: each query probes its own signature bucket plus
     // the nProbes−1 buckets reached by flipping its least-confident
@@ -2647,6 +2686,67 @@ object DataQueries {
         SELECT CAST(max(dmin) AS BIGINT) AS cover_radius FROM d$k)"""
     sb.toString
   }
+
+  /** Shared by q415 (in-memory residual IVFADC) and q421 (disk index
+    * probe, bit-identical by construction): both quantizer fits, the
+    * integer residuals, per-probed-list distance tables, gated ADC.
+    */
+  private lazy val residualIvfSql: String =
+    s"""WITH $pqQvSql,
+          ${pqFitSql("cr", 1, 64, 8)},
+          rlist AS MATERIALIZED (
+            SELECT vec_id, cid AS list_id FROM (
+              SELECT s.vec_id, c.cid,
+                row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM crsub s JOIN crc2 c USING (sub)) WHERE rn = 1),
+          rqv AS MATERIALIZED (
+            SELECT q.vec_id,
+                   list_transform(list_zip(q.v, c.cv), p -> p[1]-p[2]) AS v
+            FROM pqqv q JOIN rlist l USING (vec_id)
+            JOIN crc2 c ON c.cid = l.list_id),
+          ${pqFitSql("rs", 4, 16, 16, src = "rqv")},
+          rcodes AS MATERIALIZED (
+            SELECT vec_id, sub, cid FROM (
+              SELECT s.vec_id, s.sub, c.cid,
+                row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM rssub s JOIN rsc2 c USING (sub)) WHERE rn = 1),
+          probes AS MATERIALIZED (
+            SELECT query_id, list_id FROM (
+              SELECT s.vec_id AS query_id, c.cid AS list_id,
+                row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM crsub s JOIN crc2 c USING (sub)
+              WHERE s.vec_id < 30) WHERE rn <= 2),
+          qres AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, pr.list_id,
+                   list_transform(list_zip(q.v, c.cv), p -> p[1]-p[2]) AS v
+            FROM pqqv q JOIN probes pr ON pr.query_id = q.vec_id
+            JOIN crc2 c ON c.cid = pr.list_id),
+          qsub AS MATERIALIZED (
+            SELECT query_id, list_id, j AS sub, v[j*16+1 : j*16+16] AS sv
+            FROM qres, range(0,4) t(j)),
+          dtab AS MATERIALIZED (
+            SELECT s.query_id, s.list_id, s.sub, c.cid,
+              CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
+                p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+            FROM qsub s JOIN rsc2 c USING (sub)),
+          adc AS (
+            SELECT q.query_id, t.vec_id AS target_id,
+                   CAST(sum(q.d) AS BIGINT) AS adc_dist
+            FROM rcodes t
+            JOIN rlist l ON l.vec_id = t.vec_id
+            JOIN dtab q ON q.list_id = l.list_id
+                       AND q.sub = t.sub AND q.cid = t.cid
+            GROUP BY 1, 2)
+          SELECT query_id, target_id, adc_dist, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_dist, target_id) AS INT) AS rank
+            FROM adc) WHERE rank <= 5"""
 
   val oracleSql: Map[String, String] = Map(
     // the oracle replays the quantile rule directly per bucket index
@@ -3377,6 +3477,75 @@ object DataQueries {
       """SELECT CAST(4 * count(*) AS BIGINT) AS total_chunk_rows,
                 TRUE AS files_le_appends, TRUE AS buckets_bounded
          FROM documents WHERE text IS NOT NULL""",
+    // frozen-quantizer append replayed exactly: both fits restricted to
+    // the even (build) half, codes/assignment over the full corpus
+    "q422_pq_index_append" ->
+      s"""WITH $pqQvSql,
+          pqqvA AS MATERIALIZED (SELECT * FROM pqqv WHERE vec_id % 2 = 0),
+          ${pqFitSql("cr", 1, 64, 8, src = "pqqvA")},
+          fsub AS MATERIALIZED (
+            SELECT vec_id, CAST(0 AS BIGINT) AS sub, v AS sv FROM pqqv),
+          rlist AS MATERIALIZED (
+            SELECT vec_id, cid AS list_id FROM (
+              SELECT s.vec_id, c.cid,
+                row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM fsub s JOIN crc2 c USING (sub)) WHERE rn = 1),
+          rqvA AS MATERIALIZED (
+            SELECT q.vec_id,
+                   list_transform(list_zip(q.v, c.cv), p -> p[1]-p[2]) AS v
+            FROM pqqvA q JOIN rlist l USING (vec_id)
+            JOIN crc2 c ON c.cid = l.list_id),
+          ${pqFitSql("rs", 4, 16, 16, src = "rqvA")},
+          rqv2 AS MATERIALIZED (
+            SELECT q.vec_id,
+                   list_transform(list_zip(q.v, c.cv), p -> p[1]-p[2]) AS v
+            FROM pqqv q JOIN rlist l USING (vec_id)
+            JOIN crc2 c ON c.cid = l.list_id),
+          rcsub AS MATERIALIZED (
+            SELECT vec_id, j AS sub, v[j*16+1 : j*16+16] AS sv
+            FROM rqv2, range(0,4) t(j)),
+          rcodes AS MATERIALIZED (
+            SELECT vec_id, sub, cid FROM (
+              SELECT s.vec_id, s.sub, c.cid,
+                row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM rcsub s JOIN rsc2 c USING (sub)) WHERE rn = 1),
+          probes AS MATERIALIZED (
+            SELECT query_id, list_id FROM (
+              SELECT s.vec_id AS query_id, c.cid AS list_id,
+                row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM fsub s JOIN crc2 c USING (sub)
+              WHERE s.vec_id < 30) WHERE rn <= 2),
+          qres AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, pr.list_id,
+                   list_transform(list_zip(q.v, c.cv), p -> p[1]-p[2]) AS v
+            FROM pqqv q JOIN probes pr ON pr.query_id = q.vec_id
+            JOIN crc2 c ON c.cid = pr.list_id),
+          qsub AS MATERIALIZED (
+            SELECT query_id, list_id, j AS sub, v[j*16+1 : j*16+16] AS sv
+            FROM qres, range(0,4) t(j)),
+          dtab AS MATERIALIZED (
+            SELECT s.query_id, s.list_id, s.sub, c.cid,
+              CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
+                p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+            FROM qsub s JOIN rsc2 c USING (sub)),
+          adc AS (
+            SELECT q.query_id, t.vec_id AS target_id,
+                   CAST(sum(q.d) AS BIGINT) AS adc_dist
+            FROM rcodes t
+            JOIN rlist l ON l.vec_id = t.vec_id
+            JOIN dtab q ON q.list_id = l.list_id
+                       AND q.sub = t.sub AND q.cid = t.cid
+            GROUP BY 1, 2)
+          SELECT query_id, target_id, adc_dist, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_dist, target_id) AS INT) AS rank
+            FROM adc) WHERE rank <= 5""",
     // the greedy traversal replayed as chained CTEs, anchor first
     "q420_kcenter_coreset" ->
       (s"""WITH ${kcenterSql(6)}
@@ -3477,63 +3646,11 @@ object DataQueries {
                       ORDER BY adc_dist, target_id) AS INT) AS rank
             FROM adc) WHERE rank <= 5""",
     // coarse fit + integer residuals + residual-codebook fit + per-probed-
-    // list distance tables + the gated ADC — the full IVFADC replay
-    "q415_residual_ivf_pq" ->
-      s"""WITH $pqQvSql,
-          ${pqFitSql("cr", 1, 64, 8)},
-          rlist AS MATERIALIZED (
-            SELECT vec_id, cid AS list_id FROM (
-              SELECT s.vec_id, c.cid,
-                row_number() OVER (PARTITION BY s.vec_id ORDER BY
-                  list_sum(list_transform(list_zip(s.sv, c.cv),
-                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
-              FROM crsub s JOIN crc2 c USING (sub)) WHERE rn = 1),
-          rqv AS MATERIALIZED (
-            SELECT q.vec_id,
-                   list_transform(list_zip(q.v, c.cv), p -> p[1]-p[2]) AS v
-            FROM pqqv q JOIN rlist l USING (vec_id)
-            JOIN crc2 c ON c.cid = l.list_id),
-          ${pqFitSql("rs", 4, 16, 16, src = "rqv")},
-          rcodes AS MATERIALIZED (
-            SELECT vec_id, sub, cid FROM (
-              SELECT s.vec_id, s.sub, c.cid,
-                row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
-                  list_sum(list_transform(list_zip(s.sv, c.cv),
-                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
-              FROM rssub s JOIN rsc2 c USING (sub)) WHERE rn = 1),
-          probes AS MATERIALIZED (
-            SELECT query_id, list_id FROM (
-              SELECT s.vec_id AS query_id, c.cid AS list_id,
-                row_number() OVER (PARTITION BY s.vec_id ORDER BY
-                  list_sum(list_transform(list_zip(s.sv, c.cv),
-                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
-              FROM crsub s JOIN crc2 c USING (sub)
-              WHERE s.vec_id < 30) WHERE rn <= 2),
-          qres AS MATERIALIZED (
-            SELECT q.vec_id AS query_id, pr.list_id,
-                   list_transform(list_zip(q.v, c.cv), p -> p[1]-p[2]) AS v
-            FROM pqqv q JOIN probes pr ON pr.query_id = q.vec_id
-            JOIN crc2 c ON c.cid = pr.list_id),
-          qsub AS MATERIALIZED (
-            SELECT query_id, list_id, j AS sub, v[j*16+1 : j*16+16] AS sv
-            FROM qres, range(0,4) t(j)),
-          dtab AS MATERIALIZED (
-            SELECT s.query_id, s.list_id, s.sub, c.cid,
-              CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
-                p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
-            FROM qsub s JOIN rsc2 c USING (sub)),
-          adc AS (
-            SELECT q.query_id, t.vec_id AS target_id,
-                   CAST(sum(q.d) AS BIGINT) AS adc_dist
-            FROM rcodes t
-            JOIN rlist l ON l.vec_id = t.vec_id
-            JOIN dtab q ON q.list_id = l.list_id
-                       AND q.sub = t.sub AND q.cid = t.cid
-            GROUP BY 1, 2)
-          SELECT query_id, target_id, adc_dist, rank FROM (
-            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                      ORDER BY adc_dist, target_id) AS INT) AS rank
-            FROM adc) WHERE rank <= 5""",
+    // list distance tables + the gated ADC — the full IVFADC replay.
+    // q421 (disk index) shares this oracle verbatim: the disk probe is
+    // bit-identical to the in-memory search by construction
+    "q415_residual_ivf_pq" -> residualIvfSql,
+    "q421_pq_disk_index" -> residualIvfSql,
     // exact float-cosine top-5, int8 top-5, PQ top-5, IVF-PQ top-5 — each
     // replayed, then the per-variant recall aggregation in exact ppm
     "q416_index_recall_gate" ->

@@ -914,6 +914,25 @@ class PlanShapeSpec extends SparkSpec {
       s"table + four marginals must broadcast against the triple stream:\n$p407")
   }
 
+  test("pq disk probe (q421): codes scan carries list_id PartitionFilters") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_test_planshape_pq"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    graft.ann.Pq.writeIndex(emb, path, m = 4, subDim = 16, k = 8,
+      iters = 1, nLists = 4)
+    val plan = staticPlan(graft.ann.Pq.probeIndex(
+      emb.filter(col("vec_id") < 5), path, nProbe = 2, k = 5))
+    val codeScans = plan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("codes")) => f
+    }
+    assert(codeScans.nonEmpty, s"no codes scan found:\n$plan")
+    codeScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "list_id")),
+        s"codes scan must statically prune list_id partitions:\n$f")
+    }
+  }
+
   test("pq adc search (q413): broadcast-only joins — no sort-merge, no " +
       "cartesian; the top-k window is query-partitioned") {
     import org.apache.spark.sql.execution.joins.{CartesianProductExec, SortMergeJoinExec}

@@ -119,6 +119,48 @@ class Round15bSpec extends SparkSpec {
     }
   }
 
+  test("pq disk index: the probe is bit-identical to the in-memory " +
+      "search, and a frozen-codebook append equals indexing the union") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val tmpDir = System.getProperty("java.io.tmpdir")
+    val p1 = s"$tmpDir/graft_test_pqidx_${spark.sparkContext.applicationId}"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(p1))
+    graft.ann.Pq.writeIndex(emb, p1, m = 4, subDim = 16, k = 8, iters = 1,
+      nLists = 4)
+    val disk = graft.ann.Pq.probeIndex(q, p1, nProbe = 2, k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val coarse = graft.ann.Pq.fitCodebook(emb, m = 1, subDim = 64, k = 4,
+      iters = 1)
+    val rcb = graft.ann.Pq.fitResidualCodebook(emb, coarse, m = 4,
+      subDim = 16, k = 8, iters = 1)
+    val mem = graft.ann.Pq.residualIvfAdcTopK(emb, q, coarse, rcb,
+      nProbe = 2, k = 5).as[(Long, Long, Long, Int)].collect().toSet
+    assert(disk == mem, "disk probe must equal the in-memory search")
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(p1))
+
+    // append identity: build on evens, append odds; probing must equal an
+    // in-memory search over the FULL corpus with the even-fitted codebooks
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val p2 = s"$tmpDir/graft_test_pqapp_${spark.sparkContext.applicationId}"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(p2))
+    graft.ann.Pq.writeIndex(a, p2, m = 4, subDim = 16, k = 8, iters = 1,
+      nLists = 4)
+    graft.ann.Pq.appendToIndex(b, p2)
+    val appended = graft.ann.Pq.probeIndex(q, p2, nProbe = 4, k = 5)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val coarseA = graft.ann.Pq.fitCodebook(a, m = 1, subDim = 64, k = 4,
+      iters = 1)
+    val rcbA = graft.ann.Pq.fitResidualCodebook(a, coarseA, m = 4,
+      subDim = 16, k = 8, iters = 1)
+    val union = graft.ann.Pq.residualIvfAdcTopK(emb, q, coarseA, rcbA,
+      nProbe = 4, k = 5).as[(Long, Long, Long, Int)].collect().toSet
+    assert(appended == union,
+      "append under frozen codebooks must equal indexing the union")
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(p2))
+  }
+
   test("winnowing: a shared 6-word run (w+k-1) guarantees a shared " +
       "fingerprint; a 6-word doc yields exactly one") {
     val docs = Seq(
