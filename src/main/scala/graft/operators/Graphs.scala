@@ -23,6 +23,55 @@ object Graphs {
     a.join(b, "o").filter(col("src") =!= col("dst")).select("src", "dst")
   }
 
+  /** Deterministic hash-pseudo-random walk corpus — DeepWalk's data-prep
+    * step (Perozzi–Al-Rfou–Skiena 2014) made REPLAYABLE: one walk of `len`
+    * hops per start node over the canonical undirected graph, where the
+    * hop at step t from node n is the neighbour minimizing
+    * md5(start:t:n:neighbour) (ties to the smaller neighbour id). The md5
+    * ordering is a portable stand-in for the uniform random choice — what
+    * a training pipeline needs from a walk corpus is coverage plus
+    * DETERMINISM (re-runs, engine parity, resumable sharding), not
+    * cryptographic randomness, and a keyed-hash argmin delivers exactly
+    * the q66 seeded-sampler discipline at graph grain.
+    *
+    * Shape: `len` bounded rounds (the k-truss/KCore round contract), each
+    * one join on the current node + one per-start argmin hash agg;
+    * per-round localCheckpoint truncates the iterative lineage (house
+    * idiom). Starts that are not graph nodes emit only their step-0 row
+    * (documented; the walk has nowhere to go).
+    *
+    * @return (start, step 0..len, node) — step 0 is the start itself
+    */
+  def hashWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                starts: DataFrame, startCol: String, len: Int): DataFrame = {
+    require(len >= 1 && len <= 16, s"len must be in [1, 16], got $len")
+    val canon = edges
+      .filter(col(srcCol) =!= col(dstCol) &&
+        col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    val dirs = canon.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(canon.select(col("v").as("node"), col("u").as("nbr")))
+    var cur = starts
+      .select(col(startCol).cast("long").as("start")).distinct()
+      .withColumn("node", col("start"))
+    var out = cur.withColumn("step", lit(0))
+    var t = 1
+    while (t <= len) {
+      cur = cur.join(dirs, Seq("node"))
+        .withColumn("__h", md5(concat_ws(":",
+          col("start"), lit(t), col("node"), col("nbr"))))
+        .groupBy("start")
+        .agg(min(struct(col("__h"), col("nbr"))).as("__m"))
+        .select(col("start"), col("__m.nbr").as("node"))
+        .localCheckpoint()
+      out = out.unionByName(cur.withColumn("step", lit(t)))
+      t += 1
+    }
+    out.select(col("start"), col("step").cast("int").as("step"), col("node"))
+  }
+
   /** ONE synchronous Louvain local-move sweep (Blondel et al. 2008 phase-1
     * step, the move rule distributed-Louvain implementations apply per
     * round): every node i in community a evaluates, against the CURRENT

@@ -1971,6 +1971,39 @@ object DataQueries {
       out
     },
 
+    // PQ INDEX COMPACTION — the maintenance half of the q421/q422
+    // append-only contract (q400's recipe at PQ grain): N appends leave N
+    // file sets per list directory and the pruned probe's listing cost
+    // grows per append; compact rewrites to ONE file per list partition,
+    // rows only move between files, so the probe is bit-identical pre/post
+    // (asserted in-query via exceptAll both ways)
+    "q423_pq_index_compact" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q423_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      graft.ann.Pq.writeIndex(emb.filter(col("vec_id") % 2 === 0), path,
+        m = 4, subDim = 16, k = 16, iters = 2, nLists = 8)
+      graft.ann.Pq.appendToIndex(emb.filter(col("vec_id") % 2 === 1), path)
+      val q = emb.filter(col("vec_id") < 30)
+      val pre = graft.ann.Pq.probeIndex(q, path, nProbe = 2, k = 5)
+        .localCheckpoint()
+      val (cb0, ca0) = graft.operators.PartitionCompaction
+        .compact(s, s"$path/codes", "list_id", 8)
+      val post = graft.ann.Pq.probeIndex(q, path, nProbe = 2, k = 5)
+        .localCheckpoint()
+      val identical =
+        post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty
+      val nLists = s.read.parquet(s"$path/codes")
+        .select("list_id").distinct().count()
+      val out = post.agg(count(lit(1)).cast("long").as("n_result_rows"))
+        .withColumn("probe_identical", lit(identical))
+        .withColumn("one_file_per_list", lit(ca0 == nLists))
+        .withColumn("files_not_increased", lit(ca0 <= cb0))
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
     // MULTI-PROBE LSH SEARCH (Lv et al. 2007) — recall from PROBES instead
     // of extra hash tables: each query probes its own signature bucket plus
     // the nProbes−1 buckets reached by flipping its least-confident
@@ -2748,6 +2781,75 @@ object DataQueries {
                       ORDER BY adc_dist, target_id) AS INT) AS rank
             FROM adc) WHERE rank <= 5"""
 
+  /** q422 (frozen-codebook append) replay; q423 wraps it in a count. */
+  private lazy val pqAppendSql: String =
+    s"""WITH $pqQvSql,
+          pqqvA AS MATERIALIZED (SELECT * FROM pqqv WHERE vec_id % 2 = 0),
+          ${pqFitSql("cr", 1, 64, 8, src = "pqqvA")},
+          fsub AS MATERIALIZED (
+            SELECT vec_id, CAST(0 AS BIGINT) AS sub, v AS sv FROM pqqv),
+          rlist AS MATERIALIZED (
+            SELECT vec_id, cid AS list_id FROM (
+              SELECT s.vec_id, c.cid,
+                row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM fsub s JOIN crc2 c USING (sub)) WHERE rn = 1),
+          rqvA AS MATERIALIZED (
+            SELECT q.vec_id,
+                   list_transform(list_zip(q.v, c.cv), p -> p[1]-p[2]) AS v
+            FROM pqqvA q JOIN rlist l USING (vec_id)
+            JOIN crc2 c ON c.cid = l.list_id),
+          ${pqFitSql("rs", 4, 16, 16, src = "rqvA")},
+          rqv2 AS MATERIALIZED (
+            SELECT q.vec_id,
+                   list_transform(list_zip(q.v, c.cv), p -> p[1]-p[2]) AS v
+            FROM pqqv q JOIN rlist l USING (vec_id)
+            JOIN crc2 c ON c.cid = l.list_id),
+          rcsub AS MATERIALIZED (
+            SELECT vec_id, j AS sub, v[j*16+1 : j*16+16] AS sv
+            FROM rqv2, range(0,4) t(j)),
+          rcodes AS MATERIALIZED (
+            SELECT vec_id, sub, cid FROM (
+              SELECT s.vec_id, s.sub, c.cid,
+                row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM rcsub s JOIN rsc2 c USING (sub)) WHERE rn = 1),
+          probes AS MATERIALIZED (
+            SELECT query_id, list_id FROM (
+              SELECT s.vec_id AS query_id, c.cid AS list_id,
+                row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+              FROM fsub s JOIN crc2 c USING (sub)
+              WHERE s.vec_id < 30) WHERE rn <= 2),
+          qres AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, pr.list_id,
+                   list_transform(list_zip(q.v, c.cv), p -> p[1]-p[2]) AS v
+            FROM pqqv q JOIN probes pr ON pr.query_id = q.vec_id
+            JOIN crc2 c ON c.cid = pr.list_id),
+          qsub AS MATERIALIZED (
+            SELECT query_id, list_id, j AS sub, v[j*16+1 : j*16+16] AS sv
+            FROM qres, range(0,4) t(j)),
+          dtab AS MATERIALIZED (
+            SELECT s.query_id, s.list_id, s.sub, c.cid,
+              CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
+                p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+            FROM qsub s JOIN rsc2 c USING (sub)),
+          adc AS (
+            SELECT q.query_id, t.vec_id AS target_id,
+                   CAST(sum(q.d) AS BIGINT) AS adc_dist
+            FROM rcodes t
+            JOIN rlist l ON l.vec_id = t.vec_id
+            JOIN dtab q ON q.list_id = l.list_id
+                       AND q.sub = t.sub AND q.cid = t.cid
+            GROUP BY 1, 2)
+          SELECT query_id, target_id, adc_dist, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_dist, target_id) AS INT) AS rank
+            FROM adc) WHERE rank <= 5"""
+
   val oracleSql: Map[String, String] = Map(
     // the oracle replays the quantile rule directly per bucket index
     // (min v with cum*B >= b*n) - O(B * domain), oracle-side only
@@ -3478,74 +3580,15 @@ object DataQueries {
                 TRUE AS files_le_appends, TRUE AS buckets_bounded
          FROM documents WHERE text IS NOT NULL""",
     // frozen-quantizer append replayed exactly: both fits restricted to
-    // the even (build) half, codes/assignment over the full corpus
-    "q422_pq_index_append" ->
-      s"""WITH $pqQvSql,
-          pqqvA AS MATERIALIZED (SELECT * FROM pqqv WHERE vec_id % 2 = 0),
-          ${pqFitSql("cr", 1, 64, 8, src = "pqqvA")},
-          fsub AS MATERIALIZED (
-            SELECT vec_id, CAST(0 AS BIGINT) AS sub, v AS sv FROM pqqv),
-          rlist AS MATERIALIZED (
-            SELECT vec_id, cid AS list_id FROM (
-              SELECT s.vec_id, c.cid,
-                row_number() OVER (PARTITION BY s.vec_id ORDER BY
-                  list_sum(list_transform(list_zip(s.sv, c.cv),
-                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
-              FROM fsub s JOIN crc2 c USING (sub)) WHERE rn = 1),
-          rqvA AS MATERIALIZED (
-            SELECT q.vec_id,
-                   list_transform(list_zip(q.v, c.cv), p -> p[1]-p[2]) AS v
-            FROM pqqvA q JOIN rlist l USING (vec_id)
-            JOIN crc2 c ON c.cid = l.list_id),
-          ${pqFitSql("rs", 4, 16, 16, src = "rqvA")},
-          rqv2 AS MATERIALIZED (
-            SELECT q.vec_id,
-                   list_transform(list_zip(q.v, c.cv), p -> p[1]-p[2]) AS v
-            FROM pqqv q JOIN rlist l USING (vec_id)
-            JOIN crc2 c ON c.cid = l.list_id),
-          rcsub AS MATERIALIZED (
-            SELECT vec_id, j AS sub, v[j*16+1 : j*16+16] AS sv
-            FROM rqv2, range(0,4) t(j)),
-          rcodes AS MATERIALIZED (
-            SELECT vec_id, sub, cid FROM (
-              SELECT s.vec_id, s.sub, c.cid,
-                row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
-                  list_sum(list_transform(list_zip(s.sv, c.cv),
-                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
-              FROM rcsub s JOIN rsc2 c USING (sub)) WHERE rn = 1),
-          probes AS MATERIALIZED (
-            SELECT query_id, list_id FROM (
-              SELECT s.vec_id AS query_id, c.cid AS list_id,
-                row_number() OVER (PARTITION BY s.vec_id ORDER BY
-                  list_sum(list_transform(list_zip(s.sv, c.cv),
-                    p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
-              FROM fsub s JOIN crc2 c USING (sub)
-              WHERE s.vec_id < 30) WHERE rn <= 2),
-          qres AS MATERIALIZED (
-            SELECT q.vec_id AS query_id, pr.list_id,
-                   list_transform(list_zip(q.v, c.cv), p -> p[1]-p[2]) AS v
-            FROM pqqv q JOIN probes pr ON pr.query_id = q.vec_id
-            JOIN crc2 c ON c.cid = pr.list_id),
-          qsub AS MATERIALIZED (
-            SELECT query_id, list_id, j AS sub, v[j*16+1 : j*16+16] AS sv
-            FROM qres, range(0,4) t(j)),
-          dtab AS MATERIALIZED (
-            SELECT s.query_id, s.list_id, s.sub, c.cid,
-              CAST(list_sum(list_transform(list_zip(s.sv, c.cv),
-                p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
-            FROM qsub s JOIN rsc2 c USING (sub)),
-          adc AS (
-            SELECT q.query_id, t.vec_id AS target_id,
-                   CAST(sum(q.d) AS BIGINT) AS adc_dist
-            FROM rcodes t
-            JOIN rlist l ON l.vec_id = t.vec_id
-            JOIN dtab q ON q.list_id = l.list_id
-                       AND q.sub = t.sub AND q.cid = t.cid
-            GROUP BY 1, 2)
-          SELECT query_id, target_id, adc_dist, rank FROM (
-            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                      ORDER BY adc_dist, target_id) AS INT) AS rank
-            FROM adc) WHERE rank <= 5""",
+    // the even (build) half, codes/assignment over the full corpus.
+    // q423 (compaction) replays the same search as a count: rows only move
+    // between files, so its verdicts are structural
+    "q422_pq_index_append" -> pqAppendSql,
+    "q423_pq_index_compact" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_result_rows,
+                 TRUE AS probe_identical, TRUE AS one_file_per_list,
+                 TRUE AS files_not_increased
+          FROM ($pqAppendSql)""",
     // the greedy traversal replayed as chained CTEs, anchor first
     "q420_kcenter_coreset" ->
       (s"""WITH ${kcenterSql(6)}

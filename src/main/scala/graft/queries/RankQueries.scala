@@ -776,6 +776,21 @@ object RankQueries {
           "n_comm_after", "q_before_x1e6", "q_after_x1e6")
     },
 
+    // DETERMINISTIC WALK CORPUS — DeepWalk's data-prep step made
+    // replayable: 3-hop walks from every 20th part over the co-purchase
+    // graph, each hop the md5-argmin neighbour (the q66 seeded-sampler
+    // discipline at graph grain — coverage + determinism, not crypto
+    // randomness). Bounded rounds, per-round localCheckpoint; full
+    // row-level oracle (3 chained argmin CTEs)
+    "q424_hash_walks" -> { (s, dir) =>
+      val edges = graft.operators.Graphs
+        .coPurchaseEdges(t(s, dir, "lineitem"))
+      val starts = t(s, dir, "part")
+        .filter(col("p_partkey") % 20 === 0).select("p_partkey")
+      graft.operators.Graphs.hashWalks(edges, "src", "dst", starts,
+        "p_partkey", len = 3)
+    },
+
     // EXACT 1-D WASSERSTEIN — how much VALUE MASS moved between the
     // click and purchase amount distributions (KS: worst deviation,
     // CvM: integrated deviation, W₁: mass × distance — the drift metric
@@ -1083,6 +1098,42 @@ object RankQueries {
                      // (CAST(4 AS HUGEINT) * n_edges * n_edges)
                      AS BIGINT) AS q_x1e6
          FROM m, ls, nn""",
+    // the walk replayed hop by hop: same canonical graph, same md5 argmin
+    "q424_hash_walks" ->
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey),
+         dirs AS MATERIALIZED (
+           SELECT u AS node, v AS nbr FROM e0
+           UNION ALL SELECT v, u FROM e0),
+         s0 AS MATERIALIZED (
+           SELECT DISTINCT p_partkey AS start, p_partkey AS node
+           FROM part WHERE p_partkey % 20 = 0),
+         w1 AS MATERIALIZED (
+           SELECT start, node FROM (
+             SELECT s.start, d.nbr AS node,
+               row_number() OVER (PARTITION BY s.start ORDER BY
+                 md5(concat_ws(':', s.start, 1, s.node, d.nbr)), d.nbr) AS rn
+             FROM s0 s JOIN dirs d ON d.node = s.node) WHERE rn = 1),
+         w2 AS MATERIALIZED (
+           SELECT start, node FROM (
+             SELECT s.start, d.nbr AS node,
+               row_number() OVER (PARTITION BY s.start ORDER BY
+                 md5(concat_ws(':', s.start, 2, s.node, d.nbr)), d.nbr) AS rn
+             FROM w1 s JOIN dirs d ON d.node = s.node) WHERE rn = 1),
+         w3 AS MATERIALIZED (
+           SELECT start, node FROM (
+             SELECT s.start, d.nbr AS node,
+               row_number() OVER (PARTITION BY s.start ORDER BY
+                 md5(concat_ws(':', s.start, 3, s.node, d.nbr)), d.nbr) AS rn
+             FROM w2 s JOIN dirs d ON d.node = s.node) WHERE rn = 1)
+         SELECT start, CAST(0 AS INT) AS step, node FROM s0
+         UNION ALL SELECT start, CAST(1 AS INT), node FROM w1
+         UNION ALL SELECT start, CAST(2 AS INT), node FROM w2
+         UNION ALL SELECT start, CAST(3 AS INT), node FROM w3""",
     // the full sweep replayed: neighbour-community gains, positive-argmax
     // move rule, then the q394 modularity arithmetic on BOTH partitions
     "q417_louvain_move" ->

@@ -161,6 +161,27 @@ class Round15bSpec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(new java.io.File(p2))
   }
 
+  test("hash walks: hops are always edges, forced hops are taken, " +
+      "isolated starts emit only step 0") {
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst") // path 0-1-2
+    val starts = Seq(0L, 99L).toDF("id") // 99 is not a graph node
+    val walks = graft.operators.Graphs
+      .hashWalks(edges, "src", "dst", starts, "id", len = 3)
+      .as[(Long, Int, Long)].collect()
+    val w0 = walks.filter(_._1 == 0L).sortBy(_._2)
+    assert(w0.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(w0(0)._3 == 0L && w0(1)._3 == 1L,
+      "step 1 from node 0 must take its only edge")
+    val edgeSet = Set((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L))
+    w0.sliding(2).foreach {
+      case Array(a, b) => assert(edgeSet.contains((a._3, b._3)),
+        s"hop ${a._3}->${b._3} is not an edge")
+      case _ =>
+    }
+    assert(walks.filter(_._1 == 99L).map(_._2).toSeq == Seq(0),
+      "isolated start emits only its step-0 row")
+  }
+
   test("winnowing: a shared 6-word run (w+k-1) guarantees a shared " +
       "fingerprint; a 6-word doc yields exactly one") {
     val docs = Seq(
