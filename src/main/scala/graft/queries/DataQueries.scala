@@ -2724,7 +2724,7 @@ object DataQueries {
     * probe, bit-identical by construction): both quantizer fits, the
     * integer residuals, per-probed-list distance tables, gated ADC.
     */
-  private lazy val residualIvfSql: String =
+  private[queries] lazy val residualIvfSql: String =
     s"""WITH $pqQvSql,
           ${pqFitSql("cr", 1, 64, 8)},
           rlist AS MATERIALIZED (

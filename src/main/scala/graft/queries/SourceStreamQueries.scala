@@ -887,6 +887,51 @@ object SourceStreamQueries {
     // ledger (zero pairs), batch 2 = the +1e6 twins — every twin must
     // surface at exact jaccard 1, and nothing below the threshold can
     // appear (structural: the probe filters on it)
+    // STREAMING ANN CANDIDATE GENERATION AGAINST A FROZEN PQ INDEX — the
+    // serving shape of the q421 disk index: query-vector batches land as
+    // files, foreachBatch probes the FROZEN index (codebooks fitted once
+    // at build time, codes partition-pruned per batch), per-batch hits
+    // land beside it. Because the index is frozen and the ADC search is
+    // exact-integer, the union of the streamed batches' hits is
+    // BIT-IDENTICAL to the one-shot batch search — so this query reuses
+    // q415's full row-level oracle verbatim
+    "q425_stream_pq_adc" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q425_" + s.sparkContext.applicationId)
+      graft.operators.FsUtil.deleteRecursively(base.toFile)
+      Files.createDirectories(base.resolve("data"))
+      val idx = s"$base/idx"
+      graft.ann.Pq.writeIndex(emb, idx, m = 4, subDim = 16, k = 16,
+        iters = 2, nLists = 8)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("vec_id", LongType)
+        .add("embedding", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(schema).parquet(s"$base/data")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.ann.Pq.probeIndex(batch, idx, nProbe = 2, k = 5)
+              .write.mode("overwrite").parquet(s"$base/hits/b$batchId")
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      emb.filter(col("vec_id") < 15)
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      emb.filter(col("vec_id") >= 15 && col("vec_id") < 30)
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      val out = s.read.parquet(s"$base/hits/b*")
+        .select("query_id", "target_id", "adc_dist", "rank")
+        .localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(base.toFile)
+      out
+    },
+
     "q404_stream_ledger_dedup" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select("doc_id", "text")
         .filter(col("text").isNotNull)
@@ -1112,6 +1157,9 @@ object SourceStreamQueries {
     // twin per non-null-text doc, each MUST collide with its batch-1
     // original at jaccard 1; sub-threshold rows are structurally
     // impossible (the probe filters on the threshold)
+    // frozen index + exact-integer ADC ⇒ streamed batches ≡ the one-shot
+    // batch search: q415's replay, verbatim
+    "q425_stream_pq_adc" -> DataQueries.residualIvfSql,
     "q404_stream_ledger_dedup" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs_found,
                 CAST(0 AS BIGINT) AS threshold_violations

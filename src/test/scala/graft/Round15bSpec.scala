@@ -161,6 +161,18 @@ class Round15bSpec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(new java.io.File(p2))
   }
 
+  test("streaming pq probe (q425): both streamed batches land and every " +
+      "query scores a full top-5") {
+    val out = graft.queries.SourceStreamQueries
+      .queries("q425_stream_pq_adc")(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.length == 150, s"30 queries x top-5, got ${out.length}")
+    assert(out.map(_._1).distinct.sorted.toSeq == (0L until 30L),
+      "both batches' query ranges must be present")
+    assert(out.groupBy(_._1).values.forall(_.map(_._4).sorted.toSeq ==
+      Seq(1, 2, 3, 4, 5)))
+  }
+
   test("hash walks: hops are always edges, forced hops are taken, " +
       "isolated starts emit only step 0") {
     val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst") // path 0-1-2
