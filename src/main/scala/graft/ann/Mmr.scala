@@ -1,0 +1,90 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998) —
+  * the diversification step between retrieval and the consumer: a plain
+  * top-k returns k near-duplicates of the best hit; MMR greedily picks,
+  * at each step, the candidate maximizing relevance MINUS its worst
+  * redundancy against what is already selected. The retrieval tier
+  * (BM25, ANN, hybrid RRF) ranks; this re-ranks its shortlist.
+  *
+  * EXACT-REPLAY DISCIPLINE (the q412 family): vectors quantize once via
+  * the house floor(x·10⁶ + 0.5); relevance = integer dot(query, cand),
+  * redundancy = integer dot(cand, selected); λ = 1/2 cleared of fractions
+  * so the greedy objective is the BIGINT `2·rel − max_sim` (ties to the
+  * smaller candidate id; the first pick is pure-relevance argmax — the
+  * standard base case). Every choice is deterministic and relational, so
+  * the DuckDB oracle replays the whole greedy sequence as k chained CTEs.
+  *
+  * SHAPE: candidate generation is one broadcast(query)-join pass + a
+  * query-partitioned top-nCandidates window; then k − 1 bounded rounds
+  * (the k-truss/KCore round contract), each = one broadcast join of the
+  * shortlist against the selected set (both |Q|·k-bounded), one hash agg
+  * at (query, cand) grain, one query-partitioned argmax window, one
+  * localCheckpoint. Nothing global; at 100 TB the only corpus-sized pass
+  * is the candidate generation, which a real deployment replaces with the
+  * ANN shortlist (q413/q415) — MMR itself only ever touches |Q|·nCand.
+  */
+object Mmr {
+
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** @return (query_id, target_id, rel, rank) — rank is the MMR pick
+    *         order, rel the integer query·candidate dot product.
+    */
+  def rerank(queries: DataFrame, targets: DataFrame, nCandidates: Int,
+             k: Int, scale: Double = 1e6, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(nCandidates >= k && k >= 1,
+      s"need nCandidates >= k >= 1, got nCandidates=$nCandidates k=$k")
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(scale) + lit(0.5)).cast("long"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      qv.as("qv"))
+    val t = targets.select(col(idCol).cast("long").as("cand_id"),
+      qv.as("cv"))
+    val wRel = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("cand_id"))
+    val cand = broadcast(q).join(t)
+      .select(col("query_id"), col("cand_id"), col("cv"),
+        qdot(col("qv"), col("cv")).as("rel"))
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") <= nCandidates).drop("rn")
+      .localCheckpoint() // the shortlist every round reads
+    var selected = cand
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("rank", lit(1))
+      .localCheckpoint()
+    var r = 2
+    while (r <= k) {
+      val selV = selected.select(col("query_id"),
+        col("cand_id").as("sel_id"), col("cv").as("sv"))
+      val scoredBest = cand
+        .join(selected.select("query_id", "cand_id"),
+          Seq("query_id", "cand_id"), "left_anti")
+        .join(broadcast(selV), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"), col("rel"),
+          qdot(col("cv"), col("sv")).as("sim"))
+        .groupBy("query_id", "cand_id")
+        .agg(max("rel").as("rel"), max("sim").as("max_sim"))
+        .withColumn("score", lit(2L) * col("rel") - col("max_sim"))
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))))
+        .filter(col("rn") === 1)
+        .select("query_id", "cand_id")
+      selected = selected.unionByName(
+        scoredBest.join(cand, Seq("query_id", "cand_id"))
+          .withColumn("rank", lit(r))
+          .select("query_id", "cand_id", "cv", "rel", "rank"))
+        .localCheckpoint()
+      r += 1
+    }
+    selected.select(col("query_id"), col("cand_id").as("target_id"),
+      col("rel"), col("rank"))
+  }
+}

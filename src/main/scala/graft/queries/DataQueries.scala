@@ -1971,6 +1971,20 @@ object DataQueries {
       out
     },
 
+    // MMR DIVERSIFIED RE-RANKING (Carbonell–Goldstein 1998) — the step
+    // between retrieval and the consumer: a plain top-k returns k
+    // near-duplicates of the best hit; MMR greedily maximizes the BIGINT
+    // `2·rel − max_sim_to_selected` (λ=1/2 cleared of fractions, ties to
+    // the smaller id, first pick pure relevance). Exact integer dots over
+    // quantized vectors ⇒ the oracle replays the whole greedy sequence as
+    // k chained CTEs. The only corpus-sized pass is candidate generation;
+    // the rounds touch |Q|·nCand rows
+    "q426_mmr_rerank" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Mmr.rerank(emb.filter(col("vec_id") < 20), emb,
+        nCandidates = 20, k = 5)
+    },
+
     // PQ INDEX COMPACTION — the maintenance half of the q421/q422
     // append-only contract (q400's recipe at PQ grain): N appends leave N
     // file sets per list directory and the pruned probe's listing cost
@@ -2850,6 +2864,56 @@ object DataQueries {
                       ORDER BY adc_dist, target_id) AS INT) AS rank
             FROM adc) WHERE rank <= 5"""
 
+  /** q426's greedy MMR replay: shortlist, pure-relevance first pick, then
+    * k − 1 rounds of `2·rel − max_sim` argmax over the not-yet-selected.
+    */
+  private def mmrSql(k: Int): String = {
+    def dot(a: String, b: String) =
+      s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+        s"p -> p[1]*p[2])) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= s"""mq AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS v
+        FROM embeddings),
+      cand AS MATERIALIZED (
+        SELECT query_id, cand_id, rel, cv FROM (
+          SELECT q.vec_id AS query_id, t.vec_id AS cand_id,
+                 ${dot("q.v", "t.v")} AS rel, t.v AS cv,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   ${dot("q.v", "t.v")} DESC, t.vec_id) AS rn
+          FROM mq q CROSS JOIN mq t WHERE q.vec_id < 20) WHERE rn <= 20),
+      s1 AS MATERIALIZED (
+        SELECT query_id, cand_id, rel, cv, 1 AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY rel DESC, cand_id) AS rn
+          FROM cand) WHERE rn = 1)"""
+    for (r <- 2 to k) {
+      sb ++= s""",
+      g$r AS MATERIALIZED (
+        SELECT c.query_id, c.cand_id, max(c.rel) AS rel,
+               max(${dot("c.cv", "s.cv")}) AS ms
+        FROM cand c JOIN s${r - 1} s USING (query_id)
+        WHERE NOT EXISTS (SELECT 1 FROM s${r - 1} z
+                          WHERE z.query_id = c.query_id
+                            AND z.cand_id = c.cand_id)
+        GROUP BY 1, 2),
+      p$r AS MATERIALIZED (
+        SELECT query_id, cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY 2*rel - ms DESC, cand_id) AS rn
+          FROM g$r) WHERE rn = 1),
+      s$r AS MATERIALIZED (
+        SELECT * FROM s${r - 1} UNION ALL
+        SELECT c.query_id, c.cand_id, c.rel, c.cv, $r AS rank
+        FROM p$r JOIN cand c USING (query_id, cand_id))"""
+    }
+    sb ++= s"""
+      SELECT query_id, cand_id AS target_id, rel,
+             CAST(rank AS INT) AS rank FROM s$k"""
+    "WITH " + sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
     // the oracle replays the quantile rule directly per bucket index
     // (min v with cum*B >= b*n) - O(B * domain), oracle-side only
@@ -3589,6 +3653,8 @@ object DataQueries {
                  TRUE AS probe_identical, TRUE AS one_file_per_list,
                  TRUE AS files_not_increased
           FROM ($pqAppendSql)""",
+    // the greedy MMR sequence replayed round by round
+    "q426_mmr_rerank" -> mmrSql(5),
     // the greedy traversal replayed as chained CTEs, anchor first
     "q420_kcenter_coreset" ->
       (s"""WITH ${kcenterSql(6)}

@@ -161,6 +161,22 @@ class Round15bSpec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(new java.io.File(p2))
   }
 
+  test("mmr rerank: the near-duplicate of the best hit is pushed below " +
+      "a diverse candidate — hand-checked greedy sequence") {
+    // query (10,1); candidates 0 and 1 are identical (9,0), candidate 2 is
+    // orthogonal-ish (0,60). rel: 90, 90, 60. Pick 1: cand 0 (rel tie to
+    // the smaller id). Pick 2: cand 1 scores 2*90 - 81 = 99, cand 2 scores
+    // 2*60 - 0 = 120 -> the diverse cand 2 wins. Pick 3: cand 1.
+    val q = Seq((100L, Seq(10f, 1f))).toDF("vec_id", "embedding")
+    val t = Seq((0L, Seq(9f, 0f)), (1L, Seq(9f, 0f)), (2L, Seq(0f, 60f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ann.Mmr.rerank(q, t, nCandidates = 3, k = 3,
+      scale = 1.0).as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(out.map(r => (r._2, r._4)).toSeq == Seq((0L, 1), (2L, 2), (1L, 3)),
+      s"expected MMR order 0, 2, 1 — got ${out.mkString(", ")}")
+    assert(out.map(_._3).toSeq == Seq(90L, 60L, 90L))
+  }
+
   test("streaming pq probe (q425): both streamed batches land and every " +
       "query scores a full top-5") {
     val out = graft.queries.SourceStreamQueries
