@@ -1971,6 +1971,23 @@ object DataQueries {
       out
     },
 
+    // RM3-LITE PSEUDO-RELEVANCE FEEDBACK — query EXPANSION, the retrieval
+    // capability the BM25 family lacked: top-3 first-pass hits donate
+    // their 5 strongest terms (exact integer feedback tf, original terms
+    // excluded, ties lexicographic) and BM25 re-runs over the expanded
+    // term set. The unweighted union is the documented RM3 simplification
+    // keeping every choice replayable; the corpus posting relation is
+    // built ONCE and feeds both passes + the feedback join
+    "q427_bm25_rm3" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(trim(col("text")), " "), 1, 4), " ")
+            .as("query_text"))
+      graft.search.Bm25.topKExpanded(docs, qs, k = 10, fbDocs = 3,
+        fbTerms = 5)
+    },
+
     // MMR DIVERSIFIED RE-RANKING (Carbonell–Goldstein 1998) — the step
     // between retrieval and the consumer: a plain top-k returns k
     // near-duplicates of the best hit; MMR greedily maximizes the BIGINT
@@ -3655,6 +3672,77 @@ object DataQueries {
           FROM ($pqAppendSql)""",
     // the greedy MMR sequence replayed round by round
     "q426_mmr_rerank" -> mmrSql(5),
+    // both BM25 passes + the integer term-selection replayed; the corpus
+    // term relation is shared (MATERIALIZED) across the chain
+    "q427_bm25_rm3" ->
+      """WITH q AS (
+           SELECT doc_id AS query_id,
+                  array_to_string((string_split(trim(text), ' '))[1:4], ' ')
+                    AS qtext
+           FROM documents WHERE doc_id < 5),
+         qt AS MATERIALIZED (
+           SELECT DISTINCT query_id,
+                  unnest(string_split(qtext, ' ')) AS term
+           FROM q),
+         w AS MATERIALIZED (
+           SELECT doc_id, string_split(trim(text), ' ') AS ws
+           FROM documents),
+         dt AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+         tf AS MATERIALIZED (
+           SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM dt WHERE term <> '' GROUP BY 1, 2, 3),
+         stats AS MATERIALIZED (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(ws)) AS avgdl
+           FROM w),
+         df1 AS MATERIALIZED (
+           SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+         fb AS MATERIALIZED (
+           SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, doc_id) AS rank
+             FROM (SELECT qt.query_id, tf.doc_id,
+                          round(sum(
+                            ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                            tf.tf * (1.2 + 1) /
+                            (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                          ), 9) AS score
+                   FROM tf JOIN qt USING (term) JOIN df1 d USING (term)
+                   CROSS JOIN stats s GROUP BY 1, 2))
+           WHERE rank <= 3),
+         fbtf AS MATERIALIZED (
+           SELECT fb.query_id, tf.term, CAST(sum(tf.tf) AS BIGINT) AS wgt
+           FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+           GROUP BY 1, 2),
+         exp AS MATERIALIZED (
+           SELECT query_id, term FROM (
+             SELECT f.query_id, f.term,
+                    row_number() OVER (PARTITION BY f.query_id
+                      ORDER BY f.wgt DESC, f.term) AS rn
+             FROM fbtf f
+             WHERE NOT EXISTS (SELECT 1 FROM qt z
+                               WHERE z.query_id = f.query_id
+                                 AND z.term = f.term)) WHERE rn <= 5),
+         qt2 AS MATERIALIZED (
+           SELECT query_id, term FROM qt
+           UNION SELECT query_id, term FROM exp),
+         df2 AS MATERIALIZED (
+           SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM tf WHERE term IN (SELECT term FROM qt2) GROUP BY term)
+         SELECT query_id, doc_id, score, rank FROM (
+           SELECT query_id, doc_id, score,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS INT) AS rank
+           FROM (SELECT qt2.query_id, tf.doc_id,
+                        round(sum(
+                          ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                          tf.tf * (1.2 + 1) /
+                          (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                        ), 9) AS score
+                 FROM tf JOIN qt2 USING (term) JOIN df2 d USING (term)
+                 CROSS JOIN stats s GROUP BY 1, 2))
+         WHERE rank <= 10""",
     // the greedy traversal replayed as chained CTEs, anchor first
     "q420_kcenter_coreset" ->
       (s"""WITH ${kcenterSql(6)}

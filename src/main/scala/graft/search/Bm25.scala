@@ -63,13 +63,23 @@ object Bm25 {
       .agg(count(lit(1)).cast("double").as("tf"))
 
     // distinct query terms: tiny by construction -> broadcast
-    val queryTerms = broadcast(
+    val queryTerms =
       queries
         .select(col(queryIdCol).cast("long").as("query_id"),
                 explode(tokenize(col(queryTextCol))).as("term"))
         .filter(col("term") =!= "")
-        .distinct())
+        .distinct()
 
+    topKForTerms(docs, postings, queryTerms, k, k1, b, textCol)
+  }
+
+  /** Score an explicit (query_id, term) relation against the corpus — the
+    * shared tail of [[topK]] and the pseudo-relevance-feedback second pass
+    * ([[topKExpanded]]), whose query is a TERM SET, not a text.
+    */
+  private def topKForTerms(docs: DataFrame, postings: DataFrame,
+                           queryTerms: DataFrame, k: Int, k1: Double,
+                           b: Double, textCol: String): DataFrame = {
     // map-side filter of the postings to query terms. The scoring tail reads
     // `hits` twice (df derivation + scoring) and AQE does not reuse the
     // posting-build exchange between the two consumers (the Dedup-family
@@ -78,7 +88,7 @@ object Bm25 {
     // 4 narrow columns) and localCheckpoint spills to disk, so a stop-word
     // query degrades to disk I/O, never OOM. The indexed path doesn't need
     // this: its hits re-read is a pruned slice of the materialized index.
-    val hits = postings.join(queryTerms, "term").localCheckpoint()
+    val hits = postings.join(broadcast(queryTerms), "term").localCheckpoint()
 
     // corpus stats as a 1-row relation (no driver action)
     val stats = docs.select(size(tokenize(col(textCol))).as("__dl"))
@@ -86,6 +96,59 @@ object Bm25 {
            avg(col("__dl")).as("avgdl"))
 
     scoreAndRank(hits, stats, k, k1, b)
+  }
+
+  /** RM3-style pseudo-relevance feedback ("RM3-lite"): run BM25, take each
+    * query's top `fbDocs` hits, extract the `fbTerms` strongest expansion
+    * terms (by EXACT integer feedback term frequency, original query terms
+    * excluded, ties to the lexicographically smaller term), and re-run
+    * BM25 over the UNION of original and expansion terms. The unweighted
+    * union is the documented simplification of Lavrenko–Croft relevance
+    * models (true RM3 mixes weighted distributions; the integer-weight
+    * selection keeps every choice engine-replayable — the house
+    * determinism trade, stated).
+    *
+    * Cost: the feedback pass adds one |Q|·fbDocs-bounded broadcast join
+    * against the postings and re-uses the SAME posting relation for both
+    * scoring passes — the corpus is tokenized once.
+    */
+  def topKExpanded(docs: DataFrame, queries: DataFrame, k: Int = 10,
+                   fbDocs: Int = 3, fbTerms: Int = 5,
+                   k1: Double = 1.2, b: Double = 0.75,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   queryIdCol: String = "query_id",
+                   queryTextCol: String = "query_text"): DataFrame = {
+    require(fbDocs > 0 && fbTerms > 0,
+      s"need fbDocs > 0 and fbTerms > 0, got fbDocs=$fbDocs fbTerms=$fbTerms")
+    val toks = tokenize(col(textCol))
+    val postings = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("__ts"))
+      .select(col("doc_id"), size(col("__ts")).as("dl"),
+              explode(col("__ts")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint() // both passes + feedback read this one build
+    val qTerms = queries
+      .select(col(queryIdCol).cast("long").as("query_id"),
+              explode(tokenize(col(queryTextCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val feedback = topKForTerms(docs, postings, qTerms, fbDocs, k1, b,
+        textCol)
+      .select("query_id", "doc_id")
+    val expansion = postings
+      .join(broadcast(feedback), Seq("doc_id"))
+      .groupBy("query_id", "term")
+      .agg(sum(col("tf").cast("long")).as("w"))
+      .join(qTerms, Seq("query_id", "term"), "left_anti")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("w").desc, col("term"))))
+      .filter(col("rn") <= fbTerms)
+      .select("query_id", "term")
+    topKForTerms(docs, postings,
+      qTerms.unionByName(expansion).distinct(), k, k1, b, textCol)
   }
 
   /** Shared scoring tail: `hits` carries (query_id, doc_id, term, tf, dl),

@@ -161,6 +161,24 @@ class Round15bSpec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(new java.io.File(p2))
   }
 
+  test("bm25 rm3: expansion terms recall a document sharing NO original " +
+      "query term; plain bm25 cannot see it") {
+    val docs = Seq((1L, "apple banana"), (2L, "apple cherry"),
+      (3L, "cherry mango")).toDF("doc_id", "text")
+    val qs = Seq((100L, "apple")).toDF("query_id", "query_text")
+    val plain = graft.search.Bm25.topK(docs, qs, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!plain.contains(3L), "no 'apple' in doc 3")
+    val expanded = graft.search.Bm25.topKExpanded(docs, qs, k = 10,
+      fbDocs = 2, fbTerms = 2)
+      .select("doc_id").as[Long].collect().toSet
+    // feedback docs 1 and 2 donate 'banana' and 'cherry'; 'cherry' recalls
+    // doc 3 in the second pass
+    assert(expanded.contains(3L),
+      s"expansion must recall doc 3, got $expanded")
+    assert(expanded.contains(1L) && expanded.contains(2L))
+  }
+
   test("mmr rerank: the near-duplicate of the best hit is pushed below " +
       "a diverse candidate — hand-checked greedy sequence") {
     // query (10,1); candidates 0 and 1 are identical (9,0), candidate 2 is
