@@ -1971,6 +1971,21 @@ object DataQueries {
       out
     },
 
+    // DIRICHLET QUERY-LIKELIHOOD RETRIEVAL (Ponte–Croft / Zhai–Lafferty) —
+    // the other classic lexical scorer beside BM25: documents ranked by
+    // the smoothed LM probability of the query, the cf-not-df statistic
+    // being the family distinction. Rank-equivalent decomposition, exact
+    // LONG collection size, round-9 scores, (score desc, doc_id) order —
+    // the q72 verification discipline at QL semantics
+    "q428_query_likelihood" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(trim(col("text")), " "), 1, 4), " ")
+            .as("query_text"))
+      graft.search.Bm25.topKQueryLikelihood(docs, qs, k = 10, mu = 2000.0)
+    },
+
     // RM3-LITE PSEUDO-RELEVANCE FEEDBACK — query EXPANSION, the retrieval
     // capability the BM25 family lacked: top-3 first-pass hits donate
     // their 5 strongest terms (exact integer feedback tf, original terms
@@ -3672,6 +3687,47 @@ object DataQueries {
           FROM ($pqAppendSql)""",
     // the greedy MMR sequence replayed round by round
     "q426_mmr_rerank" -> mmrSql(5),
+    // the QL formula replayed term by term: cf (collection frequency),
+    // exact token total, matched-term sum + per-doc length normalizer
+    "q428_query_likelihood" ->
+      """WITH q AS (
+           SELECT doc_id AS query_id,
+                  array_to_string((string_split(trim(text), ' '))[1:4], ' ')
+                    AS qtext
+           FROM documents WHERE doc_id < 5),
+         qt AS MATERIALIZED (
+           SELECT DISTINCT query_id,
+                  unnest(string_split(qtext, ' ')) AS term
+           FROM q),
+         qlen AS (SELECT query_id, CAST(count(*) AS DOUBLE) AS qlen
+                  FROM qt GROUP BY 1),
+         w AS MATERIALIZED (
+           SELECT doc_id, string_split(trim(text), ' ') AS ws
+           FROM documents),
+         dt AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+         tf AS MATERIALIZED (
+           SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM dt WHERE term <> '' GROUP BY 1, 2, 3),
+         stats AS (SELECT CAST(sum(len(ws)) AS DOUBLE) AS c_size FROM w),
+         cf AS MATERIALIZED (
+           SELECT term, sum(tf) AS cf FROM tf
+           WHERE term IN (SELECT term FROM qt) GROUP BY term)
+         SELECT query_id, doc_id, score, rank FROM (
+           SELECT query_id, doc_id, score,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS INT) AS rank
+           FROM (SELECT m.query_id, m.doc_id,
+                        round(m.msum +
+                              ql.qlen * ln(2000.0 / (m.dl + 2000.0)), 9)
+                          AS score
+                 FROM (SELECT qt.query_id, tf.doc_id, tf.dl,
+                              sum(ln(1 + tf.tf * s.c_size /
+                                     (2000.0 * c.cf))) AS msum
+                       FROM tf JOIN qt USING (term) JOIN cf c USING (term)
+                       CROSS JOIN stats s
+                       GROUP BY 1, 2, 3) m
+                 JOIN qlen ql USING (query_id)))
+         WHERE rank <= 10""",
     // both BM25 passes + the integer term-selection replayed; the corpus
     // term relation is shared (MATERIALIZED) across the chain
     "q427_bm25_rm3" ->

@@ -73,6 +73,71 @@ object Bm25 {
     topKForTerms(docs, postings, queryTerms, k, k1, b, textCol)
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Ponte–Croft 1998 /
+    * Zhai–Lafferty 2001) — the OTHER classic lexical scorer beside BM25,
+    * ranking documents by the smoothed language-model probability of the
+    * query. Rank-equivalent decomposition (the standard one):
+    *
+    *   score(q, d) = Σ_{t ∈ q∩d} ln(1 + tf_{t,d}·|C| / (μ·cf_t))
+    *               + |q| · ln(μ / (dl_d + μ))
+    *
+    * where cf_t is the COLLECTION term frequency (not df — the df/cf
+    * distinction is what separates QL from BM25), |C| the exact LONG token
+    * total, and |q| the distinct query-term count (declared: distinct
+    * terms, the same tokenization contract as [[topK]]). Only documents
+    * matching ≥ 1 query term are scored (the candidate-set convention; a
+    * no-match document's score is pure length normalizer and never useful).
+    * Same shapes as BM25: one posting build, broadcast term/cf relations,
+    * one (query, doc) hash agg, query-partitioned top-k window; round-9
+    * scores with (score desc, doc_id) total order.
+    */
+  def topKQueryLikelihood(docs: DataFrame, queries: DataFrame, k: Int = 10,
+                          mu: Double = 2000.0,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          queryIdCol: String = "query_id",
+                          queryTextCol: String = "query_text"): DataFrame = {
+    require(k > 0 && mu > 0, s"need k > 0 and mu > 0, got k=$k mu=$mu")
+    val toks = tokenize(col(textCol))
+    val postings = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("__ts"))
+      .select(col("doc_id"), size(col("__ts")).as("dl"),
+              explode(col("__ts")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val queryTerms = queries
+      .select(col(queryIdCol).cast("long").as("query_id"),
+              explode(tokenize(col(queryTextCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val qlen = queryTerms.groupBy("query_id")
+      .agg(count(lit(1)).cast("double").as("qlen"))
+    // exact LONG collection size; cf per query term from the SAME posting
+    // relation (hits-derived cf would undercount: cf is corpus-global)
+    val stats = docs.select(size(tokenize(col(textCol))).cast("long").as("__dl"))
+      .agg(coalesce(sum(col("__dl")), lit(0L)).cast("double").as("c_size"))
+    val cf = postings.join(broadcast(queryTerms.select("term").distinct()),
+        Seq("term"))
+      .groupBy("term").agg(sum(col("tf")).as("cf"))
+    val hits = postings.join(broadcast(queryTerms), "term")
+    val matchTerm = log(lit(1.0) +
+      col("tf") * col("c_size") / (lit(mu) * col("cf")))
+    val scored = hits
+      .join(broadcast(cf), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id", "dl")
+      .agg(sum(matchTerm).as("__m"))
+      .join(broadcast(qlen), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        round(col("__m") +
+          col("qlen") * log(lit(mu) / (col("dl") + lit(mu))), 9).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "score", "rank")
+  }
+
   /** Score an explicit (query_id, term) relation against the corpus — the
     * shared tail of [[topK]] and the pseudo-relevance-feedback second pass
     * ([[topKExpanded]]), whose query is a TERM SET, not a text.

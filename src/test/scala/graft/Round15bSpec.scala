@@ -161,6 +161,18 @@ class Round15bSpec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(new java.io.File(p2))
   }
 
+  test("query likelihood: higher tf wins at equal length, shorter doc " +
+      "wins at equal tf (the Dirichlet normalizer)") {
+    val docs = Seq((1L, "apple apple"), (2L, "apple pear"),
+      (3L, "apple pear plum grape")).toDF("doc_id", "text")
+    val qs = Seq((9L, "apple")).toDF("query_id", "query_text")
+    val out = graft.search.Bm25
+      .topKQueryLikelihood(docs, qs, k = 10, mu = 2000.0)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 3L),
+      s"expected tf then length to decide the order, got $out")
+  }
+
   test("bm25 rm3: expansion terms recall a document sharing NO original " +
       "query term; plain bm25 cannot see it") {
     val docs = Seq((1L, "apple banana"), (2L, "apple cherry"),
