@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   */
 object Mmr {
 
-  private def qdot(a: Column, b: Column): Column =
+  private[ann] def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** @return (query_id, target_id, rel, rank) — rank is the MMR pick

@@ -1,0 +1,75 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rocchio pseudo-relevance feedback in VECTOR space (Rocchio 1971, the
+  * dense sibling of the q427 RM3 term expansion): retrieve each query's
+  * top `fbDocs` hits, move the query toward their centroid, and search
+  * again with the moved vector — the classic "what the user meant"
+  * refinement a retrieval pipeline runs when the first hit list is assumed
+  * mostly relevant. α = β = 1 declared ("Rocchio-lite": q′ = q + centroid;
+  * the full method weights the two terms and subtracts a non-relevant
+  * centroid no pseudo-feedback run has).
+  *
+  * EXACT-REPLAY DISCIPLINE (the q412 family): vectors quantize once via
+  * floor(x·10⁶ + 0.5); relevance is the BIGINT dot product (ranking by
+  * dot — scale-free re-ranking needs no norms since q′ is shared per
+  * query); the feedback centroid is the per-dimension floor(sum/count)
+  * (IEEE-exact, the PQ centroid rule); the moved query is an integer
+  * addition. Every step relational ⇒ the oracle replays both passes and
+  * the centroid arithmetic bit-for-bit.
+  *
+  * Shape: two broadcast(query)-side scans of the corpus + one
+  * |Q|·fbDocs-bounded feedback join + a dim-grain centroid agg
+  * (|Q|·dim rows out) — nothing shuffles the corpus.
+  */
+object Rocchio {
+
+  /** @return (query_id, target_id, rel2, rank): rel2 = dot(q′, target),
+    *         rank by (rel2 desc, target_id), top k.
+    */
+  def feedbackTopK(queries: DataFrame, targets: DataFrame, fbDocs: Int,
+                   k: Int, scale: Double = 1e6, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(fbDocs >= 1 && k >= 1,
+      s"need fbDocs >= 1 and k >= 1, got fbDocs=$fbDocs k=$k")
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(scale) + lit(0.5)).cast("long"))
+    val q0 = queries.select(col(idCol).cast("long").as("query_id"),
+      qv.as("qv"))
+    val t0 = targets.select(col(idCol).cast("long").as("target_id"),
+      qv.as("tv")).localCheckpoint() // both passes scan this freeze
+    def pass(qs: DataFrame, qCol: String, relName: String) =
+      broadcast(qs).join(t0)
+        .select(col("query_id"), col("target_id"),
+          Mmr.qdot(col(qCol), col("tv")).as(relName))
+    val wRel = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("target_id"))
+    val fb = pass(q0, "qv", "rel")
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") <= fbDocs)
+      .select("query_id", "target_id")
+    // per-dimension exact centroid of the feedback vectors, rebuilt into
+    // an array in position order
+    val cent = t0.join(broadcast(fb), Seq("target_id"))
+      .select(col("query_id"), posexplode(col("tv")).as(Seq("pos", "x")))
+      .groupBy("query_id", "pos")
+      .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+      .select(col("query_id"), col("pos"),
+        floor(col("sx").cast("double") / col("cnt")).cast("long").as("cx"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        p => p.getField("cx")).as("cv"))
+    val moved = q0.join(cent, Seq("query_id"))
+      .select(col("query_id"),
+        zip_with(col("qv"), col("cv"), (a, b) => a + b).as("mv"))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("rel2").desc, col("target_id"))
+    pass(moved, "mv", "rel2")
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "target_id", "rel2", "rank")
+  }
+}

@@ -1971,6 +1971,17 @@ object DataQueries {
       out
     },
 
+    // ROCCHIO DENSE PSEUDO-RELEVANCE FEEDBACK (Rocchio 1971; q427's RM3
+    // sibling in VECTOR space): move each query toward the exact integer
+    // centroid of its top-3 first-pass hits (α=β=1 declared) and search
+    // again by BIGINT dot product — both passes, the floor(sum/count)
+    // centroid, and the integer query move replay in the oracle
+    "q429_rocchio_feedback" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Rocchio.feedbackTopK(emb.filter(col("vec_id") < 20), emb,
+        fbDocs = 3, k = 5)
+    },
+
     // DIRICHLET QUERY-LIKELIHOOD RETRIEVAL (Ponte–Croft / Zhai–Lafferty) —
     // the other classic lexical scorer beside BM25: documents ranked by
     // the smoothed LM probability of the query, the cf-not-df statistic
@@ -3687,6 +3698,45 @@ object DataQueries {
           FROM ($pqAppendSql)""",
     // the greedy MMR sequence replayed round by round
     "q426_mmr_rerank" -> mmrSql(5),
+    // both passes + centroid + query move, replayed exactly
+    "q429_rocchio_feedback" ->
+      """WITH mq AS MATERIALIZED (
+           SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5)
+                              AS BIGINT)) AS v
+           FROM embeddings),
+         fb AS MATERIALIZED (
+           SELECT query_id, target_id FROM (
+             SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 CAST(list_sum(list_transform(list_zip(q.v, t.v),
+                   p -> p[1]*p[2])) AS BIGINT) DESC, t.vec_id) AS rn
+             FROM mq q CROSS JOIN mq t WHERE q.vec_id < 20)
+           WHERE rn <= 3),
+         cent AS MATERIALIZED (
+           SELECT query_id, list(cx ORDER BY pos) AS cv FROM (
+             SELECT query_id, pos,
+                    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*))
+                         AS BIGINT) AS cx
+             FROM (SELECT f.query_id,
+                          generate_subscripts(t.v, 1) AS pos,
+                          unnest(t.v) AS x
+                   FROM fb f JOIN mq t ON t.vec_id = f.target_id)
+             GROUP BY query_id, pos)
+           GROUP BY query_id),
+         mv AS MATERIALIZED (
+           SELECT q.vec_id AS query_id,
+                  list_transform(list_zip(q.v, c.cv), p -> p[1]+p[2]) AS v
+           FROM mq q JOIN cent c ON c.query_id = q.vec_id)
+         SELECT query_id, target_id, rel2, rank FROM (
+           SELECT m.query_id, t.vec_id AS target_id,
+             CAST(list_sum(list_transform(list_zip(m.v, t.v),
+               p -> p[1]*p[2])) AS BIGINT) AS rel2,
+             CAST(row_number() OVER (PARTITION BY m.query_id ORDER BY
+               CAST(list_sum(list_transform(list_zip(m.v, t.v),
+                 p -> p[1]*p[2])) AS BIGINT) DESC, t.vec_id) AS INT) AS rank
+           FROM mv m CROSS JOIN mq t)
+         WHERE rank <= 5""",
     // the QL formula replayed term by term: cf (collection frequency),
     // exact token total, matched-term sum + per-doc length normalizer
     "q428_query_likelihood" ->

@@ -161,6 +161,21 @@ class Round15bSpec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(new java.io.File(p2))
   }
 
+  test("rocchio feedback: centroid, query move, and second-pass dots " +
+      "hand-replayed exactly") {
+    // q=(10,0); rel1: a=100, b=90, c=0, d=30 -> fb={a,b};
+    // centroid = floor((19/2, 3/2)) = (9,1); q' = (19,1);
+    // rel2: a=190, b=174, d=66, c=8
+    val q = Seq((7L, Seq(10f, 0f))).toDF("vec_id", "embedding")
+    val t = Seq((0L, Seq(10f, 0f)), (1L, Seq(9f, 3f)), (2L, Seq(0f, 8f)),
+      (3L, Seq(3f, 9f))).toDF("vec_id", "embedding")
+    val out = graft.ann.Rocchio.feedbackTopK(q, t, fbDocs = 2, k = 4,
+      scale = 1.0).as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(out.toSeq == Seq((7L, 0L, 190L, 1), (7L, 1L, 174L, 2),
+      (7L, 3L, 66L, 3), (7L, 2L, 8L, 4)),
+      s"hand-computed Rocchio sequence mismatch: ${out.mkString(", ")}")
+  }
+
   test("query likelihood: higher tf wins at equal length, shorter doc " +
       "wins at equal tf (the Dirichlet normalizer)") {
     val docs = Seq((1L, "apple apple"), (2L, "apple pear"),
