@@ -62,7 +62,7 @@ object Rocchio {
       .groupBy("query_id")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         p => p.getField("cx")).as("cv"))
-    val moved = q0.join(cent, Seq("query_id"))
+    val moved = q0.join(broadcast(cent), Seq("query_id"))
       .select(col("query_id"),
         zip_with(col("qv"), col("cv"), (a, b) => a + b).as("mv"))
     val w2 = Window.partitionBy("query_id")

@@ -933,6 +933,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("hash walks (q424): window-free — every hop is a min(struct) hash " +
+      "agg, never a rank window; no cartesian") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val plan = staticPlan(
+      graft.queries.RankQueries.queries("q424_hash_walks")(spark, sf))
+    assert(count(plan) { case _: WindowExec => } === 0,
+      s"argmin must be an aggregation, not a window:\n$plan")
+    assert(count(plan) { case _: CartesianProductExec => } === 0)
+  }
+
+  test("retrieval second wave (q426/q427/q428/q429): no sort-merge joins, " +
+      "every window query-partitioned") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    for (name <- Seq("q426_mmr_rerank", "q427_bm25_rm3",
+        "q428_query_likelihood", "q429_rocchio_feedback")) {
+      val plan = staticPlan(
+        graft.queries.DataQueries.queries(name)(spark, sf))
+      assert(count(plan) { case _: SortMergeJoinExec => } === 0,
+        s"$name: every join side is bounded — broadcast only:\n$plan")
+      assert(count(plan) { case w: WindowExec if w.partitionSpec.isEmpty => }
+        === 0, s"$name: no global window:\n$plan")
+    }
+  }
+
   test("pq adc search (q413): broadcast-only joins — no sort-merge, no " +
       "cartesian; the top-k window is query-partitioned") {
     import org.apache.spark.sql.execution.joins.{CartesianProductExec, SortMergeJoinExec}
