@@ -88,4 +88,65 @@ object PageRank {
     }
     ranks
   }
+
+  /** Personalized PageRank (the "random walk with restart" recsys /
+    * relevance-propagation operator): the restart mass concentrates on a
+    * SEED SET instead of spreading uniformly, so ranks measure proximity
+    * TO THE SEEDS — "parts bought alongside this brand", "domains linked
+    * from these trusted hosts". Same exact ppm integer fixed point as
+    * [[fixedPointRanks]] (order-independent sums, engine-replayable):
+    *
+    *   rank₀(v)  = Scale·[v ∈ S]
+    *   rank'(v)  = [v ∈ S]·(Scale − d) + (d · Σ contrib) div Scale
+    *
+    * Unnormalized per-seed convention (each seed injects the full
+    * (Scale − d) restart; scores comparable within one seed set — the
+    * q125 unnormalized-centrality contract at seed grain). Seeds that are
+    * not graph nodes are ignored (the walk cannot restart where no edge
+    * lives); nodes unreachable from any seed hold rank 0 exactly.
+    *
+    * Same shape: frozen edges+outdeg, per iteration one src join + one
+    * partial-aggregated sum by dst; the seed flag rides the frozen node
+    * relation.
+    */
+  def personalizedRanks(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iterations: Int = 5,
+      dampingPpm: Long = 850000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    require(dampingPpm > 0 && dampingPpm < Scale,
+      s"dampingPpm must be in (0, $Scale), got $dampingPpm")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(deg, "src").localCheckpoint()
+    val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().withColumn("__s", lit(1L))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(broadcast(seedSet), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("is_seed"))
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n < Long.MaxValue / dampingPpm / Scale,
+      s"$n nodes overflow the ppm fixed point (bound ~10.8M); " +
+        "shard the graph or use a float formulation")
+    val base = Scale - dampingPpm
+    var ranks = nodes.select(col("node"),
+      (col("is_seed") * Scale).as("rank_fp"))
+    for (_ <- 1 to iterations) {
+      val inc = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst").as("node"),
+          expr("rank_fp div outdeg").as("contrib"))
+        .groupBy("node").agg(sum(col("contrib")).as("inc"))
+      ranks = nodes.join(inc, Seq("node"), "left")
+        .select(col("node"),
+          (col("is_seed") * base + expr(
+            s"($dampingPpm * coalesce(inc, CAST(0 AS BIGINT))) div $Scale"))
+            .as("rank_fp"))
+    }
+    ranks
+  }
 }

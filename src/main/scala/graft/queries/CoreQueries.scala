@@ -1233,6 +1233,21 @@ object CoreQueries {
         .select(col("node").as("part_key"), col("rank_fp"))
     },
 
+    // PERSONALIZED PAGERANK (random walk with restart) — q125's restart
+    // mass concentrated on a seed set, so ranks measure proximity TO THE
+    // SEEDS ("parts bought alongside this group"): the recsys/relevance-
+    // propagation operator. Same exact ppm integer fixed point, same
+    // unrolled-CTE oracle discipline; unreachable nodes hold rank 0
+    // exactly, the seed flag rides the frozen node relation
+    "q430_personalized_pagerank" -> { (s, dir) =>
+      val edges = graft.operators.Graphs.coPurchaseEdges(t(s, dir, "lineitem"))
+      val seeds = t(s, dir, "part")
+        .filter(col("p_partkey") % 100 === 0).select("p_partkey")
+      graft.operators.PageRank.personalizedRanks(edges, "src", "dst",
+          seeds, "p_partkey", iterations = 5)
+        .select(col("node").as("part_key"), col("rank_fp"))
+    },
+
     // CHECKPOINT/RESUME contract for the iterative tier — the
     // preemption-recovery guarantee a 100 TB graph job needs on spot
     // capacity: 3 iterations, state frozen (the stand-in for a parquet
@@ -3094,7 +3109,43 @@ object CoreQueries {
         SELECT node AS part_key, rank_fp FROM r5"""
   }
 
+  /** q430: the q125 unrolled replay with the restart mass gated by the
+    * seed flag.
+    */
+  private val pprSql: String = {
+    val iters = (1 to 5).map { i =>
+      s"""inc$i AS (
+            SELECT e.dst AS node, sum(r.rank_fp // e.outdeg) AS inc
+            FROM e JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst),
+          r$i AS (
+            SELECT n.node,
+                   CAST(n.is_seed * 150000 +
+                        (850000 * coalesce(i.inc, 0)) // 1000000
+                        AS BIGINT) AS rank_fp
+            FROM nodes n LEFT JOIN inc$i i ON n.node = i.node)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                FROM pairs GROUP BY src),
+        e AS (SELECT p.src, p.dst, d.outdeg FROM pairs p JOIN deg d USING (src)),
+        sd AS (SELECT DISTINCT p_partkey AS node FROM part
+               WHERE p_partkey % 100 = 0),
+        nodes AS (SELECT nn.node,
+                         CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed
+                  FROM (SELECT DISTINCT src AS node FROM pairs
+                        UNION SELECT DISTINCT dst FROM pairs) nn
+                  LEFT JOIN sd ON sd.node = nn.node),
+        r0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS rank_fp
+               FROM nodes),
+        $iters
+        SELECT node AS part_key, rank_fp FROM r5"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q430_personalized_pagerank" -> pprSql,
     "q217_top_paths" ->
       """WITH ev AS (
            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us

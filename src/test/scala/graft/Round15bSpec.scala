@@ -161,6 +161,23 @@ class Round15bSpec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(new java.io.File(p2))
   }
 
+  test("personalized pagerank: hand-replayed 2 iterations on a 3-chain " +
+      "seeded at one end") {
+    // chain 0-1-2 (both directions), seed {0}, d = 500000:
+    // r0 = (1e6, 0, 0)
+    // it1: inc = (0, 1e6, 0)  -> r1 = (5e5, 5e5, 0)
+    // it2: contrib 0->1: 5e5; 1->{0,2}: 25e4 each
+    //      r2 = (5e5 + 125000, 250000, 125000)
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val out = graft.operators.PageRank.personalizedRanks(edges, "src",
+        "dst", seeds, "id", iterations = 2, dampingPpm = 500000L)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 625000L, 1L -> 250000L, 2L -> 125000L),
+      s"hand-computed PPR mismatch: $out")
+  }
+
   test("rocchio feedback: centroid, query move, and second-pass dots " +
       "hand-replayed exactly") {
     // q=(10,0); rel1: a=100, b=90, c=0, d=30 -> fb={a,b};
