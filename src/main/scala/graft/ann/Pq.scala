@@ -427,6 +427,50 @@ object Pq {
     residualSearch(indexed, queries, coarse, rcb, nProbe, k, idCol, vecCol)
   }
 
+  /** Two-stage refined search (the FAISS `refine` step — "compressed
+    * recall, exact precision"): the residual IVFADC produces a cheap
+    * `shortlist`-sized candidate set per query from 2-byte codes, then the
+    * candidates alone are re-scored with the EXACT float cosine (q43's
+    * round-9 semantics) and the top k reported. The full vectors are
+    * touched only for |Q|·shortlist rows — the serving pattern that makes
+    * PQ usable when reported scores must be true cosines.
+    *
+    * Shape: stage 1 is [[residualIvfAdcTopK]]; stage 2 joins the
+    * broadcast (candidate × query-vector) side against the corpus on
+    * target_id — the corpus never shuffles — and re-ranks in a
+    * query-partitioned window.
+    */
+  def refinedTopK(targets: DataFrame, queries: DataFrame, coarse: Codebook,
+                  rcb: Codebook, nProbe: Int, shortlist: Int, k: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = residualIvfAdcTopK(targets, queries, coarse, rcb, nProbe,
+      shortlist, idCol, vecCol).select("query_id", "target_id")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv"))
+    val t = targets.select(col(idCol).cast("long").as("target_id"),
+      col(vecCol).as("__tv"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val scored = t
+      .join(broadcast(cand.join(broadcast(q), Seq("query_id"))),
+        Seq("target_id"))
+      .withColumn("__denom",
+        sqrt(dot(col("__qv"), col("__qv"))) *
+          sqrt(dot(col("__tv"), col("__tv"))))
+      .select(col("query_id"), col("target_id"),
+        when(col("__denom") === 0.0, 0.0)
+          .otherwise(round(dot(col("__qv"), col("__tv")) / col("__denom"), 9))
+          .as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("target_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "target_id", "cosine", "rank")
+  }
+
   /** IVF-gated ADC (the IVFADC composition, non-residual variant): targets
     * live in coarse k-means lists, each query probes its `nProbe` nearest
     * lists and ADC runs on those candidates only — the search cost drops by

@@ -1971,6 +1971,23 @@ object DataQueries {
       out
     },
 
+    // TWO-STAGE REFINED PQ SEARCH (FAISS `refine`) — "compressed recall,
+    // exact precision": residual IVFADC builds a 20-candidate shortlist
+    // per query from 2-byte codes, then ONLY those rows touch the full
+    // vectors for an exact round-9 cosine re-rank. The serving pattern
+    // that makes PQ usable when reported scores must be true cosines;
+    // oracle = the q415 replay at rank ≤ 20 nested as a CTE + the
+    // list_cosine_similarity re-rank
+    "q431_pq_refined" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val coarse = graft.ann.Pq.fitCodebook(emb, m = 1, subDim = 64, k = 8,
+        iters = 2)
+      val rcb = graft.ann.Pq.fitResidualCodebook(emb, coarse, m = 4,
+        subDim = 16, k = 16, iters = 2)
+      graft.ann.Pq.refinedTopK(emb, emb.filter(col("vec_id") < 30), coarse,
+        rcb, nProbe = 2, shortlist = 20, k = 5)
+    },
+
     // ROCCHIO DENSE PSEUDO-RELEVANCE FEEDBACK (Rocchio 1971; q427's RM3
     // sibling in VECTOR space): move each query toward the exact integer
     // centroid of its top-3 first-pass hits (α=β=1 declared) and search
@@ -3698,6 +3715,22 @@ object DataQueries {
           FROM ($pqAppendSql)""",
     // the greedy MMR sequence replayed round by round
     "q426_mmr_rerank" -> mmrSql(5),
+    // the q415 replay at shortlist grain, nested, + exact cosine re-rank
+    "q431_pq_refined" ->
+      s"""WITH cand AS MATERIALIZED (
+            ${residualIvfSql.replace("WHERE rank <= 5", "WHERE rank <= 20")})
+          SELECT query_id, target_id, cosine, rank FROM (
+            SELECT c.query_id, c.target_id,
+              round(list_cosine_similarity(q.embedding::DOUBLE[],
+                    t.embedding::DOUBLE[]), 9) AS cosine,
+              CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY
+                round(list_cosine_similarity(q.embedding::DOUBLE[],
+                      t.embedding::DOUBLE[]), 9) DESC,
+                c.target_id) AS INT) AS rank
+            FROM cand c
+            JOIN embeddings q ON q.vec_id = c.query_id
+            JOIN embeddings t ON t.vec_id = c.target_id)
+          WHERE rank <= 5""",
     // both passes + centroid + query move, replayed exactly
     "q429_rocchio_feedback" ->
       """WITH mq AS MATERIALIZED (

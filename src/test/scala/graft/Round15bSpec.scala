@@ -161,6 +161,23 @@ class Round15bSpec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(new java.io.File(p2))
   }
 
+  test("pq refined search: probing every list with a corpus-sized " +
+      "shortlist reproduces the exact brute-force top-k bit for bit") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val coarse = graft.ann.Pq.fitCodebook(emb, m = 1, subDim = 64, k = 4,
+      iters = 1)
+    val rcb = graft.ann.Pq.fitResidualCodebook(emb, coarse, m = 4,
+      subDim = 16, k = 8, iters = 1)
+    val refined = graft.ann.Pq.refinedTopK(emb, q, coarse, rcb,
+        nProbe = 4, shortlist = 1 << 20, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = graft.ann.Knn.bruteForceTopK(q, emb, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(refined == exact,
+      "exhaustive shortlist + exact re-rank must equal brute force")
+  }
+
   test("personalized pagerank: hand-replayed 2 iterations on a 3-chain " +
       "seeded at one end") {
     // chain 0-1-2 (both directions), seed {0}, d = 500000:
