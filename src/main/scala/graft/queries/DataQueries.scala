@@ -23,6 +23,29 @@ object DataQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables(s, dir, name)
 
+  /** Shared recall@5 aggregation (q416/q432): exact ppm mean + worst-case
+    * per query, queries the variant misses entirely zero-coalesced from
+    * the exact relation's query list.
+    */
+  private def recallOf(exact: DataFrame, name: String,
+                       res: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hits = res.select("query_id", "target_id")
+      .join(exact, Seq("query_id", "target_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        sum("n_hit").cast("long").as("n_hits"),
+        min("n_hit").cast("long").as("min_hits"))
+      .select(lit(name).as("variant"), col("n_queries"),
+        expr("CAST(n_hits * 1000000 div (n_queries * 5) AS BIGINT)")
+          .as("recall_ppm"),
+        expr("CAST(min_hits * 1000000 div 5 AS BIGINT)")
+          .as("min_recall_ppm"))
+  }
+
   /** documents ∪ an id-shifted copy of itself: guarantees every doc has at
     * least one exact duplicate, making the guaranteed-recall invariants
     * non-trivial regardless of the natural duplicate rate in the table.
@@ -2196,27 +2219,34 @@ object DataQueries {
         iters = 2)
       val coarse = graft.ann.Pq.fitCodebook(emb, m = 1, subDim = 64, k = 8,
         iters = 2)
-      def recallOf(name: String, res: DataFrame): DataFrame = {
-        val hits = res.select("query_id", "target_id")
-          .join(exact, Seq("query_id", "target_id"), "left_semi")
-          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-        exact.select("query_id").distinct()
-          .join(hits, Seq("query_id"), "left")
-          .select(coalesce(col("n_hit"), lit(0L)).as("n_hit"))
-          .agg(count(lit(1)).cast("long").as("n_queries"),
-            sum("n_hit").cast("long").as("n_hits"),
-            min("n_hit").cast("long").as("min_hits"))
-          .select(lit(name).as("variant"), col("n_queries"),
-            expr("CAST(n_hits * 1000000 div (n_queries * 5) AS BIGINT)")
-              .as("recall_ppm"),
-            expr("CAST(min_hits * 1000000 div 5 AS BIGINT)")
-              .as("min_recall_ppm"))
-      }
-      recallOf("int8", Knn.bruteForceTopKInt8(q, emb, k = 5))
-        .unionByName(recallOf("pq_adc",
+      recallOf(exact, "int8", Knn.bruteForceTopKInt8(q, emb, k = 5))
+        .unionByName(recallOf(exact, "pq_adc",
           graft.ann.Pq.adcTopK(emb, q, cb, k = 5)))
-        .unionByName(recallOf("ivf_pq",
+        .unionByName(recallOf(exact, "ivf_pq",
           graft.ann.Pq.ivfAdcTopK(emb, q, cb, coarse, nProbe = 2, k = 5)))
+    },
+
+    // REFINED-VS-RAW RECALL GATE — the number the q431 refine step is
+    // bought for: recall@5 of the raw residual IVFADC vs the SAME
+    // shortlist re-ranked by exact cosine, against the exact float top-5.
+    // Raw ADC ranks by quantized distance (recall lost to code
+    // resolution); the refine pass recovers every exact-top-5 member the
+    // 20-deep shortlist caught. Fully replayable variants ⇒ full oracle
+    "q432_refined_recall_gate" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 30)
+      val exact = Knn.bruteForceTopK(q, emb, k = 5)
+        .select("query_id", "target_id").localCheckpoint()
+      val coarse = graft.ann.Pq.fitCodebook(emb, m = 1, subDim = 64, k = 8,
+        iters = 2)
+      val rcb = graft.ann.Pq.fitResidualCodebook(emb, coarse, m = 4,
+        subDim = 16, k = 16, iters = 2)
+      recallOf(exact, "ivf_pq_raw",
+          graft.ann.Pq.residualIvfAdcTopK(emb, q, coarse, rcb, nProbe = 2,
+            k = 5))
+        .unionByName(recallOf(exact, "refined",
+          graft.ann.Pq.refinedTopK(emb, q, coarse, rcb, nProbe = 2,
+            shortlist = 20, k = 5)))
     },
 
     // SIMHASH LEDGER COMPACTION — q400's fingerprint sibling over the
@@ -2974,6 +3004,37 @@ object DataQueries {
     "WITH " + sb.toString
   }
 
+  /** q431's replay (also nested by q432's recall gate). */
+  private lazy val pqRefinedSql: String =
+    s"""WITH cand AS MATERIALIZED (
+          ${residualIvfSql.replace("WHERE rank <= 5", "WHERE rank <= 20")})
+        SELECT query_id, target_id, cosine, rank FROM (
+          SELECT c.query_id, c.target_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[],
+                  t.embedding::DOUBLE[]), 9) AS cosine,
+            CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY
+              round(list_cosine_similarity(q.embedding::DOUBLE[],
+                    t.embedding::DOUBLE[]), 9) DESC,
+              c.target_id) AS INT) AS rank
+          FROM cand c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings t ON t.vec_id = c.target_id)
+        WHERE rank <= 5"""
+
+  /** The q416 recall aggregation over a (query_id, target_id) relation
+    * against the `ex`/`ql` CTEs the caller defines.
+    */
+  private def recallAggSql(name: String, rel: String): String =
+    s"""SELECT '$name' AS variant,
+               CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(n_hit) * 1000000 // (count(*) * 5) AS BIGINT)
+                 AS recall_ppm,
+               CAST(min(n_hit) * 1000000 // 5 AS BIGINT) AS min_recall_ppm
+        FROM (SELECT ql.query_id, coalesce(h.n_hit, 0) AS n_hit FROM ql
+              LEFT JOIN (SELECT v.query_id, count(*) AS n_hit
+                         FROM $rel v JOIN ex USING (query_id, target_id)
+                         GROUP BY 1) h USING (query_id))"""
+
   val oracleSql: Map[String, String] = Map(
     // the oracle replays the quantile rule directly per bucket index
     // (min v with cum*B >= b*n) - O(B * domain), oracle-side only
@@ -3716,21 +3777,23 @@ object DataQueries {
     // the greedy MMR sequence replayed round by round
     "q426_mmr_rerank" -> mmrSql(5),
     // the q415 replay at shortlist grain, nested, + exact cosine re-rank
-    "q431_pq_refined" ->
-      s"""WITH cand AS MATERIALIZED (
-            ${residualIvfSql.replace("WHERE rank <= 5", "WHERE rank <= 20")})
-          SELECT query_id, target_id, cosine, rank FROM (
-            SELECT c.query_id, c.target_id,
-              round(list_cosine_similarity(q.embedding::DOUBLE[],
-                    t.embedding::DOUBLE[]), 9) AS cosine,
-              CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY
-                round(list_cosine_similarity(q.embedding::DOUBLE[],
-                      t.embedding::DOUBLE[]), 9) DESC,
-                c.target_id) AS INT) AS rank
-            FROM cand c
-            JOIN embeddings q ON q.vec_id = c.query_id
-            JOIN embeddings t ON t.vec_id = c.target_id)
-          WHERE rank <= 5""",
+    "q431_pq_refined" -> pqRefinedSql,
+    // both variants replayed, then the q416 recall aggregation per variant
+    "q432_refined_recall_gate" ->
+      s"""WITH ex AS MATERIALIZED (
+            SELECT query_id, target_id FROM (
+              SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                  round(list_cosine_similarity(q.embedding::DOUBLE[],
+                        t.embedding::DOUBLE[]), 9) DESC, t.vec_id) AS rank
+              FROM embeddings q CROSS JOIN embeddings t
+              WHERE q.vec_id < 30) WHERE rank <= 5),
+          raw5 AS MATERIALIZED ($residualIvfSql),
+          ref5 AS MATERIALIZED ($pqRefinedSql),
+          ql AS MATERIALIZED (SELECT DISTINCT query_id FROM ex)
+          ${recallAggSql("ivf_pq_raw", "raw5")}
+          UNION ALL
+          ${recallAggSql("refined", "ref5")}""",
     // both passes + centroid + query move, replayed exactly
     "q429_rocchio_feedback" ->
       """WITH mq AS MATERIALIZED (

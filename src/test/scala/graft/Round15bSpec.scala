@@ -161,6 +161,17 @@ class Round15bSpec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(new java.io.File(p2))
   }
 
+  test("refined recall gate (q432): re-ranking the shortlist never " +
+      "loses recall vs raw ADC (hits are a superset structurally)") {
+    val out = graft.queries.DataQueries
+      .queries("q432_refined_recall_gate")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out.keySet == Set("ivf_pq_raw", "refined"))
+    assert(out("refined") >= out("ivf_pq_raw"),
+      s"refined recall must dominate raw ADC: $out")
+  }
+
   test("pq refined search: probing every list with a corpus-sized " +
       "shortlist reproduces the exact brute-force top-k bit for bit") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
