@@ -72,6 +72,35 @@ object Graphs {
     out.select(col("start"), col("step").cast("int").as("step"), col("node"))
   }
 
+  /** Skip-gram training pairs over a walk corpus — the second half of the
+    * DeepWalk data-prep (the [[hashWalks]] output is the "sentences", this
+    * is the (center, context) pair emission word2vec-style trainers
+    * consume): within each walk, every ordered position pair at distance
+    * 1..window becomes a pair, aggregated to exact integer counts across
+    * the corpus. Revisits are kept as-is (a walk returning to a node
+    * legitimately emits (v, v) pairs — the standard convention; the
+    * trainer's subsampling is its own concern).
+    *
+    * Shape: one self-join per walk key on a bounded |step-diff| band (walk
+    * length is a declared small constant, so the fan-out per walk is
+    * ≤ len·2·window) + one hash agg with map-side partials. Replayable
+    * relationally — with [[hashWalks]]' deterministic corpus the whole
+    * pipeline is engine-exact end to end.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1 && window <= 16,
+      s"window must be in [1, 16], got $window")
+    val a = walks.select(col("start"), col("step").as("si"),
+      col("node").as("center"))
+    val b = walks.select(col("start"), col("step").as("sj"),
+      col("node").as("context"))
+    a.join(b, Seq("start"))
+      .filter(col("si") =!= col("sj") &&
+        abs(col("si") - col("sj")) <= window)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+  }
+
   /** ONE synchronous Louvain local-move sweep (Blondel et al. 2008 phase-1
     * step, the move rule distributed-Louvain implementations apply per
     * round): every node i in community a evaluates, against the CURRENT

@@ -798,6 +798,22 @@ object RankQueries {
         "p_partkey", len = 3)
     },
 
+    // WALK SKIP-GRAM PAIRS — the second half of the DeepWalk data-prep:
+    // q424's deterministic walk corpus emitted as (center, context)
+    // pairs at step distance 1..2 with exact integer counts, the input a
+    // word2vec-style graph-embedding trainer consumes. One walk-keyed
+    // self-join on a bounded step band + one hash agg; with q424's
+    // md5-argmin corpus the whole pipeline replays engine-exact
+    "q433_walk_skipgrams" -> { (s, dir) =>
+      val edges = graft.operators.Graphs
+        .coPurchaseEdges(t(s, dir, "lineitem"))
+      val starts = t(s, dir, "part")
+        .filter(col("p_partkey") % 20 === 0).select("p_partkey")
+      val walks = graft.operators.Graphs.hashWalks(edges, "src", "dst",
+        starts, "p_partkey", len = 3)
+      graft.operators.Graphs.skipGramPairs(walks, window = 2)
+    },
+
     // EXACT 1-D WASSERSTEIN — how much VALUE MASS moved between the
     // click and purchase amount distributions (KS: worst deviation,
     // CvM: integrated deviation, W₁: mass × distance — the drift metric
@@ -851,6 +867,43 @@ object RankQueries {
           (col("l_partkey") + lit(10000000L)).as("dst"))
       graft.operators.Hits.fixedPoint(edges, "src", "dst", iterations = 2)
     })
+
+  /** q424 replay; q433 nests it as the walk corpus. */
+  private lazy val hashWalksSql: String =
+    """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey),
+         dirs AS MATERIALIZED (
+           SELECT u AS node, v AS nbr FROM e0
+           UNION ALL SELECT v, u FROM e0),
+         s0 AS MATERIALIZED (
+           SELECT DISTINCT p_partkey AS start, p_partkey AS node
+           FROM part WHERE p_partkey % 20 = 0),
+         w1 AS MATERIALIZED (
+           SELECT start, node FROM (
+             SELECT s.start, d.nbr AS node,
+               row_number() OVER (PARTITION BY s.start ORDER BY
+                 md5(concat_ws(':', s.start, 1, s.node, d.nbr)), d.nbr) AS rn
+             FROM s0 s JOIN dirs d ON d.node = s.node) WHERE rn = 1),
+         w2 AS MATERIALIZED (
+           SELECT start, node FROM (
+             SELECT s.start, d.nbr AS node,
+               row_number() OVER (PARTITION BY s.start ORDER BY
+                 md5(concat_ws(':', s.start, 2, s.node, d.nbr)), d.nbr) AS rn
+             FROM w1 s JOIN dirs d ON d.node = s.node) WHERE rn = 1),
+         w3 AS MATERIALIZED (
+           SELECT start, node FROM (
+             SELECT s.start, d.nbr AS node,
+               row_number() OVER (PARTITION BY s.start ORDER BY
+                 md5(concat_ws(':', s.start, 3, s.node, d.nbr)), d.nbr) AS rn
+             FROM w2 s JOIN dirs d ON d.node = s.node) WHERE rn = 1)
+         SELECT start, CAST(0 AS INT) AS step, node FROM s0
+         UNION ALL SELECT start, CAST(1 AS INT), node FROM w1
+         UNION ALL SELECT start, CAST(2 AS INT), node FROM w2
+         UNION ALL SELECT start, CAST(3 AS INT), node FROM w3"""
 
   val oracleSql: Map[String, String] = Map(
     "q347_kruskal_wallis" ->
@@ -1106,41 +1159,15 @@ object RankQueries {
                      AS BIGINT) AS q_x1e6
          FROM m, ls, nn""",
     // the walk replayed hop by hop: same canonical graph, same md5 argmin
-    "q424_hash_walks" ->
-      """WITH e0 AS MATERIALIZED (
-           SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-                  greatest(a.l_partkey, b.l_partkey) AS v
-           FROM lineitem a JOIN lineitem b
-             ON a.l_orderkey = b.l_orderkey
-            AND a.l_partkey <> b.l_partkey),
-         dirs AS MATERIALIZED (
-           SELECT u AS node, v AS nbr FROM e0
-           UNION ALL SELECT v, u FROM e0),
-         s0 AS MATERIALIZED (
-           SELECT DISTINCT p_partkey AS start, p_partkey AS node
-           FROM part WHERE p_partkey % 20 = 0),
-         w1 AS MATERIALIZED (
-           SELECT start, node FROM (
-             SELECT s.start, d.nbr AS node,
-               row_number() OVER (PARTITION BY s.start ORDER BY
-                 md5(concat_ws(':', s.start, 1, s.node, d.nbr)), d.nbr) AS rn
-             FROM s0 s JOIN dirs d ON d.node = s.node) WHERE rn = 1),
-         w2 AS MATERIALIZED (
-           SELECT start, node FROM (
-             SELECT s.start, d.nbr AS node,
-               row_number() OVER (PARTITION BY s.start ORDER BY
-                 md5(concat_ws(':', s.start, 2, s.node, d.nbr)), d.nbr) AS rn
-             FROM w1 s JOIN dirs d ON d.node = s.node) WHERE rn = 1),
-         w3 AS MATERIALIZED (
-           SELECT start, node FROM (
-             SELECT s.start, d.nbr AS node,
-               row_number() OVER (PARTITION BY s.start ORDER BY
-                 md5(concat_ws(':', s.start, 3, s.node, d.nbr)), d.nbr) AS rn
-             FROM w2 s JOIN dirs d ON d.node = s.node) WHERE rn = 1)
-         SELECT start, CAST(0 AS INT) AS step, node FROM s0
-         UNION ALL SELECT start, CAST(1 AS INT), node FROM w1
-         UNION ALL SELECT start, CAST(2 AS INT), node FROM w2
-         UNION ALL SELECT start, CAST(3 AS INT), node FROM w3""",
+    "q424_hash_walks" -> hashWalksSql,
+    // the walk corpus nested, then the bounded |step-diff| pair emission
+    "q433_walk_skipgrams" ->
+      s"""WITH walks AS MATERIALIZED ($hashWalksSql)
+          SELECT a.node AS center, b.node AS context,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+          FROM walks a JOIN walks b ON a.start = b.start
+          WHERE a.step <> b.step AND abs(a.step - b.step) <= 2
+          GROUP BY 1, 2""",
     // the full sweep replayed: neighbour-community gains, positive-argmax
     // move rule, then the q394 modularity arithmetic on BOTH partitions
     "q417_louvain_move" ->

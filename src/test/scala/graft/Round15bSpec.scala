@@ -279,6 +279,21 @@ class Round15bSpec extends SparkSpec {
       Seq(1, 2, 3, 4, 5)))
   }
 
+  test("skip-gram pairs: hand-counted emission over a revisiting walk, " +
+      "window 2") {
+    // walk [5,6,7,6]: ordered position pairs with |i-j| in {1,2} give
+    // (5,6)1 (5,7)1 (6,5)1 (6,7)2 (6,6)2 (7,5)1 (7,6)2 — revisits emit
+    // legitimate (v,v) pairs
+    val walks = Seq((9L, 0, 5L), (9L, 1, 6L), (9L, 2, 7L), (9L, 3, 6L))
+      .toDF("start", "step", "node")
+    val pairs = graft.operators.Graphs.skipGramPairs(walks, window = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs == Map((5L, 6L) -> 1L, (5L, 7L) -> 1L, (6L, 5L) -> 1L,
+      (6L, 7L) -> 2L, (6L, 6L) -> 2L, (7L, 5L) -> 1L, (7L, 6L) -> 2L),
+      s"hand-counted skip-gram mismatch: $pairs")
+  }
+
   test("hash walks: hops are always edges, forced hops are taken, " +
       "isolated starts emit only step 0") {
     val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst") // path 0-1-2
