@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
   * preserves the cached plan's hash partitioning across rounds, which a
   * localCheckpoint's LogicalRDD does not — while the per-round alive set
   * is still localCheckpoint-frozen (the connectedComponents lesson,
-  * Dedup.scala). The per-round driver `count()` is one
+  * Dedup.scala). The edge cache lives only for the duration of the call:
+  * the node-sized result is localCheckpoint-materialized and the 2·|E|
+  * relation unpersisted in a `finally` before return (Triangles.count
+  * discipline), so the CacheManager is empty when decompose returns.
+  * The per-round driver `count()` is one
   * long — the same bounded convergence probe connectedComponents uses.
   * For graphs whose VERTEX set itself exceeds executor memory (≳10⁹
   * nodes), pass `broadcastAlive = false`: the rounds become plain shuffle
@@ -75,32 +79,41 @@ object KCore {
       .distinct()
       .repartition(col("s"))
       .persist()
-    val nodes = e.select(col("s").as("node")).distinct().localCheckpoint()
+    // Everything below reads `e`; the result is materialized (node-sized
+    // localCheckpoint) before the finally releases the 2·|E| cache — the
+    // Triangles.count discipline, so no decompose() call pins edge-scale
+    // executor memory past its own return.
+    try {
+      val nodes = e.select(col("s").as("node")).distinct().localCheckpoint()
 
-    var alive = nodes
-    var prev = alive.count()
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      alive = peelRound(e, alive, k, broadcastAlive).localCheckpoint()
-      val cur = alive.count()
-      converged = cur == prev
-      prev = cur
-      round += 1
+      var alive = nodes
+      var prev = alive.count()
+      var converged = false
+      var round = 0
+      while (!converged && round < maxRounds) {
+        alive = peelRound(e, alive, k, broadcastAlive).localCheckpoint()
+        val cur = alive.count()
+        converged = cur == prev
+        prev = cur
+        round += 1
+      }
+      require(converged,
+        s"k-core peel did not converge within $maxRounds rounds " +
+          s"($prev nodes still alive) — rerun with a larger maxRounds")
+
+      val hint: DataFrame => DataFrame =
+        if (broadcastAlive) broadcast else identity
+      val coreDeg = e
+        .join(hint(alive.select(col("node").as("s"))), "s")
+        .join(hint(alive.select(col("node").as("d"))), "d")
+        .groupBy(col("s").as("node"))
+        .agg(count(lit(1)).cast("long").as("core_deg"))
+      nodes.join(coreDeg, Seq("node"), "left")
+        .select(col("node"), col("core_deg").isNotNull.as("in_core"),
+          col("core_deg"))
+        .localCheckpoint()
+    } finally {
+      e.unpersist()
     }
-    require(converged,
-      s"k-core peel did not converge within $maxRounds rounds " +
-        s"($prev nodes still alive) — rerun with a larger maxRounds")
-
-    val hint: DataFrame => DataFrame =
-      if (broadcastAlive) broadcast else identity
-    val coreDeg = e
-      .join(hint(alive.select(col("node").as("s"))), "s")
-      .join(hint(alive.select(col("node").as("d"))), "d")
-      .groupBy(col("s").as("node"))
-      .agg(count(lit(1)).cast("long").as("core_deg"))
-    nodes.join(coreDeg, Seq("node"), "left")
-      .select(col("node"), col("core_deg").isNotNull.as("in_core"),
-        col("core_deg"))
   }
 }
