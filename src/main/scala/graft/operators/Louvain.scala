@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** FULL Louvain community detection (Blondel–Guillaume–Lambiotte–Lefebvre
+  * 2008): phase-1 local-move sweeps, then phase-2 COARSENING — contract
+  * each community to one node of a weighted community graph (self-loops
+  * carry the intra-community weight) — and repeat at the next level.
+  * `Graphs.louvainMove` (q417) is the single-sweep kernel on the
+  * unweighted graph; this is the whole algorithm, generalized to the
+  * weighted self-loop graphs coarsening produces.
+  *
+  * Exact arithmetic end to end, the q417 discipline: with integer edge
+  * weights, m = Σw, node strength s_i = Σ_{j≠i} w_ij + 2·w_ii
+  * (so Σs_i = 2m), community mass S_c = Σ_{i∈c} s_i and intra weight
+  * W_c = Σ_{u,v∈c, u≤v} w_uv, the move gain is
+  *
+  *   ΔQ(i→c)·2m² = 2m·(k_ic − k_ia) − s_i·(S_c − S_a + s_i)
+  *
+  * in DECIMAL(38,0) (reduces to the q417 formula at w≡1), and modularity
+  * compares by the exact numerator 4m²·Q = 4m·ΣW_c − ΣS_c² (denominator
+  * constant per level, so numerator order IS Q order). Coarsening
+  * PRESERVES Q under this convention — the community graph with identity
+  * labels has the same W/S masses.
+  *
+  * TERMINATION — measured, not assumed. Sequential Louvain stops at a
+  * zero-move plateau; SYNCHRONOUS sweeps (all moves applied off the old
+  * partition, the only bit-replayable engine-parallel semantics) do not
+  * reliably reach one: on the dense co-purchase graph the per-sweep move
+  * count stalls near 60% of nodes indefinitely — the classic two-node
+  * ping-pong generalizes to bulk label churn (measured r16; the
+  * singleton-swap guard below kills the two-cycles but not the churn).
+  * So each level runs a DECLARED sweep budget and selects the partition
+  * with the best EXACT Q among all sweep checkpoints — the singleton
+  * init is candidate s = 0, hence level Q is non-decreasing across
+  * levels BY CONSTRUCTION, and the fixed depth is what makes the full
+  * unrolled-CTE oracle replay sound with no convergence precondition
+  * (both engines run exactly `sweeps` sweeps and take the same argmax;
+  * ties go to the earliest sweep).
+  *
+  * Two deterministic churn dampers inside a sweep, both plain replayable
+  * filters: (a) the Grappolo singleton-swap guard (Lu–Halappanavar–
+  * Kalyanaraman 2015) — a move from singleton community a to singleton
+  * community c survives only when c < a, breaking the two-cycle in one
+  * direction; (b) nothing else — no randomized vertex coloring, no
+  * half-sweeps: the Q-argmax selection makes stronger (and
+  * harder-to-replay) dampers unnecessary.
+  *
+  * Shape per sweep: the weighted edge layout is frozen ONCE per level
+  * (stats-resetting freeze, see below); a sweep is three label joins on
+  * it (Σtot and community sizes are label-sized broadcasts), one
+  * node-grain argmax window, one freeze; the exact-Q evaluation is one
+  * edge join + one label-sized agg whose single numerator row is the
+  * only thing the driver sees (S+1 rows per level in total). Nothing
+  * data-sized ever reaches the driver.
+  */
+object Louvain {
+
+  private val d38 = "decimal(38,0)"
+
+  /** Iteration freeze that also RESETS plan statistics. `localCheckpoint`
+    * alone is not enough for a multiplicative iteration: the LogicalRDD
+    * it produces CARRIES the source plan's stats, a sweep's joins
+    * multiply their children's sizeInBytes, and the checkpoint hands
+    * that product to the next sweep — so the stat's BIT LENGTH grows
+    * ~12× per sweep and by sweep 6 the driver sits in BigInteger
+    * ToomCook multiplies inside stats estimation (measured r16: the
+    * first Louvain run burned 7 min of single-core driver time there).
+    * Rebuilding from the checkpointed RDD (the GlobalRank/BinaryMedia
+    * `createDataFrame` idiom) starts every sweep from a constant-size
+    * leaf stat; broadcasts stay correct because every small side is
+    * HINTED, never stats-inferred.
+    */
+  private def freeze(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
+  /** Level-0 weighted canonicalization: undirected simple graph, w = 1
+    * per distinct edge, self-loops dropped (a self-loop cannot change any
+    * move decision at singleton init and q394/q417 drop them too).
+    */
+  private[graft] def canonW(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame =
+    edges
+      .filter(col(srcCol) =!= col(dstCol) &&
+        col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .distinct()
+      .withColumn("w", lit(1L))
+
+  /** Node strengths of a canonical weighted graph: (n, s) with
+    * s = Σ_{j≠n} w_nj + 2·w_nn. Level-constant (labels don't enter).
+    */
+  private[graft] def strengths(e: DataFrame): DataFrame = {
+    val nonSelf = e.filter(col("u") =!= col("v"))
+    nonSelf.select(col("u").as("n"), col("w"))
+      .unionAll(nonSelf.select(col("v").as("n"), col("w")))
+      .unionAll(e.filter(col("u") === col("v"))
+        .select(col("u").as("n"), (col("w") * 2).as("w")))
+      .groupBy("n").agg(sum("w").cast("long").as("s"))
+  }
+
+  /** ONE synchronous weighted sweep with the singleton-swap guard
+    * (`guarded = false` exposes the raw ping-ponging sweep to the
+    * oscillation unit). `str` is [[strengths]] of `e`; `m` its total
+    * weight; `labels` is (n, lbl) covering every node of `str`.
+    * Returns (n, lbl_old, lbl_new).
+    */
+  private[graft] def sweepW(e: DataFrame, str: DataFrame, m: Long,
+                            labels: DataFrame,
+                            guarded: Boolean = true): DataFrame = {
+    val lbl = labels.select(col("n"), col("lbl"))
+    val nodeLbl = str.join(lbl, Seq("n"))
+    val sigmaTot = nodeLbl.groupBy("lbl")
+      .agg(sum("s").cast("long").as("stot"),
+        count(lit(1)).cast("long").as("csize"))
+    val nonSelf = e.filter(col("u") =!= col("v"))
+    val dir = nonSelf.select(col("u").as("n"), col("v").as("nbr"), col("w"))
+      .unionAll(nonSelf.select(col("v").as("n"), col("u").as("nbr"),
+        col("w")))
+    val kic = dir
+      .join(lbl.select(col("n").as("nbr"), col("lbl").as("c")), Seq("nbr"))
+      .groupBy("n", "c").agg(sum("w").cast("long").as("k"))
+    val base = nodeLbl
+      .join(kic.select(col("n"), col("c").as("lbl"), col("k").as("k_ia")),
+        Seq("n", "lbl"), "left")
+      .withColumn("k_ia", coalesce(col("k_ia"), lit(0L)))
+      .join(broadcast(sigmaTot.select(col("lbl"), col("stot").as("stot_a"),
+        col("csize").as("size_a"))), Seq("lbl"))
+    val cand0 = base
+      .join(kic, Seq("n"))
+      .filter(col("c") =!= col("lbl"))
+      .join(broadcast(sigmaTot.select(col("lbl").as("c"),
+        col("stot").as("stot_c"), col("csize").as("size_c"))), Seq("c"))
+      .withColumn("gain2m2", expr(
+        s"""CAST(2 AS $d38) * $m * (k - k_ia) -
+            CAST(s AS $d38) * (stot_c - stot_a + s)"""))
+      .filter(col("gain2m2") > 0)
+    // singleton-swap guard: both communities singletons -> only the
+    // move toward the SMALLER label survives (kills the 2-cycle)
+    val cand =
+      if (guarded) cand0.filter(!(col("size_a") === 1 &&
+        col("size_c") === 1 && col("c") > col("lbl")))
+      else cand0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n").orderBy(col("gain2m2").desc, col("c"))
+    val best = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("n"), col("c").as("lbl_best"))
+    nodeLbl.select(col("n"), col("lbl").as("lbl_old"))
+      .join(best, Seq("n"), "left")
+      .select(col("n"), col("lbl_old"),
+        coalesce(col("lbl_best"), col("lbl_old")).as("lbl_new"))
+  }
+
+  /** Exact weighted-modularity surface of (e, labels): one row
+    * (n_communities, intra_w, q_num, q_x1e6) — q_num is the DECIMAL(38,0)
+    * numerator 4m·ΣW_c − ΣS_c² (the per-level comparison key; 4m² divides
+    * it into Q), q_x1e6 its exact sign-split ×10⁶ floor.
+    */
+  private[graft] def modularityW(e: DataFrame, str: DataFrame, m: Long,
+                                 labels: DataFrame): DataFrame = {
+    val lbl = labels.select(col("n"), col("lbl"))
+    val intra = e
+      .join(lbl.select(col("n").as("u"), col("lbl").as("lu")), Seq("u"))
+      .join(lbl.select(col("n").as("v"), col("lbl").as("lv")), Seq("v"))
+      .agg(coalesce(sum(when(col("lu") === col("lv"), col("w"))
+        .otherwise(0L)), lit(0L)).cast("long").as("intra_w"))
+    val sc = str.join(lbl, Seq("n")).groupBy("lbl")
+      .agg(sum("s").cast("long").as("sc"))
+    val scAgg = sc.agg(count(lit(1)).cast("long").as("n_communities"),
+      sum(expr(s"CAST(sc AS $d38) * sc")).cast(d38).as("__sum_sc2"))
+    intra.crossJoin(broadcast(scAgg))
+      .withColumn("q_num", expr(
+        s"CAST(CAST(4 AS $d38) * $m * intra_w - __sum_sc2 AS $d38)"))
+      .withColumn("q_x1e6",
+        if (m > 0)
+          (when(col("q_num") >= 0, lit(1L)).otherwise(lit(-1L))) *
+            expr(s"""CAST(abs(q_num) * 1000000
+                     div (CAST(4 AS $d38) * $m * $m) AS BIGINT)""")
+        else lit(null).cast("long"))
+      .select("n_communities", "intra_w", "q_num", "q_x1e6")
+  }
+
+  /** Phase 2: contract communities into the weighted community graph —
+    * nodes are labels, inter-community weight sums, intra-community
+    * weight (self-loop weight included) becomes the contracted node's
+    * self-loop. Identity labels contract a graph to itself, which is
+    * what keeps every unrolled oracle level well-defined.
+    */
+  private[graft] def coarsen(e: DataFrame, labels: DataFrame): DataFrame = {
+    val lbl = labels.select(col("n"), col("lbl"))
+    e.join(lbl.select(col("n").as("u"), col("lbl").as("lu")), Seq("u"))
+      .join(lbl.select(col("n").as("v"), col("lbl").as("lv")), Seq("v"))
+      .groupBy(least(col("lu"), col("lv")).as("u"),
+        greatest(col("lu"), col("lv")).as("v"))
+      .agg(sum("w").cast("long").as("w"))
+  }
+
+  /** Result of one full run: the per-level trail and the final label of
+    * every ORIGINAL node (best-Q labels composed through every
+    * contraction level).
+    */
+  private[graft] case class LouvainRun(trail: DataFrame, labels: DataFrame)
+
+  /** Runs the full algorithm: `nLevels` levels, each level `sweeps`
+    * synchronous guarded sweeps from the singleton init with the
+    * best-exact-Q checkpoint selected (ties to the earliest sweep, so a
+    * level that cannot improve keeps the singletons and coarsens to
+    * itself — levels past convergence are exact no-ops).
+    *
+    * Trail row per level: `level, n_nodes, m_w, best_sweep,
+    * n_communities, intra_w, q_x1e6` — all stats of the SELECTED
+    * partition on the LEVEL graph; its Q equals the original graph's Q
+    * under the composed labels (the contraction invariant), so the trail
+    * reads as one non-decreasing exact-Q curve.
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+          nLevels: Int, sweeps: Int): LouvainRun = {
+    require(nLevels >= 1 && nLevels <= 8,
+      s"nLevels must be in [1, 8], got $nLevels")
+    require(sweeps >= 1 && sweeps <= 16,
+      s"sweeps must be in [1, 16], got $sweeps")
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    var e = freeze(canonW(edges, srcCol, dstCol))
+    // composed assignment of ORIGINAL nodes, updated per level
+    var assign = freeze(e.select(col("u").as("n0"))
+      .unionAll(e.select(col("v").as("n0")))
+      .distinct()
+      .select(col("n0"), col("n0").as("lbl")))
+    var trail: DataFrame = null
+
+    var level = 0
+    while (level < nLevels) {
+      val str = freeze(strengths(e))
+      val m = e.agg(coalesce(sum("w"), lit(0L))).as[Long].head()
+      var lbls = freeze(str.select(col("n"), col("n").as("lbl")))
+      var cands = Vector(lbls)
+      var s = 0
+      while (s < sweeps) {
+        lbls = freeze(sweepW(e, str, m, lbls)
+          .select(col("n"), col("lbl_new").as("lbl")))
+        cands = cands :+ lbls
+        s += 1
+      }
+      // exact-Q argmax over the S+1 checkpoints: one numerator row per
+      // candidate reaches the driver (q_num is DECIMAL(38,0))
+      val nums = cands.map { c =>
+        modularityW(e, str, m, c).select("q_num").head().getDecimal(0)
+      }
+      val bestSweep = nums.zipWithIndex
+        .reduceLeft((a, b) => if (b._1.compareTo(a._1) > 0) b else a)._2
+      val bestLbls = cands(bestSweep)
+      val row = modularityW(e, str, m, bestLbls)
+        .select(lit(level).as("level"),
+          lit(str.count()).as("n_nodes"), lit(m).as("m_w"),
+          lit(bestSweep.toLong).as("best_sweep"),
+          col("n_communities"), col("intra_w"), col("q_x1e6"))
+      trail = if (trail == null) row else trail.unionByName(row)
+      assign = freeze(assign
+        .join(bestLbls.select(col("n").as("lbl"), col("lbl").as("__next")),
+          Seq("lbl"))
+        .select(col("n0"), col("__next").as("lbl")))
+      e = freeze(coarsen(e, bestLbls))
+      level += 1
+    }
+    LouvainRun(trail.localCheckpoint(),
+      assign.select(col("n0").as("n"), col("lbl").as("community")))
+  }
+}

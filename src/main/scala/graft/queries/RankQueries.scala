@@ -814,6 +814,36 @@ object RankQueries {
       graft.operators.Graphs.skipGramPairs(walks, window = 2)
     },
 
+    // FULL LOUVAIN — q417 was ONE local-move sweep; this is the whole
+    // Blondel et al. algorithm: per level, a DECLARED budget of guarded
+    // synchronous sweeps with the best-EXACT-Q checkpoint selected
+    // (synchronous sweeps never plateau on this dense graph — measured,
+    // see Louvain.scala — so termination is by fixed depth + argmax, not
+    // by prayer), then phase-2 contraction into the weighted community
+    // graph (self-loops = intra weight), repeated for 3 levels. Per-level
+    // trail with EXACT ×10⁶ modularity, non-decreasing BY CONSTRUCTION
+    // (singleton init is checkpoint 0; contraction preserves Q); fully
+    // oracle-replayed by the generated fixed-depth unrolled CTE. Graph
+    // scoped to p_partkey ≤ 4000 so the bench surface stays bounded
+    // across scale factors
+    "q434_louvain_full" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").filter(col("l_partkey") <= 4000)
+      val edges = graft.operators.Graphs.coPurchaseEdges(li)
+      graft.operators.Louvain.run(edges, "src", "dst",
+        nLevels = louvainLevels, sweeps = louvainSweeps).trail
+    },
+
+    // FULL LOUVAIN FINAL ASSIGNMENT — the per-node community ids of the
+    // q434 run: best-Q labels composed through every contraction level,
+    // one row per original graph node. Same generated unrolled oracle,
+    // final select = the label composition chain
+    "q435_louvain_labels" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").filter(col("l_partkey") <= 4000)
+      val edges = graft.operators.Graphs.coPurchaseEdges(li)
+      graft.operators.Louvain.run(edges, "src", "dst",
+        nLevels = louvainLevels, sweeps = louvainSweeps).labels
+    },
+
     // EXACT 1-D WASSERSTEIN — how much VALUE MASS moved between the
     // click and purchase amount distributions (KS: worst deviation,
     // CvM: integrated deviation, W₁: mass × distance — the drift metric
@@ -905,7 +935,150 @@ object RankQueries {
          UNION ALL SELECT start, CAST(2 AS INT), node FROM w2
          UNION ALL SELECT start, CAST(3 AS INT), node FROM w3"""
 
+  /** q434/q435 replay depth — engine bounds and oracle unroll depth are
+    * the SAME constants; the iteration is FIXED-depth by design (each
+    * level runs exactly `louvainSweeps` sweeps and takes the exact-Q
+    * argmax checkpoint), so the unrolled replay needs no convergence
+    * precondition at all. */
+  private val louvainLevels = 3
+  private val louvainSweeps = 6
+
+  /** Generated unrolled Louvain oracle (the Hilbert "oracle from the same
+    * loop" discipline): `louvainLevels` levels × `louvainSweeps` guarded
+    * synchronous sweeps each, exact-Q-numerator argmax over the S+1
+    * checkpoints per level, coarsening between levels; every CTE
+    * MATERIALIZED (the chain is referenced multiply; inlining would blow
+    * up exponentially). `finalSelect` picks the surface: the per-level
+    * trail (q434) or the composed node→community assignment (q435). */
+  private def louvainSql(finalSelect: String): String = {
+    val S = louvainSweeps
+    val sb = new StringBuilder
+    sb ++= """WITH e0 AS MATERIALIZED (
+       SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+              greatest(a.l_partkey, b.l_partkey) AS v,
+              CAST(1 AS BIGINT) AS w
+       FROM lineitem a JOIN lineitem b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       WHERE a.l_partkey <= 4000 AND b.l_partkey <= 4000)"""
+    for (l <- 0 until louvainLevels) {
+      sb ++= s""",
+       dirs$l AS MATERIALIZED (
+         SELECT u AS n, v AS nbr, w FROM e$l WHERE u <> v
+         UNION ALL SELECT v, u, w FROM e$l WHERE u <> v),
+       str$l AS MATERIALIZED (
+         SELECT n, CAST(sum(w) AS BIGINT) AS sw FROM (
+           SELECT n, w FROM dirs$l
+           UNION ALL SELECT u AS n, 2 * w AS w FROM e$l WHERE u = v)
+         GROUP BY 1),
+       mm$l AS MATERIALIZED (
+         SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS m FROM e$l),
+       l${l}_0 AS MATERIALIZED (SELECT n, n AS lbl FROM str$l)"""
+      for (s <- 0 until S) {
+        sb ++= s""",
+       st${l}_$s AS MATERIALIZED (
+         SELECT lbl, CAST(sum(sw) AS BIGINT) AS stot,
+                CAST(count(*) AS BIGINT) AS csize
+         FROM str$l JOIN l${l}_$s USING (n) GROUP BY 1),
+       kic${l}_$s AS MATERIALIZED (
+         SELECT d.n, lb.lbl AS c, CAST(sum(d.w) AS BIGINT) AS k
+         FROM dirs$l d JOIN l${l}_$s lb ON lb.n = d.nbr GROUP BY 1, 2),
+       bst${l}_$s AS MATERIALIZED (
+         SELECT n, c FROM (
+           SELECT n, c, row_number() OVER (PARTITION BY n
+                    ORDER BY gain DESC, c) AS rn
+           FROM (
+             SELECT nl.n, kic.c,
+                    CAST(2 AS HUGEINT) * mm.m * (kic.k - coalesce(kia.k, 0))
+                    - CAST(nl.sw AS HUGEINT) * (stc.stot - sta.stot + nl.sw)
+                      AS gain,
+                    sta.csize AS size_a, stc.csize AS size_c, nl.lbl AS a
+             FROM (SELECT str$l.n, str$l.sw, lb.lbl
+                   FROM str$l JOIN l${l}_$s lb USING (n)) nl
+             JOIN kic${l}_$s kic ON kic.n = nl.n AND kic.c <> nl.lbl
+             LEFT JOIN kic${l}_$s kia ON kia.n = nl.n AND kia.c = nl.lbl
+             JOIN st${l}_$s sta ON sta.lbl = nl.lbl
+             JOIN st${l}_$s stc ON stc.lbl = kic.c
+             CROSS JOIN mm$l mm)
+           WHERE gain > 0
+             AND NOT (size_a = 1 AND size_c = 1 AND c > a)) WHERE rn = 1),
+       l${l}_${s + 1} AS MATERIALIZED (
+         SELECT a.n, coalesce(b.c, a.lbl) AS lbl
+         FROM l${l}_$s a LEFT JOIN bst${l}_$s b USING (n))"""
+      }
+      // exact-Q numerator per checkpoint; argmax (num DESC, s ASC)
+      for (s <- 0 to S) sb ++= s""",
+       qn${l}_$s AS MATERIALIZED (
+         SELECT $s AS s,
+           CAST(4 AS HUGEINT) * (SELECT m FROM mm$l) *
+             (SELECT coalesce(sum(CASE WHEN lu.lbl = lv.lbl THEN e.w
+                                  ELSE 0 END), 0)
+              FROM e$l e JOIN l${l}_$s lu ON lu.n = e.u
+                         JOIN l${l}_$s lv ON lv.n = e.v)
+           - (SELECT sum(CAST(sc AS HUGEINT) * sc) FROM (
+                SELECT CAST(sum(sw) AS BIGINT) AS sc
+                FROM str$l JOIN l${l}_$s USING (n) GROUP BY lbl))
+           AS num)"""
+      val qnUnion = (0 to S)
+        .map(s => s"SELECT * FROM qn${l}_$s").mkString(" UNION ALL ")
+      sb ++= s""",
+       nums$l AS MATERIALIZED ($qnUnion),
+       best$l AS MATERIALIZED (
+         SELECT s, num FROM nums$l ORDER BY num DESC, s LIMIT 1),
+       lf$l AS MATERIALIZED (
+         SELECT n, lbl FROM (${(0 to S).map(s =>
+        s"SELECT $s AS s, n, lbl FROM l${l}_$s").mkString(" UNION ALL ")})
+         WHERE s = (SELECT s FROM best$l)),
+       q$l AS MATERIALIZED (
+         SELECT CAST($l AS INT) AS level,
+                (SELECT CAST(count(*) AS BIGINT) FROM str$l) AS n_nodes,
+                (SELECT m FROM mm$l) AS m_w,
+                (SELECT CAST(s AS BIGINT) FROM best$l) AS best_sweep,
+                (SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM lf$l)
+                  AS n_communities,
+                (SELECT CAST(coalesce(sum(CASE WHEN lu.lbl = lv.lbl
+                           THEN e.w ELSE 0 END), 0) AS BIGINT)
+                 FROM e$l e JOIN lf$l lu ON lu.n = e.u
+                            JOIN lf$l lv ON lv.n = e.v) AS intra_w,
+                CASE WHEN (SELECT m FROM mm$l) > 0 THEN
+                  (CASE WHEN (SELECT num FROM best$l) >= 0
+                   THEN 1 ELSE -1 END) *
+                  CAST(abs((SELECT num FROM best$l)) * 1000000
+                     // (CAST(4 AS HUGEINT) * (SELECT m FROM mm$l)
+                        * (SELECT m FROM mm$l))
+                     AS BIGINT)
+                END AS q_x1e6)"""
+      if (l + 1 < louvainLevels) sb ++= s""",
+       e${l + 1} AS MATERIALIZED (
+         SELECT least(lu.lbl, lv.lbl) AS u, greatest(lu.lbl, lv.lbl) AS v,
+                CAST(sum(e.w) AS BIGINT) AS w
+         FROM e$l e JOIN lf$l lu ON lu.n = e.u
+                    JOIN lf$l lv ON lv.n = e.v
+         GROUP BY 1, 2)"""
+    }
+    sb ++= "\n       " + finalSelect
+    sb.toString
+  }
+
+  private lazy val louvainTrailSql: String = louvainSql(
+    (0 until louvainLevels).map(l => s"SELECT * FROM q$l")
+      .mkString(" UNION ALL "))
+
+  private lazy val louvainLabelsSql: String = {
+    val joins = (0 until louvainLevels).map { l =>
+      val prev = if (l == 0) "nodes.n" else s"lf${l - 1}.lbl"
+      s"JOIN lf$l ON lf$l.n = $prev"
+    }.mkString("\n       ")
+    louvainSql(
+      s"""SELECT nodes.n, lf${louvainLevels - 1}.lbl AS community
+       FROM (SELECT DISTINCT n FROM (
+               SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)) nodes
+       $joins""")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // the full unrolled replay: 3 levels × 8 guarded sweeps + coarsening
+    "q434_louvain_full" -> louvainTrailSql,
+    "q435_louvain_labels" -> louvainLabelsSql,
     "q347_kruskal_wallis" ->
       """WITH cells AS (
            SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
