@@ -493,8 +493,12 @@ object Knn {
     require(nBits >= 1 && nBits <= 62, s"nBits must be in [1, 62], got $nBits")
     require(nProbes >= 1 && nProbes <= nBits + 1,
       s"nProbes must be in [1, nBits + 1], got $nProbes")
-    val dim = targets.select(size(col(vecCol))).head(1).headOption
-      .map(_.getInt(0)).getOrElse(0)
+    // deterministic hyperplane width: the corpus-wide max vector length,
+    // not an arbitrary first row (a null/short head row would silently
+    // truncate every dot product — r15 ADVICE)
+    val dim = targets.agg(max(size(col(vecCol)))).head(1).headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      .getOrElse(0)
     val planes = {
       val rng = new java.util.Random(seed)
       Array.fill(nBits * dim)(rng.nextGaussian())

@@ -353,7 +353,7 @@ class Round15bSpec extends SparkSpec {
   test("k-center coreset: hand-replayed 1-D farthest-point traversal") {
     val df = Seq((0L, Seq(0f)), (1L, Seq(1f)), (2L, Seq(10f)),
       (3L, Seq(20f))).toDF("vec_id", "embedding")
-    val out = graft.ann.Coreset.kCenters(df, k = 3, scale = 1.0)
+    val out = graft.ann.Coreset.kCenters(df, k = 3, dim = 1, scale = 1.0)
       .as[(Int, Long, Option[Long], Long)].collect().sortBy(_._1)
     // anchor 0; farthest is 3 (400); then 2 (min(100 to 0, 100 to 20)=100);
     // remaining point 1 has dmin 1 = the cover radius
@@ -364,7 +364,7 @@ class Round15bSpec extends SparkSpec {
   test("k-center coreset: selection distances are non-increasing and " +
       "bound the final cover radius") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    val out = graft.ann.Coreset.kCenters(emb, k = 5)
+    val out = graft.ann.Coreset.kCenters(emb, k = 5, dim = 64)
       .as[(Int, Long, Option[Long], Long)].collect().sortBy(_._1)
     val dsels = out.flatMap(_._3)
     assert(dsels.length == 4)
