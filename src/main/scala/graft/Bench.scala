@@ -59,6 +59,34 @@ object Bench {
       BroadcastLifecycle.releaseAll()
     }
 
+    // Per-query diagnostics so a bench inflation SELF-EXPLAINS instead of
+    // needing another round of narrative adjudication (the q138 flapper,
+    // r15 judge directive #5): JVM GC time per sample (synchronous,
+    // exact) and shuffle read volume per sample (stage-listener sum;
+    // the bus is async so late stages can land in the next sample —
+    // diagnostic-grade, not billing-grade). A wall-time max that
+    // coincides with a GC max is memory/co-tenancy pressure; one with
+    // flat GC and flat shuffle is scheduler/host contention.
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMs(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(b.getCollectionTime, 0L))
+      t
+    }
+    val shufRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null)
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          ()
+        }
+      })
+
     // optional args: restrict to queries whose name contains any arg (local
     // iteration aid; the driver invokes with no args = all queries)
     val selected =
@@ -67,13 +95,21 @@ object Bench {
     val names = selected.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // per sample: (gc ms, shuffle-read MB) aligned with `samples` indices
+    val diag = scala.collection.mutable.Map
+      .empty[String, Vector[(Long, Double)]]
+      .withDefaultValue(Vector.empty)
     val failedQ = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to nRuns; (name, fn) <- names) {
       clearState()
+      val gc0 = gcMs()
+      val sh0 = shufRead.get()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => failedQ += name }
       samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      diag(name) = diag(name) :+
+        ((gcMs() - gc0, (shufRead.get() - sh0) / 1e6))
     }
     val results = names.map { case (name, _) =>
       val times = samples(name).sorted
@@ -93,9 +129,24 @@ object Bench {
     val spread = results.map { case (k, (_, mn, mx)) =>
       "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + "}"
     }.mkString("{", ",", "}")
+    // diagnostics keyed to the SLOWEST sample: gc_max_ms is the GC time
+    // inside that sample (the "was the max a GC stall" answer), gc_med/
+    // shuf_mb the medians for baseline context
+    val diagJson = names.map { case (name, _) =>
+      val times = samples(name)
+      val ds = diag(name)
+      val iMax = if (times.isEmpty) 0 else times.indexOf(times.max)
+      val gcAtMax = if (ds.isEmpty) -1L else ds(iMax)._1
+      val gcSorted = ds.map(_._1).sorted
+      val gcMed = if (gcSorted.isEmpty) -1L else gcSorted(gcSorted.length / 2)
+      val shSorted = ds.map(_._2).sorted
+      val shMed = if (shSorted.isEmpty) -1.0 else shSorted(shSorted.length / 2)
+      "\"" + name + "\":{\"gc_max_ms\":" + gcAtMax + ",\"gc_med_ms\":" +
+        gcMed + ",\"shuf_mb\":" + f"$shMed%.1f" + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","runs":$nRuns}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"diag":$diagJson,"sf":"$sfDir","runs":$nRuns}"""
     println(line)
     // Committed per-query record (min/median/max), so round-over-round
     // comparison covers ALL queries instead of whatever tail window a

@@ -54,7 +54,51 @@ object Mmr {
         qdot(col("qv"), col("cv")).as("rel"))
       .withColumn("rn", row_number().over(wRel))
       .filter(col("rn") <= nCandidates).drop("rn")
-      .localCheckpoint() // the shortlist every round reads
+    greedy(cand, k)
+  }
+
+  /** MMR over a caller-supplied shortlist — the production wiring (r15
+    * judge directive #7, the q403 pair-source pattern): the candidate set
+    * comes from a RETRIEVAL TIER (the PQ disk-index probe, a BM25 list,
+    * an IVF search) as (query_id, target_id) pairs instead of the
+    * brute-force broadcast pass, so MMR's only corpus touch is an
+    * id-keyed vector fetch bounded by |shortlist| — nothing corpus-sized
+    * moves. Relevance is recomputed here as the same exact integer dot
+    * the brute path uses (the retrieval tier's own score — ADC distance,
+    * BM25 — may be a different metric; MMR's contract is the dot), so at
+    * exhaustive settings this is BIT-IDENTICAL to [[rerank]] (unit).
+    * Queries whose shortlist holds fewer than k candidates report all of
+    * them — declared, mirrored by the oracle.
+    */
+  def rerankFromShortlist(queries: DataFrame, targets: DataFrame,
+                          shortlist: DataFrame, k: Int,
+                          scale: Double = 1e6, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(scale) + lit(0.5)).cast("long"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      qv.as("qv"))
+    val t = targets.select(col(idCol).cast("long").as("cand_id"),
+      qv.as("cv"))
+    val cand = shortlist
+      .select(col("query_id").cast("long").as("query_id"),
+        col("target_id").cast("long").as("cand_id"))
+      .distinct()
+      .join(t, Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"), col("cv"),
+        qdot(col("qv"), col("cv")).as("rel"))
+    greedy(cand, k)
+  }
+
+  /** The shared greedy pick loop over a (query_id, cand_id, cv, rel)
+    * candidate relation — k − 1 bounded rounds, each |Q|·nCand-sized.
+    */
+  private def greedy(candIn: DataFrame, k: Int): DataFrame = {
+    val wRel = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("cand_id"))
+    val cand = candIn.localCheckpoint() // the shortlist every round reads
     var selected = cand
       .withColumn("rn", row_number().over(wRel))
       .filter(col("rn") === 1).drop("rn")

@@ -1,0 +1,285 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Winnowing
+import graft.operators.{Graphs, KCore, Louvain}
+
+/** Round-16 regressions: the KCore cache-release directive (r15 judge
+  * finding #1) and the full-Louvain kernel (directive #2) — guard
+  * semantics, weighted gains with self-loops, exact-Q argmax selection,
+  * and parity of the weighted modularity kernel with the q394 unweighted
+  * one.
+  */
+class Round16Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- KCore cache release ------------------------------------------
+
+  test("KCore.decompose releases its edge cache: CacheManager empty " +
+      "after return, result still usable") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("src", "dst")
+    spark.sharedState.cacheManager.clearCache()
+    val out = KCore.decompose(edges, "src", "dst", k = 2)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "decompose must unpersist its 2|E| edge relation before returning")
+    // the localCheckpoint-materialized result reads fine post-release
+    assert(out.count() == 4)
+    assert(out.filter(col("in_core")).count() == 3)
+    assert(out.filter(!col("in_core")).select("node")
+      .as[Long].collect().toSeq == Seq(4L))
+  }
+
+  // ---- Louvain sweep guard ------------------------------------------
+
+  /** Two adjacent singletons: both directions have gain·2m² = 1 > 0, so
+    * the raw synchronous sweep SWAPS the labels forever; the guard keeps
+    * only the move toward the smaller label, and the merged state is
+    * stable under a second guarded sweep.
+    */
+  test("singleton-swap guard: raw sweep ping-pongs, guarded sweep merges " +
+      "and is then stable") {
+    val e = Seq((1L, 2L, 1L)).toDF("u", "v", "w")
+    val str = Louvain.strengths(e)
+    val lbl0 = Seq((1L, 1L), (2L, 2L)).toDF("n", "lbl")
+
+    val raw = Louvain.sweepW(e, str, 1L, lbl0, guarded = false)
+      .select("n", "lbl_new").as[(Long, Long)].collect().toMap
+    assert(raw == Map(1L -> 2L, 2L -> 1L), "unguarded sweep must swap")
+    val raw2 = Louvain.sweepW(e, str, 1L,
+      Seq((1L, 2L), (2L, 1L)).toDF("n", "lbl"), guarded = false)
+      .select("n", "lbl_new").as[(Long, Long)].collect().toMap
+    assert(raw2 == Map(1L -> 1L, 2L -> 2L),
+      "second unguarded sweep must swap back (the two-cycle)")
+
+    val g1 = Louvain.sweepW(e, str, 1L, lbl0)
+      .select("n", "lbl_new").as[(Long, Long)].collect().toMap
+    assert(g1 == Map(1L -> 1L, 2L -> 1L),
+      "guard must keep only the move toward the smaller label")
+    val g2 = Louvain.sweepW(e, str, 1L,
+      Seq((1L, 1L), (2L, 1L)).toDF("n", "lbl"))
+      .filter(col("lbl_new") =!= col("lbl_old"))
+    assert(g2.count() == 0, "merged state must be a guarded fixpoint")
+  }
+
+  /** Weighted gains with a self-loop, checked against hand arithmetic:
+    * edges (1,2,w=1), (2,3,w=4), (3,3,w=1); m = 6; strengths
+    * s1=1, s2=5, s3=4+2·1=6 (self-loop counts twice). With labels
+    * {1,2}→10, {3}→30 (S_10 = 6, S_30 = 6):
+    *   gain(2→30)·2m² = 12·(4−1) − 5·(6−6+5) = 11 > 0   → moves
+    *   gain(3→10)·2m² = 12·(4−0) − 6·(6−6+6) = 12 > 0   → moves
+    *   node 1 has no foreign neighbour                   → stays
+    * (neither move is singleton→singleton, so the guard lets both pass).
+    */
+  test("weighted sweep gains with self-loop strength, hand-checked") {
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 4L), (3L, 3L, 1L)).toDF("u", "v", "w")
+    val str = Louvain.strengths(e)
+    assert(str.orderBy("n").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 1L), (2L, 5L), (3L, 6L)))
+    val lbl = Seq((1L, 10L), (2L, 10L), (3L, 30L)).toDF("n", "lbl")
+    val mv = Louvain.sweepW(e, str, 6L, lbl)
+      .select("n", "lbl_new").as[(Long, Long)].collect().toMap
+    assert(mv == Map(1L -> 10L, 2L -> 30L, 3L -> 10L))
+  }
+
+  // ---- full run: argmax selection, coarsening, Q trail ---------------
+
+  test("coarsen with identity labels is the identity on the weighted graph") {
+    val e = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 3L, 2L)).toDF("u", "v", "w")
+    val id = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .distinct().select(col("n"), col("n").as("lbl"))
+    val c = Louvain.coarsen(e, id).orderBy("u", "v")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(c == Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 3L, 2L)))
+  }
+
+  test("run: two triangles + bridge resolve to the two communities, " +
+      "per-level exact Q non-decreasing, labels consistent with trail") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val r = Louvain.run(e, "src", "dst", nLevels = 2, sweeps = 4)
+    val trail = r.trail.orderBy("level").collect()
+    assert(trail.length == 2)
+    val qs = trail.map(_.getAs[Long]("q_x1e6")).toSeq
+    assert(qs == qs.sorted, s"per-level Q must be non-decreasing: $qs")
+    // the known optimum: the two triangles, Q = (6/7) - ... exact check
+    // via the engine's own invariant surface: final n_communities == 2
+    assert(trail.last.getAs[Long]("n_communities") == 2L)
+    val labels = r.labels.as[(Long, Long)].collect().toMap
+    assert(labels.size == 6)
+    assert(Set(labels(1L), labels(2L), labels(3L)).size == 1)
+    assert(Set(labels(4L), labels(5L), labels(6L)).size == 1)
+    assert(labels(1L) != labels(4L))
+    // assignment grain matches the trail's community count
+    assert(labels.values.toSet.size ==
+      trail.last.getAs[Long]("n_communities"))
+  }
+
+  test("singleton init is checkpoint 0: a graph no sweep can improve " +
+      "keeps singletons and coarsens to itself") {
+    // two isolated edges of equal weight: merging endpoints HELPS, so use
+    // the adversarial case instead — a single node with a self-loop only
+    val e = Seq((7L, 7L)).toDF("src", "dst")
+    // canonW drops self-loops -> empty graph; run would see no nodes.
+    // Use the 2-star where the center move ties and singleton-guard
+    // blocks nothing: a path 1-2 run at sweeps=1: guarded move merges,
+    // Q(merged) = 1·4·1-4 = 0 > Q(singleton) = -2 -> argmax picks sweep 1
+    val p = Seq((1L, 2L)).toDF("src", "dst")
+    val r = Louvain.run(p, "src", "dst", nLevels = 2, sweeps = 2)
+    val t = r.trail.orderBy("level").collect()
+    assert(t(0).getAs[Long]("n_communities") == 1L)
+    // level 1: one node with a self-loop; nothing to move; best_sweep 0
+    assert(t(1).getAs[Long]("best_sweep") == 0L)
+    assert(t(1).getAs[Long]("n_communities") == 1L)
+    assert(t(0).getAs[Long]("q_x1e6") == t(1).getAs[Long]("q_x1e6"))
+  }
+
+  // ---- winnowing overlap ----------------------------------------------
+
+  /** Edit-locality made pair-visible: doc 1 and doc 2 share paragraph P
+    * (10 tokens ≥ w+k−1 = 6) but doc 2's second paragraph is edited; the
+    * shared run still guarantees ≥ 1 common fingerprint, and with two
+    * shared windows the pair passes the minShared = 2 gate. Doc 3 is
+    * unrelated and must pair with nobody.
+    */
+  test("winnowing overlap: edited paragraph still matches via the shared " +
+      "run; unrelated doc pairs with nobody") {
+    val p = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, s"$p kilo lima mike november oscar papa"),
+      (2L, s"$p zulu yankee xray whiskey victor uniform"),
+      (3L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val out = Winnowing.overlapPairs(docs, "doc_id", "text",
+      k = 3, w = 4, maxDf = 10, minShared = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("n_shared_fp") >= 1L)
+    assert(r.getAs[Long]("n_shared_fp") <=
+      math.min(r.getAs[Long]("n_fp_a"), r.getAs[Long]("n_fp_b")))
+  }
+
+  /** The df cap drops a ubiquitous fingerprint BEFORE pairing: three
+    * docs all sharing one phrase pair freely at maxDf = 3 but not at
+    * maxDf = 2 (the hash's df is 3 > 2).
+    */
+  test("winnowing overlap: maxDf drops over-common fingerprints before " +
+      "the posting join") {
+    val shared = "red orange yellow green blue indigo violet gray"
+    val docs = Seq(
+      (1L, s"$shared aa bb cc dd"),
+      (2L, s"$shared ee ff gg hh"),
+      (3L, s"$shared ii jj kk ll")).toDF("doc_id", "text")
+    val loose = Winnowing.overlapPairs(docs, "doc_id", "text",
+      k = 3, w = 4, maxDf = 3, minShared = 1).count()
+    val tight = Winnowing.overlapPairs(docs, "doc_id", "text",
+      k = 3, w = 4, maxDf = 2, minShared = 1).count()
+    assert(loose == 3L, s"all three pairs must share at maxDf=3, got $loose")
+    assert(tight == 0L,
+      s"df=3 fingerprints must be gone at maxDf=2, got $tight pairs")
+  }
+
+  // ---- PQ refit-remap -------------------------------------------------
+
+  /** Drift lifecycle: build on evens, append odds against the frozen
+    * codebooks (the fit never saw half the corpus), refit from the full
+    * corpus. Gates: (a) the post-refit GENERATION is bit-identical to a
+    * fresh full-corpus build — same probe rows including adc_dist — and
+    * (b) the drifted pre-refit state is NOT (the even-half fit must
+    * actually be gone). With (a), the q431 refined-identity gate
+    * (exhaustive shortlist ≡ brute force, Round15bSpec) transfers to the
+    * refit generation by transitivity.
+    */
+  test("pq refit-remap: post-refit generation == fresh full-corpus build, " +
+      "drifted pre-refit state != it") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 30)
+    val pA = s"${System.getProperty("java.io.tmpdir")}/graft_r16_refit_a"
+    val pB = s"${System.getProperty("java.io.tmpdir")}/graft_r16_refit_b"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(pA))
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(pB))
+    try {
+      graft.ann.Pq.writeIndex(emb.filter(col("vec_id") % 2 === 0), pA,
+        m = 4, subDim = 16, k = 16, iters = 2, nLists = 8)
+      graft.ann.Pq.appendToIndex(emb.filter(col("vec_id") % 2 === 1), pA)
+      val drift = graft.ann.Pq.probeIndex(q, pA, nProbe = 2, k = 5)
+        .collect().map(_.toSeq).toSet
+      graft.ann.Pq.refitIndex(emb, pA, iters = 2)
+      val post = graft.ann.Pq.probeIndex(q, pA, nProbe = 2, k = 5)
+        .collect().map(_.toSeq).toSet
+      graft.ann.Pq.writeIndex(emb, pB, m = 4, subDim = 16, k = 16,
+        iters = 2, nLists = 8)
+      val fresh = graft.ann.Pq.probeIndex(q, pB, nProbe = 2, k = 5)
+        .collect().map(_.toSeq).toSet
+      assert(post == fresh,
+        "post-refit probe must be bit-identical to a fresh full-corpus build")
+      assert(drift != post,
+        "refit must actually replace the drifted even-half fit")
+      // generation hygiene: no tmp/backup dirs left behind
+      assert(!new java.io.File(pA + "__refit_tmp").exists())
+      assert(!new java.io.File(pA + "__pre_refit").exists())
+    } finally {
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(pA))
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(pB))
+    }
+  }
+
+  // ---- retrieval scorers over caller shortlists -----------------------
+
+  test("mmr: shortlist variant at exhaustive settings is bit-identical " +
+      "to the brute rerank") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val brute = graft.ann.Mmr.rerank(qs, emb, nCandidates = n, k = 5)
+      .collect().map(_.toSeq).toSet
+    val all = qs.select(col("vec_id").as("query_id"))
+      .crossJoin(emb.select(col("vec_id").as("target_id")))
+    val viaSl = graft.ann.Mmr.rerankFromShortlist(qs, emb, all, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(viaSl == brute)
+  }
+
+  test("rocchio: shortlist variant fed the exact brute top-fbDocs is " +
+      "bit-identical to feedbackTopK") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+    val qv = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+    val q0 = qs.select(col("vec_id").as("query_id"), qv.as("qv"))
+    val t0 = emb.select(col("vec_id").as("target_id"), qv.as("tv"))
+    val fb = broadcast(q0).join(t0)
+      .select(col("query_id"), col("target_id"),
+        expr("aggregate(zip_with(qv, tv, (x, y) -> x * y), 0L, " +
+          "(acc, x) -> acc + x)").as("rel"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("rel").desc, col("target_id"))))
+      .filter(col("rn") <= 3).select("query_id", "target_id")
+    val a = graft.ann.Rocchio.feedbackTopK(qs, emb, fbDocs = 3, k = 5)
+      .collect().map(_.toSeq).toSet
+    val b = graft.ann.Rocchio.feedbackTopKFromShortlist(qs, emb, fb, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(b == a)
+  }
+
+  // ---- weighted kernel parity with the q394 kernel -------------------
+
+  test("modularityW at w=1 matches Graphs.modularity exactly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val lbls = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 2L), (5L, 2L), (6L, 2L)).toDF("node", "lbl")
+    val qRef = Graphs.modularity(edges, "src", "dst", lbls, "node", "lbl")
+      .select("q_x1e6").as[Long].head()
+    val e = Louvain.canonW(edges, "src", "dst")
+    val str = Louvain.strengths(e)
+    val qW = Louvain.modularityW(e, str, 7L,
+      lbls.select(col("node").as("n"), col("lbl")))
+      .select("q_x1e6").as[Long].head()
+    assert(qW == qRef)
+  }
+}
