@@ -63,6 +63,113 @@ object Winnowing {
       .distinct()
   }
 
+  /** Read-only probe of a persisted fingerprint ledger: verbatim-reuse
+    * pairs between `delta` and every PRIOR ingest, computed without
+    * re-reading or re-fingerprinting the historical corpus — the
+    * `Dedup.minHashLedgerPairs` discipline at winnowing grain ("does
+    * today's crawl plagiarize anything we already hold"). Ledger layout
+    * (written by [[ledger]]): `ledgerPath/fps` rows (id, fp) PARTITIONED
+    * BY `bucket` = pmod(xxhash64(fp), nBuckets); every ledger row for a
+    * given hash lives in that hash's bucket, so the probe prunes the
+    * scan to the delta's buckets statically AND can compute each
+    * candidate hash's exact historical document frequency inside the
+    * probed slice.
+    *
+    * Over-common hashes are dropped on BOTH sides before the pair join
+    * (history df > maxDf — boilerplate already in the ledger — or delta
+    * df > maxDf — boilerplate arriving in this delta), so per-hash
+    * fan-out is bounded by maxDf² exactly as in [[overlapPairs]].
+    * Self-pairs are excluded and ledger rows deduped on read (the
+    * crashed-retry idempotence contract). Scan-once: callers pass the
+    * FROZEN distinct (fp, id) posting frame via [[ledger]]; this probe
+    * never touches delta text.
+    *
+    * @return (id_new, id_old, n_shared_fp), n_shared_fp ≥ minShared
+    */
+  def ledgerPairs(delta: DataFrame, ledgerPath: String,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  k: Int = 3, w: Int = 4, maxDf: Int = 10,
+                  minShared: Int = 2, nBuckets: Int = 64): DataFrame = {
+    val spark = delta.sparkSession
+    if (!ledgerExists(spark, s"$ledgerPath/fps")) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("id_new", "id_old", "n_shared_fp")
+    }
+    val post = frozenPostings(delta, idCol, textCol, k, w, nBuckets)
+    ledgerPairsFrom(post, ledgerPath, maxDf, minShared)
+  }
+
+  /** [[ledgerPairs]] + the ledger append: score the delta against
+    * history, then persist the delta's fingerprint postings so the NEXT
+    * delta sees it. The probe result is frozen BEFORE the append mutates
+    * ledger state; probe and append read ONE frozen posting frame, so
+    * the delta text is fingerprinted exactly once per call (the q379
+    * scan-once lesson). The append routes each bucket to one task
+    * (nBuckets files per delta, the q400 small-file discipline).
+    */
+  def ledger(delta: DataFrame, ledgerPath: String,
+             idCol: String = "doc_id", textCol: String = "text",
+             k: Int = 3, w: Int = 4, maxDf: Int = 10,
+             minShared: Int = 2, nBuckets: Int = 64): DataFrame = {
+    val spark = delta.sparkSession
+    val post = frozenPostings(delta, idCol, textCol, k, w, nBuckets)
+    val out = (if (ledgerExists(spark, s"$ledgerPath/fps"))
+      ledgerPairsFrom(post, ledgerPath, maxDf, minShared)
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long)].toDF("id_new", "id_old", "n_shared_fp")
+    }).localCheckpoint()
+    post.select("bucket", "id", "fp")
+      .repartition(nBuckets, col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$ledgerPath/fps")
+    out
+  }
+
+  /** One frozen distinct (bucket, fp, id) posting frame per call — the
+    * single delta text scan both probe and append read. */
+  private def frozenPostings(delta: DataFrame, idCol: String,
+                             textCol: String, k: Int, w: Int,
+                             nBuckets: Int): DataFrame =
+    fingerprints(delta, idCol, textCol, k, w)
+      .select(col("fp"), col("doc_id").as("id")).distinct()
+      .withColumn("bucket", pmod(xxhash64(col("fp")), lit(nBuckets.toLong)))
+      .localCheckpoint()
+
+  private def ledgerPairsFrom(post: DataFrame, ledgerPath: String,
+                              maxDf: Int, minShared: Int): DataFrame = {
+    require(maxDf >= 1, s"need maxDf >= 1, got $maxDf")
+    require(minShared >= 1, s"need minShared >= 1, got $minShared")
+    val spark = post.sparkSession
+    val probeBuckets = post.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    val ledgerRows = spark.read.parquet(s"$ledgerPath/fps")
+      .filter(col("bucket")
+        .isin(probeBuckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
+      .dropDuplicates("bucket", "fp", "id")
+    val histKeep = ledgerRows.groupBy("fp")
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDf)
+      .select("fp")
+    val deltaKeep = post.groupBy("fp")
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDf)
+      .select("fp")
+    post.select(col("fp"), col("id").as("id_new"))
+      .join(deltaKeep, Seq("fp"))
+      .join(ledgerRows.select(col("fp"), col("id").as("id_old"))
+        .join(histKeep, Seq("fp")), Seq("fp"))
+      .filter(col("id_new") =!= col("id_old"))
+      .groupBy("id_new", "id_old")
+      .agg(count(lit(1)).cast("long").as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+  }
+
+  private def ledgerExists(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** Cross-document overlap report — the MOSS CONSUMER of
     * [[fingerprints]] (r15 judge directive #4): document pairs sharing
     * selected fingerprint hashes, with the shared count and each side's

@@ -101,6 +101,67 @@ object Graphs {
       .agg(count(lit(1)).cast("long").as("n_pairs"))
   }
 
+  /** Deterministic skip-gram NEGATIVE sampler — the third and final piece
+    * of the DeepWalk/word2vec data prep ([[hashWalks]] → sentences,
+    * [[skipGramPairs]] → positives, this → the negatives SGNS training
+    * consumes): `nNeg` degree-proportional draws per distinct (center,
+    * context) pair, replayable bit-for-bit in any engine.
+    *
+    * The draw trick that keeps it EXACT: sampling a node proportionally
+    * to degree ≡ sampling UNIFORMLY over the 2m DIRECTED EDGE SLOTS and
+    * taking the slot's destination (each node is a destination exactly
+    * deg(node) times). So the weighted draw needs no float weights, no
+    * alias table and no interval join — slot index = first 48 md5 bits
+    * of (salt, center, context, j) mod 2m (the q66/q143 seeded-draw
+    * convention; 48 bits are exact in both engines), and the assignment
+    * is ONE EQUI-JOIN against the globally-ranked directed edge list
+    * ([[GlobalRank]], the distributed zipWithIndex — never a
+    * single-partition window). The α = 3/4 unigram damping of the
+    * original paper needs float pow, which no exact replay can carry —
+    * α = 1 (plain degree) is the declared variant.
+    *
+    * A draw can hit the pair's own context (or center) — standard SGNS
+    * resamples; a deterministic operator cannot without data-dependent
+    * round counts, so collisions are KEPT and FLAGGED (`is_collision`),
+    * the trainer's documented drop/keep choice. Draw space must fit the
+    * 48-bit key: loud require at 2m > 2^48 (≈ 2.8 · 10¹⁴ directed slots
+    * — beyond any declared graph here).
+    *
+    * @return (center, context, neg_idx 0-based, negative, is_collision)
+    */
+  def negativeSamples(pairs: DataFrame, edges: DataFrame, srcCol: String,
+                      dstCol: String, nNeg: Int,
+                      salt: String = "ns|"): DataFrame = {
+    require(nNeg >= 1 && nNeg <= 16, s"nNeg must be in [1, 16], got $nNeg")
+    val canon = edges
+      .filter(col(srcCol) =!= col(dstCol) &&
+        col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    val dirs = canon.select(col("u").as("n"), col("v").as("nbr"))
+      .unionAll(canon.select(col("v").as("n"), col("u").as("nbr")))
+    val slots = GlobalRank
+      .withGlobalRank(dirs, "slot", Seq("n", "nbr"))
+      .select(col("slot"), col("nbr").as("negative"))
+      .localCheckpoint() // two consumers: the count and the draw join
+    val total = slots.count()
+    require(total > 0, "negativeSamples: empty graph")
+    require(total <= (1L << 48),
+      s"negativeSamples: $total directed slots exceed the 48-bit draw space")
+    pairs.select(col("center"), col("context")).distinct()
+      .select(col("center"), col("context"),
+        explode(sequence(lit(0), lit(nNeg - 1))).as("neg_idx"))
+      .withColumn("slot",
+        conv(substring(md5(concat(lit(salt), concat_ws(":",
+          col("center"), col("context"), col("neg_idx")))), 1, 12),
+          16, 10).cast("long") % total)
+      .join(slots, Seq("slot"))
+      .select(col("center"), col("context"),
+        col("neg_idx").cast("int").as("neg_idx"), col("negative"),
+        (col("negative") === col("context")).as("is_collision"))
+  }
+
   /** ONE synchronous Louvain local-move sweep (Blondel et al. 2008 phase-1
     * step, the move rule distributed-Louvain implementations apply per
     * round): every node i in community a evaluates, against the CURRENT
@@ -180,6 +241,65 @@ object Graphs {
       .join(best, Seq("n"), "left")
       .select(col("n"), col("lbl_old"),
         coalesce(col("lbl_best"), col("lbl_old")).as("lbl_new"))
+  }
+
+  /** Per-community CONDUCTANCE (Kannan–Vempala–Vetta 2004) — the
+    * community-grain quality readout beside [[modularity]]'s one global
+    * Q: φ(c) = cut(c) / min(vol(c), 2m − vol(c)) over the undirected
+    * simple graph, the "how leaky is this community" number a curation
+    * pipeline reads per cluster before trusting it as a stratum.
+    * Emitted as the exact ×10⁶ integer floor (cut and vol are exact
+    * longs; NULL when the denominator is 0 — a community covering the
+    * whole graph, or one with no volume). Every graph node must be
+    * labeled (the louvainMove loud contract).
+    *
+    * Shape: one canonicalization + two label joins on the edge list +
+    * one degree agg + one label-grain agg — nothing iterative, label
+    * relation never broadcast by hint (labels are node-sized).
+    *
+    * @return one row per community: `lbl, n_nodes, vol, cut_w, phi_x1e6`
+    */
+  def conductance(edges: DataFrame, srcCol: String, dstCol: String,
+                  labels: DataFrame, nodeCol: String,
+                  lblCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val canon = edges
+      .filter(col(srcCol) =!= col(dstCol) &&
+        col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+      .localCheckpoint() // degrees, both label joins and 2m read this
+    val lbl = labels.select(col(nodeCol).as("n"), col(lblCol).as("lbl"))
+    val deg = canon.select(col("u").as("n"))
+      .unionAll(canon.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).cast("long").as("d"))
+    val nodeLbl = deg.join(lbl, Seq("n"), "left")
+      .withColumn("lbl",
+        when(col("lbl").isNull, raise_error(concat(
+          lit("conductance: unlabeled graph node "), col("n"))))
+          .otherwise(col("lbl")))
+    val vol = nodeLbl.groupBy("lbl")
+      .agg(sum("d").cast("long").as("vol"),
+        count(lit(1)).cast("long").as("n_nodes"))
+    val withLbl = canon
+      .join(lbl.select(col("n").as("u"), col("lbl").as("lu")), Seq("u"))
+      .join(lbl.select(col("n").as("v"), col("lbl").as("lv")), Seq("v"))
+      .filter(col("lu") =!= col("lv"))
+    // a cut edge counts against BOTH its communities
+    val cut = withLbl.select(col("lu").as("lbl"))
+      .unionAll(withLbl.select(col("lv").as("lbl")))
+      .groupBy("lbl").agg(count(lit(1)).cast("long").as("cut_w"))
+    val twoM = deg.agg(coalesce(sum("d"), lit(0L)).cast("long").as("m2"))
+    vol.join(cut, Seq("lbl"), "left")
+      .withColumn("cut_w", coalesce(col("cut_w"), lit(0L)))
+      .crossJoin(broadcast(twoM))
+      .withColumn("__den", least(col("vol"), col("m2") - col("vol")))
+      .withColumn("phi_x1e6",
+        when(col("__den") > 0,
+          expr(s"CAST(CAST(cut_w AS $d38) * 1000000 div __den AS BIGINT)"))
+          .otherwise(lit(null).cast("long")))
+      .select("lbl", "n_nodes", "vol", "cut_w", "phi_x1e6")
   }
 
   /** Newman modularity of a GIVEN node partition (Newman & Girvan 2004)

@@ -814,6 +814,42 @@ object RankQueries {
       graft.operators.Graphs.skipGramPairs(walks, window = 2)
     },
 
+    // PER-COMMUNITY CONDUCTANCE — q394 scores a partition with ONE
+    // global Q; this is the community-grain leakiness readout (Kannan–
+    // Vempala–Vetta): φ(c) = cut/min(vol, 2m−vol) per brand community
+    // of the co-purchase graph, exact ×10⁶ floor, cut edges counted
+    // against both sides, NULL φ for a whole-graph community. One
+    // canonicalization + two label joins + two aggs — full relational
+    // oracle
+    "q443_conductance" -> { (s, dir) =>
+      val edges = graft.operators.Graphs
+        .coPurchaseEdges(t(s, dir, "lineitem"))
+      graft.operators.Graphs.conductance(edges, "src", "dst",
+        t(s, dir, "part"), "p_partkey", "p_brand")
+    },
+
+    // SKIP-GRAM NEGATIVE SAMPLES — the third and final DeepWalk/word2vec
+    // data-prep piece (q424 sentences, q433 positives, this the SGNS
+    // negatives): 3 degree-proportional draws per distinct pair, made
+    // EXACT by sampling uniformly over the 2m directed edge SLOTS (each
+    // node is a destination exactly deg times) — 48-bit md5 draw mod 2m,
+    // one equi-join against the globally-ranked edge list, no float
+    // weights, no alias table; α=1 declared (the paper's α=3/4 needs
+    // float pow no exact replay can carry); collisions kept + flagged.
+    // Full row-level oracle: walk chain nested, row_number slots, same
+    // hex arithmetic
+    "q442_walk_negatives" -> { (s, dir) =>
+      val edges = graft.operators.Graphs
+        .coPurchaseEdges(t(s, dir, "lineitem"))
+      val starts = t(s, dir, "part")
+        .filter(col("p_partkey") % 20 === 0).select("p_partkey")
+      val walks = graft.operators.Graphs.hashWalks(edges, "src", "dst",
+        starts, "p_partkey", len = 3)
+      val pairs = graft.operators.Graphs.skipGramPairs(walks, window = 2)
+      graft.operators.Graphs.negativeSamples(pairs, edges, "src", "dst",
+        nNeg = 3)
+    },
+
     // FULL LOUVAIN — q417 was ONE local-move sweep; this is the whole
     // Blondel et al. algorithm: per level, a DECLARED budget of guarded
     // synchronous sweeps with the best-EXACT-Q checkpoint selected
@@ -1333,6 +1369,73 @@ object RankQueries {
          FROM m, ls, nn""",
     // the walk replayed hop by hop: same canonical graph, same md5 argmin
     "q424_hash_walks" -> hashWalksSql,
+    // same canonical graph; cut edges melted to both sides, integer
+    // floor division for the ppm
+    "q443_conductance" ->
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey),
+         lbl AS MATERIALIZED (
+           SELECT p_partkey AS n, p_brand AS lbl FROM part),
+         deg AS MATERIALIZED (
+           SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+           (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+         vol AS MATERIALIZED (
+           SELECT lbl.lbl, CAST(sum(d) AS BIGINT) AS vol,
+                  CAST(count(*) AS BIGINT) AS n_nodes
+           FROM deg JOIN lbl USING (n) GROUP BY 1),
+         cutm AS MATERIALIZED (
+           SELECT lu.lbl AS la, lv.lbl AS lb
+           FROM e0 JOIN lbl lu ON lu.n = e0.u
+                   JOIN lbl lv ON lv.n = e0.v
+           WHERE lu.lbl <> lv.lbl),
+         cut AS MATERIALIZED (
+           SELECT lbl, CAST(count(*) AS BIGINT) AS cut_w FROM
+           (SELECT la AS lbl FROM cutm UNION ALL SELECT lb FROM cutm)
+           GROUP BY 1),
+         m2 AS MATERIALIZED (
+           SELECT CAST(coalesce(sum(d), 0) AS BIGINT) AS m2 FROM deg)
+         SELECT v.lbl, v.n_nodes, v.vol, coalesce(c.cut_w, 0) AS cut_w,
+                CASE WHEN least(v.vol, m2.m2 - v.vol) > 0 THEN
+                  CAST(CAST(coalesce(c.cut_w, 0) AS HUGEINT) * 1000000
+                       // least(v.vol, m2.m2 - v.vol) AS BIGINT)
+                END AS phi_x1e6
+         FROM vol v LEFT JOIN cut c ON c.lbl = v.lbl CROSS JOIN m2""",
+    // walk chain nested -> distinct pairs; slots = row_number over the
+    // directed edge list; the same 48-bit hex draw mod 2m both engines
+    "q442_walk_negatives" ->
+      s"""WITH walks AS MATERIALIZED ($hashWalksSql),
+          prs AS MATERIALIZED (
+            SELECT DISTINCT a.node AS center, b.node AS context
+            FROM walks a JOIN walks b ON a.start = b.start
+            WHERE a.step <> b.step AND abs(a.step - b.step) <= 2),
+          ne AS MATERIALIZED (
+            SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                   greatest(a.l_partkey, b.l_partkey) AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey),
+          dirs AS MATERIALIZED (
+            SELECT u AS n, v AS nbr FROM ne
+            UNION ALL SELECT v, u FROM ne),
+          slots AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY n, nbr) - 1 AS slot,
+                   nbr AS negative
+            FROM dirs),
+          tot AS MATERIALIZED (
+            SELECT CAST(count(*) AS BIGINT) AS t FROM slots),
+          draws AS MATERIALIZED (
+            SELECT center, context, j AS neg_idx,
+              CAST(CAST(concat('0x', substr(md5(concat('ns|', center, ':',
+                     context, ':', j)), 1, 12)) AS UBIGINT)
+                   % (SELECT t FROM tot) AS BIGINT) AS slot
+            FROM prs, range(0, 3) r(j))
+          SELECT d.center, d.context, CAST(d.neg_idx AS INT) AS neg_idx,
+                 s.negative, s.negative = d.context AS is_collision
+          FROM draws d JOIN slots s USING (slot)""",
     // the walk corpus nested, then the bounded |step-diff| pair emission
     "q433_walk_skipgrams" ->
       s"""WITH walks AS MATERIALIZED ($hashWalksSql)

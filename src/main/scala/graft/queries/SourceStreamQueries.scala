@@ -971,6 +971,46 @@ object SourceStreamQueries {
       out
     },
 
+    // STREAMING WINNOWING LEDGER — q440's probe-then-append cycle driven
+    // by Structured Streaming (the q404 recipe at winnowing grain): doc
+    // batches land as files, foreachBatch runs the scan-once ledger call
+    // per micro-batch, and because batch 2 is batch 1 with shifted ids
+    // the whole cross-batch pair relation is DETERMINISTIC — the oracle
+    // replays it as pure set logic (every shifted doc must rediscover
+    // its twin through the fingerprint ledger, boilerplate caps and all)
+    "q441_stream_winnow_ledger" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("text").isNotNull)
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q441_" + s.sparkContext.applicationId)
+      deleteRecursively(base)
+      Files.createDirectories(base.resolve("data"))
+      val ledger = s"$base/ledger"
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", LongType)
+        .add("text", org.apache.spark.sql.types.StringType)
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(schema).parquet(s"$base/data")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.functions.Winnowing.ledger(batch, ledger)
+              .write.mode("overwrite").parquet(s"$base/pairs/b$batchId")
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      docs.coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      docs.withColumn("doc_id", col("doc_id") + 1000000L)
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      val out = s.read.parquet(s"$base/pairs/b*")
+        .select("id_new", "id_old", "n_shared_fp").localCheckpoint()
+      deleteRecursively(base)
+      out
+    },
+
     // STREAMING LM-STORE INGESTION — the q266 HistStore composition for
     // the LM count store: document batches land as files, foreachBatch
     // appends each batch's bigram/trigram/unigram COUNT PARTIALS, and
@@ -1164,6 +1204,20 @@ object SourceStreamQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs_found,
                 CAST(0 AS BIGINT) AS threshold_violations
          FROM documents WHERE text IS NOT NULL""",
+    // batch 1 probes an empty ledger (no rows); batch 2 = batch 1 with
+    // ids shifted by 1e6 probing batch 1's postings — pure set logic
+    // over the q419 fingerprint relation, twins and all. The delta-side
+    // df cap equals the history-side cap because the texts are identical
+    "q441_stream_winnow_ledger" ->
+      s"""WITH fps AS MATERIALIZED (${TextQueries.winnowingSql}),
+         post AS MATERIALIZED (SELECT DISTINCT fp, doc_id FROM fps),
+         hk AS MATERIALIZED (
+           SELECT fp FROM post GROUP BY fp HAVING count(*) <= 10)
+         SELECT d.doc_id + 1000000 AS id_new, p.doc_id AS id_old,
+                CAST(count(*) AS BIGINT) AS n_shared_fp
+         FROM post d JOIN post p USING (fp)
+         WHERE fp IN (SELECT fp FROM hk)
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
     // the q405 replay: table row count + bigram mass over the top-100
     // vocab; the streamed-store identity is asserted in-query
     "q408_stream_lm_ingest" ->

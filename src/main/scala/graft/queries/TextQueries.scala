@@ -860,6 +860,30 @@ object TextQueries {
         "doc_id", "text", k = 3, w = 4, maxDf = 10, minShared = 2)
     },
 
+    // WINNOWING FINGERPRINT LEDGER — q437's overlap report made
+    // INCREMENTAL (the q168 minhash-ledger discipline at winnowing
+    // grain): two seed ingests persist their fingerprint postings
+    // bucket-partitioned by hash, then the third batch probes "does
+    // this delta plagiarize anything we already hold" WITHOUT
+    // re-reading or re-fingerprinting history — bucket-pruned scan,
+    // exact in-slice history df for the boilerplate cap, scan-once
+    // frozen delta postings shared by probe and append. Full relational
+    // oracle: q419 nested, prior/delta split, both df caps, pair agg
+    "q440_winnowing_ledger" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q440_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      graft.functions.Winnowing.ledger(
+        docs.filter(col("doc_id") % 3 === 1), path)
+      graft.functions.Winnowing.ledger(
+        docs.filter(col("doc_id") % 3 === 2), path)
+      val out = graft.functions.Winnowing.ledger(
+        docs.filter(col("doc_id") % 3 === 0), path).localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
     // document fingerprint: md5 of the word-sorted normalized text
     "q24_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents").select(
@@ -907,8 +931,8 @@ object TextQueries {
           .as("dup_3gram_frac"))
     })
 
-  /** q419 replay; q437 nests it as the fingerprint relation. */
-  private lazy val winnowingSql: String =
+  /** q419 replay; q437/q440/q441 nest it as the fingerprint relation. */
+  private[queries] lazy val winnowingSql: String =
       """WITH t0 AS MATERIALIZED (
            SELECT doc_id, string_split(trim(text), ' ') AS ws
            FROM documents WHERE text IS NOT NULL),
@@ -1897,6 +1921,25 @@ object TextQueries {
     // the same relational steps: k-grams, encoded (md5, pos) string,
     // bounded window min, full-window filter, distinct
     "q419_winnowing" -> winnowingSql,
+    // q419 nested + prior/delta split + BOTH df caps + pair agg — the
+    // ledger's bucket layout never enters the result, so the replay is
+    // pure set logic over the fingerprint relation
+    "q440_winnowing_ledger" ->
+      s"""WITH fps AS MATERIALIZED ($winnowingSql),
+         post AS MATERIALIZED (SELECT DISTINCT fp, doc_id FROM fps),
+         prior AS MATERIALIZED (
+           SELECT * FROM post WHERE doc_id % 3 <> 0),
+         delta AS MATERIALIZED (SELECT * FROM post WHERE doc_id % 3 = 0),
+         hk AS MATERIALIZED (
+           SELECT fp FROM prior GROUP BY fp HAVING count(*) <= 10),
+         dk AS MATERIALIZED (
+           SELECT fp FROM delta GROUP BY fp HAVING count(*) <= 10)
+         SELECT d.doc_id AS id_new, p.doc_id AS id_old,
+                CAST(count(*) AS BIGINT) AS n_shared_fp
+         FROM delta d JOIN prior p USING (fp)
+         WHERE fp IN (SELECT fp FROM hk) AND fp IN (SELECT fp FROM dk)
+           AND d.doc_id <> p.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
     // q419 nested + the df cap + posting self-join + pair agg + per-doc
     // totals over the same capped universe
     "q437_winnowing_overlap" ->

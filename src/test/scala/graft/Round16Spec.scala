@@ -182,6 +182,45 @@ class Round16Spec extends SparkSpec {
       s"df=3 fingerprints must be gone at maxDf=2, got $tight pairs")
   }
 
+  /** Ledger probe semantics: batch-2 docs rediscover their batch-1
+    * overlaps exactly as the direct (in-memory) pair relation computes
+    * them, and a crashed-retry re-run of the SAME delta returns the
+    * SAME pairs (self-pairs excluded, duplicate ledger rows deduped on
+    * read).
+    */
+  test("winnowing ledger: probe equals the direct cross-batch relation; " +
+      "retry re-run is idempotent") {
+    val p1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val batch1 = Seq(
+      (1L, s"$p1 kilo lima mike november oscar papa"),
+      (2L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      (10L, s"$p1 zulu yankee xray whiskey victor uniform"),
+      (11L, "aa bb cc dd ee ff gg hh ii jj kk"))
+      .toDF("doc_id", "text")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_r16_wledger"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+    try {
+      val first = Winnowing.ledger(batch1, path)
+      assert(first.count() == 0, "empty-ledger probe must return no pairs")
+      val probe = Winnowing.ledger(batch2, path)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // direct relation: doc 10 shares the p1 paragraph with doc 1 only
+      assert(probe.map(t => (t._1, t._2)) == Set((10L, 1L)))
+      assert(probe.head._3 >= 2L)
+      // retry: same delta again — its own postings are now in the ledger
+      // but self-pairs are excluded, so the answer must not change
+      val retry = Winnowing.ledgerPairs(batch2, path)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(retry == probe, "retry probe must be idempotent")
+    } finally {
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+    }
+  }
+
   // ---- PQ refit-remap -------------------------------------------------
 
   /** Drift lifecycle: build on evens, append odds against the frozen
@@ -264,6 +303,53 @@ class Round16Spec extends SparkSpec {
     val b = graft.ann.Rocchio.feedbackTopKFromShortlist(qs, emb, fb, k = 5)
       .collect().map(_.toSeq).toSet
     assert(b == a)
+  }
+
+  // ---- conductance + negative sampler ---------------------------------
+
+  /** Two triangles + bridge, one label per triangle: each side has
+    * vol = 7, cut = 1 (the bridge counted once per side), 2m = 14, so
+    * φ·10⁶ = floor(10⁶/7) = 142857 for both.
+    */
+  test("conductance: hand-checked on the two-triangle bridge graph") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val lbls = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 2L), (5L, 2L), (6L, 2L)).toDF("node", "lbl")
+    val out = Graphs.conductance(e, "src", "dst", lbls, "node", "lbl")
+      .orderBy("lbl")
+      .select("lbl", "n_nodes", "vol", "cut_w", "phi_x1e6")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 7L, 1L, 142857L),
+      (2L, 3L, 7L, 1L, 142857L)))
+  }
+
+  /** Star graph, one pair: the 8 directed slots are (1..4→100, 100→1..4)
+    * in (n, nbr) order, so a draw < 4 yields the hub and draw d ≥ 4
+    * yields leaf d − 3; the engine must match the 48-bit md5 arithmetic
+    * replayed here byte for byte, twice (determinism).
+    */
+  test("negativeSamples: hand-replayed slot draws on a star graph, " +
+      "deterministic across runs") {
+    val e = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L))
+      .toDF("src", "dst")
+    val pairs = Seq((1L, 2L)).toDF("center", "context")
+    def slotOf(j: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ns|1:2:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16) % 8
+    }
+    val expected = (0 until 3).map { j =>
+      val s = slotOf(j)
+      (j, if (s < 4) 100L else s - 4 + 1)
+    }
+    def run() = Graphs.negativeSamples(pairs, e, "src", "dst", nNeg = 3)
+      .orderBy("neg_idx")
+      .select("neg_idx", "negative").as[(Int, Long)].collect().toSeq
+    val got = run()
+    assert(got == expected, s"got $got, hand-replay says $expected")
+    assert(run() == got, "draws must be deterministic across invocations")
   }
 
   // ---- weighted kernel parity with the q394 kernel -------------------
