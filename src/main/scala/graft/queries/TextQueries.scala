@@ -860,6 +860,53 @@ object TextQueries {
         "doc_id", "text", k = 3, w = 4, maxDf = 10, minShared = 2)
     },
 
+    // KN-PERPLEXITY BAND FILTER — the CCNet recipe composed end to end
+    // from verified kernels: score every document with the q402
+    // Kneser–Ney bigram model (mean log-prob per scored bigram = the
+    // perplexity proxy), then keep each LANGUAGE's middle band [p10,
+    // p90] via the q109 exact-percentile filter — the "drop the
+    // weirdest and the most boilerplate text per language" cut LLM
+    // pipelines run before training, with absolute thresholds replaced
+    // by per-stratum bounds exactly as CCNet prescribes. Docs with no
+    // scored bigram are excluded before banding (no NULL score rows)
+    "q444_kn_perplexity_band" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val table = graft.functions.LmKneserNey.bigramTable(docs, "text",
+        vocabTopK = 100)
+      val scored = graft.functions.LmKneserNey
+        .scoreDocs(docs, table, "text", "doc_id")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .filter(col("n_scored") > 0)
+        .select("doc_id", "lang", "mean_logprob")
+      graft.data.Sampling.percentileBandFilter(scored, "mean_logprob",
+        "lang", lower = 0.1, upper = 0.9)
+    },
+
+    // VERBATIM-REUSE CLUSTERS — the MOSS pipeline END: q437's overlap
+    // pairs closed into connected components (the q73 min-label CC over
+    // the pair-vertex set only) and each cluster given its keep-best
+    // REPRESENTATIVE by (n_chars desc, doc_id) — "these documents copy
+    // each other; keep this one" as one relation. Output one row per
+    // clustered doc; singletons (no reuse evidence) never enter the CC
+    "q445_reuse_clusters" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = graft.functions.Winnowing.overlapPairs(docs, "doc_id",
+        "text", k = 3, w = 4, maxDf = 10, minShared = 2)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      val cc = graft.data.Dedup.clustersFromPairs(docs, "doc_id", pairs)
+      val sizes = cc.groupBy("cluster_id")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
+        .select("cluster_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      cc.join(sizes, Seq("cluster_id"))
+        .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("rn") === 1).as("is_rep"))
+    },
+
     // WINNOWING FINGERPRINT LEDGER — q437's overlap report made
     // INCREMENTAL (the q168 minhash-ledger discipline at winnowing
     // grain): two seed ingests persist their fingerprint postings
@@ -957,6 +1004,104 @@ object TextQueries {
                 CAST(substr(s, 34, 12) AS BIGINT) AS fp_pos,
                 substr(s, 1, 32) AS fp
          FROM sel WHERE pos <= nk - 4"""
+
+  /** q402 replay; q444 nests it as the per-doc score relation. */
+  private lazy val knDocLogprobSql: String =
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+                    FROM documents WHERE text IS NOT NULL),
+         bg AS (SELECT unnest([{'w1': ws[i], 'w2': ws[i + 1]}
+                               for i in range(1, len(ws))],
+                              recursive := true)
+                FROM w WHERE len(ws) >= 2),
+         bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
+                FROM bg GROUP BY 1, 2),
+         lm AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_left,
+                       CAST(count(*) AS BIGINT) AS n_follow
+                FROM bc GROUP BY 1),
+         rm AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_precede
+                FROM bc GROUP BY 1),
+         bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bc),
+         tok AS (SELECT unnest(ws) AS term FROM w),
+         vocab AS (SELECT term FROM (
+                     SELECT term, count(*) AS tc FROM tok GROUP BY 1
+                     ORDER BY tc DESC, term LIMIT 100)),
+         tbl AS (
+           SELECT bc.w1, bc.w2,
+                  CAST(greatest(0, CAST((4 * CAST(bc.c_bigram AS HUGEINT)
+                      - 3) * 1000000000
+                    // (4 * CAST(lm.c_left AS HUGEINT)) AS BIGINT))
+                    + CAST(3 * CAST(lm.n_follow AS HUGEINT) * 1000000000
+                        // (4 * CAST(lm.c_left AS HUGEINT)) AS HUGEINT)
+                      * (CAST(rm.n_precede AS HUGEINT) * 1000000000 // bt.b)
+                      // 1000000000 AS BIGINT) AS kn_q9,
+                  CAST(3 * CAST(lm.n_follow AS HUGEINT) * 1000000000
+                       // (4 * CAST(lm.c_left AS HUGEINT)) AS BIGINT)
+                    AS lambda_q9,
+                  CAST(CAST(rm.n_precede AS HUGEINT) * 1000000000 // bt.b
+                       AS BIGINT) AS pcont_q9
+           FROM bc
+           JOIN vocab v1 ON v1.term = bc.w1
+           JOIN vocab v2 ON v2.term = bc.w2
+           JOIN lm USING (w1) JOIN rm USING (w2), bt),
+         lam AS (SELECT w1, max(lambda_q9) AS lambda_q9 FROM tbl GROUP BY 1),
+         pc AS (SELECT w2, max(pcont_q9) AS pcont_q9 FROM tbl GROUP BY 1),
+         dp AS (SELECT doc_id,
+                       unnest([{'w1': ws[i], 'w2': ws[i + 1]}
+                               for i in range(1, len(ws))],
+                              recursive := true)
+                FROM w WHERE len(ws) >= 2),
+         priced AS (
+           SELECT dp.doc_id,
+                  CASE WHEN t.kn_q9 IS NOT NULL THEN greatest(1, t.kn_q9)
+                       WHEN l.lambda_q9 IS NOT NULL
+                            AND p.pcont_q9 IS NOT NULL
+                       THEN greatest(1, CAST(CAST(l.lambda_q9 AS HUGEINT)
+                              * p.pcont_q9 // 1000000000 AS BIGINT))
+                  END AS p_q9
+           FROM dp
+           LEFT JOIN tbl t ON t.w1 = dp.w1 AND t.w2 = dp.w2
+           LEFT JOIN lam l ON l.w1 = dp.w1
+           LEFT JOIN pc p ON p.w2 = dp.w2),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(CASE WHEN p_q9 IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_scored,
+                  CAST(sum(CASE WHEN p_q9 IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_oov_pairs,
+                  sum(CAST(round(ln(CAST(p_q9 AS DOUBLE) / 1000000000), 9)
+                           AS DECIMAL(20,9))) AS s
+           FROM priced GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+                CAST(coalesce(a.n_scored, 0) AS BIGINT) AS n_scored,
+                CAST(coalesce(a.n_oov_pairs, 0) AS BIGINT) AS n_oov_pairs,
+                CAST(a.s AS DOUBLE) AS sum_logprob,
+                CASE WHEN coalesce(a.n_scored, 0) > 0
+                     THEN CAST(a.s AS DOUBLE) / CAST(a.n_scored AS DOUBLE)
+                END AS mean_logprob
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN agg a USING (doc_id)"""
+
+  /** q437 replay; q445 nests it as the reuse-pair relation. */
+  private lazy val winnowOverlapSql: String =
+      s"""WITH fps AS MATERIALIZED ($winnowingSql),
+         post AS MATERIALIZED (SELECT DISTINCT fp, doc_id FROM fps),
+         keep AS MATERIALIZED (
+           SELECT fp, doc_id FROM post WHERE fp IN (
+             SELECT fp FROM post GROUP BY fp HAVING count(*) <= 10)),
+         nfp AS MATERIALIZED (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           FROM keep GROUP BY 1),
+         pairs AS MATERIALIZED (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(count(*) AS BIGINT) AS n_shared_fp
+           FROM keep a JOIN keep b USING (fp)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT p.doc_a, p.doc_b, p.n_shared_fp,
+                na.n AS n_fp_a, nb.n AS n_fp_b
+         FROM pairs p JOIN nfp na ON na.doc_id = p.doc_a
+                      JOIN nfp nb ON nb.doc_id = p.doc_b
+         WHERE p.n_shared_fp >= 2"""
 
   val oracleSql: Map[String, String] = Map(
     "q344_bowker_drift" ->
@@ -1484,81 +1629,22 @@ object TextQueries {
     // marginal projections, the doc pair stream priced observed/backoff/
     // OOV, ln rounded to 9 and summed as DECIMAL(20,9) (both engines
     // round half-away-from-zero; p_q9/1e9 is exact-then-IEEE on both)
-    "q402_kn_doc_logprob" ->
-      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
-                    FROM documents WHERE text IS NOT NULL),
-         bg AS (SELECT unnest([{'w1': ws[i], 'w2': ws[i + 1]}
-                               for i in range(1, len(ws))],
-                              recursive := true)
-                FROM w WHERE len(ws) >= 2),
-         bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
-                FROM bg GROUP BY 1, 2),
-         lm AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_left,
-                       CAST(count(*) AS BIGINT) AS n_follow
-                FROM bc GROUP BY 1),
-         rm AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_precede
-                FROM bc GROUP BY 1),
-         bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bc),
-         tok AS (SELECT unnest(ws) AS term FROM w),
-         vocab AS (SELECT term FROM (
-                     SELECT term, count(*) AS tc FROM tok GROUP BY 1
-                     ORDER BY tc DESC, term LIMIT 100)),
-         tbl AS (
-           SELECT bc.w1, bc.w2,
-                  CAST(greatest(0, CAST((4 * CAST(bc.c_bigram AS HUGEINT)
-                      - 3) * 1000000000
-                    // (4 * CAST(lm.c_left AS HUGEINT)) AS BIGINT))
-                    + CAST(3 * CAST(lm.n_follow AS HUGEINT) * 1000000000
-                        // (4 * CAST(lm.c_left AS HUGEINT)) AS HUGEINT)
-                      * (CAST(rm.n_precede AS HUGEINT) * 1000000000 // bt.b)
-                      // 1000000000 AS BIGINT) AS kn_q9,
-                  CAST(3 * CAST(lm.n_follow AS HUGEINT) * 1000000000
-                       // (4 * CAST(lm.c_left AS HUGEINT)) AS BIGINT)
-                    AS lambda_q9,
-                  CAST(CAST(rm.n_precede AS HUGEINT) * 1000000000 // bt.b
-                       AS BIGINT) AS pcont_q9
-           FROM bc
-           JOIN vocab v1 ON v1.term = bc.w1
-           JOIN vocab v2 ON v2.term = bc.w2
-           JOIN lm USING (w1) JOIN rm USING (w2), bt),
-         lam AS (SELECT w1, max(lambda_q9) AS lambda_q9 FROM tbl GROUP BY 1),
-         pc AS (SELECT w2, max(pcont_q9) AS pcont_q9 FROM tbl GROUP BY 1),
-         dp AS (SELECT doc_id,
-                       unnest([{'w1': ws[i], 'w2': ws[i + 1]}
-                               for i in range(1, len(ws))],
-                              recursive := true)
-                FROM w WHERE len(ws) >= 2),
-         priced AS (
-           SELECT dp.doc_id,
-                  CASE WHEN t.kn_q9 IS NOT NULL THEN greatest(1, t.kn_q9)
-                       WHEN l.lambda_q9 IS NOT NULL
-                            AND p.pcont_q9 IS NOT NULL
-                       THEN greatest(1, CAST(CAST(l.lambda_q9 AS HUGEINT)
-                              * p.pcont_q9 // 1000000000 AS BIGINT))
-                  END AS p_q9
-           FROM dp
-           LEFT JOIN tbl t ON t.w1 = dp.w1 AND t.w2 = dp.w2
-           LEFT JOIN lam l ON l.w1 = dp.w1
-           LEFT JOIN pc p ON p.w2 = dp.w2),
-         agg AS (
-           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
-                  CAST(sum(CASE WHEN p_q9 IS NOT NULL THEN 1 ELSE 0 END)
-                       AS BIGINT) AS n_scored,
-                  CAST(sum(CASE WHEN p_q9 IS NULL THEN 1 ELSE 0 END)
-                       AS BIGINT) AS n_oov_pairs,
-                  sum(CAST(round(ln(CAST(p_q9 AS DOUBLE) / 1000000000), 9)
-                           AS DECIMAL(20,9))) AS s
-           FROM priced GROUP BY 1)
-         SELECT d.doc_id,
-                CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
-                CAST(coalesce(a.n_scored, 0) AS BIGINT) AS n_scored,
-                CAST(coalesce(a.n_oov_pairs, 0) AS BIGINT) AS n_oov_pairs,
-                CAST(a.s AS DOUBLE) AS sum_logprob,
-                CASE WHEN coalesce(a.n_scored, 0) > 0
-                     THEN CAST(a.s AS DOUBLE) / CAST(a.n_scored AS DOUBLE)
-                END AS mean_logprob
-         FROM (SELECT DISTINCT doc_id FROM documents) d
-         LEFT JOIN agg a USING (doc_id)""",
+    "q402_kn_doc_logprob" -> knDocLogprobSql,
+    // q402 nested + lang attach + quantile_cont bounds (== Spark's
+    // interpolated percentile, the q78/q109 parity) + the band filter
+    "q444_kn_perplexity_band" ->
+      s"""WITH scored AS MATERIALIZED ($knDocLogprobSql),
+         s2 AS MATERIALIZED (
+           SELECT s.doc_id, d.lang, s.mean_logprob
+           FROM scored s JOIN documents d USING (doc_id)
+           WHERE s.n_scored > 0),
+         b AS MATERIALIZED (
+           SELECT lang, quantile_cont(mean_logprob, 0.1) AS lo,
+                  quantile_cont(mean_logprob, 0.9) AS hi
+           FROM s2 GROUP BY 1)
+         SELECT s2.doc_id, s2.lang, s2.mean_logprob
+         FROM s2 JOIN b USING (lang)
+         WHERE mean_logprob >= lo AND mean_logprob <= hi""",
     "q292_good_turing" ->
       """WITH tok AS (
            SELECT unnest(string_split(trim(text), ' ')) AS term
@@ -1942,25 +2028,31 @@ object TextQueries {
          GROUP BY 1, 2 HAVING count(*) >= 2""",
     // q419 nested + the df cap + posting self-join + pair agg + per-doc
     // totals over the same capped universe
-    "q437_winnowing_overlap" ->
-      s"""WITH fps AS MATERIALIZED ($winnowingSql),
-         post AS MATERIALIZED (SELECT DISTINCT fp, doc_id FROM fps),
-         keep AS MATERIALIZED (
-           SELECT fp, doc_id FROM post WHERE fp IN (
-             SELECT fp FROM post GROUP BY fp HAVING count(*) <= 10)),
-         nfp AS MATERIALIZED (
-           SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-           FROM keep GROUP BY 1),
-         pairs AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  CAST(count(*) AS BIGINT) AS n_shared_fp
-           FROM keep a JOIN keep b USING (fp)
-           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-         SELECT p.doc_a, p.doc_b, p.n_shared_fp,
-                na.n AS n_fp_a, nb.n AS n_fp_b
-         FROM pairs p JOIN nfp na ON na.doc_id = p.doc_a
-                      JOIN nfp nb ON nb.doc_id = p.doc_b
-         WHERE p.n_shared_fp >= 2""",
+    "q437_winnowing_overlap" -> winnowOverlapSql,
+    // q437 nested as the pair relation, then the q73 WITH RECURSIVE
+    // reach closure (min-label components) + the keep-best
+    // representative pick by (n_chars desc, doc_id)
+    "q445_reuse_clusters" ->
+      (s"""WITH RECURSIVE pairs AS MATERIALIZED ($winnowOverlapSql),
+         edges AS (
+           SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (
+           SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+           FROM reach GROUP BY u),
+         rep AS (
+           SELECT cluster_id, doc_id AS rep_doc FROM (
+             SELECT c.cluster_id, c.doc_id,
+                    row_number() OVER (PARTITION BY c.cluster_id
+                      ORDER BY d.n_chars DESC, c.doc_id) AS rn
+             FROM comp c JOIN documents d USING (doc_id)) WHERE rn = 1)
+         SELECT c.doc_id, CAST(c.cluster_id AS BIGINT) AS cluster_id,
+                c.doc_id = r.rep_doc AS is_rep
+         FROM comp c JOIN rep r USING (cluster_id)"""),
     "q24_fingerprint" ->
       """SELECT doc_id,
          md5(array_to_string(list_sort(regexp_split_to_array(trim(text), '\s+')), ' ')) AS fingerprint
