@@ -1109,11 +1109,55 @@ object Knn {
       spark, s"$path/lists", "list_id", math.max(nLists, 1))
   }
 
+  /** Tombstone DELETE on an [[ivfWriteIndex]] layout — `Pq.deleteFromIndex`
+    * at float-IVF grain: one slim parquet append of the ids, no list
+    * partition touched; [[ivfTopKIndexed]] anti-joins the set out BEFORE
+    * ranking, so an exhaustive probe after a delete is bit-identical to
+    * brute force over the surviving corpus (the q59 identity minus the
+    * deleted ids). Idempotent re-deletes; [[ivfVacuumIndex]] settles.
+    */
+  def ivfDeleteFromIndex(deleteIds: org.apache.spark.sql.DataFrame,
+                         path: String, idCol: String = "vec_id"): Unit =
+    deleteIds.select(col(idCol).cast("long").as("target_id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Physically remove tombstoned vectors: one anti-join rewrite of the
+    * lists layout (one file per list — deletion and compaction settle
+    * together), generation swap, tombstones cleared; probes bit-identical
+    * pre/post.
+    *
+    * @return (n_rows_before, n_rows_after)
+    */
+  def ivfVacuumIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lists = spark.read.parquet(s"$path/lists")
+    val before = lists.count()
+    val survivors =
+      if (fs.exists(new Path(s"$path/tombstones")))
+        lists.join(spark.read.parquet(s"$path/tombstones"),
+          Seq("target_id"), "left_anti")
+      else lists
+    val nLists = spark.read.parquet(s"$path/centroids").count().toInt
+    val tmp = s"$path/lists__vacuum_tmp"
+    fs.delete(new Path(tmp), true)
+    survivors.repartition(math.max(nLists, 1), col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    graft.operators.PartitionCompaction.swapIntoPlace(
+      fs, new Path(s"$path/lists"), new Path(tmp),
+      new Path(s"$path/lists__pre_vacuum"))
+    fs.delete(new Path(s"$path/tombstones"), true)
+    (before, spark.read.parquet(s"$path/lists").count())
+  }
+
   /** Query a disk-materialized IVF index (see [[ivfWriteIndex]]): probe
     * lists per query via the shared centroid kernel, statically prune the
     * index scan to the union of probed lists, join on `list_id`, and score
     * with the primitive kernel. Bit-identical to [[ivfTopK]] on the same
-    * fitted centroids.
+    * fitted centroids (tombstoned ids, if any, vanish before ranking).
     */
   def ivfTopKIndexed(queries: DataFrame, indexPath: String, k: Int,
                      nProbe: Int = 8,
@@ -1147,8 +1191,20 @@ object Knn {
     // cheaper than pinning `probed` in memory or scanning unprobed index
     // partitions, so this stays cache-free by design.
     val probedLists = probed.select("list_id").distinct().collect().map(_.getInt(0))
-    val lists = spark.read.parquet(s"$indexPath/lists")
+    val listsRaw = spark.read.parquet(s"$indexPath/lists")
       .filter(col("list_id").isin(probedLists.toIndexedSeq.map(Integer.valueOf): _*))
+    // tombstoned ids (ivfDeleteFromIndex) vanish at probe time, before
+    // ranking — same contract as Pq.probeIndex
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val lists =
+      if (tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(tombPath))
+        listsRaw.join(
+          org.apache.spark.sql.functions.broadcast(
+            spark.read.parquet(s"$indexPath/tombstones")
+              .select("target_id").distinct()),
+          Seq("target_id"), "left_anti")
+      else listsRaw
 
     val joined = probed.join(lists, "list_id")
       .filter(if (excludeSelf) col("query_id") =!= col("target_id") else lit(true))

@@ -448,14 +448,66 @@ object Pq {
       fs, new Path(path), new Path(tmp), new Path(path + "__pre_refit"))
   }
 
+  /** Tombstone DELETE on a [[writeIndex]] layout — the lifecycle's
+    * missing verb (write → append → compact → refit → DELETE): the ids
+    * land as slim rows in `$path/tombstones` (one parquet append, no
+    * code partition is touched), and [[probeIndex]] anti-joins them out
+    * BEFORE ranking, so a tombstoned probe is bit-identical to the
+    * gated-ADC search over the surviving codes — the "delete this
+    * user's vectors now, pay the rewrite later" serving contract.
+    * [[vacuumIndex]] settles the debt. Idempotent: deleting the same id
+    * twice adds a duplicate tombstone row the probe's left-anti join
+    * never notices.
+    */
+  def deleteFromIndex(deleteIds: DataFrame, path: String,
+                      idCol: String = "vec_id"): Unit =
+    deleteIds.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Physically remove tombstoned codes: one anti-join rewrite of the
+    * codes layout (one file per list partition — compaction and deletion
+    * settle together), generation-swapped into place, then the tombstone
+    * set is cleared. Probes are bit-identical before and after (the rows
+    * the probe could see are the same set — tombstones only become
+    * physical absence).
+    *
+    * @return (n_codes_before, n_codes_after) row counts for the audit
+    */
+  def vacuumIndex(spark: SparkSession, path: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val codes = spark.read.parquet(s"$path/codes")
+    val before = codes.count()
+    val survivors =
+      if (fs.exists(new Path(s"$path/tombstones")))
+        codes.join(spark.read.parquet(s"$path/tombstones"),
+          Seq("vec_id"), "left_anti")
+      else codes
+    val nLists = spark.read.parquet(s"$path/meta").collect()(0).getInt(3)
+    val tmp = s"$path/codes__vacuum_tmp"
+    fs.delete(new Path(tmp), true)
+    survivors.repartition(nLists, col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    graft.operators.PartitionCompaction.swapIntoPlace(
+      fs, new Path(s"$path/codes"), new Path(tmp),
+      new Path(s"$path/codes__pre_vacuum"))
+    fs.delete(new Path(s"$path/tombstones"), true)
+    (before, spark.read.parquet(s"$path/codes").count())
+  }
+
   /** Search a disk index: probes computed query-side, the codes scan
-    * statically pruned to the probed list directories, then the shared
-    * gated-ADC search — bit-identical to [[residualIvfAdcTopK]] on the
-    * same codebooks.
+    * statically pruned to the probed list directories, tombstoned ids
+    * anti-joined out BEFORE ranking (so deletes take effect at probe
+    * time, not at vacuum time), then the shared gated-ADC search —
+    * bit-identical to [[residualIvfAdcTopK]] on the same codebooks over
+    * the surviving corpus.
     */
   def probeIndex(queries: DataFrame, path: String, nProbe: Int,
                  k: Int, idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val s = queries.sparkSession
     val (coarse, rcb) = readCodebooks(s, path)
     val probedLists = adcTable(queries, coarse, idCol, vecCol)
@@ -463,9 +515,15 @@ object Pq {
         .orderBy(col("d"), col("cid"))))
       .filter(col("rn") <= nProbe)
       .select("cid").distinct().collect().map(_.getInt(0))
-    val indexed = s.read.parquet(s"$path/codes")
+    val codes = s.read.parquet(s"$path/codes")
       .filter(col("list_id")
         .isin(probedLists.toIndexedSeq.map(Integer.valueOf): _*))
+    val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+    val indexed =
+      if (fs.exists(new Path(s"$path/tombstones")))
+        codes.join(broadcast(s.read.parquet(s"$path/tombstones")
+          .select("vec_id").distinct()), Seq("vec_id"), "left_anti")
+      else codes
     residualSearch(indexed, queries, coarse, rcb, nProbe, k, idCol, vecCol)
   }
 

@@ -507,6 +507,25 @@ object DataQueries {
       Knn.ivfTopKIndexed(emb.filter(col("vec_id") < 100), path, k = 5, nProbe = 16)
     },
 
+    // IVF INDEX TOMBSTONE DELETE — q446's verb at float-IVF grain: the
+    // odd half tombstoned with one slim append, the exhaustive probe
+    // anti-joins before ranking, so the result is bit-identical to
+    // brute-force cosine over the SURVIVING corpus (the q59 identity
+    // minus the deleted ids — oracle = the same cross join restricted
+    // to even targets)
+    "q447_ivf_index_delete" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q447_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      Knn.ivfWriteIndex(emb, path, nLists = 16, seed = 7L, maxIter = 5)
+      Knn.ivfDeleteFromIndex(emb.filter(col("vec_id") % 2 === 1), path)
+      val out = Knn.ivfTopKIndexed(emb.filter(col("vec_id") < 100), path,
+        k = 5, nProbe = 16).localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
     // test-set decontamination: eval = every 17th doc, train = all docs;
     // exact-dup rows surface containment 1.0, near-dups fractional (full
     // row-level oracle: DuckDB replays shingling, containment and argmax)
@@ -2012,6 +2031,30 @@ object DataQueries {
         m = 4, subDim = 16, k = 16, iters = 2, nLists = 8)
       graft.ann.Pq.appendToIndex(emb.filter(col("vec_id") % 2 === 1), path)
       graft.ann.Pq.refitIndex(emb, path, iters = 2)
+      val out = graft.ann.Pq.probeIndex(emb.filter(col("vec_id") < 30),
+        path, nProbe = 2, k = 5).localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
+    // PQ INDEX TOMBSTONE DELETE — the lifecycle's last verb (write →
+    // append → compact → refit → DELETE): the odd half is tombstoned
+    // with one slim parquet append (no code partition rewritten) and
+    // the probe anti-joins the tombstones BEFORE ranking, so deletion
+    // takes effect immediately and the result is bit-identical to the
+    // gated-ADC search over the surviving codes — the oracle replays
+    // exactly that (the q421 replay with the code relation restricted
+    // to survivors, fit still on the FULL corpus: a refit on delete
+    // would be wrong, the codebooks are a frozen generation)
+    "q446_pq_index_delete" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q446_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      graft.ann.Pq.writeIndex(emb, path, m = 4, subDim = 16, k = 16,
+        iters = 2, nLists = 8)
+      graft.ann.Pq.deleteFromIndex(emb.filter(col("vec_id") % 2 === 1),
+        path)
       val out = graft.ann.Pq.probeIndex(emb.filter(col("vec_id") < 30),
         path, nProbe = 2, k = 5).localCheckpoint()
       graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
@@ -4165,6 +4208,10 @@ object DataQueries {
     // build, so the probe replays against exactly the q421 fit — the
     // drift half-fit (q422's pqqvA-restricted fit) must NOT appear
     "q436_pq_index_refit" -> residualIvfSql,
+    // tombstone delete: codes restricted to the even survivors, both
+    // fits STILL on the full corpus (the frozen-generation contract)
+    "q446_pq_index_delete" -> residualIvfSql.replace(
+      "FROM rcodes t", "FROM (SELECT * FROM rcodes WHERE vec_id % 2 = 0) t"),
     // exact float-cosine top-5, int8 top-5, PQ top-5, IVF-PQ top-5 — each
     // replayed, then the per-variant recall aggregation in exact ppm
     "q416_index_recall_gate" ->
@@ -4966,6 +5013,17 @@ object DataQueries {
                                 t.vec_id) AS INT) AS rank
            FROM embeddings q CROSS JOIN embeddings t
            WHERE q.vec_id < 100)
+         WHERE rank <= 5""",
+    // the q59 identity over the SURVIVING corpus only
+    "q447_ivf_index_delete" ->
+      """SELECT query_id, target_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+                  round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) AS cosine,
+                  CAST(row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], t.embedding::DOUBLE[]), 9) DESC,
+                                t.vec_id) AS INT) AS rank
+           FROM embeddings q CROSS JOIN embeddings t
+           WHERE q.vec_id < 100 AND t.vec_id % 2 = 0)
          WHERE rank <= 5""",
     "q70_ann_ivf_bucketed" ->
       """SELECT query_id, target_id, cosine, rank FROM (

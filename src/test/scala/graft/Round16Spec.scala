@@ -352,6 +352,75 @@ class Round16Spec extends SparkSpec {
     assert(run() == got, "draws must be deterministic across invocations")
   }
 
+  /** Delete lifecycle: tombstoned probe sees only survivors; vacuum
+    * rewrites to one file per list, clears tombstones, and the probe is
+    * bit-identical pre/post vacuum (tombstones only become physical
+    * absence).
+    */
+  test("pq delete: tombstoned probe drops the ids immediately; vacuum " +
+      "preserves the probe bit-for-bit and settles the layout") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 30)
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_r16_del"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(p))
+    try {
+      graft.ann.Pq.writeIndex(emb, p, m = 4, subDim = 16, k = 16,
+        iters = 2, nLists = 8)
+      graft.ann.Pq.deleteFromIndex(emb.filter(col("vec_id") % 2 === 1), p)
+      val pre = graft.ann.Pq.probeIndex(q, p, nProbe = 8, k = 5)
+        .collect().map(_.toSeq).toSet
+      assert(pre.nonEmpty)
+      assert(!pre.exists(r => r(1).asInstanceOf[Long] % 2 == 1),
+        "no tombstoned id may appear in a probe result")
+      val (before, after) = graft.ann.Pq.vacuumIndex(spark, p)
+      assert(after < before, "vacuum must physically drop tombstoned rows")
+      assert(!new java.io.File(s"$p/tombstones").exists(),
+        "vacuum must clear the tombstone set")
+      val post = graft.ann.Pq.probeIndex(q, p, nProbe = 8, k = 5)
+        .collect().map(_.toSeq).toSet
+      assert(post == pre, "probe must be bit-identical across vacuum")
+      // settled layout: one data file per list partition
+      val listDirs = new java.io.File(s"$p/codes").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+      assert(listDirs.nonEmpty)
+      listDirs.foreach { d =>
+        val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+        assert(n == 1, s"${d.getName} has $n data files after vacuum")
+      }
+    } finally {
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(p))
+    }
+  }
+
+  test("ivf delete: tombstoned probe == brute force over survivors; " +
+      "vacuum preserves the probe and clears the set") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_r16_ivfdel"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(p))
+    try {
+      graft.ann.Knn.ivfWriteIndex(emb, p, nLists = 8, seed = 7L,
+        maxIter = 5)
+      graft.ann.Knn.ivfDeleteFromIndex(
+        emb.filter(col("vec_id") % 2 === 1), p)
+      val pre = graft.ann.Knn.ivfTopKIndexed(q, p, k = 5, nProbe = 8)
+        .collect().map(_.toSeq).toSet
+      val brute = graft.ann.Knn.bruteForceTopK(q,
+        emb.filter(col("vec_id") % 2 === 0), k = 5)
+        .collect().map(_.toSeq).toSet
+      assert(pre == brute,
+        "exhaustive tombstoned probe must equal brute force over survivors")
+      val (before, after) = graft.ann.Knn.ivfVacuumIndex(spark, p)
+      assert(after < before)
+      assert(!new java.io.File(s"$p/tombstones").exists())
+      val post = graft.ann.Knn.ivfTopKIndexed(q, p, k = 5, nProbe = 8)
+        .collect().map(_.toSeq).toSet
+      assert(post == pre, "probe must be bit-identical across vacuum")
+    } finally {
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(p))
+    }
+  }
+
   // ---- weighted kernel parity with the q394 kernel -------------------
 
   test("modularityW at w=1 matches Graphs.modularity exactly") {
