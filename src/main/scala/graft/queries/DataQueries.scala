@@ -1011,6 +1011,32 @@ object DataQueries {
       graft.search.Bm25.topKIndexed(qs, path, k = 10)
     },
 
+    // BM25 INDEX TOMBSTONE DELETE — the q446/q447 verb at text grain,
+    // with the twist lexical search needs: deletion must also shed the
+    // doc's contribution to n_docs/avgdl and to every matched term's df,
+    // so tombstones carry the doc's exact token length and the probe
+    // corrects the collection stats with the same long-sum arithmetic a
+    // rebuild runs. Every third doc deleted; the probe must equal BM25
+    // over the surviving corpus bit-for-bit (oracle = the q75 replay
+    // with documents restricted to survivors)
+    "q448_bm25_index_delete" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(trim(col("text")), " "), 1, 4), " ")
+            .as("query_text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q448_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      graft.search.Bm25.writeIndex(docs, path, nBuckets = 16)
+      graft.search.Bm25.deleteFromIndex(
+        docs.filter(col("doc_id") % 3 === 0), path)
+      val out = graft.search.Bm25.topKIndexed(qs, path, k = 10)
+        .localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
     // incremental BM25 index append: build on the even half, append the odd
     // half, probe. The merged stats recombine exactly (long token totals)
     // and appended postings land in the same term_bucket layout, so the
@@ -3752,6 +3778,13 @@ object DataQueries {
          FROM scored WHERE c >= 0.4""",
     "q72_bm25_topk" -> bm25Sql,
     "q75_bm25_indexed" -> bm25Sql,
+    // the q75 replay with the CORPUS side restricted to survivors (the
+    // query side still reads all docs < 5 — deleted text remains a
+    // legal query)
+    "q448_bm25_index_delete" -> bm25Sql.replace(
+      "w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),",
+      "w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws " +
+        "FROM documents WHERE doc_id % 3 <> 0),"),
     "q87_bm25_append" -> bm25Sql,
     "q236_backfill_plan" ->
       """SELECT DISTINCT CAST(ts AS DATE) AS missing_day

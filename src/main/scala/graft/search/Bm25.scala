@@ -358,8 +358,8 @@ object Bm25 {
                   queryIdCol: String = "query_id",
                   queryTextCol: String = "query_text"): DataFrame = {
     val spark = queries.sparkSession
-    val stats = spark.read.parquet(s"$indexPath/stats")
-    val nBuckets = stats.select("n_buckets").head().getInt(0)
+    val statsRaw = spark.read.parquet(s"$indexPath/stats")
+    val nBuckets = statsRaw.select("n_buckets").head().getInt(0)
 
     val queryTerms = queries
       .select(col(queryIdCol).cast("long").as("query_id"),
@@ -372,10 +372,100 @@ object Bm25 {
       .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int").as("tb"))
       .distinct().collect().map(_.getInt(0)).toSeq
 
-    val hits = spark.read.parquet(s"$indexPath/postings")
+    val hitsRaw = spark.read.parquet(s"$indexPath/postings")
       .filter(col("term_bucket").isin(buckets: _*))
       .join(broadcast(queryTerms), "term")
       .select("query_id", "doc_id", "term", "tf", "dl")
-    scoreAndRank(hits, stats.select("n_docs", "avgdl"), k, k1, b)
+
+    // tombstoned docs ([[deleteFromIndex]]) vanish BEFORE df/stat
+    // computation, so a tombstoned probe scores EXACTLY as a rebuild on
+    // the surviving corpus: df comes from the surviving hits, and the
+    // collection stats are corrected with the same long-sum / double-
+    // division arithmetic the rebuild would run (n' = n − |tomb| and
+    // sum_dl' = sum_dl − Σdl(tomb) are exact; avgdl' = sum'/n')
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val (hits, stats) =
+      if (tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(tombPath)) {
+        val tomb = spark.read.parquet(s"$indexPath/tombstones")
+          .dropDuplicates("doc_id") // crashed-retry idempotence
+        val t = tomb.agg(count(lit(1)).cast("double").as("nt"),
+          coalesce(sum(col("dl")), lit(0L)).as("sdl")).head
+        val (nt, sdl) = (t.getDouble(0), t.getLong(1))
+        (hitsRaw.join(broadcast(tomb.select("doc_id")), Seq("doc_id"),
+          "left_anti"),
+          statsRaw.select((col("n_docs") - lit(nt)).as("n_docs"),
+            ((col("sum_dl") - lit(sdl)).cast("double") /
+              (col("n_docs") - lit(nt))).as("avgdl")))
+      } else (hitsRaw, statsRaw.select(col("n_docs"), col("avgdl")))
+    scoreAndRank(hits, stats, k, k1, b)
+  }
+
+  /** Tombstone DELETE on a [[writeIndex]] layout — the `Pq`/`Knn` verb at
+    * BM25 grain, with the twist text search needs: correct deletion must
+    * also shed the doc's contribution to the COLLECTION STATS (n_docs,
+    * avgdl) and to every matched term's df, so the tombstone row carries
+    * the doc's exact token length (recomputed here with the index's own
+    * tokenizer — pass the same doc rows that were indexed). One slim
+    * parquet append, no posting partition touched; [[topKIndexed]]
+    * anti-joins the postings AND corrects the stats before scoring, so a
+    * tombstoned probe is bit-identical to a rebuild on the survivors.
+    * Re-deleting a doc is idempotent (dedup on read). Settle the layout
+    * debt with [[vacuumIndex]].
+    */
+  def deleteFromIndex(docs: DataFrame, path: String,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): Unit =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(tokenize(col(textCol))).cast("long").as("dl"))
+      .dropDuplicates("doc_id")
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Physically remove tombstoned postings and fold the stat corrections
+    * into the stored stats row: one anti-join rewrite of the postings
+    * (one file per term bucket — deletion and compaction settle
+    * together), generation swap, stats rewritten with the same exact
+    * arithmetic the probe-time correction uses, tombstones cleared.
+    * Probes bit-identical pre/post.
+    *
+    * @return (n_posting_rows_before, n_posting_rows_after)
+    */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
+                  path: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val postings = spark.read.parquet(s"$path/postings")
+    val before = postings.count()
+    if (!fs.exists(new Path(s"$path/tombstones")))
+      return (before, before)
+    val tomb = spark.read.parquet(s"$path/tombstones")
+      .dropDuplicates("doc_id").localCheckpoint()
+    val t = tomb.agg(count(lit(1)).cast("double").as("nt"),
+      coalesce(sum(col("dl")), lit(0L)).as("sdl")).head
+    val (nt, sdl) = (t.getDouble(0), t.getLong(1))
+    val old = spark.read.parquet(s"$path/stats")
+      .select("n_docs", "sum_dl", "n_buckets").head
+    val (oldN, oldSum, nBuckets) =
+      (old.getDouble(0), old.getLong(1), old.getInt(2))
+    val tmp = s"$path/postings__vacuum_tmp"
+    fs.delete(new Path(tmp), true)
+    postings.join(tomb.select("doc_id"), Seq("doc_id"), "left_anti")
+      .repartition(nBuckets, col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
+    graft.operators.PartitionCompaction.swapIntoPlace(
+      fs, new Path(s"$path/postings"), new Path(tmp),
+      new Path(s"$path/postings__pre_vacuum"))
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((oldN - nt, oldSum - sdl))
+      .toDF("n_docs", "sum_dl")
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    fs.delete(new Path(s"$path/tombstones"), true)
+    (before, spark.read.parquet(s"$path/postings").count())
   }
 }

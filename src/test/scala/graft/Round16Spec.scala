@@ -421,6 +421,42 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("bm25 delete: tombstoned probe == rebuild on survivors (stats and " +
+      "df corrected); vacuum preserves the probe and folds the stats") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+    val qs = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(trim(col("text")), " "), 1, 4), " ")
+          .as("query_text"))
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_r16_bmdel"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(p))
+    val p2 = p + "_rebuild"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(p2))
+    try {
+      graft.search.Bm25.writeIndex(docs, p, nBuckets = 16)
+      graft.search.Bm25.deleteFromIndex(
+        docs.filter(col("doc_id") % 3 === 0), p)
+      val pre = graft.search.Bm25.topKIndexed(qs, p, k = 10)
+        .collect().map(_.toSeq).toSet
+      graft.search.Bm25.writeIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), p2, nBuckets = 16)
+      val rebuild = graft.search.Bm25.topKIndexed(qs, p2, k = 10)
+        .collect().map(_.toSeq).toSet
+      assert(pre == rebuild,
+        "tombstoned probe must equal a rebuild on the surviving corpus")
+      val (before, after) = graft.search.Bm25.vacuumIndex(spark, p)
+      assert(after < before)
+      assert(!new java.io.File(s"$p/tombstones").exists())
+      val post = graft.search.Bm25.topKIndexed(qs, p, k = 10)
+        .collect().map(_.toSeq).toSet
+      assert(post == pre, "probe must be bit-identical across vacuum")
+    } finally {
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(p))
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(p2))
+    }
+  }
+
   // ---- weighted kernel parity with the q394 kernel -------------------
 
   test("modularityW at w=1 matches Graphs.modularity exactly") {
