@@ -164,6 +164,24 @@ object Winnowing {
       .filter(col("n_shared_fp") >= minShared)
   }
 
+  /** Rewrite the accumulated append files so every `bucket` partition of
+    * the fingerprint ledger holds ONE data file again (q400's recipe at
+    * winnowing grain: N ingests leave N files per bucket and the pruned
+    * probe's listing cost grows per append). Rows only move between
+    * files, so probes are bit-identical pre/post (asserted in-query by
+    * q449). Swap atomicity contract: see
+    * [[graft.operators.PartitionCompaction]].
+    *
+    * @return data-file count (before, after)
+    */
+  def compactLedger(spark: org.apache.spark.sql.SparkSession,
+                    path: String): (Long, Long) = {
+    val n = spark.read.parquet(s"$path/fps")
+      .select("bucket").distinct().count().toInt
+    graft.operators.PartitionCompaction.compact(
+      spark, s"$path/fps", "bucket", math.max(n, 1))
+  }
+
   private def ledgerExists(spark: org.apache.spark.sql.SparkSession,
                            path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -931,6 +931,41 @@ object TextQueries {
       out
     },
 
+    // WINNOWING LEDGER COMPACTION — the maintenance half of the q440
+    // append-only contract (q400's recipe at winnowing grain): two seed
+    // ingests leave two files per bucket; compaction rewrites to ONE
+    // file per bucket partition, rows only move between files, so the
+    // probe is bit-identical pre/post (asserted in-query via exceptAll
+    // both ways) and verdict columns pin the file contract
+    "q449_winnow_ledger_compact" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q449_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      val prior = docs.filter(col("doc_id") % 3 =!= 0)
+      // alternating 64-id blocks so BOTH ingests cover every fp bucket
+      val half = pmod(floor(col("doc_id") / 64).cast("long"), lit(2L))
+      graft.functions.Winnowing.ledger(prior.filter(half === 0), path)
+      graft.functions.Winnowing.ledger(prior.filter(half === 1), path)
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+      val pre = graft.functions.Winnowing.ledgerPairs(delta, path)
+        .localCheckpoint()
+      val (fb, fa) = graft.functions.Winnowing.compactLedger(s, path)
+      val post = graft.functions.Winnowing.ledgerPairs(delta, path)
+        .localCheckpoint()
+      val identical =
+        post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty
+      val nB = s.read.parquet(s"$path/fps")
+        .select("bucket").distinct().count()
+      val out = post.agg(count(lit(1)).cast("long").as("n_pairs"))
+        .withColumn("probe_identical", lit(identical))
+        .withColumn("one_file_per_bucket", lit(fa == nB))
+        .withColumn("files_reduced", lit(fa < fb))
+        .localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
     // document fingerprint: md5 of the word-sorted normalized text
     "q24_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents").select(
@@ -1102,6 +1137,24 @@ object TextQueries {
          FROM pairs p JOIN nfp na ON na.doc_id = p.doc_a
                       JOIN nfp nb ON nb.doc_id = p.doc_b
          WHERE p.n_shared_fp >= 2"""
+
+  /** q440 replay; q449 wraps it in a count. */
+  private lazy val winnowLedgerSql: String =
+      s"""WITH fps AS MATERIALIZED ($winnowingSql),
+         post AS MATERIALIZED (SELECT DISTINCT fp, doc_id FROM fps),
+         prior AS MATERIALIZED (
+           SELECT * FROM post WHERE doc_id % 3 <> 0),
+         delta AS MATERIALIZED (SELECT * FROM post WHERE doc_id % 3 = 0),
+         hk AS MATERIALIZED (
+           SELECT fp FROM prior GROUP BY fp HAVING count(*) <= 10),
+         dk AS MATERIALIZED (
+           SELECT fp FROM delta GROUP BY fp HAVING count(*) <= 10)
+         SELECT d.doc_id AS id_new, p.doc_id AS id_old,
+                CAST(count(*) AS BIGINT) AS n_shared_fp
+         FROM delta d JOIN prior p USING (fp)
+         WHERE fp IN (SELECT fp FROM hk) AND fp IN (SELECT fp FROM dk)
+           AND d.doc_id <> p.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2"""
 
   val oracleSql: Map[String, String] = Map(
     "q344_bowker_drift" ->
@@ -2010,22 +2063,14 @@ object TextQueries {
     // q419 nested + prior/delta split + BOTH df caps + pair agg — the
     // ledger's bucket layout never enters the result, so the replay is
     // pure set logic over the fingerprint relation
-    "q440_winnowing_ledger" ->
-      s"""WITH fps AS MATERIALIZED ($winnowingSql),
-         post AS MATERIALIZED (SELECT DISTINCT fp, doc_id FROM fps),
-         prior AS MATERIALIZED (
-           SELECT * FROM post WHERE doc_id % 3 <> 0),
-         delta AS MATERIALIZED (SELECT * FROM post WHERE doc_id % 3 = 0),
-         hk AS MATERIALIZED (
-           SELECT fp FROM prior GROUP BY fp HAVING count(*) <= 10),
-         dk AS MATERIALIZED (
-           SELECT fp FROM delta GROUP BY fp HAVING count(*) <= 10)
-         SELECT d.doc_id AS id_new, p.doc_id AS id_old,
-                CAST(count(*) AS BIGINT) AS n_shared_fp
-         FROM delta d JOIN prior p USING (fp)
-         WHERE fp IN (SELECT fp FROM hk) AND fp IN (SELECT fp FROM dk)
-           AND d.doc_id <> p.doc_id
-         GROUP BY 1, 2 HAVING count(*) >= 2""",
+    "q440_winnowing_ledger" -> winnowLedgerSql,
+    // probe bit-identity and the file contract are asserted in-query;
+    // the pair count replays as the q440 relation's cardinality
+    "q449_winnow_ledger_compact" ->
+      (s"""SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                 TRUE AS probe_identical, TRUE AS one_file_per_bucket,
+                 TRUE AS files_reduced
+          FROM ($winnowLedgerSql)"""),
     // q419 nested + the df cap + posting self-join + pair agg + per-doc
     // totals over the same capped universe
     "q437_winnowing_overlap" -> winnowOverlapSql,
