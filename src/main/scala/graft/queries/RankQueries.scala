@@ -814,6 +814,21 @@ object RankQueries {
       graft.operators.Graphs.skipGramPairs(walks, window = 2)
     },
 
+    // DETECT → EVALUATE — the community story closed end to end: the
+    // full-Louvain partition (q434/q435) evaluated per community by
+    // conductance (q443's kernel). The oracle replays the WHOLE chain —
+    // 3 levels × 6 guarded sweeps, exact-Q argmax, label composition,
+    // then the cut/vol arithmetic — so a single flipped label anywhere
+    // in the detection hash-mismatches the evaluation
+    "q450_louvain_conductance" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").filter(col("l_partkey") <= 4000)
+      val edges = graft.operators.Graphs.coPurchaseEdges(li)
+      val labels = graft.operators.Louvain.run(edges, "src", "dst",
+        nLevels = louvainLevels, sweeps = louvainSweeps).labels
+      graft.operators.Graphs.conductance(edges, "src", "dst",
+        labels, "n", "community")
+    },
+
     // PER-COMMUNITY CONDUCTANCE — q394 scores a partition with ONE
     // global Q; this is the community-grain leakiness readout (Kannan–
     // Vempala–Vetta): φ(c) = cut/min(vol, 2m−vol) per brand community
@@ -1099,6 +1114,47 @@ object RankQueries {
     (0 until louvainLevels).map(l => s"SELECT * FROM q$l")
       .mkString(" UNION ALL "))
 
+  /** q450: the q435 label composition feeding the q443 conductance
+    * arithmetic, all inside the generated Louvain chain (the
+    * `finalSelect` hook accepts leading CTEs via the comma form). */
+  private lazy val louvainConductanceSql: String = {
+    val joins = (0 until louvainLevels).map { l =>
+      val prev = if (l == 0) "cnodes.n" else s"lf${l - 1}.lbl"
+      s"JOIN lf$l ON lf$l.n = $prev"
+    }.mkString("\n         ")
+    louvainSql(
+      s""",
+       clbl AS MATERIALIZED (
+         SELECT cnodes.n, lf${louvainLevels - 1}.lbl AS lbl
+         FROM (SELECT DISTINCT n FROM (
+                 SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)) cnodes
+         $joins),
+       cdeg AS MATERIALIZED (
+         SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+         (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+       cvol AS MATERIALIZED (
+         SELECT l.lbl, CAST(sum(d) AS BIGINT) AS vol,
+                CAST(count(*) AS BIGINT) AS n_nodes
+         FROM cdeg JOIN clbl l USING (n) GROUP BY 1),
+       ccutm AS MATERIALIZED (
+         SELECT lu.lbl AS la, lv.lbl AS lb
+         FROM e0 JOIN clbl lu ON lu.n = e0.u
+                 JOIN clbl lv ON lv.n = e0.v
+         WHERE lu.lbl <> lv.lbl),
+       ccut AS MATERIALIZED (
+         SELECT lbl, CAST(count(*) AS BIGINT) AS cut_w FROM
+         (SELECT la AS lbl FROM ccutm UNION ALL SELECT lb FROM ccutm)
+         GROUP BY 1),
+       cm2 AS MATERIALIZED (
+         SELECT CAST(coalesce(sum(d), 0) AS BIGINT) AS m2 FROM cdeg)
+       SELECT v.lbl, v.n_nodes, v.vol, coalesce(c.cut_w, 0) AS cut_w,
+              CASE WHEN least(v.vol, cm2.m2 - v.vol) > 0 THEN
+                CAST(CAST(coalesce(c.cut_w, 0) AS HUGEINT) * 1000000
+                     // least(v.vol, cm2.m2 - v.vol) AS BIGINT)
+              END AS phi_x1e6
+       FROM cvol v LEFT JOIN ccut c ON c.lbl = v.lbl CROSS JOIN cm2""")
+  }
+
   private lazy val louvainLabelsSql: String = {
     val joins = (0 until louvainLevels).map { l =>
       val prev = if (l == 0) "nodes.n" else s"lf${l - 1}.lbl"
@@ -1115,6 +1171,8 @@ object RankQueries {
     // the full unrolled replay: 3 levels × 8 guarded sweeps + coarsening
     "q434_louvain_full" -> louvainTrailSql,
     "q435_louvain_labels" -> louvainLabelsSql,
+    // the whole detect -> evaluate chain replayed
+    "q450_louvain_conductance" -> louvainConductanceSql,
     "q347_kruskal_wallis" ->
       """WITH cells AS (
            SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
