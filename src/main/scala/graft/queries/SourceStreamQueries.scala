@@ -932,6 +932,53 @@ object SourceStreamQueries {
       out
     },
 
+    // MID-STREAM INDEX DELETE — q425's streaming probe with a tombstone
+    // landing BETWEEN micro-batches: batch 1 probes the full index,
+    // the odd half is deleted (one slim tombstone append, q446's verb),
+    // and batch 2 — same running pipeline, no restart — sees only the
+    // survivors, because the probe re-reads the tombstone set per call.
+    // Both halves replay exactly: batch 1 is the full-corpus residual
+    // replay, batch 2 the survivors variant — "deletes take effect on a
+    // LIVE stream at the next micro-batch" proven at row grain
+    "q451_stream_delete_probe" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q451_" + s.sparkContext.applicationId)
+      graft.operators.FsUtil.deleteRecursively(base.toFile)
+      Files.createDirectories(base.resolve("data"))
+      val idx = s"$base/idx"
+      graft.ann.Pq.writeIndex(emb, idx, m = 4, subDim = 16, k = 16,
+        iters = 2, nLists = 8)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("vec_id", LongType)
+        .add("embedding", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(schema).parquet(s"$base/data")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.ann.Pq.probeIndex(batch, idx, nProbe = 2, k = 5)
+              .write.mode("overwrite").parquet(s"$base/hits/b$batchId")
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      emb.filter(col("vec_id") < 15)
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      graft.ann.Pq.deleteFromIndex(emb.filter(col("vec_id") % 2 === 1),
+        idx)
+      emb.filter(col("vec_id") >= 15 && col("vec_id") < 30)
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      val out = s.read.parquet(s"$base/hits/b*")
+        .select("query_id", "target_id", "adc_dist", "rank")
+        .localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(base.toFile)
+      out
+    },
+
     "q404_stream_ledger_dedup" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select("doc_id", "text")
         .filter(col("text").isNotNull)
@@ -1200,6 +1247,17 @@ object SourceStreamQueries {
     // frozen index + exact-integer ADC ⇒ streamed batches ≡ the one-shot
     // batch search: q415's replay, verbatim
     "q425_stream_pq_adc" -> DataQueries.residualIvfSql,
+    // batch 1 = the full-corpus replay at queries < 15; batch 2 = the
+    // survivors replay at queries in [15, 30) — the mid-stream delete
+    // boundary is exactly the union seam
+    "q451_stream_delete_probe" ->
+      (s"""SELECT * FROM (${DataQueries.residualIvfSql
+        .replace("s.vec_id < 30", "s.vec_id < 15")})
+          UNION ALL
+          SELECT * FROM (${DataQueries.residualIvfSql
+        .replace("s.vec_id < 30", "s.vec_id >= 15 AND s.vec_id < 30")
+        .replace("FROM rcodes t",
+          "FROM (SELECT * FROM rcodes WHERE vec_id % 2 = 0) t")})"""),
     "q404_stream_ledger_dedup" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs_found,
                 CAST(0 AS BIGINT) AS threshold_violations
