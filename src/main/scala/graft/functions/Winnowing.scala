@@ -182,6 +182,19 @@ object Winnowing {
       spark, s"$path/fps", "bucket", math.max(n, 1))
   }
 
+  /** Per-bucket (n_rows, n_files) of the fingerprint ledger — the q409
+    * observability surface at winnowing grain: the file count per bucket
+    * is the listing cost the pruned probe actually pays, the row count
+    * the posting mass behind it.
+    */
+  def ledgerOccupancy(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame =
+    spark.read.parquet(s"$path/fps")
+      .select(col("bucket"), input_file_name().as("__f"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col("__f")).cast("long").as("n_files"))
+
   private def ledgerExists(spark: org.apache.spark.sql.SparkSession,
                            path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

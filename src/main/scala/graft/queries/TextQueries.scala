@@ -966,6 +966,31 @@ object TextQueries {
       out
     },
 
+    // WINNOWING LEDGER OCCUPANCY — the q409 observability surface at
+    // winnowing grain: per-bucket row and data-file counts (the listing
+    // cost the pruned probe actually pays). Two one-file-per-bucket
+    // ingests => n_files <= 2 structural; the total row count is pure
+    // conservation arithmetic (distinct (fp, doc) postings of the
+    // ingested docs) and replays relationally
+    "q452_winnow_ledger_occupancy" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q452_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      val prior = docs.filter(col("doc_id") % 3 =!= 0)
+      val half = pmod(floor(col("doc_id") / 64).cast("long"), lit(2L))
+      graft.functions.Winnowing.ledger(prior.filter(half === 0), path)
+      graft.functions.Winnowing.ledger(prior.filter(half === 1), path)
+      val occ = graft.functions.Winnowing.ledgerOccupancy(s, path)
+        .localCheckpoint()
+      val out = occ.agg(
+        sum("n_rows").cast("long").as("total_fp_rows"),
+        (max("n_files") <= 2L).as("files_le_appends"),
+        (count(lit(1)) <= 64L).as("buckets_bounded")).localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
     // document fingerprint: md5 of the word-sorted normalized text
     "q24_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents").select(
@@ -2064,6 +2089,15 @@ object TextQueries {
     // ledger's bucket layout never enters the result, so the replay is
     // pure set logic over the fingerprint relation
     "q440_winnowing_ledger" -> winnowLedgerSql,
+    // conservation arithmetic: the ledger holds exactly the distinct
+    // (fp, doc) postings of the ingested docs; file/bucket verdicts
+    // structural under one-file-per-bucket appends
+    "q452_winnow_ledger_occupancy" ->
+      (s"""WITH fps AS MATERIALIZED ($winnowingSql)
+          SELECT CAST(count(*) AS BIGINT) AS total_fp_rows,
+                 TRUE AS files_le_appends, TRUE AS buckets_bounded
+          FROM (SELECT DISTINCT fp, doc_id FROM fps
+                WHERE doc_id % 3 <> 0)"""),
     // probe bit-identity and the file contract are asserted in-query;
     // the pair count replays as the q440 relation's cardinality
     "q449_winnow_ledger_compact" ->
