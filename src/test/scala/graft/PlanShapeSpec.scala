@@ -969,4 +969,81 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan) { case w: WindowExec if w.partitionSpec.isEmpty => } === 0,
       s"top-k must be query-partitioned, never a global window:\n$plan")
   }
+
+  test("tombstoned pq probe (q446): the delete anti-join must NOT break " +
+      "static list_id partition pruning") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_planshape_pqdel"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    graft.ann.Pq.writeIndex(emb, path, m = 4, subDim = 16, k = 8,
+      iters = 1, nLists = 4)
+    graft.ann.Pq.deleteFromIndex(emb.filter(col("vec_id") % 2 === 1), path)
+    val plan = staticPlan(graft.ann.Pq.probeIndex(
+      emb.filter(col("vec_id") < 5), path, nProbe = 2, k = 5))
+    val codeScans = plan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths
+          .exists(_.toString.contains("codes")) => f
+    }
+    assert(codeScans.nonEmpty, s"no codes scan found:\n$plan")
+    codeScans.foreach { f =>
+      assert(f.partitionFilters
+        .exists(_.references.exists(_.name == "list_id")),
+        s"pruning must survive the tombstone anti-join:\n$f")
+    }
+    assert(count(plan) { case j: BroadcastHashJoinExec
+      if j.joinType.toString == "LeftAnti" => } >= 1,
+      s"tombstones must apply as a broadcast anti-join:\n$plan")
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+  }
+
+  test("winnowing overlap (q437): posting self-join is an equi-join — " +
+      "no cartesian, no nested loop, no global window") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val pdocs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = staticPlan(graft.functions.Winnowing.overlapPairs(
+      pdocs, "doc_id", "text", k = 3, w = 4, maxDf = 10, minShared = 2))
+    assert(count(plan) { case _: CartesianProductExec => } === 0,
+      s"no cartesian in the overlap pair space:\n$plan")
+    assert(count(plan) { case _: BroadcastNestedLoopJoinExec => } === 0,
+      s"no nested-loop join in the overlap pair space:\n$plan")
+    assert(count(plan) { case w: WindowExec if w.partitionSpec.isEmpty => }
+      === 0, s"no global window:\n$plan")
+  }
+
+  test("negative samples (q442 kernel): slot assignment is an equi-join, " +
+      "never a range/nested-loop pass; no cartesian") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val edges = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("src"),
+        (col("l_partkey") % 50).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("center", "context")
+    val plan = staticPlan(graft.operators.Graphs.negativeSamples(
+      pairs, edges, "src", "dst", nNeg = 3))
+    assert(count(plan) { case _: CartesianProductExec => } === 0,
+      s"no cartesian:\n$plan")
+    assert(count(plan) { case _: BroadcastNestedLoopJoinExec => } === 0,
+      s"slot lookup must be an equi-join:\n$plan")
+  }
+
+  test("louvain sweep (q434 kernel): community masses broadcast, argmax " +
+      "window node-partitioned, no cartesian") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 3L, 1L)).toDF("u", "v", "w")
+    val str = graft.operators.Louvain.strengths(e)
+    val lbls = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("n", "lbl")
+    val plan = staticPlan(
+      graft.operators.Louvain.sweepW(e, str, 4L, lbls))
+    assert(count(plan) { case _: CartesianProductExec => } === 0)
+    assert(count(plan) { case w: WindowExec if w.partitionSpec.isEmpty => }
+      === 0, s"the move argmax must be node-partitioned:\n$plan")
+    assert(count(plan) { case _: BroadcastExchangeExec => } >= 2,
+      s"sigma-tot and size relations must ship broadcast:\n$plan")
+  }
 }
