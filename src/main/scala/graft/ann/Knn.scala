@@ -1083,7 +1083,19 @@ object Knn {
                     nLists: Int = 64, seed: Long = 42L, maxIter: Int = 10,
                     maxFitRows: Int = 100000): Unit = {
     import org.apache.hadoop.fs.Path
-    val vecs = spark.read.parquet(s"$path/lists")
+    // the lists layout still physically holds tombstoned rows
+    // ([[ivfDeleteFromIndex]]) until a vacuum; rebuild from the SURVIVORS
+    // only, or the refit's generation swap (which drops the tombstones
+    // dir) would silently resurrect deleted ids
+    val fs0 = new Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val raw = spark.read.parquet(s"$path/lists")
+    val live =
+      if (fs0.exists(new Path(s"$path/tombstones")))
+        raw.join(broadcast(spark.read.parquet(s"$path/tombstones")
+          .select("target_id").distinct()), Seq("target_id"), "left_anti")
+      else raw
+    val vecs = live
       .select(col("target_id").as("vec_id"), col("tv").as("embedding"))
     val tmp = path + "__refit_tmp"
     ivfWriteIndex(vecs, tmp, nLists, seed, maxIter, maxFitRows)

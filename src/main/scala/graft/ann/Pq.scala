@@ -440,8 +440,22 @@ object Pq {
     val meta = s.read.parquet(s"$path/meta").collect()(0)
     val (m, subDim, k, nLists, scale) = (meta.getInt(0), meta.getInt(1),
       meta.getInt(2), meta.getInt(3), meta.getDouble(4))
+    // ids deleted via [[deleteFromIndex]] but not yet vacuumed must stay
+    // deleted ACROSS the refit: the new generation carries no tombstones
+    // dir (the swap would drop them), so if the caller's corpus still
+    // holds those rows a naive rebuild would silently resurrect them.
+    // Anti-join the live tombstone set out of the rebuild input instead —
+    // the refit consumes the tombstones (delete-before-refit ≡
+    // vacuum-then-refit).
+    val fs0 = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+    val survivors =
+      if (fs0.exists(new Path(s"$path/tombstones")))
+        corpus.join(broadcast(s.read.parquet(s"$path/tombstones")
+            .select(col("vec_id").as(idCol)).distinct()),
+          Seq(idCol), "left_anti")
+      else corpus
     val tmp = path + "__refit_tmp"
-    writeIndex(corpus, tmp, m, subDim, k, iters, nLists, scale, idCol,
+    writeIndex(survivors, tmp, m, subDim, k, iters, nLists, scale, idCol,
       vecCol)
     val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
     graft.operators.PartitionCompaction.swapIntoPlace(

@@ -511,10 +511,14 @@ object Dedup {
     val melted = bandRowsFromSigs(frozen, numHashes, rowsPerBand, nBuckets)
     val probeBuckets = melted.select("bucket").distinct()
       .collect().map(_.getInt(0))
-    val ledgerBands = spark.read.parquet(s"$ledgerPath/bands")
-      .filter(col("bucket")
-        .isin(probeBuckets.toIndexedSeq.map(Integer.valueOf): _*))
-      .dropDuplicates("bucket", "band_idx", "bk", "id")
+    // tombstoned ids ([[minHashLedgerDelete]]) vanish from history BEFORE
+    // pairing, so an erased doc neither reports nor suppresses anything —
+    // the probe equals one over a ledger rebuilt on the survivors
+    val ledgerBands = minusTombstones(
+      spark.read.parquet(s"$ledgerPath/bands")
+        .filter(col("bucket")
+          .isin(probeBuckets.toIndexedSeq.map(Integer.valueOf): _*))
+        .dropDuplicates("bucket", "band_idx", "bk", "id"), ledgerPath)
     val cand = melted
       .select(col("id").as("id_new"), col("band_idx"), col("bk"),
         col("bucket"))
@@ -526,10 +530,11 @@ object Dedup {
     val candBuckets = cand
       .select(pmod(col("id_old"), lit(nBuckets.toLong)).as("sbucket"))
       .distinct().collect().map(_.getLong(0))
-    val oldSigs = spark.read.parquet(s"$ledgerPath/sigs")
-      .filter(col("sbucket")
-        .isin(candBuckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
-      .dropDuplicates("id")
+    val oldSigs = minusTombstones(
+      spark.read.parquet(s"$ledgerPath/sigs")
+        .filter(col("sbucket")
+          .isin(candBuckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
+        .dropDuplicates("id"), ledgerPath)
       .select(col("id").as("id_old"), col("hsh").as("hsh_old"))
     val newHsh = frozen
       .select(col("id").as("id_new"), col("hsh").as("hsh_new"))
@@ -629,10 +634,12 @@ object Dedup {
     val spark = melted.sparkSession
     val probeBuckets = melted.select("bucket").distinct()
       .collect().map(_.getLong(0))
-    val ledger = spark.read.parquet(s"$ledgerPath/chunks")
-      .filter(col("bucket")
-        .isin(probeBuckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
-      .dropDuplicates("bucket", "chunk_idx", "ck", "id")
+    // tombstoned ids ([[simHashLedgerDelete]]) vanish before pairing
+    val ledger = minusTombstones(
+      spark.read.parquet(s"$ledgerPath/chunks")
+        .filter(col("bucket")
+          .isin(probeBuckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
+        .dropDuplicates("bucket", "chunk_idx", "ck", "id"), ledgerPath)
     melted
       .select(col("id").as("id_new"), col("sig").as("sig_new"),
         col("chunk_idx"), col("ck"), col("bucket"))
@@ -675,6 +682,109 @@ object Dedup {
   private def ledgerExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Tombstone DELETE for the MinHash signature ledger — the q446 verb at
+    * dedup-STATE grain (right-to-be-forgotten must reach the ledgers, not
+    * just the raw/derived stores: without it an erased document's shingle
+    * hashes and signatures stay queryable forever AND keep suppressing
+    * future near-dups as phantom history). The erased ids land as slim
+    * rows in `$ledgerPath/tombstones` (one parquet append; no bands/sigs
+    * partition is rewritten), and every probe anti-joins the set out of
+    * BOTH ledger layouts BEFORE pairing, so from the next probe on the
+    * result is identical to a ledger rebuilt on the survivors.
+    * Idempotent re-deletes (dedup on read). [[vacuumMinHashLedger]]
+    * settles the physical debt — until then the bytes persist on disk, so
+    * a GDPR cycle is delete + vacuum, audited by re-scanning the layouts
+    * (q456). A tombstoned id stays excluded even if a later delta
+    * re-appends it; re-ingest AFTER a vacuum to legitimately resurrect.
+    */
+  def minHashLedgerDelete(deleteIds: DataFrame, ledgerPath: String,
+                          idCol: String = "doc_id"): Unit =
+    deleteIds.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$ledgerPath/tombstones")
+
+  /** [[minHashLedgerDelete]]'s SimHash sibling — tombstones the ids out
+    * of the `chunks` layout; same probe-time exclusion, idempotence and
+    * vacuum contract. */
+  def simHashLedgerDelete(deleteIds: DataFrame, ledgerPath: String,
+                          idCol: String = "doc_id"): Unit =
+    deleteIds.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$ledgerPath/tombstones")
+
+  /** `rows` minus tombstoned ledger ids (broadcast anti-join; identity
+    * when no tombstone set exists). Applied to every HISTORY-side ledger
+    * scan before pairing — the delta side is never filtered (a re-crawled
+    * erased id is the caller's policy decision, not the ledger's). */
+  private def minusTombstones(rows: DataFrame,
+                              ledgerPath: String): DataFrame = {
+    val spark = rows.sparkSession
+    if (!ledgerExists(spark, s"$ledgerPath/tombstones")) rows
+    else rows.join(
+      broadcast(spark.read.parquet(s"$ledgerPath/tombstones")
+        .select("id").distinct()),
+      Seq("id"), "left_anti")
+  }
+
+  /** Anti-join rewrite of one bucket-partitioned ledger layout against
+    * the ledger's tombstone set: survivors land one file per partition
+    * (erasure and compaction settle together), generation-swapped into
+    * place. @return (n_rows_before, n_rows_after) */
+  private def vacuumLayout(spark: SparkSession, ledgerPath: String,
+                           layout: String, partCol: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val dir = s"$ledgerPath/$layout"
+    val fs = new Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rows = spark.read.parquet(dir)
+    val before = rows.count()
+    val survivors = minusTombstones(rows, ledgerPath)
+    val n = rows.select(partCol).distinct().count().toInt
+    val tmp = dir + "__vacuum_tmp"
+    fs.delete(new Path(tmp), true)
+    survivors.repartition(math.max(n, 1), col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    graft.operators.PartitionCompaction.swapIntoPlace(
+      fs, new Path(dir), new Path(tmp), new Path(dir + "__pre_vacuum"))
+    (before, spark.read.parquet(dir).count())
+  }
+
+  /** Physically remove tombstoned docs from BOTH MinHash ledger layouts:
+    * anti-join rewrites of `bands` and `sigs` (one file per bucket
+    * partition — erasure and compaction settle together), each
+    * generation-swapped, then the tombstone set is cleared. Probes are
+    * bit-identical before and after (the rows a probe can see are the
+    * same set — tombstones only become physical absence), and after the
+    * vacuum the erased ids' bytes are GONE from disk — the half a GDPR
+    * audit actually checks. Re-running after a crash is safe: the
+    * rewrites are deterministic functions of (layout, tombstones), and
+    * the tombstone set is only cleared after both swaps land.
+    *
+    * @return (bandsBefore, bandsAfter, sigsBefore, sigsAfter) row counts
+    */
+  def vacuumMinHashLedger(spark: SparkSession,
+                          ledgerPath: String): (Long, Long, Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val (bb, ba) = vacuumLayout(spark, ledgerPath, "bands", "bucket")
+    val (sb, sa) = vacuumLayout(spark, ledgerPath, "sigs", "sbucket")
+    val fs = new Path(ledgerPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"$ledgerPath/tombstones"), true)
+    (bb, ba, sb, sa)
+  }
+
+  /** [[vacuumMinHashLedger]]'s SimHash sibling over the single `chunks`
+    * layout. @return (n_rows_before, n_rows_after) */
+  def vacuumSimHashLedger(spark: SparkSession,
+                          ledgerPath: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val (b, a) = vacuumLayout(spark, ledgerPath, "chunks", "bucket")
+    val fs = new Path(ledgerPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"$ledgerPath/tombstones"), true)
+    (b, a)
   }
 
   /** Compaction for the MinHash signature ledger — the maintenance half

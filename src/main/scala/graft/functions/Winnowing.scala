@@ -144,10 +144,16 @@ object Winnowing {
     val spark = post.sparkSession
     val probeBuckets = post.select("bucket").distinct()
       .collect().map(_.getLong(0))
-    val ledgerRows = spark.read.parquet(s"$ledgerPath/fps")
-      .filter(col("bucket")
-        .isin(probeBuckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
-      .dropDuplicates("bucket", "fp", "id")
+    // tombstoned ids ([[ledgerDelete]]) vanish from history BEFORE the df
+    // cap AND the pairing: an erased doc stops reporting as a reuse
+    // source and stops inflating any hash's historical df (which would
+    // otherwise keep suppressing live near-dups as phantom boilerplate) —
+    // the probe equals one over a ledger rebuilt on the survivors
+    val ledgerRows = minusTombstones(
+      spark.read.parquet(s"$ledgerPath/fps")
+        .filter(col("bucket")
+          .isin(probeBuckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
+        .dropDuplicates("bucket", "fp", "id"), ledgerPath)
     val histKeep = ledgerRows.groupBy("fp")
       .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDf)
       .select("fp")
@@ -199,6 +205,66 @@ object Winnowing {
                            path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Tombstone DELETE for the fingerprint ledger — right-to-be-forgotten
+    * at winnowing grain (`Dedup.minHashLedgerDelete`'s contract): erased
+    * ids land as slim rows in `$ledgerPath/tombstones` (one parquet
+    * append; no fps partition rewritten), and every probe anti-joins them
+    * out BEFORE the df cap and the pairing, so from the next probe on the
+    * result is identical to a ledger rebuilt on the survivors — the
+    * erased document neither reports as a reuse source nor inflates any
+    * hash's historical document frequency. Idempotent re-deletes (dedup
+    * on read); [[vacuumLedger]] settles the physical debt. A tombstoned
+    * id stays excluded even if a later delta re-appends it; re-ingest
+    * AFTER a vacuum to legitimately resurrect.
+    */
+  def ledgerDelete(deleteIds: DataFrame, path: String,
+                   idCol: String = "doc_id"): Unit =
+    deleteIds.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** `rows` minus tombstoned ids (broadcast anti-join; identity when no
+    * tombstone set exists). */
+  private def minusTombstones(rows: DataFrame, path: String): DataFrame = {
+    val spark = rows.sparkSession
+    if (!ledgerExists(spark, s"$path/tombstones")) rows
+    else rows.join(
+      broadcast(spark.read.parquet(s"$path/tombstones")
+        .select("id").distinct()),
+      Seq("id"), "left_anti")
+  }
+
+  /** Physically remove tombstoned docs from the fps layout: one anti-join
+    * rewrite (one file per bucket partition — erasure and compaction
+    * settle together), generation swap, tombstones cleared. Probes are
+    * bit-identical pre/post (tombstones only become physical absence),
+    * and after the vacuum the erased ids' fingerprint bytes are GONE from
+    * disk — the half a GDPR audit actually checks. Crash-safe re-run: the
+    * rewrite is a deterministic function of (fps, tombstones) and the
+    * tombstone set is cleared only after the swap lands.
+    *
+    * @return (n_rows_before, n_rows_after)
+    */
+  def vacuumLedger(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val dir = s"$path/fps"
+    val fs = new Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rows = spark.read.parquet(dir)
+    val before = rows.count()
+    val survivors = minusTombstones(rows, path)
+    val n = rows.select("bucket").distinct().count().toInt
+    val tmp = dir + "__vacuum_tmp"
+    fs.delete(new Path(tmp), true)
+    survivors.repartition(math.max(n, 1), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    graft.operators.PartitionCompaction.swapIntoPlace(
+      fs, new Path(dir), new Path(tmp), new Path(dir + "__pre_vacuum"))
+    fs.delete(new Path(s"$path/tombstones"), true)
+    (before, spark.read.parquet(dir).count())
   }
 
   /** Cross-document overlap report — the MOSS CONSUMER of

@@ -1014,11 +1014,13 @@ object DataQueries {
     // BM25 INDEX TOMBSTONE DELETE — the q446/q447 verb at text grain,
     // with the twist lexical search needs: deletion must also shed the
     // doc's contribution to n_docs/avgdl and to every matched term's df,
-    // so tombstones carry the doc's exact token length and the probe
-    // corrects the collection stats with the same long-sum arithmetic a
-    // rebuild runs. Every third doc deleted; the probe must equal BM25
-    // over the surviving corpus bit-for-bit (oracle = the q75 replay
-    // with documents restricted to survivors)
+    // so tombstones carry the doc's exact token length — derived from
+    // the STORED postings (any posting row carries its doc's dl), never
+    // from caller text, and ids absent from the index are dropped — and
+    // the probe corrects the collection stats with the same long-sum
+    // arithmetic a rebuild runs. Every third doc deleted; the probe must
+    // equal BM25 over the surviving corpus bit-for-bit (oracle = the q75
+    // replay with documents restricted to survivors)
     "q448_bm25_index_delete" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val qs = docs.filter(col("doc_id") < 5)
@@ -1845,6 +1847,145 @@ object DataQueries {
         coalesce(sum(when(col("hamming") > 3, 1L).otherwise(0L)), lit(0L))
           .cast("long").as("hamming_violations"))
       graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
+    // MINHASH LEDGER ERASURE — the q453 verb on the signature ledger
+    // (r16 judge directive #1): ingest the originals, tombstone the
+    // doc_id % 5 == 1 subset with one slim append, probe the +1e6 twin
+    // corpus. Twin invariants restricted to the SURVIVORS: every twin of
+    // a surviving original still reports at jaccard 1, no reported pair
+    // may reference an erased historical id (erasure_violations), and
+    // after the vacuum a re-scan of BOTH layouts finds zero erased rows
+    // on disk (erased_rows_on_disk — the byte-level half a GDPR audit
+    // checks). Probe asserted bit-identical across the vacuum in-query
+    "q454_minhash_ledger_erase" -> { (s, dir) =>
+      val docs = doubledDocs(s, dir).filter(col("text").isNotNull)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q454_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      val orig = docs.filter(col("doc_id") < 1000000L)
+      Dedup.minHashLedger(orig, path,
+        k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      val erased = orig.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id").as("id")).localCheckpoint()
+      Dedup.minHashLedgerDelete(erased, path, idCol = "id")
+      val twins = docs.filter(col("doc_id") >= 1000000L)
+      val pre = Dedup.minHashLedgerPairs(twins, path, k = 5,
+        numHashes = 32, rowsPerBand = 4, threshold = 0.5).localCheckpoint()
+      val (bb, ba, sb, sa) = Dedup.vacuumMinHashLedger(s, path)
+      require(ba < bb && sa < sb,
+        s"vacuum must shed erased rows: bands $bb->$ba sigs $sb->$sa")
+      val post = Dedup.minHashLedgerPairs(twins, path, k = 5,
+        numHashes = 32, rowsPerBand = 4, threshold = 0.5).localCheckpoint()
+      require(post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty,
+        "probe must be bit-identical across vacuum")
+      val onDisk = s.read.parquet(s"$path/sigs").select("id")
+        .unionByName(s.read.parquet(s"$path/bands").select("id"))
+        .join(broadcast(erased), Seq("id"), "left_semi").count()
+      val out = post.agg(
+        coalesce(sum(when(col("id_new") === col("id_old") + 1000000L &&
+          col("jaccard") === 1.0, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_twin_pairs_found"),
+        coalesce(sum(when(col("id_old") % 5 === 1, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("erasure_violations"))
+        .withColumn("erased_rows_on_disk", lit(onDisk))
+        .localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
+    // SIMHASH LEDGER ERASURE — q454's fingerprint sibling: the 4-chunk
+    // pigeonhole probe over a tombstoned chunks layout. Surviving twins
+    // still report at hamming 0 (structural recall), erased ids never
+    // appear as historical sources, and the vacuumed layout holds zero
+    // erased rows; probe bit-identical across vacuum (in-query)
+    "q455_simhash_ledger_erase" -> { (s, dir) =>
+      val docs = doubledDocs(s, dir).filter(col("text").isNotNull)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q455_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      val orig = docs.filter(col("doc_id") < 1000000L)
+      Dedup.simHashLedger(orig, path, maxHamming = 3)
+      val erased = orig.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id").as("id")).localCheckpoint()
+      Dedup.simHashLedgerDelete(erased, path, idCol = "id")
+      val twins = docs.filter(col("doc_id") >= 1000000L)
+      val pre = Dedup.simHashLedgerPairs(twins, path, maxHamming = 3)
+        .localCheckpoint()
+      val (cb, ca) = Dedup.vacuumSimHashLedger(s, path)
+      require(ca < cb, s"vacuum must shed erased rows: chunks $cb->$ca")
+      val post = Dedup.simHashLedgerPairs(twins, path, maxHamming = 3)
+        .localCheckpoint()
+      require(post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty,
+        "probe must be bit-identical across vacuum")
+      val onDisk = s.read.parquet(s"$path/chunks").select("id")
+        .join(broadcast(erased), Seq("id"), "left_semi").count()
+      val out = post.agg(
+        coalesce(sum(when(col("id_new") === col("id_old") + 1000000L &&
+          col("hamming") === 0, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_twin_pairs_found"),
+        coalesce(sum(when(col("id_old") % 5 === 1, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("erasure_violations"))
+        .withColumn("erased_rows_on_disk", lit(onDisk))
+        .localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
+    // GDPR LEDGER AUDIT — the q174 right-to-be-forgotten cycle extended
+    // to the dedup STATE: the same deterministic md5-mod deletion list,
+    // applied to all THREE persistent ledger families (minhash bands +
+    // sigs, simhash chunks, winnowing fps) via tombstone delete + vacuum,
+    // each audited the q174 way — n_before/n_deleted/n_after row
+    // conservation plus an INDEPENDENT re-scan of the vacuumed layout for
+    // surviving keys (n_remaining_matching, a machine-checked zero). Row
+    // counts are pure conservation arithmetic (8 band rows + 1 sig row +
+    // 4 chunk rows per non-null doc; winnowing postings replay
+    // relationally), so the whole audit is DuckDB-replayable
+    "q456_gdpr_ledger_audit" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select("doc_id", "text")
+      val del = docs
+        .filter(pmod(conv(substring(md5(concat(lit("del|"),
+            col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+          .cast("long"), lit(50L)) === 0L)
+        .select(col("doc_id").as("id")).distinct().localCheckpoint()
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q456_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(base))
+      def remaining(layout: String): Long =
+        s.read.parquet(layout).select("id")
+          .join(broadcast(del), Seq("id"), "left_semi").count()
+      // minhash: build, tombstone, vacuum, re-scan both layouts
+      Dedup.minHashLedger(docs, s"$base/mh",
+        k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      Dedup.minHashLedgerDelete(del, s"$base/mh", idCol = "id")
+      val (bb, ba, sgb, sga) = Dedup.vacuumMinHashLedger(s, s"$base/mh")
+      val bandsRemaining = remaining(s"$base/mh/bands")
+      val sigsRemaining = remaining(s"$base/mh/sigs")
+      // simhash
+      Dedup.simHashLedger(docs, s"$base/sh", maxHamming = 3)
+      Dedup.simHashLedgerDelete(del, s"$base/sh", idCol = "id")
+      val (cb, ca) = Dedup.vacuumSimHashLedger(s, s"$base/sh")
+      val shRemaining = remaining(s"$base/sh/chunks")
+      // winnowing
+      graft.functions.Winnowing.ledger(docs, s"$base/wn")
+      graft.functions.Winnowing.ledgerDelete(del, s"$base/wn",
+        idCol = "id")
+      val (fb, fa) = graft.functions.Winnowing.vacuumLedger(s, s"$base/wn")
+      val wnRemaining = remaining(s"$base/wn/fps")
+      val out = Seq(
+        ("minhash_bands", bb, bb - ba, ba, bandsRemaining),
+        ("minhash_sigs", sgb, sgb - sga, sga, sigsRemaining),
+        ("simhash_chunks", cb, cb - ca, ca, shRemaining),
+        ("winnow_fps", fb, fb - fa, fa, wnRemaining))
+        .toDF("store", "n_before", "n_deleted", "n_after",
+          "n_remaining_matching")
+        .localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(base))
       out
     },
 
@@ -3951,6 +4092,62 @@ object DataQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs_found,
                 CAST(0 AS BIGINT) AS subset_violations
          FROM documents WHERE text IS NOT NULL""",
+    // erasure restricts the twin identity to the SURVIVORS: every
+    // non-erased non-null doc still reports its twin at jaccard 1, no
+    // pair may reference an erased id (probe-time anti-join), and the
+    // vacuumed layouts hold zero erased rows (asserted by re-scan)
+    "q454_minhash_ledger_erase" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs_found,
+                CAST(0 AS BIGINT) AS erasure_violations,
+                CAST(0 AS BIGINT) AS erased_rows_on_disk
+         FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 1""",
+    // same survivor-restricted twin identity at hamming-0 grain
+    "q455_simhash_ledger_erase" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs_found,
+                CAST(0 AS BIGINT) AS erasure_violations,
+                CAST(0 AS BIGINT) AS erased_rows_on_disk
+         FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 1""",
+    // full conservation replay of the three-ledger GDPR cycle: 8 band +
+    // 1 sig rows per non-null doc (numHashes 32 / rowsPerBand 4), 4
+    // pigeonhole chunk rows, winnowing postings replayed relationally;
+    // n_remaining_matching is the machine-checked zero of the re-scan
+    "q456_gdpr_ledger_audit" ->
+      s"""WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+         del AS (SELECT doc_id FROM d
+                 WHERE CAST(concat('0x', substr(md5('del|' ||
+                       CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT)
+                       % 50 = 0),
+         surv AS (SELECT doc_id FROM d
+                  WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+         post AS (SELECT DISTINCT fp, doc_id
+                  FROM (${graft.queries.TextQueries.winnowingSql}))
+         SELECT 'minhash_bands' AS store,
+                (SELECT CAST(8 * count(*) AS BIGINT) FROM d) AS n_before,
+                (SELECT CAST(8 * count(*) AS BIGINT) FROM del)
+                  AS n_deleted,
+                (SELECT CAST(8 * count(*) AS BIGINT) FROM surv)
+                  AS n_after,
+                CAST(0 AS BIGINT) AS n_remaining_matching
+         UNION ALL
+         SELECT 'minhash_sigs',
+                (SELECT CAST(count(*) AS BIGINT) FROM d),
+                (SELECT CAST(count(*) AS BIGINT) FROM del),
+                (SELECT CAST(count(*) AS BIGINT) FROM surv),
+                CAST(0 AS BIGINT)
+         UNION ALL
+         SELECT 'simhash_chunks',
+                (SELECT CAST(4 * count(*) AS BIGINT) FROM d),
+                (SELECT CAST(4 * count(*) AS BIGINT) FROM del),
+                (SELECT CAST(4 * count(*) AS BIGINT) FROM surv),
+                CAST(0 AS BIGINT)
+         UNION ALL
+         SELECT 'winnow_fps',
+                (SELECT CAST(count(*) AS BIGINT) FROM post),
+                (SELECT CAST(count(*) AS BIGINT) FROM post
+                 WHERE doc_id IN (SELECT doc_id FROM del)),
+                (SELECT CAST(count(*) AS BIGINT) FROM post
+                 WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+                CAST(0 AS BIGINT)""",
     // identical text => identical 64-bit fingerprint => all 4 chunks
     // collide => hamming-0 twin pair; the declared radius is a filter, so
     // violations are structurally zero

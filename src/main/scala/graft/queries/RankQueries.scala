@@ -1168,7 +1168,7 @@ object RankQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
-    // the full unrolled replay: 3 levels × 8 guarded sweeps + coarsening
+    // the full unrolled replay: 3 levels × 6 guarded sweeps + coarsening
     "q434_louvain_full" -> louvainTrailSql,
     "q435_louvain_labels" -> louvainLabelsSql,
     // the whole detect -> evaluate chain replayed

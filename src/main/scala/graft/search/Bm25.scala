@@ -405,30 +405,51 @@ object Bm25 {
     * BM25 grain, with the twist text search needs: correct deletion must
     * also shed the doc's contribution to the COLLECTION STATS (n_docs,
     * avgdl) and to every matched term's df, so the tombstone row carries
-    * the doc's exact token length (recomputed here with the index's own
-    * tokenizer — pass the same doc rows that were indexed). One slim
-    * parquet append, no posting partition touched; [[topKIndexed]]
-    * anti-joins the postings AND corrects the stats before scoring, so a
-    * tombstoned probe is bit-identical to a rebuild on the survivors.
-    * Re-deleting a doc is idempotent (dedup on read). Settle the layout
-    * debt with [[vacuumIndex]].
+    * the doc's exact token length. The length comes from the STORED
+    * postings (every posting row carries its doc's dl), never from
+    * caller-passed text — so edited/stale text can't skew the correction,
+    * and ids with no posting in the index are DROPPED (tombstoning an
+    * absent id must not decrement n_docs/sum_dl for a row that
+    * contributed nothing; this also makes re-delete-after-vacuum a no-op
+    * instead of a permanent stats skew). One slim parquet append, no
+    * posting partition rewritten; [[topKIndexed]] anti-joins the postings
+    * AND corrects the stats before scoring, so a tombstoned probe is
+    * bit-identical to a rebuild on the survivors. Re-deleting a
+    * still-tombstoned doc is idempotent (dedup on read). Settle the
+    * layout debt with [[vacuumIndex]]. Declared limitation: a doc indexed
+    * with ZERO tokens has no posting rows, so it cannot be tombstoned —
+    * its only stat contribution (n_docs += 1) persists until a rebuild.
     */
-  def deleteFromIndex(docs: DataFrame, path: String,
-                      idCol: String = "doc_id",
-                      textCol: String = "text"): Unit =
-    docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        size(tokenize(col(textCol))).cast("long").as("dl"))
-      .dropDuplicates("doc_id")
+  def deleteFromIndex(deleteIds: DataFrame, path: String,
+                      idCol: String = "doc_id"): Unit = {
+    val spark = deleteIds.sparkSession
+    val ids = deleteIds.select(col(idCol).cast("long").as("doc_id"))
+      .distinct()
+    // (doc_id, dl) is functionally dependent in the postings layout, so
+    // max(dl) per id is exact; the semi-join keeps only ids actually
+    // present. Slim 2-column scan — column pruning drops term/tf.
+    spark.read.parquet(s"$path/postings")
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(max(col("dl")).cast("long").as("dl"))
       .coalesce(1)
       .write.mode("append").parquet(s"$path/tombstones")
+  }
 
   /** Physically remove tombstoned postings and fold the stat corrections
-    * into the stored stats row: one anti-join rewrite of the postings
-    * (one file per term bucket — deletion and compaction settle
-    * together), generation swap, stats rewritten with the same exact
-    * arithmetic the probe-time correction uses, tombstones cleared.
-    * Probes bit-identical pre/post.
+    * into the stored stats row: survivors and corrected stats are written
+    * into ONE new index generation (postings + stats together, no
+    * tombstones dir) and swapped into place with a single rename pair, so
+    * there is no window where corrected stats coexist with live
+    * tombstones. That makes the vacuum IDEMPOTENT across crash/retry: a
+    * crash before the swap leaves the old generation fully intact (stats
+    * + tombstones still consistent, re-run recomputes the same
+    * generation); after the swap the new generation has no tombstones, so
+    * a retried vacuum is a no-op and nothing double-subtracts. The
+    * correction arithmetic is the same long-sum / double-division the
+    * probe-time path runs, so probes are bit-identical pre/post.
+    * Rewrite lands one file per term bucket — deletion and compaction
+    * settle together. Swap atomicity contract: see
+    * [[graft.operators.PartitionCompaction.swapIntoPlace]].
     *
     * @return (n_posting_rows_before, n_posting_rows_after)
     */
@@ -450,22 +471,21 @@ object Bm25 {
       .select("n_docs", "sum_dl", "n_buckets").head
     val (oldN, oldSum, nBuckets) =
       (old.getDouble(0), old.getLong(1), old.getInt(2))
-    val tmp = s"$path/postings__vacuum_tmp"
+    val tmp = path + "__vacuum_tmp"
     fs.delete(new Path(tmp), true)
     postings.join(tomb.select("doc_id"), Seq("doc_id"), "left_anti")
       .repartition(nBuckets, col("term_bucket"))
-      .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
-    graft.operators.PartitionCompaction.swapIntoPlace(
-      fs, new Path(s"$path/postings"), new Path(tmp),
-      new Path(s"$path/postings__pre_vacuum"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$tmp/postings")
     val spark2 = spark
     import spark2.implicits._
     Seq((oldN - nt, oldSum - sdl))
       .toDF("n_docs", "sum_dl")
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
       .withColumn("n_buckets", lit(nBuckets))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    fs.delete(new Path(s"$path/tombstones"), true)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    graft.operators.PartitionCompaction.swapIntoPlace(
+      fs, new Path(path), new Path(tmp), new Path(path + "__pre_vacuum"))
     (before, spark.read.parquet(s"$path/postings").count())
   }
 }
