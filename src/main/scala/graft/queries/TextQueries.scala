@@ -43,6 +43,26 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables(s, dir, name)
 
+  /** q457/q458 fixture: each document wrapped in deterministic markup
+    * exercising every extraction rule — built by IDENTICAL string
+    * arithmetic in Spark and the DuckDB oracle ([[htmlFixtureSql]]). */
+  private def htmlFixture(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style type=\"text/css\">p { color: #fff; }</style>" +
+          "<script>if (a < b && c > d) { alert(\"x\"); }</script></head>" +
+          "<body><div id=\"nav\"><a href=\"/\">Home</a>" +
+          "<a href=\"/about\">About</a></div><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><!-- draft <p>do not ship</p> -->" +
+          "<p>Tom &amp; Jerry say &quot;hi&quot; &lt;3&nbsp;&#39;ok&#39;" +
+          "</p><p>"),
+        col("text"),
+        lit("</p><p>Copyright 2024 Example Corp. All rights reserved." +
+          "</p><footer>cookie policy | privacy policy</footer>" +
+          "</body></html>")).as("html"))
+
   private val jaroUdf = graft.features.PairFeatures.jaroUdf
 
   /** Language-id heuristic: stopword-hit counts per language, argmax with a
@@ -1004,6 +1024,51 @@ object TextQueries {
       post
     },
 
+    // HTML → TEXT EXTRACTION — the step BEFORE every quality gate in a
+    // crawl pipeline (r16 judge directive #2; the corpus tables start at
+    // clean text, a real crawl starts at markup): script/style/comment
+    // blocks drop whole, block closers become line breaks, remaining
+    // tags drop, the declared entity list unescapes (amp last), and
+    // lines fall to the two declared boilerplate rules (min length +
+    // legalese pattern). The fixture wraps each document in markup that
+    // exercises EVERY rule — nav furniture, headings, a comment hiding
+    // markup, entities, a '<' inside script code, legalese and cookie
+    // footer lines — and is built by identical string arithmetic in both
+    // engines, so the oracle replays the extraction byte for byte
+    "q457_html_extract" -> { (s, dir) =>
+      graft.preprocess.HtmlText.extract(
+        htmlFixture(t(s, dir, "documents")), "html", "doc_id")
+    },
+
+    // CRAWL-PREP PIPELINE — the q457 extraction COMPOSED with the q23
+    // quality screen and the q410 entropy gate, end to end from markup:
+    // extract, then word/stopword quality and exact char entropy over
+    // the EXTRACTED text, then one declared keep verdict (n_words >= 20,
+    // stop_ratio >= 0.01, entropy >= 2 nats) — the "crawl HTML in,
+    // training candidates out" front half of the corpus pipeline. The
+    // map-only extraction recomputes on each consumer branch rather than
+    // checkpointing a corpus-sized frame (scan-speed work is cheaper
+    // than materializing 100 TB); entropy joins back LEFT so empty
+    // extractions survive as keep=false rows, not dropped rows
+    "q458_crawl_prep" -> { (s, dir) =>
+      val ex = graft.preprocess.HtmlText.extract(
+        htmlFixture(t(s, dir, "documents")), "html", "doc_id")
+      val text = col("text")
+      val nWords = size(split(trim(text), "\\s+")).cast("int")
+      val nStop = regexp_count(text, lit("\\b(the|a|of|and)\\b"))
+        .cast("int")
+      val quality = ex.select(col("doc_id"), col("n_lines_kept"),
+        col("n_chars"), nWords.as("n_words"), nStop.as("stop_hits"),
+        (nStop.cast("double") / greatest(nWords, lit(1)).cast("double"))
+          .as("stop_ratio"))
+      val ent = charEntropy(ex.filter(col("n_chars") > 0), "text",
+        "doc_id").select(col("doc_id"), col("entropy_nats"))
+      quality.join(ent, Seq("doc_id"), "left")
+        .withColumn("keep",
+          col("n_words") >= 20 && col("stop_ratio") >= 0.01 &&
+            coalesce(col("entropy_nats"), lit(0.0)) >= 2.0)
+    },
+
     // WINNOWING LEDGER OCCUPANCY — the q409 observability surface at
     // winnowing grain: per-bucket row and data-file counts (the listing
     // cost the pruned probe actually pays). Two one-file-per-bucket
@@ -1200,6 +1265,66 @@ object TextQueries {
          FROM pairs p JOIN nfp na ON na.doc_id = p.doc_a
                       JOIN nfp nb ON nb.doc_id = p.doc_b
          WHERE p.n_shared_fp >= 2"""
+
+  /** q457/q458 fixture — the same string arithmetic as [[htmlFixture]]. */
+  private lazy val htmlFixtureSql: String =
+    """SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+         '</title><style type="text/css">p { color: #fff; }</style>' ||
+         '<script>if (a < b && c > d) { alert("x"); }</script></head>' ||
+         '<body><div id="nav"><a href="/">Home</a>' ||
+         '<a href="/about">About</a></div><h1>Doc ' ||
+         CAST(doc_id AS VARCHAR) ||
+         '</h1><!-- draft <p>do not ship</p> -->' ||
+         '<p>Tom &amp; Jerry say &quot;hi&quot; &lt;3&nbsp;&#39;ok&#39;' ||
+         '</p><p>' || text ||
+         '</p><p>Copyright 2024 Example Corp. All rights reserved.' ||
+         '</p><footer>cookie policy | privacy policy</footer>' ||
+         '</body></html>' AS html
+       FROM documents WHERE text IS NOT NULL"""
+
+  /** The full q457 extraction replay (fixture nested); q458 nests it as
+    * the extracted-text relation. Same rule chain, same order: blocks,
+    * line breaks, tags, entities (amp last), per-line collapse + trim,
+    * the two boilerplate rules. */
+  private lazy val htmlExtractSql: String =
+    s"""WITH fx AS MATERIALIZED ($htmlFixtureSql),
+       ex AS MATERIALIZED (
+         SELECT doc_id,
+           list_transform(
+             string_split(
+               replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(html,
+                           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g'),
+                     '(?i)<(/p|/div|/li|/h[1-6]|/tr|/ul|/ol|/table|/title|/header|/footer|br[^>]*)>',
+                     chr(10), 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                 '&amp;', '&'),
+               chr(10)),
+             l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))) AS lines
+         FROM fx),
+       ag AS MATERIALIZED (
+         SELECT doc_id,
+                list_filter(lines, l -> length(l) >= 15 AND NOT
+                  regexp_matches(l,
+                    '(?i)^(copyright\\b|all rights reserved|cookie|privacy policy|terms of (use|service))'))
+                  AS kept,
+                len(list_filter(lines, l -> length(l) > 0)) AS n_nonempty
+         FROM ex)
+       SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+              CAST(len(kept) AS BIGINT) AS n_lines_kept,
+              CAST(n_nonempty - len(kept) AS BIGINT) AS n_lines_dropped,
+              CAST(length(array_to_string(kept, chr(10))) AS BIGINT)
+                AS n_chars
+       FROM ag"""
 
   /** q440 replay; q449 wraps it in a count. */
   private lazy val winnowLedgerSql: String =
@@ -2120,6 +2245,46 @@ object TextQueries {
          CAST(len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS DOUBLE)
            / CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS DOUBLE) AS stop_ratio
          FROM documents""",
+    // the fixture built by identical string arithmetic, then the same
+    // rule chain in the same order (blocks, breaks, tags, entities with
+    // amp last, per-line collapse, the two boilerplate rules)
+    "q457_html_extract" -> htmlExtractSql,
+    // the extraction nested, then the q23 quality arithmetic and the
+    // q410 round-9 DECIMAL entropy over the EXTRACTED text + the
+    // declared keep verdict
+    "q458_crawl_prep" ->
+      s"""WITH ex AS MATERIALIZED ($htmlExtractSql),
+         cc AS MATERIALIZED (
+           SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                 FROM ex WHERE length(text) > 0)
+           GROUP BY 1, 2),
+         tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+                 FROM cc GROUP BY 1),
+         ent AS (
+           SELECT cc.doc_id,
+                  CAST(-sum(CAST(round(
+                    (CAST(cc.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * ln(CAST(cc.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 9)
+                    AS DECIMAL(20,9))) AS DOUBLE) AS entropy_nats
+           FROM cc JOIN tot t USING (doc_id) GROUP BY 1),
+         q AS (
+           SELECT doc_id, n_lines_kept, n_chars,
+                  CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS INT) AS n_words,
+                  CAST(len(regexp_extract_all(text, '\\b(the|a|of|and)\\b'))
+                       AS INT) AS stop_hits
+           FROM ex)
+         SELECT q.doc_id, q.n_lines_kept, q.n_chars, q.n_words,
+                q.stop_hits,
+                CAST(q.stop_hits AS DOUBLE)
+                  / CAST(greatest(q.n_words, 1) AS DOUBLE) AS stop_ratio,
+                e.entropy_nats,
+                (q.n_words >= 20 AND
+                 CAST(q.stop_hits AS DOUBLE)
+                   / CAST(greatest(q.n_words, 1) AS DOUBLE) >= 0.01 AND
+                 coalesce(e.entropy_nats, 0.0) >= 2.0) AS keep
+         FROM q LEFT JOIN ent e USING (doc_id)""",
     // the same relational steps: k-grams, encoded (md5, pos) string,
     // bounded window min, full-window filter, distinct
     "q419_winnowing" -> winnowingSql,

@@ -117,6 +117,41 @@ class Round17Spec extends SparkSpec {
     } finally { rm(p); rm(p2) }
   }
 
+  // ---- html -> text extraction golden cases ---------------------------
+
+  test("html extract: golden case exercises every rule (blocks, breaks, " +
+      "tags, entities, collapse, both boilerplate rules)") {
+    val html = "<html><head><title>T</title>" +
+      "<style>p{x:1}</style><script>if(a<b){c()}</script></head><body>" +
+      "<div><a href=\"/\">Home</a></div>" +
+      "<p>Tom &amp; Jerry say &quot;hi&quot; &lt;3&nbsp;&#39;ok&#39;</p>" +
+      "<!-- secret <p>hidden paragraph text</p> -->" +
+      "<p>A   perfectly \t normal paragraph line here.</p>" +
+      "<p>Copyright 2024 Nobody. All rights reserved.</p>" +
+      "<footer>cookie policy</footer></body></html>"
+    val out = graft.preprocess.HtmlText
+      .extract(Seq((1L, html)).toDF("id", "html"), "html", "id")
+      .collect()(0)
+    assert(out.getAs[String]("text") ==
+      "Tom & Jerry say \"hi\" <3 'ok'\n" +
+        "A perfectly normal paragraph line here.")
+    assert(out.getAs[Long]("n_lines_kept") == 2L)
+    // dropped non-empty: "T" (short), "Home" (short), the copyright
+    // line (pattern), the cookie footer (pattern); comment content and
+    // script/style code must never surface
+    assert(out.getAs[Long]("n_lines_dropped") == 4L)
+  }
+
+  test("html extract: amp unescapes LAST, so a double-escaped entity " +
+      "unescapes exactly one level") {
+    val html = "<p>write &amp;lt; for a literal less-than sign</p>"
+    val out = graft.preprocess.HtmlText
+      .extract(Seq((1L, html)).toDF("id", "html"), "html", "id")
+      .collect()(0)
+    assert(out.getAs[String]("text") ==
+      "write &lt; for a literal less-than sign")
+  }
+
   // ---- refit must consume live tombstones (ADVICE medium) ------------
 
   test("pq refit with live tombstones: deleted ids stay deleted across " +
