@@ -27,6 +27,85 @@ import graft.sources.Sources
   */
 object CorpusQueries {
 
+  /** q459/q460 fixture: three url variants per document (case/port/
+    * fragment/tracking noise on http that must collapse, plus a distinct
+    * https row that must not) and a non-default-port empty-path row per
+    * seventh doc — built by identical string arithmetic in both engines
+    * ([[urlFixtureSql]]). */
+  private def urlFixture(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"))
+    val id = col("doc_id").cast("string")
+    val v1 = d.select(col("doc_id"), lit("crawl").as("source"),
+      concat(lit("HTTP://Example.COM:80/articles/"), id,
+        lit("?utm_source=feed&b=2&a=1#frag")).as("url"))
+    val v2 = d.select(col("doc_id"), lit("sitemap").as("source"),
+      concat(lit("http://example.com/articles/"), id,
+        lit("?a=1&b=2&gclid=XYZ")).as("url"))
+    val v3 = d.select(col("doc_id"), lit("feed").as("source"),
+      concat(lit("https://Example.COM:443/articles/"), id,
+        lit("?b=2&a=1")).as("url"))
+    val v4 = d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit("crawl").as("source"),
+        concat(lit("https://CDN.example.com:8443?x="), id).as("url"))
+    v1.unionByName(v2).unionByName(v3).unionByName(v4)
+  }
+
+  /** The [[urlFixture]] arithmetic in DuckDB. */
+  private lazy val urlFixtureSql: String =
+    """SELECT doc_id, 'crawl' AS source,
+         'HTTP://Example.COM:80/articles/' || CAST(doc_id AS VARCHAR) ||
+         '?utm_source=feed&b=2&a=1#frag' AS url
+       FROM documents
+       UNION ALL
+       SELECT doc_id, 'sitemap',
+         'http://example.com/articles/' || CAST(doc_id AS VARCHAR) ||
+         '?a=1&b=2&gclid=XYZ'
+       FROM documents
+       UNION ALL
+       SELECT doc_id, 'feed',
+         'https://Example.COM:443/articles/' || CAST(doc_id AS VARCHAR) ||
+         '?b=2&a=1'
+       FROM documents
+       UNION ALL
+       SELECT doc_id, 'crawl',
+         'https://CDN.example.com:8443?x=' || CAST(doc_id AS VARCHAR)
+       FROM documents WHERE doc_id % 7 = 0"""
+
+  /** The full `Urls.canonicalize` rule chain replayed relationally over
+    * the fixture: fragment strip, scheme/host lowercase, default-port
+    * strip per scheme, empty path -> '/', tracking-param drop (utm_*
+    * prefix + the literal set on the lowercased key), param sort,
+    * conditional '?'. */
+  private lazy val urlCanonSql: String =
+    s"""SELECT doc_id, source, url,
+         scheme || '://' || host || path ||
+           CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS canonical_url
+       FROM (
+         SELECT doc_id, source, url, scheme,
+           CASE WHEN scheme = 'http'
+                  THEN regexp_replace(hostport, ':80$$', '')
+                WHEN scheme = 'https'
+                  THEN regexp_replace(hostport, ':443$$', '')
+                ELSE hostport END AS host,
+           CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+           array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+             q -> q <> '' AND
+                  NOT starts_with(lower(split_part(q, '=', 1)), 'utm_')
+                  AND lower(split_part(q, '=', 1)) NOT IN
+                    ('gclid', 'fbclid', 'msclkid', 'ref', 'referrer',
+                     'mc_cid', 'mc_eid'))), '&') AS qq
+         FROM (
+           SELECT doc_id, source, url,
+             lower(regexp_extract(nf,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(nf,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+             regexp_extract(nf,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+             regexp_extract(nf, '\\?([^#]*)', 1) AS rawq
+           FROM (SELECT *, regexp_replace(trim(url), '#.*', '', 'g') AS nf
+                 FROM ($urlFixtureSql))))"""
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables(s, dir, name)
 
@@ -370,6 +449,43 @@ object CorpusQueries {
         .filter(col("src_a") < col("src_b"))
         .groupBy("src_a", "src_b")
         .agg(count(lit(1)).cast("long").as("n_shared"))
+    },
+
+    // URL CANONICALIZATION — the crawl-frontier normalizer (r16 judge
+    // directive #3): lowercase scheme/host, strip fragment + the
+    // scheme's default port, empty path -> "/", drop the declared
+    // tracking params (utm_* prefix + literal set, matched on the
+    // lowercased key), sort the surviving params, rejoin. The fixture
+    // derives three url variants per document by identical string
+    // arithmetic in both engines — case/port/fragment/tracking noise on
+    // http, plus a distinct https row that must NOT collapse — and the
+    // oracle replays every rule byte for byte. Map-only projection: at
+    // 100 TB this runs at scan speed
+    "q459_url_canonical" -> { (s, dir) =>
+      val fx = urlFixture(t(s, dir, "documents"))
+      fx.select(col("doc_id"), col("source"), col("url"),
+        graft.functions.Urls.canonicalize(col("url")).as("canonical_url"))
+    },
+
+    // CRAWL-FRONTIER DEDUP — canonicalize, then exact dedup on the
+    // canonical URL with the q163 provenance-priority keep (sitemap
+    // beats feed beats crawl; a total (prio, source, url) order, one
+    // min_by hash agg — no window over the frontier). The http variants
+    // of one doc collapse to one frontier entry (the sitemap row wins);
+    // the https row stays its own entry. This is the dedup a crawler
+    // runs BEFORE fetching — every collapsed row is a request never sent
+    "q460_frontier_dedup" -> { (s, dir) =>
+      val fx = urlFixture(t(s, dir, "documents"))
+      val canon = fx.withColumn("canonical_url",
+          graft.functions.Urls.canonicalize(col("url")))
+        .withColumn("prio", when(col("source") === "sitemap", 0)
+          .when(col("source") === "feed", 1).otherwise(2))
+      canon.groupBy("canonical_url")
+        .agg(min_by(struct(col("url"), col("source")),
+            struct(col("prio"), col("source"), col("url"))).as("keep"),
+          count(lit(1)).cast("long").as("n_copies"))
+        .select(col("canonical_url"), col("keep.url").as("url"),
+          col("keep.source").as("source"), col("n_copies"))
     },
 
     // provenance-priority dedup (canonicalization policy: among verbatim
@@ -751,6 +867,23 @@ object CorpusQueries {
                 CAST(count(*) AS BIGINT) AS n_shared
          FROM p a JOIN p b ON a.h = b.h AND a.source < b.source
          GROUP BY 1, 2""",
+    // every rule replayed byte for byte over the arithmetic fixture
+    "q459_url_canonical" ->
+      s"""WITH canon AS ($urlCanonSql)
+         SELECT doc_id, source, url, canonical_url FROM canon""",
+    // canonicalize, then the q163 keep policy at frontier grain
+    "q460_frontier_dedup" ->
+      s"""WITH canon AS ($urlCanonSql)
+         SELECT canonical_url, url, source, n_copies FROM (
+           SELECT canonical_url, url, source,
+                  row_number() OVER (PARTITION BY canonical_url
+                    ORDER BY prio, source, url) AS rn,
+                  CAST(count(*) OVER (PARTITION BY canonical_url)
+                       AS BIGINT) AS n_copies
+           FROM (SELECT *, CASE WHEN source = 'sitemap' THEN 0
+                                WHEN source = 'feed' THEN 1
+                                ELSE 2 END AS prio FROM canon))
+         WHERE rn = 1""",
     "q163_provenance_dedup" ->
       """WITH snaps AS (
            SELECT doc_id, text, source FROM documents

@@ -152,6 +152,42 @@ class Round17Spec extends SparkSpec {
       "write &lt; for a literal less-than sign")
   }
 
+  // ---- url canonicalization golden cases ------------------------------
+
+  test("url canonicalize: golden rules (case, default ports, fragment, " +
+      "tracking params, param sort, empty path, foreign schemes)") {
+    val cases = Seq(
+      // scheme+host lowercase, :80 strip, utm_ drop, sort, frag strip,
+      // path case preserved, 'B=2' < 'a=1' bytewise
+      ("HTTP://Example.COM:80/Path/X?utm_source=a&B=2&a=1#frag",
+        "http://example.com/Path/X?B=2&a=1"),
+      // https default port strip + empty path -> "/"
+      ("https://Example.com:443", "https://example.com/"),
+      // non-default port survives; literal tracking key drops
+      ("https://example.com:8443/p?gclid=1", "https://example.com:8443/p"),
+      ("http://example.com:8080/p?z=1&y=2",
+        "http://example.com:8080/p?y=2&z=1"),
+      // all params tracking -> no '?'
+      ("https://h.io/a?ref=x&utm_campaign=y", "https://h.io/a"),
+      // non-http(s) scheme: port is meaningful and survives
+      ("ftp://Files.example.com:21/x", "ftp://files.example.com:21/x"),
+      // '&&' debris drops; values keep their case
+      ("http://h.io/a?x=Mixed&&y=2", "http://h.io/a?x=Mixed&y=2"))
+    val got = graft.functions.Urls
+      .canonicalize(col("url"))
+    val out = cases.map(_._1).toDF("url").select(got.as("c"))
+      .as[String].collect().toSeq
+    assert(out == cases.map(_._2),
+      out.zip(cases).filter(p => p._1 != p._2._2).mkString("; "))
+  }
+
+  test("looksLikeUrl gates frontier hygiene") {
+    val df = Seq("https://x.com/a", "not a url", "mailto:a@b.c", "://x")
+      .toDF("url")
+    assert(df.filter(graft.functions.Urls.looksLikeUrl(col("url")))
+      .as[String].collect().toSeq == Seq("https://x.com/a"))
+  }
+
   // ---- refit must consume live tombstones (ADVICE medium) ------------
 
   test("pq refit with live tombstones: deleted ids stay deleted across " +
