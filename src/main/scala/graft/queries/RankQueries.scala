@@ -815,16 +815,17 @@ object RankQueries {
     },
 
     // DETECT → EVALUATE — the community story closed end to end: the
-    // full-Louvain partition (q434/q435) evaluated per community by
-    // conductance (q443's kernel). The oracle replays the WHOLE chain —
-    // 3 levels × 6 guarded sweeps, exact-Q argmax, label composition,
+    // full-Louvain partition evaluated per community by conductance
+    // (q443's kernel), at the declared louvainLabelLevels x
+    // louvainLabelSweeps depth. The oracle replays the WHOLE chain —
+    // every guarded sweep, exact-Q argmax, label composition,
     // then the cut/vol arithmetic — so a single flipped label anywhere
     // in the detection hash-mismatches the evaluation
     "q450_louvain_conductance" -> { (s, dir) =>
       val li = t(s, dir, "lineitem").filter(col("l_partkey") <= 4000)
       val edges = graft.operators.Graphs.coPurchaseEdges(li)
       val labels = graft.operators.Louvain.run(edges, "src", "dst",
-        nLevels = louvainLevels, sweeps = louvainSweeps).labels
+        nLevels = louvainLabelLevels, sweeps = louvainLabelSweeps).labels
       graft.operators.Graphs.conductance(edges, "src", "dst",
         labels, "n", "community")
     },
@@ -884,15 +885,18 @@ object RankQueries {
         nLevels = louvainLevels, sweeps = louvainSweeps).trail
     },
 
-    // FULL LOUVAIN FINAL ASSIGNMENT — the per-node community ids of the
-    // q434 run: best-Q labels composed through every contraction level,
-    // one row per original graph node. Same generated unrolled oracle,
+    // FULL LOUVAIN FINAL ASSIGNMENT — per-node community ids: best-Q
+    // labels composed through every contraction level, one row per
+    // original graph node, at the declared louvainLabelLevels x
+    // louvainLabelSweeps depth (the capability is proven at q434's full
+    // depth; the consumers run the cheaper declared budget — r16
+    // directive #4). Same generated unrolled oracle at the same depth,
     // final select = the label composition chain
     "q435_louvain_labels" -> { (s, dir) =>
       val li = t(s, dir, "lineitem").filter(col("l_partkey") <= 4000)
       val edges = graft.operators.Graphs.coPurchaseEdges(li)
       graft.operators.Louvain.run(edges, "src", "dst",
-        nLevels = louvainLevels, sweeps = louvainSweeps).labels
+        nLevels = louvainLabelLevels, sweeps = louvainLabelSweeps).labels
     },
 
     // EXACT 1-D WASSERSTEIN — how much VALUE MASS moved between the
@@ -986,13 +990,20 @@ object RankQueries {
          UNION ALL SELECT start, CAST(2 AS INT), node FROM w2
          UNION ALL SELECT start, CAST(3 AS INT), node FROM w3"""
 
-  /** q434/q435 replay depth — engine bounds and oracle unroll depth are
+  /** q434 replay depth — engine bounds and oracle unroll depth are
     * the SAME constants; the iteration is FIXED-depth by design (each
     * level runs exactly `louvainSweeps` sweeps and takes the exact-Q
     * argmax checkpoint), so the unrolled replay needs no convergence
-    * precondition at all. */
+    * precondition at all. q434 proves the capability at full depth;
+    * q435/q450 (the label-composition and conductance consumers) run a
+    * SMALLER declared depth — depth is a parameter of both the engine
+    * call and the generated oracle, and re-proving 3x6 three times was
+    * pure bench budget (r16 judge directive #4: the louvain family cost
+    * ~70 s/record at sf0.1). */
   private val louvainLevels = 3
   private val louvainSweeps = 6
+  private val louvainLabelLevels = 2
+  private val louvainLabelSweeps = 3
 
   /** Generated unrolled Louvain oracle (the Hilbert "oracle from the same
     * loop" discipline): `louvainLevels` levels × `louvainSweeps` guarded
@@ -1001,8 +1012,9 @@ object RankQueries {
     * MATERIALIZED (the chain is referenced multiply; inlining would blow
     * up exponentially). `finalSelect` picks the surface: the per-level
     * trail (q434) or the composed node→community assignment (q435). */
-  private def louvainSql(finalSelect: String): String = {
-    val S = louvainSweeps
+  private def louvainSql(levels: Int, sweeps: Int,
+                         finalSelect: String): String = {
+    val S = sweeps
     val sb = new StringBuilder
     sb ++= """WITH e0 AS MATERIALIZED (
        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
@@ -1011,7 +1023,7 @@ object RankQueries {
        FROM lineitem a JOIN lineitem b
          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
        WHERE a.l_partkey <= 4000 AND b.l_partkey <= 4000)"""
-    for (l <- 0 until louvainLevels) {
+    for (l <- 0 until levels) {
       sb ++= s""",
        dirs$l AS MATERIALIZED (
          SELECT u AS n, v AS nbr, w FROM e$l WHERE u <> v
@@ -1098,7 +1110,7 @@ object RankQueries {
                         * (SELECT m FROM mm$l))
                      AS BIGINT)
                 END AS q_x1e6)"""
-      if (l + 1 < louvainLevels) sb ++= s""",
+      if (l + 1 < levels) sb ++= s""",
        e${l + 1} AS MATERIALIZED (
          SELECT least(lu.lbl, lv.lbl) AS u, greatest(lu.lbl, lv.lbl) AS v,
                 CAST(sum(e.w) AS BIGINT) AS w
@@ -1111,6 +1123,7 @@ object RankQueries {
   }
 
   private lazy val louvainTrailSql: String = louvainSql(
+    louvainLevels, louvainSweeps,
     (0 until louvainLevels).map(l => s"SELECT * FROM q$l")
       .mkString(" UNION ALL "))
 
@@ -1118,14 +1131,14 @@ object RankQueries {
     * arithmetic, all inside the generated Louvain chain (the
     * `finalSelect` hook accepts leading CTEs via the comma form). */
   private lazy val louvainConductanceSql: String = {
-    val joins = (0 until louvainLevels).map { l =>
+    val joins = (0 until louvainLabelLevels).map { l =>
       val prev = if (l == 0) "cnodes.n" else s"lf${l - 1}.lbl"
       s"JOIN lf$l ON lf$l.n = $prev"
     }.mkString("\n         ")
-    louvainSql(
+    louvainSql(louvainLabelLevels, louvainLabelSweeps,
       s""",
        clbl AS MATERIALIZED (
-         SELECT cnodes.n, lf${louvainLevels - 1}.lbl AS lbl
+         SELECT cnodes.n, lf${louvainLabelLevels - 1}.lbl AS lbl
          FROM (SELECT DISTINCT n FROM (
                  SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)) cnodes
          $joins),
@@ -1156,12 +1169,12 @@ object RankQueries {
   }
 
   private lazy val louvainLabelsSql: String = {
-    val joins = (0 until louvainLevels).map { l =>
+    val joins = (0 until louvainLabelLevels).map { l =>
       val prev = if (l == 0) "nodes.n" else s"lf${l - 1}.lbl"
       s"JOIN lf$l ON lf$l.n = $prev"
     }.mkString("\n       ")
-    louvainSql(
-      s"""SELECT nodes.n, lf${louvainLevels - 1}.lbl AS community
+    louvainSql(louvainLabelLevels, louvainLabelSweeps,
+      s"""SELECT nodes.n, lf${louvainLabelLevels - 1}.lbl AS community
        FROM (SELECT DISTINCT n FROM (
                SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)) nodes
        $joins""")
@@ -1170,8 +1183,9 @@ object RankQueries {
   val oracleSql: Map[String, String] = Map(
     // the full unrolled replay: 3 levels × 6 guarded sweeps + coarsening
     "q434_louvain_full" -> louvainTrailSql,
+    // 2 levels × 3 guarded sweeps (the declared consumer depth)
     "q435_louvain_labels" -> louvainLabelsSql,
-    // the whole detect -> evaluate chain replayed
+    // the whole detect -> evaluate chain replayed at the consumer depth
     "q450_louvain_conductance" -> louvainConductanceSql,
     "q347_kruskal_wallis" ->
       """WITH cells AS (
