@@ -66,10 +66,19 @@ object Triangles {
       // third oriented edge exists. Only one of (b,c)/(c,b) can be
       // oriented, so the inner join counts each triangle exactly once —
       // the single materialization of the quadratic relation.
+      //
+      // Advisory-partition-size pins were PROBED here and rejected (r17
+      // PROBES entry, the q138 drift directive): at sf0.1 the default
+      // AQE coalescing is the fastest configuration measured — 16 MB and
+      // 4 MB advisory pins made the closure 16%/31% SLOWER (more, smaller
+      // post-shuffle tasks cost more in scheduling than they recover in
+      // parallelism on this 767 MB exchange), so the r15->r16 16->21 s
+      // quiet-median drift is host contention, not a plan problem.
       val nTriangles = oriented.select(col("s"), col("t").as("b"))
         .join(oriented.select(col("s"), col("t").as("c")), "s")
         .filter(col("b") =!= col("c"))
-        .join(oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+        .join(oriented.select(col("s").as("b"), col("t").as("c")),
+          Seq("b", "c"))
         .count()
       val nEdges = canon.count()
       val nNodes = deg.count()
