@@ -152,6 +152,52 @@ class Round17Spec extends SparkSpec {
       "write &lt; for a literal less-than sign")
   }
 
+  // ---- image dHash ledger (signature-grain sigLedger) -----------------
+
+  test("image dhash ledger: cross-batch probe equals the direct sigPairs " +
+      "relation restricted to cross-batch; retry re-append is idempotent " +
+      "at probe time; erasure verb applies unchanged") {
+    import graft.multimodal.BinaryMedia
+    val p = tmp("imgledger")
+    try {
+      val d = docs.filter(col("doc_id") < 120)
+      val a = d.filter(col("doc_id") % 2 === 0)
+      val b = d.filter(col("doc_id") % 2 === 1)
+      val sigsA = BinaryMedia.imageDHashes(
+        BinaryMedia.imageFromText(a, "doc_id", "text", width = 16))
+        .localCheckpoint()
+      val sigsB = BinaryMedia.imageDHashes(
+        BinaryMedia.imageFromText(b, "doc_id", "text", width = 16))
+        .localCheckpoint()
+      Dedup.sigLedger(sigsA, p)
+      val probe = rows(Dedup.sigLedgerPairs(sigsB, p))
+      // direct relation: all-pairs hamming over the union, restricted to
+      // (new in B, old in A)
+      val direct = Dedup.sigPairs(sigsA.unionByName(sigsB), maxHamming = 3)
+        .collect().flatMap { r =>
+          val (x, y, h) = (r.getLong(0), r.getLong(1), r.getInt(2))
+          Seq((x, y, h), (y, x, h))
+        }.filter { case (n, o, _) =>
+          n % 2 == 1 && o % 2 == 0
+        }.map { case (n, o, h) => Seq(n, o, h) }.toSet
+      assert(probe.map(_.toSeq.toVector).map(v =>
+        Seq(v(0), v(1), v(2))).toSet == direct,
+        "ledger probe must equal the direct cross-batch relation")
+      // retry: a crashed-and-retried append duplicates rows; the probe
+      // dedupes on read, so the pair set is unchanged
+      Dedup.sigLedger(sigsA, p)
+      assert(rows(Dedup.sigLedgerPairs(sigsB, p)) == probe)
+      // the text-ledger erasure verb operates on the same layout
+      val erased = sigsA.select(col("id")).limit(5).localCheckpoint()
+      Dedup.simHashLedgerDelete(erased, p, idCol = "id")
+      val post = rows(Dedup.sigLedgerPairs(sigsB, p))
+      val erasedIds = erased.as[Long].collect().toSet
+      assert(!post.exists(r => erasedIds.contains(
+        r(1).asInstanceOf[Long])),
+        "erased image ids must not appear as historical sources")
+    } finally { rm(p) }
+  }
+
   // ---- url canonicalization golden cases ------------------------------
 
   test("url canonicalize: golden rules (case, default ports, fragment, " +
