@@ -1046,4 +1046,100 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan) { case _: BroadcastExchangeExec => } >= 2,
       s"sigma-tot and size relations must ship broadcast:\n$plan")
   }
+
+  test("tombstoned winnowing ledger probe (q453): bucket partition " +
+      "pruning must survive the erasure anti-join, and tombstones ship " +
+      "as a broadcast left-anti") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_planshape_wndel"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+    val pdocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull)
+    graft.functions.Winnowing.ledger(
+      pdocs.filter(col("doc_id") % 3 =!= 0), path)
+    graft.functions.Winnowing.ledgerDelete(
+      pdocs.filter(col("doc_id") % 5 === 1), path)
+    val plan = staticPlan(graft.functions.Winnowing.ledgerPairs(
+      pdocs.filter(col("doc_id") % 3 === 0), path))
+    val fpScans = plan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths
+          .exists(_.toString.contains("fps")) => f
+    }
+    assert(fpScans.nonEmpty, s"no fps scan found:\n$plan")
+    fpScans.foreach { f =>
+      assert(f.partitionFilters
+        .exists(_.references.exists(_.name == "bucket")),
+        s"bucket pruning must survive the tombstone anti-join:\n$f")
+    }
+    assert(count(plan) { case j: BroadcastHashJoinExec
+      if j.joinType.toString == "LeftAnti" => } >= 1,
+      s"tombstones must apply as a broadcast anti-join:\n$plan")
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+  }
+
+  test("tombstoned minhash ledger probe (q454): both layout scans keep " +
+      "their static bucket pruning under the erasure anti-joins") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_planshape_mhdel"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+    val pdocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull)
+    Dedup.minHashLedger(pdocs, path, k = 5, numHashes = 32,
+      rowsPerBand = 4, threshold = 0.5)
+    Dedup.minHashLedgerDelete(pdocs.filter(col("doc_id") % 5 === 1), path)
+    val plan = staticPlan(Dedup.minHashLedgerPairs(
+      pdocs.withColumn("doc_id", col("doc_id") + 1000000L), path,
+      k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.5))
+    val scans = plan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(p =>
+          p.toString.contains("bands") || p.toString.contains("sigs"))
+        => f
+    }
+    assert(scans.size >= 2, s"bands+sigs scans expected:\n$plan")
+    scans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(a =>
+        a.name == "bucket" || a.name == "sbucket")),
+        s"static pruning must survive the tombstone anti-join:\n$f")
+    }
+    assert(count(plan) { case j: BroadcastHashJoinExec
+      if j.joinType.toString == "LeftAnti" => } >= 2,
+      s"both layouts must exclude tombstones broadcast-anti:\n$plan")
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+  }
+
+  test("html extract (q457 kernel): map-only — zero exchanges, zero " +
+      "windows, zero joins from scan to extracted lines") {
+    val pdocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), concat(lit("<p>"), col("text"), lit("</p>"))
+        .as("html"))
+    val plan = staticPlan(
+      graft.preprocess.HtmlText.extract(pdocs, "html", "doc_id"))
+    assert(count(plan) { case _: ShuffleExchangeExec => } === 0,
+      s"extraction must be map-only:\n$plan")
+    assert(count(plan) { case _: WindowExec => } === 0,
+      s"no window in the extraction path:\n$plan")
+    assert(count(plan) { case _: BroadcastExchangeExec => } === 0,
+      s"no join in the extraction path:\n$plan")
+  }
+
+  test("url canonicalize (q459 kernel): map-only projection — zero " +
+      "exchanges from scan to canonical form") {
+    val pdocs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("HTTP://Example.COM:80/a/"),
+          col("doc_id").cast("string"), lit("?utm_x=1&b=2#f")).as("url"))
+    val plan = staticPlan(pdocs.select(col("doc_id"),
+      graft.functions.Urls.canonicalize(col("url")).as("c")))
+    assert(count(plan) { case _: ShuffleExchangeExec => } === 0,
+      s"canonicalization must be map-only:\n$plan")
+    assert(count(plan) { case _: BroadcastExchangeExec => } === 0,
+      s"no join in the canonicalization path:\n$plan")
+  }
 }
