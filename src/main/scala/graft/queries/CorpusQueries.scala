@@ -106,6 +106,56 @@ object CorpusQueries {
            FROM (SELECT *, regexp_replace(trim(url), '#.*', '', 'g') AS nf
                  FROM ($urlFixtureSql))))"""
 
+  /** q460's frontier (canonicalize + provenance-priority dedup) as the
+    * shared input of the q462/q463 fetch-gating tier. */
+  private def urlFrontier(docs: DataFrame): DataFrame =
+    urlFixture(docs)
+      .withColumn("canonical_url",
+        graft.functions.Urls.canonicalize(col("url")))
+      .withColumn("prio", when(col("source") === "sitemap", 0)
+        .when(col("source") === "feed", 1).otherwise(2))
+      .groupBy("canonical_url")
+      .agg(min_by(struct(col("url"), col("source")),
+        struct(col("prio"), col("source"), col("url"))).as("keep"))
+      .select(col("canonical_url"), col("keep.source").as("source"))
+
+  /** q462/q463 replay: the q460 frontier, the VALUES rule set, host/path
+    * extraction, longest-match argmax, crawl-by-default fallback. */
+  private lazy val urlGateSql: String =
+    s"""WITH canon AS ($urlCanonSql),
+       fr AS (
+         SELECT canonical_url, source FROM (
+           SELECT canonical_url, source,
+                  row_number() OVER (PARTITION BY canonical_url
+                    ORDER BY prio, source, url) AS rn
+           FROM (SELECT *, CASE WHEN source = 'sitemap' THEN 0
+                                WHEN source = 'feed' THEN 1
+                                ELSE 2 END AS prio FROM canon))
+         WHERE rn = 1),
+       rules(host, prefix, allow) AS (VALUES
+         ('example.com', '/articles/1', FALSE),
+         ('example.com', '/articles/12', TRUE),
+         ('cdn.example.com:8443', '/', FALSE)),
+       fh AS (
+         SELECT canonical_url, source,
+                regexp_extract(canonical_url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                regexp_replace(canonical_url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS path
+         FROM fr),
+       m AS (
+         SELECT f.canonical_url, r.prefix, r.allow,
+                row_number() OVER (PARTITION BY f.canonical_url
+                  ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix)
+                  AS rn
+         FROM fh f JOIN rules r
+           ON r.host = f.host AND starts_with(f.path, r.prefix)),
+       best AS (SELECT canonical_url, prefix AS rule_prefix,
+                       allow AS rule_allow FROM m WHERE rn = 1)
+       SELECT f.canonical_url, f.host, f.source,
+              coalesce(b.rule_allow, TRUE) AS allowed, b.rule_prefix
+       FROM fh f LEFT JOIN best b USING (canonical_url)"""
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables(s, dir, name)
 
@@ -486,6 +536,61 @@ object CorpusQueries {
           count(lit(1)).cast("long").as("n_copies"))
         .select(col("canonical_url"), col("keep.url").as("url"),
           col("keep.source").as("source"), col("n_copies"))
+    },
+
+    // ROBOTS-STYLE FETCH GATE — the step between frontier dedup and
+    // fetching: declared (host, prefix, allow) rules applied with RFC
+    // 9309 longest-match semantics (longest prefix wins, allow beats
+    // disallow on equal length, no match => allowed). The rule fixture
+    // splits the article id space non-trivially: /articles/1 disallows
+    // every id starting with 1, /articles/12 re-allows the 12* slice,
+    // and the CDN host is blocked outright — so the verdict varies by
+    // doc id and the oracle replays rule matching, the argmax and the
+    // crawl-by-default fallback row by row
+    "q462_robots_gate" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val frontier = urlFrontier(t(s, dir, "documents"))
+      val rules = Seq(
+        ("example.com", "/articles/1", false),
+        ("example.com", "/articles/12", true),
+        ("cdn.example.com:8443", "/", false))
+        .toDF("host", "prefix", "allow")
+      // rule_allow is redundant with (allowed, rule_prefix) and a NULL
+      // boolean round-trips differently through the two oracle readers —
+      // the verdict surface is (allowed, rule_prefix)
+      graft.functions.Robots.gate(frontier, "canonical_url", rules)
+        .select("canonical_url", "host", "source", "allowed",
+          "rule_prefix")
+    },
+
+    // PER-HOST FETCH BUDGET — the politeness cap a crawler applies after
+    // the robots gate: at most 100 fetches per host per cycle, chosen by
+    // the deterministic (provenance priority, url) order — the q171
+    // capped-join discipline at frontier grain. One window per host over
+    // the ALLOWED survivors only; per-host fan-in is the frontier's rows
+    // for that host (real frontiers spread over millions of hosts — the
+    // two-host fixture is the worst case, and the cap bounds the output
+    // regardless)
+    "q463_host_fetch_budget" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val frontier = urlFrontier(t(s, dir, "documents"))
+      val rules = Seq(
+        ("example.com", "/articles/1", false),
+        ("example.com", "/articles/12", true),
+        ("cdn.example.com:8443", "/", false))
+        .toDF("host", "prefix", "allow")
+      val gated = graft.functions.Robots
+        .gate(frontier, "canonical_url", rules)
+        .filter(col("allowed"))
+        .withColumn("prio", when(col("source") === "sitemap", 0)
+          .when(col("source") === "feed", 1).otherwise(2))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy(col("prio"), col("canonical_url"))
+      gated.withColumn("fetch_rank", row_number().over(w).cast("int"))
+        .filter(col("fetch_rank") <= 100)
+        .select("host", "fetch_rank", "canonical_url", "source")
     },
 
     // provenance-priority dedup (canonicalization policy: among verbatim
@@ -884,6 +989,22 @@ object CorpusQueries {
                                 WHEN source = 'feed' THEN 1
                                 ELSE 2 END AS prio FROM canon))
          WHERE rn = 1""",
+    // rule matching, longest-match argmax and the crawl-by-default
+    // fallback replayed row by row
+    "q462_robots_gate" -> urlGateSql,
+    // allowed survivors capped per host by (prio, url) row_number
+    "q463_host_fetch_budget" ->
+      s"""WITH g AS ($urlGateSql)
+         SELECT host, CAST(fetch_rank AS INT) AS fetch_rank,
+                canonical_url, source
+         FROM (
+           SELECT host, canonical_url, source,
+                  row_number() OVER (PARTITION BY host
+                    ORDER BY CASE WHEN source = 'sitemap' THEN 0
+                                  WHEN source = 'feed' THEN 1
+                                  ELSE 2 END, canonical_url) AS fetch_rank
+           FROM g WHERE allowed)
+         WHERE fetch_rank <= 100""",
     "q163_provenance_dedup" ->
       """WITH snaps AS (
            SELECT doc_id, text, source FROM documents

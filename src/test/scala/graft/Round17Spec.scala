@@ -234,6 +234,36 @@ class Round17Spec extends SparkSpec {
       .as[String].collect().toSeq == Seq("https://x.com/a"))
   }
 
+  // ---- robots gate golden semantics -----------------------------------
+
+  test("robots gate: longest match wins, allow beats disallow on ties, " +
+      "no match => allowed with null rule") {
+    val rules = Seq(
+      ("h.io", "/a", false),
+      ("h.io", "/a/b", true),
+      ("h.io", "/c", false),
+      ("h.io", "/c", true), // equal-length tie -> allow wins
+      ("x.io", "/", false))
+      .toDF("host", "prefix", "allow")
+    val urls = Seq(
+      "https://h.io/a/q", "https://h.io/a/b/q", "https://h.io/c/d",
+      "https://h.io/zz", "https://x.io/anything", "https://y.io/free")
+      .toDF("u")
+    val got = graft.functions.Robots.gate(urls, "u", rules)
+      .select("u", "allowed", "rule_prefix").collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getAs[String]("rule_prefix")))).toMap
+    assert(got("https://h.io/a/q") == ((false, "/a")))
+    assert(got("https://h.io/a/b/q") == ((true, "/a/b")),
+      "the longer allow must override the shorter disallow")
+    assert(got("https://h.io/c/d") == ((true, "/c")),
+      "equal-length tie must resolve to allow")
+    assert(got("https://h.io/zz") == ((true, null)),
+      "no matching rule => crawl by default")
+    assert(got("https://x.io/anything") == ((false, "/")))
+    assert(got("https://y.io/free") == ((true, null)))
+  }
+
   // ---- refit must consume live tombstones (ADVICE medium) ------------
 
   test("pq refit with live tombstones: deleted ids stay deleted across " +
