@@ -593,6 +593,51 @@ object CorpusQueries {
         .select("host", "fetch_rank", "canonical_url", "source")
     },
 
+    // CRAWL CYCLE END TO END — the whole frontier pipeline composed
+    // across TWO crawl days with a persistent seen-URL ledger: day 1
+    // canonicalizes + frontier-dedups its crawl and records every
+    // canonical URL in the q21-family exact ledger; day 2 RE-SEES all of
+    // day 1 (recrawl) plus new documents, and only the genuinely
+    // never-fetched canonicals survive the ledger probe — then the
+    // survivors pass the robots gate and the per-host budget. This is
+    // the production loop: canonicalize -> in-batch dedup -> cross-day
+    // seen-ledger -> robots -> politeness cap; every stage relational,
+    // the oracle replays day-2-minus-day-1 set logic + gate + cap
+    "q464_crawl_cycle" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val docs = t(s, dir, "documents")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q464_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      Dedup.exactIncremental(
+        urlFrontier(docs.filter(col("doc_id") % 3 =!= 2)), path,
+        textCol = "canonical_url", idCol = "source")
+      val fresh = Dedup.exactIncremental(urlFrontier(docs), path,
+          textCol = "canonical_url", idCol = "source")
+        .filter(col("is_new"))
+        .select(col("canonical_url"), col("source"))
+      val rules = Seq(
+        ("example.com", "/articles/1", false),
+        ("example.com", "/articles/12", true),
+        ("cdn.example.com:8443", "/", false))
+        .toDF("host", "prefix", "allow")
+      val gated = graft.functions.Robots
+        .gate(fresh, "canonical_url", rules)
+        .filter(col("allowed"))
+        .withColumn("prio", when(col("source") === "sitemap", 0)
+          .when(col("source") === "feed", 1).otherwise(2))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy(col("prio"), col("canonical_url"))
+      val out = gated
+        .withColumn("fetch_rank", row_number().over(w).cast("int"))
+        .filter(col("fetch_rank") <= 100)
+        .select("host", "fetch_rank", "canonical_url", "source")
+        .localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      out
+    },
+
     // provenance-priority dedup (canonicalization policy: among verbatim
     // copies keep the most-trusted source's doc, not an arbitrary or
     // minimum id — the rule real corpora apply when wiki/original beats
@@ -1004,6 +1049,58 @@ object CorpusQueries {
                                   WHEN source = 'feed' THEN 1
                                   ELSE 2 END, canonical_url) AS fetch_rank
            FROM g WHERE allowed)
+         WHERE fetch_rank <= 100""",
+    // day-2-minus-day-1 set logic over the canonical relation, then the
+    // gate + cap replay restricted to the fresh survivors
+    "q464_crawl_cycle" ->
+      s"""WITH canon AS ($urlCanonSql),
+         fr AS (
+           SELECT canonical_url, source FROM (
+             SELECT canonical_url, source,
+                    row_number() OVER (PARTITION BY canonical_url
+                      ORDER BY prio, source, url) AS rn
+             FROM (SELECT *, CASE WHEN source = 'sitemap' THEN 0
+                                  WHEN source = 'feed' THEN 1
+                                  ELSE 2 END AS prio FROM canon))
+           WHERE rn = 1),
+         day1 AS (SELECT DISTINCT canonical_url FROM canon
+                  WHERE doc_id % 3 <> 2),
+         fresh AS (SELECT * FROM fr WHERE canonical_url NOT IN
+                   (SELECT canonical_url FROM day1)),
+         rules(host, prefix, allow) AS (VALUES
+           ('example.com', '/articles/1', FALSE),
+           ('example.com', '/articles/12', TRUE),
+           ('cdn.example.com:8443', '/', FALSE)),
+         fh AS (
+           SELECT canonical_url, source,
+                  regexp_extract(canonical_url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                  regexp_replace(canonical_url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS path
+           FROM fresh),
+         m AS (
+           SELECT f.canonical_url, r.prefix, r.allow,
+                  row_number() OVER (PARTITION BY f.canonical_url
+                    ORDER BY length(r.prefix) DESC, r.allow DESC,
+                             r.prefix) AS rn
+           FROM fh f JOIN rules r
+             ON r.host = f.host AND starts_with(f.path, r.prefix)),
+         best AS (SELECT canonical_url, allow AS rule_allow
+                  FROM m WHERE rn = 1),
+         gated AS (
+           SELECT f.host, f.canonical_url, f.source
+           FROM fh f LEFT JOIN best b USING (canonical_url)
+           WHERE coalesce(b.rule_allow, TRUE))
+         SELECT host, CAST(fetch_rank AS INT) AS fetch_rank,
+                canonical_url, source
+         FROM (
+           SELECT host, canonical_url, source,
+                  row_number() OVER (PARTITION BY host
+                    ORDER BY CASE WHEN source = 'sitemap' THEN 0
+                                  WHEN source = 'feed' THEN 1
+                                  ELSE 2 END, canonical_url)
+                    AS fetch_rank
+           FROM gated)
          WHERE fetch_rank <= 100""",
     "q163_provenance_dedup" ->
       """WITH snaps AS (
