@@ -701,7 +701,9 @@ object Dedup {
     */
   def minHashLedgerDelete(deleteIds: DataFrame, ledgerPath: String,
                           idCol: String = "doc_id"): Unit =
-    deleteIds.select(col(idCol).cast("long").as("id")).distinct()
+    // strict cast: a non-castable id must raise, not append a NULL
+    // tombstone that anti-joins nothing (silent non-deletion)
+    graft.operators.StrictIds.toLongStrict(deleteIds, idCol).distinct()
       .coalesce(1)
       .write.mode("append").parquet(s"$ledgerPath/tombstones")
 
@@ -710,7 +712,7 @@ object Dedup {
     * vacuum contract. */
   def simHashLedgerDelete(deleteIds: DataFrame, ledgerPath: String,
                           idCol: String = "doc_id"): Unit =
-    deleteIds.select(col(idCol).cast("long").as("id")).distinct()
+    graft.operators.StrictIds.toLongStrict(deleteIds, idCol).distinct()
       .coalesce(1)
       .write.mode("append").parquet(s"$ledgerPath/tombstones")
 
@@ -903,11 +905,41 @@ object Dedup {
       import spark.implicits._
       return Seq.empty[(Long, Long, Int)].toDF("id_new", "id_old", "hamming")
     }
+    requireSigLedgerBuckets(spark, ledgerPath, nBuckets)
     val melted = chunkRowsFromSigs(
       sigs.select(col(idCol).as("id"), col(sigCol).as("sig")), nBuckets)
       .localCheckpoint()
     simHashLedgerPairsFrom(melted, ledgerPath, maxHamming)
   }
+
+  /** The signature-ledger layout parameter persisted at CREATE time (one
+    * `meta` row, the BM25 n_buckets-in-stats discipline): buckets are
+    * computed at melt time, so probing with a different `nBuckets` than
+    * the ledger was written with would silently miss pairs (melt-time
+    * buckets never match stored buckets). Written by [[sigLedger]] on
+    * first ingest; validated on every later ingest/probe. Ledgers
+    * created before the meta file existed validate vacuously (nothing
+    * recorded to check against) — re-create or write `meta` by hand to
+    * arm the guard.
+    */
+  private def writeSigLedgerMeta(spark: SparkSession, ledgerPath: String,
+                                 nBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$ledgerPath/meta")
+  }
+
+  private def requireSigLedgerBuckets(spark: SparkSession,
+                                      ledgerPath: String,
+                                      nBuckets: Int): Unit =
+    if (ledgerExists(spark, s"$ledgerPath/meta")) {
+      val stored = spark.read.parquet(s"$ledgerPath/meta")
+        .select("n_buckets").head.getInt(0)
+      require(stored == nBuckets,
+        s"signature ledger $ledgerPath was written with nBuckets=$stored " +
+          s"but probed with nBuckets=$nBuckets — melt-time buckets would " +
+          s"not match stored buckets and pairs would be silently missed")
+    }
 
   /** [[sigLedgerPairs]] + the append ([[simHashLedger]]'s contract at
     * signature grain: result frozen before the append, one
@@ -919,10 +951,13 @@ object Dedup {
                 idCol: String = "id", sigCol: String = "sig",
                 maxHamming: Int = 3, nBuckets: Int = 64): DataFrame = {
     val spark = sigs.sparkSession
+    val exists = ledgerExists(spark, s"$ledgerPath/chunks")
+    if (exists) requireSigLedgerBuckets(spark, ledgerPath, nBuckets)
+    else writeSigLedgerMeta(spark, ledgerPath, nBuckets)
     val melted = chunkRowsFromSigs(
       sigs.select(col(idCol).as("id"), col(sigCol).as("sig")), nBuckets)
       .localCheckpoint()
-    val out = (if (ledgerExists(spark, s"$ledgerPath/chunks")) {
+    val out = (if (exists) {
       simHashLedgerPairsFrom(melted, ledgerPath, maxHamming)
     } else {
       import spark.implicits._

@@ -221,7 +221,9 @@ object Winnowing {
     */
   def ledgerDelete(deleteIds: DataFrame, path: String,
                    idCol: String = "doc_id"): Unit =
-    deleteIds.select(col(idCol).cast("long").as("id")).distinct()
+    // strict cast: a non-castable id raises instead of appending a NULL
+    // tombstone that deletes nothing (see operators.StrictIds)
+    graft.operators.StrictIds.toLongStrict(deleteIds, idCol).distinct()
       .coalesce(1)
       .write.mode("append").parquet(s"$path/tombstones")
 

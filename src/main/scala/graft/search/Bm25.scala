@@ -428,11 +428,17 @@ object Bm25 {
     // (doc_id, dl) is functionally dependent in the postings layout, so
     // max(dl) per id is exact; the semi-join keeps only ids actually
     // present. Slim 2-column scan — column pruning drops term/tf.
-    spark.read.parquet(s"$path/postings")
+    val derived = spark.read.parquet(s"$path/postings")
       .join(broadcast(ids), Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(max(col("dl")).cast("long").as("dl"))
-      .coalesce(1)
-      .write.mode("append").parquet(s"$path/tombstones")
+      .localCheckpoint()
+    // an all-absent delete derives ZERO rows: skip the append entirely,
+    // or an empty tombstones dir would push every subsequent probe down
+    // the correction path (tombstone scan + agg + anti-join) forever
+    // until a vacuum, for no effect (ADVICE r17)
+    if (!derived.isEmpty)
+      derived.coalesce(1)
+        .write.mode("append").parquet(s"$path/tombstones")
   }
 
   /** Physically remove tombstoned postings and fold the stat corrections
@@ -449,7 +455,14 @@ object Bm25 {
     * probe-time path runs, so probes are bit-identical pre/post.
     * Rewrite lands one file per term bucket — deletion and compaction
     * settle together. Swap atomicity contract: see
-    * [[graft.operators.PartitionCompaction.swapIntoPlace]].
+    * [[graft.operators.PartitionCompaction.swapIntoPlace]] — and note
+    * the swap moves the WHOLE index path (postings + stats together, the
+    * price of the no-double-fold guarantee), so during the non-atomic
+    * rename window a concurrent reader sees no index at all, a WIDER
+    * unavailability window than a postings-only swap. A serving index
+    * that cannot tolerate it should vacuum a COPY and flip a generation
+    * pointer (the immutable-generations practice [[appendToIndex]]
+    * already documents) instead of vacuuming in place.
     *
     * @return (n_posting_rows_before, n_posting_rows_after)
     */

@@ -1129,6 +1129,32 @@ class PlanShapeSpec extends SparkSpec {
       s"no join in the extraction path:\n$plan")
   }
 
+  test("robots gate (q462 kernel): frontier side never shuffled — the " +
+      "only exchange is the rules-sized per-host agg, zero windows, " +
+      "one broadcast join (r17 judge directive #4)") {
+    val frontier = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("https://example.com/articles/"),
+        col("doc_id").cast("string")).as("url"), col("source"))
+    val rules = Seq(
+      ("example.com", "/articles/1", false),
+      ("example.com", "/articles/12", true)).toDF("host", "prefix", "allow")
+    val plan = staticPlan(
+      graft.functions.Robots.gate(frontier, "url", rules))
+    // the one shuffle is the per-host rule-array agg — bounded by the
+    // rule set, never the frontier
+    assert(count(plan) { case _: ShuffleExchangeExec => } <= 1,
+      s"only the rules-sized agg may shuffle:\n$plan")
+    assert(count(plan) { case _: WindowExec => } === 0,
+      s"no window over the frontier:\n$plan")
+    assert(count(plan) { case _: BroadcastExchangeExec => } === 1,
+      s"one broadcast of the per-host rules only:\n$plan")
+    // and no sort touches frontier-sized data (the rule arrays sort
+    // inside the agg, rules-sized)
+    import org.apache.spark.sql.execution.SortExec
+    assert(count(plan) { case _: SortExec => } === 0,
+      s"no frontier-sized sort:\n$plan")
+  }
+
   test("url canonicalize (q459 kernel): map-only projection — zero " +
       "exchanges from scan to canonical form") {
     val pdocs = spark.read.parquet(s"$sf/documents.parquet")

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.data.Dedup
+import graft.functions.Winnowing
+import graft.search.Bm25
+
+/** Round-18 regressions: the four r17 ADVICE fixes — ledger deletes
+  * raising on non-castable ids instead of silently no-op'ing, BM25
+  * absent-only deletes not arming the tombstone correction path, the
+  * signature ledger persisting its bucket-layout parameter, and the
+  * widened vacuum-window documentation (covered by the existing vacuum
+  * unit; no new behavior).
+  */
+class Round18Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_r18_$name"
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(p))
+    p
+  }
+  private def rm(p: String): Unit =
+    graft.operators.FsUtil.deleteRecursively(new java.io.File(p))
+  private def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select("doc_id", "text").filter(col("text").isNotNull)
+
+  // ---- strict ids: a GDPR delete must fail loudly, never no-op ------
+
+  test("ledger deletes raise on ids that cast to NULL (minhash, simhash, " +
+      "winnowing) — a silent non-deletion is not an acceptable outcome") {
+    val p = tmp("strictids")
+    try {
+      Dedup.minHashLedger(docs, p, k = 5, numHashes = 16, rowsPerBand = 4)
+      val bad = Seq("not-a-number").toDF("doc_id")
+      val eMin = intercept[Exception] { Dedup.minHashLedgerDelete(bad, p) }
+      assert(Option(eMin.getMessage).exists(_.contains("not castable")) ||
+        Option(eMin.getCause).exists(c =>
+          Option(c.getMessage).exists(_.contains("not castable"))),
+        s"unexpected: $eMin")
+      val eSim = intercept[Exception] { Dedup.simHashLedgerDelete(bad, p) }
+      assert(eSim != null)
+      val eWin = intercept[Exception] { Winnowing.ledgerDelete(bad, p) }
+      assert(eWin != null)
+      // a NULL id is equally undeletable
+      val nulls = Seq(Option.empty[java.lang.Long]).toDF("doc_id")
+      intercept[Exception] { Dedup.minHashLedgerDelete(nulls, p) }
+      // numeric-string ids still work (the cast succeeds row-for-row)
+      Dedup.minHashLedgerDelete(Seq("7").toDF("doc_id"), p)
+      val tomb = spark.read.parquet(s"$p/tombstones")
+      assert(rows(tomb.select("id")) == Set(Seq(7L)),
+        "valid numeric-string ids must still tombstone")
+    } finally rm(p)
+  }
+
+  // ---- BM25: absent-only delete must not arm the correction path ----
+
+  test("bm25 deleteFromIndex of only-absent ids appends nothing — no " +
+      "tombstones dir, probes stay on the fast path") {
+    val p = tmp("bm25absent")
+    try {
+      Bm25.writeIndex(docs.limit(50), p, nBuckets = 8)
+      Bm25.deleteFromIndex(Seq(999999L, 888888L).toDF("doc_id"), p)
+      assert(!new java.io.File(s"$p/tombstones").exists(),
+        "an all-absent delete must not create the tombstones dir")
+      // a real delete still lands
+      val one = docs.limit(1).select("doc_id").as[Long].head()
+      Bm25.deleteFromIndex(Seq(one).toDF("doc_id"), p)
+      assert(new java.io.File(s"$p/tombstones").exists())
+      assert(spark.read.parquet(s"$p/tombstones").count() == 1)
+    } finally rm(p)
+  }
+
+  // ---- signature ledger: bucket layout persisted and validated ------
+
+  test("sigLedger persists nBuckets at create time and rejects a probe " +
+      "or ingest with a different value (silent pair-miss prevented)") {
+    val p = tmp("sigmeta")
+    try {
+      val sigs = docs.limit(40)
+        .select(col("doc_id").as("id"), xxhash64(col("text")).as("sig"))
+      Dedup.sigLedger(sigs, p, nBuckets = 16)
+      val meta = spark.read.parquet(s"$p/meta")
+      assert(meta.select("n_buckets").head.getInt(0) == 16)
+      // mismatched probe and mismatched ingest both refuse
+      val eProbe = intercept[IllegalArgumentException] {
+        Dedup.sigLedgerPairs(sigs, p, nBuckets = 32)
+      }
+      assert(eProbe.getMessage.contains("nBuckets=16"))
+      intercept[IllegalArgumentException] {
+        Dedup.sigLedger(sigs, p, nBuckets = 32)
+      }
+      // matching calls proceed, and the cross-batch contract holds
+      val shifted = sigs.withColumn("id", col("id") + 1000000L)
+      val pairs = Dedup.sigLedgerPairs(shifted, p, nBuckets = 16)
+      assert(pairs.filter(col("hamming") === 0).count() >= 40,
+        "every shifted twin must rediscover its original at hamming 0")
+    } finally rm(p)
+  }
+}
