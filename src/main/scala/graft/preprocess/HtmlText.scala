@@ -30,13 +30,36 @@ import org.apache.spark.sql.functions._
   * this runs at parquet-scan speed, and every rule is relational so a
   * DuckDB oracle replays the extraction byte for byte.
   *
-  * Declared limitations (v1, stated not hidden): no numeric character
-  * references beyond the listed &#39;, no CDATA, no attribute-aware
-  * parsing (a literal '>' inside an attribute value ends that tag's
-  * match) — malformed markup degrades identically in any engine running
-  * the same rules.
+  * Numeric character references (`&#NN;` decimal, `&#xNN;` hex, either
+  * case) decode for the PRINTABLE-ASCII range 32–126 in ONE single-pass
+  * tier: the string splits on the ref pattern and the segments
+  * interleave with the decoded characters, so a segment is never
+  * re-scanned — a decoded '&' cannot combine with following text into a
+  * second entity (`"&#38;lt;"` yields `"&lt;"`, exactly one level).
+  * Out-of-range codes keep their literal ref text. The tier runs after
+  * the named list but BEFORE the amp fold, so `"&amp;#65;"` unescapes
+  * one level to `"&#65;"`, never two.
+  *
+  * Declared limitations (v1, stated not hidden): numeric refs outside
+  * printable ASCII stay literal, no CDATA, no attribute-aware parsing
+  * (a literal '>' inside an attribute value ends that tag's match), and
+  * a ref that decodes to '&' directly before a named entity body
+  * (`"&#38;amp;"`) is re-folded by the final amp pass — malformed
+  * markup degrades identically in any engine running the same rules.
   */
 object HtmlText {
+
+  /** Numeric character reference: decimal or hex form. */
+  val numRefPat: String = "&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});"
+
+  /** Decode one matched ref → its character when the code lands in
+    * printable ASCII (32–126); anything else keeps the literal ref. */
+  private def decodeNumRef(r: Column): Column = {
+    val hex = regexp_extract(r, "^&#[xX]([0-9a-fA-F]+);$", 1)
+    val code = when(hex =!= "", conv(hex, 16, 10).cast("long"))
+      .otherwise(regexp_extract(r, "^&#([0-9]+);$", 1).cast("long"))
+    when(code.between(32, 126), call_function("char", code)).otherwise(r)
+  }
 
   /** Block-level closers (+ void br) rewritten to newlines BEFORE tag
     * stripping, so one extracted line per logical block survives. */
@@ -58,13 +81,23 @@ object HtmlText {
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val broken = regexp_replace(noComment, lineBreakTags, "\n")
     val noTags = regexp_replace(broken, "<[^>]*>", " ")
-    // declared entity list; amp LAST so "&amp;lt;" unescapes one level
+    // declared entity list; numeric refs after it (so "&#39;" now rides
+    // the numeric tier) and amp LAST so "&amp;lt;" unescapes one level
     // (to "&lt;"), never two (to "<") — both engines replace single-pass
-    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&apos;" -> "'", "&nbsp;" -> " ")
       .foldLeft(noTags) { case (c, (from, to)) =>
         replace(c, lit(from), lit(to))
       }
+    // numeric-charref tier: split + interleave, single pass (segments are
+    // never re-scanned). split keeps trailing empties (limit -1), so
+    // len(segs) = len(refs)+1 and the zip's null tail pads with ""
+    val segs = split(named, numRefPat, -1)
+    val refs = regexp_extract_all(named, lit(numRefPat), lit(0))
+    val unescaped = replace(
+      array_join(zip_with(segs, refs, (s, r) =>
+        concat(s, when(r.isNull, lit("")).otherwise(decodeNumRef(r)))), ""),
+      lit("&amp;"), lit("&"))
     transform(split(unescaped, "\n"),
       l => trim(regexp_replace(l, "\\s+", " ")))
   }

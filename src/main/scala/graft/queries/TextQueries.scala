@@ -57,6 +57,7 @@ object TextQueries {
         col("doc_id").cast("string"),
         lit("</h1><!-- draft <p>do not ship</p> -->" +
           "<p>Tom &amp; Jerry say &quot;hi&quot; &lt;3&nbsp;&#39;ok&#39;" +
+          " &#72;&#101;&#x6C;&#X6C;&#111; &#033; &#8212; &amp;#65;" +
           "</p><p>"),
         col("text"),
         lit("</p><p>Copyright 2024 Example Corp. All rights reserved." +
@@ -1277,6 +1278,7 @@ object TextQueries {
          CAST(doc_id AS VARCHAR) ||
          '</h1><!-- draft <p>do not ship</p> -->' ||
          '<p>Tom &amp; Jerry say &quot;hi&quot; &lt;3&nbsp;&#39;ok&#39;' ||
+         ' &#72;&#101;&#x6C;&#X6C;&#111; &#033; &#8212; &amp;#65;' ||
          '</p><p>' || text ||
          '</p><p>Copyright 2024 Example Corp. All rights reserved.' ||
          '</p><footer>cookie policy | privacy policy</footer>' ||
@@ -1285,32 +1287,59 @@ object TextQueries {
 
   /** The full q457 extraction replay (fixture nested); q458 nests it as
     * the extracted-text relation. Same rule chain, same order: blocks,
-    * line breaks, tags, entities (amp last), per-line collapse + trim,
-    * the two boilerplate rules. */
+    * line breaks, tags, named entities, the single-pass numeric-charref
+    * tier (split + interleave, printable ASCII only), amp last, per-line
+    * collapse + trim, the two boilerplate rules. */
   private lazy val htmlExtractSql: String =
     s"""WITH fx AS MATERIALIZED ($htmlFixtureSql),
+       st AS MATERIALIZED (
+         SELECT doc_id,
+           replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html,
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?i)<(/p|/div|/li|/h[1-6]|/tr|/ul|/ol|/table|/title|/header|/footer|br[^>]*)>',
+                 chr(10), 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&apos;', ''''), '&nbsp;', ' ') AS named
+         FROM fx),
+       nr AS MATERIALIZED (
+         SELECT doc_id,
+           string_split_regex(named,
+             '&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});') AS segs,
+           list_transform(
+             regexp_extract_all(named,
+               '&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});'),
+             r -> CASE WHEN TRY_CAST(CASE
+                    WHEN r LIKE '&#x%' OR r LIKE '&#X%'
+                    THEN '0x' || substr(r, 4, length(r) - 4)
+                    ELSE substr(r, 3, length(r) - 3) END AS BIGINT)
+                    BETWEEN 32 AND 126
+                  THEN chr(CAST(TRY_CAST(CASE
+                    WHEN r LIKE '&#x%' OR r LIKE '&#X%'
+                    THEN '0x' || substr(r, 4, length(r) - 4)
+                    ELSE substr(r, 3, length(r) - 3) END AS BIGINT)
+                    AS INTEGER))
+                  ELSE r END) AS decs
+         FROM st),
        ex AS MATERIALIZED (
          SELECT doc_id,
            list_transform(
              string_split(
-               replace(replace(replace(replace(replace(replace(replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(
-                         regexp_replace(html,
-                           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                       '(?s)<!--.*?-->', ' ', 'g'),
-                     '(?i)<(/p|/div|/li|/h[1-6]|/tr|/ul|/ol|/table|/title|/header|/footer|br[^>]*)>',
-                     chr(10), 'g'),
-                   '<[^>]*>', ' ', 'g'),
-                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                 '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+               replace(
+                 array_to_string(
+                   list_transform(range(1, len(segs) + 1),
+                     i -> segs[i] || coalesce(decs[i], '')), ''),
                  '&amp;', '&'),
                chr(10)),
              l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))) AS lines
-         FROM fx),
+         FROM nr),
        ag AS MATERIALIZED (
          SELECT doc_id,
                 list_filter(lines, l -> length(l) >= 15 AND NOT

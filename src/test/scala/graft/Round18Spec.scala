@@ -75,6 +75,31 @@ class Round18Spec extends SparkSpec {
     } finally rm(p)
   }
 
+  // ---- html numeric character references (r17 directive #5) ---------
+
+  private def extractOne(html: String): String =
+    graft.preprocess.HtmlText
+      .extract(Seq((1L, html)).toDF("id", "html"), "html", "id",
+        minLineChars = 1)
+      .collect()(0).getAs[String]("text")
+
+  test("html extract: numeric charrefs decode for printable ASCII — " +
+      "decimal, hex either case, zero-padded; out-of-range stays literal") {
+    assert(extractOne(
+      "<p>&#72;&#101;&#x6C;&#X6C;&#111;&#033; &#x7E; &#8212; &#x1F600;</p>")
+      == "Hello! ~ &#8212; &#x1F600;")
+    // the previously-listed &#39; now rides the numeric tier
+    assert(extractOne("<p>&#39;ok&#39;</p>") == "'ok'")
+  }
+
+  test("html extract: numeric tier is single-pass and ordered before the " +
+      "amp fold — each form unescapes exactly one level") {
+    // a decoded '&' never re-combines with following text into an entity
+    assert(extractOne("<p>&#38;lt; stays</p>") == "&lt; stays")
+    // an amp-escaped ref decodes one level to the literal ref text
+    assert(extractOne("<p>&amp;#65; stays</p>") == "&#65; stays")
+  }
+
   // ---- signature ledger: bucket layout persisted and validated ------
 
   test("sigLedger persists nBuckets at create time and rejects a probe " +
