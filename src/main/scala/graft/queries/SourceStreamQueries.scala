@@ -56,6 +56,74 @@ object SourceStreamQueries {
             .as("sum_v_micro"))
     },
 
+    // WARC-STYLE CRAWL-RECORD SOURCE (DataSource V2) — the crawl archive
+    // read from raw bytes: each document becomes a response record (headers
+    // + length-framed payload + xxh64 digest) plus a paired request record,
+    // written back to back into WREC files; the connector reads them back
+    // with record_type='response' PUSHED (request payloads are skipped at
+    // the reader, never parsed) and a headers-only projection (payload
+    // bytes are skip()ed, not read — both contracts plan-locked). The
+    // oracle rebuilds (url, content_length, n_headers) from the parquet
+    // originals — framing, header parse and pushdown correctness in one
+    // row-grain hash
+    "q465_crawl_record_source" -> { (s, dir) =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q465_" +
+        s.sparkContext.applicationId
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val url = concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/doc/"), col("doc_id").cast("string"))
+      val resp = concat(
+        lit("WREC/1.0\r\nRecord-Type: response\r\nTarget-URI: "), url,
+        lit("\r\nContent-Digest: "),
+        format_string("xxh64:%016x", xxhash64(col("text"))),
+        lit("\r\nContent-Length: "), octet_length(col("text")).cast("string"),
+        lit("\r\n\r\n"), col("text"), lit("\r\n"))
+      val req = concat(
+        lit("WREC/1.0\r\nRecord-Type: request\r\nTarget-URI: "), url,
+        lit("\r\nContent-Length: 0\r\n\r\n\r\n"))
+      docs.select(resp.as("value")).unionByName(docs.select(req.as("value")))
+        .write.mode("overwrite").text(path)
+      s.read.format("graft.sources.CrawlRecordDataSource").load(path)
+        .filter(col("record_type") === "response")
+        .select(col("url"), col("content_length"),
+          size(col("headers")).cast("long").as("n_headers"))
+    },
+
+    // CRAWL-RECORD QUARANTINE — the BinaryMedia strict-decode discipline
+    // at the source boundary: a deterministic 1-in-10 of the response
+    // records declares a WRONG payload digest and a 1-in-13 omits the
+    // required Target-URI header; both become verdict ROWS (record-grain —
+    // the scan continues past them) instead of task-killing exceptions,
+    // and the report groups the full archive by verdict. The digest hex
+    // itself is engine-local (xxh64), so the hashed surface is the verdict
+    // KIND (the prefix before ':'), replayed from the id rules
+    "q466_crawl_record_quarantine" -> { (s, dir) =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q466_" +
+        s.sparkContext.applicationId
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val url = concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/doc/"), col("doc_id").cast("string"))
+      val digest = format_string("xxh64:%016x",
+        when(col("doc_id") % 10 === 0, xxhash64(concat(col("text"), lit("X"))))
+          .otherwise(xxhash64(col("text"))))
+      val uriLine = when(col("doc_id") % 13 === 0, lit(""))
+        .otherwise(concat(lit("Target-URI: "), url, lit("\r\n")))
+      val resp = concat(
+        lit("WREC/1.0\r\nRecord-Type: response\r\n"), uriLine,
+        lit("Content-Digest: "), digest,
+        lit("\r\nContent-Length: "), octet_length(col("text")).cast("string"),
+        lit("\r\n\r\n"), col("text"), lit("\r\n"))
+      docs.select(resp.as("value")).write.mode("overwrite").text(path)
+      s.read.format("graft.sources.CrawlRecordDataSource").load(path)
+        .groupBy(col("valid"),
+          regexp_extract(col("error"), "^[^:]*", 0).as("error_kind"))
+        .agg(count(lit(1)).cast("long").as("n_records"),
+          sum(col("content_length")).cast("long").as("sum_len"),
+          sum(octet_length(col("payload"))).cast("long").as("payload_bytes"),
+          sum(when(col("url").isNotNull, 1L).otherwise(0L)).cast("long")
+            .as("n_with_url"))
+    },
+
     // STREAMING HEAVY HITTERS — Misra–Gries in MapState (the BOUNDED
     // sub-keyed state q228's TypeCounts lacks: ≤ k counters per user no
     // matter the type cardinality), two batches across a checkpoint
@@ -1297,6 +1365,26 @@ object SourceStreamQueries {
          FROM bc
          JOIN vocab v1 ON v1.term = bc.w1
          JOIN vocab v2 ON v2.term = bc.w2""",
+    "q465_crawl_record_source" ->
+      """SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+                '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                CAST(strlen(text) AS BIGINT) AS content_length,
+                CAST(4 AS BIGINT) AS n_headers
+         FROM documents WHERE text IS NOT NULL""",
+    "q466_crawl_record_quarantine" ->
+      """WITH v AS (
+           SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len,
+                  CASE WHEN doc_id % 13 = 0 THEN 'missing header'
+                       WHEN doc_id % 10 = 0 THEN 'digest mismatch'
+                  END AS error_kind
+           FROM documents WHERE text IS NOT NULL)
+         SELECT error_kind IS NULL AS valid, error_kind,
+                CAST(count(*) AS BIGINT) AS n_records,
+                CAST(sum(len) AS BIGINT) AS sum_len,
+                CAST(sum(len) AS BIGINT) AS payload_bytes,
+                CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_with_url
+         FROM v GROUP BY 1, 2""",
     "q304_fixed_width_source" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
                 CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)

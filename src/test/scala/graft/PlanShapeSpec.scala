@@ -484,6 +484,32 @@ class PlanShapeSpec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(dir)
   }
 
+  test("crawl-record DSv2 scan: EqualTo(record_type) lands in " +
+      "PushedFilters, ReadSchema pruned to a headers-only projection " +
+      "(payload never materialized)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_t_crplan_")
+    java.nio.file.Files.write(dir.resolve("a.wrec"),
+      ("WREC/1.0\r\nRecord-Type: response\r\nTarget-URI: https://t/1\r\n" +
+        "Content-Length: 2\r\n\r\nhi\r\n").getBytes("UTF-8"))
+    val plan = staticPlan(
+      spark.read.format("graft.sources.CrawlRecordDataSource")
+        .load(dir.toString)
+        .filter(col("record_type") === "response")
+        .select("url", "content_length"))
+    val scans = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size == 1, s"one DSv2 scan expected:\n$plan")
+    val desc = scans.head.scan.description()
+    assert(desc.contains("EqualTo(record_type,response)"),
+      s"filter must be pushed into the scan: $desc")
+    assert(desc.contains("ReadSchema=url,content_length"),
+      s"projection must prune to the header-only slice: $desc")
+    assert(!desc.contains("payload"),
+      s"payload must not survive pruning: $desc")
+    graft.operators.FsUtil.deleteRecursively(dir.toFile)
+  }
+
   test("grouped PAV: every window partitioned by the segment (no global " +
       "sort at any stage)") {
     val bins = Seq(("s1", 1L, 10L, 5L), ("s1", 2L, 10L, 2L),
