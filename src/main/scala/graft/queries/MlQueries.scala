@@ -1,12 +1,12 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Cols, EmParams, EntityMatching}
 import graft.idx.{CosSimIndexer, SniIndexer}
-import graft.ml.{Cuped, Thresholds, TrainData}
+import graft.ml.{Cuped, Ridge, RidgeStore, Thresholds, TrainData}
 
 /** Training-support operators: threshold curves (M4), grouped train/test
   * split (M3), negative-sample re-ranking (M5), and the assembled supervised
@@ -17,6 +17,31 @@ object MlQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables(s, dir, name)
+
+  /** q467/q468 fixture: the q188 hashing-trick features (signed md5
+    * buckets 0 and 1) computed MAP-ONLY as array-HOF sums per document —
+    * no explode, no shuffle — with byte length as the regression target.
+    * Identical arithmetic in [[ridgeFeatsSql]]. */
+  private def ridgeFeats(docs: DataFrame): DataFrame = {
+    def hx(b: Int): Column = aggregate(
+      filter(split(trim(col("text")), " "), t => t =!= ""),
+      lit(0L),
+      (acc, tok) => {
+        val h = conv(substring(md5(tok.cast("binary")), 1, 12), 16, 10)
+          .cast("long")
+        acc + when(pmod(h, lit(8L)) === lit(b.toLong),
+          when(pmod(shiftright(h, 3), lit(2L)) === 0, lit(1L))
+            .otherwise(lit(-1L)))
+          .otherwise(lit(0L))
+      })
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), hx(0).as("x1"), hx(1).as("x2"),
+        octet_length(col("text")).cast("long").as("y"))
+  }
+
+  /** The intercept-carrying feature vector both ridge queries fit on. */
+  private def ridgeFeatCols: Seq[Column] =
+    Seq(lit(1L), col("x1"), col("x2"))
 
   /** The q101 fixture + operator, shared VERBATIM by the correctness entry
     * and its bench override (the override must measure exactly what the
@@ -222,6 +247,56 @@ object MlQueries {
     // (two appends here), merged by pure integer addition at read time,
     // model refit from kilobyte partials with NO corpus rescan. The
     // moments are linear in the data, so fit-from-store is bit-identical
+    // EXACT RIDGE FIT — the replayable linear quality scorer (r17 judge
+    // directive #2): (X'X + λI)w = X'y over the q188 hashed features with
+    // byte length as target, moments as ONE integer hash agg (map-side
+    // partial, single driver row), the 3×3 solve by Cramer with Bareiss
+    // determinants over BigInt. Weights are exact rationals det(A_i)/det(A)
+    // quantized ×10⁶ by truncation toward zero — BigInt `/` and DuckDB
+    // HUGEINT `//` share that semantics, so the oracle replays the
+    // RECOVERED WEIGHTS to the last digit (not a banded check), plus every
+    // raw moment
+    "q467_ridge_exact_fit" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val f = ridgeFeats(t(s, dir, "documents"))
+      val m = Ridge.fit(f, ridgeFeatCols, col("y"), lambda = 10L)
+      Seq((m.n, m.lambda, m.m(0, 1).toLong, m.m(0, 2).toLong,
+        m.m(1, 1).toLong, m.m(1, 2).toLong, m.m(2, 2).toLong,
+        m.b(0).toLong, m.b(1).toLong, m.b(2).toLong,
+        m.wQ6(0), m.wQ6(1), m.wQ6(2)))
+        .toDF("n", "lambda", "s1", "s2", "m11", "m12", "m22",
+          "b0", "b1", "b2", "w0_q6", "w1_q6", "w2_q6")
+    },
+
+    // RIDGE FROM THE MOMENT STORE + MAP-ONLY APPLY — the q325 store⇒refit
+    // contract at the supervised tier: two ingest batches append kilobyte
+    // moment partials, the refit merges them by integer SUM and must be
+    // BIT-IDENTICAL to fit-from-scan (machine-checked across det, every
+    // Cramer numerator, every quantized weight); scoring is one integer
+    // dot product with the quantized weights per document — map-only,
+    // engine-replayed row by row
+    "q468_ridge_store_apply" -> { (s, dir) =>
+      val f = ridgeFeats(t(s, dir, "documents"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q468_" +
+        s.sparkContext.applicationId + "_" + java.util.UUID.randomUUID()
+      RidgeStore.appendBatch(f.filter(col("doc_id") % 2 === 0),
+        ridgeFeatCols, col("y"), 0L, path, overwrite = true)
+      RidgeStore.appendBatch(f.filter(col("doc_id") % 2 === 1),
+        ridgeFeatCols, col("y"), 1L, path)
+      val mStore = RidgeStore.fit(s, path, lambda = 10L)
+      val mScan = Ridge.fit(f, ridgeFeatCols, col("y"), lambda = 10L)
+      val identical = mStore.n == mScan.n && mStore.detA == mScan.detA &&
+        mStore.detAi.sameElements(mScan.detAi) &&
+        mStore.wQ6.sameElements(mScan.wQ6) &&
+        mStore.gram == mScan.gram && mStore.b.sameElements(mScan.b)
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      f.withColumn("pred_q6", Ridge.scoreCol(ridgeFeatCols, mStore))
+        .withColumn("store_scan_identical", lit(identical))
+        .select("doc_id", "x1", "x2", "y", "pred_q6",
+          "store_scan_identical")
+    },
+
     // to fit-from-scan — machine-checked across every loading, eigenvalue
     // and mean (the strongest store contract in the repo: exact, not
     // approximate)
@@ -1018,7 +1093,77 @@ object MlQueries {
         .createTrainingPairs(nmRaw, createNegativeSampleFraction = 0.5, seed = 42)
     })
 
+  /** q467/q468 feature replay — same arithmetic as [[ridgeFeats]]: the
+    * q188 signed-md5-bucket sums as list HOFs, strlen target. */
+  private lazy val ridgeFeatsSql: String = {
+    def hx(b: Int): String =
+      s"""CAST(coalesce(list_sum(list_transform(
+           list_filter(string_split(trim(text), ' '), t -> t <> ''),
+           t -> CASE WHEN CAST(concat('0x', substr(md5(t), 1, 12))
+                          AS UBIGINT) % 8 = $b
+                     THEN CASE WHEN (CAST(concat('0x', substr(md5(t), 1, 12))
+                                          AS UBIGINT) // 8) % 2 = 0
+                               THEN 1 ELSE -1 END
+                     ELSE 0 END)), 0) AS BIGINT)"""
+    s"""SELECT doc_id, ${hx(0)} AS x1, ${hx(1)} AS x2,
+         CAST(strlen(text) AS BIGINT) AS y
+       FROM documents WHERE text IS NOT NULL"""
+  }
+
+  /** Moments + Cramer dets in HUGEINT (λ = 10), shared by both ridge
+    * oracles. Truncating `//` matches the Scala BigInt quantization. */
+  private lazy val ridgeDetsSql: String =
+    s"""WITH f AS MATERIALIZED ($ridgeFeatsSql),
+       mo AS (
+         SELECT CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(x1) AS HUGEINT) AS s1,
+                CAST(sum(x2) AS HUGEINT) AS s2,
+                CAST(sum(x1 * x1) AS HUGEINT) AS m11,
+                CAST(sum(x1 * x2) AS HUGEINT) AS m12,
+                CAST(sum(x2 * x2) AS HUGEINT) AS m22,
+                CAST(sum(y) AS HUGEINT) AS b0,
+                CAST(sum(x1 * y) AS HUGEINT) AS b1,
+                CAST(sum(x2 * y) AS HUGEINT) AS b2
+         FROM f),
+       aa AS (
+         SELECT *, n + 10 AS a11, s1 AS a12, s2 AS a13,
+                m11 + 10 AS a22, m12 AS a23, m22 + 10 AS a33
+         FROM mo),
+       dets AS (
+         SELECT *,
+           a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+             + a13*(a12*a23 - a22*a13) AS detA,
+           b0*(a22*a33 - a23*a23) - a12*(b1*a33 - a23*b2)
+             + a13*(b1*a23 - a22*b2) AS det0,
+           a11*(b1*a33 - a23*b2) - b0*(a12*a33 - a23*a13)
+             + a13*(a12*b2 - b1*a13) AS det1,
+           a11*(a22*b2 - a23*b1) - a12*(a12*b2 - b1*a13)
+             + b0*(a12*a23 - a22*a13) AS det2
+         FROM aa),
+       w AS (
+         SELECT *, det0 * 1000000 // detA AS w0,
+                det1 * 1000000 // detA AS w1,
+                det2 * 1000000 // detA AS w2
+         FROM dets)"""
+
   val oracleSql: Map[String, String] = Map(
+    "q467_ridge_exact_fit" ->
+      s"""$ridgeDetsSql
+         SELECT CAST(n AS BIGINT) AS n, CAST(10 AS BIGINT) AS lambda,
+                CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+                CAST(m11 AS BIGINT) AS m11, CAST(m12 AS BIGINT) AS m12,
+                CAST(m22 AS BIGINT) AS m22, CAST(b0 AS BIGINT) AS b0,
+                CAST(b1 AS BIGINT) AS b1, CAST(b2 AS BIGINT) AS b2,
+                CAST(w0 AS BIGINT) AS w0_q6, CAST(w1 AS BIGINT) AS w1_q6,
+                CAST(w2 AS BIGINT) AS w2_q6
+         FROM w""",
+    "q468_ridge_store_apply" ->
+      s"""$ridgeDetsSql
+         SELECT f.doc_id, f.x1, f.x2, f.y,
+                CAST(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 AS BIGINT)
+                  AS pred_q6,
+                TRUE AS store_scan_identical
+         FROM f CROSS JOIN w""",
     "q392_shapley_attribution" ->
       """WITH fp AS (SELECT user_id, min(ts) AS pts FROM events
                      WHERE event_type = 'purchase' GROUP BY 1),

@@ -100,6 +100,65 @@ class Round18Spec extends SparkSpec {
     assert(extractOne("<p>&amp;#65; stays</p>") == "&#65; stays")
   }
 
+  // ---- exact ridge regression (r17 directive #2) --------------------
+
+  test("ridge: hand-computed 3x3 fixture recovers the EXACT Cramer " +
+      "rationals — det(A)=35, numerators (50,36,64), weights truncated") {
+    import graft.ml.Ridge
+    // rows (x1,x2,y) = (2,0,4),(0,2,6) with intercept, lambda=1:
+    // A = X'X + I = [[3,2,2],[2,5,0],[2,0,5]], b = [10,8,12]
+    val df = Seq((2L, 0L, 4L), (0L, 2L, 6L)).toDF("x1", "x2", "y")
+    val m = Ridge.fit(df, Seq(lit(1L), col("x1"), col("x2")), col("y"), 1L)
+    assert(m.detA == BigInt(35))
+    assert(m.detAi.toSeq == Seq(BigInt(50), BigInt(36), BigInt(64)))
+    // 50e6/35 = 1428571.42.., 36e6/35 = 1028571.42.., 64e6/35 = 1828571.42..
+    assert(m.wQ6.toSeq == Seq(1428571L, 1028571L, 1828571L))
+    val preds = df.withColumn("p",
+      Ridge.scoreCol(Seq(lit(1L), col("x1"), col("x2")), m))
+      .select("p").as[Long].collect().toSeq
+    assert(preds == Seq(1428571L + 2 * 1028571L, 1428571L + 2 * 1828571L))
+  }
+
+  test("ridge: a negative weight quantizes by truncation toward zero " +
+      "(the BigInt / DuckDB // shared semantics, NOT floor)") {
+    import graft.ml.Ridge
+    // single feature, no intercept: A = [Σx²+λ] = [8+2] = [10],
+    // b = [Σxy] = [-15] → w = -1.5 exactly... use b=-17: w = -1.7
+    val df = Seq((2L, -7L), (2L, -1L), (0L, 9L)).toDF("x", "y")
+    val m = Ridge.fit(df, Seq(col("x")), col("y"), 2L)
+    assert(m.detA == BigInt(10) && m.detAi.toSeq == Seq(BigInt(-16)))
+    assert(m.wQ6.toSeq == Seq(-1600000L))
+    val m2 = Ridge.fitFromMoments(Map((0, 0) -> BigInt(8)),
+      Array(BigInt(-17)), 3L, 2L)
+    assert(m2.wQ6.toSeq == Seq(-1700000L))
+    val m3 = Ridge.fitFromMoments(Map((0, 0) -> BigInt(5)),
+      Array(BigInt(-17)), 3L, 2L)
+    // -17/7 = -2.428..: truncation gives -2428571, floor would -2428572
+    assert(m3.wQ6.toSeq == Seq(-2428571L))
+  }
+
+  test("ridge store: refit from two appended batches is bit-identical " +
+      "to fit-from-scan, and a resumed append stays mergeable") {
+    import graft.ml.{Ridge, RidgeStore}
+    val p = tmp("ridgestore")
+    try {
+      val df = Seq((1L, 2L, 0L, 4L), (2L, 0L, 2L, 6L), (3L, 1L, 1L, 5L),
+        (4L, 3L, 2L, 9L)).toDF("id", "x1", "x2", "y")
+      val feats = Seq(lit(1L), col("x1"), col("x2"))
+      RidgeStore.appendBatch(df.filter(col("id") <= 2), feats, col("y"),
+        0L, p, overwrite = true)
+      RidgeStore.appendBatch(df.filter(col("id") > 2), feats, col("y"),
+        1L, p)
+      val mStore = RidgeStore.fit(spark, p, 1L)
+      val mScan = Ridge.fit(df, feats, col("y"), 1L)
+      assert(mStore.n == mScan.n && mStore.detA == mScan.detA)
+      assert(mStore.detAi.toSeq == mScan.detAi.toSeq)
+      assert(mStore.wQ6.toSeq == mScan.wQ6.toSeq)
+      assert(mStore.gram == mScan.gram)
+      assert(mStore.b.toSeq == mScan.b.toSeq)
+    } finally rm(p)
+  }
+
   // ---- signature ledger: bucket layout persisted and validated ------
 
   test("sigLedger persists nBuckets at create time and rejects a probe " +
