@@ -162,6 +162,45 @@ object CorpusQueries {
   private def tmp(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_$name"
 
+  /** One crawl cycle's robots gate + per-host budget as a reusable CTE
+    * chain over a `(canonical_url, source)` relation `src`: emits
+    * `out$n` = that cycle's fetch list tagged `cycle = n`. Shared by the
+    * q469 two-day streaming replay. */
+  private def gateCapCte(src: String, n: Int): String =
+    s"""fh$n AS (
+         SELECT canonical_url, source,
+                regexp_extract(canonical_url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                regexp_replace(canonical_url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS path
+         FROM $src),
+       m$n AS (
+         SELECT f.canonical_url, r.allow,
+                row_number() OVER (PARTITION BY f.canonical_url
+                  ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix)
+                  AS rn
+         FROM fh$n f JOIN rules r
+           ON r.host = f.host AND starts_with(f.path, r.prefix)),
+       best$n AS (SELECT canonical_url, allow AS rule_allow
+                  FROM m$n WHERE rn = 1),
+       gated$n AS (
+         SELECT f.host, f.canonical_url, f.source
+         FROM fh$n f LEFT JOIN best$n b USING (canonical_url)
+         WHERE coalesce(b.rule_allow, TRUE)),
+       out$n AS (
+         SELECT CAST($n AS BIGINT) AS cycle, host,
+                CAST(fetch_rank AS INT) AS fetch_rank, canonical_url,
+                source
+         FROM (
+           SELECT host, canonical_url, source,
+                  row_number() OVER (PARTITION BY host
+                    ORDER BY CASE WHEN source = 'sitemap' THEN 0
+                                  WHEN source = 'feed' THEN 1
+                                  ELSE 2 END, canonical_url)
+                    AS fetch_rank
+           FROM gated$n)
+         WHERE fetch_rank <= 100)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SOURCE-CONCENTRATION AUDIT — the inequality report behind q199's
     // single top-source check: discrete Gini coefficient (Lorenz order),
@@ -638,6 +677,73 @@ object CorpusQueries {
       out
     },
 
+    // STREAMING CRAWL CYCLE — q464's production loop driven by Structured
+    // Streaming (r17 judge directive #3, the q404 recipe at frontier
+    // grain): each crawl day lands as a parquet file batch, foreachBatch
+    // runs canonicalize → in-batch provenance dedup → seen-URL ledger
+    // probe+append → robots gate → per-host politeness cap and writes
+    // that cycle's fetch list; the checkpoint makes a THIRD restart with
+    // no new files process nothing (restart unit asserts the ledger is
+    // byte-stable). Batch ids continue across runs through the
+    // checkpoint, so cycle 0 = day 1, cycle 1 = day 2, and the oracle
+    // replays both days' fetch lists as day-split set logic + gate + cap
+    "q469_stream_crawl_cycle" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val docs = t(s, dir, "documents")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q469_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(base))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(base, "data"))
+      val ledger = s"$base/ledger"
+      val rules = Seq(
+        ("example.com", "/articles/1", false),
+        ("example.com", "/articles/12", true),
+        ("cdn.example.com:8443", "/", false))
+        .toDF("host", "prefix", "allow")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(schema).parquet(s"$base/data")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val fresh = Dedup.exactIncremental(urlFrontier(batch), ledger,
+                textCol = "canonical_url", idCol = "source")
+              .filter(col("is_new"))
+              .select(col("canonical_url"), col("source"))
+            val gated = graft.functions.Robots
+              .gate(fresh, "canonical_url", rules)
+              .filter(col("allowed"))
+              .withColumn("prio", when(col("source") === "sitemap", 0)
+                .when(col("source") === "feed", 1).otherwise(2))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("host")
+              .orderBy(col("prio"), col("canonical_url"))
+            gated
+              .withColumn("fetch_rank", row_number().over(w).cast("int"))
+              .filter(col("fetch_rank") <= 100)
+              .select(lit(batchId).as("cycle"), col("host"),
+                col("fetch_rank"), col("canonical_url"), col("source"))
+              .write.mode("overwrite").parquet(s"$base/out/b$batchId")
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      docs.filter(col("doc_id") % 3 =!= 2).select("doc_id")
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce() // day 1: everything is fresh, the ledger seeds
+      docs.select("doc_id")
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce() // day 2: re-sees day 1 + new docs; only new survive
+      runOnce() // restart with nothing new: checkpoint processes nothing
+      val out = s.read.parquet(s"$base/out/b*").localCheckpoint()
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(base))
+      out
+    },
+
     // provenance-priority dedup (canonicalization policy: among verbatim
     // copies keep the most-trusted source's doc, not an arbitrary or
     // minimum id — the rule real corpora apply when wiki/original beats
@@ -1102,6 +1208,38 @@ object CorpusQueries {
                     AS fetch_rank
            FROM gated)
          WHERE fetch_rank <= 100""",
+    "q469_stream_crawl_cycle" ->
+      s"""WITH canon AS MATERIALIZED ($urlCanonSql),
+         rules(host, prefix, allow) AS (VALUES
+           ('example.com', '/articles/1', FALSE),
+           ('example.com', '/articles/12', TRUE),
+           ('cdn.example.com:8443', '/', FALSE)),
+         fr1 AS (
+           SELECT canonical_url, source FROM (
+             SELECT canonical_url, source,
+                    row_number() OVER (PARTITION BY canonical_url
+                      ORDER BY prio, source, url) AS rn
+             FROM (SELECT *, CASE WHEN source = 'sitemap' THEN 0
+                                  WHEN source = 'feed' THEN 1
+                                  ELSE 2 END AS prio FROM canon
+                   WHERE doc_id % 3 <> 2))
+           WHERE rn = 1),
+         ${gateCapCte("fr1", 0)},
+         fr2 AS (
+           SELECT canonical_url, source FROM (
+             SELECT canonical_url, source,
+                    row_number() OVER (PARTITION BY canonical_url
+                      ORDER BY prio, source, url) AS rn
+             FROM (SELECT *, CASE WHEN source = 'sitemap' THEN 0
+                                  WHEN source = 'feed' THEN 1
+                                  ELSE 2 END AS prio FROM canon))
+           WHERE rn = 1),
+         day1 AS (SELECT DISTINCT canonical_url FROM canon
+                  WHERE doc_id % 3 <> 2),
+         fresh AS (SELECT * FROM fr2 WHERE canonical_url NOT IN
+                   (SELECT canonical_url FROM day1)),
+         ${gateCapCte("fresh", 1)}
+         SELECT * FROM out0 UNION ALL SELECT * FROM out1""",
     "q163_provenance_dedup" ->
       """WITH snaps AS (
            SELECT doc_id, text, source FROM documents

@@ -100,6 +100,55 @@ class Round18Spec extends SparkSpec {
     assert(extractOne("<p>&amp;#65; stays</p>") == "&#65; stays")
   }
 
+  // ---- streaming crawl cycle restart (r17 directive #3) -------------
+
+  test("streaming seen-URL ledger: a checkpointed restart with no new " +
+      "files appends nothing — ledger row count and per-cycle outputs " +
+      "are stable across the third run") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmp("streamcrawl")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(base, "data"))
+    val ledger = s"$base/ledger"
+    try {
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+      def runOnce(): Unit = {
+        val q = spark.readStream.schema(schema).parquet(s"$base/data")
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val fr = b.select(
+              concat(lit("https://ex/"), col("doc_id").cast("string"))
+                .as("canonical_url"),
+              lit("crawl").as("source"))
+            Dedup.exactIncremental(fr, ledger,
+                textCol = "canonical_url", idCol = "source")
+              .filter(col("is_new"))
+              .write.mode("overwrite").parquet(s"$base/out/b$id")
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      (1L to 20L).toDF("doc_id")
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      assert(spark.read.parquet(ledger).count() == 20)
+      (1L to 30L).toDF("doc_id")
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+      runOnce()
+      assert(spark.read.parquet(ledger).count() == 30,
+        "day 2 must append exactly the 10 never-seen urls")
+      assert(spark.read.parquet(s"$base/out/b1").count() == 10)
+      runOnce() // restart, nothing new
+      assert(spark.read.parquet(ledger).count() == 30,
+        "a restart with no new files must append nothing")
+      val b2 = new java.io.File(s"$base/out/b2")
+      assert(!b2.exists() || spark.read.parquet(b2.toString).count() == 0,
+        "a restart must not produce a third non-empty cycle")
+    } finally rm(base)
+  }
+
   // ---- exact ridge regression (r17 directive #2) --------------------
 
   test("ridge: hand-computed 3x3 fixture recovers the EXACT Cramer " +
