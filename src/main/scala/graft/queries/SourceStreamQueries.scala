@@ -89,6 +89,33 @@ object SourceStreamQueries {
           size(col("headers")).cast("long").as("n_headers"))
     },
 
+    // WREC SINK ROUND-TRIP — the WRITE side of the crawl-record format:
+    // callers hand the sink (url, record_type, payload) and it derives
+    // the framing (Content-Length from the bytes, Content-Digest as the
+    // Spark-seed xxh64), one file per input partition. Reading the
+    // archive back through the SOURCE re-verifies every digest, so
+    // valid=TRUE across the board IS the integrity assertion — a sink
+    // whose digest or length drifted from the reader's semantics would
+    // hash-fail here, not in production
+    "q471_wrec_sink_roundtrip" -> { (s, dir) =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q471_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val url = concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/doc/"), col("doc_id").cast("string"))
+      docs.select(url.as("url"),
+          when(col("doc_id") % 5 === 0, lit("request"))
+            .otherwise(lit("response")).as("record_type"),
+          col("text").cast("binary").as("payload"))
+        .write.format("graft.sources.CrawlRecordSinkDataSource")
+        .mode("append").save(path)
+      s.read.format("graft.sources.CrawlRecordDataSource").load(path)
+        .select(col("url"), col("record_type"), col("content_length"),
+          col("valid"),
+          octet_length(col("payload")).cast("long").as("payload_bytes"))
+    },
+
     // CRAWL-RECORD QUARANTINE — the BinaryMedia strict-decode discipline
     // at the source boundary: a deterministic 1-in-10 of the response
     // records declares a WRONG payload digest and a 1-in-13 omits the
@@ -1365,6 +1392,15 @@ object SourceStreamQueries {
          FROM bc
          JOIN vocab v1 ON v1.term = bc.w1
          JOIN vocab v2 ON v2.term = bc.w2""",
+    "q471_wrec_sink_roundtrip" ->
+      """SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+                '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                CASE WHEN doc_id % 5 = 0 THEN 'request'
+                     ELSE 'response' END AS record_type,
+                CAST(strlen(text) AS BIGINT) AS content_length,
+                TRUE AS valid,
+                CAST(strlen(text) AS BIGINT) AS payload_bytes
+         FROM documents WHERE text IS NOT NULL""",
     "q465_crawl_record_source" ->
       """SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
                 '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,

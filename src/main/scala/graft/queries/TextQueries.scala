@@ -1070,6 +1070,54 @@ object TextQueries {
             coalesce(col("entropy_nats"), lit(0.0)) >= 2.0)
     },
 
+    // CRAWL CANDIDATES FROM BYTES — the whole front half of the corpus
+    // pipeline composed from the RAW ARCHIVE: the WREC sink writes each
+    // document's markup as a digest-framed response record under its
+    // NOISY crawl url, the DSv2 source reads the archive back (digest
+    // verified), the doc id is recovered FROM the url (the crawl
+    // reality — no side-channel id), `Urls.canonicalize` normalizes the
+    // noisy url (case/port/fragment/tracking-param/param-order — the
+    // q459 rule chain, asserted against the hand-derivable canonical
+    // form) and q457's extraction plus the q458 word/stopword screen
+    // turn payload bytes into keep verdicts. Records → extract →
+    // canonicalize → screen, one query, every stage oracle-replayed
+    "q470_crawl_candidates_from_bytes" -> { (s, dir) =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q470_" +
+        s.sparkContext.applicationId
+      graft.operators.FsUtil.deleteRecursively(new java.io.File(path))
+      val fx = htmlFixture(t(s, dir, "documents"))
+      fx.select(
+          concat(lit("HTTP://Example.COM:80/articles/"),
+            col("doc_id").cast("string"),
+            lit("?utm_source=feed&b=2&a=1#frag")).as("url"),
+          lit("response").as("record_type"),
+          col("html").cast("binary").as("payload"))
+        .write.format("graft.sources.CrawlRecordSinkDataSource")
+        .mode("append").save(path)
+      val recs = s.read.format("graft.sources.CrawlRecordDataSource")
+        .load(path)
+        .filter(col("record_type") === "response" && col("valid"))
+        .select(regexp_extract(col("url"), "articles/(\\d+)", 1)
+            .cast("long").as("rec_id"),
+          graft.functions.Urls.canonicalize(col("url"))
+            .as("canonical_url"),
+          col("payload").cast("string").as("html"))
+      val ex = graft.preprocess.HtmlText.extract(recs, "html", "rec_id")
+      val canon = recs.select(col("rec_id").as("doc_id"),
+        col("canonical_url"))
+      val text = col("text")
+      val nWords = size(split(trim(text), "\\s+")).cast("int")
+      val nStop = regexp_count(text, lit("\\b(the|a|of|and)\\b"))
+        .cast("int")
+      ex.join(canon, "doc_id")
+        .select(col("doc_id"), col("canonical_url"),
+          col("n_lines_kept"), col("n_chars"),
+          nWords.as("n_words"), nStop.as("stop_hits"))
+        .withColumn("keep", col("n_words") >= 20 &&
+          col("stop_hits").cast("double") /
+            greatest(col("n_words"), lit(1)).cast("double") >= 0.01)
+    },
+
     // WINNOWING LEDGER OCCUPANCY — the q409 observability surface at
     // winnowing grain: per-bucket row and data-file counts (the listing
     // cost the pruned probe actually pays). Two one-file-per-bucket
@@ -2278,6 +2326,28 @@ object TextQueries {
     // rule chain in the same order (blocks, breaks, tags, entities with
     // amp last, per-line collapse, the two boilerplate rules)
     "q457_html_extract" -> htmlExtractSql,
+    // the canonical form is hand-derivable from the fixture url (http
+    // default port strips, utm_ drops, params sort), so the oracle
+    // CONSTRUCTS it rather than replaying the rule chain (q459 already
+    // replays the full chain); extraction + screen replay as in q458
+    "q470_crawl_candidates_from_bytes" ->
+      s"""WITH ex AS MATERIALIZED ($htmlExtractSql)
+         SELECT doc_id,
+                'http://example.com/articles/' || CAST(doc_id AS VARCHAR)
+                  || '?a=1&b=2' AS canonical_url,
+                n_lines_kept, n_chars,
+                CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                     AS INT) AS n_words,
+                CAST(len(regexp_extract_all(text, '\\b(the|a|of|and)\\b'))
+                     AS INT) AS stop_hits,
+                (CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                      AS INT) >= 20 AND
+                 CAST(len(regexp_extract_all(text,
+                        '\\b(the|a|of|and)\\b')) AS DOUBLE)
+                   / CAST(greatest(CAST(len(regexp_split_to_array(
+                        trim(text), '\\s+')) AS INT), 1) AS DOUBLE)
+                   >= 0.01) AS keep
+         FROM ex""",
     // the extraction nested, then the q23 quality arithmetic and the
     // q410 round-9 DECIMAL entropy over the EXTRACTED text + the
     // declared keep verdict

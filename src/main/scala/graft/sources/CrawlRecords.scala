@@ -92,6 +92,12 @@ object CrawlRecords {
     StructField("valid", BooleanType, nullable = false),
     StructField("error", StringType)))
 
+  /** What the SINK accepts: framing fields are derived, not provided. */
+  val writeSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("record_type", StringType),
+    StructField("payload", BinaryType)))
+
   /** xxhash64 with Spark SQL's seed — the digest the `xxhash64()` function
     * computes, so fixtures can declare digests relationally. */
   def xxh64(bytes: Array[Byte]): Long =
@@ -108,6 +114,113 @@ private[sources] class CrawlRecordTable(path: String)
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CrawlRecordScanBuilder(path)
+}
+
+/** The WRITE side of the WREC format — the sink a crawler's fetch stage
+  * appends archives through. A dedicated provider (not a capability on
+  * the read table) because the write SURFACE is narrower than the read
+  * schema: callers provide `(url, record_type, payload)` and the sink
+  * derives the framing — `Content-Length` from the payload bytes and
+  * `Content-Digest` as the Spark-seed xxh64 — so every archive it writes
+  * is self-verifying through [[CrawlRecordDataSource]]'s digest check.
+  *
+  * One file per input partition (`part-<partition>-<task>.wrec`), exactly
+  * the sharding the read side parallelizes over; task retries write to a
+  * distinct task-id name and abort deletes the orphan. Job commit is a
+  * no-op — files land complete or are deleted, the same non-atomic
+  * visibility contract as the parquet ledgers (documented, not hidden).
+  */
+class CrawlRecordSinkDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CrawlRecords.writeSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new CrawlRecordSinkTable(properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+private[sources] class CrawlRecordSinkTable(path: String)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def name(): String = s"crawl_records_sink($path)"
+  override def schema(): StructType = CrawlRecords.writeSchema
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_WRITE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              info: PhysicalWriteInfo): DataWriterFactory = {
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(path))
+            new CrawlRecordWriterFactory(path)
+          }
+          override def commit(
+              messages: Array[WriterCommitMessage]): Unit = ()
+          override def abort(
+              messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+}
+
+private[sources] class CrawlRecordWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new CrawlRecordWriter(path, partitionId, taskId)
+}
+
+private[sources] case object CrawlRecordsWritten
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Per-partition record writer: streams records out in row order, file
+  * opened lazily so empty partitions leave no file behind. Row layout is
+  * [[CrawlRecords.writeSchema]]: (url, record_type, payload). */
+private[sources] class CrawlRecordWriter(path: String, partitionId: Int,
+                                         taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val file = new java.io.File(path, f"part-$partitionId%05d-$taskId.wrec")
+  private var out: java.io.BufferedOutputStream = _
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null)
+      out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(file), 1 << 16)
+    val url = if (row.isNullAt(0)) null else row.getUTF8String(0).toString
+    val tpe = if (row.isNullAt(1)) null else row.getUTF8String(1).toString
+    require(url != null && tpe != null,
+      "crawl-record sink: url and record_type must be non-null")
+    val payload = if (row.isNullAt(2)) Array.empty[Byte] else row.getBinary(2)
+    val head = new StringBuilder(CrawlRecords.Magic).append("\r\n")
+      .append("Record-Type: ").append(tpe).append("\r\n")
+      .append("Target-URI: ").append(url).append("\r\n")
+      .append(f"Content-Digest: xxh64:${CrawlRecords.xxh64(payload)}%016x\r\n")
+      .append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+    out.write(head.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.write(payload)
+    out.write('\r'.toInt); out.write('\n'.toInt)
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (out != null) out.close()
+    CrawlRecordsWritten
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    file.delete()
+  }
+
+  override def close(): Unit = if (out != null) { out.close(); out = null }
 }
 
 private[sources] class CrawlRecordScanBuilder(path: String)

@@ -145,6 +145,55 @@ class CrawlRecordsSpec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(dir.toFile)
   }
 
+  test("sink round-trip: the writer derives length + digest, the source " +
+      "verifies them; empty partitions leave no file") {
+    val dir = tmpDir()
+    val df = Seq(
+      ("https://t/1", "response", "payload with\r\nembedded CRLF"),
+      ("https://t/2", "request", ""),
+      ("https://t/3", "response", "plain"))
+      .toDF("url", "record_type", "payload_s")
+      .select(col("url"), col("record_type"),
+        col("payload_s").cast("binary").as("payload"))
+      .repartition(8)
+    df.write.format("graft.sources.CrawlRecordSinkDataSource")
+      .mode("append").save(dir.toString)
+    val files = dir.toFile.listFiles().filter(_.getName.endsWith(".wrec"))
+    assert(files.nonEmpty && files.length <= 3,
+      s"empty partitions must not leave files: ${files.length} of 8")
+    val back = read(dir).collect()
+    assert(back.length == 3)
+    assert(back.forall(_.getAs[Boolean]("valid")),
+      "every sink-written digest must verify through the source")
+    val byUrl = back.map(r => r.getAs[String]("url") -> r).toMap
+    assert(new String(byUrl("https://t/1").getAs[Array[Byte]]("payload"),
+      StandardCharsets.UTF_8) == "payload with\r\nembedded CRLF")
+    assert(byUrl("https://t/2").getAs[Long]("content_length") == 0L)
+    // the digest header the sink wrote matches spark's own xxhash64
+    val raw = new String(Files.readAllBytes(files.minBy(_.getName).toPath),
+      StandardCharsets.UTF_8)
+    assert(raw.contains("Content-Digest: xxh64:"),
+      "sink records must carry a digest header")
+    graft.operators.FsUtil.deleteRecursively(dir.toFile)
+  }
+
+  test("sink rejects a NULL url loudly instead of framing a broken record") {
+    val dir = tmpDir()
+    val df = Seq((Option.empty[String], "response", "x"))
+      .toDF("url", "record_type", "payload_s")
+      .select(col("url"), col("record_type"),
+        col("payload_s").cast("binary").as("payload"))
+    val e = intercept[Exception] {
+      df.write.format("graft.sources.CrawlRecordSinkDataSource")
+        .mode("append").save(dir.toString)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("must be non-null")), s"got $e")
+    graft.operators.FsUtil.deleteRecursively(dir.toFile)
+  }
+
   test("multi-file directory: one partition per file, all records read") {
     val dir = tmpDir()
     writeFile(dir, "a.wrec", record("response", "https://t/a", "a".getBytes))

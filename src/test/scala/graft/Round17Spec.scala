@@ -324,7 +324,10 @@ class Round17Spec extends SparkSpec {
       val base = rows(graft.search.Bm25.topKIndexed(qs, p, k = 10))
       graft.search.Bm25.deleteFromIndex(
         Seq(99999999L).toDF("doc_id"), p)
-      assert(spark.read.parquet(s"$p/tombstones").count() == 0,
+      // since the r17 ADVICE fix an all-absent delete appends NOTHING —
+      // not even the tombstones dir (Round18Spec locks that), so the
+      // no-op surface here is simply "no dir, no score change"
+      assert(!new java.io.File(s"$p/tombstones").exists(),
         "an absent id must not produce a tombstone row")
       assert(rows(graft.search.Bm25.topKIndexed(qs, p, k = 10)) == base,
         "deleting an absent id must not change any score")
@@ -350,10 +353,11 @@ class Round17Spec extends SparkSpec {
       assert(b2 == a2 && b2 == a1, "retried vacuum must be a no-op")
       assert(rows(graft.search.Bm25.topKIndexed(qs, p, k = 10)) == pre)
       // re-delete of an id vacuumed away: postings hold no rows for it,
-      // so it is dropped and stats stay exact
+      // so it is dropped — and (r17 ADVICE fix) an all-absent delete
+      // appends nothing, leaving no tombstones dir at all
       graft.search.Bm25.deleteFromIndex(
         docs.filter(col("doc_id") % 3 === 0), p)
-      assert(spark.read.parquet(s"$p/tombstones").count() == 0)
+      assert(!new java.io.File(s"$p/tombstones").exists())
       assert(rows(graft.search.Bm25.topKIndexed(qs, p, k = 10)) == pre,
         "re-deleting vacuumed ids must not skew n_docs/avgdl")
     } finally { rm(p) }
