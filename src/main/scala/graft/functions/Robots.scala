@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Robots-style fetch gating — the step a crawler runs BETWEEN frontier
@@ -32,6 +33,64 @@ object Robots {
 
   private val hostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
   private val pathQueryRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+  /** robots.txt PARSING — the rule-acquisition step [[gate]] declared out
+    * of scope, now that the crawl-record source delivers fetched bytes:
+    * `(host, robots_txt)` rows parse to the `(host, prefix, allow)`
+    * relation the gate consumes, for the UNIVERSAL agent. Declared rules
+    * (RFC 9309 reduced to the relational core):
+    *
+    *  - lines split on '\n' (trailing '\r' trimmed), `#` comments strip
+    *    to end of line, surrounding whitespace trims;
+    *  - a directive is `name: value` with a case-insensitive name;
+    *  - consecutive `User-agent` lines open a GROUP and share its rules;
+    *    any other line ends the agent list, and a later `User-agent`
+    *    line starts a NEW group (the RFC's group semantics; a comment
+    *    between agent lines splitting the list is a declared
+    *    simplification);
+    *  - `Allow`/`Disallow` rows attach to the current group; an EMPTY
+    *    value ("Disallow:" = nothing disallowed) emits no rule; other
+    *    directives (Crawl-delay, Sitemap) are ignored;
+    *  - only groups whose agent list contains `*` survive — the engine
+    *    evaluates for the universal agent by declaration.
+    *
+    * Shape: one posexplode over the robots files (robots-sized, never
+    * frontier-sized), the group id a per-host running sum — every window
+    * is host-partitioned, nothing global.
+    */
+  def parseRules(robots: DataFrame, hostCol: String,
+                 txtCol: String): DataFrame = {
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("ln", "raw")))
+      .select(col("host"), col("ln"),
+        // '\r' strips explicitly — trim() is space-only in both engines
+        trim(regexp_replace(regexp_replace(col("raw"), "\r", ""),
+          "#.*", "")).as("line"))
+      .withColumn("name",
+        lower(trim(substring_index(col("line"), ":", 1))))
+      .withColumn("value",
+        when(col("line").contains(":"),
+          trim(regexp_replace(col("line"), "^[^:]*:", "")))
+          .otherwise(lit("")))
+      .withColumn("is_ua", col("name") === "user-agent")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("ln")
+    val grouped = lines
+      .withColumn("group_start",
+        col("is_ua") && !coalesce(lag(col("is_ua"), 1).over(w), lit(false)))
+      .withColumn("gid",
+        sum(when(col("group_start"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val starGroups = grouped
+      .filter(col("is_ua") && col("value") === "*")
+      .select("host", "gid").distinct()
+    grouped
+      .filter(col("name").isin("allow", "disallow") && col("value") =!= "")
+      .join(starGroups, Seq("host", "gid"))
+      .select(col("host"), col("value").as("prefix"),
+        (col("name") === "allow").as("allow"))
+  }
 
   /** Gate `frontier` rows through `rules` (host, prefix, allow). Adds
     * `host`, `allowed`, and the winning rule's (`rule_prefix`,

@@ -162,6 +162,36 @@ object CorpusQueries {
   private def tmp(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_$name"
 
+  /** q472/q473 fixture: one page per document at a two-level path whose
+    * markup carries one anchor per declared resolution case (absolute,
+    * protocol-relative, root-relative, path-relative, ../, ./, fragment,
+    * sibling pages at +2 steps, a dropped mailto:) plus non-anchor /
+    * comment / script traps that must never extract. Built by the same
+    * string arithmetic the oracles hand-derive the expected outlinks
+    * from. */
+  private def linkPages(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    docs.select(col("doc_id"),
+      concat(lit("https://example.com/articles/sub/"), id, lit(".html"))
+        .as("page_url"),
+      concat(
+        lit("<html><body><a href=\"https://other.example/abs/"), id,
+        lit("\">a</a><a href=\"//cdn.example.com/pr/"), id,
+        lit("\">p</a><a href=\"/root/"), id,
+        lit("?b=2&a=1\">r</a><a href=\"next/"),
+        (col("doc_id") + 1).cast("string"),
+        lit(".html\">n</a><a href=\"../up/"), id,
+        lit(".html\">u</a><a href='./same/"), id,
+        lit(".html'>s</a><a href=\"#frag\">f</a><a href=\""), id,
+        lit(".html#also-self\">x</a><a href=\""),
+        (col("doc_id") + 2).cast("string"),
+        lit(".html\">y</a><a href=\"mailto:x@example.com\">m</a>" +
+          "<link href=\"/style.css\">" +
+          "<!-- <a href=\"/hidden\">h</a> -->" +
+          "<script>var s = '<a href=\"/js\">';</script></body></html>"))
+        .as("html"))
+  }
+
   /** One crawl cycle's robots gate + per-host budget as a reusable CTE
     * chain over a `(canonical_url, source)` relation `src`: emits
     * `out$n` = that cycle's fetch list tagged `cycle = n`. Shared by the
@@ -677,6 +707,98 @@ object CorpusQueries {
       out
     },
 
+    // LINK EXTRACTION + REFERENCE RESOLUTION — the DISCOVERY half of the
+    // crawl loop (q459's hygiene is the other half): every anchor href
+    // in the block-stripped markup, resolved against the page's own URL
+    // through the declared RFC 3986-lite cases (absolute, protocol- and
+    // root-relative, path-relative with fixed-depth ../ and ./ collapse,
+    // fragment → self, non-hierarchical schemes dropped) and then
+    // canonicalized. The fixture carries one anchor per case plus
+    // link-tag / comment / script traps that must never extract; the
+    // oracle hand-derives every expected outlink by string arithmetic,
+    // so the whole regexp/HOF chain is conformance-checked row by row
+    // (the fragment and #also-self variants collapse to the SAME
+    // canonical — both rows expected)
+    "q472_link_extraction" -> { (s, dir) =>
+      val pages = linkPages(t(s, dir, "documents"))
+      pages
+        .select(col("doc_id"), col("page_url"),
+          explode(graft.functions.Links.hrefs(col("html"))).as("href"))
+        .select(col("doc_id"),
+          graft.functions.Urls.canonicalize(
+            graft.functions.Links.resolve(col("page_url"), col("href")))
+            .as("outlink"))
+        .filter(col("outlink").isNotNull)
+    },
+
+    // DISCOVERY-DRIVEN FRONTIER — the crawl loop CLOSED: day-1 fetched
+    // pages (the even ids) are scanned for links, the discovered
+    // canonicals dedup to a set, the already-fetched page urls anti-join
+    // out (self links and +2-step sibling links point INTO the fetched
+    // set, so both diff directions fire — except each tail page whose
+    // +2 sibling was never fetched), and the per-host politeness cap
+    // bounds the fetch list. Frontier built FROM page content, not a
+    // side-channel fixture — the "where do tomorrow's URLs come from"
+    // step q464 assumed away, all replayed as set logic over id
+    // arithmetic
+    "q473_discovery_frontier" -> { (s, dir) =>
+      val pages = linkPages(t(s, dir, "documents"))
+      val fetched = pages.filter(col("doc_id") % 2 === 0)
+      val seen = fetched.select(
+        graft.functions.Urls.canonicalize(col("page_url"))
+          .as("canonical_url"))
+      val discovered = fetched
+        .select(col("page_url"),
+          explode(graft.functions.Links.hrefs(col("html"))).as("href"))
+        .select(graft.functions.Urls.canonicalize(
+          graft.functions.Links.resolve(col("page_url"), col("href")))
+          .as("canonical_url"))
+        .filter(col("canonical_url").isNotNull)
+        .distinct()
+      val fresh = discovered.join(seen, Seq("canonical_url"), "left_anti")
+        .withColumn("host", regexp_extract(col("canonical_url"),
+          "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy("canonical_url")
+      fresh.withColumn("fetch_rank", row_number().over(w).cast("int"))
+        .filter(col("fetch_rank") <= 100)
+        .select("host", "fetch_rank", "canonical_url")
+    },
+
+    // ROBOTS RULES FROM BYTES — the rule-ACQUISITION step the q462 gate
+    // declared out of scope, closed: per-host robots.txt text parses
+    // relationally (comment strip, CRLF, case-insensitive directive
+    // names, multi-agent groups, group split after rules, empty Disallow
+    // dropped, Crawl-delay/Sitemap ignored, '*'-groups selected) into
+    // the (host, prefix, allow) relation and feeds the SAME gate over
+    // the SAME frontier as q462 — the parse noise is semantically
+    // identical to q462's declared VALUES rules, so q462's oracle IS
+    // this query's oracle: any parsing defect breaks the hash
+    "q474_robots_from_bytes" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val frontier = urlFrontier(t(s, dir, "documents"))
+      val robots = Seq(
+        ("example.com",
+          "# robots for example.com\r\n" +
+            "User-agent: evilbot\nDisallow: /\n\n" +
+            "User-agent: *\n" +
+            "Crawl-delay: 2\n" +
+            "DISALLOW: /articles/1   # block the 1x range\n" +
+            "Allow: /articles/12\n" +
+            "Disallow:\n"),
+        ("cdn.example.com:8443",
+          "User-agent: googlebot\nUser-agent: *\r\nDisallow: /\n" +
+            "Sitemap: https://cdn.example.com/sitemap.xml\n"),
+        ("never-crawled.example", "User-agent: *\nDisallow: /private\n"))
+        .toDF("host", "robots_txt")
+      val rules = graft.functions.Robots
+        .parseRules(robots, "host", "robots_txt")
+      graft.functions.Robots.gate(frontier, "canonical_url", rules)
+        .select("canonical_url", "host", "source", "allowed",
+          "rule_prefix")
+    },
+
     // STREAMING CRAWL CYCLE — q464's production loop driven by Structured
     // Streaming (r17 judge directive #3, the q404 recipe at frontier
     // grain): each crawl day lands as a parquet file batch, foreachBatch
@@ -1143,6 +1265,10 @@ object CorpusQueries {
     // rule matching, longest-match argmax and the crawl-by-default
     // fallback replayed row by row
     "q462_robots_gate" -> urlGateSql,
+    // the parsed robots.txt rules are semantically the q462 VALUES rules
+    // — same gate, same frontier, same oracle (the never-crawled host's
+    // rules have no frontier rows to affect)
+    "q474_robots_from_bytes" -> urlGateSql,
     // allowed survivors capped per host by (prio, url) row_number
     "q463_host_fetch_budget" ->
       s"""WITH g AS ($urlGateSql)
@@ -1240,6 +1366,66 @@ object CorpusQueries {
                    (SELECT canonical_url FROM day1)),
          ${gateCapCte("fresh", 1)}
          SELECT * FROM out0 UNION ALL SELECT * FROM out1""",
+    // every expected outlink hand-derived by string arithmetic — the
+    // regexp extraction + resolution + canonicalization chain must land
+    // exactly on these rows (incl. the duplicate self canonical from the
+    // two fragment-variant anchors); mailto and the three traps add none
+    "q472_link_extraction" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+                  CAST(doc_id + 1 AS VARCHAR) AS i1,
+                  CAST(doc_id + 2 AS VARCHAR) AS i2
+           FROM documents)
+         SELECT doc_id, 'https://other.example/abs/' || i AS outlink FROM d
+         UNION ALL SELECT doc_id, 'https://cdn.example.com/pr/' || i FROM d
+         UNION ALL SELECT doc_id,
+           'https://example.com/root/' || i || '?a=1&b=2' FROM d
+         UNION ALL SELECT doc_id,
+           'https://example.com/articles/sub/next/' || i1 || '.html' FROM d
+         UNION ALL SELECT doc_id,
+           'https://example.com/articles/up/' || i || '.html' FROM d
+         UNION ALL SELECT doc_id,
+           'https://example.com/articles/sub/same/' || i || '.html' FROM d
+         UNION ALL SELECT doc_id,
+           'https://example.com/articles/sub/' || i || '.html' FROM d
+         UNION ALL SELECT doc_id,
+           'https://example.com/articles/sub/' || i || '.html' FROM d
+         UNION ALL SELECT doc_id,
+           'https://example.com/articles/sub/' || i2 || '.html' FROM d""",
+    "q473_discovery_frontier" ->
+      """WITH ev AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+                  CAST(doc_id + 1 AS VARCHAR) AS i1,
+                  CAST(doc_id + 2 AS VARCHAR) AS i2
+           FROM documents WHERE doc_id % 2 = 0),
+         d AS (
+           SELECT 'https://other.example/abs/' || i AS u FROM ev
+           UNION SELECT 'https://cdn.example.com/pr/' || i FROM ev
+           UNION SELECT 'https://example.com/root/' || i || '?a=1&b=2'
+             FROM ev
+           UNION SELECT 'https://example.com/articles/sub/next/' || i1
+             || '.html' FROM ev
+           UNION SELECT 'https://example.com/articles/up/' || i || '.html'
+             FROM ev
+           UNION SELECT 'https://example.com/articles/sub/same/' || i
+             || '.html' FROM ev
+           UNION SELECT 'https://example.com/articles/sub/' || i
+             || '.html' FROM ev
+           UNION SELECT 'https://example.com/articles/sub/' || i2
+             || '.html' FROM ev),
+         seen AS (SELECT 'https://example.com/articles/sub/' || i
+             || '.html' AS u FROM ev),
+         fresh AS (SELECT u FROM d
+                   WHERE u NOT IN (SELECT u FROM seen)),
+         fh AS (SELECT u AS canonical_url,
+                  regexp_extract(u,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host
+                FROM fresh)
+         SELECT host, CAST(fetch_rank AS INT) AS fetch_rank, canonical_url
+         FROM (SELECT host, canonical_url,
+                 row_number() OVER (PARTITION BY host
+                   ORDER BY canonical_url) AS fetch_rank
+               FROM fh)
+         WHERE fetch_rank <= 100""",
     "q163_provenance_dedup" ->
       """WITH snaps AS (
            SELECT doc_id, text, source FROM documents

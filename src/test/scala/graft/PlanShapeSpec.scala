@@ -510,6 +510,40 @@ class PlanShapeSpec extends SparkSpec {
     graft.operators.FsUtil.deleteRecursively(dir.toFile)
   }
 
+  test("link extraction (q472 kernel): extract + resolve + canonicalize " +
+      "is a zero-exchange map-only projection — scan-speed at 100 TB") {
+    val pages = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("https://e/sub/"), col("doc_id").cast("string"),
+          lit(".html")).as("page_url"),
+        concat(lit("<a href=\"../x/"), col("doc_id").cast("string"),
+          lit("\">l</a>")).as("html"))
+    val plan = staticPlan(pages
+      .select(col("page_url"),
+        explode(graft.functions.Links.hrefs(col("html"))).as("href"))
+      .select(graft.functions.Urls.canonicalize(
+        graft.functions.Links.resolve(col("page_url"), col("href")))
+        .as("outlink"))
+      .filter(col("outlink").isNotNull))
+    assert(count(plan) { case _: ShuffleExchangeExec => } == 0,
+      s"discovery must be map-only:\n$plan")
+    assert(count(plan) { case _: WindowExec => } == 0)
+  }
+
+  test("robots parse (q474 kernel): every window host-partitioned — " +
+      "robots-sized work, nothing global") {
+    val robots = Seq(("h1", "User-agent: *\nDisallow: /x\n"))
+      .toDF("host", "txt")
+    val plan = staticPlan(
+      graft.functions.Robots.parseRules(robots, "host", "txt"))
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"robots parse windows must be host-partitioned:\n$plan")
+    }
+  }
+
   test("grouped PAV: every window partitioned by the segment (no global " +
       "sort at any stage)") {
     val bins = Seq(("s1", 1L, 10L, 5L), ("s1", 2L, 10L, 2L),

@@ -100,6 +100,72 @@ class Round18Spec extends SparkSpec {
     assert(extractOne("<p>&amp;#65; stays</p>") == "&#65; stays")
   }
 
+  // ---- link extraction + reference resolution (crawl discovery) -----
+
+  test("links: hrefs extracts anchors only — link tags, comment and " +
+      "script hrefs never leak; both quote styles, order preserved") {
+    import graft.functions.Links
+    val html = "<a href=\"/a\">1</a><link href=\"/css\">" +
+      "<!-- <a href=\"/hidden\">h</a> -->" +
+      "<script>var s = '<a href=\"/js\">';</script>" +
+      "<A HREF='/b'>2</A><a class=\"z\" href = \"/c\">3</a>"
+    val out = Seq(html).toDF("h")
+      .select(Links.hrefs(col("h")).as("hs"))
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("/a", "/b", "/c"))
+  }
+
+  test("links: resolve covers every declared case; dot segments collapse " +
+      "at fixed depth and above-root ../ stays literal (declared)") {
+    import graft.functions.Links
+    val base = "https://ex.com/a/b/c.html"
+    def res(r: String): String =
+      Seq(r).toDF("r")
+        .select(Links.resolve(lit(base), col("r")).as("u"))
+        .collect()(0).getAs[String]("u")
+    assert(res("") == base && res("#x") == base)
+    assert(res("https://o.io/p") == "https://o.io/p")
+    assert(res("//cdn.io/p") == "https://cdn.io/p")
+    assert(res("/r/s") == "https://ex.com/r/s")
+    assert(res("?k=v") == "https://ex.com/a/b/c.html?k=v")
+    assert(res("d.html") == "https://ex.com/a/b/d.html")
+    assert(res("./d.html") == "https://ex.com/a/b/d.html")
+    assert(res("../d.html") == "https://ex.com/a/d.html")
+    assert(res("../../d.html") == "https://ex.com/d.html")
+    assert(res("../../../d.html") == "https://ex.com/../d.html")
+    assert(res("x/../d.html") == "https://ex.com/a/b/d.html")
+    assert(res("mailto:x@y.io") == null)
+    assert(res("javascript:void(0)") == null)
+    assert(res("tel:+123") == null)
+  }
+
+  // ---- robots.txt parsing (rule acquisition) ------------------------
+
+  test("robots parse: star-group selection, multi-agent groups, group " +
+      "split after rules, comments/CRLF/case, empty Disallow dropped, " +
+      "Crawl-delay ignored") {
+    import graft.functions.Robots
+    val robots = Seq(
+      ("a.example",
+        "# hi\r\nUser-agent: bot1\nUser-agent: *\r\n" +
+          "Crawl-delay: 7\nDISALLOW: /x  # note\nallow: /x/pub\n" +
+          "Disallow:\n\nUser-agent: other\nDisallow: /y\n"),
+      // the star group here holds ONLY /b: the second UA line follows a
+      // rule line, so it opens a NEW group (RFC group semantics)
+      ("b.example",
+        "User-agent: zbot\nDisallow: /a\nUser-agent: *\nDisallow: /b\n"),
+      // no star group at all -> no rules survive
+      ("c.example", "User-agent: zbot\nDisallow: /c\n"))
+      .toDF("host", "txt")
+    val rules = Robots.parseRules(robots, "host", "txt")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getBoolean(2))).toSet
+    assert(rules == Set(
+      ("a.example", "/x", false),
+      ("a.example", "/x/pub", true),
+      ("b.example", "/b", false)))
+  }
+
   // ---- streaming crawl cycle restart (r17 directive #3) -------------
 
   test("streaming seen-URL ledger: a checkpointed restart with no new " +
