@@ -24,11 +24,24 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
                 else args(0).split(",").toSeq
+    // args(2): directory to write one <query>_<args(3)>.txt per query
+    // (plans/r18 judge evidence); stdout dump otherwise
+    val outDir = if (args.length > 2) Some(args(2)) else None
+    val suffix = if (args.length > 3) args(3) else "plan"
+    outDir.foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
     names.foreach { n =>
-      println(s"\n########## $n ##########")
-      try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-      catch { case e: Throwable => println(s"explain failed: $e") }
+      val txt =
+        try SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        catch { case e: Throwable => s"explain failed: $e" }
+      outDir match {
+        case Some(d) => java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(d, s"${n}_$suffix.txt"), txt)
+        case None =>
+          println(s"\n########## $n ##########")
+          println(txt)
+      }
     }
     spark.stop()
   }

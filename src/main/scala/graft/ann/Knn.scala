@@ -1147,22 +1147,30 @@ object Knn {
     val fs = new Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val lists = spark.read.parquet(s"$path/lists")
-    val before = lists.count()
+    // before/after counts OBSERVED on the rewrite pass itself (the
+    // Dedup.vacuumLayout discipline, opt guide §1.2): one data pass
+    // instead of count + rewrite + re-read count
+    val obsBefore = org.apache.spark.sql.Observation()
+    val obsAfter = org.apache.spark.sql.Observation()
+    val counted = lists.observe(obsBefore, count(lit(1)).as("n"))
     val survivors =
-      if (fs.exists(new Path(s"$path/tombstones")))
-        lists.join(spark.read.parquet(s"$path/tombstones"),
+      (if (fs.exists(new Path(s"$path/tombstones")))
+        counted.join(spark.read.parquet(s"$path/tombstones"),
           Seq("target_id"), "left_anti")
-      else lists
+      else counted)
+      .observe(obsAfter, count(lit(1)).as("n"))
     val nLists = spark.read.parquet(s"$path/centroids").count().toInt
     val tmp = s"$path/lists__vacuum_tmp"
     fs.delete(new Path(tmp), true)
-    survivors.repartition(math.max(nLists, 1), col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    val rewrite = survivors.repartition(math.max(nLists, 1), col("list_id"))
+    graft.plans.PlanDump.dump("ivf_vacuum_rewrite", rewrite)
+    rewrite.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
     graft.operators.PartitionCompaction.swapIntoPlace(
       fs, new Path(s"$path/lists"), new Path(tmp),
       new Path(s"$path/lists__pre_vacuum"))
     fs.delete(new Path(s"$path/tombstones"), true)
-    (before, spark.read.parquet(s"$path/lists").count())
+    (obsBefore.get("n").asInstanceOf[Long],
+      obsAfter.get("n").asInstanceOf[Long])
   }
 
   /** Query a disk-materialized IVF index (see [[ivfWriteIndex]]): probe

@@ -493,22 +493,30 @@ object Pq {
     val fs = new Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val codes = spark.read.parquet(s"$path/codes")
-    val before = codes.count()
+    // before/after counts OBSERVED on the rewrite pass itself (the
+    // Dedup.vacuumLayout discipline, opt guide §1.2): one data pass
+    // instead of count + rewrite + re-read count
+    val obsBefore = org.apache.spark.sql.Observation()
+    val obsAfter = org.apache.spark.sql.Observation()
+    val counted = codes.observe(obsBefore, count(lit(1)).as("n"))
     val survivors =
-      if (fs.exists(new Path(s"$path/tombstones")))
-        codes.join(spark.read.parquet(s"$path/tombstones"),
+      (if (fs.exists(new Path(s"$path/tombstones")))
+        counted.join(spark.read.parquet(s"$path/tombstones"),
           Seq("vec_id"), "left_anti")
-      else codes
+      else counted)
+      .observe(obsAfter, count(lit(1)).as("n"))
     val nLists = spark.read.parquet(s"$path/meta").collect()(0).getInt(3)
     val tmp = s"$path/codes__vacuum_tmp"
     fs.delete(new Path(tmp), true)
-    survivors.repartition(nLists, col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    val rewrite = survivors.repartition(nLists, col("list_id"))
+    graft.plans.PlanDump.dump("pq_vacuum_rewrite", rewrite)
+    rewrite.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
     graft.operators.PartitionCompaction.swapIntoPlace(
       fs, new Path(s"$path/codes"), new Path(tmp),
       new Path(s"$path/codes__pre_vacuum"))
     fs.delete(new Path(s"$path/tombstones"), true)
-    (before, spark.read.parquet(s"$path/codes").count())
+    (obsBefore.get("n").asInstanceOf[Long],
+      obsAfter.get("n").asInstanceOf[Long])
   }
 
   /** Search a disk index: probes computed query-side, the codes scan

@@ -135,29 +135,45 @@ object Dedup {
       .distinct()
     val fs = new org.apache.hadoop.fs.Path(ledgerPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // no dropDuplicates on the ledger read: a left_anti join is
+    // row-identical against a duplicated right side, and the ledger is
+    // distinct by construction anyway (every append is the distinct
+    // fresh set anti-joined against history) — the dedup was one full
+    // ledger shuffle per probe for nothing (opt guide §2.4)
     val seen =
       if (fs.exists(new org.apache.hadoop.fs.Path(ledgerPath)))
-        spark.read.parquet(ledgerPath).select(col("sh")).dropDuplicates("sh")
+        spark.read.parquet(ledgerPath).select(col("sh"))
       else {
         import spark.implicits._
         Seq.empty[String].toDF("sh")
       }
-    val fresh = sh.join(seen, Seq("sh"), "left_anti").localCheckpoint()
-    val keeper = fresh.groupBy("sh").agg(min("__id").as("__first"))
-    val perDoc = sh.groupBy("__id")
-      .agg(count(lit(1)).cast("long").as("n_shingles"))
-    val newPerDoc = fresh.join(keeper, "sh")
-      .groupBy("__id")
-      .agg(sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
-        .cast("long").as("n_new"))
-    val out = perDoc.join(newPerDoc, Seq("__id"), "left")
-      .select(col("__id").as(idCol), col("n_shingles"),
-        coalesce(col("n_new"), lit(0L)).as("n_new"))
-      .withColumn("novelty_ppm", expr(
-        "CAST((CAST(n_new AS DECIMAL(38,0)) * 1000000) div n_shingles AS BIGINT)"))
-      .localCheckpoint() // frozen BEFORE the ledger append mutates state
-    fresh.select("sh").distinct().write.mode("append").parquet(ledgerPath)
-    out
+    // sh feeds BOTH the anti-join (via fresh's checkpoint action) and
+    // perDoc: cached so the explode + (id, shingle) distinct — the
+    // text-scanning half of the pass — runs once, not twice (§1.2 "don't
+    // compute things twice"); released after `out` is materialized
+    sh.persist()
+    try {
+      val freshPlan = sh.join(seen, Seq("sh"), "left_anti")
+      graft.plans.PlanDump.dump("shingle_ledger_probe", freshPlan)
+      val fresh = freshPlan.localCheckpoint()
+      val keeper = fresh.groupBy("sh").agg(min("__id").as("__first"))
+      val perDoc = sh.groupBy("__id")
+        .agg(count(lit(1)).cast("long").as("n_shingles"))
+      val newPerDoc = fresh.join(keeper, "sh")
+        .groupBy("__id")
+        .agg(sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
+          .cast("long").as("n_new"))
+      val out = perDoc.join(newPerDoc, Seq("__id"), "left")
+        .select(col("__id").as(idCol), col("n_shingles"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("novelty_ppm", expr(
+          "CAST((CAST(n_new AS DECIMAL(38,0)) * 1000000) div n_shingles AS BIGINT)"))
+        .localCheckpoint() // frozen BEFORE the ledger append mutates state
+      fresh.select("sh").distinct().write.mode("append").parquet(ledgerPath)
+      out
+    } finally {
+      sh.unpersist()
+    }
   }
 
   /** Distinct word k-shingles of a text column as an array column. */
@@ -514,11 +530,15 @@ object Dedup {
     // tombstoned ids ([[minHashLedgerDelete]]) vanish from history BEFORE
     // pairing, so an erased doc neither reports nor suppresses anything —
     // the probe equals one over a ledger rebuilt on the survivors
+    // no per-row dedup on the bands read: crashed-retry duplicates only
+    // produce duplicate CANDIDATES, and those collapse in the (id_new,
+    // id_old) dropDuplicates below — the row-grain dedup was a second
+    // full shuffle of the probed slice for the same result (guide §2.4)
     val ledgerBands = minusTombstones(
       spark.read.parquet(s"$ledgerPath/bands")
         .filter(col("bucket")
-          .isin(probeBuckets.toIndexedSeq.map(Integer.valueOf): _*))
-        .dropDuplicates("bucket", "band_idx", "bk", "id"), ledgerPath)
+          .isin(probeBuckets.toIndexedSeq.map(Integer.valueOf): _*)),
+      ledgerPath)
     val cand = melted
       .select(col("id").as("id_new"), col("band_idx"), col("bk"),
         col("bucket"))
@@ -538,7 +558,7 @@ object Dedup {
       .select(col("id").as("id_old"), col("hsh").as("hsh_old"))
     val newHsh = frozen
       .select(col("id").as("id_new"), col("hsh").as("hsh_new"))
-    cand
+    val out = cand
       .join(newHsh, "id_new")
       .join(oldSigs, "id_old")
       .withColumn("n_common",
@@ -548,6 +568,8 @@ object Dedup {
           col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_new", "id_old", "jaccard")
+    graft.plans.PlanDump.dump("minhash_ledger_probe", out)
+    out
   }
 
   /** [[minHashLedgerPairs]] + the ledger append: score the delta against
@@ -635,12 +657,17 @@ object Dedup {
     val probeBuckets = melted.select("bucket").distinct()
       .collect().map(_.getLong(0))
     // tombstoned ids ([[simHashLedgerDelete]]) vanish before pairing
+    // no per-row dedup on the chunks read: a crashed-retry append writes
+    // byte-identical rows (same id, same sig), so duplicates collapse in
+    // the (id_new, id_old) dropDuplicates below with the same surviving
+    // sig_old — the row-grain dedup was one extra shuffle of the probed
+    // slice for the same result (guide §2.4)
     val ledger = minusTombstones(
       spark.read.parquet(s"$ledgerPath/chunks")
         .filter(col("bucket")
-          .isin(probeBuckets.toIndexedSeq.map(java.lang.Long.valueOf): _*))
-        .dropDuplicates("bucket", "chunk_idx", "ck", "id"), ledgerPath)
-    melted
+          .isin(probeBuckets.toIndexedSeq.map(java.lang.Long.valueOf): _*)),
+      ledgerPath)
+    val out = melted
       .select(col("id").as("id_new"), col("sig").as("sig_new"),
         col("chunk_idx"), col("ck"), col("bucket"))
       .join(ledger.select(col("id").as("id_old"), col("sig").as("sig_old"),
@@ -652,6 +679,8 @@ object Dedup {
         bit_count(col("sig_new").bitwiseXOR(col("sig_old"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_new", "id_old", "hamming")
+    graft.plans.PlanDump.dump("simhash_ledger_probe", out)
+    out
   }
 
   /** [[simHashLedgerPairs]] + the ledger append (the [[minHashLedger]]
@@ -741,16 +770,34 @@ object Dedup {
     val fs = new Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val rows = spark.read.parquet(dir)
-    val before = rows.count()
-    val survivors = minusTombstones(rows, ledgerPath)
-    val n = rows.select(partCol).distinct().count().toInt
+    // before/after counts OBSERVED on the rewrite pass itself (opt guide
+    // §1.2 — don't run passes you can fuse): this used to be four jobs
+    // (count, distinct-partition count, the rewrite, a re-read count of
+    // the new generation); now the rewrite is the only data pass. The
+    // observed metrics are exact — computed from successful tasks of the
+    // one successful write — and the repartition width comes from the
+    // partition DIRECTORY listing, which is the same set of values the
+    // old distinct() scan returned (partitionBy never writes an empty
+    // partition dir) and is result-irrelevant anyway (it only sizes the
+    // rewrite tasks).
+    val nParts = fs.listStatus(new Path(dir)).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+    val obsBefore = org.apache.spark.sql.Observation()
+    val obsAfter = org.apache.spark.sql.Observation()
+    val survivors =
+      minusTombstones(rows.observe(obsBefore, count(lit(1)).as("n")),
+        ledgerPath)
+      .observe(obsAfter, count(lit(1)).as("n"))
     val tmp = dir + "__vacuum_tmp"
     fs.delete(new Path(tmp), true)
-    survivors.repartition(math.max(n, 1), col(partCol))
+    val rewrite = survivors.repartition(math.max(nParts, 1), col(partCol))
+    graft.plans.PlanDump.dump(s"ledger_vacuum_rewrite_$layout", rewrite)
+    rewrite
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
     graft.operators.PartitionCompaction.swapIntoPlace(
       fs, new Path(dir), new Path(tmp), new Path(dir + "__pre_vacuum"))
-    (before, spark.read.parquet(dir).count())
+    (obsBefore.get("n").asInstanceOf[Long],
+      obsAfter.get("n").asInstanceOf[Long])
   }
 
   /** Physically remove tombstoned docs from BOTH MinHash ledger layouts:

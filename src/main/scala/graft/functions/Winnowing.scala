@@ -256,17 +256,26 @@ object Winnowing {
     val fs = new Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val rows = spark.read.parquet(dir)
-    val before = rows.count()
-    val survivors = minusTombstones(rows, path)
-    val n = rows.select("bucket").distinct().count().toInt
+    // before/after counts OBSERVED on the rewrite pass (Dedup.vacuumLayout
+    // discipline, opt guide §1.2): one data pass instead of four jobs;
+    // repartition width from the partition-directory listing
+    val nParts = fs.listStatus(new Path(dir)).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("bucket="))
+    val obsBefore = org.apache.spark.sql.Observation()
+    val obsAfter = org.apache.spark.sql.Observation()
+    val survivors =
+      minusTombstones(rows.observe(obsBefore, count(lit(1)).as("n")), path)
+        .observe(obsAfter, count(lit(1)).as("n"))
     val tmp = dir + "__vacuum_tmp"
     fs.delete(new Path(tmp), true)
-    survivors.repartition(math.max(n, 1), col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val rewrite = survivors.repartition(math.max(nParts, 1), col("bucket"))
+    graft.plans.PlanDump.dump("winnow_vacuum_rewrite", rewrite)
+    rewrite.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     graft.operators.PartitionCompaction.swapIntoPlace(
       fs, new Path(dir), new Path(tmp), new Path(dir + "__pre_vacuum"))
     fs.delete(new Path(s"$path/tombstones"), true)
-    (before, spark.read.parquet(dir).count())
+    (obsBefore.get("n").asInstanceOf[Long],
+      obsAfter.get("n").asInstanceOf[Long])
   }
 
   /** Cross-document overlap report — the MOSS CONSUMER of

@@ -91,6 +91,14 @@ object BloomJoin {
     val bytes = serialize(keyBloom(dim, key, expectedItems, fpp))
     fact.filter(mightContain(bytes, fact(key))).join(dim, Seq(key))
   }
+
+  /** [[keyBloom]] pre-serialized for [[mightContain]] — for callers that
+    * compose the pre-filter with their own join shape (e.g. a composite
+    * key hashed to one long on both sides).
+    */
+  def keyBloomBytes(dim: DataFrame, key: String, expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] =
+    serialize(keyBloom(dim, key, expectedItems, fpp))
 }
 
 /** `bloom.mightContain(child)` as a codegen-native predicate. The filter

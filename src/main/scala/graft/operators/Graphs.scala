@@ -51,25 +51,44 @@ object Graphs {
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .distinct()
+    // adjacency CACHED on the hop join key: without this every hop's
+    // localCheckpoint action re-derives the whole edge pipeline (for the
+    // co-purchase graph that is a lineitem self-join + distinct PER HOP),
+    // and the InMemoryRelation's preserved hash partitioning means a hop
+    // join never exchanges the edge side (the KCore lesson) — only the
+    // walk-frontier (one row per start) moves. Released in the finally:
+    // every per-hop frame is already localCheckpoint-materialized, so
+    // nothing downstream re-reads the cache.
     val dirs = canon.select(col("u").as("node"), col("v").as("nbr"))
       .unionAll(canon.select(col("v").as("node"), col("u").as("nbr")))
-    var cur = starts
-      .select(col(startCol).cast("long").as("start")).distinct()
-      .withColumn("node", col("start"))
-    var out = cur.withColumn("step", lit(0))
-    var t = 1
-    while (t <= len) {
-      cur = cur.join(dirs, Seq("node"))
-        .withColumn("__h", md5(concat_ws(":",
-          col("start"), lit(t), col("node"), col("nbr"))))
-        .groupBy("start")
-        .agg(min(struct(col("__h"), col("nbr"))).as("__m"))
-        .select(col("start"), col("__m.nbr").as("node"))
-        .localCheckpoint()
-      out = out.unionByName(cur.withColumn("step", lit(t)))
-      t += 1
+      .repartition(canon.sparkSession.sessionState.conf.numShufflePartitions,
+        col("node")).persist()
+    try {
+      var cur = starts
+        .select(col(startCol).cast("long").as("start")).distinct()
+        .withColumn("node", col("start"))
+      var out = cur.localCheckpoint().withColumn("step", lit(0))
+      cur = out.select("start", "node")
+      var t = 1
+      while (t <= len) {
+        // shuffle_hash build on the start-sized frontier: the cached
+        // adjacency streams unsorted and unshuffled
+        val hop = dirs.join(cur.hint("shuffle_hash"), Seq("node"))
+          .withColumn("__h", md5(concat_ws(":",
+            col("start"), lit(t), col("node"), col("nbr"))))
+          .groupBy("start")
+          .agg(min(struct(col("__h"), col("nbr"))).as("__m"))
+          .select(col("start"), col("__m.nbr").as("node"))
+        graft.plans.PlanDump.dump("hashwalks_hop", hop)
+        cur = hop.localCheckpoint()
+        out = out.unionByName(cur.withColumn("step", lit(t)))
+        t += 1
+      }
+      out.select(col("start"), col("step").cast("int").as("step"),
+        col("node"))
+    } finally {
+      dirs.unpersist()
     }
-    out.select(col("start"), col("step").cast("int").as("step"), col("node"))
   }
 
   /** Skip-gram training pairs over a walk corpus — the second half of the

@@ -54,20 +54,24 @@ object LabelProp {
 
     val w = Window.partitionBy("node").orderBy(col("n").desc, col("vote"))
     for (_ <- 1 to iterations) {
+      // shuffle_hash: hash-build the node-sized labeled side, stream the
+      // edge relation unsorted (the PageRank iteration discipline)
       val votes = e
         .join(labels.filter(col("label").isNotNull)
-          .select(col("node").as("s"), col("label").as("vote")), "s")
+          .select(col("node").as("s"), col("label").as("vote"))
+          .hint("shuffle_hash"), "s")
         .groupBy(col("d").as("node"), col("vote"))
         .agg(count(lit(1)).as("n"))
       val winner = votes.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("node"), col("vote").as("winner"))
-      labels = labels.join(winner, Seq("node"), "left")
+      val updated = labels.join(winner, Seq("node"), "left")
         .select(col("node"),
           when(col("is_seed"), col("label"))
             .otherwise(coalesce(col("winner"), col("label"))).as("label"),
           col("is_seed"))
-        .localCheckpoint()
+      graft.plans.PlanDump.dump("labelprop_round", updated)
+      labels = updated.localCheckpoint()
     }
     labels
   }

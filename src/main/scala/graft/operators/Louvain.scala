@@ -121,8 +121,14 @@ object Louvain {
     val dir = nonSelf.select(col("u").as("n"), col("v").as("nbr"), col("w"))
       .unionAll(nonSelf.select(col("v").as("n"), col("u").as("nbr"),
         col("w")))
+    // shuffle_hash: hash-build the node-sized label side, stream the
+    // directed edge relation unsorted (a per-level cached-adjacency
+    // variant was probed and measured SLOWER at sf0.1 local[32] —
+    // columnar-cache decode per sweep cost more than the in-memory
+    // shuffle it saved; see OPTIMIZATION_r18.md)
     val kic = dir
-      .join(lbl.select(col("n").as("nbr"), col("lbl").as("c")), Seq("nbr"))
+      .join(lbl.select(col("n").as("nbr"), col("lbl").as("c"))
+        .hint("shuffle_hash"), Seq("nbr"))
       .groupBy("n", "c").agg(sum("w").cast("long").as("k"))
     val base = nodeLbl
       .join(kic.select(col("n"), col("c").as("lbl"), col("k").as("k_ia")),
@@ -287,8 +293,10 @@ object Louvain {
       var cands = Vector(lbls)
       var s = 0
       while (s < sweeps) {
-        lbls = freeze(sweepW(e, str, m, lbls)
-          .select(col("n"), col("lbl_new").as("lbl")))
+        val moved = sweepW(e, str, m, lbls)
+          .select(col("n"), col("lbl_new").as("lbl"))
+        graft.plans.PlanDump.dump("louvain_sweep", moved)
+        lbls = freeze(moved)
         cands = cands :+ lbls
         s += 1
       }

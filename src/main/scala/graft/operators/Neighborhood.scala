@@ -52,13 +52,17 @@ object Neighborhood {
       lit(1).as("dist")).localCheckpoint()
     var frontier = reached
     for (d <- 2 to radius) {
-      val next = frontier.join(capped, frontier("x") === capped("w"))
+      // no shuffle_hash hint here: the frontier is PAIR-sized (unlike the
+      // node-sized state of PageRank/Sssp/LabelProp), so a forced hash
+      // build could blow a task at scale
+      val expand = frontier.join(capped, frontier("x") === capped("w"))
         .select(col("u"), col("v").as("x"))
         .filter(col("u") =!= col("x"))
         .distinct()
         .join(reached.select("u", "x"), Seq("u", "x"), "left_anti")
         .withColumn("dist", lit(d))
-        .localCheckpoint()
+      graft.plans.PlanDump.dump("neighborhood_round", expand)
+      val next = expand.localCheckpoint()
       reached = reached.unionByName(next)
       frontier = next
     }

@@ -76,16 +76,25 @@ object PageRank {
       case None => nodes.withColumn("rank_fp", lit(Scale))
     }
     for (_ <- 1 to iterations) {
-      val inc = withDeg.join(ranks, col("src") === col("node"))
+      // shuffle_hash hints: every per-iteration join builds its hash
+      // table on the node-sized side and STREAMS the edge relation, so
+      // neither side is ever sorted (a probed persist()-based variant
+      // that also removed the per-iteration edge exchange measured
+      // SLOWER at sf0.1 local[32] — columnar-cache decode per rescan
+      // cost more than the in-memory shuffle it saved; see
+      // OPTIMIZATION_r18.md "pagerank iteration variants")
+      val inc = withDeg.join(ranks.hint("shuffle_hash"),
+          col("src") === col("node"))
         .select(col("dst").as("node"),
           expr("rank_fp div outdeg").as("contrib"))
         .groupBy("node").agg(sum(col("contrib")).as("inc"))
-      ranks = nodes.join(inc, Seq("node"), "left")
+      ranks = nodes.join(inc.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(
             s"($dampingPpm * coalesce(inc, CAST(0 AS BIGINT))) div $Scale"))
             .as("rank_fp"))
     }
+    graft.plans.PlanDump.dump("pagerank_iter", ranks)
     ranks
   }
 
@@ -137,16 +146,20 @@ object PageRank {
     var ranks = nodes.select(col("node"),
       (col("is_seed") * Scale).as("rank_fp"))
     for (_ <- 1 to iterations) {
-      val inc = withDeg.join(ranks, col("src") === col("node"))
+      // shuffle_hash hints: hash-build the node-sized side, stream the
+      // edges unsorted (see fixedPointRanks)
+      val inc = withDeg.join(ranks.hint("shuffle_hash"),
+          col("src") === col("node"))
         .select(col("dst").as("node"),
           expr("rank_fp div outdeg").as("contrib"))
         .groupBy("node").agg(sum(col("contrib")).as("inc"))
-      ranks = nodes.join(inc, Seq("node"), "left")
+      ranks = nodes.join(inc.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (col("is_seed") * base + expr(
             s"($dampingPpm * coalesce(inc, CAST(0 AS BIGINT))) div $Scale"))
             .as("rank_fp"))
     }
+    graft.plans.PlanDump.dump("ppr_iter", ranks)
     ranks
   }
 }

@@ -40,16 +40,20 @@ object Sssp {
         Seq("node"), "left")
       .localCheckpoint()
     for (_ <- 1 to rounds) {
+      // shuffle_hash: hash-build the node-sized settled side, stream the
+      // edges unsorted (the PageRank iteration discipline)
       val relax = e
         .join(dist.filter(col("dist").isNotNull)
-          .select(col("node").as("src"), col("dist")), "src")
+          .select(col("node").as("src"), col("dist"))
+          .hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), (col("dist") + 1L).as("cand"))
         .groupBy("node").agg(min("cand").as("cand"))
-      dist = dist.join(relax, Seq("node"), "left")
+      val updated = dist.join(relax, Seq("node"), "left")
         .select(col("node"),
           least(coalesce(col("dist"), col("cand")),
                 coalesce(col("cand"), col("dist"))).as("dist"))
-        .localCheckpoint()
+      graft.plans.PlanDump.dump("sssp_round", updated)
+      dist = updated.localCheckpoint()
     }
     dist
   }

@@ -62,10 +62,26 @@ object Triangles {
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
         .agg(coalesce(sum(expr("(c * (c - 1)) div 2")), lit(0L)).as("w"))
         .collect().head.getLong(0)
+      // edge count measured BEFORE the closure: it sizes the Bloom filter
+      val nEdges = canon.count()
       // wedges from the common (degree, id)-smallest vertex; closure = the
       // third oriented edge exists. Only one of (b,c)/(c,b) can be
       // oriented, so the inner join counts each triangle exactly once —
       // the single materialization of the quadratic relation.
+      //
+      // Bloom pre-filter on the closure (opt guide §3.2): the wedge
+      // relation is W = Σ C(outdeg,2) rows — far larger than the m-row
+      // edge set it joins (measured at sf0.1: the closure exchange
+      // carried 767 MB of the query's shuffle, the edge relation ~25 MB)
+      // — and only wedges whose (b,c) IS an oriented edge survive. A
+      // Bloom filter over xxhash64(s,t) of the edges drops non-closing
+      // wedges MAP-SIDE before the exchange, so the join shuffles
+      // ~(triangles + fpp·W) rows instead of W (measured: query shuffle
+      // 767 → 139 MB, 16.4 → 12.2 s); the exact join that follows removes
+      // the false positives, so the count is unchanged. The filter is
+      // skipped above 200M edges, where its ~240 MB task-binary footprint
+      // stops paying for itself — beyond that scale the plain join (with
+      // AQE skew splitting) is the honest fallback.
       //
       // Advisory-partition-size pins were PROBED here and rejected (r17
       // PROBES entry, the q138 drift directive): at sf0.1 the default
@@ -74,13 +90,22 @@ object Triangles {
       // post-shuffle tasks cost more in scheduling than they recover in
       // parallelism on this 767 MB exchange), so the r15->r16 16->21 s
       // quiet-median drift is host contention, not a plan problem.
-      val nTriangles = oriented.select(col("s"), col("t").as("b"))
+      val wedges = oriented.select(col("s"), col("t").as("b"))
         .join(oriented.select(col("s"), col("t").as("c")), "s")
         .filter(col("b") =!= col("c"))
+      val preFiltered =
+        if (nEdges > 0 && nEdges <= 200000000L)
+          wedges.filter(BloomJoin.mightContain(
+            BloomJoin.keyBloomBytes(
+              oriented.select(xxhash64(col("s"), col("t")).as("k")), "k",
+              nEdges, 0.01),
+            xxhash64(col("b"), col("c"))))
+        else wedges
+      val closure = preFiltered
         .join(oriented.select(col("s").as("b"), col("t").as("c")),
           Seq("b", "c"))
-        .count()
-      val nEdges = canon.count()
+      graft.plans.PlanDump.dump("triangle_closure", closure)
+      val nTriangles = closure.count()
       val nNodes = deg.count()
 
       val spark = edges.sparkSession

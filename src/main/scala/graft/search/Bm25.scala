@@ -472,9 +472,10 @@ object Bm25 {
     val fs = new Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val postings = spark.read.parquet(s"$path/postings")
-    val before = postings.count()
-    if (!fs.exists(new Path(s"$path/tombstones")))
-      return (before, before)
+    if (!fs.exists(new Path(s"$path/tombstones"))) {
+      val n = postings.count()
+      return (n, n)
+    }
     val tomb = spark.read.parquet(s"$path/tombstones")
       .dropDuplicates("doc_id").localCheckpoint()
     val t = tomb.agg(count(lit(1)).cast("double").as("nt"),
@@ -486,9 +487,17 @@ object Bm25 {
       (old.getDouble(0), old.getLong(1), old.getInt(2))
     val tmp = path + "__vacuum_tmp"
     fs.delete(new Path(tmp), true)
-    postings.join(tomb.select("doc_id"), Seq("doc_id"), "left_anti")
+    // before/after posting counts OBSERVED on the rewrite pass itself
+    // (Dedup.vacuumLayout discipline, opt guide §1.2): one data pass
+    // instead of count + rewrite + re-read count
+    val obsBefore = org.apache.spark.sql.Observation()
+    val obsAfter = org.apache.spark.sql.Observation()
+    val rewrite = postings.observe(obsBefore, count(lit(1)).as("n"))
+      .join(tomb.select("doc_id"), Seq("doc_id"), "left_anti")
+      .observe(obsAfter, count(lit(1)).as("n"))
       .repartition(nBuckets, col("term_bucket"))
-      .write.mode("overwrite").partitionBy("term_bucket")
+    graft.plans.PlanDump.dump("bm25_vacuum_rewrite", rewrite)
+    rewrite.write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$tmp/postings")
     val spark2 = spark
     import spark2.implicits._
@@ -499,6 +508,7 @@ object Bm25 {
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
     graft.operators.PartitionCompaction.swapIntoPlace(
       fs, new Path(path), new Path(tmp), new Path(path + "__pre_vacuum"))
-    (before, spark.read.parquet(s"$path/postings").count())
+    (obsBefore.get("n").asInstanceOf[Long],
+      obsAfter.get("n").asInstanceOf[Long])
   }
 }
