@@ -146,16 +146,35 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"diag":$diagJson,"sf":"$sfDir","runs":$nRuns}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"diag":$diagJson,"sf":"$sfDir","runs":$nRuns,"cpus":$cpus}"""
     println(line)
     // Committed per-query record (min/median/max), so round-over-round
     // comparison covers ALL queries instead of whatever tail window a
     // driver artifact happens to keep. Same JSON as the stdout line.
+    // Written BOTH to the single contract path and to a per-core-count
+    // twin: the driver benches at two core counts back to back, and until
+    // r18 the second (8-core) run overwrote the 32-core record in
+    // latest.json — the per-config file keeps both (r18 verdict issue #1).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench/latest.json")
-    val p = java.nio.file.Paths.get(outPath)
-    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.writeString(p, line + "\n")
+    val cfgPath =
+      if (outPath.endsWith(".json"))
+        outPath.stripSuffix(".json") + s"_c$cpus.json"
+      else outPath + s"_c$cpus"
+    for (path <- Seq(outPath, cfgPath)) {
+      val p = java.nio.file.Paths.get(path)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, line + "\n")
+    }
+    // Compact contract summary printed LAST: the driver keeps only a ~2 KB
+    // stdout tail, which the ~74 KB full line has overflowed since r15
+    // (PERF_r18 per_query: {}, parsed: null — r18 verdict issue #1 asked
+    // for exactly this bounded summary-last + full-record-file layout).
+    // No measurement changed: same queries, same timed action, same
+    // medians; the full per-query map lives one line up and in `record`.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$nRuns,"cpus":$cpus,"n_queries":${results.size},"n_failed":${failedQ.size},"record":"$cfgPath"}"""
+    println(summary)
     spark.stop()
   }
 }

@@ -1149,27 +1149,38 @@ object Knn {
     val lists = spark.read.parquet(s"$path/lists")
     // before/after counts OBSERVED on the rewrite pass itself (the
     // Dedup.vacuumLayout discipline, opt guide §1.2): one data pass
-    // instead of count + rewrite + re-read count
+    // instead of count + rewrite + re-read count. Exactly-once only while
+    // no task attempt is duplicated (see
+    // [[graft.operators.VacuumCounts]]); speculation takes the exact path.
+    val exactFallback = graft.operators.VacuumCounts.needExactCounts(spark)
     val obsBefore = org.apache.spark.sql.Observation()
     val obsAfter = org.apache.spark.sql.Observation()
-    val counted = lists.observe(obsBefore, count(lit(1)).as("n"))
-    val survivors =
-      (if (fs.exists(new Path(s"$path/tombstones")))
+    val counted =
+      if (exactFallback) lists
+      else lists.observe(obsBefore, count(lit(1)).as("n"))
+    val antiJoined =
+      if (fs.exists(new Path(s"$path/tombstones")))
         counted.join(spark.read.parquet(s"$path/tombstones"),
           Seq("target_id"), "left_anti")
-      else counted)
-      .observe(obsAfter, count(lit(1)).as("n"))
+      else counted
+    val survivors =
+      if (exactFallback) antiJoined
+      else antiJoined.observe(obsAfter, count(lit(1)).as("n"))
     val nLists = spark.read.parquet(s"$path/centroids").count().toInt
     val tmp = s"$path/lists__vacuum_tmp"
     fs.delete(new Path(tmp), true)
     val rewrite = survivors.repartition(math.max(nLists, 1), col("list_id"))
     graft.plans.PlanDump.dump("ivf_vacuum_rewrite", rewrite)
+    val nBefore = if (exactFallback) lists.count() else -1L
     rewrite.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    val nAfter =
+      if (exactFallback) spark.read.parquet(tmp).count() else -1L
     graft.operators.PartitionCompaction.swapIntoPlace(
       fs, new Path(s"$path/lists"), new Path(tmp),
       new Path(s"$path/lists__pre_vacuum"))
     fs.delete(new Path(s"$path/tombstones"), true)
-    (obsBefore.get("n").asInstanceOf[Long],
+    if (exactFallback) (nBefore, nAfter)
+    else (obsBefore.get("n").asInstanceOf[Long],
       obsAfter.get("n").asInstanceOf[Long])
   }
 

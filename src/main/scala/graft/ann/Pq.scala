@@ -495,27 +495,38 @@ object Pq {
     val codes = spark.read.parquet(s"$path/codes")
     // before/after counts OBSERVED on the rewrite pass itself (the
     // Dedup.vacuumLayout discipline, opt guide §1.2): one data pass
-    // instead of count + rewrite + re-read count
+    // instead of count + rewrite + re-read count. Exactly-once only while
+    // no task attempt is duplicated (see
+    // [[graft.operators.VacuumCounts]]); speculation takes the exact path.
+    val exactFallback = graft.operators.VacuumCounts.needExactCounts(spark)
     val obsBefore = org.apache.spark.sql.Observation()
     val obsAfter = org.apache.spark.sql.Observation()
-    val counted = codes.observe(obsBefore, count(lit(1)).as("n"))
-    val survivors =
-      (if (fs.exists(new Path(s"$path/tombstones")))
+    val counted =
+      if (exactFallback) codes
+      else codes.observe(obsBefore, count(lit(1)).as("n"))
+    val antiJoined =
+      if (fs.exists(new Path(s"$path/tombstones")))
         counted.join(spark.read.parquet(s"$path/tombstones"),
           Seq("vec_id"), "left_anti")
-      else counted)
-      .observe(obsAfter, count(lit(1)).as("n"))
+      else counted
+    val survivors =
+      if (exactFallback) antiJoined
+      else antiJoined.observe(obsAfter, count(lit(1)).as("n"))
     val nLists = spark.read.parquet(s"$path/meta").collect()(0).getInt(3)
     val tmp = s"$path/codes__vacuum_tmp"
     fs.delete(new Path(tmp), true)
     val rewrite = survivors.repartition(nLists, col("list_id"))
     graft.plans.PlanDump.dump("pq_vacuum_rewrite", rewrite)
+    val nBefore = if (exactFallback) codes.count() else -1L
     rewrite.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    val nAfter =
+      if (exactFallback) spark.read.parquet(tmp).count() else -1L
     graft.operators.PartitionCompaction.swapIntoPlace(
       fs, new Path(s"$path/codes"), new Path(tmp),
       new Path(s"$path/codes__pre_vacuum"))
     fs.delete(new Path(s"$path/tombstones"), true)
-    (obsBefore.get("n").asInstanceOf[Long],
+    if (exactFallback) (nBefore, nAfter)
+    else (obsBefore.get("n").asInstanceOf[Long],
       obsAfter.get("n").asInstanceOf[Long])
   }
 

@@ -485,7 +485,12 @@ object Dedup {
     * with `id_new === id_old` are excluded, so re-scoring an
     * already-appended delta reports its true historical neighbours, not
     * itself (retry idempotence); duplicate ledger rows from a
-    * crashed-and-retried append are deduped on read.
+    * crashed-and-retried append collapse at the (id_new, id_old) PAIR
+    * grain (duplicate band rows only yield duplicate candidates, removed
+    * by the pair dropDuplicates — r18 dropped the row-grain
+    * dedup-on-read, which was a second full shuffle of the probed slice
+    * for the same result; only the sigs read keeps its per-id dedup,
+    * which IS result-relevant to the exact verify).
     *
     * Scan-once discipline: the delta's (map-only but text-scanning)
     * shingle+signature kernel runs EXACTLY once per invocation — the
@@ -630,7 +635,9 @@ object Dedup {
     * probe prunes to the delta's buckets statically, verifies with the
     * STORED sig via bit_count(xor) — history text never read, never
     * re-fingerprinted. Same retry discipline as the MinHash ledger:
-    * dedupe on read, self-pairs excluded. Same scan-once discipline too:
+    * crashed-retry duplicates collapse at the (id_new, id_old) pair grain
+    * (a retried append writes byte-identical chunk rows, so the surviving
+    * sig_old is the same), self-pairs excluded. Same scan-once discipline:
     * the delta's fingerprint pass is frozen (localCheckpoint) once and
     * the bucket probe, candidate join and hamming verify all read the
     * frozen chunk rows.
@@ -773,30 +780,41 @@ object Dedup {
     // before/after counts OBSERVED on the rewrite pass itself (opt guide
     // §1.2 — don't run passes you can fuse): this used to be four jobs
     // (count, distinct-partition count, the rewrite, a re-read count of
-    // the new generation); now the rewrite is the only data pass. The
-    // observed metrics are exact — computed from successful tasks of the
-    // one successful write — and the repartition width comes from the
-    // partition DIRECTORY listing, which is the same set of values the
-    // old distinct() scan returned (partitionBy never writes an empty
-    // partition dir) and is result-irrelevant anyway (it only sizes the
-    // rewrite tasks).
+    // the new generation); now the rewrite is the only data pass.
+    // CAVEAT (r18 advisor): CollectMetrics accumulators ride the
+    // rewrite's shuffle-map stage, and accumulator updates in
+    // transformations are at-LEAST-once — a stage re-executed after a
+    // fetch failure, or a speculative duplicate attempt, can double-count
+    // where the count() actions they replaced could not. Exactly-once
+    // holds whenever no task attempt is duplicated (always true on the
+    // single-host bench); clusters that enable speculation take the
+    // exact two-count fallback below. The repartition width comes from
+    // the partition DIRECTORY listing, which is the same set of values
+    // the old distinct() scan returned (partitionBy never writes an
+    // empty partition dir) and is result-irrelevant anyway (it only
+    // sizes the rewrite tasks).
     val nParts = fs.listStatus(new Path(dir)).count(st =>
       st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+    val exactFallback = graft.operators.VacuumCounts.needExactCounts(spark)
     val obsBefore = org.apache.spark.sql.Observation()
     val obsAfter = org.apache.spark.sql.Observation()
     val survivors =
-      minusTombstones(rows.observe(obsBefore, count(lit(1)).as("n")),
+      if (exactFallback) minusTombstones(rows, ledgerPath)
+      else minusTombstones(rows.observe(obsBefore, count(lit(1)).as("n")),
         ledgerPath)
-      .observe(obsAfter, count(lit(1)).as("n"))
+        .observe(obsAfter, count(lit(1)).as("n"))
     val tmp = dir + "__vacuum_tmp"
     fs.delete(new Path(tmp), true)
     val rewrite = survivors.repartition(math.max(nParts, 1), col(partCol))
     graft.plans.PlanDump.dump(s"ledger_vacuum_rewrite_$layout", rewrite)
+    val nBefore = if (exactFallback) rows.count() else -1L
     rewrite
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    val nAfter = if (exactFallback) spark.read.parquet(tmp).count() else -1L
     graft.operators.PartitionCompaction.swapIntoPlace(
       fs, new Path(dir), new Path(tmp), new Path(dir + "__pre_vacuum"))
-    (obsBefore.get("n").asInstanceOf[Long],
+    if (exactFallback) (nBefore, nAfter)
+    else (obsBefore.get("n").asInstanceOf[Long],
       obsAfter.get("n").asInstanceOf[Long])
   }
 

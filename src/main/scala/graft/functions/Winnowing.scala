@@ -258,23 +258,32 @@ object Winnowing {
     val rows = spark.read.parquet(dir)
     // before/after counts OBSERVED on the rewrite pass (Dedup.vacuumLayout
     // discipline, opt guide §1.2): one data pass instead of four jobs;
-    // repartition width from the partition-directory listing
+    // repartition width from the partition-directory listing. Exactly-once
+    // only while no task attempt is duplicated (see
+    // [[graft.operators.VacuumCounts]]); speculation takes the exact path.
     val nParts = fs.listStatus(new Path(dir)).count(st =>
       st.isDirectory && st.getPath.getName.startsWith("bucket="))
+    val exactFallback = graft.operators.VacuumCounts.needExactCounts(spark)
     val obsBefore = org.apache.spark.sql.Observation()
     val obsAfter = org.apache.spark.sql.Observation()
     val survivors =
-      minusTombstones(rows.observe(obsBefore, count(lit(1)).as("n")), path)
+      if (exactFallback) minusTombstones(rows, path)
+      else minusTombstones(rows.observe(obsBefore, count(lit(1)).as("n")),
+        path)
         .observe(obsAfter, count(lit(1)).as("n"))
     val tmp = dir + "__vacuum_tmp"
     fs.delete(new Path(tmp), true)
     val rewrite = survivors.repartition(math.max(nParts, 1), col("bucket"))
     graft.plans.PlanDump.dump("winnow_vacuum_rewrite", rewrite)
+    val nBefore = if (exactFallback) rows.count() else -1L
     rewrite.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val nAfter =
+      if (exactFallback) spark.read.parquet(tmp).count() else -1L
     graft.operators.PartitionCompaction.swapIntoPlace(
       fs, new Path(dir), new Path(tmp), new Path(dir + "__pre_vacuum"))
     fs.delete(new Path(s"$path/tombstones"), true)
-    (obsBefore.get("n").asInstanceOf[Long],
+    if (exactFallback) (nBefore, nAfter)
+    else (obsBefore.get("n").asInstanceOf[Long],
       obsAfter.get("n").asInstanceOf[Long])
   }
 

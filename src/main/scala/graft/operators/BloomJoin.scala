@@ -92,13 +92,41 @@ object BloomJoin {
     fact.filter(mightContain(bytes, fact(key))).join(dim, Seq(key))
   }
 
-  /** [[keyBloom]] pre-serialized for [[mightContain]] — for callers that
+  /** [[keyBloomBytes]] pre-serialized for [[mightContain]] — for callers that
     * compose the pre-filter with their own join shape (e.g. a composite
     * key hashed to one long on both sides).
     */
   def keyBloomBytes(dim: DataFrame, key: String, expectedItems: Long,
       fpp: Double = 0.01): Array[Byte] =
     serialize(keyBloom(dim, key, expectedItems, fpp))
+
+  /** [[mightContain]] with the filter shipped as a Spark BROADCAST variable
+    * instead of a plan-embedded literal (opt guide §3.2's own caveat; r18
+    * verdict issue #3): a literal filter rides EVERY task binary of every
+    * stage that references the predicate and is deserialized per task,
+    * while a broadcast ships once per executor via the block manager and
+    * is deserialized once. That is what lets the caller's size guard scale
+    * with driver memory instead of a constant tuned to the task-binary
+    * path. Same probe semantics, same `bloom_might_contain` plan name.
+    *
+    * The broadcast is [[BroadcastLifecycle]]-tracked: callers may release
+    * it once their actions are done; the bench's between-run clearState
+    * drops it regardless.
+    */
+  def mightContainBroadcast(
+      bc: org.apache.spark.broadcast.Broadcast[BloomFilter],
+      key: Column): Column =
+    ColumnBridge.column(
+      BloomMightContainBC(ColumnBridge.expression(key), bc))
+
+  /** [[keyBloom]] wrapped into a lifecycle-tracked broadcast, for
+    * [[mightContainBroadcast]]. */
+  def keyBloomBroadcast(dim: DataFrame, key: String, expectedItems: Long,
+      fpp: Double = 0.01)
+      : org.apache.spark.broadcast.Broadcast[BloomFilter] =
+    graft.BroadcastLifecycle.track(
+      dim.sparkSession.sparkContext.broadcast(
+        keyBloom(dim, key, expectedItems, fpp)))
 }
 
 /** `bloom.mightContain(child)` as a codegen-native predicate. The filter
@@ -140,6 +168,61 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
         defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
       case _ =>
         defineCodeGen(ctx, ev, c => s"$ref.mightContainLong((long) $c)")
+    }
+  }
+
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[BloomMightContain]] over a BROADCAST filter: the expression carries
+  * only the lightweight broadcast handle — tasks fetch the filter blocks
+  * from the block manager (once per executor) instead of deserializing a
+  * filter-sized literal from every task binary. Hot path is identical: a
+  * cached reference + one `mightContainLong`/`mightContainBinary` per row
+  * (the codegen null-check branch is predicted after the first row).
+  */
+case class BloomMightContainBC(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[BloomFilter])
+    extends UnaryExpression with Predicate {
+
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val bloom: BloomFilter = bc.value
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType | StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain does not support input type $other")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = v match {
+    case l: java.lang.Long => bloom.mightContainLong(l)
+    case i: java.lang.Integer => bloom.mightContainLong(i.toLong)
+    case s: java.lang.Short => bloom.mightContainLong(s.toLong)
+    case b: java.lang.Byte => bloom.mightContainLong(b.toLong)
+    case u: UTF8String => bloom.mightContainBinary(u.getBytes)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomCls = classOf[BloomFilter].getName
+    val bcRef = ctx.addReferenceObj("bloomBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val bloomVar = ctx.addMutableState(bloomCls, "bloomFilter")
+    def probe(call: String => String)(c: String): String =
+      s"(($bloomVar != null) ? $bloomVar" +
+        s" : ($bloomVar = ($bloomCls) $bcRef.value())).${call(c)}"
+    child.dataType match {
+      case StringType =>
+        defineCodeGen(ctx, ev, probe(c => s"mightContainBinary($c.getBytes())"))
+      case LongType =>
+        defineCodeGen(ctx, ev, probe(c => s"mightContainLong($c)"))
+      case _ =>
+        defineCodeGen(ctx, ev, probe(c => s"mightContainLong((long) $c)"))
     }
   }
 

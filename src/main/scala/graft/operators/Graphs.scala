@@ -43,14 +43,31 @@ object Graphs {
     * @return (start, step 0..len, node) — step 0 is the start itself
     */
   def hashWalks(edges: DataFrame, srcCol: String, dstCol: String,
-                starts: DataFrame, startCol: String, len: Int): DataFrame = {
-    require(len >= 1 && len <= 16, s"len must be in [1, 16], got $len")
-    val canon = edges
+                starts: DataFrame, startCol: String, len: Int): DataFrame =
+    hashWalksCanon(canonEdges(edges, srcCol, dstCol), starts, startCol, len)
+
+  /** Canonical undirected simple edge set (u < v, self-loops and NULL
+    * endpoints dropped, duplicates collapsed) — the shared first step of
+    * every walk-tier kernel. Exposed package-private so a query composing
+    * several kernels over the SAME edge frame (q442: walks → pairs →
+    * negatives) can derive it once, freeze it, and pass it to the
+    * canon-grain entry points instead of paying the derivation (for the
+    * co-purchase graph, a lineitem self-join + pair distinct) per kernel
+    * (opt guide §1.2 — don't compute the same thing twice).
+    */
+  private[graft] def canonEdges(edges: DataFrame, srcCol: String,
+                                dstCol: String): DataFrame =
+    edges
       .filter(col(srcCol) =!= col(dstCol) &&
         col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .distinct()
+
+  /** [[hashWalks]] body over an already-canonical (u, v) edge set. */
+  private[graft] def hashWalksCanon(canon: DataFrame, starts: DataFrame,
+                                    startCol: String, len: Int): DataFrame = {
+    require(len >= 1 && len <= 16, s"len must be in [1, 16], got $len")
     // adjacency CACHED on the hop join key: without this every hop's
     // localCheckpoint action re-derives the whole edge pipeline (for the
     // co-purchase graph that is a lineitem self-join + distinct PER HOP),
@@ -150,14 +167,17 @@ object Graphs {
     */
   def negativeSamples(pairs: DataFrame, edges: DataFrame, srcCol: String,
                       dstCol: String, nNeg: Int,
-                      salt: String = "ns|"): DataFrame = {
+                      salt: String = "ns|"): DataFrame =
+    negativeSamplesCanon(pairs, canonEdges(edges, srcCol, dstCol), nNeg,
+      salt)
+
+  /** [[negativeSamples]] body over an already-canonical (u, v) edge set —
+    * lets q442 reuse the frozen canon its walk chain already derived
+    * instead of re-running the lineitem self-join + distinct. */
+  private[graft] def negativeSamplesCanon(pairs: DataFrame,
+                                          canon: DataFrame, nNeg: Int,
+                                          salt: String = "ns|"): DataFrame = {
     require(nNeg >= 1 && nNeg <= 16, s"nNeg must be in [1, 16], got $nNeg")
-    val canon = edges
-      .filter(col(srcCol) =!= col(dstCol) &&
-        col(srcCol).isNotNull && col(dstCol).isNotNull)
-      .select(least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .distinct()
     val dirs = canon.select(col("u").as("n"), col("v").as("nbr"))
       .unionAll(canon.select(col("v").as("n"), col("u").as("nbr")))
     val slots = GlobalRank
@@ -201,8 +221,8 @@ object Graphs {
     *
     * Exact arithmetic end to end: gains in DECIMAL(38,0) (2m·k products
     * overflow BIGINT long before the declared N guards elsewhere), the
-    * argmax a (gain desc, label asc) row_number — node-partitioned window,
-    * no global sort. Shape: one edge canonicalization feeding directions,
+    * argmax a (gain desc, label asc) min(struct) aggregate — map-side
+    * partials, no sort. Shape: one edge canonicalization feeding directions,
     * degrees, and neighbour-community counts (shared subtree), label-sized
     * Σtot aggregation broadcast back, one node-grain argmax.
     *
@@ -251,11 +271,13 @@ object Graphs {
         s"""CAST(2 AS $d38) * $m * (k - k_ia) -
             CAST(d AS $d38) * (stot_c - stot_a + d)"""))
       .filter(col("gain2m2") > 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("n").orderBy(col("gain2m2").desc, col("c"))
-    val best = cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("n"), col("c").as("lbl_best"))
+    // argmax(gain desc, c asc) as min(struct(-gain, c)) — a declarative
+    // aggregate with MAP-SIDE partials instead of the row_number window's
+    // exchange + per-partition SORT of the full candidate relation (opt
+    // guide §2.3/§4; same pick: min -gain = max gain, ties to smallest c)
+    val best = cand.groupBy("n")
+      .agg(min(struct((-col("gain2m2")).as("__ng"), col("c"))).as("__b"))
+      .select(col("n"), col("__b.c").as("lbl_best"))
     nodeLbl.select(col("n"), col("lbl").as("lbl_old"))
       .join(best, Seq("n"), "left")
       .select(col("n"), col("lbl_old"),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Semi-supervised label propagation (Zhu & Ghahramani 2002 / the community
@@ -17,8 +16,9 @@ import org.apache.spark.sql.functions._
   * rounds is SQL-oracle-checkable.
   *
   * Plan per round: one edge-labels equi-join, one (node, label) partial
-  * aggregation, one per-node top-1 window over the label-vote relation
-  * (bounded by the label vocabulary, never the corpus). Labels are frozen
+  * aggregation, one per-node top-1 min(struct) aggregate over the
+  * label-vote relation (bounded by the label vocabulary, never the
+  * corpus). Labels are frozen
   * with localCheckpoint each round — without it the lineage doubles per
   * round and replays every prior join (the connectedComponents lesson,
   * Dedup.scala).
@@ -52,19 +52,23 @@ object LabelProp {
         col("seed_label").isNotNull.as("is_seed"))
       .localCheckpoint()
 
-    val w = Window.partitionBy("node").orderBy(col("n").desc, col("vote"))
     for (_ <- 1 to iterations) {
       // shuffle_hash: hash-build the node-sized labeled side, stream the
-      // edge relation unsorted (the PageRank iteration discipline)
+      // edge relation unsorted (the PageRank iteration discipline — see
+      // PageRank.scala for the build-size assumption and scale probe)
       val votes = e
         .join(labels.filter(col("label").isNotNull)
           .select(col("node").as("s"), col("label").as("vote"))
           .hint("shuffle_hash"), "s")
         .groupBy(col("d").as("node"), col("vote"))
         .agg(count(lit(1)).as("n"))
-      val winner = votes.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("node"), col("vote").as("winner"))
+      // top-1 as min(struct(-n, vote)) — same pick as the old row_number
+      // window over (n desc, vote asc) but a declarative aggregate with
+      // MAP-SIDE partials, no per-round exchange+sort of the vote
+      // relation (opt guide §2.3/§4; the r19 Louvain argmax discipline)
+      val winner = votes.groupBy("node")
+        .agg(min(struct((-col("n")).as("__nn"), col("vote"))).as("__b"))
+        .select(col("node"), col("__b.vote").as("winner"))
       val updated = labels.join(winner, Seq("node"), "left")
         .select(col("node"),
           when(col("is_seed"), col("label"))

@@ -125,7 +125,8 @@ object Louvain {
     // directed edge relation unsorted (a per-level cached-adjacency
     // variant was probed and measured SLOWER at sf0.1 local[32] —
     // columnar-cache decode per sweep cost more than the in-memory
-    // shuffle it saved; see OPTIMIZATION_r18.md)
+    // shuffle it saved; see OPTIMIZATION_r18.md). Build-size assumption
+    // and scale probe: PageRank.scala / PROBES.md r19.
     val kic = dir
       .join(lbl.select(col("n").as("nbr"), col("lbl").as("c"))
         .hint("shuffle_hash"), Seq("nbr"))
@@ -151,11 +152,13 @@ object Louvain {
       if (guarded) cand0.filter(!(col("size_a") === 1 &&
         col("size_c") === 1 && col("c") > col("lbl")))
       else cand0
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("n").orderBy(col("gain2m2").desc, col("c"))
-    val best = cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("n"), col("c").as("lbl_best"))
+    // argmax(gain desc, c asc) as min(struct(-gain, c)) — a declarative
+    // aggregate with MAP-SIDE partials instead of the row_number window's
+    // exchange + per-partition SORT of the full candidate relation (opt
+    // guide §2.3/§4; same pick: min -gain = max gain, ties to smallest c)
+    val best = cand.groupBy("n")
+      .agg(min(struct((-col("gain2m2")).as("__ng"), col("c"))).as("__b"))
+      .select(col("n"), col("__b.c").as("lbl_best"))
     nodeLbl.select(col("n"), col("lbl").as("lbl_old"))
       .join(best, Seq("n"), "left")
       .select(col("n"), col("lbl_old"),
@@ -207,15 +210,30 @@ object Louvain {
                                       m: Long,
                                       tagged: DataFrame): DataFrame = {
     val lbl = tagged.select(col("__s"), col("n"), col("lbl"))
+    // LABEL-ARRAY reshape (opt guide §2.3/§2.4, r18 verdict next-round #1):
+    // collapse the S+1 tagged candidate partitions to ONE row per node
+    // carrying all its candidate labels in __s order. The edge relation
+    // then joins node-grain arrays ONCE per side — the old shape joined
+    // the tagged frame per side and its second join exchanged the
+    // e×(S+1) intermediate on (__s, v); here the v-exchange carries e
+    // rows (array payload), the posexplode happens AFTER both joins, and
+    // the (__s)-grain sum partial-aggregates map-side to S+1 rows per
+    // task before its exchange. Exact-same surface: per (__s), Σw over
+    // edges whose endpoints share the sweep-__s label.
+    val arr = lbl.groupBy("n")
+      .agg(transform(array_sort(collect_list(struct(col("__s"), col("lbl")))),
+        x => x.getField("lbl")).as("ls"))
     val intra = e
-      .join(lbl.select(col("__s"), col("n").as("u"), col("lbl").as("lu")),
-        Seq("u"))
-      .join(lbl.select(col("__s"), col("n").as("v"), col("lbl").as("lv")),
-        Seq("__s", "v"))
+      .join(arr.select(col("n").as("u"), col("ls").as("lu")), Seq("u"))
+      .join(arr.select(col("n").as("v"), col("ls").as("lv")), Seq("v"))
+      .select(col("w"),
+        posexplode(zip_with(col("lu"), col("lv"), (a, b) => a === b))
+          .as(Seq("__s", "__same")))
       .groupBy("__s")
-      .agg(coalesce(sum(when(col("lu") === col("lv"), col("w"))
-        .otherwise(0L)), lit(0L)).cast("long").as("intra_w"))
-    val sc = str.join(lbl, Seq("n"))
+      .agg(coalesce(sum(when(col("__same"), col("w")).otherwise(0L)),
+        lit(0L)).cast("long").as("intra_w"))
+    val sc = str.join(arr, Seq("n"))
+      .select(col("s"), posexplode(col("ls")).as(Seq("__s", "lbl")))
       .groupBy("__s", "lbl").agg(sum("s").cast("long").as("sc"))
       .groupBy("__s")
       .agg(count(lit(1)).cast("long").as("n_communities"),
@@ -275,16 +293,20 @@ object Louvain {
     import spark.implicits._
 
     var e = freeze(canonW(edges, srcCol, dstCol))
-    // composed assignment of ORIGINAL nodes, updated per level
-    var assign = freeze(e.select(col("u").as("n0"))
-      .unionAll(e.select(col("v").as("n0")))
-      .distinct()
-      .select(col("n0"), col("n0").as("lbl")))
+    // composed assignment of ORIGINAL nodes, updated per level. Seeded
+    // from level 0's frozen strengths below (same node set as the edge
+    // endpoints, zero extra job) and composed LAZILY — the chain is at
+    // most nLevels ≤ 8 node-grain joins over frozen frames, read by no
+    // per-level action, so the per-level distinct + freeze jobs the r18
+    // shape paid were pure driver latency (opt guide §1.2)
+    var assign: DataFrame = null
     var trail: DataFrame = null
 
     var level = 0
     while (level < nLevels) {
       val str = freeze(strengths(e))
+      if (level == 0)
+        assign = str.select(col("n").as("n0"), col("n").as("lbl"))
       val m = e.agg(coalesce(sum("w"), lit(0L))).as[Long].head()
       // identity init is a stateless projection of the FROZEN str — no
       // stats compounding to reset, so a second checkpoint job per level
@@ -325,10 +347,10 @@ object Louvain {
         .toDF("level", "n_nodes", "m_w", "best_sweep", "n_communities",
           "intra_w", "q_x1e6")
       trail = if (trail == null) row else trail.unionByName(row)
-      assign = freeze(assign
+      assign = assign
         .join(bestLbls.select(col("n").as("lbl"), col("lbl").as("__next")),
           Seq("lbl"))
-        .select(col("n0"), col("__next").as("lbl")))
+        .select(col("n0"), col("__next").as("lbl"))
       e = freeze(coarsen(e, bestLbls))
       level += 1
     }

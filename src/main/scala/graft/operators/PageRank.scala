@@ -82,7 +82,19 @@ object PageRank {
       // that also removed the per-iteration edge exchange measured
       // SLOWER at sf0.1 local[32] — columnar-cache decode per rescan
       // cost more than the in-memory shuffle it saved; see
-      // OPTIMIZATION_r18.md "pagerank iteration variants")
+      // OPTIMIZATION_r18.md "pagerank iteration variants").
+      // BUILD-SIZE ASSUMPTION (r18 advisor): a ShuffledHashJoin build
+      // does not spill gracefully, so each task must hold
+      // nodes/numShufflePartitions (node, long) rows ≈ 48 bytes/row in
+      // memory. With shuffle partitions sized to ~128 MB of NODE-grain
+      // data (e.g. 1e9 nodes → ≥384 partitions) a build is tens of MB;
+      // deployments that pin spark.sql.shuffle.partitions low for
+      // edge-grain reasons should raise it before this kernel. AQE skew
+      // handling does not split a build side, but node-grain state is
+      // hash-partitioned on unique node ids — per-partition row counts
+      // are ~uniform by construction (no hot-key skew is possible on a
+      // unique key). Measured at 40× the bench graph in PROBES.md r19
+      // ("shj scale probe").
       val inc = withDeg.join(ranks.hint("shuffle_hash"),
           col("src") === col("node"))
         .select(col("dst").as("node"),

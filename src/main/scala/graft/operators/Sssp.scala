@@ -41,7 +41,8 @@ object Sssp {
       .localCheckpoint()
     for (_ <- 1 to rounds) {
       // shuffle_hash: hash-build the node-sized settled side, stream the
-      // edges unsorted (the PageRank iteration discipline)
+      // edges unsorted (the PageRank iteration discipline — see
+      // PageRank.scala for the build-size assumption and scale probe)
       val relax = e
         .join(dist.filter(col("dist").isNotNull)
           .select(col("node").as("src"), col("dist"))

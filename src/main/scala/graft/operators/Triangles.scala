@@ -78,10 +78,19 @@ object Triangles {
       // wedges MAP-SIDE before the exchange, so the join shuffles
       // ~(triangles + fpp·W) rows instead of W (measured: query shuffle
       // 767 → 139 MB, 16.4 → 12.2 s); the exact join that follows removes
-      // the false positives, so the count is unchanged. The filter is
-      // skipped above 200M edges, where its ~240 MB task-binary footprint
-      // stops paying for itself — beyond that scale the plain join (with
-      // AQE skew splitting) is the honest fallback.
+      // the false positives, so the count is unchanged.
+      //
+      // r19: the filter ships as a BROADCAST (block-manager blocks, one
+      // deserialization per executor) instead of a plan literal riding
+      // every task binary (r18 verdict issue #3 / advisor note), and the
+      // guard is sized from driver heap instead of the r18 constant
+      // (200M edges ≈ 240 MB literal): a 1%-fpp filter costs ~1.2
+      // bytes/key, and the build's transient peak (partial filters
+      // arriving in the driver-side treeAggregate reduce + the chunked
+      // broadcast copy) is ~4× the filter, so the cap allows filters up
+      // to maxHeap/16 — maxHeap/20 edges (8 GiB driver → ~400M edges;
+      // measured probe in PROBES.md r19). Beyond that the plain join
+      // (with AQE skew splitting) is the honest fallback.
       //
       // Advisory-partition-size pins were PROBED here and rejected (r17
       // PROBES entry, the q138 drift directive): at sf0.1 the default
@@ -93,10 +102,11 @@ object Triangles {
       val wedges = oriented.select(col("s"), col("t").as("b"))
         .join(oriented.select(col("s"), col("t").as("c")), "s")
         .filter(col("b") =!= col("c"))
+      val bloomEdgeCap = Runtime.getRuntime.maxMemory() / 20L
       val preFiltered =
-        if (nEdges > 0 && nEdges <= 200000000L)
-          wedges.filter(BloomJoin.mightContain(
-            BloomJoin.keyBloomBytes(
+        if (nEdges > 0 && nEdges <= bloomEdgeCap)
+          wedges.filter(BloomJoin.mightContainBroadcast(
+            BloomJoin.keyBloomBroadcast(
               oriented.select(xxhash64(col("s"), col("t")).as("k")), "k",
               nEdges, 0.01),
             xxhash64(col("b"), col("c"))))

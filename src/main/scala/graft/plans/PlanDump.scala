@@ -16,6 +16,11 @@ import org.apache.spark.sql.DataFrame
   */
 object PlanDump {
 
+  /** Tests that set the JVM-global `graft.plan.dir` property serialize
+    * behind this lock (see Round18OptSpec.withPlanDir) so parallel suites
+    * cannot cross-write dumps or clear the property mid-test. */
+  val dumpLock: Object = new Object
+
   /** The system property lets the in-process plan-shape locks exercise
     * the same dump sites the evidence capture uses (tests cannot set an
     * env var); the env var is the out-of-process capture path.

@@ -859,11 +859,17 @@ object RankQueries {
         .coPurchaseEdges(t(s, dir, "lineitem"))
       val starts = t(s, dir, "part")
         .filter(col("p_partkey") % 20 === 0).select("p_partkey")
-      val walks = graft.operators.Graphs.hashWalks(edges, "src", "dst",
-        starts, "p_partkey", len = 3)
+      // ONE canonical edge derivation (frozen) feeds both the walk chain
+      // and the negative-sampler slot table — before r19 each kernel
+      // re-ran the lineitem self-join + pair distinct (opt guide §1.2;
+      // r18 verdict next-round #5). Same rows, same results — the canon
+      // is a deterministic set either way.
+      val canon = graft.operators.Graphs.canonEdges(edges, "src", "dst")
+        .localCheckpoint()
+      val walks = graft.operators.Graphs.hashWalksCanon(canon, starts,
+        "p_partkey", len = 3)
       val pairs = graft.operators.Graphs.skipGramPairs(walks, window = 2)
-      graft.operators.Graphs.negativeSamples(pairs, edges, "src", "dst",
-        nNeg = 3)
+      graft.operators.Graphs.negativeSamplesCanon(pairs, canon, nNeg = 3)
     },
 
     // FULL LOUVAIN — q417 was ONE local-move sweep; this is the whole

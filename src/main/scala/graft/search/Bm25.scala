@@ -489,16 +489,27 @@ object Bm25 {
     fs.delete(new Path(tmp), true)
     // before/after posting counts OBSERVED on the rewrite pass itself
     // (Dedup.vacuumLayout discipline, opt guide §1.2): one data pass
-    // instead of count + rewrite + re-read count
+    // instead of count + rewrite + re-read count. Exactly-once only while
+    // no task attempt is duplicated (see
+    // [[graft.operators.VacuumCounts]]); speculation takes the exact path.
+    val exactFallback = graft.operators.VacuumCounts.needExactCounts(spark)
     val obsBefore = org.apache.spark.sql.Observation()
     val obsAfter = org.apache.spark.sql.Observation()
-    val rewrite = postings.observe(obsBefore, count(lit(1)).as("n"))
+    val antiJoined =
+      (if (exactFallback) postings
+      else postings.observe(obsBefore, count(lit(1)).as("n")))
       .join(tomb.select("doc_id"), Seq("doc_id"), "left_anti")
-      .observe(obsAfter, count(lit(1)).as("n"))
+    val rewrite =
+      (if (exactFallback) antiJoined
+      else antiJoined.observe(obsAfter, count(lit(1)).as("n")))
       .repartition(nBuckets, col("term_bucket"))
     graft.plans.PlanDump.dump("bm25_vacuum_rewrite", rewrite)
+    val nBefore = if (exactFallback) postings.count() else -1L
     rewrite.write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$tmp/postings")
+    val nAfter =
+      if (exactFallback) spark.read.parquet(s"$tmp/postings").count()
+      else -1L
     val spark2 = spark
     import spark2.implicits._
     Seq((oldN - nt, oldSum - sdl))
@@ -508,7 +519,8 @@ object Bm25 {
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
     graft.operators.PartitionCompaction.swapIntoPlace(
       fs, new Path(path), new Path(tmp), new Path(path + "__pre_vacuum"))
-    (obsBefore.get("n").asInstanceOf[Long],
+    if (exactFallback) (nBefore, nAfter)
+    else (obsBefore.get("n").asInstanceOf[Long],
       obsAfter.get("n").asInstanceOf[Long])
   }
 }

@@ -15,15 +15,21 @@ import graft.operators.{Graphs, PageRank, Triangles}
 class Round18OptSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withPlanDir[A](f: java.io.File => A): A = {
-    val dir = Files.createTempDirectory("graft_plans").toFile
-    sys.props("graft.plan.dir") = dir.getAbsolutePath
-    try f(dir)
-    finally {
-      sys.props.remove("graft.plan.dir")
-      graft.operators.FsUtil.deleteRecursively(dir)
+  // `graft.plan.dir` is a JVM-global system property: serialize every
+  // test that sets it behind one lock so parallel suites in the same JVM
+  // can neither cross-write plan dumps nor clear the property mid-test
+  // (r18 advisor note). PlanDump.dumpLock is shared by any suite that
+  // flips the property.
+  private def withPlanDir[A](f: java.io.File => A): A =
+    graft.plans.PlanDump.dumpLock.synchronized {
+      val dir = Files.createTempDirectory("graft_plans").toFile
+      sys.props("graft.plan.dir") = dir.getAbsolutePath
+      try f(dir)
+      finally {
+        sys.props.remove("graft.plan.dir")
+        graft.operators.FsUtil.deleteRecursively(dir)
+      }
     }
-  }
 
   private lazy val edges = Seq(
     (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L),
